@@ -1,0 +1,511 @@
+"""Vectorized geobuf feature codec: Arrow batch <-> protobuf record bytes.
+
+Wire format (studied from ``/root/reference/``, re-implemented from
+scratch as numpy batch kernels — see SURVEY.md §1.2):
+
+record   := [0x08 varint(id)]? keyvalue* [0x18 geomcode]?
+            [0x22 varint(len) packed_geometry]? [0x2A varint(len) bbox]?
+keyvalue := 0x12 varint(len) 0x0A varint(len(key)) key value
+value    := 0x12 varint(len) inner            (write_primitives.go:244-286)
+inner    := 0x0A varint(len) utf8      — string  (field 1)
+           | 0x15 f32le                — float   (field 2)
+           | 0x19 f64le                — double  (field 3)
+           | 0x20 varint(uint64(v))    — int64   (field 4)
+           | 0x28 varint(v)            — uint64  (field 5)
+           | 0x30 varint(zigzag(v))    — sint64  (field 6, read-only legacy)
+           | 0x38 0|1                  — bool    (field 7)
+geomcode := geom_type (1..6) when dim==2 else (geom_type<<4)|dim
+            (geom.go:59-76)
+packed_geometry (geom.go:187-302), every value a varint:
+  Point            zigzag(q(x)) zigzag(q(y))          — 2 dims always
+  Line/MultiPoint  first point absolute, then per-dim deltas
+  Poly/MultiLine   per ring: varint(n_pts*dim) then delta stream,
+                   delta accumulator RESET per ring
+  MultiPolygon     per polygon: varint(n_rings), then rings as above
+bbox     := packed zigzag(q(W)) q(S) q(E) q(N)        (bb.go:137-154;
+            README's "N,S,E,W" comment is wrong — code order is W,S,E,N)
+q(v)     := int64(v * 1e7)   — TRUNCATION toward zero (geom.go:173-179)
+decode   := cumsum(deltas) / 1e7 — we accumulate quantized int64 exactly,
+            so the result is within 1e-7 of the reference's float
+            accumulate+round(half-up, 7dp) (geom.go:78-90,127-157)
+
+Framing (one stream record): 0x0A varint(len) record  (writer.go:73-89).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import varint as vi
+from .schema import (
+    GEOM_COLUMNS,
+    MULTIPOLYGON,
+    MULTILINESTRING,
+    POINT,
+    POLYGON,
+    property_columns,
+    list_column_parts,
+)
+
+_POWER = 1e7
+_U64 = np.uint64
+
+
+def quantize(coords: np.ndarray) -> np.ndarray:
+    """float64 -> int64 via truncation toward zero (``ConvertPt``)."""
+    return np.trunc(coords * _POWER).astype(np.int64)
+
+
+def dequantize(q: np.ndarray) -> np.ndarray:
+    return q.astype(np.float64) / _POWER
+
+
+# ---------------------------------------------------------------------------
+# property value segment builders (column-vectorized)
+# ---------------------------------------------------------------------------
+
+
+def _varint_segment(vals_u64: np.ndarray, valid: np.ndarray, tag: int):
+    """value bytes ``0x12 varint(n+1) tag varint(v)`` per row (nulls→0)."""
+    n = len(vals_u64)
+    body_flat, body_lens = vi.varint_encode(vals_u64)
+    lens = np.where(valid, body_lens + 3, 0)
+    head = np.zeros((n, 3), np.uint8)
+    head[:, 0] = 0x12
+    head[:, 1] = (body_lens + 1).astype(np.uint8)
+    head[:, 2] = tag
+    head_lens = np.where(valid, 3, 0).astype(np.int64)
+    # drop null body bytes
+    if not valid.all():
+        keep = np.repeat(valid, body_lens)
+        body_flat = body_flat[keep]
+        body_lens = np.where(valid, body_lens, 0)
+        head_flat = head[valid].reshape(-1)
+        head_flat_full = np.zeros(int(head_lens.sum()), np.uint8)
+        head_flat_full[:] = head_flat
+        flat, rl = vi.rowwise_concat(
+            [(head_flat_full, head_lens), (body_flat, body_lens)]
+        )
+    else:
+        flat, rl = vi.rowwise_concat(
+            [(head.reshape(-1), head_lens), (body_flat, body_lens)]
+        )
+    assert (rl == lens).all()
+    return flat, rl
+
+
+def _fixed_segment(raw: np.ndarray, valid: np.ndarray, tag: int, width: int):
+    """value bytes ``0x12 (width+1) tag <width raw bytes>`` per row."""
+    n = len(valid)
+    out = np.zeros((n, width + 3), np.uint8)
+    out[:, 0] = 0x12
+    out[:, 1] = width + 1
+    out[:, 2] = tag
+    out[:, 3:] = raw.reshape(n, width)
+    lens = np.where(valid, width + 3, 0).astype(np.int64)
+    flat = out[valid].reshape(-1)
+    return flat, lens
+
+
+def _string_segment(col: pa.Array, valid: np.ndarray):
+    """value bytes ``0x12 varint(n) 0x0A varint(len) utf8`` per row."""
+    arr = col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    offsets = arr.buffers()[1]
+    offs = np.frombuffer(offsets, np.int32, len(arr) + 1, arr.offset * 4).astype(
+        np.int64
+    )
+    data = np.frombuffer(arr.buffers()[2], np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+    s_lens = np.diff(offs)
+    s_lens = np.where(valid, s_lens, 0)
+    # gather string bytes (handles sliced arrays / null gaps)
+    starts = offs[:-1]
+    src = np.repeat(starts, s_lens) + vi.ramp(s_lens)
+    s_flat = data[src]
+    len_pref_flat, len_pref_lens = vi.varint_encode(s_lens.astype(_U64))
+    inner_lens = 1 + len_pref_lens + s_lens  # 0x0A varint(len) utf8
+    outer_pref_flat, outer_pref_lens = vi.varint_encode(inner_lens.astype(_U64))
+    n = len(s_lens)
+    tag12 = np.full(n, 0x12, np.uint8)
+    tag0a = np.full(n, 0x0A, np.uint8)
+    one = np.ones(n, np.int64)
+    flat, lens = vi.rowwise_concat(
+        [
+            (tag12, one.copy()),
+            (outer_pref_flat, outer_pref_lens),
+            (tag0a, one.copy()),
+            (len_pref_flat, len_pref_lens),
+            (s_flat, s_lens),
+        ]
+    )
+    lens = np.where(valid, lens, 0)
+    if not valid.all():
+        # rebuild without null rows' bytes
+        keepmask = np.repeat(valid, 1 + outer_pref_lens + 1 + len_pref_lens + s_lens)
+        flat = flat[keepmask]
+    return flat, lens
+
+
+def _valid_mask(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count == 0:
+        return np.ones(len(col), bool)
+    return ~col.is_null().to_numpy(zero_copy_only=False)
+
+
+def encode_property_column(name: str, col) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row keyvalue bytes for one property column.
+
+    Returns (flat uint8, lengths int64); null rows contribute 0 bytes
+    (a Go map simply lacks the key).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = _valid_mask(col)
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        val_flat, val_lens = _string_segment(col, valid)
+    elif pa.types.is_float64(t):
+        raw = col.fill_null(0.0).to_numpy(zero_copy_only=False).astype("<f8").view(np.uint8)
+        val_flat, val_lens = _fixed_segment(raw, valid, 0x19, 8)
+    elif pa.types.is_float32(t):
+        raw = col.fill_null(0.0).to_numpy(zero_copy_only=False).astype("<f4").view(np.uint8)
+        val_flat, val_lens = _fixed_segment(raw, valid, 0x15, 4)
+    elif pa.types.is_boolean(t):
+        vals = col.fill_null(False).to_numpy(zero_copy_only=False).astype(np.uint8)
+        n = len(vals)
+        out = np.zeros((n, 4), np.uint8)
+        out[:, 0] = 0x12
+        out[:, 1] = 2
+        out[:, 2] = 0x38
+        out[:, 3] = vals
+        val_lens = np.where(valid, 4, 0).astype(np.int64)
+        val_flat = out[valid].reshape(-1)
+    elif pa.types.is_unsigned_integer(t):
+        vals = col.fill_null(0).to_numpy(zero_copy_only=False).astype(_U64)
+        val_flat, val_lens = _varint_segment(vals, valid, 0x28)
+    elif pa.types.is_integer(t):
+        vals = col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64).astype(_U64)
+        val_flat, val_lens = _varint_segment(vals, valid, 0x20)
+    else:
+        raise TypeError(f"unsupported property type {t} for column {name!r}")
+
+    key = name.encode("utf-8")
+    key_hdr = bytes([0x0A]) + vi.encode_varint_scalar(len(key)) + key
+    n = len(valid)
+    inner_lens = len(key_hdr) + val_lens
+    inner_lens = np.where(valid, inner_lens, 0)
+    pref_flat, pref_lens = vi.varint_encode(inner_lens.astype(_U64))
+    tag = np.full(n, 0x12, np.uint8)
+    key_flat = np.tile(np.frombuffer(key_hdr, np.uint8), n)
+    key_lens = np.full(n, len(key_hdr), np.int64)
+    one = np.ones(n, np.int64)
+    # null rows: zero out every piece
+    if not valid.all():
+        tag_lens = np.where(valid, 1, 0).astype(np.int64)
+        tag = tag[valid]
+        pref_keep = np.repeat(valid, pref_lens)
+        pref_flat = pref_flat[pref_keep]
+        pref_lens = np.where(valid, pref_lens, 0)
+        key_lens = np.where(valid, key_lens, 0)
+        key_flat = np.tile(np.frombuffer(key_hdr, np.uint8), int(valid.sum()))
+    else:
+        tag_lens = one
+    flat, lens = vi.rowwise_concat(
+        [
+            (tag, tag_lens),
+            (pref_flat, pref_lens),
+            (key_flat, key_lens),
+            (val_flat, val_lens),
+        ]
+    )
+    return flat, lens
+
+
+# ---------------------------------------------------------------------------
+# geometry encode
+# ---------------------------------------------------------------------------
+
+
+def _geometry_segments(table: pa.Table):
+    """Build (geom_flat, geom_lens, bbox_flat, bbox_lens) per feature."""
+    n = table.num_rows
+    geom_type = table["geom_type"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    if "dim" in table.column_names:
+        dim = table["dim"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        dim = np.full(n, 2, np.int64)
+    coords, c_offs = list_column_parts(table["coords"], np.float64)
+    ring_sizes, r_offs = list_column_parts(table["ring_sizes"], np.int64)
+    if "poly_sizes" in table.column_names:
+        poly_sizes, p_offs = list_column_parts(table["poly_sizes"], np.int64)
+    else:
+        poly_sizes = np.ones(len(ring_sizes), np.int64)
+        p_offs = r_offs
+
+    coords_per_feat = np.diff(c_offs)
+    rings_per_feat = np.diff(r_offs)
+    polys_per_feat = np.diff(p_offs)
+    has_geom = coords_per_feat > 0
+
+    # per-ring feature index & geom metadata
+    ring_feat = np.repeat(np.arange(n), rings_per_feat)
+    ring_g = geom_type[ring_feat]
+    ring_d = dim[ring_feat]
+    n_rings = len(ring_sizes)
+
+    # per-point arrays (points may have mixed dims across the batch)
+    pts_per_feat = np.where(dim > 0, coords_per_feat // np.maximum(dim, 1), 0)
+    pt_feat = np.repeat(np.arange(n), pts_per_feat)
+    pt_dim = dim[pt_feat]
+    pt_base = np.concatenate(([0], np.cumsum(pt_dim)[:-1])) if len(pt_dim) else np.empty(0, np.int64)
+    # offset of each feature's first coord must match c_offs
+    # (true because coords are concatenated in feature order)
+
+    # quantize all coords once
+    q = quantize(coords)
+
+    # per-value (coordinate scalar) arrays laid out point-major
+    total_vals = len(coords)
+    # ring start positions in point units
+    ring_pt_ends = np.cumsum(ring_sizes)
+    ring_pt_starts = ring_pt_ends - ring_sizes
+    # deltas per dimension with reset at ring starts
+    delta = np.empty(total_vals, np.int64)
+    if total_vals:
+        # value index of each point's dim-j coord: pt_base + j
+        # compute deltas pointwise: d[p] = q[p] - q[p-1] per dim, reset at ring start
+        delta[:] = q
+        # previous point same-dim index
+        prev_idx = pt_base - pt_dim  # start of previous point
+        ring_start_mask_pt = np.zeros(len(pt_dim), bool)
+        ring_start_mask_pt[ring_pt_starts[ring_pt_starts < len(pt_dim)]] = True
+        interior = ~ring_start_mask_pt
+        ii = np.flatnonzero(interior)
+        if len(ii):
+            for j in range(int(pt_dim.max()) if len(pt_dim) else 0):
+                sel = ii[pt_dim[ii] > j]
+                delta[pt_base[sel] + j] = q[pt_base[sel] + j] - q[prev_idx[sel] + j]
+    zz = vi.zigzag_encode(delta)
+
+    # which coordinate values are actually emitted: Points emit 2 dims only
+    keep = np.ones(total_vals, bool)
+    pt_is_point_extra = (geom_type[pt_feat] == POINT) & (pt_dim > 2)
+    for j in range(2, int(pt_dim.max()) if len(pt_dim) else 2):
+        sel = np.flatnonzero(pt_is_point_extra & (pt_dim > j))
+        keep[pt_base[sel] + j] = False
+    kept_per_pt = np.where(geom_type[pt_feat] == POINT, np.minimum(pt_dim, 2), pt_dim)
+
+    # per-ring emitted value counts
+    kept_cum = np.concatenate(([0], np.cumsum(kept_per_pt)))
+    ring_kept = kept_cum[np.minimum(ring_pt_ends, len(kept_per_pt))] - kept_cum[ring_pt_starts]
+
+    # prefixes: ring-size prefix for 3/5/6; polygon ring-count prefix for 6
+    ring_has_size_prefix = np.isin(ring_g, (POLYGON, MULTILINESTRING, MULTIPOLYGON))
+    # first ring of each polygon (only for multipolygon)
+    poly_feat = np.repeat(np.arange(n), polys_per_feat)
+    poly_ring_ends = np.cumsum(poly_sizes)
+    poly_ring_starts = poly_ring_ends - poly_sizes
+    ring_is_poly_start = np.zeros(n_rings, bool)
+    mp_polys = geom_type[poly_feat] == MULTIPOLYGON
+    ring_is_poly_start[poly_ring_starts[mp_polys]] = True
+    ring_prefix_count = ring_has_size_prefix.astype(np.int64) + ring_is_poly_start.astype(np.int64)
+
+    # value-stream layout per ring
+    ring_stream_len = ring_prefix_count + ring_kept
+    ring_stream_ends = np.cumsum(ring_stream_len)
+    ring_stream_starts = ring_stream_ends - ring_stream_len
+    stream_total = int(ring_stream_ends[-1]) if n_rings else 0
+    stream = np.empty(stream_total, _U64)
+    # polygon ring-count prefixes (first slot of the poly's first ring)
+    if mp_polys.any():
+        stream[ring_stream_starts[poly_ring_starts[mp_polys]]] = poly_sizes[mp_polys].astype(_U64)
+    # ring size prefixes (after the optional poly prefix)
+    if ring_has_size_prefix.any():
+        pos = ring_stream_starts + ring_is_poly_start.astype(np.int64)
+        sel = ring_has_size_prefix
+        stream[pos[sel]] = (ring_sizes[sel] * ring_d[sel]).astype(_U64)
+    # vertex values
+    if stream_total:
+        dst = np.repeat(ring_stream_starts + ring_prefix_count, ring_kept) + vi.ramp(ring_kept)
+        stream[dst] = zz[keep]
+
+    # varint-encode the whole stream at once
+    flat, vlens = vi.varint_encode(stream)
+    # bytes per ring (zero-length rings handled explicitly: reduceat
+    # misbehaves on empty segments), then per feature
+    ring_byte_lens = np.zeros(n_rings, np.int64)
+    nz_rings = ring_stream_len > 0
+    if nz_rings.any():
+        ring_byte_lens[nz_rings] = np.add.reduceat(
+            vlens, ring_stream_starts[nz_rings]
+        )
+    geom_payload_lens = np.zeros(n, np.int64)
+    if n_rings:
+        np.add.at(geom_payload_lens, ring_feat, ring_byte_lens)
+
+    # geometry section: 0x18 geomcode 0x22 varint(len) payload
+    geomcode = np.where(dim == 2, geom_type, (geom_type << 4) | dim).astype(np.uint8)
+    head = np.zeros((n, 3), np.uint8)
+    head[:, 0] = 0x18
+    head[:, 1] = geomcode
+    head[:, 2] = 0x22
+    head_lens = np.where(has_geom, 3, 0).astype(np.int64)
+    pref_flat, pref_lens = vi.varint_encode(geom_payload_lens.astype(_U64))
+    if not has_geom.all():
+        pref_flat = pref_flat[np.repeat(has_geom, pref_lens)]
+        pref_lens = np.where(has_geom, pref_lens, 0)
+    payload_lens = np.where(has_geom, geom_payload_lens, 0)
+    geom_flat, geom_lens = vi.rowwise_concat(
+        [
+            (head[has_geom].reshape(-1), head_lens),
+            (pref_flat, pref_lens),
+            (flat, payload_lens),
+        ]
+    )
+
+    # ---- bbox section (W,S,E,N), from FLOAT coords then truncate ----
+    if len(pt_dim):
+        x = coords[pt_base]
+        y = coords[pt_base + 1]
+        feat_pt_starts = np.concatenate(([0], np.cumsum(pts_per_feat)[:-1]))
+        nz = pts_per_feat > 0
+        starts_nz = feat_pt_starts[nz]
+        west = np.minimum.reduceat(x, starts_nz) if nz.any() else np.empty(0)
+        east = np.maximum.reduceat(x, starts_nz) if nz.any() else np.empty(0)
+        south = np.minimum.reduceat(y, starts_nz) if nz.any() else np.empty(0)
+        north = np.maximum.reduceat(y, starts_nz) if nz.any() else np.empty(0)
+        bq = np.empty((int(nz.sum()), 4), np.int64)
+        bq[:, 0] = quantize(west)
+        bq[:, 1] = quantize(south)
+        bq[:, 2] = quantize(east)
+        bq[:, 3] = quantize(north)
+        bz = vi.zigzag_encode(bq.reshape(-1))
+        bflat, blens = vi.varint_encode(bz)
+        per_feat_b = blens.reshape(-1, 4).sum(axis=1)
+        bbox_payload_lens = np.zeros(n, np.int64)
+        bbox_payload_lens[nz] = per_feat_b
+        bhead = np.zeros((int(nz.sum()), 2), np.uint8)
+        bhead[:, 0] = 0x2A
+        bhead[:, 1] = per_feat_b.astype(np.uint8)  # always < 41 < 128
+        bhead_lens = np.where(nz, 2, 0).astype(np.int64)
+        bbox_flat, bbox_lens = vi.rowwise_concat(
+            [
+                (bhead.reshape(-1), bhead_lens),
+                (bflat, np.where(nz, bbox_payload_lens, 0)),
+            ]
+        )
+    else:
+        bbox_flat, bbox_lens = np.empty(0, np.uint8), np.zeros(n, np.int64)
+
+    return geom_flat, geom_lens, bbox_flat, bbox_lens
+
+
+def encode_batch(
+    table: pa.Table,
+    prop_cols: list[str] | None = None,
+    write_id: bool = True,
+    write_bbox: bool = True,
+) -> pa.Array:
+    """Encode one Arrow batch of features to geobuf record bytes.
+
+    Returns a ``pa.binary()`` array of unframed records (one per row).
+    Property key order is the column order (canonical — the reference's
+    Go map iteration order is nondeterministic, SURVEY.md §7).
+    ``write_bbox=False`` reproduces older reference streams that omit
+    field 5 (``test_data/county.geobuf`` has no bbox sections; the
+    current writer at write_feature.go:249-260 always emits them).
+    """
+    n = table.num_rows
+    segments: list[tuple[np.ndarray, np.ndarray]] = []
+
+    # id section
+    if write_id and "id" in table.column_names:
+        idcol = table["id"].combine_chunks()
+        valid = _valid_mask(idcol)
+        ids_u = idcol.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64).astype(_U64)
+        id_flat, id_lens = vi.varint_encode(ids_u)
+        tag_lens = np.where(valid, 1, 0).astype(np.int64)
+        tag_flat = np.full(int(valid.sum()), 0x08, np.uint8)
+        keep_b = np.repeat(valid, id_lens)
+        id_flat = id_flat[keep_b]
+        id_lens = np.where(valid, id_lens, 0)
+        segments.append((tag_flat, tag_lens))
+        segments.append((id_flat, id_lens))
+
+    # property sections, canonical order = column order
+    if prop_cols is None:
+        prop_cols = property_columns(table)
+    for name in prop_cols:
+        segments.append(encode_property_column(name, table[name]))
+
+    # geometry + bbox
+    if "coords" in table.column_names:
+        geom_flat, geom_lens, bbox_flat, bbox_lens = _geometry_segments(table)
+        segments.append((geom_flat, geom_lens))
+        if write_bbox:
+            segments.append((bbox_flat, bbox_lens))
+
+    flat, row_lens = vi.rowwise_concat(segments)
+    offsets = np.concatenate(([0], np.cumsum(row_lens))).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+
+def frame_records(records: pa.Array) -> bytes:
+    """Frame records into a geobuf stream: 0x0A varint(len) record ..."""
+    if isinstance(records, pa.ChunkedArray):
+        records = records.combine_chunks()
+    offs = np.frombuffer(records.buffers()[1], np.int32, len(records) + 1, records.offset * 4).astype(np.int64)
+    data = np.frombuffer(records.buffers()[2], np.uint8) if records.buffers()[2] else np.empty(0, np.uint8)
+    lens = np.diff(offs)
+    pref_flat, pref_lens = vi.varint_encode(lens.astype(_U64))
+    n = len(lens)
+    tag = np.full(n, 0x0A, np.uint8)
+    one = np.ones(n, np.int64)
+    body = data[np.repeat(offs[:-1], lens) + vi.ramp(lens)]
+    flat, _ = vi.rowwise_concat([(tag, one), (pref_flat, pref_lens), (body, lens)])
+    return flat.tobytes()
+
+
+def scan_frames(buf: bytes | np.ndarray) -> pa.Array:
+    """Split a framed geobuf stream into a binary array of records.
+
+    Sequential varint walk over the top-level framing only (record
+    payloads are not touched) — the protoscan equivalent
+    (reader.go:84-93).
+    """
+    if isinstance(buf, np.ndarray):
+        mv = memoryview(buf.tobytes())
+    else:
+        mv = memoryview(buf)
+    pos = 0
+    total = len(mv)
+    starts: list[int] = []
+    lens: list[int] = []
+    while pos < total:
+        if mv[pos] != 0x0A:
+            raise ValueError(f"bad frame tag {mv[pos]:#x} at byte {pos}")
+        ln, pos = vi.decode_varint_scalar(mv, pos + 1)
+        starts.append(pos)
+        lens.append(ln)
+        pos += ln
+    n = len(starts)
+    starts_a = np.asarray(starts, np.int64)
+    lens_a = np.asarray(lens, np.int64)
+    data = np.frombuffer(mv, np.uint8)
+    flat = data[np.repeat(starts_a, lens_a) + vi.ramp(lens_a)]
+    offsets = np.concatenate(([0], np.cumsum(lens_a))).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())],
+    )

@@ -1,0 +1,182 @@
+"""Vectorized protobuf varint / zigzag kernels (numpy).
+
+These are the hot inner loops of the geobuf codec, re-expressed as
+batch-at-a-time numpy array programs instead of the reference's
+hand-unrolled per-value Go writers (see ``/root/reference/geobuf_raw/
+write_primitives.go:43-198`` ``WritePackedUint64`` and the ``pbf``
+dependency's readers).  Semantics are wire-identical: little-endian
+base-128 varints, max 10 bytes, zigzag ``(v << 1) ^ (v >> 63)``.
+
+Everything here is pure numpy over flat buffers — no Ray, no Python
+per-value loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_MAX_VARINT_BYTES = 10
+
+# byte-length thresholds: a uint64 v needs k+1 bytes iff v >= 2**(7k)
+_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def zigzag_encode(values: np.ndarray) -> np.ndarray:
+    """int64 -> uint64 zigzag, matching ``paramEnc`` (geom.go:182-184)."""
+    v = values.astype(np.int64, copy=False)
+    return (v.astype(_U64) << _U64(1)) ^ (v >> np.int64(63)).astype(_U64)
+
+
+def zigzag_decode(values: np.ndarray) -> np.ndarray:
+    """uint64 zigzag -> int64."""
+    u = values.astype(_U64, copy=False)
+    return ((u >> _U64(1)) ^ (~(u & _U64(1)) + _U64(1))).astype(np.int64)
+
+
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Number of varint bytes (1..10) for each uint64 value."""
+    v = values.astype(_U64, copy=False)
+    nb = np.ones(len(v), dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += v >= t
+    return nb
+
+
+def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a uint64 array to a flat varint byte stream.
+
+    Returns ``(flat_bytes uint8[:], lengths int64[n])`` where
+    ``lengths[i]`` is the encoded byte length of ``values[i]``.
+    """
+    v = np.ascontiguousarray(values, dtype=_U64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    nb = varint_byte_lengths(v)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.empty(ends[-1], dtype=np.uint8)
+    for k in range(_MAX_VARINT_BYTES):
+        mask = nb > k
+        if not mask.any():
+            break
+        byte = ((v[mask] >> _U64(7 * k)) & _U64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] - 1 > k).astype(np.uint8) << np.uint8(7)
+        out[starts[mask] + k] = byte | cont
+    return out, nb
+
+
+def varint_decode_stream(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a flat byte stream of back-to-back varints.
+
+    Returns ``(values uint64[n], value_start_offsets int64[n])`` —
+    ``value_start_offsets[i]`` is the byte offset where value i begins.
+    The stream must end exactly on a value boundary.
+    """
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, _U64), np.empty(0, np.int64)
+    term = (b & 0x80) == 0
+    starts = np.empty(len(b), dtype=bool)
+    starts[0] = True
+    starts[1:] = term[:-1]
+    start_idx = np.flatnonzero(starts)
+    # position of each byte within its own varint
+    pos_in_val = np.arange(len(b), dtype=np.int64) - np.repeat(
+        start_idx, np.diff(np.append(start_idx, len(b)))
+    )
+    contrib = (b & np.uint8(0x7F)).astype(_U64) << (
+        _U64(7) * pos_in_val.astype(_U64)
+    )
+    values = np.bitwise_or.reduceat(contrib, start_idx)
+    return values, start_idx
+
+
+def encode_varint_scalar(x: int) -> bytes:
+    """Scalar varint encode for headers / framing (uint64 semantics)."""
+    x &= (1 << 64) - 1
+    out = bytearray()
+    while x > 127:
+        out.append(0x80 | (x & 0x7F))
+        x >>= 7
+    out.append(x)
+    return bytes(out)
+
+
+def decode_varint_scalar(buf, pos: int = 0) -> tuple[int, int]:
+    """Scalar varint decode; returns (value, next_pos)."""
+    shift = 0
+    val = 0
+    while True:
+        byte = buf[pos]
+        val |= (byte & 0x7F) << shift
+        pos += 1
+        if byte < 0x80:
+            return val, pos
+        shift += 7
+
+
+def ramp(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] — per-segment arange, vectorized."""
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    if len(lengths) == 0:
+        return np.empty(0, np.int64)
+    ends = np.cumsum(lengths)
+    total = ends[-1]
+    starts = ends - lengths
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+
+
+def rowwise_concat(
+    segments: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Interleave k variable-length byte streams row-wise.
+
+    ``segments`` is a list of ``(flat uint8[:], lengths int64[n])`` all
+    with the same row count n.  Returns ``(out uint8[:], row_lengths
+    int64[n])`` where row i is the concatenation of segment_0[i],
+    segment_1[i], ... — the vectorized replacement for the reference's
+    ``AppendAll`` (write_primitives.go:24-38) applied across a whole
+    batch at once.
+    """
+    if not segments:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    n = len(segments[0][1])
+    row_lens = np.zeros(n, dtype=np.int64)
+    for _, l in segments:
+        row_lens += l
+    total = int(row_lens.sum())
+    out = np.empty(total, dtype=np.uint8)
+    row_starts = np.concatenate(([0], np.cumsum(row_lens)[:-1]))
+    offset_within = np.zeros(n, dtype=np.int64)
+    for flat, l in segments:
+        if len(flat) == 0:
+            continue
+        dst = np.repeat(row_starts + offset_within, l) + ramp(l)
+        out[dst] = flat
+        offset_within += l
+    return out, row_lens
+
+
+def segment_sums(values: np.ndarray, seg_starts: np.ndarray, total_len: int | None = None) -> np.ndarray:
+    """Sum ``values`` within segments beginning at ``seg_starts``."""
+    if len(seg_starts) == 0:
+        return np.empty(0, values.dtype)
+    return np.add.reduceat(values, seg_starts)
+
+
+def segmented_cumsum(values: np.ndarray, seg_starts_mask: np.ndarray) -> np.ndarray:
+    """Cumulative sum that restarts where ``seg_starts_mask`` is True.
+
+    Vectorized via global cumsum minus per-segment base — the
+    replacement for the reference's per-ring delta accumulator reset
+    (``readline``'s fresh ``pt``, geom.go:127-157).
+    """
+    c = np.cumsum(values)
+    starts = np.flatnonzero(seg_starts_mask)
+    if len(starts) == 0:
+        return c
+    seg_lens = np.diff(np.append(starts, len(values)))
+    base = np.repeat(c[starts] - values[starts], seg_lens)
+    return c - base
