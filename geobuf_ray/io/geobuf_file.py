@@ -1,0 +1,218 @@
+"""Geobuf stream file source / sink for Ray Data.
+
+Source: :class:`GeobufDatasource` — a ``FileBasedDatasource`` that
+splits a framed geobuf stream (``0x0A varint(len) record``,
+writer.go:73-89) into one binary row per feature, in streaming chunks
+so a multi-GB file never materializes as one block.  A leading
+metadata feature (single property ``"metadata"`` — the reference's gob
+subfile index, reader.go:258-274) is detected and skipped; Ray Data's
+block/fragment addressing replaces byte-range subfile seeks (S7-S9).
+
+Sink: :func:`write_geobuf` — one framed stream file per block plus a
+manifest parquet (path, num_features, size, bounds) — the Arrow
+replacement for the gob ``MetaData`` (reader.go:31-43), and the
+resume/lineage unit (SURVEY.md §4 checkpoint row).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.datasource import FileBasedDatasource
+
+from ..codec import decode as dc
+from ..codec import feature as fc
+from ..codec import varint as vi
+from ..spatial.geometry import feature_bbox
+from ..codec.schema import list_column_parts
+
+_CHUNK = 32 << 20  # 32 MB read granularity
+
+
+def _is_metadata_record(record: bytes) -> bool:
+    """True if the record is the reference's metadata header feature."""
+    try:
+        keys = dc.read_keys(pa.array([record], pa.binary()))
+        return keys[0] == ["metadata"]
+    except Exception:
+        return False
+
+
+class GeobufDatasource(FileBasedDatasource):
+    """Read geobuf stream files as one binary row per feature record."""
+
+    _FILE_EXTENSIONS = ["geobuf"]
+
+    def __init__(self, paths, *, skip_metadata: bool = True, **kwargs):
+        super().__init__(paths, **kwargs)
+        self._skip_metadata = skip_metadata
+
+    def _read_stream(self, f: "pa.NativeFile", path: str) -> Iterator[pa.Table]:
+        buf = b""
+        first = True
+        while True:
+            chunk = f.read(_CHUNK)
+            if not chunk and not buf:
+                break
+            buf += chunk if chunk else b""
+            # find the largest prefix of complete frames
+            end = _complete_prefix(buf)
+            if end == 0:
+                if not chunk:
+                    raise ValueError(f"truncated geobuf stream: {path}")
+                continue
+            records = fc.scan_frames(buf[:end])
+            buf = buf[end:]
+            if first and self._skip_metadata and len(records) and _is_metadata_record(
+                records[0].as_py()
+            ):
+                records = records.slice(1)
+            first = False
+            if len(records):
+                yield pa.table({"geobuf": records})
+            if not chunk:
+                break
+
+
+def _complete_prefix(buf: bytes) -> int:
+    """Byte length of the longest prefix holding only complete frames."""
+    pos = 0
+    total = len(buf)
+    last_good = 0
+    while pos < total:
+        if buf[pos] != 0x0A:
+            raise ValueError(f"bad frame tag {buf[pos]:#x} at byte {pos}")
+        # varint may itself be cut off
+        p = pos + 1
+        ln = 0
+        shift = 0
+        ok = False
+        while p < total:
+            b = buf[p]
+            ln |= (b & 0x7F) << shift
+            p += 1
+            if b < 0x80:
+                ok = True
+                break
+            shift += 7
+        if not ok or p + ln > total:
+            break
+        pos = p + ln
+        last_good = pos
+    return last_good
+
+
+def read_geobuf(paths, *, skip_metadata: bool = True, **read_kwargs):
+    """``ray.data.read_datasource`` over geobuf stream files."""
+    import ray
+
+    return ray.data.read_datasource(
+        GeobufDatasource(paths, skip_metadata=skip_metadata), **read_kwargs
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink
+# ---------------------------------------------------------------------------
+
+
+def _bounds_of_batch(batch: pa.Table) -> tuple[float, float, float, float]:
+    if "coords" not in batch.column_names or batch.num_rows == 0:
+        return (np.nan,) * 4
+    coords, offs = list_column_parts(batch["coords"], np.float64)
+    dim = (
+        batch["dim"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        if "dim" in batch.column_names
+        else np.full(batch.num_rows, 2, np.int64)
+    )
+    bb = feature_bbox(coords, offs, dim)
+    if np.isnan(bb).all():
+        return (np.nan,) * 4
+    return (
+        float(np.nanmin(bb[:, 0])),
+        float(np.nanmin(bb[:, 1])),
+        float(np.nanmax(bb[:, 2])),
+        float(np.nanmax(bb[:, 3])),
+    )
+
+
+class _WriteGeobufFn:
+    """Per-block writer: encodes (if needed) and appends one stream file.
+
+    Emits one manifest row per written file — the lineage/metrics record
+    (north_rule: per-partition checkpoints with lineage metadata).
+    """
+
+    def __init__(self, out_dir: str, write_bbox: bool = True, key_column: str | None = None):
+        self.out_dir = out_dir
+        self.write_bbox = write_bbox
+        self.key_column = key_column
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import time
+
+        t0 = time.perf_counter()
+        if "geobuf" in batch.column_names:
+            records = batch["geobuf"].combine_chunks()
+            bounds = (np.nan,) * 4
+        else:
+            records = fc.encode_batch(batch, write_bbox=self.write_bbox)
+            bounds = _bounds_of_batch(batch)
+        stream = fc.frame_records(records)
+        key = None
+        if self.key_column and self.key_column in batch.column_names and batch.num_rows:
+            key = str(batch[self.key_column][0].as_py())
+        name = f"{key + '-' if key else ''}{uuid.uuid4().hex[:12]}.geobuf"
+        path = os.path.join(self.out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(stream)
+        os.rename(tmp, path)
+        dt = time.perf_counter() - t0
+        return pa.table(
+            {
+                "path": pa.array([path]),
+                "key": pa.array([key], pa.string()),
+                "num_features": pa.array([len(records)], pa.int64()),
+                "size_bytes": pa.array([len(stream)], pa.int64()),
+                "west": pa.array([bounds[0]]),
+                "south": pa.array([bounds[1]]),
+                "east": pa.array([bounds[2]]),
+                "north": pa.array([bounds[3]]),
+                "write_seconds": pa.array([dt]),
+            }
+        )
+
+
+def write_geobuf(
+    ds,
+    out_dir: str,
+    *,
+    write_bbox: bool = True,
+    key_column: str | None = None,
+    manifest_name: str = "_manifest.parquet",
+    **map_kwargs,
+):
+    """Write a Dataset as a directory of framed geobuf stream files.
+
+    Accepts either feature-column rows (encoded on the fly) or rows
+    already carrying a ``geobuf`` binary column.  Returns the manifest
+    as a pyarrow Table (also written to ``out_dir/manifest_name``).
+    """
+    manifest_ds = ds.map_batches(
+        _WriteGeobufFn(out_dir, write_bbox, key_column),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        **map_kwargs,
+    )
+    manifest = pa.Table.from_pylist(manifest_ds.take_all())  # small: one row per file
+    import pyarrow.parquet as pq
+
+    pq.write_table(manifest, os.path.join(out_dir, manifest_name))
+    return manifest

@@ -1,0 +1,94 @@
+"""Ray Data pipeline round-trip: read -> encode -> write -> read -> decode."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geobuf_ray.io import geojson as gj
+from geobuf_ray.stages import codec_stages as cs
+
+REF = "/root/reference/test_data"
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(f"{REF}/county.geojson"), reason="reference corpus absent"
+)
+
+
+@needs_ref
+def test_ray_encode_decode_roundtrip(ray_session, tmp_path):
+    import ray
+
+    feats = gj.load_feature_collection(f"{REF}/county.geojson")
+    tbl = gj.features_to_table(feats)
+    ds = ray.data.from_arrow(tbl).repartition(8)
+
+    encoded = cs.encode(ds)
+    decoded = cs.decode(encoded)
+    out = decoded.sort("id").take_all()
+    assert len(out) == len(feats)
+    by_id = {f["id"]: f for f in feats}
+    for row in out[:50] + out[-50:]:
+        ref = by_id[row["id"]]
+        ra = np.array(
+            [v for ring in ref["geometry"]["coordinates"] for pt in ring for v in pt]
+        )
+        oa = np.asarray(row["coords"])
+        assert len(oa) == len(ra)
+        assert np.abs(oa - ra).max() <= 1.0000001e-7
+        assert row["AREA"] == ref["properties"]["AREA"]
+
+
+@needs_ref
+def test_geobuf_file_source_sink(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.io import geobuf_file as gbf
+
+    feats = gj.load_feature_collection(f"{REF}/county.geojson")
+    tbl = gj.features_to_table(feats)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    out_dir = str(tmp_path / "out")
+    manifest = gbf.write_geobuf(ds, out_dir)
+    assert manifest.num_rows >= 1
+    assert sum(manifest["num_features"].to_pylist()) == len(feats)
+    # manifest bounds cover the conus-ish corpus
+    assert min(manifest["west"].to_pylist()) < -100
+    assert os.path.exists(os.path.join(out_dir, "_manifest.parquet"))
+
+    files = [os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".geobuf")]
+    back = gbf.read_geobuf(files)
+    decoded = cs.decode(back)
+    assert decoded.count() == len(feats)
+    got_ids = sorted(r["id"] for r in decoded.select_columns(["id"]).take_all())
+    assert got_ids == sorted(f["id"] for f in feats)
+
+
+@needs_ref
+def test_read_reference_geobuf_file(ray_session):
+    from geobuf_ray.io import geobuf_file as gbf
+
+    ds = gbf.read_geobuf(f"{REF}/county.geobuf")
+    assert ds.count() == 3304
+    decoded = cs.decode(ds)
+    row = decoded.take(1)[0]
+    assert set(["id", "geom_type", "coords", "AREA"]).issubset(row.keys())
+
+
+def test_partial_read_stages(ray_session):
+    import ray
+
+    feats = [
+        {"type": "Feature", "id": i, "properties": {"p": float(i), "q": "x"},
+         "geometry": {"type": "Point", "coordinates": [float(i), float(i) / 2]}}
+        for i in range(100)
+    ]
+    tbl = gj.features_to_table(feats)
+    ds = ray.data.from_arrow(tbl)
+    enc = cs.encode(ds)
+    keys = enc.map_batches(cs.read_keys_batch, batch_format="pyarrow").take(1)[0]
+    assert keys["keys"] == ["p", "q"]
+    bb = enc.map_batches(cs.read_bbox_batch, batch_format="pyarrow").take_all()
+    bb.sort(key=lambda r: r["id"])
+    assert bb[3]["bbox"] == pytest.approx([3.0, 1.5, 3.0, 1.5])
