@@ -274,7 +274,10 @@ def _decode_properties(data, scan, n) -> dict[str, pa.Array]:
     ]
     out: dict[str, pa.Array] = {}
     keys_arr = np.asarray(keys, object)
-    for key in dict.fromkeys(keys):  # preserve first-seen order
+    # sorted key order => stable schema across independently decoded
+    # blocks (first-seen order varies per batch and breaks Ray Data's
+    # block schema unification)
+    for key in sorted(set(keys)):
         sel = np.flatnonzero(keys_arr == key)
         recs = scan["p_rec"][sel]
         vtags = scan["p_vtag"][sel]

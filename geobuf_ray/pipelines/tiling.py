@@ -123,7 +123,9 @@ def split_combine(
     def write_tile_group(group: pa.Table) -> pa.Table:
         return write_fn(group)
 
-    manifest_ds = tiled.groupby("tile_str").map_groups(
+    # shuffle on the (salted) packed key; tile_str names the output file,
+    # so a salted hot tile yields several prefix-addressable files
+    manifest_ds = tiled.groupby("tile_key").map_groups(
         write_tile_group, batch_format="pyarrow"
     )
     manifest = pa.Table.from_pylist(manifest_ds.take_all())  # one row per tile
