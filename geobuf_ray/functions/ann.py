@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k — query matrix broadcast ONCE via
+``ray.put``, each streamed batch does one numpy matmul against it
+(never re-shipped per batch).  Scale path: IVF — coarse centroids fit
+driver-side on a sample, vectors hash-partitioned by nearest centroid,
+queries probe only the nearest ``nprobe`` partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix via flat values
+    (zero-copy reshape when offsets are regular)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    d = offs[1] - offs[0] if len(offs) > 1 else 0
+    if d and (np.diff(offs) == d).all():
+        start = offs[0]
+        return values[start : start + d * (len(offs) - 1)].reshape(-1, d)
+    return np.asarray(col.to_pylist(), np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceTopK:
+    """Actor-pool stage: cosine top-k of broadcast queries vs streamed
+    vectors.  Emits per-batch LOCAL top-k (query_id, vec_id, cosine);
+    reduce with :func:`topk_reduce` for the global answer — a
+    partial+final aggregation, not a full shuffle."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.q_ids, qm = q
+        self.qm = _normalize(qm)
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vm = _normalize(_to_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sims = self.qm @ vm.T  # (q, n)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        ss = np.take_along_axis(sims, part, axis=1)
+        nq = len(self.q_ids)
+        return pa.table({
+            "query_id": pa.array(np.repeat(self.q_ids, k)),
+            "vec_id": pa.array(ids[part].reshape(-1)),
+            "cosine": pa.array(ss.reshape(-1)),
+        })
+
+
+def topk_reduce(partials: pa.Table, k: int) -> pa.Table:
+    """Final top-k per query from per-batch partials (small driver-side
+    reduce; at scale this is a groupby(query_id).map_groups)."""
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "cosine", "vec_id"],
+                        ascending=[True, False, True], kind="stable")
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def brute_force_topk(ds, queries: pa.Table, k: int = 5, *,
+                     vec_col="embedding", id_col="vec_id",
+                     query_vec_col="embedding", query_id_col="vec_id",
+                     concurrency=(1, 8), **map_kwargs) -> pa.Table:
+    """Exact cosine top-k of each query vs the full streamed dataset."""
+    import ray
+
+    q = (
+        queries[query_id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64),
+        _to_matrix(queries[query_vec_col]),
+    )
+    qref = ray.put(q)
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(qref, k, vec_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, **map_kwargs,
+    )
+    return topk_reduce(pa.Table.from_pylist(partials.take_all()), k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantizer) variant — the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+def fit_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                  seed: int = 0) -> np.ndarray:
+    """Mini k-means on a driver-side sample (spherical: cosine)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_partition(ds, centroids: np.ndarray, *, vec_col="embedding",
+                  out_col="ivf_cell", **map_kwargs):
+    """Stamp nearest-centroid id per row — the ONE partition key for
+    vector data (mirrors the spatial cell key)."""
+    import ray
+
+    cref = ray.put(_normalize(centroids))
+
+    class AssignFn:
+        def __init__(self):
+            self.cent = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_to_matrix(batch[vec_col]))
+            cell = np.argmax(vm @ self.cent.T, axis=1).astype(np.int32)
+            return batch.append_column(out_col, pa.array(cell))
+
+    return ds.map_batches(AssignFn, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 4), **map_kwargs)
+
+
+def ivf_topk(ds, queries: pa.Table, centroids: np.ndarray, k: int = 5, *,
+             nprobe: int = 4, vec_col="embedding", id_col="vec_id",
+             query_vec_col="embedding", query_id_col="vec_id",
+             **map_kwargs) -> pa.Table:
+    """Approximate top-k: probe only the ``nprobe`` nearest IVF cells
+    per query.  Vectors outside probed cells are filtered batch-side
+    (at scale: partition pruning on the ivf_cell-partitioned layout)."""
+    import ray
+
+    cent = _normalize(centroids)
+    qm = _normalize(_to_matrix(queries[query_vec_col]))
+    q_ids = queries[query_id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    probe_sets = [set(map(int, row)) for row in probes]
+    payload = ray.put((q_ids, qm, probes))
+
+    class ProbeFn:
+        def __init__(self):
+            self.q_ids, self.qm, self.probes = ray.get(payload)
+            self.cent = cent
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_to_matrix(batch[vec_col]))
+            ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            cells = np.argmax(vm @ self.cent.T, axis=1)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                mask = np.isin(cells, self.probes[qi])
+                if not mask.any():
+                    continue
+                sims = self.qm[qi] @ vm[mask].T
+                kk = min(k, len(sims))
+                part = np.argpartition(-sims, kth=kk - 1)[:kk]
+                out_q.append(np.full(kk, self.q_ids[qi]))
+                out_v.append(ids[mask][part])
+                out_s.append(sims[part])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            })
+
+    partials = ds.map_batches(ProbeFn, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 4), **map_kwargs)
+    return topk_reduce(pa.Table.from_pylist(partials.take_all()), k)

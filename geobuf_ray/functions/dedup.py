@@ -1,0 +1,471 @@
+"""Deduplication operators for training-data pipelines.
+
+Five flavors (all keyed shuffles or broadcast stages, SURVEY.md §7):
+
+- exact: hash(key columns) -> groupby(hash) -> keep first by order col.
+- MinHash+LSH: word shingles -> k minhashes -> b bands -> groupby band
+  bucket -> verified candidate pairs -> connected components -> keep
+  cluster representative.
+- SimHash: 64-bit weighted token hash; Hamming-ball buckets by bit
+  blocks (pigeonhole: dist<=3 pairs share >=1 of 4 16-bit blocks).
+- n-gram Jaccard: exact verification kernel for candidate pairs.
+- embedding cosine: random-hyperplane LSH buckets + exact cosine
+  verification.
+
+Scale notes: every flavor reduces to (vectorized map) -> (groupby on a
+small key) -> (per-group kernel); candidate pairs — not full data —
+flow to the driver only for the final union-find, which is O(dups),
+not O(rows).  At 100 TB the union-find itself would move into an
+iterative label-propagation groupby; documented at
+:func:`connected_components`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .text import fingerprint64, _string_parts
+
+_P1 = np.uint64(0x9E3779B97F4A7C15)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _mix(h: np.ndarray, seed: int) -> np.ndarray:
+    """xorshift-multiply mix of a uint64 array with a seed."""
+    x = h ^ np.uint64(seed)
+    x = (x ^ (x >> np.uint64(33))) * _P1
+    x = (x ^ (x >> np.uint64(29))) * _P2
+    return x ^ (x >> np.uint64(32))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_key_hash(batch: pa.Table, key_cols: list[str], out_col: str = "dedup_hash") -> pa.Table:
+    """Combined 64-bit hash of the key columns (strings/ints)."""
+    h = np.zeros(batch.num_rows, np.uint64)
+    for i, c in enumerate(key_cols):
+        col = batch[c]
+        t = col.type if not isinstance(col, pa.ChunkedArray) else col.combine_chunks().type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            ch = fingerprint64(col)
+        else:
+            vals = col.combine_chunks().to_numpy(zero_copy_only=False)
+            ch = _mix(vals.astype(np.int64).view(np.uint64), 0xABCD)
+        h = _mix(h ^ ch, 17 + i)
+    return batch.append_column(out_col, pa.array(h, pa.uint64()))
+
+
+def exact_dedup(ds, key_cols: list[str], order_col: str, **map_kwargs):
+    """Keep the first row (min ``order_col``) per distinct key.
+
+    hash-partition + per-group first (SURVEY.md §2.7): one groupby
+    shuffle on the 64-bit key hash; ties inside a group resolved by the
+    true key values to be safe against hash collisions.
+    """
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        return add_key_hash(batch, key_cols)
+
+    def _first(group: pa.Table) -> pa.Table:
+        order = group[order_col].to_numpy(zero_copy_only=False)
+        keep: dict[tuple, int] = {}
+        keys = [group[c].to_pylist() for c in key_cols]
+        for i in range(group.num_rows):
+            k = tuple(col[i] for col in keys)
+            if k not in keep or order[i] < order[keep[k]]:
+                keep[k] = i
+        idx = sorted(keep.values())
+        return group.take(pa.array(idx, pa.int64())).drop_columns(["dedup_hash"])
+
+    hashed = ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
+    return hashed.groupby("dedup_hash").map_groups(_first, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+
+def word_shingle_hashes(col, k: int = 3) -> list[np.ndarray]:
+    """Per-row uint64 hash set of word k-shingles.
+
+    Split on whitespace, hash each token (FNV), combine k consecutive
+    token hashes polynomially — vectorized per row over numpy arrays.
+    """
+    data, offs = _string_parts(col)
+    out = []
+    space = np.uint8(32)
+    for i in range(len(offs) - 1):
+        b = data[offs[i] : offs[i + 1]]
+        if len(b) == 0:
+            out.append(np.empty(0, np.uint64))
+            continue
+        is_sp = (b == space) | (b == 10) | (b == 9)
+        # token id per byte
+        starts = np.flatnonzero((~is_sp) & np.concatenate(([True], is_sp[:-1])))
+        ends_mask = (~is_sp) & np.concatenate((is_sp[1:], [True]))
+        ends = np.flatnonzero(ends_mask) + 1
+        if len(starts) == 0:
+            out.append(np.empty(0, np.uint64))
+            continue
+        # hash each token: FNV over its bytes
+        th = np.full(len(starts), np.uint64(14695981039346656037))
+        maxlen = int((ends - starts).max())
+        for j in range(maxlen):
+            live = np.flatnonzero(ends - starts > j)
+            th[live] = (th[live] ^ b[starts[live] + j].astype(np.uint64)) * np.uint64(1099511628211)
+        if len(th) < k:
+            sh = np.array([_mix(th, 5).sum(dtype=np.uint64)], np.uint64)
+        else:
+            sh = np.zeros(len(th) - k + 1, np.uint64)
+            for j in range(k):
+                sh = _mix(sh ^ th[j : len(th) - k + 1 + j], 31 + j)
+        out.append(np.unique(sh))
+    return out
+
+
+def minhash_signatures(shingles: list[np.ndarray], num_hashes: int = 64,
+                       seed: int = 42) -> np.ndarray:
+    """(n x num_hashes) uint64 minhash matrix via seeded mixes."""
+    n = len(shingles)
+    sig = np.full((n, num_hashes), np.iinfo(np.uint64).max, np.uint64)
+    for i, sh in enumerate(shingles):
+        if len(sh) == 0:
+            continue
+        for j in range(num_hashes):
+            sig[i, j] = _mix(sh, seed + j).min()
+    return sig
+
+
+def band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n x bands) uint64 bucket keys: hash of each band's rows, salted
+    by band index so buckets from different bands never collide."""
+    n, k = sig.shape
+    rows = k // bands
+    out = np.empty((n, bands), np.uint64)
+    for b in range(bands):
+        h = np.zeros(n, np.uint64)
+        for r in range(rows):
+            h = _mix(h ^ sig[:, b * rows + r], 1000 + b)
+        out[:, b] = h
+    return out
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted unique uint64 arrays."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over candidate pairs -> {node: cluster_min}.
+
+    Driver-side: |pairs| is O(number of duplicates), tiny relative to
+    the corpus.  At extreme scale replace with iterative min-label
+    propagation: groupby(node).min(label) repeated until fixpoint.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
+
+
+class MinHashFn:
+    """Actor-pool stage: doc text -> minhash signature + band keys.
+    Seeds/parameters fixed per actor in __init__."""
+
+    def __init__(self, text_col="text", id_col="doc_id", num_hashes=64,
+                 bands=16, shingle_k=3, seed=42):
+        self.text_col, self.id_col = text_col, id_col
+        self.num_hashes, self.bands, self.k, self.seed = num_hashes, bands, shingle_k, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = word_shingle_hashes(batch[self.text_col], self.k)
+        sig = minhash_signatures(sh, self.num_hashes, self.seed)
+        bk = band_keys(sig, self.bands)
+        n = batch.num_rows
+        ids = batch[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, self.bands)),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "bucket": pa.array(bk.reshape(-1), pa.uint64()),
+            "signature": pa.array(
+                np.repeat(sig, self.bands, axis=0).tolist(),
+                pa.list_(pa.uint64()),
+            ),
+        })
+
+
+def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
+                            num_hashes=64, bands=16, shingle_k=3,
+                            sim_threshold=0.6, concurrency=(1, 8), **map_kwargs):
+    """docs Dataset -> candidate near-dup pairs via MinHash LSH.
+
+    Returns a pyarrow Table (id_a, id_b, est_jaccard) — estimated from
+    signature agreement, deduplicated across bands.  Sub-quadratic: the
+    only shuffle is groupby(bucket).
+    """
+    sig_ds = ds.map_batches(
+        MinHashFn,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
+                                   num_hashes=num_hashes, bands=bands,
+                                   shingle_k=shingle_k),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, **map_kwargs,
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.asarray(group["signature"].to_pylist(), np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        ia, ib, est = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                agree = float((sigs[i] == sigs[j]).mean())
+                ia.append(int(ids[i])); ib.append(int(ids[j])); est.append(agree)
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64()),
+                         "est_jaccard": pa.array(est, pa.float64())})
+
+    pair_ds = sig_ds.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    pairs = pa.Table.from_pylist(pair_ds.take_all())  # O(candidates), small
+    if pairs.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "est_jaccard": pa.array([], pa.float64())})
+    # dedupe pairs found by several bands; keep max estimate; filter
+    import pyarrow.compute as pc_
+
+    df = pairs.to_pandas().groupby(["id_a", "id_b"], as_index=False)["est_jaccard"].max()
+    df = df[df["est_jaccard"] >= sim_threshold]
+    return pa.Table.from_pandas(df.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def minhash_dedup(ds, *, text_col="text", id_col="doc_id", sim_threshold=0.6,
+                  **kwargs):
+    """Full near-dup removal: LSH pairs -> union-find -> drop non-
+    representatives.  Returns (kept Dataset, dropped id list)."""
+    pairs = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col,
+                                    sim_threshold=sim_threshold, **kwargs)
+    labels = connected_components(
+        list(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    )
+    drop = sorted(x for x, root in labels.items() if root != x)
+    if not drop:
+        return ds, []
+    drop_arr = np.asarray(drop, np.int64)
+
+    def keep_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, drop_arr)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep_batch, batch_format="pyarrow", zero_copy_batch=True), drop
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col) -> np.ndarray:
+    """64-bit SimHash per row from whitespace-token FNV hashes."""
+    data, offs = _string_parts(col)
+    n = len(offs) - 1
+    out = np.zeros(n, np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i in range(n):
+        b = data[offs[i] : offs[i + 1]]
+        if len(b) == 0:
+            continue
+        is_sp = (b == 32) | (b == 10) | (b == 9)
+        starts = np.flatnonzero((~is_sp) & np.concatenate(([True], is_sp[:-1])))
+        ends = np.flatnonzero((~is_sp) & np.concatenate((is_sp[1:], [True]))) + 1
+        if len(starts) == 0:
+            continue
+        th = np.full(len(starts), np.uint64(14695981039346656037))
+        maxlen = int((ends - starts).max())
+        for j in range(maxlen):
+            live = np.flatnonzero(ends - starts > j)
+            th[live] = (th[live] ^ b[starts[live] + j].astype(np.uint64)) * np.uint64(1099511628211)
+        # accumulate bit votes
+        votes = ((th[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+        score = votes.sum(axis=0) * 2 - len(th)
+        out[i] = np.bitwise_or.reduce(
+            (score > 0).astype(np.uint64) << bits
+        )
+    return out
+
+
+def simhash_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    h = simhash64(batch[text_col])
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    return out.append_column("simhash", pa.array(h, pa.uint64()))
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    # SWAR popcount on uint64
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
+                            max_distance=3, **map_kwargs):
+    """Near-dup pairs with Hamming distance <= max_distance via 4-block
+    pigeonhole LSH (dist<=3 pairs must share one 16-bit block)."""
+
+    def emit_blocks(batch: pa.Table) -> pa.Table:
+        h = simhash64(batch[text_col])
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(h)
+        block_ix = np.tile(np.arange(4, dtype=np.uint64), n)
+        hh = np.repeat(h, 4)
+        blocks = (hh >> (block_ix * np.uint64(16))) & np.uint64(0xFFFF)
+        bucket = (block_ix << np.uint64(16)) | blocks
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, 4)),
+            "bucket": pa.array(bucket, pa.uint64()),
+            "simhash": pa.array(hh, pa.uint64()),
+        })
+
+    sig = ds.map_batches(emit_blocks, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        hs = group["simhash"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, hs = ids[order], hs[order]
+        ia, ib, dd = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = int(hamming_distance(hs[i : i + 1], hs[j : j + 1])[0])
+                if d <= max_distance:
+                    ia.append(int(ids[i])); ib.append(int(ids[j])); dd.append(d)
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64()),
+                         "distance": pa.array(dd, pa.int64())})
+
+    pair_ds = sig.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    pairs = pa.Table.from_pylist(pair_ds.take_all())
+    if pairs.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "distance": pa.array([], pa.int64())})
+    df = pairs.to_pandas().groupby(["id_a", "id_b"], as_index=False)["distance"].min()
+    return pa.Table.from_pandas(df.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_verify(texts_by_id: dict[int, str], pairs, k: int = 3) -> pa.Table:
+    """Exact word-k-gram Jaccard for candidate pairs (verification
+    kernel; texts for candidate ids only — the small side)."""
+    ids = sorted(texts_by_id)
+    col = pa.array([texts_by_id[i] for i in ids], pa.string())
+    sh = word_shingle_hashes(col, k)
+    by_id = dict(zip(ids, sh))
+    ja = [
+        jaccard(by_id[a], by_id[b])
+        for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())
+    ]
+    return pairs.append_column("jaccard", pa.array(ja, pa.float64()))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dedup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
+                          threshold=0.98, planes=12, tables=4, seed=7,
+                          **map_kwargs):
+    """Near-identical embeddings via random-hyperplane LSH + exact
+    cosine verify within buckets.
+
+    ``tables`` independent hash tables (each ``planes`` hyperplanes):
+    a single table misses a near-dup whenever one projection sits near
+    zero and the perturbation flips its sign; with L tables the miss
+    probability decays as (1-p)^L."""
+
+    def bucket_batch(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch[vec_col].to_pylist(), np.float64)
+        proj = np.random.default_rng(seed).standard_normal(
+            (tables, vecs.shape[1], planes)
+        )
+        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.maximum(norm, 1e-12)
+        n = len(vecs)
+        buckets = np.empty((tables, n), np.uint64)
+        for t in range(tables):
+            signs = (vecs @ proj[t]) > 0
+            b = np.zeros(n, np.uint64)
+            for p in range(planes):
+                b |= signs[:, p].astype(np.uint64) << np.uint64(p)
+            # salt with table index so tables never share buckets
+            buckets[t] = b | (np.uint64(t) << np.uint64(56))
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.tile(ids, tables)),
+            "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
+            "unit": pa.array(np.tile(unit, (tables, 1)).tolist(), pa.list_(pa.float64())),
+        })
+
+    sig = ds.map_batches(bucket_batch, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        units = np.asarray(group["unit"].to_pylist(), np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, units = ids[order], units[order]
+        sims = units @ units.T
+        ia, ib, ss = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] != ids[j] and sims[i, j] >= threshold:
+                    ia.append(int(ids[i])); ib.append(int(ids[j])); ss.append(float(sims[i, j]))
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64()),
+                         "cosine": pa.array(ss, pa.float64())})
+
+    pair_ds = sig.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    pairs = pa.Table.from_pylist(pair_ds.take_all())
+    if pairs.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    df = pairs.to_pandas().groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
+    return pa.Table.from_pandas(df.sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -1,0 +1,192 @@
+"""Text-analysis batch kernels for training-data pipelines.
+
+New surface beyond the reference (SURVEY.md notes the reference's only
+scalar is geometry rounding): language-ID, quality scoring, token
+counting, rolling-hash fingerprinting — each a vectorized
+``map_batches`` kernel over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the GPT-2 pretokenizer family, simplified to ASCII-safe re2 syntax)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + regex (BPE-ish) token count per row."""
+    text = batch[text_col]
+    # NB: "" splits to [''] -> count 1, matching SQL len(string_split())
+    ws = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
+    bpe = pc.count_substring_regex(text, _BPE_RE)
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    out = out.append_column("n_tokens_ws", ws.combine_chunks().cast(pa.int64()))
+    out = out.append_column("n_tokens_bpe", bpe.combine_chunks().cast(pa.int64()))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be for with on at by from as "
+    "that this it not"
+).split()
+_STOP_RE = r"\b(?:" + "|".join(_STOPWORDS) + r")\b"
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword heuristics per document.
+
+    Columns: n_chars_q, n_tokens_ws, punct_ratio, stop_ratio,
+    mean_token_len, quality (0..1 composite).
+    """
+    text = batch[text_col]
+    n_chars = pc.utf8_length(text).combine_chunks().cast(pa.int64())
+    n_tok = pc.list_value_length(pc.split_pattern_regex(text, r"\s+")).combine_chunks().cast(pa.int64())
+    n_punct = pc.count_substring_regex(text, r"[^\w\s]").combine_chunks().cast(pa.int64())
+    n_stop = pc.count_substring_regex(text, _STOP_RE).combine_chunks().cast(pa.int64())
+
+    nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    nt = np.maximum(n_tok.to_numpy(zero_copy_only=False).astype(np.float64), 1.0)
+    npu = n_punct.to_numpy(zero_copy_only=False).astype(np.float64)
+    ns = n_stop.to_numpy(zero_copy_only=False).astype(np.float64)
+
+    punct_ratio = npu / np.maximum(nc, 1.0)
+    stop_ratio = ns / nt
+    mean_tok = nc / nt
+    # composite: reasonable length, some stopwords, not punctuation soup
+    quality = (
+        np.clip(nc / 500.0, 0.0, 1.0) * 0.4
+        + np.clip(stop_ratio * 5.0, 0.0, 1.0) * 0.3
+        + (1.0 - np.clip(punct_ratio * 10.0, 0.0, 1.0)) * 0.3
+    )
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    out = out.append_column("n_chars_q", n_chars)
+    out = out.append_column("n_tokens_ws", n_tok)
+    out = out.append_column("punct_ratio", pa.array(punct_ratio))
+    out = out.append_column("stop_ratio", pa.array(stop_ratio))
+    out = out.append_column("mean_token_len", pa.array(mean_tok))
+    out = out.append_column("quality", pa.array(quality))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "los", "las", "una"],
+    "fr": ["le", "la", "les", "des", "et", "que", "une", "est"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+class LangIdFn:
+    """Actor-pool language-ID stage: marker regexes compiled ONCE per
+    actor in ``__init__`` (SURVEY.md §2.4 stateful-stage rule)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.patterns = {
+            lang: r"\b(?:" + "|".join(m) + r")\b" for lang, m in _LANG_MARKERS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        n = batch.num_rows
+        scores = np.zeros((len(self.patterns), n), np.float64)
+        ws = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
+        nt = np.maximum(ws.combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64), 1.0)
+        langs = list(self.patterns)
+        for i, lang in enumerate(langs):
+            hits = pc.count_substring_regex(text, self.patterns[lang])
+            scores[i] = hits.combine_chunks().to_numpy(zero_copy_only=False) / nt
+        best = np.argmax(scores, axis=0)
+        conf = scores[best, np.arange(n)]
+        pred = np.where(conf > 0.0, np.asarray(langs, object)[best], "und")
+        out = batch.select([c for c in batch.column_names if c != self.text_col])
+        out = out.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
+        out = out.append_column("lang_conf", pa.array(conf))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting (rolling polynomial hash)
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1099511628211)       # FNV prime as poly base
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def _string_parts(col) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())
+    offs = np.frombuffer(col.buffers()[1], np.int32, len(col) + 1, col.offset * 4).astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], np.uint8) if col.buffers()[2] else np.empty(0, np.uint8)
+    return data, offs
+
+
+def fingerprint64(col) -> np.ndarray:
+    """Per-row FNV-1a 64-bit hash of the utf8 bytes, vectorized by
+    byte-position round (max len iterations of numpy ops, no Python
+    per-row loop)."""
+    data, offs = _string_parts(col)
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    h = np.full(n, _FP_OFFSET, np.uint64)
+    maxlen = int(lens.max()) if n else 0
+    live = np.arange(n)
+    for j in range(maxlen):
+        live = live[lens[live] > j]
+        if not len(live):
+            break
+        b = data[offs[live] + j].astype(np.uint64)
+        h[live] = (h[live] ^ b) * _FP_BASE
+    return h
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    h = fingerprint64(batch[text_col])
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    return out.append_column("fingerprint", pa.array(h, pa.uint64()))
+
+
+def rolling_fingerprints(col, window: int = 64, stride: int = 32) -> list[np.ndarray]:
+    """Per-row set of rolling-window hashes (document shingling for
+    near-dup detection).  Returns one uint64 array per row."""
+    data, offs = _string_parts(col)
+    out = []
+    base = _FP_BASE
+    for i in range(len(offs) - 1):
+        s, e = offs[i], offs[i + 1]
+        b = data[s:e].astype(np.uint64)
+        if len(b) < window:
+            h = np.full(1, _FP_OFFSET, np.uint64)
+            for x in b:
+                h = (h ^ x) * base
+            out.append(h)
+            continue
+        # polynomial hash of each window via prefix powers
+        powers = np.empty(window, np.uint64)
+        powers[0] = np.uint64(1)
+        for k in range(1, window):
+            powers[k] = powers[k - 1] * base
+        starts = np.arange(0, len(b) - window + 1, stride)
+        idx = starts[:, None] + np.arange(window)[None, :]
+        h = (b[idx] * powers[::-1][None, :]).sum(axis=1, dtype=np.uint64)
+        out.append(h)
+    return out

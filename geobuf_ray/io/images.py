@@ -1,0 +1,288 @@
+"""Image+caption table support (BASELINE.json input_hint).
+
+Schema (exact): ``image_id:string, bytes:binary, w:int32, h:int32,
+fmt:string, caption:string, phash:int64``.
+
+Storage: Lance when the ``lance`` package is available (it is not in
+this container — gated behind import-try), else parquet with the same
+schema; either way the table reads as a ``ray.data.Dataset`` of Arrow
+blocks.
+
+Codec: the container has no image libraries (PIL/cv2 absent), so the
+pixel payloads use two deterministic internal encodings that preserve
+the REAL pipeline shape (binary column in, pixel array out, per-row
+fidelity invariant):
+
+- ``fmt="rawz"``  — lossless: zlib(raw RGB) + 12-byte header.  Exact
+  pixel round-trip (stands in for PNG).
+- ``fmt="quantz"`` — lossy: 5-bit/channel quantization + zlib (stands
+  in for JPEG); reconstruction PSNR ≈ 42 dB, above the ≥40 dB
+  invariant.
+- real ``png``/``jpeg`` bytes — decoded via PIL when importable, else
+  a clearly-marked NotImplementedError (STUB, per round-1 brief).
+
+Spatial payload: centroid lon/lat is a deterministic hash of
+``image_id`` (uniform over the world box, plus a skewed hot cell for
+salting tests — FIXTURES.md F6); footprint = centroid-anchored
+(w·eps x h·eps) rectangle; ``phash`` is a block-mean perceptual hash.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_MAGIC_RAWZ = b"GRz1"
+_MAGIC_QUANTZ = b"GQz1"
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+# ---------------------------------------------------------------------------
+# procedural pixels + codecs
+# ---------------------------------------------------------------------------
+
+
+def procedural_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB uint8 array for an image id (seeded pattern)."""
+    seed = zlib.crc32(image_id.encode()) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    fx, fy = rng.uniform(0.02, 0.2, 2)
+    phase = rng.uniform(0, 2 * np.pi, 3)
+    base = np.stack(
+        [
+            127.5 + 127.5 * np.sin(fx * xx + fy * yy + phase[0]),
+            127.5 + 127.5 * np.sin(fx * xx - fy * yy + phase[1]),
+            127.5 + 127.5 * np.sin(fy * xx + fx * yy + phase[2]),
+        ],
+        axis=-1,
+    )
+    noise = rng.integers(0, 16, (h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def encode_rawz(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return (
+        _MAGIC_RAWZ
+        + np.array([w, h], "<i4").tobytes()
+        + zlib.compress(pixels.tobytes(), 6)
+    )
+
+
+def encode_quantz(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    q = (pixels >> 3).astype(np.uint8)  # 5 bits/channel
+    return (
+        _MAGIC_QUANTZ
+        + np.array([w, h], "<i4").tobytes()
+        + zlib.compress(q.tobytes(), 6)
+    )
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """binary payload -> (h, w, 3) uint8 pixels."""
+    magic = data[:4]
+    if magic == _MAGIC_RAWZ:
+        w, h = np.frombuffer(data, "<i4", 2, 4)
+        return np.frombuffer(zlib.decompress(data[12:]), np.uint8).reshape(h, w, 3)
+    if magic == _MAGIC_QUANTZ:
+        w, h = np.frombuffer(data, "<i4", 2, 4)
+        q = np.frombuffer(zlib.decompress(data[12:]), np.uint8).reshape(h, w, 3)
+        # dequantize to bin centers: x*8 + 4 (max error 4 -> PSNR ~42dB)
+        return (q.astype(np.uint16) * 8 + 4).clip(0, 255).astype(np.uint8)
+    if _HAVE_PIL:  # pragma: no cover
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    raise NotImplementedError(
+        "STUB: real png/jpeg decode requires PIL, absent in this container "
+        "(round-1 brief: decode step stubbed; Ray-side plumbing is real)"
+    )
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Block-mean perceptual hash: grayscale -> 8x8 block means ->
+    median threshold -> 64 bits (deterministic, rotation-variant)."""
+    g = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    means = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            means[i, j] = g[ys[i] : max(ys[i + 1], ys[i] + 1),
+                            xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (means > np.median(means)).astype(np.uint64).reshape(-1)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).view(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# synthesis (FIXTURES.md F6)
+# ---------------------------------------------------------------------------
+
+_SIZES = np.array([32, 64, 128, 256])
+_CAPTION_WORDS = (
+    "sunset over mountain lake city street portrait of a cat dog bridge "
+    "forest river skyline abstract pattern texture aerial view night day"
+).split()
+
+
+def image_centroid(image_id: str) -> tuple[float, float]:
+    """Deterministic lon/lat from the id hash; 20% of images land in a
+    hot cell near (10E, 50N) to exercise salting (FIXTURES.md F6)."""
+    hsh = zlib.crc32(image_id.encode())
+    u1 = ((hsh * 2654435761) & 0xFFFFFFFF) / 2**32
+    u2 = ((hsh * 40503) & 0xFFFFFFFF) / 2**32
+    if hsh % 5 == 0:  # hot cluster
+        return 10.0 + u1 * 0.2, 50.0 + u2 * 0.2
+    return -180.0 + u1 * 360.0, -85.0 + u2 * 170.0
+
+
+def synthesize_image_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
+    """Deterministic image+caption table slice [start, start+n)."""
+    rng = np.random.default_rng(seed)
+    # draw per-row params from a jumping generator so any slice is
+    # reproducible independently of chunking
+    ids, blobs, ws, hs, fmts, caps, ph = [], [], [], [], [], [], []
+    for i in range(start, start + n):
+        r = np.random.default_rng(seed * 1_000_003 + i)
+        image_id = f"img{i:012d}"
+        w = int(_SIZES[r.integers(0, len(_SIZES))])
+        h = int(_SIZES[r.integers(0, len(_SIZES))])
+        px = procedural_pixels(image_id, w, h)
+        lossy = bool(r.integers(0, 2))
+        data = encode_quantz(px) if lossy else encode_rawz(px)
+        cap_words = r.choice(_CAPTION_WORDS, 6 + int(r.integers(0, 6)))
+        ids.append(image_id)
+        blobs.append(data)
+        ws.append(w)
+        hs.append(h)
+        fmts.append("quantz" if lossy else "rawz")
+        caps.append(" ".join(cap_words))
+        ph.append(phash64(px))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "fmt": pa.array(fmts, pa.string()),
+        "caption": pa.array(caps, pa.string()),
+        "phash": pa.array(ph, pa.int64()),
+    })
+
+
+def read_image_table(path: str, **kwargs):
+    """Read an image+caption table as a Ray Dataset — Lance when
+    available, else parquet (same schema)."""
+    import ray
+
+    try:  # pragma: no cover
+        import lance  # noqa: F401
+
+        return ray.data.read_lance(path, **kwargs)
+    except ImportError:
+        return ray.data.read_parquet(path, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
+
+
+class DecodeImagesFn:
+    """Actor-pool decode stage (the T4-style stateful decoder).
+
+    __init__ once per actor; __call__ decodes each row's payload and
+    emits derived features: mean channel intensities, recomputed phash,
+    PSNR vs the procedural source (fidelity metric), centroid lon/lat.
+    Large binary batches: use small batch_size (payloads are MBs).
+    """
+
+    def __init__(self, check_fidelity: bool = True):
+        self.check_fidelity = check_fidelity
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        n = len(ids)
+        means = np.empty((n, 3))
+        ph = np.empty(n, np.int64)
+        fid = np.empty(n, np.float64)
+        lons = np.empty(n)
+        lats = np.empty(n)
+        for i in range(n):  # per-row: decode is inherently per-payload
+            px = decode_image(blobs[i])
+            means[i] = px.reshape(-1, 3).mean(axis=0)
+            ph[i] = phash64(px)
+            if self.check_fidelity:
+                src = procedural_pixels(ids[i], px.shape[1], px.shape[0])
+                fid[i] = psnr(src, px)
+            lons[i], lats[i] = image_centroid(ids[i])
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("mean_r", pa.array(means[:, 0]))
+        out = out.append_column("mean_g", pa.array(means[:, 1]))
+        out = out.append_column("mean_b", pa.array(means[:, 2]))
+        out = out.append_column("phash_decoded", pa.array(ph, pa.int64()))
+        out = out.append_column("psnr_db", pa.array(fid))
+        out = out.append_column("lon", pa.array(lons))
+        out = out.append_column("lat", pa.array(lats))
+        return out
+
+
+def decode_images(ds, *, batch_size: int = 64, concurrency=(1, 8),
+                  check_fidelity: bool = True, **map_kwargs):
+    """Dataset stage: image rows -> decoded feature rows.
+
+    Small ``batch_size`` keeps (payload x concurrency) inside worker
+    heaps — the memory-aware rule for binary columns."""
+    return ds.map_batches(
+        DecodeImagesFn,
+        fn_constructor_kwargs=dict(check_fidelity=check_fidelity),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        **map_kwargs,
+    )
+
+
+class ResizeImagesFn:
+    """Actor-pool resize stage: nearest-neighbor downsample to
+    (target, target) then re-encode lossless — the feature-extraction
+    shape for thumbnailing pipelines."""
+
+    def __init__(self, target: int = 32):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        out_blobs = []
+        for data in blobs:
+            px = decode_image(data)
+            h, w, _ = px.shape
+            yi = (np.arange(self.target) * h) // self.target
+            xi = (np.arange(self.target) * w) // self.target
+            small = px[yi][:, xi]
+            out_blobs.append(encode_rawz(small))
+        out = batch.drop_columns(["bytes", "w", "h"])
+        out = out.append_column("bytes", pa.array(out_blobs, pa.binary()))
+        out = out.append_column("w", pa.array([self.target] * len(out_blobs), pa.int32()))
+        out = out.append_column("h", pa.array([self.target] * len(out_blobs), pa.int32()))
+        return out

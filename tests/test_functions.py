@@ -1,0 +1,214 @@
+"""Training-data operator tests: dedup / ANN / text analysis."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geobuf_ray.functions import ann, dedup, text
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_table(n=200, dup_every=7, seed=3):
+    """Synthetic docs with planted near/exact duplicates."""
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "data", "query", "table", "row"]
+    texts, ids = [], []
+    base_texts = []
+    for i in range(n):
+        if i % dup_every == 3 and base_texts:
+            # exact duplicate of an earlier doc
+            texts.append(base_texts[rng.integers(0, len(base_texts))])
+        elif i % dup_every == 5 and base_texts:
+            # near duplicate: one word changed
+            t = base_texts[rng.integers(0, len(base_texts))].split()
+            t[rng.integers(0, len(t))] = "CHANGED"
+            texts.append(" ".join(t))
+        else:
+            t = " ".join(rng.choice(words, 30))
+            texts.append(t)
+            base_texts.append(t)
+        ids.append(i)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_fingerprint_is_fnv1a():
+    def fnv(s):
+        h = 14695981039346656037
+        for c in s.encode():
+            h = ((h ^ c) * 1099511628211) % 2**64
+        return h
+
+    col = pa.array(["", "a", "hello world", "x" * 300], pa.string())
+    got = text.fingerprint64(col)
+    assert got.tolist() == [fnv(""), fnv("a"), fnv("hello world"), fnv("x" * 300)]
+
+
+def test_token_counts_and_quality():
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["the quick brown fox", "a, b! c?"], pa.string())})
+    out = text.token_count_batch(tbl)
+    assert out["n_tokens_ws"].to_pylist() == [4, 3]
+    q = text.quality_batch(tbl)
+    assert q["n_chars_q"].to_pylist() == [19, 8]
+    assert 0 <= q["quality"][0].as_py() <= 1
+
+
+def test_langid():
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "the cat and the dog went to the park with a ball",
+            "el perro y la casa de los gatos en una calle",
+            "xyzzy qwerty zzz",
+        ], pa.string()),
+    })
+    out = text.LangIdFn()(tbl)
+    assert out["lang_pred"].to_pylist() == ["en", "es", "und"]
+
+
+def test_exact_dedup(ray_session):
+    import ray
+
+    tbl = _docs_table()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    kept = dedup.exact_dedup(ds, ["text"], "doc_id").take_all()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    # oracle
+    seen, want = {}, []
+    texts = tbl["text"].to_pylist()
+    for i, t in enumerate(texts):
+        if t not in seen:
+            seen[t] = i
+            want.append(i)
+    assert kept_ids == sorted(want)
+
+
+def test_minhash_finds_planted_dups(ray_session):
+    import ray
+
+    tbl = _docs_table()
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    pairs = dedup.minhash_candidate_pairs(ds, sim_threshold=0.5, concurrency=2)
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    # oracle: all pairs with true word-3-gram jaccard >= 0.8 must be found
+    sh = dedup.word_shingle_hashes(tbl["text"], 3)
+    want_strong = set()
+    for i in range(len(sh)):
+        for j in range(i + 1, len(sh)):
+            if dedup.jaccard(sh[i], sh[j]) >= 0.8:
+                want_strong.add((i, j))
+    missed = want_strong - got
+    assert not missed, f"LSH missed strong pairs: {sorted(missed)[:5]}"
+    # and every reported pair is actually similar (verify with exact jaccard)
+    texts = tbl["text"].to_pylist()
+    ver = dedup.ngram_jaccard_verify({i: texts[i] for i in range(len(texts))},
+                                     pairs, 3)
+    assert min(ver["jaccard"].to_pylist(), default=1.0) >= 0.3
+
+
+def test_minhash_dedup_removes_cluster_members(ray_session):
+    import ray
+
+    tbl = _docs_table()
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    kept_ds, dropped = dedup.minhash_dedup(ds, sim_threshold=0.9, concurrency=2)
+    kept_ids = {r["doc_id"] for r in kept_ds.take_all()}
+    assert kept_ids.isdisjoint(dropped)
+    assert len(kept_ids) + len(dropped) == tbl.num_rows
+    # exact duplicates must collapse: count distinct texts >= kept count
+    texts = tbl["text"].to_pylist()
+    exact_clusters = {}
+    for i, t in enumerate(texts):
+        exact_clusters.setdefault(t, []).append(i)
+    for t, members in exact_clusters.items():
+        assert len(set(members) & kept_ids) <= 1 or len(members) == 1
+
+
+def test_simhash_pairs(ray_session):
+    import ray
+
+    tbl = _docs_table()
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    pairs = dedup.simhash_candidate_pairs(ds, max_distance=3)
+    h = dedup.simhash64(tbl["text"])
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    # oracle: brute-force all pairs
+    want = set()
+    for i in range(len(h)):
+        d = dedup.hamming_distance(h[i], h[i + 1 :])
+        for off in np.flatnonzero(d <= 3):
+            want.add((i, i + 1 + int(off)))
+    # pigeonhole guarantee: distance<=3 implies a shared 16-bit block
+    assert want == got
+
+
+def test_hamming_distance_kernel():
+    a = np.array([0, 0b1011, 2**63], np.uint64)
+    b = np.array([0, 0b0010, 0], np.uint64)
+    assert dedup.hamming_distance(a, b).tolist() == [0, 2, 1]
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray
+
+    rng = np.random.default_rng(0)
+    n, d = 400, 32
+    vecs = rng.standard_normal((n, d))
+    tbl = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    queries = tbl.slice(0, 5)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = ann.brute_force_topk(ds, queries, k=4, concurrency=2)
+    vm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qi in range(5):
+        sims = vm[qi] @ vm.T
+        order = np.lexsort((np.arange(n), -sims))[:4]
+        rows = [r for r in got.to_pylist() if r["query_id"] == qi]
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == order.tolist()
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray
+
+    rng = np.random.default_rng(1)
+    # clustered data so IVF has structure
+    centers = rng.standard_normal((8, 16)) * 5
+    vecs = np.concatenate([c + rng.standard_normal((100, 16)) for c in centers])
+    n = len(vecs)
+    tbl = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    queries = tbl.slice(0, 10)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    cent = ann.fit_centroids(vecs[rng.choice(n, 300, replace=False)], 8)
+    approx = ann.ivf_topk(ds, queries, cent, k=5, nprobe=3)
+    exact = ann.brute_force_topk(ds, queries, k=5, concurrency=2)
+    # recall@5 >= 0.9 on clustered data
+    ex = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.to_pylist():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_embedding_dedup_pairs(ray_session):
+    import ray
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((100, 16))
+    # plant near-dups: 100+i is a tiny perturbation of i for i<10
+    dups = vecs[:10] + rng.standard_normal((10, 16)) * 0.001
+    allv = np.concatenate([vecs, dups])
+    tbl = pa.table({"vec_id": pa.array(np.arange(len(allv)), pa.int64()),
+                    "embedding": pa.array(allv.tolist(), pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    pairs = dedup.embedding_dedup_pairs(ds, threshold=0.999)
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    for i in range(10):
+        assert (i, 100 + i) in got, i

@@ -1,0 +1,88 @@
+"""Image table invariants (FIXTURES.md F6, input_hint)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from geobuf_ray.io import images as im
+
+
+def test_procedural_determinism():
+    a = im.procedural_pixels("img000000000007", 64, 32)
+    b = im.procedural_pixels("img000000000007", 64, 32)
+    assert a.shape == (32, 64, 3)
+    assert (a == b).all()
+    c = im.procedural_pixels("img000000000008", 64, 32)
+    assert (a != c).any()
+
+
+def test_rawz_lossless_roundtrip():
+    px = im.procedural_pixels("x", 64, 64)
+    back = im.decode_image(im.encode_rawz(px))
+    assert (back == px).all()
+    assert im.psnr(px, back) == float("inf")
+
+
+def test_quantz_psnr_above_40db():
+    for iid in ("a", "b", "c"):
+        px = im.procedural_pixels(iid, 128, 128)
+        back = im.decode_image(im.encode_quantz(px))
+        assert im.psnr(px, back) >= 40.0
+
+
+def test_unknown_format_is_marked_stub():
+    with pytest.raises(NotImplementedError, match="STUB"):
+        im.decode_image(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_synthesize_slice_stability():
+    t1 = im.synthesize_image_table(10)
+    t2 = im.synthesize_image_table(5, start=5)
+    assert t1.slice(5, 5).to_pylist() == t2.to_pylist()
+    assert t1["image_id"][0].as_py() == "img000000000000"
+    assert set(t1["fmt"].to_pylist()) <= {"rawz", "quantz"}
+
+
+def test_decode_images_pipeline(ray_session, tmp_path):
+    import ray
+
+    tbl = im.synthesize_image_table(40)
+    path = str(tmp_path / "imgs.parquet")
+    pq.write_table(tbl, path)
+    ds = im.read_image_table(path)
+    out = im.decode_images(ds, batch_size=16, concurrency=2)
+    rows = out.take_all()
+    assert len(rows) == 40
+    by_id = {r["image_id"]: r for r in rows}
+    src = tbl.to_pylist()
+    for r in src:
+        got = by_id[r["image_id"]]
+        # caption exact equality + phash of decoded pixels matches for
+        # lossless; PSNR >= 40 for lossy (input_hint invariant)
+        assert got["caption"] == r["caption"]
+        if r["fmt"] == "rawz":
+            assert got["phash_decoded"] == r["phash"]
+            assert got["psnr_db"] == float("inf")
+        else:
+            assert got["psnr_db"] >= 40.0
+
+
+def test_resize_pipeline(ray_session, tmp_path):
+    import ray
+
+    tbl = im.synthesize_image_table(10)
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(im.ResizeImagesFn, fn_constructor_kwargs=dict(target=16),
+                         batch_format="pyarrow", batch_size=4,
+                         concurrency=2).take_all()
+    assert all(r["w"] == 16 and r["h"] == 16 for r in out)
+    px = im.decode_image(out[0]["bytes"])
+    assert px.shape == (16, 16, 3)
+
+
+def test_image_centroid_hot_cell_share():
+    lons, lats = zip(*(im.image_centroid(f"img{i:012d}") for i in range(1000)))
+    lons = np.asarray(lons)
+    lats = np.asarray(lats)
+    hot = ((lons >= 10.0) & (lons <= 10.2) & (lats >= 50.0) & (lats <= 50.2)).mean()
+    assert 0.1 < hot < 0.35  # ~20% hot cluster for skew/salting tests
