@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init``/``ray.shutdown`` here or in the library (see repo brief).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` covers the operator inventory of SURVEY.md §2 plus the
+training-data operators; ``oracle_sql()`` gives the DuckDB-equivalent
+for every SQL-expressible query (same column names, integer arithmetic
+where parity matters).  Non-SQL ops (codec internals aside, LSH
+sketches, langid, image decode) are rows-only checks by design.
 """
 
 from __future__ import annotations
@@ -18,27 +15,168 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from geobuf_ray.pipelines import queries as q
+
+# shared SQL fragments for the derived geometry (see queries.py docstring)
+_LON = "(((c_custkey * 7919) % 36000) / 100.0 - 180.0)"
+_LAT = "(((c_custkey * 104729) % 17000) / 100.0 - 85.0)"
+_SLON = "(((s_suppkey * 7919) % 36000) / 100.0 - 180.0)"
+_SLAT = "(((s_suppkey * 104729) % 17000) / 100.0 - 85.0)"
+
+# slippy tile indices at zoom z for lon/lat expressions (OSM formula,
+# lat within +-85 in this derivation so no clamp needed)
+def _tile_x(lon: str, z: int) -> str:
+    n = 1 << z
+    return f"LEAST(GREATEST(CAST(floor(({lon} + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+
+
+def _tile_y(lat: str, z: int) -> str:
+    n = 1 << z
+    return (
+        f"LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians({lat})) + 1.0/cos(radians({lat}))) / pi()) "
+        f"/ 2.0 * {n}) AS BIGINT), 0), {n - 1})"
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: derived customer points through
+    the geobuf codec round-trip, then the cell-pruned PIP join against
+    supplier rectangles."""
+    sf = "/root/testdata/sf0.001"
+    return q.pip_rect_join(sf)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (read-prune, partial agg, broadcast join,
+        # sort/limit, window)
+        "tpch_q1": q.tpch_q1,
+        "orders_by_segment": q.orders_by_segment,
+        "top_orders": q.top_orders,
+        "events_hourly": q.events_hourly,
+        # spatial engine (A1 bbox, M tile assign, A3 tile counts,
+        # §2.5 PIP join + kNN, M1/M2 codec round-trip)
+        "points_bbox": q.points_bbox,
+        "tile_assign": q.tile_assign,
+        "tile_counts": q.tile_counts,
+        "pip_rect_join": q.pip_rect_join,
+        "knn_suppliers": q.knn_suppliers,
+        "codec_roundtrip_points": q.codec_roundtrip_points,
+        # documents: dedup + text analysis
+        "docs_exact_dedup": q.docs_exact_dedup,
+        "docs_token_stats": q.docs_token_stats,
+        "docs_quality": q.docs_quality,
+        "docs_langid": q.docs_langid,
+        "docs_fingerprint": q.docs_fingerprint,
+        "docs_minhash_pairs": q.docs_minhash_pairs,
+        "docs_simhash_pairs": q.docs_simhash_pairs,
+        # embeddings: similarity search + near-dup
+        "embeddings_topk": q.embeddings_topk,
+        "embeddings_dup_pairs": q.embeddings_dup_pairs,
+        # image pipeline (rows-only: procedural payloads)
+        "images_decode_stats": q.images_decode_stats,
+        "images_tile_counts": q.images_tile_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    zx, zy = _tile_x(_LON, 8), _tile_y(_LAT, 8)
+    return {
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_orders": """
+            SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY hour_id
+        """,
+        "points_bbox": f"""
+            SELECT min({_LON}) AS west, min({_LAT}) AS south,
+                   max({_LON}) AS east, max({_LAT}) AS north
+            FROM customer
+        """,
+        "tile_assign": f"""
+            SELECT c_custkey AS custkey, {zx} AS tile_x, {zy} AS tile_y
+            FROM customer
+        """,
+        "tile_counts": f"""
+            SELECT {zx} AS tile_x, {zy} AS tile_y, COUNT(*) AS n_points
+            FROM customer GROUP BY tile_x, tile_y
+        """,
+        "pip_rect_join": f"""
+            SELECT c_custkey AS custkey, s_suppkey AS polygon_id
+            FROM customer, supplier
+            WHERE {_LON} >= (-180.0 + (s_suppkey * 37) % 300)
+              AND {_LON} <= (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0)
+              AND {_LAT} >= (-85.0 + (s_suppkey * 53) % 160)
+              AND {_LAT} <= (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0)
+        """,
+        "knn_suppliers": f"""
+            SELECT custkey, CAST(rnk AS INTEGER) AS rank, s_suppkey FROM (
+                SELECT c_custkey AS custkey, s_suppkey,
+                       row_number() OVER (
+                           PARTITION BY c_custkey
+                           ORDER BY 2.0 * 6371008.8 * asin(sqrt(
+                               pow(sin((radians({_SLAT}) - radians({_LAT})) / 2.0), 2)
+                               + cos(radians({_LAT})) * cos(radians({_SLAT}))
+                               * pow(sin((radians({_SLON}) - radians({_LON})) / 2.0), 2)
+                           )), s_suppkey
+                       ) AS rnk
+                FROM customer, supplier
+                WHERE c_custkey <= 20
+            ) WHERE rnk <= 3
+        """,
+        "codec_roundtrip_points": f"""
+            SELECT c_custkey AS custkey,
+                   trunc({_LON} * 10000000) / 10000000 AS lon_q,
+                   trunc({_LAT} * 10000000) / 10000000 AS lat_q
+            FROM customer
+        """,
+        "docs_exact_dedup": """
+            SELECT doc_id, lang, source FROM documents
+            QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+        """,
+        "docs_token_stats": r"""
+            SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens_ws
+            FROM documents
+        """,
+        "docs_quality": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_q,
+                   CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens_ws,
+                   CAST(length(text) AS DOUBLE)
+                     / GREATEST(len(string_split_regex(text, '\s+')), 1) AS mean_token_len
+            FROM documents
+        """,
+        # docs_langid / docs_fingerprint / docs_minhash_pairs /
+        # docs_simhash_pairs / embeddings_dup_pairs / images_*: no SQL
+        # equivalent (hash sketches, heuristic classifier, procedural
+        # image payloads) -> rows-only checks
+        "embeddings_topk": """
+            SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id FROM (
+                SELECT qv.vec_id AS query_id, e.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY qv.vec_id
+                           ORDER BY list_cosine_similarity(qv.embedding, e.embedding) DESC,
+                                    e.vec_id
+                       ) AS rnk
+                FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) qv
+            ) WHERE rnk <= 5
+        """,
+    }

@@ -1,0 +1,524 @@
+"""Driver-contract query implementations over the testdata tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table.
+Column names and value derivations are chosen for EXACT parity with the
+DuckDB oracle SQL in ``__ray_entry__.oracle_sql`` (integer arithmetic
+everywhere parity matters; floats only where the identical IEEE
+expression runs on both sides).
+
+Derived geometry: the testdata has no coordinates, so spatial queries
+derive deterministic points/rectangles from integer keys::
+
+    lon(k) = ((k * 7919)   % 36000) / 100.0 - 180.0
+    lat(k) = ((k * 104729) % 17000) / 100.0 - 85.0
+
+(Positive keys only — DuckDB's ``%`` is C-style on negatives.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..spatial import tiles
+
+
+def _pq(sf_dir: str, name: str):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derive_lon(keys: np.ndarray) -> np.ndarray:
+    return ((keys * 7919) % 36000) / 100.0 - 180.0
+
+
+def derive_lat(keys: np.ndarray) -> np.ndarray:
+    return ((keys * 104729) % 17000) / 100.0 - 85.0
+
+
+def _customer_points_batch(batch: pa.Table) -> pa.Table:
+    k = batch["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "custkey": pa.array(k),
+        "lon": pa.array(derive_lon(k)),
+        "lat": pa.array(derive_lat(k)),
+    })
+
+
+def customer_points(sf_dir: str):
+    """Derived point-per-customer Dataset (column-pruned read)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return ds.map_batches(_customer_points_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate queries (partial pre-agg -> small groupby)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q1(sf_dir: str):
+    """Pricing summary: per (returnflag, linestatus) integer sums.
+
+    Pattern: vectorized per-block PARTIAL aggregation inside
+    map_batches, then a tiny groupby-sum over one row per
+    (group x block) — the combiner that keeps the shuffle small at
+    100 TB (SURVEY.md §7)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        cents = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pandas(),
+            "l_linestatus": batch["l_linestatus"].to_pandas(),
+            "sum_qty": qty,
+            "sum_price_cents": cents,
+            "n_rows": np.ones(len(qty), np.int64),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum(on="sum_qty", alias_name="sum_qty"),
+        Sum(on="sum_price_cents", alias_name="sum_price_cents"),
+        Sum(on="n_rows", alias_name="n_rows"),
+    )
+
+
+def orders_by_segment(sf_dir: str):
+    """orders x customer broadcast-hash join -> per-segment totals.
+
+    The customer side is small: built driver-side, ``ray.put`` once,
+    looked up inside map_batches (no shuffle join)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _pq(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"]).take_all()
+    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    seg_ref = ray.put(seg_of)
+
+    class JoinFn:
+        def __init__(self):
+            self.seg_of = ray.get(seg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            keys = batch["o_custkey"].to_numpy()
+            cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            segs = [self.seg_of[int(k)] for k in keys]
+            df = pd.DataFrame({"c_mktsegment": segs, "total_cents": cents,
+                               "n_orders": np.ones(len(keys), np.int64)})
+            g = df.groupby("c_mktsegment", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(JoinFn, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 4))
+    return partials.groupby("c_mktsegment").aggregate(
+        Sum(on="n_orders", alias_name="n_orders"),
+        Sum(on="total_cents", alias_name="total_cents"),
+    )
+
+
+def top_orders(sf_dir: str):
+    """Top-10 orders by price — sort + limit (§2.7)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "total_cents": pa.array(cents)})
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window (hourly) event aggregate."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts = batch["ts"].to_numpy()  # datetime64[us]
+        hour_id = ts.astype("datetime64[h]").astype(np.int64)
+        cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"hour_id": hour_id, "n_events": np.ones(len(ts), np.int64),
+                           "value_cents": cents})
+        g = df.groupby("hour_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("hour_id").aggregate(
+        Sum(on="n_events", alias_name="n_events"),
+        Sum(on="value_cents", alias_name="value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# spatial queries
+# ---------------------------------------------------------------------------
+
+
+def points_bbox(sf_dir: str):
+    """Global bounds aggregate over derived customer points (A1)."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    pts = customer_points(sf_dir)
+    agg = pts.aggregate(
+        Min(on="lon", alias_name="west"),
+        Min(on="lat", alias_name="south"),
+        Max(on="lon", alias_name="east"),
+        Max(on="lat", alias_name="north"),
+    )
+    return pa.Table.from_pylist([agg])
+
+
+def tile_assign(sf_dir: str, zoom: int = 8):
+    """Per-point slippy tile indices (row-level, M-series op)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        x, y = tiles.lonlat_to_tile(lon, lat, zoom)
+        return pa.table({"custkey": batch["custkey"],
+                         "tile_x": pa.array(x), "tile_y": pa.array(y)})
+
+    return customer_points(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                               zero_copy_batch=True)
+
+
+def tile_counts(sf_dir: str, zoom: int = 8):
+    """Per-tile point counts (the tiling manifest aggregate)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        x, y = tiles.lonlat_to_tile(lon, lat, zoom)
+        df = pd.DataFrame({"tile_x": x, "tile_y": y,
+                           "n_points": np.ones(len(x), np.int64)})
+        g = df.groupby(["tile_x", "tile_y"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = customer_points(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                                   zero_copy_batch=True)
+    return partials.groupby(["tile_x", "tile_y"]).aggregate(
+        Sum(on="n_points", alias_name="n_points")
+    )
+
+
+def supplier_rects(sf_dir: str) -> pa.Table:
+    """Deterministic rectangle polygons derived from supplier keys
+    (canonical feature-table layout for the PIP engine)."""
+    import duckdb
+
+    keys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    west = -180.0 + (keys * 37) % 300
+    south = -85.0 + (keys * 53) % 160
+    east = west + 5.0 + (keys % 7) * 3.0
+    north = south + 4.0 + (keys % 5) * 3.0
+    from ..io.geojson import features_to_table
+
+    feats = [
+        {"type": "Feature", "id": int(k), "properties": {},
+         "geometry": {"type": "Polygon", "coordinates": [[
+             [w, s], [e, s], [e, n], [w, n], [w, s]]]}}
+        for k, w, s, e, n in zip(keys, west, south, east, north)
+    ]
+    return features_to_table(feats)
+
+
+def pip_rect_join(sf_dir: str, zoom: int = 5):
+    """Point-in-polygon join of customer points vs supplier rectangles
+    through the REAL cell-pruned PIP engine (§2.5)."""
+    from ..spatial.join import point_in_polygon_join
+
+    pts = customer_points(sf_dir)
+    polys = supplier_rects(sf_dir)
+    joined = point_in_polygon_join(pts, polys, zoom=zoom, concurrency=(1, 4))
+    return joined.select_columns(["custkey", "polygon_id"])
+
+
+def knn_suppliers(sf_dir: str, k: int = 3, n_queries: int = 20):
+    """k nearest supplier points for the first customers (haversine)."""
+    import duckdb
+
+    from ..spatial.join import knn_join
+
+    skeys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    ref = pa.table({
+        "id": pa.array(skeys),
+        "lon": pa.array(derive_lon(skeys)),
+        "lat": pa.array(derive_lat(skeys)),
+    })
+
+    def head(batch: pa.Table) -> pa.Table:
+        keys = batch["custkey"].to_numpy()
+        return batch.filter(pa.array(keys <= n_queries))
+
+    pts = customer_points(sf_dir).map_batches(head, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+    out = knn_join(pts, ref, k=k, concurrency=(1, 2))
+    return out.select_columns(["custkey", "rank", "neighbor_id"]).rename_columns(
+        {"neighbor_id": "s_suppkey"}
+    )
+
+
+def codec_roundtrip_points(sf_dir: str):
+    """Customer points through the REAL geobuf codec (encode -> decode);
+    output is the 1e-7-quantized coordinates (M1/M2 conformance as a
+    SQL-checkable query: q(v) = trunc(v*1e7)/1e7)."""
+    from ..codec import decode as dc
+    from ..codec import feature as fc
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        k = batch["custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        coords = np.empty(2 * n)
+        coords[0::2] = lon
+        coords[1::2] = lat
+        feat = pa.table({
+            "id": pa.array(k, pa.int64()),
+            "geom_type": pa.array(np.ones(n, np.int8)),
+            "dim": pa.array(np.full(n, 2, np.int8)),
+            "coords": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int32)),
+                pa.array(coords)),
+            "ring_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+            "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+        })
+        enc = fc.encode_batch(feat)
+        dec = dc.decode_batch(enc)
+        cc = dec["coords"].combine_chunks()
+        vals = cc.values.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": dec["id"],
+            "lon_q": pa.array(vals[0::2]),
+            "lat_q": pa.array(vals[1::2]),
+        })
+
+    return customer_points(sf_dir).map_batches(roundtrip, batch_format="pyarrow",
+                                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings queries
+# ---------------------------------------------------------------------------
+
+
+def docs_exact_dedup(sf_dir: str):
+    from ..functions.dedup import exact_dedup
+
+    ds = _pq(sf_dir, "documents").select_columns(["doc_id", "lang", "source"])
+    return exact_dedup(ds, ["lang", "source"], "doc_id")
+
+
+def docs_token_stats(sf_dir: str):
+    from ..functions.text import token_count_batch
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens_ws"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def docs_quality(sf_dir: str):
+    from ..functions.text import quality_batch
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: quality_batch(b).select(
+            ["doc_id", "n_chars_q", "n_tokens_ws", "mean_token_len"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def docs_langid(sf_dir: str):
+    from ..functions.text import LangIdFn
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LangIdFn, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 2))
+
+
+def docs_fingerprint(sf_dir: str):
+    from ..functions.text import fingerprint_batch
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = fingerprint_batch(batch)
+        # int64 view for SQL-friendly typing
+        fp = out["fingerprint"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": out["doc_id"],
+                         "fingerprint": pa.array(fp.view(np.int64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def docs_minhash_pairs(sf_dir: str):
+    from ..functions.dedup import minhash_candidate_pairs
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minhash_candidate_pairs(ds, sim_threshold=0.5, concurrency=(1, 2))
+
+
+def docs_simhash_pairs(sf_dir: str):
+    from ..functions.dedup import simhash_candidate_pairs
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_candidate_pairs(ds, max_distance=3)
+
+
+def embeddings_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
+    from ..functions.ann import brute_force_topk
+
+    import ray
+
+    ds = _pq(sf_dir, "embeddings")
+    queries = pa.Table.from_pylist(
+        ds.filter(lambda r: r["vec_id"] < n_queries).take_all()
+    )
+    out = brute_force_topk(ds, queries, k=k, concurrency=(1, 2))
+    return out.select(["query_id", "rank", "vec_id"])
+
+
+def embeddings_dup_pairs(sf_dir: str):
+    """Near-dup detection over embeddings UNION 10 planted perturbed
+    copies (vec_id 1_000_000+i duplicates vec_id i) — random uniform
+    embeddings have no organic near-dups, so the planted ones make the
+    check meaningful: exactly those pairs must be found."""
+    from ..functions.dedup import embedding_dedup_pairs
+
+    import ray
+
+    ds = _pq(sf_dir, "embeddings")
+    first = pa.Table.from_pylist(sorted(
+        ds.take(200), key=lambda r: r["vec_id"])[:10])
+    vecs = np.asarray(first["embedding"].to_pylist(), np.float64)
+    rng = np.random.default_rng(123)
+    dup = pa.table({
+        "vec_id": pa.array(np.arange(1_000_000, 1_000_010), pa.int64()),
+        "embedding": pa.array((vecs + rng.standard_normal(vecs.shape) * 1e-3).tolist(),
+                              first["embedding"].type),
+        "label": first["label"],
+    })
+    both = ds.union(ray.data.from_arrow(dup))
+    return embedding_dedup_pairs(both, threshold=0.999)
+
+
+# ---------------------------------------------------------------------------
+# image pipeline (rows-only checks: procedural payloads aren't SQL)
+# ---------------------------------------------------------------------------
+
+
+def images_decode_stats(sf_dir: str):
+    """Synthesize the Lance-shaped image table (size scaled to the sf
+    tier), run the actor-pool decode, return per-row fidelity stats."""
+    import ray
+
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    tbl = im.synthesize_image_table(n)
+    ds = ray.data.from_arrow(tbl)
+    out = im.decode_images(ds, batch_size=32, concurrency=(1, 4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ps = batch["psnr_db"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "fmt": batch["fmt"],
+            "caption": batch["caption"],
+            "phash": batch["phash"],
+            "phash_decoded": batch["phash_decoded"],
+            "psnr_capped": pa.array(np.minimum(ps, 99.0)),
+            "fidelity_ok": pa.array(ps >= 40.0),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def images_tile_counts(sf_dir: str, zoom: int = 4):
+    """Image centroids -> per-tile counts (the image+spatial bridge:
+    footprints as joinable payloads)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    tbl = im.synthesize_image_table(n)
+    ds = ray.data.from_arrow(tbl.select(["image_id"]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["image_id"].to_pylist()
+        lons, lats = zip(*(im.image_centroid(i) for i in ids))
+        x, y = tiles.lonlat_to_tile(np.asarray(lons), np.asarray(lats), zoom)
+        df = pd.DataFrame({"tile_x": x, "tile_y": y,
+                           "n_images": np.ones(len(x), np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["tile_x", "tile_y"], as_index=False).sum(),
+            preserve_index=False)
+
+    partials = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["tile_x", "tile_y"]).aggregate(
+        Sum(on="n_images", alias_name="n_images")
+    )
