@@ -1,0 +1,87 @@
+"""Resumable checkpointed tiling: atomic per-partition commit + resume
+skips committed partitions (north_rule; the reference has no recovery —
+split_combine.go:227-231 deletes intermediates on combine)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geobuf_ray.io import geojson as gj
+from geobuf_ray.state import checkpoint as ck
+
+
+def _point_features(n: int, seed: int = 5):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-170, 170, n)
+    lat = rng.uniform(-80, 80, n)
+    return [
+        {"type": "Feature", "id": i, "properties": {},
+         "geometry": {"type": "Point", "coordinates": [float(lon[i]), float(lat[i])]}}
+        for i in range(n)
+    ]
+
+
+@pytest.fixture
+def points_ds(ray_session):
+    import ray
+
+    tbl = gj.features_to_table(_point_features(400))
+    return ray.data.from_arrow(tbl).repartition(4)
+
+
+def test_checkpoint_commit_and_resume(points_ds, tmp_path):
+    out = str(tmp_path / "tiles")
+    manifest = ck.checkpointed_split_combine(points_ds, out, zoom=2)
+    keys = manifest["key"].to_pylist()
+    assert len(keys) >= 4
+    assert manifest["num_features"].to_pylist()
+    total = sum(manifest["num_features"].to_pylist())
+    assert total == 400
+    # every manifest row's data file exists and lineage fields are set
+    for row in manifest.to_pylist():
+        assert os.path.exists(row["path"])
+        assert row["codec_version"] == ck.CODEC_VERSION
+        assert row["size_bytes"] > 0 and row["write_seconds"] > 0
+
+    # simulate a crash: drop two partitions (data + manifest row)
+    victims = sorted(keys)[:2]
+    for k in victims:
+        row = [r for r in manifest.to_pylist() if r["key"] == k][0]
+        os.remove(row["path"])
+        os.remove(os.path.join(ck.manifest_dir(out), ck._safe_key(k) + ".json"))
+    survivor_mtimes = {
+        r["key"]: os.path.getmtime(r["path"])
+        for r in manifest.to_pylist() if r["key"] not in victims
+    }
+
+    manifest2 = ck.checkpointed_split_combine(points_ds, out, zoom=2)
+    keys2 = set(manifest2["key"].to_pylist())
+    assert keys2 == set(keys)  # victims rewritten
+    assert sum(manifest2["num_features"].to_pylist()) == 400
+    # survivors were NOT rewritten
+    for r in manifest2.to_pylist():
+        if r["key"] in survivor_mtimes:
+            assert os.path.getmtime(r["path"]) == survivor_mtimes[r["key"]]
+
+
+def test_checkpoint_roundtrip_readback(points_ds, tmp_path):
+    from geobuf_ray.io.geobuf_file import read_geobuf
+
+    out = str(tmp_path / "tiles")
+    manifest = ck.checkpointed_split_combine(points_ds, out, zoom=1)
+    paths = manifest["path"].to_pylist()
+    ds = read_geobuf(paths)
+    from geobuf_ray.stages import codec_stages as cs
+
+    decoded = cs.decode(ds)
+    rows = decoded.take_all()
+    # points fall in exactly one tile each -> no fan-out duplication
+    assert len(rows) == 400
+    assert sorted(r["id"] for r in rows) == list(range(400))
+
+
+def test_manifest_tolerates_empty_dir(tmp_path):
+    assert ck.completed_keys(str(tmp_path)) == set()
+    assert ck.load_manifest(str(tmp_path)).num_rows == 0
