@@ -37,6 +37,21 @@ def derive_lat(keys: np.ndarray) -> np.ndarray:
     return ((keys * 104729) % 17000) / 100.0 - 85.0
 
 
+def _final_combine(partials_ds, group_cols: list[str],
+                   sum_cols: list[str]) -> pa.Table:
+    """Driver-side final reduce of per-block partial aggregates.
+
+    The distributed half (one partial row per group per block) bounds
+    the collected size to |groups| x |blocks|; the final combine of
+    that small table needs no Ray shuffle.  Replaces
+    ``groupby().aggregate()`` whose fixed per-stage latency dominates
+    tiny-result aggregations (measured: 3.2s of a 3.3s query)."""
+    rows = partials_ds.take_all()
+    tbl = pa.Table.from_pylist(rows)
+    agg = tbl.group_by(group_cols).aggregate([(c, "sum") for c in sum_cols])
+    return agg.rename_columns(group_cols + sum_cols)
+
+
 def _customer_points_batch(batch: pa.Table) -> pa.Table:
     k = batch["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
@@ -68,7 +83,6 @@ def tpch_q1(sf_dir: str):
     (group x block) — the combiner that keeps the shuffle small at
     100 TB (SURVEY.md §7)."""
     import ray
-    from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -76,26 +90,33 @@ def tpch_q1(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
+        # pure-numpy combiner: dictionary-encode the two grouping cols,
+        # bincount sums on the packed code — one pass, no pandas
         qty = batch["l_quantity"].to_numpy().astype(np.int64)
         cents = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        df = pd.DataFrame({
-            "l_returnflag": batch["l_returnflag"].to_pandas(),
-            "l_linestatus": batch["l_linestatus"].to_pandas(),
-            "sum_qty": qty,
-            "sum_price_cents": cents,
-            "n_rows": np.ones(len(qty), np.int64),
+        rf = batch["l_returnflag"].combine_chunks().dictionary_encode()
+        ls = batch["l_linestatus"].combine_chunks().dictionary_encode()
+        nls = len(ls.dictionary)
+        code = rf.indices.to_numpy().astype(np.int64) * nls + ls.indices.to_numpy()
+        nbins = len(rf.dictionary) * nls
+        sum_qty = np.bincount(code, weights=qty, minlength=nbins).astype(np.int64)
+        sum_cents = np.bincount(code, weights=cents, minlength=nbins).astype(np.int64)
+        counts = np.bincount(code, minlength=nbins)
+        present = np.flatnonzero(counts)
+        rf_vals = rf.dictionary.to_pylist()
+        ls_vals = ls.dictionary.to_pylist()
+        return pa.table({
+            "l_returnflag": pa.array([rf_vals[c // nls] for c in present]),
+            "l_linestatus": pa.array([ls_vals[c % nls] for c in present]),
+            "sum_qty": pa.array(sum_qty[present]),
+            "sum_price_cents": pa.array(sum_cents[present]),
+            "n_rows": pa.array(counts[present].astype(np.int64)),
         })
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum(on="sum_qty", alias_name="sum_qty"),
-        Sum(on="sum_price_cents", alias_name="sum_price_cents"),
-        Sum(on="n_rows", alias_name="n_rows"),
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return _final_combine(partials, ["l_returnflag", "l_linestatus"],
+                          ["sum_qty", "sum_price_cents", "n_rows"])
 
 
 def orders_by_segment(sf_dir: str):
@@ -104,35 +125,45 @@ def orders_by_segment(sf_dir: str):
     The customer side is small: built driver-side, ``ray.put`` once,
     looked up inside map_batches (no shuffle join)."""
     import ray
-    from ray.data.aggregate import Sum
 
-    cust = _pq(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"]).take_all()
-    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
-    seg_ref = ray.put(seg_of)
+    import duckdb
+
+    res = duckdb.connect().execute(
+        f"SELECT c_custkey, c_mktsegment FROM '{sf_dir}/customer.parquet'"
+    ).fetch_arrow_table()
+    keys = res["c_custkey"].to_numpy().astype(np.int64)
+    seg = res["c_mktsegment"].combine_chunks().dictionary_encode()
+    seg_names = seg.dictionary.to_pylist()
+    # dense array keyed by custkey: the broadcast small side (ray.put
+    # once, indexed per batch — no per-row Python lookups, no shuffle)
+    seg_idx = np.full(int(keys.max()) + 1, -1, np.int8)
+    seg_idx[keys] = seg.indices.to_numpy().astype(np.int8)
+    side_ref = ray.put((seg_idx, seg_names))
 
     class JoinFn:
         def __init__(self):
-            self.seg_of = ray.get(seg_ref)
+            self.seg_idx, self.seg_names = ray.get(side_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            keys = batch["o_custkey"].to_numpy()
+            k = batch["o_custkey"].to_numpy().astype(np.int64)
             cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
-            segs = [self.seg_of[int(k)] for k in keys]
-            df = pd.DataFrame({"c_mktsegment": segs, "total_cents": cents,
-                               "n_orders": np.ones(len(keys), np.int64)})
-            g = df.groupby("c_mktsegment", as_index=False).sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            code = self.seg_idx[k]
+            nbins = len(self.seg_names)
+            sums = np.bincount(code, weights=cents, minlength=nbins).astype(np.int64)
+            counts = np.bincount(code, minlength=nbins)
+            present = np.flatnonzero(counts)
+            return pa.table({
+                "c_mktsegment": pa.array([self.seg_names[c] for c in present]),
+                "total_cents": pa.array(sums[present]),
+                "n_orders": pa.array(counts[present].astype(np.int64)),
+            })
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(JoinFn, batch_format="pyarrow",
+    partials = ds.map_batches(JoinFn, batch_format="pyarrow", batch_size=None,
                               zero_copy_batch=True, concurrency=(1, 4))
-    return partials.groupby("c_mktsegment").aggregate(
-        Sum(on="n_orders", alias_name="n_orders"),
-        Sum(on="total_cents", alias_name="total_cents"),
-    )
+    return _final_combine(partials, ["c_mktsegment"],
+                          ["n_orders", "total_cents"])
 
 
 def top_orders(sf_dir: str):
@@ -157,26 +188,24 @@ def top_orders(sf_dir: str):
 def events_hourly(sf_dir: str):
     """Tumbling-window (hourly) event aggregate."""
     import ray
-    from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         ts = batch["ts"].to_numpy()  # datetime64[us]
         hour_id = ts.astype("datetime64[h]").astype(np.int64)
         cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
-        df = pd.DataFrame({"hour_id": hour_id, "n_events": np.ones(len(ts), np.int64),
-                           "value_cents": cents})
-        g = df.groupby("hour_id", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        uniq, inv = np.unique(hour_id, return_inverse=True)
+        return pa.table({
+            "hour_id": pa.array(uniq),
+            "n_events": pa.array(np.bincount(inv).astype(np.int64)),
+            "value_cents": pa.array(
+                np.bincount(inv, weights=cents).astype(np.int64)),
+        })
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("hour_id").aggregate(
-        Sum(on="n_events", alias_name="n_events"),
-        Sum(on="value_cents", alias_name="value_cents"),
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return _final_combine(partials, ["hour_id"], ["n_events", "value_cents"])
 
 
 # ---------------------------------------------------------------------------
@@ -216,24 +245,24 @@ def tile_assign(sf_dir: str, zoom: int = 8):
 def tile_counts(sf_dir: str, zoom: int = 8):
     """Per-tile point counts (the tiling manifest aggregate)."""
     import ray
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         lon = batch["lon"].to_numpy()
         lat = batch["lat"].to_numpy()
         x, y = tiles.lonlat_to_tile(lon, lat, zoom)
-        df = pd.DataFrame({"tile_x": x, "tile_y": y,
-                           "n_points": np.ones(len(x), np.int64)})
-        g = df.groupby(["tile_x", "tile_y"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        packed = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        uniq, inv = np.unique(packed, return_inverse=True)
+        return pa.table({
+            "tile_x": pa.array(uniq >> 32),
+            "tile_y": pa.array(uniq & 0xFFFFFFFF),
+            "n_points": pa.array(np.bincount(inv).astype(np.int64)),
+        })
 
     partials = customer_points(sf_dir).map_batches(partial, batch_format="pyarrow",
-                                                   zero_copy_batch=True)
-    return partials.groupby(["tile_x", "tile_y"]).aggregate(
-        Sum(on="n_points", alias_name="n_points")
-    )
+                                                   zero_copy_batch=True,
+                                                   batch_size=None)
+    # |tiles at zoom 8| x |blocks| stays driver-small; see _final_combine
+    return _final_combine(partials, ["tile_x", "tile_y"], ["n_points"])
 
 
 def supplier_rects(sf_dir: str) -> pa.Table:
@@ -498,7 +527,6 @@ def images_tile_counts(sf_dir: str, zoom: int = 4):
     """Image centroids -> per-tile counts (the image+spatial bridge:
     footprints as joinable payloads)."""
     import ray
-    from ray.data.aggregate import Sum
 
     from ..io import images as im
 
@@ -519,6 +547,4 @@ def images_tile_counts(sf_dir: str, zoom: int = 4):
             preserve_index=False)
 
     partials = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby(["tile_x", "tile_y"]).aggregate(
-        Sum(on="n_images", alias_name="n_images")
-    )
+    return _final_combine(partials, ["tile_x", "tile_y"], ["n_images"])
