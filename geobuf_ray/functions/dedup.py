@@ -128,6 +128,89 @@ def word_shingle_hashes(col, k: int = 3) -> list[np.ndarray]:
     return out
 
 
+def word_shingle_flat(col, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-vectorized :func:`word_shingle_hashes`.
+
+    Identical per-row output (asserted by tests), but one numpy program
+    over the batch's concatenated utf8 buffer instead of a Python loop
+    per row: tokenization, FNV token hashing (one round per byte
+    position, global), k-shingle polynomial combine, and per-row
+    dedup via one lexsort.  Returns ``(flat_hashes, row_offsets)``.
+    """
+    data, offs = _string_parts(col)
+    nrows = len(offs) - 1
+    empty = (np.empty(0, np.uint64), np.zeros(nrows + 1, np.int64))
+    if len(data) == 0 or nrows == 0:
+        return empty
+    is_sp = (data == 32) | (data == 10) | (data == 9)
+    row_start = np.zeros(len(data) + 1, bool)
+    inner = offs[:-1][offs[:-1] < len(data)]
+    row_start[inner] = True
+    prev_sp = np.concatenate(([True], is_sp[:-1]))
+    starts = np.flatnonzero(~is_sp & (prev_sp | row_start[: len(data)]))
+    next_sp = np.concatenate((is_sp[1:], [True]))
+    ends = np.flatnonzero(~is_sp & (next_sp | row_start[1: len(data) + 1])) + 1
+    if len(starts) == 0:
+        return empty
+    tok_row = np.searchsorted(offs, starts, side="right") - 1
+    tok_len = ends - starts
+    # FNV-1a over each token, one vectorized round per byte position
+    th = np.full(len(starts), np.uint64(14695981039346656037))
+    for j in range(int(tok_len.max())):
+        live = np.flatnonzero(tok_len > j)
+        th[live] = (th[live] ^ data[starts[live] + j].astype(np.uint64)) \
+            * np.uint64(1099511628211)
+
+    cnt = np.bincount(tok_row, minlength=nrows)
+    out_hash_parts = []
+    out_row_parts = []
+    nt = len(th)
+    if nt >= k:
+        sh = np.zeros(nt - k + 1, np.uint64)
+        for j in range(k):
+            sh = _mix(sh ^ th[j: nt - k + 1 + j], 31 + j)
+        valid = (tok_row[: nt - k + 1] == tok_row[k - 1:]) \
+            & (cnt[tok_row[: nt - k + 1]] >= k)
+        out_hash_parts.append(sh[valid])
+        out_row_parts.append(tok_row[: nt - k + 1][valid])
+    small_rows = np.flatnonzero((cnt > 0) & (cnt < k))
+    if len(small_rows):
+        mixed = _mix(th, 5)
+        nonempty = np.flatnonzero(cnt > 0)
+        tok_starts = np.concatenate(([0], np.cumsum(cnt)))[nonempty]
+        row_sums = np.add.reduceat(mixed, tok_starts)
+        sel = np.isin(nonempty, small_rows)
+        out_hash_parts.append(row_sums[sel])
+        out_row_parts.append(nonempty[sel])
+    h = np.concatenate(out_hash_parts) if out_hash_parts else np.empty(0, np.uint64)
+    r = np.concatenate(out_row_parts) if out_row_parts else np.empty(0, np.int64)
+    # per-row unique
+    order = np.lexsort((h, r))
+    h, r = h[order], r[order]
+    keep = np.concatenate(([True], (h[1:] != h[:-1]) | (r[1:] != r[:-1])))
+    h, r = h[keep], r[keep]
+    row_offs = np.zeros(nrows + 1, np.int64)
+    np.cumsum(np.bincount(r, minlength=nrows), out=row_offs[1:])
+    return h, row_offs
+
+
+def minhash_matrix(flat: np.ndarray, row_offs: np.ndarray,
+                   num_hashes: int = 64, seed: int = 42) -> np.ndarray:
+    """Batch-vectorized :func:`minhash_signatures` over flat shingles:
+    one mix pass + one ``minimum.reduceat`` per hash function."""
+    n = len(row_offs) - 1
+    sig = np.full((n, num_hashes), np.iinfo(np.uint64).max, np.uint64)
+    lens = np.diff(row_offs)
+    nz = lens > 0
+    if not nz.any():
+        return sig
+    starts = row_offs[:-1][nz]
+    for j in range(num_hashes):
+        m = _mix(flat, seed + j)
+        sig[nz, j] = np.minimum.reduceat(m, starts)
+    return sig
+
+
 def minhash_signatures(shingles: list[np.ndarray], num_hashes: int = 64,
                        seed: int = 42) -> np.ndarray:
     """(n x num_hashes) uint64 minhash matrix via seeded mixes."""
@@ -199,8 +282,8 @@ class MinHashFn:
         self.num_hashes, self.bands, self.k, self.seed = num_hashes, bands, shingle_k, seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = word_shingle_hashes(batch[self.text_col], self.k)
-        sig = minhash_signatures(sh, self.num_hashes, self.seed)
+        flat, row_offs = word_shingle_flat(batch[self.text_col], self.k)
+        sig = minhash_matrix(flat, row_offs, self.num_hashes, self.seed)
         bk = band_keys(sig, self.bands)
         n = batch.num_rows
         ids = batch[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)
@@ -215,53 +298,111 @@ class MinHashFn:
         })
 
 
+def _hot_bucket_candidates(sig_ds, schema: pa.Schema):
+    """Rows whose ``bucket`` has >=2 members, collected driver-side.
+
+    Per-block partial bucket counts (vectorized tasks) -> tiny driver
+    combine -> broadcast sorted hot-bucket array captured in a task
+    closure (it is O(duplicate buckets), a few KB) -> filtered rows
+    collected.  Most buckets are singletons, so what reaches the driver
+    is O(duplicates), not O(rows); at extreme scale the combine moves
+    into ``groupby(bucket).count()`` with the same semantics."""
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            batch["bucket"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"bucket": pa.array(uniq, pa.uint64()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = pa.Table.from_pylist(
+        sig_ds.map_batches(bucket_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all(),
+        schema=pa.schema([("bucket", pa.uint64()), ("cnt", pa.int64())]))
+    if parts.num_rows == 0:
+        return None
+    b = parts["bucket"].to_numpy(zero_copy_only=False)
+    c = parts["cnt"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(b, return_inverse=True)
+    totals = np.bincount(inv, weights=c)
+    hot = np.sort(uniq[totals >= 2])
+    if len(hot) == 0:
+        return None
+
+    def hot_filter(batch: pa.Table, hot=hot) -> pa.Table:
+        bk = batch["bucket"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(hot, bk)
+        pos[pos == len(hot)] = 0
+        return batch.filter(pa.array(hot[pos] == bk))
+
+    return pa.Table.from_pylist(
+        sig_ds.map_batches(hot_filter, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all(),
+        schema=schema)
+
+
 def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
                             num_hashes=64, bands=16, shingle_k=3,
-                            sim_threshold=0.6, concurrency=(1, 8), **map_kwargs):
+                            sim_threshold=0.6, concurrency=None, **map_kwargs):
     """docs Dataset -> candidate near-dup pairs via MinHash LSH.
 
     Returns a pyarrow Table (id_a, id_b, est_jaccard) — estimated from
     signature agreement, deduplicated across bands.  Sub-quadratic: the
     only shuffle is groupby(bucket).
     """
-    sig_ds = ds.map_batches(
-        MinHashFn,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
-                                   num_hashes=num_hashes, bands=bands,
-                                   shingle_k=shingle_k),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency, **map_kwargs,
-    )
+    if concurrency is None:
+        # parameter-only "state": a pickled instance in a task pool
+        # avoids actor startup latency; pass concurrency for a real
+        # actor pool when per-worker init matters
+        fn = MinHashFn(text_col=text_col, id_col=id_col,
+                       num_hashes=num_hashes, bands=bands,
+                       shingle_k=shingle_k)
+        sig_ds = ds.map_batches(fn, batch_format="pyarrow",
+                                zero_copy_batch=True, **map_kwargs)
+    else:
+        sig_ds = ds.map_batches(
+            MinHashFn,
+            fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
+                                       num_hashes=num_hashes, bands=bands,
+                                       shingle_k=shingle_k),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency, **map_kwargs,
+        )
+    sig_ds = sig_ds.materialize()
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "est_jaccard": pa.array([], pa.float64())})
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        sigs = np.asarray(group["signature"].to_pylist(), np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, sigs = ids[order], sigs[order]
-        ia, ib, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                agree = float((sigs[i] == sigs[j]).mean())
-                ia.append(int(ids[i])); ib.append(int(ids[j])); est.append(agree)
-        return pa.table({"id_a": pa.array(ia, pa.int64()),
-                         "id_b": pa.array(ib, pa.int64()),
-                         "est_jaccard": pa.array(est, pa.float64())})
-
-    pair_ds = sig_ds.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
-    pairs = pa.Table.from_pylist(pair_ds.take_all())  # O(candidates), small
-    if pairs.num_rows == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "est_jaccard": pa.array([], pa.float64())})
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+    cand = _hot_bucket_candidates(
+        sig_ds,
+        pa.schema([(id_col, pa.int64()), ("band", pa.int32()),
+                   ("bucket", pa.uint64()),
+                   ("signature", pa.list_(pa.uint64()))]))
+    if cand is None or cand.num_rows == 0:
+        return empty
+    ids = cand[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    buckets = cand["bucket"].to_numpy(zero_copy_only=False)
+    sigm = np.asarray(cand["signature"].to_pylist(), np.uint64)
+    order = np.lexsort((ids, buckets))
+    ids, buckets, sigm = ids[order], buckets[order], sigm[order]
+    grp_start = np.flatnonzero(
+        np.concatenate(([True], buckets[1:] != buckets[:-1])))
+    grp_end = np.append(grp_start[1:], len(buckets))
+    ia, ib, est = [], [], []
+    for s, e in zip(grp_start, grp_end):
+        if e - s < 2:
+            continue
+        gi = ids[s:e]
+        gs = sigm[s:e]
+        agree = (gs[:, None, :] == gs[None, :, :]).mean(axis=2)
+        iu, ju = np.triu_indices(e - s, k=1)
+        ok = gi[iu] != gi[ju]
+        ia.append(gi[iu][ok]); ib.append(gi[ju][ok]); est.append(agree[iu, ju][ok])
+    if not ia:
+        return empty
+    pairs = pa.table({"id_a": pa.array(np.concatenate(ia)),
+                      "id_b": pa.array(np.concatenate(ib)),
+                      "est_jaccard": pa.array(np.concatenate(est))})
     # dedupe pairs found by several bands; keep max estimate; filter
-    import pyarrow.compute as pc_
-
     df = pairs.to_pandas().groupby(["id_a", "id_b"], as_index=False)["est_jaccard"].max()
     df = df[df["est_jaccard"] >= sim_threshold]
     return pa.Table.from_pandas(df.sort_values(["id_a", "id_b"]).reset_index(drop=True))
@@ -357,31 +498,39 @@ def simhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
             "simhash": pa.array(hh, pa.uint64()),
         })
 
-    sig = ds.map_batches(emit_blocks, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
+    sig = ds.map_batches(emit_blocks, batch_format="pyarrow",
+                         zero_copy_batch=True, **map_kwargs).materialize()
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        hs = group["simhash"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids, hs = ids[order], hs[order]
-        ia, ib, dd = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = int(hamming_distance(hs[i : i + 1], hs[j : j + 1])[0])
-                if d <= max_distance:
-                    ia.append(int(ids[i])); ib.append(int(ids[j])); dd.append(d)
-        return pa.table({"id_a": pa.array(ia, pa.int64()),
-                         "id_b": pa.array(ib, pa.int64()),
-                         "distance": pa.array(dd, pa.int64())})
-
-    pair_ds = sig.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
-    pairs = pa.Table.from_pylist(pair_ds.take_all())
-    if pairs.num_rows == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "distance": pa.array([], pa.int64())})
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "distance": pa.array([], pa.int64())})
+    cand = _hot_bucket_candidates(
+        sig, pa.schema([(id_col, pa.int64()), ("bucket", pa.uint64()),
+                        ("simhash", pa.uint64())]))
+    if cand is None or cand.num_rows == 0:
+        return empty
+    ids = cand[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    buckets = cand["bucket"].to_numpy(zero_copy_only=False)
+    hs = cand["simhash"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, buckets))
+    ids, buckets, hs = ids[order], buckets[order], hs[order]
+    grp_start = np.flatnonzero(
+        np.concatenate(([True], buckets[1:] != buckets[:-1])))
+    grp_end = np.append(grp_start[1:], len(buckets))
+    ia, ib, dd = [], [], []
+    for s, e in zip(grp_start, grp_end):
+        if e - s < 2:
+            continue
+        gi, gh = ids[s:e], hs[s:e]
+        iu, ju = np.triu_indices(e - s, k=1)
+        d = hamming_distance(gh[iu], gh[ju])
+        ok = (d <= max_distance) & (gi[iu] != gi[ju])
+        ia.append(gi[iu][ok]); ib.append(gi[ju][ok]); dd.append(d[ok].astype(np.int64))
+    if not ia:
+        return empty
+    pairs = pa.table({"id_a": pa.array(np.concatenate(ia)),
+                      "id_b": pa.array(np.concatenate(ib)),
+                      "distance": pa.array(np.concatenate(dd))})
     df = pairs.to_pandas().groupby(["id_a", "id_b"], as_index=False)["distance"].min()
     return pa.Table.from_pandas(df.sort_values(["id_a", "id_b"]).reset_index(drop=True))
 

@@ -441,7 +441,7 @@ def docs_minhash_pairs(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return minhash_candidate_pairs(ds, sim_threshold=0.5, concurrency=(1, 2))
+    return minhash_candidate_pairs(ds, sim_threshold=0.5)
 
 
 def docs_simhash_pairs(sf_dir: str):

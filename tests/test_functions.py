@@ -212,3 +212,24 @@ def test_embedding_dedup_pairs(ray_session):
     got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
     for i in range(10):
         assert (i, 100 + i) in got, i
+
+
+def test_vectorized_shingles_match_perrow_oracle():
+    """word_shingle_flat / minhash_matrix must equal the per-row
+    reference implementations exactly (same hashes, same order)."""
+    tbl = _docs_table(150)
+    # add edge rows: empty, whitespace-only, one-token, two-token
+    extra = pa.table({
+        "doc_id": pa.array([900, 901, 902, 903], pa.int64()),
+        "text": pa.array(["", "   \t\n ", "solo", "two words"], pa.string()),
+    })
+    col = pa.concat_tables([tbl, extra])["text"]
+    per_row = dedup.word_shingle_hashes(col, 3)
+    flat, offs = dedup.word_shingle_flat(col, 3)
+    assert len(offs) == len(per_row) + 1
+    for i, sh in enumerate(per_row):
+        got = flat[offs[i]:offs[i + 1]]
+        assert np.array_equal(got, sh), f"row {i}"
+    sig_a = dedup.minhash_signatures(per_row, 32, 42)
+    sig_b = dedup.minhash_matrix(flat, offs, 32, 42)
+    assert np.array_equal(sig_a, sig_b)
