@@ -163,58 +163,76 @@ def _decode_geometries(data, scan, n):
     gtype = np.where(gcode <= 6, gcode, gcode >> 4)
     dim = np.where(gcode <= 6, 2, gcode & 0xF).astype(np.int64)
 
-    # structure walk over the decoded value stream (per ring — cheap)
-    ring_sizes_per_rec: list[list[int]] = [[] for _ in range(n)]
-    poly_sizes_per_rec: list[list[int]] = [[] for _ in range(n)]
-    vertex_mask = np.ones(len(values), bool)
-    vals_list = values.tolist()  # scalar access is much faster on a list
-    for i in range(n):
-        s, e = int(rec_val_starts[i]), int(rec_val_ends[i])
-        if s == e:
-            continue
-        g = int(gtype[i])
-        d = int(dim[i])
-        rs = ring_sizes_per_rec[i]
-        ps = poly_sizes_per_rec[i]
-        if g == POINT:
-            rs.append(1)
-            ps.append(1)
-        elif g in (LINESTRING, MULTIPOINT):
-            rs.append((e - s) // d)
-            ps.append(1)
-        elif g in (POLYGON, MULTILINESTRING):
-            p = s
-            while p < e:
-                cnt = vals_list[p]
-                vertex_mask[p] = False
-                if cnt == 0:
-                    # count omitted: remaining values to end of record
-                    cnt = e - (p + 1)
-                rs.append(cnt // d)
-                p += 1 + cnt
-            ps.append(len(rs))
-        elif g == MULTIPOLYGON:
-            p = s
-            while p < e:
-                nrings = vals_list[p]
-                vertex_mask[p] = False
-                p += 1
-                ps.append(nrings)
-                for _ in range(nrings):
+    nvals_per_rec = rec_val_ends - rec_val_starts
+    has_prefix = np.isin(gtype, (POLYGON, MULTILINESTRING, MULTIPOLYGON))
+    if not (has_prefix & (nvals_per_rec > 0)).any():
+        # fast path — no ring/poly count prefixes in the batch (Point/
+        # LineString/MultiPoint): every value is a vertex value and the
+        # structure is fully vectorizable, no per-record Python walk
+        nz = np.flatnonzero(nvals_per_rec > 0)
+        rec_nrings = (nvals_per_rec > 0).astype(np.int64)
+        ring_sizes_flat = np.where(
+            gtype[nz] == POINT, 1,
+            nvals_per_rec[nz] // np.maximum(dim[nz], 1)).astype(np.int64)
+        rec_npolys = rec_nrings
+        poly_sizes_flat = np.ones(len(nz), np.int64)
+        vvals = values
+    else:
+        # structure walk over the decoded value stream (per ring — cheap)
+        ring_sizes_per_rec: list[list[int]] = [[] for _ in range(n)]
+        poly_sizes_per_rec: list[list[int]] = [[] for _ in range(n)]
+        vertex_mask = np.ones(len(values), bool)
+        vals_list = values.tolist()  # scalar access is much faster on a list
+        for i in range(n):
+            s, e = int(rec_val_starts[i]), int(rec_val_ends[i])
+            if s == e:
+                continue
+            g = int(gtype[i])
+            d = int(dim[i])
+            rs = ring_sizes_per_rec[i]
+            ps = poly_sizes_per_rec[i]
+            if g == POINT:
+                rs.append(1)
+                ps.append(1)
+            elif g in (LINESTRING, MULTIPOINT):
+                rs.append((e - s) // d)
+                ps.append(1)
+            elif g in (POLYGON, MULTILINESTRING):
+                p = s
+                while p < e:
                     cnt = vals_list[p]
                     vertex_mask[p] = False
+                    if cnt == 0:
+                        # count omitted: remaining values to end of record
+                        cnt = e - (p + 1)
                     rs.append(cnt // d)
                     p += 1 + cnt
-        else:
-            raise ValueError(f"bad geom type {g} in record {i}")
+                ps.append(len(rs))
+            elif g == MULTIPOLYGON:
+                p = s
+                while p < e:
+                    nrings = vals_list[p]
+                    vertex_mask[p] = False
+                    p += 1
+                    ps.append(nrings)
+                    for _ in range(nrings):
+                        cnt = vals_list[p]
+                        vertex_mask[p] = False
+                        rs.append(cnt // d)
+                        p += 1 + cnt
+            else:
+                raise ValueError(f"bad geom type {g} in record {i}")
+        vvals = values[vertex_mask]
+        ring_sizes_flat = np.asarray(
+            [x for rs in ring_sizes_per_rec for x in rs], np.int64
+        )
+        rec_nrings = np.asarray([len(rs) for rs in ring_sizes_per_rec], np.int64)
+        poly_sizes_flat = np.asarray(
+            [x for ps in poly_sizes_per_rec for x in ps], np.int64
+        )
+        rec_npolys = np.asarray([len(ps) for ps in poly_sizes_per_rec], np.int64)
 
-    vvals = values[vertex_mask]
     deltas = vi.zigzag_decode(vvals)
-    # per-vertex-value ring-start mask for the segmented cumsum
-    ring_sizes_flat = np.asarray(
-        [x for rs in ring_sizes_per_rec for x in rs], np.int64
-    )
-    rec_nrings = np.asarray([len(rs) for rs in ring_sizes_per_rec], np.int64)
     ring_dim = np.repeat(dim, rec_nrings)
     ring_vals = ring_sizes_flat * ring_dim
     # Point geometries store exactly 2 values regardless of claimed dim
@@ -254,8 +272,10 @@ def _decode_geometries(data, scan, n):
         "dim": dim,
         "coords": coords,
         "coords_per_rec": coords_per_rec,
-        "ring_sizes_per_rec": ring_sizes_per_rec,
-        "poly_sizes_per_rec": poly_sizes_per_rec,
+        "ring_sizes_flat": ring_sizes_flat,
+        "rec_nrings": rec_nrings,
+        "poly_sizes_flat": poly_sizes_flat,
+        "rec_npolys": rec_npolys,
     }
 
 
@@ -350,11 +370,13 @@ def decode_batch(records, include_bbox: bool = False) -> pa.Table:
     cols["coords"] = pa.ListArray.from_arrays(
         pa.array(c_offsets, type=pa.int32()), pa.array(geo["coords"])
     )
-    cols["ring_sizes"] = pa.array(
-        geo["ring_sizes_per_rec"], type=pa.list_(pa.int32())
+    r_offs = np.concatenate(([0], np.cumsum(geo["rec_nrings"]))).astype(np.int32)
+    cols["ring_sizes"] = pa.ListArray.from_arrays(
+        pa.array(r_offs), pa.array(geo["ring_sizes_flat"].astype(np.int32))
     )
-    cols["poly_sizes"] = pa.array(
-        geo["poly_sizes_per_rec"], type=pa.list_(pa.int32())
+    p_offs = np.concatenate(([0], np.cumsum(geo["rec_npolys"]))).astype(np.int32)
+    cols["poly_sizes"] = pa.ListArray.from_arrays(
+        pa.array(p_offs), pa.array(geo["poly_sizes_flat"].astype(np.int32))
     )
     if include_bbox:
         cols["bbox"] = decode_bbox(data, scan["bbox_start"])

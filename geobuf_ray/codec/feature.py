@@ -361,13 +361,13 @@ def _geometry_segments(table: pa.Table):
         pref_flat = pref_flat[np.repeat(has_geom, pref_lens)]
         pref_lens = np.where(has_geom, pref_lens, 0)
     payload_lens = np.where(has_geom, geom_payload_lens, 0)
-    geom_flat, geom_lens = vi.rowwise_concat(
-        [
-            (head[has_geom].reshape(-1), head_lens),
-            (pref_flat, pref_lens),
-            (flat, payload_lens),
-        ]
-    )
+    # returned as separate (flat, lens) pass-through segments so the
+    # payload bytes are scattered ONCE in encode_batch's final concat
+    geom_segments = [
+        (head[has_geom].reshape(-1), head_lens),
+        (pref_flat, pref_lens),
+        (flat, payload_lens),
+    ]
 
     # ---- bbox section (W,S,E,N), from FLOAT coords then truncate ----
     if len(pt_dim):
@@ -394,16 +394,14 @@ def _geometry_segments(table: pa.Table):
         bhead[:, 0] = 0x2A
         bhead[:, 1] = per_feat_b.astype(np.uint8)  # always < 41 < 128
         bhead_lens = np.where(nz, 2, 0).astype(np.int64)
-        bbox_flat, bbox_lens = vi.rowwise_concat(
-            [
-                (bhead.reshape(-1), bhead_lens),
-                (bflat, np.where(nz, bbox_payload_lens, 0)),
-            ]
-        )
+        bbox_segments = [
+            (bhead.reshape(-1), bhead_lens),
+            (bflat, np.where(nz, bbox_payload_lens, 0)),
+        ]
     else:
-        bbox_flat, bbox_lens = np.empty(0, np.uint8), np.zeros(n, np.int64)
+        bbox_segments = [(np.empty(0, np.uint8), np.zeros(n, np.int64))]
 
-    return geom_flat, geom_lens, bbox_flat, bbox_lens
+    return geom_segments, bbox_segments
 
 
 def encode_batch(
@@ -446,10 +444,10 @@ def encode_batch(
 
     # geometry + bbox
     if "coords" in table.column_names:
-        geom_flat, geom_lens, bbox_flat, bbox_lens = _geometry_segments(table)
-        segments.append((geom_flat, geom_lens))
+        geom_segments, bbox_segments = _geometry_segments(table)
+        segments.extend(geom_segments)
         if write_bbox:
-            segments.append((bbox_flat, bbox_lens))
+            segments.extend(bbox_segments)
 
     flat, row_lens = vi.rowwise_concat(segments)
     offsets = np.concatenate(([0], np.cumsum(row_lens))).astype(np.int32)

@@ -148,12 +148,20 @@ def rowwise_concat(
         row_lens += l
     total = int(row_lens.sum())
     out = np.empty(total, dtype=np.uint8)
-    row_starts = np.concatenate(([0], np.cumsum(row_lens)[:-1]))
+    # int32 index math (blocks are far below 2 GiB) and a single
+    # repeat per segment: within a segment the source bytes are already
+    # consecutive, so dst = arange(seg_total) + per-row shift — no
+    # second repeat for a position ramp
+    idx_t = np.int32 if total < 2**31 else np.int64
+    row_starts = np.cumsum(row_lens, dtype=np.int64) - row_lens
     offset_within = np.zeros(n, dtype=np.int64)
     for flat, l in segments:
         if len(flat) == 0:
             continue
-        dst = np.repeat(row_starts + offset_within, l) + ramp(l)
+        seg_starts = np.cumsum(l, dtype=np.int64) - l
+        shift = (row_starts + offset_within - seg_starts).astype(idx_t)
+        dst = np.repeat(shift, l)
+        dst += np.arange(len(flat), dtype=idx_t)
         out[dst] = flat
         offset_within += l
     return out, row_lens
