@@ -156,13 +156,15 @@ def image_centroid(image_id: str) -> tuple[float, float]:
     return -180.0 + u1 * 360.0, -85.0 + u2 * 170.0
 
 
-def synthesize_image_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
-    """Deterministic image+caption table slice [start, start+n)."""
-    rng = np.random.default_rng(seed)
-    # draw per-row params from a jumping generator so any slice is
-    # reproducible independently of chunking
+def synthesize_rows(indices) -> pa.Table:
+    """Deterministic image+caption rows for arbitrary indices.
+
+    Each row is derived from its own jumping generator, so any slice /
+    shuffle of indices reproduces identical rows — the property that
+    makes distributed synthesis chunking-independent."""
+    seed = 42
     ids, blobs, ws, hs, fmts, caps, ph = [], [], [], [], [], [], []
-    for i in range(start, start + n):
+    for i in (int(x) for x in indices):
         r = np.random.default_rng(seed * 1_000_003 + i)
         image_id = f"img{i:012d}"
         w = int(_SIZES[r.integers(0, len(_SIZES))])
@@ -187,6 +189,29 @@ def synthesize_image_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
         "caption": pa.array(caps, pa.string()),
         "phash": pa.array(ph, pa.int64()),
     })
+
+
+def synthesize_image_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
+    """Driver-side slice [start, start+n) — tests / small fixtures."""
+    assert seed == 42, "row derivation is pinned to seed 42"
+    return synthesize_rows(range(start, start + n))
+
+
+def synthesize_image_dataset(n: int, **map_kwargs):
+    """DISTRIBUTED synthesis: the Lance-shaped table as a Dataset.
+
+    ``ray.data.range`` supplies the index space; each block synthesizes
+    its own rows (pixels, payload compress, phash) in parallel — the
+    generation cost never lands on the driver."""
+    import ray
+
+    ds = ray.data.range(n)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return synthesize_rows(batch["id"].to_numpy(zero_copy_only=False))
+
+    return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=64, **map_kwargs)
 
 
 def read_image_table(path: str, **kwargs):

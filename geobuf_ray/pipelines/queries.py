@@ -504,8 +504,7 @@ def images_decode_stats(sf_dir: str):
     from ..io import images as im
 
     n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
-    tbl = im.synthesize_image_table(n)
-    ds = ray.data.from_arrow(tbl)
+    ds = im.synthesize_image_dataset(n)
     out = im.decode_images(ds, batch_size=32, concurrency=(1, 4))
 
     def project(batch: pa.Table) -> pa.Table:
@@ -531,20 +530,21 @@ def images_tile_counts(sf_dir: str, zoom: int = 4):
     from ..io import images as im
 
     n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
-    tbl = im.synthesize_image_table(n)
-    ds = ray.data.from_arrow(tbl.select(["image_id"]))
+    # ids are index-derived; no need to synthesize pixel payloads here
+    ds = ray.data.range(n)
 
     def assign(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        ids = batch["image_id"].to_pylist()
+        idx = batch["id"].to_numpy(zero_copy_only=False)
+        ids = [f"img{int(i):012d}" for i in idx]
         lons, lats = zip(*(im.image_centroid(i) for i in ids))
         x, y = tiles.lonlat_to_tile(np.asarray(lons), np.asarray(lats), zoom)
-        df = pd.DataFrame({"tile_x": x, "tile_y": y,
-                           "n_images": np.ones(len(x), np.int64)})
-        return pa.Table.from_pandas(
-            df.groupby(["tile_x", "tile_y"], as_index=False).sum(),
-            preserve_index=False)
+        packed = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        uniq, inv = np.unique(packed, return_inverse=True)
+        return pa.table({
+            "tile_x": pa.array(uniq >> 32),
+            "tile_y": pa.array(uniq & 0xFFFFFFFF),
+            "n_images": pa.array(np.bincount(inv).astype(np.int64)),
+        })
 
     partials = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     return _final_combine(partials, ["tile_x", "tile_y"], ["n_images"])
