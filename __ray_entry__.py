@@ -54,6 +54,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q.orders_by_segment,
         "top_orders": q.top_orders,
         "events_hourly": q.events_hourly,
+        "events_sliding": q.events_sliding,
+        "parts_by_brand": q.parts_by_brand,
+        "customers_without_orders": q.customers_without_orders,
+        "top_lineitems_per_supplier": q.top_lineitems_per_supplier,
         # spatial engine (A1 bbox, M tile assign, A3 tile counts,
         # §2.5 PIP join + kNN, M1/M2 codec round-trip)
         "points_bbox": q.points_bbox,
@@ -105,6 +109,47 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY hour_id
+        """,
+        "events_sliding": """
+            SELECT hour_id,
+                   CAST(SUM(n_events) OVER w AS BIGINT) AS w_events,
+                   CAST(SUM(value_cents) OVER w AS BIGINT) AS w_value_cents
+            FROM (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_id,
+                       COUNT(*) AS n_events,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+                FROM events GROUP BY hour_id
+            ) WINDOW w AS (ORDER BY hour_id RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "parts_by_brand": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice >= 450000.0
+            )
+        """,
+        "top_lineitems_per_supplier": """
+            SELECT l_suppkey, CAST(rnk AS INTEGER) AS rank,
+                   l_orderkey, l_linenumber, cents
+            FROM (
+                SELECT l_suppkey, CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                       row_number() OVER (
+                           PARTITION BY l_suppkey
+                           ORDER BY round(l_extendedprice * 100) DESC,
+                                    l_orderkey, l_linenumber
+                       ) AS rnk
+                FROM lineitem
+            ) WHERE rnk <= 3
         """,
         "points_bbox": f"""
             SELECT min({_LON}) AS west, min({_LAT}) AS south,

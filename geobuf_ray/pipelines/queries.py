@@ -208,6 +208,177 @@ def events_hourly(sf_dir: str):
     return _final_combine(partials, ["hour_id"], ["n_events", "value_cents"])
 
 
+def events_sliding(sf_dir: str, window: int = 3):
+    """Sliding 3-hour moving sum over the hourly aggregate — the
+    windowed-aggregate shape (frame = current and 2 preceding hours).
+
+    Distributed hourly partials (events_hourly) + a driver-side rolling
+    pass over the tiny per-hour table (|hours| rows)."""
+    hourly = events_hourly(sf_dir).sort_by("hour_id")
+    hours = hourly["hour_id"].to_numpy()
+    cents = hourly["value_cents"].to_numpy()
+    nev = hourly["n_events"].to_numpy()
+    # hours are contiguous in the testdata, but handle gaps: a frame is
+    # hours in (h - window, h]
+    csum_c = np.concatenate(([0], np.cumsum(cents)))
+    csum_n = np.concatenate(([0], np.cumsum(nev)))
+    lo = np.searchsorted(hours, hours - (window - 1), side="left")
+    hi = np.arange(1, len(hours) + 1)
+    return pa.table({
+        "hour_id": pa.array(hours),
+        "w_events": pa.array((csum_n[hi] - csum_n[lo]).astype(np.int64)),
+        "w_value_cents": pa.array((csum_c[hi] - csum_c[lo]).astype(np.int64)),
+    })
+
+
+def parts_by_brand(sf_dir: str):
+    """lineitem x part broadcast join -> per-brand quantity/revenue.
+
+    Second join shape: the part table (small side) ships once via
+    ray.put as dense arrays keyed by partkey; lineitem streams."""
+    import duckdb
+    import ray
+
+    side = duckdb.connect().execute(
+        f"SELECT p_partkey, p_brand FROM '{sf_dir}/part.parquet'"
+    ).fetch_arrow_table()
+    pk = side["p_partkey"].to_numpy().astype(np.int64)
+    brand = side["p_brand"].combine_chunks().dictionary_encode()
+    brand_names = brand.dictionary.to_pylist()
+    brand_idx = np.full(int(pk.max()) + 1, -1, np.int16)
+    brand_idx[pk] = brand.indices.to_numpy().astype(np.int16)
+    side_ref = ray.put((brand_idx, brand_names))
+
+    class JoinFn:
+        def __init__(self):
+            self.brand_idx, self.brand_names = ray.get(side_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch["l_partkey"].to_numpy().astype(np.int64)
+            qty = batch["l_quantity"].to_numpy().astype(np.int64)
+            cents = np.round(
+                batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            code = self.brand_idx[k].astype(np.int64)
+            nbins = len(self.brand_names)
+            sums_q = np.bincount(code, weights=qty, minlength=nbins).astype(np.int64)
+            sums_c = np.bincount(code, weights=cents, minlength=nbins).astype(np.int64)
+            counts = np.bincount(code, minlength=nbins)
+            present = np.flatnonzero(counts)
+            return pa.table({
+                "p_brand": pa.array([self.brand_names[c] for c in present]),
+                "sum_qty": pa.array(sums_q[present]),
+                "sum_cents": pa.array(sums_c[present]),
+                "n_items": pa.array(counts[present].astype(np.int64)),
+            })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    partials = ds.map_batches(JoinFn, batch_format="pyarrow", batch_size=None,
+                              zero_copy_batch=True, concurrency=(1, 4))
+    return _final_combine(partials, ["p_brand"],
+                          ["sum_qty", "sum_cents", "n_items"])
+
+
+def customers_without_orders(sf_dir: str, min_price: float = 450000.0):
+    """Anti-join: customers with no order of totalprice >= min_price.
+
+    The distinct qualifying-custkey set is collected as a sorted int
+    array (distinct partial per block -> driver union) and broadcast;
+    the customer stream filters against it — no shuffle.  (Every
+    customer has SOME order in this data, so the filter keeps the
+    result non-trivial.)"""
+    import ray
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy()
+        keys = batch["o_custkey"].to_numpy()[price >= min_price]
+        return pa.table({"k": pa.array(np.unique(keys))})
+
+    parts = orders.map_batches(distinct, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None).take_all()
+    have = np.unique(np.concatenate(
+        [np.asarray([r["k"] for r in parts], np.int64)])) if parts else np.empty(0, np.int64)
+    have_ref = ray.put(have)
+
+    class AntiFn:
+        def __init__(self):
+            self.have = ray.get(have_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch["c_custkey"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(self.have, k)
+            pos[pos == len(self.have)] = max(len(self.have) - 1, 0)
+            miss = (self.have[pos] != k) if len(self.have) else np.ones(len(k), bool)
+            return batch.filter(pa.array(miss))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    return cust.map_batches(AntiFn, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=(1, 4))
+
+
+def top_lineitems_per_supplier(sf_dir: str, k: int = 3):
+    """Per-group top-k: each supplier's k highest-revenue lineitems.
+
+    Per-block partial top-k per supplier (vectorized lexsort + rank
+    mask) -> driver merge of the bounded (|suppliers| x k x blocks)
+    candidates."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy().astype(np.int64)
+        ok = batch["l_orderkey"].to_numpy().astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        # sort by (supp, -cents, orderkey, linenumber); keep first k per supp
+        order = np.lexsort((ln, ok, -cents, sk))
+        s = sk[order]
+        new_grp = np.concatenate(([True], s[1:] != s[:-1]))
+        grp_id = np.cumsum(new_grp) - 1
+        grp_first = np.flatnonzero(new_grp)
+        rank = np.arange(len(s)) - grp_first[grp_id]
+        keep = rank < k
+        sel = order[keep]
+        return pa.table({
+            "l_suppkey": pa.array(sk[sel]),
+            "l_orderkey": pa.array(ok[sel]),
+            "l_linenumber": pa.array(ln[sel]),
+            "cents": pa.array(cents[sel]),
+        })
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None).take_all())
+    sk = cand["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ok = cand["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ln = cand["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = cand["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ln, ok, -cents, sk))
+    s = sk[order]
+    new_grp = np.concatenate(([True], s[1:] != s[:-1]))
+    grp_id = np.cumsum(new_grp) - 1
+    grp_first = np.flatnonzero(new_grp)
+    rank = np.arange(len(s)) - grp_first[grp_id]
+    keep = rank < k
+    sel = order[keep]
+    return pa.table({
+        "l_suppkey": pa.array(sk[sel]),
+        "rank": pa.array((rank[keep] + 1).astype(np.int32)),
+        "l_orderkey": pa.array(ok[sel]),
+        "l_linenumber": pa.array(ln[sel]),
+        "cents": pa.array(cents[sel]),
+    })
+
+
 # ---------------------------------------------------------------------------
 # spatial queries
 # ---------------------------------------------------------------------------
