@@ -76,10 +76,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": q.docs_simhash_pairs,
         # embeddings: similarity search + near-dup
         "embeddings_topk": q.embeddings_topk,
+        "embeddings_topk_ivf": q.embeddings_topk_ivf,
         "embeddings_dup_pairs": q.embeddings_dup_pairs,
         # image pipeline (rows-only: procedural payloads)
         "images_decode_stats": q.images_decode_stats,
         "images_tile_counts": q.images_tile_counts,
+        "images_in_rects": q.images_in_rects,
     }
 
 

@@ -662,9 +662,52 @@ def embeddings_dup_pairs(sf_dir: str):
     return embedding_dedup_pairs(both, threshold=0.999)
 
 
+def embeddings_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5,
+                        n_centroids: int = 16, nprobe: int = 6):
+    """Approximate ANN: IVF-partitioned top-k (the scale path — probe
+    only nprobe cells per query instead of scanning every vector).
+    Rows-only check; recall vs brute force is asserted in tests."""
+    from ..functions.ann import fit_centroids, ivf_topk
+
+    ds = _pq(sf_dir, "embeddings")
+    sample = pa.Table.from_pylist(ds.take(512))
+    mat = np.asarray(sample["embedding"].to_pylist(), np.float64)
+    cent = fit_centroids(mat, n_centroids)
+    queries = pa.Table.from_pylist(
+        ds.filter(lambda r: r["vec_id"] < n_queries).take_all())
+    out = ivf_topk(ds, queries, cent, k=k, nprobe=nprobe)
+    return out.select(["query_id", "rank", "vec_id"])
+
+
 # ---------------------------------------------------------------------------
 # image pipeline (rows-only checks: procedural payloads aren't SQL)
 # ---------------------------------------------------------------------------
+
+
+def images_in_rects(sf_dir: str, zoom: int = 5):
+    """Raster<->vector bridge: image centroids (raster payload side)
+    joined against supplier rectangles through the cell-pruned PIP
+    engine — the north_rule's footprints-as-joinable-payloads shape."""
+    import ray
+
+    from ..io import images as im
+    from ..spatial.join import point_in_polygon_join
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = ray.data.range(n)
+
+    def centroids(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy(zero_copy_only=False)
+        ids = [f"img{int(i):012d}" for i in idx]
+        lons, lats = zip(*(im.image_centroid(i) for i in ids))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "lon": pa.array(np.asarray(lons)),
+                         "lat": pa.array(np.asarray(lats))})
+
+    pts = ds.map_batches(centroids, batch_format="pyarrow", zero_copy_batch=True)
+    polys = supplier_rects(sf_dir)
+    joined = point_in_polygon_join(pts, polys, zoom=zoom, concurrency=(1, 4))
+    return joined.select_columns(["image_id", "polygon_id"])
 
 
 def images_decode_stats(sf_dir: str):

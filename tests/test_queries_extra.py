@@ -1,0 +1,45 @@
+"""Rows-only queries still get oracles here: IVF recall vs brute
+force, raster<->vector PIP vs a direct rectangle check."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    from geobuf_ray.pipelines import queries as q
+
+    exact = q.embeddings_topk(SF, k=5, n_queries=5)
+    approx = q.embeddings_topk_ivf(SF, k=5, n_queries=5)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.to_pylist()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.to_pylist()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"IVF recall {recall}"
+
+
+def test_images_in_rects_matches_direct_check(ray_session):
+    from geobuf_ray.io import images as im
+    from geobuf_ray.pipelines import queries as q
+
+    got = {(r["image_id"], r["polygon_id"])
+           for r in q.images_in_rects(SF).take_all()}
+    # direct oracle: every (centroid, rect) containment pair
+    import duckdb
+
+    keys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{SF}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    west = -180.0 + (keys * 37) % 300
+    south = -85.0 + (keys * 53) % 160
+    east = west + 5.0 + (keys % 7) * 3.0
+    north = south + 4.0 + (keys % 5) * 3.0
+    want = set()
+    for i in range(100):
+        iid = f"img{i:012d}"
+        lon, lat = im.image_centroid(iid)
+        hit = (lon >= west) & (lon <= east) & (lat >= south) & (lat <= north)
+        for k in keys[hit]:
+            want.add((iid, int(k)))
+    assert got == want
