@@ -54,8 +54,135 @@ def _binary_parts(records) -> tuple[np.ndarray, np.ndarray]:
     return data, offs
 
 
+class _UnknownTag(Exception):
+    pass
+
+
 def _structure_scan(data: np.ndarray, offs: np.ndarray):
-    """Walk tags/lengths of every record; no value decoding.
+    """Walk tags/lengths of every record; no value decoding."""
+    try:
+        return _structure_scan_vec(data, offs)
+    except _UnknownTag:
+        return _structure_scan_scalar(data, offs)
+
+
+def _structure_scan_vec(data: np.ndarray, offs: np.ndarray):
+    """Vectorized field walk: all records advance in lockstep rounds.
+
+    Round r processes the r-th field of every still-active record with
+    numpy branches per tag — no per-record Python.  Records containing
+    tags outside the writer's set raise ``_UnknownTag`` and the batch
+    falls back to the scalar walk (which skips by wire type)."""
+    n = len(offs) - 1
+    pos = offs[:-1].astype(np.int64).copy()
+    end = offs[1:].astype(np.int64)
+    ids = np.full(n, -1, np.int64)
+    has_id = np.zeros(n, bool)
+    geomcode = np.zeros(n, np.int16)
+    geom_start = np.zeros(n, np.int64)
+    geom_end = np.zeros(n, np.int64)
+    bbox_start = np.full(n, -1, np.int64)
+    pp_rec, pp_ks, pp_kl, pp_vt, pp_vs, pp_ve = [], [], [], [], [], []
+    guard = 0
+    while True:
+        act = np.flatnonzero(pos < end)
+        if len(act) == 0:
+            break
+        guard += 1
+        if guard > 10_000:  # malformed input: bail to scalar error paths
+            raise _UnknownTag
+        tags = data[pos[act]]
+        if not np.isin(tags, (0x08, 0x12, 0x18, 0x22, 0x2A)).all():
+            raise _UnknownTag
+        s18 = tags == 0x18
+        if s18.any():
+            gi = act[s18]
+            geomcode[gi] = data[pos[gi] + 1]
+            pos[gi] += 2
+        rest = ~s18
+        if rest.any():
+            ri = act[rest]
+            rp = pos[ri] + 1
+            v, nb = vi.gather_varints(data, rp)
+            after = rp + nb
+            vlen = v.astype(np.int64)
+            t = tags[rest]
+            m = t == 0x08
+            if m.any():
+                ids[ri[m]] = v[m].astype(np.int64)
+                has_id[ri[m]] = True
+                pos[ri[m]] = after[m]
+            m = t == 0x22
+            if m.any():
+                geom_start[ri[m]] = after[m]
+                geom_end[ri[m]] = after[m] + vlen[m]
+                pos[ri[m]] = after[m] + vlen[m]
+            m = t == 0x2A
+            if m.any():
+                bbox_start[ri[m]] = after[m]
+                pos[ri[m]] = after[m] + vlen[m]
+            m = t == 0x12
+            if m.any():
+                reci = ri[m]
+                pstart = after[m]
+                pend = pstart + vlen[m]
+                # key: 0x0A varint(klen) bytes (tag byte not re-checked,
+                # matching the scalar walk)
+                kl, knb = vi.gather_varints(data, pstart + 1)
+                ks = pstart + 1 + knb
+                vp = ks + kl.astype(np.int64)
+                cap = len(data) - 1
+                valid = (vp < pend) & (data[np.minimum(vp, cap)] == 0x12)
+                vl, vnb = vi.gather_varints(data, vp + 1)
+                vtag_pos = vp + 1 + vnb
+                vtag = data[np.minimum(vtag_pos, cap)].astype(np.int64)
+                vs = vtag_pos + 1
+                is_str = valid & (vtag == _T_STRING)
+                if is_str.any():
+                    _, snb = vi.gather_varints(data, vs[is_str])
+                    vs = vs.copy()
+                    vs[is_str] += snb
+                sel = np.flatnonzero(valid)
+                if len(sel):
+                    pp_rec.append(reci[sel])
+                    pp_ks.append(ks[sel])
+                    pp_kl.append(kl[sel].astype(np.int64))
+                    pp_vt.append(vtag[sel])
+                    pp_vs.append(vs[sel])
+                    pp_ve.append(pend[sel])
+                pos[reci] = pend
+    cat = (lambda parts, dt: np.concatenate(parts).astype(dt)
+           if parts else np.empty(0, np.int64))
+    p_rec = cat(pp_rec, np.int64)
+    p_ks = cat(pp_ks, np.int64)
+    p_kl = cat(pp_kl, np.int64)
+    p_vt = cat(pp_vt, np.int64)
+    p_vs = cat(pp_vs, np.int64)
+    p_ve = cat(pp_ve, np.int64)
+    if len(p_rec):
+        # rounds are field-position-major; restore the scalar walk's
+        # record-major order (kstart increases with field position)
+        order = np.lexsort((p_ks, p_rec))
+        p_rec, p_ks, p_kl = p_rec[order], p_ks[order], p_kl[order]
+        p_vt, p_vs, p_ve = p_vt[order], p_vs[order], p_ve[order]
+    return {
+        "ids": ids,
+        "has_id": has_id,
+        "geomcode": geomcode,
+        "geom_start": geom_start,
+        "geom_end": geom_end,
+        "bbox_start": bbox_start,
+        "p_rec": p_rec,
+        "p_kstart": p_ks,
+        "p_klen": p_kl,
+        "p_vtag": p_vt,
+        "p_vstart": p_vs,
+        "p_vend": p_ve,
+    }
+
+
+def _structure_scan_scalar(data: np.ndarray, offs: np.ndarray):
+    """Scalar fallback walk (handles unknown fields by wire type).
 
     Returns dict of numpy arrays describing spans (see keys below).
     """
@@ -393,18 +520,13 @@ def decode_bbox(data: np.ndarray, bbox_start: np.ndarray) -> pa.Array:
     have = bbox_start >= 0
     out_vals = np.zeros((n, 4), np.float64)
     if have.any():
-        # each bbox is 4 varints; decode a gathered stream
-        starts = bbox_start[have]
-        # max 4*10 bytes; find spans by decoding greedily: gather generous 40B
-        # windows is wasteful — instead walk scalar per record (cheap, 4 varints)
-        mv = data.tobytes()
-        dv = vi.decode_varint_scalar
+        # each bbox is 4 back-to-back varints: four vectorized rounds
+        p = bbox_start[have].astype(np.int64)
         vals = np.zeros((int(have.sum()), 4), np.int64)
-        for r, s in enumerate(starts):
-            p = int(s)
-            for j in range(4):
-                u, p = dv(mv, p)
-                vals[r, j] = int(vi.zigzag_decode(np.array([u], _U64))[0])
+        for j in range(4):
+            u, nb = vi.gather_varints(data, p)
+            vals[:, j] = vi.zigzag_decode(u)
+            p += nb
         out_vals[have] = vals / 1e7
     flat = pa.array(out_vals.reshape(-1))
     offsets = pa.array(np.arange(0, 4 * n + 1, 4, dtype=np.int32))

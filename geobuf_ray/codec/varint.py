@@ -93,6 +93,30 @@ def varint_decode_stream(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return values, start_idx
 
 
+def gather_varints(buf: np.ndarray, pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONE varint starting at each of n arbitrary positions.
+
+    Vectorized: 10-byte window gather per position, terminator argmax,
+    masked base-128 dot.  Returns ``(values uint64[n], nbytes
+    int64[n])``.  Positions must point at well-formed varints (the
+    structure scan guarantees this; truncated input yields garbage the
+    same way the reference's scanner would).
+    """
+    n = len(pos)
+    if n == 0:
+        return np.empty(0, _U64), np.empty(0, np.int64)
+    win = pos[:, None] + np.arange(_MAX_VARINT_BYTES, dtype=np.int64)
+    np.minimum(win, len(buf) - 1, out=win)
+    w = buf[win]  # (n, 10)
+    term = (w & 0x80) == 0
+    first = term.argmax(axis=1)
+    k = np.arange(_MAX_VARINT_BYTES, dtype=np.int64)
+    mask = (k <= first[:, None]).astype(_U64)
+    contrib = (w.astype(_U64) & _U64(0x7F)) << (_U64(7) * k.astype(_U64))
+    values = (contrib * mask).sum(axis=1, dtype=_U64)
+    return values, first.astype(np.int64) + 1
+
+
 def encode_varint_scalar(x: int) -> bytes:
     """Scalar varint encode for headers / framing (uint64 semantics)."""
     x &= (1 << 64) - 1

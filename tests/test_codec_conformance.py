@@ -221,3 +221,20 @@ def test_property_type_coverage():
     assert out["i"].to_pylist() == [42, -7]
     assert out["u"].to_pylist() == [9, 2**40]
     assert out["b"].to_pylist() == [True, False]
+
+
+def test_vectorized_scan_matches_scalar_on_county():
+    """The lockstep vectorized structure scan must produce the exact
+    span tables of the scalar walk on the reference corpus."""
+    import numpy as np
+
+    from geobuf_ray.codec import decode as dc
+    from geobuf_ray.codec import feature as fc
+
+    stream = open(f"{REF}/county.geobuf", "rb").read()
+    recs = fc.scan_frames(stream)
+    data, offs = dc._binary_parts(recs)
+    a = dc._structure_scan_vec(data, offs)
+    b = dc._structure_scan_scalar(data, offs)
+    for k in b:
+        assert np.array_equal(a[k], b[k]), k
