@@ -85,7 +85,19 @@ def features_to_table(
             if k not in keys:
                 keys.append(k)
     for k in keys:
-        cols[k] = pa.array([r.get(k) for r in prop_rows])
+        vals = [r.get(k) for r in prop_rows]
+        # one Arrow type per key per batch: resolve mixed-typed keys by
+        # majority (bool < float < str priority on ties), nulling the
+        # rest — the decoder applies the same majority-tag rule
+        # (decode.py _decode_properties), so round-trips agree
+        kinds = [type(v) for v in vals if v is not None]
+        if len(set(kinds)) > 1:
+            counts = {t: kinds.count(t) for t in (bool, float, str)}
+            win = max((bool, float, str), key=lambda t: (counts.get(t, 0),
+                                                         (bool, float, str).index(t)))
+            vals = [v if isinstance(v, win) and not (
+                win is float and isinstance(v, bool)) else None for v in vals]
+        cols[k] = pa.array(vals)
     return pa.table(cols)
 
 
