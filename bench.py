@@ -153,7 +153,7 @@ def run_scaling() -> dict:
     env = dict(os.environ)
     # long job: noise on this host is several seconds of CPU steal, so
     # the measured run must be tens of seconds at the low level
-    env.setdefault("GRAFT_BENCH_REPLICATE", "4")
+    env.setdefault("GRAFT_BENCH_REPLICATE", "2")
     results = {}
     for cpus in (lo, hi):
         env["RAY_GRAFT_CPUS"] = str(cpus)

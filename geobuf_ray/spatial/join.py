@@ -286,3 +286,135 @@ def add_cell_column(ds, zoom: int, lon_col: str = "lon", lat_col: str = "lat",
         return batch.append_column(out_col, pa.array(keys, pa.uint64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# shuffle kNN (groupby-on-cell + boundary-ring)
+# ---------------------------------------------------------------------------
+
+
+def knn_cell_join(
+    points_ds,
+    ref_table: pa.Table,
+    k: int = 5,
+    *,
+    zoom: int = 6,
+    ring: int = 1,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "custkey",
+    ref_lon_col: str = "lon",
+    ref_lat_col: str = "lat",
+    ref_id_col: str = "id",
+):
+    """Shuffle kNN: co-partition points and boundary-duplicated refs by
+    cell; exact local top-k per cell (north_rule's "kNN via
+    groupby-on-cell plus boundary-ring shuffle").
+
+    Each reference point is flat-mapped to every cell within ``ring``
+    of its own (the k-ring boundary shuffle, tiles.k_ring), so a cell's
+    group holds every candidate within ``ring`` cells of it; ONE
+    all-to-all shuffle co-locates them with the points.
+
+    PARTITIONING ASSUMPTION (documented per the brief): a point's true
+    k nearest neighbors lie within ``ring`` cells of its cell at
+    ``zoom``.  Rows where that cannot be certified — the kth candidate
+    distance exceeds the guaranteed covered radius (>= ``ring`` full
+    cell extents from anywhere in the cell), or fewer than k candidates
+    landed in the group — are flagged ``truncated=True`` so callers can
+    re-run just those with a larger ring / coarser zoom.  The broadcast
+    :func:`knn_join` is the small-ref-side exact path.
+    """
+    import ray
+
+    rlon = ref_table[ref_lon_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+    rlat = ref_table[ref_lat_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+    rid = ref_table[ref_id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    rx, ry = tiles.lonlat_to_tile(rlon, rlat, zoom)
+    rkey = tiles.pack(np.full(len(rx), zoom, np.int64), rx, ry)
+    # boundary duplication: one ref row per k-ring member cell
+    # (vectorized; edge clipping can repeat a cell -> dedupe per pair)
+    row_idx, nkeys = tiles.k_ring(rkey, ring)
+    order = np.lexsort((nkeys, row_idx))
+    ri_, nk_ = row_idx[order], nkeys[order]
+    keep = np.concatenate(([True],
+                           (ri_[1:] != ri_[:-1]) | (nk_[1:] != nk_[:-1])))
+    ri_, nk_ = ri_[keep], nk_[keep]
+    ref_rows = pa.table({
+        "cell": pa.array(nk_, pa.uint64()),
+        "lon": pa.array(rlon[ri_]),
+        "lat": pa.array(rlat[ri_]),
+        "pid": pa.array(rid[ri_]),
+        "is_ref": pa.array(np.ones(len(ri_), bool)),
+    })
+
+    def to_common(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[lat_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        pid = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = tiles.lonlat_to_tile(lon, lat, zoom)
+        key = tiles.pack(np.full(len(x), zoom, np.int64), x, y)
+        return pa.table({
+            "cell": pa.array(key, pa.uint64()),
+            "lon": pa.array(lon), "lat": pa.array(lat),
+            "pid": pa.array(pid),
+            "is_ref": pa.array(np.zeros(len(x), bool)),
+        })
+
+    pts = points_ds.map_batches(to_common, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    both = pts.union(ray.data.from_arrow(ref_rows))
+
+    # guaranteed covered radius from anywhere inside a cell at this zoom
+    # (conservative: uses the most poleward latitude of the covered block)
+    earth_c = 40075016.686
+
+    def local_knn(group: pa.Table) -> pa.Table:
+        is_ref = group["is_ref"].to_numpy(zero_copy_only=False)
+        if is_ref.all() or not is_ref.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int32()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "distance_m": pa.array([], pa.float64()),
+                             "truncated": pa.array([], pa.bool_())})
+        lon = group["lon"].to_numpy(zero_copy_only=False)
+        lat = group["lat"].to_numpy(zero_copy_only=False)
+        pid = group["pid"].to_numpy(zero_copy_only=False)
+        qm = ~is_ref
+        qlon, qlat, qid = lon[qm], lat[qm], pid[qm]
+        # refs deduplicated (a ref lands once per group by construction)
+        rl, rt, ri = lon[is_ref], lat[is_ref], pid[is_ref]
+        kk = min(k, len(ri))
+        d = haversine_m(qlon[:, None], qlat[:, None], rl[None, :], rt[None, :])
+        part = np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
+        dd = np.take_along_axis(d, part, axis=1)
+        order = np.argsort(dd, axis=1, kind="stable")
+        nbrs = np.take_along_axis(part, order, axis=1)
+        dists = np.take_along_axis(dd, order, axis=1)
+        # certified radius: anywhere in this cell is >= ring ground cell
+        # extents from the nearest uncovered cell; Web Mercator ground
+        # extent ~ C*cos(lat)/2^z, minimized at the block's most
+        # poleward row (computed from the block's real bounds)
+        cell = int(group["cell"][0].as_py())
+        z, cx, cy = (int(v[0]) for v in tiles.unpack(
+            np.asarray([cell], np.uint64)))
+        y_top = max(cy - ring, 0)
+        y_bot = min(cy + ring, (1 << z) - 1)
+        _, _, _, n_top = tiles.tile_bounds(
+            np.asarray([cx]), np.asarray([y_top]), z)
+        _, s_bot, _, _ = tiles.tile_bounds(
+            np.asarray([cx]), np.asarray([y_bot]), z)
+        lat_extreme = max(abs(float(np.asarray(n_top).reshape(-1)[0])),
+                          abs(float(np.asarray(s_bot).reshape(-1)[0])))
+        radius = ring * earth_c * np.cos(np.radians(lat_extreme)) / (1 << z)
+        truncated = (dists[:, kk - 1] > radius) | (len(ri) < k)
+        return pa.table({
+            id_col: pa.array(np.repeat(qid, kk)),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32),
+                                     len(qid))),
+            "neighbor_id": pa.array(ri[nbrs].reshape(-1)),
+            "distance_m": pa.array(dists.reshape(-1)),
+            "truncated": pa.array(np.repeat(truncated, kk)),
+        })
+
+    return both.groupby("cell").map_groups(local_knn, batch_format="pyarrow")
