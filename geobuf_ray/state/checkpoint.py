@@ -135,15 +135,37 @@ def checkpointed_split_combine(
     done = completed_keys(out_dir)
 
     tiled = assign_tiles(ds, zoom, bounds, salt_bits, **(map_kwargs or {}))
-    todo = filter_completed(tiled, "tile_str", done)
+    if salt_bits:
+        # a salted hot tile commits as 2^salt_bits independent
+        # partitions; the checkpoint key carries the salt so manifest
+        # rows (and resume filtering) stay one-to-one with shuffle
+        # groups while filenames remain tile-prefix addressable
+        mask = np.uint64((1 << salt_bits) - 1)
+
+        def add_ckpt_key(batch: pa.Table) -> pa.Table:
+            salts = batch["tile_key"].to_numpy(zero_copy_only=False) & mask
+            keys = [f"{t}~s{int(s)}" for t, s in
+                    zip(batch["tile_str"].to_pylist(), salts)]
+            return batch.append_column("ckpt_key", pa.array(keys, pa.string()))
+
+        tiled = tiled.map_batches(add_ckpt_key, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:
+        def add_ckpt_key(batch: pa.Table) -> pa.Table:
+            return batch.append_column("ckpt_key", batch["tile_str"])
+
+        tiled = tiled.map_batches(add_ckpt_key, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    todo = filter_completed(tiled, "ckpt_key", done)
 
     def write_tile(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table({"key": pa.array([], pa.string())})
         t0 = time.perf_counter()
-        key = str(group["tile_str"][0].as_py())
+        key = str(group["ckpt_key"][0].as_py())
         feat_cols = group.drop_columns(
-            [c for c in ("tile_key", "tile_str") if c in group.column_names])
+            [c for c in ("tile_key", "tile_str", "ckpt_key")
+             if c in group.column_names])
         records = fc.encode_batch(feat_cols, write_bbox=write_bbox)
         stream = fc.frame_records(records)
         bb = _bounds_of_batch(feat_cols)

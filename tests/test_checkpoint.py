@@ -85,3 +85,49 @@ def test_checkpoint_roundtrip_readback(points_ds, tmp_path):
 def test_manifest_tolerates_empty_dir(tmp_path):
     assert ck.completed_keys(str(tmp_path)) == set()
     assert ck.load_manifest(str(tmp_path)).num_rows == 0
+
+
+def test_salted_checkpoint_splits_hot_tile(ray_session, tmp_path):
+    """A hot tile with salt_bits commits as independent prefix-
+    addressable partitions whose union equals the unsalted output, and
+    resume stays one-to-one with shuffle groups."""
+    import ray
+
+    # 300 points all inside one zoom-2 tile (hot), 100 spread out
+    rng = np.random.default_rng(9)
+    hot = [(10.0 + float(rng.uniform(0, 5)), 50.0 + float(rng.uniform(0, 5)))
+           for _ in range(300)]
+    cold = [(float(rng.uniform(-170, -10)), float(rng.uniform(-80, 0)))
+            for _ in range(100)]
+    feats = [{"type": "Feature", "id": i, "properties": {},
+              "geometry": {"type": "Point", "coordinates": list(c)}}
+             for i, c in enumerate(hot + cold)]
+    ds = ray.data.from_arrow(gj.features_to_table(feats)).repartition(4)
+
+    out_plain = str(tmp_path / "plain")
+    m_plain = ck.checkpointed_split_combine(ds, out_plain, zoom=2)
+    out_salt = str(tmp_path / "salt")
+    m_salt = ck.checkpointed_split_combine(ds, out_salt, zoom=2, salt_bits=2)
+
+    assert sum(m_salt["num_features"].to_pylist()) == 400
+    # the hot tile must be split into >1 salted partitions
+    hot_keys = [k for k in m_salt["key"].to_pylist() if "~s" in k]
+    bases = {k.split("~s")[0] for k in hot_keys}
+    counts = {}
+    for k in hot_keys:
+        counts[k.split("~s")[0]] = counts.get(k.split("~s")[0], 0) + 1
+    assert max(counts.values()) > 1
+    # same total per base tile as the unsalted run
+    per_base = {}
+    for r in m_salt.to_pylist():
+        per_base.setdefault(r["key"].split("~s")[0], 0)
+        per_base[r["key"].split("~s")[0]] += r["num_features"]
+    plain_per = {r["key"]: r["num_features"] for r in m_plain.to_pylist()}
+    assert per_base == plain_per
+    # resume: second run rewrites nothing
+    import os as _os
+
+    mtimes = {r["key"]: _os.path.getmtime(r["path"]) for r in m_salt.to_pylist()}
+    m2 = ck.checkpointed_split_combine(ds, out_salt, zoom=2, salt_bits=2)
+    for r in m2.to_pylist():
+        assert _os.path.getmtime(r["path"]) == mtimes[r["key"]]
