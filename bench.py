@@ -154,8 +154,11 @@ def run_scaling() -> dict:
     # long job: noise on this host is several seconds of CPU steal, so
     # the measured run must be tens of seconds at the low level
     env.setdefault("GRAFT_BENCH_REPLICATE", "2")
+    # two interleaved rounds per level, best kept: external CPU steal on
+    # this host swings single measurements 3-5x, and interleaving
+    # exposes both levels to the same noise epochs
     results = {}
-    for cpus in (lo, hi):
+    for cpus in (lo, hi, lo, hi):
         env["RAY_GRAFT_CPUS"] = str(cpus)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline"],
@@ -163,7 +166,9 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        r = json.loads(line)
+        if cpus not in results or r["value"] > results[cpus]["value"]:
+            results[cpus] = r
     thr_lo = results[lo]["value"]
     thr_hi = results[hi]["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)

@@ -630,10 +630,12 @@ def embeddings_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
 
     import ray
 
+    import duckdb
+
     ds = _pq(sf_dir, "embeddings")
-    queries = pa.Table.from_pylist(
-        ds.filter(lambda r: r["vec_id"] < n_queries).take_all()
-    )
+    queries = duckdb.connect().execute(
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet' WHERE vec_id < {n_queries}"
+    ).fetch_arrow_table()
     out = brute_force_topk(ds, queries, k=k, concurrency=(1, 2))
     return out.select(["query_id", "rank", "vec_id"])
 
@@ -647,9 +649,12 @@ def embeddings_dup_pairs(sf_dir: str):
 
     import ray
 
+    import duckdb
+
     ds = _pq(sf_dir, "embeddings")
-    first = pa.Table.from_pylist(sorted(
-        ds.take(200), key=lambda r: r["vec_id"])[:10])
+    first = duckdb.connect().execute(
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id LIMIT 10"
+    ).fetch_arrow_table()
     vecs = np.asarray(first["embedding"].to_pylist(), np.float64)
     rng = np.random.default_rng(123)
     dup = pa.table({
@@ -669,12 +674,18 @@ def embeddings_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5,
     Rows-only check; recall vs brute force is asserted in tests."""
     from ..functions.ann import fit_centroids, ivf_topk
 
+    import duckdb
+
+    con = duckdb.connect()
     ds = _pq(sf_dir, "embeddings")
-    sample = pa.Table.from_pylist(ds.take(512))
+    sample = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' LIMIT 512"
+    ).fetch_arrow_table()
     mat = np.asarray(sample["embedding"].to_pylist(), np.float64)
     cent = fit_centroids(mat, n_centroids)
-    queries = pa.Table.from_pylist(
-        ds.filter(lambda r: r["vec_id"] < n_queries).take_all())
+    queries = con.execute(
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet' WHERE vec_id < {n_queries}"
+    ).fetch_arrow_table()
     out = ivf_topk(ds, queries, cent, k=k, nprobe=nprobe)
     return out.select(["query_id", "rank", "vec_id"])
 
