@@ -418,3 +418,106 @@ def knn_cell_join(
         })
 
     return both.groupby("cell").map_groups(local_knn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shuffle PIP (co-partitioned on cell — the large-polygon-side variant)
+# ---------------------------------------------------------------------------
+
+
+def pip_cell_join(
+    points_ds,
+    polygons_ds,
+    *,
+    zoom: int = 9,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    point_id_col: str = "custkey",
+    poly_id_col: str = "id",
+):
+    """Point-in-polygon join with BOTH sides distributed: polygons
+    flat-map to the cells their bbox covers, points key on their cell,
+    ONE shuffle co-locates them, and each cell group refines with exact
+    ray-casting PIP (a local :class:`PolygonIndex`).
+
+    Use when the polygon side is too large to broadcast (the
+    :func:`point_in_polygon_join` small-side path).  Candidate sets per
+    point are identical to the broadcast path, so results match it
+    exactly.  Skewed cells: polygons fan out by bbox cover, so a dense
+    cell's group holds only the polygons overlapping it — salt the
+    POINT side upstream if one cell's point count dominates.
+    """
+    import ray
+
+    from ..codec.schema import list_column_parts
+    from .geometry import feature_bbox
+
+    def polys_to_cells(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        coords, offs = list_column_parts(batch["coords"], np.float64)
+        dim = (batch["dim"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+               if "dim" in batch.column_names else np.full(n, 2, np.int64))
+        bb = feature_bbox(coords, offs, dim)
+        ok = ~np.isnan(bb[:, 0])
+        idx = np.flatnonzero(ok)
+        x0, x1, y0, y1 = tiles.bbox_tile_cover(
+            bb[idx, 0], bb[idx, 1], bb[idx, 2], bb[idx, 3], zoom)
+        row_local, tx, ty = tiles.cover_expand(x0, x1, y0, y1)
+        rows = idx[row_local]
+        keys = tiles.pack(np.full(len(tx), zoom, np.int64), tx, ty)
+        taken = batch.take(pa.array(rows, pa.int64()))
+        return pa.table({
+            "cell": pa.array(keys, pa.uint64()),
+            "is_poly": pa.array(np.ones(len(rows), bool)),
+            "pid": taken[poly_id_col].cast(pa.int64()),
+            "lon": pa.array(np.zeros(len(rows))),
+            "lat": pa.array(np.zeros(len(rows))),
+            "coords": taken["coords"],
+            "ring_sizes": taken["ring_sizes"],
+            "dim": (taken["dim"].cast(pa.int8()) if "dim" in taken.column_names
+                    else pa.array(np.full(len(rows), 2, np.int8))),
+        })
+
+    empty_list_f = pa.array([None], pa.list_(pa.float64()))
+    empty_list_i = pa.array([None], pa.list_(pa.int32()))
+
+    def points_to_cells(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[lat_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        x, y = tiles.lonlat_to_tile(lon, lat, zoom)
+        keys = tiles.pack(np.full(len(x), zoom, np.int64), x, y)
+        n = len(lon)
+        return pa.table({
+            "cell": pa.array(keys, pa.uint64()),
+            "is_poly": pa.array(np.zeros(n, bool)),
+            "pid": batch[point_id_col].cast(pa.int64()),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+            "coords": empty_list_f.take(pa.array(np.zeros(n, np.int64))),
+            "ring_sizes": empty_list_i.take(pa.array(np.zeros(n, np.int64))),
+            "dim": pa.array(np.full(n, 2, np.int8)),
+        })
+
+    pts = points_ds.map_batches(points_to_cells, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    pls = polygons_ds.map_batches(polys_to_cells, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    both = pts.union(pls)
+
+    def local_pip(group: pa.Table) -> pa.Table:
+        is_poly = group["is_poly"].to_numpy(zero_copy_only=False)
+        if is_poly.all() or not is_poly.any():
+            return pa.table({point_id_col: pa.array([], pa.int64()),
+                             "polygon_id": pa.array([], pa.int64())})
+        polys = group.filter(pa.array(is_poly)).select(
+            ["pid", "coords", "ring_sizes", "dim"])
+        pts_g = group.filter(pa.array(~is_poly))
+        index = PolygonIndex(polys, zoom=zoom, id_column="pid")
+        lon = pts_g["lon"].to_numpy(zero_copy_only=False)
+        lat = pts_g["lat"].to_numpy(zero_copy_only=False)
+        pt_idx, poly_id = index.contains(lon, lat)
+        pid = pts_g["pid"].to_numpy(zero_copy_only=False)
+        return pa.table({point_id_col: pa.array(pid[pt_idx], pa.int64()),
+                         "polygon_id": pa.array(poly_id, pa.int64())})
+
+    return both.groupby("cell").map_groups(local_pip, batch_format="pyarrow")

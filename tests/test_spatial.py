@@ -223,3 +223,23 @@ def test_knn_cell_join_matches_brute_force(ray_session):
             assert exact[(ck, r["rank"])] == r["neighbor_id"], (ck, r)
     # at zoom 3 with dense refs, truncation should be the exception
     assert n_trunc < n_pts * 0.5, f"{n_trunc}/{n_pts} truncated"
+
+
+def test_pip_cell_join_matches_broadcast(ray_session):
+    """Shuffle PIP (both sides distributed, co-partitioned on cell)
+    must produce exactly the broadcast-index join's pairs."""
+    import ray
+
+    from geobuf_ray.pipelines import queries as q
+    from geobuf_ray.spatial.join import pip_cell_join, point_in_polygon_join
+
+    sf = "/root/testdata/sf0.001"
+    pts = q.customer_points(sf)
+    polys = q.supplier_rects(sf)
+    want = {(r["custkey"], r["polygon_id"]) for r in
+            point_in_polygon_join(q.customer_points(sf), polys, zoom=5,
+                                  concurrency=(1, 2)).take_all()}
+    got_rows = pip_cell_join(pts, ray.data.from_arrow(polys), zoom=5).take_all()
+    got = {(r["custkey"], r["polygon_id"]) for r in got_rows}
+    assert len(got_rows) == len(got)  # no duplicate pairs
+    assert got == want and len(want) > 0
