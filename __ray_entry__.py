@@ -55,7 +55,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q.top_orders,
         "events_hourly": q.events_hourly,
         "events_sliding": q.events_sliding,
+        "events_sessions": q.events_sessions,
+        "events_distinct_users": q.events_distinct_users,
         "parts_by_brand": q.parts_by_brand,
+        "revenue_by_region": q.revenue_by_region,
         "customers_without_orders": q.customers_without_orders,
         "top_lineitems_per_supplier": q.top_lineitems_per_supplier,
         # spatial engine (A1 bbox, M tile assign, A3 tile counts,
@@ -122,6 +125,39 @@ def oracle_sql() -> dict[str, str]:
                        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
                 FROM events GROUP BY hour_id
             ) WINDOW w AS (ORDER BY hour_id RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "events_sessions": """
+            SELECT user_id,
+                   CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM (
+                SELECT *, SUM(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM (
+                    SELECT *, CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL THEN 1 ELSE 0 END AS new_sess
+                    FROM events
+                )
+            ) GROUP BY user_id, sess_id
+        """,
+        "events_distinct_users": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+        """,
+        "revenue_by_region": """
+            SELECT r_name,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "parts_by_brand": """
             SELECT p_brand,

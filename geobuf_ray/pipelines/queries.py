@@ -379,6 +379,101 @@ def top_lineitems_per_supplier(sf_dir: str, k: int = 3):
     })
 
 
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user maximal event runs with inter-event gap
+    <= gap_minutes (the stateful streaming-window shape).
+
+    One shuffle (groupby user) co-locates each user's events; the group
+    kernel is pure numpy (lexsort + diff + cumsum + bincount)."""
+    import ray
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts", "value"])
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.round(group["value"].to_numpy() * 100).astype(np.int64)
+        uid = int(group["user_id"][0].as_py())
+        order = np.lexsort((eid, ts))
+        ts, cents = ts[order], cents[order]
+        new_sess = np.concatenate(([True], np.diff(ts) > gap_us))
+        sid = np.cumsum(new_sess) - 1
+        nsess = int(sid[-1]) + 1
+        return pa.table({
+            "user_id": pa.array(np.full(nsess, uid, np.int64)),
+            "session_start_us": pa.array(ts[new_sess]),
+            "n_events": pa.array(np.bincount(sid, minlength=nsess).astype(np.int64)),
+            "value_cents": pa.array(
+                np.bincount(sid, weights=cents, minlength=nsess).astype(np.int64)),
+        })
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+
+
+def events_distinct_users(sf_dir: str):
+    """Exact distinct-user count (per-block distinct partial + driver
+    union); the HLL sketch in functions/sketch.py is the
+    unbounded-cardinality path (accuracy asserted in tests)."""
+    import ray
+
+    from ..functions.sketch import exact_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    n = exact_distinct(ds, "user_id")
+    return pa.table({"n_users": pa.array([n], pa.int64())})
+
+
+def revenue_by_region(sf_dir: str):
+    """orders -> customer -> nation -> region chained broadcast join.
+
+    The three dimension tables compose into ONE dense custkey->region
+    array driver-side (they are tiny); orders stream through a single
+    lookup stage — a 4-table join with no shuffle at all."""
+    import duckdb
+    import ray
+
+    con = duckdb.connect()
+    side = con.execute(f"""
+        SELECT c_custkey, r_name
+        FROM '{sf_dir}/customer.parquet'
+        JOIN '{sf_dir}/nation.parquet' ON c_nationkey = n_nationkey
+        JOIN '{sf_dir}/region.parquet' ON n_regionkey = r_regionkey
+    """).fetch_arrow_table()
+    ck = side["c_custkey"].to_numpy().astype(np.int64)
+    rn = side["r_name"].combine_chunks().dictionary_encode()
+    names = rn.dictionary.to_pylist()
+    idx = np.full(int(ck.max()) + 1, -1, np.int8)
+    idx[ck] = rn.indices.to_numpy().astype(np.int8)
+    side_ref = ray.put((idx, names))
+
+    class JoinFn:
+        def __init__(self):
+            self.idx, self.names = ray.get(side_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch["o_custkey"].to_numpy().astype(np.int64)
+            cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            code = self.idx[k].astype(np.int64)
+            nbins = len(self.names)
+            sums = np.bincount(code, weights=cents, minlength=nbins).astype(np.int64)
+            counts = np.bincount(code, minlength=nbins)
+            present = np.flatnonzero(counts)
+            return pa.table({
+                "r_name": pa.array([self.names[c] for c in present]),
+                "total_cents": pa.array(sums[present]),
+                "n_orders": pa.array(counts[present].astype(np.int64)),
+            })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(JoinFn, batch_format="pyarrow", batch_size=None,
+                              zero_copy_batch=True, concurrency=(1, 4))
+    return _final_combine(partials, ["r_name"], ["total_cents", "n_orders"])
+
+
 # ---------------------------------------------------------------------------
 # spatial queries
 # ---------------------------------------------------------------------------

@@ -233,3 +233,28 @@ def test_vectorized_shingles_match_perrow_oracle():
     sig_a = dedup.minhash_signatures(per_row, 32, 42)
     sig_b = dedup.minhash_matrix(flat, offs, 32, 42)
     assert np.array_equal(sig_a, sig_b)
+
+
+def test_hll_approx_distinct_accuracy(ray_session):
+    import ray
+
+    from geobuf_ray.functions import sketch
+
+    n = 20_000
+    vals = pa.table({"v": pa.array(np.arange(n, dtype=np.int64) % 7919)})
+    ds = ray.data.from_arrow(vals).repartition(4)
+    exact = sketch.exact_distinct(ds, "v")
+    assert exact == 7919
+    est = sketch.approx_distinct(ds, "v", p=12)
+    assert abs(est - exact) / exact < 0.05, est
+    # string column path
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["source"])
+    import duckdb
+
+    truth = duckdb.connect().execute(
+        "SELECT count(DISTINCT source) FROM "
+        "'/root/testdata/sf0.001/documents.parquet'").fetchone()[0]
+    assert sketch.exact_distinct(docs, "source") == truth
+    est2 = sketch.approx_distinct(docs, "source", p=12)
+    assert abs(est2 - truth) <= max(1, 0.05 * truth), (est2, truth)
