@@ -24,14 +24,15 @@ _THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
 
 def zigzag_encode(values: np.ndarray) -> np.ndarray:
     """int64 -> uint64 zigzag, matching ``paramEnc`` (geom.go:182-184)."""
-    v = values.astype(np.int64, copy=False)
-    return (v.astype(_U64) << _U64(1)) ^ (v >> np.int64(63)).astype(_U64)
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    # .view is a zero-copy reinterpret (astype would copy)
+    return (v.view(_U64) << _U64(1)) ^ (v >> np.int64(63)).view(_U64)
 
 
 def zigzag_decode(values: np.ndarray) -> np.ndarray:
     """uint64 zigzag -> int64."""
-    u = values.astype(_U64, copy=False)
-    return ((u >> _U64(1)) ^ (~(u & _U64(1)) + _U64(1))).astype(np.int64)
+    u = np.ascontiguousarray(values, dtype=_U64)
+    return ((u >> _U64(1)) ^ (~(u & _U64(1)) + _U64(1))).view(np.int64)
 
 
 def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
@@ -57,7 +58,11 @@ def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     ends = np.cumsum(nb)
     starts = ends - nb
     out = np.empty(ends[-1], dtype=np.uint8)
-    for k in range(_MAX_VARINT_BYTES):
+    # k = 0 touches every value: skip the (all-true) boolean gather
+    byte0 = (v & _U64(0x7F)).astype(np.uint8)
+    byte0 |= (nb > 1).view(np.uint8) << np.uint8(7)
+    out[starts] = byte0
+    for k in range(1, _MAX_VARINT_BYTES):
         mask = nb > k
         if not mask.any():
             break
