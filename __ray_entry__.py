@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": q.docs_langid,
         "docs_fingerprint": q.docs_fingerprint,
         "docs_minhash_pairs": q.docs_minhash_pairs,
+        "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
         # embeddings: similarity search + near-dup
         "embeddings_topk": q.embeddings_topk,
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_decode_stats": q.images_decode_stats,
         "images_tile_counts": q.images_tile_counts,
         "images_in_rects": q.images_in_rects,
+        "images_resize": q.images_resize,
     }
 
 

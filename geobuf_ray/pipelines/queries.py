@@ -720,6 +720,46 @@ def docs_simhash_pairs(sf_dir: str):
     return simhash_candidate_pairs(ds, max_distance=3)
 
 
+def docs_minhash_dedup(sf_dir: str):
+    """Full near-dup REMOVAL (not just candidate pairs): LSH pairs ->
+    union-find clusters -> keep each cluster's min-id representative.
+    Returns the surviving doc ids (rows-only; cluster membership is
+    oracle-checked in tests)."""
+    from ..functions.dedup import minhash_dedup
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    kept, dropped = minhash_dedup(ds, sim_threshold=0.8)
+    out = kept.select_columns(["doc_id"])
+    return out
+
+
+def images_resize(sf_dir: str, target: int = 16):
+    """Actor-pool thumbnail stage over binary payloads (the
+    feature-extraction shape for multimodal pipelines)."""
+    import ray
+
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = im.synthesize_image_dataset(n)
+    out = ds.map_batches(
+        im.ResizeImagesFn, fn_constructor_kwargs=dict(target=target),
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        sizes = [len(b) for b in batch["bytes"].to_pylist()]
+        return pa.table({
+            "image_id": batch["image_id"],
+            "w": batch["w"], "h": batch["h"],
+            "thumb_bytes": pa.array(np.asarray(sizes, np.int64)),
+        })
+
+    return out.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def embeddings_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
     from ..functions.ann import brute_force_topk
 
