@@ -289,6 +289,11 @@ def _decode_geometries(data, scan, n):
     gcode = scan["geomcode"].astype(np.int64)
     gtype = np.where(gcode <= 6, gcode, gcode >> 4)
     dim = np.where(gcode <= 6, 2, gcode & 0xF).astype(np.int64)
+    # the writer emits exactly 2 values for a Point regardless of the
+    # geomcode's claimed dim (geom.go:200, the reference's latent dim>2
+    # quirk) — clamp so len(coords) == ring_sizes * dim holds for every
+    # downstream consumer (re-encode, geojson export)
+    dim = np.where(gtype == POINT, np.minimum(dim, 2), dim)
 
     nvals_per_rec = rec_val_ends - rec_val_starts
     has_prefix = np.isin(gtype, (POLYGON, MULTILINESTRING, MULTIPOLYGON))
@@ -475,9 +480,7 @@ def _decode_properties(data, scan, n) -> dict[str, pa.Array]:
 def _scatter_with_nulls(vals: pa.Array, recs: np.ndarray, n: int) -> pa.Array:
     indices = np.full(n, -1, np.int64)
     indices[recs] = np.arange(len(recs))
-    idx_arr = pa.array(
-        [int(i) if i >= 0 else None for i in indices], type=pa.int64()
-    )
+    idx_arr = pa.array(indices, type=pa.int64(), mask=indices < 0)
     return vals.take(idx_arr)
 
 

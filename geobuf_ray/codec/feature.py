@@ -305,14 +305,20 @@ def _geometry_segments(table: pa.Table):
     kept_cum = np.concatenate(([0], np.cumsum(kept_per_pt)))
     ring_kept = kept_cum[np.minimum(ring_pt_ends, len(kept_per_pt))] - kept_cum[ring_pt_starts]
 
-    # prefixes: ring-size prefix for 3/5/6; polygon ring-count prefix for 6
-    ring_has_size_prefix = np.isin(ring_g, (POLYGON, MULTILINESTRING, MULTIPOLYGON))
+    # prefixes: ring-size prefix for 3/5/6; polygon ring-count prefix
+    # for 6.  Features with NO coordinates emit no geometry section at
+    # all (has_geom False), so their rings must not contribute prefix
+    # varints either — otherwise the prefix bytes land in the stream but
+    # are excluded from payload_lens and corrupt the concat
+    ring_live = has_geom[ring_feat]
+    ring_has_size_prefix = np.isin(
+        ring_g, (POLYGON, MULTILINESTRING, MULTIPOLYGON)) & ring_live
     # first ring of each polygon (only for multipolygon)
     poly_feat = np.repeat(np.arange(n), polys_per_feat)
     poly_ring_ends = np.cumsum(poly_sizes)
     poly_ring_starts = poly_ring_ends - poly_sizes
     ring_is_poly_start = np.zeros(n_rings, bool)
-    mp_polys = geom_type[poly_feat] == MULTIPOLYGON
+    mp_polys = (geom_type[poly_feat] == MULTIPOLYGON) & has_geom[poly_feat]
     ring_is_poly_start[poly_ring_starts[mp_polys]] = True
     ring_prefix_count = ring_has_size_prefix.astype(np.int64) + ring_is_poly_start.astype(np.int64)
 

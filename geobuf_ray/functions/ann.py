@@ -13,6 +13,12 @@ import numpy as np
 import pyarrow as pa
 
 
+def _empty_topk_table() -> pa.Table:
+    return pa.table({"query_id": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())})
+
+
 def _to_matrix(col) -> np.ndarray:
     """list<float> column -> (n, d) float64 matrix via flat values
     (zero-copy reshape when offsets are regular)."""
@@ -47,13 +53,14 @@ class BruteForceTopK:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk_table()
         vm = _normalize(_to_matrix(batch[self.vec_col]))
         ids = batch[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)
         sims = self.qm @ vm.T  # (q, n)
         k = min(self.k, sims.shape[1])
         part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         ss = np.take_along_axis(sims, part, axis=1)
-        nq = len(self.q_ids)
         return pa.table({
             "query_id": pa.array(np.repeat(self.q_ids, k)),
             "vec_id": pa.array(ids[part].reshape(-1)),
@@ -149,7 +156,6 @@ def ivf_topk(ds, queries: pa.Table, centroids: np.ndarray, k: int = 5, *,
     qm = _normalize(_to_matrix(queries[query_vec_col]))
     q_ids = queries[query_id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
-    probe_sets = [set(map(int, row)) for row in probes]
     payload = ray.put((q_ids, qm, probes))
 
     class ProbeFn:
@@ -158,6 +164,8 @@ def ivf_topk(ds, queries: pa.Table, centroids: np.ndarray, k: int = 5, *,
             self.cent = cent
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_topk_table()
             vm = _normalize(_to_matrix(batch[vec_col]))
             ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
             cells = np.argmax(vm @ self.cent.T, axis=1)

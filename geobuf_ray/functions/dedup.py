@@ -570,11 +570,19 @@ def embedding_dedup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
     zero and the perturbation flips its sign; with L tables the miss
     probability decays as (1-p)^L."""
 
+    _proj_cache: dict = {}
+
     def bucket_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.uint64()),
+                             "unit": pa.array([], pa.list_(pa.float64()))})
         vecs = np.asarray(batch[vec_col].to_pylist(), np.float64)
-        proj = np.random.default_rng(seed).standard_normal(
-            (tables, vecs.shape[1], planes)
-        )
+        ck = vecs.shape[1]
+        if ck not in _proj_cache:  # derive once per worker, not per batch
+            _proj_cache[ck] = np.random.default_rng(seed).standard_normal(
+                (tables, ck, planes))
+        proj = _proj_cache[ck]
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.maximum(norm, 1e-12)
         n = len(vecs)
@@ -593,28 +601,40 @@ def embedding_dedup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
             "unit": pa.array(np.tile(unit, (tables, 1)).tolist(), pa.list_(pa.float64())),
         })
 
-    sig = ds.map_batches(bucket_batch, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
+    sig = ds.map_batches(bucket_batch, batch_format="pyarrow",
+                         zero_copy_batch=True, **map_kwargs).materialize()
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        units = np.asarray(group["unit"].to_pylist(), np.float64)
-        order = np.argsort(ids, kind="stable")
-        ids, units = ids[order], units[order]
-        sims = units @ units.T
-        ia, ib, ss = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] != ids[j] and sims[i, j] >= threshold:
-                    ia.append(int(ids[i])); ib.append(int(ids[j])); ss.append(float(sims[i, j]))
-        return pa.table({"id_a": pa.array(ia, pa.int64()),
-                         "id_b": pa.array(ib, pa.int64()),
-                         "cosine": pa.array(ss, pa.float64())})
-
-    pair_ds = sig.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
-    pairs = pa.Table.from_pylist(pair_ds.take_all())
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    cand = _hot_bucket_candidates(
+        sig, pa.schema([(id_col, pa.int64()), ("bucket", pa.uint64()),
+                        ("unit", pa.list_(pa.float64()))]))
+    if cand is None or cand.num_rows == 0:
+        return empty
+    ids = cand[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    buckets = cand["bucket"].to_numpy(zero_copy_only=False)
+    units = np.asarray(cand["unit"].to_pylist(), np.float64)
+    order = np.lexsort((ids, buckets))
+    ids, buckets, units = ids[order], buckets[order], units[order]
+    grp_start = np.flatnonzero(
+        np.concatenate(([True], buckets[1:] != buckets[:-1])))
+    grp_end = np.append(grp_start[1:], len(buckets))
+    ia, ib, ss = [], [], []
+    for s, e in zip(grp_start, grp_end):
+        if e - s < 2:
+            continue
+        gi, gu = ids[s:e], units[s:e]
+        sims = gu @ gu.T
+        iu, ju = np.triu_indices(e - s, k=1)
+        ok = (gi[iu] != gi[ju]) & (sims[iu, ju] >= threshold)
+        ia.append(gi[iu][ok]); ib.append(gi[ju][ok]); ss.append(sims[iu, ju][ok])
+    if not ia:
+        return empty
+    pairs = pa.table({"id_a": pa.array(np.concatenate(ia)),
+                      "id_b": pa.array(np.concatenate(ib)),
+                      "cosine": pa.array(np.concatenate(ss))})
     if pairs.num_rows == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
+        return empty
     df = pairs.to_pandas().groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
     return pa.Table.from_pandas(df.sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -159,16 +159,22 @@ class _WriteGeobufFn:
 
         os.makedirs(self.out_dir, exist_ok=True)  # workers may be remote
         t0 = time.perf_counter()
+        key = None
+        if self.key_column and self.key_column in batch.column_names and batch.num_rows:
+            key = str(batch[self.key_column][0].as_py())
         if "geobuf" in batch.column_names:
             records = batch["geobuf"].combine_chunks()
             bounds = (np.nan,) * 4
         else:
-            records = fc.encode_batch(batch, write_bbox=self.write_bbox)
-            bounds = _bounds_of_batch(batch)
+            # synthetic shuffle-key columns must not leak into the
+            # encoded records as feature properties
+            aux = [c for c in dict.fromkeys(
+                       ("tile_key", "tile_str", "ckpt_key", self.key_column))
+                   if c and c in batch.column_names]
+            feat = batch.drop_columns(aux) if aux else batch
+            records = fc.encode_batch(feat, write_bbox=self.write_bbox)
+            bounds = _bounds_of_batch(feat)
         stream = fc.frame_records(records)
-        key = None
-        if self.key_column and self.key_column in batch.column_names and batch.num_rows:
-            key = str(batch[self.key_column][0].as_py())
         name = f"{key + '-' if key else ''}{uuid.uuid4().hex[:12]}.geobuf"
         path = os.path.join(self.out_dir, name)
         tmp = path + ".tmp"

@@ -80,13 +80,19 @@ def iter_feature_json(stream, chunk_size: int = _CHUNK) -> Iterator[list[str]]:
     array (the reference's first-``[`` scan, convert_geojson.go:25-42)
     and line-delimited files trivially.
     """
-    head = stream.read(4096)
+    head = stream.read(1 << 20)
     if not head:
         return
-    # FeatureCollection? skip to the [ after "features"
+    # FeatureCollection? the first top-level object in NDJSON ends
+    # quickly, so a wrapper is recognizable by its FeatureCollection
+    # type tag (scanning a 1 MiB head tolerates large crs/bbox
+    # preambles before the features array)
     probe = head.lstrip()
     tail: bytes
-    if probe.startswith(b"{") and b'"features"' in head:
+    is_fc = (probe.startswith(b"{")
+             and b"FeatureCollection" in head[:65536]
+             and b'"features"' in head)
+    if is_fc:
         pos = head.index(b'"features"')
         br = head.find(b"[", pos)
         while br < 0:

@@ -66,11 +66,26 @@ def assign_tiles_batch(
     row_idx = idx[row_local]
     keys = tiles.pack(np.full(len(tx), zoom, np.int64), tx, ty)
     if salt_bits > 0 and len(keys):
-        # deterministic per-feature salt so a hot tile splits into
-        # 2^salt_bits buckets; key layout keeps tile prefix intact
-        salt = (row_idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(
-            64 - salt_bits
-        )
+        # salt from feature CONTENT (id when present, else the
+        # quantized first coordinate pair) — batch-local row indices
+        # would change with block boundaries across runs and break
+        # checkpoint resume (a feature could re-salt into an
+        # already-committed partition and be dropped)
+        if "id" in batch.column_names:
+            ident = (batch["id"].combine_chunks().fill_null(0)
+                     .to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            ident = np.zeros(n, np.int64)
+        first = offs[:-1].copy()
+        has = np.diff(offs) >= 2
+        fx = np.zeros(n, np.int64)
+        fy = np.zeros(n, np.int64)
+        fx[has] = (coords[first[has]] * 1e7).astype(np.int64)
+        fy[has] = (coords[first[has] + 1] * 1e7).astype(np.int64)
+        h = (ident.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ^ fx.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+             ^ fy.view(np.uint64) * np.uint64(0x165667B19E3779F9))
+        salt = h[row_idx] >> np.uint64(64 - salt_bits)
         keys = (keys << np.uint64(salt_bits)) | salt
     return _with_tile_cols(batch, row_idx, keys, zoom, salt_bits)
 

@@ -215,6 +215,14 @@ class _KNNFn:
         lat = batch[self.lat_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
         n = len(lon)
         k = min(self.k, len(self.ref_ids))
+        if n == 0 or k == 0:
+            # empty batches arrive from upstream filters; emit the
+            # output schema with zero rows instead of crashing concat
+            out = batch.take(pa.array([], pa.int64()))
+            out = out.append_column("neighbor_id", pa.array([], pa.int64()))
+            out = out.append_column("distance_m", pa.array([], pa.float64()))
+            out = out.append_column("rank", pa.array([], pa.int32()))
+            return out
         # (n x m) distance matrix in blocks to bound memory
         out_rows, out_nbr, out_dist, out_rank = [], [], [], []
         blk = max(1, (1 << 22) // max(len(self.ref_ids), 1))

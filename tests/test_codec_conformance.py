@@ -238,3 +238,52 @@ def test_vectorized_scan_matches_scalar_on_county():
     b = dc._structure_scan_scalar(data, offs)
     for k in b:
         assert np.array_equal(a[k], b[k]), k
+
+
+def test_empty_geometry_feature_in_mixed_batch():
+    """A zero-coordinate feature must emit no geometry bytes at all —
+    its ring prefixes used to corrupt the batch concat (review find)."""
+    import pyarrow as pa
+
+    from geobuf_ray.codec import decode as dc
+    from geobuf_ray.codec import feature as fc
+
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "geom_type": pa.array([1, 3], pa.int8()),
+        "dim": pa.array([2, 2], pa.int8()),
+        "coords": pa.array([[5.0, 6.0], []], pa.list_(pa.float64())),
+        "ring_sizes": pa.array([[1], [0]], pa.list_(pa.int32())),
+        "poly_sizes": pa.array([[1], [1]], pa.list_(pa.int32())),
+    })
+    dec = dc.decode_batch(fc.encode_batch(tbl))
+    assert dec["coords"].to_pylist() == [[5.0, 6.0], []]
+    assert dec["id"].to_pylist() == [1, 2]
+
+
+def test_3d_point_decodes_with_consistent_dim():
+    """The writer stores only 2 values for a Point with claimed dim 3
+    (geom.go:200 quirk); the decoder must clamp dim so that
+    len(coords) == ring_size * dim and re-encode round-trips."""
+    import pyarrow as pa
+
+    from geobuf_ray.codec import decode as dc
+    from geobuf_ray.codec import feature as fc
+    from geobuf_ray.io import geojson as gj
+
+    tbl = pa.table({
+        "id": pa.array([7], pa.int64()),
+        "geom_type": pa.array([1], pa.int8()),
+        "dim": pa.array([3], pa.int8()),
+        "coords": pa.array([[1.5, 2.5, 99.0]], pa.list_(pa.float64())),
+        "ring_sizes": pa.array([[1]], pa.list_(pa.int32())),
+        "poly_sizes": pa.array([[1]], pa.list_(pa.int32())),
+    })
+    dec = dc.decode_batch(fc.encode_batch(tbl))
+    assert dec["dim"].to_pylist() == [2]
+    assert dec["coords"].to_pylist() == [[1.5, 2.5]]
+    # geojson export and re-encode both work on the decoded table
+    feats = gj.table_to_features(dec)
+    assert feats[0]["geometry"]["coordinates"] == [1.5, 2.5]
+    dec2 = dc.decode_batch(fc.encode_batch(dec))
+    assert dec2["coords"].to_pylist() == [[1.5, 2.5]]
