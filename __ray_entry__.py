@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q.events_sliding,
         "events_sessions": q.events_sessions,
         "events_distinct_users": q.events_distinct_users,
+        "orders_hash_sample": q.orders_hash_sample,
+        "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "parts_by_brand": q.parts_by_brand,
         "revenue_by_region": q.revenue_by_region,
         "customers_without_orders": q.customers_without_orders,
@@ -150,6 +152,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_distinct_users": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+        """,
+        "orders_hash_sample": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM orders
+            WHERE (o_orderkey * 2654435761) % 4294967296
+                  < (4294967296 * 10) // 100
+        """,
+        "lineitem_price_quantiles": """
+            SELECT CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99) AS BIGINT) AS p99
+            FROM lineitem
         """,
         "revenue_by_region": """
             SELECT r_name,

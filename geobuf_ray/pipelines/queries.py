@@ -413,6 +413,64 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
 
 
+def orders_hash_sample(sf_dir: str, pct: int = 10):
+    """Deterministic ~pct% sample by key hash — reproducible sampling
+    for 100 TB pipelines (same rows every run, no coordination), and
+    SQL-expressible so the oracle checks the exact row set."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        h = (k * 2654435761) % 4294967296
+        keep = h < (4294967296 * pct) // 100
+        cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_orderkey": pa.array(k[keep]),
+                         "total_cents": pa.array(cents[keep])})
+
+    return ds.map_batches(sample, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def lineitem_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles (p50/p90/p99) of price cents.
+
+    Per-block (value, count) partials -> driver merge of the bounded
+    distinct-value table; at unbounded cardinality this becomes a
+    fixed-width histogram / t-digest sketch (same partial+final
+    shape)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        uniq, cnt = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None).take_all()
+    v = np.asarray([r["v"] for r in rows], np.int64)
+    c = np.asarray([r["c"] for r in rows], np.int64)
+    uniq, inv = np.unique(v, return_inverse=True)
+    counts = np.bincount(inv, weights=c).astype(np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+
+    def q(p: float) -> int:
+        # percentile_disc: smallest value with cum >= ceil(p * n)
+        rank = int(np.ceil(p * total))
+        return int(uniq[np.searchsorted(cum, max(rank, 1))])
+
+    return pa.table({"p50": pa.array([q(0.5)], pa.int64()),
+                     "p90": pa.array([q(0.9)], pa.int64()),
+                     "p99": pa.array([q(0.99)], pa.int64())})
+
+
 def events_distinct_users(sf_dir: str):
     """Exact distinct-user count (per-block distinct partial + driver
     union); the HLL sketch in functions/sketch.py is the
