@@ -158,6 +158,7 @@ def run_scaling() -> dict:
     # this host swings single measurements 3-5x, and interleaving
     # exposes both levels to the same noise epochs
     results = {}
+    trials: dict[int, list[float]] = {lo: [], hi: []}
     for cpus in (lo, hi, lo, hi):
         env["RAY_GRAFT_CPUS"] = str(cpus)
         out = subprocess.run(
@@ -167,6 +168,7 @@ def run_scaling() -> dict:
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
+        trials[cpus].append(r["value"])
         if cpus not in results or r["value"] > results[cpus]["value"]:
             results[cpus] = r
     thr_lo = results[lo]["value"]
@@ -182,6 +184,8 @@ def run_scaling() -> dict:
         "throughput_hi": thr_hi,
         "elapsed_lo_sec": results[lo]["elapsed_sec"],
         "elapsed_hi_sec": results[hi]["elapsed_sec"],
+        "trials_lo": trials[lo],
+        "trials_hi": trials[hi],
         "n_features": results[lo]["n_features"],
         "sf": _sf_of(SF_DIR),
     }
