@@ -76,6 +76,10 @@ class GeobufDatasource(FileBasedDatasource):
             if len(records):
                 yield pa.table({"geobuf": records})
             if not chunk:
+                if buf:
+                    # leftover partial frame after EOF — surface it
+                    # instead of silently dropping trailing bytes
+                    raise ValueError(f"truncated geobuf stream: {path}")
                 break
 
 

@@ -92,3 +92,47 @@ def test_partial_read_stages(ray_session):
     bb = enc.map_batches(cs.read_bbox_batch, batch_format="pyarrow").take_all()
     bb.sort(key=lambda r: r["id"])
     assert bb[3]["bbox"] == pytest.approx([3.0, 1.5, 3.0, 1.5])
+
+
+def test_geobuf_source_chunk_boundaries(tmp_path):
+    """Frames split across read-chunk boundaries must reassemble; a
+    truncated tail must raise, not silently drop records."""
+    import io
+
+    import pyarrow as pa
+
+    from geobuf_ray.codec import feature as fc
+    from geobuf_ray.io import geobuf_file as gbf
+    from geobuf_ray.io import geojson as gj
+
+    feats = [
+        {"type": "Feature", "id": i, "properties": {"p": "x" * (i % 40)},
+         "geometry": {"type": "Point", "coordinates": [i * 0.5, -i * 0.25]}}
+        for i in range(100)
+    ]
+    records = fc.encode_batch(gj.features_to_table(feats))
+    stream = fc.frame_records(records)
+
+    # drive _read_stream with a tiny chunk size so frames straddle reads
+    src = gbf.GeobufDatasource.__new__(gbf.GeobufDatasource)
+    src._skip_metadata = True
+    old_chunk = gbf._CHUNK
+    gbf._CHUNK = 37
+    try:
+        tables = list(src._read_stream(io.BytesIO(stream), "mem"))
+    finally:
+        gbf._CHUNK = old_chunk
+    total = sum(t.num_rows for t in tables)
+    assert total == 100
+    joined = pa.concat_tables(tables)["geobuf"]
+    assert joined.to_pylist() == records.to_pylist()
+
+    # truncated stream: cut inside the final record
+    import pytest as _pytest
+
+    gbf._CHUNK = 64
+    try:
+        with _pytest.raises(ValueError, match="truncated"):
+            list(src._read_stream(io.BytesIO(stream[:-3]), "mem"))
+    finally:
+        gbf._CHUNK = old_chunk
