@@ -157,7 +157,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
             FROM orders
-            WHERE (o_orderkey * 2654435761) % 4294967296
+            WHERE ((o_orderkey % 1000003) * 2654435761) % 4294967296
                   < (4294967296 * 10) // 100
         """,
         "lineitem_price_quantiles": """

@@ -32,14 +32,23 @@ def _clz64(x: np.ndarray) -> np.ndarray:
 
 
 def _hash_column(col) -> np.ndarray:
+    """64-bit hashes of the column's NON-NULL values (SQL's
+    COUNT(DISTINCT) ignores nulls, so sketches must too)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    col = col.drop_null()
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         # FNV-1a avalanches poorly in the high bits for short strings,
         # and HLL buckets on the TOP p bits — finalize with a mix
         return _mix(fingerprint64(col), 0x5EED)
+    if pa.types.is_floating(col.type):
+        # hash the bit pattern: truncation to int64 would collapse
+        # 1.2/1.5/1.9 into one "distinct" value
+        bits = np.ascontiguousarray(
+            col.to_numpy(zero_copy_only=False), np.float64).view(_U64)
+        return _mix(bits, 0x5EED)
     vals = col.to_numpy(zero_copy_only=False)
-    return _mix(vals.astype(np.int64).view(_U64), 0x5EED)
+    return _mix(np.ascontiguousarray(vals, np.int64).view(_U64), 0x5EED)
 
 
 def hll_registers(values_hash: np.ndarray, p: int = 12) -> np.ndarray:
@@ -90,21 +99,20 @@ def approx_distinct(ds, col: str, p: int = 12, **map_kwargs) -> float:
 
 
 def exact_distinct(ds, col: str, **map_kwargs) -> int:
-    """Exact distinct via per-block distinct partials + driver union
-    (the small-result path; HLL is the unbounded-cardinality path)."""
+    """Exact distinct (nulls ignored) via per-block distinct VALUE
+    partials + driver union — truly exact: values, not hashes, are
+    unioned (the small-result path; HLL is the unbounded-cardinality
+    path)."""
+    import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
         c = batch[col]
-        t = c.type if not isinstance(c, pa.ChunkedArray) else c.combine_chunks().type
-        if pa.types.is_integer(t):
-            u = np.unique(c.to_numpy(zero_copy_only=False)).astype(np.int64).view(_U64)
-        else:
-            u = np.unique(_hash_column(c))
-        return pa.table({"h": pa.array(u, pa.uint64())})
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        u = pc.unique(c.drop_null())
+        return pa.table({"v": u})
 
     rows = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None,
                           **map_kwargs).take_all()
-    if not rows:
-        return 0
-    return len(np.unique(np.asarray([r["h"] for r in rows], _U64)))
+    return len({r["v"] for r in rows})

@@ -173,7 +173,8 @@ class _WriteGeobufFn:
             # synthetic shuffle-key columns must not leak into the
             # encoded records as feature properties
             aux = [c for c in dict.fromkeys(
-                       ("tile_key", "tile_str", "ckpt_key", self.key_column))
+                       ("tile_key", "tile_str", "tile_salt", "ckpt_key",
+                        self.key_column))
                    if c and c in batch.column_names]
             feat = batch.drop_columns(aux) if aux else batch
             records = fc.encode_batch(feat, write_bbox=self.write_bbox)

@@ -83,27 +83,40 @@ def iter_feature_json(stream, chunk_size: int = _CHUNK) -> Iterator[list[str]]:
     head = stream.read(1 << 20)
     if not head:
         return
-    # FeatureCollection? the first top-level object in NDJSON ends
-    # quickly, so a wrapper is recognizable by its FeatureCollection
-    # type tag (scanning a 1 MiB head tolerates large crs/bbox
-    # preambles before the features array)
-    probe = head.lstrip()
+    # Detect layout by PARSING, not key order: in NDJSON the first
+    # top-level object is a complete Feature within the head; an FC
+    # wrapper either spans past the head or parses to a non-Feature
+    # dict, regardless of where its "type"/"features" keys sit.
     tail: bytes
-    is_fc = (probe.startswith(b"{")
-             and b"FeatureCollection" in head[:65536]
-             and b'"features"' in head)
-    if is_fc:
-        pos = head.index(b'"features"')
-        br = head.find(b"[", pos)
-        while br < 0:
-            more = stream.read(4096)
-            if not more:
-                return
-            head += more
-            br = head.find(b"[", pos)
-        tail = head[br + 1:]
-    else:
+    arr = np.frombuffer(head, np.uint8)
+    starts, ends, _ = feature_spans(arr)
+    is_ndjson = False
+    if len(starts):
+        try:
+            first_obj = json.loads(head[starts[0]:ends[0]])
+            is_ndjson = isinstance(first_obj, dict) and (
+                first_obj.get("type") == "Feature" or "geometry" in first_obj)
+        except ValueError:
+            pass
+    if is_ndjson:
         tail = head
+    else:
+        # FC wrapper: seek to the features array, reading further if a
+        # large preamble precedes it
+        buf = head
+        while True:
+            pos = buf.find(b'"features"')
+            br = buf.find(b"[", pos) if pos >= 0 else -1
+            if br >= 0:
+                tail = buf[br + 1:]
+                break
+            more = stream.read(1 << 20)
+            if not more:
+                # no features array anywhere: fall through and scan
+                # whatever top-level objects exist (may be none)
+                tail = buf
+                break
+            buf += more
     while True:
         chunk = stream.read(chunk_size)
         buf = tail + chunk if chunk else tail
@@ -117,6 +130,14 @@ def iter_feature_json(stream, chunk_size: int = _CHUNK) -> Iterator[list[str]]:
         else:
             tail = buf
         if not chunk:
+            # only framing may remain: whitespace, commas, the closing
+            # ']' / '}' of a FeatureCollection wrapper — anything else
+            # is a cut-off feature, which must error (the geobuf source
+            # raises on truncated tails; silent loss would differ)
+            leftover = tail.translate(None, b" \t\r\n,]}")
+            if leftover:
+                raise ValueError("truncated GeoJSON stream: "
+                                 f"{len(tail)} unparsed trailing bytes")
             break
 
 
@@ -158,14 +179,20 @@ class _WriteNdjsonFn:
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         os.makedirs(self.out_dir, exist_ok=True)
         feats = gj.table_to_features(batch)
-        path = os.path.join(self.out_dir, f"part-{uuid.uuid4().hex[:12]}.ndjson")
-        tmp = path + ".tmp"
+        body = "".join(json.dumps(f, separators=(",", ":")) + "\n"
+                       for f in feats)
+        # content-addressed shard name: a Ray task retry that re-runs a
+        # committed block rewrites the SAME file instead of accumulating
+        # a uuid-named duplicate
+        digest = hashlib.sha256(body.encode()).hexdigest()[:16]
+        path = os.path.join(self.out_dir, f"part-{digest}.ndjson")
+        tmp = path + f".{uuid.uuid4().hex[:6]}.tmp"
         with open(tmp, "w") as f:
-            for feat in feats:
-                f.write(json.dumps(feat, separators=(",", ":")))
-                f.write("\n")
+            f.write(body)
         os.replace(tmp, path)
         return pa.table({
             "path": pa.array([path]),

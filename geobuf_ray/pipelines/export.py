@@ -166,9 +166,17 @@ def read_tile_keys(out_dir: str, keys) -> "object":
     from ..state.checkpoint import load_manifest
 
     manifest = load_manifest(out_dir)
+    if "path" not in manifest.column_names:
+        raise KeyError(
+            f"{out_dir} has no per-partition manifest rows "
+            "(write with checkpointed_split_combine, or read the "
+            "_manifest.parquet of split_combine outputs directly)")
     want = set(keys)
+    # a salted hot tile commits as '<tile>~sN' partitions — a bare tile
+    # key addresses all of its salt buckets (prefix match)
     paths = [p for k, p in zip(manifest["key"].to_pylist(),
-                               manifest["path"].to_pylist()) if k in want]
+                               manifest["path"].to_pylist())
+             if k in want or k.split("~s")[0] in want]
     if not paths:
         raise KeyError(f"no manifest entries for {sorted(want)}")
     return read_geobuf(paths)

@@ -424,7 +424,10 @@ def orders_hash_sample(sf_dir: str, pct: int = 10):
 
     def sample(batch: pa.Table) -> pa.Table:
         k = batch["o_orderkey"].to_numpy().astype(np.int64)
-        h = (k * 2654435761) % 4294967296
+        # reduce the key first so the multiply fits int64 on BOTH the
+        # numpy and the DuckDB BIGINT side (k * 2654435761 would wrap
+        # silently in numpy past orderkey ~3.5e9 while SQL errors)
+        h = ((k % 1000003) * 2654435761) % 4294967296
         keep = h < (4294967296 * pct) // 100
         cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
         return pa.table({"o_orderkey": pa.array(k[keep]),

@@ -46,7 +46,8 @@ def assign_tiles_batch(
     """
     n = batch.num_rows
     if n == 0:
-        return _with_tile_cols(batch, np.empty(0, np.int64), np.empty(0, np.uint64))
+        return _with_tile_cols(batch, np.empty(0, np.int64),
+                               np.empty(0, np.uint64), np.empty(0, np.uint8))
     coords, offs = list_column_parts(batch["coords"], np.float64)
     dim = (
         batch["dim"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -70,7 +71,10 @@ def assign_tiles_batch(
         # quantized first coordinate pair) — batch-local row indices
         # would change with block boundaries across runs and break
         # checkpoint resume (a feature could re-salt into an
-        # already-committed partition and be dropped)
+        # already-committed partition and be dropped).  The salt rides
+        # in its OWN column (shuffles group on [tile_key, tile_salt]):
+        # bit-packing it into the key would shift the zoom bits
+        # (pack() uses bits 58-63) off the top for zoom >= 16.
         if "id" in batch.column_names:
             ident = (batch["id"].combine_chunks().fill_null(0)
                      .to_numpy(zero_copy_only=False).astype(np.int64))
@@ -85,17 +89,18 @@ def assign_tiles_batch(
         h = (ident.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
              ^ fx.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
              ^ fy.view(np.uint64) * np.uint64(0x165667B19E3779F9))
-        salt = h[row_idx] >> np.uint64(64 - salt_bits)
-        keys = (keys << np.uint64(salt_bits)) | salt
-    return _with_tile_cols(batch, row_idx, keys, zoom, salt_bits)
+        salt = (h[row_idx] >> np.uint64(64 - salt_bits)).astype(np.uint8)
+    else:
+        salt = np.zeros(len(keys), np.uint8)
+    return _with_tile_cols(batch, row_idx, keys, salt)
 
 
-def _with_tile_cols(batch, row_idx, keys, zoom=0, salt_bits=0):
+def _with_tile_cols(batch, row_idx, keys, salt):
     taken = batch.take(pa.array(row_idx, pa.int64()))
-    base_keys = keys >> np.uint64(salt_bits) if salt_bits else keys
-    tile_strs = tiles.tile_key_str(base_keys)
+    tile_strs = tiles.tile_key_str(keys)
     taken = taken.append_column("tile_key", pa.array(keys, pa.uint64()))
     taken = taken.append_column("tile_str", pa.array(tile_strs, pa.string()))
+    taken = taken.append_column("tile_salt", pa.array(salt, pa.uint8()))
     return taken
 
 
@@ -140,7 +145,7 @@ def split_combine(
 
     # shuffle on the (salted) packed key; tile_str names the output file,
     # so a salted hot tile yields several prefix-addressable files
-    manifest_ds = tiled.groupby("tile_key").map_groups(
+    manifest_ds = tiled.groupby(["tile_key", "tile_salt"]).map_groups(
         write_tile_group, batch_format="pyarrow"
     )
     manifest = pa.Table.from_pylist(manifest_ds.take_all())  # one row per tile

@@ -100,9 +100,11 @@ def filter_completed(ds, key_col: str, done: set[str], **map_kwargs):
             self.done = ray.get(done_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[key_col].to_pylist()
-            mask = np.fromiter((k not in self.done for k in keys), bool, len(keys))
-            return batch.filter(pa.array(mask))
+            import pyarrow.compute as pc
+
+            hit = pc.is_in(batch[key_col],
+                           value_set=pa.array(sorted(self.done), pa.string()))
+            return batch.filter(pc.invert(pc.fill_null(hit, False)))
 
     return ds.map_batches(_Filter, batch_format="pyarrow",
                           zero_copy_batch=True,
@@ -140,10 +142,8 @@ def checkpointed_split_combine(
         # partitions; the checkpoint key carries the salt so manifest
         # rows (and resume filtering) stay one-to-one with shuffle
         # groups while filenames remain tile-prefix addressable
-        mask = np.uint64((1 << salt_bits) - 1)
-
         def add_ckpt_key(batch: pa.Table) -> pa.Table:
-            salts = batch["tile_key"].to_numpy(zero_copy_only=False) & mask
+            salts = batch["tile_salt"].to_numpy(zero_copy_only=False)
             keys = [f"{t}~s{int(s)}" for t, s in
                     zip(batch["tile_str"].to_pylist(), salts)]
             return batch.append_column("ckpt_key", pa.array(keys, pa.string()))
@@ -164,7 +164,7 @@ def checkpointed_split_combine(
         t0 = time.perf_counter()
         key = str(group["ckpt_key"][0].as_py())
         feat_cols = group.drop_columns(
-            [c for c in ("tile_key", "tile_str", "ckpt_key")
+            [c for c in ("tile_key", "tile_str", "tile_salt", "ckpt_key")
              if c in group.column_names])
         records = fc.encode_batch(feat_cols, write_bbox=write_bbox)
         stream = fc.frame_records(records)
@@ -191,7 +191,7 @@ def checkpointed_split_combine(
         return pa.table({"key": pa.array([key], pa.string())})
 
     # the shuffle: one group per (salted) tile key, committed independently
-    todo.groupby("tile_key").map_groups(
+    todo.groupby(["tile_key", "tile_salt"]).map_groups(
         write_tile, batch_format="pyarrow"
     ).materialize()
     return load_manifest(out_dir)
