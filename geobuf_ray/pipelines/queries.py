@@ -52,6 +52,69 @@ def _final_combine(partials_ds, group_cols: list[str],
     return agg.rename_columns(group_cols + sum_cols)
 
 
+def _broadcast_lookup_aggregate(side_sql: str, label_col: str,
+                                fact_path: str, fact_columns: list[str],
+                                fact_key: str, measures, count_name: str,
+                                sum_order: list[str]) -> pa.Table:
+    """Shared broadcast-dimension join + grouped integer sums.
+
+    ``side_sql`` yields (key, label); it composes into a dense
+    key->label-code array shipped once via ``ray.put``.  The fact table
+    streams through a bincount partial per block; ``measures`` is a
+    list of ``(out_name, fn(batch) -> int64 values)`` weighted sums and
+    ``count_name`` the row-count column.  One implementation serves
+    every dimension join (segment / brand / region) — previously three
+    diverging copies."""
+    import duckdb
+    import ray
+
+    side = duckdb.connect().execute(side_sql).fetch_arrow_table()
+    keys = side.column(0).to_numpy().astype(np.int64)
+    lab = side.column(1).combine_chunks().dictionary_encode()
+    names = lab.dictionary.to_pylist()
+    idx = np.full(int(keys.max()) + 1, -1, np.int16)
+    idx[keys] = lab.indices.to_numpy().astype(np.int16)
+    side_ref = ray.put((idx, names))
+
+    class JoinFn:
+        def __init__(self):
+            self.idx, self.names = ray.get(side_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch[fact_key].to_numpy().astype(np.int64)
+            code = self.idx[k].astype(np.int64)
+            nbins = len(self.names)
+            counts = np.bincount(code, minlength=nbins)
+            present = np.flatnonzero(counts)
+            cols = {label_col: pa.array([self.names[c] for c in present])}
+            for name, fn in measures:
+                sums = np.bincount(code, weights=fn(batch),
+                                   minlength=nbins).astype(np.int64)
+                cols[name] = pa.array(sums[present])
+            cols[count_name] = pa.array(counts[present].astype(np.int64))
+            return pa.table(cols)
+
+    ds_fact = _read(fact_path, fact_columns)
+    partials = ds_fact.map_batches(JoinFn, batch_format="pyarrow",
+                                   batch_size=None, zero_copy_batch=True,
+                                   concurrency=(1, 4))
+    return _final_combine(partials, [label_col], sum_order)
+
+
+def _read(path: str, columns: list[str]):
+    import ray
+
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def _cents(col: str):
+    return lambda b: np.round(b[col].to_numpy() * 100).astype(np.int64)
+
+
+def _as_int(col: str):
+    return lambda b: b[col].to_numpy().astype(np.int64)
+
+
 def _customer_points_batch(batch: pa.Table) -> pa.Table:
     k = batch["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
@@ -124,46 +187,13 @@ def orders_by_segment(sf_dir: str):
 
     The customer side is small: built driver-side, ``ray.put`` once,
     looked up inside map_batches (no shuffle join)."""
-    import ray
-
-    import duckdb
-
-    res = duckdb.connect().execute(
-        f"SELECT c_custkey, c_mktsegment FROM '{sf_dir}/customer.parquet'"
-    ).fetch_arrow_table()
-    keys = res["c_custkey"].to_numpy().astype(np.int64)
-    seg = res["c_mktsegment"].combine_chunks().dictionary_encode()
-    seg_names = seg.dictionary.to_pylist()
-    # dense array keyed by custkey: the broadcast small side (ray.put
-    # once, indexed per batch — no per-row Python lookups, no shuffle)
-    seg_idx = np.full(int(keys.max()) + 1, -1, np.int8)
-    seg_idx[keys] = seg.indices.to_numpy().astype(np.int8)
-    side_ref = ray.put((seg_idx, seg_names))
-
-    class JoinFn:
-        def __init__(self):
-            self.seg_idx, self.seg_names = ray.get(side_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            k = batch["o_custkey"].to_numpy().astype(np.int64)
-            cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
-            code = self.seg_idx[k]
-            nbins = len(self.seg_names)
-            sums = np.bincount(code, weights=cents, minlength=nbins).astype(np.int64)
-            counts = np.bincount(code, minlength=nbins)
-            present = np.flatnonzero(counts)
-            return pa.table({
-                "c_mktsegment": pa.array([self.seg_names[c] for c in present]),
-                "total_cents": pa.array(sums[present]),
-                "n_orders": pa.array(counts[present].astype(np.int64)),
-            })
-
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(JoinFn, batch_format="pyarrow", batch_size=None,
-                              zero_copy_batch=True, concurrency=(1, 4))
-    return _final_combine(partials, ["c_mktsegment"],
-                          ["n_orders", "total_cents"])
+    return _broadcast_lookup_aggregate(
+        f"SELECT c_custkey, c_mktsegment FROM '{sf_dir}/customer.parquet'",
+        "c_mktsegment",
+        f"{sf_dir}/orders.parquet", ["o_custkey", "o_totalprice"],
+        "o_custkey",
+        [("total_cents", _cents("o_totalprice"))],
+        "n_orders", ["n_orders", "total_cents"])
 
 
 def top_orders(sf_dir: str):
@@ -232,52 +262,16 @@ def events_sliding(sf_dir: str, window: int = 3):
 
 
 def parts_by_brand(sf_dir: str):
-    """lineitem x part broadcast join -> per-brand quantity/revenue.
-
-    Second join shape: the part table (small side) ships once via
-    ray.put as dense arrays keyed by partkey; lineitem streams."""
-    import duckdb
-    import ray
-
-    side = duckdb.connect().execute(
-        f"SELECT p_partkey, p_brand FROM '{sf_dir}/part.parquet'"
-    ).fetch_arrow_table()
-    pk = side["p_partkey"].to_numpy().astype(np.int64)
-    brand = side["p_brand"].combine_chunks().dictionary_encode()
-    brand_names = brand.dictionary.to_pylist()
-    brand_idx = np.full(int(pk.max()) + 1, -1, np.int16)
-    brand_idx[pk] = brand.indices.to_numpy().astype(np.int16)
-    side_ref = ray.put((brand_idx, brand_names))
-
-    class JoinFn:
-        def __init__(self):
-            self.brand_idx, self.brand_names = ray.get(side_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            k = batch["l_partkey"].to_numpy().astype(np.int64)
-            qty = batch["l_quantity"].to_numpy().astype(np.int64)
-            cents = np.round(
-                batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-            code = self.brand_idx[k].astype(np.int64)
-            nbins = len(self.brand_names)
-            sums_q = np.bincount(code, weights=qty, minlength=nbins).astype(np.int64)
-            sums_c = np.bincount(code, weights=cents, minlength=nbins).astype(np.int64)
-            counts = np.bincount(code, minlength=nbins)
-            present = np.flatnonzero(counts)
-            return pa.table({
-                "p_brand": pa.array([self.brand_names[c] for c in present]),
-                "sum_qty": pa.array(sums_q[present]),
-                "sum_cents": pa.array(sums_c[present]),
-                "n_items": pa.array(counts[present].astype(np.int64)),
-            })
-
-    ds = ray.data.read_parquet(
+    """lineitem x part broadcast join -> per-brand quantity/revenue
+    (second join shape, shared _broadcast_lookup_aggregate engine)."""
+    return _broadcast_lookup_aggregate(
+        f"SELECT p_partkey, p_brand FROM '{sf_dir}/part.parquet'",
+        "p_brand",
         f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_quantity", "l_extendedprice"])
-    partials = ds.map_batches(JoinFn, batch_format="pyarrow", batch_size=None,
-                              zero_copy_batch=True, concurrency=(1, 4))
-    return _final_combine(partials, ["p_brand"],
-                          ["sum_qty", "sum_cents", "n_items"])
+        ["l_partkey", "l_quantity", "l_extendedprice"], "l_partkey",
+        [("sum_qty", _as_int("l_quantity")),
+         ("sum_cents", _cents("l_extendedprice"))],
+        "n_items", ["sum_qty", "sum_cents", "n_items"])
 
 
 def customers_without_orders(sf_dir: str, min_price: float = 450000.0):
@@ -491,48 +485,20 @@ def revenue_by_region(sf_dir: str):
     """orders -> customer -> nation -> region chained broadcast join.
 
     The three dimension tables compose into ONE dense custkey->region
-    array driver-side (they are tiny); orders stream through a single
+    map driver-side (they are tiny); orders stream through a single
     lookup stage — a 4-table join with no shuffle at all."""
-    import duckdb
-    import ray
-
-    con = duckdb.connect()
-    side = con.execute(f"""
+    side_sql = f"""
         SELECT c_custkey, r_name
         FROM '{sf_dir}/customer.parquet'
         JOIN '{sf_dir}/nation.parquet' ON c_nationkey = n_nationkey
         JOIN '{sf_dir}/region.parquet' ON n_regionkey = r_regionkey
-    """).fetch_arrow_table()
-    ck = side["c_custkey"].to_numpy().astype(np.int64)
-    rn = side["r_name"].combine_chunks().dictionary_encode()
-    names = rn.dictionary.to_pylist()
-    idx = np.full(int(ck.max()) + 1, -1, np.int8)
-    idx[ck] = rn.indices.to_numpy().astype(np.int8)
-    side_ref = ray.put((idx, names))
-
-    class JoinFn:
-        def __init__(self):
-            self.idx, self.names = ray.get(side_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            k = batch["o_custkey"].to_numpy().astype(np.int64)
-            cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
-            code = self.idx[k].astype(np.int64)
-            nbins = len(self.names)
-            sums = np.bincount(code, weights=cents, minlength=nbins).astype(np.int64)
-            counts = np.bincount(code, minlength=nbins)
-            present = np.flatnonzero(counts)
-            return pa.table({
-                "r_name": pa.array([self.names[c] for c in present]),
-                "total_cents": pa.array(sums[present]),
-                "n_orders": pa.array(counts[present].astype(np.int64)),
-            })
-
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(JoinFn, batch_format="pyarrow", batch_size=None,
-                              zero_copy_batch=True, concurrency=(1, 4))
-    return _final_combine(partials, ["r_name"], ["total_cents", "n_orders"])
+    """
+    return _broadcast_lookup_aggregate(
+        side_sql, "r_name",
+        f"{sf_dir}/orders.parquet", ["o_custkey", "o_totalprice"],
+        "o_custkey",
+        [("total_cents", _cents("o_totalprice"))],
+        "n_orders", ["total_cents", "n_orders"])
 
 
 # ---------------------------------------------------------------------------

@@ -131,3 +131,22 @@ def test_salted_checkpoint_splits_hot_tile(ray_session, tmp_path):
     m2 = ck.checkpointed_split_combine(ds, out_salt, zoom=2, salt_bits=2)
     for r in m2.to_pylist():
         assert _os.path.getmtime(r["path"]) == mtimes[r["key"]]
+
+
+def test_salted_checkpoint_high_zoom_keys(ray_session, tmp_path):
+    """Regression: bit-packing salt into the tile key destroyed the
+    zoom bits for zoom >= 16 (pack uses bits 58-63); keys must carry
+    the true zoom."""
+    import ray
+
+    feats = [{"type": "Feature", "id": i, "properties": {},
+              "geometry": {"type": "Point",
+                           "coordinates": [10.0 + i * 1e-6, 50.0 + i * 1e-6]}}
+             for i in range(60)]
+    ds = ray.data.from_arrow(gj.features_to_table(feats))
+    out = str(tmp_path / "z16")
+    manifest = ck.checkpointed_split_combine(ds, out, zoom=16, salt_bits=2)
+    assert sum(manifest["num_features"].to_pylist()) == 60
+    for k in manifest["key"].to_pylist():
+        base = k.split("~s")[0]
+        assert base.endswith("-16"), k  # x-y-z format with TRUE zoom
