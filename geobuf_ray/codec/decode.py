@@ -211,7 +211,9 @@ def _structure_scan_scalar(data: np.ndarray, offs: np.ndarray):
             pos += 1
             if tag == 0x08:  # id varint
                 v, pos = dv(mv, pos)
-                ids[i] = v
+                # wrap to int64 like the vectorized scan (ids >= 2^63
+                # are negative ids as written by the encoder)
+                ids[i] = v - (1 << 64) if v >= (1 << 63) else v
                 has_id[i] = True
             elif tag == 0x12:  # property keyvalue
                 ln, pos = dv(mv, pos)
@@ -334,9 +336,10 @@ def _decode_geometries(data, scan, n):
                 while p < e:
                     cnt = vals_list[p]
                     vertex_mask[p] = False
-                    if cnt == 0:
-                        # count omitted: remaining values to end of record
-                        cnt = e - (p + 1)
+                    # a 0 prefix is a genuinely EMPTY ring (the encoder
+                    # writes len*dim per ring); treating it as
+                    # "rest of record" mis-consumed the next ring's
+                    # prefix as a vertex delta (review find)
                     rs.append(cnt // d)
                     p += 1 + cnt
                 ps.append(len(rs))
@@ -531,11 +534,17 @@ def decode_bbox(data: np.ndarray, bbox_start: np.ndarray) -> pa.Array:
             vals[:, j] = vi.zigzag_decode(u)
             p += nb
         out_vals[have] = vals / 1e7
-    flat = pa.array(out_vals.reshape(-1))
-    offsets = pa.array(np.arange(0, 4 * n + 1, 4, dtype=np.int32))
-    lst = pa.ListArray.from_arrays(offsets, flat)
     if have.all():
-        return lst
+        flat = pa.array(out_vals.reshape(-1))
+        offsets = pa.array(np.arange(0, 4 * n + 1, 4, dtype=np.int32))
+        return pa.ListArray.from_arrays(offsets, flat)
+    # _scatter_with_nulls expects vals COMPACTED to the present rows —
+    # scattering the full n-row array through compact indices assigned
+    # other features' bboxes to present rows (review find)
+    m = int(have.sum())
+    flat = pa.array(out_vals[have].reshape(-1))
+    offsets = pa.array(np.arange(0, 4 * m + 1, 4, dtype=np.int32))
+    lst = pa.ListArray.from_arrays(offsets, flat)
     return _scatter_with_nulls(lst, np.flatnonzero(have), n)
 
 

@@ -81,11 +81,8 @@ def _varint_segment(vals_u64: np.ndarray, valid: np.ndarray, tag: int):
         keep = np.repeat(valid, body_lens)
         body_flat = body_flat[keep]
         body_lens = np.where(valid, body_lens, 0)
-        head_flat = head[valid].reshape(-1)
-        head_flat_full = np.zeros(int(head_lens.sum()), np.uint8)
-        head_flat_full[:] = head_flat
         flat, rl = vi.rowwise_concat(
-            [(head_flat_full, head_lens), (body_flat, body_lens)]
+            [(head[valid].reshape(-1), head_lens), (body_flat, body_lens)]
         )
     else:
         flat, rl = vi.rowwise_concat(
@@ -252,6 +249,15 @@ def _geometry_segments(table: pa.Table):
     rings_per_feat = np.diff(r_offs)
     polys_per_feat = np.diff(p_offs)
     has_geom = coords_per_feat > 0
+    if (poly_sizes == 0).any():
+        # empty polygons are dropped at encode: in this columnar stream
+        # layout the polygon's ring-count prefix lives in its FIRST
+        # ring's slot, which an empty polygon does not have.  (The
+        # reference would emit num_rings=0; decode handles that form.)
+        pf = np.repeat(np.arange(n), polys_per_feat)
+        keep_poly = poly_sizes > 0
+        poly_sizes = poly_sizes[keep_poly]
+        polys_per_feat = np.bincount(pf[keep_poly], minlength=n).astype(np.int64)
 
     # per-ring feature index & geom metadata
     ring_feat = np.repeat(np.arange(n), rings_per_feat)
@@ -355,13 +361,17 @@ def _geometry_segments(table: pa.Table):
     if n_rings:
         np.add.at(geom_payload_lens, ring_feat, ring_byte_lens)
 
-    # geometry section: 0x18 geomcode 0x22 varint(len) payload
+    # geometry section: 0x18 geomcode [0x22 varint(len) payload].
+    # The geomcode is emitted even for empty geometries so geom_type
+    # survives a round trip; the 0x22 packed field only when there are
+    # coordinates (byte-identical to before for non-empty features)
     geomcode = np.where(dim == 2, geom_type, (geom_type << 4) | dim).astype(np.uint8)
-    head = np.zeros((n, 3), np.uint8)
-    head[:, 0] = 0x18
-    head[:, 1] = geomcode
-    head[:, 2] = 0x22
-    head_lens = np.where(has_geom, 3, 0).astype(np.int64)
+    head_a = np.zeros((n, 2), np.uint8)
+    head_a[:, 0] = 0x18
+    head_a[:, 1] = geomcode
+    head_a_lens = np.full(n, 2, np.int64)
+    open_b = np.full(int(has_geom.sum()), 0x22, np.uint8)
+    open_lens = has_geom.astype(np.int64)
     pref_flat, pref_lens = vi.varint_encode(geom_payload_lens.astype(_U64))
     if not has_geom.all():
         pref_flat = pref_flat[np.repeat(has_geom, pref_lens)]
@@ -370,7 +380,8 @@ def _geometry_segments(table: pa.Table):
     # returned as separate (flat, lens) pass-through segments so the
     # payload bytes are scattered ONCE in encode_batch's final concat
     geom_segments = [
-        (head[has_geom].reshape(-1), head_lens),
+        (head_a.reshape(-1), head_a_lens),
+        (open_b, open_lens),
         (pref_flat, pref_lens),
         (flat, payload_lens),
     ]
@@ -456,6 +467,10 @@ def encode_batch(
             segments.extend(bbox_segments)
 
     flat, row_lens = vi.rowwise_concat(segments)
+    total = int(row_lens.sum())
+    if total >= 2**31:  # int32 binary offsets would wrap silently
+        raise ValueError(
+            f"encoded batch is {total} bytes (>= 2 GiB); reduce batch_size")
     offsets = np.concatenate(([0], np.cumsum(row_lens))).astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(),

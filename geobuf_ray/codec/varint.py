@@ -196,13 +196,6 @@ def rowwise_concat(
     return out, row_lens
 
 
-def segment_sums(values: np.ndarray, seg_starts: np.ndarray, total_len: int | None = None) -> np.ndarray:
-    """Sum ``values`` within segments beginning at ``seg_starts``."""
-    if len(seg_starts) == 0:
-        return np.empty(0, values.dtype)
-    return np.add.reduceat(values, seg_starts)
-
-
 def segmented_cumsum(values: np.ndarray, seg_starts_mask: np.ndarray) -> np.ndarray:
     """Cumulative sum that restarts where ``seg_starts_mask`` is True.
 

@@ -287,3 +287,89 @@ def test_3d_point_decodes_with_consistent_dim():
     assert feats[0]["geometry"]["coordinates"] == [1.5, 2.5]
     dec2 = dc.decode_batch(fc.encode_batch(dec))
     assert dec2["coords"].to_pylist() == [[1.5, 2.5]]
+
+
+def test_mixed_bbox_presence_alignment():
+    """Records with and without bbox sections in one batch must decode
+    each bbox against ITS OWN feature (review find: compact/scatter
+    mismatch assigned neighbors' bboxes)."""
+    import pyarrow as pa
+
+    from geobuf_ray.codec import decode as dc
+    from geobuf_ray.codec import feature as fc
+
+    def one(x):
+        return pa.table({
+            "id": pa.array([x], pa.int64()),
+            "geom_type": pa.array([1], pa.int8()),
+            "dim": pa.array([2], pa.int8()),
+            "coords": pa.array([[float(x), float(-x)]], pa.list_(pa.float64())),
+            "ring_sizes": pa.array([[1]], pa.list_(pa.int32())),
+            "poly_sizes": pa.array([[1]], pa.list_(pa.int32())),
+        })
+
+    recs = []
+    for x, bbox in ((1, False), (2, True), (3, True)):
+        recs.append(fc.encode_batch(one(x), write_bbox=bbox)[0].as_py())
+    bb = dc.read_bounding_boxes(pa.array(recs, pa.binary()))
+    got = bb.to_pylist()
+    assert got[0] is None
+    assert got[1] == [2.0, -2.0, 2.0, -2.0]
+    assert got[2] == [3.0, -3.0, 3.0, -3.0]
+
+
+def test_empty_geometry_preserves_type_and_interior_empty_ring():
+    import pyarrow as pa
+
+    from geobuf_ray.codec import decode as dc
+    from geobuf_ray.codec import feature as fc
+
+    # empty polygon keeps its geom_type through a round trip
+    tbl = pa.table({
+        "id": pa.array([5], pa.int64()),
+        "geom_type": pa.array([3], pa.int8()),
+        "dim": pa.array([2], pa.int8()),
+        "coords": pa.array([[]], pa.list_(pa.float64())),
+        "ring_sizes": pa.array([[]], pa.list_(pa.int32())),
+        "poly_sizes": pa.array([[]], pa.list_(pa.int32())),
+    })
+    dec = dc.decode_batch(fc.encode_batch(tbl))
+    assert dec["geom_type"].to_pylist() == [3]
+    assert dec["coords"].to_pylist() == [[]]
+
+    # polygon with an INTERIOR empty ring round-trips exactly
+    ring = [0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0]
+    tbl2 = pa.table({
+        "id": pa.array([6], pa.int64()),
+        "geom_type": pa.array([3], pa.int8()),
+        "dim": pa.array([2], pa.int8()),
+        "coords": pa.array([ring + ring], pa.list_(pa.float64())),
+        "ring_sizes": pa.array([[4, 0, 4]], pa.list_(pa.int32())),
+        "poly_sizes": pa.array([[3]], pa.list_(pa.int32())),
+    })
+    dec2 = dc.decode_batch(fc.encode_batch(tbl2))
+    assert dec2["ring_sizes"].to_pylist() == [[4, 0, 4]]
+    assert dec2["coords"].to_pylist() == [ring + ring]
+
+
+def test_multipolygon_empty_polygon_dropped_not_crashed():
+    import pyarrow as pa
+
+    from geobuf_ray.codec import decode as dc
+    from geobuf_ray.codec import feature as fc
+
+    ring = [0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0]
+    for poly_sizes in ([[1, 0]], [[0, 1]]):
+        tbl = pa.table({
+            "id": pa.array([9], pa.int64()),
+            "geom_type": pa.array([6], pa.int8()),
+            "dim": pa.array([2], pa.int8()),
+            "coords": pa.array([ring], pa.list_(pa.float64())),
+            "ring_sizes": pa.array([[4]], pa.list_(pa.int32())),
+            "poly_sizes": pa.array(poly_sizes, pa.list_(pa.int32())),
+        })
+        dec = dc.decode_batch(fc.encode_batch(tbl))
+        # documented: empty polygons drop at encode
+        assert dec["poly_sizes"].to_pylist() == [[1]], poly_sizes
+        assert dec["ring_sizes"].to_pylist() == [[4]]
+        assert dec["coords"].to_pylist() == [ring]
