@@ -97,7 +97,9 @@ def brute_force_topk(ds, queries: pa.Table, k: int = 5, *,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, **map_kwargs,
     )
-    return topk_reduce(pa.Table.from_pylist(partials.take_all()), k)
+    from ..collect import collect_table
+
+    return topk_reduce(collect_table(partials), k)
 
 
 # ---------------------------------------------------------------------------
@@ -192,4 +194,6 @@ def ivf_topk(ds, queries: pa.Table, centroids: np.ndarray, k: int = 5, *,
 
     partials = ds.map_batches(ProbeFn, batch_format="pyarrow",
                               zero_copy_batch=True, concurrency=(1, 4), **map_kwargs)
-    return topk_reduce(pa.Table.from_pylist(partials.take_all()), k)
+    from ..collect import collect_table
+
+    return topk_reduce(collect_table(partials), k)

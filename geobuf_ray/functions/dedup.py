@@ -314,9 +314,11 @@ def _hot_bucket_candidates(sig_ds, schema: pa.Schema):
         return pa.table({"bucket": pa.array(uniq, pa.uint64()),
                          "cnt": pa.array(cnt.astype(np.int64))})
 
-    parts = pa.Table.from_pylist(
+    from ..collect import collect_table
+
+    parts = collect_table(
         sig_ds.map_batches(bucket_partial, batch_format="pyarrow",
-                           zero_copy_batch=True).take_all(),
+                           zero_copy_batch=True),
         schema=pa.schema([("bucket", pa.uint64()), ("cnt", pa.int64())]))
     if parts.num_rows == 0:
         return None
@@ -334,9 +336,9 @@ def _hot_bucket_candidates(sig_ds, schema: pa.Schema):
         pos[pos == len(hot)] = 0
         return batch.filter(pa.array(hot[pos] == bk))
 
-    return pa.Table.from_pylist(
+    return collect_table(
         sig_ds.map_batches(hot_filter, batch_format="pyarrow",
-                           zero_copy_batch=True).take_all(),
+                           zero_copy_batch=True),
         schema=schema)
 
 

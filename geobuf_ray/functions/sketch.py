@@ -89,12 +89,14 @@ def approx_distinct(ds, col: str, p: int = 12, **map_kwargs) -> float:
         regs = hll_registers(_hash_column(batch[col]), p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None,
-                          **map_kwargs).take_all()
+    from ..collect import collect_table
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True, batch_size=None,
+                                         **map_kwargs))
     merged = np.zeros(1 << p, np.uint8)
-    for r in rows:
-        merged = hll_merge(merged, np.frombuffer(r["regs"], np.uint8))
+    for r in parts["regs"].to_pylist():
+        merged = hll_merge(merged, np.frombuffer(r, np.uint8))
     return hll_estimate(merged)
 
 
@@ -112,7 +114,9 @@ def exact_distinct(ds, col: str, **map_kwargs) -> int:
         u = pc.unique(c.drop_null())
         return pa.table({"v": u})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None,
-                          **map_kwargs).take_all()
-    return len({r["v"] for r in rows})
+    from ..collect import collect_table
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True, batch_size=None,
+                                         **map_kwargs))
+    return len(set(parts["v"].to_pylist()))

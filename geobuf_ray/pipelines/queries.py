@@ -46,8 +46,9 @@ def _final_combine(partials_ds, group_cols: list[str],
     that small table needs no Ray shuffle.  Replaces
     ``groupby().aggregate()`` whose fixed per-stage latency dominates
     tiny-result aggregations (measured: 3.2s of a 3.3s query)."""
-    rows = partials_ds.take_all()
-    tbl = pa.Table.from_pylist(rows)
+    from ..collect import collect_table
+
+    tbl = collect_table(partials_ds)
     agg = tbl.group_by(group_cols).aggregate([(c, "sum") for c in sum_cols])
     return agg.rename_columns(group_cols + sum_cols)
 
@@ -292,10 +293,13 @@ def customers_without_orders(sf_dir: str, min_price: float = 450000.0):
         keys = batch["o_custkey"].to_numpy()[price >= min_price]
         return pa.table({"k": pa.array(np.unique(keys))})
 
-    parts = orders.map_batches(distinct, batch_format="pyarrow",
-                               zero_copy_batch=True, batch_size=None).take_all()
-    have = np.unique(np.concatenate(
-        [np.asarray([r["k"] for r in parts], np.int64)])) if parts else np.empty(0, np.int64)
+    from ..collect import collect_table
+
+    parts = collect_table(orders.map_batches(distinct, batch_format="pyarrow",
+                                             zero_copy_batch=True,
+                                             batch_size=None))
+    have = np.unique(parts["k"].to_numpy(zero_copy_only=False)) \
+        if parts.num_rows else np.empty(0, np.int64)
     have_ref = ray.put(have)
 
     class AntiFn:
@@ -349,9 +353,11 @@ def top_lineitems_per_supplier(sf_dir: str, k: int = 3):
             "cents": pa.array(cents[sel]),
         })
 
-    cand = pa.Table.from_pylist(
+    from ..collect import collect_table
+
+    cand = collect_table(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None).take_all())
+                       batch_size=None))
     sk = cand["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     ok = cand["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     ln = cand["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -449,10 +455,12 @@ def lineitem_price_quantiles(sf_dir: str):
         uniq, cnt = np.unique(cents, return_counts=True)
         return pa.table({"v": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None).take_all()
-    v = np.asarray([r["v"] for r in rows], np.int64)
-    c = np.asarray([r["c"] for r in rows], np.int64)
+    from ..collect import collect_table
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True, batch_size=None))
+    v = parts["v"].to_numpy(zero_copy_only=False)
+    c = parts["c"].to_numpy(zero_copy_only=False)
     uniq, inv = np.unique(v, return_inverse=True)
     counts = np.bincount(inv, weights=c).astype(np.int64)
     cum = np.cumsum(counts)
