@@ -55,17 +55,14 @@ def assign_tiles_batch(
         else np.full(n, 2, np.int64)
     )
     bb = feature_bbox(coords, offs, dim)
-    ok = ~np.isnan(bb[:, 0])
     if bounds is not None:
         w, s, e, nn = bounds
-        ok &= (bb[:, 0] <= e) & (bb[:, 2] >= w) & (bb[:, 1] <= nn) & (bb[:, 3] >= s)
-    idx = np.flatnonzero(ok)
-    x0, x1, y0, y1 = tiles.bbox_tile_cover(
-        bb[idx, 0], bb[idx, 1], bb[idx, 2], bb[idx, 3], zoom
-    )
-    row_local, tx, ty = tiles.cover_expand(x0, x1, y0, y1)
-    row_idx = idx[row_local]
-    keys = tiles.pack(np.full(len(tx), zoom, np.int64), tx, ty)
+        with np.errstate(invalid="ignore"):
+            out_of_bounds = ~((bb[:, 0] <= e) & (bb[:, 2] >= w)
+                              & (bb[:, 1] <= nn) & (bb[:, 3] >= s))
+        bb = bb.copy()
+        bb[out_of_bounds] = np.nan
+    row_idx, keys = tiles.bbox_cover_rows(bb, zoom)
     if salt_bits > 0 and len(keys):
         # salt from feature CONTENT (id when present, else the
         # quantized first coordinate pair) — batch-local row indices

@@ -70,18 +70,12 @@ class PolygonIndex:
         self.ring_offsets = np.concatenate(([0], np.cumsum(ring_counts))).astype(np.int64)
         # feature -> ring index range
         self.feat_ring_offsets = rs_offs.astype(np.int64)
-        # cell buckets from bbox cover
-        ok = ~np.isnan(self.bbox[:, 0])
-        idx = np.flatnonzero(ok)
-        x0, x1, y0, y1 = tiles.bbox_tile_cover(
-            self.bbox[idx, 0], self.bbox[idx, 1], self.bbox[idx, 2], self.bbox[idx, 3], zoom
-        )
-        row_local, tx, ty = tiles.cover_expand(x0, x1, y0, y1)
-        keys = tiles.pack(np.full(len(tx), zoom, np.int64), tx, ty)
+        # cell buckets from bbox cover (shared kernel, full NaN filter)
+        rows, keys = tiles.bbox_cover_rows(self.bbox, zoom)
         order = np.argsort(keys, kind="stable")
         self._bucket_keys, bucket_starts = np.unique(keys[order], return_index=True)
         self._bucket_offsets = np.append(bucket_starts, len(keys)).astype(np.int64)
-        self._bucket_rows = idx[row_local[order]]
+        self._bucket_rows = rows[order]
 
     def candidates(self, cell_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(point_row_idx, polygon_row_idx) candidate pairs by cell."""
@@ -202,13 +196,13 @@ class _KNNFn:
     cells first.
     """
 
-    def __init__(self, ref_points_ref, k: int, lon_col: str, lat_col: str, id_col: str):
+    def __init__(self, ref_points_ref, k: int, lon_col: str, lat_col: str):
         import ray
 
         ref = ray.get(ref_points_ref) if not isinstance(ref_points_ref, tuple) else ref_points_ref
         self.ref_lon, self.ref_lat, self.ref_ids = ref
         self.k = k
-        self.lon_col, self.lat_col, self.id_col = lon_col, lat_col, id_col
+        self.lon_col, self.lat_col = lon_col, lat_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch[self.lon_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -273,7 +267,7 @@ def knn_join(
     ref_ref = ray.put(ref)
     return points_ds.map_batches(
         _KNNFn,
-        fn_constructor_args=(ref_ref, k, lon_col, lat_col, ref_id_col),
+        fn_constructor_args=(ref_ref, k, lon_col, lat_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
@@ -379,7 +373,7 @@ def knn_cell_join(
 
     def local_knn(group: pa.Table) -> pa.Table:
         is_ref = group["is_ref"].to_numpy(zero_copy_only=False)
-        if is_ref.all() or not is_ref.any():
+        if is_ref.all():
             return pa.table({id_col: pa.array([], pa.int64()),
                              "rank": pa.array([], pa.int32()),
                              "neighbor_id": pa.array([], pa.int64()),
@@ -390,15 +384,35 @@ def knn_cell_join(
         pid = group["pid"].to_numpy(zero_copy_only=False)
         qm = ~is_ref
         qlon, qlat, qid = lon[qm], lat[qm], pid[qm]
+        if not is_ref.any():
+            # zero candidates in the k-ring: the contract promises a
+            # truncated flag, not a silently missing point
+            return pa.table({
+                id_col: pa.array(qid.astype(np.int64)),
+                "rank": pa.array(np.zeros(len(qid), np.int32)),
+                "neighbor_id": pa.array(np.full(len(qid), -1, np.int64)),
+                "distance_m": pa.array(np.full(len(qid), np.inf)),
+                "truncated": pa.array(np.ones(len(qid), bool)),
+            })
         # refs deduplicated (a ref lands once per group by construction)
         rl, rt, ri = lon[is_ref], lat[is_ref], pid[is_ref]
         kk = min(k, len(ri))
-        d = haversine_m(qlon[:, None], qlat[:, None], rl[None, :], rt[None, :])
-        part = np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
-        dd = np.take_along_axis(d, part, axis=1)
-        order = np.argsort(dd, axis=1, kind="stable")
-        nbrs = np.take_along_axis(part, order, axis=1)
-        dists = np.take_along_axis(dd, order, axis=1)
+        # block the (queries x refs) matrix like _KNNFn — a dense cell
+        # with many queries times many fanned-in refs must not allocate
+        # the full product at once
+        blk = max(1, (1 << 22) // max(len(ri), 1))
+        nbr_parts, dist_parts = [], []
+        for s_ in range(0, len(qid), blk):
+            e_ = min(len(qid), s_ + blk)
+            d = haversine_m(qlon[s_:e_, None], qlat[s_:e_, None],
+                            rl[None, :], rt[None, :])
+            part = np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
+            dd = np.take_along_axis(d, part, axis=1)
+            order = np.argsort(dd, axis=1, kind="stable")
+            nbr_parts.append(np.take_along_axis(part, order, axis=1))
+            dist_parts.append(np.take_along_axis(dd, order, axis=1))
+        nbrs = np.concatenate(nbr_parts)
+        dists = np.concatenate(dist_parts)
         # certified radius: anywhere in this cell is >= ring ground cell
         # extents from the nearest uncovered cell; Web Mercator ground
         # extent ~ C*cos(lat)/2^z, minimized at the block's most
@@ -466,13 +480,7 @@ def pip_cell_join(
         dim = (batch["dim"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
                if "dim" in batch.column_names else np.full(n, 2, np.int64))
         bb = feature_bbox(coords, offs, dim)
-        ok = ~np.isnan(bb[:, 0])
-        idx = np.flatnonzero(ok)
-        x0, x1, y0, y1 = tiles.bbox_tile_cover(
-            bb[idx, 0], bb[idx, 1], bb[idx, 2], bb[idx, 3], zoom)
-        row_local, tx, ty = tiles.cover_expand(x0, x1, y0, y1)
-        rows = idx[row_local]
-        keys = tiles.pack(np.full(len(tx), zoom, np.int64), tx, ty)
+        rows, keys = tiles.bbox_cover_rows(bb, zoom)
         taken = batch.take(pa.array(rows, pa.int64()))
         return pa.table({
             "cell": pa.array(keys, pa.uint64()),

@@ -90,6 +90,24 @@ def bbox_tile_cover(west, south, east, north, zoom: int):
     return x0, x1, y0, y1
 
 
+def bbox_cover_rows(bb, zoom: int):
+    """Shared fan-out kernel: per-feature bboxes -> (row_idx, keys).
+
+    ``bb`` is the (n, 4) [W,S,E,N] array from ``feature_bbox``; rows
+    with ANY non-finite component are dropped (checking only W let
+    NaN-latitude features land in garbage tiles).  One implementation
+    for the tiling fan-out, the polygon index, and the shuffle PIP join
+    — previously three diverging copies.
+    """
+    ok = np.isfinite(bb).all(axis=1)
+    idx = np.flatnonzero(ok)
+    x0, x1, y0, y1 = bbox_tile_cover(
+        bb[idx, 0], bb[idx, 1], bb[idx, 2], bb[idx, 3], zoom)
+    row_local, tx, ty = cover_expand(x0, x1, y0, y1)
+    keys = pack(np.full(len(tx), zoom, np.int64), tx, ty)
+    return idx[row_local], keys
+
+
 def cover_expand(x0, x1, y0, y1):
     """Expand per-row inclusive tile ranges into (row_idx, x, y) arrays.
 
@@ -125,9 +143,13 @@ def k_ring(key, k: int = 1):
     dy = np.tile(offs, side)
     row_idx = np.repeat(np.arange(n, dtype=np.int64), side * side)
     zz = np.repeat(np.atleast_1d(z), side * side)
-    lim = (np.int64(1) << zz.astype(np.int64)) - 1
-    nx = np.clip(np.repeat(np.atleast_1d(x), side * side) + np.tile(dx, n), 0, lim)
-    ny = np.clip(np.repeat(np.atleast_1d(y), side * side) + np.tile(dy, n), 0, lim)
+    ntiles = np.int64(1) << zz.astype(np.int64)
+    # x WRAPS across the antimeridian (x=0 and x=2^z-1 are
+    # geographically adjacent); y clips at the poles.  Clipping x lost
+    # true nearest neighbors near lon=±180 without any truncated flag.
+    nx = (np.repeat(np.atleast_1d(x), side * side) + np.tile(dx, n)) % ntiles
+    ny = np.clip(np.repeat(np.atleast_1d(y), side * side) + np.tile(dy, n),
+                 0, ntiles - 1)
     return row_idx, pack(zz, nx, ny)
 
 

@@ -83,3 +83,20 @@ def test_plan_zoom_matches_fd_budget_semantics():
     z = tiles.plan_zoom(-180, -85, 180, 85, 12, max_grid=750)
     assert tiles.size_grid(-180, -85, 180, 85, z) <= 750
     assert tiles.size_grid(-180, -85, 180, 85, z + 1) > 750
+
+
+def test_k_ring_wraps_antimeridian():
+    """x must wrap across lon=±180 (cells x=0 and x=2^z-1 are
+    geographically adjacent); y clips at the poles."""
+    z = 4
+    n = 1 << z
+    k = tiles.pack(np.array([z]), np.array([0]), np.array([5]))
+    _, ring = tiles.k_ring(k, 1)
+    zz, xx, yy = tiles.unpack(ring)
+    assert set(xx.tolist()) == {n - 1, 0, 1}
+    assert set(yy.tolist()) == {4, 5, 6}
+    # pole side clips
+    k2 = tiles.pack(np.array([z]), np.array([5]), np.array([0]))
+    _, ring2 = tiles.k_ring(k2, 1)
+    _, _, yy2 = tiles.unpack(ring2)
+    assert yy2.min() == 0 and set(yy2.tolist()) == {0, 1}
