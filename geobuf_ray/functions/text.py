@@ -99,8 +99,13 @@ class LangIdFn:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
+        # \b is an ASCII word boundary in RE2 and CJK chars are not
+        # word chars, so boundary-anchored zh markers never matched;
+        # character-based scripts match markers bare
         self.patterns = {
-            lang: r"\b(?:" + "|".join(m) + r")\b" for lang, m in _LANG_MARKERS.items()
+            lang: ("(?:" + "|".join(m) + ")") if lang == "zh"
+            else (r"\b(?:" + "|".join(m) + r")\b")
+            for lang, m in _LANG_MARKERS.items()
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -156,6 +161,12 @@ def fingerprint64(col) -> np.ndarray:
             break
         b = data[offs[live] + j].astype(np.uint64)
         h[live] = (h[live] ^ b) * _FP_BASE
+    # null rows must not collide with '' (both would sit at the FNV
+    # offset basis): mark them with a distinct constant
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        nulls = np.asarray(arr.is_null())
+        h[nulls] ^= np.uint64(0x9E3779B97F4A7C15)
     return h
 
 
@@ -171,6 +182,7 @@ def rolling_fingerprints(col, window: int = 64, stride: int = 32) -> list[np.nda
     data, offs = _string_parts(col)
     out = []
     base = _FP_BASE
+    powers = None
     for i in range(len(offs) - 1):
         s, e = offs[i], offs[i + 1]
         b = data[s:e].astype(np.uint64)
@@ -180,11 +192,13 @@ def rolling_fingerprints(col, window: int = 64, stride: int = 32) -> list[np.nda
                 h = (h ^ x) * base
             out.append(h)
             continue
-        # polynomial hash of each window via prefix powers
-        powers = np.empty(window, np.uint64)
-        powers[0] = np.uint64(1)
-        for k in range(1, window):
-            powers[k] = powers[k - 1] * base
+        if powers is None:
+            # wrapping uint64 powers, built once per call via a
+            # vectorized cumprod (scalar multiplies warned on overflow)
+            with np.errstate(over="ignore"):
+                powers = np.concatenate((
+                    [np.uint64(1)],
+                    np.cumprod(np.full(window - 1, base, np.uint64)))).astype(np.uint64)
         starts = np.arange(0, len(b) - window + 1, stride)
         idx = starts[:, None] + np.arange(window)[None, :]
         h = (b[idx] * powers[::-1][None, :]).sum(axis=1, dtype=np.uint64)

@@ -105,9 +105,15 @@ def decode_image(data: bytes) -> np.ndarray:
         from PIL import Image
 
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-    raise NotImplementedError(
-        "STUB: real png/jpeg decode requires PIL, absent in this container "
-        "(round-1 brief: decode step stubbed; Ray-side plumbing is real)"
+    if magic[:2] in (b"\x89P", b"\xff\xd8"):  # png / jpeg signatures
+        raise NotImplementedError(
+            "STUB: real png/jpeg decode requires PIL, absent in this "
+            "container (round-1 brief: decode step stubbed; Ray-side "
+            "plumbing is real)"
+        )
+    raise ValueError(
+        f"unknown image payload magic {magic!r} — corrupted/truncated "
+        "data, not a missing decoder"
     )
 
 
@@ -250,7 +256,9 @@ class DecodeImagesFn:
         n = len(ids)
         means = np.empty((n, 3))
         ph = np.empty(n, np.int64)
-        fid = np.empty(n, np.float64)
+        # NaN when fidelity is not checked — np.empty leaked heap
+        # garbage into the psnr_db column (review find)
+        fid = np.full(n, np.nan)
         lons = np.empty(n)
         lats = np.empty(n)
         for i in range(n):  # per-row: decode is inherently per-payload
@@ -306,8 +314,13 @@ class ResizeImagesFn:
             xi = (np.arange(self.target) * w) // self.target
             small = px[yi][:, xi]
             out_blobs.append(encode_rawz(small))
-        out = batch.drop_columns(["bytes", "w", "h"])
+        drop = [c for c in ("bytes", "w", "h", "fmt") if c in batch.column_names]
+        out = batch.drop_columns(drop)
         out = out.append_column("bytes", pa.array(out_blobs, pa.binary()))
         out = out.append_column("w", pa.array([self.target] * len(out_blobs), pa.int32()))
         out = out.append_column("h", pa.array([self.target] * len(out_blobs), pa.int32()))
+        # thumbnails are re-encoded lossless; carrying the source fmt
+        # forward would mislabel the new payloads
+        out = out.append_column(
+            "fmt", pa.array(["rawz"] * len(out_blobs), pa.string()))
         return out

@@ -13,9 +13,6 @@ import pyarrow as pa
 
 from ..codec import decode as dc
 from ..codec import feature as fc
-from ..codec.schema import GEOM_COLUMNS, property_columns
-
-
 def encode_geobuf_batch(
     batch: pa.Table,
     keep_columns: tuple[str, ...] = ("id",),
@@ -68,9 +65,16 @@ def decode(ds, *, include_bbox=False, **map_kwargs):
 
 
 def read_keys_batch(batch: pa.Table) -> pa.Table:
-    """Partial-read stage: per-record property key lists (S4)."""
+    """Partial-read stage: per-record property key lists (S4).
+
+    Ride-along columns (id / path / tile_key) are preserved like the
+    sibling read_bbox_batch, so key lists stay joinable to records."""
     keys = dc.read_keys(batch["geobuf"])
-    return pa.table({"keys": pa.array(keys, pa.list_(pa.string()))})
+    out = pa.table({"keys": pa.array(keys, pa.list_(pa.string()))})
+    for name in batch.column_names:
+        if name != "geobuf":
+            out = out.append_column(name, batch[name])
+    return out
 
 
 def read_bbox_batch(batch: pa.Table) -> pa.Table:
