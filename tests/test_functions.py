@@ -258,3 +258,24 @@ def test_hll_approx_distinct_accuracy(ray_session):
     assert sketch.exact_distinct(docs, "source") == truth
     est2 = sketch.approx_distinct(docs, "source", p=12)
     assert abs(est2 - truth) <= max(1, 0.05 * truth), (est2, truth)
+
+
+def test_langid_classifies_cjk():
+    """Regression: RE2's \\b never matched CJK markers, so every
+    Chinese document was classified 'und'."""
+    from geobuf_ray.functions.text import LangIdFn
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["我们的世界是美好的而且我有和不",
+                          "the quick brown fox and the lazy dog"]),
+    })
+    out = LangIdFn()(t)
+    assert out["lang_pred"].to_pylist() == ["zh", "en"]
+
+
+def test_fingerprint_null_vs_empty_distinct():
+    from geobuf_ray.functions.text import fingerprint64
+
+    fp = fingerprint64(pa.array(["", None, "x"]))
+    assert fp[0] != fp[1]
