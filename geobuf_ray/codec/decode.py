@@ -277,10 +277,116 @@ def _structure_scan_scalar(data: np.ndarray, offs: np.ndarray):
     }
 
 
+def _prefix_walk_vec(values, rec_val_starts, rec_val_ends, gtype, dim, n):
+    """Vectorized ring/poly prefix walk over the decoded value stream.
+
+    Replaces the per-record Python walk for prefixed geometry types
+    (Polygon / MultiLineString / MultiPolygon, geom.go:95-157): all
+    records advance in lockstep rounds — round r consumes the r-th
+    ring (or poly) prefix of every still-active record with pure numpy
+    gathers, so the Python iteration count is the MAX nesting depth of
+    any one record, not the record count.  Emission order is restored
+    to record-major by one lexsort on (record, value position).
+
+    Returns ``(vertex_values, ring_sizes_flat, rec_nrings,
+    poly_sizes_flat, rec_npolys)`` identical to the scalar walk.
+    """
+    bad = np.flatnonzero(
+        (rec_val_ends > rec_val_starts)
+        & ~np.isin(gtype, (POINT, MULTIPOINT, LINESTRING,
+                           POLYGON, MULTILINESTRING, MULTIPOLYGON)))
+    if len(bad):
+        raise ValueError(f"bad geom type {gtype[bad[0]]} in record {bad[0]}")
+
+    nvals = rec_val_ends - rec_val_starts
+    active = nvals > 0
+    is_mp = gtype == MULTIPOLYGON
+    is_1lvl = np.isin(gtype, (POLYGON, MULTILINESTRING))
+    is_flat = active & ~is_mp & ~is_1lvl  # Point/LineString/MultiPoint
+
+    # ring entries: (record, value position, ring size)
+    r_rec_parts: list[np.ndarray] = []
+    r_pos_parts: list[np.ndarray] = []
+    r_size_parts: list[np.ndarray] = []
+    # poly entries for MultiPolygon: (record, value position, nrings)
+    mp_rec_parts: list[np.ndarray] = []
+    mp_pos_parts: list[np.ndarray] = []
+    mp_size_parts: list[np.ndarray] = []
+    prefix_parts: list[np.ndarray] = []
+
+    # non-prefixed records: one ring, all values are vertices
+    flat_idx = np.flatnonzero(is_flat)
+    if len(flat_idx):
+        r_rec_parts.append(flat_idx)
+        r_pos_parts.append(rec_val_starts[flat_idx])
+        r_size_parts.append(np.where(
+            gtype[flat_idx] == POINT, 1,
+            nvals[flat_idx] // np.maximum(dim[flat_idx], 1)).astype(np.int64))
+
+    walk = np.flatnonzero(active & (is_mp | is_1lvl))
+    p = rec_val_starts[walk].astype(np.int64).copy()
+    e = rec_val_ends[walk].astype(np.int64)
+    d = np.maximum(dim[walk], 1).astype(np.int64)
+    mp = is_mp[walk]
+    rings_left = np.zeros(len(walk), np.int64)
+    while True:
+        live = p < e
+        if not live.any():
+            break
+        # phase A: MultiPolygon records at a poly boundary read nrings
+        pa_sel = np.flatnonzero(live & mp & (rings_left == 0))
+        if len(pa_sel):
+            nr = values[p[pa_sel]].astype(np.int64)
+            mp_rec_parts.append(walk[pa_sel])
+            mp_pos_parts.append(p[pa_sel].copy())
+            mp_size_parts.append(nr)
+            prefix_parts.append(p[pa_sel].copy())
+            p[pa_sel] += 1
+            rings_left[pa_sel] = nr
+        # phase B: read one ring prefix + skip its vertex values
+        pb_sel = np.flatnonzero(
+            (p < e) & (~mp | (rings_left > 0)))
+        if len(pb_sel):
+            cnt = values[p[pb_sel]].astype(np.int64)
+            r_rec_parts.append(walk[pb_sel])
+            r_pos_parts.append(p[pb_sel].copy())
+            # a 0 prefix is a genuinely EMPTY ring (the encoder writes
+            # len*dim per ring, geom.go:95-125)
+            r_size_parts.append(cnt // d[pb_sel])
+            prefix_parts.append(p[pb_sel].copy())
+            p[pb_sel] += 1 + cnt
+            rings_left[pb_sel] -= 1
+
+    cat = (lambda parts: np.concatenate(parts)
+           if parts else np.empty(0, np.int64))
+    r_rec, r_pos, r_size = cat(r_rec_parts), cat(r_pos_parts), cat(r_size_parts)
+    order = np.lexsort((r_pos, r_rec))
+    r_rec, r_size = r_rec[order], r_size[order]
+    rec_nrings = np.bincount(r_rec, minlength=n).astype(np.int64)
+    ring_sizes_flat = r_size
+
+    mp_rec, mp_pos, mp_size = cat(mp_rec_parts), cat(mp_pos_parts), cat(mp_size_parts)
+    # non-MP records with values have exactly ONE poly sized by their
+    # ring count (the scalar walk's trailing ps.append(len(rs)))
+    one_idx = np.flatnonzero(active & ~is_mp)
+    all_rec = np.concatenate((mp_rec, one_idx))
+    all_pos = np.concatenate((mp_pos, rec_val_starts[one_idx]))
+    all_size = np.concatenate((mp_size, rec_nrings[one_idx]))
+    order = np.lexsort((all_pos, all_rec))
+    all_rec, poly_sizes_flat = all_rec[order], all_size[order]
+    rec_npolys = np.bincount(all_rec, minlength=n).astype(np.int64)
+
+    vertex_mask = np.ones(len(values), bool)
+    if prefix_parts:
+        vertex_mask[np.concatenate(prefix_parts)] = False
+    return (values[vertex_mask], ring_sizes_flat, rec_nrings,
+            poly_sizes_flat, rec_npolys)
+
+
 def _decode_geometries(data, scan, n):
     """Vectorized geometry decode from the structure scan."""
     geom_lens = scan["geom_end"] - scan["geom_start"]
-    gflat = data[np.repeat(scan["geom_start"], geom_lens) + vi.ramp(geom_lens)]
+    gflat = vi.gather_spans(data, scan["geom_start"], geom_lens)
     values, voffs = vi.varint_decode_stream(gflat)
     # map each value to its record: record geometry byte boundaries
     rec_byte_ends = np.cumsum(geom_lens)
@@ -312,60 +418,9 @@ def _decode_geometries(data, scan, n):
         poly_sizes_flat = np.ones(len(nz), np.int64)
         vvals = values
     else:
-        # structure walk over the decoded value stream (per ring — cheap)
-        ring_sizes_per_rec: list[list[int]] = [[] for _ in range(n)]
-        poly_sizes_per_rec: list[list[int]] = [[] for _ in range(n)]
-        vertex_mask = np.ones(len(values), bool)
-        vals_list = values.tolist()  # scalar access is much faster on a list
-        for i in range(n):
-            s, e = int(rec_val_starts[i]), int(rec_val_ends[i])
-            if s == e:
-                continue
-            g = int(gtype[i])
-            d = int(dim[i])
-            rs = ring_sizes_per_rec[i]
-            ps = poly_sizes_per_rec[i]
-            if g == POINT:
-                rs.append(1)
-                ps.append(1)
-            elif g in (LINESTRING, MULTIPOINT):
-                rs.append((e - s) // d)
-                ps.append(1)
-            elif g in (POLYGON, MULTILINESTRING):
-                p = s
-                while p < e:
-                    cnt = vals_list[p]
-                    vertex_mask[p] = False
-                    # a 0 prefix is a genuinely EMPTY ring (the encoder
-                    # writes len*dim per ring); treating it as
-                    # "rest of record" mis-consumed the next ring's
-                    # prefix as a vertex delta (review find)
-                    rs.append(cnt // d)
-                    p += 1 + cnt
-                ps.append(len(rs))
-            elif g == MULTIPOLYGON:
-                p = s
-                while p < e:
-                    nrings = vals_list[p]
-                    vertex_mask[p] = False
-                    p += 1
-                    ps.append(nrings)
-                    for _ in range(nrings):
-                        cnt = vals_list[p]
-                        vertex_mask[p] = False
-                        rs.append(cnt // d)
-                        p += 1 + cnt
-            else:
-                raise ValueError(f"bad geom type {g} in record {i}")
-        vvals = values[vertex_mask]
-        ring_sizes_flat = np.asarray(
-            [x for rs in ring_sizes_per_rec for x in rs], np.int64
-        )
-        rec_nrings = np.asarray([len(rs) for rs in ring_sizes_per_rec], np.int64)
-        poly_sizes_flat = np.asarray(
-            [x for ps in poly_sizes_per_rec for x in ps], np.int64
-        )
-        rec_npolys = np.asarray([len(ps) for ps in poly_sizes_per_rec], np.int64)
+        (vvals, ring_sizes_flat, rec_nrings,
+         poly_sizes_flat, rec_npolys) = _prefix_walk_vec(
+            values, rec_val_starts, rec_val_ends, gtype, dim, n)
 
     deltas = vi.zigzag_decode(vvals)
     ring_dim = np.repeat(dim, rec_nrings)
@@ -380,20 +435,31 @@ def _decode_geometries(data, scan, n):
     # cumsum resets at ring starts, per dimension: values are interleaved
     # point-major, so accumulate per dim via strided masks
     q = np.empty(len(deltas), np.int64)
-    # per-value dim index: position within point
-    # build per-ring ramps over values, then mod dim
-    val_in_ring = vi.ramp(ring_vals)
-    ring_dim_per_val = np.repeat(ring_dim, ring_vals)
-    dim_idx = val_in_ring % np.maximum(ring_dim_per_val, 1)
-    # accumulate each dim independently: for dim j, select values with
-    # dim_idx == j; within that subsequence, reset at ring starts
-    maxdim = int(dim.max()) if n else 2
-    for j in range(maxdim):
-        sel = dim_idx == j
-        if not sel.any():
-            continue
-        # ring start for dim j is the value at position j of the ring
-        q[sel] = vi.segmented_cumsum(deltas[sel], val_in_ring[sel] == j)
+    if len(ring_dim) == 0 or (ring_dim == 2).all():
+        # dim-2 fast path (the universal case): every ring holds an even
+        # value count, so x/y deltas are the even/odd strides and ring
+        # starts land on even indices — no per-value ring ramp / mod
+        half = len(deltas) // 2
+        starts_mask = np.zeros(half, bool)
+        starts_mask[ring_val_starts[ring_vals > 0] // 2] = True
+        q[0::2] = vi.segmented_cumsum(deltas[0::2], starts_mask)
+        q[1::2] = vi.segmented_cumsum(deltas[1::2], starts_mask)
+    else:
+        # per-value dim index: position within point
+        # build per-ring ramps over values, then mod dim
+        val_in_ring = vi.ramp(ring_vals)
+        ring_dim_per_val = np.repeat(ring_dim, ring_vals)
+        dim_idx = val_in_ring % np.maximum(ring_dim_per_val, 1)
+        # accumulate each dim independently: for dim j, select values
+        # with dim_idx == j; within that subsequence, reset at ring
+        # starts
+        maxdim = int(dim.max()) if n else 2
+        for j in range(maxdim):
+            sel = dim_idx == j
+            if not sel.any():
+                continue
+            # ring start for dim j is the value at position j of the ring
+            q[sel] = vi.segmented_cumsum(deltas[sel], val_in_ring[sel] == j)
     coords = q.astype(np.float64) / 1e7
 
     ring_rec = np.repeat(np.arange(n), rec_nrings)
@@ -420,7 +486,7 @@ def _decode_properties(data, scan, n) -> dict[str, pa.Array]:
         return {}
     # resolve keys: gather key bytes, group identical keys
     klens = scan["p_klen"]
-    kflat = data[np.repeat(scan["p_kstart"], klens) + vi.ramp(klens)]
+    kflat = vi.gather_spans(data, scan["p_kstart"], klens)
     kb = kflat.tobytes()
     kends = np.cumsum(klens)
     keys = [
@@ -450,7 +516,7 @@ def _decode_properties(data, scan, n) -> dict[str, pa.Array]:
             # the end of the whole keyvalue — recompute string length from the
             # varint before vstart is not kept, so use exact: string occupies
             # [vstart, keyvalue_end) minus nothing (string is the last field)
-            flat = data[np.repeat(vstarts, slens) + vi.ramp(slens)]
+            flat = vi.gather_spans(data, vstarts, slens)
             offsets = np.concatenate(([0], np.cumsum(slens))).astype(np.int32)
             vals = pa.Array.from_buffers(
                 pa.string(), len(slens),
@@ -464,7 +530,7 @@ def _decode_properties(data, scan, n) -> dict[str, pa.Array]:
             vals = pa.array(data[idx].copy().view("<f4").reshape(-1))
         elif tag in (_T_INT, _T_UINT, _T_SINT):
             vlens = vends - vstarts
-            flat = data[np.repeat(vstarts, vlens) + vi.ramp(vlens)]
+            flat = vi.gather_spans(data, vstarts, vlens)
             uvals, _ = vi.varint_decode_stream(flat)
             if tag == _T_INT:
                 vals = pa.array(uvals.astype(np.int64))
@@ -554,7 +620,7 @@ def read_keys(records) -> list[list[str]]:
     scan = _structure_scan(data, offs)
     n = len(offs) - 1
     klens = scan["p_klen"]
-    kflat = data[np.repeat(scan["p_kstart"], klens) + vi.ramp(klens)]
+    kflat = vi.gather_spans(data, scan["p_kstart"], klens)
     kb = kflat.tobytes()
     kends = np.cumsum(klens)
     out: list[list[str]] = [[] for _ in range(n)]

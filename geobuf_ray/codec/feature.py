@@ -490,38 +490,108 @@ def frame_records(records: pa.Array) -> bytes:
     n = len(lens)
     tag = np.full(n, 0x0A, np.uint8)
     one = np.ones(n, np.int64)
-    body = data[np.repeat(offs[:-1], lens) + vi.ramp(lens)]
+    body = vi.gather_spans(data, offs[:-1], lens)
     flat, _ = vi.rowwise_concat([(tag, one), (pref_flat, pref_lens), (body, lens)])
     return flat.tobytes()
+
+
+def frame_boundaries(
+    data: np.ndarray, partial: bool = False
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized frame walk over a ``0x0A varint(len) payload`` stream.
+
+    Frame starts are inherently chained (frame i+1's position depends
+    on frame i's length), but almost all of the walk vectorizes:
+    every ``0x0A`` byte is a CANDIDATE start (true starts plus payload
+    false positives); each candidate's length varint decodes in one
+    windowed gather; candidates then form a successor function in
+    candidate-index space, and the true chain from byte 0 is marked by
+    pointer-doubling reachability — O(log n) numpy rounds replacing the
+    per-frame Python loop (the protoscan walk, reader.go:84-93).
+
+    Returns ``(payload_starts, payload_lens, consumed_bytes)``.  With
+    ``partial=True`` a trailing cut-off frame is left unconsumed
+    (``consumed < len(data)``); otherwise it raises.  A bad tag at a
+    true frame boundary raises in both modes.
+    """
+    total = len(data)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if total == 0:
+        return (*empty, 0)
+    if data[0] != 0x0A:
+        raise ValueError(f"bad frame tag {data[0]:#x} at byte 0")
+    cand = np.flatnonzero(data == 0x0A).astype(np.int64)
+    m = len(cand)
+    # decode ONE length varint per candidate: 10-byte window gather
+    k = np.arange(10, dtype=np.int64)
+    win = cand[:, None] + 1 + k
+    inb = win < total
+    w = data[np.minimum(win, total - 1)]
+    term = ((w & 0x80) == 0) & inb
+    has_term = term.any(axis=1)
+    first = term.argmax(axis=1)
+    nb = first + 1
+    mask = ((k <= first[:, None]) & inb).astype(np.uint64)
+    contrib = (w.astype(np.uint64) & np.uint64(0x7F)) << (
+        np.uint64(7) * k.astype(np.uint64))
+    vlen = (contrib * mask).sum(axis=1, dtype=np.uint64).astype(np.int64)
+    pay_start = cand + 1 + nb
+    nxt = pay_start + vlen
+    complete = has_term & (nxt <= total)
+    # successor in candidate-index space; sentinel m = chain end / dead
+    succ = np.full(m, m, np.int64)
+    j = np.searchsorted(cand, nxt)
+    ok = complete & (j < m)
+    ok_idx = np.flatnonzero(ok)
+    hit = cand[j[ok_idx]] == nxt[ok_idx]
+    succ[ok_idx[hit]] = j[ok_idx][hit]
+    # pointer-doubling reachability from candidate 0
+    reach = np.zeros(m + 1, bool)
+    reach[0] = True
+    jump = np.append(succ, m)
+    nreach = 1
+    while True:
+        reach[jump[np.flatnonzero(reach[:m])]] = True
+        now = int(reach.sum())
+        if now == nreach:
+            break
+        nreach = now
+        jump = jump[jump]
+    chain = np.flatnonzero(reach[:m])
+    last = chain[-1]
+    consumed = total
+    if succ[last] == m:  # chain terminal: end-of-stream, bad tag, or cut
+        if complete[last]:
+            if nxt[last] < total:
+                raise ValueError(
+                    f"bad frame tag {data[nxt[last]]:#x} at byte {nxt[last]}")
+            consumed = int(nxt[last])
+        else:
+            if not partial:
+                raise ValueError("truncated geobuf stream")
+            consumed = int(cand[last])
+            chain = chain[:-1]
+    return pay_start[chain], vlen[chain], consumed
 
 
 def scan_frames(buf: bytes | np.ndarray) -> pa.Array:
     """Split a framed geobuf stream into a binary array of records.
 
-    Sequential varint walk over the top-level framing only (record
-    payloads are not touched) — the protoscan equivalent
-    (reader.go:84-93).
+    Vectorized top-level framing walk only (record payloads are not
+    touched) — the protoscan equivalent (reader.go:84-93).
     """
     if isinstance(buf, np.ndarray):
-        mv = memoryview(buf.tobytes())
+        data = np.ascontiguousarray(buf, np.uint8)
     else:
-        mv = memoryview(buf)
-    pos = 0
-    total = len(mv)
-    starts: list[int] = []
-    lens: list[int] = []
-    while pos < total:
-        if mv[pos] != 0x0A:
-            raise ValueError(f"bad frame tag {mv[pos]:#x} at byte {pos}")
-        ln, pos = vi.decode_varint_scalar(mv, pos + 1)
-        starts.append(pos)
-        lens.append(ln)
-        pos += ln
-    n = len(starts)
-    starts_a = np.asarray(starts, np.int64)
-    lens_a = np.asarray(lens, np.int64)
-    data = np.frombuffer(mv, np.uint8)
-    flat = data[np.repeat(starts_a, lens_a) + vi.ramp(lens_a)]
+        data = np.frombuffer(buf, np.uint8)
+    starts_a, lens_a, _ = frame_boundaries(data, partial=False)
+    return _records_from_spans(data, starts_a, lens_a)
+
+
+def _records_from_spans(data: np.ndarray, starts_a: np.ndarray,
+                        lens_a: np.ndarray) -> pa.Array:
+    n = len(starts_a)
+    flat = vi.gather_spans(data, starts_a, lens_a)
     offsets = np.concatenate(([0], np.cumsum(lens_a))).astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(),

@@ -71,15 +71,21 @@ def exact_dedup(ds, key_cols: list[str], order_col: str, **map_kwargs):
         return add_key_hash(batch, key_cols)
 
     def _first(group: pa.Table) -> pa.Table:
+        # vectorized first-per-key: mixed-radix combine of group-local
+        # dictionary codes, stable lexsort on (key, order), then a
+        # first-of-run mask — no per-row Python (a group is one hash
+        # bucket; true-key compare guards against hash collisions)
         order = group[order_col].to_numpy(zero_copy_only=False)
-        keep: dict[tuple, int] = {}
-        keys = [group[c].to_pylist() for c in key_cols]
-        for i in range(group.num_rows):
-            k = tuple(col[i] for col in keys)
-            if k not in keep or order[i] < order[keep[k]]:
-                keep[k] = i
-        idx = sorted(keep.values())
-        return group.take(pa.array(idx, pa.int64())).drop_columns(["dedup_hash"])
+        code = np.zeros(group.num_rows, np.int64)
+        for c in key_cols:
+            enc = group[c].combine_chunks().dictionary_encode()
+            idx = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+            code = code * (len(enc.dictionary) + 1) + (idx.astype(np.int64) + 1)
+        sel = np.lexsort((order, code))
+        cs = code[sel]
+        first = np.concatenate(([True], cs[1:] != cs[:-1]))
+        keep = np.sort(sel[first])
+        return group.take(pa.array(keep, pa.int64())).drop_columns(["dedup_hash"])
 
     hashed = ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
     return hashed.groupby("dedup_hash").map_groups(_first, batch_format="pyarrow")
@@ -128,18 +134,17 @@ def word_shingle_hashes(col, k: int = 3) -> list[np.ndarray]:
     return out
 
 
-def word_shingle_flat(col, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Batch-vectorized :func:`word_shingle_hashes`.
+def tokenize_hashes_flat(col) -> tuple[np.ndarray, np.ndarray, int]:
+    """Whitespace-token FNV-1a hashes for a whole string column at once.
 
-    Identical per-row output (asserted by tests), but one numpy program
-    over the batch's concatenated utf8 buffer instead of a Python loop
-    per row: tokenization, FNV token hashing (one round per byte
-    position, global), k-shingle polynomial combine, and per-row
-    dedup via one lexsort.  Returns ``(flat_hashes, row_offsets)``.
+    One numpy program over the batch's concatenated utf8 buffer:
+    tokenization via boundary masks, then FNV hashing with one
+    vectorized round per byte position.  Returns ``(token_hashes,
+    token_row_ids, nrows)`` with rows in ascending order.
     """
     data, offs = _string_parts(col)
     nrows = len(offs) - 1
-    empty = (np.empty(0, np.uint64), np.zeros(nrows + 1, np.int64))
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64), nrows)
     if len(data) == 0 or nrows == 0:
         return empty
     is_sp = (data == 32) | (data == 10) | (data == 9)
@@ -160,7 +165,22 @@ def word_shingle_flat(col, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
         live = np.flatnonzero(tok_len > j)
         th[live] = (th[live] ^ data[starts[live] + j].astype(np.uint64)) \
             * np.uint64(1099511628211)
+    return th, tok_row, nrows
 
+
+def word_shingle_flat(col, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-vectorized :func:`word_shingle_hashes`.
+
+    Identical per-row output (asserted by tests), but one numpy program
+    over the batch instead of a Python loop per row: shared flat
+    tokenization (:func:`tokenize_hashes_flat`), k-shingle polynomial
+    combine, and per-row dedup via one lexsort.  Returns
+    ``(flat_hashes, row_offsets)``.
+    """
+    th, tok_row, nrows = tokenize_hashes_flat(col)
+    empty = (np.empty(0, np.uint64), np.zeros(nrows + 1, np.int64))
+    if len(th) == 0:
+        return empty
     cnt = np.bincount(tok_row, minlength=nrows)
     out_hash_parts = []
     out_row_parts = []
@@ -438,31 +458,26 @@ def minhash_dedup(ds, *, text_col="text", id_col="doc_id", sim_threshold=0.6,
 
 
 def simhash64(col) -> np.ndarray:
-    """64-bit SimHash per row from whitespace-token FNV hashes."""
-    data, offs = _string_parts(col)
-    n = len(offs) - 1
+    """64-bit SimHash per row from whitespace-token FNV hashes.
+
+    Fully batch-vectorized: shared flat tokenization, bit matrix via
+    ``unpackbits`` on the uint64 hash bytes, per-row vote sums via one
+    ``add.reduceat`` (tokens arrive row-sorted), sign pack via
+    ``packbits`` — no Python loop over rows or bits."""
+    th, tok_row, n = tokenize_hashes_flat(col)
     out = np.zeros(n, np.uint64)
-    bits = np.arange(64, dtype=np.uint64)
-    for i in range(n):
-        b = data[offs[i] : offs[i + 1]]
-        if len(b) == 0:
-            continue
-        is_sp = (b == 32) | (b == 10) | (b == 9)
-        starts = np.flatnonzero((~is_sp) & np.concatenate(([True], is_sp[:-1])))
-        ends = np.flatnonzero((~is_sp) & np.concatenate((is_sp[1:], [True]))) + 1
-        if len(starts) == 0:
-            continue
-        th = np.full(len(starts), np.uint64(14695981039346656037))
-        maxlen = int((ends - starts).max())
-        for j in range(maxlen):
-            live = np.flatnonzero(ends - starts > j)
-            th[live] = (th[live] ^ b[starts[live] + j].astype(np.uint64)) * np.uint64(1099511628211)
-        # accumulate bit votes
-        votes = ((th[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-        score = votes.sum(axis=0) * 2 - len(th)
-        out[i] = np.bitwise_or.reduce(
-            (score > 0).astype(np.uint64) << bits
-        )
+    if len(th) == 0:
+        return out
+    # (n_tokens, 64) bit matrix: little-endian byte view + unpackbits
+    bits = np.unpackbits(
+        th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    cnt = np.bincount(tok_row, minlength=n)
+    nz = np.flatnonzero(cnt > 0)
+    tok_starts = (np.cumsum(cnt) - cnt)[nz]
+    votes = np.add.reduceat(bits.astype(np.int64), tok_starts, axis=0)
+    score = votes * 2 - cnt[nz, None]
+    packed = np.packbits((score > 0), axis=1, bitorder="little")
+    out[nz] = packed.copy().view(np.uint64).reshape(-1)
     return out
 
 

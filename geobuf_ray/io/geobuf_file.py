@@ -60,13 +60,15 @@ class GeobufDatasource(FileBasedDatasource):
             if not chunk and not buf:
                 break
             buf += chunk if chunk else b""
-            # find the largest prefix of complete frames
-            end = _complete_prefix(buf)
+            # one vectorized walk finds the record spans AND the largest
+            # complete-frame prefix (a trailing cut frame stays in buf)
+            data = np.frombuffer(buf, np.uint8)
+            starts, lens, end = fc.frame_boundaries(data, partial=True)
             if end == 0:
                 if not chunk:
                     raise ValueError(f"truncated geobuf stream: {path}")
                 continue
-            records = fc.scan_frames(buf[:end])
+            records = fc._records_from_spans(data, starts, lens)
             buf = buf[end:]
             if first and self._skip_metadata and len(records) and _is_metadata_record(
                 records[0].as_py()
@@ -81,34 +83,6 @@ class GeobufDatasource(FileBasedDatasource):
                     # instead of silently dropping trailing bytes
                     raise ValueError(f"truncated geobuf stream: {path}")
                 break
-
-
-def _complete_prefix(buf: bytes) -> int:
-    """Byte length of the longest prefix holding only complete frames."""
-    pos = 0
-    total = len(buf)
-    last_good = 0
-    while pos < total:
-        if buf[pos] != 0x0A:
-            raise ValueError(f"bad frame tag {buf[pos]:#x} at byte {pos}")
-        # varint may itself be cut off
-        p = pos + 1
-        ln = 0
-        shift = 0
-        ok = False
-        while p < total:
-            b = buf[p]
-            ln |= (b & 0x7F) << shift
-            p += 1
-            if b < 0x80:
-                ok = True
-                break
-            shift += 7
-        if not ok or p + ln > total:
-            break
-        pos = p + ln
-        last_good = pos
-    return last_good
 
 
 def read_geobuf(paths, *, skip_metadata: bool = True, **read_kwargs):

@@ -197,23 +197,37 @@ def orders_by_segment(sf_dir: str):
         "n_orders", ["n_orders", "total_cents"])
 
 
-def top_orders(sf_dir: str):
-    """Top-10 orders by price — sort + limit (§2.7)."""
+def top_orders(sf_dir: str, k: int = 10):
+    """Top-k orders by price (§2.7 sort/limit).
+
+    NOT a distributed sort: each block emits its local top-k
+    (argpartition + small sort), and the driver merges the bounded
+    k x |blocks| candidate set — the only shape that survives 100 TB
+    (a full range-shuffle sort for a top-10 moves every row)."""
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_orderkey", "o_totalprice"])
 
-    def to_cents(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy().astype(np.int64)
         cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
-        return pa.table({"o_orderkey": batch["o_orderkey"],
-                         "total_cents": pa.array(cents)})
+        # full (cents desc, key asc) order inside the block so boundary
+        # ties resolve identically to the oracle's ORDER BY
+        sel = np.lexsort((keys, -cents))[:k]
+        return pa.table({"o_orderkey": pa.array(keys[sel]),
+                         "total_cents": pa.array(cents[sel])})
 
-    return (
-        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["total_cents", "o_orderkey"], descending=[True, False])
-        .limit(10)
-    )
+    from ..collect import collect_table
+
+    cand = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None))
+    keys = cand["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = cand["total_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((keys, -cents))[:k]
+    return pa.table({"o_orderkey": pa.array(keys[order]),
+                     "total_cents": pa.array(cents[order])})
 
 
 def events_hourly(sf_dir: str):
