@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": q.tile_assign,
         "tile_counts": q.tile_counts,
         "pip_rect_join": q.pip_rect_join,
+        "rects_tile_clip": q.rects_tile_clip,
         "knn_suppliers": q.knn_suppliers,
         "codec_roundtrip_points": q.codec_roundtrip_points,
         # documents: dedup + text analysis
@@ -223,9 +224,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey, s_suppkey AS polygon_id
             FROM customer, supplier
             WHERE {_LON} >= (-180.0 + (s_suppkey * 37) % 300)
-              AND {_LON} <= (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0)
+              AND {_LON} <= (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0 + 0.005)
               AND {_LAT} >= (-85.0 + (s_suppkey * 53) % 160)
-              AND {_LAT} <= (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0)
+              AND {_LAT} <= (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005)
+        """,
+        "rects_tile_clip": """
+            WITH rects AS (
+              SELECT s_suppkey,
+                     (-180.0 + (s_suppkey * 37) % 300) AS w,
+                     (-85.0 + (s_suppkey * 53) % 160) AS s,
+                     (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0 + 0.005) AS e,
+                     (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005) AS n
+              FROM supplier),
+            gx AS (SELECT UNNEST(range(0, 32)) AS i),
+            gy AS (SELECT UNNEST(range(0, 32)) AS j)
+            SELECT s_suppkey AS polygon_id, i AS tile_x, j AS tile_y,
+                   GREATEST(w, -180.0 + i * 11.25) AS cw,
+                   GREATEST(s, -85.0 + j * 5.3125) AS cs,
+                   LEAST(e, -180.0 + (i + 1) * 11.25) AS ce,
+                   LEAST(n, -85.0 + (j + 1) * 5.3125) AS cn
+            FROM rects, gx, gy
+            WHERE w < -180.0 + (i + 1) * 11.25 AND e > -180.0 + i * 11.25
+              AND s < -85.0 + (j + 1) * 5.3125 AND n > -85.0 + j * 5.3125
         """,
         "knn_suppliers": f"""
             SELECT custkey, CAST(rnk AS INTEGER) AS rank, s_suppkey FROM (

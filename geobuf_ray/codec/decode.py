@@ -506,6 +506,19 @@ def _decode_properties(data, scan, n) -> dict[str, pa.Array]:
         vends = scan["p_vend"][sel]
         # decode by majority tag (a key should be single-typed per batch)
         tag = int(np.bincount(vtags).argmax())
+        dropped = int((vtags != tag).sum())
+        if dropped:
+            # the reference's Go writer CAN emit per-feature mixed types
+            # for one key (map values); a column must be single-typed,
+            # so minority values null out — loudly, not silently
+            # (advisory find)
+            import warnings
+
+            warnings.warn(
+                f"geobuf decode: property {key!r} holds mixed value "
+                f"types in this batch; {dropped} minority-typed "
+                f"value(s) decoded as null",
+                stacklevel=2)
         sel = sel[vtags == tag]
         recs = recs[vtags == tag]
         vstarts = scan["p_vstart"][sel]

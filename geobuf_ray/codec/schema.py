@@ -73,9 +73,16 @@ def list_column_parts(col: pa.ChunkedArray | pa.Array, dtype=None):
     else:
         offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     values = col.values.to_numpy(zero_copy_only=False)
+    # re-base a sliced list array: downstream consumers derive value
+    # positions by cumsum from 0 and assume the values buffer exactly
+    # covers the rows (offsets[0] > 0 would silently mis-index coords —
+    # advisory find; every Table-column caller is normalized by
+    # combine_chunks, this guards bare sliced-Array misuse)
+    if len(offsets) and (offsets[0] != 0 or offsets[-1] != len(values)):
+        values = values[offsets[0]: offsets[-1]]
+        offsets = offsets - offsets[0]
     if dtype is not None:
         values = values.astype(dtype, copy=False)
-    # account for a sliced/offset list array
     return values, offsets
 
 

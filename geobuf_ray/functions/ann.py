@@ -145,13 +145,43 @@ def ivf_partition(ds, centroids: np.ndarray, *, vec_col="embedding",
                           zero_copy_batch=True, concurrency=(1, 4), **map_kwargs)
 
 
+def ivf_build(ds, centroids: np.ndarray, out_dir: str, *,
+              vec_col="embedding", **map_kwargs) -> str:
+    """Write the ``ivf_cell``-partitioned parquet layout — the ANN
+    index.  One hive directory per coarse cell, so a probe reads ONLY
+    its ``nprobe`` cells' files (true partition pruning, not an
+    in-stream filter).  Build once, query many times."""
+    stamped = ivf_partition(ds, centroids, vec_col=vec_col, **map_kwargs)
+    stamped.write_parquet(out_dir, partition_cols=["ivf_cell"])
+    return out_dir
+
+
+def ivf_probe_paths(index_dir: str, cells: np.ndarray) -> list[str]:
+    """Parquet files of the probed cells' partition directories."""
+    import glob
+    import os
+
+    paths = []
+    for c in np.unique(cells):
+        p = os.path.join(index_dir, f"ivf_cell={int(c)}")
+        if os.path.isdir(p):
+            paths.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+    return paths
+
+
 def ivf_topk(ds, queries: pa.Table, centroids: np.ndarray, k: int = 5, *,
              nprobe: int = 4, vec_col="embedding", id_col="vec_id",
              query_vec_col="embedding", query_id_col="vec_id",
+             index_dir: str | None = None,
              **map_kwargs) -> pa.Table:
     """Approximate top-k: probe only the ``nprobe`` nearest IVF cells
-    per query.  Vectors outside probed cells are filtered batch-side
-    (at scale: partition pruning on the ivf_cell-partitioned layout)."""
+    per query.
+
+    With ``index_dir`` (an :func:`ivf_build` layout) the probe READS
+    only the probed cells' partitions — rows outside them never leave
+    storage; ``ds`` may be None then.  Without it, vectors outside
+    probed cells are filtered batch-side over the full stream (correct
+    but unpruned — only for index-less one-shot queries)."""
     import ray
 
     cent = _normalize(centroids)
@@ -159,6 +189,12 @@ def ivf_topk(ds, queries: pa.Table, centroids: np.ndarray, k: int = 5, *,
     q_ids = queries[query_id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
     payload = ray.put((q_ids, qm, probes))
+    if index_dir is not None:
+        paths = ivf_probe_paths(index_dir, probes.reshape(-1))
+        if not paths:
+            return _empty_topk_table().append_column(
+                "rank", pa.array([], pa.int64()))
+        ds = ray.data.read_parquet(paths, columns=[id_col, vec_col])
 
     class ProbeFn:
         def __init__(self):

@@ -293,8 +293,13 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 
 class MinHashFn:
-    """Actor-pool stage: doc text -> minhash signature + band keys.
-    Seeds/parameters fixed per actor in __init__."""
+    """Actor-pool stage: doc text -> LSH band-bucket rows.
+
+    Emits ONLY ``(id, band, bucket)`` — 3 scalars per (doc x band).
+    The 64x-uint64 signature is NOT replicated through the shuffle
+    (round-1 finding: ~8 KB/doc amplification); signatures are
+    recomputed later for the O(duplicates) hot ids only
+    (:class:`SigForIdsFn`).  Seeds/parameters fixed per actor."""
 
     def __init__(self, text_col="text", id_col="doc_id", num_hashes=64,
                  bands=16, shingle_k=3, seed=42):
@@ -311,10 +316,36 @@ class MinHashFn:
             self.id_col: pa.array(np.repeat(ids, self.bands)),
             "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
             "bucket": pa.array(bk.reshape(-1), pa.uint64()),
-            "signature": pa.array(
-                np.repeat(sig, self.bands, axis=0).tolist(),
-                pa.list_(pa.uint64()),
-            ),
+        })
+
+
+class SigForIdsFn:
+    """Second-pass stage: minhash signatures for a broadcast id set.
+
+    The hot-id array (O(duplicates)) ships once via ``ray.put``; each
+    batch filters to member rows and shingles ONLY those, so the extra
+    docs scan does near-zero hashing work on non-duplicate rows."""
+
+    def __init__(self, ids_ref, text_col="text", id_col="doc_id",
+                 num_hashes=64, shingle_k=3, seed=42):
+        import ray
+
+        self.hot = ray.get(ids_ref) if not isinstance(ids_ref, np.ndarray) else ids_ref
+        self.text_col, self.id_col = text_col, id_col
+        self.num_hashes, self.k, self.seed = num_hashes, shingle_k, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(self.hot, ids)
+        pos[pos == len(self.hot)] = max(len(self.hot) - 1, 0)
+        hit = (self.hot[pos] == ids) if len(self.hot) else np.zeros(len(ids), bool)
+        sub = batch.filter(pa.array(hit))
+        flat, row_offs = word_shingle_flat(sub[self.text_col], self.k)
+        sig = minhash_matrix(flat, row_offs, self.num_hashes, self.seed)
+        return pa.table({
+            self.id_col: sub[self.id_col],
+            "signature": pa.array(sig.tolist(), pa.list_(pa.uint64())),
         })
 
 
@@ -371,24 +402,26 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
     signature agreement, deduplicated across bands.  Sub-quadratic: the
     only shuffle is groupby(bucket).
     """
+    import ray
+
+    kw = dict(text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+              bands=bands, shingle_k=shingle_k)
     if concurrency is None:
         # parameter-only "state": a pickled instance in a task pool
         # avoids actor startup latency; pass concurrency for a real
         # actor pool when per-worker init matters
-        fn = MinHashFn(text_col=text_col, id_col=id_col,
-                       num_hashes=num_hashes, bands=bands,
-                       shingle_k=shingle_k)
-        sig_ds = ds.map_batches(fn, batch_format="pyarrow",
+        sig_ds = ds.map_batches(MinHashFn(**kw), batch_format="pyarrow",
                                 zero_copy_batch=True, **map_kwargs)
     else:
         sig_ds = ds.map_batches(
-            MinHashFn,
-            fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
-                                       num_hashes=num_hashes, bands=bands,
-                                       shingle_k=shingle_k),
+            MinHashFn, fn_constructor_kwargs=kw,
             batch_format="pyarrow", zero_copy_batch=True,
             concurrency=concurrency, **map_kwargs,
         )
+    # the pinned stream is the SKINNY (id, band, bucket) rows — 3
+    # scalars per doc x band (round 1 pinned the 64x-uint64 signature
+    # per band, an ~8 KB/doc amplification); pinning avoids recomputing
+    # the minhash pass for the two consumers below
     sig_ds = sig_ds.materialize()
 
     empty = pa.table({"id_a": pa.array([], pa.int64()),
@@ -397,13 +430,33 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
     cand = _hot_bucket_candidates(
         sig_ds,
         pa.schema([(id_col, pa.int64()), ("band", pa.int32()),
-                   ("bucket", pa.uint64()),
-                   ("signature", pa.list_(pa.uint64()))]))
+                   ("bucket", pa.uint64())]))
     if cand is None or cand.num_rows == 0:
         return empty
     ids = cand[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     buckets = cand["bucket"].to_numpy(zero_copy_only=False)
-    sigm = np.asarray(cand["signature"].to_pylist(), np.uint64)
+
+    # signatures for the O(duplicates) hot ids only: broadcast the id
+    # set, second filtered pass over the docs (semi-join by searchsorted)
+    from ..collect import collect_table
+
+    hot_ids = np.unique(ids)
+    ids_ref = ray.put(hot_ids)
+    sig_tbl = collect_table(
+        ds.map_batches(
+            SigForIdsFn,
+            fn_constructor_kwargs=dict(ids_ref=ids_ref, text_col=text_col,
+                                       id_col=id_col, num_hashes=num_hashes,
+                                       shingle_k=shingle_k),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency or (1, 4)),
+        schema=pa.schema([(id_col, pa.int64()),
+                          ("signature", pa.list_(pa.uint64()))]))
+    sid = sig_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    smat = np.asarray(sig_tbl["signature"].to_pylist(), np.uint64)
+    sorder = np.argsort(sid)
+    sid, smat = sid[sorder], smat[sorder]
+    sigm = smat[np.searchsorted(sid, ids)]
     order = np.lexsort((ids, buckets))
     ids, buckets, sigm = ids[order], buckets[order], sigm[order]
     grp_start = np.flatnonzero(
@@ -594,7 +647,9 @@ def embedding_dedup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
             return pa.table({id_col: pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.uint64()),
                              "unit": pa.array([], pa.list_(pa.float64()))})
-        vecs = np.asarray(batch[vec_col].to_pylist(), np.float64)
+        from .ann import _to_matrix
+
+        vecs = _to_matrix(batch[vec_col])
         ck = vecs.shape[1]
         if ck not in _proj_cache:  # derive once per worker, not per batch
             _proj_cache[ck] = np.random.default_rng(seed).standard_normal(
@@ -612,10 +667,14 @@ def embedding_dedup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
             # salt with table index so tables never share buckets
             buckets[t] = b | (np.uint64(t) << np.uint64(56))
         ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tiled = np.tile(unit, (tables, 1))
+        unit_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(tiled) + 1) * ck, ck, dtype=np.int32)),
+            pa.array(tiled.reshape(-1)))
         return pa.table({
             id_col: pa.array(np.tile(ids, tables)),
             "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
-            "unit": pa.array(np.tile(unit, (tables, 1)).tolist(), pa.list_(pa.float64())),
+            "unit": unit_col,
         })
 
     sig = ds.map_batches(bucket_batch, batch_format="pyarrow",
@@ -631,7 +690,9 @@ def embedding_dedup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
         return empty
     ids = cand[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     buckets = cand["bucket"].to_numpy(zero_copy_only=False)
-    units = np.asarray(cand["unit"].to_pylist(), np.float64)
+    from .ann import _to_matrix
+
+    units = _to_matrix(cand["unit"])
     order = np.lexsort((ids, buckets))
     ids, buckets, units = ids[order], buckets[order], units[order]
     grp_start = np.flatnonzero(

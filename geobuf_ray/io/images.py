@@ -162,6 +162,43 @@ def image_centroid(image_id: str) -> tuple[float, float]:
     return -180.0 + u1 * 360.0, -85.0 + u2 * 170.0
 
 
+def _crc32_table() -> np.ndarray:
+    t = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t = np.where(t & 1, np.uint32(0xEDB88320) ^ (t >> np.uint32(1)),
+                     t >> np.uint32(1))
+    return t
+
+
+_CRC_TABLE = _crc32_table()
+
+
+def image_centroids(indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Batch :func:`image_centroid` for integer image indices.
+
+    Equal output to the scalar version (asserted in tests) but fully
+    vectorized: the ``img%012d`` id bytes form an (n, 15) digit matrix
+    and CRC-32 runs as 15 table-lookup rounds — no per-row Python."""
+    idx = np.ascontiguousarray(indices, np.int64)
+    n = len(idx)
+    mat = np.empty((n, 15), np.uint32)
+    mat[:, 0], mat[:, 1], mat[:, 2] = ord("i"), ord("m"), ord("g")
+    rem = idx.copy()
+    for j in range(14, 2, -1):
+        mat[:, j] = (rem % 10).astype(np.uint32) + ord("0")
+        rem //= 10
+    crc = np.full(n, 0xFFFFFFFF, np.uint32)
+    for j in range(15):
+        crc = (crc >> np.uint32(8)) ^ _CRC_TABLE[(crc ^ mat[:, j]) & np.uint32(0xFF)]
+    hsh = (crc ^ np.uint32(0xFFFFFFFF)).astype(np.uint64)
+    u1 = ((hsh * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) / 2**32
+    u2 = ((hsh * np.uint64(40503)) & np.uint64(0xFFFFFFFF)) / 2**32
+    hot = hsh % np.uint64(5) == 0
+    lon = np.where(hot, 10.0 + u1 * 0.2, -180.0 + u1 * 360.0)
+    lat = np.where(hot, 50.0 + u2 * 0.2, -85.0 + u2 * 170.0)
+    return lon, lat
+
+
 def synthesize_rows(indices) -> pa.Table:
     """Deterministic image+caption rows for arbitrary indices.
 

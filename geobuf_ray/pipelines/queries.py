@@ -73,23 +73,45 @@ def _broadcast_lookup_aggregate(side_sql: str, label_col: str,
     keys = side.column(0).to_numpy().astype(np.int64)
     lab = side.column(1).combine_chunks().dictionary_encode()
     names = lab.dictionary.to_pylist()
-    idx = np.full(int(keys.max()) + 1, -1, np.int16)
-    idx[keys] = lab.indices.to_numpy().astype(np.int16)
-    side_ref = ray.put((idx, names))
+    codes = lab.indices.to_numpy().astype(np.int16)
+    span = int(keys.max()) + 1 if len(keys) else 0
+    if 0 <= keys.min(initial=0) and span <= max(4 * len(keys), 1 << 20):
+        # dense FK-integral keys (TPC-H shape): O(1) array lookup
+        idx = np.full(span, -1, np.int16)
+        idx[keys] = codes
+        side_ref = ray.put((idx, None, names))
+    else:
+        # sparse / 64-bit keys: sorted-key binary search, no dense blow-up
+        order = np.argsort(keys)
+        side_ref = ray.put((keys[order], codes[order], names))
 
     class JoinFn:
         def __init__(self):
-            self.idx, self.names = ray.get(side_ref)
+            self.lookup, self.codes, self.names = ray.get(side_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             k = batch[fact_key].to_numpy().astype(np.int64)
-            code = self.idx[k].astype(np.int64)
+            if self.codes is None:  # dense: lookup IS key->code
+                hit = (k >= 0) & (k < len(self.lookup))
+                code = np.full(len(k), -1, np.int64)
+                code[hit] = self.lookup[k[hit]]
+            else:  # sparse: lookup = sorted keys, codes aligned
+                pos = np.searchsorted(self.lookup, k)
+                pos[pos == len(self.lookup)] = max(len(self.lookup) - 1, 0)
+                hit = ((self.lookup[pos] == k) if len(self.lookup)
+                       else np.zeros(len(k), bool))
+                code = np.full(len(k), -1, np.int64)
+                code[hit] = self.codes[pos[hit]]
+            # unmatched fact rows drop out (inner-join semantics) instead
+            # of crashing bincount (review find)
+            matched = code >= 0
+            code = code[matched]
             nbins = len(self.names)
             counts = np.bincount(code, minlength=nbins)
             present = np.flatnonzero(counts)
             cols = {label_col: pa.array([self.names[c] for c in present])}
             for name, fn in measures:
-                sums = np.bincount(code, weights=fn(batch),
+                sums = np.bincount(code, weights=fn(batch)[matched],
                                    minlength=nbins).astype(np.int64)
                 cols[name] = pa.array(sums[present])
             cols[count_name] = pa.array(counts[present].astype(np.int64))
@@ -590,8 +612,11 @@ def supplier_rects(sf_dir: str) -> pa.Table:
     ).fetchnumpy()["s_suppkey"].astype(np.int64)
     west = -180.0 + (keys * 37) % 300
     south = -85.0 + (keys * 53) % 160
-    east = west + 5.0 + (keys % 7) * 3.0
-    north = south + 4.0 + (keys % 5) * 3.0
+    # +0.005 pushes the east/north edges off the 0.01-degree point grid
+    # so half-open (engine) vs closed (SQL oracle) boundary conventions
+    # can never disagree on an exact edge hit (advisory find)
+    east = west + 5.0 + (keys % 7) * 3.0 + 0.005
+    north = south + 4.0 + (keys % 5) * 3.0 + 0.005
     from ..io.geojson import features_to_table
 
     feats = [
@@ -639,6 +664,97 @@ def knn_suppliers(sf_dir: str, k: int = 3, n_queries: int = 20):
     return out.select_columns(["custkey", "rank", "neighbor_id"]).rename_columns(
         {"neighbor_id": "s_suppkey"}
     )
+
+
+def rects_tile_clip(sf_dir: str, n: int = 32):
+    """Supplier rectangles clipped to a flat n x n grid through the
+    REAL vectorized Sutherland–Hodgman kernel (tileclip.ClipFeature
+    semantics, §2.5) — SQL-checkable because rect∩rect bounds are exact
+    float arithmetic on both sides (grid pitch 360/32 and 170/32 are
+    exact binary fractions; the slippy-tile variant is pytest-oracled
+    against a scalar clipper in test_clip.py)."""
+    import ray
+
+    from ..codec import varint as vi
+    from ..codec.schema import list_column_parts
+    from ..spatial import clip as cl
+
+    dx, dy = 360.0 / n, 170.0 / n
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nb = batch.num_rows
+        empty = pa.table({
+            "polygon_id": pa.array([], pa.int64()),
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "cw": pa.array([], pa.float64()),
+            "cs": pa.array([], pa.float64()),
+            "ce": pa.array([], pa.float64()),
+            "cn": pa.array([], pa.float64()),
+        })
+        if nb == 0:
+            return empty
+        coords, offs = list_column_parts(batch["coords"], np.float64)
+        ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        # rect bounds from the (single, closed) ring per feature
+        pair_offs = offs // 2  # offsets in vertex (pair) space
+        vcounts = np.diff(pair_offs)
+        xs, ys = coords[0::2], coords[1::2]
+        vfeat = np.repeat(np.arange(nb), vcounts)
+        w_r = np.full(nb, np.inf); e_r = np.full(nb, -np.inf)
+        s_r = np.full(nb, np.inf); n_r = np.full(nb, -np.inf)
+        np.minimum.at(w_r, vfeat, xs); np.maximum.at(e_r, vfeat, xs)
+        np.minimum.at(s_r, vfeat, ys); np.maximum.at(n_r, vfeat, ys)
+        # candidate flat tiles per rect (extra boundary candidates are
+        # fine: the zero-area filter drops them)
+        i0 = np.clip(np.floor((w_r + 180.0) / dx).astype(np.int64), 0, n - 1)
+        i1 = np.clip(np.floor((e_r + 180.0) / dx).astype(np.int64), 0, n - 1)
+        j0 = np.clip(np.floor((s_r + 85.0) / dy).astype(np.int64), 0, n - 1)
+        j1 = np.clip(np.floor((n_r + 85.0) / dy).astype(np.int64), 0, n - 1)
+        row_local, ti, tj = tiles.cover_expand(i0, i1, j0, j1)
+        if len(row_local) == 0:
+            return empty
+        tw = -180.0 + ti * dx
+        te = -180.0 + (ti + 1) * dx
+        ts_ = -85.0 + tj * dy
+        tn = -85.0 + (tj + 1) * dy
+        # one open ring (4 vertices) per candidate, clipped by the REAL
+        # SH kernel: vertex v of candidate c is source vertex
+        # pair_offs[row] + v (the closed ring's 5th point is dropped)
+        rsz = np.full(len(row_local), 4, np.int64)
+        vidx = np.repeat(pair_offs[row_local], rsz) + vi.ramp(rsz)
+        x = xs[vidx]
+        y = ys[vidx]
+        roffs = np.zeros(len(rsz) + 1, np.int64)
+        np.cumsum(rsz, out=roffs[1:])
+        cx, cy, coffs = cl.clip_rings(x, y, roffs, tw, ts_, te, tn)
+        out_sizes = np.diff(coffs)
+        alive = np.flatnonzero(out_sizes > 0)
+        if len(alive) == 0:
+            return empty
+        ring_of_v = np.repeat(np.arange(len(out_sizes)), out_sizes)
+        cw = np.full(len(out_sizes), np.inf)
+        ce = np.full(len(out_sizes), -np.inf)
+        cs = np.full(len(out_sizes), np.inf)
+        cn = np.full(len(out_sizes), -np.inf)
+        np.minimum.at(cw, ring_of_v, cx); np.maximum.at(ce, ring_of_v, cx)
+        np.minimum.at(cs, ring_of_v, cy); np.maximum.at(cn, ring_of_v, cy)
+        # drop zero-area (boundary-touch) clips so strict-overlap SQL
+        # semantics match
+        keep = alive[(cw[alive] < ce[alive]) & (cs[alive] < cn[alive])]
+        return pa.table({
+            "polygon_id": pa.array(ids[row_local[keep]].astype(np.int64)),
+            "tile_x": pa.array(ti[keep]),
+            "tile_y": pa.array(tj[keep]),
+            "cw": pa.array(cw[keep]),
+            "cs": pa.array(cs[keep]),
+            "ce": pa.array(ce[keep]),
+            "cn": pa.array(cn[keep]),
+        })
+
+    rects = supplier_rects(sf_dir)
+    ds = ray.data.from_arrow(rects)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def codec_roundtrip_points(sf_dir: str):
@@ -853,10 +969,17 @@ def embeddings_dup_pairs(sf_dir: str):
 
 def embeddings_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5,
                         n_centroids: int = 16, nprobe: int = 6):
-    """Approximate ANN: IVF-partitioned top-k (the scale path — probe
-    only nprobe cells per query instead of scanning every vector).
-    Rows-only check; recall vs brute force is asserted in tests."""
-    from ..functions.ann import fit_centroids, ivf_topk
+    """Approximate ANN: IVF-partitioned top-k (the scale path).
+
+    Builds (or reuses) the ``ivf_cell``-partitioned parquet layout,
+    then the probe READS only the nprobe cells per query — vectors
+    outside probed cells never leave storage.  Rows-only check; recall
+    vs brute force and the pruned-scan row count are asserted in
+    tests."""
+    import hashlib
+    import os
+
+    from ..functions.ann import fit_centroids, ivf_build, ivf_topk
 
     import duckdb
 
@@ -867,10 +990,17 @@ def embeddings_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5,
     ).fetch_arrow_table()
     mat = np.asarray(sample["embedding"].to_pylist(), np.float64)
     cent = fit_centroids(mat, n_centroids)
+    # index keyed by (source, params): built once, probed many times
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{n_centroids}".encode()).hexdigest()[:16]
+    index_dir = f"/tmp/geobuf_ray_ivf/{tag}"
+    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+        ivf_build(ds, cent, index_dir)
     queries = con.execute(
         f"SELECT * FROM '{sf_dir}/embeddings.parquet' WHERE vec_id < {n_queries}"
     ).fetch_arrow_table()
-    out = ivf_topk(ds, queries, cent, k=k, nprobe=nprobe)
+    out = ivf_topk(None, queries, cent, k=k, nprobe=nprobe,
+                   index_dir=index_dir)
     return out.select(["query_id", "rank", "vec_id"])
 
 
@@ -893,11 +1023,11 @@ def images_in_rects(sf_dir: str, zoom: int = 5):
 
     def centroids(batch: pa.Table) -> pa.Table:
         idx = batch["id"].to_numpy(zero_copy_only=False)
+        lons, lats = im.image_centroids(idx)
         ids = [f"img{int(i):012d}" for i in idx]
-        lons, lats = zip(*(im.image_centroid(i) for i in ids))
         return pa.table({"image_id": pa.array(ids, pa.string()),
-                         "lon": pa.array(np.asarray(lons)),
-                         "lat": pa.array(np.asarray(lats))})
+                         "lon": pa.array(lons),
+                         "lat": pa.array(lats)})
 
     pts = ds.map_batches(centroids, batch_format="pyarrow", zero_copy_batch=True)
     polys = supplier_rects(sf_dir)
@@ -944,9 +1074,8 @@ def images_tile_counts(sf_dir: str, zoom: int = 4):
 
     def assign(batch: pa.Table) -> pa.Table:
         idx = batch["id"].to_numpy(zero_copy_only=False)
-        ids = [f"img{int(i):012d}" for i in idx]
-        lons, lats = zip(*(im.image_centroid(i) for i in ids))
-        x, y = tiles.lonlat_to_tile(np.asarray(lons), np.asarray(lats), zoom)
+        lons, lats = im.image_centroids(idx)
+        x, y = tiles.lonlat_to_tile(lons, lats, zoom)
         packed = (x.astype(np.int64) << 32) | y.astype(np.int64)
         uniq, inv = np.unique(packed, return_inverse=True)
         return pa.table({

@@ -150,6 +150,253 @@ def split_combine(
     return manifest
 
 
+def tile_clip_batch(
+    batch: pa.Table,
+    zoom: int,
+    bounds: tuple[float, float, float, float] | None = None,
+) -> pa.Table:
+    """Fan each feature to its covering tiles with geometry CLIPPED to
+    every tile — the ``tileclip.ClipFeature`` semantics of the
+    reference's flagship pipeline (splitcombine/demo.md,
+    split_combine.go:244-257).
+
+    bbox cover supplies the candidate tiles; the vectorized clip kernels
+    (:mod:`..spatial.clip`) cut each candidate's geometry to the tile
+    rect, and candidates whose clip comes back empty are dropped — so
+    the output is the EXACT tile cover (a diagonal/concave geometry
+    does not land in bbox-only tiles), with per-tile clipped geometry.
+    Only dim-2 geometry is supported (the reference clips GeoJSON 2D).
+    """
+    from ..codec.schema import (
+        LINESTRING, MULTILINESTRING, MULTIPOINT, MULTIPOLYGON, POINT,
+        POLYGON,
+    )
+    from ..spatial import clip as cl
+
+    n = batch.num_rows
+    coords, offs = (list_column_parts(batch["coords"], np.float64)
+                    if n else (np.empty(0, np.float64), np.zeros(1, np.int64)))
+    rs_flat, rs_offs = (list_column_parts(batch["ring_sizes"], np.int64)
+                        if n else (np.empty(0, np.int64), np.zeros(1, np.int64)))
+    ps_flat, ps_offs = (list_column_parts(batch["poly_sizes"], np.int64)
+                        if n else (np.empty(0, np.int64), np.zeros(1, np.int64)))
+    gtype = (batch["geom_type"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64)
+             if n else np.empty(0, np.int64))
+    dim = (batch["dim"].combine_chunks()
+           .to_numpy(zero_copy_only=False).astype(np.int64)
+           if "dim" in batch.column_names and n else np.full(n, 2, np.int64))
+    if n and (dim != 2).any():
+        raise ValueError("tile_clip supports dim-2 geometry only")
+    bb = feature_bbox(coords, offs, dim) if n else np.empty((0, 4))
+    if bounds is not None and n:
+        w, s, e, nn = bounds
+        with np.errstate(invalid="ignore"):
+            oob = ~((bb[:, 0] <= e) & (bb[:, 2] >= w)
+                    & (bb[:, 1] <= nn) & (bb[:, 3] >= s))
+        bb = bb.copy()
+        bb[oob] = np.nan
+    row_idx, keys = tiles.bbox_cover_rows(bb, zoom)
+    _, tx, ty = tiles.unpack(keys)
+    tw, ts_, te, tn = tiles.tile_bounds(tx, ty, zoom)
+
+    # global ring bookkeeping (record-major, matching the flat coords)
+    ring_vals = rs_flat * 2
+    ring_vstart = np.cumsum(ring_vals) - ring_vals
+    nrings_rec = np.diff(rs_offs)
+    rings_per_poly = ps_flat
+    poly_of_ring = (np.repeat(np.arange(len(ps_flat)), rings_per_poly)
+                    if len(ps_flat) else np.empty(0, np.int64))
+
+    cg = gtype[row_idx] if len(row_idx) else np.empty(0, np.int64)
+
+    def _cand_rings(sel):
+        """(cand_local, ring_gidx) for the candidate subset ``sel``."""
+        rows = row_idx[sel]
+        cnt = nrings_rec[rows]
+        cand_of_ring = np.repeat(np.arange(len(sel)), cnt)
+        from ..codec import varint as vi
+
+        ring_gidx = np.repeat(rs_offs[:-1][rows], cnt) + vi.ramp(cnt)
+        return cand_of_ring, ring_gidx
+
+    def _gather_xy(ring_gidx):
+        from ..codec import varint as vi
+
+        sizes = rs_flat[ring_gidx]
+        starts = ring_vstart[ring_gidx]
+        base = np.repeat(starts, sizes) + 2 * vi.ramp(sizes)
+        return coords[base], coords[base + 1], sizes
+
+    # group tuples: (cand_positions, coords_flat, ring_sizes[ring-major],
+    #                ring_offs[cand+1], poly_flat, poly_counts[cand], gtype_out)
+    out_groups = []
+
+    # ---- points: bbox cover of a point IS its tile; geometry unchanged
+    sel = np.flatnonzero(np.isin(cg, (POINT,)))
+    if len(sel):
+        rows = row_idx[sel]
+        pc = np.empty(2 * len(sel))
+        pc[0::2] = coords[offs[rows]]
+        pc[1::2] = coords[offs[rows] + 1]
+        out_groups.append((sel, pc, np.ones(len(sel), np.int64),
+                           np.arange(len(sel) + 1, dtype=np.int64),
+                           np.ones(len(sel), np.int64),
+                           np.ones(len(sel), np.int64),
+                           np.full(len(sel), POINT, np.int64)))
+
+    # ---- multipoints: member filter per tile
+    sel = np.flatnonzero(cg == MULTIPOINT)
+    if len(sel):
+        cand_of_ring, ring_gidx = _cand_rings(sel)
+        x, y, sizes = _gather_xy(ring_gidx)
+        cand_of_pt = np.repeat(cand_of_ring, sizes)
+        keep = cl.clip_points(
+            x, y, tw[sel][cand_of_pt], ts_[sel][cand_of_pt],
+            te[sel][cand_of_pt], tn[sel][cand_of_pt])
+        kept_per_cand = np.bincount(cand_of_pt[keep], minlength=len(sel))
+        nz = np.flatnonzero(kept_per_cand > 0)
+        if len(nz):
+            pc = np.empty(2 * int(keep.sum()))
+            pc[0::2] = x[keep]
+            pc[1::2] = y[keep]
+            out_groups.append((sel[nz], pc, kept_per_cand[nz],
+                               np.arange(len(nz) + 1, dtype=np.int64),
+                               np.ones(len(nz), np.int64),
+                               np.ones(len(nz), np.int64),
+                               np.full(len(nz), MULTIPOINT, np.int64)))
+
+    # ---- lines: Liang–Barsky with part splitting
+    sel = np.flatnonzero(np.isin(cg, (LINESTRING, MULTILINESTRING)))
+    if len(sel):
+        cand_of_ring, ring_gidx = _cand_rings(sel)
+        x, y, sizes = _gather_xy(ring_gidx)
+        roffs = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes, out=roffs[1:])
+        cx, cy, poffs, line_of_part = cl.clip_lines(
+            x, y, roffs, tw[sel][cand_of_ring], ts_[sel][cand_of_ring],
+            te[sel][cand_of_ring], tn[sel][cand_of_ring])
+        cand_of_part = cand_of_ring[line_of_part]
+        parts_per_cand = np.bincount(cand_of_part, minlength=len(sel))
+        nz = np.flatnonzero(parts_per_cand > 0)
+        if len(nz):
+            # parts arrive cand-major (lines were expanded cand-major)
+            part_sizes = np.diff(poffs)
+            pc = np.empty(2 * len(cx))
+            pc[0::2] = cx
+            pc[1::2] = cy
+            gt_src = cg[sel[nz]]
+            gt_out = np.where((gt_src == LINESTRING) & (parts_per_cand[nz] > 1),
+                              MULTILINESTRING, gt_src)
+            ring_offs = np.zeros(len(nz) + 1, np.int64)
+            np.cumsum(parts_per_cand[nz], out=ring_offs[1:])
+            out_groups.append((sel[nz], pc, part_sizes, ring_offs,
+                               parts_per_cand[nz],
+                               np.ones(len(nz), np.int64), gt_out))
+
+    # ---- polygons: Sutherland–Hodgman per ring
+    sel = np.flatnonzero(np.isin(cg, (POLYGON, MULTIPOLYGON)))
+    if len(sel):
+        cand_of_ring, ring_gidx = _cand_rings(sel)
+        x, y, sizes = _gather_xy(ring_gidx)
+        roffs = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes, out=roffs[1:])
+        ox, oy, ooffs, _closed = cl.open_rings(x, y, roffs)
+        cx, cy, coffs = cl.clip_rings(
+            ox, oy, ooffs, tw[sel][cand_of_ring], ts_[sel][cand_of_ring],
+            te[sel][cand_of_ring], tn[sel][cand_of_ring])
+        cx, cy, coffs = cl.close_rings(cx, cy, coffs)
+        out_sizes = np.diff(coffs)
+        alive = out_sizes > 0
+        ai = np.flatnonzero(alive)
+        cands_alive = np.unique(cand_of_ring[ai])
+        if len(ai):
+            # surviving rings stay cand-major / poly-ordered; group
+            # counts per (cand, source poly) for the rebuilt poly_sizes
+            gpoly = poly_of_ring[ring_gidx[ai]]
+            cand_a = cand_of_ring[ai]
+            pair_change = np.concatenate(
+                ([True], (cand_a[1:] != cand_a[:-1])
+                 | (gpoly[1:] != gpoly[:-1])))
+            pair_id = np.cumsum(pair_change) - 1
+            rings_per_pair = np.bincount(pair_id)
+            cand_of_pair = cand_a[pair_change]
+            # coords of surviving rings
+            from ..codec import varint as vi
+
+            flat_idx = np.repeat(coffs[:-1][ai], out_sizes[ai]) \
+                + vi.ramp(out_sizes[ai])
+            pc = np.empty(2 * len(flat_idx))
+            pc[0::2] = cx[flat_idx]
+            pc[1::2] = cy[flat_idx]
+            rings_per_cand = np.bincount(cand_a, minlength=len(sel))[cands_alive]
+            ring_offs = np.zeros(len(cands_alive) + 1, np.int64)
+            np.cumsum(rings_per_cand, out=ring_offs[1:])
+            # cand_of_pair is nondecreasing: pairs-per-cand via bincount
+            pairs_per_cand = np.bincount(
+                cand_of_pair, minlength=len(sel))[cands_alive]
+            out_groups.append((sel[cands_alive], pc, out_sizes[ai],
+                               ring_offs, rings_per_pair, pairs_per_cand,
+                               cg[sel[cands_alive]]))
+
+    # ---- assemble (column order: aux, geometry, tile keys — identical
+    # in the empty path so Ray's block schema unification holds)
+    geom_names = ("geom_type", "dim", "coords", "ring_sizes", "poly_sizes")
+    if not out_groups:
+        taken = batch.take(pa.array([], pa.int64()))
+        aux = [c for c in batch.column_names if c not in geom_names]
+        taken = taken.select(aux + [c for c in geom_names
+                                    if c in batch.column_names])
+        taken = taken.append_column("tile_key", pa.array([], pa.uint64()))
+        return taken.append_column("tile_str", pa.array([], pa.string()))
+
+    all_pos = np.concatenate([g[0] for g in out_groups])
+    order = np.argsort(all_pos, kind="stable")
+    # build per-candidate structures group by group, then reorder
+    cand_tables = []
+    for g_pos, g_coords, g_rsizes, g_roffs, g_pflat, g_pcnt, g_gtype in out_groups:
+        ncand = len(g_pos)
+        ring_counts = np.diff(g_roffs)
+        # coords per cand = 2 * sum of its ring sizes
+        cand_of_ring_out = np.repeat(np.arange(ncand), ring_counts)
+        coord_counts = 2 * np.bincount(cand_of_ring_out, weights=g_rsizes,
+                                       minlength=ncand).astype(np.int64)
+        c_offs = np.concatenate(([0], np.cumsum(coord_counts))).astype(np.int32)
+        r_offs = np.concatenate(([0], np.cumsum(ring_counts))).astype(np.int32)
+        p_offs = np.concatenate(([0], np.cumsum(g_pcnt))).astype(np.int32)
+        tbl = pa.table({
+            "geom_type": pa.array(g_gtype.astype(np.int8)),
+            "dim": pa.array(np.full(ncand, 2, np.int8)),
+            "coords": pa.ListArray.from_arrays(
+                pa.array(c_offs), pa.array(g_coords)),
+            "ring_sizes": pa.ListArray.from_arrays(
+                pa.array(r_offs), pa.array(g_rsizes.astype(np.int32))),
+            "poly_sizes": pa.ListArray.from_arrays(
+                pa.array(p_offs), pa.array(g_pflat.astype(np.int32))),
+        })
+        cand_tables.append(tbl)
+    geom = pa.concat_tables(cand_tables).take(pa.array(order, pa.int64()))
+    pos_sorted = all_pos[order]
+    aux_cols = [c for c in batch.column_names if c not in geom_names]
+    out = batch.select(aux_cols).take(pa.array(row_idx[pos_sorted], pa.int64()))
+    for name in geom_names:
+        out = out.append_column(name, geom[name])
+    out = out.append_column("tile_key", pa.array(keys[pos_sorted], pa.uint64()))
+    return out.append_column(
+        "tile_str", pa.array(tiles.tile_key_str(keys[pos_sorted]), pa.string()))
+
+
+def tile_clip(ds, zoom: int, bounds=None, **map_kwargs):
+    """Dataset stage: features -> (clipped feature x exact covering
+    tile) rows — the reference's TileMap/ClipFeature flagship."""
+    return ds.map_batches(
+        lambda b: tile_clip_batch(b, zoom, bounds),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        **map_kwargs,
+    )
+
+
 def tile_counts(ds, zoom: int, bounds=None, **map_kwargs):
     """Per-tile feature counts — the manifest aggregate
     (groupby(tile).count(), SURVEY.md §2.6 A3)."""

@@ -197,6 +197,40 @@ def test_ivf_topk_recall(ray_session):
     assert np.mean(recalls) >= 0.9, recalls
 
 
+def test_ivf_index_prunes_scanned_rows(ray_session, tmp_path):
+    """The ivf_build layout must make probes READ only nprobe cells —
+    scanned rows << total (the round-1 'IVF does not prune' finding)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 16)) * 5
+    vecs = np.concatenate([c + rng.standard_normal((100, 16)) for c in centers])
+    n = len(vecs)
+    tbl = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    queries = tbl.slice(0, 4)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    cent = ann.fit_centroids(vecs[rng.choice(n, 300, replace=False)], 8)
+    index_dir = str(tmp_path / "ivf")
+    ann.ivf_build(ds, cent, index_dir)
+
+    pruned = ann.ivf_topk(None, queries, cent, k=5, nprobe=2,
+                          index_dir=index_dir)
+    full = ann.ivf_topk(ds, queries, cent, k=5, nprobe=2)
+    assert sorted(map(tuple, pruned.to_pandas().itertuples(index=False))) == \
+        sorted(map(tuple, full.to_pandas().itertuples(index=False)))
+
+    qm = np.asarray(queries["embedding"].to_pylist(), np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    probes = np.argsort(-(qm @ cn.T), axis=1)[:, :2]
+    scanned = sum(
+        pq.read_table(p, columns=["vec_id"]).num_rows
+        for p in ann.ivf_probe_paths(index_dir, probes.reshape(-1)))
+    assert 0 < scanned < n // 2, (scanned, n)
+
+
 def test_embedding_dedup_pairs(ray_session):
     import ray
 
