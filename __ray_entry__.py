@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "parts_by_brand": q.parts_by_brand,
         "revenue_by_region": q.revenue_by_region,
+        "revenue_by_region_shuffle": q.revenue_by_region_shuffle,
         "customers_without_orders": q.customers_without_orders,
         "top_lineitems_per_supplier": q.top_lineitems_per_supplier,
         # spatial engine (A1 bbox, M tile assign, A3 tile counts,
@@ -168,6 +169,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "revenue_by_region": """
+            SELECT r_name,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "revenue_by_region_shuffle": """
             SELECT r_name,
                    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
                    COUNT(*) AS n_orders

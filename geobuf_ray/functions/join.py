@@ -1,0 +1,135 @@
+"""Generic large x large hash equi-join (round-1 missing item #3).
+
+The reference has no relational join at all; the broadcast-lookup path
+(queries.py `_broadcast_lookup_aggregate`) covers small dimension
+tables.  This operator is the missing fact x fact path: BOTH sides are
+hash-partitioned on the join key through ONE Ray Data shuffle each and
+co-grouped per bucket, where a vectorized sort + searchsorted kernel
+expands the matches — no per-row Python, no driver materialization of
+either side.
+
+Shape (the only one that survives 100 TB):
+
+    left  -> stamp (__bucket = hash(key) % nbuckets, __side=0)
+    right -> stamp (__bucket, __side=1)          [columns null-padded
+    union -> groupby(__bucket).map_groups(local vectorized hash join)
+
+``nbuckets`` bounds the per-group working set: pick it so the largest
+bucket (both sides) fits a worker's heap; skewed keys can be salted by
+raising nbuckets since the bucket key is a HASH, not the raw key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_P1 = np.uint64(0x9E3779B97F4A7C15)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _key_hash(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        from .text import fingerprint64
+
+        return fingerprint64(arr)
+    v = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    x = (v ^ (v >> np.uint64(33))) * _P1
+    x = (x ^ (x >> np.uint64(29))) * _P2
+    return x ^ (x >> np.uint64(32))
+
+
+def hash_join(left, right, on: str, *, how: str = "inner",
+              nbuckets: int = 64, rsuffix: str = "_r", **map_kwargs):
+    """Equi-join two Datasets on column ``on``.
+
+    Returns a Dataset with the left columns plus the right columns
+    (minus the key; name collisions get ``rsuffix``).  ``how`` is
+    ``"inner"`` or ``"left"``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    r_names = [n for n in r_schema.names if n != on]
+    out_r_names = [n + rsuffix if n in l_names else n for n in r_names]
+
+    def stamp_left(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch[on]) % np.uint64(nbuckets)
+        cols = {n: batch[n] for n in l_names}
+        for rn, orn in zip(r_names, out_r_names):
+            cols[orn] = pa.nulls(batch.num_rows, r_types[rn])
+        cols["__bucket"] = pa.array(h.astype(np.int32))
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8))
+        return pa.table(cols)
+
+    def stamp_right(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch[on]) % np.uint64(nbuckets)
+        cols = {}
+        for n in l_names:
+            cols[n] = (batch[on] if n == on
+                       else pa.nulls(batch.num_rows, l_types[n]))
+        for rn, orn in zip(r_names, out_r_names):
+            cols[orn] = batch[rn]
+        cols["__bucket"] = pa.array(h.astype(np.int32))
+        cols["__side"] = pa.array(np.ones(batch.num_rows, np.int8))
+        return pa.table(cols)
+
+    tagged = left.map_batches(
+        stamp_left, batch_format="pyarrow", zero_copy_batch=True,
+        **map_kwargs,
+    ).union(right.map_batches(
+        stamp_right, batch_format="pyarrow", zero_copy_batch=True,
+        **map_kwargs,
+    ))
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        lkeys = _key_hash(group[on].take(pa.array(li, pa.int64())))
+        rkeys = _key_hash(group[on].take(pa.array(ri, pa.int64())))
+        # local join: sort right, range-match every left key at once
+        order = np.argsort(rkeys, kind="stable")
+        rk = rkeys[order]
+        lo = np.searchsorted(rk, lkeys, side="left")
+        hi = np.searchsorted(rk, lkeys, side="right")
+        cnt = hi - lo
+        l_exp = np.repeat(np.arange(len(li)), cnt)
+        from ..codec.varint import ramp
+
+        r_exp = order[np.repeat(lo, cnt) + ramp(cnt)]
+        ltab = group.take(pa.array(li[l_exp], pa.int64()))
+        rtab = group.take(pa.array(ri[r_exp], pa.int64()))
+        cols = {n: ltab[n] for n in l_names}
+        for orn in out_r_names:
+            cols[orn] = rtab[orn]
+        out = pa.table(cols)
+        # integer keys: the mix is invertible, hash-match IS key-match.
+        # string keys: verify the actual values to kill fingerprint
+        # collisions (left-join miss rows are unaffected: a collision
+        # can only ADD a false pair, filtered here)
+        kt = group.schema.field(on).type
+        if pa.types.is_string(kt) or pa.types.is_large_string(kt):
+            import pyarrow.compute as pc
+
+            rkeys_exp = group[on].take(pa.array(ri[r_exp], pa.int64()))
+            out = out.filter(pc.equal(ltab[on], rkeys_exp))
+        if how == "left":
+            miss = np.flatnonzero(cnt == 0)
+            if len(miss):
+                mtab = group.take(pa.array(li[miss], pa.int64()))
+                mcols = {n: mtab[n] for n in l_names}
+                for orn, rn in zip(out_r_names, r_names):
+                    mcols[orn] = pa.nulls(len(miss), r_types[rn])
+                out = pa.concat_tables([out, pa.table(mcols)])
+        return out
+
+    return tagged.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow")

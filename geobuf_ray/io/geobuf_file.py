@@ -85,6 +85,138 @@ class GeobufDatasource(FileBasedDatasource):
                 break
 
 
+# ---------------------------------------------------------------------------
+# reference-compatible gob MetaData index (S8/S9: CheckMetaData,
+# SubFileSeek, SubFileBytes — reader.go:236-304)
+# ---------------------------------------------------------------------------
+
+
+def encode_metadata_record(blob: bytes) -> bytes:
+    """Build the header feature record: one property ``metadata`` whose
+    string value carries the raw gob bytes (the reference stores gob
+    output in a Go string — arbitrary bytes, NOT utf8; writer.go's
+    ``string(bb.Bytes())``), so the record is assembled manually."""
+    key = b"metadata"
+    inner = b"\x0a" + vi.encode_varint_scalar(len(blob)) + blob
+    value = b"\x12" + vi.encode_varint_scalar(len(inner)) + inner
+    kv_body = b"\x0a" + vi.encode_varint_scalar(len(key)) + key + value
+    return b"\x12" + vi.encode_varint_scalar(len(kv_body)) + kv_body
+
+
+def extract_metadata_blob(record: bytes) -> bytes | None:
+    """Raw gob bytes from a metadata header record (scalar parse: one
+    record, not a hot path; utf8 decoding would corrupt the blob)."""
+    try:
+        pos = 0
+        if record[pos] != 0x12:
+            return None
+        ln, pos = vi.decode_varint_scalar(record, 1)
+        klen, pos = vi.decode_varint_scalar(record, pos + 1)
+        if record[pos: pos + klen] != b"metadata":
+            return None
+        pos += klen
+        if record[pos] != 0x12:
+            return None
+        _, pos = vi.decode_varint_scalar(record, pos + 1)
+        if record[pos] != 0x0A:
+            return None
+        blen, pos = vi.decode_varint_scalar(record, pos + 1)
+        return bytes(record[pos: pos + blen])
+    except (IndexError, ValueError):
+        return None
+
+
+def read_metadata(path: str) -> tuple[dict, int] | None:
+    """Parse a reference-indexed geobuf's gob MetaData header.
+
+    Returns ``(metadata_dict, origin)`` where ``origin`` is the
+    absolute byte offset the (relative) subfile positions are measured
+    from (the reference's ``LintMetaData(TotalPosition)`` shift,
+    reader.go:45-51), or None if the file has no metadata header.
+    """
+    from ..state.gob import decode_metadata
+
+    with open(path, "rb") as f:
+        head = f.read(4 << 20)
+    if not head or head[0] != 0x0A:
+        return None
+    ln, body_start = vi.decode_varint_scalar(head, 1)
+    if len(head) < body_start + ln:  # huge index: read the rest
+        with open(path, "rb") as f:
+            head = f.read(body_start + ln)
+    blob = extract_metadata_blob(head[body_start: body_start + ln])
+    if blob is None:
+        return None
+    return decode_metadata(blob), body_start + ln
+
+
+def read_subfile_bytes(path: str, key: str) -> bytes:
+    """Byte range of one keyed subfile (SubFileBytes, reader.go:291-297)."""
+    parsed = read_metadata(path)
+    if parsed is None:
+        raise ValueError(f"{path} has no gob metadata index")
+    meta, origin = parsed
+    sf = meta["Files"].get(key)
+    if sf is None:
+        return b""
+    a, b = sf["Positions"]
+    with open(path, "rb") as f:
+        f.seek(origin + a)
+        return f.read(b - a)
+
+
+def read_subfile(path: str, key: str) -> pa.Table:
+    """Key-addressed read: one subfile's records as a ``geobuf`` table
+    (SubFileSeek + SubFileNext loop, reader.go:277-304)."""
+    raw = read_subfile_bytes(path, key)
+    if not raw:
+        return pa.table({"geobuf": pa.array([], pa.binary())})
+    return pa.table({"geobuf": fc.scan_frames(raw)})
+
+
+def write_indexed_geobuf(subfiles, out_path: str,
+                         bounds: tuple[float, float, float, float] | None = None) -> dict:
+    """Combine per-key streams into ONE reference-style indexed geobuf.
+
+    ``subfiles`` is an iterable of ``(key, stream_bytes)`` — e.g. the
+    per-tile outputs of :func:`~..pipelines.tiling.split_combine` — and
+    the result is the reference's Combine layout (split_combine.go:
+    196-228): a leading gob-MetaData header feature, then the subfile
+    byte ranges back-to-back, positions RELATIVE to the first subfile
+    byte.  Returns the metadata dict.
+    """
+    from ..state.gob import encode_metadata
+
+    files: dict[str, dict] = {}
+    chunks: list[bytes] = []
+    pos = 0
+    nfeat_total = 0
+    for key, raw in subfiles:
+        nfeat = len(fc.scan_frames(raw)) if raw else 0
+        files[str(key)] = {
+            "Positions": [pos, pos + len(raw)],
+            "NumberFeatures": nfeat,
+            "Size": len(raw),
+        }
+        chunks.append(raw)
+        pos += len(raw)
+        nfeat_total += nfeat
+    w, s, e, n = bounds if bounds is not None else (-180.0, -90.0, 180.0, 90.0)
+    meta = {
+        "FileSize": pos,
+        "NumberFeatures": nfeat_total,
+        "Files": files,
+        "Bounds": {"N": n, "S": s, "E": e, "W": w},
+    }
+    blob = encode_metadata(meta)
+    record = encode_metadata_record(blob)
+    with open(out_path, "wb") as f:
+        f.write(b"\x0a" + vi.encode_varint_scalar(len(record)) + record)
+        for c in chunks:
+            f.write(c)
+    return meta
+
+
 def read_geobuf(paths, *, skip_metadata: bool = True, **read_kwargs):
     """``ray.data.read_datasource`` over geobuf stream files."""
     import ray

@@ -545,6 +545,72 @@ def revenue_by_region(sf_dir: str):
         "n_orders", ["total_cents", "n_orders"])
 
 
+def revenue_by_region_shuffle(sf_dir: str):
+    """Same result (and oracle) as :func:`revenue_by_region`, but
+    FORCED through the generic large x large hash-partitioned equi-join
+    (round-1 missing item #3): orders and customer both shuffle by
+    custkey hash bucket and co-group — no broadcast side.  The tiny
+    nation/region labels still ride a broadcast lookup (correct at any
+    scale: they are bounded)."""
+    import duckdb
+    import ray
+
+    from ..functions.join import hash_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "o_totalprice": batch["o_totalprice"]})
+
+    orders = orders.map_batches(rename, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, cust, on="c_custkey", nbuckets=32)
+
+    side = duckdb.connect().execute(f"""
+        SELECT n_nationkey, r_name FROM '{sf_dir}/nation.parquet'
+        JOIN '{sf_dir}/region.parquet' ON n_regionkey = r_regionkey
+    """).fetch_arrow_table()
+    nk = side["n_nationkey"].to_numpy().astype(np.int64)
+    lab = side["r_name"].combine_chunks().dictionary_encode()
+    names = lab.dictionary.to_pylist()
+    idx = np.full(int(nk.max()) + 1, -1, np.int16)
+    idx[nk] = lab.indices.to_numpy().astype(np.int16)
+    import ray as _ray
+
+    side_ref = _ray.put((idx, names))
+
+    class AggFn:
+        def __init__(self):
+            self.idx, self.names = _ray.get(side_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nkey = batch["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            code = self.idx[np.clip(nkey, 0, len(self.idx) - 1)].astype(np.int64)
+            code[(nkey < 0) | (nkey >= len(self.idx))] = -1
+            ok = code >= 0
+            code = code[ok]
+            cents = np.round(batch["o_totalprice"].to_numpy(
+                zero_copy_only=False)[ok] * 100).astype(np.int64)
+            nbins = len(self.names)
+            counts = np.bincount(code, minlength=nbins)
+            present = np.flatnonzero(counts)
+            return pa.table({
+                "r_name": pa.array([self.names[c] for c in present]),
+                "total_cents": pa.array(np.bincount(
+                    code, weights=cents, minlength=nbins).astype(np.int64)[present]),
+                "n_orders": pa.array(counts[present].astype(np.int64)),
+            })
+
+    partials = joined.map_batches(AggFn, batch_format="pyarrow",
+                                  zero_copy_batch=True, concurrency=(1, 4))
+    return _final_combine(partials, ["r_name"], ["total_cents", "n_orders"])
+
+
 # ---------------------------------------------------------------------------
 # spatial queries
 # ---------------------------------------------------------------------------
