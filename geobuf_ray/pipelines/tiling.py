@@ -119,10 +119,19 @@ def split_combine(
     bounds=None,
     salt_bits: int = 0,
     write_bbox: bool = True,
+    clip: bool = False,
+    combine_path: str | None = None,
     map_kwargs: dict | None = None,
 ):
     """Full tiling pipeline: assign -> shuffle by tile -> per-tile
     geobuf file + manifest (replaces MapGeobuf, split_combine.go:425-559).
+
+    ``clip=True`` runs the tileclip.ClipFeature semantics (exact cover,
+    per-tile clipped geometry) instead of whole-feature bbox fan-out.
+    ``combine_path`` additionally combines the per-tile files into ONE
+    reference-style gob-indexed geobuf (the Combine step,
+    split_combine.go:196-228) readable by the reference's
+    SubFileSeek — and by :func:`~..io.geobuf_file.read_subfile`.
 
     Returns the manifest table (one row per tile file: key, count,
     bounds, size, timing).
@@ -133,7 +142,18 @@ def split_combine(
 
     from ..io.geobuf_file import _WriteGeobufFn
 
-    tiled = assign_tiles(ds, zoom, bounds, salt_bits, **(map_kwargs or {}))
+    if clip:
+        tiled = tile_clip(ds, zoom, bounds, **(map_kwargs or {}))
+        if salt_bits:
+            raise ValueError("salt_bits is a bbox-fanout feature; "
+                             "clipped tiles are already bounded per tile")
+        # tile_salt column expected downstream
+        tiled = tiled.map_batches(
+            lambda b: b.append_column(
+                "tile_salt", pa.array(np.zeros(b.num_rows, np.uint8))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        tiled = assign_tiles(ds, zoom, bounds, salt_bits, **(map_kwargs or {}))
     # one map_groups call per tile -> one stream file + one manifest row
     write_fn = _WriteGeobufFn(out_dir, write_bbox, key_column="tile_str")
 
@@ -147,6 +167,21 @@ def split_combine(
     )
     manifest = pa.Table.from_pylist(manifest_ds.take_all())  # one row per tile
     pq.write_table(manifest, os.path.join(out_dir, "_manifest.parquet"))
+    if combine_path is not None:
+        from ..io.geobuf_file import write_indexed_geobuf
+
+        def _subfiles():
+            for row in manifest.sort_by("key").to_pylist():
+                with open(row["path"], "rb") as f:
+                    yield row["key"], f.read()
+
+        ws = [v for v in manifest["west"].to_pylist() if v == v]
+        ss = [v for v in manifest["south"].to_pylist() if v == v]
+        es = [v for v in manifest["east"].to_pylist() if v == v]
+        ns = [v for v in manifest["north"].to_pylist() if v == v]
+        bb = ((min(ws), min(ss), max(es), max(ns))
+              if ws and ss and es and ns else None)
+        write_indexed_geobuf(_subfiles(), combine_path, bounds=bb)
     return manifest
 
 

@@ -91,3 +91,48 @@ def test_indexed_geobuf_streams_through_datasource(ray_session, tmp_path):
     recs = ds.take_all()
     dec = dc.decode_batch(pa.array([r["geobuf"] for r in recs], pa.binary()))
     assert sorted(dec["id"].to_pylist()) == [1, 2, 3]
+
+
+def test_split_combine_clip_and_combine_indexed(ray_session, tmp_path):
+    """The flagship pipeline end-to-end: polygons -> CLIPPED per-tile
+    subfiles -> ONE gob-indexed combined geobuf; key-addressed reads
+    return clipped geometry inside each tile's bounds."""
+    import ray
+
+    from geobuf_ray.codec.schema import geometry_from_nested
+    from geobuf_ray.pipelines.tiling import split_combine
+    from geobuf_ray.spatial import tiles
+
+    ring = [[-50.0, -40.0], [20.0, -35.0], [25.0, 30.0], [-40.0, 38.0],
+            [-50.0, -40.0]]
+    g = geometry_from_nested("Polygon", [ring])
+    batch = pa.table({
+        "id": pa.array([7], pa.int64()),
+        "geom_type": pa.array([g["geom_type"]], pa.int8()),
+        "dim": pa.array([2], pa.int8()),
+        "coords": pa.array([g["coords"]], pa.list_(pa.float64())),
+        "ring_sizes": pa.array([g["ring_sizes"]], pa.list_(pa.int32())),
+        "poly_sizes": pa.array([g["poly_sizes"]], pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(batch)
+    out = str(tmp_path / "tiles")
+    combined = str(tmp_path / "combined.geobuf")
+    manifest = split_combine(ds, out, zoom=3, clip=True,
+                             combine_path=combined)
+    assert manifest.num_rows >= 4
+    parsed = gf.read_metadata(combined)
+    assert parsed is not None
+    meta, _ = parsed
+    assert set(meta["Files"].keys()) == set(manifest["key"].to_pylist())
+    for key in meta["Files"]:
+        tbl = gf.read_subfile(combined, key)
+        assert tbl.num_rows == 1
+        dec = dc.decode_batch(tbl["geobuf"])
+        x, y, z = (int(v) for v in key.split("-"))
+        w, s, e, n = (float(v[0]) for v in tiles.tile_bounds(
+            np.array([x]), np.array([y]), z))
+        vals = dec["coords"].combine_chunks().values.to_numpy(
+            zero_copy_only=False)
+        # clipped: every vertex inside the tile (codec quantizes 1e-7)
+        assert (vals[0::2] >= w - 1e-6).all() and (vals[0::2] <= e + 1e-6).all()
+        assert (vals[1::2] >= s - 1e-6).all() and (vals[1::2] <= n + 1e-6).all()
