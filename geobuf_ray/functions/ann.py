@@ -90,13 +90,19 @@ def brute_force_topk(ds, queries: pa.Table, k: int = 5, *,
         queries[query_id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64),
         _to_matrix(queries[query_vec_col]),
     )
-    qref = ray.put(q)
-    partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(qref, k, vec_col, id_col),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency, **map_kwargs,
-    )
+    if concurrency is None:
+        # small query set: ride the task closure, skip actor startup
+        partials = ds.map_batches(
+            BruteForceTopK(q, k, vec_col, id_col),
+            batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
+    else:
+        qref = ray.put(q)
+        partials = ds.map_batches(
+            BruteForceTopK,
+            fn_constructor_args=(qref, k, vec_col, id_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency, **map_kwargs,
+        )
     from ..collect import collect_table
 
     return topk_reduce(collect_table(partials), k)
@@ -188,7 +194,7 @@ def ivf_topk(ds, queries: pa.Table, centroids: np.ndarray, k: int = 5, *,
     qm = _normalize(_to_matrix(queries[query_vec_col]))
     q_ids = queries[query_id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
-    payload = ray.put((q_ids, qm, probes))
+    payload = (q_ids, qm, probes)  # small: rides the task closure
     if index_dir is not None:
         paths = ivf_probe_paths(index_dir, probes.reshape(-1))
         if not paths:
@@ -198,7 +204,7 @@ def ivf_topk(ds, queries: pa.Table, centroids: np.ndarray, k: int = 5, *,
 
     class ProbeFn:
         def __init__(self):
-            self.q_ids, self.qm, self.probes = ray.get(payload)
+            self.q_ids, self.qm, self.probes = payload
             self.cent = cent
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -228,8 +234,8 @@ def ivf_topk(ds, queries: pa.Table, centroids: np.ndarray, k: int = 5, *,
                 "cosine": pa.array(np.concatenate(out_s)),
             })
 
-    partials = ds.map_batches(ProbeFn, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 4), **map_kwargs)
+    partials = ds.map_batches(ProbeFn(), batch_format="pyarrow",
+                              zero_copy_batch=True, **map_kwargs)
     from ..collect import collect_table
 
     return topk_reduce(collect_table(partials), k)

@@ -68,7 +68,13 @@ def exact_dedup(ds, key_cols: list[str], order_col: str, **map_kwargs):
     """
 
     def _hash(batch: pa.Table) -> pa.Table:
-        return add_key_hash(batch, key_cols)
+        out = add_key_hash(batch, key_cols)
+        # shuffle on a hash BUCKET, not the raw 64-bit hash: ~2^10
+        # groups with a vectorized kernel each, instead of one Python
+        # map_groups call per distinct key (measured Ray overhead)
+        h = out["dedup_hash"].to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "dedup_bucket", pa.array((h % np.uint64(1024)).astype(np.int32)))
 
     def _first(group: pa.Table) -> pa.Table:
         # vectorized first-per-key: mixed-radix combine of group-local
@@ -85,10 +91,11 @@ def exact_dedup(ds, key_cols: list[str], order_col: str, **map_kwargs):
         cs = code[sel]
         first = np.concatenate(([True], cs[1:] != cs[:-1]))
         keep = np.sort(sel[first])
-        return group.take(pa.array(keep, pa.int64())).drop_columns(["dedup_hash"])
+        return group.take(pa.array(keep, pa.int64())).drop_columns(
+            ["dedup_hash", "dedup_bucket"])
 
     hashed = ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
-    return hashed.groupby("dedup_hash").map_groups(_first, batch_format="pyarrow")
+    return hashed.groupby("dedup_bucket").map_groups(_first, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -326,11 +333,13 @@ class SigForIdsFn:
     batch filters to member rows and shingles ONLY those, so the extra
     docs scan does near-zero hashing work on non-duplicate rows."""
 
-    def __init__(self, ids_ref, text_col="text", id_col="doc_id",
+    def __init__(self, ids, text_col="text", id_col="doc_id",
                  num_hashes=64, shingle_k=3, seed=42):
-        import ray
+        if not isinstance(ids, np.ndarray):  # accept a ray.put ref too
+            import ray
 
-        self.hot = ray.get(ids_ref) if not isinstance(ids_ref, np.ndarray) else ids_ref
+            ids = ray.get(ids)
+        self.hot = ids
         self.text_col, self.id_col = text_col, id_col
         self.num_hashes, self.k, self.seed = num_hashes, shingle_k, seed
 
@@ -441,15 +450,12 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
     from ..collect import collect_table
 
     hot_ids = np.unique(ids)
-    ids_ref = ray.put(hot_ids)
+    # hot ids are O(duplicates): small enough to ride the task closure —
+    # a task pool avoids per-query actor-pool startup latency (measured)
+    sig_fn = SigForIdsFn(hot_ids, text_col=text_col, id_col=id_col,
+                         num_hashes=num_hashes, shingle_k=shingle_k)
     sig_tbl = collect_table(
-        ds.map_batches(
-            SigForIdsFn,
-            fn_constructor_kwargs=dict(ids_ref=ids_ref, text_col=text_col,
-                                       id_col=id_col, num_hashes=num_hashes,
-                                       shingle_k=shingle_k),
-            batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=concurrency or (1, 4)),
+        ds.map_batches(sig_fn, batch_format="pyarrow", zero_copy_batch=True),
         schema=pa.schema([(id_col, pa.int64()),
                           ("signature", pa.list_(pa.uint64()))]))
     sid = sig_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

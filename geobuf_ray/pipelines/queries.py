@@ -118,9 +118,17 @@ def _broadcast_lookup_aggregate(side_sql: str, label_col: str,
             return pa.table(cols)
 
     ds_fact = _read(fact_path, fact_columns)
-    partials = ds_fact.map_batches(JoinFn, batch_format="pyarrow",
-                                   batch_size=None, zero_copy_batch=True,
-                                   concurrency=(1, 4))
+    # a dimension lookup under ~4 MB rides the task closure — a task
+    # pool skips the per-query actor-pool startup latency (measured);
+    # bigger lookups keep the ray.put + actor pattern (ship once)
+    nbytes = idx.nbytes if codes is None else keys.nbytes + codes.nbytes
+    if nbytes <= (4 << 20):
+        partials = ds_fact.map_batches(JoinFn(), batch_format="pyarrow",
+                                       batch_size=None, zero_copy_batch=True)
+    else:
+        partials = ds_fact.map_batches(JoinFn, batch_format="pyarrow",
+                                       batch_size=None, zero_copy_batch=True,
+                                       concurrency=(1, 4))
     return _final_combine(partials, [label_col], sum_order)
 
 
@@ -351,8 +359,9 @@ def customers_without_orders(sf_dir: str, min_price: float = 450000.0):
 
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
-    return cust.map_batches(AntiFn, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=(1, 4))
+    # the distinct-key set is small: task closure beats actor startup
+    return cust.map_batches(AntiFn(), batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def top_lineitems_per_supplier(sf_dir: str, k: int = 3):
@@ -593,35 +602,28 @@ def revenue_by_region_shuffle(sf_dir: str):
     names = lab.dictionary.to_pylist()
     idx = np.full(int(nk.max()) + 1, -1, np.int16)
     idx[nk] = lab.indices.to_numpy().astype(np.int16)
-    import ray as _ray
+    # nation->region fits the task closure (25 entries): no actor pool
+    def agg(batch: pa.Table) -> pa.Table:
+        nkey = batch["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        code = idx[np.clip(nkey, 0, len(idx) - 1)].astype(np.int64)
+        code[(nkey < 0) | (nkey >= len(idx))] = -1
+        ok = code >= 0
+        code = code[ok]
+        cents = np.round(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False)[ok] * 100).astype(np.int64)
+        nbins = len(names)
+        counts = np.bincount(code, minlength=nbins)
+        present = np.flatnonzero(counts)
+        return pa.table({
+            "r_name": pa.array([names[c] for c in present]),
+            "total_cents": pa.array(np.bincount(
+                code, weights=cents, minlength=nbins).astype(np.int64)[present]),
+            "n_orders": pa.array(counts[present].astype(np.int64)),
+        })
 
-    side_ref = _ray.put((idx, names))
-
-    class AggFn:
-        def __init__(self):
-            self.idx, self.names = _ray.get(side_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            nkey = batch["c_nationkey"].to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            code = self.idx[np.clip(nkey, 0, len(self.idx) - 1)].astype(np.int64)
-            code[(nkey < 0) | (nkey >= len(self.idx))] = -1
-            ok = code >= 0
-            code = code[ok]
-            cents = np.round(batch["o_totalprice"].to_numpy(
-                zero_copy_only=False)[ok] * 100).astype(np.int64)
-            nbins = len(self.names)
-            counts = np.bincount(code, minlength=nbins)
-            present = np.flatnonzero(counts)
-            return pa.table({
-                "r_name": pa.array([self.names[c] for c in present]),
-                "total_cents": pa.array(np.bincount(
-                    code, weights=cents, minlength=nbins).astype(np.int64)[present]),
-                "n_orders": pa.array(counts[present].astype(np.int64)),
-            })
-
-    partials = joined.map_batches(AggFn, batch_format="pyarrow",
-                                  zero_copy_batch=True, concurrency=(1, 4))
+    partials = joined.map_batches(agg, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     return _final_combine(partials, ["r_name"], ["total_cents", "n_orders"])
 
 
@@ -923,8 +925,10 @@ def docs_langid(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ds.map_batches(LangIdFn, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=(1, 2))
+    # regex state compiles in milliseconds: per-task init is cheaper
+    # than spinning an actor pool per query invocation
+    return ds.map_batches(LangIdFn(), batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def docs_fingerprint(sf_dir: str):
@@ -1016,7 +1020,7 @@ def embeddings_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
     queries = duckdb.connect().execute(
         f"SELECT * FROM '{sf_dir}/embeddings.parquet' WHERE vec_id < {n_queries}"
     ).fetch_arrow_table()
-    out = brute_force_topk(ds, queries, k=k, concurrency=(1, 2))
+    out = brute_force_topk(ds, queries, k=k, concurrency=None)
     return out.select(["query_id", "rank", "vec_id"])
 
 
