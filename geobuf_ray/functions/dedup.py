@@ -300,13 +300,14 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 
 class MinHashFn:
-    """Actor-pool stage: doc text -> LSH band-bucket rows.
+    """Stage: doc text -> LSH band-bucket rows + ONE signature row.
 
-    Emits ONLY ``(id, band, bucket)`` — 3 scalars per (doc x band).
-    The 64x-uint64 signature is NOT replicated through the shuffle
-    (round-1 finding: ~8 KB/doc amplification); signatures are
-    recomputed later for the O(duplicates) hot ids only
-    (:class:`SigForIdsFn`).  Seeds/parameters fixed per actor."""
+    Band rows carry ONLY ``(id, band, bucket)`` — 3 scalars per
+    (doc x band); the 64x-uint64 signature is NOT replicated per band
+    (round-1 finding: ~8 KB/doc amplification).  Instead each doc emits
+    a single ``band = -1`` row holding its signature once (~0.5 KB),
+    so candidate verification needs no second pass over the corpus.
+    Seeds/parameters fixed per instance."""
 
     def __init__(self, text_col="text", id_col="doc_id", num_hashes=64,
                  bands=16, shingle_k=3, seed=42):
@@ -319,46 +320,26 @@ class MinHashFn:
         bk = band_keys(sig, self.bands)
         n = batch.num_rows
         ids = batch[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table({
+        d = sig.shape[1]
+        sig_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+            pa.array(sig.reshape(-1), pa.uint64()))
+        band_part = pa.table({
             self.id_col: pa.array(np.repeat(ids, self.bands)),
             "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
             "bucket": pa.array(bk.reshape(-1), pa.uint64()),
+            "signature": pa.nulls(n * self.bands, pa.list_(pa.uint64())),
         })
-
-
-class SigForIdsFn:
-    """Second-pass stage: minhash signatures for a broadcast id set.
-
-    The hot-id array (O(duplicates)) ships once via ``ray.put``; each
-    batch filters to member rows and shingles ONLY those, so the extra
-    docs scan does near-zero hashing work on non-duplicate rows."""
-
-    def __init__(self, ids, text_col="text", id_col="doc_id",
-                 num_hashes=64, shingle_k=3, seed=42):
-        if not isinstance(ids, np.ndarray):  # accept a ray.put ref too
-            import ray
-
-            ids = ray.get(ids)
-        self.hot = ids
-        self.text_col, self.id_col = text_col, id_col
-        self.num_hashes, self.k, self.seed = num_hashes, shingle_k, seed
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(self.hot, ids)
-        pos[pos == len(self.hot)] = max(len(self.hot) - 1, 0)
-        hit = (self.hot[pos] == ids) if len(self.hot) else np.zeros(len(ids), bool)
-        sub = batch.filter(pa.array(hit))
-        flat, row_offs = word_shingle_flat(sub[self.text_col], self.k)
-        sig = minhash_matrix(flat, row_offs, self.num_hashes, self.seed)
-        return pa.table({
-            self.id_col: sub[self.id_col],
-            "signature": pa.array(sig.tolist(), pa.list_(pa.uint64())),
+        sig_part = pa.table({
+            self.id_col: pa.array(ids),
+            "band": pa.array(np.full(n, -1, np.int32)),
+            "bucket": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+            "signature": sig_col,
         })
+        return pa.concat_tables([band_part, sig_part])
 
 
-def _hot_bucket_candidates(sig_ds, schema: pa.Schema):
+def _hot_bucket_candidates(sig_ds, schema: pa.Schema, row_filter=None):
     """Rows whose ``bucket`` has >=2 members, collected driver-side.
 
     Per-block partial bucket counts (vectorized tasks) -> tiny driver
@@ -366,9 +347,13 @@ def _hot_bucket_candidates(sig_ds, schema: pa.Schema):
     closure (it is O(duplicate buckets), a few KB) -> filtered rows
     collected.  Most buckets are singletons, so what reaches the driver
     is O(duplicates), not O(rows); at extreme scale the combine moves
-    into ``groupby(bucket).count()`` with the same semantics."""
+    into ``groupby(bucket).count()`` with the same semantics.
+    ``row_filter(batch)`` pre-filters each batch (e.g. drop signature
+    carrier rows) before counting/collection."""
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
+        if row_filter is not None:
+            batch = row_filter(batch)
         uniq, cnt = np.unique(
             batch["bucket"].to_numpy(zero_copy_only=False), return_counts=True)
         return pa.table({"bucket": pa.array(uniq, pa.uint64()),
@@ -391,6 +376,8 @@ def _hot_bucket_candidates(sig_ds, schema: pa.Schema):
         return None
 
     def hot_filter(batch: pa.Table, hot=hot) -> pa.Table:
+        if row_filter is not None:
+            batch = row_filter(batch)
         bk = batch["bucket"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(hot, bk)
         pos[pos == len(hot)] = 0
@@ -427,39 +414,66 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
             batch_format="pyarrow", zero_copy_batch=True,
             concurrency=concurrency, **map_kwargs,
         )
-    # the pinned stream is the SKINNY (id, band, bucket) rows — 3
-    # scalars per doc x band (round 1 pinned the 64x-uint64 signature
-    # per band, an ~8 KB/doc amplification); pinning avoids recomputing
-    # the minhash pass for the two consumers below
+    # the pinned stream is skinny: (id, band, bucket) per doc x band
+    # (3 scalars — round 1 pinned the 64x-uint64 signature PER BAND, an
+    # ~8 KB/doc amplification) plus ONE signature carrier row per doc;
+    # pinning avoids recomputing the minhash pass for the consumers
     sig_ds = sig_ds.materialize()
 
+    sig_schema = pa.schema([(id_col, pa.int64()), ("band", pa.int32()),
+                            ("bucket", pa.uint64()),
+                            ("signature", pa.list_(pa.uint64()))])
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "est_jaccard": pa.array([], pa.float64())})
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        b = batch["band"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(b >= 0)).drop_columns(["signature"])
+
     cand = _hot_bucket_candidates(
         sig_ds,
         pa.schema([(id_col, pa.int64()), ("band", pa.int32()),
-                   ("bucket", pa.uint64())]))
+                   ("bucket", pa.uint64())]),
+        row_filter=lambda b: pa.table(
+            {n: band_rows(b)[n] for n in (id_col, "band", "bucket")}),
+    )
     if cand is None or cand.num_rows == 0:
         return empty
     ids = cand[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     buckets = cand["bucket"].to_numpy(zero_copy_only=False)
 
-    # signatures for the O(duplicates) hot ids only: broadcast the id
-    # set, second filtered pass over the docs (semi-join by searchsorted)
+    # signatures for the O(duplicates) hot ids: semi-join against the
+    # carrier rows of the SAME materialized stream — no second corpus
+    # pass, no re-shingling
     from ..collect import collect_table
 
     hot_ids = np.unique(ids)
-    # hot ids are O(duplicates): small enough to ride the task closure —
-    # a task pool avoids per-query actor-pool startup latency (measured)
-    sig_fn = SigForIdsFn(hot_ids, text_col=text_col, id_col=id_col,
-                         num_hashes=num_hashes, shingle_k=shingle_k)
+
+    def sig_rows(batch: pa.Table, hot=hot_ids) -> pa.Table:
+        b = batch["band"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(b < 0))
+        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(hot, bid)
+        pos[pos == len(hot)] = max(len(hot) - 1, 0)
+        hit = (hot[pos] == bid) if len(hot) else np.zeros(len(bid), bool)
+        return batch.filter(pa.array(hit)).select([id_col, "signature"])
+
     sig_tbl = collect_table(
-        ds.map_batches(sig_fn, batch_format="pyarrow", zero_copy_batch=True),
+        sig_ds.map_batches(sig_rows, batch_format="pyarrow",
+                           zero_copy_batch=True),
         schema=pa.schema([(id_col, pa.int64()),
                           ("signature", pa.list_(pa.uint64()))]))
     sid = sig_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    smat = np.asarray(sig_tbl["signature"].to_pylist(), np.uint64)
+    # exact uint64 extraction (a float64 detour would corrupt values
+    # above 2^53 — i.e. almost every minhash)
+    sig_col = sig_tbl["signature"].combine_chunks()
+    sig_vals = sig_col.values.to_numpy(zero_copy_only=False)
+    sig_offs = sig_col.offsets.to_numpy(zero_copy_only=False)
+    if len(sig_offs) and sig_offs[0] != 0:
+        sig_vals = sig_vals[sig_offs[0]:]
+    smat = (sig_vals[: len(sid) * num_hashes]
+            .astype(np.uint64, copy=False).reshape(-1, num_hashes))
     sorder = np.argsort(sid)
     sid, smat = sid[sorder], smat[sorder]
     sigm = smat[np.searchsorted(sid, ids)]

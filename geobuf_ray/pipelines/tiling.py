@@ -432,6 +432,61 @@ def tile_clip(ds, zoom: int, bounds=None, **map_kwargs):
     )
 
 
+def split_combine_keys(
+    ds,
+    out_dir: str,
+    key_fn,
+    *,
+    write_bbox: bool = True,
+    combine_path: str | None = None,
+    map_kwargs: dict | None = None,
+):
+    """Generic key-based split-combine — the reference's user splitting
+    hook ``myfunc func(*geojson.Feature) []string``
+    (split_combine.go:235-241; §2.10): each feature fans out to the
+    string keys a user BATCH function assigns, then one shuffle writes
+    one subfile per key (and optionally one combined gob-indexed file).
+
+    ``key_fn(batch) -> (row_idx int64[], keys str[])`` is the
+    batch-vectorized form of the per-feature hook: row ``row_idx[i]``
+    lands in subfile ``keys[i]`` (a row may appear under many keys).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..io.geobuf_file import _WriteGeobufFn
+
+    def assign(batch: pa.Table) -> pa.Table:
+        row_idx, keys = key_fn(batch)
+        taken = batch.take(pa.array(np.asarray(row_idx, np.int64)))
+        taken = taken.append_column(
+            "split_key", pa.array(list(keys), pa.string()))
+        return taken
+
+    keyed = ds.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True, **(map_kwargs or {}))
+    write_fn = _WriteGeobufFn(out_dir, write_bbox, key_column="split_key")
+
+    def write_key_group(group: pa.Table) -> pa.Table:
+        return write_fn(group)
+
+    manifest_ds = keyed.groupby("split_key").map_groups(
+        write_key_group, batch_format="pyarrow")
+    manifest = pa.Table.from_pylist(manifest_ds.take_all())
+    pq.write_table(manifest, os.path.join(out_dir, "_manifest.parquet"))
+    if combine_path is not None:
+        from ..io.geobuf_file import write_indexed_geobuf
+
+        def _subfiles():
+            for row in manifest.sort_by("key").to_pylist():
+                with open(row["path"], "rb") as f:
+                    yield row["key"], f.read()
+
+        write_indexed_geobuf(_subfiles(), combine_path)
+    return manifest
+
+
 def tile_counts(ds, zoom: int, bounds=None, **map_kwargs):
     """Per-tile feature counts — the manifest aggregate
     (groupby(tile).count(), SURVEY.md §2.6 A3)."""

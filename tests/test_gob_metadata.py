@@ -136,3 +136,51 @@ def test_split_combine_clip_and_combine_indexed(ray_session, tmp_path):
         # clipped: every vertex inside the tile (codec quantizes 1e-7)
         assert (vals[0::2] >= w - 1e-6).all() and (vals[0::2] <= e + 1e-6).all()
         assert (vals[1::2] >= s - 1e-6).all() and (vals[1::2] <= n + 1e-6).all()
+
+
+def test_split_combine_keys_user_hook(ray_session, tmp_path):
+    """Generic key-split (the reference's `myfunc []string` hook):
+    features fan out to user-assigned string keys; subfiles + combined
+    index contain exactly the assigned rows."""
+    import ray
+
+    from geobuf_ray.pipelines.tiling import split_combine_keys
+
+    n = 40
+    k = np.arange(n, dtype=np.int64)
+    coords = np.empty(2 * n)
+    coords[0::2] = k * 0.5
+    coords[1::2] = -k * 0.25
+    batch = pa.table({
+        "id": pa.array(k),
+        "geom_type": pa.array(np.ones(n, np.int8)),
+        "dim": pa.array(np.full(n, 2, np.int8)),
+        "coords": pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int32)),
+            pa.array(coords)),
+        "ring_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+        "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+    })
+
+    def by_parity(b: pa.Table):
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        # every feature lands in its parity bucket; multiples of 10 ALSO
+        # land in "tens" (multi-key fan-out like the reference hook)
+        row_idx = np.concatenate([np.arange(len(ids)),
+                                  np.flatnonzero(ids % 10 == 0)])
+        keys = (["even" if i % 2 == 0 else "odd" for i in ids]
+                + ["tens"] * int((ids % 10 == 0).sum()))
+        return row_idx, keys
+
+    out = str(tmp_path / "bykey")
+    combined = str(tmp_path / "bykey.geobuf")
+    manifest = split_combine_keys(
+        ray.data.from_arrow(batch), out, by_parity, combine_path=combined)
+    keys = set(manifest["key"].to_pylist())
+    assert keys == {"even", "odd", "tens"}
+    got = {key: sorted(dc.decode_batch(
+        gf.read_subfile(combined, key)["geobuf"])["id"].to_pylist())
+        for key in keys}
+    assert got["even"] == [i for i in range(40) if i % 2 == 0]
+    assert got["odd"] == [i for i in range(40) if i % 2 == 1]
+    assert got["tens"] == [0, 10, 20, 30]
