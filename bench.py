@@ -113,10 +113,14 @@ def headline_pipeline(sf_dir: str, limit_rows: int | None = None,
         ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(roundtrip, batch_format="pyarrow", zero_copy_batch=True)
     )
-    import pandas as pd  # noqa: F401  (to_pandas of the tiny partials)
+    from geobuf_ray.collect import collect_table
 
-    agg = out.to_pandas()
-    return int(agg["n_feat"].sum()), int(agg["n_bytes"].sum())
+    # collect_table, not Dataset.to_pandas(): the latter re-executes the
+    # plan behind a limit-1 schema fetch when block schemas don't unify
+    agg = collect_table(out)
+    import numpy as np
+    return (int(np.sum(agg["n_feat"].to_numpy(zero_copy_only=False))),
+            int(np.sum(agg["n_bytes"].to_numpy(zero_copy_only=False))))
 
 
 def run_headline(num_cpus: int) -> dict:

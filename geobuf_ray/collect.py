@@ -15,7 +15,21 @@ import pyarrow as pa
 def collect_table(ds, schema: pa.Schema | None = None) -> pa.Table:
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    # NOT ds.to_arrow_refs(): that calls schema(fetch_if_missing=True)
+    # AFTER execution, and when block schemas fail to unify (empty
+    # partials, nested metadata) the schema is still missing — so it
+    # RE-EXECUTES the whole plan behind a limit-1 (measured: doubled
+    # every collect-based query).  Pull the block refs directly.
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    blocks = ray.get(refs)
+    tables = []
+    for b in blocks:
+        if not isinstance(b, pa.Table):  # pandas block (shouldn't happen
+            b = pa.Table.from_pandas(b)  # in our pyarrow pipelines)
+        if b.num_rows:
+            tables.append(b)
     if not tables:
         if schema is not None:
             return schema.empty_table()

@@ -43,17 +43,21 @@ def _key_hash(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def hash_join(left, right, on: str, *, how: str = "inner",
-              nbuckets: int = 64, rsuffix: str = "_r", **map_kwargs):
+              nbuckets: int = 64, rsuffix: str = "_r",
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None, **map_kwargs):
     """Equi-join two Datasets on column ``on``.
 
     Returns a Dataset with the left columns plus the right columns
     (minus the key; name collisions get ``rsuffix``).  ``how`` is
-    ``"inner"`` or ``"left"``.
+    ``"inner"`` or ``"left"``.  Passing ``left_schema``/``right_schema``
+    (pyarrow) skips the ``Dataset.schema()`` peek, which otherwise
+    executes one upstream block per side.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
-    l_schema = left.schema()
-    r_schema = right.schema()
+    l_schema = left_schema if left_schema is not None else left.schema()
+    r_schema = right_schema if right_schema is not None else right.schema()
     l_names = list(l_schema.names)
     l_types = dict(zip(l_schema.names, l_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))

@@ -591,7 +591,12 @@ def revenue_by_region_shuffle(sf_dir: str):
                                 zero_copy_batch=True)
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_nationkey"])
-    joined = hash_join(orders, cust, on="c_custkey", nbuckets=32)
+    joined = hash_join(
+        orders, cust, on="c_custkey", nbuckets=32,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int32())]))
 
     side = duckdb.connect().execute(f"""
         SELECT n_nationkey, r_name FROM '{sf_dir}/nation.parquet'
