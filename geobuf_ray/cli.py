@@ -1,0 +1,164 @@
+"""Command-line entry points mirroring the reference's ``cmd/`` tools.
+
+    python -m geobuf_ray.cli geojson2geobuf IN.geojson OUT_DIR
+    python -m geobuf_ray.cli geobuf2geojson IN.geobuf OUT_DIR [--single FILE]
+    python -m geobuf_ray.cli read IN.geobuf            (CSV to stdout)
+    python -m geobuf_ray.cli bench IN.geojson OUT_DIR  (read/write timings)
+    python -m geobuf_ray.cli tile IN.geobuf OUT_DIR -z 8 [--clip]
+                                  [--combine OUT.geobuf]
+
+References: ``cmd/geojson2geobuf``, ``cmd/geobuf2geojson``,
+``cmd/read_geobuf`` (ReadGeobufCSV), ``cmd/bench_geobuf``
+(BenchmarkRead/BenchmarkWrite), and the splitcombine flagship.
+
+CLI scripts own their Ray session (guarded init; the library itself
+never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True)
+    return ray
+
+
+def cmd_geojson2geobuf(args) -> int:
+    _ray()
+    from .pipelines.convert import geojson_to_geobuf
+
+    manifest = geojson_to_geobuf([args.infile], args.outdir)
+    n = sum(manifest["num_features"].to_pylist())
+    print(f"wrote {n} features to {args.outdir} "
+          f"({manifest.num_rows} stream files)")
+    return 0
+
+
+def cmd_geobuf2geojson(args) -> int:
+    _ray()
+    from .pipelines.convert import geobuf_to_geojson
+
+    geobuf_to_geojson([args.infile], args.outdir, single_file=args.single)
+    print(f"converted {args.infile} -> "
+          f"{args.single or args.outdir}")
+    return 0
+
+
+def cmd_read(args) -> int:
+    _ray()
+    from .io.geobuf_file import read_geobuf
+    from .pipelines.export import csv_projection_batch
+    from .stages.codec_stages import decode as decode_stage
+
+    ds = decode_stage(read_geobuf([args.infile]))
+    first = True
+    for batch in ds.map_batches(
+        csv_projection_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        import io
+
+        import pyarrow.csv as pacsv
+
+        buf = io.BytesIO()
+        pacsv.write_csv(
+            batch, buf,
+            write_options=pacsv.WriteOptions(include_header=first))
+        sys.stdout.write(buf.getvalue().decode())
+        first = False
+    return 0
+
+
+def cmd_bench(args) -> int:
+    _ray()
+    import os
+
+    from .pipelines.convert import geobuf_to_geojson, geojson_to_geobuf
+
+    t0 = time.perf_counter()
+    manifest = geojson_to_geobuf([args.infile], args.outdir)
+    t_write = time.perf_counter() - t0
+    n = sum(manifest["num_features"].to_pylist())
+    paths = [p for p in manifest["path"].to_pylist()]
+    from .io.geobuf_file import read_geobuf
+    from .stages.codec_stages import decode as decode_stage
+
+    t0 = time.perf_counter()
+    n_read = decode_stage(read_geobuf(paths)).count()
+    t_read = time.perf_counter() - t0
+    size_buf = sum(os.path.getsize(p) for p in paths)
+    size_json = os.path.getsize(args.infile)
+    print(f"features: {n} (read back {n_read})")
+    print(f"geobuf write: {t_write:.2f}s   geobuf read+decode: {t_read:.2f}s")
+    print(f"size: geojson {size_json / 1e6:.2f} MB -> geobuf "
+          f"{size_buf / 1e6:.2f} MB ({size_json / max(size_buf, 1):.2f}x)")
+    return 0
+
+
+def cmd_tile(args) -> int:
+    _ray()
+    from .io.geobuf_file import read_geobuf
+    from .pipelines.tiling import split_combine
+    from .stages.codec_stages import decode as decode_stage
+
+    ds = decode_stage(read_geobuf([args.infile]))
+    manifest = split_combine(ds, args.outdir, args.zoom, clip=args.clip,
+                             combine_path=args.combine)
+    print(f"{manifest.num_rows} tiles -> {args.outdir}"
+          + (f"; combined index {args.combine}" if args.combine else ""))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="geobuf_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("geojson2geobuf")
+    s.add_argument("infile")
+    s.add_argument("outdir")
+    s.set_defaults(fn=cmd_geojson2geobuf)
+
+    s = sub.add_parser("geobuf2geojson")
+    s.add_argument("infile")
+    s.add_argument("outdir")
+    s.add_argument("--single", default=None,
+                   help="assemble one FeatureCollection file")
+    s.set_defaults(fn=cmd_geobuf2geojson)
+
+    s = sub.add_parser("read")
+    s.add_argument("infile")
+    s.set_defaults(fn=cmd_read)
+
+    s = sub.add_parser("bench")
+    s.add_argument("infile")
+    s.add_argument("outdir")
+    s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("tile")
+    s.add_argument("infile")
+    s.add_argument("outdir")
+    s.add_argument("-z", "--zoom", type=int, required=True)
+    s.add_argument("--clip", action="store_true",
+                   help="clip features to tiles (tileclip semantics)")
+    s.add_argument("--combine", default=None,
+                   help="also write one gob-indexed combined geobuf")
+    s.set_defaults(fn=cmd_tile)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

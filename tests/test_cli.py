@@ -1,0 +1,65 @@
+"""CLI entry points (cmd/ parity: geojson2geobuf, geobuf2geojson,
+read_geobuf CSV, bench, tile)."""
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+
+from geobuf_ray import cli
+
+REF = "/root/reference/test_data"
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(f"{REF}/county.geojson"), reason="no reference data")
+
+
+class _A:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+@needs_ref
+def test_cli_pipeline_end_to_end(ray_session, tmp_path):
+    bufdir = str(tmp_path / "buf")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = cli.cmd_geojson2geobuf(_A(infile=f"{REF}/county.geojson",
+                                       outdir=bufdir))
+    assert rc == 0 and "3304 features" in out.getvalue()
+
+    bufs = sorted(os.path.join(bufdir, f) for f in os.listdir(bufdir)
+                  if f.endswith(".geobuf"))
+    total_rows = 0
+    per_file = []
+    for buf in bufs:  # the converter shards into multiple stream files
+        out = io.StringIO()
+        with redirect_stdout(out):
+            rc = cli.cmd_read(_A(infile=buf))
+        lines = out.getvalue().strip().splitlines()
+        assert rc == 0
+        assert lines[0].startswith('"Bounds","Type","Vertices"')
+        per_file.append(len(lines) - 1)
+        total_rows += len(lines) - 1
+    assert total_rows == 3304
+    buf = bufs[0]
+
+    tiles_dir = str(tmp_path / "tiles")
+    combined = str(tmp_path / "combined.geobuf")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = cli.cmd_tile(_A(infile=buf, outdir=tiles_dir, zoom=6,
+                             clip=True, combine=combined))
+    assert rc == 0 and os.path.exists(combined)
+
+    gj_dir = str(tmp_path / "gj")
+    single = str(tmp_path / "back.geojson")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = cli.cmd_geobuf2geojson(_A(infile=buf, outdir=gj_dir,
+                                       single=single))
+    assert rc == 0
+    import json
+
+    fc = json.load(open(single))
+    assert len(fc["features"]) == per_file[0]  # converted the 1st shard
