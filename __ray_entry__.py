@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_tile_counts": q.images_tile_counts,
         "images_in_rects": q.images_in_rects,
         "images_resize": q.images_resize,
+        # audio / video pipelines (rows-only: procedural payloads)
+        "audio_features": q.audio_features,
+        "audio_resample": q.audio_resample,
+        "video_frame_sample": q.video_frame_sample,
     }
 
 

@@ -1,0 +1,251 @@
+"""Audio/video payload support — the multimodal binary-column shape.
+
+Schema (audio): ``clip_id:string, bytes:binary, sample_rate:int32,
+n_samples:int64, fmt:string, transcript:string``.  Video rows reuse the
+image table's frame payloads: a "video" is a clip id plus n deterministic
+frames; frame-sampling materializes only the sampled frames.
+
+The container has no audio/video libraries (soundfile/ffmpeg absent),
+so payloads use deterministic internal encodings that preserve the REAL
+pipeline shape (binary in, sample array out, per-row invariant):
+
+- ``fmt="pcmz"``  — lossless: zlib(int16 PCM) + 8-byte header (stands
+  in for FLAC/WAV).  Exact sample round-trip.
+- ``fmt="ulawz"`` — lossy: 8-bit mu-law companding + zlib (stands in
+  for MP3/Opus); reconstruction SNR is bounded below in tests.
+- real ``wav``/``mp3`` bytes — decoded via soundfile when importable,
+  else a clearly-marked NotImplementedError (STUB per the brief: the
+  Ray-side plumbing — schema, batch size, actor signature, output
+  layout — is real and tested).
+
+All stages follow the actor-pool pattern: decode state in ``__init__``
+(once per actor), vectorized work per batch, SMALL batch_size because
+payloads are large (§ brief: memory-aware binary columns).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_MAGIC_PCMZ = b"GAp1"
+_MAGIC_ULAWZ = b"GAu1"
+
+try:  # pragma: no cover - not present in this container
+    import soundfile  # noqa: F401
+
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    _HAVE_SOUNDFILE = False
+
+
+def procedural_samples(clip_id: str, n: int, rate: int) -> np.ndarray:
+    """Deterministic float32 waveform in [-1, 1] for a clip id."""
+    seed = zlib.crc32(clip_id.encode()) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float64) / rate
+    out = np.zeros(n)
+    for _ in range(3):
+        f = rng.uniform(80, 3000)
+        a = rng.uniform(0.1, 0.3)
+        out += a * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+    out += rng.normal(0, 0.01, n)
+    return np.clip(out, -1.0, 1.0).astype(np.float32)
+
+
+def encode_pcmz(samples: np.ndarray, rate: int) -> bytes:
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    head = _MAGIC_PCMZ + np.array([rate], "<u4").tobytes()
+    return head + zlib.compress(pcm.tobytes(), 6)
+
+
+def _mulaw(x: np.ndarray, mu: float = 255.0) -> np.ndarray:
+    return np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
+
+
+def _mulaw_inv(y: np.ndarray, mu: float = 255.0) -> np.ndarray:
+    return np.sign(y) * ((1 + mu) ** np.abs(y) - 1) / mu
+
+
+def encode_ulawz(samples: np.ndarray, rate: int) -> bytes:
+    q = np.clip(np.round((_mulaw(samples) + 1) * 127.5), 0, 255).astype(np.uint8)
+    head = _MAGIC_ULAWZ + np.array([rate], "<u4").tobytes()
+    return head + zlib.compress(q.tobytes(), 6)
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """binary payload -> (float32 samples, sample_rate)."""
+    magic = data[:4]
+    if magic in (_MAGIC_PCMZ, _MAGIC_ULAWZ):
+        rate = int(np.frombuffer(data[4:8], "<u4")[0])
+        body = zlib.decompress(data[8:])
+        if magic == _MAGIC_PCMZ:
+            return (np.frombuffer(body, "<i2").astype(np.float32) / 32767.0,
+                    rate)
+        y = np.frombuffer(body, np.uint8).astype(np.float32) / 127.5 - 1.0
+        return _mulaw_inv(y).astype(np.float32), rate
+    if _HAVE_SOUNDFILE:  # pragma: no cover
+        import io
+
+        import soundfile as sf
+
+        arr, rate = sf.read(io.BytesIO(data), dtype="float32")
+        return arr, rate
+    raise NotImplementedError(
+        "real audio codecs need the soundfile package (absent in this "
+        "container); pcmz/ulawz payloads cover the pipeline shape")
+
+
+def synthesize_audio_rows(indices, rate: int = 16000) -> pa.Table:
+    """Deterministic audio rows for arbitrary indices (chunk-stable)."""
+    ids, blobs, rates, lens, fmts, txts = [], [], [], [], [], []
+    for i in (int(x) for x in indices):
+        rng = np.random.default_rng(77_000_003 + i)
+        clip_id = f"clip{i:012d}"
+        n = int(rng.integers(rate // 2, rate * 2))  # 0.5-2.0 s
+        samples = procedural_samples(clip_id, n, rate)
+        lossy = bool(rng.integers(0, 2))
+        data = encode_ulawz(samples, rate) if lossy else encode_pcmz(samples, rate)
+        ids.append(clip_id)
+        blobs.append(data)
+        rates.append(rate)
+        lens.append(n)
+        fmts.append("ulawz" if lossy else "pcmz")
+        txts.append(f"synthetic clip {i} tone mix")
+    return pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "sample_rate": pa.array(rates, pa.int32()),
+        "n_samples": pa.array(lens, pa.int64()),
+        "fmt": pa.array(fmts, pa.string()),
+        "transcript": pa.array(txts, pa.string()),
+    })
+
+
+def synthesize_audio_dataset(n: int, **map_kwargs):
+    """Distributed synthesis: each block makes its own rows."""
+    import ray
+
+    ds = ray.data.range(n)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return synthesize_audio_rows(batch["id"].to_numpy(zero_copy_only=False))
+
+    return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=64, **map_kwargs)
+
+
+class AudioFeaturesFn:
+    """Actor-pool stage: decode + per-clip features.
+
+    Emits duration, RMS level, zero-crossing rate, peak frequency (via
+    a power-of-two rFFT on a fixed window) and a lossy-codec SNR bound
+    check — the feature-extraction shape for audio training data."""
+
+    def __init__(self, fft_window: int = 4096):
+        self.window = fft_window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, durs, rms, zcr, peak, snrs = [], [], [], [], [], []
+        for clip_id, data in zip(batch["clip_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+            samples, rate = decode_audio(data)
+            n = len(samples)
+            ids.append(clip_id)
+            durs.append(n / rate)
+            rms.append(float(np.sqrt(np.mean(samples ** 2))))
+            zcr.append(float(np.mean(np.abs(np.diff(np.signbit(samples))))))
+            w = samples[: self.window]
+            spec = np.abs(np.fft.rfft(w * np.hanning(len(w))))
+            peak.append(float(np.argmax(spec) * rate / (2 * (len(spec) - 1))))
+            ref = procedural_samples(clip_id, n, rate)
+            err = float(np.mean((samples - ref) ** 2))
+            snrs.append(10 * np.log10(np.mean(ref ** 2) / max(err, 1e-12)))
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "zcr": pa.array(zcr, pa.float64()),
+            "peak_hz": pa.array(peak, pa.float64()),
+            "snr_db": pa.array(snrs, pa.float64()),
+        })
+
+
+class ResampleAudioFn:
+    """Actor-pool stage: linear-interp resample to a target rate —
+    the audio analogue of image resize (payload in, payload out)."""
+
+    def __init__(self, target_rate: int = 8000):
+        self.target = target_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, blobs, lens = [], [], []
+        for clip_id, data in zip(batch["clip_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+            samples, rate = decode_audio(data)
+            m = max(int(round(len(samples) * self.target / rate)), 1)
+            x_new = np.linspace(0, len(samples) - 1, m)
+            out = np.interp(x_new, np.arange(len(samples)), samples)
+            ids.append(clip_id)
+            blobs.append(encode_pcmz(out.astype(np.float32), self.target))
+            lens.append(m)
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "sample_rate": pa.array(
+                np.full(len(ids), self.target, np.int32)),
+            "n_samples": pa.array(lens, pa.int64()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# video: frame sampling over procedural frame payloads
+# ---------------------------------------------------------------------------
+
+
+class SampleVideoFramesFn:
+    """Actor-pool stage: emit every k-th frame of each clip as an image
+    row — frame-sampling materializes ONLY the sampled frames (the
+    sparse-decode shape for video training data).  Frames are the image
+    module's procedural payloads keyed by (clip, frame)."""
+
+    def __init__(self, every: int = 5, w: int = 32, h: int = 32):
+        self.every, self.w, self.h = every, w, h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import images as im
+
+        ids, frame_ix, blobs = [], [], []
+        for clip_id, nframes in zip(batch["clip_id"].to_pylist(),
+                                    batch["n_frames"].to_pylist()):
+            for f in range(0, int(nframes), self.every):
+                fid = f"{clip_id}/f{f:06d}"
+                px = im.procedural_pixels(fid, self.w, self.h)
+                ids.append(clip_id)
+                frame_ix.append(f)
+                blobs.append(im.encode_rawz(px))
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "frame": pa.array(frame_ix, pa.int32()),
+            "bytes": pa.array(blobs, pa.binary()),
+        })
+
+
+def synthesize_video_index(n: int, **map_kwargs):
+    """Clip index rows (clip_id, n_frames) — frames are derived lazily."""
+    import ray
+
+    ds = ray.data.range(n)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "clip_id": pa.array([f"vid{int(i):012d}" for i in idx]),
+            "n_frames": pa.array(
+                (idx % 40 + 10).astype(np.int32)),
+        })
+
+    return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True,
+                          **map_kwargs)

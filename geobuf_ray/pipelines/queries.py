@@ -1150,6 +1150,66 @@ def images_decode_stats(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def audio_features(sf_dir: str):
+    """Actor-pool audio decode + feature extraction over binary
+    payloads (multimodal brief: audio as opaque binary + typed
+    metadata; codec is the documented pcmz/ulawz stand-in)."""
+    from ..io import audio as au
+
+    n = 50 if "0.001" in sf_dir else (150 if "0.01" in sf_dir else 500)
+    ds = au.synthesize_audio_dataset(n)
+    return ds.map_batches(au.AudioFeaturesFn, batch_format="pyarrow",
+                          batch_size=32, concurrency=(1, 4))
+
+
+def audio_resample(sf_dir: str, target_rate: int = 8000):
+    """Audio resample stage (payload in, payload out) + size stats."""
+    from ..io import audio as au
+
+    n = 50 if "0.001" in sf_dir else (150 if "0.01" in sf_dir else 500)
+    ds = au.synthesize_audio_dataset(n)
+    out = ds.map_batches(
+        au.ResampleAudioFn, fn_constructor_kwargs=dict(target_rate=target_rate),
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        sizes = [len(b) for b in batch["bytes"].to_pylist()]
+        return pa.table({
+            "clip_id": batch["clip_id"],
+            "n_samples": batch["n_samples"],
+            "payload_bytes": pa.array(np.asarray(sizes, np.int64)),
+        })
+
+    return out.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def video_frame_sample(sf_dir: str, every: int = 5):
+    """Video frame sampling: only every k-th frame is materialized
+    (sparse-decode shape); returns per-clip sampled frame counts."""
+    from ..io import audio as au
+
+    n = 30 if "0.001" in sf_dir else (100 if "0.01" in sf_dir else 300)
+    ds = au.synthesize_video_index(n)
+    frames = ds.map_batches(
+        au.SampleVideoFramesFn, fn_constructor_kwargs=dict(every=every),
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 4))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].combine_chunks()
+        enc = ids.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(code)
+        return pa.table({
+            "clip_id": pa.array([enc.dictionary[int(c)].as_py()
+                                 for c in np.flatnonzero(cnt >= 0)]),
+            "n_sampled": pa.array(cnt.astype(np.int64)),
+        })
+
+    partials = frames.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return _final_combine(partials, ["clip_id"], ["n_sampled"])
+
+
 def images_tile_counts(sf_dir: str, zoom: int = 4):
     """Image centroids -> per-tile counts (the image+spatial bridge:
     footprints as joinable payloads)."""

@@ -1,0 +1,73 @@
+"""Audio/video multimodal plumbing (brief: binary columns + actor
+pools; codecs are the documented pcmz/ulawz stand-ins)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geobuf_ray.io import audio as au
+
+
+def test_pcmz_lossless_roundtrip():
+    s = au.procedural_samples("clip000000000001", 8000, 16000)
+    back, rate = au.decode_audio(au.encode_pcmz(s, 16000))
+    assert rate == 16000
+    assert np.allclose(back, s, atol=1 / 32767)
+
+
+def test_ulawz_snr_bound():
+    s = au.procedural_samples("clip000000000002", 16000, 16000)
+    back, _ = au.decode_audio(au.encode_ulawz(s, 16000))
+    err = np.mean((back - s) ** 2)
+    snr = 10 * np.log10(np.mean(s ** 2) / err)
+    assert snr >= 25.0, snr  # mu-law: ~30+ dB on speech-like signals
+
+
+def test_unknown_codec_raises_stub():
+    with pytest.raises(NotImplementedError):
+        au.decode_audio(b"RIFFxxxx" + b"\x00" * 16)
+
+
+def test_audio_features_pipeline(ray_session):
+    ds = au.synthesize_audio_dataset(30)
+    out = ds.map_batches(au.AudioFeaturesFn, batch_format="pyarrow",
+                         batch_size=8, concurrency=(1, 2))
+    rows = out.take_all()
+    assert len(rows) == 30
+    for r in rows:
+        assert 0.4 < r["duration_s"] < 2.1
+        assert 0.0 < r["rms"] < 1.0
+        assert 50.0 < r["peak_hz"] < 4000.0
+        assert r["snr_db"] > 25.0  # lossless rows are ~120 dB
+
+
+def test_audio_resample_halves_samples(ray_session):
+    ds = au.synthesize_audio_dataset(10)
+    out = ds.map_batches(
+        au.ResampleAudioFn, fn_constructor_kwargs=dict(target_rate=8000),
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+    orig = {r["clip_id"]: r["n_samples"] for r in ds.take_all()}
+    for r in out.take_all():
+        assert r["sample_rate"] == 8000
+        assert abs(r["n_samples"] - orig[r["clip_id"]] / 2) <= 1
+        back, rate = au.decode_audio(r["bytes"])
+        assert rate == 8000 and len(back) == r["n_samples"]
+
+
+def test_video_frame_sampling(ray_session):
+    from geobuf_ray.io.images import decode_image
+
+    ds = au.synthesize_video_index(12)
+    idx = {r["clip_id"]: r["n_frames"] for r in ds.take_all()}
+    frames = ds.map_batches(
+        au.SampleVideoFramesFn, fn_constructor_kwargs=dict(every=4),
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+    rows = frames.take_all()
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r["clip_id"], []).append(r["frame"])
+        px = decode_image(r["bytes"])
+        assert px.shape == (32, 32, 3)
+    for cid, fr in by_clip.items():
+        exp = list(range(0, idx[cid], 4))
+        assert sorted(fr) == exp  # ONLY sampled frames materialized
