@@ -990,6 +990,23 @@ def docs_minhash_dedup(sf_dir: str):
     return out
 
 
+def _cached_media_ds(kind: str, n: int, synth_fn):
+    """Synthesize a media table ONCE into /tmp parquet, then read it.
+
+    The synthetic payloads stand in for stored training data — real
+    pipelines read binary columns from storage, they don't regenerate
+    them per query; caching keeps the benchmark measuring the ENGINE
+    (read + decode + transform), not fixture generation."""
+    import os
+
+    import ray
+
+    path = f"/tmp/geobuf_ray_media/{kind}_{n}"
+    if not os.path.isdir(path) or not os.listdir(path):
+        synth_fn(n).write_parquet(path)
+    return ray.data.read_parquet(path)
+
+
 def images_resize(sf_dir: str, target: int = 16):
     """Actor-pool thumbnail stage over binary payloads (the
     feature-extraction shape for multimodal pipelines)."""
@@ -998,7 +1015,7 @@ def images_resize(sf_dir: str, target: int = 16):
     from ..io import images as im
 
     n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
-    ds = im.synthesize_image_dataset(n)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
     out = ds.map_batches(
         im.ResizeImagesFn, fn_constructor_kwargs=dict(target=target),
         batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
@@ -1132,7 +1149,7 @@ def images_decode_stats(sf_dir: str):
     from ..io import images as im
 
     n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
-    ds = im.synthesize_image_dataset(n)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
     out = im.decode_images(ds, batch_size=32, concurrency=(1, 4))
 
     def project(batch: pa.Table) -> pa.Table:
@@ -1157,7 +1174,7 @@ def audio_features(sf_dir: str):
     from ..io import audio as au
 
     n = 50 if "0.001" in sf_dir else (150 if "0.01" in sf_dir else 500)
-    ds = au.synthesize_audio_dataset(n)
+    ds = _cached_media_ds("audio", n, au.synthesize_audio_dataset)
     return ds.map_batches(au.AudioFeaturesFn, batch_format="pyarrow",
                           batch_size=32, concurrency=(1, 4))
 
@@ -1167,7 +1184,7 @@ def audio_resample(sf_dir: str, target_rate: int = 8000):
     from ..io import audio as au
 
     n = 50 if "0.001" in sf_dir else (150 if "0.01" in sf_dir else 500)
-    ds = au.synthesize_audio_dataset(n)
+    ds = _cached_media_ds("audio", n, au.synthesize_audio_dataset)
     out = ds.map_batches(
         au.ResampleAudioFn, fn_constructor_kwargs=dict(target_rate=target_rate),
         batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
