@@ -75,7 +75,8 @@ def topk_reduce(partials: pa.Table, k: int) -> pa.Table:
     df = df.sort_values(["query_id", "cosine", "vec_id"],
                         ascending=[True, False, True], kind="stable")
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
-    df["rank"] = df.groupby("query_id").cumcount() + 1
+    # int32 to byte-match the oracle's CAST(row_number() AS INTEGER)
+    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype("int32")
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
