@@ -730,7 +730,10 @@ def pip_rect_join(sf_dir: str, zoom: int = 5):
 
     pts = customer_points(sf_dir)
     polys = supplier_rects(sf_dir)
-    joined = point_in_polygon_join(pts, polys, zoom=zoom, concurrency=(1, 4))
+    # big batches amortize the per-candidate-polygon refine loop (64
+    # block-sized batches measured 37 core-seconds; 2 batches ~1s)
+    joined = point_in_polygon_join(pts, polys, zoom=zoom, concurrency=(1, 4),
+                                   batch_size=8192)
     return joined.select_columns(["custkey", "polygon_id"])
 
 
@@ -755,7 +758,7 @@ def knn_suppliers(sf_dir: str, k: int = 3, n_queries: int = 20):
 
     pts = customer_points(sf_dir).map_batches(head, batch_format="pyarrow",
                                               zero_copy_batch=True)
-    out = knn_join(pts, ref, k=k, concurrency=(1, 2))
+    out = knn_join(pts, ref, k=k, concurrency=(1, 2), batch_size=8192)
     return out.select_columns(["custkey", "rank", "neighbor_id"]).rename_columns(
         {"neighbor_id": "s_suppkey"}
     )
@@ -1145,7 +1148,8 @@ def images_in_rects(sf_dir: str, zoom: int = 5):
 
     pts = ds.map_batches(centroids, batch_format="pyarrow", zero_copy_batch=True)
     polys = supplier_rects(sf_dir)
-    joined = point_in_polygon_join(pts, polys, zoom=zoom, concurrency=(1, 4))
+    joined = point_in_polygon_join(pts, polys, zoom=zoom, concurrency=(1, 4),
+                                    batch_size=8192)
     return joined.select_columns(["image_id", "polygon_id"])
 
 
