@@ -140,12 +140,17 @@ def synthesize_audio_dataset(n: int, **map_kwargs):
 class AudioFeaturesFn:
     """Actor-pool stage: decode + per-clip features.
 
-    Emits duration, RMS level, zero-crossing rate, peak frequency (via
-    a power-of-two rFFT on a fixed window) and a lossy-codec SNR bound
-    check — the feature-extraction shape for audio training data."""
+    Emits duration, RMS level, zero-crossing rate and peak frequency
+    (via a power-of-two rFFT on a fixed window) — the
+    feature-extraction shape for audio training data.
+    ``check_fidelity=True`` additionally regenerates the procedural
+    reference waveform per clip and reports codec SNR — a TEST
+    invariant (it doubles per-clip cost; production features don't have
+    a reference signal)."""
 
-    def __init__(self, fft_window: int = 4096):
+    def __init__(self, fft_window: int = 4096, check_fidelity: bool = False):
         self.window = fft_window
+        self.check_fidelity = check_fidelity
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, durs, rms, zcr, peak, snrs = [], [], [], [], [], []
@@ -160,17 +165,20 @@ class AudioFeaturesFn:
             w = samples[: self.window]
             spec = np.abs(np.fft.rfft(w * np.hanning(len(w))))
             peak.append(float(np.argmax(spec) * rate / (2 * (len(spec) - 1))))
-            ref = procedural_samples(clip_id, n, rate)
-            err = float(np.mean((samples - ref) ** 2))
-            snrs.append(10 * np.log10(np.mean(ref ** 2) / max(err, 1e-12)))
-        return pa.table({
+            if self.check_fidelity:
+                ref = procedural_samples(clip_id, n, rate)
+                err = float(np.mean((samples - ref) ** 2))
+                snrs.append(10 * np.log10(np.mean(ref ** 2) / max(err, 1e-12)))
+        cols = {
             "clip_id": pa.array(ids, pa.string()),
             "duration_s": pa.array(durs, pa.float64()),
             "rms": pa.array(rms, pa.float64()),
             "zcr": pa.array(zcr, pa.float64()),
             "peak_hz": pa.array(peak, pa.float64()),
-            "snr_db": pa.array(snrs, pa.float64()),
-        })
+        }
+        if self.check_fidelity:
+            cols["snr_db"] = pa.array(snrs, pa.float64())
+        return pa.table(cols)
 
 
 class ResampleAudioFn:

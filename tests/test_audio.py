@@ -30,7 +30,9 @@ def test_unknown_codec_raises_stub():
 
 def test_audio_features_pipeline(ray_session):
     ds = au.synthesize_audio_dataset(30)
-    out = ds.map_batches(au.AudioFeaturesFn, batch_format="pyarrow",
+    out = ds.map_batches(au.AudioFeaturesFn,
+                         fn_constructor_kwargs=dict(check_fidelity=True),
+                         batch_format="pyarrow",
                          batch_size=8, concurrency=(1, 2))
     rows = out.take_all()
     assert len(rows) == 30
