@@ -120,23 +120,38 @@ def checkpointed_split_combine(
     bounds=None,
     salt_bits: int = 0,
     write_bbox: bool = True,
+    clip: bool = False,
     map_kwargs: dict | None = None,
 ) -> pa.Table:
     """Resumable tiling: like ``pipelines.tiling.split_combine`` but each
     tile commits independently and a re-run skips committed tiles.
+    ``clip=True`` commits CLIPPED per-tile geometry (ClipFeature
+    flagship semantics) with the same resume guarantees.
 
     Returns the full manifest (committed-before + written-now).
     """
     import time
 
+    import numpy as _np
+
     from ..codec import feature as fc
     from ..io.geobuf_file import _bounds_of_batch
-    from ..pipelines.tiling import assign_tiles
+    from ..pipelines.tiling import assign_tiles, tile_clip
 
     os.makedirs(out_dir, exist_ok=True)
     done = completed_keys(out_dir)
 
-    tiled = assign_tiles(ds, zoom, bounds, salt_bits, **(map_kwargs or {}))
+    if clip:
+        if salt_bits:
+            raise ValueError("salt_bits applies to bbox fan-out only")
+        tiled = tile_clip(ds, zoom, bounds, **(map_kwargs or {}))
+        tiled = tiled.map_batches(
+            lambda b: b.append_column(
+                "tile_salt",
+                pa.array(_np.zeros(b.num_rows, _np.uint8))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        tiled = assign_tiles(ds, zoom, bounds, salt_bits, **(map_kwargs or {}))
     if salt_bits:
         # a salted hot tile commits as 2^salt_bits independent
         # partitions; the checkpoint key carries the salt so manifest

@@ -150,3 +150,52 @@ def test_salted_checkpoint_high_zoom_keys(ray_session, tmp_path):
     for k in manifest["key"].to_pylist():
         base = k.split("~s")[0]
         assert base.endswith("-16"), k  # x-y-z format with TRUE zoom
+
+
+def test_checkpointed_clip_resume(ray_session, tmp_path):
+    """Clipped tiling commits per tile and resumes: a second run writes
+    nothing new, and clipped vertices stay inside each tile."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.codec.schema import geometry_from_nested
+    from geobuf_ray.spatial import tiles
+    from geobuf_ray.state import checkpoint as ck
+
+    ring = [[-50.0, -40.0], [20.0, -35.0], [25.0, 30.0], [-40.0, 38.0],
+            [-50.0, -40.0]]
+    g = geometry_from_nested("Polygon", [ring])
+    batch = pa.table({
+        "id": pa.array([1], pa.int64()),
+        "geom_type": pa.array([g["geom_type"]], pa.int8()),
+        "dim": pa.array([2], pa.int8()),
+        "coords": pa.array([g["coords"]], pa.list_(pa.float64())),
+        "ring_sizes": pa.array([g["ring_sizes"]], pa.list_(pa.int32())),
+        "poly_sizes": pa.array([g["poly_sizes"]], pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(batch)
+    out = str(tmp_path / "clip_ckpt")
+    m1 = ck.checkpointed_split_combine(ds, out, zoom=3, clip=True)
+    assert m1.num_rows >= 4
+    import os
+
+    mtimes = {r["path"]: os.path.getmtime(r["path"]) for r in m1.to_pylist()}
+    m2 = ck.checkpointed_split_combine(ds, out, zoom=3, clip=True)
+    assert m2.num_rows == m1.num_rows
+    for r in m2.to_pylist():  # untouched on resume
+        assert os.path.getmtime(r["path"]) == mtimes[r["path"]]
+    # clipped geometry within tile bounds
+    from geobuf_ray.codec import decode as dc, feature as fc
+
+    for r in m1.to_pylist():
+        key = os.path.basename(r["path"]).replace(".geobuf", "")
+        x, y, z = (int(v) for v in key.split("-"))
+        w, s, e, n = (float(v[0]) for v in tiles.tile_bounds(
+            np.array([x]), np.array([y]), z))
+        recs = fc.scan_frames(open(r["path"], "rb").read())
+        dec = dc.decode_batch(recs)
+        vals = dec["coords"].combine_chunks().values.to_numpy(
+            zero_copy_only=False)
+        assert (vals[0::2] >= w - 1e-6).all() and (vals[0::2] <= e + 1e-6).all()
+        assert (vals[1::2] >= s - 1e-6).all() and (vals[1::2] <= n + 1e-6).all()
