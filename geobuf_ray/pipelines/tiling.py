@@ -189,6 +189,7 @@ def tile_clip_batch(
     batch: pa.Table,
     zoom: int,
     bounds: tuple[float, float, float, float] | None = None,
+    emit: str = "clipped",
 ) -> pa.Table:
     """Fan each feature to its covering tiles with geometry CLIPPED to
     every tile — the ``tileclip.ClipFeature`` semantics of the
@@ -201,6 +202,11 @@ def tile_clip_batch(
     the output is the EXACT tile cover (a diagonal/concave geometry
     does not land in bbox-only tiles), with per-tile clipped geometry.
     Only dim-2 geometry is supported (the reference clips GeoJSON 2D).
+
+    ``emit="original"`` keeps the exact cover but fans the WHOLE
+    (unclipped) feature to each covered tile — the reference's
+    ``SplitCombineTiles`` semantics (tilecover.TileCover without
+    clipping, split_combine.go:244-257).
     """
     from ..codec.schema import (
         LINESTRING, MULTILINESTRING, MULTIPOINT, MULTIPOLYGON, POINT,
@@ -410,26 +416,42 @@ def tile_clip_batch(
                 pa.array(p_offs), pa.array(g_pflat.astype(np.int32))),
         })
         cand_tables.append(tbl)
-    geom = pa.concat_tables(cand_tables).take(pa.array(order, pa.int64()))
     pos_sorted = all_pos[order]
     aux_cols = [c for c in batch.column_names if c not in geom_names]
     out = batch.select(aux_cols).take(pa.array(row_idx[pos_sorted], pa.int64()))
-    for name in geom_names:
+    if emit == "original":
+        # exact cover, whole-feature fan-out (TileCover semantics)
+        geom = batch.select([c for c in geom_names
+                             if c in batch.column_names]).take(
+            pa.array(row_idx[pos_sorted], pa.int64()))
+    else:
+        geom = pa.concat_tables(cand_tables).take(
+            pa.array(order, pa.int64()))
+    for name in geom.column_names:
         out = out.append_column(name, geom[name])
     out = out.append_column("tile_key", pa.array(keys[pos_sorted], pa.uint64()))
     return out.append_column(
         "tile_str", pa.array(tiles.tile_key_str(keys[pos_sorted]), pa.string()))
 
 
-def tile_clip(ds, zoom: int, bounds=None, **map_kwargs):
+def tile_clip(ds, zoom: int, bounds=None, emit: str = "clipped",
+              **map_kwargs):
     """Dataset stage: features -> (clipped feature x exact covering
-    tile) rows — the reference's TileMap/ClipFeature flagship."""
+    tile) rows — the reference's TileMap/ClipFeature flagship.
+    ``emit="original"`` = exact cover with whole features
+    (SplitCombineTiles / tilecover.TileCover parity)."""
     return ds.map_batches(
-        lambda b: tile_clip_batch(b, zoom, bounds),
+        lambda b: tile_clip_batch(b, zoom, bounds, emit),
         batch_format="pyarrow",
         zero_copy_batch=True,
         **map_kwargs,
     )
+
+
+def tile_cover(ds, zoom: int, bounds=None, **map_kwargs):
+    """Exact tile cover, whole-feature fan-out — SplitCombineTiles
+    (split_combine.go:244-257) re-expressed over the clip kernel."""
+    return tile_clip(ds, zoom, bounds, emit="original", **map_kwargs)
 
 
 def split_combine_keys(

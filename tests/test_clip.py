@@ -367,3 +367,23 @@ def test_tile_clip_county_area_preserved():
         # the shoelace sums exterior+hole areas identically on both
         # sides, so totals must agree
         assert got_area.get(fid, 0.0) == pytest.approx(a, rel=1e-6), fid
+
+
+def test_tile_cover_exact_whole_features():
+    """emit="original": exact cover tiles carry the UNCLIPPED feature
+    (SplitCombineTiles semantics) — same tile set as the clip path,
+    identical geometry to the source on every row."""
+    from geobuf_ray.pipelines.tiling import tile_clip_batch
+
+    zoom = 6
+    diag = [[[-50.0, -40.0], [-49.0, -40.0], [10.0, 40.0],
+             [-50.0, -39.0], [-50.0, -40.0]]]
+    batch = _feature_batch([("Polygon", diag)])
+    clipped = tile_clip_batch(batch, zoom)
+    whole = tile_clip_batch(batch, zoom, emit="original")
+    assert sorted(whole["tile_str"].to_pylist()) == \
+        sorted(clipped["tile_str"].to_pylist())
+    src_coords = batch["coords"][0].as_py()
+    for i in range(whole.num_rows):
+        assert whole["coords"][i].as_py() == src_coords
+        assert whole["ring_sizes"][i].as_py() == batch["ring_sizes"][0].as_py()
