@@ -658,15 +658,24 @@ def embedding_dedup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
     ``tables`` independent hash tables (each ``planes`` hyperplanes):
     a single table misses a near-dup whenever one projection sits near
     zero and the perturbation flips its sign; with L tables the miss
-    probability decays as (1-p)^L."""
+    probability decays as (1-p)^L.
+
+    Bucket rows carry ONLY ``(id, table, bucket)``; the unit vector
+    rides ONE ``table = -1`` carrier row per vector (the round-1
+    minhash finding applied here: tiling the d-float unit per table was
+    a x``tables`` payload amplification), and carriers for the
+    O(duplicates) hot ids are semi-joined back for the exact-cosine
+    verify."""
 
     _proj_cache: dict = {}
 
     def bucket_batch(batch: pa.Table) -> pa.Table:
+        empty_cols = {id_col: pa.array([], pa.int64()),
+                      "table": pa.array([], pa.int32()),
+                      "bucket": pa.array([], pa.uint64()),
+                      "unit": pa.array([], pa.list_(pa.float64()))}
         if batch.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.uint64()),
-                             "unit": pa.array([], pa.list_(pa.float64()))})
+            return pa.table(empty_cols)
         from .ann import _to_matrix
 
         vecs = _to_matrix(batch[vec_col])
@@ -687,15 +696,23 @@ def embedding_dedup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
             # salt with table index so tables never share buckets
             buckets[t] = b | (np.uint64(t) << np.uint64(56))
         ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        tiled = np.tile(unit, (tables, 1))
-        unit_col = pa.ListArray.from_arrays(
-            pa.array(np.arange(0, (len(tiled) + 1) * ck, ck, dtype=np.int32)),
-            pa.array(tiled.reshape(-1)))
-        return pa.table({
+        band_part = pa.table({
             id_col: pa.array(np.tile(ids, tables)),
+            "table": pa.array(np.repeat(
+                np.arange(tables, dtype=np.int32), n)),
             "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
+            "unit": pa.nulls(n * tables, pa.list_(pa.float64())),
+        })
+        unit_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * ck, ck, dtype=np.int32)),
+            pa.array(unit.reshape(-1)))
+        carrier = pa.table({
+            id_col: pa.array(ids),
+            "table": pa.array(np.full(n, -1, np.int32)),
+            "bucket": pa.array(np.zeros(n, np.uint64), pa.uint64()),
             "unit": unit_col,
         })
+        return pa.concat_tables([band_part, carrier])
 
     sig = ds.map_batches(bucket_batch, batch_format="pyarrow",
                          zero_copy_batch=True, **map_kwargs).materialize()
@@ -703,16 +720,46 @@ def embedding_dedup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "cosine": pa.array([], pa.float64())})
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        t = batch["table"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(t >= 0))
+        return pa.table({n: sub[n] for n in (id_col, "table", "bucket")})
+
     cand = _hot_bucket_candidates(
-        sig, pa.schema([(id_col, pa.int64()), ("bucket", pa.uint64()),
-                        ("unit", pa.list_(pa.float64()))]))
+        sig, pa.schema([(id_col, pa.int64()), ("table", pa.int32()),
+                        ("bucket", pa.uint64())]),
+        row_filter=bucket_rows)
     if cand is None or cand.num_rows == 0:
         return empty
     ids = cand[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     buckets = cand["bucket"].to_numpy(zero_copy_only=False)
+
+    # unit vectors for the O(duplicates) hot ids via carrier semi-join
+    from ..collect import collect_table
     from .ann import _to_matrix
 
-    units = _to_matrix(cand["unit"])
+    hot_ids = np.unique(ids)
+
+    def carrier_rows(batch: pa.Table, hot=hot_ids) -> pa.Table:
+        t = batch["table"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(t < 0))
+        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(hot, bid)
+        pos[pos == len(hot)] = max(len(hot) - 1, 0)
+        hit = (hot[pos] == bid) if len(hot) else np.zeros(len(bid), bool)
+        return batch.filter(pa.array(hit)).select([id_col, "unit"])
+
+    unit_tbl = collect_table(
+        sig.map_batches(carrier_rows, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        schema=pa.schema([(id_col, pa.int64()),
+                          ("unit", pa.list_(pa.float64()))]))
+    uid = unit_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    umat = _to_matrix(unit_tbl["unit"])
+    uorder = np.argsort(uid)
+    uid, umat = uid[uorder], umat[uorder]
+    units = umat[np.searchsorted(uid, ids)]
     order = np.lexsort((ids, buckets))
     ids, buckets, units = ids[order], buckets[order], units[order]
     grp_start = np.flatnonzero(
