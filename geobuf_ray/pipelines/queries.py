@@ -1009,12 +1009,22 @@ def _cached_media_ds(kind: str, n: int, synth_fn):
     them per query; caching keeps the benchmark measuring the ENGINE
     (read + decode + transform), not fixture generation."""
     import os
+    import uuid
 
     import ray
 
     path = f"/tmp/geobuf_ray_media/{kind}_{n}"
     if not os.path.isdir(path) or not os.listdir(path):
-        synth_fn(n).write_parquet(path)
+        # atomic publish: write to a scratch dir, rename into place so a
+        # crashed first run can never leave a half-written cache
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        synth_fn(n).write_parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost a race: another process published first
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return ray.data.read_parquet(path)
 
 
@@ -1112,7 +1122,16 @@ def embeddings_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5,
         f"{os.path.abspath(sf_dir)}:{n_centroids}".encode()).hexdigest()[:16]
     index_dir = f"/tmp/geobuf_ray_ivf/{tag}"
     if not os.path.isdir(index_dir) or not os.listdir(index_dir):
-        ivf_build(ds, cent, index_dir)
+        import uuid
+
+        tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        ivf_build(ds, cent, tmp)
+        try:
+            os.rename(tmp, index_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     queries = con.execute(
         f"SELECT * FROM '{sf_dir}/embeddings.parquet' WHERE vec_id < {n_queries}"
     ).fetch_arrow_table()
