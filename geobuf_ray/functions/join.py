@@ -35,7 +35,11 @@ def _key_hash(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         from .text import fingerprint64
 
+        if arr.null_count:
+            arr = arr.fill_null("")  # masked out by callers via is_null
         return fingerprint64(arr)
+    if arr.null_count:
+        arr = arr.fill_null(0)
     v = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     x = (v ^ (v >> np.uint64(33))) * _P1
     x = (x ^ (x >> np.uint64(29))) * _P2
@@ -95,8 +99,16 @@ def hash_join(left, right, on: str, *, how: str = "inner",
 
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group["__side"].to_numpy(zero_copy_only=False)
-        li = np.flatnonzero(side == 0)
-        ri = np.flatnonzero(side == 1)
+        key_col = group[on]
+        if isinstance(key_col, pa.ChunkedArray):
+            key_col = key_col.combine_chunks()
+        # SQL null semantics: a NULL key matches nothing — null right
+        # rows vanish; null left rows survive only as how="left" misses
+        knull = (key_col.is_null().to_numpy(zero_copy_only=False)
+                 if key_col.null_count else np.zeros(len(side), bool))
+        li = np.flatnonzero((side == 0) & ~knull)
+        null_li = np.flatnonzero((side == 0) & knull)
+        ri = np.flatnonzero((side == 1) & ~knull)
         lkeys = _key_hash(group[on].take(pa.array(li, pa.int64())))
         rkeys = _key_hash(group[on].take(pa.array(ri, pa.int64())))
         # local join: sort right, range-match every left key at once
@@ -126,12 +138,13 @@ def hash_join(left, right, on: str, *, how: str = "inner",
             rkeys_exp = group[on].take(pa.array(ri[r_exp], pa.int64()))
             out = out.filter(pc.equal(ltab[on], rkeys_exp))
         if how == "left":
-            miss = np.flatnonzero(cnt == 0)
-            if len(miss):
-                mtab = group.take(pa.array(li[miss], pa.int64()))
+            miss_rows = np.concatenate((li[np.flatnonzero(cnt == 0)],
+                                        null_li))
+            if len(miss_rows):
+                mtab = group.take(pa.array(miss_rows, pa.int64()))
                 mcols = {n: mtab[n] for n in l_names}
                 for orn, rn in zip(out_r_names, r_names):
-                    mcols[orn] = pa.nulls(len(miss), r_types[rn])
+                    mcols[orn] = pa.nulls(len(miss_rows), r_types[rn])
                 out = pa.concat_tables([out, pa.table(mcols)])
         return out
 

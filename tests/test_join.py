@@ -66,3 +66,27 @@ def test_name_collision_suffix(ray_session):
     df = out.to_pandas()
     assert sorted(df.columns) == ["k", "v", "v_r"]
     assert df.iloc[0]["v"] == 10 and df.iloc[0]["v_r"] == 20
+
+
+def test_null_keys_never_match(ray_session):
+    import duckdb
+
+    left = pa.table({"k": pa.array([1, None, 3, None], pa.int64()),
+                     "lv": pa.array([10, 20, 30, 40], pa.int64())})
+    right = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                      "rv": pa.array([100, 200, 300], pa.int64())})
+    inner = hash_join(_ds(left, 2), _ds(right, 2), on="k",
+                      nbuckets=4).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left); con.register("r", right)
+    exp = con.execute("SELECT l.k, lv, rv FROM l JOIN r ON l.k = r.k "
+                      "ORDER BY l.k").fetchdf()
+    got = inner.sort_values("k").reset_index(drop=True)
+    assert len(got) == len(exp) == 2
+    assert (got[["k", "lv", "rv"]].values == exp.values).all()
+
+    lj = hash_join(_ds(left, 2), _ds(right, 2), on="k", how="left",
+                   nbuckets=4).to_pandas()
+    assert len(lj) == 4  # every left row survives; null keys unmatched
+    nulls = lj[lj["k"].isna()]
+    assert len(nulls) == 2 and nulls["rv"].isna().all()
