@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q.events_sliding,
         "events_sessions": q.events_sessions,
         "events_distinct_users": q.events_distinct_users,
+        "events_distinct_users_hll": q.events_distinct_users_hll,
         "orders_hash_sample": q.orders_hash_sample,
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "parts_by_brand": q.parts_by_brand,

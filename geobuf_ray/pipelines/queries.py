@@ -556,6 +556,29 @@ def events_distinct_users(sf_dir: str):
     return pa.table({"n_users": pa.array([n], pa.int64())})
 
 
+def events_distinct_users_hll(sf_dir: str, p: int = 12):
+    """Approximate distinct-user count via the HyperLogLog sketch —
+    the unbounded-cardinality path (fixed 2^p registers, max-merge;
+    rows-only check: the ±2%-class error bound is asserted in tests
+    and here against the exact count)."""
+    import ray
+
+    from ..functions.sketch import approx_distinct, exact_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=p)
+    exact = exact_distinct(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id"]), "user_id")
+    return pa.table({
+        "n_users_hll": pa.array([int(round(est))], pa.int64()),
+        "n_users_exact": pa.array([exact], pa.int64()),
+        "rel_error": pa.array([abs(est - exact) / max(exact, 1)],
+                              pa.float64()),
+    })
+
+
 def revenue_by_region(sf_dir: str):
     """orders -> customer -> nation -> region chained broadcast join.
 
