@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q.events_sessions,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
+        "events_last_order_asof": q.events_last_order_asof,
         "orders_hash_sample": q.orders_hash_sample,
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "parts_by_brand": q.parts_by_brand,
@@ -159,6 +160,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_distinct_users": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+        """,
+        "events_last_order_asof": """
+            SELECT event_id, user_id, o_orderkey FROM (
+                SELECT e.event_id, e.user_id, o.o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o ON o.o_custkey = e.user_id
+                             AND o.o_orderdate <= CAST(e.ts AS DATE)
+            ) WHERE rn = 1
         """,
         "orders_hash_sample": """
             SELECT o_orderkey,

@@ -150,3 +150,105 @@ def hash_join(left, right, on: str, *, how: str = "inner",
 
     return tagged.groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow")
+
+
+def asof_join(left, right, on: str, *, left_time: str, right_time: str,
+              nbuckets: int = 64, rsuffix: str = "_r",
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None, **map_kwargs):
+    """As-of join: each left row matches the LATEST right row with the
+    same key and ``right_time <= left_time`` (inner semantics: left
+    rows with no prior right row drop).
+
+    Same hash-bucket co-group shape as :func:`hash_join`; the per-bucket
+    kernel is one lexsort of the merged rows by (key, time, side) —
+    right rows first at equal times — followed by a forward-fill of the
+    last-seen right index with resets at key changes.  No per-row
+    Python; ties inside a (key, time) break toward the LAST right row
+    in sort order (sort the right side's tiebreak columns into
+    ``right_time`` order upstream if that matters).
+    """
+    l_schema = left_schema if left_schema is not None else left.schema()
+    r_schema = right_schema if right_schema is not None else right.schema()
+    l_names = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    r_names = [n for n in r_schema.names if n not in (on,)]
+    out_r_names = [n + rsuffix if n in l_names else n for n in r_names]
+
+    def stamp(side_id):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = _key_hash(batch[on]) % np.uint64(nbuckets)
+            cols = {}
+            for n in l_names:
+                if side_id == 0:
+                    cols[n] = batch[n]
+                else:
+                    cols[n] = (batch[on] if n == on
+                               else pa.nulls(batch.num_rows, l_types[n]))
+            for rn, orn in zip(r_names, out_r_names):
+                cols[orn] = (batch[rn] if side_id == 1
+                             else pa.nulls(batch.num_rows, r_types[rn]))
+            cols["__bucket"] = pa.array(h.astype(np.int32))
+            cols["__side"] = pa.array(
+                np.full(batch.num_rows, side_id, np.int8))
+            return pa.table(cols)
+
+        fn.__name__ = f"stamp_side{side_id}"
+        return fn
+
+    tagged = left.map_batches(
+        stamp(0), batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
+    ).union(right.map_batches(
+        stamp(1), batch_format="pyarrow", zero_copy_batch=True, **map_kwargs))
+
+    rtime_out = (right_time + rsuffix if right_time in l_names
+                 else right_time)
+
+    def asof_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        keys = _key_hash(group[on])
+        t_l = group[left_time].to_numpy(zero_copy_only=False)
+        t_r = group[rtime_out].to_numpy(zero_copy_only=False)
+        # one merged time axis (numeric or datetime; nulls on the
+        # other side) — datetime64 converts to int64 epoch
+        tl = np.asarray(t_l)
+        tr = np.asarray(t_r)
+        if tl.dtype.kind == "M":
+            tl = tl.astype("datetime64[us]").astype(np.int64)
+        if tr.dtype.kind == "M":
+            tr = tr.astype("datetime64[us]").astype(np.int64)
+        t = np.where(side == 0, tl.astype(np.float64),
+                     tr.astype(np.float64))
+        # right rows sort BEFORE left at equal (key, time) so an
+        # equal-time right is visible to its left row
+        order = np.lexsort((1 - side, t, keys))
+        ks, ss = keys[order], side[order]
+        new_key = np.concatenate(([True], ks[1:] != ks[:-1]))
+        seg_id = np.cumsum(new_key) - 1
+        # segmented "last right row seen so far": encode (segment,
+        # sort position) into one monotone int so a single
+        # maximum.accumulate forward-fills WITH key-boundary resets —
+        # a new segment's base always exceeds the previous segment's max
+        n_all = len(order)
+        pos = np.arange(n_all, dtype=np.int64)
+        enc = np.where(ss == 1,
+                       seg_id * (n_all + 1) + pos + 1,
+                       seg_id * (n_all + 1))
+        acc = np.maximum.accumulate(enc)
+        last_pos = np.where(acc // (n_all + 1) == seg_id,
+                            acc % (n_all + 1) - 1, -1)
+        is_left = ss == 0
+        lrows = order[is_left]
+        lp = last_pos[is_left]
+        ok = lp >= 0
+        match = np.where(ok, order[np.maximum(lp, 0)], -1)
+        ltab = group.take(pa.array(lrows[ok], pa.int64()))
+        rtab = group.take(pa.array(match[ok], pa.int64()))
+        cols = {n: ltab[n] for n in l_names}
+        for orn in out_r_names:
+            cols[orn] = rtab[orn]
+        return pa.table(cols)
+
+    return tagged.groupby("__bucket").map_groups(
+        asof_bucket, batch_format="pyarrow")

@@ -556,6 +556,62 @@ def events_distinct_users(sf_dir: str):
     return pa.table({"n_users": pa.array([n], pa.int64())})
 
 
+def events_last_order_asof(sf_dir: str):
+    """As-of join (brief §custom operators): each event matches the
+    LATEST order of the same customer placed at or before the event
+    day.  Both sides stream through the hash-bucket co-group; the
+    per-bucket kernel is one lexsort + segmented forward-fill."""
+    import ray
+
+    from ..functions.join import asof_join
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "user_id", "ts"])
+
+    # composite integer time = day * 2^24 + orderkey makes the
+    # tie-break exact and order-independent: the latest (day, orderkey)
+    # wins regardless of block arrival order; the event side carries
+    # day * 2^24 + (2^24 - 1) so ANY same-day order qualifies.
+    # (Holds while orderkey < 2^24, i.e. sf <= ~25; composite stays
+    # exact in the kernel's float64 since day*2^24 < 2^53.)
+    _SHIFT = 1 << 24
+
+    def ev_prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "event_day": pa.array(ts * _SHIFT + (_SHIFT - 1))})
+
+    events = events.map_batches(ev_prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_orderdate"])
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        keys = batch["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": batch["o_custkey"],
+            "o_orderkey": pa.array(keys),
+            "order_day": pa.array(od * _SHIFT + keys),
+        })
+
+    orders = orders.map_batches(ord_prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = asof_join(
+        events, orders, on="user_id",
+        left_time="event_day", right_time="order_day", nbuckets=32,
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("event_id", pa.int64()),
+                               ("event_day", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("o_orderkey", pa.int64()),
+                                ("order_day", pa.int64())]))
+    return out.select_columns(["event_id", "user_id", "o_orderkey"])
+
+
 def events_distinct_users_hll(sf_dir: str, p: int = 12):
     """Approximate distinct-user count via the HyperLogLog sketch —
     the unbounded-cardinality path (fixed 2^p registers, max-merge;

@@ -90,3 +90,34 @@ def test_null_keys_never_match(ray_session):
     assert len(lj) == 4  # every left row survives; null keys unmatched
     nulls = lj[lj["k"].isna()]
     assert len(nulls) == 2 and nulls["rv"].isna().all()
+
+
+def test_asof_join_small_known(ray_session):
+    from geobuf_ray.functions.join import asof_join
+
+    left = pa.table({"k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                     "lt": pa.array([5, 10, 2, 7, 4], pa.int64()),
+                     "ev": pa.array([100, 101, 102, 103, 104], pa.int64())})
+    right = pa.table({"k": pa.array([1, 1, 1, 2], pa.int64()),
+                      "rt": pa.array([3, 5, 9, 8], pa.int64()),
+                      "rv": pa.array([30, 50, 90, 80], pa.int64())})
+    out = asof_join(_ds(left, 2), _ds(right, 2), on="k",
+                    left_time="lt", right_time="rt", nbuckets=4)
+    got = {r["ev"]: r["rv"] for r in out.take_all()}
+    # ev100 t=5: latest right t<=5 is (5,50); ev101 t=10 -> (9,90);
+    # ev102 t=2 -> none; ev103 k=2 t=7 < 8 -> none; ev104 k=3 -> none
+    assert got == {100: 50, 101: 90}
+
+
+def test_asof_join_equal_time_matches(ray_session):
+    from geobuf_ray.functions.join import asof_join
+
+    left = pa.table({"k": pa.array([1], pa.int64()),
+                     "lt": pa.array([5], pa.int64()),
+                     "ev": pa.array([1], pa.int64())})
+    right = pa.table({"k": pa.array([1], pa.int64()),
+                      "rt": pa.array([5], pa.int64()),
+                      "rv": pa.array([55], pa.int64())})
+    out = asof_join(_ds(left, 1), _ds(right, 1), on="k",
+                    left_time="lt", right_time="rt", nbuckets=2)
+    assert out.take_all()[0]["rv"] == 55  # equal time IS a match
