@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
         "events_last_order_asof": q.events_last_order_asof,
+        "lineitem_price_band_join": q.lineitem_price_band_join,
         "orders_hash_sample": q.orders_hash_sample,
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "parts_by_brand": q.parts_by_brand,
@@ -160,6 +161,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_distinct_users": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+        """,
+        "lineitem_price_band_join": """
+            WITH bands AS (
+                SELECT s_suppkey AS band_id,
+                       (s_suppkey * 9973) % 9000000 AS lo_cents,
+                       (s_suppkey * 9973) % 9000000
+                         + 50000 + (s_suppkey % 13) * 10000 AS hi_cents
+                FROM supplier)
+            SELECT band_id,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM lineitem JOIN bands
+              ON CAST(round(l_extendedprice * 100) AS BIGINT) >= lo_cents
+             AND CAST(round(l_extendedprice * 100) AS BIGINT) < hi_cents
+            GROUP BY band_id
         """,
         "events_last_order_asof": """
             SELECT event_id, user_id, o_orderkey FROM (

@@ -152,6 +152,108 @@ def hash_join(left, right, on: str, *, how: str = "inner",
         join_bucket, batch_format="pyarrow")
 
 
+def range_join(points, intervals, *, value: str, lo: str, hi: str,
+               bin_width: float, rsuffix: str = "_r",
+               points_schema: pa.Schema | None = None,
+               intervals_schema: pa.Schema | None = None, **map_kwargs):
+    """Interval containment join: point rows match every interval row
+    with ``lo <= value < hi`` (the 1-D range-join shape; the spatial
+    engine's cell co-group generalized to numeric intervals).
+
+    Points land in ONE bin (``floor(value / bin_width)``); intervals
+    fan out to every bin they cover, so each match is found in exactly
+    the point's bin — no dedup pass.  Pick ``bin_width`` near the
+    median interval length: too wide co-locates unrelated rows, too
+    narrow amplifies the interval fan-out (the same trade-off as the
+    tile zoom in the spatial joins).
+    """
+    p_schema = points_schema if points_schema is not None else points.schema()
+    i_schema = (intervals_schema if intervals_schema is not None
+                else intervals.schema())
+    p_names = list(p_schema.names)
+    i_names = list(i_schema.names)
+    out_i_names = [n + rsuffix if n in p_names else n for n in i_names]
+    p_types = dict(zip(p_schema.names, p_schema.types))
+    i_types = dict(zip(i_schema.names, i_schema.types))
+
+    def stamp_points(batch: pa.Table) -> pa.Table:
+        v = batch[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols = {n: batch[n] for n in p_names}
+        for n, on_ in zip(i_names, out_i_names):
+            cols[on_] = pa.nulls(batch.num_rows, i_types[n])
+        cols["__bin"] = pa.array(
+            np.floor(v / bin_width).astype(np.int64))
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8))
+        return pa.table(cols)
+
+    def stamp_intervals(batch: pa.Table) -> pa.Table:
+        lov = batch[lo].to_numpy(zero_copy_only=False).astype(np.float64)
+        hiv = batch[hi].to_numpy(zero_copy_only=False).astype(np.float64)
+        b0 = np.floor(lov / bin_width).astype(np.int64)
+        # [lo, hi): the bin containing hi is needed only when hi is not
+        # exactly on a boundary
+        b1 = np.ceil(hiv / bin_width).astype(np.int64) - 1
+        b1 = np.maximum(b1, b0)
+        cnt = b1 - b0 + 1
+        rows = np.repeat(np.arange(batch.num_rows), cnt)
+        from ..codec.varint import ramp
+
+        bins = np.repeat(b0, cnt) + ramp(cnt)
+        taken = batch.take(pa.array(rows, pa.int64()))
+        cols = {}
+        for n in p_names:
+            cols[n] = pa.nulls(len(rows), p_types[n])
+        for n, on_ in zip(i_names, out_i_names):
+            cols[on_] = taken[n]
+        cols["__bin"] = pa.array(bins)
+        cols["__side"] = pa.array(np.ones(len(rows), np.int8))
+        return pa.table(cols)
+
+    tagged = points.map_batches(
+        stamp_points, batch_format="pyarrow", zero_copy_batch=True,
+        **map_kwargs,
+    ).union(intervals.map_batches(
+        stamp_intervals, batch_format="pyarrow", zero_copy_batch=True,
+        **map_kwargs))
+
+    lo_out = lo + rsuffix if lo in p_names else lo
+    hi_out = hi + rsuffix if hi in p_names else hi
+
+    def join_bin(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        pi = np.flatnonzero(side == 0)
+        ii = np.flatnonzero(side == 1)
+        empty = {n: pa.array([], type=p_types[n]) for n in p_names}
+        for n, on_ in zip(i_names, out_i_names):
+            empty[on_] = pa.array([], type=i_types[n])
+        if len(pi) == 0 or len(ii) == 0:
+            return pa.table(empty)
+        v = group[value].to_numpy(zero_copy_only=False)[pi].astype(np.float64)
+        lov = group[lo_out].to_numpy(zero_copy_only=False)[ii].astype(np.float64)
+        hiv = group[hi_out].to_numpy(zero_copy_only=False)[ii].astype(np.float64)
+        order = np.argsort(lov, kind="stable")
+        lov_s = lov[order]
+        # candidates: intervals with lo <= v; every interval in this
+        # bin overlaps it, so false candidates are bounded by intervals
+        # ENDING inside the bin below v — output-proportional work
+        cnt = np.searchsorted(lov_s, v, side="right")
+        from ..codec.varint import ramp
+
+        p_exp = np.repeat(np.arange(len(pi)), cnt)
+        i_exp = order[ramp(cnt)]
+        keep = hiv[i_exp] > v[p_exp]
+        p_exp, i_exp = p_exp[keep], i_exp[keep]
+        ptab = group.take(pa.array(pi[p_exp], pa.int64()))
+        itab = group.take(pa.array(ii[i_exp], pa.int64()))
+        cols = {n: ptab[n] for n in p_names}
+        for on_ in out_i_names:
+            cols[on_] = itab[on_]
+        return pa.table(cols)
+
+    return tagged.groupby("__bin").map_groups(
+        join_bin, batch_format="pyarrow")
+
+
 def asof_join(left, right, on: str, *, left_time: str, right_time: str,
               nbuckets: int = 64, rsuffix: str = "_r",
               left_schema: pa.Schema | None = None,

@@ -612,6 +612,62 @@ def events_last_order_asof(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "o_orderkey"])
 
 
+def lineitem_price_band_join(sf_dir: str):
+    """1-D range join (brief §custom operators): each lineitem price
+    lands in every supplier-derived price band containing it, then a
+    per-band aggregate bounds the output.  Bands are deterministic
+    half-open cent intervals from supplier keys; the oracle is a SQL
+    BETWEEN join + GROUP BY."""
+    import duckdb
+    import ray
+
+    from ..functions.join import range_join
+
+    skeys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    lo = ((skeys * 9973) % 9_000_000).astype(np.int64)
+    hi = lo + 50_000 + (skeys % 13) * 10_000
+    bands = pa.table({"band_id": pa.array(skeys),
+                      "lo_cents": pa.array(lo),
+                      "hi_cents": pa.array(hi)})
+
+    items = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                  columns=["l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"price_cents": pa.array(cents)})
+
+    items = items.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = range_join(
+        items, ray.data.from_arrow(bands),
+        value="price_cents", lo="lo_cents", hi="hi_cents",
+        bin_width=100_000.0,
+        points_schema=pa.schema([("price_cents", pa.int64())]),
+        intervals_schema=pa.schema([("band_id", pa.int64()),
+                                    ("lo_cents", pa.int64()),
+                                    ("hi_cents", pa.int64())]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bid = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = batch["price_cents"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(bid, return_inverse=True)
+        return pa.table({
+            "band_id": pa.array(uniq),
+            "n_items": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_cents": pa.array(
+                np.bincount(inv, weights=cents).astype(np.int64)),
+        })
+
+    partials = joined.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return _final_combine(partials, ["band_id"], ["n_items", "sum_cents"])
+
+
 def events_distinct_users_hll(sf_dir: str, p: int = 12):
     """Approximate distinct-user count via the HyperLogLog sketch —
     the unbounded-cardinality path (fixed 2^p registers, max-merge;

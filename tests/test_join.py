@@ -121,3 +121,25 @@ def test_asof_join_equal_time_matches(ray_session):
     out = asof_join(_ds(left, 1), _ds(right, 1), on="k",
                     left_time="lt", right_time="rt", nbuckets=2)
     assert out.take_all()[0]["rv"] == 55  # equal time IS a match
+
+
+def test_range_join_matches_duckdb(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.join import range_join
+
+    rng = np.random.default_rng(9)
+    pts = pa.table({"v": pa.array(rng.uniform(0, 1000, 3000)),
+                    "pid": pa.array(np.arange(3000), pa.int64())})
+    lo = rng.uniform(0, 950, 80)
+    iv = pa.table({"lo": pa.array(lo), "hi": pa.array(lo + rng.uniform(5, 120, 80)),
+                   "iid": pa.array(np.arange(80), pa.int64())})
+    out = range_join(_ds(pts, 3), _ds(iv, 2), value="v", lo="lo", hi="hi",
+                     bin_width=50.0)
+    got = out.to_pandas().sort_values(["pid", "iid"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("p", pts); con.register("i", iv)
+    exp = con.execute("SELECT pid, iid FROM p JOIN i ON v >= lo AND v < hi "
+                      "ORDER BY pid, iid").fetchdf()
+    assert len(got) == len(exp)
+    assert (got[["pid", "iid"]].values == exp.values).all()
