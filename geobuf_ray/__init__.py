@@ -8,4 +8,58 @@ and large-scale training-data operators (dedup, ANN, text analysis,
 image tables).  See SURVEY.md for the blueprint.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps ``import geobuf_ray`` Ray-free).
+
+    Sources/sinks: read_geobuf, write_geobuf, read_metadata,
+    read_subfile, write_indexed_geobuf, read_geojson-style converters.
+    Pipelines: split_combine, split_combine_keys, tile_clip, tile_cover,
+    assign_tiles.  Joins: hash_join, asof_join, range_join,
+    point_in_polygon_join, knn_join.  Training-data ops: exact_dedup,
+    minhash_candidate_pairs, minhash_dedup, simhash_candidate_pairs,
+    embedding_dedup_pairs, brute_force_topk, ivf_build, ivf_topk.
+    """
+    from importlib import import_module
+
+    registry = {
+        "read_geobuf": ("geobuf_ray.io.geobuf_file", "read_geobuf"),
+        "write_geobuf": ("geobuf_ray.io.geobuf_file", "write_geobuf"),
+        "read_metadata": ("geobuf_ray.io.geobuf_file", "read_metadata"),
+        "read_subfile": ("geobuf_ray.io.geobuf_file", "read_subfile"),
+        "write_indexed_geobuf": ("geobuf_ray.io.geobuf_file",
+                                 "write_indexed_geobuf"),
+        "geojson_to_geobuf": ("geobuf_ray.pipelines.convert",
+                              "geojson_to_geobuf"),
+        "geobuf_to_geojson": ("geobuf_ray.pipelines.convert",
+                              "geobuf_to_geojson"),
+        "split_combine": ("geobuf_ray.pipelines.tiling", "split_combine"),
+        "split_combine_keys": ("geobuf_ray.pipelines.tiling",
+                               "split_combine_keys"),
+        "assign_tiles": ("geobuf_ray.pipelines.tiling", "assign_tiles"),
+        "tile_clip": ("geobuf_ray.pipelines.tiling", "tile_clip"),
+        "tile_cover": ("geobuf_ray.pipelines.tiling", "tile_cover"),
+        "hash_join": ("geobuf_ray.functions.join", "hash_join"),
+        "asof_join": ("geobuf_ray.functions.join", "asof_join"),
+        "range_join": ("geobuf_ray.functions.join", "range_join"),
+        "point_in_polygon_join": ("geobuf_ray.spatial.join",
+                                  "point_in_polygon_join"),
+        "knn_join": ("geobuf_ray.spatial.join", "knn_join"),
+        "exact_dedup": ("geobuf_ray.functions.dedup", "exact_dedup"),
+        "minhash_candidate_pairs": ("geobuf_ray.functions.dedup",
+                                    "minhash_candidate_pairs"),
+        "minhash_dedup": ("geobuf_ray.functions.dedup", "minhash_dedup"),
+        "simhash_candidate_pairs": ("geobuf_ray.functions.dedup",
+                                    "simhash_candidate_pairs"),
+        "embedding_dedup_pairs": ("geobuf_ray.functions.dedup",
+                                  "embedding_dedup_pairs"),
+        "brute_force_topk": ("geobuf_ray.functions.ann", "brute_force_topk"),
+        "ivf_build": ("geobuf_ray.functions.ann", "ivf_build"),
+        "ivf_topk": ("geobuf_ray.functions.ann", "ivf_topk"),
+    }
+    if name in registry:
+        mod, attr = registry[name]
+        return getattr(import_module(mod), attr)
+    raise AttributeError(f"module 'geobuf_ray' has no attribute {name!r}")

@@ -143,3 +143,36 @@ def test_range_join_matches_duckdb(ray_session):
                       "ORDER BY pid, iid").fetchdf()
     assert len(got) == len(exp)
     assert (got[["pid", "iid"]].values == exp.values).all()
+
+
+def test_asof_join_random_matches_duckdb(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.join import asof_join
+
+    rng = np.random.default_rng(21)
+    nl, nr = 500, 300
+    left = pa.table({"k": pa.array(rng.integers(0, 40, nl), pa.int64()),
+                     "lt": pa.array(rng.integers(0, 1000, nl), pa.int64()),
+                     "ev": pa.array(np.arange(nl), pa.int64())})
+    # unique (k, rt) pairs so "latest" is unambiguous without tiebreak
+    pairs = set()
+    while len(pairs) < nr:
+        pairs.add((int(rng.integers(0, 40)), int(rng.integers(0, 1000))))
+    ks, ts = zip(*sorted(pairs))
+    right = pa.table({"k": pa.array(ks, pa.int64()),
+                      "rt": pa.array(ts, pa.int64()),
+                      "rv": pa.array(np.arange(nr), pa.int64())})
+    out = asof_join(_ds(left, 3), _ds(right, 2), on="k",
+                    left_time="lt", right_time="rt", nbuckets=8)
+    got = out.to_pandas().sort_values("ev").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("l", left); con.register("r", right)
+    exp = con.execute("""
+        SELECT ev, rv FROM (
+            SELECT l.ev, r.rv,
+                   row_number() OVER (PARTITION BY l.ev ORDER BY r.rt DESC) rn
+            FROM l JOIN r ON l.k = r.k AND r.rt <= l.lt
+        ) WHERE rn = 1 ORDER BY ev""").fetchdf()
+    assert len(got) == len(exp)
+    assert (got[["ev", "rv"]].values == exp[["ev", "rv"]].values).all()
