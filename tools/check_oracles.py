@@ -25,7 +25,12 @@ def to_pandas(res) -> pd.DataFrame:
         import ray
 
         if isinstance(res, ray.data.Dataset):
-            res = res.to_pandas()
+            # collect_table, not Dataset.to_pandas(): the latter can
+            # re-execute the plan behind a limit-1 schema fetch
+            sys.path.insert(0, ".")
+            from geobuf_ray.collect import collect_table
+
+            res = collect_table(res).to_pandas()
     except ImportError:
         pass
     if isinstance(res, pa.Table):
