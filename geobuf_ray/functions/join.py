@@ -322,6 +322,13 @@ def asof_join(left, right, on: str, *, left_time: str, right_time: str,
             tr = tr.astype("datetime64[us]").astype(np.int64)
         t = np.where(side == 0, tl.astype(np.float64),
                      tr.astype(np.float64))
+        # SQL comparison semantics: a NULL time matches nothing (a NaN
+        # would lexsort last and falsely see every right row)
+        ok_rows = ~np.isnan(t)
+        if not ok_rows.all():
+            sel = np.flatnonzero(ok_rows)
+            group = group.take(pa.array(sel, pa.int64()))
+            side, keys, t = side[sel], keys[sel], t[sel]
         # right rows sort BEFORE left at equal (key, time) so an
         # equal-time right is visible to its left row
         order = np.lexsort((1 - side, t, keys))

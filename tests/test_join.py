@@ -176,3 +176,19 @@ def test_asof_join_random_matches_duckdb(ray_session):
         ) WHERE rn = 1 ORDER BY ev""").fetchdf()
     assert len(got) == len(exp)
     assert (got[["ev", "rv"]].values == exp[["ev", "rv"]].values).all()
+
+
+def test_asof_join_null_times_match_nothing(ray_session):
+    from geobuf_ray.functions.join import asof_join
+
+    left = pa.table({"k": pa.array([1, 1], pa.int64()),
+                     "lt": pa.array([10, None], pa.int64()),
+                     "ev": pa.array([1, 2], pa.int64())})
+    right = pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "rt": pa.array([5, None], pa.int64()),
+                      "rv": pa.array([50, 99], pa.int64())})
+    out = asof_join(_ds(left, 1), _ds(right, 1), on="k",
+                    left_time="lt", right_time="rt", nbuckets=2)
+    rows = out.take_all()
+    assert len(rows) == 1           # null-time left row drops (inner)
+    assert rows[0]["ev"] == 1 and rows[0]["rv"] == 50  # null right unseen
