@@ -40,7 +40,16 @@ def _key_hash(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
         return fingerprint64(arr)
     if arr.null_count:
         arr = arr.fill_null(0)
-    v = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    if pa.types.is_floating(t):
+        # hash the BIT pattern (astype(int64) would truncate 1.2 and
+        # 1.9 onto the same key); +0.0 canonicalizes -0.0 so the two
+        # equal zeros hash together.  NaN hash-collides with NaN; the
+        # join's value-verify filter (applied to every non-integer key
+        # type) drops those pairs, giving SQL's NaN-matches-nothing.
+        f = arr.to_numpy(zero_copy_only=False).astype(np.float64) + 0.0
+        v = f.view(np.uint64)
+    else:
+        v = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     x = (v ^ (v >> np.uint64(33))) * _P1
     x = (x ^ (x >> np.uint64(29))) * _P2
     return x ^ (x >> np.uint64(32))
@@ -128,17 +137,25 @@ def hash_join(left, right, on: str, *, how: str = "inner",
             cols[orn] = rtab[orn]
         out = pa.table(cols)
         # integer keys: the mix is invertible, hash-match IS key-match.
-        # string keys: verify the actual values to kill fingerprint
-        # collisions (left-join miss rows are unaffected: a collision
-        # can only ADD a false pair, filtered here)
+        # every other type (string fingerprints, float bit patterns,
+        # ...): verify the actual values to kill collisions and to give
+        # NaN keys SQL's matches-nothing semantics
         kt = group.schema.field(on).type
-        if pa.types.is_string(kt) or pa.types.is_large_string(kt):
+        match_cnt = cnt
+        if not pa.types.is_integer(kt):
             import pyarrow.compute as pc
 
             rkeys_exp = group[on].take(pa.array(ri[r_exp], pa.int64()))
-            out = out.filter(pc.equal(ltab[on], rkeys_exp))
+            eq = pc.equal(ltab[on], rkeys_exp)
+            eqm = eq.to_numpy(zero_copy_only=False)
+            out = out.filter(eq)
+            if how == "left":
+                # a left row whose matches were ALL collisions is a
+                # miss, not a silent drop
+                match_cnt = np.bincount(
+                    l_exp, weights=eqm, minlength=len(li)).astype(np.int64)
         if how == "left":
-            miss_rows = np.concatenate((li[np.flatnonzero(cnt == 0)],
+            miss_rows = np.concatenate((li[np.flatnonzero(match_cnt == 0)],
                                         null_li))
             if len(miss_rows):
                 mtab = group.take(pa.array(miss_rows, pa.int64()))
@@ -307,24 +324,42 @@ def asof_join(left, right, on: str, *, left_time: str, right_time: str,
     rtime_out = (right_time + rsuffix if right_time in l_names
                  else right_time)
 
+    def _time_axis(col, n: int):
+        """(values, null_mask, is_int) — int64 domain for integer and
+        timestamp columns (no float64 round-trip: int64 epochs above
+        2^53 would lose ~256 µs ulp and mis-order near-boundary rows);
+        nulls come from the Arrow validity mask BEFORE any cast, so
+        timestamp NaT cannot slip through as INT64_MIN."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        null = (col.is_null().to_numpy(zero_copy_only=False)
+                if col.null_count else np.zeros(n, bool))
+        t = col.type
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            v = col.cast(pa.timestamp("us")).cast(pa.int64()).fill_null(0)
+            return v.to_numpy(zero_copy_only=False).astype(np.int64), null, True
+        if pa.types.is_integer(t):
+            v = col.fill_null(0)
+            return v.to_numpy(zero_copy_only=False).astype(np.int64), null, True
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return v, null | np.isnan(v), False
+
     def asof_bucket(group: pa.Table) -> pa.Table:
         side = group["__side"].to_numpy(zero_copy_only=False)
         keys = _key_hash(group[on])
-        t_l = group[left_time].to_numpy(zero_copy_only=False)
-        t_r = group[rtime_out].to_numpy(zero_copy_only=False)
-        # one merged time axis (numeric or datetime; nulls on the
-        # other side) — datetime64 converts to int64 epoch
-        tl = np.asarray(t_l)
-        tr = np.asarray(t_r)
-        if tl.dtype.kind == "M":
-            tl = tl.astype("datetime64[us]").astype(np.int64)
-        if tr.dtype.kind == "M":
-            tr = tr.astype("datetime64[us]").astype(np.int64)
-        t = np.where(side == 0, tl.astype(np.float64),
-                     tr.astype(np.float64))
-        # SQL comparison semantics: a NULL time matches nothing (a NaN
-        # would lexsort last and falsely see every right row)
-        ok_rows = ~np.isnan(t)
+        n = group.num_rows
+        tl, null_l, int_l = _time_axis(group[left_time], n)
+        tr, null_r, int_r = _time_axis(group[rtime_out], n)
+        # one merged time axis; int64 end-to-end when both sides are
+        # integer-typed, float64 only when a side genuinely is float
+        if int_l and int_r:
+            t = np.where(side == 0, tl, tr)
+        else:
+            t = np.where(side == 0, tl.astype(np.float64),
+                         tr.astype(np.float64))
+        # SQL comparison semantics: a NULL time matches nothing (an
+        # unmasked null would sort somewhere real and falsely match)
+        ok_rows = ~np.where(side == 0, null_l, null_r)
         if not ok_rows.all():
             sel = np.flatnonzero(ok_rows)
             group = group.take(pa.array(sel, pa.int64()))

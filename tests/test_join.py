@@ -192,3 +192,93 @@ def test_asof_join_null_times_match_nothing(ray_session):
     rows = out.take_all()
     assert len(rows) == 1           # null-time left row drops (inner)
     assert rows[0]["ev"] == 1 and rows[0]["rv"] == 50  # null right unseen
+
+
+def test_asof_join_int64_microsecond_epochs_above_2p53(ray_session):
+    """VERDICT r2 finding #1: int64 times ~1.7e18 (>2^53) with right
+    rows <1 ms apart must not mis-order through a float64 cast."""
+    import duckdb
+
+    from geobuf_ray.functions.join import asof_join
+
+    base = 1_700_000_000_000_000_000  # ns-epoch-scale int64, ulp@f64 ~256
+    left = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                     "lt": pa.array([base + 150, base + 90, base + 260],
+                                    pa.int64()),
+                     "ev": pa.array([1, 2, 3], pa.int64())})
+    # right rows 100 apart — inside one float64 ulp at this magnitude
+    right = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                      "rt": pa.array([base + 100, base + 200, base + 300],
+                                     pa.int64()),
+                      "rv": pa.array([10, 20, 30], pa.int64())})
+    out = asof_join(_ds(left, 1), _ds(right, 1), on="k",
+                    left_time="lt", right_time="rt", nbuckets=2)
+    got = {r["ev"]: r["rv"] for r in out.take_all()}
+    con = duckdb.connect()
+    con.register("l", left); con.register("r", right)
+    exp_df = con.execute("""
+        SELECT ev, rv FROM (
+            SELECT l.ev, r.rv,
+                   row_number() OVER (PARTITION BY l.ev ORDER BY r.rt DESC) rn
+            FROM l JOIN r ON l.k = r.k AND r.rt <= l.lt
+        ) WHERE rn = 1""").fetchdf()
+    exp = dict(zip(exp_df.ev, exp_df.rv))
+    assert got == exp == {1: 10, 3: 20}
+
+
+def test_asof_join_timestamp_nulls_match_nothing(ray_session):
+    """ADVICE r2 (medium): NaT on the datetime path must be masked via
+    the Arrow validity bitmap, not slip through as INT64_MIN."""
+    from geobuf_ray.functions.join import asof_join
+
+    ts = pa.timestamp("us")
+    left = pa.table({"k": pa.array([1, 1], pa.int64()),
+                     "lt": pa.array([1_000_000, None], ts),
+                     "ev": pa.array([1, 2], pa.int64())})
+    right = pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "rt": pa.array([500_000, None], ts),
+                      "rv": pa.array([50, 99], pa.int64())})
+    out = asof_join(_ds(left, 1), _ds(right, 1), on="k",
+                    left_time="lt", right_time="rt", nbuckets=2)
+    rows = out.take_all()
+    # NaT right row must NOT win (INT64_MIN would sort first and a
+    # later accumulate could surface it); NaT left row must drop
+    assert len(rows) == 1
+    assert rows[0]["ev"] == 1 and rows[0]["rv"] == 50
+
+
+def test_float_key_join_no_truncation(ray_session):
+    """ADVICE r2 (low): float64 keys must join on value, not on
+    astype(int64) truncation (1.2 vs 1.9 are distinct keys)."""
+    import duckdb
+
+    left = pa.table({"k": pa.array([1.2, 1.9, -0.0, 2.5], pa.float64()),
+                     "lv": pa.array([1, 2, 3, 4], pa.int64())})
+    right = pa.table({"k": pa.array([1.2, 0.0, 2.5], pa.float64()),
+                      "rv": pa.array([10, 30, 40], pa.int64())})
+    out = hash_join(_ds(left, 2), _ds(right, 2), on="k", nbuckets=4)
+    got = out.to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("l", left); con.register("r", right)
+    exp = con.execute("SELECT lv, rv FROM l JOIN r ON l.k = r.k "
+                      "ORDER BY lv, rv").fetchdf()
+    # 1.2->10, -0.0 == 0.0 -> 30, 2.5->40; 1.9 matches nothing
+    assert got[["lv", "rv"]].values.tolist() == exp.values.tolist() == [
+        [1, 10], [3, 30], [4, 40]]
+
+
+def test_float_key_nan_matches_nothing(ray_session):
+    """NaN keys: IEEE semantics (NaN != NaN) — a NaN left row is a
+    left-join miss, not a silent drop.  (DuckDB deviates here: it
+    treats NaN = NaN as true, so no oracle comparison.)"""
+    left = pa.table({"k": pa.array([float("nan"), 1.0], pa.float64()),
+                     "lv": pa.array([1, 2], pa.int64())})
+    right = pa.table({"k": pa.array([float("nan"), 1.0], pa.float64()),
+                      "rv": pa.array([10, 20], pa.int64())})
+    inner = hash_join(_ds(left, 1), _ds(right, 1), on="k",
+                      nbuckets=2).to_pandas()
+    assert inner[["lv", "rv"]].values.tolist() == [[2, 20]]
+    lj = hash_join(_ds(left, 1), _ds(right, 1), on="k", how="left",
+                   nbuckets=2).to_pandas().sort_values("lv")
+    assert len(lj) == 2
+    assert lj[lj.lv == 1]["rv"].isna().all()  # NaN row -> miss, kept
