@@ -286,17 +286,28 @@ def _geometry_segments(table: pa.Table):
     if total_vals:
         # value index of each point's dim-j coord: pt_base + j
         # compute deltas pointwise: d[p] = q[p] - q[p-1] per dim, reset at ring start
-        delta[:] = q
-        # previous point same-dim index
-        prev_idx = pt_base - pt_dim  # start of previous point
-        ring_start_mask_pt = np.zeros(len(pt_dim), bool)
-        ring_start_mask_pt[ring_pt_starts[ring_pt_starts < len(pt_dim)]] = True
-        interior = ~ring_start_mask_pt
-        ii = np.flatnonzero(interior)
-        if len(ii):
-            for j in range(int(pt_dim.max()) if len(pt_dim) else 0):
-                sel = ii[pt_dim[ii] > j]
-                delta[pt_base[sel] + j] = q[pt_base[sel] + j] - q[prev_idx[sel] + j]
+        if len(pt_dim) and int(pt_dim.max()) == 2 and int(pt_dim.min()) == 2:
+            # dim-2 fast path (the universal case): point-major layout
+            # means q[p] - q[p-2] IS the same-dim previous-point delta
+            # for both x and y — one strided subtract, then restore the
+            # absolute value at each ring's first point
+            delta[:] = q
+            delta[2:] -= q[:-2]
+            rs = ring_pt_starts[ring_pt_starts < len(pt_dim)] * 2
+            delta[rs] = q[rs]
+            delta[rs + 1] = q[rs + 1]
+        else:
+            delta[:] = q
+            # previous point same-dim index
+            prev_idx = pt_base - pt_dim  # start of previous point
+            ring_start_mask_pt = np.zeros(len(pt_dim), bool)
+            ring_start_mask_pt[ring_pt_starts[ring_pt_starts < len(pt_dim)]] = True
+            interior = ~ring_start_mask_pt
+            ii = np.flatnonzero(interior)
+            if len(ii):
+                for j in range(int(pt_dim.max()) if len(pt_dim) else 0):
+                    sel = ii[pt_dim[ii] > j]
+                    delta[pt_base[sel] + j] = q[pt_base[sel] + j] - q[prev_idx[sel] + j]
     zz = vi.zigzag_encode(delta)
 
     # which coordinate values are actually emitted: Points emit 2 dims only
@@ -537,7 +548,11 @@ def frame_boundaries(
     vlen = (contrib * mask).sum(axis=1, dtype=np.uint64).astype(np.int64)
     pay_start = cand + 1 + nb
     nxt = pay_start + vlen
-    complete = has_term & (nxt <= total)
+    # vlen < 0 = uint64 overflow from a corrupted near-10-byte length
+    # varint; without this guard nxt < cand can chain BACKWARD (even
+    # cycle) and return garbage spans instead of raising (advisory
+    # find).  Dead-ending the candidate routes it to the error paths.
+    complete = has_term & (vlen >= 0) & (nxt <= total)
     # successor in candidate-index space; sentinel m = chain end / dead
     succ = np.full(m, m, np.int64)
     j = np.searchsorted(cand, nxt)

@@ -67,13 +67,17 @@ def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     byte0 = (v & _U64(0x7F)).astype(np.uint8)
     byte0 |= (nb > 1).view(np.uint8) << np.uint8(7)
     out[starts] = byte0
-    for k in range(1, _MAX_VARINT_BYTES):
-        mask = nb > k
-        if not mask.any():
-            break
-        byte = ((v[mask] >> _U64(7 * k)) & _U64(0x7F)).astype(np.uint8)
-        cont = (nb[mask] - 1 > k).astype(np.uint8) << np.uint8(7)
-        out[starts[mask] + k] = byte | cont
+    # candidate set SHRINKS per round (most geo deltas are <= 4 bytes)
+    # instead of re-comparing all n lengths every round
+    sel = np.flatnonzero(nb > 1)
+    k = 1
+    while len(sel):
+        vs, nbs = v[sel], nb[sel]
+        byte = ((vs >> _U64(7 * k)) & _U64(0x7F)).astype(np.uint8)
+        cont = (nbs - 1 > k).astype(np.uint8) << np.uint8(7)
+        out[starts[sel] + k] = byte | cont
+        k += 1
+        sel = sel[nbs > k]
     return out, nb
 
 
@@ -87,23 +91,28 @@ def varint_decode_stream(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     b = np.ascontiguousarray(buf, dtype=np.uint8)
     if len(b) == 0:
         return np.empty(0, _U64), np.empty(0, np.int64)
-    term = (b & 0x80) == 0
-    starts = np.empty(len(b), dtype=bool)
-    starts[0] = True
-    starts[1:] = term[:-1]
-    start_idx = np.flatnonzero(starts)
+    # terminator positions ARE the value ends: starts/lengths follow
+    # with one shift + one subtract (no len(b)-sized shifted bool, no
+    # append-copy + diff)
+    ends = np.flatnonzero(b < 0x80)
+    n = len(ends)
+    start_idx = np.empty(n, dtype=np.int64)
+    start_idx[0] = 0
+    np.add(ends[:-1], 1, out=start_idx[1:])
+    nb = ends - start_idx + 1
     # accumulate per byte POSITION (round j gathers only the values
     # with > j bytes): geo deltas are mostly 1-4 bytes, so the work is
     # ~stream bytes with small temporaries — not 8x-stream-size uint64
-    # contrib/reduceat arrays
-    nb = np.diff(np.append(start_idx, len(b)))
+    # contrib/reduceat arrays.  The candidate set SHRINKS per round
+    # (sel filters sel) instead of re-comparing all n lengths.
     values = (b[start_idx] & np.uint8(0x7F)).astype(_U64)
-    for j in range(1, _MAX_VARINT_BYTES):
-        sel = np.flatnonzero(nb > j)
-        if len(sel) == 0:
-            break
+    sel = np.flatnonzero(nb > 1)
+    j = 1
+    while len(sel):
         values[sel] |= (b[start_idx[sel] + j] & np.uint8(0x7F)).astype(
             _U64) << _U64(7 * j)
+        j += 1
+        sel = sel[nb[sel] > j]
     return values, start_idx
 
 
@@ -119,16 +128,32 @@ def gather_varints(buf: np.ndarray, pos: np.ndarray) -> tuple[np.ndarray, np.nda
     n = len(pos)
     if n == 0:
         return np.empty(0, _U64), np.empty(0, np.int64)
-    win = pos[:, None] + np.arange(_MAX_VARINT_BYTES, dtype=np.int64)
-    np.minimum(win, len(buf) - 1, out=win)
-    w = buf[win]  # (n, 10)
-    term = (w & 0x80) == 0
-    first = term.argmax(axis=1)
-    k = np.arange(_MAX_VARINT_BYTES, dtype=np.int64)
-    mask = (k <= first[:, None]).astype(_U64)
-    contrib = (w.astype(_U64) & _U64(0x7F)) << (_U64(7) * k.astype(_U64))
-    values = (contrib * mask).sum(axis=1, dtype=_U64)
-    return values, first.astype(np.int64) + 1
+    cap = len(buf) - 1
+    # tiered windows: in the structure scan most varints are 1 byte
+    # (key lengths, small record lengths), so a full (n, 10) gather is
+    # ~10x the needed work — try 1 byte, then 5, then 10 for stragglers
+    b0 = buf[np.minimum(pos, cap)]
+    values = (b0 & np.uint8(0x7F)).astype(_U64)
+    nbytes = np.ones(n, np.int64)
+    rem = np.flatnonzero(b0 >= 0x80)
+    for width in (5, _MAX_VARINT_BYTES):
+        if len(rem) == 0:
+            return values, nbytes
+        k = np.arange(width, dtype=np.int64)
+        win = pos[rem, None] + k
+        np.minimum(win, cap, out=win)
+        w = buf[win]  # (len(rem), width)
+        term = (w & 0x80) == 0
+        first = term.argmax(axis=1)
+        done = term.any(axis=1)
+        mask = (k <= first[:, None]).astype(_U64)
+        contrib = (w.astype(_U64) & _U64(0x7F)) << (_U64(7) * k.astype(_U64))
+        v = (contrib * mask).sum(axis=1, dtype=_U64)
+        hit = np.flatnonzero(done) if not done.all() else slice(None)
+        values[rem[hit]] = v[hit]
+        nbytes[rem[hit]] = first[hit] + 1
+        rem = rem[~done] if not done.all() else rem[:0]
+    return values, nbytes
 
 
 def encode_varint_scalar(x: int) -> bytes:

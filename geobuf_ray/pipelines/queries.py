@@ -75,7 +75,9 @@ def _broadcast_lookup_aggregate(side_sql: str, label_col: str,
     names = lab.dictionary.to_pylist()
     codes = lab.indices.to_numpy().astype(np.int16)
     span = int(keys.max()) + 1 if len(keys) else 0
-    if 0 <= keys.min(initial=0) and span <= max(4 * len(keys), 1 << 20):
+    dense = bool(0 <= keys.min(initial=0)
+                 and span <= max(4 * len(keys), 1 << 20))
+    if dense:
         # dense FK-integral keys (TPC-H shape): O(1) array lookup
         idx = np.full(span, -1, np.int16)
         idx[keys] = codes
@@ -121,7 +123,7 @@ def _broadcast_lookup_aggregate(side_sql: str, label_col: str,
     # a dimension lookup under ~4 MB rides the task closure — a task
     # pool skips the per-query actor-pool startup latency (measured);
     # bigger lookups keep the ray.put + actor pattern (ship once)
-    nbytes = idx.nbytes if codes is None else keys.nbytes + codes.nbytes
+    nbytes = idx.nbytes if dense else keys.nbytes + codes.nbytes
     if nbytes <= (4 << 20):
         partials = ds_fact.map_batches(JoinFn(), batch_format="pyarrow",
                                        batch_size=None, zero_copy_batch=True)

@@ -373,3 +373,22 @@ def test_multipolygon_empty_polygon_dropped_not_crashed():
         assert dec["poly_sizes"].to_pylist() == [[1]], poly_sizes
         assert dec["ring_sizes"].to_pylist() == [[4]]
         assert dec["coords"].to_pylist() == [ring]
+
+
+def test_frame_boundaries_overflowing_length_varint_raises():
+    """ADVICE r2: a corrupted 10-byte length varint that overflows
+    uint64 into a negative int64 must dead-end (raise), not chain
+    backward into garbage spans."""
+    import numpy as np
+    import pytest
+
+    from geobuf_ray.codec.feature import frame_boundaries
+
+    # 0x0A + varint(2^63) -> int64-negative vlen, then filler bytes
+    bad = bytes([0x0A] + [0x80] * 9 + [0x01]) + b"\x00" * 16
+    data = np.frombuffer(bad, np.uint8)
+    with pytest.raises(ValueError):
+        frame_boundaries(data, partial=False)
+    # partial mode: the corrupt frame is left unconsumed, zero frames
+    starts, lens, consumed = frame_boundaries(data, partial=True)
+    assert len(starts) == 0 and consumed == 0
