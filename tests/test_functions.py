@@ -313,3 +313,55 @@ def test_fingerprint_null_vs_empty_distinct():
 
     fp = fingerprint64(pa.array(["", None, "x"]))
     assert fp[0] != fp[1]
+
+
+def test_minhash_degenerate_bucket_bounded(ray_session):
+    """VERDICT r2 finding #3: 10^4 identical docs (one boilerplate
+    bucket) must complete with bounded work — distributed star-link,
+    no O(bucket^2) pairwise — and still find planted non-degenerate
+    near-dup pairs via the normal verified path."""
+    import ray
+
+    n_boiler = 10_000
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 4
+    texts = [boiler] * n_boiler
+    # planted distinct near-dup pair (ids n, n+1)
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = "the quick brown fox jumps over the lazy dog again and again yes"
+    texts += [a, b]
+    # a loner with nothing similar
+    texts += ["completely unrelated text about spacecraft telemetry"]
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    pairs = dedup.minhash_candidate_pairs(ds, sim_threshold=0.5,
+                                          bucket_cap=64)
+    ids_a = np.asarray(pairs["id_a"].to_pylist())
+    ids_b = np.asarray(pairs["id_b"].to_pylist())
+    trunc = np.asarray(pairs["truncated"].to_pylist())
+    # bounded output: star links are O(members), never O(members^2)
+    assert pairs.num_rows < 3 * n_boiler
+    # the boilerplate cluster is fully linked (union-find collapses it)
+    labels = dedup.connected_components(list(zip(ids_a, ids_b)))
+    boiler_roots = {labels.get(i, i) for i in range(n_boiler)}
+    assert boiler_roots == {0}
+    # the planted pair arrives VERIFIED (normal-width bucket)
+    planted = np.flatnonzero((ids_a == n_boiler) & (ids_b == n_boiler + 1))
+    assert len(planted) == 1 and not trunc[planted[0]]
+    # star pairs are flagged
+    assert trunc[(ids_a < n_boiler) & (ids_b < n_boiler)].all()
+
+
+def test_minhash_dedup_degenerate_collapses(ray_session):
+    import ray
+
+    boiler = "all work and no play makes jack a dull boy " * 3
+    texts = [boiler] * 2000 + ["something else entirely here"]
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    kept_ds, dropped = dedup.minhash_dedup(ds, sim_threshold=0.9,
+                                           bucket_cap=64)
+    kept_ids = {r["doc_id"] for r in kept_ds.take_all()}
+    assert len(dropped) == 1999          # one representative survives
+    assert 0 in kept_ids and 2000 in kept_ids
