@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region_shuffle": q.revenue_by_region_shuffle,
         "customers_without_orders": q.customers_without_orders,
         "top_lineitems_per_supplier": q.top_lineitems_per_supplier,
+        "min_price_lineitems": q.min_price_lineitems,
         # spatial engine (A1 bbox, M tile assign, A3 tile counts,
         # §2.5 PIP join + kNN, M1/M2 codec round-trip)
         "points_bbox": q.points_bbox,
@@ -222,6 +223,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "min_price_lineitems": """
+            SELECT l.l_orderkey, l.l_partkey, l.l_suppkey,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+            FROM lineitem l
+            JOIN (
+                SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS mp
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ) g ON l.l_partkey = g.l_partkey AND l.l_suppkey = g.l_suppkey
+            WHERE l.l_extendedprice = g.mp
         """,
         "parts_by_brand": """
             SELECT p_brand,

@@ -55,11 +55,38 @@ def _key_hash(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return x ^ (x >> np.uint64(32))
 
 
-def hash_join(left, right, on: str, *, how: str = "inner",
+def _combined_hash(tbl: pa.Table, cols: list[str]) -> np.ndarray:
+    """Order-sensitive mix of the per-column hashes (composite keys).
+
+    The accumulator is MULTIPLIED before each xor — a plain
+    ``hash(c0) ^ hash(c1)`` cancels to the same value for every
+    ``(a, a)`` pair since both columns use the same mix."""
+    h = _key_hash(tbl[cols[0]])
+    for i, c in enumerate(cols[1:], start=1):
+        x = (h * _P1 + np.uint64(2 * i + 1)) ^ _key_hash(tbl[c])
+        x = (x ^ (x >> np.uint64(33))) * _P2
+        h = x ^ (x >> np.uint64(31))
+    return h
+
+
+def _null_any(tbl: pa.Table, cols: list[str], n: int) -> np.ndarray:
+    """True where ANY key column is null (SQL: matches nothing)."""
+    out = np.zeros(n, bool)
+    for c in cols:
+        col = tbl[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            out |= col.is_null().to_numpy(zero_copy_only=False)
+    return out
+
+
+def hash_join(left, right, on, *, how: str = "inner",
               nbuckets: int = 64, rsuffix: str = "_r",
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None, **map_kwargs):
-    """Equi-join two Datasets on column ``on``.
+    """Equi-join two Datasets on column ``on`` (a name or a list of
+    names for a composite key).
 
     Returns a Dataset with the left columns plus the right columns
     (minus the key; name collisions get ``rsuffix``).  ``how`` is
@@ -69,16 +96,17 @@ def hash_join(left, right, on: str, *, how: str = "inner",
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
+    on_cols = [on] if isinstance(on, str) else list(on)
     l_schema = left_schema if left_schema is not None else left.schema()
     r_schema = right_schema if right_schema is not None else right.schema()
     l_names = list(l_schema.names)
     l_types = dict(zip(l_schema.names, l_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))
-    r_names = [n for n in r_schema.names if n != on]
+    r_names = [n for n in r_schema.names if n not in on_cols]
     out_r_names = [n + rsuffix if n in l_names else n for n in r_names]
 
     def stamp_left(batch: pa.Table) -> pa.Table:
-        h = _key_hash(batch[on]) % np.uint64(nbuckets)
+        h = _combined_hash(batch, on_cols) % np.uint64(nbuckets)
         cols = {n: batch[n] for n in l_names}
         for rn, orn in zip(r_names, out_r_names):
             cols[orn] = pa.nulls(batch.num_rows, r_types[rn])
@@ -87,10 +115,10 @@ def hash_join(left, right, on: str, *, how: str = "inner",
         return pa.table(cols)
 
     def stamp_right(batch: pa.Table) -> pa.Table:
-        h = _key_hash(batch[on]) % np.uint64(nbuckets)
+        h = _combined_hash(batch, on_cols) % np.uint64(nbuckets)
         cols = {}
         for n in l_names:
-            cols[n] = (batch[on] if n == on
+            cols[n] = (batch[n] if n in on_cols
                        else pa.nulls(batch.num_rows, l_types[n]))
         for rn, orn in zip(r_names, out_r_names):
             cols[orn] = batch[rn]
@@ -108,18 +136,17 @@ def hash_join(left, right, on: str, *, how: str = "inner",
 
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group["__side"].to_numpy(zero_copy_only=False)
-        key_col = group[on]
-        if isinstance(key_col, pa.ChunkedArray):
-            key_col = key_col.combine_chunks()
-        # SQL null semantics: a NULL key matches nothing — null right
-        # rows vanish; null left rows survive only as how="left" misses
-        knull = (key_col.is_null().to_numpy(zero_copy_only=False)
-                 if key_col.null_count else np.zeros(len(side), bool))
+        # SQL null semantics: a NULL in ANY key column matches nothing —
+        # null right rows vanish; null left rows survive only as
+        # how="left" misses
+        knull = _null_any(group, on_cols, len(side))
         li = np.flatnonzero((side == 0) & ~knull)
         null_li = np.flatnonzero((side == 0) & knull)
         ri = np.flatnonzero((side == 1) & ~knull)
-        lkeys = _key_hash(group[on].take(pa.array(li, pa.int64())))
-        rkeys = _key_hash(group[on].take(pa.array(ri, pa.int64())))
+        lkeys = _combined_hash(
+            group.take(pa.array(li, pa.int64())), on_cols)
+        rkeys = _combined_hash(
+            group.take(pa.array(ri, pa.int64())), on_cols)
         # local join: sort right, range-match every left key at once
         order = np.argsort(rkeys, kind="stable")
         rk = rkeys[order]
@@ -136,17 +163,22 @@ def hash_join(left, right, on: str, *, how: str = "inner",
         for orn in out_r_names:
             cols[orn] = rtab[orn]
         out = pa.table(cols)
-        # integer keys: the mix is invertible, hash-match IS key-match.
-        # every other type (string fingerprints, float bit patterns,
-        # ...): verify the actual values to kill collisions and to give
-        # NaN keys SQL's matches-nothing semantics
-        kt = group.schema.field(on).type
+        # single integer key: the mix is invertible, hash-match IS
+        # key-match.  composite keys and every other type (string
+        # fingerprints, float bit patterns, ...): verify the actual
+        # values to kill collisions and to give NaN keys SQL's
+        # matches-nothing semantics
+        needs_verify = len(on_cols) > 1 or not pa.types.is_integer(
+            group.schema.field(on_cols[0]).type)
         match_cnt = cnt
-        if not pa.types.is_integer(kt):
+        if needs_verify:
             import pyarrow.compute as pc
 
-            rkeys_exp = group[on].take(pa.array(ri[r_exp], pa.int64()))
-            eq = pc.equal(ltab[on], rkeys_exp)
+            rtab_keys = group.take(pa.array(ri[r_exp], pa.int64()))
+            eq = None
+            for c in on_cols:
+                e = pc.equal(ltab[c], rtab_keys[c])
+                eq = e if eq is None else pc.and_(eq, e)
             eqm = eq.to_numpy(zero_copy_only=False)
             out = out.filter(eq)
             if how == "left":
@@ -271,13 +303,17 @@ def range_join(points, intervals, *, value: str, lo: str, hi: str,
         join_bin, batch_format="pyarrow")
 
 
-def asof_join(left, right, on: str, *, left_time: str, right_time: str,
+def asof_join(left, right, on, *, left_time: str, right_time: str,
               nbuckets: int = 64, rsuffix: str = "_r",
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None, **map_kwargs):
     """As-of join: each left row matches the LATEST right row with the
-    same key and ``right_time <= left_time`` (inner semantics: left
-    rows with no prior right row drop).
+    same key (``on``: a column name or list of names) and
+    ``right_time <= left_time`` (inner semantics: left rows with no
+    prior right row drop).  Rows with a NULL in any key column match
+    nothing.  Composite / non-integer keys rely on the 64-bit combined
+    hash (collision probability ~2^-64 per key pair); the segment
+    kernel does not re-verify values.
 
     Same hash-bucket co-group shape as :func:`hash_join`; the per-bucket
     kernel is one lexsort of the merged rows by (key, time, side) —
@@ -287,23 +323,24 @@ def asof_join(left, right, on: str, *, left_time: str, right_time: str,
     in sort order (sort the right side's tiebreak columns into
     ``right_time`` order upstream if that matters).
     """
+    on_cols = [on] if isinstance(on, str) else list(on)
     l_schema = left_schema if left_schema is not None else left.schema()
     r_schema = right_schema if right_schema is not None else right.schema()
     l_names = list(l_schema.names)
     l_types = dict(zip(l_schema.names, l_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))
-    r_names = [n for n in r_schema.names if n not in (on,)]
+    r_names = [n for n in r_schema.names if n not in on_cols]
     out_r_names = [n + rsuffix if n in l_names else n for n in r_names]
 
     def stamp(side_id):
         def fn(batch: pa.Table) -> pa.Table:
-            h = _key_hash(batch[on]) % np.uint64(nbuckets)
+            h = _combined_hash(batch, on_cols) % np.uint64(nbuckets)
             cols = {}
             for n in l_names:
                 if side_id == 0:
                     cols[n] = batch[n]
                 else:
-                    cols[n] = (batch[on] if n == on
+                    cols[n] = (batch[n] if n in on_cols
                                else pa.nulls(batch.num_rows, l_types[n]))
             for rn, orn in zip(r_names, out_r_names):
                 cols[orn] = (batch[rn] if side_id == 1
@@ -346,8 +383,9 @@ def asof_join(left, right, on: str, *, left_time: str, right_time: str,
 
     def asof_bucket(group: pa.Table) -> pa.Table:
         side = group["__side"].to_numpy(zero_copy_only=False)
-        keys = _key_hash(group[on])
+        keys = _combined_hash(group, on_cols)
         n = group.num_rows
+        knull = _null_any(group, on_cols, n)
         tl, null_l, int_l = _time_axis(group[left_time], n)
         tr, null_r, int_r = _time_axis(group[rtime_out], n)
         # one merged time axis; int64 end-to-end when both sides are
@@ -357,9 +395,10 @@ def asof_join(left, right, on: str, *, left_time: str, right_time: str,
         else:
             t = np.where(side == 0, tl.astype(np.float64),
                          tr.astype(np.float64))
-        # SQL comparison semantics: a NULL time matches nothing (an
-        # unmasked null would sort somewhere real and falsely match)
-        ok_rows = ~np.where(side == 0, null_l, null_r)
+        # SQL comparison semantics: a NULL time or NULL key matches
+        # nothing (an unmasked null would sort somewhere real and
+        # falsely match)
+        ok_rows = ~(np.where(side == 0, null_l, null_r) | knull)
         if not ok_rows.all():
             sel = np.flatnonzero(ok_rows)
             group = group.take(pa.array(sel, pa.int64()))

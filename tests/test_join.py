@@ -282,3 +282,68 @@ def test_float_key_nan_matches_nothing(ray_session):
                    nbuckets=2).to_pandas().sort_values("lv")
     assert len(lj) == 2
     assert lj[lj.lv == 1]["rv"].isna().all()  # NaN row -> miss, kept
+
+
+def test_composite_key_join_matches_duckdb(ray_session):
+    """VERDICT r2 item #7: hash_join(on=[two columns])."""
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    left = pa.table({"k1": pa.array(rng.integers(0, 20, n), pa.int64()),
+                     "k2": pa.array(rng.integers(0, 20, n), pa.int64()),
+                     "lv": pa.array(np.arange(n), pa.int64())})
+    right = pa.table({"k1": pa.array(rng.integers(0, 20, 300), pa.int64()),
+                      "k2": pa.array(rng.integers(0, 20, 300), pa.int64()),
+                      "rv": pa.array(np.arange(300), pa.int64())})
+    out = hash_join(_ds(left, 3), _ds(right, 2), on=["k1", "k2"], nbuckets=8)
+    got = out.to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("l", left); con.register("r", right)
+    exp = con.execute(
+        "SELECT lv, rv FROM l JOIN r ON l.k1 = r.k1 AND l.k2 = r.k2 "
+        "ORDER BY lv, rv").fetchdf()
+    assert len(got) == len(exp)
+    assert (got[["lv", "rv"]].values == exp.values).all()
+    # left join: misses survive with nulls
+    lj = hash_join(_ds(left, 3), _ds(right, 2), on=["k1", "k2"],
+                   how="left", nbuckets=8).to_pandas()
+    exp_lj = con.execute(
+        "SELECT lv, rv FROM l LEFT JOIN r ON l.k1 = r.k1 AND l.k2 = r.k2"
+    ).fetchdf()
+    assert len(lj) == len(exp_lj)
+
+
+def test_composite_key_asof_matches_duckdb(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.join import asof_join
+
+    rng = np.random.default_rng(13)
+    nl, nr = 400, 250
+    left = pa.table({"k1": pa.array(rng.integers(0, 8, nl), pa.int64()),
+                     "k2": pa.array(rng.integers(0, 8, nl), pa.int64()),
+                     "lt": pa.array(rng.integers(0, 500, nl), pa.int64()),
+                     "ev": pa.array(np.arange(nl), pa.int64())})
+    pairs = set()
+    while len(pairs) < nr:
+        pairs.add((int(rng.integers(0, 8)), int(rng.integers(0, 8)),
+                   int(rng.integers(0, 500))))
+    k1, k2, ts = zip(*sorted(pairs))
+    right = pa.table({"k1": pa.array(k1, pa.int64()),
+                      "k2": pa.array(k2, pa.int64()),
+                      "rt": pa.array(ts, pa.int64()),
+                      "rv": pa.array(np.arange(nr), pa.int64())})
+    out = asof_join(_ds(left, 3), _ds(right, 2), on=["k1", "k2"],
+                    left_time="lt", right_time="rt", nbuckets=8)
+    got = out.to_pandas().sort_values("ev").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("l", left); con.register("r", right)
+    exp = con.execute("""
+        SELECT ev, rv FROM (
+            SELECT l.ev, r.rv,
+                   row_number() OVER (PARTITION BY l.ev ORDER BY r.rt DESC) rn
+            FROM l JOIN r ON l.k1 = r.k1 AND l.k2 = r.k2 AND r.rt <= l.lt
+        ) WHERE rn = 1 ORDER BY ev""").fetchdf()
+    assert len(got) == len(exp)
+    assert (got[["ev", "rv"]].values == exp[["ev", "rv"]].values).all()
