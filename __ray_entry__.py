@@ -398,10 +398,38 @@ def oracle_sql() -> dict[str, str]:
               AND lat >= (-85.0 + (s_suppkey * 53) % 160)
               AND lat <= (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005)
         """,
-        # docs_langid / docs_fingerprint / docs_minhash_pairs /
-        # docs_simhash_pairs / embeddings_dup_pairs / images_*: no SQL
-        # equivalent (hash sketches, heuristic classifier, procedural
-        # image payloads) -> rows-only checks
+        # FNV-1a 64-bit document fingerprint as SQL: recursive CTE over
+        # the utf8 BYTES (hex(encode(text)) + strpos nibble decode) in
+        # HUGEINT mod 2^64 — bit-identical to functions/text.py
+        # fingerprint64 (asserted by tools/check_oracles)
+        "docs_fingerprint": """
+            WITH RECURSIVE b AS (
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS nb
+                FROM documents
+            ),
+            fnv AS (
+                SELECT doc_id, hx, nb, 0 AS j,
+                       CAST(14695981039346656037 AS HUGEINT) AS h
+                FROM b
+                UNION ALL
+                SELECT doc_id, hx, nb, j + 1,
+                    (xor(h, CAST(
+                        strpos('123456789ABCDEF', substr(hx, 2*j + 1, 1)) * 16 +
+                        strpos('123456789ABCDEF', substr(hx, 2*j + 2, 1)) AS HUGEINT))
+                     * 1099511628211) % 18446744073709551616
+                FROM fnv WHERE j < nb
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN h >= 9223372036854775808
+                             THEN h - 18446744073709551616
+                             ELSE h END AS BIGINT) AS fingerprint
+            FROM fnv WHERE j = nb
+        """,
+        # docs_langid / docs_minhash_pairs / docs_simhash_pairs /
+        # embeddings_dup_pairs / images_decode_stats|resize / audio / video:
+        # no SQL equivalent (hash sketches, heuristic classifier,
+        # procedural media payloads) -> rows-only checks
         "embeddings_topk": """
             SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id FROM (
                 SELECT qv.vec_id AS query_id, e.vec_id AS vec_id,
