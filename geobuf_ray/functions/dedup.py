@@ -648,19 +648,48 @@ def simhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
     def emit_blocks(batch: pa.Table) -> pa.Table:
         h = simhash64(batch[text_col])
         ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        n = len(h)
-        block_ix = np.tile(np.arange(4, dtype=np.uint64), n)
-        hh = np.repeat(h, 4)
-        blocks = (hh >> (block_ix * np.uint64(16))) & np.uint64(0xFFFF)
-        bucket = (block_ix << np.uint64(16)) | blocks
-        return pa.table({
-            id_col: pa.array(np.repeat(ids, 4)),
-            "bucket": pa.array(bucket, pa.uint64()),
-            "simhash": pa.array(hh, pa.uint64()),
-        })
+        return _block_rows(h, ids, id_col)
 
     sig = ds.map_batches(emit_blocks, batch_format="pyarrow",
                          zero_copy_batch=True, **map_kwargs).materialize()
+    return _hamming_pairs_from_blocks(sig, id_col, max_distance, bucket_cap)
+
+
+def _block_rows(h: np.ndarray, ids: np.ndarray, id_col: str) -> pa.Table:
+    """(id, bucket, simhash) rows: 4 x 16-bit pigeonhole blocks."""
+    n = len(h)
+    block_ix = np.tile(np.arange(4, dtype=np.uint64), n)
+    hh = np.repeat(h.astype(np.uint64), 4)
+    blocks = (hh >> (block_ix * np.uint64(16))) & np.uint64(0xFFFF)
+    bucket = (block_ix << np.uint64(16)) | blocks
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, 4)),
+        "bucket": pa.array(bucket, pa.uint64()),
+        "simhash": pa.array(hh, pa.uint64()),
+    })
+
+
+def hash64_candidate_pairs(ds, *, hash_col, id_col, max_distance=3,
+                           bucket_cap=256, **map_kwargs):
+    """Hamming-distance pairs over an EXISTING 64-bit hash column
+    (e.g. an image table's ``phash`` — the north_rule's
+    phash-as-joinable-payload shape).  Same 4-block pigeonhole LSH,
+    hot-bucket bounding, and output schema as
+    :func:`simhash_candidate_pairs`."""
+
+    def emit_blocks(batch: pa.Table) -> pa.Table:
+        h = (batch[hash_col].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64))
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return _block_rows(h, ids, id_col)
+
+    sig = ds.map_batches(emit_blocks, batch_format="pyarrow",
+                         zero_copy_batch=True, **map_kwargs).materialize()
+    return _hamming_pairs_from_blocks(sig, id_col, max_distance, bucket_cap)
+
+
+def _hamming_pairs_from_blocks(sig, id_col: str, max_distance: int,
+                               bucket_cap: int) -> pa.Table:
 
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),

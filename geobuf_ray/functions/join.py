@@ -93,6 +93,11 @@ def hash_join(left, right, on, *, how: str = "inner",
     ``"inner"`` or ``"left"``.  Passing ``left_schema``/``right_schema``
     (pyarrow) skips the ``Dataset.schema()`` peek, which otherwise
     executes one upstream block per side.
+
+    Routing goes through :func:`~geobuf_ray.functions.exchange.
+    hash_cogroup` — the raw-task simple shuffle — so each side ships
+    only its own columns; the per-bucket kernel is one vectorized
+    sort + searchsorted expansion, no per-row Python.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
@@ -104,49 +109,27 @@ def hash_join(left, right, on, *, how: str = "inner",
     r_types = dict(zip(r_schema.names, r_schema.types))
     r_names = [n for n in r_schema.names if n not in on_cols]
     out_r_names = [n + rsuffix if n in l_names else n for n in r_names]
+    l_pa_schema = pa.schema([(n, l_types[n]) for n in l_names])
+    r_pa_schema = pa.schema([(n, r_types[n]) for n in r_schema.names])
+    # single integer key: the mix is invertible, hash-match IS
+    # key-match.  composite keys and every other type (string
+    # fingerprints, float bit patterns, ...): verify the actual values
+    # to kill collisions and to give NaN keys SQL's matches-nothing
+    # semantics
+    needs_verify = len(on_cols) > 1 or not pa.types.is_integer(
+        l_types[on_cols[0]])
 
-    def stamp_left(batch: pa.Table) -> pa.Table:
-        h = _combined_hash(batch, on_cols) % np.uint64(nbuckets)
-        cols = {n: batch[n] for n in l_names}
-        for rn, orn in zip(r_names, out_r_names):
-            cols[orn] = pa.nulls(batch.num_rows, r_types[rn])
-        cols["__bucket"] = pa.array(h.astype(np.int32))
-        cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8))
-        return pa.table(cols)
-
-    def stamp_right(batch: pa.Table) -> pa.Table:
-        h = _combined_hash(batch, on_cols) % np.uint64(nbuckets)
-        cols = {}
-        for n in l_names:
-            cols[n] = (batch[n] if n in on_cols
-                       else pa.nulls(batch.num_rows, l_types[n]))
-        for rn, orn in zip(r_names, out_r_names):
-            cols[orn] = batch[rn]
-        cols["__bucket"] = pa.array(h.astype(np.int32))
-        cols["__side"] = pa.array(np.ones(batch.num_rows, np.int8))
-        return pa.table(cols)
-
-    tagged = left.map_batches(
-        stamp_left, batch_format="pyarrow", zero_copy_batch=True,
-        **map_kwargs,
-    ).union(right.map_batches(
-        stamp_right, batch_format="pyarrow", zero_copy_batch=True,
-        **map_kwargs,
-    ))
-
-    def join_bucket(group: pa.Table) -> pa.Table:
-        side = group["__side"].to_numpy(zero_copy_only=False)
+    def join_bucket(lt: pa.Table, rt: pa.Table) -> pa.Table:
         # SQL null semantics: a NULL in ANY key column matches nothing —
         # null right rows vanish; null left rows survive only as
         # how="left" misses
-        knull = _null_any(group, on_cols, len(side))
-        li = np.flatnonzero((side == 0) & ~knull)
-        null_li = np.flatnonzero((side == 0) & knull)
-        ri = np.flatnonzero((side == 1) & ~knull)
-        lkeys = _combined_hash(
-            group.take(pa.array(li, pa.int64())), on_cols)
-        rkeys = _combined_hash(
-            group.take(pa.array(ri, pa.int64())), on_cols)
+        knull_l = _null_any(lt, on_cols, lt.num_rows)
+        knull_r = _null_any(rt, on_cols, rt.num_rows)
+        li = np.flatnonzero(~knull_l)
+        null_li = np.flatnonzero(knull_l)
+        ri = np.flatnonzero(~knull_r)
+        lkeys = _combined_hash(lt, on_cols)[li]
+        rkeys = _combined_hash(rt, on_cols)[ri]
         # local join: sort right, range-match every left key at once
         order = np.argsort(rkeys, kind="stable")
         rk = rkeys[order]
@@ -157,27 +140,19 @@ def hash_join(left, right, on, *, how: str = "inner",
         from ..codec.varint import ramp
 
         r_exp = order[np.repeat(lo, cnt) + ramp(cnt)]
-        ltab = group.take(pa.array(li[l_exp], pa.int64()))
-        rtab = group.take(pa.array(ri[r_exp], pa.int64()))
+        ltab = lt.take(pa.array(li[l_exp], pa.int64()))
+        rtab = rt.take(pa.array(ri[r_exp], pa.int64()))
         cols = {n: ltab[n] for n in l_names}
-        for orn in out_r_names:
-            cols[orn] = rtab[orn]
+        for rn, orn in zip(r_names, out_r_names):
+            cols[orn] = rtab[rn]
         out = pa.table(cols)
-        # single integer key: the mix is invertible, hash-match IS
-        # key-match.  composite keys and every other type (string
-        # fingerprints, float bit patterns, ...): verify the actual
-        # values to kill collisions and to give NaN keys SQL's
-        # matches-nothing semantics
-        needs_verify = len(on_cols) > 1 or not pa.types.is_integer(
-            group.schema.field(on_cols[0]).type)
         match_cnt = cnt
         if needs_verify:
             import pyarrow.compute as pc
 
-            rtab_keys = group.take(pa.array(ri[r_exp], pa.int64()))
             eq = None
             for c in on_cols:
-                e = pc.equal(ltab[c], rtab_keys[c])
+                e = pc.equal(ltab[c], rtab[c])
                 eq = e if eq is None else pc.and_(eq, e)
             eqm = eq.to_numpy(zero_copy_only=False)
             out = out.filter(eq)
@@ -190,15 +165,19 @@ def hash_join(left, right, on, *, how: str = "inner",
             miss_rows = np.concatenate((li[np.flatnonzero(match_cnt == 0)],
                                         null_li))
             if len(miss_rows):
-                mtab = group.take(pa.array(miss_rows, pa.int64()))
+                mtab = lt.take(pa.array(miss_rows, pa.int64()))
                 mcols = {n: mtab[n] for n in l_names}
-                for orn, rn in zip(out_r_names, r_names):
+                for rn, orn in zip(r_names, out_r_names):
                     mcols[orn] = pa.nulls(len(miss_rows), r_types[rn])
                 out = pa.concat_tables([out, pa.table(mcols)])
         return out
 
-    return tagged.groupby("__bucket").map_groups(
-        join_bucket, batch_format="pyarrow")
+    from .exchange import hash_cogroup
+
+    return hash_cogroup(left, right, nbuckets=nbuckets,
+                        left_on=on_cols, right_on=on_cols,
+                        reduce_fn=join_bucket,
+                        left_schema=l_pa_schema, right_schema=r_pa_schema)
 
 
 def range_join(points, intervals, *, value: str, lo: str, hi: str,
@@ -331,35 +310,8 @@ def asof_join(left, right, on, *, left_time: str, right_time: str,
     r_types = dict(zip(r_schema.names, r_schema.types))
     r_names = [n for n in r_schema.names if n not in on_cols]
     out_r_names = [n + rsuffix if n in l_names else n for n in r_names]
-
-    def stamp(side_id):
-        def fn(batch: pa.Table) -> pa.Table:
-            h = _combined_hash(batch, on_cols) % np.uint64(nbuckets)
-            cols = {}
-            for n in l_names:
-                if side_id == 0:
-                    cols[n] = batch[n]
-                else:
-                    cols[n] = (batch[n] if n in on_cols
-                               else pa.nulls(batch.num_rows, l_types[n]))
-            for rn, orn in zip(r_names, out_r_names):
-                cols[orn] = (batch[rn] if side_id == 1
-                             else pa.nulls(batch.num_rows, r_types[rn]))
-            cols["__bucket"] = pa.array(h.astype(np.int32))
-            cols["__side"] = pa.array(
-                np.full(batch.num_rows, side_id, np.int8))
-            return pa.table(cols)
-
-        fn.__name__ = f"stamp_side{side_id}"
-        return fn
-
-    tagged = left.map_batches(
-        stamp(0), batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
-    ).union(right.map_batches(
-        stamp(1), batch_format="pyarrow", zero_copy_batch=True, **map_kwargs))
-
-    rtime_out = (right_time + rsuffix if right_time in l_names
-                 else right_time)
+    l_pa_schema = pa.schema([(n, l_types[n]) for n in l_names])
+    r_pa_schema = pa.schema([(n, r_types[n]) for n in r_schema.names])
 
     def _time_axis(col, n: int):
         """(values, null_mask, is_int) — int64 domain for integer and
@@ -381,28 +333,33 @@ def asof_join(left, right, on, *, left_time: str, right_time: str,
         v = col.to_numpy(zero_copy_only=False).astype(np.float64)
         return v, null | np.isnan(v), False
 
-    def asof_bucket(group: pa.Table) -> pa.Table:
-        side = group["__side"].to_numpy(zero_copy_only=False)
-        keys = _combined_hash(group, on_cols)
-        n = group.num_rows
-        knull = _null_any(group, on_cols, n)
-        tl, null_l, int_l = _time_axis(group[left_time], n)
-        tr, null_r, int_r = _time_axis(group[rtime_out], n)
-        # one merged time axis; int64 end-to-end when both sides are
-        # integer-typed, float64 only when a side genuinely is float
-        if int_l and int_r:
-            t = np.where(side == 0, tl, tr)
-        else:
-            t = np.where(side == 0, tl.astype(np.float64),
-                         tr.astype(np.float64))
+    def asof_bucket(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        nl_, nr_ = lt.num_rows, rt.num_rows
         # SQL comparison semantics: a NULL time or NULL key matches
         # nothing (an unmasked null would sort somewhere real and
         # falsely match)
-        ok_rows = ~(np.where(side == 0, null_l, null_r) | knull)
-        if not ok_rows.all():
-            sel = np.flatnonzero(ok_rows)
-            group = group.take(pa.array(sel, pa.int64()))
-            side, keys, t = side[sel], keys[sel], t[sel]
+        tl, null_l, int_l = _time_axis(lt[left_time], nl_)
+        tr, null_r, int_r = _time_axis(rt[right_time], nr_)
+        sl = np.flatnonzero(~(null_l | _null_any(lt, on_cols, nl_)))
+        sr = np.flatnonzero(~(null_r | _null_any(rt, on_cols, nr_)))
+        keys = np.concatenate([_combined_hash(lt, on_cols)[sl],
+                               _combined_hash(rt, on_cols)[sr]])
+        # one merged time axis; int64 end-to-end when both sides are
+        # integer-typed, float64 only when a side genuinely is float
+        if int_l and int_r:
+            t = np.concatenate([tl[sl], tr[sr]])
+        else:
+            t = np.concatenate([tl[sl].astype(np.float64),
+                                tr[sr].astype(np.float64)])
+        if len(sl) == 0 or len(sr) == 0:  # inner: nothing can match
+            ltab = lt.take(pa.array([], pa.int64()))
+            rtab = rt.take(pa.array([], pa.int64()))
+            cols = {n: ltab[n] for n in l_names}
+            for rn, orn in zip(r_names, out_r_names):
+                cols[orn] = rtab[rn]
+            return pa.table(cols)
+        side = np.concatenate([np.zeros(len(sl), np.int8),
+                               np.ones(len(sr), np.int8)])
         # right rows sort BEFORE left at equal (key, time) so an
         # equal-time right is visible to its left row
         order = np.lexsort((1 - side, t, keys))
@@ -422,16 +379,20 @@ def asof_join(left, right, on, *, left_time: str, right_time: str,
         last_pos = np.where(acc // (n_all + 1) == seg_id,
                             acc % (n_all + 1) - 1, -1)
         is_left = ss == 0
-        lrows = order[is_left]
+        lrows = order[is_left]          # merged positions (< len(sl))
         lp = last_pos[is_left]
         ok = lp >= 0
-        match = np.where(ok, order[np.maximum(lp, 0)], -1)
-        ltab = group.take(pa.array(lrows[ok], pa.int64()))
-        rtab = group.take(pa.array(match[ok], pa.int64()))
+        match = order[np.maximum(lp, 0)]  # merged positions of rights
+        ltab = lt.take(pa.array(sl[lrows[ok]], pa.int64()))
+        rtab = rt.take(pa.array(sr[match[ok] - len(sl)], pa.int64()))
         cols = {n: ltab[n] for n in l_names}
-        for orn in out_r_names:
-            cols[orn] = rtab[orn]
+        for rn, orn in zip(r_names, out_r_names):
+            cols[orn] = rtab[rn]
         return pa.table(cols)
 
-    return tagged.groupby("__bucket").map_groups(
-        asof_bucket, batch_format="pyarrow")
+    from .exchange import hash_cogroup
+
+    return hash_cogroup(left, right, nbuckets=nbuckets,
+                        left_on=on_cols, right_on=on_cols,
+                        reduce_fn=asof_bucket,
+                        left_schema=l_pa_schema, right_schema=r_pa_schema)

@@ -145,6 +145,42 @@ def test_simhash_pairs(ray_session):
     assert want == got
 
 
+def test_hash64_pairs_over_phash_column(ray_session):
+    """hash64_candidate_pairs over an EXISTING int64 hash column (the
+    image table's phash — north_rule's joinable-payload shape), with
+    planted near-duplicate hashes, vs the brute-force Hamming oracle."""
+    import ray
+
+    from geobuf_ray.io.images import synthesize_image_table
+
+    tbl = synthesize_image_table(120)
+    ph = (tbl["phash"].to_numpy(zero_copy_only=False)
+          .astype(np.int64).view(np.uint64).copy())
+    # plant near-dups: rows 100..119 mirror rows 0..19 with <=3 bits
+    # flipped (pigeonhole: guaranteed recall at max_distance=3)
+    rng = np.random.default_rng(5)
+    for j in range(20):
+        h = ph[j]
+        for b in rng.choice(64, size=int(rng.integers(0, 4)), replace=False):
+            h ^= np.uint64(1) << np.uint64(b)
+        ph[100 + j] = h
+    ids = np.arange(len(ph), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "img_idx": pa.array(ids),
+        "phash": pa.array(ph.view(np.int64)),
+    })).repartition(3)
+    pairs = dedup.hash64_candidate_pairs(
+        ds, hash_col="phash", id_col="img_idx", max_distance=3)
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    want = set()
+    for i in range(len(ph)):
+        d = dedup.hamming_distance(ph[i], ph[i + 1:])
+        for off in np.flatnonzero(d <= 3):
+            want.add((int(ids[i]), int(ids[i + 1 + int(off)])))
+    assert want == got
+    assert len(want) >= 20  # the planted pairs actually exist
+
+
 def test_hamming_distance_kernel():
     a = np.array([0, 0b1011, 2**63], np.uint64)
     b = np.array([0, 0b0010, 0], np.uint64)
