@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_tile_counts": q.images_tile_counts,
         "images_in_rects": q.images_in_rects,
         "images_resize": q.images_resize,
+        "images_phash_pairs": q.images_phash_pairs,
         # audio / video pipelines (rows-only: procedural payloads)
         "audio_features": q.audio_features,
         "audio_resample": q.audio_resample,

@@ -206,22 +206,43 @@ def synthesize_rows(indices) -> pa.Table:
     shuffle of indices reproduces identical rows — the property that
     makes distributed synthesis chunking-independent."""
     seed = 42
-    ids, blobs, ws, hs, fmts, caps, ph = [], [], [], [], [], [], []
-    for i in (int(x) for x in indices):
+
+    def row_core(i: int):
+        """(w, h, pixels, caption) for index i — shared by originals
+        and their planted near-duplicates."""
         r = np.random.default_rng(seed * 1_000_003 + i)
-        image_id = f"img{i:012d}"
         w = int(_SIZES[r.integers(0, len(_SIZES))])
         h = int(_SIZES[r.integers(0, len(_SIZES))])
-        px = procedural_pixels(image_id, w, h)
+        px = procedural_pixels(f"img{i:012d}", w, h)
         lossy = bool(r.integers(0, 2))
+        cap = " ".join(r.choice(_CAPTION_WORDS, 6 + int(r.integers(0, 6))))
+        return w, h, px, lossy, cap
+
+    ids, blobs, ws, hs, fmts, caps, ph = [], [], [], [], [], [], []
+    for i in (int(x) for x in indices):
+        image_id = f"img{i:012d}"
+        w, h, px, lossy, cap = row_core(i)
+        # planted near-duplicates (web-scale corpora are full of them):
+        # every 23rd row re-uses row i-7's image with one pixel nudged
+        # and the same caption — phash lands within a few bits of the
+        # base, exercising the phash-LSH dedup path end-to-end.  The
+        # rule is a pure function of i, so synthesis stays chunking-
+        # independent (the base row is re-derived, never looked up).
+        if i >= 23 and i % 23 == 11:
+            w, h, px, _, cap = row_core(i - 7)
+            px = px.copy()
+            # brighten one phash block's worth of pixels: most pairs
+            # stay at distance 0, some land at 1-3 bits
+            px[: h // 8, : w // 8] = np.minimum(
+                px[: h // 8, : w // 8].astype(np.int16) + 4 + (i % 5),
+                255).astype(np.uint8)
         data = encode_quantz(px) if lossy else encode_rawz(px)
-        cap_words = r.choice(_CAPTION_WORDS, 6 + int(r.integers(0, 6)))
         ids.append(image_id)
         blobs.append(data)
         ws.append(w)
         hs.append(h)
         fmts.append("quantz" if lossy else "rawz")
-        caps.append(" ".join(cap_words))
+        caps.append(cap)
         ph.append(phash64(px))
     return pa.table({
         "image_id": pa.array(ids, pa.string()),

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..spatial import tiles
 
@@ -1223,7 +1224,8 @@ def _cached_media_ds(kind: str, n: int, synth_fn):
 
     import ray
 
-    path = f"/tmp/geobuf_ray_media/{kind}_{n}"
+    # v2: image corpus gained planted near-duplicate rows
+    path = f"/tmp/geobuf_ray_media/{kind}_v2_{n}"
     if not os.path.isdir(path) or not os.listdir(path):
         # atomic publish: write to a scratch dir, rename into place so a
         # crashed first run can never leave a half-written cache
@@ -1406,6 +1408,40 @@ def images_decode_stats(sf_dir: str):
         })
 
     return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def images_phash_pairs(sf_dir: str, max_distance: int = 3):
+    """Near-duplicate image pairs by perceptual-hash Hamming LSH — the
+    north_rule's "phash as joinable payload" shape.  The phash column
+    already exists on the table (computed at ingest), so the pairs op
+    never touches pixel payloads: 4x16-bit pigeonhole banding over
+    int64, hot buckets bounded.  Output maps indices back to image
+    ids."""
+    from ..functions.dedup import hash64_candidate_pairs
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    from ..io import images as im
+
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+
+    def project(batch: pa.Table) -> pa.Table:
+        # image_id is "img%012d" — recover the int index as the pair id
+        idx = pc.cast(pc.utf8_slice_codeunits(
+            batch["image_id"].combine_chunks(), 3, 15), pa.int64())
+        return pa.table({"img_idx": idx, "phash": batch["phash"]})
+
+    pairs = hash64_candidate_pairs(
+        ds.map_batches(project, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        hash_col="phash", id_col="img_idx", max_distance=max_distance)
+    ida = pairs["id_a"].to_numpy(zero_copy_only=False)
+    idb = pairs["id_b"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "image_id_a": pa.array([f"img{int(i):012d}" for i in ida]),
+        "image_id_b": pa.array([f"img{int(i):012d}" for i in idb]),
+        "distance": pairs["distance"],
+        "truncated": pairs["truncated"],
+    })
 
 
 def audio_features(sf_dir: str):

@@ -43,3 +43,26 @@ def test_images_in_rects_matches_direct_check(ray_session):
         for k in keys[hit]:
             want.add((iid, int(k)))
     assert got == want
+
+
+def test_images_phash_pairs_vs_brute_force(ray_session):
+    """Query-level oracle: LSH pairs over the image corpus's phash
+    column == brute-force Hamming pairs; planted near-dups found."""
+    from geobuf_ray.functions.dedup import hamming_distance
+    from geobuf_ray.io.images import synthesize_image_table
+    from geobuf_ray.pipelines import queries as q
+
+    got = {(r["image_id_a"], r["image_id_b"])
+           for r in q.images_phash_pairs(SF).to_pylist()}
+    ph = (synthesize_image_table(100)["phash"]
+          .to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64))
+    want = set()
+    for i in range(len(ph)):
+        d = hamming_distance(ph[i], ph[i + 1:])
+        for off in np.flatnonzero(d <= 3):
+            want.add((f"img{i:012d}", f"img{i + 1 + int(off):012d}"))
+    assert got == want
+    # the planted rule (i-7, i) for i%23==11 must be present
+    planted = {(f"img{i - 7:012d}", f"img{i:012d}")
+               for i in range(23, 100) if i % 23 == 11}
+    assert planted <= got
