@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": q.tile_assign,
         "tile_counts": q.tile_counts,
         "pip_rect_join": q.pip_rect_join,
+        "pip_rect_join_s2": q.pip_rect_join_s2,
         "rects_tile_clip": q.rects_tile_clip,
         "knn_suppliers": q.knn_suppliers,
         "codec_roundtrip_points": q.codec_roundtrip_points,
@@ -320,6 +321,16 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY tile_x, tile_y
         """,
         "pip_rect_join": f"""
+            SELECT c_custkey AS custkey, s_suppkey AS polygon_id
+            FROM customer, supplier
+            WHERE {_LON} >= (-180.0 + (s_suppkey * 37) % 300)
+              AND {_LON} <= (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0 + 0.005)
+              AND {_LAT} >= (-85.0 + (s_suppkey * 53) % 160)
+              AND {_LAT} <= (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005)
+        """,
+        # the S2-indexed route must produce the IDENTICAL join result —
+        # the cell index only prunes candidates
+        "pip_rect_join_s2": f"""
             SELECT c_custkey AS custkey, s_suppkey AS polygon_id
             FROM customer, supplier
             WHERE {_LON} >= (-180.0 + (s_suppkey * 37) % 300)

@@ -948,6 +948,24 @@ def pip_rect_join(sf_dir: str, zoom: int = 5):
     return joined.select_columns(["custkey", "polygon_id"])
 
 
+def pip_rect_join_s2(sf_dir: str, level: int = 8):
+    """The same PIP join routed through the from-scratch **S2 cell
+    index** (spatial/s2.py): points key on their level-8 cell, polygons
+    fan out to exact covering cells, one raw-task hash co-group, exact
+    ray-casting refine.  Results are identical to `pip_rect_join` (the
+    index only prunes), so the same SQL oracle hash-checks this path.
+    """
+    import ray
+
+    from ..spatial.join import pip_s2_join
+
+    pts = customer_points(sf_dir)
+    polys = ray.data.from_arrow(supplier_rects(sf_dir))
+    out = pip_s2_join(pts, polys, level=level, nbuckets=64,
+                      poly_id_col="id")
+    return out.select_columns(["custkey", "polygon_id"])
+
+
 def knn_suppliers(sf_dir: str, k: int = 3, n_queries: int = 20):
     """k nearest supplier points for the first customers (haversine)."""
     import duckdb

@@ -537,3 +537,115 @@ def pip_cell_join(
                          "polygon_id": pa.array(poly_id, pa.int64())})
 
     return both.groupby("cell").map_groups(local_pip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# S2-indexed PIP join (north_rule: "H3/S2 index ... point-in-polygon")
+# ---------------------------------------------------------------------------
+
+
+def pip_s2_join(
+    points_ds,
+    polygons_ds,
+    *,
+    level: int = 8,
+    nbuckets: int = 64,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    point_id_col: str = "custkey",
+    poly_id_col: str = "id",
+):
+    """Point-in-polygon join partitioned on **S2 cells** (spatial/s2.py).
+
+    Points key on their level-``level`` cell; polygons fan out to the
+    exact covering cells of their bbox (``s2.cover_rects`` — analytic
+    cell bounds, so no covering cell is ever missed).  One raw-task
+    hash co-group (`functions/exchange.py`) co-locates cell-equal rows;
+    each bucket refines with exact ray-casting PIP.  Results are
+    identical to the broadcast and tile-cell paths — the index only
+    prunes candidates.
+
+    Scale notes: S2 cells are near-equal-area (no polar row blowup, cf.
+    slippy tiles), and the cell id's prefix property gives ancestor
+    ranges for free — `cell_range` pruning composes with gob/manifest
+    range addressing.  Buckets hash the cell id, so dense-cell skew is
+    bounded by one cell's content; salt the point side upstream for a
+    pathological single cell.
+    """
+    from ..codec.schema import list_column_parts
+    from ..functions.exchange import hash_cogroup
+    from . import s2
+    from .geometry import feature_bbox
+
+    def points_bucket(batch: pa.Table):
+        lon = batch[lon_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        lat = batch[lat_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        cell = s2.s2_cell_id(lon, lat, level)
+        # the reduce kernel needs no cell column (see pip_bucket) —
+        # ship only the payload
+        tbl = pa.table({
+            "pid": batch[point_id_col].cast(pa.int64()),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        })
+        return (cell % np.uint64(nbuckets)).astype(np.int64), tbl
+
+    def polys_bucket(batch: pa.Table):
+        n = batch.num_rows
+        coords, offs = list_column_parts(batch["coords"], np.float64)
+        dim = (batch["dim"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+            if "dim" in batch.column_names else np.full(n, 2, np.int64))
+        bb = feature_bbox(coords, offs, dim)
+        rows, cells = s2.cover_rects(bb[:, 0], bb[:, 1], bb[:, 2],
+                                     bb[:, 3], level)
+        taken = batch.take(pa.array(rows, pa.int64()))
+        tbl = pa.table({
+            "pid": taken[poly_id_col].cast(pa.int64()),
+            "coords": taken["coords"],
+            "ring_sizes": taken["ring_sizes"],
+            "dim": (taken["dim"].cast(pa.int8())
+                    if "dim" in taken.column_names
+                    else pa.array(np.full(len(rows), 2, np.int8))),
+        })
+        return (cells % np.uint64(nbuckets)).astype(np.int64), tbl
+
+    lschema = pa.schema([("pid", pa.int64()),
+                         ("lon", pa.float64()), ("lat", pa.float64())])
+    rschema = pa.schema([("pid", pa.int64()),
+                         ("coords", pa.list_(pa.float64())),
+                         ("ring_sizes", pa.list_(pa.int32())),
+                         ("dim", pa.int8())])
+
+    def pip_bucket(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        empty = pa.table({point_id_col: pa.array([], pa.int64()),
+                          "polygon_id": pa.array([], pa.int64())})
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        # Pairs are complete and unique without any cell bookkeeping:
+        # every point lives in exactly ONE bucket (its cell's hash),
+        # and a containing polygon always covers that cell (cover is a
+        # superset of bbox-intersecting cells) so it is present here.
+        # A polygon covering several same-bucket cells appears once per
+        # cell — dedup by pid, then exact PIP refines candidates.
+        ppid = rt["pid"].to_numpy(zero_copy_only=False)
+        _, uniq_rows = np.unique(ppid, return_index=True)
+        polys = rt.take(pa.array(uniq_rows, pa.int64()))
+        index = PolygonIndex(
+            polys.select(["pid", "coords", "ring_sizes", "dim"]),
+            zoom=9, id_column="pid")
+        lon = lt["lon"].to_numpy(zero_copy_only=False)
+        lat = lt["lat"].to_numpy(zero_copy_only=False)
+        pt_idx, poly_id = index.contains(lon, lat)
+        if len(pt_idx) == 0:
+            return empty
+        pid_arr = lt["pid"].to_numpy(zero_copy_only=False)[pt_idx]
+        return pa.table({point_id_col: pa.array(pid_arr, pa.int64()),
+                         "polygon_id": pa.array(poly_id, pa.int64())})
+
+    return hash_cogroup(
+        points_ds, polygons_ds, nbuckets=nbuckets,
+        left_bucket_fn=points_bucket, right_bucket_fn=polys_bucket,
+        reduce_fn=pip_bucket, left_schema=lschema, right_schema=rschema)

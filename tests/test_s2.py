@@ -1,0 +1,111 @@
+"""From-scratch S2 cell index: projection round-trips, Hilbert
+identity, prefix/range arithmetic, analytic bounds, covering
+completeness, and join-path equivalence (the property the engine's
+partitioning correctness rests on)."""
+
+import numpy as np
+import pyarrow as pa
+
+from geobuf_ray.spatial import s2
+
+RNG = np.random.default_rng(7)
+LON = RNG.uniform(-180, 180, 20000)
+LAT = RNG.uniform(-89.9, 89.9, 20000)
+
+
+def test_face_uv_roundtrip():
+    face, u, v = s2.lonlat_to_face_uv(LON, LAT)
+    assert np.abs(u).max() <= 1.0 + 1e-12 and np.abs(v).max() <= 1.0 + 1e-12
+    lon2, lat2 = s2.face_uv_to_lonlat(face, u, v)
+    dl = np.abs((lon2 - LON + 180) % 360 - 180)
+    assert dl.max() < 1e-9
+    assert np.abs(lat2 - LAT).max() < 1e-9
+
+
+def test_hilbert_identity():
+    i = RNG.integers(0, 2**30, 10000)
+    j = RNG.integers(0, 2**30, 10000)
+    f = RNG.integers(0, 6, 10000)
+    ids = s2.face_ij_to_id(f, i, j)
+    f2, i2, j2, _ = s2.id_to_face_ij(ids)
+    assert (f2 == f).all() and (i2 == i).all() and (j2 == j).all()
+
+
+def test_leaf_cell_center_near_input():
+    ids = s2.s2_cell_id(LON, LAT)
+    assert (s2.cell_level(ids) == 30).all()
+    face, i, j, _ = s2.id_to_face_ij(ids)
+    u = s2._st_to_uv((i + 0.5) / 2**30)
+    v = s2._st_to_uv((j + 0.5) / 2**30)
+    lon2, lat2 = s2.face_uv_to_lonlat(face, u, v)
+    # leaf cells are ~1e-8 deg; scale lon error by cos(lat)
+    dl = np.abs((lon2 - LON + 180) % 360 - 180) * np.cos(np.radians(LAT))
+    assert dl.max() < 1e-7
+    assert np.abs(lat2 - LAT).max() < 1e-7
+
+
+def test_parent_range_contains_descendants():
+    ids = s2.s2_cell_id(LON, LAT)
+    for level in (3, 11, 25):
+        p = s2.parent(ids, level)
+        assert (s2.cell_level(p) == level).all()
+        mn, mx = s2.cell_range(p)
+        assert ((ids >= mn) & (ids <= mx)).all()
+        # children partition the parent range
+        ch = s2.children(p[:100])
+        cmn, _ = s2.cell_range(ch.reshape(-1))
+        assert (cmn.reshape(-1, 4)[:, 0] == mn[:100]).all()
+
+
+def test_cell_bounds_contain_points():
+    ids = s2.s2_cell_id(LON, LAT)
+    for level in (1, 4, 8, 15):
+        c = s2.parent(ids, level)
+        w, s, e, n, full = s2.cell_bounds(c, level)
+        lat_ok = (LAT >= s - 1e-9) & (LAT <= n + 1e-9)
+        wraps = w > e
+        lng_ok = full | np.where(
+            wraps, (LON >= w - 1e-9) | (LON <= e + 1e-9),
+            (LON >= w - 1e-9) & (LON <= e + 1e-9))
+        assert (lat_ok & lng_ok).all(), level
+
+
+def test_cover_rects_complete():
+    """point in rect  =>  the point's cell is in the rect's cover."""
+    rng = np.random.default_rng(3)
+    R = 80
+    w = rng.uniform(-180, 170, R)
+    s = rng.uniform(-85, 75, R)
+    e = np.minimum(w + rng.uniform(0.01, 40, R), 180.0)
+    n = np.minimum(s + rng.uniform(0.01, 30, R), 85.0)
+    lon = rng.uniform(-180, 180, 5000)
+    lat = rng.uniform(-85, 85, 5000)
+    for level in (4, 8):
+        ridx, cells = s2.cover_rects(w, s, e, n, level)
+        covers = {}
+        for r, c in zip(ridx, cells):
+            covers.setdefault(int(r), set()).add(int(c))
+        pc = s2.s2_cell_id(lon, lat, level)
+        for r in range(R):
+            inside = np.flatnonzero((lon >= w[r]) & (lon <= e[r])
+                                    & (lat >= s[r]) & (lat <= n[r]))
+            cs = covers.get(r, set())
+            assert all(int(pc[k]) in cs for k in inside), (level, r)
+
+
+def test_pip_s2_join_matches_broadcast(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.pipelines import queries as q
+    from geobuf_ray.spatial.join import pip_s2_join
+
+    SF = "/root/testdata/sf0.001"
+    pts = q.customer_points(SF)
+    polys = ray.data.from_arrow(q.supplier_rects(SF))
+    out = pip_s2_join(pts, polys, level=8, nbuckets=16, poly_id_col="id")
+    got = {(r["custkey"], r["polygon_id"])
+           for r in collect_table(out).to_pylist()}
+    want = {(r["custkey"], r["polygon_id"])
+            for r in collect_table(q.pip_rect_join(SF)).to_pylist()}
+    assert got == want and len(got) > 0
