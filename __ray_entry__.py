@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_rect_join": q.pip_rect_join,
         "pip_rect_join_s2": q.pip_rect_join_s2,
         "rects_tile_clip": q.rects_tile_clip,
+        "rects_rasterize": q.rects_rasterize,
         "knn_suppliers": q.knn_suppliers,
         "codec_roundtrip_points": q.codec_roundtrip_points,
         # documents: dedup + text analysis
@@ -138,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_in_rects": q.images_in_rects,
         "images_resize": q.images_resize,
         "images_phash_pairs": q.images_phash_pairs,
+        "images_zonal_stats": q.images_zonal_stats,
         # audio / video pipelines (rows-only: procedural payloads)
         "audio_features": q.audio_features,
         "audio_resample": q.audio_resample,
@@ -356,6 +358,29 @@ def oracle_sql() -> dict[str, str]:
             FROM rects, gx, gy
             WHERE w < -180.0 + (i + 1) * 11.25 AND e > -180.0 + i * 11.25
               AND s < -85.0 + (j + 1) * 5.3125 AND n > -85.0 + j * 5.3125
+        """,
+        # raster<->vector: pixel-center-in-rect on the linear 256x256
+        # global pixel grid, grouped to 16x16-pixel tiles — the exact
+        # semantics of spatial/raster.py rasterize_batch
+        "rects_rasterize": """
+            WITH rects AS (
+              SELECT s_suppkey,
+                     (-180.0 + (s_suppkey * 37) % 300) AS w,
+                     (-85.0 + (s_suppkey * 53) % 160) AS s,
+                     (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0 + 0.005) AS e,
+                     (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005) AS n
+              FROM supplier),
+            gi AS (SELECT UNNEST(range(0, 256)) AS i),
+            gj AS (SELECT UNNEST(range(0, 256)) AS j)
+            SELECT s_suppkey AS polygon_id,
+                   i // 16 AS tile_x, j // 16 AS tile_y,
+                   COUNT(*) AS n_pixels
+            FROM rects, gi, gj
+            WHERE (-180.0 + (i + 0.5) * (360.0 / 256)) >= w
+              AND (-180.0 + (i + 0.5) * (360.0 / 256)) <= e
+              AND (-85.0 + (j + 0.5) * (170.0 / 256)) >= s
+              AND (-85.0 + (j + 0.5) * (170.0 / 256)) <= n
+            GROUP BY polygon_id, tile_x, tile_y
         """,
         "knn_suppliers": f"""
             SELECT custkey, CAST(rnk AS INTEGER) AS rank, s_suppkey FROM (

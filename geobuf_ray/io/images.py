@@ -199,43 +199,49 @@ def image_centroids(indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
+def _row_meta(i: int, seed: int = 42):
+    """(w, h, lossy, caption) for index i.  Planted near-duplicate rows
+    (i % 23 == 11, i >= 23 — web-scale corpora are full of them) take
+    w/h/caption from their base row i-7; lossy stays the row's own."""
+    r = np.random.default_rng(seed * 1_000_003 + i)
+    w = int(_SIZES[r.integers(0, len(_SIZES))])
+    h = int(_SIZES[r.integers(0, len(_SIZES))])
+    lossy = bool(r.integers(0, 2))
+    cap = " ".join(r.choice(_CAPTION_WORDS, 6 + int(r.integers(0, 6))))
+    if i >= 23 and i % 23 == 11:
+        w, h, _, cap = _row_meta(i - 7, seed)
+    return w, h, lossy, cap
+
+
+def source_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """The SOURCE pixels of an image row — the single derivation shared
+    by synthesis and the decode fidelity check (PSNR compares decoded
+    pixels against this).  Near-duplicate rows re-derive their base
+    row's image with a one-block brightness nudge; the rule is a pure
+    function of the id, so it stays chunking-independent."""
+    i = int(image_id[3:])
+    if i >= 23 and i % 23 == 11:
+        px = procedural_pixels(f"img{i - 7:012d}", w, h).copy()
+        # brighten one phash block's worth of pixels: most planted
+        # pairs stay at Hamming distance 0, some land at 1-3 bits
+        px[: h // 8, : w // 8] = np.minimum(
+            px[: h // 8, : w // 8].astype(np.int16) + 4 + (i % 5),
+            255).astype(np.uint8)
+        return px
+    return procedural_pixels(image_id, w, h)
+
+
 def synthesize_rows(indices) -> pa.Table:
     """Deterministic image+caption rows for arbitrary indices.
 
     Each row is derived from its own jumping generator, so any slice /
     shuffle of indices reproduces identical rows — the property that
     makes distributed synthesis chunking-independent."""
-    seed = 42
-
-    def row_core(i: int):
-        """(w, h, pixels, caption) for index i — shared by originals
-        and their planted near-duplicates."""
-        r = np.random.default_rng(seed * 1_000_003 + i)
-        w = int(_SIZES[r.integers(0, len(_SIZES))])
-        h = int(_SIZES[r.integers(0, len(_SIZES))])
-        px = procedural_pixels(f"img{i:012d}", w, h)
-        lossy = bool(r.integers(0, 2))
-        cap = " ".join(r.choice(_CAPTION_WORDS, 6 + int(r.integers(0, 6))))
-        return w, h, px, lossy, cap
-
     ids, blobs, ws, hs, fmts, caps, ph = [], [], [], [], [], [], []
     for i in (int(x) for x in indices):
         image_id = f"img{i:012d}"
-        w, h, px, lossy, cap = row_core(i)
-        # planted near-duplicates (web-scale corpora are full of them):
-        # every 23rd row re-uses row i-7's image with one pixel nudged
-        # and the same caption — phash lands within a few bits of the
-        # base, exercising the phash-LSH dedup path end-to-end.  The
-        # rule is a pure function of i, so synthesis stays chunking-
-        # independent (the base row is re-derived, never looked up).
-        if i >= 23 and i % 23 == 11:
-            w, h, px, _, cap = row_core(i - 7)
-            px = px.copy()
-            # brighten one phash block's worth of pixels: most pairs
-            # stay at distance 0, some land at 1-3 bits
-            px[: h // 8, : w // 8] = np.minimum(
-                px[: h // 8, : w // 8].astype(np.int16) + 4 + (i % 5),
-                255).astype(np.uint8)
+        w, h, lossy, cap = _row_meta(i)
+        px = source_pixels(image_id, w, h)
         data = encode_quantz(px) if lossy else encode_rawz(px)
         ids.append(image_id)
         blobs.append(data)
@@ -324,7 +330,7 @@ class DecodeImagesFn:
             means[i] = px.reshape(-1, 3).mean(axis=0)
             ph[i] = phash64(px)
             if self.check_fidelity:
-                src = procedural_pixels(ids[i], px.shape[1], px.shape[0])
+                src = source_pixels(ids[i], px.shape[1], px.shape[0])
                 fid[i] = psnr(src, px)
             lons[i], lats[i] = image_centroid(ids[i])
         out = batch.drop_columns(["bytes"])

@@ -966,6 +966,23 @@ def pip_rect_join_s2(sf_dir: str, level: int = 8):
     return out.select_columns(["custkey", "polygon_id"])
 
 
+def rects_rasterize(sf_dir: str, ntiles: int = 16, px: int = 16):
+    """Raster side of raster<->vector (north_rule): supplier rectangles
+    rasterized onto the fixed linear 16x16-tile / 16x16-pixel global
+    grid; a pixel is set iff its center is inside the polygon (exact
+    ray casting — identical semantics to SQL center-in-rect, which is
+    the oracle).  Output drops the mask payload so the hash compare is
+    over (polygon, tile, count)."""
+    import ray
+
+    from ..spatial.raster import rasterize_polygons
+
+    polys = ray.data.from_arrow(supplier_rects(sf_dir))
+    out = rasterize_polygons(polys, ntiles=ntiles, px=px, id_col="id",
+                             emit_mask=False)
+    return out
+
+
 def knn_suppliers(sf_dir: str, k: int = 3, n_queries: int = 20):
     """k nearest supplier points for the first customers (haversine)."""
     import duckdb
@@ -1460,6 +1477,64 @@ def images_phash_pairs(sf_dir: str, max_distance: int = 3):
         "distance": pairs["distance"],
         "truncated": pairs["truncated"],
     })
+
+
+def images_zonal_stats(sf_dir: str, zoom: int = 5):
+    """Zonal statistics — the raster->vector AGGREGATE: decode image
+    payloads once (actor pool), join centroids into supplier rectangles
+    (broadcast PIP), then per-polygon image counts and mean channel
+    intensities.  Decode happens BEFORE the fan-out join so an image in
+    k zones is decoded once; the aggregate is a per-batch partial sum +
+    tiny driver combine.  Rows-only for the driver (pixel payloads are
+    not SQL-expressible); the pytest oracle recomputes directly."""
+    import ray
+
+    from ..io import images as im
+    from ..spatial.join import point_in_polygon_join
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    decoded = im.decode_images(
+        ds.select_columns(["image_id", "bytes"]),
+        batch_size=32, concurrency=(1, 4), check_fidelity=False)
+    stats = decoded.select_columns(
+        ["image_id", "mean_r", "mean_g", "mean_b", "lon", "lat"])
+    joined = point_in_polygon_join(stats, supplier_rects(sf_dir),
+                                   zoom=zoom, concurrency=(1, 2),
+                                   batch_size=8192)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pid = batch["polygon_id"].combine_chunks()
+        enc = pid.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        cnt = np.bincount(code, minlength=k)
+        sums = {
+            c: np.bincount(code, weights=batch[c].to_numpy(
+                zero_copy_only=False), minlength=k)
+            for c in ("mean_r", "mean_g", "mean_b")
+        }
+        return pa.table({
+            "polygon_id": enc.dictionary.cast(pa.int64()),
+            "n_images": pa.array(cnt.astype(np.int64)),
+            "sum_r": pa.array(sums["mean_r"]),
+            "sum_g": pa.array(sums["mean_g"]),
+            "sum_b": pa.array(sums["mean_b"]),
+        })
+
+    partials = joined.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    agg = _final_combine(partials, ["polygon_id"],
+                         ["n_images", "sum_r", "sum_g", "sum_b"])
+    nim = agg["n_images"].to_numpy(zero_copy_only=False).astype(np.float64)
+    out = pa.table({
+        "polygon_id": agg["polygon_id"],
+        "n_images": agg["n_images"],
+        "mean_r": pa.array(agg["sum_r"].to_numpy(zero_copy_only=False) / nim),
+        "mean_g": pa.array(agg["sum_g"].to_numpy(zero_copy_only=False) / nim),
+        "mean_b": pa.array(agg["sum_b"].to_numpy(zero_copy_only=False) / nim),
+    })
+    return out
 
 
 def audio_features(sf_dir: str):

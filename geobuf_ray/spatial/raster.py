@@ -1,0 +1,185 @@
+"""Raster <-> vector (north_rule: "raster<->vector").
+
+Rasterization side: polygons -> per-tile occupancy masks on a fixed
+linear lon/lat grid (``ntiles`` x ``ntiles`` tiles of ``px`` x ``px``
+pixels over [-180,180] x [-85,85]).  A pixel is set iff its CENTER is
+inside the polygon (even-odd ray casting — the same kernel as the PIP
+join), which is also what a SQL center-in-rect predicate computes, so
+the rect query is hash-checkable against DuckDB.
+
+Vectorization side: masks -> horizontal run boxes (degree-space
+rectangles), the exact inverse decomposition of the set pixels.
+
+Everything is batch-vectorized: the per-batch kernel fans (polygon,
+tile) pairs with one ``cover_expand``, generates all pair pixel centers
+at once, and calls the ring kernel once per distinct polygon (few) over
+all its candidate centers (many).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .geometry import feature_bbox, point_in_rings
+from .tiles import cover_expand
+
+LON0, LON1 = -180.0, 180.0
+LAT0, LAT1 = -85.0, 85.0
+
+
+def grid_spec(ntiles: int, px: int):
+    """(tile_w, tile_h, pix_w, pix_h) in degrees for the linear grid."""
+    tw = (LON1 - LON0) / ntiles
+    th = (LAT1 - LAT0) / ntiles
+    return tw, th, tw / px, th / px
+
+
+def rasterize_batch(batch: pa.Table, *, ntiles: int = 16, px: int = 16,
+                    id_col: str = "id", emit_mask: bool = True) -> pa.Table:
+    """Per-batch rasterize kernel over the canonical feature-table
+    layout (coords / ring_sizes / dim).
+
+    Returns one row per (polygon, tile) with >=1 set pixel:
+    ``polygon_id, tile_x, tile_y, n_pixels`` and (optionally) ``mask``
+    — the px*px bitmap packed row-major into ``px*px/8`` bytes.
+    """
+    from ..codec.schema import list_column_parts
+
+    n = batch.num_rows
+    empty_cols = {
+        "polygon_id": pa.array([], pa.int64()),
+        "tile_x": pa.array([], pa.int64()),
+        "tile_y": pa.array([], pa.int64()),
+        "n_pixels": pa.array([], pa.int64()),
+    }
+    if emit_mask:
+        empty_cols["mask"] = pa.array([], pa.binary())
+    if n == 0:
+        return pa.table(empty_cols)
+    coords, offs = list_column_parts(batch["coords"], np.float64)
+    dim = (batch["dim"].combine_chunks().to_numpy(zero_copy_only=False)
+           .astype(np.int64) if "dim" in batch.column_names
+           else np.full(n, 2, np.int64))
+    rs, rs_offs = list_column_parts(batch["ring_sizes"], np.int64)
+    pids = (batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+    bb = feature_bbox(coords, offs, dim)
+    tw, th, pw, ph = grid_spec(ntiles, px)
+    # tiles whose pixel centers could be inside: tiles intersecting the
+    # bbox (a center inside the polygon is inside the bbox)
+    ok = np.isfinite(bb).all(axis=1)
+    idx = np.flatnonzero(ok)
+    if len(idx) == 0:
+        return pa.table(empty_cols)
+    tx0 = np.clip(((bb[idx, 0] - LON0) // tw).astype(np.int64), 0, ntiles - 1)
+    tx1 = np.clip(((bb[idx, 2] - LON0) // tw).astype(np.int64), 0, ntiles - 1)
+    ty0 = np.clip(((bb[idx, 1] - LAT0) // th).astype(np.int64), 0, ntiles - 1)
+    ty1 = np.clip(((bb[idx, 3] - LAT0) // th).astype(np.int64), 0, ntiles - 1)
+    row_local, gx, gy = cover_expand(tx0, tx1, ty0, ty1)
+    rows = idx[row_local]                     # polygon row per pair
+    npairs = len(rows)
+    if npairs == 0:
+        return pa.table(empty_cols)
+    # all pair pixel centers at once: (npairs, px, px)
+    sub = np.arange(px, dtype=np.float64) + 0.5
+    cx = (LON0 + gx[:, None] * tw)[:, :, None] + (sub * pw)[None, None, :]
+    cy = (LAT0 + gy[:, None] * th)[:, None, :] + (sub * ph)[None, :, None]
+    cx = np.broadcast_to(cx, (npairs, px, px)).reshape(npairs, -1)
+    cy = np.broadcast_to(cy, (npairs, px, px)).reshape(npairs, -1)
+    # vertex x/y buffers + per-feature ring offsets (shared layout with
+    # PolygonIndex)
+    counts = np.diff(offs)
+    local = np.arange(len(coords)) - np.repeat(offs[:-1], counts)
+    d = np.repeat(np.maximum(dim, 1), counts)
+    xs = coords[(local % d) == 0]
+    ys = coords[(local % d) == 1]
+    ring_offsets = np.concatenate(([0], np.cumsum(rs))).astype(np.int64)
+    feat_ring_offsets = rs_offs.astype(np.int64)
+    inside = np.zeros((npairs, px * px), bool)
+    order = np.argsort(rows, kind="stable")
+    srows = rows[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], srows[1:] != srows[:-1])))
+    bounds = np.append(starts, npairs)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        pair_ids = order[s:e]
+        u = srows[s]
+        r0, r1 = feat_ring_offsets[u], feat_ring_offsets[u + 1]
+        ro = ring_offsets[r0:r1 + 1]
+        flat_in = point_in_rings(cx[pair_ids].reshape(-1),
+                                 cy[pair_ids].reshape(-1), xs, ys, ro)
+        inside[pair_ids] = flat_in.reshape(len(pair_ids), -1)
+    npix = inside.sum(axis=1).astype(np.int64)
+    keep = npix > 0
+    cols = {
+        "polygon_id": pa.array(pids[rows[keep]], pa.int64()),
+        "tile_x": pa.array(gx[keep], pa.int64()),
+        "tile_y": pa.array(gy[keep], pa.int64()),
+        "n_pixels": pa.array(npix[keep], pa.int64()),
+    }
+    if emit_mask:
+        # row-major (y, x) bit order, packed to px*px/8 bytes
+        nbytes = px * px // 8
+        packed = np.packbits(inside[keep], axis=None).reshape(-1, nbytes)
+        cols["mask"] = pa.array([packed[i].tobytes()
+                                 for i in range(len(packed))], pa.binary())
+    return pa.table(cols)
+
+
+def rasterize_polygons(ds, *, ntiles: int = 16, px: int = 16,
+                       id_col: str = "id", emit_mask: bool = True,
+                       **map_kwargs):
+    """Dataset stage: polygons -> (polygon, tile, mask) raster rows."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return rasterize_batch(batch, ntiles=ntiles, px=px, id_col=id_col,
+                               emit_mask=emit_mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          **map_kwargs)
+
+
+def masks_to_boxes(tile_x: np.ndarray, tile_y: np.ndarray,
+                   masks: list[bytes], *, ntiles: int = 16,
+                   px: int = 16) -> pa.Table:
+    """Raster -> vector: decompose each tile mask into horizontal
+    run rectangles in degree space.
+
+    Output rows: ``row_idx, west, south, east, north`` — one per
+    maximal horizontal run of set pixels.  The union of a mask's boxes
+    is exactly its set pixels (test invariant).  Vectorized across the
+    whole batch (runs found with one diff over the padded bit matrix).
+    """
+    nmask = len(masks)
+    tw, th, pw, ph = grid_spec(ntiles, px)
+    if nmask == 0:
+        return pa.table({
+            "row_idx": pa.array([], pa.int64()),
+            "west": pa.array([], pa.float64()),
+            "south": pa.array([], pa.float64()),
+            "east": pa.array([], pa.float64()),
+            "north": pa.array([], pa.float64()),
+        })
+    bits = np.unpackbits(
+        np.frombuffer(b"".join(masks), np.uint8).reshape(nmask, -1),
+        axis=1)[:, :px * px].reshape(nmask, px, px)
+    # pad each row with zeros on both sides, diff -> run starts/ends
+    padded = np.zeros((nmask, px, px + 2), np.int8)
+    padded[:, :, 1:-1] = bits
+    d = np.diff(padded, axis=2)
+    mi, yi, xs_ = np.nonzero(d == 1)      # run starts (x index)
+    mi2, yi2, xe_ = np.nonzero(d == -1)   # run ends (exclusive)
+    # starts and ends pair up in scan order
+    west = LON0 + tile_x[mi] * tw + xs_ * pw
+    east = LON0 + tile_x[mi] * tw + xe_ * pw
+    # mask bit rows are packed top-row-first in rasterize_batch's
+    # (y, x) layout where y indexes ascending latitude rows
+    south = LAT0 + tile_y[mi] * th + yi * ph
+    north = south + ph
+    return pa.table({
+        "row_idx": pa.array(mi.astype(np.int64)),
+        "west": pa.array(west),
+        "south": pa.array(south),
+        "east": pa.array(east),
+        "north": pa.array(north),
+    })

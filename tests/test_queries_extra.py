@@ -66,3 +66,42 @@ def test_images_phash_pairs_vs_brute_force(ray_session):
     planted = {(f"img{i - 7:012d}", f"img{i:012d}")
                for i in range(23, 100) if i % 23 == 11}
     assert planted <= got
+
+
+def test_images_zonal_stats_direct_oracle(ray_session):
+    """Zonal stats vs a direct recompute: per-polygon member sets from
+    the centroid-in-rect predicate, channel means from decoded pixels."""
+    import duckdb
+
+    from geobuf_ray.io import images as im
+    from geobuf_ray.pipelines import queries as q
+
+    got = {r["polygon_id"]: r for r in q.images_zonal_stats(SF).to_pylist()}
+    keys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{SF}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    west = -180.0 + (keys * 37) % 300
+    south = -85.0 + (keys * 53) % 160
+    east = west + 5.0 + (keys % 7) * 3.0 + 0.005
+    north = south + 4.0 + (keys % 5) * 3.0 + 0.005
+    tbl = im.synthesize_image_table(100)
+    blobs = tbl["bytes"].to_pylist()
+    want = {}
+    for i in range(100):
+        iid = f"img{i:012d}"
+        lon, lat = im.image_centroid(iid)
+        px = im.decode_image(blobs[i]).reshape(-1, 3).mean(axis=0)
+        hit = (lon >= west) & (lon <= east) & (lat >= south) & (lat <= north)
+        for k in keys[hit]:
+            e = want.setdefault(int(k), [0, 0.0, 0.0, 0.0])
+            e[0] += 1
+            e[1] += px[0]
+            e[2] += px[1]
+            e[3] += px[2]
+    assert set(got) == set(want)
+    for k, (cnt, sr, sg, sb) in want.items():
+        g = got[k]
+        assert g["n_images"] == cnt
+        assert np.isclose(g["mean_r"], sr / cnt)
+        assert np.isclose(g["mean_g"], sg / cnt)
+        assert np.isclose(g["mean_b"], sb / cnt)
