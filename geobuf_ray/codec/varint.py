@@ -197,6 +197,26 @@ def gather_spans(data: np.ndarray, starts: np.ndarray,
         return np.empty(0, data.dtype)
     ends = np.cumsum(lengths)
     total = int(ends[-1])
+    # Dense sorted spans (the scan_frames shape: records tile the
+    # stream minus tiny headers): build a BOOLEAN keep-mask with an
+    # int8 +1/-1 boundary scatter + cumsum instead of materializing a
+    # full int64 gather index — 8x less scratch (int8 vs int64 per
+    # stream byte, and no index output), which is what keeps decode
+    # peak memory ~2x the block size instead of ~17x at 64 MB blocks.
+    span_ends = starts + lengths
+    if len(starts) > 1:
+        sorted_disjoint = bool((starts[1:] >= span_ends[:-1]).all())
+    else:
+        sorted_disjoint = True
+    if sorted_disjoint:
+        lo = int(starts[0])
+        hi = int(span_ends[-1])
+        if total * 2 >= hi - lo:  # dense enough for the mask pass
+            d = np.zeros(hi - lo + 1, np.int8)
+            np.add.at(d, starts - lo, 1)
+            np.subtract.at(d, span_ends - lo, 1)
+            mask = np.cumsum(d[:-1], dtype=np.int8).view(np.bool_)
+            return data[lo:hi][mask]
     inc = np.ones(total, np.int64)
     inc[0] = starts[0]
     if len(lengths) > 1:
