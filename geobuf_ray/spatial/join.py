@@ -649,3 +649,159 @@ def pip_s2_join(
         points_ds, polygons_ds, nbuckets=nbuckets,
         left_bucket_fn=points_bucket, right_bucket_fn=polys_bucket,
         reduce_fn=pip_bucket, left_schema=lschema, right_schema=rschema)
+
+
+def knn_s2_join(
+    points_ds,
+    ref_table: pa.Table,
+    k: int = 5,
+    *,
+    level: int = 7,
+    radius_m: float = 500_000.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "custkey",
+    ref_lon_col: str = "lon",
+    ref_lat_col: str = "lat",
+    ref_id_col: str = "id",
+):
+    """Shuffle kNN partitioned on **S2 cells** with radius
+    certification (north_rule: "kNN via groupby-on-cell").
+
+    Each reference point fans out to every level-``level`` cell whose
+    bound intersects the ref's ``radius_m`` disk (conservative degree
+    padding; antimeridian-wrapping disks split into two rects), so a
+    point's group provably holds EVERY ref within ``radius_m`` of it.
+    Local exact haversine top-k follows; a row whose kth distance is
+    within ``radius_m`` is therefore exact, anything else is flagged
+    ``truncated=True`` for a re-run with a larger radius / coarser
+    level — the same contract as :func:`knn_cell_join`, with the ring
+    count replaced by an explicit metric radius (S2 cells are
+    near-equal-area, so one radius serves every latitude).
+    """
+    import ray
+
+    from . import s2
+
+    rlon = ref_table[ref_lon_col].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    rlat = ref_table[ref_lat_col].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    rid = ref_table[ref_id_col].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # conservative degree padding: 110 km/degree underestimates the
+    # true meters-per-degree everywhere (so the degree pad
+    # overestimates), and lon uses the most poleward latitude the disk
+    # reaches; disks reaching past lat 89 take the full lon range
+    dlat = radius_m / 110_000.0
+    lat_edge = np.abs(rlat) + dlat
+    dlon = radius_m / (110_000.0 * np.cos(np.radians(
+        np.minimum(lat_edge, 89.0))))
+    full = (dlon >= 180.0) | (lat_edge >= 89.0)
+    dlon = np.minimum(dlon, 180.0)
+    w = rlon - dlon
+    e = rlon + dlon
+    s_ = np.maximum(rlat - dlat, -90.0)
+    n_ = np.minimum(rlat + dlat, 90.0)
+    # wrap handling: split into (possibly) two rects per ref
+    rect_ref, rw, rs, re_, rn = [], [], [], [], []
+    base = np.arange(len(rlon))
+    main_w = np.where(full, -180.0, np.maximum(w, -180.0))
+    main_e = np.where(full, 180.0, np.minimum(e, 180.0))
+    rect_ref.append(base)
+    rw.append(main_w); rs.append(s_); re_.append(main_e); rn.append(n_)
+    wrap_lo = np.flatnonzero(~full & (w < -180.0))
+    if len(wrap_lo):
+        rect_ref.append(wrap_lo)
+        rw.append(w[wrap_lo] + 360.0); rs.append(s_[wrap_lo])
+        re_.append(np.full(len(wrap_lo), 180.0)); rn.append(n_[wrap_lo])
+    wrap_hi = np.flatnonzero(~full & (e > 180.0))
+    if len(wrap_hi):
+        rect_ref.append(wrap_hi)
+        rw.append(np.full(len(wrap_hi), -180.0)); rs.append(s_[wrap_hi])
+        re_.append(e[wrap_hi] - 360.0); rn.append(n_[wrap_hi])
+    rows, cells = s2.cover_rects(
+        np.concatenate(rw), np.concatenate(rs), np.concatenate(re_),
+        np.concatenate(rn), level, rect_ids=np.concatenate(rect_ref))
+    # a split disk can cover one cell twice -> dedupe (row, cell)
+    order = np.lexsort((cells, rows))
+    rows, cells = rows[order], cells[order]
+    keep = np.concatenate(([True], (rows[1:] != rows[:-1])
+                           | (cells[1:] != cells[:-1])))
+    rows, cells = rows[keep], cells[keep]
+    ref_rows = pa.table({
+        "cell": pa.array(cells, pa.uint64()),
+        "lon": pa.array(rlon[rows]),
+        "lat": pa.array(rlat[rows]),
+        "pid": pa.array(rid[rows]),
+        "is_ref": pa.array(np.ones(len(rows), bool)),
+    })
+
+    def to_common(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        lat = batch[lat_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        pid = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        key = s2.s2_cell_id(lon, lat, level)
+        return pa.table({
+            "cell": pa.array(key, pa.uint64()),
+            "lon": pa.array(lon), "lat": pa.array(lat),
+            "pid": pa.array(pid),
+            "is_ref": pa.array(np.zeros(len(lon), bool)),
+        })
+
+    pts = points_ds.map_batches(to_common, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    both = pts.union(ray.data.from_arrow(ref_rows))
+
+    def local_knn(group: pa.Table) -> pa.Table:
+        is_ref = group["is_ref"].to_numpy(zero_copy_only=False)
+        if is_ref.all():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int32()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "distance_m": pa.array([], pa.float64()),
+                             "truncated": pa.array([], pa.bool_())})
+        lon = group["lon"].to_numpy(zero_copy_only=False)
+        lat = group["lat"].to_numpy(zero_copy_only=False)
+        pid = group["pid"].to_numpy(zero_copy_only=False)
+        qm = ~is_ref
+        qlon, qlat, qid = lon[qm], lat[qm], pid[qm]
+        if not is_ref.any():
+            return pa.table({
+                id_col: pa.array(qid.astype(np.int64)),
+                "rank": pa.array(np.zeros(len(qid), np.int32)),
+                "neighbor_id": pa.array(np.full(len(qid), -1, np.int64)),
+                "distance_m": pa.array(np.full(len(qid), np.inf)),
+                "truncated": pa.array(np.ones(len(qid), bool)),
+            })
+        rl, rt, ri = lon[is_ref], lat[is_ref], pid[is_ref]
+        kk = min(k, len(ri))
+        blk = max(1, (1 << 22) // max(len(ri), 1))
+        nbr_parts, dist_parts = [], []
+        for b0 in range(0, len(qid), blk):
+            b1 = min(len(qid), b0 + blk)
+            d = haversine_m(qlon[b0:b1, None], qlat[b0:b1, None],
+                            rl[None, :], rt[None, :])
+            part = np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
+            dd = np.take_along_axis(d, part, axis=1)
+            order = np.argsort(dd, axis=1, kind="stable")
+            nbr_parts.append(np.take_along_axis(part, order, axis=1))
+            dist_parts.append(np.take_along_axis(dd, order, axis=1))
+        nbrs = np.concatenate(nbr_parts)
+        dists = np.concatenate(dist_parts)
+        # radius certification: every ref within radius_m of any point
+        # of this cell is present, so kth-dist <= radius_m  =>  exact
+        truncated = (dists[:, kk - 1] > radius_m) | (len(ri) < k)
+        return pa.table({
+            id_col: pa.array(np.repeat(qid, kk)),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32),
+                                     len(qid))),
+            "neighbor_id": pa.array(ri[nbrs].reshape(-1)),
+            "distance_m": pa.array(dists.reshape(-1)),
+            "truncated": pa.array(np.repeat(truncated, kk)),
+        })
+
+    return both.groupby("cell").map_groups(local_knn, batch_format="pyarrow")

@@ -109,3 +109,43 @@ def test_pip_s2_join_matches_broadcast(ray_session):
     want = {(r["custkey"], r["polygon_id"])
             for r in collect_table(q.pip_rect_join(SF)).to_pylist()}
     assert got == want and len(got) > 0
+
+
+def test_knn_s2_join_vs_brute_force(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.geometry import haversine_m
+    from geobuf_ray.spatial.join import knn_s2_join
+
+    rng = np.random.default_rng(9)
+    nq, nr, k = 400, 300, 3
+    qlon = rng.uniform(-179, 179, nq)
+    qlat = rng.uniform(-84, 84, nq)
+    rlon = rng.uniform(-179, 179, nr)
+    rlat = rng.uniform(-84, 84, nr)
+    pts = ray.data.from_arrow(pa.table({
+        "custkey": pa.array(np.arange(nq), pa.int64()),
+        "lon": pa.array(qlon), "lat": pa.array(qlat)})).repartition(3)
+    refs = pa.table({"id": pa.array(np.arange(nr), pa.int64()),
+                     "lon": pa.array(rlon), "lat": pa.array(rlat)})
+    radius = 2_000_000.0
+    out = collect_table(knn_s2_join(
+        pts, refs, k=k, level=6, radius_m=radius)).to_pandas()
+    d = haversine_m(qlon[:, None], qlat[:, None],
+                    rlon[None, :], rlat[None, :])
+    order = np.argsort(d, axis=1)[:, :k]
+    certified = 0
+    for q in range(nq):
+        rows = out[out["custkey"] == q].sort_values("rank")
+        true_kth = d[q, order[q, k - 1]]
+        if true_kth <= radius:
+            # certification completeness: must be exact, not truncated
+            assert not rows["truncated"].any(), q
+            assert rows["neighbor_id"].tolist() == order[q].tolist(), q
+            certified += 1
+        elif not rows["truncated"].any():
+            # uncertified-but-untruncated: still exact by the radius
+            # rule (kth candidate within radius implies completeness)
+            assert rows["neighbor_id"].tolist() == order[q].tolist(), q
+    assert certified > nq // 2  # the radius actually certifies most
