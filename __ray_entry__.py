@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_tile_clip": q.rects_tile_clip,
         "rects_rasterize": q.rects_rasterize,
         "knn_suppliers": q.knn_suppliers,
+        "knn_suppliers_s2": q.knn_suppliers_s2,
         "codec_roundtrip_points": q.codec_roundtrip_points,
         # documents: dedup + text analysis
         "docs_exact_dedup": q.docs_exact_dedup,
@@ -383,6 +384,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY polygon_id, tile_x, tile_y
         """,
         "knn_suppliers": f"""
+            SELECT custkey, CAST(rnk AS INTEGER) AS rank, s_suppkey FROM (
+                SELECT c_custkey AS custkey, s_suppkey,
+                       row_number() OVER (
+                           PARTITION BY c_custkey
+                           ORDER BY 2.0 * 6371008.8 * asin(sqrt(
+                               pow(sin((radians({_SLAT}) - radians({_LAT})) / 2.0), 2)
+                               + cos(radians({_LAT})) * cos(radians({_SLAT}))
+                               * pow(sin((radians({_SLON}) - radians({_LON})) / 2.0), 2)
+                           )), s_suppkey
+                       ) AS rnk
+                FROM customer, supplier
+                WHERE c_custkey <= 20
+            ) WHERE rnk <= 3
+        """,
+        # the S2-cell shuffle route must produce the IDENTICAL kNN
+        # result — radius certification + escalation only bound the
+        # candidate set, never change it
+        "knn_suppliers_s2": f"""
             SELECT custkey, CAST(rnk AS INTEGER) AS rank, s_suppkey FROM (
                 SELECT c_custkey AS custkey, s_suppkey,
                        row_number() OVER (

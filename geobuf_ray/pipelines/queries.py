@@ -1010,6 +1010,54 @@ def knn_suppliers(sf_dir: str, k: int = 3, n_queries: int = 20):
     )
 
 
+def knn_suppliers_s2(sf_dir: str, k: int = 3, n_queries: int = 20):
+    """Same result as :func:`knn_suppliers`, computed through the
+    S2-cell shuffle kNN (``knn_s2_join``, north_rule "kNN via
+    groupby-on-cell") instead of the broadcast kernel — hash-checked
+    against the identical SQL oracle.
+
+    Radius escalation demonstrates the operator's certification
+    contract: run with a starting radius, and only if any row comes
+    back ``truncated`` (its kth neighbour is not provably within the
+    fanned radius) re-run with a 4x radius.  The output here is tiny
+    (``n_queries * k`` rows) so the driver-side check is O(60)."""
+    import duckdb
+
+    from ..collect import collect_table
+    from ..spatial.join import knn_s2_join
+
+    skeys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    ref = pa.table({
+        "id": pa.array(skeys),
+        "lon": pa.array(derive_lon(skeys)),
+        "lat": pa.array(derive_lat(skeys)),
+    })
+
+    def head(batch: pa.Table) -> pa.Table:
+        keys = batch["custkey"].to_numpy()
+        return batch.filter(pa.array(keys <= n_queries))
+
+    # ~sqrt(area/n) mean spacing heuristic for the starting radius;
+    # escalation covers sparse corners (a 2.1e7 m radius is the
+    # whole globe, so the last rung can never truncate)
+    start = max(1.5e6, 3.0e7 / max(len(skeys), 1) ** 0.5)
+    for radius in (start, start * 4.0, 2.1e7):
+        pts = customer_points(sf_dir).map_batches(
+            head, batch_format="pyarrow", zero_copy_batch=True)
+        out = collect_table(knn_s2_join(
+            pts, ref, k=k, level=5, radius_m=radius, id_col="custkey"))
+        if not pc.any(out["truncated"]).as_py():
+            break
+    out = out.sort_by([("custkey", "ascending"), ("rank", "ascending")])
+    return pa.table({
+        "custkey": out["custkey"],
+        "rank": out["rank"],
+        "s_suppkey": out["neighbor_id"],
+    })
+
+
 def rects_tile_clip(sf_dir: str, n: int = 32):
     """Supplier rectangles clipped to a flat n x n grid through the
     REAL vectorized Sutherland–Hodgman kernel (tileclip.ClipFeature

@@ -408,7 +408,9 @@ def knn_cell_join(
                             rl[None, :], rt[None, :])
             part = np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
             dd = np.take_along_axis(d, part, axis=1)
-            order = np.argsort(dd, axis=1, kind="stable")
+            # deterministic tie-break: (distance, neighbor id), matching
+            # the SQL ORDER BY dist, id oracle regardless of group order
+            order = np.lexsort((ri[part], dd), axis=1)
             nbr_parts.append(np.take_along_axis(part, order, axis=1))
             dist_parts.append(np.take_along_axis(dd, order, axis=1))
         nbrs = np.concatenate(nbr_parts)
@@ -787,7 +789,9 @@ def knn_s2_join(
                             rl[None, :], rt[None, :])
             part = np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
             dd = np.take_along_axis(d, part, axis=1)
-            order = np.argsort(dd, axis=1, kind="stable")
+            # deterministic tie-break: (distance, neighbor id), matching
+            # the SQL ORDER BY dist, id oracle regardless of group order
+            order = np.lexsort((ri[part], dd), axis=1)
             nbr_parts.append(np.take_along_axis(part, order, axis=1))
             dist_parts.append(np.take_along_axis(dd, order, axis=1))
         nbrs = np.concatenate(nbr_parts)
