@@ -116,6 +116,70 @@ def cmd_tile(args) -> int:
     return 0
 
 
+def cmd_job(args) -> int:
+    """Cluster job entrypoint (north_rule: "run via ray job submit").
+
+    Submitted as::
+
+        ray job submit --working-dir . -- \
+            python -m geobuf_ray.cli job QUERY --sf-dir DIR --out OUT
+
+    Connects to the submitting cluster (``RAY_ADDRESS`` is set inside a
+    Ray job; here it is the preset single node), runs one registered
+    pipeline from the driver contract, streams the result to
+    partitioned parquet (resumable output layout), and commits a
+    job-level metrics record (rows, wall seconds, rows/sec) next to it.
+    """
+    import json
+    import os
+
+    import ray
+
+    if not ray.is_initialized():
+        # inside `ray job submit` RAY_ADDRESS points at the cluster;
+        # standalone it is unset/local and this starts a local session
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, ignore_reinit_error=True)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(os.path.dirname(__file__), "..",
+                                      "__ray_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; have: {sorted(qs)}",
+              file=sys.stderr)
+        return 2
+    t0 = time.perf_counter()
+    res = qs[args.query](args.sf_dir)
+    os.makedirs(args.out, exist_ok=True)
+    if isinstance(res, ray.data.Dataset):
+        res.write_parquet(args.out)
+        n = sum(1 for f in os.listdir(args.out) if f.endswith(".parquet"))
+        import pyarrow.dataset as pads
+
+        rows = pads.dataset(args.out).count_rows()
+    else:  # small pyarrow Table / pandas result
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+        pq.write_table(tbl, os.path.join(args.out, "part-0.parquet"))
+        rows, n = tbl.num_rows, 1
+    wall = time.perf_counter() - t0
+    rec = {"query": args.query, "sf_dir": args.sf_dir, "rows": rows,
+           "files": n, "wall_s": round(wall, 3),
+           "rows_per_s": round(rows / wall, 1) if wall else None}
+    tmp = os.path.join(args.out, "_metrics.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(args.out, "_metrics.json"))
+    print(json.dumps(rec))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="geobuf_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -150,6 +214,13 @@ def main(argv=None) -> int:
     s.add_argument("--combine", default=None,
                    help="also write one gob-indexed combined geobuf")
     s.set_defaults(fn=cmd_tile)
+
+    s = sub.add_parser("job", help="ray-job-submit entrypoint: run one "
+                       "registered pipeline, write parquet + metrics")
+    s.add_argument("query")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_job)
 
     args = p.parse_args(argv)
     rc = args.fn(args)
