@@ -666,6 +666,7 @@ def knn_s2_join(
     ref_lon_col: str = "lon",
     ref_lat_col: str = "lat",
     ref_id_col: str = "id",
+    salt_bits: int = 0,
 ):
     """Shuffle kNN partitioned on **S2 cells** with radius
     certification (north_rule: "kNN via groupby-on-cell").
@@ -680,6 +681,13 @@ def knn_s2_join(
     level — the same contract as :func:`knn_cell_join`, with the ring
     count replaced by an explicit metric radius (S2 cells are
     near-equal-area, so one radius serves every latitude).
+
+    ``salt_bits`` handles skewed dense cells (north_rule "salted
+    repartitioning"): point rows split into ``2^salt_bits`` sub-groups
+    by a content hash of their id while every fanned ref row
+    replicates to all salts, so a hot cell's O(q x r) kernel runs on
+    ``2^salt_bits`` workers with bit-identical results (ref fan-out
+    cost x2^salt_bits — keep it 0 for uniform data).
     """
     import ray
 
@@ -731,8 +739,16 @@ def knn_s2_join(
     keep = np.concatenate(([True], (rows[1:] != rows[:-1])
                            | (cells[1:] != cells[:-1])))
     rows, cells = rows[keep], cells[keep]
+    nsalt = 1 << salt_bits
+    if salt_bits > 0:
+        rep = np.repeat(np.arange(len(rows)), nsalt)
+        ref_salt = np.tile(np.arange(nsalt, dtype=np.uint8), len(rows))
+        rows, cells = rows[rep], cells[rep]
+    else:
+        ref_salt = np.zeros(len(rows), np.uint8)
     ref_rows = pa.table({
         "cell": pa.array(cells, pa.uint64()),
+        "salt": pa.array(ref_salt, pa.uint8()),
         "lon": pa.array(rlon[rows]),
         "lat": pa.array(rlat[rows]),
         "pid": pa.array(rid[rows]),
@@ -747,8 +763,16 @@ def knn_s2_join(
         pid = batch[id_col].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64)
         key = s2.s2_cell_id(lon, lat, level)
+        if salt_bits > 0:
+            # content hash of the point id — stable across resumes
+            slt = ((pid.astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15))
+                   >> np.uint64(64 - salt_bits)).astype(np.uint8)
+        else:
+            slt = np.zeros(len(lon), np.uint8)
         return pa.table({
             "cell": pa.array(key, pa.uint64()),
+            "salt": pa.array(slt, pa.uint8()),
             "lon": pa.array(lon), "lat": pa.array(lat),
             "pid": pa.array(pid),
             "is_ref": pa.array(np.zeros(len(lon), bool)),
@@ -808,4 +832,5 @@ def knn_s2_join(
             "truncated": pa.array(np.repeat(truncated, kk)),
         })
 
-    return both.groupby("cell").map_groups(local_knn, batch_format="pyarrow")
+    return both.groupby(["cell", "salt"]).map_groups(
+        local_knn, batch_format="pyarrow")

@@ -149,3 +149,39 @@ def test_knn_s2_join_vs_brute_force(ray_session):
             # rule (kth candidate within radius implies completeness)
             assert rows["neighbor_id"].tolist() == order[q].tolist(), q
     assert certified > nq // 2  # the radius actually certifies most
+
+
+def test_knn_s2_join_salted_equivalence(ray_session):
+    """salt_bits splits dense-cell groups but must not change results:
+    a skewed corpus (60% of queries in one ~tile) gives bit-identical
+    (custkey, rank, neighbor, truncated) with and without salting."""
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.join import knn_s2_join
+
+    rng = np.random.default_rng(17)
+    nq, nr, k = 500, 120, 3
+    hot = int(nq * 0.6)
+    qlon = np.concatenate([rng.uniform(10.0, 10.2, hot),
+                           rng.uniform(-179, 179, nq - hot)])
+    qlat = np.concatenate([rng.uniform(45.0, 45.2, hot),
+                           rng.uniform(-84, 84, nq - hot)])
+    rlon = rng.uniform(-179, 179, nr)
+    rlat = rng.uniform(-84, 84, nr)
+    refs = pa.table({"id": pa.array(np.arange(nr), pa.int64()),
+                     "lon": pa.array(rlon), "lat": pa.array(rlat)})
+
+    def run(salt_bits):
+        pts = ray.data.from_arrow(pa.table({
+            "custkey": pa.array(np.arange(nq), pa.int64()),
+            "lon": pa.array(qlon), "lat": pa.array(qlat)})).repartition(4)
+        t = collect_table(knn_s2_join(
+            pts, refs, k=k, level=6, radius_m=4_000_000.0,
+            salt_bits=salt_bits))
+        return t.to_pandas().sort_values(
+            ["custkey", "rank"]).reset_index(drop=True)
+
+    plain, salted = run(0), run(3)
+    for col in ("custkey", "rank", "neighbor_id", "truncated"):
+        assert (plain[col] == salted[col]).all(), col
