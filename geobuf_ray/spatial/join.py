@@ -603,6 +603,16 @@ def pip_s2_join(
         bb = feature_bbox(coords, offs, dim)
         rows, cells = s2.cover_rects(bb[:, 0], bb[:, 1], bb[:, 2],
                                      bb[:, 3], level)
+        # a polygon covering c cells lands in min(c, nbuckets) buckets
+        # — dedupe (row, bucket) BEFORE taking the geometry payload, so
+        # fan-out (and the shuffle) is bounded by nbuckets per polygon,
+        # not by its covering-cell count
+        bkt = (cells % np.uint64(nbuckets)).astype(np.int64)
+        order = np.lexsort((bkt, rows))
+        rows, bkt = rows[order], bkt[order]
+        keep = np.concatenate(([True], (rows[1:] != rows[:-1])
+                               | (bkt[1:] != bkt[:-1])))
+        rows, bkt = rows[keep], bkt[keep]
         taken = batch.take(pa.array(rows, pa.int64()))
         tbl = pa.table({
             "pid": taken[poly_id_col].cast(pa.int64()),
@@ -612,7 +622,7 @@ def pip_s2_join(
                     if "dim" in taken.column_names
                     else pa.array(np.full(len(rows), 2, np.int8))),
         })
-        return (cells % np.uint64(nbuckets)).astype(np.int64), tbl
+        return bkt, tbl
 
     lschema = pa.schema([("pid", pa.int64()),
                          ("lon", pa.float64()), ("lat", pa.float64())])

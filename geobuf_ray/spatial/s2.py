@@ -272,12 +272,20 @@ def cell_bounds(ids: np.ndarray, level: int):
     size = np.int64(1) << np.int64(MAX_LEVEL - level)
     i0 = i & ~(size - 1)
     j0 = j & ~(size - 1)
+    return face_ij_bounds(face, i0, j0, size)
+
+
+def face_ij_bounds(face: np.ndarray, i0: np.ndarray, j0: np.ndarray,
+                   size):
+    """(west, south, east, north, full_lng) of the ij-space cell box
+    ``[i0, i0+size) x [j0, j0+size)`` on each face — the bound math of
+    :func:`cell_bounds` without the id decode (BFS covers carry ij)."""
     u0 = _st_to_uv(i0 / float(1 << MAX_LEVEL))
     u1 = _st_to_uv((i0 + size) / float(1 << MAX_LEVEL))
     v0 = _st_to_uv(j0 / float(1 << MAX_LEVEL))
     v1 = _st_to_uv((j0 + size) / float(1 << MAX_LEVEL))
 
-    n = len(ids)
+    n = len(face)
     west = np.empty(n)
     east = np.empty(n)
     south = np.empty(n)
@@ -383,27 +391,54 @@ def cover_rects(west, south, east, north, level: int,
     nr = len(west)
     if rect_ids is None:
         rect_ids = np.arange(nr, dtype=np.int64)
-    # frontier: every rect x 6 level-0 face cells
-    faces = np.arange(6, dtype=np.uint64)
-    f_ids = (faces << np.uint64(61)) + lsb_for_level(0)
+    # BFS in (face, i, j) space — no id decode per level; ids are
+    # minted once at the end.  A cell whose exact bound lies fully
+    # inside its rect descends WITHOUT further tests (the bound is the
+    # exact hull, so every descendant's hull is inside too): tests run
+    # only on O(perimeter) boundary cells, not O(area) interior ones.
     ridx = np.repeat(np.arange(nr, dtype=np.int64), 6)
-    cids = np.tile(f_ids, nr)
+    fface = np.tile(np.arange(6, dtype=np.int64), nr)
+    fi = np.zeros(len(ridx), np.int64)
+    fj = np.zeros(len(ridx), np.int64)
+    inside = np.zeros(len(ridx), bool)
     for lvl in range(0, level + 1):
-        if len(cids) == 0:
+        if len(ridx) == 0:
             break
-        w, s, e, nn, fulll = cell_bounds(cids, lvl)
-        rw, rs, re, rn = west[ridx], south[ridx], east[ridx], north[ridx]
-        lat_ok = (nn >= rs) & (s <= rn)
-        # wrap-aware lng interval intersection ([w>e] = crosses 180)
-        wraps = w > e
-        lng_ok = np.where(
-            fulll, True,
-            np.where(wraps, (rw <= e) | (re >= w),
-                     (w <= re) & (e >= rw)))
-        keep = lat_ok & lng_ok
-        ridx, cids = ridx[keep], cids[keep]
+        size = np.int64(1) << np.int64(MAX_LEVEL - lvl)
+        test = np.flatnonzero(~inside)
+        if len(test):
+            w, s, e, nn, fulll = face_ij_bounds(
+                fface[test], fi[test], fj[test], size)
+            rw, rs = west[ridx[test]], south[ridx[test]]
+            re, rn = east[ridx[test]], north[ridx[test]]
+            lat_ok = (nn >= rs) & (s <= rn)
+            # wrap-aware lng interval intersection ([w>e] = crosses 180)
+            wraps = w > e
+            lng_ok = np.where(
+                fulll, True,
+                np.where(wraps, (rw <= e) | (re >= w),
+                         (w <= re) & (e >= rw)))
+            keep_t = lat_ok & lng_ok
+            # containment: exact-hull bound inside the rect (wrapping /
+            # full-lng cells stay conservative: keep testing them)
+            contained = (keep_t & ~fulll & ~wraps
+                         & (w >= rw) & (e <= re) & (s >= rs) & (nn <= rn))
+            drop = test[~keep_t]
+            inside[test[contained]] = True
+            if len(drop):
+                keep_mask = np.ones(len(ridx), bool)
+                keep_mask[drop] = False
+                ridx, fface = ridx[keep_mask], fface[keep_mask]
+                fi, fj = fi[keep_mask], fj[keep_mask]
+                inside = inside[keep_mask]
         if lvl < level:
-            ch = children(cids)             # (n, 4)
+            h = np.int64(1) << np.int64(MAX_LEVEL - lvl - 1)
+            n0 = len(ridx)
             ridx = np.repeat(ridx, 4)
-            cids = ch.reshape(-1)
-    return rect_ids[ridx], cids
+            fface = np.repeat(fface, 4)
+            inside = np.repeat(inside, 4)
+            di = np.tile(np.array([0, 0, 1, 1], np.int64), n0)
+            dj = np.tile(np.array([0, 1, 0, 1], np.int64), n0)
+            fi = np.repeat(fi, 4) + di * h
+            fj = np.repeat(fj, 4) + dj * h
+    return rect_ids[ridx], face_ij_to_id(fface, fi, fj, level)
