@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_decode_stats": q.images_decode_stats,
         "images_tile_counts": q.images_tile_counts,
         "images_in_rects": q.images_in_rects,
+        "images_knn_s2": q.images_knn_s2,
         "images_resize": q.images_resize,
         "images_phash_pairs": q.images_phash_pairs,
         "images_zonal_stats": q.images_zonal_stats,
@@ -453,6 +454,24 @@ def oracle_sql() -> dict[str, str]:
               AND lon <= (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0 + 0.005)
               AND lat >= (-85.0 + (s_suppkey * 53) % 160)
               AND lat <= (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005)
+        """,
+        # kNN customers -> image centroids on the S2 shuffle path; the
+        # oracle recomputes the CRC centroids (same CTE) + haversine
+        "images_knn_s2": f"""
+            {_img_pts_cte(300)}
+            SELECT custkey, CAST(rnk AS INTEGER) AS rank, image_idx FROM (
+                SELECT c_custkey AS custkey, image_idx,
+                       row_number() OVER (
+                           PARTITION BY c_custkey
+                           ORDER BY 2.0 * 6371008.8 * asin(sqrt(
+                               pow(sin((radians(lat) - radians({_LAT})) / 2.0), 2)
+                               + cos(radians({_LAT})) * cos(radians(lat))
+                               * pow(sin((radians(lon) - radians({_LON})) / 2.0), 2)
+                           )), image_idx
+                       ) AS rnk
+                FROM customer, pts
+                WHERE c_custkey <= 20
+            ) WHERE rnk <= 3
         """,
         # FNV-1a 64-bit document fingerprint as SQL: recursive CTE over
         # the utf8 BYTES (hex(encode(text)) + strpos nibble decode) in

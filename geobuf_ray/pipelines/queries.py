@@ -1058,6 +1058,46 @@ def knn_suppliers_s2(sf_dir: str, k: int = 3, n_queries: int = 20):
     })
 
 
+def images_knn_s2(sf_dir: str, k: int = 3, n_queries: int = 20):
+    """k nearest IMAGE centroids per customer through the S2-cell
+    shuffle kNN — the north_rule's image-payloads-as-spatial shape on
+    the join engine (the image table's planted hot cell rides the same
+    fan-out; see ``knn_s2_join(salt_bits=...)`` for query-side skew).
+    Hash-checked against a SQL oracle that recomputes the CRC-derived
+    centroids (same CTE as ``images_tile_counts``)."""
+    import pyarrow.compute as _pc
+    import ray
+
+    from ..collect import collect_table
+    from ..io import images as im
+    from ..spatial.join import knn_s2_join
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    idx = np.arange(n, dtype=np.int64)
+    lons, lats = im.image_centroids(idx)
+    ref = pa.table({"id": pa.array(idx), "lon": pa.array(lons),
+                    "lat": pa.array(lats)})
+
+    def head(batch: pa.Table) -> pa.Table:
+        keys = batch["custkey"].to_numpy()
+        return batch.filter(pa.array(keys <= n_queries))
+
+    start = max(1.5e6, 3.0e7 / max(n, 1) ** 0.5)
+    for radius in (start, start * 4.0, 2.1e7):
+        pts = customer_points(sf_dir).map_batches(
+            head, batch_format="pyarrow", zero_copy_batch=True)
+        out = collect_table(knn_s2_join(
+            pts, ref, k=k, level=5, radius_m=radius, id_col="custkey"))
+        if not _pc.any(out["truncated"]).as_py():
+            break
+    out = out.sort_by([("custkey", "ascending"), ("rank", "ascending")])
+    return pa.table({
+        "custkey": out["custkey"],
+        "rank": out["rank"],
+        "image_idx": out["neighbor_id"],
+    })
+
+
 def rects_tile_clip(sf_dir: str, n: int = 32):
     """Supplier rectangles clipped to a flat n x n grid through the
     REAL vectorized Sutherland–Hodgman kernel (tileclip.ClipFeature
