@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_band_join": q.lineitem_price_band_join,
         "orders_hash_sample": q.orders_hash_sample,
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
+        "lineitem_price_quantiles_sketch": q.lineitem_price_quantiles_sketch,
         "parts_by_brand": q.parts_by_brand,
         "revenue_by_region": q.revenue_by_region,
         "revenue_by_region_shuffle": q.revenue_by_region_shuffle,

@@ -546,6 +546,33 @@ def lineitem_price_quantiles(sf_dir: str):
                      "p99": pa.array([q(0.99)], pa.int64())})
 
 
+def lineitem_price_quantiles_sketch(sf_dir: str):
+    """Approximate p50/p90/p99 via the mergeable log-histogram sketch
+    (functions/sketch.quantile_sketch) — the unbounded-cardinality
+    path behind the exact :func:`lineitem_price_quantiles` (fixed
+    32 KB partials, elementwise-add merge).  Rows-only check: the
+    ~1.1% relative bound is audited in-row against the exact values
+    and asserted in tests."""
+    import ray
+
+    from ..functions.sketch import approx_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    est = approx_quantiles(ds, "l_extendedprice", [0.5, 0.9, 0.99],
+                           scale=100.0)
+    exact = lineitem_price_quantiles(sf_dir)
+    ex = np.array([exact["p50"][0].as_py(), exact["p90"][0].as_py(),
+                   exact["p99"][0].as_py()], np.float64)
+    rel = np.abs(est - ex) / ex
+    return pa.table({
+        "q": pa.array(["p50", "p90", "p99"]),
+        "cents_sketch": pa.array(est.round().astype(np.int64)),
+        "cents_exact": pa.array(ex.astype(np.int64)),
+        "rel_error": pa.array(rel),
+    })
+
+
 def events_distinct_users(sf_dir: str):
     """Exact distinct-user count (per-block distinct partial + driver
     union); the HLL sketch in functions/sketch.py is the

@@ -401,3 +401,34 @@ def test_minhash_dedup_degenerate_collapses(ray_session):
     kept_ids = {r["doc_id"] for r in kept_ds.take_all()}
     assert len(dropped) == 1999          # one representative survives
     assert 0 in kept_ids and 2000 in kept_ids
+
+
+def test_quantile_sketch_bound_and_merge():
+    """Log-histogram sketch: relative error within the 2^(1/k)-1 bound
+    on three distribution shapes, and partial merges == one-shot."""
+    from geobuf_ray.functions.sketch import (
+        LOG_BINS_PER_OCTAVE, quantile_from_sketch, quantile_sketch)
+
+    rng = np.random.default_rng(11)
+    bound = 2.0 ** (1.0 / LOG_BINS_PER_OCTAVE) - 1.0
+    for v in (rng.integers(1, 10_000_000, 200_000),
+              np.maximum(rng.lognormal(8, 2, 200_000), 1).astype(np.int64),
+              rng.zipf(1.5, 200_000).astype(np.int64)):
+        h = quantile_sketch(v)
+        got = quantile_from_sketch(h, [0.5, 0.9, 0.99])
+        want = np.percentile(v, [50, 90, 99], method="inverted_cdf")
+        assert (np.abs(got - want) / want <= bound + 1e-12).all()
+        # mergeability: three partial histograms add to the whole
+        parts = np.array_split(v, 3)
+        merged = sum(quantile_sketch(p) for p in parts)
+        assert (merged == h).all()
+
+
+def test_quantiles_sketch_query(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["lineitem_price_quantiles_sketch"](
+        "/root/testdata/sf0.001")
+    assert out.num_rows == 3
+    rel = out["rel_error"].to_numpy()
+    assert (rel <= 2.0 ** (1.0 / 64) - 1.0 + 1e-12).all()
