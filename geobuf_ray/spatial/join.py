@@ -556,6 +556,7 @@ def pip_s2_join(
     lat_col: str = "lat",
     point_id_col: str = "custkey",
     poly_id_col: str = "id",
+    salt_bits: int = 0,
 ):
     """Point-in-polygon join partitioned on **S2 cells** (spatial/s2.py).
 
@@ -571,8 +572,12 @@ def pip_s2_join(
     slippy tiles), and the cell id's prefix property gives ancestor
     ranges for free — `cell_range` pruning composes with gob/manifest
     range addressing.  Buckets hash the cell id, so dense-cell skew is
-    bounded by one cell's content; salt the point side upstream for a
-    pathological single cell.
+    bounded by one cell's content; ``salt_bits`` (north_rule "salted
+    repartitioning for skewed dense cells") splits every bucket's
+    POINT rows into ``2^salt_bits`` sub-buckets by a content hash of
+    the point id while polygon rows replicate to all salts — a
+    pathological cell's refine runs on ``2^salt_bits`` workers with
+    identical output (polygon fan-out cost x2^salt_bits).
     """
     from ..codec.schema import list_column_parts
     from ..functions.exchange import hash_cogroup
@@ -587,12 +592,20 @@ def pip_s2_join(
         cell = s2.s2_cell_id(lon, lat, level)
         # the reduce kernel needs no cell column (see pip_bucket) —
         # ship only the payload
+        pid_col = batch[point_id_col].cast(pa.int64())
         tbl = pa.table({
-            "pid": batch[point_id_col].cast(pa.int64()),
+            "pid": pid_col,
             "lon": pa.array(lon),
             "lat": pa.array(lat),
         })
-        return (cell % np.uint64(nbuckets)).astype(np.int64), tbl
+        bkt = (cell % np.uint64(nbuckets)).astype(np.int64)
+        if salt_bits > 0:
+            pid = pid_col.combine_chunks().to_numpy(zero_copy_only=False)
+            slt = ((pid.astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15))
+                   >> np.uint64(64 - salt_bits)).astype(np.int64)
+            bkt = bkt * (1 << salt_bits) + slt
+        return bkt, tbl
 
     def polys_bucket(batch: pa.Table):
         n = batch.num_rows
@@ -613,6 +626,14 @@ def pip_s2_join(
         keep = np.concatenate(([True], (rows[1:] != rows[:-1])
                                | (bkt[1:] != bkt[:-1])))
         rows, bkt = rows[keep], bkt[keep]
+        if salt_bits > 0:
+            # polygons replicate to every point-salt sub-bucket
+            nsalt = 1 << salt_bits
+            nded = len(rows)
+            rep = np.repeat(np.arange(nded), nsalt)
+            rows = rows[rep]
+            bkt = bkt[rep] * nsalt + np.tile(
+                np.arange(nsalt, dtype=np.int64), nded)
         taken = batch.take(pa.array(rows, pa.int64()))
         tbl = pa.table({
             "pid": taken[poly_id_col].cast(pa.int64()),
@@ -658,7 +679,7 @@ def pip_s2_join(
                          "polygon_id": pa.array(poly_id, pa.int64())})
 
     return hash_cogroup(
-        points_ds, polygons_ds, nbuckets=nbuckets,
+        points_ds, polygons_ds, nbuckets=nbuckets << salt_bits,
         left_bucket_fn=points_bucket, right_bucket_fn=polys_bucket,
         reduce_fn=pip_bucket, left_schema=lschema, right_schema=rschema)
 

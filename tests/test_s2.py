@@ -185,3 +185,26 @@ def test_knn_s2_join_salted_equivalence(ray_session):
     plain, salted = run(0), run(3)
     for col in ("custkey", "rank", "neighbor_id", "truncated"):
         assert (plain[col] == salted[col]).all(), col
+
+
+def test_pip_s2_join_salted_equivalence(ray_session):
+    """salt_bits on the PIP path: a hot cell's points split across
+    sub-buckets, polygons replicate — join output is identical."""
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.pipelines import queries as q
+    from geobuf_ray.spatial.join import pip_s2_join
+
+    SF = "/root/testdata/sf0.001"
+
+    def run(salt_bits):
+        pts = q.customer_points(SF)
+        polys = ray.data.from_arrow(q.supplier_rects(SF))
+        out = pip_s2_join(pts, polys, level=8, nbuckets=16,
+                          poly_id_col="id", salt_bits=salt_bits)
+        return {(r["custkey"], r["polygon_id"])
+                for r in collect_table(out).to_pylist()}
+
+    plain, salted = run(0), run(3)
+    assert plain == salted and len(plain) > 0
