@@ -8,7 +8,7 @@ and large-scale training-data operators (dedup, ANN, text analysis,
 image tables).  See SURVEY.md for the blueprint.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):
@@ -18,9 +18,12 @@ def __getattr__(name):
     read_subfile, write_indexed_geobuf, read_geojson-style converters.
     Pipelines: split_combine, split_combine_keys, tile_clip, tile_cover,
     assign_tiles.  Joins: hash_join, asof_join, range_join,
-    point_in_polygon_join, knn_join.  Training-data ops: exact_dedup,
-    minhash_candidate_pairs, minhash_dedup, simhash_candidate_pairs,
-    embedding_dedup_pairs, brute_force_topk, ivf_build, ivf_topk.
+    point_in_polygon_join, knn_join, pip_s2_join, knn_s2_join,
+    hash_cogroup.  Raster: rasterize_polygons, masks_to_boxes.
+    Training-data ops: exact_dedup, minhash_candidate_pairs,
+    minhash_dedup, simhash_candidate_pairs, embedding_dedup_pairs,
+    hash64_candidate_pairs, brute_force_topk, ivf_build, ivf_topk,
+    approx_distinct, approx_quantiles.
     """
     from importlib import import_module
 
@@ -58,6 +61,18 @@ def __getattr__(name):
         "brute_force_topk": ("geobuf_ray.functions.ann", "brute_force_topk"),
         "ivf_build": ("geobuf_ray.functions.ann", "ivf_build"),
         "ivf_topk": ("geobuf_ray.functions.ann", "ivf_topk"),
+        "pip_s2_join": ("geobuf_ray.spatial.join", "pip_s2_join"),
+        "knn_s2_join": ("geobuf_ray.spatial.join", "knn_s2_join"),
+        "hash_cogroup": ("geobuf_ray.functions.exchange", "hash_cogroup"),
+        "rasterize_polygons": ("geobuf_ray.spatial.raster",
+                               "rasterize_polygons"),
+        "masks_to_boxes": ("geobuf_ray.spatial.raster", "masks_to_boxes"),
+        "hash64_candidate_pairs": ("geobuf_ray.functions.dedup",
+                                   "hash64_candidate_pairs"),
+        "approx_distinct": ("geobuf_ray.functions.sketch",
+                            "approx_distinct"),
+        "approx_quantiles": ("geobuf_ray.functions.sketch",
+                             "approx_quantiles"),
     }
     if name in registry:
         mod, attr = registry[name]
