@@ -1037,6 +1037,44 @@ def knn_suppliers(sf_dir: str, k: int = 3, n_queries: int = 20):
     )
 
 
+def _knn_s2_escalating(sf_dir: str, ref: pa.Table, *, k: int,
+                       n_queries: int, level: int, start: float):
+    """Run ``knn_s2_join`` with radius escalation, re-running ONLY the
+    queries whose rows came back ``truncated`` (their kth neighbour was
+    not provably within the fanned radius) at each larger rung — rung
+    2+ costs O(stragglers), not a full second pass.  The last rung's
+    2.1e7 m radius is the whole globe, so it can never truncate."""
+    from ..collect import collect_table
+    from ..spatial.join import knn_s2_join
+
+    def pts_ds(allowed):
+        def head(batch: pa.Table) -> pa.Table:
+            keys = batch["custkey"].to_numpy()
+            m = keys <= n_queries
+            if allowed is not None:
+                m &= np.isin(keys, allowed)
+            return batch.filter(pa.array(m))
+
+        return customer_points(sf_dir).map_batches(
+            head, batch_format="pyarrow", zero_copy_batch=True)
+
+    rungs = (start, start * 4.0, 2.1e7)
+    done, allowed = [], None
+    for i, radius in enumerate(rungs):
+        out = collect_table(knn_s2_join(
+            pts_ds(allowed), ref, k=k, level=level, radius_m=radius,
+            id_col="custkey"))
+        tr = out["truncated"].to_numpy(zero_copy_only=False)
+        last = i == len(rungs) - 1
+        done.append(out if last else out.filter(pa.array(~tr)))
+        bad = np.unique(out["custkey"].to_numpy(zero_copy_only=False)[tr])
+        if len(bad) == 0 or last:
+            break
+        allowed = bad
+    return pa.concat_tables(done).sort_by(
+        [("custkey", "ascending"), ("rank", "ascending")])
+
+
 def knn_suppliers_s2(sf_dir: str, k: int = 3, n_queries: int = 20):
     """Same result as :func:`knn_suppliers`, computed through the
     S2-cell shuffle kNN (``knn_s2_join``, north_rule "kNN via
@@ -1050,9 +1088,6 @@ def knn_suppliers_s2(sf_dir: str, k: int = 3, n_queries: int = 20):
     (``n_queries * k`` rows) so the driver-side check is O(60)."""
     import duckdb
 
-    from ..collect import collect_table
-    from ..spatial.join import knn_s2_join
-
     skeys = duckdb.connect().execute(
         f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
     ).fetchnumpy()["s_suppkey"].astype(np.int64)
@@ -1062,22 +1097,10 @@ def knn_suppliers_s2(sf_dir: str, k: int = 3, n_queries: int = 20):
         "lat": pa.array(derive_lat(skeys)),
     })
 
-    def head(batch: pa.Table) -> pa.Table:
-        keys = batch["custkey"].to_numpy()
-        return batch.filter(pa.array(keys <= n_queries))
-
-    # ~sqrt(area/n) mean spacing heuristic for the starting radius;
-    # escalation covers sparse corners (a 2.1e7 m radius is the
-    # whole globe, so the last rung can never truncate)
+    # ~sqrt(area/n) mean spacing heuristic for the starting radius
     start = max(1.5e6, 3.0e7 / max(len(skeys), 1) ** 0.5)
-    for radius in (start, start * 4.0, 2.1e7):
-        pts = customer_points(sf_dir).map_batches(
-            head, batch_format="pyarrow", zero_copy_batch=True)
-        out = collect_table(knn_s2_join(
-            pts, ref, k=k, level=5, radius_m=radius, id_col="custkey"))
-        if not pc.any(out["truncated"]).as_py():
-            break
-    out = out.sort_by([("custkey", "ascending"), ("rank", "ascending")])
+    out = _knn_s2_escalating(sf_dir, ref, k=k, n_queries=n_queries,
+                             level=5, start=start)
     return pa.table({
         "custkey": out["custkey"],
         "rank": out["rank"],
@@ -1092,12 +1115,7 @@ def images_knn_s2(sf_dir: str, k: int = 3, n_queries: int = 20):
     fan-out; see ``knn_s2_join(salt_bits=...)`` for query-side skew).
     Hash-checked against a SQL oracle that recomputes the CRC-derived
     centroids (same CTE as ``images_tile_counts``)."""
-    import pyarrow.compute as _pc
-    import ray
-
-    from ..collect import collect_table
     from ..io import images as im
-    from ..spatial.join import knn_s2_join
 
     n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
     idx = np.arange(n, dtype=np.int64)
@@ -1105,19 +1123,9 @@ def images_knn_s2(sf_dir: str, k: int = 3, n_queries: int = 20):
     ref = pa.table({"id": pa.array(idx), "lon": pa.array(lons),
                     "lat": pa.array(lats)})
 
-    def head(batch: pa.Table) -> pa.Table:
-        keys = batch["custkey"].to_numpy()
-        return batch.filter(pa.array(keys <= n_queries))
-
     start = max(1.5e6, 3.0e7 / max(n, 1) ** 0.5)
-    for radius in (start, start * 4.0, 2.1e7):
-        pts = customer_points(sf_dir).map_batches(
-            head, batch_format="pyarrow", zero_copy_batch=True)
-        out = collect_table(knn_s2_join(
-            pts, ref, k=k, level=5, radius_m=radius, id_col="custkey"))
-        if not _pc.any(out["truncated"]).as_py():
-            break
-    out = out.sort_by([("custkey", "ascending"), ("rank", "ascending")])
+    out = _knn_s2_escalating(sf_dir, ref, k=k, n_queries=n_queries,
+                             level=5, start=start)
     return pa.table({
         "custkey": out["custkey"],
         "rank": out["rank"],
