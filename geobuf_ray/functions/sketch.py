@@ -163,6 +163,8 @@ def quantile_from_sketch(hist: np.ndarray, qs,
     bin of it (relative error <= 2^(1/k)-1)."""
     cum = np.cumsum(hist)
     total = int(cum[-1])
+    if total == 0:
+        return np.full(len(np.atleast_1d(qs)), np.nan)
     out = []
     for q in np.atleast_1d(qs):
         rank = max(int(np.ceil(q * total)), 1)
