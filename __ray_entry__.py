@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts": q.tile_counts,
         "pip_rect_join": q.pip_rect_join,
         "pip_rect_join_s2": q.pip_rect_join_s2,
+        "pip_rect_join_s2_adaptive": q.pip_rect_join_s2_adaptive,
         "rects_tile_clip": q.rects_tile_clip,
         "rects_rasterize": q.rects_rasterize,
         "knn_suppliers": q.knn_suppliers,
@@ -336,6 +337,15 @@ def oracle_sql() -> dict[str, str]:
         # the S2-indexed route must produce the IDENTICAL join result —
         # the cell index only prunes candidates
         "pip_rect_join_s2": f"""
+            SELECT c_custkey AS custkey, s_suppkey AS polygon_id
+            FROM customer, supplier
+            WHERE {_LON} >= (-180.0 + (s_suppkey * 37) % 300)
+              AND {_LON} <= (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0 + 0.005)
+              AND {_LAT} >= (-85.0 + (s_suppkey * 53) % 160)
+              AND {_LAT} <= (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005)
+        """,
+        # adaptive multi-level cover: still the identical result set
+        "pip_rect_join_s2_adaptive": f"""
             SELECT c_custkey AS custkey, s_suppkey AS polygon_id
             FROM customer, supplier
             WHERE {_LON} >= (-180.0 + (s_suppkey * 37) % 300)

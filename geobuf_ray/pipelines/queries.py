@@ -993,6 +993,24 @@ def pip_rect_join_s2(sf_dir: str, level: int = 8):
     return out.select_columns(["custkey", "polygon_id"])
 
 
+def pip_rect_join_s2_adaptive(sf_dir: str):
+    """The same PIP join through the ADAPTIVE multi-level S2 cover
+    (``pip_s2_join_adaptive``): each polygon covers at the level
+    matched to its own bbox size, points emit one ancestor cell per
+    level, candidates match on exact cell equality.  Identical result
+    set — hash-checked against the same SQL oracle as the fixed-level
+    and tile paths."""
+    import ray
+
+    from ..spatial.join import pip_s2_join_adaptive
+
+    pts = customer_points(sf_dir)
+    polys = ray.data.from_arrow(supplier_rects(sf_dir))
+    out = pip_s2_join_adaptive(pts, polys, lmin=2, lmax=9, nbuckets=64,
+                               poly_id_col="id")
+    return out.select_columns(["custkey", "polygon_id"])
+
+
 def rects_rasterize(sf_dir: str, ntiles: int = 16, px: int = 16):
     """Raster side of raster<->vector (north_rule): supplier rectangles
     rasterized onto the fixed linear 16x16-tile / 16x16-pixel global

@@ -208,3 +208,46 @@ def test_pip_s2_join_salted_equivalence(ray_session):
 
     plain, salted = run(0), run(3)
     assert plain == salted and len(plain) > 0
+
+
+def test_pip_s2_join_adaptive_mixed_sizes(ray_session):
+    """Adaptive multi-level cover: polygons spanning 0.05..60 degrees
+    join identically to the broadcast-exact path, and no (point,
+    polygon) pair is ever emitted twice (the exact-cell-equality
+    uniqueness argument)."""
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.io.geojson import features_to_table
+    from geobuf_ray.spatial.join import (pip_s2_join_adaptive,
+                                         point_in_polygon_join)
+
+    rng = np.random.default_rng(23)
+    npts, npoly = 4000, 60
+    lon = rng.uniform(-179, 179, npts)
+    lat = rng.uniform(-80, 80, npts)
+    sizes = np.exp(rng.uniform(np.log(0.05), np.log(60.0), npoly))
+    w = rng.uniform(-179, 119, npoly)
+    s = rng.uniform(-80, 20, npoly)
+    e, n = w + sizes, s + np.minimum(sizes, 55.0)
+    feats = [
+        {"type": "Feature", "id": int(i), "properties": {},
+         "geometry": {"type": "Polygon", "coordinates": [[
+             [w[i], s[i]], [e[i], s[i]], [e[i], n[i]],
+             [w[i], n[i]], [w[i], s[i]]]]}}
+        for i in range(npoly)
+    ]
+    polys = features_to_table(feats)
+    pts_tbl = pa.table({
+        "custkey": pa.array(np.arange(npts), pa.int64()),
+        "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    out = collect_table(pip_s2_join_adaptive(
+        ray.data.from_arrow(pts_tbl).repartition(4),
+        ray.data.from_arrow(polys), lmin=2, lmax=9, nbuckets=16))
+    got = [(r["custkey"], r["polygon_id"]) for r in out.to_pylist()]
+    assert len(got) == len(set(got))  # uniqueness, no cross-bucket dups
+    want = {(r["custkey"], r["polygon_id"]) for r in collect_table(
+        point_in_polygon_join(ray.data.from_arrow(pts_tbl),
+                              polys, poly_id_column="id")).to_pylist()}
+    assert set(got) == want and len(want) > 0
