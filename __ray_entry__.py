@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_rasterize": q.rects_rasterize,
         "knn_suppliers": q.knn_suppliers,
         "knn_suppliers_s2": q.knn_suppliers_s2,
+        "suppliers_within_2000km": q.suppliers_within_2000km,
         "codec_roundtrip_points": q.codec_roundtrip_points,
         # documents: dedup + text analysis
         "docs_exact_dedup": q.docs_exact_dedup,
@@ -409,6 +410,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer, supplier
                 WHERE c_custkey <= 20
             ) WHERE rnk <= 3
+        """,
+        # radius join: exact haversine <= 2000 km predicate
+        "suppliers_within_2000km": f"""
+            SELECT c_custkey AS custkey, s_suppkey
+            FROM customer, supplier
+            WHERE 2.0 * 6371008.8 * asin(sqrt(
+                      pow(sin((radians({_SLAT}) - radians({_LAT})) / 2.0), 2)
+                      + cos(radians({_LAT})) * cos(radians({_SLAT}))
+                      * pow(sin((radians({_SLON}) - radians({_LON})) / 2.0), 2)
+                  )) <= 2000000.0
         """,
         # the S2-cell shuffle route must produce the IDENTICAL kNN
         # result — radius certification + escalation only bound the

@@ -65,6 +65,8 @@ def __getattr__(name):
         "pip_s2_join_adaptive": ("geobuf_ray.spatial.join",
                                  "pip_s2_join_adaptive"),
         "knn_s2_join": ("geobuf_ray.spatial.join", "knn_s2_join"),
+        "within_distance_join": ("geobuf_ray.spatial.join",
+                                 "within_distance_join"),
         "hash_cogroup": ("geobuf_ray.functions.exchange", "hash_cogroup"),
         "rasterize_polygons": ("geobuf_ray.spatial.raster",
                                "rasterize_polygons"),

@@ -1151,6 +1151,31 @@ def images_knn_s2(sf_dir: str, k: int = 3, n_queries: int = 20):
     })
 
 
+def suppliers_within_2000km(sf_dir: str, radius_m: float = 2_000_000.0):
+    """Radius join (ST_DWithin shape): every (customer, supplier) pair
+    within 2,000 km haversine, via the S2 disk-cover shuffle
+    (``within_distance_join``) — exact by construction (the radius
+    defines the fan-out; no truncation/escalation needed).
+    Hash-checked against the SQL haversine predicate."""
+    import duckdb
+    import ray  # noqa: F401
+
+    from ..spatial.join import within_distance_join
+
+    skeys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    ref = pa.table({
+        "id": pa.array(skeys),
+        "lon": pa.array(derive_lon(skeys)),
+        "lat": pa.array(derive_lat(skeys)),
+    })
+    out = within_distance_join(customer_points(sf_dir), ref, radius_m,
+                               level=5, id_col="custkey")
+    return out.select_columns(["custkey", "neighbor_id"]).rename_columns(
+        {"neighbor_id": "s_suppkey"})
+
+
 def rects_tile_clip(sf_dir: str, n: int = 32):
     """Supplier rectangles clipped to a flat n x n grid through the
     REAL vectorized Sutherland–Hodgman kernel (tileclip.ClipFeature

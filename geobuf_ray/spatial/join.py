@@ -856,6 +856,55 @@ def pip_s2_join_adaptive(
         reduce_fn=pip_bucket, left_schema=lschema, right_schema=rschema)
 
 
+def _disk_cover_cells(rlon: np.ndarray, rlat: np.ndarray,
+                      radius_m: float, level: int):
+    """Level-``level`` cells intersecting each point's ``radius_m``
+    disk: (row, cell) fan-out pairs, deduplicated.
+
+    Conservative degree padding: 110 km/degree underestimates the true
+    meters-per-degree everywhere (so the degree pad overestimates), lon
+    pads at the most poleward latitude the disk reaches, and disks
+    reaching past lat 89 take the full lon range.  Antimeridian-
+    wrapping disks split into two rects before the cover."""
+    from . import s2
+
+    dlat = radius_m / 110_000.0
+    lat_edge = np.abs(rlat) + dlat
+    dlon = radius_m / (110_000.0 * np.cos(np.radians(
+        np.minimum(lat_edge, 89.0))))
+    full = (dlon >= 180.0) | (lat_edge >= 89.0)
+    dlon = np.minimum(dlon, 180.0)
+    w = rlon - dlon
+    e = rlon + dlon
+    s_ = np.maximum(rlat - dlat, -90.0)
+    n_ = np.minimum(rlat + dlat, 90.0)
+    rect_ref, rw, rs, re_, rn = [], [], [], [], []
+    base = np.arange(len(rlon))
+    main_w = np.where(full, -180.0, np.maximum(w, -180.0))
+    main_e = np.where(full, 180.0, np.minimum(e, 180.0))
+    rect_ref.append(base)
+    rw.append(main_w); rs.append(s_); re_.append(main_e); rn.append(n_)
+    wrap_lo = np.flatnonzero(~full & (w < -180.0))
+    if len(wrap_lo):
+        rect_ref.append(wrap_lo)
+        rw.append(w[wrap_lo] + 360.0); rs.append(s_[wrap_lo])
+        re_.append(np.full(len(wrap_lo), 180.0)); rn.append(n_[wrap_lo])
+    wrap_hi = np.flatnonzero(~full & (e > 180.0))
+    if len(wrap_hi):
+        rect_ref.append(wrap_hi)
+        rw.append(np.full(len(wrap_hi), -180.0)); rs.append(s_[wrap_hi])
+        re_.append(e[wrap_hi] - 360.0); rn.append(n_[wrap_hi])
+    rows, cells = s2.cover_rects(
+        np.concatenate(rw), np.concatenate(rs), np.concatenate(re_),
+        np.concatenate(rn), level, rect_ids=np.concatenate(rect_ref))
+    # a split disk can cover one cell twice -> dedupe (row, cell)
+    order = np.lexsort((cells, rows))
+    rows, cells = rows[order], cells[order]
+    keep = np.concatenate(([True], (rows[1:] != rows[:-1])
+                           | (cells[1:] != cells[:-1])))
+    return rows[keep], cells[keep]
+
+
 def knn_s2_join(
     points_ds,
     ref_table: pa.Table,
@@ -902,46 +951,7 @@ def knn_s2_join(
         zero_copy_only=False).astype(np.float64)
     rid = ref_table[ref_id_col].combine_chunks().to_numpy(
         zero_copy_only=False).astype(np.int64)
-    # conservative degree padding: 110 km/degree underestimates the
-    # true meters-per-degree everywhere (so the degree pad
-    # overestimates), and lon uses the most poleward latitude the disk
-    # reaches; disks reaching past lat 89 take the full lon range
-    dlat = radius_m / 110_000.0
-    lat_edge = np.abs(rlat) + dlat
-    dlon = radius_m / (110_000.0 * np.cos(np.radians(
-        np.minimum(lat_edge, 89.0))))
-    full = (dlon >= 180.0) | (lat_edge >= 89.0)
-    dlon = np.minimum(dlon, 180.0)
-    w = rlon - dlon
-    e = rlon + dlon
-    s_ = np.maximum(rlat - dlat, -90.0)
-    n_ = np.minimum(rlat + dlat, 90.0)
-    # wrap handling: split into (possibly) two rects per ref
-    rect_ref, rw, rs, re_, rn = [], [], [], [], []
-    base = np.arange(len(rlon))
-    main_w = np.where(full, -180.0, np.maximum(w, -180.0))
-    main_e = np.where(full, 180.0, np.minimum(e, 180.0))
-    rect_ref.append(base)
-    rw.append(main_w); rs.append(s_); re_.append(main_e); rn.append(n_)
-    wrap_lo = np.flatnonzero(~full & (w < -180.0))
-    if len(wrap_lo):
-        rect_ref.append(wrap_lo)
-        rw.append(w[wrap_lo] + 360.0); rs.append(s_[wrap_lo])
-        re_.append(np.full(len(wrap_lo), 180.0)); rn.append(n_[wrap_lo])
-    wrap_hi = np.flatnonzero(~full & (e > 180.0))
-    if len(wrap_hi):
-        rect_ref.append(wrap_hi)
-        rw.append(np.full(len(wrap_hi), -180.0)); rs.append(s_[wrap_hi])
-        re_.append(e[wrap_hi] - 360.0); rn.append(n_[wrap_hi])
-    rows, cells = s2.cover_rects(
-        np.concatenate(rw), np.concatenate(rs), np.concatenate(re_),
-        np.concatenate(rn), level, rect_ids=np.concatenate(rect_ref))
-    # a split disk can cover one cell twice -> dedupe (row, cell)
-    order = np.lexsort((cells, rows))
-    rows, cells = rows[order], cells[order]
-    keep = np.concatenate(([True], (rows[1:] != rows[:-1])
-                           | (cells[1:] != cells[:-1])))
-    rows, cells = rows[keep], cells[keep]
+    rows, cells = _disk_cover_cells(rlon, rlat, radius_m, level)
     nsalt = 1 << salt_bits
     if salt_bits > 0:
         rep = np.repeat(np.arange(len(rows)), nsalt)
@@ -1037,3 +1047,96 @@ def knn_s2_join(
 
     return both.groupby(["cell", "salt"]).map_groups(
         local_knn, batch_format="pyarrow")
+
+
+def within_distance_join(
+    points_ds,
+    ref_table: pa.Table,
+    radius_m: float,
+    *,
+    level: int = 7,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "custkey",
+    ref_lon_col: str = "lon",
+    ref_lat_col: str = "lat",
+    ref_id_col: str = "id",
+):
+    """Radius join (ST_DWithin shape): every (point, ref) pair with
+    haversine distance <= ``radius_m``, EXACT — no truncation flag
+    needed, unlike kNN, because the radius itself defines the fan-out.
+
+    Refs fan to every level-``level`` cell intersecting their disk
+    (:func:`_disk_cover_cells` — the kNN machinery's cover); each
+    point lives in exactly ONE cell, so every qualifying pair meets in
+    exactly one group and is emitted exactly once (no dedup pass).
+    Output: (id_col, neighbor_id, distance_m) rows.
+    """
+    import ray
+
+    from . import s2
+
+    rlon = ref_table[ref_lon_col].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    rlat = ref_table[ref_lat_col].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    rid = ref_table[ref_id_col].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rows, cells = _disk_cover_cells(rlon, rlat, radius_m, level)
+    ref_rows = pa.table({
+        "cell": pa.array(cells, pa.uint64()),
+        "lon": pa.array(rlon[rows]),
+        "lat": pa.array(rlat[rows]),
+        "pid": pa.array(rid[rows]),
+        "is_ref": pa.array(np.ones(len(rows), bool)),
+    })
+
+    def to_common(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        lat = batch[lat_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        pid = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(s2.s2_cell_id(lon, lat, level), pa.uint64()),
+            "lon": pa.array(lon), "lat": pa.array(lat),
+            "pid": pa.array(pid),
+            "is_ref": pa.array(np.zeros(len(lon), bool)),
+        })
+
+    pts = points_ds.map_batches(to_common, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    both = pts.union(ray.data.from_arrow(ref_rows))
+
+    def local_within(group: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "distance_m": pa.array([], pa.float64())})
+        is_ref = group["is_ref"].to_numpy(zero_copy_only=False)
+        if is_ref.all() or not is_ref.any():
+            return empty
+        lon = group["lon"].to_numpy(zero_copy_only=False)
+        lat = group["lat"].to_numpy(zero_copy_only=False)
+        pid = group["pid"].to_numpy(zero_copy_only=False)
+        qm = ~is_ref
+        qlon, qlat, qid = lon[qm], lat[qm], pid[qm]
+        rl, rt, ri = lon[is_ref], lat[is_ref], pid[is_ref]
+        blk = max(1, (1 << 22) // max(len(ri), 1))
+        out_q, out_r, out_d = [], [], []
+        for b0 in range(0, len(qid), blk):
+            b1 = min(len(qid), b0 + blk)
+            d = haversine_m(qlon[b0:b1, None], qlat[b0:b1, None],
+                            rl[None, :], rt[None, :])
+            qq, rr = np.nonzero(d <= radius_m)
+            out_q.append(qid[b0:b1][qq])
+            out_r.append(ri[rr])
+            out_d.append(d[qq, rr])
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_r)),
+            "distance_m": pa.array(np.concatenate(out_d)),
+        })
+
+    return both.groupby("cell").map_groups(local_within,
+                                           batch_format="pyarrow")

@@ -251,3 +251,38 @@ def test_pip_s2_join_adaptive_mixed_sizes(ray_session):
         point_in_polygon_join(ray.data.from_arrow(pts_tbl),
                               polys, poly_id_column="id")).to_pylist()}
     assert set(got) == want and len(want) > 0
+
+
+def test_within_distance_join_vs_brute_force(ray_session):
+    """Radius join is exact: matches the dense haversine predicate,
+    each pair exactly once, including refs near the antimeridian and
+    poles (disk-cover wrap/pole paths)."""
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.geometry import haversine_m
+    from geobuf_ray.spatial.join import within_distance_join
+
+    rng = np.random.default_rng(31)
+    nq, nr = 600, 150
+    qlon = rng.uniform(-180, 180, nq)
+    qlat = rng.uniform(-88, 88, nq)
+    rlon = np.concatenate([rng.uniform(-180, 180, nr - 6),
+                           [179.9, -179.9, 0.0, 10.0, -170.0, 170.0]])
+    rlat = np.concatenate([rng.uniform(-88, 88, nr - 6),
+                           [2.0, -3.0, 89.5, -89.5, 87.0, -87.0]])
+    radius = 1_500_000.0
+    pts = ray.data.from_arrow(pa.table({
+        "custkey": pa.array(np.arange(nq), pa.int64()),
+        "lon": pa.array(qlon), "lat": pa.array(qlat)})).repartition(3)
+    refs = pa.table({"id": pa.array(np.arange(nr), pa.int64()),
+                     "lon": pa.array(rlon), "lat": pa.array(rlat)})
+    out = collect_table(within_distance_join(
+        pts, refs, radius, level=6)).to_pylist()
+    got = [(r["custkey"], r["neighbor_id"]) for r in out]
+    assert len(got) == len(set(got))  # exactly-once emission
+    d = haversine_m(qlon[:, None], qlat[:, None],
+                    rlon[None, :], rlat[None, :])
+    want = set(zip(*np.nonzero(d <= radius)))
+    assert set(got) == {(int(a), int(b)) for a, b in want}
+    assert len(want) > 100
