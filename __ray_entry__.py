@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_suppliers": q.knn_suppliers,
         "knn_suppliers_s2": q.knn_suppliers_s2,
         "suppliers_within_2000km": q.suppliers_within_2000km,
+        "rects_overlap_join": q.rects_overlap_join,
         "codec_roundtrip_points": q.codec_roundtrip_points,
         # documents: dedup + text analysis
         "docs_exact_dedup": q.docs_exact_dedup,
@@ -410,6 +411,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer, supplier
                 WHERE c_custkey <= 20
             ) WHERE rnk <= 3
+        """,
+        # rect-overlap join: interval overlap on both axes, exact for
+        # axis-aligned rects (customer rects are 0.5-2 deg anchored at
+        # the derived customer point; supplier rects as elsewhere)
+        "rects_overlap_join": f"""
+            SELECT c_custkey AS custkey, s_suppkey
+            FROM customer, supplier
+            WHERE {_LON} <= (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0 + 0.005)
+              AND ({_LON} + 0.5 + (c_custkey % 4) * 0.5) >= (-180.0 + (s_suppkey * 37) % 300)
+              AND {_LAT} <= (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005)
+              AND ({_LAT} + 0.5 + (c_custkey % 3) * 0.5) >= (-85.0 + (s_suppkey * 53) % 160)
         """,
         # radius join: exact haversine <= 2000 km predicate
         "suppliers_within_2000km": f"""

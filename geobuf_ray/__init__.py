@@ -67,6 +67,8 @@ def __getattr__(name):
         "knn_s2_join": ("geobuf_ray.spatial.join", "knn_s2_join"),
         "within_distance_join": ("geobuf_ray.spatial.join",
                                  "within_distance_join"),
+        "bbox_intersection_join": ("geobuf_ray.spatial.join",
+                                   "bbox_intersection_join"),
         "hash_cogroup": ("geobuf_ray.functions.exchange", "hash_cogroup"),
         "rasterize_polygons": ("geobuf_ray.spatial.raster",
                                "rasterize_polygons"),

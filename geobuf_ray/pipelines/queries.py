@@ -961,6 +961,47 @@ def supplier_rects(sf_dir: str) -> pa.Table:
     return features_to_table(feats)
 
 
+def customer_rects(sf_dir: str) -> pa.Table:
+    """Small rectangles anchored at each customer's derived point
+    (0.5-2 degrees) — the small-feature side of the rect-overlap
+    join."""
+    import duckdb
+
+    keys = duckdb.connect().execute(
+        f"SELECT c_custkey FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
+    ).fetchnumpy()["c_custkey"].astype(np.int64)
+    west = derive_lon(keys)
+    south = derive_lat(keys)
+    east = west + 0.5 + (keys % 4) * 0.5
+    north = south + 0.5 + (keys % 3) * 0.5
+    from ..io.geojson import features_to_table
+
+    feats = [
+        {"type": "Feature", "id": int(k), "properties": {},
+         "geometry": {"type": "Polygon", "coordinates": [[
+             [w, s], [e, s], [e, n], [w, n], [w, s]]]}}
+        for k, w, s, e, n in zip(keys, west, south, east, north)
+    ]
+    return features_to_table(feats)
+
+
+def rects_overlap_join(sf_dir: str):
+    """Feature x feature rect-overlap join (polygon-polygon spatial
+    join filter stage): small customer rects x supplier rects through
+    ``bbox_intersection_join`` — S2 cover co-group with the
+    reference-point exactly-once rule.  Hash-checked against the SQL
+    interval-overlap predicate (exact for axis-aligned rects)."""
+    import ray
+
+    from ..spatial.join import bbox_intersection_join
+
+    left = ray.data.from_arrow(customer_rects(sf_dir))
+    right = ray.data.from_arrow(supplier_rects(sf_dir))
+    out = bbox_intersection_join(left, right, level=5, nbuckets=64)
+    return out.rename_columns({"left_id": "custkey",
+                               "right_id": "s_suppkey"})
+
+
 def pip_rect_join(sf_dir: str, zoom: int = 5):
     """Point-in-polygon join of customer points vs supplier rectangles
     through the REAL cell-pruned PIP engine (§2.5)."""

@@ -1140,3 +1140,112 @@ def within_distance_join(
 
     return both.groupby("cell").map_groups(local_within,
                                            batch_format="pyarrow")
+
+
+def bbox_intersection_join(
+    left_ds,
+    right_ds,
+    *,
+    level: int = 6,
+    nbuckets: int = 64,
+    left_id_col: str = "id",
+    right_id_col: str = "id",
+):
+    """Feature x feature bbox-intersection join on S2 cells — the
+    filter stage of a polygon-polygon spatial join (exact for
+    axis-aligned rectangles; layer an exact-geometry refine on the
+    output pairs for general shapes).
+
+    Both sides fan their bboxes to level-``level`` covering cells and
+    co-group by cell hash.  Candidates match on exact cell equality;
+    a pair may share MANY cells, so emission is deduplicated with the
+    standard reference-point rule: emit only in the cell containing
+    the SW corner of ``bbox(l) & bbox(r)`` — that corner lies in
+    exactly one cell, which both covers provably contain (it is inside
+    both bboxes), so every intersecting pair is emitted exactly once
+    with no second dedup shuffle.
+
+    Expects feature tables in the canonical layout (``coords`` +
+    ``ring_sizes`` [+ ``dim``]); output is (left_id, right_id).
+    """
+    from ..codec.schema import list_column_parts
+    from ..functions.exchange import hash_cogroup
+    from . import s2
+    from .geometry import feature_bbox
+
+    def side_bucket_fn(id_col):
+        def fn(batch: pa.Table):
+            n = batch.num_rows
+            coords, offs = list_column_parts(batch["coords"], np.float64)
+            dim = (batch["dim"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+                if "dim" in batch.column_names
+                else np.full(n, 2, np.int64))
+            bb = feature_bbox(coords, offs, dim)
+            rows, cells = s2.cover_rects(bb[:, 0], bb[:, 1], bb[:, 2],
+                                         bb[:, 3], level)
+            ids = batch[id_col].cast(pa.int64()).combine_chunks(
+            ).to_numpy(zero_copy_only=False)
+            tbl = pa.table({
+                "cell": pa.array(cells, pa.uint64()),
+                "pid": pa.array(ids[rows]),
+                "w": pa.array(bb[rows, 0]), "s": pa.array(bb[rows, 1]),
+                "e": pa.array(bb[rows, 2]), "n": pa.array(bb[rows, 3]),
+            })
+            return (cells % np.uint64(nbuckets)).astype(np.int64), tbl
+        return fn
+
+    schema = pa.schema([("cell", pa.uint64()), ("pid", pa.int64()),
+                        ("w", pa.float64()), ("s", pa.float64()),
+                        ("e", pa.float64()), ("n", pa.float64())])
+
+    def reduce_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64())})
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        lcell = lt["cell"].to_numpy(zero_copy_only=False)
+        rcell = rt["cell"].to_numpy(zero_copy_only=False)
+        order = np.argsort(rcell, kind="stable")
+        rs_ = rcell[order]
+        lo = np.searchsorted(rs_, lcell, side="left")
+        hi = np.searchsorted(rs_, lcell, side="right")
+        cnt = hi - lo
+        li = np.flatnonzero(cnt > 0)
+        if len(li) == 0:
+            return empty
+        c = cnt[li]
+        l_rep = np.repeat(li, c)
+        gather = (np.repeat(lo[li], c)
+                  + np.arange(int(c.sum())) - np.repeat(np.cumsum(c) - c, c))
+        r_rep = order[gather]
+        lw = lt["w"].to_numpy(zero_copy_only=False)[l_rep]
+        ls = lt["s"].to_numpy(zero_copy_only=False)[l_rep]
+        le = lt["e"].to_numpy(zero_copy_only=False)[l_rep]
+        ln = lt["n"].to_numpy(zero_copy_only=False)[l_rep]
+        rw = rt["w"].to_numpy(zero_copy_only=False)[r_rep]
+        rss = rt["s"].to_numpy(zero_copy_only=False)[r_rep]
+        re = rt["e"].to_numpy(zero_copy_only=False)[r_rep]
+        rn = rt["n"].to_numpy(zero_copy_only=False)[r_rep]
+        overlap = (lw <= re) & (le >= rw) & (ls <= rn) & (ln >= rss)
+        if not overlap.any():
+            return empty
+        keep = np.flatnonzero(overlap)
+        # reference-point dedup: SW corner of the bbox intersection
+        ref_lon = np.maximum(lw[keep], rw[keep])
+        ref_lat = np.maximum(ls[keep], rss[keep])
+        ref_cell = s2.s2_cell_id(ref_lon, ref_lat, level)
+        here = ref_cell == lcell[l_rep[keep]]
+        keep = keep[here]
+        if len(keep) == 0:
+            return empty
+        lid = lt["pid"].to_numpy(zero_copy_only=False)[l_rep[keep]]
+        rid = rt["pid"].to_numpy(zero_copy_only=False)[r_rep[keep]]
+        return pa.table({"left_id": pa.array(lid),
+                         "right_id": pa.array(rid)})
+
+    return hash_cogroup(
+        left_ds, right_ds, nbuckets=nbuckets,
+        left_bucket_fn=side_bucket_fn(left_id_col),
+        right_bucket_fn=side_bucket_fn(right_id_col),
+        reduce_fn=reduce_fn, left_schema=schema, right_schema=schema)

@@ -286,3 +286,45 @@ def test_within_distance_join_vs_brute_force(ray_session):
     want = set(zip(*np.nonzero(d <= radius)))
     assert set(got) == {(int(a), int(b)) for a, b in want}
     assert len(want) > 100
+
+
+def test_bbox_intersection_join_vs_brute_force(ray_session):
+    """Rect x rect intersection join matches dense numpy overlap and
+    emits each pair exactly once (reference-point dedup)."""
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.io.geojson import features_to_table
+    from geobuf_ray.spatial.join import bbox_intersection_join
+
+    rng = np.random.default_rng(41)
+
+    def rects(n, smin, smax, seed_ofs):
+        w = rng.uniform(-175, 120, n)
+        s = rng.uniform(-80, 40, n)
+        sz1 = np.exp(rng.uniform(np.log(smin), np.log(smax), n))
+        sz2 = np.exp(rng.uniform(np.log(smin), np.log(smax), n))
+        e, nn = w + sz1, s + np.minimum(sz2, 40.0)
+        feats = [
+            {"type": "Feature", "id": int(i + seed_ofs), "properties": {},
+             "geometry": {"type": "Polygon", "coordinates": [[
+                 [w[i], s[i]], [e[i], s[i]], [e[i], nn[i]],
+                 [w[i], nn[i]], [w[i], s[i]]]]}}
+            for i in range(n)
+        ]
+        return features_to_table(feats), np.stack([w, s, e, nn], axis=1)
+
+    lt, lbb = rects(200, 0.1, 30.0, 0)
+    rt, rbb = rects(150, 0.1, 30.0, 10_000)
+    out = collect_table(bbox_intersection_join(
+        ray.data.from_arrow(lt).repartition(3),
+        ray.data.from_arrow(rt).repartition(2),
+        level=6, nbuckets=16)).to_pylist()
+    got = [(r["left_id"], r["right_id"]) for r in out]
+    assert len(got) == len(set(got))  # exactly-once
+    ov = ((lbb[:, None, 0] <= rbb[None, :, 2])
+          & (lbb[:, None, 2] >= rbb[None, :, 0])
+          & (lbb[:, None, 1] <= rbb[None, :, 3])
+          & (lbb[:, None, 3] >= rbb[None, :, 1]))
+    want = {(int(i), int(j) + 10_000) for i, j in zip(*np.nonzero(ov))}
+    assert set(got) == want and len(want) > 50
