@@ -1047,7 +1047,7 @@ def pip_rect_join_s2_adaptive(sf_dir: str):
 
     pts = customer_points(sf_dir)
     polys = ray.data.from_arrow(supplier_rects(sf_dir))
-    out = pip_s2_join_adaptive(pts, polys, lmin=2, lmax=9, nbuckets=64,
+    out = pip_s2_join_adaptive(pts, polys, lmin=4, lmax=9, nbuckets=64,
                                poly_id_col="id")
     return out.select_columns(["custkey", "polygon_id"])
 
