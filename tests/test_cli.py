@@ -63,3 +63,32 @@ def test_cli_pipeline_end_to_end(ray_session, tmp_path):
 
     fc = json.load(open(single))
     assert len(fc["features"]) == per_file[0]  # converted the 1st shard
+
+
+def test_cli_job_entrypoint(ray_session, tmp_path):
+    """`cli job` (the ray-job-submit entrypoint) runs a registered
+    pipeline, writes parquet + an atomic metrics record, and the
+    metrics row counts match the parquet output."""
+    import io
+    import json
+    import os
+    from contextlib import redirect_stdout
+
+    import pyarrow.dataset as pads
+
+    from geobuf_ray import cli
+
+    outdir = str(tmp_path / "jobout")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = cli.cmd_job(_A(query="tile_counts",
+                            sf_dir="/root/testdata/sf0.001",
+                            out=outdir))
+    assert rc == 0
+    rec = json.load(open(os.path.join(outdir, "_metrics.json")))
+    assert rec["query"] == "tile_counts" and rec["rows"] > 0
+    assert pads.dataset(outdir).count_rows() == rec["rows"]
+    # unknown query -> clean error, no crash
+    rc = cli.cmd_job(_A(query="nope", sf_dir="/root/testdata/sf0.001",
+                        out=str(tmp_path / "x")))
+    assert rc == 2
