@@ -1061,6 +1061,7 @@ def within_distance_join(
     ref_lon_col: str = "lon",
     ref_lat_col: str = "lat",
     ref_id_col: str = "id",
+    salt_bits: int = 0,
 ):
     """Radius join (ST_DWithin shape): every (point, ref) pair with
     haversine distance <= ``radius_m``, EXACT — no truncation flag
@@ -1070,6 +1071,9 @@ def within_distance_join(
     (:func:`_disk_cover_cells` — the kNN machinery's cover); each
     point lives in exactly ONE cell, so every qualifying pair meets in
     exactly one group and is emitted exactly once (no dedup pass).
+    ``salt_bits`` splits dense point cells exactly as in
+    :func:`knn_s2_join` (points sub-bucket by id hash, fanned refs
+    replicate to all salts) — identical output, parallel hot cells.
     Output: (id_col, neighbor_id, distance_m) rows.
     """
     import ray
@@ -1083,8 +1087,16 @@ def within_distance_join(
     rid = ref_table[ref_id_col].combine_chunks().to_numpy(
         zero_copy_only=False).astype(np.int64)
     rows, cells = _disk_cover_cells(rlon, rlat, radius_m, level)
+    nsalt = 1 << salt_bits
+    if salt_bits > 0:
+        rep = np.repeat(np.arange(len(rows)), nsalt)
+        ref_salt = np.tile(np.arange(nsalt, dtype=np.uint8), len(rows))
+        rows, cells = rows[rep], cells[rep]
+    else:
+        ref_salt = np.zeros(len(rows), np.uint8)
     ref_rows = pa.table({
         "cell": pa.array(cells, pa.uint64()),
+        "salt": pa.array(ref_salt, pa.uint8()),
         "lon": pa.array(rlon[rows]),
         "lat": pa.array(rlat[rows]),
         "pid": pa.array(rid[rows]),
@@ -1098,8 +1110,15 @@ def within_distance_join(
             zero_copy_only=False).astype(np.float64)
         pid = batch[id_col].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64)
+        if salt_bits > 0:
+            slt = ((pid.astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15))
+                   >> np.uint64(64 - salt_bits)).astype(np.uint8)
+        else:
+            slt = np.zeros(len(lon), np.uint8)
         return pa.table({
             "cell": pa.array(s2.s2_cell_id(lon, lat, level), pa.uint64()),
+            "salt": pa.array(slt, pa.uint8()),
             "lon": pa.array(lon), "lat": pa.array(lat),
             "pid": pa.array(pid),
             "is_ref": pa.array(np.zeros(len(lon), bool)),
@@ -1138,8 +1157,8 @@ def within_distance_join(
             "distance_m": pa.array(np.concatenate(out_d)),
         })
 
-    return both.groupby("cell").map_groups(local_within,
-                                           batch_format="pyarrow")
+    return both.groupby(["cell", "salt"]).map_groups(
+        local_within, batch_format="pyarrow")
 
 
 def bbox_intersection_join(

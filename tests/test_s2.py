@@ -328,3 +328,78 @@ def test_bbox_intersection_join_vs_brute_force(ray_session):
           & (lbb[:, None, 3] >= rbb[None, :, 1]))
     want = {(int(i), int(j) + 10_000) for i, j in zip(*np.nonzero(ov))}
     assert set(got) == want and len(want) > 50
+
+
+def test_within_distance_join_salted_equivalence(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.join import within_distance_join
+
+    rng = np.random.default_rng(53)
+    nq, nr = 400, 80
+    hot = int(nq * 0.5)
+    qlon = np.concatenate([rng.uniform(20.0, 20.3, hot),
+                           rng.uniform(-179, 179, nq - hot)])
+    qlat = np.concatenate([rng.uniform(-30.0, -29.7, hot),
+                           rng.uniform(-80, 80, nq - hot)])
+    refs = pa.table({"id": pa.array(np.arange(nr), pa.int64()),
+                     "lon": pa.array(rng.uniform(-179, 179, nr)),
+                     "lat": pa.array(rng.uniform(-80, 80, nr))})
+
+    def run(sb):
+        pts = ray.data.from_arrow(pa.table({
+            "custkey": pa.array(np.arange(nq), pa.int64()),
+            "lon": pa.array(qlon), "lat": pa.array(qlat)})).repartition(3)
+        t = collect_table(within_distance_join(
+            pts, refs, 2_500_000.0, level=6, salt_bits=sb))
+        return sorted((r["custkey"], r["neighbor_id"])
+                      for r in t.to_pylist())
+
+    assert run(0) == run(3) and len(run(0)) > 50
+
+
+def test_s2_invariants_randomized():
+    """Hypothesis-style randomized invariants of the cell index:
+    ancestor prefix ranges nest, children partition their parent,
+    bounds of a child lie within (padded) parent bounds, and covers of
+    a point's tiny neighborhood always contain the point's cell."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geobuf_ray.spatial import s2
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(-180, 180), st.floats(-89.9, 89.9),
+           st.integers(1, 29))
+    def check(lon, lat, level):
+        lonv = np.array([lon]); latv = np.array([lat])
+        leaf = s2.s2_cell_id(lonv, latv, s2.MAX_LEVEL)
+        cell = s2.parent(leaf, level)
+        # (1) direct id at level == parent(leaf)
+        assert s2.s2_cell_id(lonv, latv, level)[0] == cell[0]
+        # (2) range nesting: leaf within every ancestor's range
+        for lv in (0, level // 2, level):
+            anc = s2.parent(leaf, lv)
+            lo, hi = s2.cell_range(anc)
+            assert lo[0] <= leaf[0] <= hi[0]
+        # (3) children partition the parent range exactly
+        ch = s2.children(cell).reshape(-1)
+        clo, chi = s2.cell_range(ch)
+        plo, phi = s2.cell_range(cell)
+        order = np.argsort(clo)
+        clo, chi = clo[order], chi[order]
+        assert clo[0] == plo[0] and chi[-1] == phi[0]
+        # leaf ids are odd and step by 2 -> adjacent sibling ranges
+        # are separated by exactly one leaf step
+        assert (clo[1:] == chi[:-1] + np.uint64(2)).all()
+        # (4) the cell's analytic bound contains the point
+        w, s_, e, n, full = s2.cell_bounds(cell, level)
+        assert s_[0] - 1e-9 <= lat <= n[0] + 1e-9
+        if not full[0]:
+            if w[0] <= e[0]:
+                assert w[0] - 1e-9 <= lon <= e[0] + 1e-9
+            else:  # antimeridian wrap
+                assert lon >= w[0] - 1e-9 or lon <= e[0] + 1e-9
+
+    check()
