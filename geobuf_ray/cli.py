@@ -153,8 +153,18 @@ def cmd_job(args) -> int:
               file=sys.stderr)
         return 2
     t0 = time.perf_counter()
-    res = qs[args.query](args.sf_dir)
     os.makedirs(args.out, exist_ok=True)
+    # refuse a dirty output dir: write_parquet emits uniquely-named
+    # files, so re-running into leftovers would mix two generations
+    # and double-count rows (partition-level resume lives in the
+    # pipelines' checkpoint layer, not here)
+    stale = [x for x in os.listdir(args.out) if not x.startswith(".")]
+    if stale:
+        print(f"output dir {args.out!r} is not empty "
+              f"({len(stale)} entries) — refusing to mix generations",
+              file=sys.stderr)
+        return 3
+    res = qs[args.query](args.sf_dir)
     if isinstance(res, ray.data.Dataset):
         res.write_parquet(args.out)
         n = sum(1 for f in os.listdir(args.out) if f.endswith(".parquet"))

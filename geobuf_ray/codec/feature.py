@@ -506,31 +506,14 @@ def frame_records(records: pa.Array) -> bytes:
     return flat.tobytes()
 
 
-def frame_boundaries(
-    data: np.ndarray, partial: bool = False
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """Vectorized frame walk over a ``0x0A varint(len) payload`` stream.
+def _chain_state(data: np.ndarray):
+    """Per-candidate frame-chain state over a framed stream: every
+    ``0x0A`` byte is a candidate start; one windowed gather decodes
+    its length varint; ``succ`` is the successor function in
+    candidate-index space (sentinel ``m`` = dead end / stream end).
 
-    Frame starts are inherently chained (frame i+1's position depends
-    on frame i's length), but almost all of the walk vectorizes:
-    every ``0x0A`` byte is a CANDIDATE start (true starts plus payload
-    false positives); each candidate's length varint decodes in one
-    windowed gather; candidates then form a successor function in
-    candidate-index space, and the true chain from byte 0 is marked by
-    pointer-doubling reachability — O(log n) numpy rounds replacing the
-    per-frame Python loop (the protoscan walk, reader.go:84-93).
-
-    Returns ``(payload_starts, payload_lens, consumed_bytes)``.  With
-    ``partial=True`` a trailing cut-off frame is left unconsumed
-    (``consumed < len(data)``); otherwise it raises.  A bad tag at a
-    true frame boundary raises in both modes.
-    """
+    Returns ``(cand, vlen, pay_start, nxt, complete, succ)``."""
     total = len(data)
-    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
-    if total == 0:
-        return (*empty, 0)
-    if data[0] != 0x0A:
-        raise ValueError(f"bad frame tag {data[0]:#x} at byte 0")
     cand = np.flatnonzero(data == 0x0A).astype(np.int64)
     m = len(cand)
     # decode ONE length varint per candidate: 10-byte window gather
@@ -560,6 +543,69 @@ def frame_boundaries(
     ok_idx = np.flatnonzero(ok)
     hit = cand[j[ok_idx]] == nxt[ok_idx]
     succ[ok_idx[hit]] = j[ok_idx][hit]
+    return cand, vlen, pay_start, nxt, complete, succ
+
+
+def sync_candidates(data: np.ndarray) -> np.ndarray:
+    """Byte positions that start a VALID frame chain — the resync
+    primitive for byte-range reads landing mid-frame.
+
+    A candidate is valid iff following the successor chain from it
+    terminates cleanly: at the exact buffer end, or at a trailing cut
+    frame (partial) — never on a bad tag inside the buffer.  One
+    vectorized pass classifies every ``0x0A`` byte (terminal-of-chain
+    via pointer doubling on an absorbing successor map), so callers
+    iterate only genuine sync points instead of chain-walking each
+    payload byte that happens to be ``0x0A``."""
+    total = len(data)
+    if total == 0:
+        return np.empty(0, np.int64)
+    cand, vlen, pay_start, nxt, complete, succ = _chain_state(data)
+    m = len(cand)
+    if m == 0:
+        return np.empty(0, np.int64)
+    # absorbing successor: terminals map to themselves, then double
+    g = np.where(succ == m, np.arange(m), succ)
+    while True:
+        g2 = g[g]
+        if (g2 == g).all():
+            break
+        g = g2
+    term = g  # terminal candidate of each chain
+    # terminal ok: cut trailing frame (not complete) or exact end;
+    # complete-with-bytes-after = bad tag at nxt (else there'd be a
+    # successor)
+    terminal_ok = (~complete) | (nxt == total)
+    return cand[terminal_ok[term]]
+
+
+def frame_boundaries(
+    data: np.ndarray, partial: bool = False
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized frame walk over a ``0x0A varint(len) payload`` stream.
+
+    Frame starts are inherently chained (frame i+1's position depends
+    on frame i's length), but almost all of the walk vectorizes:
+    every ``0x0A`` byte is a CANDIDATE start (true starts plus payload
+    false positives); each candidate's length varint decodes in one
+    windowed gather; candidates then form a successor function in
+    candidate-index space, and the true chain from byte 0 is marked by
+    pointer-doubling reachability — O(log n) numpy rounds replacing the
+    per-frame Python loop (the protoscan walk, reader.go:84-93).
+
+    Returns ``(payload_starts, payload_lens, consumed_bytes)``.  With
+    ``partial=True`` a trailing cut-off frame is left unconsumed
+    (``consumed < len(data)``); otherwise it raises.  A bad tag at a
+    true frame boundary raises in both modes.
+    """
+    total = len(data)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if total == 0:
+        return (*empty, 0)
+    if data[0] != 0x0A:
+        raise ValueError(f"bad frame tag {data[0]:#x} at byte 0")
+    cand, vlen, pay_start, nxt, complete, succ = _chain_state(data)
+    m = len(cand)
     # pointer-doubling reachability from candidate 0
     reach = np.zeros(m + 1, bool)
     reach[0] = True

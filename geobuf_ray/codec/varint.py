@@ -96,6 +96,13 @@ def varint_decode_stream(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     # append-copy + diff)
     ends = np.flatnonzero(b < 0x80)
     n = len(ends)
+    # the docstring contract: the stream ends exactly on a value
+    # boundary.  A terminator-less or mid-varint-truncated stream is
+    # corrupt input — raise the same class of error the scalar walk
+    # did instead of IndexError / silently dropping the tail.
+    if n == 0 or ends[-1] != len(b) - 1:
+        raise ValueError("truncated varint stream (no terminator on "
+                         "the final value)")
     start_idx = np.empty(n, dtype=np.int64)
     start_idx[0] = 0
     np.add(ends[:-1], 1, out=start_idx[1:])

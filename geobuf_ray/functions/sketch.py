@@ -141,7 +141,7 @@ def _log_bin(v: np.ndarray, k: int) -> np.ndarray:
 
 
 def quantile_sketch(values: np.ndarray, k: int = LOG_BINS_PER_OCTAVE,
-                    nbins: int = 64 * 64) -> np.ndarray:
+                    nbins: int | None = None) -> np.ndarray:
     """Mergeable quantile sketch of POSITIVE int64 values: a fixed
     ``nbins``-bucket histogram over log-spaced bins (k per octave).
 
@@ -152,6 +152,8 @@ def quantile_sketch(values: np.ndarray, k: int = LOG_BINS_PER_OCTAVE,
     input size.  Values above the bin range clamp into the top bucket
     (2^64 needs 64*k bins, so the default range is exact for all
     int64)."""
+    if nbins is None:
+        nbins = 64 * k  # 64 octaves covers all of int64 at any k
     b = np.clip(_log_bin(values, k), 0, nbins - 1)
     return np.bincount(b, minlength=nbins).astype(np.int64)
 

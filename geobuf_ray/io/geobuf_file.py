@@ -49,7 +49,7 @@ from ..codec.schema import list_column_parts
 _CHUNK = 32 << 20  # 32 MB read granularity
 _DEFAULT_STRIPE = 64 << 20  # target bytes per read task for big files
 _MIN_STRIPE = 1 << 16  # don't plan sillier stripes than this
-_MAX_SYNC_TRIES = 64  # candidate tags attempted per stripe resync
+_MAX_RESYNC_EXT = 256 << 20  # extension cap per resync candidate walk
 
 
 def _is_metadata_record(record: bytes) -> bool:
@@ -78,13 +78,19 @@ def _expand_paths(paths) -> list[str]:
     return out
 
 
-def _walk_from(f, path: str, buf: bytes, base: int, sync: int, end: int):
+def _walk_from(f, path: str, buf: bytes, base: int, sync: int, end: int,
+               max_ext: int | None = None):
     """Chain-walk frames from ``base + sync``; extend reads until every
     frame whose TAG byte is < ``end`` is complete in the buffer.
 
     Returns ``(records, tag_abs)`` for ALL walked frames (the caller
     filters by tag ownership) or raises ValueError on truncation.
-    """
+    ``max_ext`` caps how many bytes may be read past the initial
+    buffer (resync candidate validation: a payload byte mis-parsed as
+    a huge frame length must fail fast, not stream the rest of the
+    file; the caller retries unbounded if every candidate hits the
+    cap)."""
+    buf0 = len(buf)
     while True:
         data = np.frombuffer(buf, np.uint8)
         seg = data[sync:]
@@ -94,6 +100,9 @@ def _walk_from(f, path: str, buf: bytes, base: int, sync: int, end: int):
         # the frame straddling `end` (tag < end) is cut — extend.  For
         # a local file the initial read covers [start, end) fully, so
         # pos < end always means a cut frame, never a short read.
+        if max_ext is not None and len(buf) - buf0 >= max_ext:
+            raise ValueError(
+                f"resync extension cap reached walking {path}")
         ext = f.read(_CHUNK)
         if not ext:
             raise ValueError(f"truncated geobuf stream: {path}")
@@ -128,12 +137,36 @@ def _read_range(path: str, start: int, end: int, *, resync: bool,
             if len(records):
                 yield pa.table({"geobuf": records})
             return
-        # resync: try candidate 0x0A tags in order; a candidate whose
-        # chain walk fails (bad tag / truncation) is a payload byte,
-        # not a boundary — move to the next
+        # resync: ONE vectorized pass classifies every 0x0A byte
+        # (sync_candidates) — only positions that start a valid chain
+        # in-buffer are walked, so a stripe of large frames dense in
+        # payload 0x0A bytes costs O(stripe) to classify instead of
+        # one chain walk per false candidate (and no candidate cap
+        # that could silently drop this stripe's frames).  A walk can
+        # still fail while EXTENDING past the buffer (the post-
+        # extension bytes reveal a bad tag, or a mis-parsed huge
+        # length hits the extension cap) — fall through to the next
+        # valid candidate, and retry unbounded if every candidate
+        # failed only on the cap (a genuine >cap frame straddling
+        # `end`).  NOTE resync-by-parse is inherently heuristic: a
+        # payload that EMBEDS a valid frame stream (e.g. periodic
+        # 0x0A-led runs) is ambiguous to any scanner; the gob SubFile
+        # index path is the guaranteed split for adversarial data.
         data = np.frombuffer(buf, np.uint8)
-        cands = np.flatnonzero(data == 0x0A)
-        for c in cands[:_MAX_SYNC_TRIES]:
+        capped: list[int] = []
+        for c in fc.sync_candidates(data):
+            try:
+                records, _ = _walk_from(f, path, buf, start, int(c), end,
+                                        max_ext=_MAX_RESYNC_EXT)
+            except ValueError as err:
+                if "extension cap" in str(err):
+                    capped.append(int(c))
+                f.seek(start + len(buf))
+                continue
+            if len(records):
+                yield pa.table({"geobuf": records})
+            return
+        for c in capped:
             try:
                 records, _ = _walk_from(f, path, buf, start, int(c), end)
             except ValueError:

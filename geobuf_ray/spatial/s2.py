@@ -333,8 +333,6 @@ def face_ij_bounds(face: np.ndarray, i0: np.ndarray, j0: np.ndarray,
             # polar faces: direction angle in the uv plane IS lng (up
             # to the face's axis mapping); radius r sets |lat|
             # face 2 (+z): xyz = (-u, -v, 1);  face 5 (-z): (v, u, -1)
-            r2c = np.stack([a0 * a0, a1 * a1]).min(0) + \
-                np.stack([b0 * b0, b1 * b1]).min(0)
             spans_u = (a0 <= 0) & (a1 >= 0)
             spans_v = (b0 <= 0) & (b1 >= 0)
             rmin2 = (np.where(spans_u, 0.0, np.minimum(a0 * a0, a1 * a1))

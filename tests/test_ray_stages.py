@@ -203,3 +203,49 @@ def test_indexed_file_splits_on_subfile_ranges(ray_session, tmp_path):
     assert ds.num_blocks() > 1
     got = [r["geobuf"] for r in ds.take_all()]
     assert sorted(got) == sorted(all_records)
+
+
+def test_resync_stripe_dense_false_candidates(tmp_path):
+    """Code-review find: a stripe whose first 64+ 0x0A bytes are all
+    PAYLOAD bytes must still resync to the true frame boundary (the
+    old candidate cap silently dropped every frame in the stripe).
+    Random payloads at realistic density give hundreds of false
+    candidates; each must be rejected by the vectorized chain
+    classifier, not walked-and-capped."""
+    import numpy as np
+
+    from geobuf_ray.io import geobuf_file as gbf
+
+    rng = np.random.default_rng(7)
+    payloads = [rng.integers(0, 256, 3000 + i % 7,
+                             dtype=np.uint8).tobytes()
+                for i in range(50)]
+    stream = b"".join(
+        b"\x0a" + _uvarint(len(p)) + p for p in payloads)
+    n_cand = stream.count(b"\x0a")
+    assert n_cand > 300  # far beyond the old 64-candidate cap
+    path = str(tmp_path / "dense.geobuf")
+    with open(path, "wb") as f:
+        f.write(stream)
+    # resync from a position inside payload 10 (hundreds of false
+    # candidates precede the next true tag)
+    off = sum(len(p) + 2 + 1 for p in payloads[:10]) + 100
+    end = len(stream)
+    tables = list(gbf._read_range(path, off, end, resync=True,
+                                  skip_metadata=False))
+    got = [r for t in tables for r in t["geobuf"].to_pylist()]
+    # frames tagged in [off, end): records 11.. (record 10's tag < off)
+    want = payloads[11:]
+    assert got == want
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
