@@ -1117,15 +1117,16 @@ def _knn_s2_escalating(sf_dir: str, ref: pa.Table, *, k: int,
         return customer_points(sf_dir).map_batches(
             head, batch_format="pyarrow", zero_copy_batch=True)
 
-    # the last rung's whole-globe radius marks every ref's disk "full",
-    # so its fan-out is nrefs x (6 * 4^level) — run it at a COARSE
-    # level (96 cells) instead: the radius certification is level-
-    # independent, and only straggler queries reach that rung
-    rungs = ((start, level), (start * 4.0, level), (2.1e7, 2))
+    # each rung's level self-coarsens to its radius (knn_s2_join's
+    # clamp_level_for_radius): the radius certification is level-
+    # independent, so a 4x radius runs ~2 levels coarser instead of
+    # fanning refs to 16x the cells, and the whole-globe last rung
+    # collapses to a handful of face-scale cells
+    rungs = (start, start * 4.0, 2.1e7)
     done, allowed = [], None
-    for i, (radius, lv) in enumerate(rungs):
+    for i, radius in enumerate(rungs):
         out = collect_table(knn_s2_join(
-            pts_ds(allowed), ref, k=k, level=lv, radius_m=radius,
+            pts_ds(allowed), ref, k=k, level=level, radius_m=radius,
             id_col="custkey"))
         tr = out["truncated"].to_numpy(zero_copy_only=False)
         last = i == len(rungs) - 1

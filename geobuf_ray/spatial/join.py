@@ -856,6 +856,29 @@ def pip_s2_join_adaptive(
         reduce_fn=pip_bucket, left_schema=lschema, right_schema=rschema)
 
 
+_S2_LEVEL0_EDGE_M = 4.0075e7 / 4.0  # ~level-0 cell edge (C/4)
+
+
+def clamp_level_for_radius(level: int, radius_m: float,
+                           max_span_cells: float = 8.0) -> int:
+    """Coarsen ``level`` so a ``radius_m`` disk spans at most
+    ``max_span_cells`` cells across (edge(L) ~= C/(4*2^L)).
+
+    The disk-cover joins' correctness contract is level-independent
+    (the RADIUS defines which pairs meet; the level only picks the
+    partition granularity), but their COST is not: a radius many cells
+    wide fans every ref to O((r/edge)^2) cells — at level 5 a 7,000 km
+    disk is ~4,000 cells, i.e. a megabyte-scale fan-out and seconds of
+    driver-side cover BFS per thousand refs.  Clamping keeps the
+    fan-out O(max_span_cells^2) per ref regardless of the radius the
+    caller (or an escalation rung) asks for."""
+    edge_needed = 2.0 * radius_m / max_span_cells
+    if edge_needed <= 0:
+        return level
+    lv = int(np.floor(np.log2(max(_S2_LEVEL0_EDGE_M / edge_needed, 1.0))))
+    return max(0, min(level, lv))
+
+
 def _disk_cover_cells(rlon: np.ndarray, rlat: np.ndarray,
                       radius_m: float, level: int):
     """Level-``level`` cells intersecting each point's ``radius_m``
@@ -919,6 +942,7 @@ def knn_s2_join(
     ref_lat_col: str = "lat",
     ref_id_col: str = "id",
     salt_bits: int = 0,
+    auto_level: bool = True,
 ):
     """Shuffle kNN partitioned on **S2 cells** with radius
     certification (north_rule: "kNN via groupby-on-cell").
@@ -945,6 +969,8 @@ def knn_s2_join(
 
     from . import s2
 
+    if auto_level:
+        level = clamp_level_for_radius(level, radius_m)
     rlon = ref_table[ref_lon_col].combine_chunks().to_numpy(
         zero_copy_only=False).astype(np.float64)
     rlat = ref_table[ref_lat_col].combine_chunks().to_numpy(
@@ -1062,6 +1088,7 @@ def within_distance_join(
     ref_lat_col: str = "lat",
     ref_id_col: str = "id",
     salt_bits: int = 0,
+    auto_level: bool = True,
 ):
     """Radius join (ST_DWithin shape): every (point, ref) pair with
     haversine distance <= ``radius_m``, EXACT — no truncation flag
@@ -1080,6 +1107,8 @@ def within_distance_join(
 
     from . import s2
 
+    if auto_level:
+        level = clamp_level_for_radius(level, radius_m)
     rlon = ref_table[ref_lon_col].combine_chunks().to_numpy(
         zero_copy_only=False).astype(np.float64)
     rlat = ref_table[ref_lat_col].combine_chunks().to_numpy(

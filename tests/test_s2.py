@@ -403,3 +403,30 @@ def test_s2_invariants_randomized():
                 assert lon >= w[0] - 1e-9 or lon <= e[0] + 1e-9
 
     check()
+
+
+def test_clamp_level_for_radius_bounds_fanout():
+    """The disk-cover joins' level self-coarsens to the radius: at the
+    clamped level a disk spans <= ~max_span_cells cells across, so the
+    per-ref fan-out stays O(span^2) no matter how large an escalation
+    rung's radius gets (the 7,000 km rung used to fan each ref to
+    ~4,000 level-5 cells and spend seconds of driver-side cover BFS)."""
+    from geobuf_ray.spatial.join import (_disk_cover_cells,
+                                         clamp_level_for_radius)
+
+    # monotone: bigger radius -> coarser (never finer) level
+    lvs = [clamp_level_for_radius(7, r)
+           for r in (1e4, 5e5, 1.5e6, 7e6, 2.1e7)]
+    assert lvs == sorted(lvs, reverse=True)
+    assert lvs[0] == 7          # small radius: caller's level wins
+    assert lvs[-1] == 0         # whole-globe radius: face cells
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-84, 84, 200)
+    for radius in (5e5, 2e6, 7e6, 2.1e7):
+        lv = clamp_level_for_radius(7, radius)
+        rows, _ = _disk_cover_cells(lon, lat, radius, lv)
+        # conservative padding (110km/deg + poleward lon) inflates the
+        # rect beyond the disk, but the fan-out must stay bounded
+        assert len(rows) / 200 <= 150, (radius, lv, len(rows) / 200)
