@@ -387,7 +387,11 @@ def _decode_geometries(data, scan, n):
     """Vectorized geometry decode from the structure scan."""
     geom_lens = scan["geom_end"] - scan["geom_start"]
     gflat = vi.gather_spans(data, scan["geom_start"], geom_lens)
-    values, voffs = vi.varint_decode_stream(gflat)
+    # geometry deltas are almost always < 2^28 (<= 4 varint bytes):
+    # decode + zigzag stay uint32/int32 — half the memory traffic on
+    # the hottest full-stream passes; the accumulate step below
+    # upcasts to int64
+    values, voffs = vi.varint_decode_stream(gflat, prefer32=True)
     # map each value to its record: record geometry byte boundaries
     rec_byte_ends = np.cumsum(geom_lens)
     # value index range per record
@@ -437,13 +441,20 @@ def _decode_geometries(data, scan, n):
     q = np.empty(len(deltas), np.int64)
     if len(ring_dim) == 0 or (ring_dim == 2).all():
         # dim-2 fast path (the universal case): every ring holds an even
-        # value count, so x/y deltas are the even/odd strides and ring
-        # starts land on even indices — no per-value ring ramp / mod
+        # value count, so x/y deltas are the two columns of a (half, 2)
+        # reshape and ring starts land on even indices — ONE axis-0
+        # cumsum accumulates both dims (no strided-view scatters, no
+        # per-value ring ramp / mod)
         half = len(deltas) // 2
-        starts_mask = np.zeros(half, bool)
-        starts_mask[ring_val_starts[ring_vals > 0] // 2] = True
-        q[0::2] = vi.segmented_cumsum(deltas[0::2], starts_mask)
-        q[1::2] = vi.segmented_cumsum(deltas[1::2], starts_mask)
+        d2 = deltas.reshape(half, 2)
+        c = np.cumsum(d2, axis=0, dtype=np.int64)
+        starts = ring_val_starts[ring_vals > 0] // 2
+        if len(starts) and not (len(starts) == 1 and starts[0] == 0):
+            seg_lens = np.diff(np.append(starts, half))
+            base = np.repeat(c[starts] - d2[starts], seg_lens, axis=0)
+            np.subtract(c, base, out=q.reshape(half, 2))
+        else:
+            q.reshape(half, 2)[:] = c
     else:
         # per-value dim index: position within point
         # build per-ring ramps over values, then mod dim
@@ -460,7 +471,8 @@ def _decode_geometries(data, scan, n):
                 continue
             # ring start for dim j is the value at position j of the ring
             q[sel] = vi.segmented_cumsum(deltas[sel], val_in_ring[sel] == j)
-    coords = q.astype(np.float64) / 1e7
+    from .feature import dequantize
+    coords = dequantize(q)
 
     ring_rec = np.repeat(np.arange(n), rec_nrings)
     coords_per_rec = (
@@ -627,7 +639,8 @@ def decode_bbox(data: np.ndarray, bbox_start: np.ndarray) -> pa.Array:
             u, nb = vi.gather_varints(data, p)
             vals[:, j] = vi.zigzag_decode(u)
             p += nb
-        out_vals[have] = vals / 1e7
+        from .feature import dequantize
+        out_vals[have] = dequantize(vals.reshape(-1)).reshape(-1, 4)
     if have.all():
         flat = pa.array(out_vals.reshape(-1))
         offsets = pa.array(np.arange(0, 4 * n + 1, 4, dtype=np.int32))

@@ -58,7 +58,28 @@ def quantize(coords: np.ndarray) -> np.ndarray:
 
 
 def dequantize(q: np.ndarray) -> np.ndarray:
-    return q.astype(np.float64) / _POWER
+    """int64 -> float64, adjusted so ``quantize(dequantize(q)) == q``.
+
+    ``q / 1e7`` rounds to the nearest double, which can land a hair on
+    the WRONG side of the decimal (e.g. 3276049/1e7 ->
+    0.32760489999...): the reference's truncating ``ConvertPt`` then
+    re-quantizes it to q∓1, so every encode∘decode cycle drifts one
+    quantum (the Go reference drifts identically — geom.go:173-179
+    truncates the same float product).  Nudging those lanes one ulp
+    toward the true decimal keeps the value strictly CLOSER to
+    q * 10^-7 and makes encode∘decode the identity on the quantized
+    domain."""
+    d = q.astype(np.float64) / _POWER
+    if len(d) == 0:
+        return d
+    for _ in range(3):  # one nudge suffices in practice; bounded anyway
+        r = np.trunc(d * _POWER).astype(np.int64)
+        bad = r != q
+        if not bad.any():
+            break
+        d[bad] = np.nextafter(
+            d[bad], np.where(q[bad] > r[bad], np.inf, -np.inf))
+    return d
 
 
 # ---------------------------------------------------------------------------

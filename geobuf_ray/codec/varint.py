@@ -30,9 +30,18 @@ def zigzag_encode(values: np.ndarray) -> np.ndarray:
 
 
 def zigzag_decode(values: np.ndarray) -> np.ndarray:
-    """uint64 zigzag -> int64."""
+    """uint64 zigzag -> int64 (uint32 in, int32 out — half-width
+    streams from ``varint_decode_stream(prefer32=True)`` stay
+    half-width; consumers upcast at their accumulate step)."""
+    # (u >> 1) ^ -(u & 1) in signed space (views are free; one fewer
+    # full-array pass than the ~x + 1 formulation)
+    if values.dtype == np.uint32:
+        u = np.ascontiguousarray(values)
+        one = np.uint32(1)
+        return ((u >> one).view(np.int32) ^ -((u & one).view(np.int32)))
     u = np.ascontiguousarray(values, dtype=_U64)
-    return ((u >> _U64(1)) ^ (~(u & _U64(1)) + _U64(1))).view(np.int64)
+    return ((u >> _U64(1)).view(np.int64)
+            ^ -((u & _U64(1)).view(np.int64)))
 
 
 def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
@@ -81,12 +90,21 @@ def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return out, nb
 
 
-def varint_decode_stream(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def varint_decode_stream(
+    buf: np.ndarray, prefer32: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
     """Decode a flat byte stream of back-to-back varints.
 
     Returns ``(values uint64[n], value_start_offsets int64[n])`` —
     ``value_start_offsets[i]`` is the byte offset where value i begins.
     The stream must end exactly on a value boundary.
+
+    ``prefer32=True`` accumulates in uint32 and returns a uint32 array
+    when every value fits 4 varint bytes (< 2^28 — true of all real
+    geometry delta streams): half the memory traffic on the hot
+    accumulation passes.  Falls back to uint64 transparently the
+    moment any value needs a 5th byte, so callers only need to accept
+    either dtype.
     """
     b = np.ascontiguousarray(buf, dtype=np.uint8)
     if len(b) == 0:
@@ -106,20 +124,51 @@ def varint_decode_stream(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     start_idx = np.empty(n, dtype=np.int64)
     start_idx[0] = 0
     np.add(ends[:-1], 1, out=start_idx[1:])
-    nb = ends - start_idx + 1
-    # accumulate per byte POSITION (round j gathers only the values
-    # with > j bytes): geo deltas are mostly 1-4 bytes, so the work is
-    # ~stream bytes with small temporaries — not 8x-stream-size uint64
-    # contrib/reduceat arrays.  The candidate set SHRINKS per round
-    # (sel filters sel) instead of re-comparing all n lengths.
-    values = (b[start_idx] & np.uint8(0x7F)).astype(_U64)
-    sel = np.flatnonzero(nb > 1)
+    # accumulate per byte POSITION.  Two cost tricks, worth ~2x on the
+    # coords shape (mostly 2-3-byte deltas, where round 1 touches ~all
+    # lanes so per-pass cost dominates):
+    #   * the previous gathered byte's CONTINUATION BIT is the round's
+    #     validity mask — a uint8 multiply (~10x cheaper than a uint64
+    #     mask pass), so no per-round `nb > j` compare or fancy-index
+    #     scatter (`values[sel] |= ...` is gather+or+scatter)
+    #   * round j gathers from the padded VIEW bp[j:] at start_idx —
+    #     no start_idx+j temporary per round
+    # Rounds go full-array while most lanes continue, then switch to a
+    # shrinking selection for the sparse tail.
+    bp = np.empty(len(b) + _MAX_VARINT_BYTES, np.uint8)
+    bp[:len(b)] = b
+    bp[len(b):] = 0
+    b0 = bp[start_idx]
+    acc = np.uint32 if prefer32 else _U64
+    values = (b0 & np.uint8(0x7F)).astype(acc)
+    m = b0 >> np.uint8(7)  # uint8: 1 while the value's chain continues
     j = 1
-    while len(sel):
-        values[sel] |= (b[start_idx[sel] + j] & np.uint8(0x7F)).astype(
-            _U64) << _U64(7 * j)
+    while True:
+        cnt = int(np.count_nonzero(m))
+        if cnt == 0:
+            return values, start_idx
+        if values.dtype == np.uint32 and j >= 4:
+            # a 5th byte would overflow the u32 accumulator — upcast
+            # once and keep going (rare: only >= 2^28 values)
+            values = values.astype(_U64)
+        if cnt * 3 < n:
+            break
+        gj = bp[j:][start_idx]
+        values |= ((gj & np.uint8(0x7F)) * m).astype(values.dtype) \
+            << values.dtype.type(7 * j)
+        m = (gj >> np.uint8(7)) & m
         j += 1
-        sel = sel[nb[sel] > j]
+    sel = np.flatnonzero(m)
+    ssel = start_idx[sel]
+    while len(sel):
+        if values.dtype == np.uint32 and j >= 4:
+            values = values.astype(_U64)
+        gj = bp[j:][ssel]
+        values[sel] |= (gj & np.uint8(0x7F)).astype(values.dtype) \
+            << values.dtype.type(7 * j)
+        keep = gj >= 0x80
+        sel, ssel = sel[keep], ssel[keep]
+        j += 1
     return values, start_idx
 
 
@@ -219,10 +268,27 @@ def gather_spans(data: np.ndarray, starts: np.ndarray,
         lo = int(starts[0])
         hi = int(span_ends[-1])
         if total * 2 >= hi - lo:  # dense enough for the mask pass
-            d = np.zeros(hi - lo + 1, np.int8)
-            np.add.at(d, starts - lo, 1)
-            np.subtract.at(d, span_ends - lo, 1)
-            mask = np.cumsum(d[:-1], dtype=np.int8).view(np.bool_)
+            gaps = (hi - lo) - total
+            if gaps * 4 <= hi - lo:
+                # near-tiling spans (the scan_frames shape: records
+                # minus tiny headers): the GAPS are the small side —
+                # start from all-True and scatter False over the gap
+                # bytes, O(gaps) instead of O(region)
+                mask = np.ones(hi - lo, bool)
+                gap_lens = starts[1:] - span_ends[:-1]
+                gsel = np.flatnonzero(gap_lens)
+                if len(gsel):
+                    g_starts = span_ends[:-1][gsel] - lo
+                    g_lens = gap_lens[gsel]
+                    idx = ramp(g_lens)
+                    idx += np.repeat(g_starts, g_lens)
+                    mask[idx] = False
+            else:
+                # wide gaps: +1/-1 boundary scatter + one int8 cumsum
+                d = np.zeros(hi - lo + 1, np.int8)
+                np.add.at(d, starts - lo, 1)
+                np.subtract.at(d, span_ends - lo, 1)
+                mask = np.cumsum(d[:-1], dtype=np.int8).view(np.bool_)
             return data[lo:hi][mask]
     inc = np.ones(total, np.int64)
     inc[0] = starts[0]
@@ -288,9 +354,12 @@ def segmented_cumsum(values: np.ndarray, seg_starts_mask: np.ndarray) -> np.ndar
 
     Vectorized via global cumsum minus per-segment base — the
     replacement for the reference's per-ring delta accumulator reset
-    (``readline``'s fresh ``pt``, geom.go:127-157).
+    (``readline``'s fresh ``pt``, geom.go:127-157).  Integer input
+    accumulates in int64 (int32 delta streams would overflow at the
+    running-coordinate step).
     """
-    c = np.cumsum(values)
+    dt = np.int64 if values.dtype.kind in "iu" else None
+    c = np.cumsum(values, dtype=dt)
     starts = np.flatnonzero(seg_starts_mask)
     if len(starts) == 0:
         return c
