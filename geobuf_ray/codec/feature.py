@@ -53,8 +53,11 @@ _U64 = np.uint64
 
 
 def quantize(coords: np.ndarray) -> np.ndarray:
-    """float64 -> int64 via truncation toward zero (``ConvertPt``)."""
-    return np.trunc(coords * _POWER).astype(np.int64)
+    """float64 -> int64 via truncation toward zero (``ConvertPt``).
+
+    The float->int astype IS truncation toward zero (C cast
+    semantics), so no separate np.trunc pass."""
+    return (coords * _POWER).astype(np.int64)
 
 
 def dequantize(q: np.ndarray) -> np.ndarray:
@@ -329,7 +332,14 @@ def _geometry_segments(table: pa.Table):
                 for j in range(int(pt_dim.max()) if len(pt_dim) else 0):
                     sel = ii[pt_dim[ii] > j]
                     delta[pt_base[sel] + j] = q[pt_base[sel] + j] - q[prev_idx[sel] + j]
-    zz = vi.zigzag_encode(delta)
+    # deltas almost always fit int32 (a >=2^31 delta is a >214-degree
+    # jump): zigzag + the whole varint_encode pipeline below then run
+    # at half width — same bytes, half the memory traffic
+    if total_vals and -(1 << 31) <= int(delta.min()) \
+            and int(delta.max()) < (1 << 31):
+        zz = vi.zigzag_encode(delta.astype(np.int32))
+    else:
+        zz = vi.zigzag_encode(delta)
 
     # which coordinate values are actually emitted: Points emit 2 dims only
     keep = np.ones(total_vals, bool)
@@ -365,19 +375,30 @@ def _geometry_segments(table: pa.Table):
     ring_stream_ends = np.cumsum(ring_stream_len)
     ring_stream_starts = ring_stream_ends - ring_stream_len
     stream_total = int(ring_stream_ends[-1]) if n_rings else 0
-    stream = np.empty(stream_total, _U64)
+    # prefixes (ring sizes * dim, poly ring counts) are tiny — the
+    # stream dtype follows the vertex values' width
+    sdt = zz.dtype if total_vals else _U64
+    stream = np.empty(stream_total, sdt)
     # polygon ring-count prefixes (first slot of the poly's first ring)
     if mp_polys.any():
-        stream[ring_stream_starts[poly_ring_starts[mp_polys]]] = poly_sizes[mp_polys].astype(_U64)
+        stream[ring_stream_starts[poly_ring_starts[mp_polys]]] = poly_sizes[mp_polys].astype(sdt)
     # ring size prefixes (after the optional poly prefix)
     if ring_has_size_prefix.any():
         pos = ring_stream_starts + ring_is_poly_start.astype(np.int64)
         sel = ring_has_size_prefix
-        stream[pos[sel]] = (ring_sizes[sel] * ring_d[sel]).astype(_U64)
+        stream[pos[sel]] = (ring_sizes[sel] * ring_d[sel]).astype(sdt)
     # vertex values
     if stream_total:
-        dst = np.repeat(ring_stream_starts + ring_prefix_count, ring_kept) + vi.ramp(ring_kept)
-        stream[dst] = zz[keep]
+        if stream_total == total_vals and not ring_prefix_count.any() \
+                and bool(keep.all()):
+            # no prefixes, nothing dropped (Point/LineString/MultiPoint
+            # batches): the stream IS the zigzag delta array — skip the
+            # 3-pass scatter-index build entirely
+            stream = zz
+        else:
+            dst = np.repeat(ring_stream_starts + ring_prefix_count,
+                            ring_kept) + vi.ramp(ring_kept)
+            stream[dst] = zz[keep]
 
     # varint-encode the whole stream at once
     flat, vlens = vi.varint_encode(stream)

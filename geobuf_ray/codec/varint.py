@@ -23,7 +23,14 @@ _THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
 
 
 def zigzag_encode(values: np.ndarray) -> np.ndarray:
-    """int64 -> uint64 zigzag, matching ``paramEnc`` (geom.go:182-184)."""
+    """int64 -> uint64 zigzag, matching ``paramEnc`` (geom.go:182-184).
+
+    int32 in, uint32 out — half-width delta streams stay half-width
+    through the downstream ``varint_encode`` passes."""
+    if values.dtype == np.int32:
+        v = np.ascontiguousarray(values)
+        return ((v.view(np.uint32) << np.uint32(1))
+                ^ (v >> np.int32(31)).view(np.uint32))
     v = np.ascontiguousarray(values, dtype=np.int64)
     # .view is a zero-copy reinterpret (astype would copy)
     return (v.view(_U64) << _U64(1)) ^ (v >> np.int64(63)).view(_U64)
@@ -45,8 +52,10 @@ def zigzag_decode(values: np.ndarray) -> np.ndarray:
 
 
 def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
-    """Number of varint bytes (1..10) for each uint64 value."""
-    v = values.astype(_U64, copy=False)
+    """Number of varint bytes (1..10) for each uint64/uint32 value
+    (uint32 input compares at half width — no upcast pass)."""
+    v = values if values.dtype == np.uint32 else values.astype(
+        _U64, copy=False)
     nb = np.ones(len(v), dtype=np.int64)
     if len(v) == 0:
         return nb
@@ -54,40 +63,63 @@ def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
     for t in _THRESHOLDS:
         if vmax < t:  # geo deltas are mostly <= 4 bytes: skip the rest
             break
-        nb += v >= t
+        nb += v >= v.dtype.type(t)
     return nb
 
 
 def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Encode a uint64 array to a flat varint byte stream.
+    """Encode a uint64 (or uint32 — half the pass traffic, same bytes)
+    array to a flat varint byte stream.
 
     Returns ``(flat_bytes uint8[:], lengths int64[n])`` where
     ``lengths[i]`` is the encoded byte length of ``values[i]``.
     """
-    v = np.ascontiguousarray(values, dtype=_U64)
+    if values.dtype == np.uint32:
+        v = np.ascontiguousarray(values)
+    else:
+        v = np.ascontiguousarray(values, dtype=_U64)
+    dt = v.dtype.type
     n = len(v)
     if n == 0:
         return np.empty(0, np.uint8), np.empty(0, np.int64)
     nb = varint_byte_lengths(v)
     ends = np.cumsum(nb)
+    total = int(ends[-1])
     starts = ends - nb
-    out = np.empty(ends[-1], dtype=np.uint8)
-    # k = 0 touches every value: skip the (all-true) boolean gather
-    byte0 = (v & _U64(0x7F)).astype(np.uint8)
-    byte0 |= (nb > 1).view(np.uint8) << np.uint8(7)
+    maxnb = int(nb.max())
+    # DESCENDING full-array rounds into a padded buffer: round k
+    # writes byte k of EVERY value — a write past value i's last byte
+    # lands inside a later value's range and is overwritten by a
+    # later (smaller-k) round, so no per-round validity mask, length
+    # compare, or index selection exists at all.  The continuation
+    # bit is a direct value-threshold compare (v >= 2^(7(k+1))).
+    # Rounds that touch only a sparse tail (long values in a mostly-
+    # short stream) switch to an index-selected scatter, which writes
+    # only valid positions and therefore composes with the
+    # overwrite-descending scheme.
+    out = np.empty(total + maxnb, dtype=np.uint8)
+    counts = np.bincount(nb, minlength=maxnb + 1)
+    above = np.cumsum(counts[::-1])[::-1]  # above[b] = #values nb >= b
+    for k in range(maxnb - 1, 0, -1):
+        if int(above[k + 1]) * 4 < n:
+            sel = np.flatnonzero(v >= dt(1 << (7 * k)))
+            vs = v[sel]
+            byte = ((vs >> dt(7 * k)) & dt(0x7F)).astype(np.uint8)
+            if k < maxnb - 1:
+                byte |= (vs >= dt(1 << (7 * (k + 1)))).view(
+                    np.uint8) << np.uint8(7)
+            out[starts[sel] + k] = byte
+        else:
+            byte = ((v >> dt(7 * k)) & dt(0x7F)).astype(np.uint8)
+            if k < maxnb - 1:
+                byte |= (v >= dt(1 << (7 * (k + 1)))).view(
+                    np.uint8) << np.uint8(7)
+            out[starts + k] = byte
+    byte0 = (v & dt(0x7F)).astype(np.uint8)
+    if maxnb > 1:
+        byte0 |= (v >= dt(1 << 7)).view(np.uint8) << np.uint8(7)
     out[starts] = byte0
-    # candidate set SHRINKS per round (most geo deltas are <= 4 bytes)
-    # instead of re-comparing all n lengths every round
-    sel = np.flatnonzero(nb > 1)
-    k = 1
-    while len(sel):
-        vs, nbs = v[sel], nb[sel]
-        byte = ((vs >> _U64(7 * k)) & _U64(0x7F)).astype(np.uint8)
-        cont = (nbs - 1 > k).astype(np.uint8) << np.uint8(7)
-        out[starts[sel] + k] = byte | cont
-        k += 1
-        sel = sel[nbs > k]
-    return out, nb
+    return out[:total], nb
 
 
 def varint_decode_stream(
