@@ -92,3 +92,72 @@ def test_segmented_cumsum():
     mask = np.array([1, 0, 0, 1, 0, 1], bool)
     out = vi.segmented_cumsum(vals, mask)
     assert out.tolist() == [1, 3, 6, 10, 9, 5]
+
+
+def test_varint_stream_roundtrip_randomized():
+    """Hypothesis sweep of the stream codec pair across magnitude
+    regimes: encode -> decode_stream is the identity for any uint64
+    mix (the descending-overwrite encoder and the continuation-bit
+    masked decoder are both length-class-sensitive, so mixes of 1- and
+    10-byte values exercise every round-mode switch), and prefer32
+    returns the same values through the uint32 accumulator with its
+    transparent uint64 fallback."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geobuf_ray.codec import varint as vi
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(
+        st.one_of(
+            st.integers(0, 127),
+            st.integers(0, 2**14 - 1),
+            st.integers(0, 2**28 - 1),
+            st.integers(0, 2**32 - 1),
+            st.integers(0, 2**64 - 1),
+        ), min_size=1, max_size=200))
+    def check(vals):
+        v = np.array(vals, np.uint64)
+        flat, nb = vi.varint_encode(v)
+        assert int(nb.sum()) == len(flat)
+        got, offs = vi.varint_decode_stream(flat)
+        assert (got == v).all()
+        ends = np.cumsum(nb)
+        assert (offs == ends - nb).all()
+        got32, offs32 = vi.varint_decode_stream(flat, prefer32=True)
+        assert (got32.astype(np.uint64) == v).all()
+        assert (offs32 == offs).all()
+        # u32-input encode produces identical bytes for u32-range data
+        if v.max() < 2**32:
+            flat32, nb32 = vi.varint_encode(v.astype(np.uint32))
+            assert (flat32 == flat).all() and (nb32 == nb).all()
+
+    check()
+
+
+def test_dequantize_requantizes_exactly():
+    """quantize(dequantize(q)) == q for every representable quantized
+    coordinate — the <=1-ulp nudge in dequantize makes encode∘decode
+    the identity on the quantized domain even where q/1e7's nearest
+    double lands on the wrong side of the truncating quantizer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geobuf_ray.codec.feature import dequantize, quantize
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(-1_800_000_000, 1_800_000_000),
+                    min_size=1, max_size=50))
+    def check(qs):
+        q = np.array(qs, np.int64)
+        d = dequantize(q)
+        assert (quantize(d) == q).all()
+        # the nudge never moves a value more than 2 ulp
+        raw = q.astype(np.float64) / 1e7
+        assert (np.abs(d - raw)
+                <= 2 * np.spacing(np.abs(raw) + 1e-30)).all()
+
+    check()
+    # the historical drifter
+    q = np.array([3276049, -3276049], np.int64)
+    assert (quantize(dequantize(q)) == q).all()
