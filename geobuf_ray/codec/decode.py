@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import varint as vi
+from .feature import dequantize
 from .schema import (
     MULTIPOLYGON,
     MULTILINESTRING,
@@ -471,7 +472,6 @@ def _decode_geometries(data, scan, n):
                 continue
             # ring start for dim j is the value at position j of the ring
             q[sel] = vi.segmented_cumsum(deltas[sel], val_in_ring[sel] == j)
-    from .feature import dequantize
     coords = dequantize(q)
 
     ring_rec = np.repeat(np.arange(n), rec_nrings)
@@ -639,7 +639,6 @@ def decode_bbox(data: np.ndarray, bbox_start: np.ndarray) -> pa.Array:
             u, nb = vi.gather_varints(data, p)
             vals[:, j] = vi.zigzag_decode(u)
             p += nb
-        from .feature import dequantize
         out_vals[have] = dequantize(vals.reshape(-1)).reshape(-1, 4)
     if have.all():
         flat = pa.array(out_vals.reshape(-1))

@@ -71,13 +71,20 @@ def dequantize(q: np.ndarray) -> np.ndarray:
     truncates the same float product).  Nudging those lanes one ulp
     toward the true decimal keeps the value strictly CLOSER to
     q * 10^-7 and makes encode∘decode the identity on the quantized
-    domain."""
+    domain (for |q| < 2^53; beyond float64's exact-integer range no
+    double can requantize exactly — geographic coordinates quantize
+    to |q| <= 1.8e9, far inside)."""
     d = q.astype(np.float64) / _POWER
     if len(d) == 0:
         return d
     for _ in range(3):  # one nudge suffices in practice; bounded anyway
         r = np.trunc(d * _POWER).astype(np.int64)
-        bad = r != q
+        # |q| >= 2^53 is outside float64's exact-integer range: no
+        # double can requantize to q, so the identity contract ends
+        # there (a geographic coordinate quantizes to |q| <= 1.8e9;
+        # such values only arise from non-geographic payloads) —
+        # exclude them rather than burn futile nudge passes
+        bad = (r != q) & (np.abs(q) < (1 << 53))
         if not bad.any():
             break
         d[bad] = np.nextafter(
@@ -378,24 +385,25 @@ def _geometry_segments(table: pa.Table):
     # prefixes (ring sizes * dim, poly ring counts) are tiny — the
     # stream dtype follows the vertex values' width
     sdt = zz.dtype if total_vals else _U64
-    stream = np.empty(stream_total, sdt)
-    # polygon ring-count prefixes (first slot of the poly's first ring)
-    if mp_polys.any():
-        stream[ring_stream_starts[poly_ring_starts[mp_polys]]] = poly_sizes[mp_polys].astype(sdt)
-    # ring size prefixes (after the optional poly prefix)
-    if ring_has_size_prefix.any():
-        pos = ring_stream_starts + ring_is_poly_start.astype(np.int64)
-        sel = ring_has_size_prefix
-        stream[pos[sel]] = (ring_sizes[sel] * ring_d[sel]).astype(sdt)
-    # vertex values
-    if stream_total:
-        if stream_total == total_vals and not ring_prefix_count.any() \
-                and bool(keep.all()):
-            # no prefixes, nothing dropped (Point/LineString/MultiPoint
-            # batches): the stream IS the zigzag delta array — skip the
-            # 3-pass scatter-index build entirely
-            stream = zz
-        else:
+    if stream_total and stream_total == total_vals \
+            and not ring_prefix_count.any() and bool(keep.all()):
+        # no prefixes, nothing dropped (Point/LineString/MultiPoint
+        # batches): the stream IS the zigzag delta array — no
+        # allocation, no prefix scatters, no 3-pass scatter-index build
+        stream = zz
+    else:
+        stream = np.empty(stream_total, sdt)
+        # polygon ring-count prefixes (first slot of the poly's first
+        # ring)
+        if mp_polys.any():
+            stream[ring_stream_starts[poly_ring_starts[mp_polys]]] = poly_sizes[mp_polys].astype(sdt)
+        # ring size prefixes (after the optional poly prefix)
+        if ring_has_size_prefix.any():
+            pos = ring_stream_starts + ring_is_poly_start.astype(np.int64)
+            sel = ring_has_size_prefix
+            stream[pos[sel]] = (ring_sizes[sel] * ring_d[sel]).astype(sdt)
+        # vertex values
+        if stream_total:
             dst = np.repeat(ring_stream_starts + ring_prefix_count,
                             ring_kept) + vi.ramp(ring_kept)
             stream[dst] = zz[keep]

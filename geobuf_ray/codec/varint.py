@@ -179,6 +179,11 @@ def varint_decode_stream(
         cnt = int(np.count_nonzero(m))
         if cnt == 0:
             return values, start_idx
+        if j >= _MAX_VARINT_BYTES:
+            # a chain continuing past 10 bytes is corrupt input (and
+            # would walk the gather past the padding) — same error
+            # class as the truncated-stream check above
+            raise ValueError("varint longer than 10 bytes in stream")
         if values.dtype == np.uint32 and j >= 4:
             # a 5th byte would overflow the u32 accumulator — upcast
             # once and keep going (rare: only >= 2^28 values)
@@ -193,6 +198,8 @@ def varint_decode_stream(
     sel = np.flatnonzero(m)
     ssel = start_idx[sel]
     while len(sel):
+        if j >= _MAX_VARINT_BYTES:
+            raise ValueError("varint longer than 10 bytes in stream")
         if values.dtype == np.uint32 and j >= 4:
             values = values.astype(_U64)
         gj = bp[j:][ssel]
