@@ -77,18 +77,25 @@ def dequantize(q: np.ndarray) -> np.ndarray:
     d = q.astype(np.float64) / _POWER
     if len(d) == 0:
         return d
-    for _ in range(3):  # one nudge suffices in practice; bounded anyway
-        r = np.trunc(d * _POWER).astype(np.int64)
-        # |q| >= 2^53 is outside float64's exact-integer range: no
-        # double can requantize to q, so the identity contract ends
-        # there (a geographic coordinate quantizes to |q| <= 1.8e9;
-        # such values only arise from non-geographic payloads) —
-        # exclude them rather than burn futile nudge passes
-        bad = (r != q) & (np.abs(q) < (1 << 53))
-        if not bad.any():
+    r = np.trunc(d * _POWER).astype(np.int64)
+    # |q| >= 2^53 is outside float64's exact-integer range: no
+    # double can requantize to q, so the identity contract ends
+    # there (a geographic coordinate quantizes to |q| <= 1.8e9;
+    # such values only arise from non-geographic payloads) —
+    # exclude them rather than burn futile nudge passes
+    sel = np.flatnonzero((r != q) & (np.abs(q) < (1 << 53)))
+    # one nudge suffices in practice; bounded anyway.  Only the
+    # detection pass above is full-array — the re-check loop runs on
+    # the ~6% of lanes whose nearest-double landed on the wrong side.
+    qs, rs = q[sel], r[sel]
+    for _ in range(3):
+        if len(sel) == 0:
             break
-        d[bad] = np.nextafter(
-            d[bad], np.where(q[bad] > r[bad], np.inf, -np.inf))
+        ds = np.nextafter(d[sel], np.where(qs > rs, np.inf, -np.inf))
+        d[sel] = ds
+        rs = np.trunc(ds * _POWER).astype(np.int64)
+        still = rs != qs
+        sel, qs, rs = sel[still], qs[still], rs[still]
     return d
 
 
