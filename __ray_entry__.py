@@ -535,10 +535,42 @@ def oracle_sql() -> dict[str, str]:
                              ELSE h END AS BIGINT) AS fingerprint
             FROM fnv WHERE j = nb
         """,
-        # docs_langid / docs_minhash_pairs / docs_simhash_pairs /
-        # embeddings_dup_pairs / images_decode_stats|resize / audio / video:
-        # no SQL equivalent (hash sketches, heuristic classifier,
-        # procedural media payloads) -> rows-only checks
+        # langid oracle: the classifier is deterministic RE2 marker
+        # counting (functions/text.py LangIdFn) and DuckDB's regexp_*
+        # are RE2 too, so \b / \s+ semantics agree exactly; both sides
+        # compute score = hits / max(tokens, 1) in float64 (IEEE
+        # division is bit-deterministic), ties break toward the first
+        # language in _LANG_MARKERS order
+        "docs_langid": r"""
+            WITH sc AS (
+              SELECT doc_id,
+                greatest(len(regexp_split_to_array(text, '\s+')), 1)::DOUBLE AS nt,
+                len(regexp_extract_all(text, '\b(?:the|and|of|to|is|that|for|with)\b'))::DOUBLE AS h_en,
+                len(regexp_extract_all(text, '\b(?:el|la|de|que|y|los|las|una)\b'))::DOUBLE AS h_es,
+                len(regexp_extract_all(text, '\b(?:le|la|les|des|et|que|une|est)\b'))::DOUBLE AS h_fr,
+                len(regexp_extract_all(text, '\b(?:der|die|das|und|ist|nicht|ein|mit)\b'))::DOUBLE AS h_de,
+                len(regexp_extract_all(text, '(?:的|是|了|在|我|有|和|不)'))::DOUBLE AS h_zh
+              FROM documents
+            ), ranked AS (
+              SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, ord ASC) AS rn
+              FROM (
+                SELECT doc_id, u.lang, u.ord,
+                  CASE u.lang WHEN 'en' THEN h_en/nt WHEN 'es' THEN h_es/nt
+                              WHEN 'fr' THEN h_fr/nt WHEN 'de' THEN h_de/nt
+                              ELSE h_zh/nt END AS score
+                FROM sc, (VALUES ('en',1),('es',2),('fr',3),('de',4),('zh',5)) u(lang, ord)
+              )
+            )
+            SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+                   score AS lang_conf
+            FROM ranked WHERE rn = 1
+        """,
+        # docs_minhash_pairs / docs_simhash_pairs / embeddings_dup_pairs /
+        # images_decode_stats|resize / audio / video:
+        # no SQL equivalent (hash sketches, procedural media payloads)
+        # -> rows-only checks
         "embeddings_topk": """
             SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id FROM (
                 SELECT qv.vec_id AS query_id, e.vec_id AS vec_id,
