@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_within_2000km": q.suppliers_within_2000km,
         "rects_overlap_join": q.rects_overlap_join,
         "codec_roundtrip_points": q.codec_roundtrip_points,
+        "tri_geometry_measures": q.tri_geometry_measures,
         # documents: dedup + text analysis
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_token_stats": q.docs_token_stats,
@@ -456,6 +457,32 @@ def oracle_sql() -> dict[str, str]:
                    trunc({_LON} * 10000000) / 10000000 AS lon_q,
                    trunc({_LAT} * 10000000) / 10000000 AS lat_q
             FROM customer
+        """,
+        # measures oracle: both sides work in the quantized int64
+        # lattice (trunc toward zero at 1e7 — the codec's native
+        # domain), so the doubled shoelace area and Manhattan perimeter
+        # are EXACT BIGINT arithmetic; the vertex expressions repeat
+        # pipelines/queries.py supplier_triangles term-for-term so the
+        # float64 products agree bit-for-bit before truncation
+        # NB: every float literal is cast to DOUBLE — DuckDB otherwise
+        # types them DECIMAL and evaluates exactly, which disagrees
+        # with numpy's IEEE float64 one quantum either side of a
+        # representation boundary (e.g. -9.995 * 1e7)
+        "tri_geometry_measures": """
+            WITH tri AS (
+              SELECT s_suppkey,
+                CAST(trunc((CAST(-180.0 AS DOUBLE) + (s_suppkey * 37) % 300) * CAST(10000000.0 AS DOUBLE)) AS BIGINT) AS qxa,
+                CAST(trunc((CAST(-85.0 AS DOUBLE) + (s_suppkey * 53) % 160) * CAST(10000000.0 AS DOUBLE)) AS BIGINT) AS qya,
+                CAST(trunc((CAST(-180.0 AS DOUBLE) + (s_suppkey * 37) % 300 + CAST(3.0 AS DOUBLE) + (s_suppkey % 7) * CAST(2.0 AS DOUBLE) + CAST(0.005 AS DOUBLE)) * CAST(10000000.0 AS DOUBLE)) AS BIGINT) AS qxb,
+                CAST(trunc((CAST(-85.0 AS DOUBLE) + (s_suppkey * 53) % 160 + CAST(1.0 AS DOUBLE) + (s_suppkey % 3) * CAST(1.5 AS DOUBLE)) * CAST(10000000.0 AS DOUBLE)) AS BIGINT) AS qyb,
+                CAST(trunc((CAST(-180.0 AS DOUBLE) + (s_suppkey * 37) % 300 + CAST(1.0 AS DOUBLE) + (s_suppkey % 5) * CAST(1.0 AS DOUBLE)) * CAST(10000000.0 AS DOUBLE)) AS BIGINT) AS qxc,
+                CAST(trunc((CAST(-85.0 AS DOUBLE) + (s_suppkey * 53) % 160 + CAST(2.5 AS DOUBLE) + (s_suppkey % 11) * CAST(0.5 AS DOUBLE) + CAST(0.005 AS DOUBLE)) * CAST(10000000.0 AS DOUBLE)) AS BIGINT) AS qyc
+              FROM supplier)
+            SELECT s_suppkey, CAST(4 AS BIGINT) AS n_vertices,
+                   (qxb - qxa) * (qyc - qya) - (qxc - qxa) * (qyb - qya) AS area2_q,
+                   abs(qxb - qxa) + abs(qyb - qya) + abs(qxc - qxb)
+                   + abs(qyc - qyb) + abs(qxa - qxc) + abs(qya - qyc) AS perim_mh_q
+            FROM tri
         """,
         "docs_exact_dedup": """
             SELECT doc_id, lang, source FROM documents

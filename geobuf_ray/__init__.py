@@ -79,6 +79,9 @@ def __getattr__(name):
                             "approx_distinct"),
         "approx_quantiles": ("geobuf_ray.functions.sketch",
                              "approx_quantiles"),
+        "geometry_measures": ("geobuf_ray.spatial.measures",
+                              "geometry_measures"),
+        "measures_batch": ("geobuf_ray.spatial.measures", "measures_batch"),
     }
     if name in registry:
         mod, attr = registry[name]

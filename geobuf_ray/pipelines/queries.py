@@ -1392,6 +1392,67 @@ def docs_quality(sf_dir: str):
     )
 
 
+def supplier_triangles(sf_dir: str) -> pa.Table:
+    """Deterministic (non-axis-aligned) triangles derived from supplier
+    keys — the shoelace-exercising corpus for the measures oracle (a
+    rectangle's area factors as w*h, which would not catch a cross-term
+    sign bug)."""
+    import duckdb
+
+    keys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    n = len(keys)
+    xa = -180.0 + (keys * 37) % 300
+    ya = -85.0 + (keys * 53) % 160
+    xb = xa + 3.0 + (keys % 7) * 2.0 + 0.005
+    yb = ya + 1.0 + (keys % 3) * 1.5
+    xc = xa + 1.0 + (keys % 5) * 1.0
+    yc = ya + 2.5 + (keys % 11) * 0.5 + 0.005
+    coords = np.empty(8 * n)
+    for j, arr in enumerate((xa, ya, xb, yb, xc, yc, xa, ya)):
+        coords[j::8] = arr
+    return pa.table({
+        "id": pa.array(keys, pa.int64()),
+        "geom_type": pa.array(np.full(n, 3, np.int8)),
+        "dim": pa.array(np.full(n, 2, np.int8)),
+        "coords": pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 8 * n + 8, 8, dtype=np.int32)),
+            pa.array(coords)),
+        "ring_sizes": pa.array([[4]] * n, pa.list_(pa.int32())),
+        "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+    })
+
+
+def tri_geometry_measures(sf_dir: str):
+    """Supplier triangles through the REAL codec (encode -> decode),
+    then the vectorized measures kernel in the QUANTIZED int64 domain
+    (spatial/measures.py) — signed shoelace doubled area and Manhattan
+    perimeter are exact integer arithmetic on both sides, so the
+    DuckDB oracle hash-matches bit-for-bit.  n_vertices doubles as a
+    ring-closure-preservation check on the codec."""
+    import ray
+
+    from ..codec import decode as dc
+    from ..codec import feature as fc
+    from ..spatial.measures import measures_batch
+
+    tris = supplier_triangles(sf_dir)
+
+    def roundtrip_measures(batch: pa.Table) -> pa.Table:
+        m = measures_batch(dc.decode_batch(fc.encode_batch(batch)),
+                           quantized=True, euclid=False)
+        return pa.table({
+            "s_suppkey": m["id"],
+            "n_vertices": m["n_vertices"],
+            "area2_q": m["area2_q"],
+            "perim_mh_q": m["perim_mh_q"],
+        })
+
+    return ray.data.from_arrow(tris).map_batches(
+        roundtrip_measures, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def docs_langid(sf_dir: str):
     from ..functions.text import LangIdFn
 

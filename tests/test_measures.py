@@ -1,0 +1,177 @@
+"""Geometry measures vs a scalar shoelace/length oracle.
+
+The kernel under test (spatial/measures.py) is fully segmented numpy;
+the oracle below is deliberately per-feature Python so a vectorization
+bug cannot hide in shared code.
+"""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geobuf_ray.spatial.measures import geometry_measures, measures_batch
+
+Q = 1e7
+
+
+def _feat_table(feats):
+    """feats: list of (fid, gtype, dim, rings) where rings is a list of
+    polys, each poly a list of rings, each ring a list of (x, y[, z])
+    tuples — flattened into the canonical feature-table layout."""
+    ids, gt, dims, coords, ring_sizes, poly_sizes = [], [], [], [], [], []
+    for fid, gtype, dim, polys in feats:
+        ids.append(fid)
+        gt.append(gtype)
+        dims.append(dim)
+        flat, rs, ps = [], [], []
+        for rings in polys:
+            ps.append(len(rings))
+            for ring in rings:
+                rs.append(len(ring))
+                for pt in ring:
+                    flat.extend(pt)
+        coords.append(flat)
+        ring_sizes.append(rs)
+        poly_sizes.append(ps)
+    return pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "geom_type": pa.array(np.array(gt, np.int8)),
+        "dim": pa.array(np.array(dims, np.int8)),
+        "coords": pa.array(coords, pa.list_(pa.float64())),
+        "ring_sizes": pa.array(ring_sizes, pa.list_(pa.int32())),
+        "poly_sizes": pa.array(poly_sizes, pa.list_(pa.int32())),
+    })
+
+
+def _scalar_oracle(fid, gtype, polys):
+    """Per-feature scalar reference: signed doubled area (quantized),
+    Manhattan perimeter (quantized), Euclidean length (degrees)."""
+    area2 = 0
+    mh = 0
+    length = 0.0
+    nver = 0
+    is_poly = gtype in (3, 6)
+    is_line = gtype in (2, 5)
+    for rings in polys:
+        for ring in rings:
+            nver += len(ring)
+            qr = [(int(np.float64(x) * Q), int(np.float64(y) * Q))
+                  for x, y, *_ in ring]
+            edges = []
+            for i in range(len(qr) - 1):
+                edges.append((qr[i], qr[i + 1]))
+            if is_poly and len(qr):
+                edges.append((qr[-1], qr[0]))  # implicit closure
+            if not (is_poly or is_line):
+                edges = []
+            x0, y0 = qr[0] if qr else (0, 0)
+            for (xa, ya), (xb, yb) in edges:
+                if is_poly:
+                    area2 += (xa - x0) * (yb - y0) - (xb - x0) * (ya - y0)
+                mh += abs(xb - xa) + abs(yb - ya)
+                length += math.hypot((xb - xa) / Q, (yb - ya) / Q)
+    if not is_poly:
+        area2 = 0
+    return area2, mh, length, nver
+
+
+CASES = [
+    # closed CCW triangle
+    (1, 3, 2, [[[(-10.0, -5.0), (3.123, 4.5), (-2.0, 8.25), (-10.0, -5.0)]]]),
+    # UNCLOSED ring (kernel must add the closing edge)
+    (2, 3, 2, [[[(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 3.0)]]]),
+    # CW square (negative signed area)
+    (3, 3, 2, [[[(0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0)]]]),
+    # polygon with a CW hole: exterior 10x10, hole 2x2
+    (4, 3, 2, [[
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+        [(2.0, 2.0), (2.0, 4.0), (4.0, 4.0), (4.0, 2.0), (2.0, 2.0)],
+    ]]),
+    # multipolygon: two squares
+    (5, 6, 2, [
+        [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]],
+        [[(5.0, 5.0), (7.0, 5.0), (7.0, 7.0), (5.0, 7.0), (5.0, 5.0)]],
+    ]),
+    # linestring: open polyline, no closing edge, zero area
+    (6, 2, 2, [[[(0.0, 0.0), (3.0, 4.0), (3.0, 8.0)]]]),
+    # multilinestring
+    (7, 5, 2, [[[(0.0, 0.0), (1.0, 1.0)]], [[(2.0, 2.0), (2.5, 2.0), (2.5, 9.5)]]]),
+    # point / multipoint: no edges at all
+    (8, 1, 2, [[[(12.5, -33.25)]]]),
+    (9, 4, 2, [[[(1.0, 1.0), (2.0, 2.0), (3.0, 3.0)]]]),
+    # dim-3 triangle (z ignored by planar measures)
+    (10, 3, 3, [[[(0.0, 0.0, 100.0), (6.0, 0.0, 200.0),
+                  (6.0, 6.0, 300.0), (0.0, 0.0, 400.0)]]]),
+]
+
+
+def test_measures_vs_scalar_oracle():
+    tbl = _feat_table(CASES)
+    out = measures_batch(tbl).to_pandas().set_index("id")
+    for fid, gtype, dim, polys in CASES:
+        area2, mh, length, nver = _scalar_oracle(fid, gtype, polys)
+        row = out.loc[fid]
+        assert row.area2_q == area2, (fid, row.area2_q, area2)
+        assert row.perim_mh_q == mh, (fid, row.perim_mh_q, mh)
+        assert row.length_deg == pytest.approx(length, rel=1e-12), fid
+        assert row.n_vertices == nver
+
+
+def test_hole_subtracts_and_signs():
+    out = measures_batch(_feat_table(CASES)).to_pandas().set_index("id")
+    # CCW exterior positive, CW square negative
+    assert out.loc[1].area2_q > 0
+    assert out.loc[3].area2_q == -2 * int(2 * Q) * int(2 * Q)
+    # hole case: 10x10 minus 2x2, doubled, in quanta^2
+    assert out.loc[4].area2_q == 2 * (100 - 4) * int(Q) * int(Q)
+    # multipolygon sums parts: 1 + 4 squares
+    assert out.loc[5].area2_q == 2 * 5 * int(Q) * int(Q)
+
+
+def test_area_centroid_rect():
+    tbl = _feat_table([(1, 3, 2, [[[(2.0, 3.0), (6.0, 3.0), (6.0, 5.0),
+                                    (2.0, 5.0), (2.0, 3.0)]]])])
+    out = measures_batch(tbl).to_pandas().iloc[0]
+    assert out.centroid_x == pytest.approx(4.0, abs=1e-9)
+    assert out.centroid_y == pytest.approx(4.0, abs=1e-9)
+    assert out.length_deg == pytest.approx(12.0, rel=1e-12)
+
+
+def test_empty_and_zero_rings():
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "geom_type": pa.array(np.array([3, 2], np.int8)),
+        "dim": pa.array(np.array([2, 2], np.int8)),
+        "coords": pa.array([[], [0.0, 0.0, 1.0, 0.0]], pa.list_(pa.float64())),
+        "ring_sizes": pa.array([[], [0, 2]], pa.list_(pa.int32())),
+        "poly_sizes": pa.array([[], [1]], pa.list_(pa.int32())),
+    })
+    out = measures_batch(tbl).to_pandas().set_index("id")
+    assert out.loc[1].area2_q == 0 and out.loc[1].n_vertices == 0
+    assert out.loc[2].perim_mh_q == int(Q)  # one unit edge survives
+
+
+def test_dataset_level(ray_session):
+    import ray
+
+    tbl = _feat_table(CASES)
+    out = geometry_measures(ray.data.from_arrow(tbl)).to_pandas()
+    assert len(out) == len(CASES)
+    ref = measures_batch(tbl).to_pandas()
+    assert sorted(out.area2_q) == sorted(ref.area2_q)
+
+
+def test_quantized_matches_codec_roundtrip():
+    """Measures after an encode->decode roundtrip equal measures on the
+    pristine table — the dequantize requantization identity extends to
+    derived integer measures."""
+    from geobuf_ray.codec import decode as dc
+    from geobuf_ray.codec import feature as fc
+
+    tbl = _feat_table([c for c in CASES if c[1] in (2, 3, 5, 6)])
+    direct = measures_batch(tbl).to_pandas()
+    rt = measures_batch(dc.decode_batch(fc.encode_batch(tbl))).to_pandas()
+    for col in ("area2_q", "perim_mh_q", "n_vertices"):
+        assert list(direct[col]) == list(rt[col]), col
