@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_stats": q.docs_token_stats,
         "docs_quality": q.docs_quality,
         "docs_langid": q.docs_langid,
+        "docs_top_terms": q.docs_top_terms,
         "docs_fingerprint": q.docs_fingerprint,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
@@ -593,6 +594,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
                    score AS lang_conf
             FROM ranked WHERE rn = 1
+        """,
+        # vocabulary oracle: same RE2 \s+ tokenization on both sides;
+        # tf/df are exact integer counts, ties at the k boundary break
+        # on (df DESC, term ASC) in both engines
+        "docs_top_terms": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents
+            )
+            SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+            FROM t WHERE term <> ''
+            GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
         """,
         # docs_minhash_pairs / docs_simhash_pairs / embeddings_dup_pairs /
         # images_decode_stats|resize / audio / video:

@@ -81,6 +81,7 @@ def __getattr__(name):
                              "approx_quantiles"),
         "geometry_measures": ("geobuf_ray.spatial.measures",
                               "geometry_measures"),
+        "top_terms": ("geobuf_ray.functions.text", "top_terms"),
         "measures_batch": ("geobuf_ray.spatial.measures", "measures_batch"),
     }
     if name in registry:

@@ -204,3 +204,95 @@ def rolling_fingerprints(col, window: int = 64, stride: int = 32) -> list[np.nda
         h = (b[idx] * powers[::-1][None, :]).sum(axis=1, dtype=np.uint64)
         out.append(h)
     return out
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary (document frequency / term frequency)
+# ---------------------------------------------------------------------------
+
+
+def term_stats_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Per-block (term, tf, df) partials: tf = token occurrences,
+    df = distinct documents containing the term INSIDE this block.
+    Documents never span blocks (one row per doc), so summing block
+    partials is the exact corpus df.  Tokens are ``\\s+``-separated,
+    case-sensitive, empties dropped — the same split the quality /
+    langid stages use, and exactly DuckDB's ``regexp_split_to_array``."""
+    toks = pc.split_pattern_regex(batch[text_col], r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    ndoc = len(offs) - 1
+    doc_of_tok = np.repeat(np.arange(ndoc), np.diff(offs))
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        sel = np.flatnonzero(keep)
+        flat = flat.take(pa.array(sel))
+        doc_of_tok = doc_of_tok[sel]
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = enc.dictionary
+    nterm = len(terms)
+    tf = np.bincount(codes, minlength=nterm).astype(np.int64)
+    # distinct (doc, term) pairs -> df
+    pair = doc_of_tok * nterm + codes
+    df = np.bincount(np.unique(pair) % nterm,
+                     minlength=nterm).astype(np.int64)
+    return pa.table({"term": terms, "tf": pa.array(tf), "df": pa.array(df)})
+
+
+def top_terms(ds, k: int = 50, *, text_col: str = "text",
+              id_col: str = "doc_id", nbuckets: int = 64) -> pa.Table:
+    """Corpus top-k vocabulary by document frequency (ties break to the
+    lexically smaller term).
+
+    Shape at scale: block partials shrink the stream to (term, tf, df)
+    rows; a hash-bucket ``groupby(bucket).map_groups`` sums each term's
+    partials AND emits only that bucket's local top-k, so the driver
+    merges a bounded k x nbuckets candidate set — the unbounded
+    web-scale vocabulary never centralizes (same partial-top-k shape as
+    queries.top_orders)."""
+    from .join import _key_hash
+
+    partials = ds.map_batches(
+        lambda b: term_stats_batch(b, text_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    mask = np.int64(nbuckets - 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch["term"])
+        return batch.append_column(
+            "bucket", pa.array((h & np.uint64(mask)).astype(np.int64)))
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        enc = group["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nterm = len(enc.dictionary)
+        tf = np.bincount(codes, weights=group["tf"].to_numpy(
+            zero_copy_only=False), minlength=nterm).astype(np.int64)
+        df = np.bincount(codes, weights=group["df"].to_numpy(
+            zero_copy_only=False), minlength=nterm).astype(np.int64)
+        terms_np = np.asarray(enc.dictionary.to_pylist(), object)
+        order = np.lexsort((terms_np, -df))[:k]
+        return pa.table({"term": pa.array(terms_np[order].tolist(),
+                                          pa.string()),
+                         "tf": pa.array(tf[order]),
+                         "df": pa.array(df[order])})
+
+    cand = (partials.map_batches(add_bucket, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(bucket_topk, batch_format="pyarrow"))
+    from ..collect import collect_table
+
+    tbl = collect_table(cand)
+    terms_np = np.asarray(tbl["term"].to_pylist(), object)
+    df = tbl["df"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((terms_np, -df))[:k]
+    return pa.table({"term": pa.array(terms_np[order].tolist(), pa.string()),
+                     "tf": pa.array(tbl["tf"].to_numpy(
+                         zero_copy_only=False)[order]),
+                     "df": pa.array(df[order])})

@@ -1453,6 +1453,21 @@ def tri_geometry_measures(sf_dir: str):
         roundtrip_measures, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def docs_top_terms(sf_dir: str, k: int = 50):
+    """Corpus vocabulary: top-k terms by document frequency through
+    the distributed partial -> hash-bucket combine -> bounded top-k
+    merge (functions/text.py top_terms) — the vocabulary-building
+    stage of an LLM-data pipeline, SQL-checkable because tokenization
+    is the same RE2 ``\\s+`` split DuckDB uses."""
+    import ray
+
+    from ..functions.text import top_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return top_terms(ds, k=k)
+
+
 def docs_langid(sf_dir: str):
     from ..functions.text import LangIdFn
 

@@ -432,3 +432,25 @@ def test_quantiles_sketch_query(ray_session):
     assert out.num_rows == 3
     rel = out["rel_error"].to_numpy()
     assert (rel <= 2.0 ** (1.0 / 64) - 1.0 + 1e-12).all()
+
+
+def test_top_terms_df_tf_and_ties(ray_session):
+    import ray
+
+    from geobuf_ray.functions.text import top_terms
+
+    # 6 docs across multiple blocks; 'zz' and 'aa' tie on df=3 ->
+    # lexical ascending decides; tf differs from df via repeats
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "aa zz common", "aa zz common", "aa common",
+            "zz common", "only4 common", "common  common",
+        ]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(3)
+    out = top_terms(ds, k=3).to_pandas()
+    assert list(out.term) == ["common", "aa", "zz"]
+    assert list(out.df) == [6, 3, 3]
+    # tf counts occurrences: 'common' appears 7 times total
+    assert list(out.tf) == [7, 3, 3]
