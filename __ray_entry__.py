@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_resize": q.images_resize,
         "images_phash_pairs": q.images_phash_pairs,
         "images_zonal_stats": q.images_zonal_stats,
+        "images_pyramid": q.images_pyramid,
         # audio / video pipelines (rows-only: procedural payloads)
         "audio_features": q.audio_features,
         "audio_resample": q.audio_resample,

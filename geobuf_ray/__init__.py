@@ -82,6 +82,7 @@ def __getattr__(name):
         "geometry_measures": ("geobuf_ray.spatial.measures",
                               "geometry_measures"),
         "top_terms": ("geobuf_ray.functions.text", "top_terms"),
+        "build_pyramid": ("geobuf_ray.io.images", "build_pyramid"),
         "measures_batch": ("geobuf_ray.spatial.measures", "measures_batch"),
     }
     if name in registry:

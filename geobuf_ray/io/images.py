@@ -388,3 +388,69 @@ class ResizeImagesFn:
         out = out.append_column(
             "fmt", pa.array(["rawz"] * len(out_blobs), pa.string()))
         return out
+
+
+def mean_pool2(px: np.ndarray) -> np.ndarray:
+    """One pyramid level: 2x2 mean-pool with round-half-up integer
+    arithmetic ((a+b+c+d+2)//4 — exact, no float path), odd trailing
+    row/col cropped (the gdaladdo-overview convention)."""
+    h, w, c = px.shape
+    h2, w2 = h // 2, w // 2
+    if h2 == 0 or w2 == 0:
+        return px[:max(h2, 1) or 1, :max(w2, 1) or 1]
+    q = px[: h2 * 2, : w2 * 2].astype(np.uint16)
+    s = (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2]
+         + q[1::2, 1::2] + 2) // 4
+    return s.astype(np.uint8)
+
+
+class PyramidImagesFn:
+    """Actor-pool overview-pyramid stage (the raster tile-pyramid /
+    mipmap shape): each input image row fans out to ``levels + 1``
+    rows — level 0 is the source, level L halves level L-1 via exact
+    2x2 integer mean-pooling — re-encoded lossless with per-level
+    mean intensity.
+
+    Output amplifies rows but SHRINKS bytes (a full pyramid adds only
+    ~1/3 of the base payload), so downstream batch sizing is unchanged.
+    Levels stop early when a dimension reaches 1 pixel.
+    """
+
+    def __init__(self, levels: int = 3):
+        self.levels = levels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        o_id, o_lvl, o_w, o_h, o_bytes, o_mean = [], [], [], [], [], []
+        for image_id, data in zip(ids, blobs):
+            px = decode_image(data)
+            for lvl in range(self.levels + 1):
+                if lvl:
+                    if px.shape[0] < 2 or px.shape[1] < 2:
+                        break
+                    px = mean_pool2(px)
+                o_id.append(image_id)
+                o_lvl.append(lvl)
+                o_h.append(px.shape[0])
+                o_w.append(px.shape[1])
+                o_bytes.append(encode_rawz(px))
+                o_mean.append(float(px.mean()))
+        return pa.table({
+            "image_id": pa.array(o_id, pa.string()),
+            "level": pa.array(o_lvl, pa.int32()),
+            "w": pa.array(o_w, pa.int32()),
+            "h": pa.array(o_h, pa.int32()),
+            "bytes": pa.array(o_bytes, pa.binary()),
+            "mean_px": pa.array(o_mean, pa.float64()),
+        })
+
+
+def build_pyramid(ds, *, levels: int = 3, batch_size: int = 32,
+                  concurrency=(1, 8), **map_kwargs):
+    """Dataset stage: image rows -> per-level pyramid rows (bounded
+    batches: payload x concurrency stays inside worker heaps)."""
+    return ds.map_batches(
+        PyramidImagesFn, fn_constructor_kwargs=dict(levels=levels),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **map_kwargs)

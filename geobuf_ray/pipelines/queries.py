@@ -1707,6 +1707,54 @@ def images_in_rects(sf_dir: str, zoom: int = 5):
     return joined.select_columns(["image_id", "polygon_id"])
 
 
+def images_pyramid(sf_dir: str, levels: int = 3):
+    """Overview-pyramid build (raster tile-pyramid / mipmap shape):
+    per-level row fan-out through the actor-pool pooling stage, then a
+    per-level partial aggregate.  Rows-only for the driver (pixel
+    payloads are procedural); the EXACT 2x2 integer mean-pool kernel
+    is pytest-oracled in test_images.py."""
+    import ray
+
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    pyr = im.build_pyramid(ds, levels=levels, batch_size=32,
+                           concurrency=(1, 4))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lvl = batch["level"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = batch["mean_px"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lvl, return_inverse=True)
+        return pa.table({
+            "level": pa.array(uniq),
+            "n_images": pa.array(np.bincount(inv).astype(np.int64)),
+            "total_pixels": pa.array(
+                np.bincount(inv, weights=w * h).astype(np.int64)),
+            "sum_mean_px": pa.array(np.bincount(inv, weights=mean)),
+        })
+
+    partials = pyr.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+    agg = _final_combine(partials, ["level"],
+                         ["n_images", "total_pixels", "sum_mean_px"])
+    lvl = agg["level"].to_numpy(zero_copy_only=False)
+    order = np.argsort(lvl)
+    return pa.table({
+        "level": pa.array(lvl[order]),
+        "n_images": pa.array(agg["n_images"].to_numpy(
+            zero_copy_only=False)[order]),
+        "total_pixels": pa.array(agg["total_pixels"].to_numpy(
+            zero_copy_only=False)[order]),
+        "mean_px": pa.array(
+            agg["sum_mean_px"].to_numpy(zero_copy_only=False)[order]
+            / np.maximum(agg["n_images"].to_numpy(
+                zero_copy_only=False)[order], 1)),
+    })
+
+
 def images_decode_stats(sf_dir: str):
     """Synthesize the Lance-shaped image table (size scaled to the sf
     tier), run the actor-pool decode, return per-row fidelity stats."""

@@ -86,3 +86,51 @@ def test_image_centroid_hot_cell_share():
     lats = np.asarray(lats)
     hot = ((lons >= 10.0) & (lons <= 10.2) & (lats >= 50.0) & (lats <= 50.2)).mean()
     assert 0.1 < hot < 0.35  # ~20% hot cluster for skew/salting tests
+
+
+def test_mean_pool2_exact():
+    import numpy as np
+
+    from geobuf_ray.io.images import mean_pool2
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (7, 9, 3), np.uint8)  # odd dims crop
+    p = mean_pool2(px)
+    assert p.shape == (3, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            blk = px[2 * y: 2 * y + 2, 2 * x: 2 * x + 2].astype(int)
+            exp = (blk.sum(axis=(0, 1)) + 2) // 4
+            assert (p[y, x] == exp).all()
+
+
+def test_pyramid_stage(ray_session):
+    import numpy as np
+    import ray
+
+    from geobuf_ray.io.images import (PyramidImagesFn, build_pyramid,
+                                      decode_image, mean_pool2,
+                                      source_pixels, synthesize_image_table)
+
+    tbl = synthesize_image_table(8)
+    out = PyramidImagesFn(levels=2)(tbl).to_pandas()
+    assert set(out.level) == {0, 1, 2}
+    assert len(out) == 8 * 3
+    # level-2 payload equals pooling the DECODED source twice (decode
+    # may be lossy-quantized; the pyramid pools what it decodes)
+    row0 = tbl.to_pydict()
+    base = decode_image(row0["bytes"][0])
+    exp = mean_pool2(mean_pool2(base))
+    lvl2 = out[(out.image_id == row0["image_id"][0]) & (out.level == 2)]
+    got = decode_image(lvl2.iloc[0]["bytes"])
+    assert got.shape == exp.shape and (got == exp).all()
+    # per-level dims halve exactly
+    for _, r in out.iterrows():
+        w0, h0 = row0["w"][0], row0["h"][0]
+    lvl = out[out.image_id == row0["image_id"][0]].sort_values("level")
+    ws = list(lvl.w)
+    assert ws[1] == ws[0] // 2 and ws[2] == ws[0] // 4
+    # dataset-level stage
+    ds = build_pyramid(ray.data.from_arrow(tbl), levels=1,
+                       batch_size=4, concurrency=(1, 2))
+    assert ds.count() == 16
