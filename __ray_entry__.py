@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_overlap_join": q.rects_overlap_join,
         "codec_roundtrip_points": q.codec_roundtrip_points,
         "tri_geometry_measures": q.tri_geometry_measures,
+        "lines_simplify": q.lines_simplify,
         # documents: dedup + text analysis
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_token_stats": q.docs_token_stats,
@@ -466,6 +467,26 @@ def oracle_sql() -> dict[str, str]:
         # are EXACT BIGINT arithmetic; the vertex expressions repeat
         # pipelines/queries.py supplier_triangles term-for-term so the
         # float64 products agree bit-for-bit before truncation
+        # simplify oracle: the zigzag corpus is built so DP keeps
+        # EXACTLY the 4 integer-coordinate breakpoints (see
+        # queries.lines_simplify) — enumerable in closed form; quanta
+        # are exact BIGINT products of integer degrees
+        "lines_simplify": """
+            WITH b AS (
+              SELECT s_suppkey,
+                     (s_suppkey * 37) % 300 - 180 AS x0,
+                     (s_suppkey * 53) % 160 - 85 AS y0,
+                     1 + s_suppkey % 5 AS dy1,
+                     -(1 + (s_suppkey * 7) % 5) AS dy2,
+                     1 + (s_suppkey * 11) % 5 AS dy3
+              FROM supplier)
+            SELECT s_suppkey, i AS seq,
+                   (x0 + 8 * i) * 10000000 AS x_q,
+                   (y0 + CASE i WHEN 0 THEN 0 WHEN 1 THEN dy1
+                                WHEN 2 THEN dy1 + dy2
+                                ELSE dy1 + dy2 + dy3 END) * 10000000 AS y_q
+            FROM b, (SELECT UNNEST(range(0, 4)) AS i)
+        """,
         # NB: every float literal is cast to DOUBLE — DuckDB otherwise
         # types them DECIMAL and evaluates exactly, which disagrees
         # with numpy's IEEE float64 one quantum either side of a

@@ -83,6 +83,7 @@ def __getattr__(name):
                               "geometry_measures"),
         "top_terms": ("geobuf_ray.functions.text", "top_terms"),
         "build_pyramid": ("geobuf_ray.io.images", "build_pyramid"),
+        "simplify": ("geobuf_ray.spatial.simplify", "simplify"),
         "measures_batch": ("geobuf_ray.spatial.measures", "measures_batch"),
     }
     if name in registry:

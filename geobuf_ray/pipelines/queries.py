@@ -1453,6 +1453,83 @@ def tri_geometry_measures(sf_dir: str):
         roundtrip_measures, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def lines_simplify(sf_dir: str):
+    """Douglas–Peucker through the vectorized multi-segment kernel
+    (spatial/simplify.py) on supplier zigzag polylines built so the
+    simplification result is EXACT: integer-coordinate breakpoints
+    joined by exactly-collinear quarter-step interpolated vertices
+    (binary fractions — float64-exact), consecutive segments always
+    genuine corners (perpendicular deviation >= 1 degree >> eps).
+    DP therefore keeps precisely the 4 breakpoints of each polyline,
+    which the DuckDB oracle enumerates in closed form — a hash-exact
+    check on an operator whose general form has no SQL equivalent."""
+    import ray
+
+    from ..spatial.simplify import simplify_batch
+
+    keys = _supplier_keys(sf_dir)
+    n = len(keys)
+    x0 = ((keys * 37) % 300 - 180).astype(np.float64)
+    y0 = ((keys * 53) % 160 - 85).astype(np.float64)
+    dy1 = (1 + keys % 5).astype(np.float64)
+    dy2 = -(1 + (keys * 7) % 5).astype(np.float64)
+    dy3 = (1 + (keys * 11) % 5).astype(np.float64)
+    # 3 segments x 4 quarter-steps + final vertex = 13 vertices
+    t = np.arange(4) / 4.0
+    verts = np.empty((n, 13, 2))
+    bx = np.stack([x0, x0 + 8, x0 + 16, x0 + 24], axis=1)
+    by = np.stack([y0, y0 + dy1, y0 + dy1 + dy2,
+                   y0 + dy1 + dy2 + dy3], axis=1)
+    for s in range(3):
+        verts[:, 4 * s: 4 * s + 4, 0] = bx[:, s, None] + t * 8.0
+        verts[:, 4 * s: 4 * s + 4, 1] = (by[:, s, None]
+                                         + t * (by[:, s + 1, None]
+                                                - by[:, s, None]))
+    verts[:, 12, 0] = bx[:, 3]
+    verts[:, 12, 1] = by[:, 3]
+
+    feat = pa.table({
+        "id": pa.array(keys, pa.int64()),
+        "geom_type": pa.array(np.full(n, 2, np.int8)),
+        "dim": pa.array(np.full(n, 2, np.int8)),
+        "coords": pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 26 * n + 26, 26, dtype=np.int32)),
+            pa.array(verts.reshape(-1))),
+        "ring_sizes": pa.array([[13]] * n, pa.list_(pa.int32())),
+        "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+    })
+
+    def run(batch: pa.Table) -> pa.Table:
+        from ..codec import varint as vi
+
+        out = simplify_batch(batch, eps=0.125)
+        coords = out["coords"].combine_chunks()
+        vals = coords.values.to_numpy(zero_copy_only=False)
+        offs = coords.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = np.diff(offs) // 2
+        fid = out["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        seq = vi.ramp(nv)
+        from ..codec.feature import quantize
+
+        return pa.table({
+            "s_suppkey": pa.array(np.repeat(fid, nv)),
+            "seq": pa.array(seq),
+            "x_q": pa.array(quantize(vals[0::2])),
+            "y_q": pa.array(quantize(vals[1::2])),
+        })
+
+    return ray.data.from_arrow(feat).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _supplier_keys(sf_dir: str) -> np.ndarray:
+    import duckdb
+
+    return duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+
+
 def docs_top_terms(sf_dir: str, k: int = 50):
     """Corpus vocabulary: top-k terms by document frequency through
     the distributed partial -> hash-bucket combine -> bounded top-k
