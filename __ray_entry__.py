@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_hash_sample": q.orders_hash_sample,
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "lineitem_price_quantiles_sketch": q.lineitem_price_quantiles_sketch,
+        "lineitem_quantiles_by_flag": q.lineitem_quantiles_by_flag,
         "parts_by_brand": q.parts_by_brand,
         "revenue_by_region": q.revenue_by_region,
         "revenue_by_region_shuffle": q.revenue_by_region_shuffle,
@@ -252,6 +253,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE ((o_orderkey % 1000003) * 2654435761) % 4294967296
                   < (4294967296 * 10) // 100
+        """,
+        "lineitem_quantiles_by_flag": """
+            SELECT l_returnflag,
+                   CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99) AS BIGINT) AS p99
+            FROM lineitem GROUP BY l_returnflag
         """,
         "lineitem_price_quantiles": """
             SELECT CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS BIGINT) AS p50,

@@ -546,6 +546,69 @@ def lineitem_price_quantiles(sf_dir: str):
                      "p99": pa.array([q(0.99)], pa.int64())})
 
 
+def lineitem_quantiles_by_flag(sf_dir: str):
+    """Exact PER-GROUP quantiles (p50/p90/p99 of price cents per
+    returnflag) — the grouped variant of
+    :func:`lineitem_price_quantiles`: per-block (flag, value, count)
+    partials bound the collected table to distinct (group, value)
+    pairs x blocks; the final per-group cumulative walk is a few
+    vectorized lines.  Same quantile_disc rank rule (smallest value
+    with cum >= ceil(p*n)) as the DuckDB oracle."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = batch["l_returnflag"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        comb = codes * (1 << 44) + cents  # cents << 2^44 in this data
+        uniq, cnt = np.unique(comb, return_counts=True)
+        return pa.table({
+            "flag": enc.dictionary.take(pa.array(uniq >> 44)),
+            "v": pa.array(uniq & ((1 << 44) - 1)),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    from ..collect import collect_table
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True,
+                                         batch_size=None))
+    enc = parts["flag"].combine_chunks().dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = parts["v"].to_numpy(zero_copy_only=False)
+    c = parts["c"].to_numpy(zero_copy_only=False)
+    comb = codes * (1 << 44) + v
+    uniq, inv = np.unique(comb, return_inverse=True)
+    counts = np.bincount(inv, weights=c).astype(np.int64)
+    g = uniq >> 44
+    vals = uniq & ((1 << 44) - 1)
+    # per-group cumulative counts (uniq is sorted by (group, value))
+    cum = np.cumsum(counts)
+    gstart = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+    gend = np.concatenate((gstart[1:], [len(g)]))
+    base = np.repeat(cum[gstart] - counts[gstart], gend - gstart)
+    cum_in = cum - base
+    out_flag, qs = [], {0.5: [], 0.9: [], 0.99: []}
+    for s, e in zip(gstart, gend):  # |groups| iterations (tiny)
+        total = int(cum_in[e - 1])
+        out_flag.append(enc.dictionary[int(g[s])].as_py())
+        for p in qs:
+            rank = max(int(np.ceil(p * total)), 1)
+            qs[p].append(int(vals[s + np.searchsorted(cum_in[s:e], rank)]))
+    order = np.argsort(np.asarray(out_flag, object))
+    return pa.table({
+        "l_returnflag": pa.array(np.asarray(out_flag, object)[order].tolist(),
+                                 pa.string()),
+        "p50": pa.array(np.asarray(qs[0.5])[order]),
+        "p90": pa.array(np.asarray(qs[0.9])[order]),
+        "p99": pa.array(np.asarray(qs[0.99])[order]),
+    })
+
+
 def lineitem_price_quantiles_sketch(sf_dir: str):
     """Approximate p50/p90/p99 via the mergeable log-histogram sketch
     (functions/sketch.quantile_sketch) — the unbounded-cardinality
