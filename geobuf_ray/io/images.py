@@ -434,7 +434,11 @@ class PyramidImagesFn:
                 o_lvl.append(lvl)
                 o_h.append(px.shape[0])
                 o_w.append(px.shape[1])
-                o_bytes.append(encode_rawz(px))
+                # level 0 passes the source payload through — the
+                # full-size re-compress would dominate the whole stage
+                # (overviews add ~1/3 of the base pixels; a level-0
+                # re-encode doubles the compress bytes for nothing)
+                o_bytes.append(data if lvl == 0 else encode_rawz(px))
                 o_mean.append(float(px.mean()))
         return pa.table({
             "image_id": pa.array(o_id, pa.string()),
