@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "codec_roundtrip_points": q.codec_roundtrip_points,
         "tri_geometry_measures": q.tri_geometry_measures,
         "lines_simplify": q.lines_simplify,
+        "suppliers_components": q.suppliers_components,
         # documents: dedup + text analysis
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_token_stats": q.docs_token_stats,
@@ -475,6 +476,26 @@ def oracle_sql() -> dict[str, str]:
         # are EXACT BIGINT arithmetic; the vertex expressions repeat
         # pipelines/queries.py supplier_triangles term-for-term so the
         # float64 products agree bit-for-bit before truncation
+        # connected-components oracle: symmetrized deterministic edge
+        # set, full reachability via recursive CTE, per-node min
+        "suppliers_components": """
+            WITH RECURSIVE e AS (
+              SELECT s_suppkey AS a, s_suppkey - (s_suppkey % 7) AS b FROM supplier
+              UNION ALL
+              SELECT s_suppkey - (s_suppkey % 7), s_suppkey FROM supplier
+              UNION ALL
+              SELECT s_suppkey, s_suppkey - 1 FROM supplier WHERE s_suppkey % 10 = 0
+              UNION ALL
+              SELECT s_suppkey - 1, s_suppkey FROM supplier WHERE s_suppkey % 10 = 0
+            ),
+            r AS (
+              SELECT a AS node, b AS reach FROM e
+              UNION
+              SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a
+            )
+            SELECT node, LEAST(node, MIN(reach)) AS component
+            FROM r GROUP BY node
+        """,
         # simplify oracle: the zigzag corpus is built so DP keeps
         # EXACTLY the 4 integer-coordinate breakpoints (see
         # queries.lines_simplify) — enumerable in closed form; quanta

@@ -84,6 +84,8 @@ def __getattr__(name):
         "top_terms": ("geobuf_ray.functions.text", "top_terms"),
         "build_pyramid": ("geobuf_ray.io.images", "build_pyramid"),
         "simplify": ("geobuf_ray.spatial.simplify", "simplify"),
+        "connected_components": ("geobuf_ray.functions.graph",
+                                 "connected_components"),
         "measures_batch": ("geobuf_ray.spatial.measures", "measures_batch"),
     }
     if name in registry:

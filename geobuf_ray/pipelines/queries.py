@@ -1585,6 +1585,28 @@ def lines_simplify(sf_dir: str):
         run, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def suppliers_components(sf_dir: str):
+    """Connected components (functions/graph.py hash-min + pointer
+    doubling, every step a hash-bucket exchange) over a deterministic
+    supplier-key edge set: each key links to its 7-block anchor, and
+    every 10th key bridges to its predecessor — chains of merged
+    blocks, so the transitive closure is non-trivial.  The DuckDB
+    oracle computes reachability with a recursive CTE and takes the
+    per-node minimum — exact integer equality."""
+    import ray
+
+    from ..functions.graph import connected_components
+
+    keys = _supplier_keys(sf_dir)
+    src = np.concatenate([keys, keys[keys % 10 == 0]])
+    dst = np.concatenate([keys - keys % 7, keys[keys % 10 == 0] - 1])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+    })).repartition(4)
+    return connected_components(edges, nbuckets=16)
+
+
 def _supplier_keys(sf_dir: str) -> np.ndarray:
     import duckdb
 

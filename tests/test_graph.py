@@ -1,0 +1,70 @@
+"""Connected components vs a scalar union-find oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+from geobuf_ray.functions.graph import connected_components
+
+
+def uf_oracle(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for mem in comp.values():
+        m = min(mem)
+        for n in mem:
+            out[n] = m
+    return out
+
+
+def _run(E, ray, nbuckets=8):
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in E], pa.int64()),
+        "dst": pa.array([b for _, b in E], pa.int64()),
+    })).repartition(4)
+    got = connected_components(ds, nbuckets=nbuckets)
+    return dict(zip(got["node"].to_pylist(), got["component"].to_pylist()))
+
+
+def test_cc_long_chain(ray_session):
+    """200-link path: plain hash-min needs 200 rounds; pointer
+    doubling must converge in O(log n)."""
+    import ray
+
+    E = [(i, i + 1) for i in range(200)]
+    nodes = sorted({x for e in E for x in e})
+    assert _run(E, ray) == uf_oracle(E, nodes)
+
+
+def test_cc_random_graphs(ray_session):
+    import ray
+
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        E = [(int(rng.integers(0, 400)), int(rng.integers(0, 400)))
+             for _ in range(250)]
+        nodes = sorted({x for e in E for x in e})
+        assert _run(E, ray) == uf_oracle(E, nodes)
+
+
+def test_cc_self_loops_and_isolates(ray_session):
+    import ray
+
+    E = [(0, 1), (1, 2), (99, 99), (7, 7)]
+    nodes = sorted({x for e in E for x in e})
+    got = _run(E, ray)
+    assert got == uf_oracle(E, nodes)
+    assert got[99] == 99 and got[7] == 7
