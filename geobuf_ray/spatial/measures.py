@@ -10,10 +10,12 @@ Two domains:
 
 * **Quantized int64** (``*_q`` outputs): the codec's native domain
   (geom.go:173-179 works in the same trunc-toward-zero 1e7 lattice).
-  Shoelace cross products are ring-start-centered so a realistic
-  feature (< ~90 degrees of extent) stays far inside int64 — EXACT
-  integer arithmetic end-to-end, which is what lets the driver hash a
-  measures query against a DuckDB oracle bit-for-bit.
+  Shoelace cross products are ring-bbox-centered so every legal
+  lon/lat feature stays inside int64 — EXACT integer arithmetic
+  end-to-end, which is what lets the driver hash a measures query
+  against a DuckDB oracle bit-for-bit.  (Output domain: |area2_q| of
+  a feature covering > ~46% of the world rectangle would exceed
+  int64; an explicit OverflowError guards it.)
 * **float64 degrees**: Euclidean length and area-weighted centroid for
   human consumption (no exactness contract; pytest-oracled).
 
@@ -143,15 +145,32 @@ def measures_batch(batch: pa.Table, *, quantized: bool = True,
     if quantized:
         qx = quantize(xs)
         qy = quantize(ys)
-        # ring-start-centered shoelace: |centered coord| <= feature
-        # extent in quanta (~1.8e9 worst case), cross <= ~3.3e18 per
-        # term is the int64 edge — realistic features (< 90 deg span,
-        # 9e8 quanta) keep each term under 8.1e17 and the per-ring sum
-        # bounded by 2*|ring bbox area| < 2^62
+        # ring-BBOX-CENTERED shoelace: |centered coord| <= extent/2
+        # (<= 1.8e9 quanta even for a full-world ring), so each cross
+        # term stays <= 2*(1.8e9)^2 = 6.5e18 < 2^63 — exact int64 for
+        # EVERY legal lon/lat geometry.  (Ring-start centering would
+        # overflow past ~214 degrees of extent.)  The summed output
+        # itself is the remaining domain edge: |area2_q| of a feature
+        # covering > ~46% of the full lon x lat rectangle exceeds
+        # int64 — guarded below with a cheap float bound.
         base = np.repeat(np.arange(len(ring_starts)), ring_sizes)
-        cx0 = qx[np.repeat(ring_starts, ring_sizes)]
-        cy0 = qy[np.repeat(ring_starts, ring_sizes)]
-        rx, ry = qx - cx0, qy - cy0
+        gx_min = np.minimum.reduceat(qx, ring_starts)
+        gx_max = np.maximum.reduceat(qx, ring_starts)
+        gy_min = np.minimum.reduceat(qy, ring_starts)
+        gy_max = np.maximum.reduceat(qy, ring_starts)
+        cxc = (gx_min + gx_max) // 2
+        cyc = (gy_min + gy_max) // 2
+        bound = np.zeros(n, np.float64)
+        np.add.at(bound, ring_feat,
+                  2.0 * (gx_max - gx_min).astype(np.float64)
+                  * (gy_max - gy_min).astype(np.float64))
+        if (bound > 8.5e18).any():
+            raise OverflowError(
+                "doubled shoelace area exceeds the int64 quantum "
+                "domain (feature spans > ~46% of the lon x lat world "
+                "rectangle); compute in the float domain instead")
+        rx = qx - np.repeat(cxc, ring_sizes)
+        ry = qy - np.repeat(cyc, ring_sizes)
         cross = rx * ry[nxt] - rx[nxt] * ry
         ring_area2 = np.zeros(len(ring_starts), np.int64)
         np.add.at(ring_area2, base, cross)

@@ -175,3 +175,19 @@ def test_quantized_matches_codec_roundtrip():
     rt = measures_batch(dc.decode_batch(fc.encode_batch(tbl))).to_pandas()
     for col in ("area2_q", "perim_mh_q", "n_vertices"):
         assert list(direct[col]) == list(rt[col]), col
+
+
+def test_wide_feature_exact_and_overflow_guard():
+    """bbox-centering keeps a 300-degree-wide polygon exact; a
+    near-world polygon whose |2A| genuinely exceeds int64 raises."""
+    wide = [(-170., -80.), (130., -80.), (130., 20.),
+            (-170., 20.), (-170., -80.)]
+    tbl = _feat_table([(1, 3, 2, [[wide]])])
+    out = measures_batch(tbl).to_pandas().iloc[0]
+    assert out.area2_q == 2 * (300 * 10**7) * (100 * 10**7)
+    world = [(-180., -85.), (180., -85.), (180., 85.),
+             (-180., 85.), (-180., -85.)]
+    import pytest as _pytest
+
+    with _pytest.raises(OverflowError):
+        measures_batch(_feat_table([(1, 3, 2, [[world]])]))
