@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_bbox": q.points_bbox,
         "tile_assign": q.tile_assign,
         "tile_counts": q.tile_counts,
+        "tile_rollup": q.tile_rollup,
         "pip_rect_join": q.pip_rect_join,
         "pip_rect_join_s2": q.pip_rect_join_s2,
         "pip_rect_join_s2_adaptive": q.pip_rect_join_s2_adaptive,
@@ -336,6 +337,18 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": f"""
             SELECT c_custkey AS custkey, {zx} AS tile_x, {zy} AS tile_y
             FROM customer
+        """,
+        # pyramid rollup: parent tile = children summed (x >> k)
+        "tile_rollup": f"""
+            WITH base AS (
+              SELECT {zx} AS x8, {zy} AS y8, COUNT(*) AS n
+              FROM customer GROUP BY x8, y8
+            )
+            SELECT z.zoom, x8 // CAST(pow(2, 8 - z.zoom) AS BIGINT) AS tile_x,
+                   y8 // CAST(pow(2, 8 - z.zoom) AS BIGINT) AS tile_y,
+                   CAST(SUM(n) AS BIGINT) AS n_points
+            FROM base, (SELECT UNNEST(range(0, 9)) AS zoom) z
+            GROUP BY 1, 2, 3
         """,
         "tile_counts": f"""
             SELECT {zx} AS tile_x, {zy} AS tile_y, COUNT(*) AS n_points

@@ -998,6 +998,34 @@ def tile_counts(sf_dir: str, zoom: int = 8):
     return _final_combine(partials, ["tile_x", "tile_y"], ["n_points"])
 
 
+def tile_rollup(sf_dir: str, zoom: int = 8):
+    """Tile-pyramid rollup: per-tile counts at the base zoom, then
+    every coarser level by summing 4 children into their parent
+    (x >> k, y >> k) — the overview-manifest shape of a tile serving
+    layout.  The distributed half is the base-zoom aggregate
+    (:func:`tile_counts`'s partial+combine); the 9-level rollup runs
+    on the already-bounded per-tile table."""
+    base = tile_counts(sf_dir, zoom=zoom)
+    x = base["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    y = base["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = base["n_points"].to_numpy(zero_copy_only=False).astype(np.int64)
+    zs, xs_, ys_, cs = [], [], [], []
+    for z in range(zoom, -1, -1):
+        k = zoom - z
+        packed = (x >> k) << 32 | (y >> k)
+        uniq, inv = np.unique(packed, return_inverse=True)
+        zs.append(np.full(len(uniq), z, np.int64))
+        xs_.append(uniq >> 32)
+        ys_.append(uniq & 0xFFFFFFFF)
+        cs.append(np.bincount(inv, weights=c).astype(np.int64))
+    return pa.table({
+        "zoom": pa.array(np.concatenate(zs)),
+        "tile_x": pa.array(np.concatenate(xs_)),
+        "tile_y": pa.array(np.concatenate(ys_)),
+        "n_points": pa.array(np.concatenate(cs)),
+    })
+
+
 def supplier_rects(sf_dir: str) -> pa.Table:
     """Deterministic rectangle polygons derived from supplier keys
     (canonical feature-table layout for the PIP engine)."""
