@@ -404,9 +404,10 @@ def test_s2_invariants_randomized():
                 return w[0] - 1e-9 <= x <= e[0] + 1e-9
             return x >= w[0] - 1e-9 or x <= e[0] + 1e-9  # wrap
 
-        # lon 180 == lon -180: which side's cell the index assigns is
-        # face-dependent — accept containment of either representation
-        assert in_rng(lon) or (abs(lon) == 180.0 and in_rng(-lon))
+        # lon 180 == lon -180 (and points within an ulp of the seam
+        # project onto either side face-dependently) — accept
+        # containment of any +-360-wrapped representation
+        assert in_rng(lon) or in_rng(lon - 360.0) or in_rng(lon + 360.0)
 
     check()
 
