@@ -200,3 +200,38 @@ def hash_cogroup(left, right, *, nbuckets: int, reduce_fn,
                        *[m[b] for m in lmaps], *[m[b] for m in rmaps])
             for b in range(nbuckets)]
     return ray.data.from_arrow_refs(outs)
+
+
+def presplit(ds, *, nbuckets: int, on=None, bucket_fn=None,
+             blocks_per_map: int = 4, map_remote_args: dict | None = None):
+    """Bucket a Dataset ONCE and return the per-map bucket refs for
+    reuse across several :func:`cogroup_presplit` calls — the shape an
+    iterative algorithm needs when one side (e.g. a static edge set)
+    is re-co-grouped every round: hashing + shipping it once instead
+    of once per round."""
+    if bucket_fn is None:
+        if on is None:
+            raise ValueError("need bucket_fn or on=")
+        bucket_fn = key_bucket_fn(on, nbuckets)
+    return _drive_splits(ds, bucket_fn, nbuckets, blocks_per_map,
+                         map_remote_args or {})
+
+
+def cogroup_presplit(lmaps, right, *, nbuckets: int, reduce_fn,
+                     right_on=None, right_bucket_fn=None,
+                     left_schema: pa.Schema | None = None,
+                     right_schema: pa.Schema | None = None,
+                     blocks_per_map: int = 4,
+                     map_remote_args: dict | None = None,
+                     reduce_remote_args: dict | None = None):
+    """Co-group an already-:func:`presplit` left side with a fresh
+    right Dataset (same ``nbuckets`` as the presplit)."""
+    if right_bucket_fn is None:
+        right_bucket_fn = key_bucket_fn(right_on, nbuckets)
+    rmaps = _drive_splits(right, right_bucket_fn, nbuckets,
+                          blocks_per_map, map_remote_args or {})
+    red = _reduce_two.options(**(reduce_remote_args or {}))
+    outs = [red.remote(reduce_fn, left_schema, right_schema, len(lmaps),
+                       *[m[b] for m in lmaps], *[m[b] for m in rmaps])
+            for b in range(nbuckets)]
+    return ray.data.from_arrow_refs(outs)

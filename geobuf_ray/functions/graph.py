@@ -117,20 +117,31 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
                          "label": pa.array(lab1.astype(np.int64))})
 
     def checksum(ds) -> tuple[int, int]:
-        cnt = s = 0
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
-            t = pa.table(b)
-            cnt += t.num_rows
-            s += int(_np(t["label"]).sum())
-        return cnt, s
+        """(row count, label sum) via per-block partials — only a
+        handful of tiny rows reach the driver, never the label table."""
+        def part(b: pa.Table) -> pa.Table:
+            return pa.table({"c": pa.array([b.num_rows], _I64),
+                             "s": pa.array([int(_np(b["label"]).sum())
+                                            if b.num_rows else 0], _I64)})
+
+        t = collect_table(ds.map_batches(part, batch_format="pyarrow",
+                                         zero_copy_batch=True,
+                                         batch_size=None))
+        return (int(_np(t["c"]).sum()), int(_np(t["s"]).sum()))
+
+    # the edge set never changes: hash + ship it ONCE and reuse the
+    # bucket refs every round (re-exchanging |E| per round was the
+    # dominant redundant cost of the loop)
+    from .exchange import cogroup_presplit, presplit
+
+    edge_maps = presplit(sedges, nbuckets=nbuckets, on="a")
 
     prev = None
     for _ in range(max_rounds):
-        cand = hash_cogroup(sedges, labels, nbuckets=nbuckets,
-                            left_on="a", right_on="node",
-                            reduce_fn=propagate,
-                            left_schema=_EDGE_SCHEMA,
-                            right_schema=_LAB_SCHEMA)
+        cand = cogroup_presplit(edge_maps, labels, nbuckets=nbuckets,
+                                right_on="node", reduce_fn=propagate,
+                                left_schema=_EDGE_SCHEMA,
+                                right_schema=_LAB_SCHEMA)
         labels = hash_cogroup(cand, labels, nbuckets=nbuckets,
                               left_on="node", right_on="node",
                               reduce_fn=merge_min,

@@ -211,8 +211,8 @@ def rolling_fingerprints(col, window: int = 64, stride: int = 32) -> list[np.nda
 # ---------------------------------------------------------------------------
 
 
-def term_stats_batch(batch: pa.Table, text_col: str = "text",
-                     id_col: str = "doc_id") -> pa.Table:
+def term_stats_batch(batch: pa.Table,
+                     text_col: str = "text") -> pa.Table:
     """Per-block (term, tf, df) partials: tf = token occurrences,
     df = distinct documents containing the term INSIDE this block.
     Documents never span blocks (one row per doc), so summing block
@@ -244,7 +244,7 @@ def term_stats_batch(batch: pa.Table, text_col: str = "text",
 
 
 def top_terms(ds, k: int = 50, *, text_col: str = "text",
-              id_col: str = "doc_id", nbuckets: int = 64) -> pa.Table:
+              nbuckets: int = 64) -> pa.Table:
     """Corpus top-k vocabulary by document frequency (ties break to the
     lexically smaller term).
 
@@ -257,7 +257,7 @@ def top_terms(ds, k: int = 50, *, text_col: str = "text",
     from .join import _key_hash
 
     partials = ds.map_batches(
-        lambda b: term_stats_batch(b, text_col, id_col),
+        lambda b: term_stats_batch(b, text_col),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     mask = np.int64(nbuckets - 1)

@@ -397,7 +397,8 @@ def mean_pool2(px: np.ndarray) -> np.ndarray:
     h, w, c = px.shape
     h2, w2 = h // 2, w // 2
     if h2 == 0 or w2 == 0:
-        return px[:max(h2, 1) or 1, :max(w2, 1) or 1]
+        # nothing to pool along a 1-pixel axis: identity, not a crop
+        return px
     q = px[: h2 * 2, : w2 * 2].astype(np.uint16)
     s = (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2]
          + q[1::2, 1::2] + 2) // 4

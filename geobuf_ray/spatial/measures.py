@@ -68,7 +68,8 @@ def _ring_structure(batch: pa.Table):
         keep = ring_sizes > 0
         ring_feat, ring_starts, ring_sizes = (
             ring_feat[keep], ring_starts[keep], ring_sizes[keep])
-    return xs, ys, ring_feat, ring_starts, ring_sizes, gtype, n
+    return xs, ys, ring_feat, ring_starts, ring_sizes, gtype, n, \
+        rings_per_feat
 
 
 def _next_index(ring_starts, ring_sizes, ring_wraps):
@@ -108,12 +109,13 @@ def measures_batch(batch: pa.Table, *, quantized: bool = True,
     from ..codec.feature import quantize
 
     (xs, ys, ring_feat, ring_starts, ring_sizes,
-     gtype, n) = _ring_structure(batch)
+     gtype, n, rings_per_feat) = _ring_structure(batch)
     ids = batch["id"].combine_chunks()
 
     nver = np.zeros(n, np.int64)
     np.add.at(nver, ring_feat, ring_sizes)
-    nrings = np.bincount(ring_feat, minlength=n).astype(np.int64)
+    # structural count (includes zero-vertex rings filtered above)
+    nrings = rings_per_feat.astype(np.int64)
 
     cols: dict[str, pa.Array] = {"id": ids}
     cols["n_rings"] = pa.array(nrings, pa.int64())

@@ -26,7 +26,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..codec.schema import list_column_parts
+from ..codec.schema import (LINESTRING, MULTILINESTRING, MULTIPOLYGON,
+                            POLYGON, list_column_parts)
+from ..codec.varint import ramp as _ramp
 
 
 def dp_keep_mask(xs: np.ndarray, ys: np.ndarray, starts: np.ndarray,
@@ -92,18 +94,6 @@ def dp_keep_mask(xs: np.ndarray, ys: np.ndarray, starts: np.ndarray,
     return keep
 
 
-def _ramp(counts: np.ndarray) -> np.ndarray:
-    """[0..c0), [0..c1), ... concatenated."""
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, np.int64)
-    out = np.ones(total, np.int64)
-    bounds = np.cumsum(counts)[:-1]
-    out[0] = 0
-    out[bounds] -= counts[:-1]
-    return np.cumsum(out)
-
-
 def simplify_batch(batch: pa.Table, eps: float) -> pa.Table:
     """Simplify every ring/polyline of a canonical feature-table batch.
 
@@ -137,7 +127,10 @@ def simplify_batch(batch: pa.Table, eps: float) -> pa.Table:
         ys = coords[(local % dd) == 1]
 
     # simplify line/polygon rings; points and 2-vertex rings pass
-    simplifiable = np.isin(gtype[ring_feat], (2, 3, 5, 6)) & (ring_sizes > 2)
+    simplifiable = (np.isin(gtype[ring_feat],
+                        (LINESTRING, POLYGON, MULTILINESTRING,
+                         MULTIPOLYGON))
+                & (ring_sizes > 2))
     keep = np.ones(int(ring_sizes.sum()), bool)
     if simplifiable.any():
         km = dp_keep_mask(xs, ys, ring_starts_v[simplifiable],

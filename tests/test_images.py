@@ -124,12 +124,13 @@ def test_pyramid_stage(ray_session):
     lvl2 = out[(out.image_id == row0["image_id"][0]) & (out.level == 2)]
     got = decode_image(lvl2.iloc[0]["bytes"])
     assert got.shape == exp.shape and (got == exp).all()
-    # per-level dims halve exactly
+    # per-level dims halve exactly for EVERY image
+    base_wh = {i: (w, h) for i, w, h in zip(tbl["image_id"].to_pylist(),
+                                            tbl["w"].to_pylist(),
+                                            tbl["h"].to_pylist())}
     for _, r in out.iterrows():
-        w0, h0 = row0["w"][0], row0["h"][0]
-    lvl = out[out.image_id == row0["image_id"][0]].sort_values("level")
-    ws = list(lvl.w)
-    assert ws[1] == ws[0] // 2 and ws[2] == ws[0] // 4
+        bw, bh = base_wh[r.image_id]
+        assert r.w == bw // (2 ** r.level) and r.h == bh // (2 ** r.level)
     # dataset-level stage
     ds = build_pyramid(ray.data.from_arrow(tbl), levels=1,
                        batch_size=4, concurrency=(1, 2))

@@ -405,9 +405,12 @@ def test_s2_invariants_randomized():
             return x >= w[0] - 1e-9 or x <= e[0] + 1e-9  # wrap
 
         # lon 180 == lon -180 (and points within an ulp of the seam
-        # project onto either side face-dependently) — accept
-        # containment of any +-360-wrapped representation
-        assert in_rng(lon) or in_rng(lon - 360.0) or in_rng(lon + 360.0)
+        # project onto either side face-dependently) — forgive the
+        # wrapped representation ONLY near the seam, otherwise a
+        # wrap-range cell would accept any lon vacuously
+        near_seam = abs(abs(lon) - 180.0) <= 1e-9
+        assert in_rng(lon) or (near_seam and (in_rng(180.0)
+                                              or in_rng(-180.0)))
 
     check()
 
