@@ -570,16 +570,34 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
         preserve_index=False)
 
 
+_DIST_CC_PAIRS = 1_000_000  # pairs above this route through graph.connected_components
+
+
 def minhash_dedup(ds, *, text_col="text", id_col="doc_id", sim_threshold=0.6,
                   **kwargs):
     """Full near-dup removal: LSH pairs -> union-find -> drop non-
     representatives.  Returns (kept Dataset, dropped id list)."""
     pairs = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col,
                                     sim_threshold=sim_threshold, **kwargs)
-    labels = connected_components(
-        list(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
-    )
-    drop = sorted(x for x, root in labels.items() if root != x)
+    if pairs.num_rows > _DIST_CC_PAIRS:
+        # a boilerplate-heavy corpus can make the O(duplicates) pair
+        # set itself large: route the closure through the DISTRIBUTED
+        # label-propagation components (functions/graph.py) instead of
+        # the driver union-find
+        import ray
+
+        from .graph import connected_components as dist_cc
+
+        comp = dist_cc(ray.data.from_arrow(pairs.select(["id_a", "id_b"])),
+                       src="id_a", dst="id_b")
+        node = comp["node"].to_numpy(zero_copy_only=False)
+        root = comp["component"].to_numpy(zero_copy_only=False)
+        drop = sorted(int(x) for x, r in zip(node, root) if x != r)
+    else:
+        labels = connected_components(
+            list(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+        )
+        drop = sorted(x for x, root in labels.items() if root != x)
     if not drop:
         return ds, []
     drop_arr = np.asarray(drop, np.int64)

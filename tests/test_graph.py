@@ -68,3 +68,27 @@ def test_cc_self_loops_and_isolates(ray_session):
     got = _run(E, ray)
     assert got == uf_oracle(E, nodes)
     assert got[99] == 99 and got[7] == 7
+
+
+def test_minhash_dedup_distributed_cc_path(ray_session, monkeypatch):
+    """Force the large-pair-set branch: the distributed components
+    closure must drop the same ids as the driver union-find."""
+    import ray
+
+    from geobuf_ray.functions import dedup as dd
+
+    base = ("spark shuffle partition reduce map stage executor task "
+            "block row column join filter ") * 6
+    texts, ids = [], []
+    for i in range(40):
+        ids.append(i)
+        texts.append(base if i % 4 == 0 else base + f" unique{i} " * 30)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    kept_small, drop_small = dd.minhash_dedup(ds, sim_threshold=0.5)
+    monkeypatch.setattr(dd, "_DIST_CC_PAIRS", 0)
+    kept_big, drop_big = dd.minhash_dedup(ds, sim_threshold=0.5)
+    assert drop_small == drop_big
+    assert sorted(kept_big.to_pandas().doc_id) == \
+        sorted(kept_small.to_pandas().doc_id)
