@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_pairs": q.images_phash_pairs,
         "images_zonal_stats": q.images_zonal_stats,
         "images_pyramid": q.images_pyramid,
+        "images_mosaic": q.images_mosaic,
         # audio / video pipelines (rows-only: procedural payloads)
         "audio_features": q.audio_features,
         "audio_resample": q.audio_resample,
@@ -564,6 +565,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS DOUBLE)
                      / GREATEST(len(string_split_regex(text, '\s+')), 1) AS mean_token_len
             FROM documents
+        """,
+        # mosaic layout oracle: per-tile counts from the CRC centroid
+        # CTE; n capped at 16, 4-wide row-major grid, 32px cells
+        "images_mosaic": f"""
+            {_img_pts_cte(300)}
+            SELECT {_tile_x('lon', 4)} AS tile_x, {_tile_y('lat', 4)} AS tile_y,
+                   LEAST(COUNT(*), 16) AS n_images,
+                   32 * LEAST(LEAST(COUNT(*), 16), 4) AS mosaic_w,
+                   32 * CAST(ceil(LEAST(COUNT(*), 16) / 4.0) AS BIGINT) AS mosaic_h
+            FROM pts GROUP BY tile_x, tile_y
         """,
         "images_tile_counts": f"""
             {_img_pts_cte(300)}

@@ -83,6 +83,7 @@ def __getattr__(name):
                               "geometry_measures"),
         "top_terms": ("geobuf_ray.functions.text", "top_terms"),
         "build_pyramid": ("geobuf_ray.io.images", "build_pyramid"),
+        "mosaic_tiles": ("geobuf_ray.io.images", "mosaic_tiles"),
         "simplify": ("geobuf_ray.spatial.simplify", "simplify"),
         "connected_components": ("geobuf_ray.functions.graph",
                                  "connected_components"),

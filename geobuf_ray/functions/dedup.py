@@ -15,9 +15,9 @@ Five flavors (all keyed shuffles or broadcast stages, SURVEY.md §7):
 Scale notes: every flavor reduces to (vectorized map) -> (groupby on a
 small key) -> (per-group kernel); candidate pairs — not full data —
 flow to the driver only for the final union-find, which is O(dups),
-not O(rows).  At 100 TB the union-find itself would move into an
-iterative label-propagation groupby; documented at
-:func:`connected_components`.
+not O(rows); above ``_DIST_CC_PAIRS`` pairs the closure runs on the
+DISTRIBUTED label-propagation components engine
+(:func:`geobuf_ray.functions.graph.connected_components`) instead.
 """
 
 from __future__ import annotations

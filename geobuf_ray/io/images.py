@@ -459,3 +459,65 @@ def build_pyramid(ds, *, levels: int = 3, batch_size: int = 32,
         PyramidImagesFn, fn_constructor_kwargs=dict(levels=levels),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, **map_kwargs)
+
+
+def mosaic_tiles(ds, *, zoom: int = 4, cell: int = 32, max_images: int = 16,
+                 ncols: int = 4, **map_kwargs):
+    """Per-tile image mosaics — the tile-server composite shape: group
+    images by centroid slippy tile, stitch up to ``max_images``
+    thumbnails (``cell`` px, nearest-neighbor) row-major into an
+    ``ncols``-wide grid, one lossless payload per tile.
+
+    Group key and member order are deterministic (image_id ascending),
+    so the mosaic bytes are reproducible regardless of chunking.  The
+    pixel work runs inside ``groupby(tile).map_groups`` — one shuffle
+    of (small) image payloads keyed by tile, bounded per-group memory
+    (``max_images`` x cell^2 x 3).
+    """
+    import ray  # noqa: F401  (Dataset in, Dataset out)
+
+    from ..spatial import tiles as tl
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        idx = np.array([int(s[3:]) for s in ids], np.int64)
+        lon, lat = image_centroids(idx)
+        x, y = tl.lonlat_to_tile(lon, lat, zoom)
+        packed = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        return pa.table({
+            "tile": pa.array(packed),
+            "image_id": batch["image_id"],
+            "bytes": batch["bytes"],
+        })
+
+    def stitch(group: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(group["image_id"].to_pylist(),
+                                      object), kind="stable")
+        take = order[:max_images]
+        blobs = group["bytes"].take(pa.array(take)).to_pylist()
+        k = len(blobs)
+        cols_n = min(k, ncols)
+        rows_n = -(-k // ncols)
+        canvas = np.zeros((rows_n * cell, cols_n * cell, 3), np.uint8)
+        for i, data in enumerate(blobs):
+            px = decode_image(data)
+            h, w, _ = px.shape
+            yi = (np.arange(cell) * h) // cell
+            xi = (np.arange(cell) * w) // cell
+            r, c = divmod(i, ncols)
+            canvas[r * cell:(r + 1) * cell,
+                   c * cell:(c + 1) * cell] = px[yi][:, xi]
+        tile = int(group["tile"][0].as_py())
+        return pa.table({
+            "tile_x": pa.array([tile >> 32], pa.int64()),
+            "tile_y": pa.array([tile & 0xFFFFFFFF], pa.int64()),
+            "n_images": pa.array([k], pa.int64()),
+            "mosaic_w": pa.array([cols_n * cell], pa.int64()),
+            "mosaic_h": pa.array([rows_n * cell], pa.int64()),
+            "bytes": pa.array([encode_rawz(canvas)], pa.binary()),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True, **map_kwargs)
+            .groupby("tile")
+            .map_groups(stitch, batch_format="pyarrow"))

@@ -1945,6 +1945,24 @@ def images_pyramid(sf_dir: str, levels: int = 3):
     })
 
 
+def images_mosaic(sf_dir: str, zoom: int = 4):
+    """Per-tile thumbnail mosaics (io/images.mosaic_tiles).  The
+    LAYOUT metadata (images per tile capped at 16, 4-wide grid) is a
+    pure function of the CRC-centroid tile counts, so those columns
+    hash-check against the recursive-CTE oracle; mosaic pixel bytes
+    are pytest-checked (deterministic stitching)."""
+    import ray
+
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    out = im.mosaic_tiles(ds.select_columns(["image_id", "bytes"]),
+                          zoom=zoom)
+    return out.select_columns(["tile_x", "tile_y", "n_images",
+                               "mosaic_w", "mosaic_h"])
+
+
 def images_decode_stats(sf_dir: str):
     """Synthesize the Lance-shaped image table (size scaled to the sf
     tier), run the actor-pool decode, return per-row fidelity stats."""

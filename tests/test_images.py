@@ -135,3 +135,49 @@ def test_pyramid_stage(ray_session):
     ds = build_pyramid(ray.data.from_arrow(tbl), levels=1,
                        batch_size=4, concurrency=(1, 2))
     assert ds.count() == 16
+
+
+def test_mosaic_tiles_deterministic_stitch(ray_session):
+    import numpy as np
+    import ray
+
+    from geobuf_ray.io.images import (decode_image, mosaic_tiles,
+                                      synthesize_image_table)
+    from geobuf_ray.spatial import tiles as tl
+    from geobuf_ray.io.images import image_centroids
+
+    tbl = synthesize_image_table(30)
+    ds = ray.data.from_arrow(tbl.select(["image_id", "bytes"])).repartition(3)
+    out = mosaic_tiles(ds, zoom=2, cell=16, max_images=4, ncols=2)
+    df = out.to_pandas()
+    # layout law: n capped, grid 2-wide, 16px cells
+    assert (df.mosaic_w == 16 * np.minimum(df.n_images, 2)).all()
+    assert (df.mosaic_h == 16 * np.ceil(df.n_images / 2)).all()
+    # pixel check: rebuild one tile's mosaic by hand
+    idx = np.arange(30)
+    lon, lat = image_centroids(idx)
+    x, y = tl.lonlat_to_tile(lon, lat, 2)
+    row = df.iloc[0]
+    members = sorted(
+        tbl["image_id"].to_pylist()[i] for i in range(30)
+        if x[i] == row.tile_x and y[i] == row.tile_y)[:4]
+    blob_of = dict(zip(tbl["image_id"].to_pylist(),
+                       tbl["bytes"].to_pylist()))
+    canvas = np.zeros((int(row.mosaic_h), int(row.mosaic_w), 3), np.uint8)
+    for i, mid in enumerate(members):
+        px = decode_image(blob_of[mid])
+        h, w, _ = px.shape
+        yi = (np.arange(16) * h) // 16
+        xi = (np.arange(16) * w) // 16
+        r, c = divmod(i, 2)
+        canvas[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16] = px[yi][:, xi]
+    got = decode_image(out.to_pandas().iloc[0]["bytes"]) if "bytes" in df \
+        else None
+    # re-run keeping bytes
+    full = mosaic_tiles(ray.data.from_arrow(
+        tbl.select(["image_id", "bytes"])), zoom=2, cell=16,
+        max_images=4, ncols=2).to_pandas()
+    target = full[(full.tile_x == row.tile_x)
+                  & (full.tile_y == row.tile_y)].iloc[0]
+    got = decode_image(target["bytes"])
+    assert got.shape == canvas.shape and (got == canvas).all()
