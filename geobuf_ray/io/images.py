@@ -479,34 +479,41 @@ def mosaic_tiles(ds, *, zoom: int = 4, cell: int = 32, max_images: int = 16,
     from ..spatial import tiles as tl
 
     def assign(batch: pa.Table) -> pa.Table:
+        """Decode + thumbnail BEFORE the shuffle: the exchange ships a
+        fixed cell^2 x 3 raw thumbnail (~3 KB at 32 px) per image
+        instead of the full payload — at corpus scale the mosaic
+        shuffle weight is the thumbnail, not the image."""
         ids = batch["image_id"].to_pylist()
         idx = np.array([int(s[3:]) for s in ids], np.int64)
         lon, lat = image_centroids(idx)
         x, y = tl.lonlat_to_tile(lon, lat, zoom)
         packed = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        thumbs = []
+        for data in batch["bytes"].to_pylist():
+            px = decode_image(data)
+            h, w, _ = px.shape
+            yi = (np.arange(cell) * h) // cell
+            xi = (np.arange(cell) * w) // cell
+            thumbs.append(px[yi][:, xi].tobytes())
         return pa.table({
             "tile": pa.array(packed),
             "image_id": batch["image_id"],
-            "bytes": batch["bytes"],
+            "thumb": pa.array(thumbs, pa.binary()),
         })
 
     def stitch(group: pa.Table) -> pa.Table:
         order = np.argsort(np.asarray(group["image_id"].to_pylist(),
                                       object), kind="stable")
         take = order[:max_images]
-        blobs = group["bytes"].take(pa.array(take)).to_pylist()
-        k = len(blobs)
+        thumbs = group["thumb"].take(pa.array(take)).to_pylist()
+        k = len(thumbs)
         cols_n = min(k, ncols)
         rows_n = -(-k // ncols)
         canvas = np.zeros((rows_n * cell, cols_n * cell, 3), np.uint8)
-        for i, data in enumerate(blobs):
-            px = decode_image(data)
-            h, w, _ = px.shape
-            yi = (np.arange(cell) * h) // cell
-            xi = (np.arange(cell) * w) // cell
+        for i, data in enumerate(thumbs):
             r, c = divmod(i, ncols)
-            canvas[r * cell:(r + 1) * cell,
-                   c * cell:(c + 1) * cell] = px[yi][:, xi]
+            canvas[r * cell:(r + 1) * cell, c * cell:(c + 1) * cell] = \
+                np.frombuffer(data, np.uint8).reshape(cell, cell, 3)
         tile = int(group["tile"][0].as_py())
         return pa.table({
             "tile_x": pa.array([tile >> 32], pa.int64()),
