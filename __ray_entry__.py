@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": q.parts_by_brand,
         "revenue_by_region": q.revenue_by_region,
         "revenue_by_region_shuffle": q.revenue_by_region_shuffle,
+        "customers_with_nation": q.customers_with_nation,
         "customers_without_orders": q.customers_without_orders,
         "top_lineitems_per_supplier": q.top_lineitems_per_supplier,
         "min_price_lineitems": q.min_price_lineitems,
@@ -307,6 +308,10 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "customers_with_nation": """
+            SELECT c_custkey, n_name FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_mktsegment FROM customer

@@ -45,6 +45,7 @@ def __getattr__(name):
         "tile_clip": ("geobuf_ray.pipelines.tiling", "tile_clip"),
         "tile_cover": ("geobuf_ray.pipelines.tiling", "tile_cover"),
         "hash_join": ("geobuf_ray.functions.join", "hash_join"),
+        "broadcast_join": ("geobuf_ray.functions.join", "broadcast_join"),
         "asof_join": ("geobuf_ray.functions.join", "asof_join"),
         "range_join": ("geobuf_ray.functions.join", "range_join"),
         "point_in_polygon_join": ("geobuf_ray.spatial.join",

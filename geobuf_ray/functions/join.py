@@ -396,3 +396,84 @@ def asof_join(left, right, on, *, left_time: str, right_time: str,
                         left_on=on_cols, right_on=on_cols,
                         reduce_fn=asof_bucket,
                         left_schema=l_pa_schema, right_schema=r_pa_schema)
+
+
+def broadcast_join(left, right: pa.Table, on, *, how: str = "inner",
+                   rsuffix: str = "_r", **map_kwargs):
+    """Equi-join a Dataset against a SMALL in-memory table without a
+    shuffle: the right side ships once via ``ray.put`` and every batch
+    probes it locally — the correct shape whenever one side fits a
+    worker heap (dimension tables, lookup maps).  Composite keys via
+    ``on`` as a list.
+
+    Same output contract as :func:`hash_join` (right columns minus the
+    key, collisions suffixed); inner or left.  Verification against the
+    true key values uses the same rule as hash_join: non-integer or
+    composite keys re-check equality, so hash collisions cannot leak
+    wrong matches.
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    r_names = [n for n in right.column_names if n not in on_cols]
+
+    # pre-hash + sort the small side once; ship (hash, row order) only
+    rh = _combined_hash(right, on_cols)
+    r_null = _null_any(right, on_cols, right.num_rows)
+    rorder = np.argsort(rh, kind="stable")
+    handle = ray.put((rh[rorder], rorder, r_null, right))
+    needs_verify = len(on_cols) > 1 or not all(
+        pa.types.is_integer(right.schema.field(c).type) for c in on_cols)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        rh_sorted, rord, rnull, rtab = ray.get(handle)
+        n = batch.num_rows
+        lh = _combined_hash(batch, on_cols)
+        lnull = _null_any(batch, on_cols, n)
+        lo = np.searchsorted(rh_sorted, lh, side="left")
+        hi = np.searchsorted(rh_sorted, lh, side="right")
+        counts = np.where(lnull, 0, hi - lo)
+        lidx = np.repeat(np.arange(n), counts)
+        # candidate right rows per left row (usually 1)
+        from ..codec.varint import ramp
+
+        rpos = np.repeat(lo, counts) + ramp(counts)
+        ridx = rord[rpos]
+        keep = ~rnull[ridx]
+        if needs_verify and len(lidx):
+            ok = np.ones(len(lidx), bool)
+            lt = batch.take(pa.array(lidx, pa.int64()))
+            rt = rtab.take(pa.array(ridx, pa.int64()))
+            for c in on_cols:
+                import pyarrow.compute as pc
+
+                eq = pc.equal(lt[c].combine_chunks(),
+                              rt[c].combine_chunks())
+                ok &= eq.fill_null(False).to_numpy(zero_copy_only=False)
+            keep &= ok
+        lidx, ridx = lidx[keep], ridx[keep]
+        lt = batch.take(pa.array(lidx, pa.int64()))
+        rt = rtab.take(pa.array(ridx, pa.int64()))
+        cols = {nme: lt[nme] for nme in batch.column_names}
+        for rn in r_names:
+            orn = rn + rsuffix if rn in batch.column_names else rn
+            cols[orn] = rt[rn]
+        out = pa.table(cols)
+        if how == "left":
+            matched = np.zeros(n, bool)
+            matched[lidx] = True
+            miss = np.flatnonzero(~matched)
+            if len(miss):
+                lt2 = batch.take(pa.array(miss, pa.int64()))
+                cols2 = {nme: lt2[nme] for nme in batch.column_names}
+                for rn in r_names:
+                    orn = rn + rsuffix if rn in batch.column_names else rn
+                    cols2[orn] = pa.nulls(len(miss),
+                                          right.schema.field(rn).type)
+                out = pa.concat_tables([out, pa.table(cols2)])
+        return out
+
+    return left.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True, **map_kwargs)

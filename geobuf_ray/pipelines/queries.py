@@ -322,6 +322,31 @@ def parts_by_brand(sf_dir: str):
         "n_items", ["sum_qty", "sum_cents", "n_items"])
 
 
+def customers_with_nation(sf_dir: str):
+    """Dimension join through the PUBLIC broadcast_join operator
+    (functions/join.py): customer stream probes the nation table
+    shipped once via ray.put — no shuffle, the canonical small-side
+    join of the engine's join family."""
+    import duckdb
+    import ray
+
+    from ..functions.join import broadcast_join
+
+    nation = duckdb.connect().execute(
+        f"SELECT n_nationkey, n_name FROM '{sf_dir}/nation.parquet'"
+    ).arrow()
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["c_custkey", "n_nationkey"])
+
+    joined = broadcast_join(
+        cust.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        nation, "n_nationkey")
+    return joined.select_columns(["c_custkey", "n_name"])
+
+
 def customers_without_orders(sf_dir: str, min_price: float = 450000.0):
     """Anti-join: customers with no order of totalprice >= min_price.
 

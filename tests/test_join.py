@@ -347,3 +347,51 @@ def test_composite_key_asof_matches_duckdb(ray_session):
         ) WHERE rn = 1 ORDER BY ev""").fetchdf()
     assert len(got) == len(exp)
     assert (got[["ev", "rv"]].values == exp[["ev", "rv"]].values).all()
+
+
+def test_broadcast_join_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from geobuf_ray.functions.join import broadcast_join
+
+    rng = np.random.default_rng(1)
+    n = 5000
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 300, n)),
+        "f": pa.array(rng.normal(0, 1, n)),
+        "name": pa.array([f"s{i % 7}" for i in range(n)]),
+    })
+    mask = pa.array(rng.random(n) < 0.02)
+    left = left.set_column(0, "k", pc.if_else(
+        mask, pa.nulls(n, pa.int64()), left["k"]))
+    right = pa.table({
+        "k": pa.array(np.arange(0, 280, dtype=np.int64)),
+        "name": pa.array([f"s{i % 5}" for i in range(280)]),
+        "w": pa.array(rng.normal(5, 1, 280)),
+    })
+    lds = ray.data.from_arrow(left).repartition(4)
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+
+    def cmp(out, sql):
+        o = con.execute(sql).df()
+        cols = sorted(out.columns)
+        assert cols == sorted(o.columns)
+        a = out[cols].sort_values(cols).reset_index(drop=True)
+        b = o[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    cmp(broadcast_join(lds, right, "k").to_pandas(),
+        "SELECT l.k, l.f, l.name, r.name AS name_r, r.w "
+        "FROM l JOIN r ON l.k = r.k")
+    cmp(broadcast_join(lds, right, "k", how="left").to_pandas(),
+        "SELECT l.k, l.f, l.name, r.name AS name_r, r.w "
+        "FROM l LEFT JOIN r ON l.k = r.k")
+    cmp(broadcast_join(lds, right, ["k", "name"]).to_pandas(),
+        "SELECT l.k, l.f, l.name, r.w FROM l JOIN r "
+        "ON l.k = r.k AND l.name = r.name")
