@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.events_hourly,
         "events_sliding": q.events_sliding,
         "events_sessions": q.events_sessions,
+        "events_lag_value": q.events_lag_value,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
         "events_last_order_asof": q.events_last_order_asof,
@@ -219,6 +220,12 @@ def oracle_sql() -> dict[str, str]:
                     FROM events
                 )
             ) GROUP BY user_id, sess_id
+        """,
+        "events_lag_value": """
+            SELECT user_id, event_id, value,
+                   LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS lag_value
+            FROM events
         """,
         "events_distinct_users": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events

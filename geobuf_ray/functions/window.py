@@ -1,0 +1,57 @@
+"""Partitioned window operators (LAG / LEAD / running totals).
+
+The relational-window family the query layer previously only had in
+fused forms (sessionization gaps, sliding sums).  Shape: one
+hash-bucket exchange on the partition key, then a vectorized
+lexsort + shift kernel per bucket — rows never centralize and a bucket
+holds many keys (the per-distinct-key ``map_groups`` overhead the
+dedup engine already measured and avoids).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def lag_lead(ds, *, key: str, order: str, value: str,
+             nbuckets: int = 64, lead: bool = False,
+             out_col: str | None = None):
+    """Per-row previous (or next) ``value`` within ``key`` groups in
+    ``order`` order — SQL's ``LAG(value) OVER (PARTITION BY key ORDER
+    BY order)``.  NULL where no predecessor exists.  ``order`` values
+    must be unique per key for a deterministic result (SQL imposes the
+    same caveat).
+    """
+    from .exchange import hash_exchange
+
+    name = out_col or (("lead_" if lead else "lag_") + value)
+    schema = None
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return tbl.append_column(name, pa.array([], tbl[value].type))
+        k = tbl[key].combine_chunks()
+        kenc = k.dictionary_encode()
+        codes = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        o = tbl[order].combine_chunks()
+        ov = o.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if pa.types.is_timestamp(o.type) or pa.types.is_date(o.type) \
+            else o.to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ov, codes))
+        cs = codes[sel]
+        same_prev = np.concatenate(([False], cs[1:] == cs[:-1]))
+        src = np.empty(n, np.int64)
+        if lead:
+            # successor within key: reverse the predecessor relation
+            same_next = np.concatenate((cs[:-1] == cs[1:], [False]))
+            src[sel] = np.where(same_next, np.roll(sel, -1), -1)
+        else:
+            src[sel] = np.where(same_prev, np.roll(sel, 1), -1)
+        vals = tbl[value].combine_chunks()
+        take = pa.array(np.where(src < 0, None, src), pa.int64())
+        return tbl.append_column(name, vals.take(take))
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=schema)

@@ -661,6 +661,19 @@ def lineitem_price_quantiles_sketch(sf_dir: str):
     })
 
 
+def events_lag_value(sf_dir: str):
+    """Per-user LAG(value) in event_id order — the generic partitioned
+    window operator (functions/window.lag_lead): one hash-bucket
+    exchange on user_id, vectorized lexsort + shift per bucket."""
+    import ray
+
+    from ..functions.window import lag_lead
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "value"])
+    return lag_lead(ds, key="user_id", order="event_id", value="value")
+
+
 def events_distinct_users(sf_dir: str):
     """Exact distinct-user count (per-block distinct partial + driver
     union); the HLL sketch in functions/sketch.py is the

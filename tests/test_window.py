@@ -1,0 +1,48 @@
+"""lag_lead vs DuckDB window functions."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_lag_lead_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from geobuf_ray.functions.window import lag_lead
+
+    rng = np.random.default_rng(2)
+    n = 8000
+    tbl = pa.table({
+        "u": pa.array(rng.integers(0, 300, n)),
+        "t": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.normal(0, 1, n)),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    for lead, fn in [(False, "LAG"), (True, "LEAD")]:
+        col = ("lead_" if lead else "lag_") + "v"
+        out = lag_lead(ds, key="u", order="t", value="v",
+                       lead=lead).to_pandas()
+        o = con.execute(
+            f"SELECT u, t, v, {fn}(v) OVER (PARTITION BY u ORDER BY t) "
+            f"AS {col} FROM t").df()
+        cols = sorted(out.columns)
+        a = out.sort_values(["u", "t"]).reset_index(drop=True)[cols]
+        b = o.sort_values(["u", "t"]).reset_index(drop=True)[cols]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_lag_timestamp_order(ray_session):
+    import ray
+
+    from geobuf_ray.functions.window import lag_lead
+
+    ts = pa.array(np.arange(10).astype("datetime64[us]"))
+    tbl = pa.table({"u": pa.array([1] * 5 + [2] * 5),
+                    "ts": ts, "v": pa.array(np.arange(10.0))})
+    out = lag_lead(ray.data.from_arrow(tbl), key="u", order="ts",
+                   value="v").to_pandas().sort_values(["u", "ts"])
+    assert np.isnan(out.lag_v.iloc[0]) and np.isnan(out.lag_v.iloc[5])
+    assert out.lag_v.iloc[1] == 0.0 and out.lag_v.iloc[6] == 5.0
