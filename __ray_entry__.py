@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q.events_sliding,
         "events_sessions": q.events_sessions,
         "events_lag_value": q.events_lag_value,
+        "orders_running_total": q.orders_running_total,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
         "events_last_order_asof": q.events_last_order_asof,
@@ -220,6 +221,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM events
                 )
             ) GROUP BY user_id, sess_id
+        """,
+        "orders_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS running_cents,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS row_num
+            FROM orders
         """,
         "events_lag_value": """
             SELECT user_id, event_id, value,

@@ -47,6 +47,7 @@ def __getattr__(name):
         "hash_join": ("geobuf_ray.functions.join", "hash_join"),
         "broadcast_join": ("geobuf_ray.functions.join", "broadcast_join"),
         "lag_lead": ("geobuf_ray.functions.window", "lag_lead"),
+        "running_agg": ("geobuf_ray.functions.window", "running_agg"),
         "asof_join": ("geobuf_ray.functions.join", "asof_join"),
         "range_join": ("geobuf_ray.functions.join", "range_join"),
         "point_in_polygon_join": ("geobuf_ray.spatial.join",

@@ -55,3 +55,53 @@ def lag_lead(ds, *, key: str, order: str, value: str,
 
     return hash_exchange(ds, nbuckets=nbuckets, on=key,
                          reduce_fn=kernel, schema=schema)
+
+
+def running_agg(ds, *, key: str, order: str, value: str,
+                nbuckets: int = 64, out_col: str | None = None):
+    """Per-row running sum of ``value`` within ``key`` groups in
+    ``order`` order (SQL ``SUM(value) OVER (PARTITION BY key ORDER BY
+    order ROWS UNBOUNDED PRECEDING)``) plus the 1-based row number.
+    Same exchange + lexsort shape as :func:`lag_lead`; the cumulative
+    itself is one segmented cumsum."""
+    from .exchange import hash_exchange
+
+    name = out_col or ("running_" + value)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return (tbl.append_column(name, pa.array([], pa.float64()))
+                    .append_column("row_num", pa.array([], pa.int64())))
+        kenc = tbl[key].combine_chunks().dictionary_encode()
+        codes = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        o = tbl[order].combine_chunks()
+        ov = o.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if pa.types.is_timestamp(o.type) or pa.types.is_date(o.type) \
+            else o.to_numpy(zero_copy_only=False)
+        vcol = tbl[value].combine_chunks()
+        is_int = pa.types.is_integer(vcol.type)
+        # int64 stays int64: the whole-array-cumsum-minus-segment-base
+        # trick is EXACT in integers (and hash-matches SQL); in float
+        # it reorders roundings, so float results are ~1e-9-close, not
+        # bit-equal — use integer units (cents) when exactness matters
+        v = vcol.to_numpy(zero_copy_only=False).astype(
+            np.int64 if is_int else np.float64)
+        sel = np.lexsort((ov, codes))
+        cs = codes[sel]
+        new = np.concatenate(([True], cs[1:] != cs[:-1]))
+        c = np.cumsum(v[sel])
+        base = np.repeat(c[new] - v[sel][new],
+                         np.diff(np.append(np.flatnonzero(new), n)))
+        run = np.empty(n, v.dtype)
+        run[sel] = c - base
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.repeat(pos[new], np.diff(np.append(
+            np.flatnonzero(new), n)))
+        rn = np.empty(n, np.int64)
+        rn[sel] = pos - seg_start + 1
+        return (tbl.append_column(name, pa.array(run))
+                .append_column("row_num", pa.array(rn)))
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=None)

@@ -661,6 +661,29 @@ def lineitem_price_quantiles_sketch(sf_dir: str):
     })
 
 
+def orders_running_total(sf_dir: str):
+    """Per-customer running sum of order price cents in orderkey order
+    (functions/window.running_agg) — exact int64 cumulative, so the
+    window query hash-matches SQL's SUM OVER."""
+    import ray
+
+    from ..functions.window import running_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderkey",
+                                        "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "o_orderkey": batch["o_orderkey"],
+                         "cents": pa.array(c)})
+
+    return running_agg(ds.map_batches(cents, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       key="o_custkey", order="o_orderkey", value="cents")
+
+
 def events_lag_value(sf_dir: str):
     """Per-user LAG(value) in event_id order — the generic partitioned
     window operator (functions/window.lag_lead): one hash-bucket

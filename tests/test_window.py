@@ -46,3 +46,30 @@ def test_lag_timestamp_order(ray_session):
                    value="v").to_pandas().sort_values(["u", "ts"])
     assert np.isnan(out.lag_v.iloc[0]) and np.isnan(out.lag_v.iloc[5])
     assert out.lag_v.iloc[1] == 0.0 and out.lag_v.iloc[6] == 5.0
+
+
+def test_running_agg_int_exact_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from geobuf_ray.functions.window import running_agg
+
+    rng = np.random.default_rng(7)
+    n = 6000
+    tbl = pa.table({"u": pa.array(rng.integers(0, 200, n)),
+                    "t": pa.array(rng.permutation(n).astype(np.int64)),
+                    "v": pa.array(rng.integers(-1000, 1000, n))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = running_agg(ds, key="u", order="t", value="v").to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    o = con.execute(
+        "SELECT u, t, v, CAST(SUM(v) OVER (PARTITION BY u ORDER BY t "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_v, "
+        "ROW_NUMBER() OVER (PARTITION BY u ORDER BY t) AS row_num "
+        "FROM t").df()
+    cols = sorted(out.columns)
+    a = out.sort_values(["u", "t"]).reset_index(drop=True)[cols]
+    b = o.sort_values(["u", "t"]).reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
