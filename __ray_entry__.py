@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q.events_sessions,
         "events_lag_value": q.events_lag_value,
         "orders_running_total": q.orders_running_total,
+        "high_value_orders": q.high_value_orders,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
         "events_last_order_asof": q.events_last_order_asof,
@@ -221,6 +222,12 @@ def oracle_sql() -> dict[str, str]:
                     FROM events
                 )
             ) GROUP BY user_id, sess_id
+        """,
+        "high_value_orders": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders WHERE o_totalprice >= 400000.0
+            GROUP BY o_orderpriority
         """,
         "orders_running_total": """
             SELECT o_custkey, o_orderkey,

@@ -661,6 +661,40 @@ def lineitem_price_quantiles_sketch(sf_dir: str):
     })
 
 
+def high_value_orders(sf_dir: str, min_price: float = 400000.0):
+    """Predicate pushdown at the READ: the price filter is a pyarrow
+    dataset expression handed to ``read_parquet``, so row groups whose
+    statistics exclude the predicate never leave storage — the
+    prune-at-the-read rule as a checked query (counts + sums by
+    priority over the surviving rows)."""
+    import pyarrow.dataset as pds
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=pds.field("o_totalprice") >= pds.scalar(min_price))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = batch["o_orderpriority"].combine_chunks().dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(
+            np.int64)
+        k = len(enc.dictionary)
+        return pa.table({
+            "o_orderpriority": enc.dictionary,
+            "n_orders": pa.array(np.bincount(code, minlength=k).astype(
+                np.int64)),
+            "sum_cents": pa.array(np.bincount(
+                code, weights=cents, minlength=k).astype(np.int64)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return _final_combine(partials, ["o_orderpriority"],
+                          ["n_orders", "sum_cents"])
+
+
 def orders_running_total(sf_dir: str):
     """Per-customer running sum of order price cents in orderkey order
     (functions/window.running_agg) — exact int64 cumulative, so the
