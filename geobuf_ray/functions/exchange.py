@@ -70,6 +70,13 @@ def _split_task(bucket_fn, nbuckets: int, *blocks):
     [0, nbuckets), tbl)`` may also rewrite the table (fan-out: return a
     row-expanded table and one bucket per expanded row)."""
     tbls = [_to_table(b) for b in blocks]
+    # a fully-filtered map_batches output can surface as a ZERO-COLUMN
+    # empty block (Ray emits a schemaless RefBundle); concat would
+    # erase every column and bucket_fn would KeyError on the key
+    tbls = [t for t in tbls if t.num_columns > 0]
+    if not tbls or all(t.num_rows == 0 for t in tbls):
+        empty = tbls[0] if tbls else pa.table({})
+        return tuple(empty.slice(0, 0) for _ in range(nbuckets))
     tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
         tbls, promote_options="default")
     bucket, tbl = bucket_fn(tbl)
@@ -235,3 +242,57 @@ def cogroup_presplit(lmaps, right, *, nbuckets: int, reduce_fn,
                        *[m[b] for m in lmaps], *[m[b] for m in rmaps])
             for b in range(nbuckets)]
     return ray.data.from_arrow_refs(outs)
+
+
+def grouped_exchange(ds, keys, group_fn, *, nbuckets: int,
+                     schema: pa.Schema | None = None,
+                     blocks_per_map: int = 4,
+                     map_remote_args: dict | None = None,
+                     reduce_remote_args: dict | None = None):
+    """``groupby(keys).map_groups(group_fn)`` on the raw-task hash
+    exchange: rows co-locate by ``hash(keys) % nbuckets`` (no
+    distributed SORT — Ray's groupby pays a full range-sort shuffle),
+    then each bucket lexsorts locally and applies ``group_fn`` to every
+    (keys) segment.  Drop-in for kernels written against map_groups;
+    group sizes and contents are identical, only the group-to-block
+    placement differs.
+    """
+    import numpy as np
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0 or tbl.num_columns == 0:
+            # zero-column empties reach here when every input block of
+            # a bucket was a schemaless filtered-out batch
+            if schema is not None:
+                return schema.empty_table()
+            return group_fn(tbl) if tbl.num_columns else pa.table({})
+        cols = []
+        for c in key_list:
+            col = tbl[c].combine_chunks()
+            if not (pa.types.is_integer(col.type)
+                    or pa.types.is_unsigned_integer(col.type)):
+                col = col.dictionary_encode().indices
+            cols.append(col.to_numpy(zero_copy_only=False).astype(np.int64))
+        order = np.lexsort(tuple(reversed(cols)))
+        sorted_tbl = tbl.take(pa.array(order, pa.int64()))
+        ks = np.stack([c[order] for c in cols])
+        change = np.zeros(n, bool)
+        change[0] = True
+        for row in ks:
+            change[1:] |= row[1:] != row[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        outs = []
+        for s, e in zip(starts, ends):
+            outs.append(group_fn(sorted_tbl.slice(s, e - s)))
+        outs = [o for o in outs if o.num_rows] or outs[:1]
+        return pa.concat_tables(outs, promote_options="default")
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key_list,
+                         reduce_fn=kernel, schema=schema,
+                         blocks_per_map=blocks_per_map,
+                         map_remote_args=map_remote_args,
+                         reduce_remote_args=reduce_remote_args)

@@ -1071,8 +1071,12 @@ def knn_s2_join(
             "truncated": pa.array(np.repeat(truncated, kk)),
         })
 
-    return both.groupby(["cell", "salt"]).map_groups(
-        local_knn, batch_format="pyarrow")
+    from ..functions.exchange import grouped_exchange
+
+    # hash exchange, not Ray's sort-shuffle groupby (same win as
+    # within_distance_join below)
+    return grouped_exchange(both, ["cell", "salt"], local_knn,
+                            nbuckets=64)
 
 
 def within_distance_join(
@@ -1186,8 +1190,12 @@ def within_distance_join(
             "distance_m": pa.array(np.concatenate(out_d)),
         })
 
-    return both.groupby(["cell", "salt"]).map_groups(
-        local_within, batch_format="pyarrow")
+    from ..functions.exchange import grouped_exchange
+
+    # raw-task hash exchange instead of Ray groupby: co-location needs
+    # only hash-bucketing, not the range-SORT shuffle groupby pays
+    return grouped_exchange(both, ["cell", "salt"], local_within,
+                            nbuckets=64)
 
 
 def bbox_intersection_join(
