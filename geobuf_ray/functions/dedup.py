@@ -77,6 +77,12 @@ def exact_dedup(ds, key_cols: list[str], order_col: str, **map_kwargs):
             "dedup_bucket", pa.array((h % np.uint64(1024)).astype(np.int32)))
 
     def _first(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            # hash_exchange reduces CAN see empty buckets (Ray groupby
+            # never surfaced them)
+            drop = [c for c in ("dedup_hash", "dedup_bucket")
+                    if c in group.column_names]
+            return group.drop_columns(drop)
         # vectorized first-per-key: mixed-radix combine of group-local
         # dictionary codes, stable lexsort on (key, order), then a
         # first-of-run mask — no per-row Python (a group is one hash
@@ -95,7 +101,14 @@ def exact_dedup(ds, key_cols: list[str], order_col: str, **map_kwargs):
             ["dedup_hash", "dedup_bucket"])
 
     hashed = ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
-    return hashed.groupby("dedup_bucket").map_groups(_first, batch_format="pyarrow")
+    # raw-task hash exchange instead of Ray groupby: first-per-key only
+    # needs equal keys CO-LOCATED, which hash-bucketing gives without
+    # the range-sort shuffle; _first is correct on any superset of a
+    # bucket (keys are distinct by value across buckets)
+    from .exchange import hash_exchange
+
+    return hash_exchange(hashed, nbuckets=64, on="dedup_bucket",
+                         reduce_fn=_first)
 
 
 # ---------------------------------------------------------------------------

@@ -268,6 +268,10 @@ def top_terms(ds, k: int = 50, *, text_col: str = "text",
             "bucket", pa.array((h & np.uint64(mask)).astype(np.int64)))
 
     def bucket_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
         enc = group["term"].combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         nterm = len(enc.dictionary)
@@ -282,10 +286,15 @@ def top_terms(ds, k: int = 50, *, text_col: str = "text",
                          "tf": pa.array(tf[order]),
                          "df": pa.array(df[order])})
 
-    cand = (partials.map_batches(add_bucket, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-            .groupby("bucket")
-            .map_groups(bucket_topk, batch_format="pyarrow"))
+    # raw-task hash exchange, not Ray's sort-shuffle groupby: the
+    # per-reduce top-k stays a superset of the global top-k within its
+    # rows even when several buckets co-locate in one reduce
+    from .exchange import hash_exchange
+
+    cand = hash_exchange(
+        partials.map_batches(add_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        nbuckets=min(nbuckets, 64), on="bucket", reduce_fn=bucket_topk)
     from ..collect import collect_table
 
     tbl = collect_table(cand)
