@@ -264,11 +264,12 @@ def grouped_exchange(ds, keys, group_fn, *, nbuckets: int,
     def kernel(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
         if n == 0 or tbl.num_columns == 0:
-            # zero-column empties reach here when every input block of
-            # a bucket was a schemaless filtered-out batch
-            if schema is not None:
-                return schema.empty_table()
-            return group_fn(tbl) if tbl.num_columns else pa.table({})
+            # map_groups parity: group_fn NEVER sees an empty group
+            # (an empty bucket yields a zero-row block; a zero-column
+            # one arises when every input block was a schemaless
+            # filtered-out batch)
+            return (schema.empty_table() if schema is not None
+                    else pa.table({}))
         cols = []
         for c in key_list:
             col = tbl[c].combine_chunks()

@@ -524,7 +524,9 @@ def mosaic_tiles(ds, *, zoom: int = 4, cell: int = 32, max_images: int = 16,
             "bytes": pa.array([encode_rawz(canvas)], pa.binary()),
         })
 
-    return (ds.map_batches(assign, batch_format="pyarrow",
-                           zero_copy_batch=True, **map_kwargs)
-            .groupby("tile")
-            .map_groups(stitch, batch_format="pyarrow"))
+    from ..functions.exchange import grouped_exchange
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True, **map_kwargs)
+    # hash exchange + per-tile segments, not the range-sort shuffle
+    return grouped_exchange(assigned, "tile", stitch, nbuckets=64)
