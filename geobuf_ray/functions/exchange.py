@@ -275,7 +275,9 @@ def grouped_exchange(ds, keys, group_fn, *, nbuckets: int,
             col = tbl[c].combine_chunks()
             if not (pa.types.is_integer(col.type)
                     or pa.types.is_unsigned_integer(col.type)):
-                col = col.dictionary_encode().indices
+                col = col.dictionary_encode().indices.fill_null(-1)
+            elif col.null_count:
+                col = col.fill_null(-1)
             cols.append(col.to_numpy(zero_copy_only=False).astype(np.int64))
         order = np.lexsort(tuple(reversed(cols)))
         sorted_tbl = tbl.take(pa.array(order, pa.int64()))

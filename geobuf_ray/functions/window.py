@@ -34,7 +34,10 @@ def lag_lead(ds, *, key: str, order: str, value: str,
             return tbl.append_column(name, pa.array([], tbl[value].type))
         k = tbl[key].combine_chunks()
         kenc = k.dictionary_encode()
-        codes = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # NULL keys form one partition (SQL window semantics); an
+        # unfilled null index would round-trip through float NaN
+        codes = kenc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         o = tbl[order].combine_chunks()
         ov = o.cast(pa.int64()).to_numpy(zero_copy_only=False) \
             if pa.types.is_timestamp(o.type) or pa.types.is_date(o.type) \
@@ -74,7 +77,8 @@ def running_agg(ds, *, key: str, order: str, value: str,
             return (tbl.append_column(name, pa.array([], pa.float64()))
                     .append_column("row_num", pa.array([], pa.int64())))
         kenc = tbl[key].combine_chunks().dictionary_encode()
-        codes = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = kenc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         o = tbl[order].combine_chunks()
         ov = o.cast(pa.int64()).to_numpy(zero_copy_only=False) \
             if pa.types.is_timestamp(o.type) or pa.types.is_date(o.type) \
