@@ -155,9 +155,12 @@ def run_scaling() -> dict:
     lo, hi = (int(x) for x in
               os.environ.get("GRAFT_SCALE_CPUS", "4,16").split(","))
     env = dict(os.environ)
-    # long job: noise on this host is several seconds of CPU steal, so
-    # the measured run must be tens of seconds at the low level
-    env.setdefault("GRAFT_BENCH_REPLICATE", "2")
+    # long job: noise on this host is several seconds of CPU steal AND
+    # the fixed session cost (~3.5s) must stay <15% of the low leg —
+    # after the round-3 codec rewrites halved per-feature cost, x2
+    # replication left the 4-cpu leg at ~8s (fixed share 44%), so the
+    # job is now x8 (4.8M features, low leg ~30s)
+    env.setdefault("GRAFT_BENCH_REPLICATE", "8")
     # two interleaved rounds per level, best kept: external CPU steal on
     # this host swings single measurements 3-5x, and interleaving
     # exposes both levels to the same noise epochs
