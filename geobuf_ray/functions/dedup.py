@@ -605,7 +605,7 @@ def minhash_dedup(ds, *, text_col="text", id_col="doc_id", sim_threshold=0.6,
                        src="id_a", dst="id_b")
         node = comp["node"].to_numpy(zero_copy_only=False)
         root = comp["component"].to_numpy(zero_copy_only=False)
-        drop = sorted(int(x) for x, r in zip(node, root) if x != r)
+        drop = np.sort(node[node != root]).tolist()
     else:
         labels = connected_components(
             list(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))

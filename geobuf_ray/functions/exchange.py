@@ -273,11 +273,13 @@ def grouped_exchange(ds, keys, group_fn, *, nbuckets: int,
         cols = []
         for c in key_list:
             col = tbl[c].combine_chunks()
-            if not (pa.types.is_integer(col.type)
-                    or pa.types.is_unsigned_integer(col.type)):
+            if (not (pa.types.is_integer(col.type)
+                     or pa.types.is_unsigned_integer(col.type))
+                    or col.null_count):
+                # dictionary codes are >= 0, so -1 is an unambiguous
+                # NULL marker; filling an INT column's nulls with a
+                # literal -1 would merge NULL with genuine -1 keys
                 col = col.dictionary_encode().indices.fill_null(-1)
-            elif col.null_count:
-                col = col.fill_null(-1)
             cols.append(col.to_numpy(zero_copy_only=False).astype(np.int64))
         order = np.lexsort(tuple(reversed(cols)))
         sorted_tbl = tbl.take(pa.array(order, pa.int64()))

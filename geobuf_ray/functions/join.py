@@ -426,6 +426,10 @@ def broadcast_join(left, right: pa.Table, on, *, how: str = "inner",
     handle = ray.put((rh[rorder], rorder, r_null, right))
     needs_verify = len(on_cols) > 1 or not all(
         pa.types.is_integer(right.schema.field(c).type) for c in on_cols)
+    # the probe closure must NOT reference `right` (it would cloudpickle
+    # the whole table into the UDF alongside the ray.put copy); capture
+    # only the per-column types the left-join null fill needs
+    r_types = {rn: right.schema.field(rn).type for rn in r_names}
 
     def probe(batch: pa.Table) -> pa.Table:
         rh_sorted, rord, rnull, rtab = ray.get(handle)
@@ -470,8 +474,7 @@ def broadcast_join(left, right: pa.Table, on, *, how: str = "inner",
                 cols2 = {nme: lt2[nme] for nme in batch.column_names}
                 for rn in r_names:
                     orn = rn + rsuffix if rn in batch.column_names else rn
-                    cols2[orn] = pa.nulls(len(miss),
-                                          right.schema.field(rn).type)
+                    cols2[orn] = pa.nulls(len(miss), r_types[rn])
                 out = pa.concat_tables([out, pa.table(cols2)])
         return out
 

@@ -26,10 +26,12 @@ def lag_lead(ds, *, key: str, order: str, value: str,
     from .exchange import hash_exchange
 
     name = out_col or (("lead_" if lead else "lag_") + value)
-    schema = None
 
     def kernel(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
+        if tbl.num_columns == 0:
+            # every upstream block fully filtered -> schemaless empty
+            return pa.table({})
         if n == 0:
             return tbl.append_column(name, pa.array([], tbl[value].type))
         k = tbl[key].combine_chunks()
@@ -57,7 +59,7 @@ def lag_lead(ds, *, key: str, order: str, value: str,
         return tbl.append_column(name, vals.take(take))
 
     return hash_exchange(ds, nbuckets=nbuckets, on=key,
-                         reduce_fn=kernel, schema=schema)
+                         reduce_fn=kernel, schema=None)
 
 
 def running_agg(ds, *, key: str, order: str, value: str,
@@ -73,8 +75,15 @@ def running_agg(ds, *, key: str, order: str, value: str,
 
     def kernel(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
+        if tbl.num_columns == 0:
+            return pa.table({})
         if n == 0:
-            return (tbl.append_column(name, pa.array([], pa.float64()))
+            # keep the running column's dtype consistent with the
+            # non-empty buckets (int64 for integer values) so a sparse
+            # key domain cannot promote the whole column to float64
+            vt = tbl[value].type
+            rt = pa.int64() if pa.types.is_integer(vt) else pa.float64()
+            return (tbl.append_column(name, pa.array([], rt))
                     .append_column("row_num", pa.array([], pa.int64())))
         kenc = tbl[key].combine_chunks().dictionary_encode()
         codes = kenc.indices.fill_null(-1).to_numpy(
@@ -85,6 +94,11 @@ def running_agg(ds, *, key: str, order: str, value: str,
             else o.to_numpy(zero_copy_only=False)
         vcol = tbl[value].combine_chunks()
         is_int = pa.types.is_integer(vcol.type)
+        # SQL SUM OVER skips NULLs: fill 0 BEFORE the numpy cast (an
+        # unfilled null round-trips through float NaN, which astype
+        # turns into INT64_MIN and poisons every later prefix sum)
+        if vcol.null_count:
+            vcol = vcol.fill_null(0)
         # int64 stays int64: the whole-array-cumsum-minus-segment-base
         # trick is EXACT in integers (and hash-matches SQL); in float
         # it reorders roundings, so float results are ~1e-9-close, not

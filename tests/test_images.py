@@ -171,8 +171,6 @@ def test_mosaic_tiles_deterministic_stitch(ray_session):
         xi = (np.arange(16) * w) // 16
         r, c = divmod(i, 2)
         canvas[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16] = px[yi][:, xi]
-    got = decode_image(out.to_pandas().iloc[0]["bytes"]) if "bytes" in df \
-        else None
     # re-run keeping bytes
     full = mosaic_tiles(ray.data.from_arrow(
         tbl.select(["image_id", "bytes"])), zoom=2, cell=16,
