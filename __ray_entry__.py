@@ -100,6 +100,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_value": q.events_lag_value,
         "orders_running_total": q.orders_running_total,
         "high_value_orders": q.high_value_orders,
+        "customer_orders_full": q.customer_orders_full,
+        "suppliers_with_shipments": q.suppliers_with_shipments,
+        "parts_never_shipped": q.parts_never_shipped,
+        "lineitem_moving_qty": q.lineitem_moving_qty,
+        "orders_rank_by_date": q.orders_rank_by_date,
+        "orders_priority_intersect": q.orders_priority_intersect,
+        "orders_priority_except": q.orders_priority_except,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
         "events_last_order_asof": q.events_last_order_asof,
@@ -245,6 +252,64 @@ def oracle_sql() -> dict[str, str]:
                    LAG(value) OVER (PARTITION BY user_id
                                     ORDER BY event_id) AS lag_value
             FROM events
+        """,
+        "customer_orders_full": """
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+                   c.c_name, o.o_orderkey, o.o_totalprice
+            FROM (SELECT c_custkey, c_name FROM customer
+                  WHERE c_acctbal < 0.0) c
+            FULL JOIN (SELECT o_custkey, o_orderkey, o_totalprice
+                       FROM orders WHERE o_totalprice > 400000.0) o
+              ON c.c_custkey = o.o_custkey
+        """,
+        "suppliers_with_shipments": """
+            SELECT s_suppkey, s_name FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_suppkey = s.s_suppkey
+                            AND l_quantity >= 50.0
+                            AND l_returnflag = 'R')
+        """,
+        "parts_never_shipped": """
+            SELECT p_partkey, p_name, p_brand FROM part p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_partkey = p.p_partkey
+                                AND l_quantity >= 46.0)
+        """,
+        "lineitem_moving_qty": """
+            WITH t AS (
+                SELECT l_partkey,
+                       (l_orderkey * 8 + l_linenumber) * 1000000000000
+                         + CAST(l_quantity AS BIGINT) * 100000000
+                         + CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS seq,
+                       CAST(l_quantity AS BIGINT) AS qty
+                FROM lineitem)
+            SELECT l_partkey, seq, qty,
+                   CAST(SUM(qty) OVER w AS BIGINT) AS mv_sum,
+                   COUNT(*) OVER w AS mv_n
+            FROM t
+            WINDOW w AS (PARTITION BY l_partkey ORDER BY seq
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "orders_rank_by_date": """
+            SELECT o_custkey, o_orderkey,
+                   RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        """,
+        "orders_priority_intersect": """
+            SELECT o_custkey, o_orderstatus FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey, o_orderstatus FROM orders
+            WHERE o_orderpriority = '2-HIGH'
+        """,
+        "orders_priority_except": """
+            SELECT o_custkey, o_orderstatus FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
+            SELECT o_custkey, o_orderstatus FROM orders
+            WHERE o_orderpriority = '2-HIGH'
         """,
         "events_distinct_users": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events

@@ -17,9 +17,12 @@ def __getattr__(name):
     Sources/sinks: read_geobuf, write_geobuf, read_metadata,
     read_subfile, write_indexed_geobuf, read_geojson-style converters.
     Pipelines: split_combine, split_combine_keys, tile_clip, tile_cover,
-    assign_tiles.  Joins: hash_join, asof_join, range_join,
+    assign_tiles.  Joins: hash_join (inner/left/right/full),
+    broadcast_join, semi_join, anti_join, asof_join, range_join,
     point_in_polygon_join, knn_join, pip_s2_join, knn_s2_join,
-    hash_cogroup.  Raster: rasterize_polygons, masks_to_boxes.
+    hash_cogroup.  Windows: lag_lead, running_agg, moving_agg,
+    rank_window.  Set ops: intersect_distinct, except_distinct.
+    Raster: rasterize_polygons, masks_to_boxes.
     Training-data ops: exact_dedup, minhash_candidate_pairs,
     minhash_dedup, simhash_candidate_pairs, embedding_dedup_pairs,
     hash64_candidate_pairs, brute_force_topk, ivf_build, ivf_topk,
@@ -48,6 +51,14 @@ def __getattr__(name):
         "broadcast_join": ("geobuf_ray.functions.join", "broadcast_join"),
         "lag_lead": ("geobuf_ray.functions.window", "lag_lead"),
         "running_agg": ("geobuf_ray.functions.window", "running_agg"),
+        "moving_agg": ("geobuf_ray.functions.window", "moving_agg"),
+        "rank_window": ("geobuf_ray.functions.window", "rank_window"),
+        "semi_join": ("geobuf_ray.functions.join", "semi_join"),
+        "anti_join": ("geobuf_ray.functions.join", "anti_join"),
+        "intersect_distinct": ("geobuf_ray.functions.setops",
+                               "intersect_distinct"),
+        "except_distinct": ("geobuf_ray.functions.setops",
+                            "except_distinct"),
         "asof_join": ("geobuf_ray.functions.join", "asof_join"),
         "range_join": ("geobuf_ray.functions.join", "range_join"),
         "point_in_polygon_join": ("geobuf_ray.spatial.join",

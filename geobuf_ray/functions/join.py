@@ -90,16 +90,20 @@ def hash_join(left, right, on, *, how: str = "inner",
 
     Returns a Dataset with the left columns plus the right columns
     (minus the key; name collisions get ``rsuffix``).  ``how`` is
-    ``"inner"`` or ``"left"``.  Passing ``left_schema``/``right_schema``
-    (pyarrow) skips the ``Dataset.schema()`` peek, which otherwise
-    executes one upstream block per side.
+    ``"inner"``, ``"left"``, ``"right"`` or ``"full"``.  The key
+    columns follow SQL ``USING`` semantics: one output column per key,
+    carrying ``COALESCE(left.key, right.key)`` — for right-side-only
+    rows of a right/full join the key columns hold the RIGHT values.
+    Passing ``left_schema``/``right_schema`` (pyarrow) skips the
+    ``Dataset.schema()`` peek, which otherwise executes one upstream
+    block per side.
 
     Routing goes through :func:`~geobuf_ray.functions.exchange.
     hash_cogroup` — the raw-task simple shuffle — so each side ships
     only its own columns; the per-bucket kernel is one vectorized
     sort + searchsorted expansion, no per-row Python.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"unsupported how={how!r}")
     on_cols = [on] if isinstance(on, str) else list(on)
     l_schema = left_schema if left_schema is not None else left.schema()
@@ -147,6 +151,7 @@ def hash_join(left, right, on, *, how: str = "inner",
             cols[orn] = rtab[rn]
         out = pa.table(cols)
         match_cnt = cnt
+        r_match = np.bincount(r_exp, minlength=len(ri))
         if needs_verify:
             import pyarrow.compute as pc
 
@@ -156,12 +161,15 @@ def hash_join(left, right, on, *, how: str = "inner",
                 eq = e if eq is None else pc.and_(eq, e)
             eqm = eq.to_numpy(zero_copy_only=False)
             out = out.filter(eq)
-            if how == "left":
+            if how in ("left", "full"):
                 # a left row whose matches were ALL collisions is a
                 # miss, not a silent drop
                 match_cnt = np.bincount(
                     l_exp, weights=eqm, minlength=len(li)).astype(np.int64)
-        if how == "left":
+            if how in ("right", "full") and len(r_exp):
+                r_match = np.bincount(
+                    r_exp, weights=eqm, minlength=len(ri)).astype(np.int64)
+        if how in ("left", "full"):
             miss_rows = np.concatenate((li[np.flatnonzero(match_cnt == 0)],
                                         null_li))
             if len(miss_rows):
@@ -169,6 +177,25 @@ def hash_join(left, right, on, *, how: str = "inner",
                 mcols = {n: mtab[n] for n in l_names}
                 for rn, orn in zip(r_names, out_r_names):
                     mcols[orn] = pa.nulls(len(miss_rows), r_types[rn])
+                out = pa.concat_tables([out, pa.table(mcols)])
+        if how in ("right", "full"):
+            null_ri = np.flatnonzero(knull_r)
+            rmiss = np.concatenate((ri[np.flatnonzero(r_match == 0)],
+                                    null_ri))
+            if len(rmiss):
+                mtab = rt.take(pa.array(rmiss, pa.int64()))
+                mcols = {}
+                for n in l_names:
+                    if n in on_cols:
+                        # USING/COALESCE: key values come from the right
+                        kcol = mtab[n]
+                        if kcol.type != l_types[n]:
+                            kcol = kcol.cast(l_types[n])
+                        mcols[n] = kcol
+                    else:
+                        mcols[n] = pa.nulls(len(rmiss), l_types[n])
+                for rn, orn in zip(r_names, out_r_names):
+                    mcols[orn] = mtab[rn]
                 out = pa.concat_tables([out, pa.table(mcols)])
         return out
 
@@ -178,6 +205,96 @@ def hash_join(left, right, on, *, how: str = "inner",
                         left_on=on_cols, right_on=on_cols,
                         reduce_fn=join_bucket,
                         left_schema=l_pa_schema, right_schema=r_pa_schema)
+
+
+def semi_join(left, right, on, *, right_on=None, anti: bool = False,
+              nbuckets: int = 64, left_schema: pa.Schema | None = None):
+    """Distributed semi-join: the left rows with (``anti=False``) or
+    without (``anti=True``) at least one key match on the right —
+    SQL's ``WHERE [NOT] EXISTS (SELECT 1 FROM right WHERE right.key =
+    left.key)``.  Left rows pass through exactly once; no right
+    columns are emitted, and the right side is PROJECTED TO ITS KEY
+    COLUMNS before the exchange, so an arbitrarily wide probe table
+    ships only the key bytes.
+
+    NULL semantics follow ``EXISTS``: a NULL in any left key column
+    never matches, so such rows are dropped by the semi form and kept
+    by the anti form (NOT-``IN``'s null-poisoning is deliberately NOT
+    reproduced).  ``right_on`` names the right key columns when they
+    differ from ``on``."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    r_cols = on_cols if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    l_schema = left_schema if left_schema is not None else left.schema()
+    l_pa_schema = pa.schema(list(zip(l_schema.names, l_schema.types)))
+    needs_verify = len(on_cols) > 1 or not pa.types.is_integer(
+        dict(zip(l_schema.names, l_schema.types))[on_cols[0]])
+    right = right.select_columns(r_cols)
+
+    def member_bucket(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0 or lt.num_columns == 0:
+            return l_pa_schema.empty_table()
+        if rt.num_rows == 0 or rt.num_columns == 0:
+            # NOT EXISTS against an empty probe keeps every left row
+            return lt if anti else lt.slice(0, 0)
+        knull_l = _null_any(lt, on_cols, lt.num_rows)
+        knull_r = _null_any(rt, r_cols, rt.num_rows)
+        li = np.flatnonzero(~knull_l)
+        ri = np.flatnonzero(~knull_r)
+        lkeys = _combined_hash(lt, on_cols)[li]
+        rkeys = _combined_hash(rt, r_cols)[ri]
+        rk = np.unique(rkeys)
+        lo = np.searchsorted(rk, lkeys, side="left")
+        hit = (lo < len(rk)) & (rk[np.minimum(lo, len(rk) - 1)] == lkeys) \
+            if len(rk) else np.zeros(len(li), bool)
+        if needs_verify and hit.any():
+            # hash hits must be confirmed against the actual values:
+            # expand candidate pairs (bounded by the number of hash
+            # matches) and AND per-column equality
+            import pyarrow.compute as pc
+
+            order = np.argsort(rkeys, kind="stable")
+            rkeys_s = rkeys[order]
+            cand = np.flatnonzero(hit)
+            lo2 = np.searchsorted(rkeys_s, lkeys[cand], side="left")
+            hi2 = np.searchsorted(rkeys_s, lkeys[cand], side="right")
+            cnt = hi2 - lo2
+            from ..codec.varint import ramp
+
+            l_exp = np.repeat(cand, cnt)
+            r_exp = order[np.repeat(lo2, cnt) + ramp(cnt)]
+            ltab = lt.take(pa.array(li[l_exp], pa.int64()))
+            rtab = rt.take(pa.array(ri[r_exp], pa.int64()))
+            eq = None
+            for lc, rc in zip(on_cols, r_cols):
+                e = pc.equal(ltab[lc], rtab[rc])
+                eq = e if eq is None else pc.and_(eq, e)
+            eqm = eq.to_numpy(zero_copy_only=False)
+            true_cnt = np.bincount(l_exp, weights=eqm, minlength=len(li))
+            hit = true_cnt > 0
+        keep = np.zeros(lt.num_rows, bool)
+        keep[li[hit]] = True
+        if anti:
+            keep = ~keep
+        return lt.filter(pa.array(keep))
+
+    from .exchange import hash_cogroup
+
+    # right_schema stays None: an all-empty bucket falls back to the
+    # zero-row fragment, which carries the true (projected) right schema
+    return hash_cogroup(left, right, nbuckets=nbuckets,
+                        left_on=on_cols, right_on=r_cols,
+                        reduce_fn=member_bucket,
+                        left_schema=l_pa_schema, right_schema=None)
+
+
+def anti_join(left, right, on, *, right_on=None, nbuckets: int = 64,
+              left_schema: pa.Schema | None = None):
+    """SQL ``NOT EXISTS``: left rows with no key match on the right.
+    See :func:`semi_join` for semantics (this is its ``anti=True``
+    form)."""
+    return semi_join(left, right, on, right_on=right_on, anti=True,
+                     nbuckets=nbuckets, left_schema=left_schema)
 
 
 def range_join(points, intervals, *, value: str, lo: str, hi: str,

@@ -62,6 +62,118 @@ def lag_lead(ds, *, key: str, order: str, value: str,
                          reduce_fn=kernel, schema=None)
 
 
+def _order_values(tbl: pa.Table, order: str) -> np.ndarray:
+    o = tbl[order].combine_chunks()
+    if pa.types.is_timestamp(o.type) or pa.types.is_date(o.type):
+        return o.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return o.to_numpy(zero_copy_only=False)
+
+
+def _key_codes(tbl: pa.Table, key: str) -> np.ndarray:
+    """Dictionary codes of the partition key; NULL keys form one
+    partition (code -1), matching SQL window semantics."""
+    kenc = tbl[key].combine_chunks().dictionary_encode()
+    return kenc.indices.fill_null(-1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
+def moving_agg(ds, *, key: str, order: str, value: str, window: int,
+               nbuckets: int = 64, prefix: str = "mv"):
+    """Rows-frame moving aggregate — SQL ``SUM(value) OVER (PARTITION
+    BY key ORDER BY order ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)`` — plus the frame's row count (``{prefix}_n``), from which
+    the caller derives the moving average.  Integer values stay int64
+    (exact, hash-matches SQL); the kernel is one lexsort + prefix-sum
+    difference per bucket, no per-window loop.  ``order`` must be
+    unique per key for a deterministic result."""
+    from .exchange import hash_exchange
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    sum_name, n_name = f"{prefix}_sum", f"{prefix}_n"
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if tbl.num_columns == 0:
+            return pa.table({})
+        if n == 0:
+            vt = tbl[value].type
+            rt = pa.int64() if pa.types.is_integer(vt) else pa.float64()
+            return (tbl.append_column(sum_name, pa.array([], rt))
+                    .append_column(n_name, pa.array([], pa.int64())))
+        codes = _key_codes(tbl, key)
+        ov = _order_values(tbl, order)
+        vcol = tbl[value].combine_chunks()
+        is_int = pa.types.is_integer(vcol.type)
+        if vcol.null_count:
+            vcol = vcol.fill_null(0)  # SQL SUM OVER skips NULLs
+        v = vcol.to_numpy(zero_copy_only=False).astype(
+            np.int64 if is_int else np.float64)
+        sel = np.lexsort((ov, codes))
+        cs = codes[sel]
+        new = np.concatenate(([True], cs[1:] != cs[:-1]))
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.repeat(pos[new], np.diff(np.append(
+            np.flatnonzero(new), n)))
+        # frame start = max(segment start, i - window + 1); the moving
+        # sum is prefix[i] - prefix[start-1] with a virtual 0 at -1
+        start = np.maximum(seg_start, pos - window + 1)
+        pref = np.cumsum(v[sel])
+        win_sorted = pref - np.where(start > 0, pref[start - 1], 0)
+        cnt_sorted = pos - start + 1
+        out_sum = np.empty(n, v.dtype)
+        out_sum[sel] = win_sorted
+        out_n = np.empty(n, np.int64)
+        out_n[sel] = cnt_sorted
+        return (tbl.append_column(sum_name, pa.array(out_sum))
+                .append_column(n_name, pa.array(out_n)))
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=None)
+
+
+def rank_window(ds, *, key: str, order: str, nbuckets: int = 64,
+                rank_col: str = "rnk", dense_col: str = "drnk"):
+    """SQL ``RANK()`` and ``DENSE_RANK() OVER (PARTITION BY key ORDER
+    BY order)`` in one pass: ties on ``order`` share a rank; RANK
+    leaves gaps after a tie run, DENSE_RANK does not.  One lexsort per
+    bucket; both ranks fall out of the run-start positions."""
+    from .exchange import hash_exchange
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if tbl.num_columns == 0:
+            return pa.table({})
+        if n == 0:
+            return (tbl.append_column(rank_col, pa.array([], pa.int64()))
+                    .append_column(dense_col, pa.array([], pa.int64())))
+        codes = _key_codes(tbl, key)
+        ov = _order_values(tbl, order)
+        sel = np.lexsort((ov, codes))
+        cs, os_ = codes[sel], ov[sel]
+        new_seg = np.concatenate(([True], cs[1:] != cs[:-1]))
+        new_run = new_seg | np.concatenate(([True], os_[1:] != os_[:-1]))
+        pos = np.arange(n, dtype=np.int64)
+        seg_len = np.diff(np.append(np.flatnonzero(new_seg), n))
+        seg_start = np.repeat(pos[new_seg], seg_len)
+        # run start position, broadcast to every row of the tie run
+        run_len = np.diff(np.append(np.flatnonzero(new_run), n))
+        run_start = np.repeat(pos[new_run], run_len)
+        rnk_sorted = run_start - seg_start + 1
+        # dense: count of runs so far within the segment
+        runs_cum = np.cumsum(new_run)
+        drnk_sorted = runs_cum - np.repeat(runs_cum[new_seg], seg_len) + 1
+        rnk = np.empty(n, np.int64)
+        rnk[sel] = rnk_sorted
+        drnk = np.empty(n, np.int64)
+        drnk[sel] = drnk_sorted
+        return (tbl.append_column(rank_col, pa.array(rnk))
+                .append_column(dense_col, pa.array(drnk)))
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=None)
+
+
 def running_agg(ds, *, key: str, order: str, value: str,
                 nbuckets: int = 64, out_col: str | None = None):
     """Per-row running sum of ``value`` within ``key`` groups in

@@ -731,6 +731,178 @@ def events_lag_value(sf_dir: str):
     return lag_lead(ds, key="user_id", order="event_id", value="value")
 
 
+def customer_orders_full(sf_dir: str):
+    """FULL OUTER equi-join (functions/join.hash_join how="full"):
+    negative-balance customers x high-value orders, so BOTH miss
+    classes are populated (customers with no qualifying order keep
+    null order columns; orders of other customers keep null customer
+    columns with the key coalesced in, SQL USING semantics).  Both
+    predicates push down to the parquet read."""
+    import pyarrow.dataset as pds
+    import ray
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filter=pds.field("c_acctbal") < pds.scalar(0.0))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        filter=pds.field("o_totalprice") > pds.scalar(400000.0))
+
+    def key_name(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["c_custkey", "o_orderkey",
+                                     "o_totalprice"])
+
+    from ..functions.join import hash_join
+
+    orders = orders.map_batches(key_name, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return hash_join(
+        cust, orders, on="c_custkey", how="full", nbuckets=16,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_name", pa.string())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("o_orderkey", pa.int64()),
+                                ("o_totalprice", pa.float64())]))
+
+
+def suppliers_with_shipments(sf_dir: str):
+    """Distributed SEMI-join (functions/join.semi_join): suppliers
+    with at least one max-quantity returned lineitem.  The probe side
+    ships ONLY its key column through the exchange; supplier rows pass
+    through exactly once."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray
+
+    from ..functions.join import semi_join
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_name"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_quantity", "l_returnflag"],
+        filter=(pds.field("l_quantity") >= pds.scalar(50.0)))
+
+    def flagged(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["l_returnflag"], "R")
+        return batch.filter(m).select(["l_suppkey"])
+
+    li = li.map_batches(flagged, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return semi_join(sup, li, on="s_suppkey", right_on="l_suppkey",
+                     nbuckets=16,
+                     left_schema=pa.schema([("s_suppkey", pa.int64()),
+                                            ("s_name", pa.string())]))
+
+
+def parts_never_shipped(sf_dir: str):
+    """Distributed ANTI-join (functions/join.anti_join, SQL NOT
+    EXISTS): parts that never shipped at quantity >= 46."""
+    import pyarrow.dataset as pds
+    import ray
+
+    from ..functions.join import anti_join
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_name",
+                                          "p_brand"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"],
+        filter=pds.field("l_quantity") >= pds.scalar(46.0))
+    li = li.select_columns(["l_partkey"])
+    return anti_join(part, li, on="p_partkey", right_on="l_partkey",
+                     nbuckets=16,
+                     left_schema=pa.schema([("p_partkey", pa.int64()),
+                                            ("p_name", pa.string()),
+                                            ("p_brand", pa.string())]))
+
+
+def lineitem_moving_qty(sf_dir: str):
+    """Rows-frame moving aggregate (functions/window.moving_agg): the
+    4-row moving quantity sum per part in line order — SQL ``ROWS
+    BETWEEN 3 PRECEDING AND CURRENT ROW``.  Integer domain end to end,
+    so the window hash-matches SQL exactly."""
+    import ray
+
+    from ..functions.window import moving_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_orderkey",
+                                        "l_linenumber", "l_quantity",
+                                        "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # (orderkey, linenumber) is NOT unique in this corpus; the
+        # injective composite (orderkey, linenumber, qty, price cents)
+        # packs into int64 (base<=1.2e5, qty<=50, cents<1e8) so the
+        # ROWS frame has a deterministic order that SQL can reproduce
+        base = (batch["l_orderkey"].to_numpy() * 8
+                + batch["l_linenumber"].to_numpy().astype(np.int64))
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        cents = np.round(batch["l_extendedprice"].to_numpy()
+                         * 100).astype(np.int64)
+        seq = base * 10**12 + qty * 10**8 + cents
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "seq": pa.array(seq), "qty": pa.array(qty)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return moving_agg(ds, key="l_partkey", order="seq", value="qty",
+                      window=4)
+
+
+def orders_rank_by_date(sf_dir: str):
+    """RANK + DENSE_RANK per customer by order date
+    (functions/window.rank_window): date ties share a rank, RANK
+    leaves gaps, DENSE_RANK does not — one lexsort per hash bucket."""
+    import ray
+
+    from ..functions.window import rank_window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderkey",
+                                        "o_orderdate"])
+    out = rank_window(ds, key="o_custkey", order="o_orderdate")
+    return out.select_columns(["o_custkey", "o_orderkey", "rnk", "drnk"])
+
+
+def _orders_priority_side(sf_dir: str, priority: str):
+    import pyarrow.dataset as pds
+    import ray
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus"],
+        filter=pds.field("o_orderpriority") == pds.scalar(priority))
+
+
+def orders_priority_intersect(sf_dir: str):
+    """SQL INTERSECT (functions/setops.intersect_distinct): the
+    (customer, status) pairs that placed BOTH an urgent and a high
+    priority order.  Rows route by whole-row hash; membership is
+    decided by Arrow's exact multi-column group_by per bucket."""
+    from ..functions.setops import intersect_distinct
+
+    schema = pa.schema([("o_custkey", pa.int64()),
+                        ("o_orderstatus", pa.string())])
+    return intersect_distinct(_orders_priority_side(sf_dir, "1-URGENT"),
+                              _orders_priority_side(sf_dir, "2-HIGH"),
+                              nbuckets=8, schema=schema)
+
+
+def orders_priority_except(sf_dir: str):
+    """SQL EXCEPT (functions/setops.except_distinct): urgent-order
+    (customer, status) pairs with no high-priority counterpart."""
+    from ..functions.setops import except_distinct
+
+    schema = pa.schema([("o_custkey", pa.int64()),
+                        ("o_orderstatus", pa.string())])
+    return except_distinct(_orders_priority_side(sf_dir, "1-URGENT"),
+                           _orders_priority_side(sf_dir, "2-HIGH"),
+                           nbuckets=8, schema=schema)
+
+
 def events_distinct_users(sf_dir: str):
     """Exact distinct-user count (per-block distinct partial + driver
     union); the HLL sketch in functions/sketch.py is the

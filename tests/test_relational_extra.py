@@ -1,0 +1,215 @@
+"""Outer joins, semi/anti joins, set ops, moving/rank windows vs DuckDB."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(tbl, parts=4):
+    import ray
+
+    return ray.data.from_arrow(tbl).repartition(parts)
+
+
+def _rand_sides(seed, n_l=2000, n_r=600, keyspace=150, with_nulls=True):
+    rng = np.random.default_rng(seed)
+    lk = rng.integers(0, keyspace, n_l).astype(np.int64)
+    rk = rng.integers(0, keyspace, n_r).astype(np.int64)
+    left = pa.table({
+        "k": pa.array(pd.Series(lk).mask(
+            rng.random(n_l) < (0.05 if with_nulls else 0)), pa.int64()),
+        "lv": pa.array(rng.integers(0, 10**6, n_l), pa.int64())})
+    right = pa.table({
+        "k": pa.array(pd.Series(rk).mask(
+            rng.random(n_r) < (0.05 if with_nulls else 0)), pa.int64()),
+        "rv": pa.array(rng.integers(0, 10**6, n_r), pa.int64())})
+    return left, right
+
+
+def _canon(df, cols):
+    return (df[cols].sort_values(cols).reset_index(drop=True)
+            .astype("float64"))
+
+
+def test_full_and_right_join_vs_duckdb(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.join import hash_join
+
+    left, right = _rand_sides(11, keyspace=120)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how, sql_kw in [("full", "FULL"), ("right", "RIGHT")]:
+        out = hash_join(_ds(left), _ds(right), on="k", how=how,
+                        nbuckets=8).to_pandas()
+        exp = con.execute(
+            f"SELECT COALESCE(l.k, r.k) AS k, lv, rv "
+            f"FROM l {sql_kw} JOIN r ON l.k = r.k").fetchdf()
+        # our USING-style output puts the right key into k on right-miss
+        # rows; null-key right rows keep k NULL on both sides
+        a = _canon(out, ["k", "lv", "rv"])
+        b = _canon(exp, ["k", "lv", "rv"])
+        assert len(a) == len(b), how
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_full_join_string_keys_collision_verify(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.join import hash_join
+
+    rng = np.random.default_rng(3)
+    keys = np.array([f"key_{i}" for i in range(40)])
+    left = pa.table({"k": pa.array(keys[rng.integers(0, 40, 300)]),
+                     "lv": pa.array(np.arange(300), pa.int64())})
+    right = pa.table({"k": pa.array(
+        np.concatenate([keys[rng.integers(20, 40, 80)],
+                        np.array(["only_right_1", "only_right_2"])])),
+        "rv": pa.array(np.arange(82), pa.int64())})
+    out = hash_join(_ds(left, 3), _ds(right, 3), on="k", how="full",
+                    nbuckets=4).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute(
+        "SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM l FULL JOIN r "
+        "ON l.k = r.k").fetchdf()
+    for df in (out, exp):
+        df["k"] = df["k"].fillna("<null>")
+    a = out.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    b = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a[["k", "lv", "rv"]],
+                                  b[["k", "lv", "rv"]], check_dtype=False)
+
+
+def test_semi_anti_join_vs_duckdb(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.join import anti_join, semi_join
+
+    left, right = _rand_sides(7, keyspace=400)  # many left-only keys
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    semi = semi_join(_ds(left), _ds(right), on="k",
+                     nbuckets=8).to_pandas()
+    exp_semi = con.execute(
+        "SELECT k, lv FROM l WHERE EXISTS "
+        "(SELECT 1 FROM r WHERE r.k = l.k)").fetchdf()
+    pd.testing.assert_frame_equal(_canon(semi, ["k", "lv"]),
+                                  _canon(exp_semi, ["k", "lv"]),
+                                  check_dtype=False)
+    anti = anti_join(_ds(left), _ds(right), on="k",
+                     nbuckets=8).to_pandas()
+    exp_anti = con.execute(
+        "SELECT k, lv FROM l WHERE NOT EXISTS "
+        "(SELECT 1 FROM r WHERE r.k = l.k)").fetchdf()
+    assert len(semi) + len(anti) == left.num_rows
+    pd.testing.assert_frame_equal(_canon(anti, ["k", "lv"]),
+                                  _canon(exp_anti, ["k", "lv"]),
+                                  check_dtype=False)
+
+
+def test_semi_join_string_right_on(ray_session):
+    from geobuf_ray.functions.join import semi_join
+
+    left = pa.table({"name": pa.array(["a", "b", "c", None, "d"]),
+                     "v": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    right = pa.table({"other": pa.array(["b", "d", "zz"]),
+                      "junk": pa.array([0, 0, 0], pa.int64())})
+    out = semi_join(_ds(left, 2), _ds(right, 2), on="name",
+                    right_on="other", nbuckets=4).to_pandas()
+    assert sorted(out["name"].tolist()) == ["b", "d"]
+    # anti keeps the NULL-key row (NOT EXISTS semantics)
+    from geobuf_ray.functions.join import anti_join
+
+    anti = anti_join(_ds(left, 2), _ds(right, 2), on="name",
+                     right_on="other", nbuckets=4).to_pandas()
+    assert sorted(anti["v"].tolist()) == [1, 3, 4]
+
+
+def test_setops_vs_duckdb(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.setops import except_distinct, \
+        intersect_distinct
+
+    rng = np.random.default_rng(9)
+    mk = lambda seed_off, n: pa.table({  # noqa: E731
+        "a": pa.array(pd.Series(rng.integers(0, 12, n)).mask(
+            rng.random(n) < 0.1), pa.int64()),
+        "b": pa.array(np.array(["x", "y", "z"])[rng.integers(0, 3, n)]),
+    })
+    left, right = mk(0, 900), mk(1, 700)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+
+    inter = intersect_distinct(_ds(left), _ds(right),
+                               nbuckets=4).to_pandas()
+    exp = con.execute("SELECT a, b FROM l INTERSECT "
+                      "SELECT a, b FROM r").fetchdf()
+    key = lambda df: sorted(  # noqa: E731
+        (("N" if pd.isna(a) else f"{int(a):05d}"), b) for a, b in df.values)
+    assert key(inter) == key(exp)
+
+    exc = except_distinct(_ds(left), _ds(right), nbuckets=4).to_pandas()
+    exp2 = con.execute("SELECT a, b FROM l EXCEPT "
+                       "SELECT a, b FROM r").fetchdf()
+    assert key(exc) == key(exp2)
+
+
+def test_moving_agg_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.window import moving_agg
+
+    rng = np.random.default_rng(4)
+    n = 6000
+    tbl = pa.table({
+        "u": pa.array(rng.integers(0, 250, n), pa.int64()),
+        "t": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(pd.Series(rng.integers(0, 100, n)).mask(
+            rng.random(n) < 0.05), pa.int64()),
+    })
+    out = moving_agg(ray.data.from_arrow(tbl).repartition(5), key="u",
+                     order="t", value="v", window=4).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute(
+        "SELECT u, t, v, COALESCE(SUM(v) OVER w, 0) AS mv_sum, "
+        "COUNT(*) OVER w AS mv_n FROM t WINDOW w AS (PARTITION BY u "
+        "ORDER BY t ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)").fetchdf()
+    cols = ["u", "t", "mv_sum", "mv_n"]
+    a = out.sort_values(["u", "t"]).reset_index(drop=True)[cols]
+    b = exp.sort_values(["u", "t"]).reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rank_window_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.window import rank_window
+
+    rng = np.random.default_rng(6)
+    n = 5000
+    tbl = pa.table({
+        "u": pa.array(rng.integers(0, 200, n), pa.int64()),
+        "s": pa.array(rng.integers(0, 12, n), pa.int64()),  # heavy ties
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    out = rank_window(ray.data.from_arrow(tbl).repartition(5), key="u",
+                      order="s").to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute(
+        "SELECT id, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk "
+        "FROM t WINDOW w AS (PARTITION BY u ORDER BY s)").fetchdf()
+    a = out.sort_values("id").reset_index(drop=True)
+    b = exp.sort_values("id").reset_index(drop=True)
+    assert (a["rnk"].values == b["rnk"].values).all()
+    assert (a["drnk"].values == b["drnk"].values).all()
