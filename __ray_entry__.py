@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rank_by_date": q.orders_rank_by_date,
         "orders_priority_intersect": q.orders_priority_intersect,
         "orders_priority_except": q.orders_priority_except,
+        "lineitem_rollup": q.lineitem_rollup,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
         "events_last_order_asof": q.events_last_order_asof,
@@ -310,6 +311,14 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT o_custkey, o_orderstatus FROM orders
             WHERE o_orderpriority = '2-HIGH'
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "events_distinct_users": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events

@@ -55,6 +55,7 @@ def __getattr__(name):
         "rank_window": ("geobuf_ray.functions.window", "rank_window"),
         "semi_join": ("geobuf_ray.functions.join", "semi_join"),
         "anti_join": ("geobuf_ray.functions.join", "anti_join"),
+        "rollup_agg": ("geobuf_ray.functions.agg", "rollup_agg"),
         "intersect_distinct": ("geobuf_ray.functions.setops",
                                "intersect_distinct"),
         "except_distinct": ("geobuf_ray.functions.setops",

@@ -1,0 +1,125 @@
+"""Distributed hierarchical aggregates (SQL GROUP BY ROLLUP).
+
+Shape (the one that survives 100 TB): every block first collapses to a
+per-block partial at the FINEST grouping level — from then on only
+(group, partial-sum) rows move.  One hash exchange makes the finest
+level exact and distributed; every coarser level re-aggregates the
+PREVIOUS level's output (cardinality shrinks monotonically), so no
+stage ever re-reads the input and the grand total reduces a
+|distinct(keys[0])|-row table.  Output matches SQL ROLLUP: one row set
+per level with the rolled-up key columns NULL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _group_sum(tbl: pa.Table, keys: list[str], vals: list[str],
+               out_schema: pa.Schema) -> pa.Table:
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        return out_schema.empty_table()
+    if keys:
+        g = tbl.group_by(keys).aggregate([(v, "sum") for v in vals])
+        g = g.rename_columns(keys + vals)
+    else:
+        cols = {v: pa.array([tbl[v].to_numpy(zero_copy_only=False).sum()])
+                for v in vals}
+        g = pa.table(cols)
+    return g.cast(pa.schema([out_schema.field(n)
+                             for n in g.column_names]))
+
+
+def rollup_agg(ds, keys: list[str], sums: dict[str, str], *,
+               count_col: str | None = "n_rows", nbuckets: int = 16,
+               schema: pa.Schema | None = None):
+    """SQL ``GROUP BY ROLLUP(keys...)``: sum aggregates at every key
+    prefix level plus the grand total, rolled-up key columns NULL.
+
+    ``sums`` maps output column name -> input column (summed).
+    ``count_col`` (if not None) adds a row count per group.  Integer
+    inputs stay int64, so results hash-match SQL.  Genuine NULL key
+    values are indistinguishable from rollup NULLs in the output (SQL
+    has GROUPING() for that; pick non-null keys when exactness of that
+    distinction matters).
+
+    Returns a Ray Dataset holding len(keys)+1 levels.
+    """
+    from .exchange import hash_exchange
+
+    key_list = list(keys)
+    out_vals = list(sums)
+    if schema is None:
+        in_schema = ds.schema()
+        types = dict(zip(in_schema.names, in_schema.types))
+    else:
+        types = {f.name: f.type for f in schema}
+
+    def sum_type(t: pa.DataType) -> pa.DataType:
+        return pa.int64() if pa.types.is_integer(t) else pa.float64()
+
+    full_fields = [(k, types[k]) for k in key_list]
+    full_fields += [(o, sum_type(types[c])) for o, c in sums.items()]
+    if count_col:
+        full_fields.append((count_col, pa.int64()))
+    out_schema = pa.schema(full_fields)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        work = {k: batch[k] for k in key_list}
+        for o, c in sums.items():
+            col = batch[c].combine_chunks()
+            if col.null_count:
+                col = col.fill_null(0)
+            work[o] = pa.array(col.to_numpy(zero_copy_only=False).astype(
+                np.int64 if pa.types.is_integer(col.type) else np.float64))
+        if count_col:
+            work[count_col] = pa.array(np.ones(batch.num_rows, np.int64))
+        return _group_sum(pa.table(work), key_list,
+                          out_vals + ([count_col] if count_col else []),
+                          out_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    vals = out_vals + ([count_col] if count_col else [])
+    # finest level: exact + distributed after one skinny exchange
+    finest = hash_exchange(
+        partials, nbuckets=nbuckets, on=key_list,
+        reduce_fn=lambda t: _group_sum(t, key_list, vals, out_schema),
+        schema=out_schema)
+
+    def with_nulls(level_keys: list[str]):
+        """Project a level's aggregate into the full ROLLUP schema."""
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for k in key_list:
+                cols[k] = batch[k] if k in level_keys else \
+                    pa.nulls(n, types[k])
+            for v in vals:
+                cols[v] = batch[v]
+            return pa.table(cols).cast(out_schema)
+        return fn
+
+    levels = [finest]
+    prev = finest
+    for i in range(len(key_list) - 1, -1, -1):
+        lk = key_list[:i]
+        lvl = hash_exchange(
+            prev, nbuckets=max(1, nbuckets // 4) if lk else 1,
+            on=lk or key_list[:1],
+            reduce_fn=lambda t, lk=lk: _group_sum(t, lk, vals, out_schema),
+            schema=None)
+        # each coarser level re-aggregates the previous one (cheap:
+        # cardinality shrinks), then pads the rolled-up keys with NULL
+        levels.append(lvl.map_batches(with_nulls(lk),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True))
+        prev = lvl
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

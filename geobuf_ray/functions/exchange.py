@@ -75,11 +75,16 @@ def _split_task(bucket_fn, nbuckets: int, *blocks):
     # erase every column and bucket_fn would KeyError on the key
     tbls = [t for t in tbls if t.num_columns > 0]
     if not tbls or all(t.num_rows == 0 for t in tbls):
-        empty = tbls[0] if tbls else pa.table({})
-        return tuple(empty.slice(0, 0) for _ in range(nbuckets))
+        empty = (tbls[0] if tbls else pa.table({})).slice(0, 0)
+        # num_returns=1 does NOT unpack a returned tuple: the single
+        # ref must hold the table itself
+        return empty if nbuckets == 1 else tuple(
+            empty for _ in range(nbuckets))
     tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
         tbls, promote_options="default")
     bucket, tbl = bucket_fn(tbl)
+    if nbuckets == 1:
+        return tbl.combine_chunks()
     order = np.argsort(bucket, kind="stable")
     tbl = tbl.take(pa.array(order, pa.int64()))
     bounds = np.searchsorted(bucket[order], np.arange(nbuckets + 1))
@@ -124,15 +129,21 @@ def _drive_splits(ds, bucket_fn, nbuckets: int, blocks_per_map: int,
     streaming: upstream stages execute with backpressure while we
     launch; the only barrier is the reduce (inherent to any shuffle)."""
     split = _split_task.options(num_returns=nbuckets, **remote_args)
+
+    def launch(blocks):
+        res = split.remote(bucket_fn, nbuckets, *blocks)
+        # num_returns=1 hands back a bare ObjectRef, not a list
+        return (res,) if nbuckets == 1 else res
+
     maps, pend = [], []
     for bundle in ds.iter_internal_ref_bundles():
         for bref, _meta in bundle.blocks:
             pend.append(bref)
             if len(pend) >= blocks_per_map:
-                maps.append(split.remote(bucket_fn, nbuckets, *pend))
+                maps.append(launch(pend))
                 pend = []
     if pend:
-        maps.append(split.remote(bucket_fn, nbuckets, *pend))
+        maps.append(launch(pend))
     return maps
 
 

@@ -903,6 +903,33 @@ def orders_priority_except(sf_dir: str):
                            nbuckets=8, schema=schema)
 
 
+def lineitem_rollup(sf_dir: str):
+    """SQL GROUP BY ROLLUP (functions/agg.rollup_agg): quantity sums
+    and row counts at (returnflag, linestatus), (returnflag), and
+    grand-total levels — blocks collapse to finest-level partials
+    first, each coarser level re-aggregates the previous one."""
+    import ray
+
+    from ..functions.agg import rollup_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "l_linestatus": batch["l_linestatus"],
+                         "qty": pa.array(qty)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return rollup_agg(ds, ["l_returnflag", "l_linestatus"],
+                      {"sum_qty": "qty"}, count_col="n_rows",
+                      schema=pa.schema([("l_returnflag", pa.string()),
+                                        ("l_linestatus", pa.string()),
+                                        ("qty", pa.int64())]))
+
+
 def events_distinct_users(sf_dir: str):
     """Exact distinct-user count (per-block distinct partial + driver
     union); the HLL sketch in functions/sketch.py is the
