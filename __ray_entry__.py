@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_intersect": q.orders_priority_intersect,
         "orders_priority_except": q.orders_priority_except,
         "lineitem_rollup": q.lineitem_rollup,
+        "orders_priority_hull": q.orders_priority_hull,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
         "events_last_order_asof": q.events_last_order_asof,
@@ -319,6 +320,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "orders_priority_hull": """
+            WITH t AS (
+                SELECT o_orderpriority AS grp,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_orderkey) AS rn,
+                       COUNT(*) OVER (PARTITION BY o_orderpriority)
+                           AS cnt
+                FROM orders)
+            SELECT grp, CAST(rn AS DOUBLE) AS x,
+                   CAST(rn * rn AS DOUBLE) AS y
+            FROM t
+            WHERE rn % 7 = 0 AND rn <= 7 * (cnt // 7)
+              AND 7 * (cnt // 7) >= 21
         """,
         "events_distinct_users": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events

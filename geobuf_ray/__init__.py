@@ -56,6 +56,9 @@ def __getattr__(name):
         "semi_join": ("geobuf_ray.functions.join", "semi_join"),
         "anti_join": ("geobuf_ray.functions.join", "anti_join"),
         "rollup_agg": ("geobuf_ray.functions.agg", "rollup_agg"),
+        "convex_hull": ("geobuf_ray.spatial.hull", "convex_hull"),
+        "convex_hull_points": ("geobuf_ray.spatial.hull",
+                               "convex_hull_points"),
         "intersect_distinct": ("geobuf_ray.functions.setops",
                                "intersect_distinct"),
         "except_distinct": ("geobuf_ray.functions.setops",

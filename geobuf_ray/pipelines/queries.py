@@ -930,6 +930,70 @@ def lineitem_rollup(sf_dir: str):
                                         ("qty", pa.int64())]))
 
 
+def orders_priority_hull(sf_dir: str):
+    """Distributed convex hull (spatial/hull.convex_hull: batched
+    QuickHull, per-block partial hulls then one skinny exchange of
+    hull candidates only), hash-checked against SQL via an
+    exact-answer corpus: per priority group, point rn -> (rn, rn^2)
+    for rn % 7 == 0 lies on a strictly convex parabola (every such
+    point IS a hull vertex), the rest sit exactly halfway between the
+    parabola and its end chord (strictly inside).  All coordinates are
+    integers in float64, so the expected hull is SQL-computable with
+    zero float ambiguity."""
+    import ray
+
+    from ..functions.exchange import grouped_exchange
+    from ..spatial.hull import convex_hull
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_orderkey"])
+
+    def build_points(group: pa.Table) -> pa.Table:
+        cnt = group.num_rows
+        m = 7 * (cnt // 7)
+        if m < 21:  # need >= 3 rim points for a non-degenerate hull
+            return pa.table({"grp": pa.array([], pa.string()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64())})
+        rn = np.arange(1, cnt + 1, dtype=np.float64)
+        keep = (rn >= 7) & (rn <= m)
+        rn = rn[keep]
+        rim = (rn % 7) == 0
+        x = rn
+        y_par = rn * rn
+        chord = 49.0 + (rn - 7.0) * (7.0 + m)
+        y = np.where(rim, y_par, (y_par + chord) * 0.5)
+        grp = group["o_orderpriority"][0].as_py()
+        return pa.table({"grp": pa.array([grp] * len(rn)),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pts = grouped_exchange(ds, "o_orderpriority", build_points,
+                           nbuckets=4)
+    hulls = convex_hull(pts, x="x", y="y", key="grp", nbuckets=4)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({"grp": pa.array([], pa.string()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64())})
+        from ..codec.schema import list_column_parts
+
+        flat, offs = list_column_parts(batch["hull"], np.float64)
+        sizes = np.diff(offs) // 2 - 1  # drop the closure vertex
+        gidx = np.repeat(np.arange(batch.num_rows), sizes)
+        vpos = (np.repeat(offs[:-1], sizes)
+                + 2 * (np.arange(int(sizes.sum()))
+                       - np.repeat(np.concatenate(
+                           ([0], np.cumsum(sizes)[:-1])), sizes)))
+        return pa.table({
+            "grp": batch["grp"].take(pa.array(gidx, pa.int64())),
+            "x": pa.array(flat[vpos]),
+            "y": pa.array(flat[vpos + 1])})
+
+    return hulls.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def events_distinct_users(sf_dir: str):
     """Exact distinct-user count (per-block distinct partial + driver
     union); the HLL sketch in functions/sketch.py is the
