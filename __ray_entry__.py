@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_decode_stats": q.images_decode_stats,
         "images_tile_counts": q.images_tile_counts,
         "images_in_rects": q.images_in_rects,
+        "images_footprint_overlap": q.images_footprint_overlap,
         "images_knn_s2": q.images_knn_s2,
         "images_resize": q.images_resize,
         "images_phash_pairs": q.images_phash_pairs,
@@ -711,6 +712,33 @@ def oracle_sql() -> dict[str, str]:
               AND lon <= (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0 + 0.005)
               AND lat >= (-85.0 + (s_suppkey * 53) % 160)
               AND lat <= (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005)
+        """,
+        # image footprints (centroid +- hash-seeded half-extents,
+        # clamped) x supplier rects: closed-interval overlap, same
+        # convention as rects_overlap_join
+        "images_footprint_overlap": f"""
+            {_img_pts_cte(300)}
+            , fp AS (
+                SELECT image_idx,
+                       CASE WHEN hot THEN 10.0 + u1 * 0.2
+                            ELSE -180.0 + u1 * 360.0 END AS lon,
+                       CASE WHEN hot THEN 50.0 + u2 * 0.2
+                            ELSE -85.0 + u2 * 170.0 END AS lat,
+                       0.25 + (hsh % 7) * 0.25 AS dw,
+                       0.25 + (hsh % 5) * 0.25 AS dh
+                FROM cent)
+            SELECT image_idx, s_suppkey
+            FROM fp, supplier
+            WHERE GREATEST(lon - dw, -179.9)
+                    <= (-180.0 + (s_suppkey * 37) % 300 + 5.0
+                        + (s_suppkey % 7) * 3.0 + 0.005)
+              AND LEAST(lon + dw, 179.9)
+                    >= (-180.0 + (s_suppkey * 37) % 300)
+              AND GREATEST(lat - dh, -84.9)
+                    <= (-85.0 + (s_suppkey * 53) % 160 + 4.0
+                        + (s_suppkey % 5) * 3.0 + 0.005)
+              AND LEAST(lat + dh, 84.9)
+                    >= (-85.0 + (s_suppkey * 53) % 160)
         """,
         # kNN customers -> image centroids on the S2 shuffle path; the
         # oracle recomputes the CRC centroids (same CTE) + haversine

@@ -173,12 +173,11 @@ def _crc32_table() -> np.ndarray:
 _CRC_TABLE = _crc32_table()
 
 
-def image_centroids(indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Batch :func:`image_centroid` for integer image indices.
-
-    Equal output to the scalar version (asserted in tests) but fully
-    vectorized: the ``img%012d`` id bytes form an (n, 15) digit matrix
-    and CRC-32 runs as 15 table-lookup rounds — no per-row Python."""
+def image_hash64(indices: np.ndarray) -> np.ndarray:
+    """CRC-32 of the ``img%012d`` id bytes as uint64 — the per-image
+    seed behind centroids and footprints, fully vectorized (the id
+    bytes form an (n, 15) digit matrix; CRC-32 runs as 15 table-lookup
+    rounds, no per-row Python)."""
     idx = np.ascontiguousarray(indices, np.int64)
     n = len(idx)
     mat = np.empty((n, 15), np.uint32)
@@ -190,7 +189,13 @@ def image_centroids(indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     crc = np.full(n, 0xFFFFFFFF, np.uint32)
     for j in range(15):
         crc = (crc >> np.uint32(8)) ^ _CRC_TABLE[(crc ^ mat[:, j]) & np.uint32(0xFF)]
-    hsh = (crc ^ np.uint32(0xFFFFFFFF)).astype(np.uint64)
+    return (crc ^ np.uint32(0xFFFFFFFF)).astype(np.uint64)
+
+
+def image_centroids(indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Batch :func:`image_centroid` for integer image indices (equal
+    output to the scalar version, asserted in tests)."""
+    hsh = image_hash64(indices)
     u1 = ((hsh * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) / 2**32
     u2 = ((hsh * np.uint64(40503)) & np.uint64(0xFFFFFFFF)) / 2**32
     hot = hsh % np.uint64(5) == 0

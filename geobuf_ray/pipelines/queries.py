@@ -2255,6 +2255,49 @@ def images_in_rects(sf_dir: str, zoom: int = 5):
     return joined.select_columns(["image_id", "polygon_id"])
 
 
+def images_footprint_overlap(sf_dir: str):
+    """Image FOOTPRINTS (rects derived from each image's centroid +
+    hash-seeded half-extents — the north_rule's "(w,h) footprints as
+    joinable spatial payloads") overlap-joined against supplier
+    rectangles through ``bbox_intersection_join`` (S2 cover co-group,
+    reference-point exactly-once).  Footprints build distributed in
+    ``map_batches``; hash-checked against the SQL interval-overlap
+    predicate over the same CRC-derived geometry."""
+    import ray
+
+    from ..io import images as im
+    from ..io.geojson import features_to_table
+    from ..spatial.join import bbox_intersection_join
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = ray.data.range(n)
+
+    def footprints(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy(zero_copy_only=False)
+        lon, lat = im.image_centroids(idx)
+        hsh = im.image_hash64(idx)
+        dw = 0.25 + (hsh % np.uint64(7)).astype(np.float64) * 0.25
+        dh = 0.25 + (hsh % np.uint64(5)).astype(np.float64) * 0.25
+        west = np.maximum(lon - dw, -179.9)
+        east = np.minimum(lon + dw, 179.9)
+        south = np.maximum(lat - dh, -84.9)
+        north = np.minimum(lat + dh, 84.9)
+        feats = [
+            {"type": "Feature", "id": int(i), "properties": {},
+             "geometry": {"type": "Polygon", "coordinates": [[
+                 [w, s], [e, s], [e, nn], [w, nn], [w, s]]]}}
+            for i, w, s, e, nn in zip(idx, west, south, east, north)
+        ]
+        return features_to_table(feats)
+
+    left = ds.map_batches(footprints, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = ray.data.from_arrow(supplier_rects(sf_dir))
+    out = bbox_intersection_join(left, right, level=5, nbuckets=32)
+    return out.rename_columns({"left_id": "image_idx",
+                               "right_id": "s_suppkey"})
+
+
 def images_pyramid(sf_dir: str, levels: int = 3):
     """Overview-pyramid build (raster tile-pyramid / mipmap shape):
     per-level row fan-out through the actor-pool pooling stage, then a
