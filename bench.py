@@ -243,14 +243,14 @@ def shuffle_pipeline(sf_dir: str, replicate: int = 1) -> int:
 
 
 def run_headline_shuffle(num_cpus: int) -> dict:
-    # replicate 96: the lo-cpu leg must run tens of seconds so fixed
-    # overheads (session/actor startup, shuffle setup) and co-tenant
-    # steal bursts don't dominate.  Measured at x12 the job was 4.4 s
-    # at 4 cpus and decomposed to ~0.9 s fixed + ~14 core-s of
-    # perfectly-scaling work — i.e. the 0.6 "efficiency" was the fixed
-    # term, not the shuffle; x96 (58M join rows) makes the work term
-    # ~110 core-s so the fixed term is <4% of the lo leg
-    replicate = int(os.environ.get("GRAFT_SHUFFLE_REPLICATE", "96"))
+    # replicate sizing: the lo-cpu leg must run tens of seconds so
+    # fixed overheads (session/actor startup, shuffle setup) and
+    # co-tenant steal bursts don't dominate.  x96 (58M join rows) was
+    # right for the round-2 join; after the round-3 grouped_exchange
+    # rewrite the join runs ~4x faster and the x96 lo leg dropped to
+    # ~9 s (fixed cost ~40% again), so the default is now x384 (230M
+    # join rows, lo leg ~70 s) — measured 0.928 efficiency calm
+    replicate = int(os.environ.get("GRAFT_SHUFFLE_REPLICATE", "384"))
     _init_ray(num_cpus)
     t0 = time.time()
     shuffle_pipeline(SF_DIR.replace("sf0.1", "sf0.01"), replicate=1)  # warm

@@ -133,11 +133,17 @@ def moving_agg(ds, *, key: str, order: str, value: str, window: int,
 
 
 def rank_window(ds, *, key: str, order: str, nbuckets: int = 64,
-                rank_col: str = "rnk", dense_col: str = "drnk"):
+                rank_col: str = "rnk", dense_col: str = "drnk",
+                percent: bool = False):
     """SQL ``RANK()`` and ``DENSE_RANK() OVER (PARTITION BY key ORDER
     BY order)`` in one pass: ties on ``order`` share a rank; RANK
     leaves gaps after a tie run, DENSE_RANK does not.  One lexsort per
-    bucket; both ranks fall out of the run-start positions."""
+    bucket; both ranks fall out of the run-start positions.
+
+    ``percent=True`` adds ``pct_rank`` (``PERCENT_RANK()`` =
+    (rank-1)/(n-1), 0 for single-row partitions) and ``cume_dist``
+    (``CUME_DIST()`` = rows-with-order<=current / n) — both are
+    deterministic under ties (unlike NTILE, deliberately omitted)."""
     from .exchange import hash_exchange
 
     def kernel(tbl: pa.Table) -> pa.Table:
@@ -145,8 +151,14 @@ def rank_window(ds, *, key: str, order: str, nbuckets: int = 64,
         if tbl.num_columns == 0:
             return pa.table({})
         if n == 0:
-            return (tbl.append_column(rank_col, pa.array([], pa.int64()))
-                    .append_column(dense_col, pa.array([], pa.int64())))
+            out = (tbl.append_column(rank_col, pa.array([], pa.int64()))
+                   .append_column(dense_col, pa.array([], pa.int64())))
+            if percent:
+                out = (out.append_column("pct_rank",
+                                         pa.array([], pa.float64()))
+                       .append_column("cume_dist",
+                                      pa.array([], pa.float64())))
+            return out
         codes = _key_codes(tbl, key)
         ov = _order_values(tbl, order)
         sel = np.lexsort((ov, codes))
@@ -167,8 +179,22 @@ def rank_window(ds, *, key: str, order: str, nbuckets: int = 64,
         rnk[sel] = rnk_sorted
         drnk = np.empty(n, np.int64)
         drnk[sel] = drnk_sorted
-        return (tbl.append_column(rank_col, pa.array(rnk))
-                .append_column(dense_col, pa.array(drnk)))
+        out = (tbl.append_column(rank_col, pa.array(rnk))
+               .append_column(dense_col, pa.array(drnk)))
+        if percent:
+            seg_n = np.repeat(seg_len, seg_len).astype(np.float64)
+            pct_sorted = np.where(seg_n > 1,
+                                  (rnk_sorted - 1) / np.maximum(
+                                      seg_n - 1, 1.0), 0.0)
+            run_end = np.repeat(pos[new_run] + run_len, run_len)
+            cume_sorted = (run_end - seg_start) / seg_n
+            pct = np.empty(n, np.float64)
+            pct[sel] = pct_sorted
+            cume = np.empty(n, np.float64)
+            cume[sel] = cume_sorted
+            out = (out.append_column("pct_rank", pa.array(pct))
+                   .append_column("cume_dist", pa.array(cume)))
+        return out
 
     return hash_exchange(ds, nbuckets=nbuckets, on=key,
                          reduce_fn=kernel, schema=None)

@@ -244,3 +244,32 @@ def test_rank_window_vs_duckdb(ray_session):
     b = exp.sort_values("id").reset_index(drop=True)
     assert (a["rnk"].values == b["rnk"].values).all()
     assert (a["drnk"].values == b["drnk"].values).all()
+
+
+def test_percent_rank_cume_dist_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.window import rank_window
+
+    rng = np.random.default_rng(8)
+    n = 3000
+    tbl = pa.table({
+        "u": pa.array(rng.integers(0, 150, n), pa.int64()),
+        "s": pa.array(rng.integers(0, 9, n), pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    out = rank_window(ray.data.from_arrow(tbl).repartition(4), key="u",
+                      order="s", percent=True).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute(
+        "SELECT id, PERCENT_RANK() OVER w AS pct_rank, "
+        "CUME_DIST() OVER w AS cume_dist "
+        "FROM t WINDOW w AS (PARTITION BY u ORDER BY s)").fetchdf()
+    a = out.sort_values("id").reset_index(drop=True)
+    b = exp.sort_values("id").reset_index(drop=True)
+    assert np.allclose(a["pct_rank"].values, b["pct_rank"].values,
+                       rtol=0, atol=0)
+    assert np.allclose(a["cume_dist"].values, b["cume_dist"].values,
+                       rtol=0, atol=0)
