@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_shipped": q.parts_never_shipped,
         "lineitem_moving_qty": q.lineitem_moving_qty,
         "orders_rank_by_date": q.orders_rank_by_date,
+        "lineitem_stratified_sample": q.lineitem_stratified_sample,
         "orders_priority_intersect": q.orders_priority_intersect,
         "orders_priority_except": q.orders_priority_except,
         "lineitem_rollup": q.lineitem_rollup,
@@ -299,6 +300,32 @@ def oracle_sql() -> dict[str, str]:
                    RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        """,
+        "lineitem_stratified_sample": """
+            WITH t AS (
+                SELECT l_partkey,
+                       (l_orderkey * 8 + l_linenumber) * 1000000000000
+                         + CAST(l_quantity AS BIGINT) * 100000000
+                         + CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS seq
+                FROM lineitem),
+            hs AS (
+                SELECT l_partkey, seq,
+                       CAST((CAST(seq % 4294967296 AS HUGEINT) * 2654435761
+                             + (seq // 4294967296) * 40503)
+                            % 4294967296 AS BIGINT) AS h1
+                FROM t),
+            h2 AS (SELECT l_partkey, seq, xor(h1, h1 // 65536) AS v
+                   FROM hs),
+            h3 AS (SELECT l_partkey, seq,
+                          CAST((CAST(v AS HUGEINT) * 2246822519)
+                               % 4294967296 AS BIGINT) AS v
+                   FROM h2),
+            hf AS (SELECT l_partkey, seq, xor(v, v // 8192) AS h
+                   FROM h3)
+            SELECT l_partkey, seq FROM hf
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                       ORDER BY h, seq) <= 3
         """,
         "orders_priority_intersect": """
             SELECT o_custkey, o_orderstatus FROM orders

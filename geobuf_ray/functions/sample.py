@@ -1,0 +1,79 @@
+"""Deterministic stratified sampling (fixed-n per group).
+
+The global hash sample (queries.orders_hash_sample) keeps a fixed
+FRACTION; training-data pipelines also need a fixed COUNT per group
+(per language, per source, per bucket) — the "balanced subset" op.
+Rows are ranked inside each group by a deterministic per-row hash, so
+the sample is reproducible across runs/chunkings and needs no
+coordination; one hash exchange on the group key, one lexsort + rank
+per bucket.
+
+The hash is a 32-bit multiplicative mix chosen to be exactly
+reproducible in SQL (all intermediate products < 2^64, so a DuckDB
+HUGEINT oracle can QUALIFY on the same ordering — see
+__ray_entry__.oracle_sql()["lineitem_stratified_sample"]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def sample_hash32(v: np.ndarray) -> np.ndarray:
+    """Deterministic 32-bit mix of non-negative int64 ids.
+
+    SQL equivalent (DuckDB, v >= 0)::
+
+        h1 = (v % 4294967296 * 2654435761 + v // 4294967296 * 40503)
+             % 4294967296
+        h2 = xor(h1, h1 // 65536)
+        h3 = (h2 * 2246822519) % 4294967296
+        h  = xor(h3, h3 // 8192)
+    """
+    u = v.astype(np.uint64)
+    lo = u & _M32
+    hi = u >> np.uint64(32)
+    h = (lo * np.uint64(2654435761) + hi * np.uint64(40503)) & _M32
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(2246822519)) & _M32
+    h ^= h >> np.uint64(13)
+    return h
+
+
+def stratified_sample(ds, *, key: str, id_col: str, n_per_key: int,
+                      nbuckets: int = 64):
+    """Keep the ``n_per_key`` rows of each ``key`` group that rank
+    first by ``(sample_hash32(id), id)`` — a deterministic, seedless,
+    chunking-independent per-group sample.  ``id_col`` must be a
+    non-negative integer id, unique per row for an exactly-n result
+    (ties on (hash, id) are impossible then)."""
+    from .exchange import hash_exchange
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if tbl.num_columns == 0:
+            return pa.table({})
+        if n == 0:
+            return tbl
+        kenc = tbl[key].combine_chunks().dictionary_encode()
+        codes = kenc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = tbl[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = sample_hash32(ids)
+        sel = np.lexsort((ids, h, codes))
+        cs = codes[sel]
+        new = np.concatenate(([True], cs[1:] != cs[:-1]))
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.repeat(pos[new], np.diff(np.append(
+            np.flatnonzero(new), n)))
+        keep_sorted = (pos - seg_start) < n_per_key
+        keep = np.zeros(n, bool)
+        keep[sel[keep_sorted]] = True
+        return tbl.filter(pa.array(keep))
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=None)

@@ -852,6 +852,36 @@ def lineitem_moving_qty(sf_dir: str):
                       window=4)
 
 
+def lineitem_stratified_sample(sf_dir: str, n_per_key: int = 3):
+    """Deterministic per-part stratified sample
+    (functions/sample.stratified_sample): 3 lineitems per part ranked
+    by a SQL-reproducible 32-bit hash of the injective row id —
+    seedless, chunking-independent, hash-checked via a QUALIFY
+    oracle over the identical mix."""
+    import ray
+
+    from ..functions.sample import stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_orderkey",
+                                        "l_linenumber", "l_quantity",
+                                        "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        base = (batch["l_orderkey"].to_numpy() * 8
+                + batch["l_linenumber"].to_numpy().astype(np.int64))
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        cents = np.round(batch["l_extendedprice"].to_numpy()
+                         * 100).astype(np.int64)
+        seq = base * 10**12 + qty * 10**8 + cents
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "seq": pa.array(seq)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return stratified_sample(ds, key="l_partkey", id_col="seq",
+                             n_per_key=n_per_key)
+
+
 def orders_rank_by_date(sf_dir: str):
     """RANK + DENSE_RANK per customer by order date
     (functions/window.rank_window): date ties share a rank, RANK

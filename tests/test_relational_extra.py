@@ -189,6 +189,33 @@ def test_moving_agg_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_stratified_sample_deterministic(ray_session):
+    import ray
+
+    from geobuf_ray.functions.sample import stratified_sample
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "id": pa.array(rng.permutation(10 * n)[:n].astype(np.int64)),
+        "v": pa.array(rng.normal(0, 1, n)),
+    })
+    ds = ray.data.from_arrow(tbl)
+    a = stratified_sample(ds.repartition(4), key="g", id_col="id",
+                          n_per_key=5, nbuckets=8).to_pandas()
+    # chunking-independent: different partitioning, same sample
+    b = stratified_sample(ds.repartition(9), key="g", id_col="id",
+                          n_per_key=5, nbuckets=3).to_pandas()
+    ka = a.sort_values(["g", "id"]).reset_index(drop=True)
+    kb = b.sort_values(["g", "id"]).reset_index(drop=True)
+    assert (ka[["g", "id"]].values == kb[["g", "id"]].values).all()
+    cnt = a.groupby("g").size()
+    full = tbl.to_pandas().groupby("g").size()
+    assert (cnt == np.minimum(full.loc[cnt.index], 5)).all()
+    assert set(cnt.index) == set(full.index)
+
+
 def test_rollup_agg_vs_duckdb(ray_session):
     import duckdb
     import ray
