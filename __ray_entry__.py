@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_intersect": q.orders_priority_intersect,
         "orders_priority_except": q.orders_priority_except,
         "lineitem_rollup": q.lineitem_rollup,
+        "lineitem_cube": q.lineitem_cube,
+        "orders_grouping_sets": q.orders_grouping_sets,
         "orders_priority_hull": q.orders_priority_hull,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
@@ -348,6 +350,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "lineitem_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "orders_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), (o_orderpriority))
         """,
         "orders_priority_hull": """
             WITH t AS (

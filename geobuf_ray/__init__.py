@@ -56,6 +56,9 @@ def __getattr__(name):
         "semi_join": ("geobuf_ray.functions.join", "semi_join"),
         "anti_join": ("geobuf_ray.functions.join", "anti_join"),
         "rollup_agg": ("geobuf_ray.functions.agg", "rollup_agg"),
+        "cube_agg": ("geobuf_ray.functions.agg", "cube_agg"),
+        "grouping_sets_agg": ("geobuf_ray.functions.agg",
+                              "grouping_sets_agg"),
         "stratified_sample": ("geobuf_ray.functions.sample",
                               "stratified_sample"),
         "convex_hull": ("geobuf_ray.spatial.hull", "convex_hull"),

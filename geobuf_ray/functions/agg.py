@@ -1,13 +1,16 @@
-"""Distributed hierarchical aggregates (SQL GROUP BY ROLLUP).
+"""Distributed hierarchical aggregates (SQL GROUP BY ROLLUP / CUBE /
+GROUPING SETS).
 
 Shape (the one that survives 100 TB): every block first collapses to a
 per-block partial at the FINEST grouping level — from then on only
 (group, partial-sum) rows move.  One hash exchange makes the finest
-level exact and distributed; every coarser level re-aggregates the
-PREVIOUS level's output (cardinality shrinks monotonically), so no
+level exact and distributed; every coarser grouping re-aggregates an
+ALREADY-AGGREGATED level (cardinality shrinks monotonically), so no
 stage ever re-reads the input and the grand total reduces a
-|distinct(keys[0])|-row table.  Output matches SQL ROLLUP: one row set
-per level with the rolled-up key columns NULL.
+|distinct(keys)|-row table.  ROLLUP chains each level off the previous
+one; GROUPING SETS / CUBE compute each requested set off the finest
+level.  Output matches SQL: one row set per grouping with the
+rolled-up key columns NULL.
 """
 
 from __future__ import annotations
@@ -19,7 +22,10 @@ import pyarrow as pa
 def _group_sum(tbl: pa.Table, keys: list[str], vals: list[str],
                out_schema: pa.Schema) -> pa.Table:
     if tbl.num_rows == 0 or tbl.num_columns == 0:
-        return out_schema.empty_table()
+        # project to THIS level's columns — a full-schema empty table
+        # would mismatch the non-empty buckets of a coarser level
+        return pa.schema([out_schema.field(n)
+                          for n in list(keys) + list(vals)]).empty_table()
     if keys:
         g = tbl.group_by(keys).aggregate([(v, "sum") for v in vals])
         g = g.rename_columns(keys + vals)
@@ -31,24 +37,13 @@ def _group_sum(tbl: pa.Table, keys: list[str], vals: list[str],
                              for n in g.column_names]))
 
 
-def rollup_agg(ds, keys: list[str], sums: dict[str, str], *,
-               count_col: str | None = "n_rows", nbuckets: int = 16,
-               schema: pa.Schema | None = None):
-    """SQL ``GROUP BY ROLLUP(keys...)``: sum aggregates at every key
-    prefix level plus the grand total, rolled-up key columns NULL.
-
-    ``sums`` maps output column name -> input column (summed).
-    ``count_col`` (if not None) adds a row count per group.  Integer
-    inputs stay int64, so results hash-match SQL.  Genuine NULL key
-    values are indistinguishable from rollup NULLs in the output (SQL
-    has GROUPING() for that; pick non-null keys when exactness of that
-    distinction matters).
-
-    Returns a Ray Dataset holding len(keys)+1 levels.
-    """
+def _finest_level(ds, key_list: list[str], sums: dict[str, str],
+                  count_col: str | None, nbuckets: int,
+                  schema: pa.Schema | None):
+    """Per-block partials at the finest grouping, then one skinny
+    exchange: returns (finest Dataset, out_schema, types, vals)."""
     from .exchange import hash_exchange
 
-    key_list = list(keys)
     out_vals = list(sums)
     if schema is None:
         in_schema = ds.schema()
@@ -84,24 +79,51 @@ def rollup_agg(ds, keys: list[str], sums: dict[str, str], *,
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     vals = out_vals + ([count_col] if count_col else [])
-    # finest level: exact + distributed after one skinny exchange
     finest = hash_exchange(
         partials, nbuckets=nbuckets, on=key_list,
         reduce_fn=lambda t: _group_sum(t, key_list, vals, out_schema),
         schema=out_schema)
+    return finest, out_schema, types, vals
+
+
+def _null_pad(key_list: list[str], level_keys: list[str], vals: list[str],
+              types: dict, out_schema: pa.Schema):
+    """Project one grouping's aggregate into the full output schema
+    (absent key columns become NULL, SQL ROLLUP/CUBE style)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for k in key_list:
+            cols[k] = batch[k] if k in level_keys else pa.nulls(n, types[k])
+        for v in vals:
+            cols[v] = batch[v]
+        return pa.table(cols).cast(out_schema)
+    return fn
+
+
+def rollup_agg(ds, keys: list[str], sums: dict[str, str], *,
+               count_col: str | None = "n_rows", nbuckets: int = 16,
+               schema: pa.Schema | None = None):
+    """SQL ``GROUP BY ROLLUP(keys...)``: sum aggregates at every key
+    prefix level plus the grand total, rolled-up key columns NULL.
+
+    ``sums`` maps output column name -> input column (summed).
+    ``count_col`` (if not None) adds a row count per group.  Integer
+    inputs stay int64, so results hash-match SQL.  Genuine NULL key
+    values are indistinguishable from rollup NULLs in the output (SQL
+    has GROUPING() for that; pick non-null keys when exactness of that
+    distinction matters).
+
+    Returns a Ray Dataset holding len(keys)+1 levels.
+    """
+    from .exchange import hash_exchange
+
+    key_list = list(keys)
+    finest, out_schema, types, vals = _finest_level(
+        ds, key_list, sums, count_col, nbuckets, schema)
 
     def with_nulls(level_keys: list[str]):
-        """Project a level's aggregate into the full ROLLUP schema."""
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            cols = {}
-            for k in key_list:
-                cols[k] = batch[k] if k in level_keys else \
-                    pa.nulls(n, types[k])
-            for v in vals:
-                cols[v] = batch[v]
-            return pa.table(cols).cast(out_schema)
-        return fn
+        return _null_pad(key_list, level_keys, vals, types, out_schema)
 
     levels = [finest]
     prev = finest
@@ -123,3 +145,68 @@ def rollup_agg(ds, keys: list[str], sums: dict[str, str], *,
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def grouping_sets_agg(ds, sets: list[list[str]], sums: dict[str, str], *,
+                      count_col: str | None = "n_rows", nbuckets: int = 16,
+                      schema: pa.Schema | None = None):
+    """SQL ``GROUP BY GROUPING SETS(sets...)``: one aggregate row set
+    per requested key combination, absent key columns NULL.
+
+    The input is read ONCE: block partials collapse to the finest
+    grouping (the ordered union of all set columns), one skinny
+    exchange makes that exact, and every requested set re-aggregates
+    the finest table (already tiny — |distinct groups| rows).  The
+    finest set itself, when requested, is emitted without a second
+    exchange.  Same NULL/typing semantics as :func:`rollup_agg`;
+    duplicate sets emit duplicate row sets, as in SQL.
+    """
+    from .exchange import hash_exchange
+
+    set_lists = [list(s) for s in sets]
+    key_list: list[str] = []
+    for s in set_lists:
+        for k in s:
+            if k not in key_list:
+                key_list.append(k)
+    for s in set_lists:
+        if len(set(s)) != len(s):
+            raise ValueError(f"duplicate column in grouping set {s}")
+
+    finest, out_schema, types, vals = _finest_level(
+        ds, key_list, sums, count_col, nbuckets, schema)
+
+    pieces = []
+    for s in set_lists:
+        if len(s) == len(key_list):
+            # column ORDER inside a set doesn't change the grouping
+            pieces.append(finest)
+            continue
+        lvl = hash_exchange(
+            finest, nbuckets=max(1, nbuckets // 4) if s else 1,
+            on=s or key_list[:1],
+            reduce_fn=lambda t, s=s: _group_sum(t, s, vals, out_schema),
+            schema=None)
+        pieces.append(lvl.map_batches(
+            _null_pad(key_list, s, vals, types, out_schema),
+            batch_format="pyarrow", zero_copy_batch=True))
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out
+
+
+def cube_agg(ds, keys: list[str], sums: dict[str, str], *,
+             count_col: str | None = "n_rows", nbuckets: int = 16,
+             schema: pa.Schema | None = None):
+    """SQL ``GROUP BY CUBE(keys...)``: all 2^len(keys) grouping sets
+    (finest computed once from the input; every other set
+    re-aggregates it)."""
+    from itertools import combinations
+
+    key_list = list(keys)
+    sets = [list(c) for r in range(len(key_list), -1, -1)
+            for c in combinations(key_list, r)]
+    return grouping_sets_agg(ds, sets, sums, count_col=count_col,
+                             nbuckets=nbuckets, schema=schema)

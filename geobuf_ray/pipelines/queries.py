@@ -960,6 +960,64 @@ def lineitem_rollup(sf_dir: str):
                                         ("qty", pa.int64())]))
 
 
+def lineitem_cube(sf_dir: str):
+    """SQL GROUP BY CUBE (functions/agg.cube_agg): quantity sums and
+    row counts at all four groupings of (returnflag, linestatus) —
+    finest level aggregated once from the input, the other three sets
+    re-aggregate that tiny table."""
+    import ray
+
+    from ..functions.agg import cube_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "l_linestatus": batch["l_linestatus"],
+                         "qty": pa.array(qty)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return cube_agg(ds, ["l_returnflag", "l_linestatus"],
+                    {"sum_qty": "qty"}, count_col="n_rows",
+                    schema=pa.schema([("l_returnflag", pa.string()),
+                                      ("l_linestatus", pa.string()),
+                                      ("qty", pa.int64())]))
+
+
+def orders_grouping_sets(sf_dir: str):
+    """SQL GROUP BY GROUPING SETS (functions/agg.grouping_sets_agg):
+    order-count + total-price aggregates at (status, priority),
+    (status) and (priority) — the non-hierarchical shape ROLLUP can't
+    express (priority-only is not a prefix of the finest set)."""
+    import ray
+
+    from ..functions.agg import grouping_sets_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderstatus", "o_orderpriority",
+                                        "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["o_totalprice"].to_numpy()
+                         * 100).astype(np.int64)
+        return pa.table({"o_orderstatus": batch["o_orderstatus"],
+                         "o_orderpriority": batch["o_orderpriority"],
+                         "cents": pa.array(cents)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouping_sets_agg(
+        ds,
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
+         ["o_orderpriority"]],
+        {"sum_price_cents": "cents"}, count_col="n_orders",
+        schema=pa.schema([("o_orderstatus", pa.string()),
+                          ("o_orderpriority", pa.string()),
+                          ("cents", pa.int64())]))
+
+
 def orders_priority_hull(sf_dir: str):
     """Distributed convex hull (spatial/hull.convex_hull: batched
     QuickHull, per-block partial hulls then one skinny exchange of

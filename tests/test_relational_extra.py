@@ -247,6 +247,51 @@ def test_rollup_agg_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_grouping_sets_cube_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.agg import cube_agg, grouping_sets_agg
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    tbl = pa.table({
+        "a": pa.array(np.array(["p", "q", "r"])[rng.integers(0, 3, n)]),
+        "b": pa.array(rng.integers(0, 4, n), pa.int64()),
+        "v": pa.array(pd.Series(rng.integers(0, 50, n)).mask(
+            rng.random(n) < 0.08), pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    con = duckdb.connect()
+    con.register("t", tbl)
+
+    canon = lambda df: df.assign(  # noqa: E731
+        a=df["a"].fillna("<T>"), b=df["b"].fillna(-1).astype(int)
+    ).sort_values(["a", "b", "sv", "cnt"]).reset_index(drop=True)[
+        ["a", "b", "sv", "cnt"]]
+
+    out = cube_agg(ds, ["a", "b"], {"sv": "v"}, count_col="cnt",
+                   nbuckets=4).to_pandas()
+    exp = con.execute(
+        "SELECT a, b, CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sv, "
+        "COUNT(*) AS cnt FROM t GROUP BY CUBE(a, b)").fetchdf()
+    a, b = canon(out), canon(exp)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # non-hierarchical sets (b-only is not a prefix) + duplicate set
+    out = grouping_sets_agg(ds, [["b"], ["a", "b"], ["b"]],
+                            {"sv": "v"}, count_col="cnt",
+                            nbuckets=4).to_pandas()
+    exp = con.execute(
+        "SELECT a, b, CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sv, "
+        "COUNT(*) AS cnt FROM t "
+        "GROUP BY GROUPING SETS ((b), (a, b), (b))").fetchdf()
+    a, b = canon(out), canon(exp)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_rank_window_vs_duckdb(ray_session):
     import duckdb
     import ray
