@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": q.lineitem_rollup,
         "lineitem_cube": q.lineitem_cube,
         "orders_grouping_sets": q.orders_grouping_sets,
+        "orders_pivot_status": q.orders_pivot_status,
         "orders_priority_hull": q.orders_priority_hull,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
@@ -367,6 +368,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                     (o_orderstatus), (o_orderpriority))
+        """,
+        "orders_pivot_status": """
+            SELECT o_orderpriority,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       END), 0) AS BIGINT) AS cents_F,
+                   COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                       AS cents_F_n,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       END), 0) AS BIGINT) AS cents_O,
+                   COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                       AS cents_O_n,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       END), 0) AS BIGINT) AS cents_P,
+                   COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+                       AS cents_P_n
+            FROM orders GROUP BY o_orderpriority
         """,
         "orders_priority_hull": """
             WITH t AS (

@@ -57,6 +57,7 @@ def __getattr__(name):
         "anti_join": ("geobuf_ray.functions.join", "anti_join"),
         "rollup_agg": ("geobuf_ray.functions.agg", "rollup_agg"),
         "cube_agg": ("geobuf_ray.functions.agg", "cube_agg"),
+        "pivot_agg": ("geobuf_ray.functions.agg", "pivot_agg"),
         "grouping_sets_agg": ("geobuf_ray.functions.agg",
                               "grouping_sets_agg"),
         "stratified_sample": ("geobuf_ray.functions.sample",

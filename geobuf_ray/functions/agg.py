@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _group_sum(tbl: pa.Table, keys: list[str], vals: list[str],
@@ -195,6 +196,93 @@ def grouping_sets_agg(ds, sets: list[list[str]], sums: dict[str, str], *,
     for p in pieces[1:]:
         out = out.union(p)
     return out
+
+
+def pivot_agg(ds, *, index: str, pivot: str, value: str,
+              values: list, prefix: str = "", count_suffix: str | None = None,
+              nbuckets: int = 16, schema: pa.Schema | None = None):
+    """SQL ``PIVOT`` (crosstab): one output row per ``index`` value,
+    one SUM column per entry of ``values`` (the static pivot-column
+    domain, as SQL PIVOT requires), named ``f"{prefix}{v}"``.  Missing
+    (index, pivot) cells are 0, matching
+    ``COALESCE(SUM(CASE WHEN pivot = v THEN value END), 0)``.
+    ``count_suffix`` additionally emits ``f"{prefix}{v}{count_suffix}"``
+    row counts per cell.  Rows whose pivot value is outside ``values``
+    are dropped (SQL PIVOT ... IN does the same).
+
+    Scale shape: blocks collapse to skinny (index, pivot, sum, cnt)
+    partials, ONE hash exchange on ``index``, and the per-bucket reduce
+    widens with a numpy scatter — the wide table never moves.
+    """
+    from .exchange import hash_exchange
+
+    vlist = list(values)
+    if len(set(map(str, vlist))) != len(vlist):
+        raise ValueError("duplicate pivot values")
+    if schema is None:
+        in_schema = ds.schema()
+        types = dict(zip(in_schema.names, in_schema.types))
+    else:
+        types = {f.name: f.type for f in schema}
+    vt = types[value]
+    sum_np = np.int64 if pa.types.is_integer(vt) else np.float64
+    sum_pa = pa.int64() if pa.types.is_integer(vt) else pa.float64()
+
+    part_schema = pa.schema([("__idx", types[index]), ("__piv", types[pivot]),
+                             ("__sum", sum_pa), ("__cnt", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        col = batch[value].combine_chunks()
+        if col.null_count:
+            col = col.fill_null(0)
+        t = pa.table({"__idx": batch[index], "__piv": batch[pivot],
+                      "__sum": pa.array(col.to_numpy(
+                          zero_copy_only=False).astype(sum_np)),
+                      "__cnt": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["__idx", "__piv"]).aggregate(
+            [("__sum", "sum"), ("__cnt", "sum")])
+        return g.rename_columns(["__idx", "__piv", "__sum", "__cnt"]) \
+                .cast(part_schema)
+
+    out_fields = [(index, types[index])]
+    for v in vlist:
+        out_fields.append((f"{prefix}{v}", sum_pa))
+        if count_suffix:
+            out_fields.append((f"{prefix}{v}{count_suffix}", pa.int64()))
+    out_schema = pa.schema(out_fields)
+    pv_arr = pa.array(vlist).cast(types[pivot])
+
+    def widen(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        # pivot code = position in the static values list (-1 = drop)
+        pcode = pc.index_in(tbl["__piv"].combine_chunks(),
+                            value_set=pv_arr).fill_null(-1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pcode >= 0
+        ienc = tbl["__idx"].combine_chunks().dictionary_encode()
+        icode = ienc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nidx = len(ienc.dictionary)
+        sums = np.zeros((nidx, len(vlist)), sum_np)
+        cnts = np.zeros((nidx, len(vlist)), np.int64)
+        flat = icode[keep] * len(vlist) + pcode[keep]
+        np.add.at(sums.reshape(-1), flat,
+                  tbl["__sum"].to_numpy(zero_copy_only=False)[keep])
+        np.add.at(cnts.reshape(-1), flat,
+                  tbl["__cnt"].to_numpy(zero_copy_only=False)[keep])
+        cols = {index: ienc.dictionary}
+        for j, v in enumerate(vlist):
+            cols[f"{prefix}{v}"] = pa.array(sums[:, j])
+            if count_suffix:
+                cols[f"{prefix}{v}{count_suffix}"] = pa.array(cnts[:, j])
+        return pa.table(cols).cast(out_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_exchange(partials, nbuckets=nbuckets, on="__idx",
+                         reduce_fn=widen, schema=out_schema)
 
 
 def cube_agg(ds, keys: list[str], sums: dict[str, str], *,

@@ -987,6 +987,35 @@ def lineitem_cube(sf_dir: str):
                                       ("qty", pa.int64())]))
 
 
+def orders_pivot_status(sf_dir: str):
+    """SQL PIVOT / crosstab (functions/agg.pivot_agg): one row per
+    order priority, one total-price-cents sum + order count column per
+    order status — skinny (index, pivot, partial) rows through the
+    exchange, the wide table is only ever per-bucket output."""
+    import ray
+
+    from ..functions.agg import pivot_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_orderstatus",
+                                        "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["o_totalprice"].to_numpy()
+                         * 100).astype(np.int64)
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "o_orderstatus": batch["o_orderstatus"],
+                         "cents": pa.array(cents)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return pivot_agg(ds, index="o_orderpriority", pivot="o_orderstatus",
+                     value="cents", values=["F", "O", "P"],
+                     prefix="cents_", count_suffix="_n",
+                     schema=pa.schema([("o_orderpriority", pa.string()),
+                                       ("o_orderstatus", pa.string()),
+                                       ("cents", pa.int64())]))
+
+
 def orders_grouping_sets(sf_dir: str):
     """SQL GROUP BY GROUPING SETS (functions/agg.grouping_sets_agg):
     order-count + total-price aggregates at (status, priority),

@@ -292,6 +292,41 @@ def test_grouping_sets_cube_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_pivot_agg_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.agg import pivot_agg
+
+    rng = np.random.default_rng(14)
+    n = 6000
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 50, n), pa.int64()),
+        # includes a value OUTSIDE the pivot list ("z" -> dropped)
+        "p": pa.array(np.array(["x", "y", "z"])[rng.integers(0, 3, n)]),
+        "v": pa.array(pd.Series(rng.integers(0, 100, n)).mask(
+            rng.random(n) < 0.05), pa.int64()),
+    })
+    out = pivot_agg(ray.data.from_arrow(tbl).repartition(5),
+                    index="g", pivot="p", value="v", values=["x", "y"],
+                    prefix="v_", count_suffix="_n",
+                    nbuckets=4).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute("""
+        SELECT g,
+               CAST(COALESCE(SUM(CASE WHEN p='x' THEN COALESCE(v,0) END), 0)
+                    AS BIGINT) AS v_x,
+               COUNT(CASE WHEN p='x' THEN 1 END) AS v_x_n,
+               CAST(COALESCE(SUM(CASE WHEN p='y' THEN COALESCE(v,0) END), 0)
+                    AS BIGINT) AS v_y,
+               COUNT(CASE WHEN p='y' THEN 1 END) AS v_y_n
+        FROM t GROUP BY g""").fetchdf()
+    a = out.sort_values("g").reset_index(drop=True)
+    b = exp.sort_values("g").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_rank_window_vs_duckdb(ray_session):
     import duckdb
     import ray
