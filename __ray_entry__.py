@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": q.lineitem_cube,
         "orders_grouping_sets": q.orders_grouping_sets,
         "orders_pivot_status": q.orders_pivot_status,
+        "lineitem_qty_moments": q.lineitem_qty_moments,
+        "lineitem_unpivot_sums": q.lineitem_unpivot_sums,
         "orders_priority_hull": q.orders_priority_hull,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
@@ -387,6 +389,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)
                        AS cents_P_n
             FROM orders GROUP BY o_orderpriority
+        """,
+        "lineitem_qty_moments": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sum_v,
+                   CAST(SUM(q * q) AS BIGINT) AS sumsq_v,
+                   CAST(MIN(q) AS BIGINT) AS min_v,
+                   CAST(MAX(q) AS BIGINT) AS max_v,
+                   CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS BIGINT)
+                       AS var_num
+            FROM (SELECT l_returnflag,
+                         CAST(round(l_quantity) AS BIGINT) AS q
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        """,
+        "lineitem_unpivot_sums": """
+            WITH long AS (
+                SELECT l_returnflag, 'qty' AS measure,
+                       CAST(round(l_quantity) AS BIGINT) AS value
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'cents',
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'disc_bp',
+                       CAST(round(l_discount * 10000) AS BIGINT)
+                FROM lineitem)
+            SELECT l_returnflag, measure,
+                   CAST(SUM(value) AS BIGINT) AS sum_value,
+                   COUNT(*) AS n_rows
+            FROM long GROUP BY l_returnflag, measure
         """,
         "orders_priority_hull": """
             WITH t AS (

@@ -58,6 +58,8 @@ def __getattr__(name):
         "rollup_agg": ("geobuf_ray.functions.agg", "rollup_agg"),
         "cube_agg": ("geobuf_ray.functions.agg", "cube_agg"),
         "pivot_agg": ("geobuf_ray.functions.agg", "pivot_agg"),
+        "moments_agg": ("geobuf_ray.functions.agg", "moments_agg"),
+        "unpivot": ("geobuf_ray.functions.agg", "unpivot"),
         "grouping_sets_agg": ("geobuf_ray.functions.agg",
                               "grouping_sets_agg"),
         "stratified_sample": ("geobuf_ray.functions.sample",

@@ -285,6 +285,153 @@ def pivot_agg(ds, *, index: str, pivot: str, value: str,
                          reduce_fn=widen, schema=out_schema)
 
 
+def moments_agg(ds, keys: list[str], value: str, *,
+                nbuckets: int = 16, schema: pa.Schema | None = None,
+                exact_only: bool = False):
+    """Distributed second-moment aggregate: per group emits ``n``,
+    ``sum_v``, ``sumsq_v``, ``min_v``, ``max_v`` and the EXACT integer
+    variance numerator ``var_num = n*sumsq - sum^2`` (population
+    variance = var_num / n^2; sample variance = var_num / (n*(n-1))).
+    For integer inputs every emitted column is exact int64 arithmetic —
+    bit-identical to the same SQL expressions, so results hash-check
+    against an oracle with no float tolerance.  Unless ``exact_only``,
+    float ``mean`` / ``stddev_samp`` convenience columns are appended
+    (computed from the exact numerators in one final map).
+
+    Scale shape: each block collapses to one partial row per group
+    (five scalars), partials re-merge per hash bucket (sum/sum/sum/
+    min/max are all associative) — classic numerically-safe parallel
+    variance without ever shipping raw rows.
+    """
+    from .exchange import hash_exchange
+
+    key_list = list(keys)
+    if schema is None:
+        in_schema = ds.schema()
+        types = dict(zip(in_schema.names, in_schema.types))
+    else:
+        types = {f.name: f.type for f in schema}
+    vt = types[value]
+    is_int = pa.types.is_integer(vt)
+    acc_np = np.int64 if is_int else np.float64
+    acc_pa = pa.int64() if is_int else pa.float64()
+
+    part_schema = pa.schema(
+        [(k, types[k]) for k in key_list]
+        + [("n", pa.int64()), ("sum_v", acc_pa), ("sumsq_v", acc_pa),
+           ("min_v", acc_pa), ("max_v", acc_pa)])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        col = batch[value].combine_chunks()
+        valid = np.ones(len(col), bool)
+        if col.null_count:
+            valid = ~col.is_null().to_numpy(zero_copy_only=False)
+        v = col.to_numpy(zero_copy_only=False).astype(acc_np)
+        t = pa.table({**{k: batch[k] for k in key_list},
+                      "n": pa.array(valid.astype(np.int64)),
+                      "sum_v": pa.array(np.where(valid, v, 0)),
+                      "sumsq_v": pa.array(np.where(valid, v * v, 0)),
+                      # NULL rows must not touch min/max
+                      "min_v": pa.array(np.where(valid, v, 0),
+                                        mask=~valid),
+                      "max_v": pa.array(np.where(valid, v, 0),
+                                        mask=~valid)})
+        g = t.group_by(key_list).aggregate(
+            [("n", "sum"), ("sum_v", "sum"), ("sumsq_v", "sum"),
+             ("min_v", "min"), ("max_v", "max")])
+        return g.rename_columns(part_schema.names).cast(part_schema)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return part_schema.empty_table()
+        g = tbl.group_by(key_list).aggregate(
+            [("n", "sum"), ("sum_v", "sum"), ("sumsq_v", "sum"),
+             ("min_v", "min"), ("max_v", "max")])
+        return g.rename_columns(part_schema.names).cast(part_schema)
+
+    out_fields = list(part_schema) + [pa.field("var_num", acc_pa)]
+    if not exact_only:
+        out_fields += [pa.field("mean", pa.float64()),
+                       pa.field("stddev_samp", pa.float64())]
+    out_schema = pa.schema(out_fields)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        s = batch["sum_v"].to_numpy(zero_copy_only=False)
+        ss = batch["sumsq_v"].to_numpy(zero_copy_only=False)
+        if is_int and (np.any(np.abs(ss).max(initial=0) > 2**62 // max(
+                int(n.max(initial=1)), 1))):
+            raise OverflowError("moments_agg: n*sumsq exceeds int64; "
+                                "pre-scale the value column")
+        var_num = n * ss - s * s
+        cols = {f.name: batch[f.name] for f in part_schema}
+        cols["var_num"] = pa.array(var_num.astype(acc_np))
+        if not exact_only:
+            nf = n.astype(np.float64)
+            cols["mean"] = pa.array(
+                np.divide(s, nf, out=np.full(len(nf), np.nan),
+                          where=n > 0))
+            denom = nf * (nf - 1.0)
+            cols["stddev_samp"] = pa.array(np.sqrt(np.divide(
+                var_num.astype(np.float64), denom,
+                out=np.full(len(nf), np.nan), where=n > 1)))
+        return pa.table(cols).cast(out_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = hash_exchange(partials, nbuckets=nbuckets, on=key_list,
+                           reduce_fn=merge, schema=part_schema)
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            var_name: str = "measure", value_name: str = "value",
+            schema: pa.Schema | None = None):
+    """SQL ``UNPIVOT`` (melt): wide -> long.  Each input row becomes
+    ``len(value_cols)`` rows carrying (id_cols..., measure-name,
+    value).  NULL cells are dropped, matching SQL UNPIVOT's default
+    EXCLUDE NULLS.  Values are cast to a common type (int64 if all
+    value columns are integers, else float64).
+
+    Pure per-batch map — no shuffle; the long table is produced
+    block-local and streams straight into whatever consumes it.
+    """
+    if schema is None:
+        in_schema = ds.schema()
+        types = dict(zip(in_schema.names, in_schema.types))
+    else:
+        types = {f.name: f.type for f in schema}
+    all_int = all(pa.types.is_integer(types[c]) for c in value_cols)
+    out_vt = pa.int64() if all_int else pa.float64()
+    out_schema = pa.schema([(c, types[c]) for c in id_cols]
+                           + [(var_name, pa.string()),
+                              (value_name, out_vt)])
+
+    def melt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        parts = []
+        ids = [batch[c] for c in id_cols]
+        for c in value_cols:
+            col = batch[c].cast(out_vt)
+            t = pa.table({**dict(zip(id_cols, ids)),
+                          var_name: pa.nulls(batch.num_rows,
+                                             pa.string()).fill_null(c),
+                          value_name: col})
+            if col.null_count:
+                t = t.filter(pc.is_valid(t[value_name]))
+            parts.append(t)
+        return pa.concat_tables(parts).cast(out_schema)
+
+    return ds.map_batches(melt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def cube_agg(ds, keys: list[str], sums: dict[str, str], *,
              count_col: str | None = "n_rows", nbuckets: int = 16,
              schema: pa.Schema | None = None):

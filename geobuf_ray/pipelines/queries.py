@@ -1016,6 +1016,68 @@ def orders_pivot_status(sf_dir: str):
                                        ("cents", pa.int64())]))
 
 
+def lineitem_qty_moments(sf_dir: str):
+    """Distributed exact second moments (functions/agg.moments_agg):
+    per return flag n / sum / sum-of-squares / min / max / variance
+    numerator over integer quantities — every column exact int64, so
+    the result hash-checks against the identical SQL expressions."""
+    import ray
+
+    from ..functions.agg import moments_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = np.round(batch["l_quantity"].to_numpy()).astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "qty": pa.array(qty)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return moments_agg(ds, ["l_returnflag"], "qty", exact_only=True,
+                       schema=pa.schema([("l_returnflag", pa.string()),
+                                         ("qty", pa.int64())]))
+
+
+def lineitem_unpivot_sums(sf_dir: str):
+    """SQL UNPIVOT / melt (functions/agg.unpivot): lineitem measures
+    (quantity, price cents, discount basis points) melt wide -> long
+    block-locally (no shuffle), then ONE skinny grouped-sum exchange
+    per (returnflag, measure)."""
+    import ray
+
+    from ..functions.agg import grouping_sets_agg, unpivot
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "qty": pa.array(np.round(batch["l_quantity"].to_numpy())
+                            .astype(np.int64)),
+            "cents": pa.array(np.round(batch["l_extendedprice"].to_numpy()
+                                       * 100).astype(np.int64)),
+            "disc_bp": pa.array(np.round(batch["l_discount"].to_numpy()
+                                         * 10000).astype(np.int64))})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    long = unpivot(ds, id_cols=["l_returnflag"],
+                   value_cols=["qty", "cents", "disc_bp"],
+                   schema=pa.schema([("l_returnflag", pa.string()),
+                                     ("qty", pa.int64()),
+                                     ("cents", pa.int64()),
+                                     ("disc_bp", pa.int64())]))
+    return grouping_sets_agg(
+        long, sets=[["l_returnflag", "measure"]], sums={"sum_value": "value"},
+        count_col="n_rows",
+        schema=pa.schema([("l_returnflag", pa.string()),
+                          ("measure", pa.string()),
+                          ("value", pa.int64())]))
+
+
 def orders_grouping_sets(sf_dir: str):
     """SQL GROUP BY GROUPING SETS (functions/agg.grouping_sets_agg):
     order-count + total-price aggregates at (status, priority),

@@ -327,6 +327,66 @@ def test_pivot_agg_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_moments_agg_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.agg import moments_agg
+
+    rng = np.random.default_rng(15)
+    n = 8000
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "v": pa.array(pd.Series(rng.integers(-500, 500, n)).mask(
+            rng.random(n) < 0.04), pa.int64()),
+    })
+    out = moments_agg(ray.data.from_arrow(tbl).repartition(6),
+                      ["g"], "v", nbuckets=4).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute("""
+        SELECT g, COUNT(v) AS n,
+               CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sum_v,
+               CAST(COALESCE(SUM(v*v), 0) AS BIGINT) AS sumsq_v,
+               MIN(v) AS min_v, MAX(v) AS max_v,
+               CAST(COUNT(v)*COALESCE(SUM(v*v),0)
+                    - COALESCE(SUM(v),0)*COALESCE(SUM(v),0) AS BIGINT)
+                   AS var_num,
+               AVG(v) AS mean, STDDEV_SAMP(v) AS stddev_samp
+        FROM t GROUP BY g""").fetchdf()
+    a = out.sort_values("g").reset_index(drop=True)
+    b = exp.sort_values("g").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=False, rtol=1e-12)
+
+
+def test_unpivot_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.agg import unpivot
+
+    rng = np.random.default_rng(16)
+    n = 3000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "a": pa.array(pd.Series(rng.integers(0, 100, n)).mask(
+            rng.random(n) < 0.1), pa.int64()),
+        "b": pa.array(rng.integers(-50, 50, n), pa.int64()),
+    })
+    out = unpivot(ray.data.from_arrow(tbl).repartition(5),
+                  id_cols=["id"], value_cols=["a", "b"]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute("""
+        SELECT id, 'a' AS measure, a AS value FROM t WHERE a IS NOT NULL
+        UNION ALL
+        SELECT id, 'b', b FROM t""").fetchdf()
+    a = out.sort_values(["id", "measure"]).reset_index(drop=True)
+    b = exp.sort_values(["id", "measure"]).reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_rank_window_vs_duckdb(ray_session):
     import duckdb
     import ray
