@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_grouping_sets": q.orders_grouping_sets,
         "orders_pivot_status": q.orders_pivot_status,
         "lineitem_qty_moments": q.lineitem_qty_moments,
+        "orders_skyline": q.orders_skyline,
         "lineitem_unpivot_sums": q.lineitem_unpivot_sums,
         "orders_priority_hull": q.orders_priority_hull,
         "events_distinct_users": q.events_distinct_users,
@@ -389,6 +390,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)
                        AS cents_P_n
             FROM orders GROUP BY o_orderpriority
+        """,
+        "orders_skyline": """
+            WITH t AS (
+                SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       CAST(datediff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS days
+                FROM orders)
+            SELECT p.o_orderkey, p.cents, p.days
+            FROM t p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM t q
+                WHERE q.cents >= p.cents AND q.days <= p.days
+                  AND (q.cents > p.cents OR q.days < p.days))
         """,
         "lineitem_qty_moments": """
             SELECT l_returnflag,

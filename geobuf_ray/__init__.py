@@ -60,6 +60,7 @@ def __getattr__(name):
         "pivot_agg": ("geobuf_ray.functions.agg", "pivot_agg"),
         "moments_agg": ("geobuf_ray.functions.agg", "moments_agg"),
         "unpivot": ("geobuf_ray.functions.agg", "unpivot"),
+        "skyline": ("geobuf_ray.functions.skyline", "skyline"),
         "grouping_sets_agg": ("geobuf_ray.functions.agg",
                               "grouping_sets_agg"),
         "stratified_sample": ("geobuf_ray.functions.sample",

@@ -1078,6 +1078,37 @@ def lineitem_unpivot_sums(sf_dir: str):
                           ("value", pa.int64())]))
 
 
+def orders_skyline(sf_dir: str):
+    """Pareto frontier (functions/skyline.skyline): orders not
+    dominated on (maximize total price, minimize order date) — each
+    block keeps only its local frontier (expected O(log^2 n) rows), one
+    tiny final reduce makes it exact.  Integer domains (price cents,
+    epoch days) so the frontier hash-checks against the SQL NOT EXISTS
+    dominance oracle."""
+    import ray
+
+    from ..functions.skyline import skyline
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice",
+                                        "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["o_totalprice"].to_numpy()
+                         * 100).astype(np.int64)
+        days = (batch["o_orderdate"].cast(pa.int64()).to_numpy()
+                // 86_400_000_000).astype(np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "cents": pa.array(cents),
+                         "days": pa.array(days)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return skyline(ds, ["cents", "days"], directions=["max", "min"],
+                   schema=pa.schema([("o_orderkey", pa.int64()),
+                                     ("cents", pa.int64()),
+                                     ("days", pa.int64())]))
+
+
 def orders_grouping_sets(sf_dir: str):
     """SQL GROUP BY GROUPING SETS (functions/agg.grouping_sets_agg):
     order-count + total-price aggregates at (status, priority),

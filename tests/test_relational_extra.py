@@ -387,6 +387,56 @@ def test_unpivot_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def _brute_skyline(mat: np.ndarray) -> np.ndarray:
+    """O(n^2) reference dominance check, all-max orientation."""
+    n = len(mat)
+    keep = np.ones(n, bool)
+    for i in range(n):
+        dom = (mat >= mat[i]).all(axis=1) & (mat > mat[i]).any(axis=1)
+        if dom.any():
+            keep[i] = False
+    return keep
+
+
+def test_skyline_vs_bruteforce(ray_session):
+    import ray
+
+    from geobuf_ray.functions.skyline import skyline
+
+    rng = np.random.default_rng(17)
+    for d, n in [(2, 4000), (3, 1500)]:
+        # small integer domain -> many exact duplicates + heavy ties
+        mat = rng.integers(0, 30, (n, d)).astype(np.int64)
+        cols = {f"c{j}": pa.array(mat[:, j]) for j in range(d)}
+        cols["id"] = pa.array(np.arange(n, dtype=np.int64))
+        tbl = pa.table(cols)
+        out = skyline(ray.data.from_arrow(tbl).repartition(6),
+                      [f"c{j}" for j in range(d)]).to_pandas()
+        exp_ids = np.flatnonzero(_brute_skyline(mat))
+        assert sorted(out["id"]) == sorted(exp_ids)
+
+
+def test_skyline_directions_and_nulls(ray_session):
+    import ray
+
+    from geobuf_ray.functions.skyline import skyline
+
+    rng = np.random.default_rng(18)
+    n = 2000
+    mat = rng.integers(-100, 100, (n, 2)).astype(np.int64)
+    tbl = pa.table({
+        "x": pa.array(pd.Series(mat[:, 0]).mask(rng.random(n) < 0.05),
+                      pa.int64()),
+        "y": pa.array(mat[:, 1]),
+        "id": pa.array(np.arange(n, dtype=np.int64))})
+    out = skyline(ray.data.from_arrow(tbl).repartition(4),
+                  ["x", "y"], directions=["min", "max"]).to_pandas()
+    valid = tbl["x"].is_valid().to_numpy(zero_copy_only=False)
+    sub = np.column_stack([-mat[valid, 0], mat[valid, 1]])
+    exp_ids = np.arange(n)[valid][_brute_skyline(sub)]
+    assert sorted(out["id"]) == sorted(exp_ids)
+
+
 def test_rank_window_vs_duckdb(ray_session):
     import duckdb
     import ray
