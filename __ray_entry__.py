@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pivot_status": q.orders_pivot_status,
         "lineitem_qty_moments": q.lineitem_qty_moments,
         "orders_skyline": q.orders_skyline,
+        "lineitem_mode_qty": q.lineitem_mode_qty,
         "lineitem_unpivot_sums": q.lineitem_unpivot_sums,
         "orders_priority_hull": q.orders_priority_hull,
         "events_distinct_users": q.events_distinct_users,
@@ -390,6 +391,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)
                        AS cents_P_n
             FROM orders GROUP BY o_orderpriority
+        """,
+        "lineitem_mode_qty": """
+            SELECT l_returnflag, mode, mode_n FROM (
+                SELECT l_returnflag, q AS mode, COUNT(*) AS mode_n,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                           ORDER BY COUNT(*) DESC, q ASC) AS rn
+                FROM (SELECT l_returnflag,
+                             CAST(round(l_quantity) AS BIGINT) AS q
+                      FROM lineitem)
+                GROUP BY l_returnflag, q) t
+            WHERE rn = 1
         """,
         "orders_skyline": """
             WITH t AS (

@@ -61,6 +61,7 @@ def __getattr__(name):
         "moments_agg": ("geobuf_ray.functions.agg", "moments_agg"),
         "unpivot": ("geobuf_ray.functions.agg", "unpivot"),
         "skyline": ("geobuf_ray.functions.skyline", "skyline"),
+        "mode_agg": ("geobuf_ray.functions.agg", "mode_agg"),
         "grouping_sets_agg": ("geobuf_ray.functions.agg",
                               "grouping_sets_agg"),
         "stratified_sample": ("geobuf_ray.functions.sample",

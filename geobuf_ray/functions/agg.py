@@ -432,6 +432,90 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
                           zero_copy_batch=True)
 
 
+def mode_agg(ds, keys: list[str], value: str, *,
+             nbuckets: int = 16, schema: pa.Schema | None = None):
+    """Exact distributed per-group mode: the most frequent ``value``
+    per group, ties broken by the smallest value (deterministic, same
+    as ``ORDER BY cnt DESC, value ASC LIMIT 1`` per group).  Emits
+    ``(keys..., mode, mode_n)``.
+
+    Shape: blocks collapse to (group, value, count) partials — the only
+    rows that ever move — one hash exchange on the GROUP key co-locates
+    each group's distinct values, and the per-bucket reduce re-sums then
+    takes the argmax per group.  Skew note: a group with a huge distinct
+    ``value`` domain widens its bucket, not the driver.
+    """
+    from .exchange import hash_exchange
+
+    key_list = list(keys)
+    if schema is None:
+        in_schema = ds.schema()
+        types = dict(zip(in_schema.names, in_schema.types))
+    else:
+        types = {f.name: f.type for f in schema}
+
+    part_schema = pa.schema([(k, types[k]) for k in key_list]
+                            + [("__val", types[value]),
+                               ("__cnt", pa.int64())])
+    out_schema = pa.schema([(k, types[k]) for k in key_list]
+                           + [("mode", types[value]),
+                              ("mode_n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        col = batch[value].combine_chunks()
+        t = pa.table({**{k: batch[k] for k in key_list}, "__val": col,
+                      "__cnt": pa.array(np.ones(batch.num_rows, np.int64))})
+        if col.null_count:   # SQL mode() ignores NULLs
+            t = t.filter(pc.is_valid(t["__val"]))
+        g = t.group_by(key_list + ["__val"]).aggregate([("__cnt", "sum")])
+        return g.rename_columns(part_schema.names).cast(part_schema)
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        g = tbl.group_by(key_list + ["__val"]).aggregate([("__cnt", "sum")])
+        g = g.rename_columns(part_schema.names)
+        # per group: argmax count, smallest value on ties — sort by
+        # (keys, -cnt, val) and keep the first row of each group
+        order = [(k, "ascending") for k in key_list] + \
+                [("__cnt", "descending"), ("__val", "ascending")]
+        g = g.sort_by(order)
+        if key_list:
+            # keep the first sorted row per group: any key differing
+            # from the previous row starts a new group (NULL keys sort
+            # together; not_equal -> NULL on nulls, treated as a break
+            # only when validity changes, handled by fill_null(False)
+            # plus an explicit validity-diff term)
+            first = np.ones(g.num_rows, bool)
+            diff = np.zeros(max(g.num_rows - 1, 0), bool)
+            for k in key_list:
+                col = g[k].combine_chunks()
+                a, b = col.slice(1), col.slice(0, len(col) - 1)
+                neq = pc.not_equal(a, b).fill_null(False) \
+                    .to_numpy(zero_copy_only=False)
+                vdiff = pc.xor(pc.is_valid(a), pc.is_valid(b)) \
+                    .to_numpy(zero_copy_only=False)
+                diff |= neq | vdiff
+            first[1:] = diff
+            g = g.filter(pa.array(first))
+        else:
+            g = g.slice(0, 1)
+        return g.rename_columns(key_list + ["mode", "mode_n"]) \
+                .cast(out_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if not key_list:
+        return hash_exchange(
+            partials, nbuckets=1,
+            bucket_fn=lambda t: (np.zeros(t.num_rows, np.int64), t),
+            reduce_fn=pick, schema=out_schema)
+    return hash_exchange(partials, nbuckets=nbuckets, on=key_list,
+                         reduce_fn=pick, schema=out_schema)
+
+
 def cube_agg(ds, keys: list[str], sums: dict[str, str], *,
              count_col: str | None = "n_rows", nbuckets: int = 16,
              schema: pa.Schema | None = None):

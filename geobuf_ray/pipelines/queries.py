@@ -1078,6 +1078,28 @@ def lineitem_unpivot_sums(sf_dir: str):
                           ("value", pa.int64())]))
 
 
+def lineitem_mode_qty(sf_dir: str):
+    """Exact distributed mode (functions/agg.mode_agg): most frequent
+    quantity per return flag, smallest-value tie-break — only (group,
+    value, count) partials move."""
+    import ray
+
+    from ..functions.agg import mode_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = np.round(batch["l_quantity"].to_numpy()).astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "qty": pa.array(qty)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return mode_agg(ds, ["l_returnflag"], "qty",
+                    schema=pa.schema([("l_returnflag", pa.string()),
+                                      ("qty", pa.int64())]))
+
+
 def orders_skyline(sf_dir: str):
     """Pareto frontier (functions/skyline.skyline): orders not
     dominated on (maximize total price, minimize order date) — each

@@ -387,6 +387,48 @@ def test_unpivot_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_mode_agg_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.agg import mode_agg
+
+    rng = np.random.default_rng(19)
+    n = 9000
+    # tiny value domain -> guaranteed cross-group ties exercising the
+    # smallest-value tie-break; nulls ignored; string + int variants
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "v": pa.array(pd.Series(rng.integers(0, 6, n)).mask(
+            rng.random(n) < 0.08), pa.int64()),
+        "s": pa.array(np.array(["aa", "bb", "cc"])[rng.integers(0, 3, n)]),
+    })
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for val in ["v", "s"]:
+        out = mode_agg(ray.data.from_arrow(tbl).repartition(7),
+                       ["g"], val, nbuckets=4).to_pandas()
+        exp = con.execute(f"""
+            SELECT g, mode, mode_n FROM (
+                SELECT g, {val} AS mode, COUNT(*) AS mode_n,
+                       ROW_NUMBER() OVER (PARTITION BY g
+                           ORDER BY COUNT(*) DESC, {val} ASC) AS rn
+                FROM t WHERE {val} IS NOT NULL GROUP BY g, {val}) q
+            WHERE rn = 1""").fetchdf()
+        a = out.sort_values("g").reset_index(drop=True)
+        b = exp.sort_values("g").reset_index(drop=True)[a.columns]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # global mode (no keys)
+    out = mode_agg(ray.data.from_arrow(tbl).repartition(7),
+                   [], "v").to_pandas()
+    exp = con.execute("""
+        SELECT v AS mode, COUNT(*) AS mode_n FROM t
+        WHERE v IS NOT NULL GROUP BY v
+        ORDER BY mode_n DESC, mode ASC LIMIT 1""").fetchdf()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  exp[out.columns], check_dtype=False)
+
+
 def _brute_skyline(mat: np.ndarray) -> np.ndarray:
     """O(n^2) reference dominance check, all-max orientation."""
     n = len(mat)
