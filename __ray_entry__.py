@@ -30,6 +30,21 @@ def _tile_x(lon: str, z: int) -> str:
     return f"LEAST(GREATEST(CAST(floor(({lon} + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
 
 
+def _quant(coord: str, lo: float, span: float, bits: int) -> str:
+    n = 1 << bits
+    return (f"LEAST(GREATEST(CAST(floor(({coord} - {lo}) / {span} * {n}) "
+            f"AS BIGINT), 0), {n - 1})")
+
+
+def _spread16(e: str) -> str:
+    """SQL twin of spatial/curves._spread_bits16 (magic-number bit
+    interleave; exact BIGINT ops)."""
+    e1 = f"(({e} | ({e} << 8)) & 16711935)"
+    e2 = f"(({e1} | ({e1} << 4)) & 252645135)"
+    e3 = f"(({e2} | ({e2} << 2)) & 858993459)"
+    return f"(({e3} | ({e3} << 1)) & 1431655765)"
+
+
 def _tile_y(lat: str, z: int) -> str:
     n = 1 << z
     return (
@@ -115,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_moments": q.lineitem_qty_moments,
         "orders_skyline": q.orders_skyline,
         "lineitem_mode_qty": q.lineitem_mode_qty,
+        "customers_zorder_cells": q.customers_zorder_cells,
+        "customers_geohash_counts": q.customers_geohash_counts,
         "lineitem_unpivot_sums": q.lineitem_unpivot_sums,
         "orders_priority_hull": q.orders_priority_hull,
         "events_distinct_users": q.events_distinct_users,
@@ -391,6 +408,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)
                        AS cents_P_n
             FROM orders GROUP BY o_orderpriority
+        """,
+        "customers_zorder_cells": f"""
+            WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat FROM customer),
+            g AS (SELECT {_quant('lon', -180.0, 360.0, 8)} AS qx,
+                         {_quant('lat', -90.0, 180.0, 8)} AS qy FROM pt),
+            z AS (SELECT {_spread16('qx')}
+                         | ({_spread16('qy')} << 1) AS zkey FROM g)
+            SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "customers_geohash_counts": f"""
+            WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat FROM customer),
+            g AS (SELECT {_quant('lon', -180.0, 360.0, 10)} AS qx,
+                         {_quant('lat', -90.0, 180.0, 10)} AS qy FROM pt),
+            z AS (SELECT ({_spread16('qx')} << 1)
+                         | {_spread16('qy')} AS code FROM g),
+            h AS (SELECT
+                substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                       CAST((code >> 15) & 31 AS INT) + 1, 1) ||
+                substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                       CAST((code >> 10) & 31 AS INT) + 1, 1) ||
+                substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                       CAST((code >> 5) & 31 AS INT) + 1, 1) ||
+                substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                       CAST(code & 31 AS INT) + 1, 1) AS geohash FROM z)
+            SELECT geohash, COUNT(*) AS n FROM h GROUP BY geohash
         """,
         "lineitem_mode_qty": """
             SELECT l_returnflag, mode, mode_n FROM (

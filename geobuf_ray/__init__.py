@@ -62,6 +62,9 @@ def __getattr__(name):
         "unpivot": ("geobuf_ray.functions.agg", "unpivot"),
         "skyline": ("geobuf_ray.functions.skyline", "skyline"),
         "mode_agg": ("geobuf_ray.functions.agg", "mode_agg"),
+        "morton_key": ("geobuf_ray.spatial.curves", "morton_key"),
+        "geohash_key": ("geobuf_ray.spatial.curves", "geohash_key"),
+        "zorder_sort": ("geobuf_ray.spatial.curves", "zorder_sort"),
         "grouping_sets_agg": ("geobuf_ray.functions.agg",
                               "grouping_sets_agg"),
         "stratified_sample": ("geobuf_ray.functions.sample",

@@ -1078,6 +1078,48 @@ def lineitem_unpivot_sums(sf_dir: str):
                           ("value", pa.int64())]))
 
 
+def customers_zorder_cells(sf_dir: str, bits: int = 8):
+    """Z-order layout keys (spatial/curves.morton_key): Morton code per
+    derived customer point (pure map — the clustering primitive behind
+    OPTIMIZE ZORDER), aggregated to per-cell counts.  Integer bit math
+    end-to-end, hash-checked against the same magic-number spread in
+    SQL."""
+    from ..functions.agg import grouping_sets_agg
+    from ..spatial.curves import morton_key
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        key = morton_key(batch["lon"].to_numpy(zero_copy_only=False),
+                         batch["lat"].to_numpy(zero_copy_only=False),
+                         bits=bits)
+        return pa.table({"zkey": pa.array(key)})
+
+    pts = customer_points(sf_dir).map_batches(stamp, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+    return grouping_sets_agg(pts, sets=[["zkey"]], sums={}, count_col="n",
+                             schema=pa.schema([("zkey", pa.int64())]))
+
+
+def customers_geohash_counts(sf_dir: str, precision: int = 4):
+    """Geohash layout keys (spatial/curves.geohash_key): standard
+    base32 geohash per derived customer point, aggregated to per-hash
+    counts; hash-checked against the same interleave + base32 lookup
+    written in SQL."""
+    from ..functions.agg import grouping_sets_agg
+    from ..spatial.curves import geohash_key
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        gh = geohash_key(batch["lon"].to_numpy(zero_copy_only=False),
+                         batch["lat"].to_numpy(zero_copy_only=False),
+                         precision=precision)
+        return pa.table({"geohash": gh})
+
+    pts = customer_points(sf_dir).map_batches(stamp, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+    return grouping_sets_agg(pts, sets=[["geohash"]], sums={},
+                             count_col="n",
+                             schema=pa.schema([("geohash", pa.string())]))
+
+
 def lineitem_mode_qty(sf_dir: str):
     """Exact distributed mode (functions/agg.mode_agg): most frequent
     quantity per return flag, smallest-value tie-break — only (group,

@@ -243,3 +243,76 @@ def test_pip_cell_join_matches_broadcast(ray_session):
     got = {(r["custkey"], r["polygon_id"]) for r in got_rows}
     assert len(got_rows) == len(got)  # no duplicate pairs
     assert got == want and len(want) > 0
+
+
+def _morton_ref(qx: int, qy: int, bits: int) -> int:
+    """Per-bit reference interleave (x at even positions)."""
+    out = 0
+    for b in range(bits):
+        out |= ((qx >> b) & 1) << (2 * b)
+        out |= ((qy >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def test_morton_key_matches_per_bit_reference():
+    from geobuf_ray.spatial.curves import morton_key, quantize_lonlat
+
+    rng = np.random.default_rng(20)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    for bits in (4, 8, 16):
+        keys = morton_key(lon, lat, bits=bits)
+        qx, qy = quantize_lonlat(lon, lat, bits)
+        exp = np.array([_morton_ref(int(x), int(y), bits)
+                        for x, y in zip(qx, qy)])
+        assert (keys == exp).all()
+    # edge coords clamp, never overflow
+    k = morton_key(np.array([-180.0, 180.0]), np.array([-90.0, 90.0]),
+                   bits=16)
+    assert k[0] == 0 and k[1] == (1 << 32) - 1
+
+
+def test_geohash_known_values():
+    from geobuf_ray.spatial.curves import geohash_key
+
+    # canonical published examples (geohash.org)
+    got = geohash_key(np.array([10.40744, -5.6]),
+                      np.array([57.64911, 42.6]), precision=5)
+    assert got.to_pylist() == ["u4pru", "ezs42"]
+    got11 = geohash_key(np.array([10.40744]), np.array([57.64911]),
+                        precision=11)
+    assert got11.to_pylist() == ["u4pruydqqvj"]
+
+
+def test_geohash_prefix_property():
+    """Longer precision strings extend shorter ones (binary
+    subdivision consistency)."""
+    from geobuf_ray.spatial.curves import geohash_key
+
+    rng = np.random.default_rng(21)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-90, 90, 300)
+    g4 = geohash_key(lon, lat, precision=4).to_pylist()
+    g8 = geohash_key(lon, lat, precision=8).to_pylist()
+    assert all(b.startswith(a) for a, b in zip(g4, g8))
+
+
+def test_zorder_sort_clusters(ray_session):
+    import ray
+
+    from geobuf_ray.spatial.curves import morton_key, zorder_sort
+
+    rng = np.random.default_rng(22)
+    n = 5000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+    tbl = pa.table({"lon": pa.array(lon), "lat": pa.array(lat),
+                    "id": pa.array(np.arange(n, dtype=np.int64))})
+    out = zorder_sort(ray.data.from_arrow(tbl).repartition(6),
+                      "lon", "lat", bits=12).to_pandas()
+    keys = out["zkey"].to_numpy()
+    assert (np.diff(keys) >= 0).all()
+    # same multiset of rows, keys consistent with the stamped coords
+    assert (morton_key(out["lon"].to_numpy(), out["lat"].to_numpy(),
+                       bits=12) == keys).all()
+    assert sorted(out["id"]) == list(range(n))
