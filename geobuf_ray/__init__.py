@@ -65,6 +65,7 @@ def __getattr__(name):
         "morton_key": ("geobuf_ray.spatial.curves", "morton_key"),
         "geohash_key": ("geobuf_ray.spatial.curves", "geohash_key"),
         "zorder_sort": ("geobuf_ray.spatial.curves", "zorder_sort"),
+        "heavy_hitters": ("geobuf_ray.functions.sketch", "heavy_hitters"),
         "grouping_sets_agg": ("geobuf_ray.functions.agg",
                               "grouping_sets_agg"),
         "stratified_sample": ("geobuf_ray.functions.sample",

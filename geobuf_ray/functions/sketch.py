@@ -202,3 +202,101 @@ def approx_quantiles(ds, col: str, qs, *, scale: float = 1.0,
     for r in parts["h"].to_pylist():
         merged += np.frombuffer(r, np.int64)
     return quantile_from_sketch(merged, qs, k)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (Misra-Gries family, mergeable with explicit error bound)
+# ---------------------------------------------------------------------------
+
+
+def mg_partial(col, capacity: int):
+    """One block's heavy-hitter summary: exact value counts truncated
+    to the ``capacity`` largest, plus ``drop_bound`` = the largest
+    TRUNCATED count (0 when nothing was dropped).  For any value v,
+    summary_count(v) <= true_block_count(v) <= summary_count(v) +
+    drop_bound — so summed drop_bounds give a global deterministic
+    error envelope (Misra-Gries / mergeable-summaries bound, Agarwal
+    et al. 2012).  Returns (values Array, counts int64 ndarray,
+    drop_bound int)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.drop_null()
+    vc = pa.table({"v": col, "c": pa.array(np.ones(len(col), np.int64))}) \
+        .group_by(["v"]).aggregate([("c", "sum")])
+    counts = vc["c_sum"].to_numpy(zero_copy_only=False)
+    if len(counts) <= capacity:
+        return vc["v"].combine_chunks(), counts.astype(np.int64), 0
+    # keep the `capacity` largest counts (ties broken arbitrarily —
+    # the bound covers any tie-break)
+    kth = np.partition(counts, len(counts) - capacity)[len(counts)
+                                                       - capacity]
+    keep = counts > kth
+    room = capacity - int(keep.sum())
+    if room > 0:
+        # fill remaining slots from the counts tied at kth,
+        # deterministically by value order
+        tied = np.flatnonzero(counts == kth)
+        order = pc.sort_indices(vc["v"].combine_chunks().take(
+            pa.array(tied))).to_numpy(zero_copy_only=False)
+        keep[tied[order[:room]]] = True
+    dropped_max = int(counts[~keep].max())
+    kept = vc.filter(pa.array(keep))
+    return (kept["v"].combine_chunks(),
+            kept["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64),
+            dropped_max)
+
+
+def heavy_hitters(ds, col: str, *, k: int = 10, capacity: int = 256,
+                  **map_kwargs) -> pa.Table:
+    """Distributed top-k frequent values with a DETERMINISTIC error
+    envelope: per-block Misra-Gries summaries (<= capacity+1 rows each
+    — communication is O(blocks x capacity) at any cardinality),
+    merged by group-sum on the driver.  Each block also emits one
+    sentinel row (NULL value) carrying its drop bound; the summed
+    bounds give ``err`` with the guarantee est <= true <= est + err
+    for every value, and any value whose true count exceeds ``err``
+    is PRESENT among the merged candidates.
+
+    Output: value ``v``, lower-bound count ``est``, upper bound
+    ``est_hi`` = est + err, and ``certified`` — True when the k-th
+    kept est beats every excluded candidate's est_hi, i.e. top-k
+    membership is provably exact.  Rows ordered by (est desc, v asc).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v, c, drop = mg_partial(batch[col], capacity)
+        vt = v.type if len(v) else batch[col].type
+        vals = pa.concat_arrays([v.cast(vt), pa.nulls(1, vt)])
+        cnts = np.concatenate([c, [np.int64(drop)]])
+        return pa.table({"v": vals, "c": pa.array(cnts)})
+
+    from ..collect import collect_table
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True,
+                                         batch_size=None, **map_kwargs))
+    vcol = parts["v"].combine_chunks()
+    ccol = parts["c"].to_numpy(zero_copy_only=False)
+    is_err = ~vcol.is_valid().to_numpy(zero_copy_only=False)
+    err = int(ccol[is_err].sum())
+    body = parts.filter(pa.array(~is_err))
+    merged = body.group_by(["v"]).aggregate([("c", "sum")])
+    est = merged["c_sum"].to_numpy(zero_copy_only=False)
+    # deterministic order: est desc, value asc
+    order = pa.table({"e": pa.array(-est),
+                      "v": merged["v"]}).sort_by(
+        [("e", "ascending"), ("v", "ascending")])
+    top = order.slice(0, k)
+    top_est = (-top["e"].to_numpy(zero_copy_only=False)).astype(np.int64)
+    rest_hi = (-order["e"].to_numpy(zero_copy_only=False)[k:] + err) \
+        if order.num_rows > k else np.array([], np.int64)
+    certified = bool(len(top_est) and
+                     (len(rest_hi) == 0 or
+                      top_est[-1] > rest_hi.max(initial=0)))
+    return pa.table({
+        "v": top["v"],
+        "est": pa.array(top_est),
+        "est_hi": pa.array(top_est + err),
+        "certified": pa.array(np.full(len(top_est), certified))})

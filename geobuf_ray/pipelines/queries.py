@@ -1078,6 +1078,27 @@ def lineitem_unpivot_sums(sf_dir: str):
                           ("value", pa.int64())]))
 
 
+def events_top_users_mg(sf_dir: str):
+    """Misra-Gries heavy hitters (functions/sketch.heavy_hitters):
+    top-10 users by event count from bounded per-block summaries
+    (capacity 64 counters/block regardless of user cardinality) with a
+    deterministic error envelope [est, est_hi] and a membership
+    certificate.  Rows-only for the driver (est is a lower bound by
+    design); the MG bound and exactness-when-uncrowded are
+    pytest-oracled vs DuckDB."""
+    import ray
+
+    from ..functions.sketch import heavy_hitters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    out = heavy_hitters(ds, "user_id", k=10, capacity=64)
+    if not (out["est_hi"].to_numpy(zero_copy_only=False)
+            >= out["est"].to_numpy(zero_copy_only=False)).all():
+        raise AssertionError("MG envelope inverted")  # in-row audit
+    return out
+
+
 def customers_zorder_cells(sf_dir: str, bits: int = 8):
     """Z-order layout keys (spatial/curves.morton_key): Morton code per
     derived customer point (pure map — the clustering primitive behind

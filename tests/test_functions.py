@@ -1,6 +1,7 @@
 """Training-data operator tests: dedup / ANN / text analysis."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -454,3 +455,54 @@ def test_top_terms_df_tf_and_ties(ray_session):
     assert list(out.df) == [6, 3, 3]
     # tf counts occurrences: 'common' appears 7 times total
     assert list(out.tf) == [7, 3, 3]
+
+
+def test_heavy_hitters_exact_when_uncrowded(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(23)
+    vals = rng.zipf(1.6, 20000).astype(np.int64) % 40  # 40 distinct
+    tbl = pa.table({"u": pa.array(vals)})
+    out = heavy_hitters(ray.data.from_arrow(tbl).repartition(8),
+                        "u", k=10, capacity=64)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute("""
+        SELECT u, COUNT(*) AS n FROM t GROUP BY u
+        ORDER BY n DESC, u ASC LIMIT 10""").fetchdf()
+    assert out["v"].to_pylist() == exp["u"].tolist()
+    assert out["est"].to_pylist() == exp["n"].tolist()
+    assert out["est_hi"].to_pylist() == exp["n"].tolist()  # err == 0
+    assert all(out["certified"].to_pylist())
+
+
+def test_heavy_hitters_mg_bound_under_truncation(ray_session):
+    import ray
+
+    from geobuf_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(24)
+    # heavy skew + wide tail so per-block summaries MUST truncate
+    vals = np.concatenate([
+        rng.zipf(1.2, 30000).astype(np.int64) % 5000,
+        np.repeat(np.arange(7, dtype=np.int64) + 9000, 2000)])
+    rng.shuffle(vals)
+    tbl = pa.table({"u": pa.array(vals)})
+    true = pd.Series(vals).value_counts()
+    # ask for every candidate to test the envelope, not just top-10
+    out = heavy_hitters(ray.data.from_arrow(tbl).repartition(10),
+                        "u", k=10**9, capacity=32)
+    est = dict(zip(out["v"].to_pylist(), out["est"].to_pylist()))
+    err = out["est_hi"][0].as_py() - out["est"][0].as_py() \
+        if out.num_rows else 0
+    assert err > 0  # truncation really happened
+    for v, e in est.items():
+        t = int(true.get(v, 0))
+        assert e <= t <= e + err
+    # MG guarantee: every value with true count > err is present
+    for v, t in true.items():
+        if t > err:
+            assert int(v) in est
