@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_mode_qty": q.lineitem_mode_qty,
         "customers_zorder_cells": q.customers_zorder_cells,
         "events_top_users_mg": q.events_top_users_mg,
+        "images_dup_clusters": q.images_dup_clusters,
         "customers_geohash_counts": q.customers_geohash_counts,
         "lineitem_unpivot_sums": q.lineitem_unpivot_sums,
         "orders_priority_hull": q.orders_priority_hull,

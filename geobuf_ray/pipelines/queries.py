@@ -2719,6 +2719,54 @@ def images_phash_pairs(sf_dir: str, max_distance: int = 3):
     })
 
 
+def images_dup_clusters(sf_dir: str, max_distance: int = 3):
+    """Near-duplicate image CLUSTERS: the full dedup composition —
+    phash Hamming-LSH candidate pairs (bounded hot buckets) feed
+    distributed connected_components; every image gets a cluster label
+    (min image index reachable) and a keep/drop flag (representative =
+    smallest index).  Self-loop edges make singletons first-class, so
+    the output is a complete dedup manifest, not just the dup pairs.
+    Rows-only for the driver (phash needs pixels); pytest oracle
+    union-finds the same pairs brute-force."""
+    import ray
+
+    from ..functions.dedup import hash64_candidate_pairs
+    from ..functions.graph import connected_components
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+
+    def project(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(
+            batch["image_id"].combine_chunks(), 3, 15), pa.int64())
+        return pa.table({"img_idx": idx, "phash": batch["phash"]})
+
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    pairs = hash64_candidate_pairs(proj, hash_col="phash",
+                                   id_col="img_idx",
+                                   max_distance=max_distance)
+
+    def self_loops(batch: pa.Table) -> pa.Table:
+        return pa.table({"id_a": batch["img_idx"],
+                         "id_b": batch["img_idx"]})
+
+    edges = ray.data.from_arrow(pairs.select(["id_a", "id_b"])).union(
+        proj.map_batches(self_loops, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    cc = connected_components(edges, src="id_a", dst="id_b", nbuckets=8)
+    node = cc["node"].to_numpy(zero_copy_only=False)
+    comp = cc["component"].to_numpy(zero_copy_only=False)
+    order = np.argsort(node)
+    node, comp = node[order], comp[order]
+    return pa.table({
+        "image_id": pa.array([f"img{int(i):012d}" for i in node]),
+        "cluster_id": pa.array([f"img{int(c):012d}" for c in comp]),
+        "is_representative": pa.array(node == comp),
+    })
+
+
 def images_zonal_stats(sf_dir: str, zoom: int = 5):
     """Zonal statistics — the raster->vector AGGREGATE: decode image
     payloads once (actor pool), join centroids into supplier rectangles

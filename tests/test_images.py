@@ -179,3 +179,42 @@ def test_mosaic_tiles_deterministic_stitch(ray_session):
                   & (full.tile_y == row.tile_y)].iloc[0]
     got = decode_image(target["bytes"])
     assert got.shape == canvas.shape and (got == canvas).all()
+
+
+def test_images_dup_clusters_vs_unionfind(ray_session):
+    """Cluster labels must equal brute-force union-find over the same
+    candidate pairs (plus every image as a singleton)."""
+    from geobuf_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    pairs = q.images_phash_pairs(sf)
+    out = q.images_dup_clusters(sf)
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    ids = out["image_id"].to_pylist()
+    for i in ids:
+        find(i)
+    for a, b in zip(pairs["image_id_a"].to_pylist(),
+                    pairs["image_id_b"].to_pylist()):
+        union(a, b)
+    expected = {i: find(i) for i in ids}
+    got = dict(zip(ids, out["cluster_id"].to_pylist()))
+    assert got == expected
+    # representatives are exactly the cluster minima
+    reps = {i for i, r in zip(ids, out["is_representative"].to_pylist())
+            if r}
+    assert reps == set(expected.values())
+    # the synthetic corpus plants near-dups: at least one real cluster
+    assert len(reps) < len(ids)
