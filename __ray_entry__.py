@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": q.docs_quality,
         "docs_langid": q.docs_langid,
         "docs_top_terms": q.docs_top_terms,
+        "docs_tfidf_top": q.docs_tfidf_top,
         "docs_fingerprint": q.docs_fingerprint,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
@@ -992,6 +993,23 @@ def oracle_sql() -> dict[str, str]:
         # vocabulary oracle: same RE2 \s+ tokenization on both sides;
         # tf/df are exact integer counts, ties at the k boundary break
         # on (df DESC, term ASC) in both engines
+        "docs_tfidf_top": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+                   WHERE term <> '' GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                             ORDER BY tf.tf DESC, df.df ASC,
+                                      tf.term ASC) AS rnk
+                  FROM tf JOIN df USING (term))
+            SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, tf, df
+            FROM r WHERE rnk <= 3
+        """,
         "docs_top_terms": r"""
             WITH t AS (
               SELECT doc_id,

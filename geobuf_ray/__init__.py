@@ -66,6 +66,7 @@ def __getattr__(name):
         "geohash_key": ("geobuf_ray.spatial.curves", "geohash_key"),
         "zorder_sort": ("geobuf_ray.spatial.curves", "zorder_sort"),
         "heavy_hitters": ("geobuf_ray.functions.sketch", "heavy_hitters"),
+        "tfidf_topk": ("geobuf_ray.functions.text", "tfidf_topk"),
         "grouping_sets_agg": ("geobuf_ray.functions.agg",
                               "grouping_sets_agg"),
         "stratified_sample": ("geobuf_ray.functions.sample",

@@ -305,3 +305,91 @@ def top_terms(ds, k: int = 50, *, text_col: str = "text",
                      "tf": pa.array(tbl["tf"].to_numpy(
                          zero_copy_only=False)[order]),
                      "df": pa.array(df[order])})
+
+
+def doc_term_tf(batch: pa.Table, doc_col: str = "doc_id",
+                text_col: str = "text") -> pa.Table:
+    """Per-(document, term) frequency rows — exact block-locally, since
+    one input row is one whole document.  Tokenization matches
+    :func:`term_stats_batch` (``\\s+`` split, case-sensitive, empties
+    dropped — DuckDB's ``regexp_split_to_array`` twin)."""
+    toks = pc.split_pattern_regex(batch[text_col], r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    ndoc = len(offs) - 1
+    doc_of_tok = np.repeat(np.arange(ndoc), np.diff(offs))
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        sel = np.flatnonzero(keep)
+        flat = flat.take(pa.array(sel))
+        doc_of_tok = doc_of_tok[sel]
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nterm = len(enc.dictionary)
+    pair = doc_of_tok * nterm + codes
+    uniq, cnt = np.unique(pair, return_counts=True)
+    return pa.table({
+        doc_col: batch[doc_col].take(pa.array(uniq // nterm)),
+        "term": enc.dictionary.take(pa.array(uniq % nterm)),
+        "tf": pa.array(cnt.astype(np.int64))})
+
+
+def tfidf_topk(ds, *, doc_col: str = "doc_id", text_col: str = "text",
+               k: int = 3, nbuckets: int = 32):
+    """Per-document top-k TF-IDF-ranked terms, EXACT integer ranking:
+    (tf desc, df asc, term asc) — the tf-idf ordering with the idf
+    monotonicity made integral, so results hash-check against SQL with
+    no float log in the comparison.  Emits (doc, rank, term, tf, df).
+
+    Shape at scale: documents tokenize block-locally into skinny
+    (doc, term, tf) rows (exact — docs never span blocks); df is a
+    grouped count of those rows; ONE term-keyed join staples df on;
+    ONE doc-keyed exchange ranks per document.  The corpus text moves
+    zero times; only (doc, term, tf[, df]) triples do.
+    """
+    from .agg import grouping_sets_agg
+    from .exchange import hash_exchange
+    from .join import hash_join
+
+    tf_schema = pa.schema([(doc_col, pa.int64()), ("term", pa.string()),
+                           ("tf", pa.int64())])
+    tf = ds.map_batches(
+        lambda b: doc_term_tf(b, doc_col, text_col).cast(tf_schema),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None).materialize()
+    df = grouping_sets_agg(tf, sets=[["term"]], sums={}, count_col="df",
+                           schema=tf_schema)
+    joined = hash_join(
+        tf, df, on="term", nbuckets=nbuckets, left_schema=tf_schema,
+        right_schema=pa.schema([("term", pa.string()),
+                                ("df", pa.int64())]))
+
+    out_schema = pa.schema([(doc_col, pa.int64()), ("rank", pa.int32()),
+                            ("term", pa.string()), ("tf", pa.int64()),
+                            ("df", pa.int64())])
+
+    def rank_topk(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        doc = tbl[doc_col].to_numpy(zero_copy_only=False)
+        tfv = tbl["tf"].to_numpy(zero_copy_only=False)
+        dfv = tbl["df"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(tbl["term"].to_pylist(), object)
+        order = np.lexsort((terms, dfv, -tfv, doc))
+        d = doc[order]
+        new_grp = np.concatenate(([True], d[1:] != d[:-1]))
+        grp_first = np.flatnonzero(new_grp)
+        rank = np.arange(len(d)) - grp_first[np.cumsum(new_grp) - 1]
+        keep = rank < k
+        sel = order[keep]
+        return pa.table({
+            doc_col: pa.array(doc[sel]),
+            "rank": pa.array((rank[keep] + 1).astype(np.int32)),
+            "term": pa.array(terms[sel].tolist(), pa.string()),
+            "tf": pa.array(tfv[sel]),
+            "df": pa.array(dfv[sel])}).cast(out_schema)
+
+    return hash_exchange(joined, nbuckets=nbuckets, on=doc_col,
+                         reduce_fn=rank_topk, schema=out_schema)

@@ -1078,6 +1078,20 @@ def lineitem_unpivot_sums(sf_dir: str):
                           ("value", pa.int64())]))
 
 
+def docs_tfidf_top(sf_dir: str, k: int = 3):
+    """Per-document top-k distinctive terms (functions/text.tfidf_topk):
+    exact integer tf-idf ordering (tf desc, df asc, term asc) — corpus
+    text tokenizes block-locally; only (doc, term, tf, df) rows ever
+    shuffle."""
+    import ray
+
+    from ..functions.text import tfidf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=k)
+
+
 def events_top_users_mg(sf_dir: str):
     """Misra-Gries heavy hitters (functions/sketch.heavy_hitters):
     top-10 users by event count from bounded per-block summaries

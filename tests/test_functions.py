@@ -506,3 +506,42 @@ def test_heavy_hitters_mg_bound_under_truncation(ray_session):
     for v, t in true.items():
         if t > err:
             assert int(v) in est
+
+
+def test_tfidf_topk_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.text import tfidf_topk
+
+    rng = np.random.default_rng(25)
+    words = np.array(["alpha", "beta", "gamma", "delta", "x", "yy",
+                      "zzz", "common", "rare"])
+    docs = [" ".join(rng.choice(words, rng.integers(3, 30)))
+            for _ in range(200)]
+    # tie-heavy: repeated tokens, multiple spaces, leading whitespace
+    docs[0] = "  alpha alpha  beta"
+    tbl = pa.table({"doc_id": pa.array(np.arange(200, dtype=np.int64)),
+                    "text": pa.array(docs)})
+    out = tfidf_topk(ray.data.from_arrow(tbl).repartition(6),
+                     k=2, nbuckets=4).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute(r"""
+        WITH s AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(text, '\s+')) AS term
+                   FROM t),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM s
+               WHERE term <> '' GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf DESC, df.df ASC,
+                                  tf.term ASC) AS rnk
+              FROM tf JOIN df USING (term))
+        SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, tf, df
+        FROM r WHERE rnk <= 2""").fetchdf()
+    sc = ["doc_id", "rank"]
+    a = out.sort_values(sc).reset_index(drop=True)
+    b = exp.sort_values(sc).reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
