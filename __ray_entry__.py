@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q.events_sliding,
         "events_sessions": q.events_sessions,
         "events_lag_value": q.events_lag_value,
+        "orders_first_last": q.orders_first_last,
         "orders_running_total": q.orders_running_total,
         "high_value_orders": q.high_value_orders,
         "customer_orders_full": q.customer_orders_full,
@@ -283,6 +284,17 @@ def oracle_sql() -> dict[str, str]:
                    LAG(value) OVER (PARTITION BY user_id
                                     ORDER BY event_id) AS lag_value
             FROM events
+        """,
+        "orders_first_last": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   FIRST_VALUE(o_totalprice) OVER w AS first_o_totalprice,
+                   LAST_VALUE(o_totalprice) OVER w AS last_o_totalprice,
+                   NTILE(4) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS ntile4
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
         """,
         "customer_orders_full": """
             SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,

@@ -200,6 +200,79 @@ def rank_window(ds, *, key: str, order: str, nbuckets: int = 64,
                          reduce_fn=kernel, schema=None)
 
 
+def value_window(ds, *, key: str, order: str, value: str,
+                 ntile: int | None = None, nbuckets: int = 64):
+    """``FIRST_VALUE(value)`` / ``LAST_VALUE(value) OVER (PARTITION BY
+    key ORDER BY order ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING)`` — note the explicit full frame: SQL's *default* frame
+    makes LAST_VALUE degenerate to the current row, which nobody wants
+    — plus, when ``ntile`` is given, ``NTILE(ntile)`` with SQL's exact
+    fill rule (the first ``n % k`` tiles get one extra row).
+
+    Values pass through verbatim (an Arrow ``take``, no arithmetic), so
+    float columns hash-match SQL bit-for-bit.  ``order`` must be unique
+    per key for NTILE to be deterministic (SQL shares the caveat);
+    FIRST/LAST are deterministic whenever the extreme order value is
+    unique.  Same shape as :func:`lag_lead`: one hash-bucket exchange on
+    the partition key, one lexsort per bucket.
+    """
+    from .exchange import hash_exchange
+
+    first_name, last_name = f"first_{value}", f"last_{value}"
+    if ntile is not None and ntile < 1:
+        raise ValueError("ntile must be >= 1")
+    tile_name = f"ntile{ntile}" if ntile is not None else None
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if tbl.num_columns == 0:
+            return pa.table({})
+        if n == 0:
+            vt = tbl[value].type
+            out = (tbl.append_column(first_name, pa.array([], vt))
+                   .append_column(last_name, pa.array([], vt)))
+            if ntile is not None:
+                out = out.append_column(tile_name, pa.array([], pa.int64()))
+            return out
+        codes = _key_codes(tbl, key)
+        ov = _order_values(tbl, order)
+        sel = np.lexsort((ov, codes))
+        cs = codes[sel]
+        new = np.concatenate(([True], cs[1:] != cs[:-1]))
+        pos = np.arange(n, dtype=np.int64)
+        seg_len = np.diff(np.append(np.flatnonzero(new), n))
+        seg_start = np.repeat(pos[new], seg_len)
+        # source row index (original order) of each segment's first and
+        # last sorted position, broadcast to every row of the segment
+        first_src = np.empty(n, np.int64)
+        first_src[sel] = sel[seg_start]
+        last_src = np.empty(n, np.int64)
+        last_src[sel] = sel[seg_start + np.repeat(seg_len, seg_len) - 1]
+        vals = tbl[value].combine_chunks()
+        out = (tbl.append_column(first_name, vals.take(pa.array(first_src)))
+               .append_column(last_name, vals.take(pa.array(last_src))))
+        if ntile is not None:
+            k = np.int64(ntile)
+            npart = np.repeat(seg_len, seg_len)
+            p = pos - seg_start            # 0-based position in segment
+            size = npart // k              # floor rows per tile
+            rem = npart % k                # first `rem` tiles get +1
+            cut = rem * (size + 1)         # rows covered by fat tiles
+            # size==0 (fewer rows than tiles) keeps every p under cut,
+            # so the thin-tile divisor never sees a zero
+            thin = np.maximum(size, 1)
+            tile_sorted = np.where(
+                p < cut, p // (size + 1) + 1,
+                rem + (p - cut) // thin + 1)
+            tile = np.empty(n, np.int64)
+            tile[sel] = tile_sorted
+            out = out.append_column(tile_name, pa.array(tile))
+        return out
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=None)
+
+
 def running_agg(ds, *, key: str, order: str, value: str,
                 nbuckets: int = 64, out_col: str | None = None):
     """Per-row running sum of ``value`` within ``key`` groups in

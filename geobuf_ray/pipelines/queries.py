@@ -731,6 +731,23 @@ def events_lag_value(sf_dir: str):
     return lag_lead(ds, key="user_id", order="event_id", value="value")
 
 
+def orders_first_last(sf_dir: str):
+    """Per-customer FIRST_VALUE / LAST_VALUE of the order price in
+    orderkey order plus NTILE(4) (functions/window.value_window): the
+    price passes through an Arrow take verbatim, so the float column
+    hash-matches SQL; o_orderkey is globally unique, so NTILE is
+    deterministic."""
+    import ray
+
+    from ..functions.window import value_window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderkey",
+                                        "o_totalprice"])
+    return value_window(ds, key="o_custkey", order="o_orderkey",
+                        value="o_totalprice", ntile=4)
+
+
 def customer_orders_full(sf_dir: str):
     """FULL OUTER equi-join (functions/join.hash_join how="full"):
     negative-balance customers x high-value orders, so BOTH miss

@@ -73,3 +73,51 @@ def test_running_agg_int_exact_vs_duckdb(ray_session):
     a = out.sort_values(["u", "t"]).reset_index(drop=True)[cols]
     b = o.sort_values(["u", "t"]).reset_index(drop=True)[cols]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_value_window_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from geobuf_ray.functions.window import value_window
+
+    rng = np.random.default_rng(11)
+    n = 7000
+    tbl = pa.table({
+        "u": pa.array(rng.integers(0, 250, n)),
+        "t": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.normal(0, 1, n)),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    out = value_window(ds, key="u", order="t", value="v",
+                       ntile=7).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    o = con.execute(
+        "SELECT u, t, v, FIRST_VALUE(v) OVER w AS first_v, "
+        "LAST_VALUE(v) OVER w AS last_v, "
+        "NTILE(7) OVER (PARTITION BY u ORDER BY t) AS ntile7 FROM t "
+        "WINDOW w AS (PARTITION BY u ORDER BY t ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND UNBOUNDED FOLLOWING)").df()
+    cols = sorted(out.columns)
+    a = out.sort_values(["u", "t"]).reset_index(drop=True)[cols]
+    b = o.sort_values(["u", "t"]).reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_value_window_ntile_tiny_partitions(ray_session):
+    # fewer rows than tiles: each row lands in its own 1-row tile
+    import ray
+
+    from geobuf_ray.functions.window import value_window
+
+    tbl = pa.table({"u": pa.array([1, 1, 2]),
+                    "t": pa.array([10, 20, 5]),
+                    "v": pa.array([1.0, 2.0, 3.0])})
+    out = value_window(ray.data.from_arrow(tbl), key="u", order="t",
+                       value="v", ntile=5).to_pandas()
+    out = out.sort_values(["u", "t"]).reset_index(drop=True)
+    assert list(out.ntile5) == [1, 2, 1]
+    assert list(out.first_v) == [1.0, 1.0, 3.0]
+    assert list(out.last_v) == [2.0, 2.0, 3.0]
