@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q.orders_by_segment,
         "top_orders": q.top_orders,
         "events_hourly": q.events_hourly,
+        "events_hourly_distinct": q.events_hourly_distinct,
         "events_sliding": q.events_sliding,
         "events_sessions": q.events_sessions,
         "events_lag_value": q.events_lag_value,
@@ -229,6 +230,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_id,
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY hour_id
+        """,
+        "events_hourly_distinct": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+                       AS hour_id,
+                   COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY hour_id
         """,
         "events_sliding": """

@@ -516,6 +516,66 @@ def mode_agg(ds, keys: list[str], value: str, *,
                          reduce_fn=pick, schema=out_schema)
 
 
+def distinct_agg(ds, keys: list[str], value: str, *,
+                 nbuckets: int = 16, schema: pa.Schema | None = None,
+                 out_col: str = "n_distinct"):
+    """Exact ``COUNT(DISTINCT value)`` per group.  Emits
+    ``(keys..., out_col)``.
+
+    Shape: each block locally dedups to its distinct (group, value)
+    pairs BEFORE anything moves — on a corpus where a group's value
+    domain is small relative to its row count (users per hour, SKUs
+    per store) the exchange carries the distinct pairs, not the rows.
+    One hash exchange on the GROUP key, then a second dedup + count per
+    bucket.  NULL values don't count (SQL); NULL group keys form a
+    group (SQL GROUP BY).  A group with a huge distinct domain widens
+    its bucket, never the driver.
+    """
+    from .exchange import hash_exchange
+
+    key_list = list(keys)
+    if schema is None:
+        in_schema = ds.schema()
+        types = dict(zip(in_schema.names, in_schema.types))
+    else:
+        types = {f.name: f.type for f in schema}
+
+    part_schema = pa.schema([(k, types[k]) for k in key_list]
+                            + [("__val", types[value])])
+    out_schema = pa.schema([(k, types[k]) for k in key_list]
+                           + [(out_col, pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        col = batch[value].combine_chunks()
+        t = pa.table({**{k: batch[k] for k in key_list}, "__val": col})
+        if col.null_count:
+            t = t.filter(pc.is_valid(t["__val"]))
+        return t.group_by(key_list + ["__val"]).aggregate([]) \
+                .rename_columns(part_schema.names).cast(part_schema)
+
+    def count(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        g = tbl.group_by(key_list + ["__val"]).aggregate([]) \
+               .rename_columns(part_schema.names)
+        if not key_list:
+            return pa.table({out_col: pa.array([g.num_rows], pa.int64())})
+        out = g.group_by(key_list).aggregate([("__val", "count")])
+        return out.rename_columns(key_list + [out_col]).cast(out_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if not key_list:
+        return hash_exchange(
+            partials, nbuckets=1,
+            bucket_fn=lambda t: (np.zeros(t.num_rows, np.int64), t),
+            reduce_fn=count, schema=out_schema)
+    return hash_exchange(partials, nbuckets=nbuckets, on=key_list,
+                         reduce_fn=count, schema=out_schema)
+
+
 def cube_agg(ds, keys: list[str], sums: dict[str, str], *,
              count_col: str | None = "n_rows", nbuckets: int = 16,
              schema: pa.Schema | None = None):

@@ -286,6 +286,30 @@ def events_hourly(sf_dir: str):
     return _final_combine(partials, ["hour_id"], ["n_events", "value_cents"])
 
 
+def events_hourly_distinct(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per hour
+    (functions/agg.distinct_agg): blocks dedup their (hour, user) pairs
+    locally before the exchange, so the shuffle carries distinct pairs,
+    not events."""
+    import ray
+
+    from ..functions.agg import distinct_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def hours(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy()
+        hour_id = ts.astype("datetime64[h]").astype(np.int64)
+        return pa.table({"hour_id": pa.array(hour_id),
+                         "user_id": batch["user_id"]})
+
+    ds = ds.map_batches(hours, batch_format="pyarrow", zero_copy_batch=True)
+    schema = pa.schema([("hour_id", pa.int64()), ("user_id", pa.int64())])
+    return distinct_agg(ds, ["hour_id"], "user_id", schema=schema,
+                        out_col="n_users")
+
+
 def events_sliding(sf_dir: str, window: int = 3):
     """Sliding 3-hour moving sum over the hourly aggregate — the
     windowed-aggregate shape (frame = current and 2 preceding hours).

@@ -532,3 +532,54 @@ def test_percent_rank_cume_dist_vs_duckdb(ray_session):
                        rtol=0, atol=0)
     assert np.allclose(a["cume_dist"].values, b["cume_dist"].values,
                        rtol=0, atol=0)
+
+
+def test_distinct_agg_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from geobuf_ray.functions.agg import distinct_agg
+
+    rng = np.random.default_rng(23)
+    n = 9000
+    # NULL values sprinkled in (COUNT DISTINCT ignores them); every
+    # group keeps at least one non-null value so the SQL twin emits
+    # the same group set
+    v = rng.integers(0, 40, n).astype(np.float64)
+    tbl = pa.table({"k": pa.array(rng.integers(0, 97, n)),
+                    "v": pa.array(v, mask=rng.random(n) < 0.05)})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    out = distinct_agg(ds, ["k"], "v", out_col="nd").to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    exp = con.execute(
+        "SELECT k, COUNT(DISTINCT v) AS nd FROM t "
+        "WHERE v IS NOT NULL GROUP BY k").df()
+    a = out.sort_values("k").reset_index(drop=True)
+    b = exp.sort_values("k").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # global (no keys) variant
+    g = distinct_agg(ds, [], "v", out_col="nd").to_pandas()
+    eg = con.execute("SELECT COUNT(DISTINCT v) AS nd FROM t").df()
+    assert int(g.nd.iloc[0]) == int(eg.nd.iloc[0])
+
+
+def test_distinct_agg_null_keys_group(ray_session):
+    import ray
+
+    from geobuf_ray.functions.agg import distinct_agg
+
+    tbl = pa.table({"k": pa.array([1, 1, None, None, 2]),
+                    "v": pa.array([10, 10, 5, 7, None])})
+    out = distinct_agg(ray.data.from_arrow(tbl), ["k"], "v",
+                       out_col="nd").to_pandas()
+    got = {(None if pd_isna(r.k) else int(r.k)): int(r.nd)
+           for r in out.itertuples()}
+    # group 2's only value is NULL -> group absent (documented caveat)
+    assert got == {1: 1, None: 2}
+
+
+def pd_isna(x):
+    import pandas as pd
+    return pd.isna(x)
