@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q.events_sessions,
         "events_lag_value": q.events_lag_value,
         "orders_first_last": q.orders_first_last,
+        "lineitem_urgent_semi_bloom": q.lineitem_urgent_semi_bloom,
         "orders_running_total": q.orders_running_total,
         "high_value_orders": q.high_value_orders,
         "customer_orders_full": q.customer_orders_full,
@@ -291,6 +292,12 @@ def oracle_sql() -> dict[str, str]:
                    LAG(value) OVER (PARTITION BY user_id
                                     ORDER BY event_id) AS lag_value
             FROM events
+        """,
+        "lineitem_urgent_semi_bloom": """
+            SELECT l_orderkey, l_partkey, l_quantity FROM lineitem l
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l.l_orderkey
+                            AND o_orderpriority = '1-URGENT')
         """,
         "orders_first_last": """
             SELECT o_custkey, o_orderkey, o_totalprice,

@@ -755,6 +755,31 @@ def events_lag_value(sf_dir: str):
     return lag_lead(ds, key="user_id", order="event_id", value="value")
 
 
+def lineitem_urgent_semi_bloom(sf_dir: str):
+    """EXISTS semi-join with a Bloom prefilter on the big side
+    (functions/bloom.bloom_semi_join): urgent-order keys build a 1 MiB
+    filter, broadcast once; lineitem blocks drop non-members BEFORE the
+    exchange, and the exact semi-join downstream kills the Bloom's
+    false positives — identical rows to plain semi_join, a fraction of
+    the shuffle."""
+    import pyarrow.dataset as pds
+    import ray
+
+    from ..functions.bloom import bloom_semi_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey",
+                                        "l_quantity"])
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"],
+        filter=pds.field("o_orderpriority") == pds.scalar("1-URGENT"))
+    schema = pa.schema([("l_orderkey", pa.int64()),
+                        ("l_partkey", pa.int64()),
+                        ("l_quantity", pa.float64())])
+    return bloom_semi_join(li, urgent, "l_orderkey",
+                           right_on="o_orderkey", left_schema=schema)
+
+
 def orders_first_last(sf_dir: str):
     """Per-customer FIRST_VALUE / LAST_VALUE of the order price in
     orderkey order plus NTILE(4) (functions/window.value_window): the
