@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_value": q.events_lag_value,
         "orders_first_last": q.orders_first_last,
         "lineitem_urgent_semi_bloom": q.lineitem_urgent_semi_bloom,
+        "lineitem_qty_quantiles_by_flag": q.lineitem_qty_quantiles_by_flag,
         "orders_running_total": q.orders_running_total,
         "high_value_orders": q.high_value_orders,
         "customer_orders_full": q.customer_orders_full,
@@ -292,6 +293,13 @@ def oracle_sql() -> dict[str, str]:
                    LAG(value) OVER (PARTITION BY user_id
                                     ORDER BY event_id) AS lag_value
             FROM events
+        """,
+        "lineitem_qty_quantiles_by_flag": """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.25) AS p25,
+                   quantile_disc(l_quantity, 0.5)  AS p50,
+                   quantile_disc(l_quantity, 0.75) AS p75
+            FROM lineitem GROUP BY l_returnflag
         """,
         "lineitem_urgent_semi_bloom": """
             SELECT l_orderkey, l_partkey, l_quantity FROM lineitem l

@@ -576,6 +576,106 @@ def distinct_agg(ds, keys: list[str], value: str, *,
                          reduce_fn=count, schema=out_schema)
 
 
+def group_quantile(ds, keys: list[str], value: str,
+                   quantiles: dict[str, float], *,
+                   nbuckets: int = 16, schema: pa.Schema | None = None):
+    """Exact per-group ``PERCENTILE_DISC`` (SQL's / DuckDB
+    ``quantile_disc`` rank rule: the value at 1-based rank
+    ``max(ceil(q*n), 1)`` in sorted order).  ``quantiles`` maps output
+    column name -> q in [0, 1].  Emits ``(keys..., <name>...)``, one
+    row per group.
+
+    Shape: blocks collapse to (group, value, count) partials — the
+    exchange carries each group's DISTINCT values with multiplicities,
+    not its rows — then one sort + segmented-cumsum rank lookup per
+    bucket.  Exact for any distribution; when a group's distinct-value
+    domain approaches its row count the partials stop compressing but
+    the bucket (not the driver) absorbs it.  NULL values are ignored
+    (SQL); all-NULL groups are absent.  Use exact binary-float q
+    values (0.25, 0.5, ...) for bit-stable ranks.
+    """
+    from .exchange import hash_exchange
+
+    key_list = list(keys)
+    qnames = list(quantiles)
+    qvals = np.array([quantiles[nm] for nm in qnames], np.float64)
+    if ((qvals < 0) | (qvals > 1)).any():
+        raise ValueError("quantiles must be in [0, 1]")
+    if schema is None:
+        in_schema = ds.schema()
+        types = dict(zip(in_schema.names, in_schema.types))
+    else:
+        types = {f.name: f.type for f in schema}
+
+    part_schema = pa.schema([(k, types[k]) for k in key_list]
+                            + [("__val", types[value]),
+                               ("__cnt", pa.int64())])
+    out_schema = pa.schema([(k, types[k]) for k in key_list]
+                           + [(nm, types[value]) for nm in qnames])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        col = batch[value].combine_chunks()
+        t = pa.table({**{k: batch[k] for k in key_list}, "__val": col,
+                      "__cnt": pa.array(np.ones(batch.num_rows, np.int64))})
+        if col.null_count:
+            t = t.filter(pc.is_valid(t["__val"]))
+        g = t.group_by(key_list + ["__val"]).aggregate([("__cnt", "sum")])
+        return g.rename_columns(part_schema.names).cast(part_schema)
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        g = tbl.group_by(key_list + ["__val"]).aggregate([("__cnt", "sum")])
+        g = g.rename_columns(part_schema.names)
+        order = [(k, "ascending") for k in key_list] + \
+                [("__val", "ascending")]
+        g = g.sort_by(order)
+        n = g.num_rows
+        cnt = g["__cnt"].to_numpy(zero_copy_only=False)
+        if key_list:
+            first = np.ones(n, bool)
+            diff = np.zeros(max(n - 1, 0), bool)
+            for k in key_list:
+                col = g[k].combine_chunks()
+                a, b = col.slice(1), col.slice(0, n - 1)
+                neq = pc.not_equal(a, b).fill_null(False) \
+                    .to_numpy(zero_copy_only=False)
+                vdiff = pc.xor(pc.is_valid(a), pc.is_valid(b)) \
+                    .to_numpy(zero_copy_only=False)
+                diff |= neq | vdiff
+            first[1:] = diff
+        else:
+            first = np.zeros(n, bool)
+            first[0] = True
+        starts = np.flatnonzero(first)
+        cum = np.cumsum(cnt)
+        base = np.concatenate(([0], cum[starts[1:] - 1])) \
+            if len(starts) > 1 else np.zeros(1, np.int64)
+        n_g = np.append(cum[starts[1:] - 1], cum[-1]) - base \
+            if len(starts) > 1 else np.array([cum[-1]])
+        head = g.take(pa.array(starts, pa.int64()))
+        cols = {k: head[k] for k in key_list}
+        vals = g["__val"].combine_chunks()
+        for nm, q in zip(qnames, qvals):
+            rank = np.maximum(np.ceil(q * n_g).astype(np.int64), 1)
+            # first sorted row i of the segment with cum[i] >= base+rank
+            idx = np.searchsorted(cum, base + rank, side="left")
+            cols[nm] = vals.take(pa.array(idx, pa.int64()))
+        return pa.table(cols).cast(out_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if not key_list:
+        return hash_exchange(
+            partials, nbuckets=1,
+            bucket_fn=lambda t: (np.zeros(t.num_rows, np.int64), t),
+            reduce_fn=pick, schema=out_schema)
+    return hash_exchange(partials, nbuckets=nbuckets, on=key_list,
+                         reduce_fn=pick, schema=out_schema)
+
+
 def cube_agg(ds, keys: list[str], sums: dict[str, str], *,
              count_col: str | None = "n_rows", nbuckets: int = 16,
              schema: pa.Schema | None = None):

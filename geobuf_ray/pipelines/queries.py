@@ -755,6 +755,25 @@ def events_lag_value(sf_dir: str):
     return lag_lead(ds, key="user_id", order="event_id", value="value")
 
 
+def lineitem_qty_quantiles_by_flag(sf_dir: str):
+    """Exact per-group PERCENTILE_DISC (functions/agg.group_quantile):
+    quartiles of l_quantity per return flag — the exchange carries each
+    flag's distinct (value, count) pairs, not its lineitems; values
+    pass through verbatim so the float column hash-matches DuckDB's
+    quantile_disc."""
+    import ray
+
+    from ..functions.agg import group_quantile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+    schema = pa.schema([("l_returnflag", pa.string()),
+                        ("l_quantity", pa.float64())])
+    return group_quantile(ds, ["l_returnflag"], "l_quantity",
+                          {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+                          schema=schema)
+
+
 def lineitem_urgent_semi_bloom(sf_dir: str):
     """EXISTS semi-join with a Bloom prefilter on the big side
     (functions/bloom.bloom_semi_join): urgent-order keys build a 1 MiB

@@ -583,3 +583,47 @@ def test_distinct_agg_null_keys_group(ray_session):
 def pd_isna(x):
     import pandas as pd
     return pd.isna(x)
+
+
+def test_group_quantile_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.agg import group_quantile
+
+    rng = np.random.default_rng(31)
+    n = 11000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 60, n)),
+        "v": pa.array(rng.integers(-500, 500, n).astype(np.float64),
+                      mask=rng.random(n) < 0.03),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    qs = {"p10": 0.125, "p50": 0.5, "p90": 0.875, "pmin": 0.0,
+          "pmax": 1.0}
+    out = group_quantile(ds, ["k"], "v", qs).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    exp = con.execute(
+        "SELECT k, quantile_disc(v, 0.125) AS p10, "
+        "quantile_disc(v, 0.5) AS p50, quantile_disc(v, 0.875) AS p90, "
+        "quantile_disc(v, 0.0) AS pmin, quantile_disc(v, 1.0) AS pmax "
+        "FROM t GROUP BY k").df()
+    a = out.sort_values("k").reset_index(drop=True)
+    b = exp.sort_values("k").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_group_quantile_global_and_singleton(ray_session):
+    import ray
+
+    from geobuf_ray.functions.agg import group_quantile
+
+    tbl = pa.table({"v": pa.array([5.0, 1.0, 3.0])})
+    out = group_quantile(ray.data.from_arrow(tbl), [], "v",
+                         {"med": 0.5}).to_pandas()
+    assert list(out.med) == [3.0]
+    one = pa.table({"k": pa.array([7]), "v": pa.array([42.0])})
+    o2 = group_quantile(ray.data.from_arrow(one), ["k"], "v",
+                        {"p25": 0.25, "p75": 0.75}).to_pandas()
+    assert list(o2.p25) == [42.0] and list(o2.p75) == [42.0]
