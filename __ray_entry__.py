@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_hull": q.orders_priority_hull,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
+        "events_user_freq_cms": q.events_user_freq_cms,
         "events_last_order_asof": q.events_last_order_asof,
         "lineitem_price_band_join": q.lineitem_price_band_join,
         "orders_hash_sample": q.orders_hash_sample,

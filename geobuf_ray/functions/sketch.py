@@ -300,3 +300,63 @@ def heavy_hitters(ds, col: str, *, k: int = 10, capacity: int = 256,
         "est": pa.array(top_est),
         "est_hi": pa.array(top_est + err),
         "certified": pa.array(np.full(len(top_est), certified))})
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimation)
+# ---------------------------------------------------------------------------
+
+def cms_counts(values_hash: np.ndarray, width: int,
+               depth: int) -> np.ndarray:
+    """(depth, width) Count-Min matrix of one block's hashed values.
+    Row i buckets by an independent remix of the 64-bit value hash;
+    ``width`` must be a power of two."""
+    if width & (width - 1):
+        raise ValueError("width must be a power of two")
+    counts = np.zeros((depth, width), np.int64)
+    for i in range(depth):
+        pos = (_mix(values_hash, 0xC3A5 + 0x9E37 * i)
+               & _U64(width - 1)).astype(np.int64)
+        counts[i] += np.bincount(pos, minlength=width)
+    return counts
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """CMS partials merge by elementwise sum (exactly associative)."""
+    return a + b
+
+
+def cms_estimate(counts: np.ndarray, query_hash: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over rows of the queried cells.
+    Never under-counts; over-counts by at most ``e/width * N_total``
+    with probability ``1 - e^-depth`` (Cormode & Muthukrishnan 2005)."""
+    depth, width = counts.shape
+    ests = np.empty((depth, len(query_hash)), np.int64)
+    for i in range(depth):
+        pos = (_mix(query_hash, 0xC3A5 + 0x9E37 * i)
+               & _U64(width - 1)).astype(np.int64)
+        ests[i] = counts[i][pos]
+    return ests.min(axis=0)
+
+
+def cms_build(ds, col: str, *, width: int = 4096, depth: int = 4,
+              **map_kwargs) -> np.ndarray:
+    """Distributed Count-Min over one column: per-block (depth, width)
+    partials (one fixed-size row each, independent of cardinality or
+    row count) -> driver elementwise-sum merge.  NULLs don't count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = cms_counts(_hash_column(batch[col]), width, depth)
+        return pa.table({"counts": pa.array([counts.tobytes()],
+                                            pa.large_binary())})
+
+    from ..collect import collect_table
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True,
+                                         batch_size=None, **map_kwargs))
+    merged = np.zeros((depth, width), np.int64)
+    for r in parts["counts"].to_pylist():
+        merged = cms_merge(merged,
+                           np.frombuffer(r, np.int64).reshape(depth, width))
+    return merged

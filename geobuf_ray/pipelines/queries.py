@@ -1536,6 +1536,45 @@ def events_distinct_users_hll(sf_dir: str, p: int = 12):
     })
 
 
+def events_user_freq_cms(sf_dir: str, width: int = 4096, depth: int = 4):
+    """Point-frequency estimates via a Count-Min sketch
+    (functions/sketch.cms_build): fixed (depth, width) int64 partials
+    per block regardless of cardinality, sum-merged.  Queried for user
+    ids 0..9 next to their exact counts; CMS never under-counts and
+    the e/width * N over-count bound is emitted per row (rows-only
+    check; the bound itself is asserted in tests and here)."""
+    import ray
+
+    from ..functions.sketch import _hash_column, cms_build, cms_estimate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    counts = cms_build(ds, "user_id", width=width, depth=depth)
+    total = int(counts[0].sum())
+    probe = np.arange(10, dtype=np.int64)
+    qh = _hash_column(pa.array(probe))
+    est = cms_estimate(counts, qh)
+    exact_tbl = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]) \
+        .map_batches(lambda b: pa.table({
+            "user_id": b["user_id"],
+            "one": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("user_id").sum("one").to_pandas()
+    exact_map = dict(zip(exact_tbl["user_id"], exact_tbl["sum(one)"]))
+    exact = np.array([int(exact_map.get(int(u), 0)) for u in probe],
+                     np.int64)
+    bound = int(np.ceil(np.e / width * total))
+    ok = (est >= exact) & (est <= exact + bound)
+    return pa.table({
+        "user_id": pa.array(probe),
+        "est": pa.array(est),
+        "exact": pa.array(exact),
+        "over_bound": pa.array(np.full(10, bound, np.int64)),
+        "within_bound": pa.array(ok),
+    })
+
+
 def revenue_by_region(sf_dir: str):
     """orders -> customer -> nation -> region chained broadcast join.
 

@@ -545,3 +545,47 @@ def test_tfidf_topk_vs_duckdb(ray_session):
     a = out.sort_values(sc).reset_index(drop=True)
     b = exp.sort_values(sc).reset_index(drop=True)[a.columns]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_cms_never_undercounts_and_bound(ray_session):
+    import ray
+
+    from geobuf_ray.functions.sketch import _hash_column, cms_build, \
+        cms_estimate
+
+    rng = np.random.default_rng(17)
+    # zipf-ish: heavy head, long tail
+    vals = (rng.zipf(1.5, 30000) % 5000).astype(np.int64)
+    tbl = pa.table({"v": pa.array(vals)})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    width, depth = 2048, 5
+    counts = cms_build(ds, "v", width=width, depth=depth)
+    assert counts.shape == (depth, width)
+    assert int(counts[0].sum()) == len(vals)  # every row lands once/row
+    uniq, true = np.unique(vals, return_counts=True)
+    est = cms_estimate(counts, _hash_column(pa.array(uniq)))
+    assert (est >= true).all()  # CMS never under-counts
+    bound = np.e / width * len(vals)
+    # the eps*N bound holds per-key with prob 1-e^-depth (~0.7% fail);
+    # across 5k keys allow a small tail
+    assert ((est - true) <= bound).mean() > 0.98
+
+
+def test_cms_merge_associative():
+    import numpy as np
+
+    from geobuf_ray.functions.sketch import _hash_column, cms_counts, \
+        cms_estimate, cms_merge
+
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 100, 5000).astype(np.int64)
+    b = rng.integers(0, 100, 7000).astype(np.int64)
+    ha, hb = _hash_column(pa.array(a)), _hash_column(pa.array(b))
+    hall = _hash_column(pa.array(np.concatenate([a, b])))
+    w, d = 512, 4
+    merged = cms_merge(cms_counts(ha, w, d), cms_counts(hb, w, d))
+    whole = cms_counts(hall, w, d)
+    assert (merged == whole).all()
+    est = cms_estimate(merged, _hash_column(pa.array(np.arange(100))))
+    true = np.bincount(np.concatenate([a, b]), minlength=100)
+    assert (est >= true).all()
