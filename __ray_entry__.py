@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
         "events_user_freq_cms": q.events_user_freq_cms,
+        "parts_pagerank_top": q.parts_pagerank_top,
         "events_last_order_asof": q.events_last_order_asof,
         "lineitem_price_band_join": q.lineitem_price_band_join,
         "orders_hash_sample": q.orders_hash_sample,

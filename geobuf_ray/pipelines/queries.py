@@ -1536,6 +1536,37 @@ def events_distinct_users_hll(sf_dir: str, p: int = 12):
     })
 
 
+def parts_pagerank_top(sf_dir: str, k: int = 20):
+    """PageRank over the part -> supplier shipment graph
+    (functions/graph.pagerank): distinct lineitem (partkey, suppkey)
+    edges, supplier ids offset into a disjoint range; edges ship once
+    (presplit), per-round exchanges carry pre-summed contributions, the
+    driver sees only the dangling-mass scalar.  Top-k nodes by rank,
+    node-id tie-break (rows-only; the operator's exactness oracle is
+    the dense power-iteration pytest)."""
+    import ray
+
+    from ..functions.graph import pagerank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        e = np.unique(np.stack([p, s + 1_000_000_000], 1), axis=0)
+        return pa.table({"src": pa.array(e[:, 0].astype(np.int64)),
+                         "dst": pa.array(e[:, 1].astype(np.int64))})
+
+    ranks = pagerank(ds.map_batches(edges, batch_format="pyarrow",
+                                    zero_copy_batch=True), iters=10)
+    r = ranks["rank"].to_numpy(zero_copy_only=False)
+    n = ranks["node"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((n, -r))[:k]
+    return pa.table({"node": pa.array(n[order]),
+                     "rank": pa.array(r[order])})
+
+
 def events_user_freq_cms(sf_dir: str, width: int = 4096, depth: int = 4):
     """Point-frequency estimates via a Count-Min sketch
     (functions/sketch.cms_build): fixed (depth, width) int64 partials

@@ -92,3 +92,63 @@ def test_minhash_dedup_distributed_cc_path(ray_session, monkeypatch):
     assert drop_small == drop_big
     assert sorted(kept_big.to_pandas().doc_id) == \
         sorted(kept_small.to_pandas().doc_id)
+
+
+def _dense_pagerank(n, edges, d=0.85, iters=20):
+    """Reference power iteration with uniform dangling redistribution."""
+    deg = np.zeros(n, np.int64)
+    for u, _ in edges:
+        deg[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[deg == 0].sum()
+        nxt = np.full(n, (1.0 - d) / n + d * dang / n)
+        for u, v in edges:
+            nxt[v] += d * r[u] / deg[u]
+        r = nxt
+    return r
+
+
+def test_pagerank_vs_dense_power_iteration(ray_session):
+    import ray
+
+    from geobuf_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(13)
+    n = 120
+    m = 700
+    e = np.unique(
+        rng.integers(0, n, (m, 2)), axis=0)
+    e = e[e[:, 0] != e[:, 1]]
+    tbl = pa.table({"src": pa.array(e[:, 0].astype(np.int64)),
+                    "dst": pa.array(e[:, 1].astype(np.int64))})
+    out = pagerank(ray.data.from_arrow(tbl).repartition(4),
+                   iters=15, nbuckets=8)
+    got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    # dense oracle over the same node universe (nodes in any edge)
+    present = np.unique(e)
+    remap = {int(v): i for i, v in enumerate(present)}
+    re_edges = [(remap[int(u)], remap[int(v)]) for u, v in e]
+    ref = _dense_pagerank(len(present), re_edges, iters=15)
+    assert set(got) == {int(v) for v in present}
+    for v in present:
+        assert abs(got[int(v)] - ref[remap[int(v)]]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_graph(ray_session):
+    # hub-and-spoke: all spokes point at the hub; hub is dangling
+    import ray
+
+    from geobuf_ray.functions.graph import pagerank
+
+    spokes = np.arange(1, 9, dtype=np.int64)
+    tbl = pa.table({"src": pa.array(spokes),
+                    "dst": pa.array(np.zeros(8, np.int64))})
+    out = pagerank(ray.data.from_arrow(tbl), iters=30, nbuckets=4)
+    got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    # hub outranks every spoke; spokes all equal by symmetry
+    sp = [got[int(s)] for s in spokes]
+    assert got[0] > max(sp)
+    assert max(sp) - min(sp) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
