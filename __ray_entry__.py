@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": q.events_distinct_users_hll,
         "events_user_freq_cms": q.events_user_freq_cms,
         "parts_pagerank_top": q.parts_pagerank_top,
+        "orders_status_strings": q.orders_status_strings,
+        "embeddings_pos_sums": q.embeddings_pos_sums,
         "events_last_order_asof": q.events_last_order_asof,
         "lineitem_price_band_join": q.lineitem_price_band_join,
         "orders_hash_sample": q.orders_hash_sample,
@@ -295,6 +297,20 @@ def oracle_sql() -> dict[str, str]:
                    LAG(value) OVER (PARTITION BY user_id
                                     ORDER BY event_id) AS lag_value
             FROM events
+        """,
+        "orders_status_strings": """
+            SELECT o_custkey,
+                   string_agg(o_orderstatus, ','
+                              ORDER BY o_orderkey, o_orderstatus)
+                       AS statuses
+            FROM orders GROUP BY o_custkey
+        """,
+        "embeddings_pos_sums": """
+            SELECT pos, CAST(SUM(CAST(floor(v * 1000) AS BIGINT))
+                             AS BIGINT) AS s
+            FROM (SELECT generate_subscripts(embedding, 1) AS pos,
+                         unnest(embedding) AS v FROM embeddings)
+            GROUP BY pos
         """,
         "lineitem_qty_quantiles_by_flag": """
             SELECT l_returnflag,

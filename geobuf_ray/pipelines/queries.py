@@ -1536,6 +1536,66 @@ def events_distinct_users_hll(sf_dir: str, p: int = 12):
     })
 
 
+def orders_status_strings(sf_dir: str):
+    """Per-customer order-status sequence (functions/listops
+    .collect_list): statuses collected in orderkey order into a list,
+    then joined to one string per customer — SQL's ``string_agg(...
+    ORDER BY ...)``.  Only (custkey, orderkey, status) rows move."""
+    import ray
+
+    from ..functions.listops import collect_list
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderkey",
+                                        "o_orderstatus"])
+    schema = pa.schema([("o_custkey", pa.int64()),
+                        ("o_orderkey", pa.int64()),
+                        ("o_orderstatus", pa.string())])
+    lists = collect_list(ds, ["o_custkey"], "o_orderstatus",
+                         order="o_orderkey", out_col="statuses",
+                         schema=schema)
+
+    def join_str(batch: pa.Table) -> pa.Table:
+        s = pc.binary_join(batch["statuses"].combine_chunks(), ",")
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "statuses": s})
+
+    return lists.map_batches(join_str, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def embeddings_pos_sums(sf_dir: str):
+    """Per-position integer sums over the exploded embedding column
+    (functions/listops.unnest WITH ORDINALITY): each block explodes
+    locally and collapses to at most dim rows before anything moves —
+    the long table never materializes.  floor(v*1000) keeps the sum
+    exact-integer, so the query hash-matches SQL."""
+    import ray
+
+    from ..functions.listops import unnest
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    schema = pa.schema([("embedding", pa.list_(pa.float32()))])
+    long = unnest(ds, "embedding", value_name="v", ordinal="pos",
+                  schema=schema)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pos = batch["pos"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        iv = np.floor(v * 1000).astype(np.int64)
+        npos = int(pos.max()) + 1 if len(pos) else 1
+        return pa.table({
+            "pos": pa.array(np.arange(1, npos, dtype=np.int64)),
+            "s": pa.array(np.bincount(pos, weights=iv,
+                                      minlength=npos)[1:]
+                          .astype(np.int64))})
+
+    partials = long.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return _final_combine(partials, ["pos"], ["s"])
+
+
 def parts_pagerank_top(sf_dir: str, k: int = 20):
     """PageRank over the part -> supplier shipment graph
     (functions/graph.pagerank): distinct lineitem (partkey, suppkey)

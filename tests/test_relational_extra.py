@@ -627,3 +627,48 @@ def test_group_quantile_global_and_singleton(ray_session):
     o2 = group_quantile(ray.data.from_arrow(one), ["k"], "v",
                         {"p25": 0.25, "p75": 0.75}).to_pandas()
     assert list(o2.p25) == [42.0] and list(o2.p75) == [42.0]
+
+
+def test_unnest_with_ordinal_and_empty_lists(ray_session):
+    import ray
+
+    from geobuf_ray.functions.listops import unnest
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "xs": pa.array([[10, 20], [], None, [30]],
+                       pa.list_(pa.int64())),
+    })
+    out = unnest(ray.data.from_arrow(tbl).repartition(2), "xs",
+                 value_name="x", ordinal="pos").to_pandas()
+    out = out.sort_values(["id", "pos"]).reset_index(drop=True)
+    assert list(out.id) == [1, 1, 4]
+    assert list(out.x) == [10, 20, 30]
+    assert list(out.pos) == [1, 2, 1]
+
+
+def test_collect_list_roundtrip_unnest(ray_session):
+    import ray
+
+    from geobuf_ray.functions.listops import collect_list, unnest
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 80, n), pa.int64()),
+        "o": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    lists = collect_list(ds, ["k"], "v", order="o", out_col="vs")
+    back = unnest(lists, "vs", value_name="v").to_pandas()
+    a = back.sort_values(["k", "v"]).reset_index(drop=True)
+    b = tbl.to_pandas()[["k", "v"]].sort_values(["k", "v"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["k", "v"]], b, check_dtype=False)
+    # element order within a group follows the order column
+    one = lists.to_pandas()
+    row = one[one.k == one.k.iloc[0]].iloc[0]
+    df = tbl.to_pandas()
+    exp = df[df.k == row.k].sort_values(["o", "v"]).v.tolist()
+    assert list(row.vs) == exp
