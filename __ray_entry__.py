@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_freq_cms": q.events_user_freq_cms,
         "parts_pagerank_top": q.parts_pagerank_top,
         "orders_status_strings": q.orders_status_strings,
+        "lineitem_corr_by_flag": q.lineitem_corr_by_flag,
         "embeddings_pos_sums": q.embeddings_pos_sums,
         "events_last_order_asof": q.events_last_order_asof,
         "lineitem_price_band_join": q.lineitem_price_band_join,
@@ -297,6 +298,33 @@ def oracle_sql() -> dict[str, str]:
                    LAG(value) OVER (PARTITION BY user_id
                                     ORDER BY event_id) AS lag_value
             FROM events
+        """,
+        "lineitem_corr_by_flag": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(CAST(l_quantity AS BIGINT))
+                            AS HUGEINT) AS sx,
+                       CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT))
+                            AS HUGEINT) AS sy,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)
+                                * CAST(floor(l_extendedprice) AS BIGINT))
+                            AS HUGEINT) AS sxy,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)
+                                * CAST(l_quantity AS BIGINT))
+                            AS HUGEINT) AS sxx,
+                       CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)
+                                * CAST(floor(l_extendedprice) AS BIGINT))
+                            AS HUGEINT) AS syy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                          * CAST(n*syy - sy*sy AS DOUBLE))
+                       AS corr_qty_usd,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / CAST(n*sxx - sx*sx AS DOUBLE) AS slope_qty_usd
+            FROM s
         """,
         "orders_status_strings": """
             SELECT o_custkey,

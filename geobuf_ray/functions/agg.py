@@ -15,6 +15,8 @@ rolled-up key columns NULL.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -574,6 +576,95 @@ def distinct_agg(ds, keys: list[str], value: str, *,
             reduce_fn=count, schema=out_schema)
     return hash_exchange(partials, nbuckets=nbuckets, on=key_list,
                          reduce_fn=count, schema=out_schema)
+
+
+def corr_agg(ds, keys: list[str], x: str, y: str, *,
+             nbuckets: int = 16, schema: pa.Schema | None = None,
+             corr_col: str = "corr", slope_col: str | None = None):
+    """Exact-moment per-group Pearson correlation (and optionally the
+    least-squares slope, SQL ``regr_slope``).  ``x`` and ``y`` MUST be
+    integer-valued columns (scale floats to cents/units first): the
+    five moment sums accumulate as exact int64, merge associatively
+    across blocks, and the float formula runs ONCE per group on
+    arbitrary-precision Python ints — so the result is bit-stable and
+    hash-matches a SQL twin that computes the same expression from the
+    same integer sums (final ops: CAST-to-double of the exact integer
+    numerator/denominators, one sqrt, one divide).
+
+    Overflow bound: per-block partial sums are int64, so
+    ``rows_per_block * max(x*y, x*x, y*y)`` must stay below 2^63 —
+    scale accordingly.  NULL-x or NULL-y rows are skipped (SQL corr).
+    Zero-variance groups emit NULL (SQL).
+    """
+    from .exchange import hash_exchange
+
+    key_list = list(keys)
+    if schema is None:
+        in_schema = ds.schema()
+        types = dict(zip(in_schema.names, in_schema.types))
+    else:
+        types = {f.name: f.type for f in schema}
+    sums = ["__n", "__sx", "__sy", "__sxy", "__sxx", "__syy"]
+    part_schema = pa.schema([(k, types[k]) for k in key_list]
+                            + [(s, pa.int64()) for s in sums])
+    out_cols = [corr_col] + ([slope_col] if slope_col else [])
+    out_schema = pa.schema([(k, types[k]) for k in key_list]
+                           + [(c, pa.float64()) for c in out_cols])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        xc = batch[x].combine_chunks()
+        yc = batch[y].combine_chunks()
+        ok = pc.and_(pc.is_valid(xc), pc.is_valid(yc))
+        t = batch
+        if not pc.all(ok).as_py():
+            t = batch.filter(ok)
+            xc, yc = t[x].combine_chunks(), t[y].combine_chunks()
+        xv = xc.to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = yc.to_numpy(zero_copy_only=False).astype(np.int64)
+        pt = pa.table({**{k: t[k] for k in key_list},
+                       "__n": pa.array(np.ones(len(xv), np.int64)),
+                       "__sx": pa.array(xv), "__sy": pa.array(yv),
+                       "__sxy": pa.array(xv * yv),
+                       "__sxx": pa.array(xv * xv),
+                       "__syy": pa.array(yv * yv)})
+        g = pt.group_by(key_list).aggregate([(s, "sum") for s in sums])
+        return g.rename_columns(key_list + sums).cast(part_schema)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        g = tbl.group_by(key_list).aggregate([(s, "sum") for s in sums])
+        g = g.rename_columns(key_list + sums)
+        n = g["__n"].to_pylist()
+        sx, sy = g["__sx"].to_pylist(), g["__sy"].to_pylist()
+        sxy = g["__sxy"].to_pylist()
+        sxx, syy = g["__sxx"].to_pylist(), g["__syy"].to_pylist()
+        corr, slope = [], []
+        for i in range(g.num_rows):
+            # exact in Python ints; float exactly once at the end
+            num = n[i] * sxy[i] - sx[i] * sy[i]
+            d1 = n[i] * sxx[i] - sx[i] * sx[i]
+            d2 = n[i] * syy[i] - sy[i] * sy[i]
+            corr.append(float(num) / math.sqrt(float(d1) * float(d2))
+                        if d1 > 0 and d2 > 0 else None)
+            slope.append(float(num) / float(d1) if d1 > 0 else None)
+        cols = {k: g[k] for k in key_list}
+        cols[corr_col] = pa.array(corr, pa.float64())
+        if slope_col:
+            cols[slope_col] = pa.array(slope, pa.float64())
+        return pa.table(cols).cast(out_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if not key_list:
+        return hash_exchange(
+            partials, nbuckets=1,
+            bucket_fn=lambda t: (np.zeros(t.num_rows, np.int64), t),
+            reduce_fn=finish, schema=out_schema)
+    return hash_exchange(partials, nbuckets=nbuckets, on=key_list,
+                         reduce_fn=finish, schema=out_schema)
 
 
 def group_quantile(ds, keys: list[str], value: str,

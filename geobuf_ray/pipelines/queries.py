@@ -1536,6 +1536,35 @@ def events_distinct_users_hll(sf_dir: str, p: int = 12):
     })
 
 
+def lineitem_corr_by_flag(sf_dir: str):
+    """Exact-moment Pearson correlation + regression slope of
+    (quantity, floor-price-dollars) per return flag (functions/agg.corr_agg):
+    int64 moment partials merge exactly, the float formula runs once
+    per group on arbitrary-precision ints — bit-stable, hash-matches
+    the SQL twin computing the identical expression."""
+    import ray
+
+    from ..functions.agg import corr_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity",
+                                        "l_extendedprice"])
+
+    def ints(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        usd = np.floor(batch["l_extendedprice"].to_numpy()) \
+            .astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "qty": pa.array(qty), "usd": pa.array(usd)})
+
+    prep = ds.map_batches(ints, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    schema = pa.schema([("l_returnflag", pa.string()),
+                        ("qty", pa.int64()), ("usd", pa.int64())])
+    return corr_agg(prep, ["l_returnflag"], "qty", "usd", schema=schema,
+                    corr_col="corr_qty_usd", slope_col="slope_qty_usd")
+
+
 def orders_status_strings(sf_dir: str):
     """Per-customer order-status sequence (functions/listops
     .collect_list): statuses collected in orderkey order into a list,

@@ -672,3 +672,44 @@ def test_collect_list_roundtrip_unnest(ray_session):
     df = tbl.to_pandas()
     exp = df[df.k == row.k].sort_values(["o", "v"]).v.tolist()
     assert list(row.vs) == exp
+
+
+def test_corr_agg_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.agg import corr_agg
+
+    rng = np.random.default_rng(47)
+    n = 8000
+    k = rng.integers(0, 30, n)
+    x = rng.integers(0, 100, n)
+    y = (3 * x + rng.integers(-50, 50, n)).astype(np.int64)
+    tbl = pa.table({"k": pa.array(k), "x": pa.array(x.astype(np.int64)),
+                    "y": pa.array(y)})
+    out = corr_agg(ray.data.from_arrow(tbl).repartition(6),
+                   ["k"], "x", "y", corr_col="c",
+                   slope_col="m").to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    exp = con.execute(
+        "SELECT k, corr(y, x) AS c, regr_slope(y, x) AS m "
+        "FROM t GROUP BY k").df()
+    a = out.sort_values("k").reset_index(drop=True)
+    b = exp.sort_values("k").reset_index(drop=True)
+    assert np.allclose(a.c, b.c, rtol=1e-9)
+    assert np.allclose(a.m, b.m, rtol=1e-9)
+
+
+def test_corr_agg_zero_variance_is_null(ray_session):
+    import ray
+
+    from geobuf_ray.functions.agg import corr_agg
+
+    tbl = pa.table({"k": pa.array([1, 1, 1, 2, 2]),
+                    "x": pa.array([5, 5, 5, 1, 2], pa.int64()),
+                    "y": pa.array([1, 2, 3, 4, 9], pa.int64())})
+    out = corr_agg(ray.data.from_arrow(tbl), ["k"], "x", "y",
+                   corr_col="c").to_pandas().sort_values("k")
+    assert np.isnan(out.c.iloc[0])      # constant x -> NULL
+    assert abs(out.c.iloc[1] - 1.0) < 1e-12
