@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_first_last": q.orders_first_last,
         "lineitem_urgent_semi_bloom": q.lineitem_urgent_semi_bloom,
         "lineitem_qty_quantiles_by_flag": q.lineitem_qty_quantiles_by_flag,
+        "lineitem_price_cont_by_flag": q.lineitem_price_cont_by_flag,
         "orders_running_total": q.orders_running_total,
         "high_value_orders": q.high_value_orders,
         "customer_orders_full": q.customer_orders_full,
@@ -345,6 +346,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(l_quantity, 0.25) AS p25,
                    quantile_disc(l_quantity, 0.5)  AS p50,
                    quantile_disc(l_quantity, 0.75) AS p75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "lineitem_price_cont_by_flag": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5)  AS c50,
+                   quantile_cont(l_extendedprice, 0.95) AS c95
             FROM lineitem GROUP BY l_returnflag
         """,
         "lineitem_urgent_semi_bloom": """

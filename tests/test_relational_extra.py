@@ -713,3 +713,28 @@ def test_corr_agg_zero_variance_is_null(ray_session):
                    corr_col="c").to_pandas().sort_values("k")
     assert np.isnan(out.c.iloc[0])      # constant x -> NULL
     assert abs(out.c.iloc[1] - 1.0) < 1e-12
+
+
+def test_group_quantile_cont_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.agg import group_quantile
+
+    rng = np.random.default_rng(53)
+    n = 9000
+    tbl = pa.table({"k": pa.array(rng.integers(0, 50, n)),
+                    "v": pa.array(rng.normal(0, 100, n))})
+    out = group_quantile(ray.data.from_arrow(tbl).repartition(5),
+                         ["k"], "v", {"p50": 0.5, "p90": 0.9},
+                         interpolate=True).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    exp = con.execute(
+        "SELECT k, quantile_cont(v, 0.5) AS p50, "
+        "quantile_cont(v, 0.9) AS p90 FROM t GROUP BY k").df()
+    a = out.sort_values("k").reset_index(drop=True)
+    b = exp.sort_values("k").reset_index(drop=True)[a.columns]
+    # bit-equality expected (same interpolation shape)
+    assert (a.p50.to_numpy() == b.p50.to_numpy()).all()
+    assert (a.p90.to_numpy() == b.p90.to_numpy()).all()
