@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q.top_orders,
         "events_hourly": q.events_hourly,
         "events_hourly_distinct": q.events_hourly_distinct,
+        "events_hourly_distinct_hll": q.events_hourly_distinct_hll,
         "events_sliding": q.events_sliding,
         "events_sessions": q.events_sessions,
         "events_lag_value": q.events_lag_value,

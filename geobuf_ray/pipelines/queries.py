@@ -310,6 +310,31 @@ def events_hourly_distinct(sf_dir: str):
                         out_col="n_users")
 
 
+def events_hourly_distinct_hll(sf_dir: str):
+    """Approximate per-hour distinct users
+    (functions/sketch.approx_distinct_by): one fixed 2^p-byte register
+    row per (block, hour) moves, independent of the user domain — the
+    unbounded-cardinality sibling of events_hourly_distinct (rows-only;
+    per-group accuracy asserted in tests against exact nunique)."""
+    import ray
+
+    from ..functions.sketch import approx_distinct_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def hours(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy()
+        hour_id = ts.astype("datetime64[h]").astype(np.int64)
+        return pa.table({"hour_id": pa.array(hour_id),
+                         "user_id": batch["user_id"]})
+
+    ds = ds.map_batches(hours, batch_format="pyarrow", zero_copy_batch=True)
+    schema = pa.schema([("hour_id", pa.int64()), ("user_id", pa.int64())])
+    return approx_distinct_by(ds, ["hour_id"], "user_id", p=12,
+                              schema=schema, out_col="n_users_hll")
+
+
 def events_sliding(sf_dir: str, window: int = 3):
     """Sliding 3-hour moving sum over the hourly aggregate — the
     windowed-aggregate shape (frame = current and 2 preceding hours).

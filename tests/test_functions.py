@@ -589,3 +589,43 @@ def test_cms_merge_associative():
     est = cms_estimate(merged, _hash_column(pa.array(np.arange(100))))
     true = np.bincount(np.concatenate([a, b]), minlength=100)
     assert (est >= true).all()
+
+
+def test_approx_distinct_by_accuracy(ray_session):
+    import ray
+
+    from geobuf_ray.functions.sketch import approx_distinct_by
+
+    rng = np.random.default_rng(61)
+    n = 40000
+    k = rng.integers(0, 12, n)
+    # per-group distinct domain scales with the group id
+    v = rng.integers(0, 1, n)
+    v = (rng.integers(0, 10**9, n) % (50 * (k + 1) * 37)).astype(np.int64)
+    tbl = pa.table({"k": pa.array(k.astype(np.int64)), "v": pa.array(v)})
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    out = approx_distinct_by(ds, ["k"], "v", p=12).to_pandas()
+    df = tbl.to_pandas()
+    exact = df.groupby("k").v.nunique()
+    assert len(out) == 12
+    for _, row in out.iterrows():
+        e = exact[row.k]
+        assert abs(row.n_approx - e) / e < 0.08, (row.k, row.n_approx, e)
+
+
+def test_approx_distinct_by_matches_flat_hll(ray_session):
+    # one group == the flat approx_distinct estimate (same registers)
+    import ray
+
+    from geobuf_ray.functions.sketch import approx_distinct, \
+        approx_distinct_by
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 5000, 20000).astype(np.int64)
+    tbl = pa.table({"k": pa.array(np.zeros(len(v), np.int64)),
+                    "v": pa.array(v)})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    grouped = approx_distinct_by(ds, ["k"], "v", p=11).to_pandas()
+    flat = approx_distinct(ray.data.from_arrow(tbl).repartition(4),
+                           "v", p=11)
+    assert int(grouped.n_approx.iloc[0]) == round(flat)
