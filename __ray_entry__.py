@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order_asof": q.events_last_order_asof,
         "lineitem_price_band_join": q.lineitem_price_band_join,
         "orders_hash_sample": q.orders_hash_sample,
+        "orders_weighted_sample": q.orders_weighted_sample,
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "lineitem_price_quantiles_sketch": q.lineitem_price_quantiles_sketch,
         "lineitem_quantiles_by_flag": q.lineitem_quantiles_by_flag,

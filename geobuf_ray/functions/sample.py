@@ -77,3 +77,60 @@ def stratified_sample(ds, *, key: str, id_col: str, n_per_key: int,
 
     return hash_exchange(ds, nbuckets=nbuckets, on=key,
                          reduce_fn=kernel, schema=None)
+
+
+def weighted_sample(ds, *, weight: str, k: int, id_col: str,
+                    seed: int = 0, schema: pa.Schema | None = None):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res), DETERMINISTIC: each row's priority is ``ln(u)/w`` with
+    ``u`` a uniform derived from a 64-bit hash of (id, seed) — so the
+    sample is reproducible, independent of partitioning, and a new
+    ``seed`` draws a fresh sample.  For ``k=1`` the inclusion
+    probability is exactly ``w_i / sum(w)``; for ``k>1`` it follows
+    the standard A-Res sequential scheme.
+
+    Shape: per-block top-k on the priority (argpartition-class
+    lexsort), then one bounded ``k x blocks`` driver merge — no
+    shuffle, no full sort.  Rows with NULL, zero or negative weight
+    never qualify.
+    """
+    import pyarrow as pa
+
+    from ..collect import collect_table
+    from .dedup import _mix
+
+    in_schema = schema if schema is not None else pa.schema(
+        list(zip(ds.schema().names, ds.schema().types)))
+    out_schema = pa.schema(list(in_schema) + [("__pri", pa.float64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        w = batch[weight].combine_chunks()
+        wv = w.to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch[id_col].combine_chunks()
+        if pa.types.is_string(ids.type) or \
+                pa.types.is_large_string(ids.type):
+            from .text import fingerprint64
+            h = fingerprint64(ids)
+        else:
+            h = ids.cast(pa.int64()).to_numpy(
+                zero_copy_only=False).view(np.uint64)
+        h = _mix(h, 0xA11CE ^ (seed * 0x9E3779B97F4A7C15 &
+                               0xFFFFFFFFFFFFFFFF))
+        # u in (0, 1): 53 mantissa bits, +1 ulp so ln(u) stays finite
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0**-53
+        ok = np.isfinite(wv) & (wv > 0)
+        pri = np.where(ok, np.log(u) / np.maximum(wv, 1e-300), -np.inf)
+        sel = np.argsort(-pri, kind="stable")[:k]
+        sel = sel[np.isfinite(pri[sel])]
+        out = batch.take(pa.array(sel, pa.int64()))
+        return out.append_column("__pri", pa.array(pri[sel]))
+
+    cand = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                        zero_copy_batch=True,
+                                        batch_size=None))
+    pri = cand["__pri"].to_numpy(zero_copy_only=False)
+    order = np.argsort(-pri, kind="stable")[:k]
+    return cand.take(pa.array(order, pa.int64())) \
+        .drop_columns(["__pri"])

@@ -799,6 +799,25 @@ def lineitem_qty_quantiles_by_flag(sf_dir: str):
                           schema=schema)
 
 
+def orders_weighted_sample(sf_dir: str, k: int = 50):
+    """Deterministic weighted sampling without replacement
+    (functions/sample.weighted_sample, Efraimidis-Spirakis priorities
+    from a seeded id hash): 50 orders drawn proportional to price,
+    partition-invariant, no shuffle — per-block top-k + bounded driver
+    merge (rows-only; proportionality and invariance are pytest
+    oracles)."""
+    import ray
+
+    from ..functions.sample import weighted_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("o_totalprice", pa.float64())])
+    return weighted_sample(ds, weight="o_totalprice", k=k,
+                           id_col="o_orderkey", seed=42, schema=schema)
+
+
 def lineitem_price_cont_by_flag(sf_dir: str):
     """Interpolated PERCENTILE_CONT per return flag
     (functions/agg.group_quantile interpolate=True): bit-matches

@@ -738,3 +738,49 @@ def test_group_quantile_cont_vs_duckdb(ray_session):
     # bit-equality expected (same interpolation shape)
     assert (a.p50.to_numpy() == b.p50.to_numpy()).all()
     assert (a.p90.to_numpy() == b.p90.to_numpy()).all()
+
+
+def test_weighted_sample_k1_proportional(ray_session):
+    import ray
+
+    from geobuf_ray.functions.sample import weighted_sample
+
+    # 4 items with weights 1,2,3,4: over many seeds the k=1 pick
+    # frequency converges to w/sum(w) (exact for k=1 under A-Res)
+    tbl = pa.table({"id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "w": pa.array([1.0, 2.0, 3.0, 4.0])})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    counts = np.zeros(4)
+    trials = 400
+    for seed in range(trials):
+        out = weighted_sample(ds, weight="w", k=1, id_col="id",
+                              seed=seed).to_pandas()
+        counts[int(out.id.iloc[0])] += 1
+    freq = counts / trials
+    expect = np.array([1, 2, 3, 4]) / 10.0
+    assert np.abs(freq - expect).max() < 0.07, freq
+
+
+def test_weighted_sample_partition_invariant(ray_session):
+    import ray
+
+    from geobuf_ray.functions.sample import weighted_sample
+
+    rng = np.random.default_rng(71)
+    n = 3000
+    tbl = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                    "w": pa.array(rng.exponential(1.0, n) + 0.01)})
+    a = weighted_sample(ray.data.from_arrow(tbl).repartition(2),
+                        weight="w", k=25, id_col="id",
+                        seed=7).to_pandas()
+    b = weighted_sample(ray.data.from_arrow(tbl).repartition(11),
+                        weight="w", k=25, id_col="id",
+                        seed=7).to_pandas()
+    assert sorted(a.id) == sorted(b.id)
+    assert len(set(a.id)) == 25
+    # zero/negative/NULL weights never qualify
+    t2 = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                   "w": pa.array([0.0, -1.0, None], pa.float64())})
+    out = weighted_sample(ray.data.from_arrow(t2), weight="w", k=3,
+                          id_col="id", seed=1).to_pandas()
+    assert len(out) == 0
