@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_status_strings": q.orders_status_strings,
         "lineitem_corr_by_flag": q.lineitem_corr_by_flag,
         "embeddings_pos_sums": q.embeddings_pos_sums,
+        "events_cohort_retention": q.events_cohort_retention,
+        "events_funnel": q.events_funnel,
         "events_last_order_asof": q.events_last_order_asof,
         "lineitem_price_band_join": q.lineitem_price_band_join,
         "orders_hash_sample": q.orders_hash_sample,
@@ -241,6 +243,49 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY hour_id
+        """,
+        "events_cohort_retention": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events
+            ),
+            c AS (
+                SELECT user_id, MIN(d) AS cd FROM ud GROUP BY user_id
+            )
+            SELECT CAST(c.cd - DATE '1970-01-01' AS BIGINT) AS cohort_day,
+                   CAST(ud.d - c.cd AS BIGINT) AS day_offset,
+                   COUNT(*) AS n_users
+            FROM ud JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s2.t
+                GROUP BY e.user_id
+            ),
+            s4 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN s3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s3.t
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+                   (SELECT COUNT(*) FROM s1) AS n_users
+            UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+            UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+            UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
         """,
         "events_hourly_distinct": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600

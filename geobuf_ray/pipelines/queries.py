@@ -557,6 +557,38 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30,
                                             batch_format="pyarrow")
 
 
+def events_cohort_retention(sf_dir: str):
+    """Retention matrix (functions/behavior.cohort_retention): users
+    cohorted by first-active day, distinct-user counts per
+    (cohort_day, day_offset).  Blocks dedupe (user, day) before the
+    single user-hash exchange; per-bucket counts are exact (disjoint
+    users); driver merges <= days^2 rows per bucket."""
+    import ray
+
+    from ..functions.behavior import cohort_retention
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return cohort_retention(ds)
+
+
+def events_funnel(sf_dir: str):
+    """Ordered funnel signup -> view -> click -> purchase
+    (functions/behavior.funnel_counts): greedy earliest-completion
+    semantics (step k counted when a step-k event is strictly after
+    the earliest qualifying step-(k-1) time), int64 time axis
+    end-to-end.  One user-hash exchange; per-bucket numpy kernel
+    vectorized across users."""
+    import ray
+
+    from ..functions.behavior import funnel_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, ["signup", "view", "click", "purchase"])
+
+
 def orders_hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic ~pct% sample by key hash — reproducible sampling
     for 100 TB pipelines (same rows every run, no coordination), and

@@ -784,3 +784,80 @@ def test_weighted_sample_partition_invariant(ray_session):
     out = weighted_sample(ray.data.from_arrow(t2), weight="w", k=3,
                           id_col="id", seed=1).to_pandas()
     assert len(out) == 0
+
+
+def test_cohort_retention_hand_case(ray_session):
+    import ray
+
+    from geobuf_ray.functions.behavior import cohort_retention
+
+    us_day = 86_400_000_000
+    # user 1: days 0, 0 (dup), 2; user 2: days 1, 1; user 3: day 2
+    rows = [(1, 0), (1, 0), (1, 2), (2, 1), (2, 1), (3, 2)]
+    tbl = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([d * us_day + 5 for _, d in rows],
+                       pa.timestamp("us")),
+    })
+    out = cohort_retention(
+        ray.data.from_arrow(tbl).repartition(3)).to_pandas()
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (2, 0): 1}
+
+
+def test_funnel_strict_ordering_and_skips(ray_session):
+    import ray
+
+    from geobuf_ray.functions.behavior import funnel_counts
+
+    # u1 completes A->B->C; u2 has B at the SAME time as A (strict >
+    # excludes it); u3 does B before A (never qualifies); u4 only A
+    ev = [(1, 10, "A"), (1, 20, "B"), (1, 30, "C"),
+          (2, 10, "A"), (2, 10, "B"),
+          (3, 5, "B"), (3, 10, "A"),
+          (4, 10, "A"), (4, 11, "C")]  # u4 skips B: C must not count
+    tbl = pa.table({
+        "user_id": pa.array([u for u, _, _ in ev], pa.int64()),
+        "ts": pa.array([t for _, t, _ in ev], pa.timestamp("us")),
+        "event_type": pa.array([s for _, _, s in ev], pa.string()),
+    })
+    out = funnel_counts(ray.data.from_arrow(tbl).repartition(4),
+                        ["A", "B", "C"]).to_pandas()
+    assert out.n_users.tolist() == [4, 1, 1]
+    # partition invariance
+    out2 = funnel_counts(ray.data.from_arrow(tbl).repartition(1),
+                         ["A", "B", "C"]).to_pandas()
+    assert out2.n_users.tolist() == [4, 1, 1]
+
+
+def test_funnel_greedy_vs_duckdb_random(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.behavior import funnel_counts
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    tbl = pa.table({
+        "user_id": pa.array(rng.integers(0, 300, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n), pa.timestamp("us")),
+        "event_type": pa.array(
+            np.array(["s", "v", "c"])[rng.integers(0, 3, n)],
+            pa.string()),
+    })
+    out = funnel_counts(ray.data.from_arrow(tbl).repartition(5),
+                        ["s", "v", "c"]).to_pandas()
+    con = duckdb.connect()
+    con.register("ev", tbl)
+    exp = con.execute("""
+        WITH s1 AS (SELECT user_id, MIN(ts) t FROM ev
+                    WHERE event_type='s' GROUP BY 1),
+        s2 AS (SELECT e.user_id, MIN(e.ts) t FROM ev e JOIN s1 USING(user_id)
+               WHERE e.event_type='v' AND e.ts > s1.t GROUP BY 1),
+        s3 AS (SELECT e.user_id, MIN(e.ts) t FROM ev e JOIN s2 USING(user_id)
+               WHERE e.event_type='c' AND e.ts > s2.t GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2),
+               (SELECT COUNT(*) FROM s3)
+    """).fetchone()
+    assert out.n_users.tolist() == list(exp)
