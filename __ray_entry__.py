@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_last_order_asof": q.events_last_order_asof,
         "lineitem_price_band_join": q.lineitem_price_band_join,
+        "orders_triangle_count": q.orders_triangle_count,
         "orders_hash_sample": q.orders_hash_sample,
         "orders_weighted_sample": q.orders_weighted_sample,
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
@@ -286,6 +287,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
             UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
             UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
+        """,
+        "orders_triangle_count": """
+            WITH m AS (SELECT MAX(c_custkey) AS m FROM customer),
+            raw AS (
+                SELECT o_custkey AS u,
+                       1 + ((o_orderkey * 2654435761) %
+                            (SELECT m FROM m)) AS v
+                FROM orders
+            ),
+            e0 AS (
+                SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+                FROM raw WHERE u <> v
+            )
+            SELECT (SELECT COUNT(*) FROM e0 x
+                    JOIN e0 y ON y.a = x.a AND y.b > x.b
+                    JOIN e0 z ON z.a = x.b AND z.b = y.b
+                   ) AS n_triangles,
+                   (SELECT COUNT(*) FROM e0) AS n_edges
         """,
         "events_hourly_distinct": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600

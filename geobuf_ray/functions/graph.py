@@ -313,3 +313,182 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
     return pa.table({
         "node": pa.array(node[order]),
         "rank": out["rank"].take(pa.array(order, pa.int64()))})
+
+
+def _compact_pair_keys(au, av, bu, bv):
+    """Map two int64 pair sets onto collision-free int64 keys by
+    compacting node ids over their union (codes < 2^31 each, so
+    ``cu * n + cv`` stays exact in int64)."""
+    allu = np.concatenate([au, bu])
+    allv = np.concatenate([av, bv])
+    uniq, codes = np.unique(np.concatenate([allu, allv]),
+                            return_inverse=True)
+    n = len(uniq)
+    cu, cv = codes[:len(allu)], codes[len(allu):]
+    keys = cu * np.int64(n) + cv
+    return keys[:len(au)], keys[len(au):]
+
+
+def triangle_count(edges, *, src: str = "src", dst: str = "dst",
+                   nbuckets: int = 32):
+    """Exact triangle count of the undirected simple graph given by an
+    edge Dataset (self-loops and duplicate/reverse edges ignored).
+
+    Degree-oriented node-iterator algorithm — the MapReduce-classic
+    shape (Suri & Vassilvitskii's partitioned variant is the published
+    reference): orient each edge from its lower (degree, id)-ranked
+    endpoint to the higher, so every out-degree is O(sqrt(m)); each
+    triangle is then counted exactly once, at its lowest-ranked vertex.
+
+    Stages (every one a bounded hash exchange, nothing centralizes):
+      1. canonicalize + dedupe edges        (exchange on (a, b))
+      2. degrees                            (exchange on node)
+      3. attach deg to both endpoints       (two cogroups)
+      4. orient; wedges per source u        (exchange on u; the
+         per-bucket kernel emits ordered out-neighbor pairs, k^2-class
+         work bounded by orientation)
+      5. wedge x oriented-edge membership   (cogroup on the pair)
+    The driver sees one (n_tri, n_edges) row per bucket.
+
+    Returns a 1-row pyarrow Table (n_triangles, n_edges).
+    """
+    from ..collect import collect_table
+    from .exchange import hash_cogroup, hash_exchange
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = _np(batch[src])
+        v = _np(batch[dst])
+        keep = u != v
+        u, v = u[keep], v[keep]
+        a, b = np.minimum(u, v), np.maximum(u, v)
+        key = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"a": key[:, 0], "b": key[:, 1]})
+
+    pairs = edges.map_batches(canon, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def dedup_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _EDGE_SCHEMA.empty_table()
+        key = np.unique(np.stack([_np(tbl["a"]), _np(tbl["b"])],
+                                 axis=1), axis=0)
+        return pa.table({"a": key[:, 0], "b": key[:, 1]})
+
+    e0 = hash_exchange(pairs, nbuckets=nbuckets, on=["a", "b"],
+                       reduce_fn=dedup_bucket, schema=_EDGE_SCHEMA)
+    e0 = e0.materialize()  # reused by three downstream exchanges
+
+    _DEG_SCHEMA = pa.schema([("node", _I64), ("deg", _I64)])
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            batch["a"].combine_chunks(), batch["b"].combine_chunks()])})
+
+    def count_deg(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _DEG_SCHEMA.empty_table()
+        node, cnt = np.unique(_np(tbl["node"]), return_counts=True)
+        return pa.table({"node": node, "deg": cnt.astype(np.int64)})
+
+    degs = hash_exchange(
+        e0.map_batches(endpoints, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        nbuckets=nbuckets, on="node", reduce_fn=count_deg,
+        schema=_DEG_SCHEMA).materialize()  # consumed by two cogroups
+
+    _EA_SCHEMA = pa.schema([("a", _I64), ("b", _I64), ("da", _I64)])
+    _EAB_SCHEMA = pa.schema([("a", _I64), ("b", _I64), ("da", _I64),
+                             ("db", _I64)])
+
+    def _attach(col, out_name, out_schema):
+        def fn(left: pa.Table, right: pa.Table) -> pa.Table:
+            if left.num_rows == 0:
+                return out_schema.empty_table()
+            node = _np(right["node"])
+            dv = _np(right["deg"])
+            order = np.argsort(node)
+            node, dv = node[order], dv[order]
+            x = _np(left[col])
+            pos = np.searchsorted(node, x)
+            return left.append_column(out_name,
+                                      pa.array(dv[pos], _I64))
+        return fn
+
+    ea = hash_cogroup(e0, degs, nbuckets=nbuckets, left_on="a",
+                      right_on="node", reduce_fn=_attach("a", "da", _EA_SCHEMA),
+                      left_schema=_EDGE_SCHEMA, right_schema=_DEG_SCHEMA)
+    eab = hash_cogroup(ea, degs, nbuckets=nbuckets, left_on="b",
+                       right_on="node",
+                       reduce_fn=_attach("b", "db", _EAB_SCHEMA),
+                       left_schema=_EA_SCHEMA, right_schema=_DEG_SCHEMA)
+
+    # orient: u -> v with rank(u) = (deg, id) < rank(v); carry dv for
+    # canonical wedge ordering downstream
+    _OR_SCHEMA = pa.schema([("u", _I64), ("v", _I64), ("dv", _I64)])
+
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _OR_SCHEMA.empty_table()
+        a, b = _np(batch["a"]), _np(batch["b"])
+        da, db = _np(batch["da"]), _np(batch["db"])
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        dv = np.where(a_first, db, da)
+        return pa.table({"u": u, "v": v, "dv": dv})
+
+    oe = eab.map_batches(orient, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    _W_SCHEMA = pa.schema([("x", _I64), ("y", _I64)])
+
+    def wedges(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _W_SCHEMA.empty_table()
+        u, v, dv = _np(tbl["u"]), _np(tbl["v"]), _np(tbl["dv"])
+        order = np.lexsort((v, dv, u))
+        u, v = u[order], v[order]
+        # segment = one source u; within it v is rank-sorted, so pair
+        # (i < j) is already in canonical (lower-rank, higher-rank)
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        k = np.diff(np.concatenate((starts, [len(u)])))
+        k2 = k * k
+        seg = np.repeat(np.arange(len(k)), k2)
+        off = np.arange(int(k2.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(k2[:-1]))), k2)
+        i = off // k[seg]
+        j = off % k[seg]
+        keep = i < j
+        base = starts[seg[keep]]
+        return pa.table({"x": v[base + i[keep]], "y": v[base + j[keep]]})
+
+    wd = hash_exchange(oe, nbuckets=nbuckets, on="u",
+                       reduce_fn=wedges, schema=_W_SCHEMA)
+
+    _CNT_SCHEMA = pa.schema([("n_tri", _I64), ("n_edges", _I64)])
+
+    def close(wtbl: pa.Table, etbl: pa.Table) -> pa.Table:
+        ne = etbl.num_rows
+        if wtbl.num_rows == 0 or ne == 0:
+            return pa.table({"n_tri": pa.array([0], _I64),
+                             "n_edges": pa.array([ne], _I64)})
+        wk, ek = _compact_pair_keys(_np(wtbl["x"]), _np(wtbl["y"]),
+                                    _np(etbl["u"]), _np(etbl["v"]))
+        ek = np.sort(ek)
+        pos = np.searchsorted(ek, wk)
+        pos[pos == len(ek)] = 0
+        ntri = int((ek[pos] == wk).sum()) if len(ek) else 0
+        return pa.table({"n_tri": pa.array([ntri], _I64),
+                         "n_edges": pa.array([ne], _I64)})
+
+    cnt = hash_cogroup(wd, oe, nbuckets=nbuckets,
+                       left_on=["x", "y"], right_on=["u", "v"],
+                       reduce_fn=close, left_schema=_W_SCHEMA,
+                       right_schema=_OR_SCHEMA)
+    t = collect_table(cnt)
+    return pa.table({
+        "n_triangles": pa.array(
+            [int(t["n_tri"].to_numpy(zero_copy_only=False).sum())], _I64),
+        "n_edges": pa.array(
+            [int(t["n_edges"].to_numpy(zero_copy_only=False).sum())], _I64),
+    })

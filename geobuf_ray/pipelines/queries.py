@@ -589,6 +589,37 @@ def events_funnel(sf_dir: str):
     return funnel_counts(ds, ["signup", "view", "click", "purchase"])
 
 
+def orders_triangle_count(sf_dir: str):
+    """Exact triangle count (functions/graph.triangle_count,
+    degree-oriented node-iterator: orient edges low->high (deg, id)
+    rank so out-degrees are O(sqrt(m)) and each triangle is counted
+    once, at its lowest-ranked vertex; five bounded hash exchanges,
+    nothing centralizes).  The graph is a deterministic sparse
+    hash-derived graph over orders: u = o_custkey,
+    v = 1 + (o_orderkey * 2654435761) mod max(c_custkey) — ~avg
+    degree 20, scales linearly with sf, and has an exact SQL twin."""
+    import ray
+
+    from ..functions.graph import triangle_count
+
+    m = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"]).max("c_custkey")
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cust = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = 1 + (ok * np.int64(2654435761)) % np.int64(m)
+        return pa.table({"src": cust, "dst": v})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+            edges, batch_format="pyarrow", zero_copy_batch=True)
+    return triangle_count(ds)
+
+
 def orders_hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic ~pct% sample by key hash — reproducible sampling
     for 100 TB pipelines (same rows every run, no coordination), and

@@ -152,3 +152,49 @@ def test_pagerank_star_graph(ray_session):
     assert got[0] > max(sp)
     assert max(sp) - min(sp) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_count_known_graphs(ray_session):
+    import ray
+
+    from geobuf_ray.functions.graph import triangle_count
+
+    def run(src, dst, nb=4):
+        tbl = pa.table({"src": pa.array(src, pa.int64()),
+                        "dst": pa.array(dst, pa.int64())})
+        return triangle_count(ray.data.from_arrow(tbl).repartition(3),
+                              nbuckets=nb).to_pydict()
+
+    # K4: C(4,3)=4 triangles, 6 edges (given with dups + reversals +
+    # a self-loop, all of which must be ignored)
+    src = [0, 0, 0, 1, 1, 2, 2, 1, 3]
+    dst = [1, 2, 3, 2, 3, 3, 0, 0, 3]
+    out = run(src, dst)
+    assert out == {"n_triangles": [4], "n_edges": [6]}
+    # path graph: 0 triangles
+    out = run(list(range(9)), list(range(1, 10)))
+    assert out == {"n_triangles": [0], "n_edges": [9]}
+
+
+def test_triangle_count_random_vs_bruteforce(ray_session):
+    import ray
+
+    from geobuf_ray.functions.graph import triangle_count
+
+    rng = np.random.default_rng(5)
+    n, m = 60, 300
+    u = rng.integers(0, n, m)
+    v = rng.integers(0, n, m)
+    adj = np.zeros((n, n), dtype=np.int64)
+    keep = u != v
+    adj[u[keep], v[keep]] = 1
+    adj = ((adj + adj.T) > 0).astype(np.int64)
+    expect_tri = int(np.trace(adj @ adj @ adj) // 6)
+    expect_edges = int(adj.sum() // 2)
+
+    tbl = pa.table({"src": pa.array(u, pa.int64()),
+                    "dst": pa.array(v, pa.int64())})
+    out = triangle_count(ray.data.from_arrow(tbl).repartition(5),
+                         nbuckets=7).to_pydict()
+    assert out == {"n_triangles": [expect_tri],
+                   "n_edges": [expect_edges]}
