@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_status_strings": q.orders_status_strings,
         "lineitem_corr_by_flag": q.lineitem_corr_by_flag,
         "embeddings_pos_sums": q.embeddings_pos_sums,
+        "embeddings_covariance": q.embeddings_covariance,
+        "embeddings_pca_project": q.embeddings_pca_project,
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
         "events_last_order_asof": q.events_last_order_asof,
@@ -305,6 +307,28 @@ def oracle_sql() -> dict[str, str]:
                     JOIN e0 z ON z.a = x.b AND z.b = y.b
                    ) AS n_triangles,
                    (SELECT COUNT(*) FROM e0) AS n_edges
+        """,
+        "embeddings_covariance": """
+            WITH v AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1048576.0 + 0.5) AS BIGINT) AS q
+                FROM embeddings
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM embeddings),
+            s AS (SELECT pos, SUM(q) AS s FROM v GROUP BY pos),
+            p AS (SELECT a.pos AS i, b.pos AS j, SUM(a.q * b.q) AS p
+                  FROM v a JOIN v b
+                    ON a.vec_id = b.vec_id AND b.pos >= a.pos
+                  GROUP BY 1, 2)
+            SELECT CAST(p.i - 1 AS BIGINT) AS i,
+                   CAST(p.j - 1 AS BIGINT) AS j,
+                   CAST((SELECT n FROM nn) * p.p - sa.s * sb.s AS DOUBLE)
+                       / (CAST((SELECT n FROM nn) AS DOUBLE)
+                          * CAST((SELECT n FROM nn) AS DOUBLE))
+                       / 1099511627776.0 AS cov
+            FROM p JOIN s sa ON sa.pos = p.i
+                   JOIN s sb ON sb.pos = p.j
         """,
         "events_hourly_distinct": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600

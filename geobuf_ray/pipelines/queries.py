@@ -589,6 +589,39 @@ def events_funnel(sf_dir: str):
     return funnel_counts(ds, ["signup", "view", "click", "purchase"])
 
 
+def embeddings_covariance(sf_dir: str):
+    """Exact covariance matrix of the embedding column
+    (functions/linalg.covariance_matrix): block-local int64 moment
+    partials over quantized values (floor(x*2^20 + 0.5)), exact
+    Python-int merge, one fixed-order float64 finalization per cell —
+    bit-identical to the HUGEINT SQL twin and to any partitioning.
+    One streaming pass, no shuffle; each block ships one 32 KB
+    partial."""
+    import ray
+
+    from ..functions.linalg import covariance_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    return covariance_matrix(ds, "embedding", scale_bits=20)
+
+
+def embeddings_pca_project(sf_dir: str, k: int = 2):
+    """Top-k PCA projection (functions/linalg.pca_project): exact
+    quantized covariance -> driver d x d eigh (sign-fixed
+    deterministic components) -> broadcast matmul projection pass
+    (rows-only: eigendecomposition is not SQL-expressible; the pytest
+    oracle checks the projection against direct numpy on the whole
+    table)."""
+    import ray
+
+    from ..functions.linalg import pca_project
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return pca_project(ds, "embedding", k=k, id_col="vec_id")
+
+
 def orders_triangle_count(sf_dir: str):
     """Exact triangle count (functions/graph.triangle_count,
     degree-oriented node-iterator: orient edges low->high (deg, id)
