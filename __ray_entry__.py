@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_status_strings": q.orders_status_strings,
         "lineitem_corr_by_flag": q.lineitem_corr_by_flag,
         "embeddings_pos_sums": q.embeddings_pos_sums,
+        "docs_decontaminate": q.docs_decontaminate,
         "embeddings_covariance": q.embeddings_covariance,
         "embeddings_pca_project": q.embeddings_pca_project,
         "events_cohort_retention": q.events_cohort_retention,
@@ -307,6 +308,22 @@ def oracle_sql() -> dict[str, str]:
                     JOIN e0 z ON z.a = x.b AND z.b = y.b
                    ) AS n_triangles,
                    (SELECT COUNT(*) FROM e0) AS n_edges
+        """,
+        "docs_decontaminate": """
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+            pos AS (SELECT doc_id, w,
+                           unnest(generate_series(1,
+                               greatest(len(w) - 4, 0))) AS i
+                    FROM tok),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(w[i:i+4], ' ') AS s
+                   FROM pos),
+            es AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+            SELECT d.doc_id, COUNT(*) AS n_hits
+            FROM sh d JOIN es USING (s)
+            WHERE d.doc_id % 50 <> 0
+            GROUP BY d.doc_id
         """,
         "embeddings_covariance": """
             WITH v AS (

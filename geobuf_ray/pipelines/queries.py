@@ -589,6 +589,34 @@ def events_funnel(sf_dir: str):
     return funnel_counts(ds, ["signup", "view", "click", "purchase"])
 
 
+def docs_decontaminate(sf_dir: str, n: int = 5):
+    """Benchmark decontamination (functions/decontam.decontaminate):
+    corpus docs sharing any 5-token shingle with the eval split
+    (doc_id % 50 == 0), n_hits = distinct shared shingles.  EXACT:
+    broadcast Bloom prefilter (no false negatives) + string-equality
+    cogroup verify; (doc, shingle) pairs dedupe block-locally before
+    the exchange."""
+    import ray
+
+    from ..functions.decontam import decontaminate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def _split(want_eval: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 50) == 0
+            return b.filter(pa.array(m if want_eval else ~m))
+        return fn
+
+    corpus = ds.map_batches(_split(False), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    eval_docs = ds.map_batches(_split(True), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return decontaminate(corpus, eval_docs, n=n)
+
+
 def embeddings_covariance(sf_dir: str):
     """Exact covariance matrix of the embedding column
     (functions/linalg.covariance_matrix): block-local int64 moment
