@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_status_strings": q.orders_status_strings,
         "lineitem_corr_by_flag": q.lineitem_corr_by_flag,
         "embeddings_pos_sums": q.embeddings_pos_sums,
+        "docs_pack_chunks": q.docs_pack_chunks,
+        "docs_pack_greedy": q.docs_pack_greedy,
         "docs_decontaminate": q.docs_decontaminate,
         "embeddings_covariance": q.embeddings_covariance,
         "embeddings_pca_project": q.embeddings_pca_project,
@@ -308,6 +310,22 @@ def oracle_sql() -> dict[str, str]:
                     JOIN e0 z ON z.a = x.b AND z.b = y.b
                    ) AS n_triangles,
                    (SELECT COUNT(*) FROM e0) AS n_edges
+        """,
+        "docs_pack_chunks": """
+            SELECT doc_id, source,
+                   CAST(COALESCE(prev, 0) // 4096 AS BIGINT)
+                       AS start_chunk,
+                   CAST(COALESCE(prev, 0) % 4096 AS BIGINT)
+                       AS start_offset,
+                   CAST((COALESCE(prev, 0) + n_chars - 1) // 4096
+                        AS BIGINT) AS end_chunk
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       SUM(n_chars) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev
+                FROM documents)
         """,
         "docs_decontaminate": """
             WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w

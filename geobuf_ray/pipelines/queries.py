@@ -589,6 +589,40 @@ def events_funnel(sf_dir: str):
     return funnel_counts(ds, ["signup", "view", "click", "purchase"])
 
 
+def docs_pack_chunks(sf_dir: str, chunk: int = 4096):
+    """GPT-style concatenate-and-split sequence packing
+    (functions/pack.pack_concat_chunks): per source, docs in id order
+    map to (start_chunk, start_offset, end_chunk) spans of the
+    concatenated stream — pure prefix-sum arithmetic, one group
+    exchange, partition-invariant, hash-checked vs a SQL window
+    twin."""
+    import ray
+
+    from ..functions.pack import pack_concat_chunks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"])
+    return pack_concat_chunks(ds, chunk=chunk)
+
+
+def docs_pack_greedy(sf_dir: str, budget: int = 4096):
+    """Next-fit whole-document packing (functions/pack.pack_greedy):
+    per source in doc-id order, close the open bin when the next doc
+    would overflow the budget; vectorized boundary walk (one
+    searchsorted per emitted bin).  Rows-only: the next-fit recurrence
+    is not SQL-expressible; the pytest oracle checks against a scalar
+    reference."""
+    import ray
+
+    from ..functions.pack import pack_greedy
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"])
+    return pack_greedy(ds, budget=budget)
+
+
 def docs_decontaminate(sf_dir: str, n: int = 5):
     """Benchmark decontamination (functions/decontam.decontaminate):
     corpus docs sharing any 5-token shingle with the eval split
