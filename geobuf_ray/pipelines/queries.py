@@ -712,7 +712,10 @@ def orders_triangle_count(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey"]).map_batches(
             edges, batch_format="pyarrow", zero_copy_batch=True)
-    return triangle_count(ds)
+    # 16 buckets: five chained exchanges mean per-bucket task latency
+    # dominates below ~10M edges (measured 1.8s vs 4.1s at 32); raise
+    # with edge count on a real cluster
+    return triangle_count(ds, nbuckets=16)
 
 
 def orders_hash_sample(sf_dir: str, pct: int = 10):
