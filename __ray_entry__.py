@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": q.docs_decontaminate,
         "embeddings_covariance": q.embeddings_covariance,
         "embeddings_pca_project": q.embeddings_pca_project,
+        "events_interval_coalesce": q.events_interval_coalesce,
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
         "events_last_order_asof": q.events_last_order_asof,
@@ -249,6 +250,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY hour_id
+        """,
+        "events_interval_coalesce": """
+            WITH iv AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+                       CAST(epoch_us(ts) + (1 + event_id % 7)
+                            * 3600000000 AS BIGINT) AS e
+                FROM events
+            ),
+            m AS (
+                SELECT *, MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pmax
+                FROM iv
+            ),
+            isl AS (
+                SELECT *, SUM(CASE WHEN pmax IS NULL OR s > pmax
+                                   THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS island
+                FROM m
+            )
+            SELECT user_id, MIN(s) AS island_start,
+                   MAX(e) AS island_end, COUNT(*) AS n_intervals
+            FROM isl GROUP BY user_id, island
         """,
         "events_cohort_retention": """
             WITH ud AS (

@@ -334,3 +334,65 @@ def running_agg(ds, *, key: str, order: str, value: str,
 
     return hash_exchange(ds, nbuckets=nbuckets, on=key,
                          reduce_fn=kernel, schema=None)
+
+
+def interval_coalesce(ds, *, key: str, start: str, end: str,
+                      nbuckets: int = 32):
+    """Merge overlapping / touching intervals per key (gaps-and-
+    islands): rows ``(key, start, end)`` collapse to the minimal set
+    of disjoint ``[island_start, island_end]`` intervals, with the
+    member count per island.  Touching intervals (next start == the
+    running max end) merge, matching the SQL window formulation
+    ``new island when s > MAX(e) OVER (... 1 PRECEDING)``.
+
+    One key-hash exchange; the bucket kernel is fully vectorized
+    ACROSS keys: one lexsort, then a segmented running-max computed
+    with a rank-banded ``np.maximum.accumulate`` (each key segment
+    occupies its own band of end-value RANKS, so a single global
+    cummax yields the per-key prefix max — no per-key Python loop).
+    int64 domain end-to-end.
+    """
+    from .exchange import hash_exchange
+
+    out_schema = pa.schema([(key, pa.int64()),
+                            ("island_start", pa.int64()),
+                            ("island_end", pa.int64()),
+                            ("n_intervals", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        k = tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = tbl[start].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = tbl[end].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        order = np.lexsort((e, s, k))
+        k, s, e = k[order], s[order], e[order]
+        newk = np.concatenate(([True], k[1:] != k[:-1]))
+        seg = np.cumsum(newk) - 1
+        # ranks of e (ties keep any order; max-rank maps to max-value)
+        rorder = np.argsort(e, kind="stable")
+        rank = np.empty(n, np.int64)
+        rank[rorder] = np.arange(n, dtype=np.int64)
+        e_by_rank = e[rorder]
+        band = seg * np.int64(n + 1) + rank
+        bmax = np.maximum.accumulate(band)
+        prev_bmax = np.concatenate(([np.int64(-1)], bmax[:-1]))
+        seg_base = seg * np.int64(n + 1)
+        in_seg = prev_bmax >= seg_base
+        prev_rank = np.where(in_seg, prev_bmax - seg_base, 0)
+        prev_max = np.where(in_seg, e_by_rank[prev_rank],
+                            np.iinfo(np.int64).min)
+        new_isl = newk | (s > prev_max)
+        isl = np.cumsum(new_isl) - 1
+        nisl = int(isl[-1]) + 1
+        isl_heads = np.flatnonzero(new_isl)
+        return pa.table({key: k[new_isl],
+                         "island_start": s[new_isl],
+                         "island_end": np.maximum.reduceat(e, isl_heads),
+                         "n_intervals": np.bincount(
+                             isl, minlength=nisl).astype(np.int64)})
+
+    return hash_exchange(ds.select_columns([key, start, end]),
+                         nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=out_schema)

@@ -589,6 +589,37 @@ def events_funnel(sf_dir: str):
     return funnel_counts(ds, ["signup", "view", "click", "purchase"])
 
 
+def events_interval_coalesce(sf_dir: str):
+    """Gaps-and-islands interval merge
+    (functions/window.interval_coalesce): per user, deterministic
+    intervals [ts, ts + (1 + event_id % 7) h] collapse to disjoint
+    islands (start, end, member count).  One key-hash exchange; the
+    bucket kernel is one lexsort + a rank-banded segmented cummax —
+    vectorized across users, int64 end-to-end."""
+    import ray
+
+    from ..functions.window import interval_coalesce
+
+    us_h = 3_600_000_000
+
+    def iv(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.timestamp("us")) \
+            .to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "s": ts,
+            "e": ts + (1 + eid % 7) * us_h,
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts"]).map_batches(
+            iv, batch_format="pyarrow", zero_copy_batch=True)
+    return interval_coalesce(ds, key="user_id", start="s", end="e")
+
+
 def docs_pack_chunks(sf_dir: str, chunk: int = 4096):
     """GPT-style concatenate-and-split sequence packing
     (functions/pack.pack_concat_chunks): per source, docs in id order

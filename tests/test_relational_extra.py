@@ -861,3 +861,53 @@ def test_funnel_greedy_vs_duckdb_random(ray_session):
                (SELECT COUNT(*) FROM s3)
     """).fetchone()
     assert out.n_users.tolist() == list(exp)
+
+
+def test_interval_coalesce_hand_and_random(ray_session):
+    import duckdb
+    import ray
+
+    from geobuf_ray.functions.window import interval_coalesce
+
+    # hand case: overlap, touch (merges), gap, second key
+    rows = [(1, 0, 10), (1, 5, 12), (1, 12, 15), (1, 20, 25),
+            (2, 0, 3)]
+    tbl = pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                    "s": pa.array([r[1] for r in rows], pa.int64()),
+                    "e": pa.array([r[2] for r in rows], pa.int64())})
+    out = interval_coalesce(ray.data.from_arrow(tbl).repartition(3),
+                            key="k", start="s", end="e").to_pandas() \
+        .sort_values(["k", "island_start"]).reset_index(drop=True)
+    assert out.values.tolist() == [[1, 0, 15, 3], [1, 20, 25, 1],
+                                   [2, 0, 3, 1]]
+
+    # random vs DuckDB window oracle (contained intervals, ties)
+    rng = np.random.default_rng(17)
+    n = 5000
+    s = rng.integers(0, 10_000, n)
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "s": pa.array(s, pa.int64()),
+        "e": pa.array(s + rng.integers(0, 300, n), pa.int64()),
+    })
+    out = interval_coalesce(ray.data.from_arrow(tbl).repartition(6),
+                            key="k", start="s", end="e").to_pandas()
+    con = duckdb.connect()
+    con.register("iv", tbl)
+    exp = con.execute("""
+        WITH m AS (SELECT *, MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS pmax FROM iv),
+        isl AS (SELECT *, SUM(CASE WHEN pmax IS NULL OR s > pmax
+                              THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY k ORDER BY s, e
+                  ROWS UNBOUNDED PRECEDING) AS island FROM m)
+        SELECT k, MIN(s) AS island_start, MAX(e) AS island_end,
+               COUNT(*) AS n_intervals
+        FROM isl GROUP BY k, island
+    """).fetchdf()
+    cols = ["k", "island_start", "island_end", "n_intervals"]
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].astype("int64").sort_values(cols) \
+        .reset_index(drop=True)
+    assert a.equals(b)
