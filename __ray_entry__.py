@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_in_rects": q.images_in_rects,
         "images_footprint_overlap": q.images_footprint_overlap,
         "images_knn_s2": q.images_knn_s2,
+        "images_patchify": q.images_patchify,
+        "images_augment": q.images_augment,
         "images_resize": q.images_resize,
         "images_phash_pairs": q.images_phash_pairs,
         "images_zonal_stats": q.images_zonal_stats,

@@ -535,3 +535,149 @@ def mosaic_tiles(ds, *, zoom: int = 4, cell: int = 32, max_images: int = 16,
                               zero_copy_batch=True, **map_kwargs)
     # hash exchange + per-tile segments, not the range-sort shuffle
     return grouped_exchange(assigned, "tile", stitch, nbuckets=64)
+
+
+class PatchifyImagesFn:
+    """Actor-pool ViT-style patch extraction: each image row fans out
+    to its non-overlapping ``patch x patch`` tiles (bottom/right
+    remainders cropped, the standard discipline), one row per patch
+    with (patch_row, patch_col) grid coordinates and a lossless
+    payload.  The pixel cut is one reshape+transpose per image (no
+    per-patch indexing); only the re-encode is per-payload.
+    """
+
+    def __init__(self, patch: int = 16, emit_payload: bool = True):
+        self.patch = patch
+        self.emit_payload = emit_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.patch
+        ids, rows, cols, blobs, sums = [], [], [], [], []
+        for image_id, data in zip(batch["image_id"].to_pylist(),
+                                  batch["bytes"].to_pylist()):
+            px = decode_image(data)
+            h, w, _ = px.shape
+            gh, gw = h // p, w // p
+            if gh == 0 or gw == 0:
+                continue
+            grid = px[:gh * p, :gw * p].reshape(gh, p, gw, p, 3) \
+                .transpose(0, 2, 1, 3, 4)  # (gh, gw, p, p, 3)
+            ids.extend([image_id] * (gh * gw))
+            rr, cc = np.divmod(np.arange(gh * gw), gw)
+            rows.extend(rr.tolist())
+            cols.extend(cc.tolist())
+            flat = grid.reshape(gh * gw, p, p, 3)
+            sums.extend(flat.reshape(gh * gw, -1)
+                        .sum(axis=1, dtype=np.int64).tolist())
+            if self.emit_payload:
+                blobs.extend(encode_rawz(t) for t in flat)
+        out = {
+            "image_id": pa.array(ids, pa.string()),
+            "patch_row": pa.array(rows, pa.int64()),
+            "patch_col": pa.array(cols, pa.int64()),
+            "px_sum": pa.array(sums, pa.int64()),
+        }
+        if self.emit_payload:
+            out["bytes"] = pa.array(blobs, pa.binary())
+            out["w"] = pa.array([self.patch] * len(ids), pa.int32())
+            out["h"] = pa.array([self.patch] * len(ids), pa.int32())
+            out["fmt"] = pa.array(["rawz"] * len(ids), pa.string())
+        return pa.table(out)
+
+
+def patchify_images(ds, *, patch: int = 16, emit_payload: bool = True,
+                    batch_size: int = 16, concurrency=(1, 8),
+                    **map_kwargs):
+    """Dataset stage: image rows -> patch rows.  Small batch_size:
+    each input row fans out to (w/p)*(h/p) payload rows."""
+    return ds.map_batches(
+        PatchifyImagesFn,
+        fn_constructor_kwargs=dict(patch=patch,
+                                   emit_payload=emit_payload),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **map_kwargs)
+
+
+_AUG_NAMES = ("identity", "hflip", "vflip", "rot90", "rot180",
+              "rot270", "center_crop")
+
+
+def apply_augment(px: np.ndarray, aug: str) -> np.ndarray:
+    """One deterministic augmentation; pure numpy views where
+    possible."""
+    if aug == "identity":
+        return px
+    if aug == "hflip":
+        return px[:, ::-1]
+    if aug == "vflip":
+        return px[::-1]
+    if aug == "rot90":
+        return np.rot90(px, 1)
+    if aug == "rot180":
+        return np.rot90(px, 2)
+    if aug == "rot270":
+        return np.rot90(px, 3)
+    if aug == "center_crop":
+        h, w, _ = px.shape
+        ch, cw = max(h // 2, 1), max(w // 2, 1)
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        return px[y0:y0 + ch, x0:x0 + cw]
+    raise ValueError(f"unknown augmentation {aug!r}")
+
+
+class AugmentImagesFn:
+    """Actor-pool augmentation stage: each image row emits one
+    augmented row per requested op (or a deterministic hash-chosen
+    subset with ``per_image``), payload re-encoded lossless and the
+    op recorded in an ``aug`` column — the training-data augmentation
+    fan-out shape.
+    """
+
+    def __init__(self, ops=("hflip", "rot90"), per_image: int | None = None):
+        for o in ops:
+            if o not in _AUG_NAMES:
+                raise ValueError(f"unknown augmentation {o!r}")
+        self.ops = tuple(ops)
+        self.per_image = per_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_in = batch["image_id"].to_pylist()
+        blobs_in = batch["bytes"].to_pylist()
+        ids, augs, blobs, ws, hs = [], [], [], [], []
+        if self.per_image is not None:
+            idx = np.array([int(s[3:]) for s in ids_in], np.int64)
+            pick0 = image_hash64(idx) % np.uint64(len(self.ops))
+        for r, (image_id, data) in enumerate(zip(ids_in, blobs_in)):
+            px = decode_image(data)
+            if self.per_image is None:
+                chosen = self.ops
+            else:
+                k0 = int(pick0[r])
+                chosen = tuple(self.ops[(k0 + t) % len(self.ops)]
+                               for t in range(self.per_image))
+            for aug in chosen:
+                out = np.ascontiguousarray(apply_augment(px, aug))
+                ids.append(image_id)
+                augs.append(aug)
+                blobs.append(encode_rawz(out))
+                hs.append(out.shape[0])
+                ws.append(out.shape[1])
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "aug": pa.array(augs, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(["rawz"] * len(ids), pa.string()),
+        })
+
+
+def augment_images(ds, *, ops=("hflip", "rot90"),
+                   per_image: int | None = None, batch_size: int = 16,
+                   concurrency=(1, 8), **map_kwargs):
+    """Dataset stage: image rows -> augmented rows (one per op)."""
+    return ds.map_batches(
+        AugmentImagesFn,
+        fn_constructor_kwargs=dict(ops=ops, per_image=per_image),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **map_kwargs)

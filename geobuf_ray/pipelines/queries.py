@@ -2919,6 +2919,84 @@ def _cached_media_ds(kind: str, n: int, synth_fn):
     return ray.data.read_parquet(path)
 
 
+def images_patchify(sf_dir: str, patch: int = 16):
+    """ViT-style patch extraction (io/images.patchify_images): each
+    image fans out to its non-overlapping 16x16 tiles (one
+    reshape+transpose per image), then a per-image aggregate pins the
+    grid shape and the exact pixel sum (rows-only: w/h are
+    rng-derived; the pytest oracle checks pixel-exact reassembly)."""
+    import ray
+
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    patches = im.patchify_images(ds, patch=patch, emit_payload=False,
+                                 batch_size=32, concurrency=(1, 4))
+
+    def agg(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].combine_chunks()
+        codes = ids.dictionary_encode()
+        inv = codes.indices.to_numpy(zero_copy_only=False)
+        k = len(codes.dictionary)
+        return pa.table({
+            "image_id": codes.dictionary,
+            "n_patches": np.bincount(inv, minlength=k).astype(np.int64),
+            "px_sum": np.bincount(
+                inv, weights=batch["px_sum"].to_numpy(
+                    zero_copy_only=False), minlength=k).astype(np.int64),
+        })
+
+    # patch rows of one image never split across batches (each input
+    # row's fan-out lands in one output block), so per-block agg rows
+    # are already per-image-complete... only when blocks preserve
+    # row grouping; a final exact combine keeps it partition-proof:
+    parts = patches.map_batches(agg, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    from ..collect import collect_table
+    t = collect_table(parts)
+    ids = t["image_id"].combine_chunks()
+    codes = ids.dictionary_encode()
+    inv = codes.indices.to_numpy(zero_copy_only=False)
+    k = len(codes.dictionary)
+    return pa.table({
+        "image_id": codes.dictionary.cast(pa.string()),
+        "n_patches": np.bincount(
+            inv, weights=t["n_patches"].to_numpy(zero_copy_only=False),
+            minlength=k).astype(np.int64),
+        "px_sum": np.bincount(
+            inv, weights=t["px_sum"].to_numpy(zero_copy_only=False),
+            minlength=k).astype(np.int64),
+    })
+
+
+def images_augment(sf_dir: str):
+    """Deterministic augmentation fan-out (io/images.augment_images):
+    hflip + rot90 + rot180 per image, payloads re-encoded lossless;
+    returns per-(image, aug) dims and payload size (rows-only; the
+    pytest oracles pin involution/4-cycle pixel identities)."""
+    import ray
+
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    out = im.augment_images(ds, ops=("hflip", "rot90", "rot180"),
+                            batch_size=32, concurrency=(1, 4))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        sizes = [len(b) for b in batch["bytes"].to_pylist()]
+        return pa.table({
+            "image_id": batch["image_id"],
+            "aug": batch["aug"],
+            "w": batch["w"], "h": batch["h"],
+            "aug_bytes": pa.array(np.asarray(sizes, np.int64)),
+        })
+
+    return out.map_batches(stats, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def images_resize(sf_dir: str, target: int = 16):
     """Actor-pool thumbnail stage over binary payloads (the
     feature-extraction shape for multimodal pipelines)."""

@@ -218,3 +218,71 @@ def test_images_dup_clusters_vs_unionfind(ray_session):
     assert reps == set(expected.values())
     # the synthetic corpus plants near-dups: at least one real cluster
     assert len(reps) < len(ids)
+
+
+def test_patchify_pixel_exact_reassembly(ray_session):
+    import pyarrow as pa
+    import ray
+
+    tbl = im.synthesize_image_table(6, start=0)
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    p = 16
+    out = im.patchify_images(ds, patch=p, batch_size=2,
+                             concurrency=(1, 2)).to_pandas()
+    src = tbl.to_pandas()
+    for _, row in src.iterrows():
+        px = im.decode_image(row["bytes"])
+        h, w, _ = px.shape
+        gh, gw = h // p, w // p
+        sub = out[out.image_id == row.image_id]
+        assert len(sub) == gh * gw
+        # stitch every patch back; must equal the cropped source
+        canvas = np.zeros((gh * p, gw * p, 3), np.uint8)
+        for _, prow in sub.iterrows():
+            pp = im.decode_image(prow["bytes"])
+            assert pp.shape == (p, p, 3)
+            canvas[prow.patch_row * p:(prow.patch_row + 1) * p,
+                   prow.patch_col * p:(prow.patch_col + 1) * p] = pp
+        assert np.array_equal(canvas, px[:gh * p, :gw * p])
+        assert sub.px_sum.sum() == int(
+            px[:gh * p, :gw * p].sum(dtype=np.int64))
+
+
+def test_augment_identities(ray_session):
+    import ray
+
+    tbl = im.synthesize_image_table(4, start=10)
+    ds = ray.data.from_arrow(tbl)
+    out = im.augment_images(
+        ds, ops=("hflip", "vflip", "rot90", "rot180", "rot270",
+                 "center_crop"), batch_size=2,
+        concurrency=(1, 2)).to_pandas()
+    src = {r.image_id: im.decode_image(r["bytes"])
+           for _, r in tbl.to_pandas().iterrows()}
+    assert len(out) == 6 * 4
+    for _, row in out.iterrows():
+        px = src[row.image_id]
+        got = im.decode_image(row["bytes"])
+        expect = im.apply_augment(px, row.aug)
+        assert np.array_equal(got, expect), row.aug
+        # involution / cycle identities
+        if row.aug in ("hflip", "vflip", "rot180"):
+            assert np.array_equal(im.apply_augment(got, row.aug), px)
+        if row.aug == "rot90":
+            assert np.array_equal(im.apply_augment(got, "rot270"), px)
+
+
+def test_augment_per_image_deterministic(ray_session):
+    import ray
+
+    tbl = im.synthesize_image_table(8, start=0)
+    a = im.augment_images(ray.data.from_arrow(tbl).repartition(3),
+                          ops=("hflip", "rot90", "rot180"),
+                          per_image=1).to_pandas()
+    b = im.augment_images(ray.data.from_arrow(tbl).repartition(1),
+                          ops=("hflip", "rot90", "rot180"),
+                          per_image=1).to_pandas()
+    assert len(a) == 8
+    ka = sorted(zip(a.image_id, a.aug))
+    kb = sorted(zip(b.image_id, b.aug))
+    assert ka == kb  # hash-chosen op is partition-invariant
