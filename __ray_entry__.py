@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_chunks": q.docs_pack_chunks,
         "docs_pack_greedy": q.docs_pack_greedy,
         "docs_decontaminate": q.docs_decontaminate,
+        "embeddings_kmeans": q.embeddings_kmeans,
         "embeddings_covariance": q.embeddings_covariance,
         "embeddings_pca_project": q.embeddings_pca_project,
         "events_interval_coalesce": q.events_interval_coalesce,

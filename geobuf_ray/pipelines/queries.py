@@ -682,6 +682,31 @@ def docs_decontaminate(sf_dir: str, n: int = 5):
     return decontaminate(corpus, eval_docs, n=n)
 
 
+def embeddings_kmeans(sf_dir: str, k: int = 8, iters: int = 8):
+    """Distributed Lloyd k-means (functions/cluster.kmeans_fit): each
+    iteration is one streaming pass — broadcast centroids, vectorized
+    block matmul assignment, exact quantized-int partial sums (k x d
+    scalars per block), driver merge.  Centroids are bit-identical
+    under any partitioning.  Returns per-cluster size and the
+    centroid quantized to int64 at 2^20 (deterministic).  Rows-only:
+    iterative, not SQL; the pytest oracle is an exact numpy Lloyd
+    reference."""
+    import ray
+
+    from ..functions.cluster import kmeans_fit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cent, counts = kmeans_fit(ds, "embedding", k=k, iters=iters)
+    q = np.floor(cent * (1 << 20) + 0.5).astype(np.int64)
+    return pa.table({
+        "cluster": pa.array(np.arange(k, dtype=np.int64)),
+        "n_points": pa.array(counts),
+        "centroid_q": pa.array([row.tolist() for row in q],
+                               pa.list_(pa.int64())),
+    })
+
+
 def embeddings_covariance(sf_dir: str):
     """Exact covariance matrix of the embedding column
     (functions/linalg.covariance_matrix): block-local int64 moment
