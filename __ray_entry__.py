@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pos_sums": q.embeddings_pos_sums,
         "docs_pack_chunks": q.docs_pack_chunks,
         "docs_pack_greedy": q.docs_pack_greedy,
+        "docs_similar_prefixes": q.docs_similar_prefixes,
         "docs_decontaminate": q.docs_decontaminate,
         "embeddings_kmeans": q.embeddings_kmeans,
         "embeddings_covariance": q.embeddings_covariance,
@@ -355,6 +356,15 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) AS prev
                 FROM documents)
+        """,
+        "docs_similar_prefixes": """
+            WITH d AS (SELECT DISTINCT substr(text, 1, 12) AS s
+                       FROM documents)
+            SELECT a.s AS s_a, b.s AS s_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM d a JOIN d b ON a.s < b.s
+            WHERE abs(len(a.s) - len(b.s)) <= 2
+              AND levenshtein(a.s, b.s) <= 2
         """,
         "docs_decontaminate": """
             WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -654,6 +654,39 @@ def docs_pack_greedy(sf_dir: str, budget: int = 4096):
     return pack_greedy(ds, budget=budget)
 
 
+def docs_similar_prefixes(sf_dir: str, k: int = 2, prefix: int = 12):
+    """Exact string-similarity self-join
+    (functions/strjoin.edit_distance_self_join): all pairs of
+    distinct 12-char document prefixes within Levenshtein distance 2.
+    PassJoin pigeonhole candidates (k+1 segments; a match must
+    contain one verbatim, shifted <= k) met on rolling-hash keys in
+    one cogroup, verified with a bit-parallel Myers automaton
+    vectorized across pairs.  Hash-checked vs DuckDB levenshtein."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..functions.strjoin import edit_distance_self_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def pref(batch: pa.Table) -> pa.Table:
+        return pa.table({"s": pc.utf8_slice_codeunits(
+            batch["text"].combine_chunks(), 0, prefix)})
+
+    d = ds.map_batches(pref, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    out = edit_distance_self_join(d, "s", k=k, nbuckets=16)
+
+    def tostr(batch: pa.Table) -> pa.Table:
+        return pa.table({"s_a": batch["s_a"].cast(pa.string()),
+                         "s_b": batch["s_b"].cast(pa.string()),
+                         "dist": batch["dist"]})
+
+    return out.map_batches(tostr, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def docs_decontaminate(sf_dir: str, n: int = 5):
     """Benchmark decontamination (functions/decontam.decontaminate):
     corpus docs sharing any 5-token shingle with the eval split
