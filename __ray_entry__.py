@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
         "events_last_order_asof": q.events_last_order_asof,
+        "lineitem_price_outliers": q.lineitem_price_outliers,
         "lineitem_price_band_join": q.lineitem_price_band_join,
         "orders_triangle_count": q.orders_triangle_count,
         "orders_hash_sample": q.orders_hash_sample,
@@ -365,6 +366,25 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.s < b.s
             WHERE abs(len(a.s) - len(b.s)) <= 2
               AND levenshtein(a.s, b.s) <= 2
+        """,
+        "lineitem_price_outliers": """
+            WITH x AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS price_cents
+                FROM lineitem
+            ),
+            st AS (
+                SELECT COUNT(*) AS n, SUM(price_cents) AS s,
+                       SUM(price_cents * price_cents) AS q
+                FROM x
+            )
+            SELECT l_orderkey, l_linenumber, price_cents
+            FROM x, st
+            WHERE (10 * abs(CAST(n AS HUGEINT) * price_cents - s))
+                  * (10 * abs(CAST(n AS HUGEINT) * price_cents - s))
+                  > 289 * (CAST(n AS HUGEINT) * q
+                           - CAST(s AS HUGEINT) * s)
         """,
         "docs_decontaminate": """
             WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -805,3 +805,72 @@ def cube_agg(ds, keys: list[str], sums: dict[str, str], *,
             for c in combinations(key_list, r)]
     return grouping_sets_agg(ds, sets, sums, count_col=count_col,
                              nbuckets=nbuckets, schema=schema)
+
+
+def zscore_outliers(ds, value: str, *, z_num: int = 3, z_den: int = 1,
+                    schema: pa.Schema | None = None):
+    """EXACT z-score outlier filter over an integer column: keep rows
+    with ``|x - mean| > (z_num/z_den) * sigma`` (population sigma),
+    decided by pure integer arithmetic — no float ever enters the
+    predicate, so the result is bit-reproducible and matches a
+    HUGEINT SQL twin:
+
+        |x - S/n| > z*sqrt((nQ - S^2)/n^2)
+          <=>  (z_den * |n*x - S|)^2 > z_num^2 * (nQ - S^2)
+          <=>   z_den * |n*x - S|   > isqrt(z_num^2 * (nQ - S^2))
+
+    (the last step is exact: for integers D, T — D^2 > T iff
+    D > floor(sqrt(T))).
+
+    Two streaming passes: per-block int64 (n, S, Q) partials merged in
+    arbitrary-precision Python ints, then a broadcast-threshold filter
+    map.  ``n * x`` and ``z_den * |n*x - S|`` must fit int64 — true
+    for count x value ranges up to ~1e18; the threshold itself is
+    arbitrary precision.
+    """
+    import math
+
+    import ray
+
+    from ..collect import collect_table
+
+    part_schema = pa.schema([("n", pa.int64()), ("s", pa.int64()),
+                             ("q", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        x = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array([len(x)], pa.int64()),
+                         "s": pa.array([int(x.sum())], pa.int64()),
+                         "q": pa.array([int((x * x).sum())], pa.int64())})
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+    n = int(parts["n"].to_numpy(zero_copy_only=False).sum())
+    out_schema = schema
+    if n == 0:
+        return ds  # nothing to filter
+    S = sum(int(v) for v in parts["s"].to_pylist())
+    Q = sum(int(v) for v in parts["q"].to_pylist())
+    V = n * Q - S * S  # n^2 * variance, exact
+    r = math.isqrt(z_num * z_num * V)
+    thresh = ray.put((n, S, r, z_den))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch if out_schema is None else \
+                out_schema.empty_table()
+        nn, ss, rr, zd = ray.get(thresh) if isinstance(
+            thresh, ray.ObjectRef) else thresh
+        x = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.abs(nn * x - ss) * np.int64(zd)
+        # rr may exceed int64 (then nothing qualifies)
+        if rr >= np.iinfo(np.int64).max:
+            mask = np.zeros(len(x), bool)
+        else:
+            mask = d > np.int64(rr)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

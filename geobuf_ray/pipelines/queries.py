@@ -1068,6 +1068,32 @@ def orders_weighted_sample(sf_dir: str, k: int = 50):
                            id_col="o_orderkey", seed=42, schema=schema)
 
 
+def lineitem_price_outliers(sf_dir: str):
+    """Exact integer z-score outlier filter
+    (functions/agg.zscore_outliers, z = 1.7): price rows with
+    |x - mean| > 1.7 sigma decided by the pure-integer predicate
+    10*|n*x - S| > isqrt(289*(nQ - S^2)) — bit-reproducible, matches
+    the HUGEINT SQL twin.  Two streaming passes, scalar broadcast."""
+    import ray
+
+    from ..functions.agg import zscore_outliers
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_linenumber": batch["l_linenumber"],
+                         "price_cents": v})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return zscore_outliers(ds, "price_cents", z_num=17, z_den=10)
+
+
 def lineitem_price_cont_by_flag(sf_dir: str):
     """Interpolated PERCENTILE_CONT per return flag
     (functions/agg.group_quantile interpolate=True): bit-matches
@@ -1960,8 +1986,12 @@ def parts_pagerank_top(sf_dir: str, k: int = 20):
         return pa.table({"src": pa.array(e[:, 0].astype(np.int64)),
                          "dst": pa.array(e[:, 1].astype(np.int64))})
 
+    # 16 buckets: 10 rounds of chained cogroups are task-latency
+    # bound at this edge count (measured 3.7s vs 8.5s at 32 buckets,
+    # 5.3s at 8); raise with graph size on a real cluster
     ranks = pagerank(ds.map_batches(edges, batch_format="pyarrow",
-                                    zero_copy_batch=True), iters=10)
+                                    zero_copy_batch=True), iters=10,
+                     nbuckets=16)
     r = ranks["rank"].to_numpy(zero_copy_only=False)
     n = ranks["node"].to_numpy(zero_copy_only=False)
     order = np.lexsort((n, -r))[:k]

@@ -911,3 +911,45 @@ def test_interval_coalesce_hand_and_random(ray_session):
     b = exp[cols].astype("int64").sort_values(cols) \
         .reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_zscore_outliers_exact_boundary(ray_session):
+    import math
+
+    import ray
+
+    from geobuf_ray.functions.agg import zscore_outliers
+
+    # engineered so some |n*x - S| lands EXACTLY on the isqrt
+    # boundary: predicate must be strict (> not >=)
+    vals = np.array([0, 0, 0, 0, 10], dtype=np.int64)
+    tbl = pa.table({"id": pa.array(np.arange(5), pa.int64()),
+                    "v": pa.array(vals)})
+    n, S, Q = 5, 10, 100
+    V = n * Q - S * S  # 400
+    # z=2: D = |5x - 10|; x=10 -> D=40; isqrt(4*400)=40 -> NOT > -> kept out
+    out = zscore_outliers(ray.data.from_arrow(tbl), "v",
+                          z_num=2, z_den=1).to_pandas()
+    assert len(out) == 0
+    # z slightly below 2 (199/100): x=10 qualifies, x=0 does not
+    out = zscore_outliers(ray.data.from_arrow(tbl), "v",
+                          z_num=199, z_den=100).to_pandas()
+    assert out.v.tolist() == [10]
+
+
+def test_zscore_outliers_random_vs_numpy(ray_session):
+    import ray
+
+    from geobuf_ray.functions.agg import zscore_outliers
+
+    rng = np.random.default_rng(23)
+    v = rng.integers(-1000, 1000, 4000).astype(np.int64)
+    v[::97] += 50_000  # plant a heavy tail
+    tbl = pa.table({"id": pa.array(np.arange(len(v)), pa.int64()),
+                    "v": pa.array(v)})
+    out = zscore_outliers(ray.data.from_arrow(tbl).repartition(7),
+                          "v", z_num=3, z_den=1).to_pandas()
+    mu = v.mean()
+    sd = v.std()
+    expect = np.sort(tbl.to_pandas().id[np.abs(v - mu) > 3 * sd])
+    assert np.array_equal(np.sort(out.id.to_numpy()), expect)
