@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_covariance": q.embeddings_covariance,
         "embeddings_pca_project": q.embeddings_pca_project,
         "events_interval_coalesce": q.events_interval_coalesce,
+        "events_value_histogram": q.events_value_histogram,
+        "docs_source_mix": q.docs_source_mix,
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
         "events_last_order_asof": q.events_last_order_asof,
@@ -280,6 +282,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(s) AS island_start,
                    MAX(e) AS island_end, COUNT(*) AS n_intervals
             FROM isl GROUP BY user_id, island
+        """,
+        "events_value_histogram": """
+            SELECT bins.bin,
+                   CAST(bins.bin * 1000 AS BIGINT) AS bin_lo,
+                   COALESCE(c.n_rows, 0) AS n_rows
+            FROM (SELECT CAST(unnest(generate_series(0, 39)) AS BIGINT)
+                         AS bin) bins
+            LEFT JOIN (
+                SELECT CAST(round(value * 100) AS BIGINT) // 1000
+                           AS bin, COUNT(*) AS n_rows
+                FROM events
+                WHERE CAST(round(value * 100) AS BIGINT) >= 0
+                  AND CAST(round(value * 100) AS BIGINT) < 40000
+                GROUP BY 1) c USING (bin)
+        """,
+        "docs_source_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 * 40
+                  < 4294967296
+                    * (1 + CAST(substr(source, 4) AS BIGINT))
         """,
         "events_cohort_retention": """
             WITH ud AS (

@@ -874,3 +874,38 @@ def zscore_outliers(ds, value: str, *, z_num: int = 3, z_den: int = 1,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def histogram(ds, value: str, *, lo: int, hi: int, nbins: int):
+    """Fixed-width integer histogram: counts per bin over
+    ``[lo, hi)`` with ``width = (hi - lo) / nbins`` (must divide
+    evenly), rows outside the range dropped.  One streaming pass:
+    per-block ``np.bincount`` partials (nbins int64 each), exact
+    driver sum.  Returns (bin, bin_lo, n_rows) — empty bins included
+    with n_rows = 0, so the shape is always ``nbins`` rows.
+    """
+    from ..collect import collect_table
+
+    if (hi - lo) % nbins:
+        raise ValueError("nbins must divide the range evenly")
+    width = (hi - lo) // nbins
+    part_schema = pa.schema([("counts", pa.list_(pa.int64()))])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        x = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = x[(x >= lo) & (x < hi)]
+        c = np.bincount((x - lo) // width, minlength=nbins)
+        return pa.table({"counts": pa.array([c.tolist()],
+                                            pa.list_(pa.int64()))})
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+    total = np.zeros(nbins, np.int64)
+    for row in parts["counts"].to_pylist():
+        total += np.asarray(row, np.int64)
+    bins = np.arange(nbins, dtype=np.int64)
+    return pa.table({"bin": bins,
+                     "bin_lo": lo + bins * width,
+                     "n_rows": total})

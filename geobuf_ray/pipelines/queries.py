@@ -1094,6 +1094,53 @@ def lineitem_price_outliers(sf_dir: str):
     return zscore_outliers(ds, "price_cents", z_num=17, z_den=10)
 
 
+def events_value_histogram(sf_dir: str, nbins: int = 40):
+    """Fixed-width histogram (functions/agg.histogram) of event value
+    cents over [0, 40000): per-block bincount partials, exact driver
+    sum, empty bins materialized.  One pass, nbins int64 per block."""
+    import ray
+
+    from ..functions.agg import histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)})
+
+    return histogram(ds.map_batches(cents, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     "v", lo=0, hi=40_000, nbins=nbins)
+
+
+def docs_source_mix(sf_dir: str):
+    """Deterministic training-mixture sampling: per-source keep rates
+    (digit-derived: rate = (1 + suffix) / 40), decided by the
+    SQL-reproducible 32-bit id hash — reproducible, coordination-free,
+    partition-invariant.  Returns the sampled (doc_id, source) rows,
+    hash-checked vs a CASE twin."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        suffix = pc.utf8_slice_codeunits(
+            batch["source"].combine_chunks(), 3, 99) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gate = ((ids % 1000003) * 2654435761) % 4294967296
+        mask = gate * 40 < 4294967296 * (1 + suffix)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def lineitem_price_cont_by_flag(sf_dir: str):
     """Interpolated PERCENTILE_CONT per return flag
     (functions/agg.group_quantile interpolate=True): bit-matches

@@ -953,3 +953,25 @@ def test_zscore_outliers_random_vs_numpy(ray_session):
     sd = v.std()
     expect = np.sort(tbl.to_pandas().id[np.abs(v - mu) > 3 * sd])
     assert np.array_equal(np.sort(out.id.to_numpy()), expect)
+
+
+def test_histogram_exact_and_empty_bins(ray_session):
+    import ray
+
+    from geobuf_ray.functions.agg import histogram
+
+    rng = np.random.default_rng(31)
+    v = rng.integers(-50, 150, 3000).astype(np.int64)
+    tbl = pa.table({"v": pa.array(v)})
+    out = histogram(ray.data.from_arrow(tbl).repartition(5), "v",
+                    lo=0, hi=100, nbins=10).to_pandas()
+    assert len(out) == 10
+    keep = v[(v >= 0) & (v < 100)]
+    expect = np.bincount(keep // 10, minlength=10)
+    assert out.n_rows.tolist() == expect.tolist()
+    assert out.bin_lo.tolist() == list(range(0, 100, 10))
+    # all-out-of-range input -> all-zero bins, still 10 rows
+    t2 = pa.table({"v": pa.array([-5, 200], pa.int64())})
+    out2 = histogram(ray.data.from_arrow(t2), "v",
+                     lo=0, hi=100, nbins=10).to_pandas()
+    assert out2.n_rows.sum() == 0 and len(out2) == 10
