@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
         "events_last_order_asof": q.events_last_order_asof,
+        "orders_upsert": q.orders_upsert,
+        "lineitem_price_winsorized": q.lineitem_price_winsorized,
         "lineitem_price_outliers": q.lineitem_price_outliers,
         "lineitem_price_band_join": q.lineitem_price_band_join,
         "orders_triangle_count": q.orders_triangle_count,
@@ -388,6 +390,50 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.s < b.s
             WHERE abs(len(a.s) - len(b.s)) <= 2
               AND levenshtein(a.s, b.s) <= 2
+        """,
+        "orders_upsert": """
+            WITH base AS (
+                SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS price_cents,
+                       CAST(0 AS BIGINT) AS version, 0 AS side
+                FROM orders
+            ),
+            upd AS (
+                SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           + 100000,
+                       CAST(1 AS BIGINT), 1
+                FROM orders WHERE o_orderkey % 10 = 3
+                UNION ALL
+                SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) + 1,
+                       CAST(0 AS BIGINT), 1
+                FROM orders WHERE o_orderkey % 10 = 7
+            ),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+            SELECT o_orderkey, price_cents, version FROM u
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderkey
+                ORDER BY version DESC, side DESC) = 1
+        """,
+        "lineitem_price_winsorized": """
+            WITH x AS (
+                SELECT l_returnflag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS v
+                FROM lineitem
+            ),
+            q AS (SELECT quantile_disc(v, 0.05) AS lo,
+                         quantile_disc(v, 0.95) AS hi FROM x)
+            SELECT l_returnflag,
+                   CAST(SUM(LEAST(GREATEST(v, lo), hi)) AS BIGINT)
+                       AS sum_wins_cents,
+                   CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clip_lo,
+                   CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clip_hi
+            FROM x, q GROUP BY l_returnflag
         """,
         "lineitem_price_outliers": """
             WITH x AS (

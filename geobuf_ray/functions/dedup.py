@@ -961,3 +961,72 @@ def embedding_dedup_pairs(ds, *, vec_col="embedding", id_col="vec_id",
     return pa.Table.from_pandas(
         df.sort_values(["id_a", "id_b"]).reset_index(drop=True),
         preserve_index=False)
+
+
+def upsert(base, updates, key_cols: list[str], version_col: str,
+           *, nbuckets: int = 64):
+    """Latest-wins merge of two keyed Datasets (the incremental-
+    ingest / CDC-apply primitive): one row per distinct key — the
+    highest ``version_col``; on version ties the UPDATES side wins.
+
+    Shape: both sides stamp a side flag and union (no data moves),
+    then ONE key-hash exchange with a vectorized last-per-key kernel
+    (lexsort by (key, version, side), segment-tail take).  Exactly
+    the SQL ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY
+    version DESC, side DESC) = 1``.
+    """
+    import ray
+
+    from .exchange import hash_exchange
+
+    def stamp(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side", pa.array(np.full(batch.num_rows, side,
+                                           np.int8)))
+        return fn
+
+    u = base.map_batches(stamp(0), batch_format="pyarrow",
+                         zero_copy_batch=True).union(
+        updates.map_batches(stamp(1), batch_format="pyarrow",
+                            zero_copy_batch=True))
+
+    names = base.schema().names
+    types = base.schema().types
+    out_schema = pa.schema(list(zip(names, types)))
+    full_schema = pa.schema(list(zip(names, types))
+                            + [("__side", pa.int8())])
+
+    def last_per_key(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        # collision-FREE per-bucket key codes: numeric keys sort by
+        # value, strings by bucket-local dictionary code (a key is
+        # always wholly inside one bucket, so local codes suffice)
+        codes = []
+        for c in key_cols:
+            col = tbl[c].combine_chunks()
+            if pa.types.is_string(col.type) or \
+                    pa.types.is_large_string(col.type) or \
+                    pa.types.is_binary(col.type):
+                codes.append(col.dictionary_encode().indices
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+            else:
+                codes.append(col.cast(pa.int64()).to_numpy(
+                    zero_copy_only=False))
+        v = tbl[version_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = tbl["__side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, v, *reversed(codes)))
+        same = np.ones(len(v) - 1, bool) if len(v) > 1 else \
+            np.zeros(0, bool)
+        for cd in codes:
+            cs = cd[order]
+            same &= cs[1:] == cs[:-1]
+        last = np.concatenate((~same, [True]))
+        return tbl.take(pa.array(order[last], pa.int64())) \
+            .drop_columns(["__side"])
+
+    return hash_exchange(u, nbuckets=nbuckets, on=key_cols,
+                         reduce_fn=last_per_key, schema=full_schema)

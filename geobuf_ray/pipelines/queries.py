@@ -1141,6 +1141,115 @@ def docs_source_mix(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def orders_upsert(sf_dir: str):
+    """Latest-wins CDC merge (functions/dedup.upsert): base = all
+    orders at version 0; updates = every 10th order (key % 10 == 3)
+    re-priced (+100000 cents) at version 1, plus a conflicting
+    same-version-0 slice (key % 10 == 7, +1) where the UPDATES side
+    must win the tie.  One union + one key exchange with a
+    vectorized last-per-key kernel; collision-free code sort."""
+    import ray
+
+    from ..functions.dedup import upsert
+
+    def cents(version_of):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            p = np.round(batch["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)
+            t = pa.table({"o_orderkey": k, "price_cents": p,
+                          "version": np.zeros(len(k), np.int64)})
+            return version_of(t, k, p)
+        return fn
+
+    def base_rows(t, k, p):
+        return t
+
+    def update_rows(t, k, p):
+        m3 = (k % 10) == 3
+        m7 = (k % 10) == 7
+        out = pa.table({
+            "o_orderkey": np.concatenate([k[m3], k[m7]]),
+            "price_cents": np.concatenate([p[m3] + 100_000,
+                                           p[m7] + 1]),
+            "version": np.concatenate([np.ones(int(m3.sum()), np.int64),
+                                       np.zeros(int(m7.sum()),
+                                                np.int64)]),
+        })
+        return out
+
+    src = f"{sf_dir}/orders.parquet"
+    base = ray.data.read_parquet(
+        src, columns=["o_orderkey", "o_totalprice"]).map_batches(
+        cents(base_rows), batch_format="pyarrow", zero_copy_batch=True)
+    updates = ray.data.read_parquet(
+        src, columns=["o_orderkey", "o_totalprice"]).map_batches(
+        cents(update_rows), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return upsert(base, updates, ["o_orderkey"], "version")
+
+
+def lineitem_price_winsorized(sf_dir: str):
+    """Winsorization (functions/agg.group_quantile + broadcast clip):
+    prices clipped at the exact PERCENTILE_DISC 5% / 95% cents, then
+    per-returnflag integer sums + clip counts — all-integer, so the
+    whole clip pipeline hash-checks against the SQL twin."""
+    import ray
+
+    from ..functions.agg import group_quantile
+
+    src = f"{sf_dir}/lineitem.parquet"
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": np.zeros(batch.num_rows, np.int64),
+            "v": np.round(batch["l_extendedprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)})
+
+    flat = ray.data.read_parquet(
+        src, columns=["l_extendedprice"]).map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True)
+    qt = group_quantile(flat, ["g"], "v",
+                        {"p05": 0.05, "p95": 0.95})
+    qdf = qt.to_pandas()
+    lo = int(qdf["p05"].iloc[0])
+    hi = int(qdf["p95"].iloc[0])
+
+    def clipped(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        w = np.clip(v, lo, hi)
+        flag = batch["l_returnflag"].combine_chunks()
+        d = flag.dictionary_encode()
+        inv = d.indices.to_numpy(zero_copy_only=False)
+        k = len(d.dictionary)
+        return pa.table({
+            "l_returnflag": d.dictionary,
+            "sum_wins_cents": np.bincount(
+                inv, weights=w, minlength=k).astype(np.int64),
+            "n_clip_lo": np.bincount(
+                inv, weights=(v < lo), minlength=k).astype(np.int64),
+            "n_clip_hi": np.bincount(
+                inv, weights=(v > hi), minlength=k).astype(np.int64),
+        })
+
+    parts = ray.data.read_parquet(
+        src, columns=["l_extendedprice", "l_returnflag"]).map_batches(
+        clipped, batch_format="pyarrow", zero_copy_batch=True)
+    from ..collect import collect_table
+    t = collect_table(parts)
+    flag = t["l_returnflag"].combine_chunks()
+    d = flag.dictionary_encode()
+    inv = d.indices.to_numpy(zero_copy_only=False)
+    k = len(d.dictionary)
+    out = {"l_returnflag": d.dictionary.cast(pa.string())}
+    for c in ("sum_wins_cents", "n_clip_lo", "n_clip_hi"):
+        out[c] = np.bincount(inv, weights=t[c].to_numpy(
+            zero_copy_only=False), minlength=k).astype(np.int64)
+    return pa.table(out)
+
+
 def lineitem_price_cont_by_flag(sf_dir: str):
     """Interpolated PERCENTILE_CONT per return flag
     (functions/agg.group_quantile interpolate=True): bit-matches

@@ -975,3 +975,57 @@ def test_histogram_exact_and_empty_bins(ray_session):
     out2 = histogram(ray.data.from_arrow(t2), "v",
                      lo=0, hi=100, nbins=10).to_pandas()
     assert out2.n_rows.sum() == 0 and len(out2) == 10
+
+
+def test_upsert_semantics(ray_session):
+    import ray
+
+    from geobuf_ray.functions.dedup import upsert
+
+    base = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64()),
+        "ver": pa.array([0, 0, 5, 0], pa.int64()),
+    })
+    upd = pa.table({
+        "k": pa.array([2, 3, 5, 2], pa.int64()),
+        "v": pa.array([21, 29, 50, 22], pa.int64()),
+        # k=2: two update versions (1 and 2) -> keep 22@2
+        # k=3: update version 4 < base 5 -> base wins
+        # k=5: insert
+        "ver": pa.array([1, 4, 0, 2], pa.int64()),
+    })
+    out = upsert(ray.data.from_arrow(base).repartition(2),
+                 ray.data.from_arrow(upd).repartition(2),
+                 ["k"], "ver", nbuckets=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out.k.tolist() == [1, 2, 3, 4, 5]
+    assert out.v.tolist() == [10, 22, 30, 40, 50]
+    # version tie: updates side must win
+    base2 = pa.table({"k": pa.array([9], pa.int64()),
+                      "v": pa.array([1], pa.int64()),
+                      "ver": pa.array([7], pa.int64())})
+    upd2 = pa.table({"k": pa.array([9], pa.int64()),
+                     "v": pa.array([2], pa.int64()),
+                     "ver": pa.array([7], pa.int64())})
+    out2 = upsert(ray.data.from_arrow(base2),
+                  ray.data.from_arrow(upd2), ["k"], "ver",
+                  nbuckets=2).to_pandas()
+    assert out2.v.tolist() == [2]
+
+
+def test_upsert_string_keys(ray_session):
+    import ray
+
+    from geobuf_ray.functions.dedup import upsert
+
+    base = pa.table({"k": pa.array(["a", "b"], pa.string()),
+                     "v": pa.array([1, 2], pa.int64()),
+                     "ver": pa.array([0, 0], pa.int64())})
+    upd = pa.table({"k": pa.array(["b", "c"], pa.string()),
+                    "v": pa.array([20, 30], pa.int64()),
+                    "ver": pa.array([1, 1], pa.int64())})
+    out = upsert(ray.data.from_arrow(base), ray.data.from_arrow(upd),
+                 ["k"], "ver", nbuckets=2).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out.v.tolist() == [1, 20, 30]
