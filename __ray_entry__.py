@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
         "events_last_order_asof": q.events_last_order_asof,
+        "orders_global_rank": q.orders_global_rank,
         "orders_upsert": q.orders_upsert,
         "lineitem_price_winsorized": q.lineitem_price_winsorized,
         "lineitem_price_outliers": q.lineitem_price_outliers,
@@ -390,6 +391,15 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.s < b.s
             WHERE abs(len(a.s) - len(b.s)) <= 2
               AND levenshtein(a.s, b.s) <= 2
+        """,
+        "orders_global_rank": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS total_cents,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY round(o_totalprice * 100) DESC,
+                                o_orderkey) AS BIGINT) AS rank
+            FROM orders
         """,
         "orders_upsert": """
             WITH base AS (

@@ -1141,6 +1141,30 @@ def docs_source_mix(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def orders_global_rank(sf_dir: str):
+    """Distributed global sort / ROW_NUMBER
+    (functions/sort.global_rank, sample-sort shape): deterministic
+    per-block samples pick range splits (balance only), one range
+    exchange sorts each range locally, broadcast prefix offsets turn
+    local ranks global.  ORDER BY total_cents DESC, o_orderkey."""
+    import ray
+
+    from ..functions.sort import global_rank
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "total_cents": np.round(batch["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True)
+    return global_rank(ds, "total_cents", "o_orderkey",
+                       descending=True, nbuckets=16)
+
+
 def orders_upsert(sf_dir: str):
     """Latest-wins CDC merge (functions/dedup.upsert): base = all
     orders at version 0; updates = every 10th order (key % 10 == 3)

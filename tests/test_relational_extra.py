@@ -1029,3 +1029,32 @@ def test_upsert_string_keys(ray_session):
                  ["k"], "ver", nbuckets=2).to_pandas() \
         .sort_values("k").reset_index(drop=True)
     assert out.v.tolist() == [1, 20, 30]
+
+
+def test_global_rank_vs_numpy(ray_session):
+    import ray
+
+    from geobuf_ray.functions.sort import global_rank
+
+    rng = np.random.default_rng(41)
+    n = 8000
+    v = rng.integers(-100, 100, n).astype(np.int64)  # heavy ties
+    tbl = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                    "v": pa.array(v)})
+    for desc in (True, False):
+        out = global_rank(ray.data.from_arrow(tbl).repartition(6),
+                          "v", "k", descending=desc,
+                          nbuckets=8).to_pandas().sort_values("k")
+        key = -v if desc else v
+        expect = np.empty(n, np.int64)
+        expect[np.lexsort((np.arange(n), key))] = \
+            np.arange(1, n + 1)
+        assert np.array_equal(out["rank"].to_numpy(), expect), desc
+    # extreme values survive the ~v descending transform
+    t2 = pa.table({"k": pa.array([0, 1, 2], pa.int64()),
+                   "v": pa.array([np.iinfo(np.int64).min, 0,
+                                  np.iinfo(np.int64).max], pa.int64())})
+    out = global_rank(ray.data.from_arrow(t2), "v", "k",
+                      descending=True, nbuckets=2).to_pandas() \
+        .sort_values("k")
+    assert out["rank"].tolist() == [3, 2, 1]
