@@ -77,17 +77,27 @@ def dequantize(q: np.ndarray) -> np.ndarray:
     d = q.astype(np.float64) / _POWER
     if len(d) == 0:
         return d
-    r = np.trunc(d * _POWER).astype(np.int64)
+    # truncation toward zero re-quantizes wrong iff the float product
+    # lands strictly on the wrong side of q: e < q for q > 0 (floor
+    # drops it to q-1), e > q for q < 0 (ceil lifts it to q+1) — one
+    # multiply + compare instead of trunc + astype + compare.
     # |q| >= 2^53 is outside float64's exact-integer range: no
     # double can requantize to q, so the identity contract ends
     # there (a geographic coordinate quantizes to |q| <= 1.8e9;
     # such values only arise from non-geographic payloads) —
     # exclude them rather than burn futile nudge passes
-    sel = np.flatnonzero((r != q) & (np.abs(q) < (1 << 53)))
+    e = d * _POWER
+    qf = q.astype(np.float64)  # exact for |q| < 2^53
+    # floor(e) == q iff q <= e < q+1; ceil(e) == q iff q-1 < e <= q
+    # (the overshoot arms only fire near 2^53 where |e-q| can reach 1)
+    wrong = np.where(q > 0, (e < qf) | (e >= qf + 1.0),
+                     (e > qf) | (e <= qf - 1.0))
+    sel = np.flatnonzero(wrong & (np.abs(q) < (1 << 53)))
+    r = np.trunc(e[sel]).astype(np.int64)  # only the wrong lanes
     # one nudge suffices in practice; bounded anyway.  Only the
     # detection pass above is full-array — the re-check loop runs on
     # the ~6% of lanes whose nearest-double landed on the wrong side.
-    qs, rs = q[sel], r[sel]
+    qs, rs = q[sel], r
     for _ in range(3):
         if len(sel) == 0:
             break
