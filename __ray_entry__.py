@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_coalesce": q.events_interval_coalesce,
         "events_value_histogram": q.events_value_histogram,
         "docs_source_mix": q.docs_source_mix,
+        "events_props_extract": q.events_props_extract,
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
         "events_last_order_asof": q.events_last_order_asof,
@@ -305,6 +306,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 * 40
                   < 4294967296
                     * (1 + CAST(substr(source, 4) AS BIGINT))
+        """,
+        "events_props_extract": """
+            SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                        AS BIGINT) AS k,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events GROUP BY 1
         """,
         "events_cohort_retention": """
             WITH ud AS (

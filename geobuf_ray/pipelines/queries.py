@@ -557,6 +557,48 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30,
                                             batch_format="pyarrow")
 
 
+def events_props_extract(sf_dir: str):
+    """Vectorized regex field extraction over the semi-structured
+    props column (Arrow's RE2 ``extract_regex`` kernel — compiled
+    once inside Arrow, no per-row Python), then a grouped count +
+    value sum per extracted key.  Hash-checked vs regexp_extract."""
+    import ray
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["props", "value"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"].combine_chunks(),
+                             r'"k": (?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        cents = np.round(batch["value"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        kv = k.to_numpy(zero_copy_only=False)
+        u, inv = np.unique(kv, return_inverse=True)
+        return pa.table({
+            "k": u,
+            "n_events": np.bincount(inv).astype(np.int64),
+            "value_cents": np.bincount(
+                inv, weights=cents, minlength=len(u)).astype(np.int64),
+        })
+
+    parts = ds.map_batches(extract, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    from ..collect import collect_table
+    t = collect_table(parts)
+    kv = t["k"].to_numpy(zero_copy_only=False)
+    u, inv = np.unique(kv, return_inverse=True)
+    return pa.table({
+        "k": u,
+        "n_events": np.bincount(inv, weights=t["n_events"].to_numpy(
+            zero_copy_only=False), minlength=len(u)).astype(np.int64),
+        "value_cents": np.bincount(
+            inv, weights=t["value_cents"].to_numpy(zero_copy_only=False),
+            minlength=len(u)).astype(np.int64),
+    })
+
+
 def events_cohort_retention(sf_dir: str):
     """Retention matrix (functions/behavior.cohort_retention): users
     cohorted by first-active day, distinct-user counts per
