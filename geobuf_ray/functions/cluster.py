@@ -62,6 +62,9 @@ def kmeans_fit(ds, col: str = "embedding", *, k: int = 8,
     ``iters`` Lloyd iterations (each one streaming pass)."""
     import ray
 
+    # consumed iters+1 times (init + every Lloyd pass): pin the blocks
+    # once instead of re-executing the upstream read per iteration
+    ds = ds.materialize()
     cent = _hash_min_k(ds, col, id_col, k, seed)
     scale = float(1 << scale_bits)
     part_schema = pa.schema([
