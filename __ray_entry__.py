@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_distinct_hll": q.events_hourly_distinct_hll,
         "events_sliding": q.events_sliding,
         "events_sessions": q.events_sessions,
+        "events_user_range_sum": q.events_user_range_sum,
         "events_lag_value": q.events_lag_value,
         "orders_first_last": q.orders_first_last,
         "lineitem_urgent_semi_bloom": q.lineitem_urgent_semi_bloom,
@@ -129,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_stratified_sample": q.lineitem_stratified_sample,
         "orders_priority_intersect": q.orders_priority_intersect,
         "orders_priority_except": q.orders_priority_except,
+        "lineitem_flag_intersect_all": q.lineitem_flag_intersect_all,
+        "lineitem_flag_except_all": q.lineitem_flag_except_all,
         "lineitem_rollup": q.lineitem_rollup,
         "lineitem_cube": q.lineitem_cube,
         "orders_grouping_sets": q.orders_grouping_sets,
@@ -200,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tri_geometry_measures": q.tri_geometry_measures,
         "lines_simplify": q.lines_simplify,
         "suppliers_components": q.suppliers_components,
+        "suppliers_bfs_hops": q.suppliers_bfs_hops,
         # documents: dedup + text analysis
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_token_stats": q.docs_token_stats,
@@ -207,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": q.docs_langid,
         "docs_top_terms": q.docs_top_terms,
         "docs_tfidf_top": q.docs_tfidf_top,
+        "docs_bm25_topk": q.docs_bm25_topk,
         "docs_fingerprint": q.docs_fingerprint,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
@@ -225,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_augment": q.images_augment,
         "images_resize": q.images_resize,
         "images_phash_pairs": q.images_phash_pairs,
+        "images_dct_phash_pairs": q.images_dct_phash_pairs,
         "images_zonal_stats": q.images_zonal_stats,
         "images_pyramid": q.images_pyramid,
         "images_mosaic": q.images_mosaic,
@@ -528,6 +534,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY hour_id
             ) WINDOW w AS (ORDER BY hour_id RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
+        "events_user_range_sum": """
+            SELECT event_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS rv_sum,
+                   COUNT(*) OVER w AS rv_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(epoch_us(ts) AS BIGINT)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                               AND CURRENT ROW)
+        """,
         "events_sessions": """
             SELECT user_id,
                    CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
@@ -725,6 +742,20 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT o_custkey, o_orderstatus FROM orders
             WHERE o_orderpriority = '2-HIGH'
+        """,
+        "lineitem_flag_intersect_all": """
+            SELECT l_suppkey, l_linestatus FROM lineitem
+            WHERE l_returnflag = 'R'
+            INTERSECT ALL
+            SELECT l_suppkey, l_linestatus FROM lineitem
+            WHERE l_returnflag = 'A'
+        """,
+        "lineitem_flag_except_all": """
+            SELECT l_suppkey, l_linestatus FROM lineitem
+            WHERE l_returnflag = 'R'
+            EXCEPT ALL
+            SELECT l_suppkey, l_linestatus FROM lineitem
+            WHERE l_returnflag = 'A'
         """,
         "lineitem_rollup": """
             SELECT l_returnflag, l_linestatus,
@@ -1161,6 +1192,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, LEAST(node, MIN(reach)) AS component
             FROM r GROUP BY node
         """,
+        "suppliers_bfs_hops": """
+            WITH RECURSIVE e AS (
+              SELECT s_suppkey AS a, s_suppkey - (s_suppkey % 7) AS b FROM supplier
+              UNION ALL
+              SELECT s_suppkey - (s_suppkey % 7), s_suppkey FROM supplier
+              UNION ALL
+              SELECT s_suppkey, s_suppkey - 1 FROM supplier WHERE s_suppkey % 10 = 0
+              UNION ALL
+              SELECT s_suppkey - 1, s_suppkey FROM supplier WHERE s_suppkey % 10 = 0
+            ),
+            walk(node, d) AS (
+              SELECT DISTINCT s_suppkey AS node, 0 AS d FROM supplier
+              WHERE s_suppkey % 40 = 0
+              UNION
+              SELECT e.b, walk.d + 1 FROM walk JOIN e ON e.a = walk.node
+              WHERE walk.d < 63
+            )
+            SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+            FROM walk GROUP BY node
+        """,
         # simplify oracle: the zigzag corpus is built so DP keeps
         # EXACTLY the 4 integer-coordinate breakpoints (see
         # queries.lines_simplify) — enumerable in closed form; quanta
@@ -1377,6 +1428,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
             FROM t WHERE term <> ''
             GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
+        """,
+        "docs_bm25_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents
+            ),
+            t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+            st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                          (SELECT CAST(SUM(dl) AS BIGINT) FROM dl)
+                              AS total_len),
+            q(term) AS (VALUES ('hash'), ('join'), ('scan'), ('window')),
+            tf AS (SELECT t.doc_id, t.term, COUNT(*) AS tf
+                   FROM t JOIN q USING (term) GROUP BY t.doc_id, t.term),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.term, tf.doc_id,
+                     CAST(tf.tf AS BIGINT) AS tf,
+                     CAST(dl.dl AS BIGINT) AS dl,
+                     ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75
+                          * ((dl.dl * st.n) / CAST(st.total_len AS DOUBLE))))
+                         AS score
+              FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st
+            )
+            SELECT term, rank, doc_id, tf, dl FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                  PARTITION BY term ORDER BY score DESC, doc_id
+              ) AS BIGINT) AS rank FROM scored
+            ) WHERE rank <= 10
         """,
         # docs_minhash_pairs / docs_simhash_pairs / embeddings_dup_pairs /
         # images_decode_stats|resize / audio / video:

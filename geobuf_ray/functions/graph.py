@@ -165,6 +165,89 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
     return t.rename_columns(["node", "component"])
 
 
+def bfs_hops(edges, sources, *, src: str = "src", dst: str = "dst",
+             directed: bool = False, nbuckets: int = 32,
+             max_rounds: int = 64):
+    """Minimum HOP DISTANCE from a source node set (multi-source BFS).
+
+    Returns a pyarrow Table ``(node, dist)`` covering every node
+    reachable from ``sources`` within ``max_rounds`` hops (sources
+    themselves at dist 0); unreachable nodes are absent.  Frontier
+    BFS: each round only the rows discovered LAST round probe the
+    (pre-split, shipped-once) edge buckets, so a round moves
+    O(|frontier| + touched edges), not O(|V|).  Runs O(diameter)
+    exchange rounds — use :func:`connected_components` (pointer
+    doubling, O(log n) rounds) when only reachability matters; BFS
+    has to pay diameter rounds because distances aren't min-foldable
+    across doubled pointers.
+    """
+    import ray
+
+    from ..collect import collect_table
+    from .exchange import cogroup_presplit, hash_cogroup, presplit
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = batch[src].combine_chunks().cast(_I64)
+        v = batch[dst].combine_chunks().cast(_I64)
+        if directed:
+            return pa.table({"a": u, "b": v})
+        return pa.table({"a": pa.concat_arrays([u, v]),
+                         "b": pa.concat_arrays([v, u])})
+
+    sedges = edges.map_batches(sym, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    edge_maps = presplit(sedges, nbuckets=nbuckets, on="a")
+
+    srcs = np.unique(np.asarray(sources, dtype=np.int64))
+    init = pa.table({"node": pa.array(srcs),
+                     "label": pa.array(np.zeros(len(srcs), np.int64))})
+    dist = ray.data.from_arrow(init).materialize()
+    frontier = dist
+
+    def merge_min(new: pa.Table, cur: pa.Table) -> pa.Table:
+        node = np.concatenate([_np(new["node"]), _np(cur["node"])])
+        lab = np.concatenate([_np(new["label"]), _np(cur["label"])])
+        return _first_per_node(node, lab)
+
+    for r in range(max_rounds):
+        nxt = np.int64(r + 1)
+
+        def propagate(e: pa.Table, f: pa.Table, nxt=nxt) -> pa.Table:
+            a, b = _np(e["a"]), _np(e["b"])
+            node = np.sort(_np(f["node"]))
+            if not len(node):
+                return pa.table({"node": pa.array([], _I64),
+                                 "label": pa.array([], _I64)})
+            pos = np.clip(np.searchsorted(node, a), 0, len(node) - 1)
+            hit = node[pos] == a
+            out = np.unique(b[hit])  # block-local dedup pre-exchange
+            return pa.table({"node": pa.array(out),
+                             "label": pa.array(
+                                 np.full(len(out), nxt, np.int64))})
+
+        cand = cogroup_presplit(edge_maps, frontier, nbuckets=nbuckets,
+                                right_on="node", reduce_fn=propagate,
+                                left_schema=_EDGE_SCHEMA,
+                                right_schema=_LAB_SCHEMA)
+        dist = hash_cogroup(cand, dist, nbuckets=nbuckets,
+                            left_on="node", right_on="node",
+                            reduce_fn=merge_min,
+                            left_schema=_LAB_SCHEMA,
+                            right_schema=_LAB_SCHEMA).materialize()
+
+        def newly(batch: pa.Table, nxt=nxt) -> pa.Table:
+            keep = _np(batch["label"]) == nxt
+            return batch.filter(pa.array(keep))
+
+        frontier = dist.map_batches(newly, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+        if frontier.count() == 0:
+            break
+
+    out = collect_table(dist)
+    return out.rename_columns(["node", "dist"])
+
+
 def pagerank(edges, *, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 20,
              nbuckets: int = 32) -> pa.Table:

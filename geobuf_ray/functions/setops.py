@@ -73,6 +73,55 @@ def _all_cols_bucket_fn(nbuckets: int):
     return fn
 
 
+def _setop_all(left, right, *, keep_both: bool, nbuckets: int,
+               schema: pa.Schema | None):
+    """Bag-semantics kernel: INTERSECT ALL emits each row
+    min(count_left, count_right) times, EXCEPT ALL emits it
+    max(count_left - count_right, 0) times (SQL:2016 7.13).  Only
+    DISTINCT rows plus two int64 counts cross the wire per bucket —
+    duplicates are collapsed to multiplicities before the repeat."""
+    from .exchange import hash_cogroup
+
+    def kernel(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if lt.num_rows == 0 or lt.num_columns == 0:
+            return (schema.empty_table() if schema is not None
+                    else lt.slice(0, 0))
+        names = lt.column_names
+        lc = lt.group_by(names).aggregate([([], "count_all")]) \
+            .rename_columns(names + ["__lc"])
+        if rt.num_rows == 0 or rt.num_columns == 0:
+            if keep_both:
+                return lt.slice(0, 0)
+            return lc.select(names).take(
+                np.repeat(np.arange(lc.num_rows),
+                          lc["__lc"].to_numpy(zero_copy_only=False)))
+        rc = rt.select(names).group_by(names) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(names + ["__rc"])
+        zero = pa.array(np.zeros(max(lc.num_rows, rc.num_rows), np.int64))
+        tagged = pa.concat_tables([
+            lc.append_column("__rc", zero.slice(0, lc.num_rows)),
+            rc.append_column("__lc", zero.slice(0, rc.num_rows))
+            .select(names + ["__lc", "__rc"]),
+        ], promote_options="default")
+        g = tagged.group_by(names).aggregate(
+            [("__lc", "sum"), ("__rc", "sum")])
+        nl = g["__lc_sum"].to_numpy(zero_copy_only=False)
+        nr = g["__rc_sum"].to_numpy(zero_copy_only=False)
+        reps = (np.minimum(nl, nr) if keep_both
+                else np.maximum(nl - nr, 0))
+        idx = np.repeat(np.arange(g.num_rows), reps)
+        return g.select(names).take(idx)
+
+    return hash_cogroup(left, right, nbuckets=nbuckets,
+                        left_bucket_fn=_all_cols_bucket_fn(nbuckets),
+                        right_bucket_fn=_all_cols_bucket_fn(nbuckets),
+                        reduce_fn=kernel,
+                        left_schema=schema, right_schema=schema)
+
+
 def intersect_distinct(left, right, *, nbuckets: int = 32,
                        schema: pa.Schema | None = None):
     """SQL ``left INTERSECT right``: distinct rows present in both
@@ -89,3 +138,20 @@ def except_distinct(left, right, *, nbuckets: int = 32,
     right."""
     return _setop(left, right, keep_both=False, nbuckets=nbuckets,
                   schema=schema)
+
+
+def intersect_all(left, right, *, nbuckets: int = 32,
+                  schema: pa.Schema | None = None):
+    """SQL ``left INTERSECT ALL right``: each row min(count_left,
+    count_right) times.  NULLs compare equal; column names must match
+    (the right is re-projected to the left's order)."""
+    return _setop_all(left, right, keep_both=True, nbuckets=nbuckets,
+                      schema=schema)
+
+
+def except_all(left, right, *, nbuckets: int = 32,
+               schema: pa.Schema | None = None):
+    """SQL ``left EXCEPT ALL right``: each left row max(count_left -
+    count_right, 0) times."""
+    return _setop_all(left, right, keep_both=False, nbuckets=nbuckets,
+                      schema=schema)

@@ -393,3 +393,149 @@ def tfidf_topk(ds, *, doc_col: str = "doc_id", text_col: str = "text",
 
     return hash_exchange(joined, nbuckets=nbuckets, on=doc_col,
                          reduce_fn=rank_topk, schema=out_schema)
+
+
+def _tokens_per_doc(batch: pa.Table, text_col: str):
+    """Shared tokenizer: flat non-empty tokens + owning doc row index
+    (the ``\\s+`` split every text stage uses — DuckDB's
+    ``regexp_split_to_array`` twin)."""
+    toks = pc.split_pattern_regex(batch[text_col], r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of_tok = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        sel = np.flatnonzero(keep)
+        flat = flat.take(pa.array(sel))
+        doc_of_tok = doc_of_tok[sel]
+    return flat, doc_of_tok
+
+
+def bm25_topk(ds, terms: list[str], *, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              doc_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Distributed BM25 top-k retrieval for a broadcast term set.
+
+    Returns ``(term, rank, doc_id, tf, dl, score)`` — the ``k`` best
+    documents per query term under the Robertson/Sparck-Jones BM25
+    with Lucene's non-negative idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``.
+
+    Shape at scale: ONE tokenizing pass emits (a) candidate rows
+    (doc, term_idx, tf, dl) only for documents containing a query
+    term — output-proportional, the corpus text never re-ships —
+    plus (b) tiny per-block carrier rows holding (ndocs, total_len)
+    and per-term df partials (documents never span blocks, so block
+    df sums are exact).  The driver folds the carriers into global
+    stats (len(terms)+1 scalars), then a second pass over the SKINNY
+    candidate set scores vectorized and keeps a per-block top-k per
+    term, so the driver merge is bounded by k x blocks x terms.
+    Ties break to the smaller doc_id (deterministic).
+    """
+    from ..collect import collect_table
+
+    term_arr = pa.array(list(terms), pa.string())
+    nterms = len(terms)
+    if nterms == 0:
+        raise ValueError("bm25_topk: empty term set")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        flat, doc_of_tok = _tokens_per_doc(batch, text_col)
+        ndocs = batch.num_rows
+        ntoks = len(flat)
+        dl = np.bincount(doc_of_tok, minlength=ndocs).astype(np.int64)
+        # match tokens against the query terms (Arrow hash index)
+        tidx = pc.index_in(flat, value_set=term_arr)
+        tnp = tidx.to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(tnp) if tnp.dtype.kind == "f" else \
+            ~tidx.is_null().to_numpy(zero_copy_only=False)
+        hit = np.asarray(hit)
+        hd = doc_of_tok[hit]
+        ht = tnp[hit].astype(np.int64)
+        pair = hd * nterms + ht
+        uniq, cnt = np.unique(pair, return_counts=True)
+        docs = batch[doc_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cand_doc = docs[(uniq // nterms)]
+        cand_term = (uniq % nterms).astype(np.int64)
+        cand_dl = dl[(uniq // nterms)]
+        dfp = np.bincount(cand_term, minlength=nterms).astype(np.int64)
+        # carriers: kind 1 = (ndocs, total_len); kind 2 = df per term
+        kinds = np.concatenate([
+            np.zeros(len(uniq), np.int8), [1],
+            np.full(nterms, 2, np.int8)])
+        return pa.table({
+            "kind": pa.array(kinds, pa.int8()),
+            "doc_id": pa.array(np.concatenate(
+                [cand_doc, [-1], np.full(nterms, -1)]).astype(np.int64)),
+            "term_idx": pa.array(np.concatenate(
+                [cand_term, [-1], np.arange(nterms)]).astype(np.int64)),
+            "tf": pa.array(np.concatenate(
+                [cnt.astype(np.int64), [ndocs], dfp]).astype(np.int64)),
+            "dl": pa.array(np.concatenate(
+                [cand_dl, [int(ntoks)], np.zeros(nterms)]).astype(np.int64)),
+        })
+
+    skinny = ds.map_batches(emit, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def carriers_only(batch: pa.Table) -> pa.Table:
+        kd = batch["kind"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(kd >= 1))
+
+    stats = collect_table(skinny.map_batches(
+        carriers_only, batch_format="pyarrow", zero_copy_batch=True))
+    kind = stats["kind"].to_numpy(zero_copy_only=False)
+    n_total = int(stats["tf"].to_numpy(zero_copy_only=False)[kind == 1].sum())
+    len_total = int(stats["dl"].to_numpy(zero_copy_only=False)[kind == 1].sum())
+    df = np.zeros(nterms, np.int64)
+    t2 = stats.filter(pa.array(kind == 2))
+    np.add.at(df, t2["term_idx"].to_numpy(zero_copy_only=False),
+              t2["tf"].to_numpy(zero_copy_only=False))
+    idf = np.log((n_total - df + 0.5) / (df + 0.5) + 1.0)
+    inv_len = float(len_total) if len_total else 1.0
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        kd = batch["kind"].to_numpy(zero_copy_only=False)
+        cand = batch.filter(pa.array(kd == 0))
+        t = cand["term_idx"].to_numpy(zero_copy_only=False)
+        tf = cand["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dln = cand["dl"].to_numpy(zero_copy_only=False) * np.int64(n_total)
+        norm = dln.astype(np.float64) / inv_len
+        score = idf[t] * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * norm))
+        docs = cand["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, -score, t))
+        # per-term top-k within this block
+        ts = t[order]
+        posn = np.arange(len(ts)) - np.searchsorted(
+            ts, ts, side="left") if len(ts) else np.empty(0, np.int64)
+        sel = order[posn < k]
+        return pa.table({
+            "term_idx": pa.array(t[sel]),
+            "doc_id": pa.array(docs[sel]),
+            "tf": pa.array(cand["tf"].to_numpy(zero_copy_only=False)[sel]),
+            "dl": pa.array(cand["dl"].to_numpy(zero_copy_only=False)[sel]),
+            "score": pa.array(score[sel]),
+        })
+
+    parts = collect_table(skinny.map_batches(
+        score_topk, batch_format="pyarrow", zero_copy_batch=True))
+    t = parts["term_idx"].to_numpy(zero_copy_only=False)
+    sc = parts["score"].to_numpy(zero_copy_only=False)
+    docs = parts["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((docs, -sc, t))
+    ts = t[order]
+    posn = (np.arange(len(ts)) - np.searchsorted(ts, ts, side="left")
+            if len(ts) else np.empty(0, np.int64))
+    keep = order[posn < k]
+    rank = (posn[posn < k] + 1).astype(np.int64)
+    terms_np = np.asarray(list(terms), object)
+    return pa.table({
+        "term": pa.array(terms_np[t[keep]].tolist(), pa.string()),
+        "rank": pa.array(rank),
+        "doc_id": pa.array(docs[keep]),
+        "tf": pa.array(parts["tf"].to_numpy(zero_copy_only=False)[keep]),
+        "dl": pa.array(parts["dl"].to_numpy(zero_copy_only=False)[keep]),
+        "score": pa.array(sc[keep]),
+    })

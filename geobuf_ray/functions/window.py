@@ -132,6 +132,97 @@ def moving_agg(ds, *, key: str, order: str, value: str, window: int,
                          reduce_fn=kernel, schema=None)
 
 
+def range_moving_agg(ds, *, key: str, order: str, value: str, span: int,
+                     nbuckets: int = 64, prefix: str = "rv"):
+    """RANGE-frame moving aggregate — SQL ``SUM(value) OVER (PARTITION
+    BY key ORDER BY order RANGE BETWEEN span PRECEDING AND CURRENT
+    ROW)`` — plus the frame's row count (``{prefix}_n``).  The frame
+    is VALUE-based: every row whose order value lies in
+    ``[t_i - span, t_i]`` contributes, including peers of the current
+    row that sort after it, so duplicate order values are handled
+    exactly as SQL does (unlike the ROWS frame, ``order`` need not be
+    unique per key).
+
+    ``order`` must be integer-typed and non-null; the time axis stays
+    int64 end-to-end (``t_i - span`` saturates at INT64_MIN instead of
+    wrapping, so nanosecond epochs anywhere in the int64 domain are
+    exact).  Frame starts are found with a vectorized bisection over
+    the per-key sorted runs — O(n log max_segment), no per-row Python.
+    One hash-bucket exchange on ``key``; integer values stay int64 so
+    results hash-match SQL."""
+    from .exchange import hash_exchange
+
+    if span < 0:
+        raise ValueError("span must be >= 0")
+    sum_name, n_name = f"{prefix}_sum", f"{prefix}_n"
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if tbl.num_columns == 0:
+            return pa.table({})
+        if n == 0:
+            vt = tbl[value].type
+            rt = pa.int64() if pa.types.is_integer(vt) else pa.float64()
+            return (tbl.append_column(sum_name, pa.array([], rt))
+                    .append_column(n_name, pa.array([], pa.int64())))
+        codes = _key_codes(tbl, key)
+        ocol = tbl[order].combine_chunks()
+        if ocol.null_count:
+            raise ValueError("range_moving_agg: order column has NULLs")
+        ov = ocol.to_numpy(zero_copy_only=False)
+        if not np.issubdtype(ov.dtype, np.integer):
+            raise TypeError("range_moving_agg: order must be integer "
+                            "(cast timestamps to epoch first)")
+        ov = ov.astype(np.int64)
+        vcol = tbl[value].combine_chunks()
+        is_int = pa.types.is_integer(vcol.type)
+        if vcol.null_count:
+            vcol = vcol.fill_null(0)  # SQL SUM OVER skips NULLs
+        v = vcol.to_numpy(zero_copy_only=False).astype(
+            np.int64 if is_int else np.float64)
+        sel = np.lexsort((ov, codes))
+        cs, ts = codes[sel], ov[sel]
+        pos = np.arange(n, dtype=np.int64)
+        new_seg = np.concatenate(([True], cs[1:] != cs[:-1]))
+        seg_start = np.repeat(pos[new_seg], np.diff(np.append(
+            np.flatnonzero(new_seg), n)))
+        # saturating t - span: span >= 0, so a wrapped subtraction
+        # (result > t) means underflow -> clamp to INT64_MIN
+        with np.errstate(over="ignore"):
+            target = ts - np.int64(span)
+        target = np.where(target > ts, np.iinfo(np.int64).min, target)
+        # vectorized bisection: leftmost index in [seg_start, i] with
+        # ts >= target (ts[i] >= target always holds, so it converges)
+        lo = seg_start.copy()
+        hi = pos.copy()
+        while True:
+            active = lo < hi
+            if not active.any():
+                break
+            mid = (lo + hi) >> 1
+            ge = ts[mid] >= target
+            hi = np.where(active & ge, mid, hi)
+            lo = np.where(active & ~ge, mid + 1, lo)
+        # frame end: last PEER of the current row (same key, same t)
+        run_new = np.concatenate(([True],
+                                  (cs[1:] != cs[:-1]) | (ts[1:] != ts[:-1])))
+        run_id = np.cumsum(run_new) - 1
+        run_last = np.append(np.flatnonzero(run_new)[1:], n) - 1
+        hi_idx = run_last[run_id]
+        pref = np.cumsum(v[sel])
+        win_sorted = pref[hi_idx] - np.where(lo > 0, pref[lo - 1], 0)
+        cnt_sorted = hi_idx - lo + 1
+        out_sum = np.empty(n, v.dtype)
+        out_sum[sel] = win_sorted
+        out_n = np.empty(n, np.int64)
+        out_n[sel] = cnt_sorted
+        return (tbl.append_column(sum_name, pa.array(out_sum))
+                .append_column(n_name, pa.array(out_n)))
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=None)
+
+
 def rank_window(ds, *, key: str, order: str, nbuckets: int = 64,
                 rank_col: str = "rnk", dense_col: str = "drnk",
                 percent: bool = False):

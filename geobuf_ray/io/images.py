@@ -395,6 +395,77 @@ class ResizeImagesFn:
         return out
 
 
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II matrix (the classic pHash transform)."""
+    k = np.arange(n, dtype=np.float64)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m *= np.sqrt(2.0 / n)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+def _resample_gray32(px: np.ndarray, n: int = 32) -> np.ndarray:
+    """Grayscale + exact area mean-pool to (n, n) — vectorized via
+    two axis reduceat passes, any input size >= 1."""
+    g = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    # reduceat sums each [ys[i], ys[i+1]) slab; counts divide exactly
+    ycnt = np.diff(np.append(ys, h)).astype(np.float64)
+    xcnt = np.diff(np.append(xs, w)).astype(np.float64)
+    ycnt = np.maximum(ycnt, 1.0)
+    xcnt = np.maximum(xcnt, 1.0)
+    rows = np.add.reduceat(g, ys, axis=0) / ycnt[:, None]
+    return np.add.reduceat(rows, xs, axis=1) / xcnt[None, :]
+
+
+def dct_phash64(stack: np.ndarray, dct: np.ndarray | None = None) -> np.ndarray:
+    """Classic DCT perceptual hash for a (k, 32, 32) grayscale stack:
+    2-D DCT-II, keep the 8x8 low-frequency block, threshold at the
+    block's median EXCLUDING the DC term, pack 64 bits.  One einsum
+    across the whole stack — per-image work is the decode, not the
+    hash.  Robust to re-encoding / mild noise where the block-mean
+    :func:`phash64` is robust only to exact pixel equality."""
+    if dct is None:
+        dct = _dct_matrix(stack.shape[-1])
+    coef = np.einsum("ij,njk,lk->nil", dct, stack, dct, optimize=True)
+    low = coef[:, :8, :8].reshape(len(stack), 64)
+    med = np.median(low[:, 1:], axis=1, keepdims=True)
+    bits = (low > med).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return (bits * weights).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
+class DctPhashFn:
+    """Actor-pool stage: decode each payload, area-resample to 32x32
+    grayscale, batched DCT hash.  The DCT matrix is built once per
+    actor (T4 stateful-stage shape)."""
+
+    def __init__(self, n: int = 32):
+        self.n = n
+        self.dct = _dct_matrix(n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        k = len(blobs)
+        stack = np.empty((k, self.n, self.n))
+        for i in range(k):  # decode is inherently per-payload
+            stack[i] = _resample_gray32(decode_image(blobs[i]), self.n)
+        ph = dct_phash64(stack, self.dct) if k else np.empty(0, np.int64)
+        out = batch.drop_columns(["bytes"])
+        return out.append_column("dct_phash", pa.array(ph, pa.int64()))
+
+
+def dct_phash_images(ds, *, batch_size: int = 64, concurrency=(1, 8),
+                     **map_kwargs):
+    """Dataset stage: image rows -> (row, dct_phash) — the
+    near-duplicate signature feeding ``hash64_candidate_pairs``."""
+    return ds.map_batches(
+        DctPhashFn, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **map_kwargs)
+
+
 def mean_pool2(px: np.ndarray) -> np.ndarray:
     """One pyramid level: 2x2 mean-pool with round-half-up integer
     arithmetic ((a+b+c+d+2)//4 — exact, no float path), odd trailing

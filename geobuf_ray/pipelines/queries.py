@@ -358,6 +358,37 @@ def events_sliding(sf_dir: str, window: int = 3):
     })
 
 
+def events_user_range_sum(sf_dir: str):
+    """RANGE-frame windowed aggregate (functions/window.
+    range_moving_agg): per user, the trailing ONE-HOUR value sum and
+    frame row count at every event — SQL ``RANGE BETWEEN 3600000000
+    PRECEDING AND CURRENT ROW`` over the microsecond epoch.  The time
+    axis stays int64 (no float64 round-trip); frame starts come from a
+    vectorized bisection per hash bucket."""
+    import ray
+
+    from ..functions.window import range_moving_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64())
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": ts_us,
+            "cents": pa.array(_cents("value")(batch)),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = range_moving_agg(ds, key="user_id", order="ts_us",
+                           value="cents", span=3_600_000_000,
+                           nbuckets=16)
+    return out.select_columns(["event_id", "rv_sum", "rv_n"])
+
+
 def parts_by_brand(sf_dir: str):
     """lineitem x part broadcast join -> per-brand quantity/revenue
     (second join shape, shared _broadcast_lookup_aggregate engine)."""
@@ -1577,6 +1608,43 @@ def orders_priority_except(sf_dir: str):
     return except_distinct(_orders_priority_side(sf_dir, "1-URGENT"),
                            _orders_priority_side(sf_dir, "2-HIGH"),
                            nbuckets=8, schema=schema)
+
+
+def _lineitem_flag_side(sf_dir: str, flag: str):
+    import pyarrow.dataset as pds
+    import ray
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_linestatus"],
+        filter=pds.field("l_returnflag") == pds.scalar(flag))
+
+
+def lineitem_flag_intersect_all(sf_dir: str):
+    """SQL INTERSECT ALL (functions/setops.intersect_all): bag
+    semantics — each (supplier, linestatus) pair appears min(count in
+    returned, count in accepted) times.  Only DISTINCT rows plus two
+    int64 multiplicities cross the exchange; the repeat happens after
+    the per-bucket count join."""
+    from ..functions.setops import intersect_all
+
+    schema = pa.schema([("l_suppkey", pa.int64()),
+                        ("l_linestatus", pa.string())])
+    return intersect_all(_lineitem_flag_side(sf_dir, "R"),
+                         _lineitem_flag_side(sf_dir, "A"),
+                         nbuckets=8, schema=schema)
+
+
+def lineitem_flag_except_all(sf_dir: str):
+    """SQL EXCEPT ALL (functions/setops.except_all): each returned-
+    flag pair max(count_R - count_A, 0) times."""
+    from ..functions.setops import except_all
+
+    schema = pa.schema([("l_suppkey", pa.int64()),
+                        ("l_linestatus", pa.string())])
+    return except_all(_lineitem_flag_side(sf_dir, "R"),
+                      _lineitem_flag_side(sf_dir, "A"),
+                      nbuckets=8, schema=schema)
 
 
 def lineitem_rollup(sf_dir: str):
@@ -3111,6 +3179,29 @@ def suppliers_components(sf_dir: str):
     return connected_components(edges, nbuckets=16)
 
 
+def suppliers_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances (functions/graph.bfs_hops:
+    frontier rounds over pre-split edge buckets — each round ships
+    only the newly discovered rows) over the same deterministic
+    supplier graph as suppliers_components, from every 40th key.  The
+    DuckDB oracle walks the edge relation with a recursive CTE and
+    takes MIN(d) per node — exact integer equality."""
+    import ray
+
+    from ..functions.graph import bfs_hops
+
+    keys = _supplier_keys(sf_dir)
+    bridged = keys[keys % 10 == 0]
+    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
+    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a, pa.int64()),
+        "dst": pa.array(b, pa.int64()),
+    })).repartition(4)
+    return bfs_hops(edges, keys[keys % 40 == 0], directed=True,
+                    nbuckets=16)
+
+
 def _supplier_keys(sf_dir: str) -> np.ndarray:
     import duckdb
 
@@ -3610,6 +3701,63 @@ def images_phash_pairs(sf_dir: str, max_distance: int = 3):
         ds.map_batches(project, batch_format="pyarrow",
                        zero_copy_batch=True),
         hash_col="phash", id_col="img_idx", max_distance=max_distance)
+    ida = pairs["id_a"].to_numpy(zero_copy_only=False)
+    idb = pairs["id_b"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "image_id_a": pa.array([f"img{int(i):012d}" for i in ida]),
+        "image_id_b": pa.array([f"img{int(i):012d}" for i in idb]),
+        "distance": pairs["distance"],
+        "truncated": pairs["truncated"],
+    })
+
+
+def docs_bm25_topk(sf_dir: str, k: int = 10):
+    """Distributed BM25 retrieval (functions/text.bm25_topk): one
+    tokenizing pass emits output-proportional candidate rows plus tiny
+    df / corpus-stat carriers; a second pass over the skinny candidate
+    set scores vectorized with per-block per-term top-k, bounded
+    driver merge.  Output is rank-only (integers), so the hash check
+    is robust to sub-ulp float differences; ties break to the smaller
+    doc_id on both sides."""
+    import ray
+
+    from ..functions.text import bm25_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = bm25_topk(ds, ["hash", "join", "scan", "window"], k=k)
+    return out.select(["term", "rank", "doc_id", "tf", "dl"])
+
+
+def images_dct_phash_pairs(sf_dir: str, max_distance: int = 3):
+    """Near-duplicate image pairs by DCT perceptual hash computed FROM
+    PIXELS (io/images.DctPhashFn actor pool: decode -> 32x32 area
+    resample -> batched DCT-II -> 64-bit signature), then the same
+    Hamming-LSH pair engine as images_phash_pairs.  Unlike the
+    ingest-time block-mean phash, the DCT hash is recomputed from the
+    payload, so the pipeline exercises decode + transform + LSH
+    end-to-end; lossy (quantz) re-encodes of the same source hash
+    within a few bits.  max_distance=3 is the 4-block pigeonhole's
+    guaranteed-recall bound (a 64-bit pair within 3 bits always
+    shares one exact 16-bit block)."""
+    from ..functions.dedup import hash64_candidate_pairs
+    from ..io import images as im
+    from ..io.images import dct_phash_images
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    hashed = dct_phash_images(ds, batch_size=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(
+            batch["image_id"].combine_chunks(), 3, 15), pa.int64())
+        return pa.table({"img_idx": idx, "dct_phash": batch["dct_phash"]})
+
+    pairs = hash64_candidate_pairs(
+        hashed.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        hash_col="dct_phash", id_col="img_idx",
+        max_distance=max_distance)
     ida = pairs["id_a"].to_numpy(zero_copy_only=False)
     idb = pairs["id_b"].to_numpy(zero_copy_only=False)
     return pa.table({

@@ -629,3 +629,63 @@ def test_approx_distinct_by_matches_flat_hll(ray_session):
     flat = approx_distinct(ray.data.from_arrow(tbl).repartition(4),
                            "v", p=11)
     assert int(grouped.n_approx.iloc[0]) == round(flat)
+
+
+def _bm25_reference(docs, terms, k1=1.2, b=0.75):
+    """Scalar BM25 (Lucene idf) over a {doc_id: text} dict."""
+    import math
+    toks = {d: [t for t in txt.split() if t] for d, txt in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in terms:
+        df = sum(1 for v in toks.values() if term in v)
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for d, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                dl = len(v)
+                scores[(term, d)] = idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * dl / avgdl))
+    return scores
+
+
+def test_bm25_topk_vs_scalar_reference(ray_session):
+    import ray
+
+    from geobuf_ray.functions.text import bm25_topk
+
+    rng = np.random.default_rng(8)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = {i: " ".join(rng.choice(vocab, rng.integers(1, 30)))
+            for i in range(80)}
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string())})
+    terms = ["alpha", "gamma"]
+    out = bm25_topk(ray.data.from_arrow(tbl).repartition(5), terms, k=7)
+    ref = _bm25_reference(docs, terms)
+    for term in terms:
+        mask = np.asarray(out["term"].to_pylist(), object) == term
+        got_docs = np.asarray(out["doc_id"].to_pylist())[mask]
+        got_scores = np.asarray(out["score"].to_pylist())[mask]
+        exp = sorted(((d, s) for (t, d), s in ref.items() if t == term),
+                     key=lambda p: (-p[1], p[0]))[:7]
+        assert got_docs.tolist() == [d for d, _ in exp]
+        assert np.allclose(got_scores, [s for _, s in exp], rtol=1e-12)
+    # ranks are 1..k per term
+    ranks = np.asarray(out["rank"].to_pylist())
+    assert set(ranks[mask]) == set(range(1, 8))
+
+
+def test_bm25_topk_term_absent(ray_session):
+    import ray
+
+    from geobuf_ray.functions.text import bm25_topk
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a b", "b c"], pa.string())})
+    out = bm25_topk(ray.data.from_arrow(tbl).repartition(2),
+                    ["zz", "b"], k=5)
+    terms = out["term"].to_pylist()
+    assert "zz" not in terms          # absent term -> no rows
+    assert terms.count("b") == 2      # both docs contain b

@@ -198,3 +198,61 @@ def test_triangle_count_random_vs_bruteforce(ray_session):
                          nbuckets=7).to_pydict()
     assert out == {"n_triangles": [expect_tri],
                    "n_edges": [expect_edges]}
+
+
+def _bfs_reference(n, pairs, sources):
+    """Dict-based reference BFS over an undirected graph."""
+    from collections import deque
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in sources}
+    dq = deque(sources)
+    while dq:
+        u = dq.popleft()
+        for w in adj.get(u, ()):
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                dq.append(w)
+    return dist
+
+
+def test_bfs_hops_known_graphs(ray_session):
+    import ray
+
+    from geobuf_ray.functions.graph import bfs_hops
+
+    # path 0-1-2-...-9, source 0: dist == node id
+    tbl = pa.table({"src": pa.array(np.arange(9), pa.int64()),
+                    "dst": pa.array(np.arange(1, 10), pa.int64())})
+    out = bfs_hops(ray.data.from_arrow(tbl).repartition(3), [0],
+                   nbuckets=4).to_pydict()
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == {i: i for i in range(10)}
+    # multi-source from both ends meets in the middle
+    out = bfs_hops(ray.data.from_arrow(tbl).repartition(3), [0, 9],
+                   nbuckets=4).to_pydict()
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == {i: min(i, 9 - i) for i in range(10)}
+    # isolated source appears at dist 0; unreachable nodes absent
+    out = bfs_hops(ray.data.from_arrow(tbl).repartition(3), [555],
+                   nbuckets=4).to_pydict()
+    assert dict(zip(out["node"], out["dist"])) == {555: 0}
+
+
+def test_bfs_hops_random_vs_reference(ray_session):
+    import ray
+
+    from geobuf_ray.functions.graph import bfs_hops
+
+    rng = np.random.default_rng(17)
+    n, m = 120, 260
+    u = rng.integers(0, n, m).astype(np.int64)
+    v = rng.integers(0, n, m).astype(np.int64)
+    sources = [3, 77]
+    expect = _bfs_reference(n, zip(u.tolist(), v.tolist()), sources)
+    tbl = pa.table({"src": pa.array(u), "dst": pa.array(v)})
+    out = bfs_hops(ray.data.from_arrow(tbl).repartition(5), sources,
+                   nbuckets=6).to_pydict()
+    assert dict(zip(out["node"], out["dist"])) == expect

@@ -286,3 +286,103 @@ def test_augment_per_image_deterministic(ray_session):
     ka = sorted(zip(a.image_id, a.aug))
     kb = sorted(zip(b.image_id, b.aug))
     assert ka == kb  # hash-chosen op is partition-invariant
+
+
+def _scalar_dct2(g):
+    """O(n^4) textbook 2-D DCT-II (orthonormal) — oracle for the
+    einsum path."""
+    n = g.shape[0]
+    out = np.zeros((n, n))
+    for u in range(n):
+        for v in range(n):
+            cu = np.sqrt(0.5) if u == 0 else 1.0
+            cv = np.sqrt(0.5) if v == 0 else 1.0
+            s = 0.0
+            for x in range(n):
+                for y in range(n):
+                    s += g[x, y] * np.cos(np.pi * (2 * x + 1) * u / (2 * n)) \
+                        * np.cos(np.pi * (2 * y + 1) * v / (2 * n))
+            out[u, v] = (2.0 / n) * cu * cv * s
+    return out
+
+
+def test_dct_matrix_vs_scalar_reference():
+    rng = np.random.default_rng(3)
+    g = rng.uniform(0, 255, (8, 8))
+    d = im._dct_matrix(8)
+    fast = d @ g @ d.T
+    assert np.allclose(fast, _scalar_dct2(g), atol=1e-9)
+
+
+def test_dct_phash_invariants():
+    # identical pixels -> identical hash; lossy re-encode -> close;
+    # different images -> far
+    def hash_of(blob):
+        px = im.decode_image(blob)
+        stack = im._resample_gray32(px)[None]
+        return int(im.dct_phash64(stack)[0])
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    px = im.procedural_pixels("imgA", 128, 96)
+    exact = hash_of(im.encode_rawz(px))
+    again = hash_of(im.encode_rawz(px))
+    assert exact == again
+    lossy = hash_of(im.encode_quantz(px))
+    assert ham(exact, lossy) <= 6
+    other = hash_of(im.encode_rawz(im.procedural_pixels("imgB", 128, 96)))
+    assert ham(exact, other) >= 12
+    # planted near-dup rows (source_pixels brightness nudge) hash close
+    base = hash_of(im.encode_rawz(im.source_pixels("img000000000027", 64, 64)))
+    dup = hash_of(im.encode_rawz(im.source_pixels("img000000000034", 64, 64)))
+    assert ham(base, dup) <= 8
+
+
+def test_dct_phash_pipeline(ray_session):
+    import pyarrow as pa
+
+    from geobuf_ray.io.images import dct_phash_images
+
+    ds = im.synthesize_image_dataset(40)
+    out = dct_phash_images(ds, batch_size=16).to_arrow_refs()
+    import ray
+
+    tbl = pa.concat_tables([ray.get(r) for r in out])
+    assert tbl.num_rows == 40
+    assert "dct_phash" in tbl.column_names
+    assert "bytes" not in tbl.column_names
+    assert tbl["dct_phash"].null_count == 0
+
+
+def test_dct_phash_pairs_query_planted_recall(ray_session):
+    from geobuf_ray.pipelines import queries as q
+
+    t = q.images_dct_phash_pairs("/root/testdata/sf0.01")  # n=300 corpus
+    d = t.to_pydict()
+    got = set(zip(d["image_id_a"], d["image_id_b"]))
+    # the planted near-dups within the pigeonhole's guaranteed bound
+    # (Hamming <= 3) must all be found; farther planted pairs are
+    # legitimately out of threshold
+    planted_close = 0
+    for i in range(23, 300):
+        if i % 23 != 11:
+            continue
+        a, b = f"img{i - 7:012d}", f"img{i:012d}"
+        w, h, _, _ = im._row_meta(i)
+
+        def hash_of(iid, idx):
+            ww, hh, lossy, _ = im._row_meta(idx)
+            px = im.source_pixels(iid, ww, hh)
+            data = im.encode_quantz(px) if lossy else im.encode_rawz(px)
+            st = im._resample_gray32(im.decode_image(data))[None]
+            return int(im.dct_phash64(st)[0])
+
+        dist = bin((hash_of(a, i - 7) ^ hash_of(b, i)) & ((1 << 64) - 1)) \
+            .count("1")
+        if dist <= 3:
+            planted_close += 1
+            assert (a, b) in got or (b, a) in got
+    assert planted_close >= 5  # the corpus plants enough close pairs
+    # every reported pair really is within the threshold
+    assert max(d["distance"], default=0) <= 3

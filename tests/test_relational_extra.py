@@ -161,6 +161,100 @@ def test_setops_vs_duckdb(ray_session):
     assert key(exc) == key(exp2)
 
 
+def test_setops_all_vs_duckdb(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.setops import except_all, intersect_all
+
+    rng = np.random.default_rng(21)
+    mk = lambda n: pa.table({  # noqa: E731
+        "a": pa.array(pd.Series(rng.integers(0, 8, n)).mask(
+            rng.random(n) < 0.1), pa.int64()),
+        "b": pa.array(np.array(["x", "y"])[rng.integers(0, 2, n)]),
+    })
+    left, right = mk(900), mk(700)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    key = lambda df: sorted(  # noqa: E731
+        (("N" if pd.isna(a) else f"{int(a):05d}"), b) for a, b in df.values)
+
+    inter = intersect_all(_ds(left), _ds(right), nbuckets=4).to_pandas()
+    exp = con.execute("SELECT a, b FROM l INTERSECT ALL "
+                      "SELECT a, b FROM r").fetchdf()
+    assert key(inter) == key(exp) and len(inter) > 0
+
+    exc = except_all(_ds(left), _ds(right), nbuckets=4).to_pandas()
+    exp2 = con.execute("SELECT a, b FROM l EXCEPT ALL "
+                       "SELECT a, b FROM r").fetchdf()
+    assert key(exc) == key(exp2) and len(exc) > 0
+
+    # empty right: INTERSECT ALL empties, EXCEPT ALL passes the bag
+    empty = left.slice(0, 0)
+    assert intersect_all(_ds(left), _ds(empty), nbuckets=4).count() == 0
+    assert except_all(_ds(left), _ds(empty), nbuckets=4).count() == len(left)
+
+
+def test_range_moving_agg_vs_duckdb(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.window import range_moving_agg
+
+    rng = np.random.default_rng(33)
+    n = 3000
+    # duplicate times on purpose: RANGE frames include AFTER-sorting
+    # peers, the semantic ROWS frames can't express
+    tbl = pa.table({
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+        "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "t": pa.array(rng.integers(0, 500, n), pa.int64()),
+        "v": pa.array(rng.integers(-50, 100, n), pa.int64()),
+    })
+    out = range_moving_agg(_ds(tbl, 6), key="k", order="t", value="v",
+                           span=25, nbuckets=4).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute("""
+        SELECT rid, CAST(SUM(v) OVER w AS BIGINT) AS rv_sum,
+               COUNT(*) OVER w AS rv_n
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY t
+                            RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)
+    """).fetchdf()
+    got = out.sort_values("rid").reset_index(drop=True)
+    exp = exp.sort_values("rid").reset_index(drop=True)
+    assert got["rv_sum"].tolist() == exp["rv_sum"].tolist()
+    assert got["rv_n"].tolist() == exp["rv_n"].tolist()
+
+
+def test_range_moving_agg_int64_extremes(ray_session):
+    # t - span saturates at INT64_MIN instead of wrapping: rows near
+    # the bottom of the int64 domain must still see their peers
+    from geobuf_ray.functions.window import range_moving_agg
+
+    lo = np.iinfo(np.int64).min
+    hi = np.iinfo(np.int64).max
+    tbl = pa.table({
+        "rid": pa.array(np.arange(6, dtype=np.int64)),
+        "k": pa.array(np.zeros(6, np.int64)),
+        "t": pa.array(np.array([lo, lo + 1, lo + 10, hi - 1, hi, hi],
+                               np.int64)),
+        "v": pa.array(np.ones(6, np.int64)),
+    })
+    out = range_moving_agg(_ds(tbl, 2), key="k", order="t", value="v",
+                           span=5, nbuckets=2).to_pandas() \
+        .sort_values("rid")
+    # frames: [lo]=1, [lo,lo+1]=2, [lo+10 alone]=1 (lo+1 is 9 away? no:
+    # lo+10-5=lo+5 > lo+1 -> alone), [hi-1]=1, [hi-1,hi,hi]=3 twice
+    assert out["rv_sum"].tolist() == [1, 2, 1, 1, 3, 3]
+    assert out["rv_n"].tolist() == [1, 2, 1, 1, 3, 3]
+    # span larger than the whole domain: every prior row is in-frame
+    out2 = range_moving_agg(_ds(tbl, 2), key="k", order="t", value="v",
+                            span=hi, nbuckets=2).to_pandas() \
+        .sort_values("rid")
+    # t=lo+10: target saturates to INT64_MIN -> all three low rows
+    assert out2["rv_n"].tolist()[2] == 3
+
+
 def test_moving_agg_vs_duckdb(ray_session):
     import duckdb
     import ray
