@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_terms": q.docs_top_terms,
         "docs_tfidf_top": q.docs_tfidf_top,
         "docs_bm25_topk": q.docs_bm25_topk,
+        "orders_digest_by_priority": q.orders_digest_by_priority,
         "docs_fingerprint": q.docs_fingerprint,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
@@ -1428,6 +1429,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
             FROM t WHERE term <> ''
             GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
+        """,
+        "orders_digest_by_priority": """
+            WITH h1 AS (
+              SELECT o_orderpriority AS k,
+                     ((o_orderkey % 4294967296) * 2654435761
+                      + (o_orderkey // 4294967296) * 40503)
+                     % 4294967296 AS h
+              FROM orders
+            ),
+            h2 AS (SELECT k, xor(h, h // 65536) AS h FROM h1),
+            h3 AS (SELECT k, CAST((CAST(h AS HUGEINT) * 2246822519)
+                                  % 4294967296 AS BIGINT) AS h FROM h2),
+            hf AS (SELECT k, xor(h, h // 8192) AS h FROM h3),
+            agg AS (
+              SELECT k, COUNT(*) AS n_rows,
+                     CAST(SUM(CAST(h AS HUGEINT))
+                          % 18446744073709551616 AS HUGEINT) AS m,
+                     bit_xor(h) AS digest_xor
+              FROM hf GROUP BY k
+            )
+            SELECT k AS o_orderpriority, n_rows,
+                   CAST(CASE WHEN m >= 9223372036854775808
+                             THEN m - 18446744073709551616
+                             ELSE m END AS BIGINT) AS digest_sum,
+                   digest_xor
+            FROM agg
         """,
         "docs_bm25_topk": r"""
             WITH tok AS (

@@ -909,3 +909,83 @@ def histogram(ds, value: str, *, lo: int, hi: int, nbins: int):
     return pa.table({"bin": bins,
                      "bin_lo": lo + bins * width,
                      "n_rows": total})
+
+
+def table_digest(ds, keys: list[str], value: str, *, nbuckets: int = 16):
+    """Order-invariant grouped table checksum — the validation
+    primitive a 100 TB CDC merge / replication pipeline needs: two
+    tables agree per group iff (row count, wrapping hash sum, hash
+    XOR) agree, with NO sort and no row shipping.
+
+    Per block, rows collapse to per-group partials of three
+    order-invariant folds over ``h = sample_hash32(value)``:
+    ``n_rows``, ``SUM(h) mod 2^64`` (uint64 wraparound == the exact
+    sum mod 2^64), and ``XOR(h)``.  One skinny exchange merges the
+    partials per key.  ``value`` must be a non-negative int64 column
+    (ids, cents); the mix chain is SQL-reproducible (see
+    functions/sample.sample_hash32), so the digest can be recomputed
+    by any engine for cross-system validation.
+    """
+    from .exchange import hash_exchange
+    from .sample import sample_hash32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = [batch[k] for k in keys]
+        v = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and v.min() < 0:
+            raise ValueError("table_digest: value must be non-negative")
+        h = sample_hash32(v)
+        order = np.lexsort(tuple(
+            batch[k].to_numpy(zero_copy_only=False) for k in reversed(keys)))
+        # vectorized per-group fold: sort rows by key, reduceat folds
+        ks = [batch[k].to_numpy(zero_copy_only=False)[order] for k in keys]
+        hs = h[order]
+        if len(hs) == 0:
+            return pa.table(
+                {**{k: batch[k].slice(0, 0) for k in keys},
+                 "n_rows": pa.array([], pa.int64()),
+                 "digest_sum": pa.array([], pa.int64()),
+                 "digest_xor": pa.array([], pa.int64())})
+        newg = np.zeros(len(hs), bool)
+        newg[0] = True
+        for karr in ks:
+            newg[1:] |= karr[1:] != karr[:-1]
+        starts = np.flatnonzero(newg)
+        n = np.diff(np.append(starts, len(hs))).astype(np.int64)
+        dsum = np.add.reduceat(hs, starts, dtype=np.uint64)
+        dxor = np.bitwise_xor.reduceat(hs, starts)
+        return pa.table(
+            {**{k: batch[k].take(pa.array(order[starts]))
+                for k in keys},
+             "n_rows": pa.array(n),
+             "digest_sum": pa.array(dsum.view(np.int64)),
+             "digest_xor": pa.array(dxor.view(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return tbl
+        order = np.lexsort(tuple(
+            tbl[k].to_numpy(zero_copy_only=False) for k in reversed(keys)))
+        ks = [tbl[k].to_numpy(zero_copy_only=False)[order] for k in keys]
+        n = tbl["n_rows"].to_numpy(zero_copy_only=False)[order]
+        s = tbl["digest_sum"].to_numpy(zero_copy_only=False)[order] \
+            .view(np.uint64)
+        x = tbl["digest_xor"].to_numpy(zero_copy_only=False)[order]
+        newg = np.zeros(len(n), bool)
+        newg[0] = True
+        for karr in ks:
+            newg[1:] |= karr[1:] != karr[:-1]
+        starts = np.flatnonzero(newg)
+        return pa.table(
+            {**{k: tbl[k].take(pa.array(order[starts])) for k in keys},
+             "n_rows": pa.array(np.add.reduceat(n, starts)),
+             "digest_sum": pa.array(
+                 np.add.reduceat(s, starts, dtype=np.uint64)
+                 .view(np.int64)),
+             "digest_xor": pa.array(np.bitwise_xor.reduceat(x, starts))})
+
+    return hash_exchange(partials, nbuckets=nbuckets, on=keys,
+                         reduce_fn=merge, schema=None)

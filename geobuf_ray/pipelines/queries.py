@@ -3711,6 +3711,23 @@ def images_phash_pairs(sf_dir: str, max_distance: int = 3):
     })
 
 
+def orders_digest_by_priority(sf_dir: str):
+    """Order-invariant table checksum per group (functions/agg.
+    table_digest): (row count, wrapping 2^64 hash sum, hash XOR) over
+    the SQL-reproducible 32-bit key mix — the primitive that validates
+    a CDC merge or a replica without sorting or shipping rows.  The
+    DuckDB oracle recomputes the identical mix chain and folds with
+    HUGEINT SUM mod 2^64 + bit_xor."""
+    import ray
+
+    from ..functions.agg import table_digest
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_orderkey"])
+    return table_digest(ds, ["o_orderpriority"], "o_orderkey",
+                        nbuckets=8)
+
+
 def docs_bm25_topk(sf_dir: str, k: int = 10):
     """Distributed BM25 retrieval (functions/text.bm25_topk): one
     tokenizing pass emits output-proportional candidate rows plus tiny

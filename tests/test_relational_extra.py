@@ -1152,3 +1152,45 @@ def test_global_rank_vs_numpy(ray_session):
                       descending=True, nbuckets=2).to_pandas() \
         .sort_values("k")
     assert out["rank"].tolist() == [3, 2, 1]
+
+
+def test_table_digest_order_invariance_and_sensitivity(ray_session):
+    from geobuf_ray.functions.agg import table_digest
+
+    rng = np.random.default_rng(12)
+    n = 5000
+    tbl = pa.table({
+        "g": pa.array(np.array(["a", "b", "c"])[rng.integers(0, 3, n)]),
+        "v": pa.array(rng.integers(0, 10**12, n), pa.int64()),
+    })
+
+    def run(t, parts):
+        out = table_digest(_ds(t, parts), ["g"], "v",
+                           nbuckets=4).to_pandas()
+        return out.sort_values("g").reset_index(drop=True)
+
+    base = run(tbl, 4)
+    # permuted rows + different partitioning -> identical digests
+    perm = tbl.take(pa.array(rng.permutation(n)))
+    assert run(perm, 9).equals(base)
+    # one changed value flips its group's digest but no other group's
+    v2 = tbl["v"].to_numpy().copy()
+    v2[123] += 1
+    changed = pa.table({"g": tbl["g"], "v": pa.array(v2)})
+    mut = run(changed, 4)
+    g_changed = tbl["g"][123].as_py()
+    for _, row in mut.iterrows():
+        same = base[base.g == row.g].iloc[0]
+        if row.g == g_changed:
+            assert (row.digest_sum != same.digest_sum
+                    or row.digest_xor != same.digest_xor)
+        else:
+            assert row.digest_sum == same.digest_sum
+            assert row.digest_xor == same.digest_xor
+    # counts exact
+    assert base.n_rows.sum() == n
+    # negative values rejected
+    bad = pa.table({"g": pa.array(["a"]), "v": pa.array([-1], pa.int64())})
+    import pytest as _pt
+    with _pt.raises(Exception):
+        table_digest(_ds(bad, 1), ["g"], "v", nbuckets=2).to_pandas()
