@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top": q.docs_tfidf_top,
         "docs_bm25_topk": q.docs_bm25_topk,
         "orders_digest_by_priority": q.orders_digest_by_priority,
+        "docs_inverted_lookup": q.docs_inverted_lookup,
         "docs_fingerprint": q.docs_fingerprint,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
@@ -1455,6 +1456,16 @@ def oracle_sql() -> dict[str, str]:
                              ELSE m END AS BIGINT) AS digest_sum,
                    digest_xor
             FROM agg
+        """,
+        "docs_inverted_lookup": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents
+            )
+            SELECT term, doc_id, COUNT(*) AS tf
+            FROM tok WHERE term IN ('hash', 'join', 'window')
+            GROUP BY term, doc_id
         """,
         "docs_bm25_topk": r"""
             WITH tok AS (

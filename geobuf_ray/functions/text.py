@@ -539,3 +539,78 @@ def bm25_topk(ds, terms: list[str], *, k: int = 10,
         "dl": pa.array(parts["dl"].to_numpy(zero_copy_only=False)[keep]),
         "score": pa.array(sc[keep]),
     })
+
+
+def inverted_index_build(ds, out_dir: str, *, doc_col: str = "doc_id",
+                         text_col: str = "text",
+                         nbuckets: int = 64) -> str:
+    """Write a term-bucket-partitioned INVERTED INDEX (posting lists).
+
+    One tokenizing pass emits (term, doc_id, tf) posting rows (exact
+    block-locally — one input row is one whole document), each stamped
+    with ``term_bucket = hash(term) % nbuckets``; ``write_parquet``
+    lays them out one hive directory per bucket, so a term lookup
+    reads ONLY its bucket's files — the text-search twin of the IVF
+    vector layout (``ann.ivf_build``): build once, query many times,
+    true partition pruning.  ``nbuckets`` is recorded next to the
+    data so lookups can't mis-hash."""
+    import json
+    import os
+
+    from .join import _key_hash
+
+    mask = np.uint64(nbuckets - 1)
+    if nbuckets & (nbuckets - 1):
+        raise ValueError("nbuckets must be a power of two")
+
+    def postings(batch: pa.Table) -> pa.Table:
+        rows = doc_term_tf(batch, doc_col=doc_col, text_col=text_col)
+        h = _key_hash(rows["term"])
+        return rows.append_column(
+            "term_bucket", pa.array((h & mask).astype(np.int64)))
+
+    ds.map_batches(postings, batch_format="pyarrow",
+                   zero_copy_batch=True) \
+        .write_parquet(out_dir, partition_cols=["term_bucket"])
+    with open(os.path.join(out_dir, "_index_meta.json"), "w") as f:
+        json.dump({"nbuckets": nbuckets, "doc_col": doc_col}, f)
+    return out_dir
+
+
+def inverted_lookup(index_dir: str, terms: list[str]):
+    """Posting rows for a term set, reading ONLY the buckets the query
+    terms hash to (partition pruning; everything else never leaves
+    storage).  Returns a Ray Dataset of (term, doc_id, tf)."""
+    import glob
+    import json
+    import os
+
+    import ray
+
+    from .join import _key_hash
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    mask = np.uint64(meta["nbuckets"] - 1)
+    term_arr = pa.array(list(terms), pa.string())
+    buckets = np.unique((_key_hash(term_arr) & mask).astype(np.int64))
+    paths = []
+    for b in buckets:
+        d = os.path.join(index_dir, f"term_bucket={int(b)}")
+        if os.path.isdir(d):
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    if not paths:
+        return ray.data.from_arrow(pa.table({
+            "term": pa.array([], pa.string()),
+            meta["doc_col"]: pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64())}))
+
+    def only_terms(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keep = _pc.is_in(batch["term"], value_set=term_arr)
+        return batch.filter(keep).select(
+            ["term", meta["doc_col"], "tf"])
+
+    return ray.data.read_parquet(paths).map_batches(
+        only_terms, batch_format="pyarrow", zero_copy_batch=True)

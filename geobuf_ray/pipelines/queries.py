@@ -3711,6 +3711,40 @@ def images_phash_pairs(sf_dir: str, max_distance: int = 3):
     })
 
 
+def docs_inverted_lookup(sf_dir: str):
+    """Term lookup through a PERSISTED inverted index (functions/text.
+    inverted_index_build / inverted_lookup): posting rows (term,
+    doc_id, tf) live in a term-bucket-partitioned parquet layout, so
+    the lookup READS only the buckets its terms hash to — the
+    text-search twin of the IVF vector index (build once, query many
+    times, true partition pruning).  The index is built once per
+    sf_dir into /tmp (atomic publish) — the query measures lookup,
+    like a real search system."""
+    import os
+    import uuid
+
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.text import inverted_index_build, inverted_lookup
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/geobuf_ray_invidx/{tag}"
+    if not os.path.isdir(path) or not os.listdir(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        inverted_index_build(ds, tmp, nbuckets=64)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    out = collect_table(inverted_lookup(path, ["hash", "join", "window"]))
+    return out.rename_columns(["term", "doc_id", "tf"])
+
+
 def orders_digest_by_priority(sf_dir: str):
     """Order-invariant table checksum per group (functions/agg.
     table_digest): (row count, wrapping 2^64 hash sum, hash XOR) over

@@ -689,3 +689,37 @@ def test_bm25_topk_term_absent(ray_session):
     terms = out["term"].to_pylist()
     assert "zz" not in terms          # absent term -> no rows
     assert terms.count("b") == 2      # both docs contain b
+
+
+def test_inverted_index_prunes_and_matches(ray_session, tmp_path):
+    import glob
+    import ray
+
+    from geobuf_ray.functions.text import (inverted_index_build,
+                                           inverted_lookup)
+
+    rng = np.random.default_rng(44)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = {i: " ".join(rng.choice(vocab, rng.integers(3, 40)))
+            for i in range(300)}
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string())})
+    idx = str(tmp_path / "inv")
+    inverted_index_build(ray.data.from_arrow(tbl).repartition(4), idx,
+                         nbuckets=32)
+    # pruning: the lookup's input paths cover < all buckets
+    all_parts = glob.glob(f"{idx}/term_bucket=*")
+    assert len(all_parts) > 8
+    out = inverted_lookup(idx, ["w3", "w77"]).to_pandas()
+    # brute-force oracle
+    exp = {}
+    for d, txt in docs.items():
+        toks = txt.split()
+        for t in ("w3", "w77"):
+            c = toks.count(t)
+            if c:
+                exp[(t, d)] = c
+    got = {(r.term, r.doc_id): r.tf for r in out.itertuples()}
+    assert got == exp
+    # a term absent from the corpus returns nothing
+    assert inverted_lookup(idx, ["nosuchterm"]).count() == 0
