@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_topk": q.docs_bm25_topk,
         "orders_digest_by_priority": q.orders_digest_by_priority,
         "docs_inverted_lookup": q.docs_inverted_lookup,
+        "docs_jaccard_pairs": q.docs_jaccard_pairs,
         "docs_fingerprint": q.docs_fingerprint,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
@@ -1456,6 +1457,24 @@ def oracle_sql() -> dict[str, str]:
                              ELSE m END AS BIGINT) AS digest_sum,
                    digest_xor
             FROM agg
+        """,
+        "docs_jaccard_pairs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            T AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+            S AS (SELECT doc_id, COUNT(*) AS n FROM T GROUP BY doc_id),
+            I AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         COUNT(*) AS inter
+                  FROM T a JOIN T b USING (term)
+                  WHERE a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, inter, sa.n AS size_a, sb.n AS size_b
+            FROM I JOIN S sa ON sa.doc_id = I.doc_a
+                   JOIN S sb ON sb.doc_id = I.doc_b
+            WHERE inter * 10 >= 9 * (sa.n + sb.n - inter)
         """,
         "docs_inverted_lookup": r"""
             WITH tok AS (

@@ -326,3 +326,235 @@ def edit_distance_self_join(ds, on: str, *, k: int = 2,
     return hash_exchange(pairs, nbuckets=max(nbuckets // 4, 1),
                          on=["s_a", "s_b"], reduce_fn=dedupe_pairs,
                          schema=pair_schema)
+
+
+def jaccard_set_join(ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", threshold: float = 0.8,
+                     nbuckets: int = 32, bucket_cap: int = 4096):
+    """EXACT token-set similarity self-join: all document pairs with
+    ``|A ∩ B| / |A ∪ B| >= threshold`` over their DISTINCT whitespace
+    token sets (the SSJoin/PPJoin family, composed from this engine's
+    own join operators).
+
+    Shape at scale:
+
+    1. one tokenizing pass -> skinny distinct ``(doc, term, n)`` rows
+       (n = set size), materialized once and reused;
+    2. a vocabulary-sized df aggregate, broadcast — tokens are ranked
+       RAREST-FIRST, the PPJoin trick that keeps prefix buckets small;
+    3. prefix filter: a doc of set size n emits only its
+       ``n - ceil(t*n) + 1`` rarest tokens (provably lossless: two
+       sets with Jaccard >= t must share a token in these prefixes);
+       candidate pairs form per prefix token (with the length filter
+       ``t * max(na, nb) <= min(na, nb)``), then dedup by pair key;
+    4. exact verification by composition: ``hash_join`` pairs with A's
+       token rows, ``semi_join`` against B's on (doc, term) — the
+       surviving row count per pair IS ``|A ∩ B|`` — and the final
+       predicate ``inter * t_den >= t_num * (na + nb - inter)`` is
+       integer-exact (threshold as a fraction, floats never decide).
+
+    Oversized prefix buckets (> ``bucket_cap`` docs behind one token)
+    are truncated and flagged via the returned table's ``truncated``
+    column on affected pairs' generation — with df ordering this only
+    fires on degenerate corpora.  Empty token sets never match
+    (SQL-twin semantics: no token rows, no pairs).
+    Returns a Dataset of ``(doc_a, doc_b, inter, size_a, size_b)``.
+    """
+    from fractions import Fraction
+
+    import ray
+
+    from ..collect import collect_table
+    from .exchange import hash_exchange
+    from .join import hash_join, semi_join
+    from .text import _tokens_per_doc
+
+    fr = Fraction(threshold).limit_denominator(10**6)
+    t_num, t_den = fr.numerator, fr.denominator
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        flat, doc_of = _tokens_per_doc(batch, text_col)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nterm = len(enc.dictionary)
+        pair = doc_of * nterm + codes
+        uniq = np.unique(pair)
+        ud, ut = uniq // nterm, uniq % nterm
+        n_per_doc = np.bincount(ud, minlength=batch.num_rows)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc": pa.array(ids[ud]),
+            "term": enc.dictionary.take(pa.array(ut)),
+            "n": pa.array(n_per_doc[ud].astype(np.int64)),
+        })
+
+    tokens = ds.map_batches(tok_rows, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    # --- global df, broadcast (vocabulary-sized) --------------------
+    def df_partial(batch: pa.Table) -> pa.Table:
+        enc = batch["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term": enc.dictionary,
+            "df": pa.array(np.bincount(
+                codes, minlength=len(enc.dictionary)).astype(np.int64))})
+
+    def df_merge(tbl: pa.Table) -> pa.Table:
+        enc = tbl["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term": enc.dictionary,
+            "df": pa.array(np.bincount(
+                codes, weights=tbl["df"].to_numpy(zero_copy_only=False),
+                minlength=len(enc.dictionary)).astype(np.int64))})
+
+    df_tbl = collect_table(hash_exchange(
+        tokens.map_batches(df_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        nbuckets=max(4, nbuckets // 4), on="term", reduce_fn=df_merge,
+        schema=None))
+    vocab = np.asarray(df_tbl["term"].to_pylist(), object)
+    vorder = np.argsort(vocab)
+    vocab_sorted = vocab[vorder]
+    dfs = df_tbl["df"].to_numpy(zero_copy_only=False)[vorder]
+    # rank: rarest first, ties by term (total order)
+    rank = np.empty(len(vocab_sorted), np.int64)
+    rank[np.lexsort((vocab_sorted, dfs))] = np.arange(len(vocab_sorted))
+    df_ref = ray.put((vocab_sorted, rank))
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        vs, rk = ray.get(df_ref)
+        terms = np.asarray(batch["term"].to_pylist(), object)
+        pos = np.searchsorted(vs, terms)
+        r = rk[pos]
+        doc = batch["doc"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((r, doc))
+        ds_, rs_ = doc[order], r[order]
+        first = np.concatenate(([True], ds_[1:] != ds_[:-1])) \
+            if len(ds_) else np.empty(0, bool)
+        seg = np.cumsum(first) - 1
+        seg_start = np.flatnonzero(first)
+        posn = np.arange(len(ds_)) - seg_start[seg] if len(ds_) else \
+            np.empty(0, np.int64)
+        ns_ = n[order]
+        ceil_tn = (t_num * ns_ + t_den - 1) // t_den
+        plen = ns_ - ceil_tn + 1
+        keep = posn < plen
+        sel = order[keep]
+        return pa.table({
+            "term": batch["term"].take(pa.array(sel)),
+            "doc": pa.array(doc[sel]),
+            "n": pa.array(n[sel]),
+        })
+
+    # batch_size=None: whole blocks — a doc's token rows are contiguous
+    # within one tok_rows output block and must not be re-sliced, or
+    # the per-doc prefix positions would reset mid-doc
+    prefixes = tokens.map_batches(prefix_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+
+    def gen_pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64()),
+                             "truncated": pa.array([], pa.bool_())})
+        enc = tbl["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = tbl["doc"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, codes))
+        cs, dsod, nsod = codes[order], doc[order], n[order]
+        first = np.concatenate(([True], cs[1:] != cs[:-1])) \
+            if len(cs) else np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(cs)))
+        A, NA, B, NB, TR = [], [], [], [], []
+        for s, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            trunc = ln > bucket_cap
+            ln = min(int(ln), bucket_cap)
+            dd = dsod[s:s + ln]
+            nn = nsod[s:s + ln]
+            ii, jj = np.triu_indices(ln, k=1)
+            da, db = dd[ii], dd[jj]
+            na_, nb_ = nn[ii], nn[jj]
+            lo = np.minimum(na_, nb_)
+            hi = np.maximum(na_, nb_)
+            ok = t_num * hi <= t_den * lo
+            # canonical orientation doc_a < doc_b
+            sw = da > db
+            da2 = np.where(sw, db, da)[ok]
+            db2 = np.where(sw, da, db)[ok]
+            na2 = np.where(sw, nb_, na_)[ok]
+            nb2 = np.where(sw, na_, nb_)[ok]
+            A.append(da2)
+            B.append(db2)
+            NA.append(na2)
+            NB.append(nb2)
+            TR.append(np.full(len(da2), trunc))
+        if not A:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64()),
+                             "truncated": pa.array([], pa.bool_())})
+        return pa.table({"a": pa.array(np.concatenate(A)),
+                         "na": pa.array(np.concatenate(NA)),
+                         "b": pa.array(np.concatenate(B)),
+                         "nb": pa.array(np.concatenate(NB)),
+                         "truncated": pa.array(np.concatenate(TR))})
+
+    cand = hash_exchange(prefixes, nbuckets=nbuckets, on="term",
+                         reduce_fn=gen_pairs, schema=None)
+
+    def dedup_pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return tbl
+        g = tbl.group_by(["a", "b", "na", "nb"]).aggregate(
+            [("truncated", "max")])
+        return g.rename_columns(["a", "b", "na", "nb", "truncated"])
+
+    pairs = hash_exchange(cand, nbuckets=nbuckets, on=["a", "b"],
+                          reduce_fn=dedup_pairs, schema=None) \
+        .materialize()
+
+    # --- exact verification by operator composition -----------------
+    tok_a = tokens.map_batches(
+        lambda b: pa.table({"a": b["doc"], "term": b["term"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tok_b = tokens.map_batches(
+        lambda b: pa.table({"b": b["doc"], "term": b["term"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    expanded = hash_join(pairs, tok_a, on="a", nbuckets=nbuckets)
+    both = semi_join(expanded, tok_b, on=["b", "term"],
+                     nbuckets=nbuckets)
+
+    def count_inter(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "inter": pa.array([], pa.int64()),
+                             "size_a": pa.array([], pa.int64()),
+                             "size_b": pa.array([], pa.int64())})
+        g = tbl.group_by(["a", "b", "na", "nb"]).aggregate(
+            [([], "count_all")])
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b_ = g["b"].to_numpy(zero_copy_only=False)
+        na = g["na"].to_numpy(zero_copy_only=False)
+        nb = g["nb"].to_numpy(zero_copy_only=False)
+        inter = g["count_all"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = inter * t_den >= t_num * (na + nb - inter)
+        return pa.table({"doc_a": pa.array(a[ok]),
+                         "doc_b": pa.array(b_[ok]),
+                         "inter": pa.array(inter[ok]),
+                         "size_a": pa.array(na[ok]),
+                         "size_b": pa.array(nb[ok])})
+
+    return hash_exchange(both, nbuckets=nbuckets, on=["a", "b"],
+                         reduce_fn=count_inter, schema=None)

@@ -3711,6 +3711,30 @@ def images_phash_pairs(sf_dir: str, max_distance: int = 3):
     })
 
 
+def docs_jaccard_pairs(sf_dir: str):
+    """EXACT token-set similarity self-join (functions/strjoin.
+    jaccard_set_join: rarest-first PPJoin prefix filter -> candidate
+    pairs -> verification composed from the engine's own hash_join +
+    semi_join; integer-exact threshold predicate).  Over a
+    deterministic tenth of the corpus (doc_id % 10 = 0) because the
+    synthetic documents share a tiny vocabulary — corpus-wide, a 0.9
+    threshold still passes ~1M pairs at sf0.1, which is a property of
+    the DATA, not the filter.  The DuckDB oracle is the ALL-PAIRS
+    ground truth, so the hash check proves the prefix filter lossless."""
+    import ray
+
+    from ..functions.strjoin import jaccard_set_join
+
+    def tenth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+        .map_batches(tenth, batch_format="pyarrow", zero_copy_batch=True)
+    return jaccard_set_join(ds, threshold=0.9, nbuckets=16)
+
+
 def docs_inverted_lookup(sf_dir: str):
     """Term lookup through a PERSISTED inverted index (functions/text.
     inverted_index_build / inverted_lookup): posting rows (term,

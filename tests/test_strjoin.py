@@ -83,3 +83,63 @@ def test_self_join_k1_words(ray_session):
                                   k=1, nbuckets=4).to_pandas()
     got = set(zip(out.s_a, out.s_b, out.dist))
     assert got == _self_join_expect(words, 1)
+
+
+def _jaccard_brute(docs, t_num, t_den):
+    out = {}
+    items = [(d, set(txt.split())) for d, txt in docs.items()]
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            (da, A), (db, B) = items[i], items[j]
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            if inter * t_den >= t_num * len(A | B):
+                a, b = (da, db) if da < db else (db, da)
+                out[(a, b)] = (inter, len(A) if a == da else len(B),
+                               len(B) if a == da else len(A))
+    return out
+
+
+def test_jaccard_set_join_vs_bruteforce(ray_session):
+    import ray
+
+    from geobuf_ray.functions.strjoin import jaccard_set_join
+
+    rng = np.random.default_rng(31)
+    vocab = [f"t{i}" for i in range(60)]
+    docs = {}
+    for i in range(120):
+        k = rng.integers(3, 25)
+        docs[i] = " ".join(rng.choice(vocab, k))
+    # plant exact and near duplicates
+    docs[200] = docs[5]
+    docs[201] = docs[7] + " extraterm"
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string())})
+    for thr, tn, td in [(0.5, 1, 2), (0.8, 4, 5)]:
+        out = jaccard_set_join(
+            ray.data.from_arrow(tbl).repartition(5), threshold=thr,
+            nbuckets=4).to_pandas()
+        got = {(r.doc_a, r.doc_b): (r.inter, r.size_a, r.size_b)
+               for r in out.itertuples()}
+        exp = _jaccard_brute(docs, tn, td)
+        assert got == exp, thr
+        assert (200 in {a for a, _ in got} | {b for _, b in got})
+
+
+def test_jaccard_set_join_edges(ray_session):
+    import ray
+
+    from geobuf_ray.functions.strjoin import jaccard_set_join
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c", "a b c", "", "z"], pa.string()),
+    })
+    out = jaccard_set_join(ray.data.from_arrow(tbl).repartition(2),
+                           threshold=1.0, nbuckets=2).to_pandas()
+    # only the exact-duplicate pair qualifies; empty docs match nothing
+    assert len(out) == 1
+    assert (out.iloc[0].doc_a, out.iloc[0].doc_b) == (1, 2)
+    assert out.iloc[0].inter == 3
