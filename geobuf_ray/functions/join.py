@@ -400,13 +400,27 @@ def range_join(points, intervals, *, value: str, lo: str, hi: str,
 
 
 def asof_join(left, right, on, *, left_time: str, right_time: str,
+              direction: str = "backward",
               nbuckets: int = 64, rsuffix: str = "_r",
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None, **map_kwargs):
-    """As-of join: each left row matches the LATEST right row with the
-    same key (``on``: a column name or list of names) and
-    ``right_time <= left_time`` (inner semantics: left rows with no
-    prior right row drop).  Rows with a NULL in any key column match
+    """As-of join: each left row matches one right row with the same
+    key (``on``: a column name or list of names) by time
+    (inner semantics: unmatched left rows drop).
+
+    ``direction``:
+
+    - ``"backward"`` (default): the LATEST right row with
+      ``right_time <= left_time``;
+    - ``"forward"``: the EARLIEST right row with
+      ``right_time >= left_time`` — implemented as backward over the
+      order-reversing bijection ``~t`` (no negation overflow anywhere
+      in the int64 domain);
+    - ``"nearest"``: whichever of the two candidates is closer in
+      time; exact ties prefer the backward match.  Distances compare
+      in uint64, so they are exact across the whole int64 domain.
+
+    Rows with a NULL in any key column match
     nothing.  Composite / non-integer keys rely on the 64-bit combined
     hash (collision probability ~2^-64 per key pair); the segment
     kernel does not re-verify values.
@@ -419,6 +433,8 @@ def asof_join(left, right, on, *, left_time: str, right_time: str,
     in sort order (sort the right side's tiebreak columns into
     ``right_time`` order upstream if that matters).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unsupported direction={direction!r}")
     on_cols = [on] if isinstance(on, str) else list(on)
     l_schema = left_schema if left_schema is not None else left.schema()
     r_schema = right_schema if right_schema is not None else right.schema()
@@ -477,31 +493,64 @@ def asof_join(left, right, on, *, left_time: str, right_time: str,
             return pa.table(cols)
         side = np.concatenate([np.zeros(len(sl), np.int8),
                                np.ones(len(sr), np.int8)])
-        # right rows sort BEFORE left at equal (key, time) so an
-        # equal-time right is visible to its left row
-        order = np.lexsort((1 - side, t, keys))
-        ks, ss = keys[order], side[order]
-        new_key = np.concatenate(([True], ks[1:] != ks[:-1]))
-        seg_id = np.cumsum(new_key) - 1
-        # segmented "last right row seen so far": encode (segment,
-        # sort position) into one monotone int so a single
-        # maximum.accumulate forward-fills WITH key-boundary resets —
-        # a new segment's base always exceeds the previous segment's max
-        n_all = len(order)
-        pos = np.arange(n_all, dtype=np.int64)
-        enc = np.where(ss == 1,
-                       seg_id * (n_all + 1) + pos + 1,
-                       seg_id * (n_all + 1))
-        acc = np.maximum.accumulate(enc)
-        last_pos = np.where(acc // (n_all + 1) == seg_id,
-                            acc % (n_all + 1) - 1, -1)
-        is_left = ss == 0
-        lrows = order[is_left]          # merged positions (< len(sl))
-        lp = last_pos[is_left]
-        ok = lp >= 0
-        match = order[np.maximum(lp, 0)]  # merged positions of rights
-        ltab = lt.take(pa.array(sl[lrows[ok]], pa.int64()))
-        rtab = rt.take(pa.array(sr[match[ok] - len(sl)], pa.int64()))
+
+        def matches(tax: np.ndarray) -> np.ndarray:
+            """Per left merged position: merged position of the latest
+            right row with right_tax <= left_tax in its key segment,
+            or -1.  Right rows sort BEFORE left at equal (key, tax) so
+            an equal-time right is visible to its left row."""
+            order = np.lexsort((1 - side, tax, keys))
+            ks, ss = keys[order], side[order]
+            new_key = np.concatenate(([True], ks[1:] != ks[:-1]))
+            seg_id = np.cumsum(new_key) - 1
+            # segmented "last right row seen so far": encode (segment,
+            # sort position) into one monotone int so a single
+            # maximum.accumulate forward-fills WITH key-boundary
+            # resets — a new segment's base always exceeds the
+            # previous segment's max
+            n_all = len(order)
+            pos = np.arange(n_all, dtype=np.int64)
+            enc = np.where(ss == 1,
+                           seg_id * (n_all + 1) + pos + 1,
+                           seg_id * (n_all + 1))
+            acc = np.maximum.accumulate(enc)
+            last_pos = np.where(acc // (n_all + 1) == seg_id,
+                                acc % (n_all + 1) - 1, -1)
+            is_left = ss == 0
+            lrows = order[is_left]      # merged positions (< len(sl))
+            lp = last_pos[is_left]
+            match_of = np.full(len(sl), -1, np.int64)
+            okm = lp >= 0
+            match_of[lrows[okm]] = order[lp[okm]]
+            return match_of
+
+        is_float_axis = not (int_l and int_r)
+        if direction == "backward":
+            m = matches(t)
+        elif direction == "forward":
+            m = matches(-t if is_float_axis else ~t)
+        else:  # nearest
+            mb = matches(t)
+            mf = matches(-t if is_float_axis else ~t)
+            tl_m = t[:len(sl)]
+            if is_float_axis:
+                db_ = np.where(mb >= 0,
+                               tl_m - t[np.maximum(mb, 0)], np.inf)
+                df_ = np.where(mf >= 0,
+                               t[np.maximum(mf, 0)] - tl_m, np.inf)
+            else:
+                # exact uint64 distances over the whole int64 domain
+                tu = t.view(np.uint64)
+                tlu = tu[:len(sl)]
+                db_ = np.where(mb >= 0, tlu - tu[np.maximum(mb, 0)],
+                               np.uint64(np.iinfo(np.uint64).max))
+                df_ = np.where(mf >= 0, tu[np.maximum(mf, 0)] - tlu,
+                               np.uint64(np.iinfo(np.uint64).max))
+            # ties prefer backward
+            m = np.where((mb >= 0) & ((mf < 0) | (db_ <= df_)), mb, mf)
+        ok = m >= 0
+        ltab = lt.take(pa.array(sl[np.flatnonzero(ok)], pa.int64()))
+        rtab = rt.take(pa.array(sr[m[ok] - len(sl)], pa.int64()))
         cols = {n: ltab[n] for n in l_names}
         for rn, orn in zip(r_names, out_r_names):
             cols[orn] = rtab[rn]
