@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
         "events_last_order_asof": q.events_last_order_asof,
+        "orders_next_order_asof": q.orders_next_order_asof,
         "orders_global_rank": q.orders_global_rank,
         "orders_upsert": q.orders_upsert,
         "lineitem_price_winsorized": q.lineitem_price_winsorized,
@@ -929,6 +930,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM events e
                 JOIN orders o ON o.o_custkey = e.user_id
                              AND o.o_orderdate <= CAST(e.ts AS DATE)
+            ) WHERE rn = 1
+        """,
+        "orders_next_order_asof": """
+            SELECT o_orderkey, o_custkey, next_orderkey FROM (
+                SELECT a.o_orderkey, a.o_custkey,
+                       b.o_orderkey AS next_orderkey,
+                       row_number() OVER (
+                           PARTITION BY a.o_orderkey
+                           ORDER BY b.o_orderdate ASC, b.o_orderkey ASC
+                       ) AS rn
+                FROM orders a
+                JOIN orders b ON b.o_custkey = a.o_custkey
+                 AND (b.o_orderdate > a.o_orderdate
+                      OR (b.o_orderdate = a.o_orderdate
+                          AND b.o_orderkey > a.o_orderkey))
             ) WHERE rn = 1
         """,
         "orders_hash_sample": """

@@ -2086,6 +2086,60 @@ def events_last_order_asof(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "o_orderkey"])
 
 
+def orders_next_order_asof(sf_dir: str):
+    """Forward as-of self-join: each order matches the EARLIEST later
+    order of the same customer — strictly later in the exact composite
+    (day, orderkey) order (functions/join.asof_join
+    (direction="forward") — backward over the order-reversing ``~t``
+    bijection, exact across the int64 domain; inner semantics drop
+    each customer's final order, matching the SQL twin).
+
+    Composite integer time = day * 2^24 + orderkey keeps the tie-break
+    exact and order-independent; the left side probes at composite + 1
+    so a row never matches itself but any strictly-later (day, key)
+    qualifies.  (orderkey + 1 < 2^24 holds for sf <= ~25.)"""
+    import ray
+
+    from ..functions.join import asof_join
+
+    _SHIFT = 1 << 24
+
+    def prep(probe: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            od = batch["o_orderdate"].to_numpy().astype(
+                "datetime64[D]").astype(np.int64)
+            keys = batch["o_orderkey"].to_numpy().astype(np.int64)
+            t = od * _SHIFT + keys + (1 if probe else 0)
+            return pa.table({
+                "o_custkey": batch["o_custkey"],
+                ("o_orderkey" if probe else "next_orderkey"):
+                    pa.array(keys),
+                ("t_probe" if probe else "t_order"): pa.array(t),
+            })
+        return fn
+
+    def rd():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    left = rd().map_batches(prep(True), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = rd().map_batches(prep(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = asof_join(
+        left, right, on="o_custkey", direction="forward",
+        left_time="t_probe", right_time="t_order", nbuckets=32,
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("o_orderkey", pa.int64()),
+                               ("t_probe", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("next_orderkey", pa.int64()),
+                                ("t_order", pa.int64())]))
+    return out.select_columns(["o_orderkey", "o_custkey",
+                               "next_orderkey"])
+
+
 def lineitem_price_band_join(sf_dir: str):
     """1-D range join (brief §custom operators): each lineitem price
     lands in every supplier-derived price band containing it, then a
