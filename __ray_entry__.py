@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
+        "segments_intersect_pairs": q.segments_intersect_pairs,
         "orders_global_rank": q.orders_global_rank,
         "orders_upsert": q.orders_upsert,
         "lineitem_price_winsorized": q.lineitem_price_winsorized,
@@ -946,6 +947,45 @@ def oracle_sql() -> dict[str, str]:
                       OR (b.o_orderdate = a.o_orderdate
                           AND b.o_orderkey > a.o_orderkey))
             ) WHERE rn = 1
+        """,
+        "segments_intersect_pairs": """
+            WITH a AS (
+              SELECT c_custkey AS custkey,
+                     (c_custkey * 2654435761) % 32768 AS ax1,
+                     (c_custkey * 97003) % 32768 AS ay1,
+                     (c_custkey * 2654435761) % 32768
+                       + (c_custkey * 7919) % 1024 - 512 AS ax2,
+                     (c_custkey * 97003) % 32768
+                       + (c_custkey * 104729) % 1024 - 512 AS ay2
+              FROM customer),
+            b AS (
+              SELECT s_suppkey,
+                     (s_suppkey * 1299709) % 32768 AS bx1,
+                     (s_suppkey * 15485863) % 32768 AS by1,
+                     (s_suppkey * 1299709) % 32768
+                       + (s_suppkey * 31) % 1024 - 512 AS bx2,
+                     (s_suppkey * 15485863) % 32768
+                       + (s_suppkey * 37) % 1024 - 512 AS by2
+              FROM supplier),
+            d AS (
+              SELECT custkey, s_suppkey,
+                     (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1) AS d1,
+                     (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1) AS d2,
+                     (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) AS d3,
+                     (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) AS d4,
+                     ax1, ay1, ax2, ay2, bx1, by1, bx2, by2
+              FROM a, b)
+            SELECT custkey, s_suppkey FROM d
+            WHERE (((d1>0 AND d2<0) OR (d1<0 AND d2>0))
+                   AND ((d3>0 AND d4<0) OR (d3<0 AND d4>0)))
+               OR (d1=0 AND least(bx1,bx2)<=ax1 AND ax1<=greatest(bx1,bx2)
+                        AND least(by1,by2)<=ay1 AND ay1<=greatest(by1,by2))
+               OR (d2=0 AND least(bx1,bx2)<=ax2 AND ax2<=greatest(bx1,bx2)
+                        AND least(by1,by2)<=ay2 AND ay2<=greatest(by1,by2))
+               OR (d3=0 AND least(ax1,ax2)<=bx1 AND bx1<=greatest(ax1,ax2)
+                        AND least(ay1,ay2)<=by1 AND by1<=greatest(ay1,ay2))
+               OR (d4=0 AND least(ax1,ax2)<=bx2 AND bx2<=greatest(ax1,ax2)
+                        AND least(ay1,ay2)<=by2 AND by2<=greatest(ay1,ay2))
         """,
         "orders_hash_sample": """
             SELECT o_orderkey,

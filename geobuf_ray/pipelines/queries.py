@@ -2674,6 +2674,49 @@ def customer_rects(sf_dir: str) -> pa.Table:
     return features_to_table(feats)
 
 
+def segments_intersect_pairs(sf_dir: str):
+    """Exact segment-intersection join (spatial/segjoin): deterministic
+    integer segments derived from customer keys x supplier keys on a
+    32768^2 grid; every intersecting (custkey, s_suppkey) pair exactly
+    once via the grid fan-out + reference-point rule.  The SQL twin is
+    the identical int64 CLRS orientation predicate over a cross join —
+    floats never enter either side, so the hash compare is exact."""
+    import ray
+
+    from ..spatial.segjoin import segment_intersect_join
+
+    _D = 32768
+
+    def a_prep(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        x1 = (k * 2654435761) % _D
+        y1 = (k * 97003) % _D
+        return pa.table({
+            "id": pa.array(k),
+            "x1": pa.array(x1), "y1": pa.array(y1),
+            "x2": pa.array(x1 + (k * 7919) % 1024 - 512),
+            "y2": pa.array(y1 + (k * 104729) % 1024 - 512)})
+
+    def b_prep(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy().astype(np.int64)
+        x1 = (k * 1299709) % _D
+        y1 = (k * 15485863) % _D
+        return pa.table({
+            "id": pa.array(k),
+            "x1": pa.array(x1), "y1": pa.array(y1),
+            "x2": pa.array(x1 + (k * 31) % 1024 - 512),
+            "y2": pa.array(y1 + (k * 37) % 1024 - 512)})
+
+    a = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+    ).map_batches(a_prep, batch_format="pyarrow", zero_copy_batch=True)
+    b = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"],
+    ).map_batches(b_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return segment_intersect_join(a, b, cell=2048, nbuckets=32,
+                                  out_a="custkey", out_b="s_suppkey")
+
+
 def rects_overlap_join(sf_dir: str):
     """Feature x feature rect-overlap join (polygon-polygon spatial
     join filter stage): small customer rects x supplier rects through
