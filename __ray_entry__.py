@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
         "segments_intersect_pairs": q.segments_intersect_pairs,
+        "rects_polygonize": q.rects_polygonize,
         "orders_global_rank": q.orders_global_rank,
         "orders_upsert": q.orders_upsert,
         "lineitem_price_winsorized": q.lineitem_price_winsorized,
@@ -986,6 +987,35 @@ def oracle_sql() -> dict[str, str]:
                         AND least(ay1,ay2)<=by1 AND by1<=greatest(ay1,ay2))
                OR (d4=0 AND least(ax1,ax2)<=bx2 AND bx2<=greatest(ax1,ax2)
                         AND least(ay1,ay2)<=by2 AND by2<=greatest(ay1,ay2))
+        """,
+        "rects_polygonize": """
+            WITH RECURSIVE s AS (
+              SELECT (s_suppkey*37) % 248 AS a, (s_suppkey*53) % 248 AS b,
+                     s_suppkey % 3 + 1 AS sx, (s_suppkey*7) % 3 + 1 AS sy
+              FROM supplier),
+            p AS (
+              SELECT DISTINCT a + i.range AS gx, b + j.range AS gy
+              FROM s, range(0, 4) i, range(0, 4) j
+              WHERE i.range <= sx AND j.range <= sy),
+            n AS (SELECT gy*256 + gx AS id, gx, gy FROM p),
+            adj AS (
+              SELECT n1.id AS u, n2.id AS v FROM n n1 JOIN n n2
+                ON (n2.gx = n1.gx + 1 AND n2.gy = n1.gy)
+                OR (n2.gx = n1.gx AND n2.gy = n1.gy + 1)),
+            e AS (
+              SELECT u, v FROM adj
+              UNION ALL SELECT v, u FROM adj
+              UNION ALL SELECT id, id FROM n),
+            r AS (
+              SELECT u AS node, v AS reach FROM e
+              UNION
+              SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u),
+            c AS (SELECT node, MIN(reach) AS component FROM r GROUP BY node)
+            SELECT component,
+                   COUNT(*) AS n_pixels,
+                   MIN(node % 256) AS min_gx, MIN(node // 256) AS min_gy,
+                   MAX(node % 256) AS max_gx, MAX(node // 256) AS max_gy
+            FROM c GROUP BY component
         """,
         "orders_hash_sample": """
             SELECT o_orderkey,

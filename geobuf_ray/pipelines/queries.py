@@ -2674,6 +2674,47 @@ def customer_rects(sf_dir: str) -> pa.Table:
     return features_to_table(feats)
 
 
+def rects_polygonize(sf_dir: str):
+    """Raster -> vector CCL polygonize (spatial/polygonize): small
+    supplier rects rasterize onto a 32x32-tile / 8x8-px grid through
+    the REAL float rasterizer, then the two-level distributed CCL
+    (per-tile run labeling -> boundary stitch -> region-graph
+    components) recovers every 4-connected region with its pixel count
+    and bbox.  Rect edges sit at quarter-pixel offsets on the DYADIC
+    grid (360/256 and 170/256 are exact binary fractions), so the
+    rasterized pixel set equals the integer prediction the SQL twin
+    computes; the twin then labels via a recursive-CTE closure."""
+    import ray
+
+    from ..io.geojson import features_to_table
+    from ..spatial.polygonize import polygonize
+    from ..spatial.raster import rasterize_polygons
+
+    import duckdb
+
+    keys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    a = (keys * 37) % 248
+    b = (keys * 53) % 248
+    sx = keys % 3 + 1
+    sy = (keys * 7) % 3 + 1
+    pw, ph = 360.0 / 256, 170.0 / 256
+    west = -180.0 + (a + 0.25) * pw
+    east = -180.0 + (a + sx + 0.75) * pw
+    south = -85.0 + (b + 0.25) * ph
+    north = -85.0 + (b + sy + 0.75) * ph
+    feats = [
+        {"type": "Feature", "id": int(k), "properties": {},
+         "geometry": {"type": "Polygon", "coordinates": [[
+             [w, s], [e, s], [e, n], [w, n], [w, s]]]}}
+        for k, w, s, e, n in zip(keys, west, south, east, north)
+    ]
+    polys = ray.data.from_arrow(features_to_table(feats))
+    raster = rasterize_polygons(polys, ntiles=32, px=8, id_col="id")
+    return polygonize(raster, ntiles=32, px=8, nbuckets=16)
+
+
 def segments_intersect_pairs(sf_dir: str):
     """Exact segment-intersection join (spatial/segjoin): deterministic
     integer segments derived from customer keys x supplier keys on a
