@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_next_order_asof": q.orders_next_order_asof,
         "segments_intersect_pairs": q.segments_intersect_pairs,
         "rects_polygonize": q.rects_polygonize,
+        "tpch_q3": q.tpch_q3,
         "orders_global_rank": q.orders_global_rank,
         "orders_upsert": q.orders_upsert,
         "lineitem_price_winsorized": q.lineitem_price_winsorized,
@@ -1016,6 +1017,24 @@ def oracle_sql() -> dict[str, str]:
                    MIN(node % 256) AS min_gx, MIN(node // 256) AS min_gy,
                    MAX(node % 256) AS max_gx, MAX(node // 256) AS max_gy
             FROM c GROUP BY component
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS o_day,
+                   o_orderpriority,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                        AS BIGINT) AS rev_c2
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+              AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_day, o_orderpriority
+            ORDER BY rev_c2 DESC, o_day, l_orderkey
+            LIMIT 10
         """,
         "orders_hash_sample": """
             SELECT o_orderkey,

@@ -2674,6 +2674,93 @@ def customer_rects(sf_dir: str) -> pa.Table:
     return features_to_table(feats)
 
 
+def tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers
+    semi-filter orders (key-only exchange), date-filtered lineitems
+    hash-join the surviving orders, then an integer-cent revenue
+    aggregate and a deterministic total-order top 10.  Composes the
+    engine's semi_join + hash_join + partial-aggregate pieces; revenue
+    is summed in 1e-4-dollar int64 units so floats never enter the
+    hash compare."""
+    import ray
+
+    from ..functions.join import hash_join, semi_join
+
+    cut = np.datetime64("1995-03-15")
+
+    def cseg(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], "BUILDING")) \
+            .select(["c_custkey"])
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(cseg, batch_format="pyarrow", zero_copy_batch=True)
+
+    def oprep(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].to_numpy().astype("datetime64[D]")
+        keep = od < cut
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_day": pa.array(od.astype(np.int64)),
+            "o_orderpriority": b["o_orderpriority"],
+        }).filter(pa.array(keep))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+    ).map_batches(oprep, batch_format="pyarrow", zero_copy_batch=True)
+    orders_b = semi_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", nbuckets=32,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_day", pa.int64()),
+                               ("o_orderpriority", pa.string())]))
+
+    def lprep(b: pa.Table) -> pa.Table:
+        sd = b["l_shipdate"].to_numpy().astype("datetime64[D]")
+        keep = sd > cut
+        price = np.round(b["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        disc = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "rev_c2": pa.array(price * (100 - disc)),
+        }).filter(pa.array(keep))
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(lprep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(items, orders_b, on="o_orderkey", nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(
+            ["o_orderkey", "o_day", "o_orderpriority"]).aggregate(
+            [("rev_c2", "sum")]).rename_columns(
+            ["o_orderkey", "o_day", "o_orderpriority", "rev_c2"])
+
+    parts = joined.select_columns(
+        ["o_orderkey", "o_day", "o_orderpriority", "rev_c2"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ..collect import collect_table
+
+    tbl = collect_table(parts)
+    agg = tbl.group_by(["o_orderkey", "o_day", "o_orderpriority"]) \
+        .aggregate([("rev_c2", "sum")]).rename_columns(
+        ["o_orderkey", "o_day", "o_orderpriority", "rev_c2"])
+    rev = agg["rev_c2"].to_numpy(zero_copy_only=False)
+    day = agg["o_day"].to_numpy(zero_copy_only=False)
+    key = agg["o_orderkey"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((key, day, -rev))[:10]
+    top = agg.take(pa.array(order, pa.int64()))
+    return top.rename_columns(
+        ["l_orderkey", "o_day", "o_orderpriority", "rev_c2"])
+
+
 def rects_polygonize(sf_dir: str):
     """Raster -> vector CCL polygonize (spatial/polygonize): small
     supplier rects rasterize onto a 32x32-tile / 8x8-px grid through
