@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segments_intersect_pairs": q.segments_intersect_pairs,
         "rects_polygonize": q.rects_polygonize,
         "tpch_q3": q.tpch_q3,
+        "rects_focal_counts": q.rects_focal_counts,
         "orders_global_rank": q.orders_global_rank,
         "orders_upsert": q.orders_upsert,
         "lineitem_price_winsorized": q.lineitem_price_winsorized,
@@ -1035,6 +1036,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_day, o_orderpriority
             ORDER BY rev_c2 DESC, o_day, l_orderkey
             LIMIT 10
+        """,
+        "rects_focal_counts": """
+            WITH s AS (
+              SELECT (s_suppkey*37) % 248 AS a, (s_suppkey*53) % 248 AS b,
+                     s_suppkey % 3 + 1 AS sx, (s_suppkey*7) % 3 + 1 AS sy
+              FROM supplier),
+            p AS (
+              SELECT DISTINCT a + i.range AS gx, b + j.range AS gy
+              FROM s, range(0, 4) i, range(0, 4) j
+              WHERE i.range <= sx AND j.range <= sy)
+            SELECT p1.gx, p1.gy, COUNT(*) AS focal
+            FROM p p1 JOIN p p2
+              ON abs(p2.gx - p1.gx) <= 1 AND abs(p2.gy - p1.gy) <= 1
+            GROUP BY p1.gx, p1.gy
         """,
         "orders_hash_sample": """
             SELECT o_orderkey,

@@ -2674,6 +2674,53 @@ def customer_rects(sf_dir: str) -> pa.Table:
     return features_to_table(feats)
 
 
+def _dyadic_rects(sf_dir: str):
+    """Small supplier rects with edges at quarter-pixel offsets on the
+    DYADIC 32x32-tile / 8x8-px grid (shared by rects_polygonize and
+    rects_focal_counts; the rasterized pixel set is integer-exact)."""
+    import duckdb
+
+    from ..io.geojson import features_to_table
+
+    keys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    a = (keys * 37) % 248
+    b = (keys * 53) % 248
+    sx = keys % 3 + 1
+    sy = (keys * 7) % 3 + 1
+    pw, ph = 360.0 / 256, 170.0 / 256
+    west = -180.0 + (a + 0.25) * pw
+    east = -180.0 + (a + sx + 0.75) * pw
+    south = -85.0 + (b + 0.25) * ph
+    north = -85.0 + (b + sy + 0.75) * ph
+    feats = [
+        {"type": "Feature", "id": int(k), "properties": {},
+         "geometry": {"type": "Polygon", "coordinates": [[
+             [w, s], [e, s], [e, n], [w, n], [w, s]]]}}
+        for k, w, s, e, n in zip(keys, west, south, east, north)
+    ]
+    return features_to_table(feats)
+
+
+def rects_focal_counts(sf_dir: str):
+    """Focal (moving-window) raster statistic with HALO EXCHANGE
+    (spatial/raster.focal_box_sum): the dyadic supplier-rect raster's
+    3x3 box sum per set pixel — edge pixels ship to neighbor tiles,
+    one tile co-group re-assembles each tile with its halo, 9 shifted
+    adds compute the window.  The SQL twin counts the same
+    neighborhood with a |dx|<=1 x |dy|<=1 self-join."""
+    import ray
+
+    from ..spatial.polygonize import union_tile_masks
+    from ..spatial.raster import focal_box_sum, rasterize_polygons
+
+    polys = ray.data.from_arrow(_dyadic_rects(sf_dir))
+    raster = rasterize_polygons(polys, ntiles=32, px=8, id_col="id")
+    occ = union_tile_masks(raster, px=8, nbuckets=16)
+    return focal_box_sum(occ, ntiles=32, px=8, nbuckets=16)
+
+
 def tpch_q3(sf_dir: str):
     """TPC-H Q3 shape (shipping priority): segment-filtered customers
     semi-filter orders (key-only exchange), date-filtered lineitems
@@ -2773,31 +2820,10 @@ def rects_polygonize(sf_dir: str):
     computes; the twin then labels via a recursive-CTE closure."""
     import ray
 
-    from ..io.geojson import features_to_table
     from ..spatial.polygonize import polygonize
     from ..spatial.raster import rasterize_polygons
 
-    import duckdb
-
-    keys = duckdb.connect().execute(
-        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
-    ).fetchnumpy()["s_suppkey"].astype(np.int64)
-    a = (keys * 37) % 248
-    b = (keys * 53) % 248
-    sx = keys % 3 + 1
-    sy = (keys * 7) % 3 + 1
-    pw, ph = 360.0 / 256, 170.0 / 256
-    west = -180.0 + (a + 0.25) * pw
-    east = -180.0 + (a + sx + 0.75) * pw
-    south = -85.0 + (b + 0.25) * ph
-    north = -85.0 + (b + sy + 0.75) * ph
-    feats = [
-        {"type": "Feature", "id": int(k), "properties": {},
-         "geometry": {"type": "Polygon", "coordinates": [[
-             [w, s], [e, s], [e, n], [w, n], [w, s]]]}}
-        for k, w, s, e, n in zip(keys, west, south, east, north)
-    ]
-    polys = ray.data.from_arrow(features_to_table(feats))
+    polys = ray.data.from_arrow(_dyadic_rects(sf_dir))
     raster = rasterize_polygons(polys, ntiles=32, px=8, id_col="id")
     return polygonize(raster, ntiles=32, px=8, nbuckets=16)
 

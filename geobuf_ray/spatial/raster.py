@@ -183,3 +183,82 @@ def masks_to_boxes(tile_x: np.ndarray, tile_y: np.ndarray,
         "east": pa.array(east),
         "north": pa.array(north),
     })
+
+
+def focal_box_sum(occ_ds, *, ntiles: int, px: int, nbuckets: int = 16,
+                  **map_kwargs):
+    """Focal (moving-window) 3x3 box sum over a tiled binary raster —
+    the classic distributed-raster HALO EXCHANGE: a tile's window
+    touches up to one pixel of each of its 8 neighbors, so every set
+    pixel ships to its home tile plus any adjacent tile whose halo it
+    sits in (edge pixels only fan out), one hash co-group on the tile
+    key re-assembles each tile WITH its halo, and the window sum is 9
+    shifted adds over the padded local grid.
+
+    Input: unioned occupancy rows (tile_x, tile_y, mask) (see
+    ``union_tile_masks``).  Output: one row per SET pixel
+    (gx, gy, focal) where ``focal`` counts set pixels in the 3x3
+    neighborhood INCLUDING the pixel itself.
+    """
+    from ..functions.exchange import grouped_exchange
+    from .polygonize import _mask_bits
+
+    out_schema = pa.schema([("gx", pa.int64()), ("gy", pa.int64()),
+                            ("focal", pa.int64())])
+    row_schema = pa.schema([("tile", pa.int64()), ("gx", pa.int64()),
+                            ("gy", pa.int64())])
+
+    def fan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return row_schema.empty_table()
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = _mask_bits(batch["mask"], n, px)
+        mi, y, x = np.nonzero(bits)
+        gx = tx[mi] * px + x
+        gy = ty[mi] * px + y
+        # tiles needing this pixel: those covering [g-1, g+1] per axis
+        txlo = np.clip((gx - 1) // px, 0, ntiles - 1)
+        txhi = np.clip((gx + 1) // px, 0, ntiles - 1)
+        tylo = np.clip((gy - 1) // px, 0, ntiles - 1)
+        tyhi = np.clip((gy + 1) // px, 0, ntiles - 1)
+        # the four corner combos collapse for interior pixels; stack
+        # all candidates and keep unique (tile, pixel) rows
+        t_all = np.concatenate([ay * ntiles + ax
+                                for ax, ay in ((txlo, tylo), (txlo, tyhi),
+                                               (txhi, tylo), (txhi, tyhi))])
+        gx_all = np.tile(gx, 4)
+        gy_all = np.tile(gy, 4)
+        z = t_all * np.int64(ntiles * px) * np.int64(ntiles * px) \
+            + gy_all * np.int64(ntiles * px) + gx_all
+        _, ui = np.unique(z, return_index=True)
+        return pa.table({"tile": pa.array(t_all[ui]),
+                         "gx": pa.array(gx_all[ui]),
+                         "gy": pa.array(gy_all[ui])})
+
+    rows = occ_ds.map_batches(fan, batch_format="pyarrow",
+                              zero_copy_batch=True, **map_kwargs)
+
+    def group_fn(tbl: pa.Table) -> pa.Table:
+        t = int(tbl["tile"][0].as_py())
+        tx, ty = t % ntiles, t // ntiles
+        gx = tbl["gx"].to_numpy(zero_copy_only=False)
+        gy = tbl["gy"].to_numpy(zero_copy_only=False)
+        lx = gx - tx * px + 1          # halo-padded local coords
+        ly = gy - ty * px + 1
+        grid = np.zeros((px + 2, px + 2), np.int64)
+        grid[ly, lx] = 1
+        s = np.zeros((px, px), np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                s += grid[1 + dy:1 + dy + px, 1 + dx:1 + dx + px]
+        own = grid[1:-1, 1:-1].astype(bool)
+        oy, ox = np.nonzero(own)
+        return pa.table({
+            "gx": pa.array(tx * px + ox),
+            "gy": pa.array(ty * px + oy),
+            "focal": pa.array(s[oy, ox])})
+
+    return grouped_exchange(rows, "tile", group_fn, nbuckets=nbuckets,
+                            schema=out_schema)

@@ -122,3 +122,30 @@ def test_union_tile_masks(ray_session):
     u = np.unpackbits(np.frombuffer(out["mask"][0], np.uint8)) \
         .reshape(px, px).astype(bool)
     assert (u == (m[0] | m[1] | m[2])).all()
+
+
+@pytest.mark.parametrize("density", [0.15, 0.6])
+def test_focal_box_sum_vs_direct_conv(ray_session, density):
+    import ray
+
+    from geobuf_ray.spatial.raster import focal_box_sum
+
+    rng = np.random.default_rng(int(density * 1000))
+    ntiles, px = 4, 8
+    W = ntiles * px
+    grid = rng.random((W, W)) < density
+    # force cross-tile windows: a solid band across every tile border
+    grid[px - 1:px + 1, :] = True
+    rows = _raster_rows(grid, ntiles, px)
+    ds = ray.data.from_arrow(rows).repartition(3)
+    out = focal_box_sum(ds, ntiles=ntiles, px=px, nbuckets=4).to_pandas()
+    # direct reference: padded 3x3 convolution
+    padded = np.zeros((W + 2, W + 2), np.int64)
+    padded[1:-1, 1:-1] = grid
+    conv = sum(padded[1 + dy:1 + dy + W, 1 + dx:1 + dx + W]
+               for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    want = {(x, y): int(conv[y, x])
+            for y, x in zip(*np.nonzero(grid))}
+    got = {(int(r.gx), int(r.gy)): int(r.focal)
+           for r in out.itertuples()}
+    assert got == want
