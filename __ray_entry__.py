@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_polygonize": q.rects_polygonize,
         "tpch_q3": q.tpch_q3,
         "rects_focal_counts": q.rects_focal_counts,
+        "orders_interval_overlap": q.orders_interval_overlap,
         "orders_global_rank": q.orders_global_rank,
         "orders_upsert": q.orders_upsert,
         "lineitem_price_winsorized": q.lineitem_price_winsorized,
@@ -1050,6 +1051,27 @@ def oracle_sql() -> dict[str, str]:
             FROM p p1 JOIN p p2
               ON abs(p2.gx - p1.gx) <= 1 AND abs(p2.gy - p1.gy) <= 1
             GROUP BY p1.gx, p1.gy
+        """,
+        "orders_interval_overlap": """
+            WITH a AS (
+              SELECT s_suppkey,
+                     9131 + (s_suppkey*13) % 2200 AS alo,
+                     9131 + (s_suppkey*13) % 2200
+                       + (s_suppkey % 7) * 9 + 20 AS ahi
+              FROM supplier),
+            b AS (
+              SELECT o_orderkey,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS blo,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE))
+                       + o_orderkey % 5 AS bhi
+              FROM orders)
+            SELECT s_suppkey,
+                   COUNT(*) AS n_overlaps,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
+            FROM a JOIN b ON alo <= bhi AND blo <= ahi
+            GROUP BY s_suppkey
         """,
         "orders_hash_sample": """
             SELECT o_orderkey,

@@ -2674,6 +2674,61 @@ def customer_rects(sf_dir: str) -> pa.Table:
     return features_to_table(feats)
 
 
+def orders_interval_overlap(sf_dir: str):
+    """Interval x interval overlap join (functions/join
+    .interval_overlap_join): supplier-derived day windows vs per-order
+    day spans, aggregated per supplier.  Both sides fan to 32-day bins;
+    every overlapping pair is generated exactly once in the bin
+    containing max(lo_a, lo_b) — no dedup pass — and the aggregate
+    bounds the output."""
+    import ray
+
+    from ..functions.join import interval_overlap_join
+
+    def sprep(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy().astype(np.int64)
+        lo = 9131 + (k * 13) % 2200
+        return pa.table({"s_suppkey": pa.array(k),
+                         "alo": pa.array(lo),
+                         "ahi": pa.array(lo + (k % 7) * 9 + 20)})
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({"o_orderkey": pa.array(k),
+                         "blo": pa.array(d),
+                         "bhi": pa.array(d + k % 5)})
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"],
+    ).map_batches(sprep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(oprep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = interval_overlap_join(
+        sup, orders, a_lo="alo", a_hi="ahi", b_lo="blo", b_hi="bhi",
+        bin_width=32, nbuckets=32,
+        a_schema=pa.schema([("s_suppkey", pa.int64()),
+                            ("alo", pa.int64()), ("ahi", pa.int64())]),
+        b_schema=pa.schema([("o_orderkey", pa.int64()),
+                            ("blo", pa.int64()), ("bhi", pa.int64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["s_suppkey"].to_numpy(zero_copy_only=False)
+        o = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"s_suppkey": pa.array(k),
+                         "n_overlaps": pa.array(np.ones(len(k), np.int64)),
+                         "sum_okey": pa.array(o)}) \
+            .group_by("s_suppkey").aggregate(
+            [("n_overlaps", "sum"), ("sum_okey", "sum")]) \
+            .rename_columns(["s_suppkey", "n_overlaps", "sum_okey"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return _final_combine(parts, ["s_suppkey"], ["n_overlaps", "sum_okey"])
+
+
 def _dyadic_rects(sf_dir: str):
     """Small supplier rects with edges at quarter-pixel offsets on the
     DYADIC 32x32-tile / 8x8-px grid (shared by rects_polygonize and

@@ -485,3 +485,49 @@ def test_asof_join_nearest_int64_extremes(ray_session):
     # each left row's nearest is its own end of the domain; a
     # wrapped/float distance would cross the whole range and pick wrong
     assert out["rv"].tolist() == [10, 11]
+
+
+@pytest.mark.parametrize("bin_width", [1, 7, 64, 100000])
+def test_interval_overlap_join_vs_brute_force(ray_session, bin_width):
+    from geobuf_ray.functions.join import interval_overlap_join
+
+    rng = np.random.default_rng(31 + bin_width)
+    na, nb = 300, 250
+    alo = rng.integers(-500, 500, na)
+    ahi = alo + rng.integers(0, 120, na)      # zero-length allowed
+    blo = rng.integers(-500, 500, nb)
+    bhi = blo + rng.integers(0, 120, nb)
+    a = pa.table({"aid": pa.array(np.arange(na), pa.int64()),
+                  "alo": pa.array(alo, pa.int64()),
+                  "ahi": pa.array(ahi, pa.int64())})
+    b = pa.table({"bid": pa.array(np.arange(nb), pa.int64()),
+                  "blo": pa.array(blo, pa.int64()),
+                  "bhi": pa.array(bhi, pa.int64())})
+    out = interval_overlap_join(
+        _ds(a, 4), _ds(b, 3), a_lo="alo", a_hi="ahi",
+        b_lo="blo", b_hi="bhi", bin_width=bin_width,
+        nbuckets=4).to_pandas()
+    got = list(zip(out["aid"], out["bid"]))
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    want = {(i, j) for i in range(na) for j in range(nb)
+            if alo[i] <= bhi[j] and blo[j] <= ahi[i]}
+    assert set(got) == want
+    assert len(want) > 1000
+
+
+def test_interval_overlap_join_touching_endpoints(ray_session):
+    from geobuf_ray.functions.join import interval_overlap_join
+
+    # closed-interval semantics: [0,10] and [10,20] DO overlap;
+    # [0,10] and [11,20] do not
+    a = pa.table({"aid": pa.array([1, 2], pa.int64()),
+                  "alo": pa.array([0, 0], pa.int64()),
+                  "ahi": pa.array([10, 10], pa.int64())})
+    b = pa.table({"bid": pa.array([1, 2], pa.int64()),
+                  "blo": pa.array([10, 11], pa.int64()),
+                  "bhi": pa.array([20, 20], pa.int64())})
+    out = interval_overlap_join(
+        _ds(a, 1), _ds(b, 1), a_lo="alo", a_hi="ahi",
+        b_lo="blo", b_hi="bhi", bin_width=4, nbuckets=2).to_pandas()
+    got = sorted(zip(out["aid"], out["bid"]))
+    assert got == [(1, 1), (2, 1)]
