@@ -1030,3 +1030,67 @@ def upsert(base, updates, key_cols: list[str], version_col: str,
 
     return hash_exchange(u, nbuckets=nbuckets, on=key_cols,
                          reduce_fn=last_per_key, schema=full_schema)
+
+
+def semantic_dedup(ds, *, col: str = "embedding", id_col: str = "vec_id",
+                   k: int = 64, iters: int = 4, threshold: float = 0.95,
+                   nbuckets: int = 32, cluster_cap: int = 4096,
+                   seed: int = 0, centroids=None):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-bucket the embedding space, then inside
+    each cluster drop every row that has a SMALLER-id cluster-mate with
+    cosine similarity >= ``threshold`` (the deterministic min-id
+    survivor rule — one representative per near-duplicate set
+    survives, independent of block layout).
+
+    Scale shape: the O(n^2) similarity work is confined to clusters
+    (pick ``k`` so clusters fit a worker), and a degenerate cluster
+    larger than ``cluster_cap`` compares each row against only its
+    ``cluster_cap`` lowest-id members — bounded work, flagged
+    ``truncated=True`` (the same honesty contract as the LSH
+    ``bucket_cap``).
+
+    Returns rows (id_col, cluster, keep, truncated).  Zero vectors
+    never match anything (cosine undefined -> similarity 0).
+    """
+    from .cluster import kmeans_assign, kmeans_fit
+    from .exchange import grouped_exchange
+    from .linalg import _list_to_matrix
+
+    if centroids is None:
+        centroids, _ = kmeans_fit(ds, col, k=k, iters=iters,
+                                  id_col=id_col, seed=seed)
+    assigned = kmeans_assign(ds, centroids, col, out_col="cluster")
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("cluster", pa.int64()),
+                            ("keep", pa.bool_()),
+                            ("truncated", pa.bool_())])
+
+    def group_fn(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        x = _list_to_matrix(tbl[col])[order]
+        norms = np.sqrt((x * x).sum(axis=1))
+        nz = norms > 0
+        xn = np.where(nz[:, None], x / np.maximum(norms, 1e-300)[:, None],
+                      0.0)
+        m = min(n, cluster_cap)
+        sims = xn @ xn[:m].T                      # (n, m)
+        # row i may only match STRICTLY SMALLER ids: ref columns < i
+        cols = np.arange(m)
+        allowed = cols[None, :] < np.minimum(np.arange(n), m)[:, None]
+        dup = ((sims >= threshold) & allowed).any(axis=1)
+        keep = ~dup
+        trunc = np.full(n, n > cluster_cap)
+        cl = tbl["cluster"].slice(0, 1)[0].as_py()
+        return pa.table({id_col: pa.array(ids_s),
+                         "cluster": pa.array(np.full(n, cl, np.int64)),
+                         "keep": pa.array(keep),
+                         "truncated": pa.array(trunc)})
+
+    slim = assigned.select_columns([id_col, col, "cluster"])
+    return grouped_exchange(slim, "cluster", group_fn,
+                            nbuckets=nbuckets, schema=out_schema)

@@ -813,6 +813,40 @@ def embeddings_kmeans(sf_dir: str, k: int = 8, iters: int = 8):
     })
 
 
+def embeddings_semantic_dedup(sf_dir: str, k: int = 16,
+                              threshold: float = 0.98):
+    """SemDeDup-style semantic dedup (functions/dedup.semantic_dedup):
+    k-means buckets the embedding space, each cluster drops rows with
+    a smaller-id near-duplicate (cosine >= threshold) — O(n^2) work
+    confined to clusters, min-id survivor rule deterministic under any
+    partitioning.  Rows-only (iterative k-means is not SQL); the
+    pytest oracle is an exact scalar reference + partition-invariance
+    + planted-duplicate checks.  Output: per-cluster row/kept
+    counts."""
+    import ray
+
+    from ..functions.dedup import semantic_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, col="embedding", id_col="vec_id", k=k,
+                         iters=4, threshold=threshold, nbuckets=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster": b["cluster"],
+            "n_rows": pa.array(np.ones(b.num_rows, np.int64)),
+            "n_kept": pa.array(b["keep"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+        }).group_by("cluster").aggregate(
+            [("n_rows", "sum"), ("n_kept", "sum")]).rename_columns(
+            ["cluster", "n_rows", "n_kept"])
+
+    parts = out.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _final_combine(parts, ["cluster"], ["n_rows", "n_kept"])
+
+
 def embeddings_covariance(sf_dir: str):
     """Exact covariance matrix of the embedding column
     (functions/linalg.covariance_matrix): block-local int64 moment
