@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": q.tpch_q3,
         "rects_focal_counts": q.rects_focal_counts,
         "orders_interval_overlap": q.orders_interval_overlap,
+        "parts_ring_validity": q.parts_ring_validity,
         "orders_global_rank": q.orders_global_rank,
         "orders_upsert": q.orders_upsert,
         "lineitem_price_winsorized": q.lineitem_price_winsorized,
@@ -1073,6 +1074,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
             FROM a JOIN b ON alo <= bhi AND blo <= ahi
             GROUP BY s_suppkey
+        """,
+        "parts_ring_validity": """
+            WITH v AS (
+              SELECT p_partkey AS pk,
+                     (p_partkey % 300) + 100 AS w,
+                     ((p_partkey*7) % 300) + 100 AS h,
+                     p_partkey * 4096 AS ox,
+                     (p_partkey % 7 = 0) AS bow
+              FROM part),
+            e AS (
+              SELECT pk, 0 AS e, ox AS x1, 0 AS y1,
+                     ox + w AS x2, 0 AS y2 FROM v
+              UNION ALL
+              SELECT pk, 1, ox + w, 0,
+                     CASE WHEN bow THEN ox ELSE ox + w END, h FROM v
+              UNION ALL
+              SELECT pk, 2, CASE WHEN bow THEN ox ELSE ox + w END, h,
+                     CASE WHEN bow THEN ox + w ELSE ox END, h FROM v
+              UNION ALL
+              SELECT pk, 3, CASE WHEN bow THEN ox + w ELSE ox END, h,
+                     ox, 0 FROM v),
+            d AS (
+              SELECT a.pk, a.e AS ea, b.e AS eb,
+                     (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) AS d1,
+                     (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) AS d2,
+                     (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) AS d3,
+                     (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) AS d4,
+                     a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+                     b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+              FROM e a JOIN e b ON a.pk = b.pk AND a.e < b.e
+               AND b.e - a.e <> 1 AND NOT (a.e = 0 AND b.e = 3))
+            SELECT pk AS p_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_bad_pairs
+            FROM d
+            WHERE (((d1>0 AND d2<0) OR (d1<0 AND d2>0))
+                   AND ((d3>0 AND d4<0) OR (d3<0 AND d4>0)))
+               OR (d1=0 AND least(bx1,bx2)<=ax1 AND ax1<=greatest(bx1,bx2)
+                        AND least(by1,by2)<=ay1 AND ay1<=greatest(by1,by2))
+               OR (d2=0 AND least(bx1,bx2)<=ax2 AND ax2<=greatest(bx1,bx2)
+                        AND least(by1,by2)<=ay2 AND ay2<=greatest(by1,by2))
+               OR (d3=0 AND least(ax1,ax2)<=bx1 AND bx1<=greatest(ax1,ax2)
+                        AND least(ay1,ay2)<=by1 AND by1<=greatest(ay1,ay2))
+               OR (d4=0 AND least(ax1,ax2)<=bx2 AND bx2<=greatest(ax1,ax2)
+                        AND least(ay1,ay2)<=by2 AND by2<=greatest(ay1,ay2))
+            GROUP BY pk
         """,
         "orders_hash_sample": """
             SELECT o_orderkey,

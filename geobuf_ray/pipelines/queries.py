@@ -2708,6 +2708,75 @@ def customer_rects(sf_dir: str) -> pa.Table:
     return features_to_table(feats)
 
 
+def parts_ring_validity(sf_dir: str):
+    """Polygon-ring self-intersection check (ST_IsValid-lite) COMPOSED
+    from the engine's own segment_intersect_join: every part becomes a
+    quad ring (every 7th key a planted bowtie), the ring's edges
+    self-join through the grid engine, and non-adjacent edge pairs
+    that intersect flag the ring invalid.
+
+    Each part's ring lives in its own 4096-unit coordinate cell
+    (local extent < 512), so cross-part pairs are geometrically
+    impossible and the join's output is exactly the same-ring pairs
+    the SQL twin enumerates.  (part keys must stay < 2^18 for the
+    2^30 coord bound — holds through sf 1.)"""
+    import ray
+
+    from ..spatial.segjoin import segment_intersect_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy().astype(np.int64)
+        w = (k % 300) + 100
+        h = ((k * 7) % 300) + 100
+        ox = k * 4096
+        bow = (k % 7) == 0
+        # vertex order: valid = (0,0),(w,0),(w,h),(0,h);
+        # bowtie swaps the last two -> edges 1 and 3 cross
+        vx = np.stack([ox, ox + w,
+                       np.where(bow, ox, ox + w),
+                       np.where(bow, ox + w, ox)], axis=1)
+        vy = np.stack([np.zeros_like(h), np.zeros_like(h),
+                       h, h], axis=1)
+        n = len(k)
+        eids, x1, y1, x2, y2 = [], [], [], [], []
+        for e in range(4):
+            j = (e + 1) % 4
+            eids.append(k * 4 + e)
+            x1.append(vx[:, e]); y1.append(vy[:, e])
+            x2.append(vx[:, j]); y2.append(vy[:, j])
+        return pa.table({
+            "id": pa.array(np.concatenate(eids)),
+            "x1": pa.array(np.concatenate(x1)),
+            "y1": pa.array(np.concatenate(y1)),
+            "x2": pa.array(np.concatenate(x2)),
+            "y2": pa.array(np.concatenate(y2))})
+
+    def segs():
+        return ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    pairs = segment_intersect_join(segs(), segs(), cell=2048,
+                                   nbuckets=32, out_a="ida", out_b="idb")
+
+    def flag(b: pa.Table) -> pa.Table:
+        ia = b["ida"].to_numpy(zero_copy_only=False)
+        ib = b["idb"].to_numpy(zero_copy_only=False)
+        pa_, ea = ia // 4, ia % 4
+        pb_, eb = ib // 4, ib % 4
+        keep = (pa_ == pb_) & (ea < eb) & (eb - ea != 1) \
+            & ~((ea == 0) & (eb == 3))
+        return pa.table({
+            "p_partkey": pa.array(pa_[keep]),
+            "n_bad_pairs": pa.array(np.ones(int(keep.sum()), np.int64))}) \
+            .group_by("p_partkey").aggregate([("n_bad_pairs", "sum")]) \
+            .rename_columns(["p_partkey", "n_bad_pairs"])
+
+    flagged = pairs.map_batches(flag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return _final_combine(flagged, ["p_partkey"], ["n_bad_pairs"])
+
+
 def orders_interval_overlap(sf_dir: str):
     """Interval x interval overlap join (functions/join
     .interval_overlap_join): supplier-derived day windows vs per-order
