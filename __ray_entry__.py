@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # §2.5 PIP join + kNN, M1/M2 codec round-trip)
         "points_bbox": q.points_bbox,
         "tile_assign": q.tile_assign,
+        "tile_adaptive_counts": q.tile_adaptive_counts,
         "tile_counts": q.tile_counts,
         "tile_rollup": q.tile_rollup,
         "pip_rect_join": q.pip_rect_join,
@@ -1119,6 +1120,30 @@ def oracle_sql() -> dict[str, str]:
                OR (d4=0 AND least(ax1,ax2)<=bx2 AND bx2<=greatest(ax1,ax2)
                         AND least(ay1,ay2)<=by2 AND by2<=greatest(ay1,ay2))
             GROUP BY pk
+        """,
+        "tile_adaptive_counts": f"""
+            WITH t AS (
+              SELECT {_tile_x(_LON, 3)} AS x3, {_tile_y(_LAT, 3)} AS y3,
+                     {_tile_x(_LON, 4)} AS x4, {_tile_y(_LAT, 4)} AS y4,
+                     {_tile_x(_LON, 5)} AS x5, {_tile_y(_LAT, 5)} AS y5,
+                     {_tile_x(_LON, 6)} AS x6, {_tile_y(_LAT, 6)} AS y6
+              FROM customer),
+            c3 AS (SELECT x3, y3, COUNT(*) AS n3 FROM t GROUP BY x3, y3),
+            c4 AS (SELECT x4, y4, COUNT(*) AS n4 FROM t GROUP BY x4, y4),
+            c5 AS (SELECT x5, y5, COUNT(*) AS n5 FROM t GROUP BY x5, y5),
+            j AS (
+              SELECT t.*, c3.n3, c4.n4, c5.n5
+              FROM t JOIN c3 USING (x3, y3) JOIN c4 USING (x4, y4)
+                     JOIN c5 USING (x5, y5))
+            SELECT zoom, tile_x, tile_y, COUNT(*) AS n_points FROM (
+              SELECT CASE WHEN n3 <= 8 THEN 3 WHEN n4 <= 8 THEN 4
+                          WHEN n5 <= 8 THEN 5 ELSE 6 END AS zoom,
+                     CASE WHEN n3 <= 8 THEN x3 WHEN n4 <= 8 THEN x4
+                          WHEN n5 <= 8 THEN x5 ELSE x6 END AS tile_x,
+                     CASE WHEN n3 <= 8 THEN y3 WHEN n4 <= 8 THEN y4
+                          WHEN n5 <= 8 THEN y5 ELSE y6 END AS tile_y
+              FROM j)
+            GROUP BY zoom, tile_x, tile_y
         """,
         "orders_hash_sample": """
             SELECT o_orderkey,

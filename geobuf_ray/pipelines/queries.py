@@ -2607,6 +2607,34 @@ def tile_assign(sf_dir: str, zoom: int = 8):
                                                zero_copy_batch=True)
 
 
+def tile_adaptive_counts(sf_dir: str, zmin: int = 3, zmax: int = 6,
+                         cap: int = 8):
+    """Count-bounded adaptive quadtree tiling
+    (pipelines/tiling.adaptive_tile_assign — the dense-cell skew
+    handler): each customer point lands at the shallowest zoom in
+    [3, 6] whose tile holds <= 8 points (else zoom 6); hot tiles are
+    found level by level so count tables and broadcast hot sets stay
+    O(points / cap), never O(4^z).  Hash-checked against a SQL twin
+    computing the same rule from full per-level counts (equivalent:
+    a tile with a non-hot ancestor never reaches deeper levels)."""
+    from ..pipelines.tiling import adaptive_tile_assign
+
+    out = adaptive_tile_assign(customer_points(sf_dir), zmin=zmin,
+                               zmax=zmax, cap=cap)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_points", pa.array(np.ones(b.num_rows, np.int64))) \
+            .group_by(["zoom", "tile_x", "tile_y"]).aggregate(
+            [("n_points", "sum")]).rename_columns(
+            ["zoom", "tile_x", "tile_y", "n_points"])
+
+    parts = out.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _final_combine(parts, ["zoom", "tile_x", "tile_y"],
+                          ["n_points"])
+
+
 def tile_counts(sf_dir: str, zoom: int = 8):
     """Per-tile point counts (the tiling manifest aggregate)."""
     import ray

@@ -514,3 +514,112 @@ def tile_counts(ds, zoom: int, bounds=None, **map_kwargs):
     (groupby(tile).count(), SURVEY.md §2.6 A3)."""
     tiled = assign_tiles(ds, zoom, bounds, **map_kwargs)
     return tiled.groupby("tile_str").count()
+
+
+def adaptive_tile_assign(points, *, lon_col: str = "lon",
+                         lat_col: str = "lat", zmin: int, zmax: int,
+                         cap: int, id_col: str | None = None):
+    """Count-bounded ADAPTIVE quadtree tiling — the skew handler for
+    dense cells (north_rule: "salted repartitioning for skewed dense
+    cells", expressed as splitting instead of salting): a point is
+    assigned at the SHALLOWEST zoom in [zmin, zmax] whose tile holds
+    <= ``cap`` points, else at ``zmax``.  Deterministic and
+    order-independent (the rule depends only on full per-tile counts).
+
+    Scale shape: hot tiles are found LEVEL BY LEVEL — the level-z pass
+    counts only points whose whole ancestor chain is hot (points in a
+    non-hot ancestor are already assigned shallower and can never
+    split deeper), so every count table and every broadcast hot set is
+    bounded by (#points / cap) * 4 rows, never by 4^z.  The input is
+    scanned zmax - zmin + 1 times (materialized once).
+
+    Returns a Dataset of per-point rows (``id_col`` if given, zoom,
+    tile_x, tile_y).
+    """
+    import ray
+
+    from ..collect import collect_table
+    from ..spatial import tiles as _t
+
+    if not (zmin <= zmax):
+        raise ValueError("need zmin <= zmax")
+    pts = points.materialize()
+    hot: dict[int, np.ndarray] = {}      # z -> sorted packed hot tiles
+
+    def _packed(batch, z):
+        x, y = _t.lonlat_to_tile(batch[lon_col].to_numpy(),
+                                 batch[lat_col].to_numpy(), z)
+        return (x.astype(np.int64) << 32) | y.astype(np.int64)
+
+    def _chain_hot(p, z):
+        """True where the point's ancestors at zmin..z-1 are ALL hot
+        (p = packed tile at z)."""
+        x, y = p >> 32, p & 0xFFFFFFFF
+        ok = np.ones(len(p), bool)
+        for zp in range(zmin, z):
+            hp = hot[zp]
+            a = ((x >> (z - zp)) << 32) | (y >> (z - zp))
+            pos = np.searchsorted(hp, a)
+            pos = np.clip(pos, 0, max(len(hp) - 1, 0))
+            ok &= len(hp) > 0
+            if len(hp):
+                ok &= hp[pos] == a
+        return ok
+
+    for z in range(zmin, zmax):          # zmax never splits further
+        def partial(batch: pa.Table, z=z) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"t": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            p = _packed(batch, z)
+            if z > zmin:
+                p = p[_chain_hot(p, z)]
+            uniq, cnt = np.unique(p, return_counts=True)
+            return pa.table({"t": pa.array(uniq),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        parts = collect_table(pts.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True))
+        agg = parts.group_by("t").aggregate([("n", "sum")])
+        t = agg["t"].to_numpy(zero_copy_only=False)
+        n = agg["n_sum"].to_numpy(zero_copy_only=False)
+        hot[z] = np.sort(t[n > cap])
+
+    hot_ref = ray.put(hot)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        h = ray.get(hot_ref) if nrows else {}
+        zoom = np.full(nrows, zmax, np.int64)
+        tx = np.zeros(nrows, np.int64)
+        ty = np.zeros(nrows, np.int64)
+        undecided = np.ones(nrows, bool)
+        lon = batch[lon_col].to_numpy()
+        lat = batch[lat_col].to_numpy()
+        for z in range(zmin, zmax + 1):
+            x, y = _t.lonlat_to_tile(lon, lat, z)
+            p = (x.astype(np.int64) << 32) | y.astype(np.int64)
+            if z < zmax:
+                hz = h[z]
+                pos = np.clip(np.searchsorted(hz, p), 0,
+                              max(len(hz) - 1, 0))
+                is_hot = (hz[pos] == p) if len(hz) else \
+                    np.zeros(nrows, bool)
+                take = undecided & ~is_hot
+            else:
+                take = undecided
+            zoom[take] = z
+            tx[take] = x[take]
+            ty[take] = y[take]
+            undecided &= ~take
+            if not undecided.any():
+                break
+        cols = {}
+        if id_col is not None:
+            cols[id_col] = batch[id_col]
+        cols.update({"zoom": pa.array(zoom), "tile_x": pa.array(tx),
+                     "tile_y": pa.array(ty)})
+        return pa.table(cols)
+
+    return pts.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -100,3 +100,59 @@ def test_k_ring_wraps_antimeridian():
     _, ring2 = tiles.k_ring(k2, 1)
     _, _, yy2 = tiles.unpack(ring2)
     assert yy2.min() == 0 and set(yy2.tolist()) == {0, 1}
+
+
+def test_adaptive_tile_assign_vs_scalar_rule(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.pipelines.tiling import adaptive_tile_assign
+    from geobuf_ray.spatial import tiles as t
+
+    rng = np.random.default_rng(41)
+    # skewed corpus: a dense hotspot (forces splits to zmax) + sparse
+    # background (stays at zmin)
+    n_hot, n_bg = 400, 120
+    lon = np.concatenate([rng.uniform(10.0, 10.2, n_hot),
+                          rng.uniform(-170, 170, n_bg)])
+    lat = np.concatenate([rng.uniform(45.0, 45.2, n_hot),
+                          rng.uniform(-80, 80, n_bg)])
+    ids = np.arange(len(lon), dtype=np.int64)
+    tbl = pa.table({"pid": pa.array(ids), "lon": pa.array(lon),
+                    "lat": pa.array(lat)})
+    zmin, zmax, cap = 2, 7, 16
+    out = adaptive_tile_assign(
+        ray.data.from_arrow(tbl).repartition(5), lon_col="lon",
+        lat_col="lat", zmin=zmin, zmax=zmax, cap=cap,
+        id_col="pid").to_pandas().sort_values("pid").reset_index(drop=True)
+    # scalar reference from FULL per-level counts
+    want = {}
+    packs = {}
+    for z in range(zmin, zmax + 1):
+        x, y = t.lonlat_to_tile(lon, lat, z)
+        p = (x.astype(np.int64) << 32) | y
+        packs[z] = p
+    from collections import Counter
+    counts = {z: Counter(packs[z].tolist()) for z in range(zmin, zmax)}
+    for i in range(len(lon)):
+        for z in range(zmin, zmax):
+            if counts[z][int(packs[z][i])] <= cap:
+                want[i] = (z, int(packs[z][i] >> 32),
+                           int(packs[z][i] & 0xFFFFFFFF))
+                break
+        else:
+            want[i] = (zmax, int(packs[zmax][i] >> 32),
+                       int(packs[zmax][i] & 0xFFFFFFFF))
+    got = {int(r.pid): (int(r.zoom), int(r.tile_x), int(r.tile_y))
+           for r in out.itertuples()}
+    assert got == want
+    zs = {v[0] for v in want.values()}
+    assert zmin in zs and zmax in zs, "corpus must exercise both ends"
+
+    # partition invariance
+    out2 = adaptive_tile_assign(
+        ray.data.from_arrow(tbl).repartition(1), lon_col="lon",
+        lat_col="lat", zmin=zmin, zmax=zmax, cap=cap,
+        id_col="pid").to_pandas().sort_values("pid").reset_index(drop=True)
+    assert out.equals(out2)
