@@ -240,3 +240,179 @@ def ivf_topk(ds, queries: pa.Table, centroids: np.ndarray, k: int = 5, *,
     from ..collect import collect_table
 
     return topk_reduce(collect_table(partials), k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN path
+# ---------------------------------------------------------------------------
+
+
+def pq_train(sample: np.ndarray, m: int, ksub: int = 16,
+             iters: int = 12, seed: int = 0) -> np.ndarray:
+    """Train PQ codebooks (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011) on a driver-side sample
+    (the standard practice — encoding and scanning stay distributed).
+
+    Splits d dims into ``m`` contiguous subspaces (d % m == 0) and runs
+    an independent Lloyd k-means with ``ksub`` centroids per subspace.
+    Returns codebooks (m, ksub, d // m) float64.
+    """
+    sample = np.asarray(sample, np.float64)
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        x = sample[:, j * dsub:(j + 1) * dsub]
+        idx = rng.choice(n, size=min(ksub, n), replace=False)
+        cent = x[idx].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                sel = assign == c
+                if sel.any():
+                    cent[c] = x[sel].mean(axis=0)
+        books[j, :len(cent)] = cent
+        if len(cent) < ksub:           # tiny sample: repeat last row
+            books[j, len(cent):] = cent[-1]
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, vec_col: str = "embedding",
+              id_col: str = "vec_id", out_col: str = "pq_code",
+              **map_kwargs):
+    """Encode each vector to ``m`` uint8 nearest-subcentroid codes
+    (one binary cell per row — d x 8 bytes shrink to m bytes)."""
+    import ray
+
+    books = np.asarray(codebooks, np.float64)
+    m, ksub, dsub = books.shape
+    bref = ray.put(books)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.binary())})
+        b = ray.get(bref)
+        x = _to_matrix(batch[vec_col])
+        n = len(x)
+        codes = np.empty((n, m), np.uint8)
+        for j in range(m):
+            xj = x[:, j * dsub:(j + 1) * dsub]
+            # argmin ||x - c||^2 == argmax 2 x.c - |c|^2
+            s = 2.0 * (xj @ b[j].T) - (b[j] * b[j]).sum(axis=1)[None, :]
+            codes[:, j] = np.argmax(s, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: batch[id_col],
+            out_col: pa.array([codes[i].tobytes() for i in range(n)],
+                              pa.binary())})
+
+    return ds.map_batches(enc, batch_format="pyarrow",
+                          zero_copy_batch=True, **map_kwargs)
+
+
+def pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """(n, d) reconstruction of (n, m) uint8 codes."""
+    books = np.asarray(codebooks, np.float64)
+    m, ksub, dsub = books.shape
+    return np.concatenate(
+        [books[j][codes[:, j].astype(np.int64)] for j in range(m)], axis=1)
+
+
+class PQTopK:
+    """Actor-pool stage: ADC (asymmetric distance computation) top-k —
+    the per-query lookup tables ||q_j - c||^2 are built ONCE in
+    __init__; each batch is m uint8 gathers + adds, never touching
+    float vectors.  Emits per-batch local top-k (smallest ADC L2)."""
+
+    def __init__(self, queries_ref, books_ref, k: int,
+                 code_col: str, id_col: str):
+        import ray
+
+        q_ids, qm = (ray.get(queries_ref)
+                     if not isinstance(queries_ref, tuple) else queries_ref)
+        books = (ray.get(books_ref)
+                 if not isinstance(books_ref, np.ndarray) else books_ref)
+        self.q_ids = q_ids
+        m, ksub, dsub = books.shape
+        self.m = m
+        qm = np.asarray(qm, np.float64)
+        # lut[iq, j, c] = ||q_j - books[j, c]||^2
+        self.lut = np.stack([
+            ((qm[:, j * dsub:(j + 1) * dsub][:, None, :]
+              - books[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(m)], axis=1)
+        self.k = k
+        self.code_col, self.id_col = code_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        ca = batch[self.code_col].combine_chunks()
+        n = len(ca)
+        buf = np.frombuffer(ca.buffers()[2], np.uint8)
+        offs = np.frombuffer(ca.buffers()[1], np.int32)[
+            ca.offset: ca.offset + n + 1]
+        codes = buf[offs[0]:offs[0] + n * self.m].reshape(n, self.m)
+        ids = batch[self.id_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nq = len(self.q_ids)
+        # sort columns by id so the stable argsort below breaks ADC
+        # ties (identical codes are COMMON) by lowest vec_id — the
+        # partial top-k must use the same total order as the final
+        # reduce or the result depends on the block layout
+        o0 = np.argsort(ids, kind="stable")
+        ids = ids[o0]
+        codes = codes[o0]
+        dist = np.zeros((nq, n))
+        for j in range(self.m):
+            dist += self.lut[:, j, :][:, codes[:, j].astype(np.int64)]
+        k = min(self.k, n)
+        part = np.argsort(dist, axis=1, kind="stable")[:, :k]
+        dd = np.take_along_axis(dist, part, axis=1)
+        return pa.table({
+            "query_id": pa.array(np.repeat(self.q_ids, k)),
+            "vec_id": pa.array(ids[part].reshape(-1)),
+            "adc": pa.array(dd.reshape(-1)),
+        })
+
+
+def pq_topk(codes_ds, queries: pa.Table, codebooks: np.ndarray,
+            k: int = 10, *, code_col: str = "pq_code",
+            id_col: str = "vec_id", query_vec_col: str = "embedding",
+            query_id_col: str = "vec_id", concurrency=(1, 4),
+            **map_kwargs) -> pa.Table:
+    """ADC top-k of each query over the PQ-encoded dataset (partial
+    per-block top-k + small final reduce; smallest distance wins,
+    ties to the lowest vec_id)."""
+    import ray
+
+    from ..collect import collect_table
+
+    q = (queries[query_id_col].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64),
+        _to_matrix(queries[query_vec_col]))
+    books = np.asarray(codebooks, np.float64)
+    if concurrency is None:
+        # small query set: ride the task closure, skip actor startup
+        partials = codes_ds.map_batches(
+            PQTopK(q, books, k, code_col, id_col),
+            batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
+    else:
+        qref, bref = ray.put(q), ray.put(books)
+        partials = codes_ds.map_batches(
+            PQTopK, fn_constructor_args=(qref, bref, k, code_col, id_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency, **map_kwargs)
+    df = collect_table(partials).to_pandas()
+    df = df.sort_values(["query_id", "adc", "vec_id"],
+                        ascending=[True, True, True], kind="stable")
+    df = df.groupby("query_id", as_index=False).head(k) \
+        .reset_index(drop=True)
+    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype("int32")
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -813,6 +813,38 @@ def embeddings_kmeans(sf_dir: str, k: int = 8, iters: int = 8):
     })
 
 
+def embeddings_pq_topk(sf_dir: str, k: int = 10, n_queries: int = 20,
+                       m: int = 4, ksub: int = 32):
+    """Product-quantization ANN (functions/ann.pq_train/encode/topk):
+    codebooks train on a bounded driver-side sample (standard PQ
+    practice), every vector compresses to m uint8 codes (d*8 bytes ->
+    m bytes), and the ADC scan streams the CODES — per-query lookup
+    tables built once per actor, each batch is m gathers + adds.
+    Rows-only (k-means codebooks are not SQL); the pytest oracle pins
+    the ADC identity (ADC distance == exact L2 to the reconstruction),
+    blob-level recall, and partition invariance."""
+    import duckdb
+    import ray
+
+    from ..functions.ann import pq_encode, pq_topk, pq_train
+
+    con = duckdb.connect()
+    sample = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 256").fetchnumpy()["embedding"]
+    sample = np.stack([np.asarray(v, np.float64) for v in sample])
+    books = pq_train(sample, m=m, ksub=ksub, iters=10, seed=0)
+    queries = pa.table(con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {n_queries}").arrow())
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    codes = pq_encode(ds, books)
+    out = pq_topk(codes, queries, books, k=k, concurrency=(1, 4))
+    return out.select(["query_id", "rank", "vec_id"])
+
+
 def embeddings_semantic_dedup(sf_dir: str, k: int = 16,
                               threshold: float = 0.98):
     """SemDeDup-style semantic dedup (functions/dedup.semantic_dedup):

@@ -1,0 +1,95 @@
+"""PQ (product quantization) oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geobuf_ray.functions.ann import (pq_encode, pq_reconstruct,
+                                      pq_topk, pq_train)
+
+
+def _clustered(rng, n=600, d=16, n_blobs=12):
+    centers = rng.normal(0, 5, (n_blobs, d))
+    lab = rng.integers(0, n_blobs, n)
+    return centers[lab] + rng.normal(0, 0.3, (n, d)), lab
+
+
+def test_pq_adc_equals_reconstructed_distance(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    X, _ = _clustered(rng)
+    books = pq_train(X[:400], m=4, ksub=16, iters=8, seed=0)
+    tbl = pa.table({"vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+                    "embedding": pa.array([r.tolist() for r in X],
+                                          pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    enc = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    codes = np.stack([np.frombuffer(b, np.uint8)
+                      for b in enc["pq_code"]])
+    recon = pq_reconstruct(books, codes)
+    q = rng.normal(0, 5, (5, X.shape[1]))
+    queries = pa.table({"vec_id": pa.array(np.arange(5, dtype=np.int64)),
+                        "embedding": pa.array([r.tolist() for r in q],
+                                              pa.list_(pa.float64()))})
+    codes_ds = ray.data.from_arrow(
+        pa.Table.from_pandas(enc, preserve_index=False)).repartition(3)
+    out = pq_topk(codes_ds, queries, books, k=len(X),
+                  concurrency=None).to_pandas()
+    # ADC distance IS the exact L2 to the reconstruction
+    for r in out.itertuples():
+        want = ((q[int(r.query_id)] - recon[int(r.vec_id)]) ** 2).sum()
+        assert abs(r.adc - want) < 1e-8 * max(1.0, want)
+
+
+def test_pq_topk_matches_reconstructed_exact_and_blobs(ray_session):
+    import ray
+
+    rng = np.random.default_rng(11)
+    X, lab = _clustered(rng, n=800)
+    books = pq_train(X[:512], m=8, ksub=32, iters=10, seed=1)
+    ids = np.arange(len(X), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([r.tolist() for r in X],
+                                          pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    enc = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    codes = np.stack([np.frombuffer(b, np.uint8) for b in enc["pq_code"]])
+    recon = pq_reconstruct(books, codes)
+    codes_ds = ray.data.from_arrow(
+        pa.Table.from_pandas(enc, preserve_index=False)).repartition(5)
+    queries = tbl.slice(0, 10)
+    got = pq_topk(codes_ds, queries, books, k=10,
+                  concurrency=None).to_pandas()
+    blob_hits = 0
+    for qi in range(10):
+        # the PQ answer IS the exact top-k over the reconstructions
+        # (ADC identity), with the same (distance, vec_id) tie-break
+        d2 = ((recon - X[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(X)), d2))[:10]
+        pq_ids = got.loc[got["query_id"] == qi, "vec_id"].tolist()
+        assert pq_ids == order.tolist()
+        # and at the blob level PQ keeps the structure: neighbors come
+        # from the query's own blob
+        blob_hits += sum(lab[v] == lab[qi] for v in pq_ids)
+    assert blob_hits / 100 >= 0.9, f"blob recall {blob_hits / 100}"
+
+
+def test_pq_partition_invariance(ray_session):
+    import ray
+
+    rng = np.random.default_rng(13)
+    X, _ = _clustered(rng, n=300)
+    books = pq_train(X[:256], m=4, ksub=16, seed=2)
+    tbl = pa.table({"vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+                    "embedding": pa.array([r.tolist() for r in X],
+                                          pa.list_(pa.float64()))})
+    queries = tbl.slice(0, 4)
+    outs = []
+    for nb in (1, 6):
+        ds = ray.data.from_arrow(tbl).repartition(nb)
+        codes = pq_encode(ds, books)
+        outs.append(pq_topk(codes, queries, books, k=7,
+                            concurrency=None).to_pandas()
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
