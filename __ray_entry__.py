@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_bbox": q.points_bbox,
         "tile_assign": q.tile_assign,
         "tile_adaptive_counts": q.tile_adaptive_counts,
+        "customers_zorder_lookup": q.customers_zorder_lookup,
         "tile_counts": q.tile_counts,
         "tile_rollup": q.tile_rollup,
         "pip_rect_join": q.pip_rect_join,
@@ -1145,6 +1146,11 @@ def oracle_sql() -> dict[str, str]:
                           WHEN n5 <= 8 THEN y5 ELSE y6 END AS tile_y
               FROM j)
             GROUP BY zoom, tile_x, tile_y
+        """,
+        "customers_zorder_lookup": f"""
+            SELECT c_custkey AS custkey FROM customer
+            WHERE {_LON} BETWEEN -60.37 AND 45.25
+              AND {_LAT} BETWEEN -20.11 AND 60.4
         """,
         "orders_hash_sample": """
             SELECT o_orderkey,

@@ -2639,6 +2639,40 @@ def tile_assign(sf_dir: str, zoom: int = 8):
                                                zero_copy_batch=True)
 
 
+def customers_zorder_lookup(sf_dir: str, west: float = -60.37,
+                            south: float = -20.11, east: float = 45.25,
+                            north: float = 60.4):
+    """Partition-pruned bbox query over the Z-order spatial index
+    (spatial/curves.zorder_build/zorder_bbox_lookup — the spatial twin
+    of the IVF vector index and the inverted text index): the layout
+    is built once per (source, params) into a zbucket hive directory;
+    the lookup reads ONLY the buckets the bbox touches, then one exact
+    inclusive refine.  Hash-checked against the plain SQL BETWEEN
+    filter (pruning never changes the answer)."""
+    import hashlib
+    import os
+
+    from ..spatial.curves import zorder_bbox_lookup, zorder_build
+
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:zorder8".encode()).hexdigest()[:16]
+    index_dir = f"/tmp/geobuf_ray_zorder/{tag}"
+    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+        import uuid
+
+        tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        zorder_build(customer_points(sf_dir), tmp, bucket_bits=8)
+        try:
+            os.rename(tmp, index_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    out = zorder_bbox_lookup(index_dir, west, south, east, north,
+                             bucket_bits=8, columns=["custkey"])
+    return out
+
+
 def tile_adaptive_counts(sf_dir: str, zmin: int = 3, zmax: int = 6,
                          cap: int = 8):
     """Count-bounded adaptive quadtree tiling

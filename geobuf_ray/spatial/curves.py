@@ -115,3 +115,83 @@ def zorder_sort(ds, lon_col: str, lat_col: str, *, bits: int = 16,
     return ds.map_batches(stamp, batch_format="pyarrow",
                           zero_copy_batch=True).sort(key_col,
                                                      descending=descending)
+
+
+def zorder_build(ds, out_dir: str, *, lon_col: str = "lon",
+                 lat_col: str = "lat", bucket_bits: int = 8,
+                 **map_kwargs) -> str:
+    """Write the ``zbucket``-partitioned parquet layout — the SPATIAL
+    twin of the IVF vector index and the inverted text index: one hive
+    directory per Z-order bucket (the Morton cell at resolution
+    ``bucket_bits / 2`` per axis), so a bbox query READS only the
+    buckets its rectangle touches.  Build once, query many times."""
+    if bucket_bits % 2 or not 2 <= bucket_bits <= 32:
+        raise ValueError("bucket_bits must be even, in [2, 32]")
+    b = bucket_bits // 2
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        key = morton_key(batch[lon_col].to_numpy(),
+                         batch[lat_col].to_numpy(), bits=b)
+        return batch.append_column("zbucket", pa.array(key))
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow",
+                             zero_copy_batch=True, **map_kwargs)
+    stamped.write_parquet(out_dir, partition_cols=["zbucket"])
+    return out_dir
+
+
+def zorder_bbox_buckets(west: float, south: float, east: float,
+                        north: float, *, bucket_bits: int = 8
+                        ) -> np.ndarray:
+    """Bucket ids whose Morton cell intersects the bbox (the exact
+    prune set: quantization is floor-monotone, so every point inside
+    the bbox quantizes into one of these cells)."""
+    b = bucket_bits // 2
+    qx, qy = quantize_lonlat(np.array([west, east]),
+                             np.array([south, north]), b)
+    xs = np.arange(qx[0], qx[1] + 1, dtype=np.int64)
+    ys = np.arange(qy[0], qy[1] + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    key = _spread_bits16(gx.reshape(-1).astype(np.uint64)) | \
+        (_spread_bits16(gy.reshape(-1).astype(np.uint64)) << np.uint64(1))
+    return np.sort(key.astype(np.int64))
+
+
+def zorder_bbox_lookup(index_dir: str, west: float, south: float,
+                       east: float, north: float, *,
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       bucket_bits: int = 8, columns=None):
+    """Partition-pruned bbox query over a :func:`zorder_build` layout:
+    reads ONLY the touched buckets' files, then one exact inclusive
+    bbox refine (SQL ``BETWEEN`` semantics)."""
+    import glob
+    import os
+
+    import ray
+
+    paths = []
+    for c in zorder_bbox_buckets(west, south, east, north,
+                                 bucket_bits=bucket_bits):
+        p = os.path.join(index_dir, f"zbucket={int(c)}")
+        if os.path.isdir(p):
+            paths.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+    if not paths:
+        paths = []  # empty read below still needs a schema-less guard
+    cols = columns if columns is None else list(
+        dict.fromkeys(list(columns) + [lon_col, lat_col]))
+    if not paths:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(_pa.table({}))
+    ds = ray.data.read_parquet(paths, columns=cols)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy()
+        lat = batch[lat_col].to_numpy()
+        keep = (lon >= west) & (lon <= east) & \
+               (lat >= south) & (lat <= north)
+        out = batch.filter(pa.array(keep))
+        return out.select(columns) if columns is not None else out
+
+    return ds.map_batches(refine, batch_format="pyarrow",
+                          zero_copy_batch=True)

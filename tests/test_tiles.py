@@ -156,3 +156,44 @@ def test_adaptive_tile_assign_vs_scalar_rule(ray_session):
         lat_col="lat", zmin=zmin, zmax=zmax, cap=cap,
         id_col="pid").to_pandas().sort_values("pid").reset_index(drop=True)
     assert out.equals(out2)
+
+
+def test_zorder_index_pruned_lookup(ray_session, tmp_path):
+    import glob
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.spatial.curves import (zorder_bbox_buckets,
+                                           zorder_bbox_lookup,
+                                           zorder_build)
+
+    rng = np.random.default_rng(47)
+    n = 4000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"pid": pa.array(ids), "lon": pa.array(lon),
+                    "lat": pa.array(lat)})
+    idx = str(tmp_path / "zidx")
+    zorder_build(ray.data.from_arrow(tbl).repartition(4), idx,
+                 bucket_bits=8)
+    w, s, e, nn = -10.0, 20.0, 35.0, 55.0
+    out = zorder_bbox_lookup(idx, w, s, e, nn, columns=["pid"],
+                             bucket_bits=8).to_pandas()
+    want = set(ids[(lon >= w) & (lon <= e)
+                   & (lat >= s) & (lat <= nn)].tolist())
+    assert set(out["pid"].tolist()) == want and len(out) == len(want)
+    # true partition pruning: the bbox touches FAR fewer buckets than
+    # the layout holds
+    total = len(glob.glob(f"{idx}/zbucket=*"))
+    touched = len(zorder_bbox_buckets(w, s, e, nn, bucket_bits=8))
+    assert touched < total / 4, (touched, total)
+    # inclusive boundary semantics: a point exactly on every edge hits
+    edge = pa.table({"pid": pa.array([0], pa.int64()),
+                     "lon": pa.array([w]), "lat": pa.array([nn])})
+    idx2 = str(tmp_path / "zidx2")
+    zorder_build(ray.data.from_arrow(edge), idx2, bucket_bits=8)
+    out2 = zorder_bbox_lookup(idx2, w, s, e, nn, columns=["pid"],
+                              bucket_bits=8).to_pandas()
+    assert out2["pid"].tolist() == [0]
