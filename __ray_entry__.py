@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": q.tile_assign,
         "tile_adaptive_counts": q.tile_adaptive_counts,
         "customers_zorder_lookup": q.customers_zorder_lookup,
+        "supplier_chains_merge": q.supplier_chains_merge,
         "tile_counts": q.tile_counts,
         "tile_rollup": q.tile_rollup,
         "pip_rect_join": q.pip_rect_join,
@@ -1151,6 +1152,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey FROM customer
             WHERE {_LON} BETWEEN -60.37 AND 45.25
               AND {_LAT} BETWEEN -20.11 AND 60.4
+        """,
+        "supplier_chains_merge": """
+            WITH RECURSIVE v AS (
+              SELECT s_suppkey AS sk, i.range AS i,
+                     CASE WHEN i.range = 3 AND s_suppkey % 5 = 0
+                          THEN (s_suppkey + 1) * 1000
+                          ELSE s_suppkey * 1000 + 10 * i.range END AS vx,
+                     CASE WHEN i.range = 3 AND s_suppkey % 5 = 0
+                          THEN 0
+                          ELSE (s_suppkey * i.range) % 7 END AS vy
+              FROM supplier, range(0, 4) i),
+            seg AS (
+              SELECT a.sk * 4 + a.i AS sid,
+                     a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+              FROM v a JOIN v b ON a.sk = b.sk AND b.i = a.i + 1
+              WHERE a.i < 3),
+            pts AS (
+              SELECT sid, x1 * 4294967296 + y1 AS vv FROM seg
+              UNION ALL
+              SELECT sid, x2 * 4294967296 + y2 FROM seg),
+            e AS (SELECT p1.sid AS u, p2.sid AS w
+                  FROM pts p1 JOIN pts p2 ON p1.vv = p2.vv),
+            r AS (
+              SELECT u AS node, w AS reach FROM e
+              UNION
+              SELECT r.node, e.w FROM r JOIN e ON r.reach = e.u),
+            c AS (SELECT node, MIN(reach) AS component FROM r
+                  GROUP BY node)
+            SELECT component, COUNT(*) AS n_segments
+            FROM c GROUP BY component
         """,
         "orders_hash_sample": """
             SELECT o_orderkey,

@@ -2639,6 +2639,49 @@ def tile_assign(sf_dir: str, zoom: int = 8):
                                                zero_copy_batch=True)
 
 
+def supplier_chains_merge(sf_dir: str):
+    """Polyline stitching / ST_LineMerge grouping
+    (spatial/segjoin.line_merge_components): every supplier key builds
+    a 3-segment chain; every 5th chain shares its last vertex with the
+    next chain's first, so those pairs must merge.  Endpoints
+    rendezvous on a hash co-group, shared vertices star-link their
+    segments, the engine's connected_components resolves the merged
+    polylines.  Hash-checked vs a vertex-equality join + recursive-CTE
+    closure SQL twin."""
+    import ray
+
+    from ..spatial.segjoin import line_merge_components
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = batch["s_suppkey"].to_numpy().astype(np.int64)
+        # vertices i=0..3; chain s%5==0 ends exactly on chain s+1's
+        # first vertex
+        vx = np.stack([s * 1000 + 10 * i for i in range(4)], axis=1)
+        vy = np.stack([(s * i) % 7 for i in range(4)], axis=1)
+        link = (s % 5) == 0
+        vx[:, 3] = np.where(link, (s + 1) * 1000, vx[:, 3])
+        vy[:, 3] = np.where(link, 0, vy[:, 3])
+        ids, x1, y1, x2, y2 = [], [], [], [], []
+        for e in range(3):
+            ids.append(s * 4 + e)
+            x1.append(vx[:, e]); y1.append(vy[:, e])
+            x2.append(vx[:, e + 1]); y2.append(vy[:, e + 1])
+        return pa.table({
+            "id": pa.array(np.concatenate(ids)),
+            "x1": pa.array(np.concatenate(x1)),
+            "y1": pa.array(np.concatenate(y1)),
+            "x2": pa.array(np.concatenate(x2)),
+            "y2": pa.array(np.concatenate(y2))})
+
+    segs = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    comp = line_merge_components(segs, nbuckets=16)
+    return comp.group_by("component").aggregate([("node", "count")]) \
+        .rename_columns(["component", "n_segments"]) \
+        .sort_by("component")
+
+
 def customers_zorder_lookup(sf_dir: str, west: float = -60.37,
                             south: float = -20.11, east: float = 45.25,
                             north: float = 60.4):

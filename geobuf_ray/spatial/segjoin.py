@@ -199,3 +199,49 @@ def segment_intersect_join(a_ds, b_ds, *, cell: int, nbuckets: int = 64,
         left_bucket_fn=_side_bucket_fn(a_id_col, cell, nbuckets),
         right_bucket_fn=_side_bucket_fn(b_id_col, cell, nbuckets),
         reduce_fn=reduce_fn, left_schema=schema, right_schema=schema)
+
+
+def line_merge_components(segs_ds, *, id_col: str = "id",
+                          nbuckets: int = 32):
+    """Polyline stitching (the ST_LineMerge grouping step): segments
+    sharing an endpoint belong to one merged polyline.  Endpoints
+    rendezvous on a hash co-group (each segment ships two (vertex,
+    seg) rows), every shared vertex emits segment-segment equivalence
+    edges, and the engine's pointer-doubling ``connected_components``
+    resolves the merged groups — nothing centralizes except the final
+    per-group labels.
+
+    Input rows: (``id_col``, x1, y1, x2, y2) integer coords (|coord|
+    < 2**31: endpoints pack into one int64 rendezvous key).  Returns
+    the component table (node=segment id, component=min segment id of
+    its merged polyline).
+    """
+    from ..functions.exchange import grouped_exchange
+    from ..functions.graph import connected_components
+
+    vert_schema = pa.schema([("v", pa.int64()), ("sid", pa.int64())])
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        ids, (x1, y1, x2, y2) = _seg_arrays(batch, id_col)
+        m = np.int64(0xFFFFFFFF)
+        v1 = ((x1 & m) << np.int64(32)) | (y1 & m)
+        v2 = ((x2 & m) << np.int64(32)) | (y2 & m)
+        return pa.table({"v": pa.array(np.concatenate([v1, v2])),
+                         "sid": pa.array(np.concatenate([ids, ids]))})
+
+    verts = segs_ds.map_batches(endpoints, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def link(tbl: pa.Table) -> pa.Table:
+        """One shared vertex: star-link every segment to the group's
+        minimum id (O(group) edges, not O(group^2))."""
+        s = tbl["sid"].to_numpy(zero_copy_only=False)
+        lo = s.min()
+        return pa.table({"src": pa.array(s),
+                         "dst": pa.array(np.full(len(s), lo, np.int64))})
+
+    edges = grouped_exchange(verts, "v", link, nbuckets=nbuckets,
+                             schema=edge_schema)
+    return connected_components(edges, src="src", dst="dst",
+                                nbuckets=nbuckets)

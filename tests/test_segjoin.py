@@ -153,3 +153,26 @@ def test_join_coord_bound_raises(ray_session):
         segment_intersect_join(
             _ds(_seg_table(S), 1), _ds(_seg_table(T), 1),
             cell=64, nbuckets=2).to_pandas()
+
+
+def test_line_merge_components(ray_session):
+    from geobuf_ray.spatial.segjoin import line_merge_components
+
+    # chain 0-1-2, a branching junction at (50,50) joining 3,4,5, a
+    # closed ring 6-7-8, and an isolated segment 9
+    segs = [
+        (0, 0, 0, 10, 0), (1, 10, 0, 20, 0), (2, 20, 0, 30, 5),
+        (3, 50, 50, 60, 50), (4, 50, 50, 50, 60), (5, 40, 40, 50, 50),
+        (6, 100, 100, 110, 100), (7, 110, 100, 105, 110),
+        (8, 105, 110, 100, 100),
+        (9, 999, 999, 998, 998),
+    ]
+    arr = np.array(segs, np.int64)
+    tbl = pa.table({"id": pa.array(arr[:, 0]),
+                    "x1": pa.array(arr[:, 1]), "y1": pa.array(arr[:, 2]),
+                    "x2": pa.array(arr[:, 3]), "y2": pa.array(arr[:, 4])})
+    comp = line_merge_components(_ds(tbl, 3), nbuckets=4)
+    got = dict(zip(comp["node"].to_pylist(),
+                   comp["component"].to_pylist()))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3,
+                   6: 6, 7: 6, 8: 6, 9: 9}
