@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_hull": q.orders_priority_hull,
         "events_distinct_users": q.events_distinct_users,
         "events_distinct_users_hll": q.events_distinct_users_hll,
+        "events_user_overlap_kmv": q.events_user_overlap_kmv,
         "events_user_freq_cms": q.events_user_freq_cms,
         "parts_pagerank_top": q.parts_pagerank_top,
         "orders_status_strings": q.orders_status_strings,

@@ -464,3 +464,61 @@ def approx_distinct_by(ds, keys: list[str], value: str, *,
                               zero_copy_batch=True)
     return hash_exchange(partials, nbuckets=nbuckets, on=key_list,
                          reduce_fn=finish, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) — mergeable distinct sketch with SET ALGEBRA
+# (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+# Multiset Operations", SIGMOD 2007) — the one thing HLL can't do:
+# estimate |A ∩ B| from two independently built sketches.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(ds, col: str, *, k: int = 1024, **map_kwargs) -> np.ndarray:
+    """Build the KMV sketch of a column: the ``k`` smallest distinct
+    64-bit hashes.  Per-block partials (k values each) merge by
+    unique + partition — one skinny pass, no shuffle."""
+    from ..collect import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        h = np.unique(_hash_column(batch[col]))
+        if len(h) > k:
+            h = np.partition(h, k - 1)[:k]
+        return pa.table({"h": pa.array(h)})
+
+    parts = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        **map_kwargs))
+    return kmv_merge(parts["h"].to_numpy(zero_copy_only=False)
+                     .astype(np.uint64), k)
+
+
+def kmv_merge(hashes: np.ndarray, k: int) -> np.ndarray:
+    """k smallest distinct hashes of the union (sorted ascending)."""
+    u = np.unique(hashes.astype(np.uint64))
+    return u[:k]
+
+
+def kmv_estimate(sketch: np.ndarray, k: int) -> float:
+    """Distinct-count estimate: (k - 1) / U_(k) with U the kth order
+    statistic normalized to [0, 1); exact count when the set is
+    smaller than k (the sketch IS the distinct set then)."""
+    if len(sketch) < k:
+        return float(len(sketch))
+    kth = float(sketch[k - 1]) / float(1 << 64)
+    return (k - 1) / max(kth, 1e-300)
+
+
+def kmv_intersect_estimate(sa: np.ndarray, sb: np.ndarray,
+                           k: int) -> float:
+    """|A ∩ B| estimate from two independently built KMV sketches:
+    merge to the union sketch X (k smallest of S_A ∪ S_B), count the
+    members of X present in BOTH sketches (Jaccard numerator), scale
+    by the union estimate."""
+    x = kmv_merge(np.concatenate([sa, sb]), k)
+    in_a = np.isin(x, sa, assume_unique=True)
+    in_b = np.isin(x, sb, assume_unique=True)
+    rho = float((in_a & in_b).sum()) / max(len(x), 1)
+    return rho * kmv_estimate(x, k)

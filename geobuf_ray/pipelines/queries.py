@@ -2285,6 +2285,66 @@ def events_distinct_users_hll(sf_dir: str, p: int = 12):
     })
 
 
+def events_user_overlap_kmv(sf_dir: str, k: int = 1024):
+    """KMV set-algebra sketch (functions/sketch.kmv_sketch — Beyer et
+    al. 2007): |users(first half) ∩ users(second half)| estimated from
+    two INDEPENDENTLY built k-minimum-values sketches — the multiset
+    operation HLL cannot do.  Rows-only (order statistics of a hash
+    stream aren't SQL); the exact overlap is computed alongside and
+    the relative error is part of the row (the HLL audit pattern)."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.sketch import kmv_intersect_estimate, kmv_sketch
+
+    def half(which: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            d = batch["ts"].to_numpy().astype("datetime64[D]") \
+                .astype(np.int64)
+            day = d - d.min() if len(d) else d
+            # calendar midpoint: first 15 days vs the rest
+            ts0 = np.datetime64("2024-01-16").astype("datetime64[D]") \
+                .astype(np.int64)
+            keep = (d < ts0) if which == 0 else (d >= ts0)
+            return pa.table({"user_id": batch["user_id"]}) \
+                .filter(pa.array(keep))
+        return fn
+
+    def rd():
+        return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                     columns=["user_id", "ts"])
+
+    h1 = rd().map_batches(half(0), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    h2 = rd().map_batches(half(1), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    sa = kmv_sketch(h1, "user_id", k=k)
+    sb = kmv_sketch(h2, "user_id", k=k)
+    est = kmv_intersect_estimate(sa, sb, k)
+
+    # exact overlap: distinct (user, half) partials -> one tiny combine
+    def flags(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        ts0 = np.datetime64("2024-01-16").astype("datetime64[D]") \
+            .astype(np.int64)
+        u = batch["user_id"].to_numpy()
+        key = u * 2 + (d >= ts0)
+        return pa.table({"k": pa.array(np.unique(key))})
+
+    parts = collect_table(rd().map_batches(
+        flags, batch_format="pyarrow", zero_copy_batch=True))
+    uniq = np.unique(parts["k"].to_numpy(zero_copy_only=False))
+    users = uniq >> 1
+    both = np.intersect1d(users[(uniq & 1) == 0], users[(uniq & 1) == 1])
+    exact = len(both)
+    rel = abs(est - exact) / max(exact, 1)
+    assert rel < 0.3, f"KMV overlap error {rel:.3f} out of bound"
+    return pa.table({
+        "overlap_kmv": pa.array([int(round(est))], pa.int64()),
+        "overlap_exact": pa.array([exact], pa.int64()),
+        "rel_error": pa.array([rel], pa.float64())})
+
+
 def lineitem_corr_by_flag(sf_dir: str):
     """Exact-moment Pearson correlation + regression slope of
     (quantity, floor-price-dollars) per return flag (functions/agg.corr_agg):

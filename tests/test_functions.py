@@ -723,3 +723,40 @@ def test_inverted_index_prunes_and_matches(ray_session, tmp_path):
     assert got == exp
     # a term absent from the corpus returns nothing
     assert inverted_lookup(idx, ["nosuchterm"]).count() == 0
+
+
+def test_kmv_distinct_and_intersection(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.sketch import (kmv_estimate,
+                                             kmv_intersect_estimate,
+                                             kmv_sketch)
+
+    rng = np.random.default_rng(53)
+    k = 1024
+    # |A| = 30k, |B| = 25k, |A ∩ B| = 10k
+    inter = rng.choice(10**9, 10_000, replace=False)
+    only_a = rng.choice(10**9, 20_000, replace=False) + 2 * 10**9
+    only_b = rng.choice(10**9, 15_000, replace=False) + 4 * 10**9
+    A = np.concatenate([inter, only_a])
+    B = np.concatenate([inter, only_b])
+    dsa = ray.data.from_arrow(pa.table({"v": pa.array(
+        np.repeat(A, 2).astype(np.int64))})).repartition(6)  # dups too
+    dsb = ray.data.from_arrow(pa.table({"v": pa.array(
+        B.astype(np.int64))})).repartition(4)
+    sa = kmv_sketch(dsa, "v", k=k)
+    sb = kmv_sketch(dsb, "v", k=k)
+    est_a = kmv_estimate(sa, k)
+    assert abs(est_a - 30_000) / 30_000 < 0.15, est_a
+    est_i = kmv_intersect_estimate(sa, sb, k)
+    assert abs(est_i - 10_000) / 10_000 < 0.25, est_i
+    # small sets are EXACT (the sketch is the distinct set)
+    small = ray.data.from_arrow(pa.table({"v": pa.array(
+        np.arange(100, dtype=np.int64))})).repartition(3)
+    assert kmv_estimate(kmv_sketch(small, "v", k=k), k) == 100.0
+    # partition invariance: identical sketch under any layout
+    sa2 = kmv_sketch(ray.data.from_arrow(pa.table({"v": pa.array(
+        np.repeat(A, 2).astype(np.int64))})).repartition(1), "v", k=k)
+    assert np.array_equal(sa, sa2)
