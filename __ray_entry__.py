@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": q.events_props_extract,
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
+        "events_transitions": q.events_transitions,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
         "segments_intersect_pairs": q.segments_intersect_pairs,
@@ -350,6 +351,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_users
             FROM ud JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "events_transitions": """
+            WITH seq AS (
+                SELECT event_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_type
+                FROM events)
+            SELECT event_type, next_type, COUNT(*) AS n_transitions
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
         """,
         "events_funnel": """
             WITH s1 AS (

@@ -487,3 +487,66 @@ def interval_coalesce(ds, *, key: str, start: str, end: str,
     return hash_exchange(ds.select_columns([key, start, end]),
                          nbuckets=nbuckets, on=key,
                          reduce_fn=kernel, schema=out_schema)
+
+
+def transition_counts(ds, *, key: str, order: str, state: str,
+                      tiebreak: str | None = None, nbuckets: int = 64):
+    """Markov transition counts: per ``key``, order rows by
+    (``order``, ``tiebreak``) and count every consecutive
+    (state, next_state) pair — SQL's ``LEAD(state) OVER (PARTITION BY
+    key ORDER BY order, tiebreak)`` followed by a GROUP BY.
+
+    Shape: one hash exchange on ``key`` co-locates each key's rows, so
+    every transition is visible inside exactly one bucket; the bucket
+    kernel is vectorized ACROSS keys (one lexsort, one shifted
+    compare) and collapses immediately to (state, next_state, n)
+    partial counts — at most ``nstates**2`` rows leave a bucket no
+    matter how many events entered, the combiner discipline every
+    aggregate here follows.  The caller sums partials (they are
+    disjoint only per bucket).  NULL states group together (SQL GROUP
+    BY semantics); the last row of each key emits no pair (its LEAD is
+    NULL, SQL drops it under ``WHERE next IS NOT NULL``).
+    """
+    from .exchange import hash_exchange
+
+    out_schema = None  # derived from the state dictionary per bucket
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            st = tbl[state].type if tbl.num_columns else pa.string()
+            return pa.table({"state": pa.array([], st),
+                             "next_state": pa.array([], st),
+                             "n": pa.array([], pa.int64())})
+        n = tbl.num_rows
+        codes = _key_codes(tbl, key)
+        ov = _order_values(tbl, order)
+        senc = tbl[state].combine_chunks().dictionary_encode()
+        scode = senc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sdict = senc.dictionary
+        keys_sort = (ov, codes) if tiebreak is None else \
+            (_order_values(tbl, tiebreak), ov, codes)
+        sel = np.lexsort(keys_sort)
+        cs = codes[sel]
+        ss = scode[sel]
+        same_next = cs[:-1] == cs[1:] if n > 1 else np.zeros(0, bool)
+        a = ss[:-1][same_next]
+        b = ss[1:][same_next]
+        if a.size == 0:
+            return pa.table({"state": pa.array([], sdict.type),
+                             "next_state": pa.array([], sdict.type),
+                             "n": pa.array([], pa.int64())})
+        # -1 (NULL state) shifts to a dense non-negative code space
+        nst = len(sdict) + 1
+        cnt = np.bincount((a + 1) * nst + (b + 1), minlength=nst * nst)
+        nz = np.flatnonzero(cnt)
+        ai = nz // nst - 1
+        bi = nz % nst - 1
+        take = lambda ix: sdict.take(  # noqa: E731
+            pa.array(np.where(ix < 0, None, ix), pa.int64()))
+        return pa.table({"state": take(ai), "next_state": take(bi),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    cols = [key, order, state] + ([tiebreak] if tiebreak else [])
+    return hash_exchange(ds.select_columns(cols), nbuckets=nbuckets,
+                         on=key, reduce_fn=kernel, schema=out_schema)

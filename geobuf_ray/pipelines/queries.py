@@ -4640,3 +4640,24 @@ def images_tile_counts(sf_dir: str, zoom: int = 4):
 
     partials = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     return _final_combine(partials, ["tile_x", "tile_y"], ["n_images"])
+
+
+def events_transitions(sf_dir: str):
+    """Markov transition matrix over event types
+    (functions/window.transition_counts): per user, order events by
+    (ts, event_id) and count (event_type -> next event_type) pairs.
+    One user-hash exchange; the bucket kernel collapses to at most
+    ntypes^2 partial rows, summed driver-side.  Hash-checked against
+    the LEAD-window SQL twin."""
+    import ray
+
+    from ..functions.window import transition_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    parts = transition_counts(ds, key="user_id", order="ts",
+                              state="event_type", tiebreak="event_id",
+                              nbuckets=32)
+    tbl = _final_combine(parts, ["state", "next_state"], ["n"])
+    return tbl.rename_columns(["event_type", "next_type", "n_transitions"])

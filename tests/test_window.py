@@ -121,3 +121,62 @@ def test_value_window_ntile_tiny_partitions(ray_session):
     assert list(out.ntile5) == [1, 2, 1]
     assert list(out.first_v) == [1.0, 1.0, 3.0]
     assert list(out.last_v) == [2.0, 2.0, 3.0]
+
+
+def _transitions_scalar(u, t, s):
+    """Scalar reference: per-key ordered next-state pair counts."""
+    from collections import Counter, defaultdict
+
+    per = defaultdict(list)
+    for uu, tt, ss in zip(u, t, s):
+        per[uu].append((tt, ss))
+    c = Counter()
+    for uu, rows in per.items():
+        rows.sort()
+        for (_, a), (_, b) in zip(rows, rows[1:]):
+            c[(a, b)] += 1
+    return c
+
+
+def test_transition_counts_vs_scalar_and_partitions(ray_session):
+    import ray
+
+    from geobuf_ray.functions.window import transition_counts
+
+    rng = np.random.default_rng(7)
+    n = 6000
+    u = rng.integers(0, 250, n)
+    t = rng.permutation(n).astype(np.int64)
+    s = rng.choice(["a", "b", "c", "d"], n)
+    want = _transitions_scalar(u, t, s)
+    tbl = pa.table({"u": pa.array(u), "t": pa.array(t), "s": pa.array(s)})
+    got_prev = None
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = transition_counts(ds, key="u", order="t", state="s",
+                                nbuckets=8).to_pandas()
+        agg = out.groupby(["state", "next_state"])["n"].sum()
+        got = {k: int(v) for k, v in agg.items()}
+        assert got == dict(want)
+        if got_prev is not None:
+            assert got == got_prev
+        got_prev = got
+
+
+def test_transition_counts_null_states(ray_session):
+    import ray
+
+    from geobuf_ray.functions.window import transition_counts
+
+    tbl = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2]),
+        "t": pa.array([0, 1, 2, 0, 1]),
+        "s": pa.array(["x", None, "x", None, None]),
+    })
+    out = transition_counts(ray.data.from_arrow(tbl), key="u",
+                            order="t", state="s", nbuckets=4).to_pandas()
+    got = {(a if a == a and a is not None else None,
+            b if b == b and b is not None else None): int(n)
+           for a, b, n in out.itertuples(index=False)}
+    # u=1: x->NULL, NULL->x ; u=2: NULL->NULL
+    assert got == {("x", None): 1, (None, "x"): 1, (None, None): 1}
