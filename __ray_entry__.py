@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
         "events_transitions": q.events_transitions,
+        "events_hourly_gapfill": q.events_hourly_gapfill,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
         "segments_intersect_pairs": q.segments_intersect_pairs,
@@ -362,6 +363,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, next_type, COUNT(*) AS n_transitions
             FROM seq WHERE next_type IS NOT NULL
             GROUP BY event_type, next_type
+        """,
+        "events_hourly_gapfill": """
+            WITH hourly AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                         AS cents
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT min(hour) AS a, max(hour) AS b FROM hourly),
+            spine AS (SELECT unnest(generate_series(a, b)) AS hour
+                      FROM bounds),
+            keys AS (SELECT DISTINCT event_type FROM events)
+            SELECT k.event_type, s.hour,
+                   COALESCE(h.n_events, 0) AS n_events,
+                   last_value(h.cents IGNORE NULLS) OVER (
+                     PARTITION BY k.event_type ORDER BY s.hour)
+                       AS cents_ffill
+            FROM spine s CROSS JOIN keys k
+            LEFT JOIN hourly h
+              ON h.event_type = k.event_type AND h.hour = s.hour
         """,
         "events_funnel": """
             WITH s1 AS (

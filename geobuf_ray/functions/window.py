@@ -550,3 +550,80 @@ def transition_counts(ds, *, key: str, order: str, state: str,
     cols = [key, order, state] + ([tiebreak] if tiebreak else [])
     return hash_exchange(ds.select_columns(cols), nbuckets=nbuckets,
                          on=key, reduce_fn=kernel, schema=out_schema)
+
+
+def gap_fill(ds, *, key: str, tick: str, start: int, stop: int,
+             step: int = 1, zero_cols: tuple = (), ffill_cols: tuple = (),
+             nbuckets: int = 64):
+    """Dense time-spine gap fill: for every key present in ``ds``, emit
+    one row per tick in ``start..stop`` (inclusive, stride ``step``) —
+    SQL's ``generate_series CROSS JOIN keys LEFT JOIN facts``.  Missing
+    ticks get 0 in ``zero_cols`` and the last observed value (NULL
+    before the first observation) in ``ffill_cols``.
+
+    Duplicate (key, tick) rows are summed first (so per-block partial
+    aggregates can feed this directly); ticks outside the spine are
+    dropped, off-grid ticks raise.  Shape: one hash exchange on ``key``
+    co-locates each key's rows; the bucket kernel scatters observed
+    rows into a (keys_in_bucket x nticks) dense grid — the output is
+    inherently |keys| x |spine| and each bucket materializes only its
+    own keys' spines, so nothing centralizes.  Forward fill is one
+    ``maximum.accumulate`` over the grid of observed row indices, no
+    per-key loop.
+    """
+    from .exchange import hash_exchange
+
+    if step <= 0 or stop < start:
+        raise ValueError("need step > 0 and stop >= start")
+    nticks = (stop - start) // step + 1
+    vcols = list(zero_cols) + list(ffill_cols)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            kt = tbl[key].type if tbl.num_columns else pa.int64()
+            cols = {key: pa.array([], kt), tick: pa.array([], pa.int64())}
+            for c in vcols:
+                cols[c] = pa.array([], pa.int64())
+            return pa.table(cols)
+        g = tbl.group_by([key, tick]).aggregate(
+            [(c, "sum") for c in vcols])
+        g = g.rename_columns([key, tick] + vcols)
+        tv = g[tick].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (tv >= start) & (tv <= stop)
+        if not keep.all():
+            g = g.filter(pa.array(keep))
+            tv = tv[keep]
+        if ((tv - start) % step != 0).any():
+            raise ValueError("tick off the spine grid")
+        kenc = g[key].combine_chunks().dictionary_encode()
+        code = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = len(kenc.dictionary)
+        slot = code * nticks + (tv - start) // step
+        out_key = kenc.dictionary.take(
+            pa.array(np.repeat(np.arange(nk, dtype=np.int64), nticks)))
+        out_tick = np.tile(start + step * np.arange(nticks, dtype=np.int64),
+                           nk)
+        cols = {key: out_key, tick: pa.array(out_tick)}
+        for c in zero_cols:
+            v = g[c].to_numpy(zero_copy_only=False)
+            z = np.zeros(nk * nticks, v.dtype)
+            z[slot] = v
+            cols[c] = pa.array(z)
+        if ffill_cols:
+            # accumulate SLOT indices (monotone along the tick axis by
+            # construction), not row indices — group_by output order is
+            # arbitrary, so the latest tick need not be the last row
+            obs = np.full(nk * nticks, -1, np.int64)
+            obs[slot] = slot
+            last = np.maximum.accumulate(
+                obs.reshape(nk, nticks), axis=1).ravel()
+            row_of = np.full(nk * nticks, -1, np.int64)
+            row_of[slot] = np.arange(len(slot))
+            idx = np.where(last < 0, -1, row_of[np.maximum(last, 0)])
+            take = pa.array(np.where(idx < 0, None, idx), pa.int64())
+            for c in ffill_cols:
+                cols[c] = g[c].combine_chunks().take(take)
+        return pa.table(cols)
+
+    return hash_exchange(ds.select_columns([key, tick] + vcols),
+                         nbuckets=nbuckets, on=key, reduce_fn=kernel)

@@ -4661,3 +4661,46 @@ def events_transitions(sf_dir: str):
                               nbuckets=32)
     tbl = _final_combine(parts, ["state", "next_state"], ["n"])
     return tbl.rename_columns(["event_type", "next_type", "n_transitions"])
+
+
+def events_hourly_gapfill(sf_dir: str):
+    """Dense hourly spine per event type (functions/window.gap_fill):
+    per-block (type, hour) partials combine driver-side (bounded to
+    |groups| x |blocks|), the global hour range comes off that small
+    table, and gap_fill scatters each type's hours onto the full spine
+    — zero-filled counts, forward-filled hourly cents.  Hash-checked
+    against a generate_series + LEFT JOIN + IGNORE-NULLS-window SQL
+    twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.window import gap_fill
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "hour": pa.array(ts // 3_600_000_000),
+            "n_events": pa.array(np.ones(b.num_rows, np.int64)),
+            "cents": pa.array(cents),
+        })
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("n_events", "sum"), ("cents", "sum")]).rename_columns(
+            ["event_type", "hour", "n_events", "cents"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    hourly = _final_combine(parts, ["event_type", "hour"],
+                            ["n_events", "cents"])
+    hours = hourly["hour"].to_numpy()
+    filled = gap_fill(ray.data.from_arrow(hourly), key="event_type",
+                      tick="hour", start=int(hours.min()),
+                      stop=int(hours.max()), zero_cols=("n_events",),
+                      ffill_cols=("cents",), nbuckets=4)
+    out = collect_table(filled)
+    return out.rename_columns(["event_type", "hour", "n_events",
+                               "cents_ffill"])

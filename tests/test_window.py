@@ -180,3 +180,65 @@ def test_transition_counts_null_states(ray_session):
            for a, b, n in out.itertuples(index=False)}
     # u=1: x->NULL, NULL->x ; u=2: NULL->NULL
     assert got == {("x", None): 1, (None, "x"): 1, (None, None): 1}
+
+
+def test_gap_fill_scalar_and_partitions(ray_session):
+    import ray
+
+    from geobuf_ray.functions.window import gap_fill
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    k = rng.integers(0, 40, n)
+    t = rng.integers(0, 100, n) * 5 + 10  # spine 10..505 step 5
+    v = rng.integers(1, 50, n)
+    tbl = pa.table({"k": pa.array(k), "t": pa.array(t),
+                    "c": pa.array(np.ones(n, np.int64)),
+                    "v": pa.array(v)})
+
+    # scalar reference
+    import collections
+    csum = collections.Counter()
+    vsum = collections.Counter()
+    for kk, tt, vv in zip(k, t, v):
+        csum[(kk, tt)] += 1
+        vsum[(kk, tt)] += vv
+    got_prev = None
+    for nparts in (1, 6):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = gap_fill(ds, key="k", tick="t", start=10, stop=505,
+                       step=5, zero_cols=("c",), ffill_cols=("v",),
+                       nbuckets=8).to_pandas()
+        out = out.sort_values(["k", "t"]).reset_index(drop=True)
+        nticks = (505 - 10) // 5 + 1
+        assert len(out) == len(np.unique(k)) * nticks
+        # zero-filled counts exact; ffill = most recent observed sum
+        lastv = {}
+        for row in out.itertuples(index=False):
+            assert row.c == csum.get((row.k, row.t), 0)
+            if (row.k, row.t) in vsum:
+                lastv[row.k] = vsum[(row.k, row.t)]
+            if row.k in lastv:
+                assert row.v == lastv[row.k]
+            else:
+                assert row.v != row.v or row.v is None  # NaN before first
+        if got_prev is not None:
+            import pandas as pd
+
+            pd.testing.assert_frame_equal(out, got_prev,
+                                          check_dtype=False)
+        got_prev = out
+
+
+def test_gap_fill_off_grid_raises(ray_session):
+    import pytest
+    import ray
+
+    from geobuf_ray.functions.window import gap_fill
+
+    tbl = pa.table({"k": pa.array([1]), "t": pa.array([13]),
+                    "c": pa.array([1])})
+    with pytest.raises(Exception):
+        gap_fill(ray.data.from_arrow(tbl), key="k", tick="t", start=10,
+                 stop=20, step=5, zero_cols=("c",),
+                 nbuckets=2).to_pandas()
