@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_transitions": q.events_transitions,
         "events_hourly_gapfill": q.events_hourly_gapfill,
+        "lineitem_price_mad_outliers": q.lineitem_price_mad_outliers,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
         "segments_intersect_pairs": q.segments_intersect_pairs,
@@ -363,6 +364,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, next_type, COUNT(*) AS n_transitions
             FROM seq WHERE next_type IS NOT NULL
             GROUP BY event_type, next_type
+        """,
+        "lineitem_price_mad_outliers": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS v
+                       FROM lineitem),
+            m AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                      AS med FROM c),
+            d AS (SELECT percentile_disc(0.5) WITHIN GROUP
+                      (ORDER BY abs(v - med)) AS mad FROM c, m)
+            SELECT l_returnflag, COUNT(*) AS n_outliers,
+                   CAST(SUM(v) AS BIGINT) AS outlier_cents
+            FROM c, m, d WHERE 5 * abs(v - med) > 9 * mad
+            GROUP BY l_returnflag
         """,
         "events_hourly_gapfill": """
             WITH hourly AS (

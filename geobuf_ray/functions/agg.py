@@ -876,6 +876,64 @@ def zscore_outliers(ds, value: str, *, z_num: int = 3, z_den: int = 1,
                           zero_copy_batch=True)
 
 
+
+def mad_outliers(ds, value: str, *, k_num: int = 3, k_den: int = 1,
+                 nbuckets: int = 16):
+    """EXACT median-absolute-deviation outlier filter over an integer
+    column: keep rows with ``|x - med| > (k_num/k_den) * MAD`` where
+    ``med`` is the PERCENTILE_DISC 0.5 of ``x`` and ``MAD`` the
+    PERCENTILE_DISC 0.5 of ``|x - med|`` — the robust twin of
+    ``zscore_outliers`` (a single 1e18 corruption moves a mean/sigma
+    gate arbitrarily; it moves med/MAD by at most one rank).
+
+    All-integer: med and MAD are actual data values (disc rank rule),
+    the predicate is ``k_den * |x - med| > k_num * MAD`` — floats
+    never decide, so the filter hash-matches a
+    ``percentile_disc ... WITHIN GROUP`` SQL twin bit-for-bit.
+
+    Three streaming passes over ``ds`` (median, deviation median,
+    filter); each pass moves only (distinct value, count) partials
+    through ``group_quantile``'s exchange, never rows.
+    """
+    import ray
+
+    if k_num < 0 or k_den <= 0:
+        raise ValueError("need k_num >= 0 and k_den > 0")
+
+    def _median(dev_of=None):
+        def stamp(batch: pa.Table) -> pa.Table:
+            x = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
+            if dev_of is not None:
+                x = np.abs(x - dev_of)
+            return pa.table({"g": np.zeros(len(x), np.int64),
+                             "v": pa.array(x)})
+
+        flat = ds.map_batches(stamp, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        qt = group_quantile(flat, ["g"], "v", {"m": 0.5},
+                            nbuckets=nbuckets,
+                            schema=pa.schema([("g", pa.int64()),
+                                              ("v", pa.int64())]))
+        from ..collect import collect_table
+
+        t = collect_table(qt)
+        return int(t["m"][0].as_py()) if t.num_rows else 0
+
+    med = _median()
+    mad = _median(dev_of=med)
+    lim = np.int64(k_num) * np.int64(mad)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        x = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.int64(k_den) * np.abs(x - np.int64(med)) > lim
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def histogram(ds, value: str, *, lo: int, hi: int, nbins: int):
     """Fixed-width integer histogram: counts per bin over
     ``[lo, hi)`` with ``width = (hi - lo) / nbins`` (must divide

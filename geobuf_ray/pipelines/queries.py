@@ -4704,3 +4704,43 @@ def events_hourly_gapfill(sf_dir: str):
     out = collect_table(filled)
     return out.rename_columns(["event_type", "hour", "n_events",
                                "cents_ffill"])
+
+
+def lineitem_price_mad_outliers(sf_dir: str, k_num: int = 9,
+                                k_den: int = 5):
+    """Robust MAD outlier filter (functions/agg.mad_outliers): keep
+    lineitems with |cents - median| > 1.8 * MAD, then per-returnflag
+    counts + sums of the surviving prices.  Median and MAD are exact
+    PERCENTILE_DISC integers and the predicate is all-integer, so the
+    whole pipeline hash-checks against the SQL twin."""
+    import ray
+
+    from ..functions.agg import mad_outliers
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "v": np.round(batch["l_extendedprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"]).map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = mad_outliers(ds, "v", k_num=k_num, k_den=k_den)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["l_returnflag"].combine_chunks().dictionary_encode()
+        inv = d.indices.to_numpy(zero_copy_only=False)
+        k = len(d.dictionary)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": d.dictionary.cast(pa.string()),
+            "n_outliers": np.bincount(inv, minlength=k).astype(np.int64),
+            "outlier_cents": np.bincount(
+                inv, weights=v, minlength=k).astype(np.int64)})
+
+    parts = out.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _final_combine(parts, ["l_returnflag"],
+                          ["n_outliers", "outlier_cents"])

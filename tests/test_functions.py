@@ -760,3 +760,40 @@ def test_kmv_distinct_and_intersection(ray_session):
     sa2 = kmv_sketch(ray.data.from_arrow(pa.table({"v": pa.array(
         np.repeat(A, 2).astype(np.int64))})).repartition(1), "v", k=k)
     assert np.array_equal(sa, sa2)
+
+
+def test_mad_outliers_scalar_and_boundary(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.agg import mad_outliers
+
+    rng = np.random.default_rng(23)
+    x = rng.integers(-1000, 1000, 5000).astype(np.int64)
+    # plant extreme outliers and exact-boundary values
+    sx = np.sort(x)
+    med = int(sx[int(np.ceil(0.5 * len(sx))) - 1])
+    dev = np.sort(np.abs(x - med))
+    mad = int(dev[int(np.ceil(0.5 * len(dev))) - 1])
+    k_num, k_den = 3, 1
+    # boundary value: k_den*|x-med| == k_num*mad exactly -> NOT an outlier
+    if (k_num * mad) % k_den == 0:
+        x = np.concatenate([x, [med + k_num * mad // k_den]])
+    x = np.concatenate([x, [med + 10 * mad + 7, med - 10 * mad - 7]])
+    # recompute reference on the final array
+    sx = np.sort(x)
+    med = int(sx[int(np.ceil(0.5 * len(sx))) - 1])
+    dev = np.sort(np.abs(x - med))
+    mad = int(dev[int(np.ceil(0.5 * len(dev))) - 1])
+    want = np.sort(x[k_den * np.abs(x - med) > k_num * mad])
+    tbl = pa.table({"v": pa.array(x)})
+    prev = None
+    for nparts in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        got = np.sort(mad_outliers(ds, "v", k_num=k_num, k_den=k_den)
+                      .to_pandas()["v"].to_numpy())
+        assert np.array_equal(got, want)
+        if prev is not None:
+            assert np.array_equal(got, prev)
+        prev = got
