@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": q.events_transitions,
         "events_hourly_gapfill": q.events_hourly_gapfill,
         "lineitem_price_mad_outliers": q.lineitem_price_mad_outliers,
+        "customers_hexbin": q.customers_hexbin,
+        "suppliers_hex_neighbors": q.suppliers_hex_neighbors,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
         "segments_intersect_pairs": q.segments_intersect_pairs,
@@ -261,8 +263,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from geobuf_ray.spatial.hexgrid import hex_axial_sql
+
     zx, zy = _tile_x(_LON, 8), _tile_y(_LAT, 8)
+    hq, hr = hex_axial_sql("lon", "lat", 3.7)
+    scq, scr = hex_axial_sql("clon", "clat", 3.7)
+    ssq, ssr = hex_axial_sql("slon", "slat", 3.7)
     return {
+        "customers_hexbin": f"""
+            WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat FROM customer)
+            SELECT {hq} AS hex_q, {hr} AS hex_r, COUNT(*) AS n_points
+            FROM pt GROUP BY hex_q, hex_r
+        """,
+        "suppliers_hex_neighbors": f"""
+            WITH cp0 AS (SELECT {_LON} AS clon, {_LAT} AS clat
+                         FROM customer),
+            cp AS (SELECT {scq} AS cq, {scr} AS cr FROM cp0),
+            sp0 AS (SELECT s_suppkey, {_SLON} AS slon, {_SLAT} AS slat
+                    FROM supplier),
+            sp AS (SELECT s_suppkey, {ssq} AS sq, {ssr} AS sr FROM sp0)
+            SELECT s_suppkey, COUNT(*) AS n_neighbors
+            FROM sp JOIN cp
+              ON (abs(sq - cq) + abs(sr - cr)
+                  + abs(sq - cq + sr - cr)) / 2 <= 1
+            GROUP BY s_suppkey
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

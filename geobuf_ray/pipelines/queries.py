@@ -4744,3 +4744,54 @@ def lineitem_price_mad_outliers(sf_dir: str, k_num: int = 9,
                             zero_copy_batch=True)
     return _final_combine(parts, ["l_returnflag"],
                           ["n_outliers", "outlier_cents"])
+
+
+def customers_hexbin(sf_dir: str, size: float = 3.7):
+    """Hexagonal-cell aggregation (spatial/hexgrid.hex_axial): count
+    customer points per axial hex cell (pointy-top, 3.7-degree edge).
+    Per-block partial counts; the cube-rounding snap uses half-away
+    floor(v+0.5) so the SQL twin (hexgrid.hex_axial_sql emits the
+    identical expression tree) hash-matches bit-for-bit."""
+    import ray
+
+    from ..spatial.hexgrid import hex_axial
+
+    ds = customer_points(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, r = hex_axial(batch["lon"].to_numpy(zero_copy_only=False),
+                         batch["lat"].to_numpy(zero_copy_only=False),
+                         size)
+        t = pa.table({"hex_q": pa.array(q), "hex_r": pa.array(r),
+                      "n_points": pa.array(np.ones(len(q), np.int64))})
+        return t.group_by(["hex_q", "hex_r"]).aggregate(
+            [("n_points", "sum")]).rename_columns(
+            ["hex_q", "hex_r", "n_points"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return _final_combine(parts, ["hex_q", "hex_r"], ["n_points"])
+
+
+def suppliers_hex_neighbors(sf_dir: str, size: float = 3.7, k: int = 1):
+    """Hex k-ring co-group join (spatial/hexgrid.hex_within_k_count):
+    per supplier, count the customers whose hex cell is within hex
+    distance 1 of the supplier's cell — the "groupby-on-cell plus
+    boundary-ring shuffle" gather.  Each supplier fans to its 7 ring
+    cells, each customer stays in its own cell, a qualifying pair
+    meets exactly once.  Hash-checked against a SQL twin joining the
+    two cell assignments on integer hex distance."""
+    import ray
+
+    from ..spatial.hexgrid import hex_within_k_count
+
+    skeys = _supplier_keys(sf_dir)
+    sup = ray.data.from_arrow(pa.table({
+        "s_suppkey": pa.array(skeys),
+        "lon": pa.array(derive_lon(skeys)),
+        "lat": pa.array(derive_lat(skeys)),
+    }))
+    parts = hex_within_k_count(sup, customer_points(sf_dir),
+                               id_col="s_suppkey", size=size, k=k,
+                               nbuckets=16)
+    return _final_combine(parts, ["s_suppkey"], ["n_neighbors"])
