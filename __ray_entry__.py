@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_mad_outliers": q.lineitem_price_mad_outliers,
         "customers_hexbin": q.customers_hexbin,
         "suppliers_hex_neighbors": q.suppliers_hex_neighbors,
+        "customers_dbscan": q.customers_dbscan,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
         "segments_intersect_pairs": q.segments_intersect_pairs,
@@ -274,6 +275,33 @@ def oracle_sql() -> dict[str, str]:
             WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat FROM customer)
             SELECT {hq} AS hex_q, {hr} AS hex_r, COUNT(*) AS n_points
             FROM pt GROUP BY hex_q, hex_r
+        """,
+        "customers_dbscan": """
+            WITH RECURSIVE p AS (SELECT c_custkey AS id,
+                              (c_custkey*7919)%36000 - 18000 AS x,
+                              (c_custkey*104729)%17000 - 8500 AS y
+                            FROM customer),
+            nbr AS (SELECT a.id AS i, b.id AS j FROM p a JOIN p b
+                    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                       <= 160000),
+            cnt AS (SELECT i AS id, COUNT(*) AS n FROM nbr GROUP BY i),
+            core AS (SELECT id FROM cnt WHERE n >= 3),
+            ce AS (SELECT n.i AS u, n.j AS v FROM nbr n
+                   JOIN core a ON n.i = a.id JOIN core b ON n.j = b.id),
+            reach(src, node) AS (
+                SELECT id, id FROM core
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN ce e ON e.u = r.node),
+            comp AS (SELECT src AS node, MIN(node) AS cluster
+                     FROM reach GROUP BY src),
+            border AS (SELECT n.i AS id, MIN(n.j) AS cnbr
+                       FROM nbr n JOIN core b ON n.j = b.id
+                       WHERE n.i NOT IN (SELECT id FROM core)
+                       GROUP BY n.i)
+            SELECT node AS custkey, cluster, TRUE AS is_core FROM comp
+            UNION ALL
+            SELECT b.id AS custkey, c.cluster, FALSE AS is_core
+            FROM border b JOIN comp c ON c.node = b.cnbr
         """,
         "suppliers_hex_neighbors": f"""
             WITH cp0 AS (SELECT {_LON} AS clon, {_LAT} AS clat
