@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_hexbin": q.customers_hexbin,
         "suppliers_hex_neighbors": q.suppliers_hex_neighbors,
         "customers_dbscan": q.customers_dbscan,
+        "orders_status_history": q.orders_status_history,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
         "segments_intersect_pairs": q.segments_intersect_pairs,
@@ -234,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_digest_by_priority": q.orders_digest_by_priority,
         "docs_inverted_lookup": q.docs_inverted_lookup,
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
+        "docs_dup_clusters": q.docs_dup_clusters,
         "docs_fingerprint": q.docs_fingerprint,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
@@ -275,6 +277,28 @@ def oracle_sql() -> dict[str, str]:
             WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat FROM customer)
             SELECT {hq} AS hex_q, {hr} AS hex_r, COUNT(*) AS n_points
             FROM pt GROUP BY hex_q, hex_r
+        """,
+        "orders_status_history": """
+            WITH o AS (SELECT o_custkey,
+                          CAST(floor(epoch(o_orderdate)/86400) AS BIGINT)
+                            * 16777216 + o_orderkey AS t,
+                          o_orderstatus AS v FROM orders),
+            l AS (SELECT o_custkey, t, v,
+                         LAG(v) OVER (PARTITION BY o_custkey ORDER BY t)
+                           AS pv FROM o),
+            g AS (SELECT o_custkey, t, v,
+                         SUM(CASE WHEN pv IS NULL OR pv <> v
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY o_custkey ORDER BY t)
+                           AS grp FROM l),
+            r AS (SELECT o_custkey, grp, MIN(v) AS o_orderstatus,
+                         MIN(t) AS valid_from FROM g
+                  GROUP BY o_custkey, grp)
+            SELECT o_custkey, o_orderstatus, valid_from,
+                   LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                          ORDER BY valid_from)
+                     AS valid_to
+            FROM r
         """,
         "customers_dbscan": """
             WITH RECURSIVE p AS (SELECT c_custkey AS id,
@@ -1830,6 +1854,31 @@ def oracle_sql() -> dict[str, str]:
             FROM I JOIN S sa ON sa.doc_id = I.doc_a
                    JOIN S sb ON sb.doc_id = I.doc_b
             WHERE inter * 10 >= 9 * (sa.n + sb.n - inter)
+        """,
+        "docs_dup_clusters": r"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents WHERE doc_id % 10 = 0),
+            T AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+            S AS (SELECT doc_id, COUNT(*) AS n FROM T GROUP BY doc_id),
+            I AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         COUNT(*) AS inter
+                  FROM T a JOIN T b USING (term)
+                  WHERE a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id),
+            P AS (SELECT doc_a, doc_b
+                  FROM I JOIN S sa ON sa.doc_id = I.doc_a
+                         JOIN S sb ON sb.doc_id = I.doc_b
+                  WHERE inter * 10 >= 9 * (sa.n + sb.n - inter)),
+            E AS (SELECT doc_a AS u, doc_b AS v FROM P
+                  UNION ALL SELECT doc_b, doc_a FROM P),
+            reach(src, node) AS (
+              SELECT u, u FROM E
+              UNION
+              SELECT r.src, e.v FROM reach r JOIN E e ON e.u = r.node)
+            SELECT src AS doc_id, MIN(node) AS canonical
+            FROM reach GROUP BY src
         """,
         "docs_inverted_lookup": r"""
             WITH tok AS (

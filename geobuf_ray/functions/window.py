@@ -627,3 +627,72 @@ def gap_fill(ds, *, key: str, tick: str, start: int, stop: int,
 
     return hash_exchange(ds.select_columns([key, tick] + vcols),
                          nbuckets=nbuckets, on=key, reduce_fn=kernel)
+
+
+def scd2_intervals(ds, *, key: str, order: str, value: str,
+                   nbuckets: int = 64):
+    """SCD-type-2 history reconstruction (gaps-and-islands): per
+    ``key``, collapse consecutive runs of equal ``value`` (ordered by
+    ``order``) into validity intervals — one row per run with
+    ``valid_from`` (the run's first order value) and ``valid_to`` (the
+    next run's start; NULL for the key's current run).  The CDC
+    change-log -> dimension-history rebuild.
+
+    ``order`` must be unique per key (SQL's window caveat; composite
+    axes like day*2^24+id work).  NULL values compare equal to each
+    other (one run), matching the SQL twin's ``pv IS DISTINCT FROM v``
+    island rule.  One hash exchange on ``key``; the bucket kernel is
+    one lexsort + shifted compares vectorized across keys.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import hash_exchange
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            vt = tbl[value].type if tbl.num_columns else pa.string()
+            kt = tbl[key].type if tbl.num_columns else pa.int64()
+            return pa.table({key: pa.array([], kt),
+                             value: pa.array([], vt),
+                             "valid_from": pa.array([], pa.int64()),
+                             "valid_to": pa.array([], pa.int64())})
+        n = tbl.num_rows
+        codes = _key_codes(tbl, key)
+        ov = _order_values(tbl, order)
+        sel = np.lexsort((ov, codes))
+        cs, os_ = codes[sel], ov[sel]
+        vals = tbl[value].combine_chunks().take(pa.array(sel))
+        new_key = np.concatenate(([True], cs[1:] != cs[:-1]))
+        if n > 1:
+            a, b = vals.slice(1), vals.slice(0, n - 1)
+            neq = pc.not_equal(a, b).fill_null(False).to_numpy(
+                zero_copy_only=False)
+            amask = pc.is_null(a).to_numpy(zero_copy_only=False)
+            bmask = pc.is_null(b).to_numpy(zero_copy_only=False)
+            changed = np.concatenate(([True], neq | (amask != bmask)))
+        else:
+            changed = np.array([True])
+        start = new_key | changed
+        sidx = np.flatnonzero(start)
+        vfrom = os_[sidx]
+        # next run's start within the same key, else NULL
+        nxt = np.empty(len(sidx), np.int64)
+        nxt[:-1] = vfrom[1:]
+        nxt[-1] = 0
+        same_key_next = np.empty(len(sidx), bool)
+        same_key_next[:-1] = cs[sidx[:-1]] == cs[sidx[1:]]
+        same_key_next[-1] = False
+        keys_out = tbl[key].combine_chunks().take(pa.array(sel[sidx]))
+        return pa.table({
+            key: keys_out,
+            value: vals.take(pa.array(sidx)),
+            "valid_from": pa.array(vfrom),
+            "valid_to": pa.Array.from_buffers(
+                pa.int64(), len(sidx),
+                [pa.py_buffer(np.packbits(same_key_next,
+                                          bitorder="little")),
+                 pa.py_buffer(np.ascontiguousarray(nxt))]),
+        })
+
+    return hash_exchange(ds.select_columns([key, order, value]),
+                         nbuckets=nbuckets, on=key, reduce_fn=kernel)

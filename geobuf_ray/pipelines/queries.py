@@ -4821,3 +4821,63 @@ def customers_dbscan(sf_dir: str, eps: int = 400, min_pts: int = 3):
         pts, batch_format="pyarrow", zero_copy_batch=True)
     out = grid_dbscan(ds, eps=eps, min_pts=min_pts, nbuckets=16)
     return out.rename_columns(["custkey", "cluster", "is_core"])
+
+
+def docs_dup_clusters(sf_dir: str, threshold: float = 0.9):
+    """Duplicate-cluster resolution — the "cluster then keep one" step
+    every dedup pipeline ends with: exact Jaccard pairs
+    (functions/strjoin.jaccard_set_join, lossless PPJoin prefix
+    filter) become edges, connected_components resolves transitive
+    clusters, and each clustered doc maps to its cluster's MIN doc_id
+    (the canonical survivor).  Hash-checked against the ALL-PAIRS
+    Jaccard SQL ground truth + a recursive-CTE closure — proving
+    filter, clustering, and survivor rule all at once."""
+    import ray
+
+    from ..functions.graph import connected_components
+    from ..functions.strjoin import jaccard_set_join
+
+    def tenth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+        .map_batches(tenth, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = jaccard_set_join(ds, threshold=threshold, nbuckets=16)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b",
+                                nbuckets=16)
+    return comp.rename_columns(["doc_id", "canonical"])
+
+
+def orders_status_history(sf_dir: str):
+    """SCD-2 history rebuild (functions/window.scd2_intervals): per
+    customer, collapse the order-status change log into validity
+    intervals on the composite (day*2^24 + orderkey) axis — the CDC
+    change-log -> dimension-history operator.  valid_to is the next
+    run's start, NULL for the current run.  Hash-checked against the
+    LAG + islands-sum + LEAD SQL twin."""
+    import ray
+
+    from ..functions.window import scd2_intervals
+
+    def axis(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "t": pa.array(day * (1 << 24) + k),
+            "o_orderstatus": batch["o_orderstatus"],
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_orderstatus"]).map_batches(
+        axis, batch_format="pyarrow", zero_copy_batch=True)
+    out = scd2_intervals(ds, key="o_custkey", order="t",
+                         value="o_orderstatus", nbuckets=32)
+    from ..collect import collect_table
+
+    return collect_table(out)

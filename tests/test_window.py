@@ -242,3 +242,46 @@ def test_gap_fill_off_grid_raises(ray_session):
         gap_fill(ray.data.from_arrow(tbl), key="k", tick="t", start=10,
                  stop=20, step=5, zero_cols=("c",),
                  nbuckets=2).to_pandas()
+
+
+def test_scd2_intervals_vs_scalar(ray_session):
+    import ray
+
+    from geobuf_ray.functions.window import scd2_intervals
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    k = rng.integers(0, 120, n)
+    t = rng.permutation(n).astype(np.int64)
+    v = rng.choice(["a", "b", None, "c"], n, p=[0.4, 0.3, 0.1, 0.2])
+    # scalar reference
+    from collections import defaultdict
+    per = defaultdict(list)
+    for kk, tt, vv in zip(k, t, v):
+        per[int(kk)].append((int(tt), vv))
+    want = set()
+    for kk, rows in per.items():
+        rows.sort(key=lambda x: x[0])
+        runs = []
+        for tt, vv in rows:
+            if not runs or runs[-1][1] != vv:
+                runs.append([tt, vv])
+        for i, (tt, vv) in enumerate(runs):
+            nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+            want.add((kk, vv, tt, nxt))
+
+    tbl = pa.table({"k": pa.array(k), "t": pa.array(t),
+                    "v": pa.array(v)})
+    prev = None
+    for nparts in (1, 6):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = scd2_intervals(ds, key="k", order="t", value="v",
+                             nbuckets=8).to_pandas()
+        got = set((int(r.k), None if r.v is None else r.v,
+                   int(r.valid_from),
+                   None if r.valid_to != r.valid_to else int(r.valid_to))
+                  for r in out.itertuples(index=False))
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
