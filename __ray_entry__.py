@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_hex_neighbors": q.suppliers_hex_neighbors,
         "customers_dbscan": q.customers_dbscan,
         "orders_status_history": q.orders_status_history,
+        "orders_latest_order": q.orders_latest_order,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
         "segments_intersect_pairs": q.segments_intersect_pairs,
@@ -277,6 +278,16 @@ def oracle_sql() -> dict[str, str]:
             WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat FROM customer)
             SELECT {hq} AS hex_q, {hr} AS hex_r, COUNT(*) AS n_points
             FROM pt GROUP BY hex_q, hex_r
+        """,
+        "orders_latest_order": """
+            WITH r AS (SELECT o_custkey, o_orderkey,
+                          CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS price_cents,
+                          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC,
+                                       o_orderkey DESC) AS rn
+                       FROM orders)
+            SELECT o_custkey, o_orderkey, price_cents FROM r WHERE rn = 1
         """,
         "orders_status_history": """
             WITH o AS (SELECT o_custkey,

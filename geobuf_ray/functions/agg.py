@@ -934,6 +934,60 @@ def mad_outliers(ds, value: str, *, k_num: int = 3, k_den: int = 1,
                           zero_copy_batch=True)
 
 
+
+def arg_max_agg(ds, keys: list[str], order: str, payload: list[str], *,
+                tiebreak: str | None = None, nbuckets: int = 16,
+                schema: pa.Schema | None = None):
+    """Per-group ARGMAX: the ``payload`` columns of the row with the
+    maximum ``(order, tiebreak)`` per key group — SQL's
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order DESC,
+    tiebreak DESC) = 1``.  The tiebreak makes the answer a TOTAL order
+    (``arg_max``/``max_by`` alone is nondeterministic under ties, which
+    is exactly what breaks partition invariance).
+
+    Shape: per-block partial argmax (one lexsort, last-row-per-group —
+    one surviving row per group per block crosses the wire), then the
+    identical kernel per bucket after one skinny exchange.  ``order``
+    and ``tiebreak`` must be integer/timestamp-typed and non-null.
+    """
+    from .exchange import hash_exchange
+
+    key_list = list(keys)
+    pay = [c for c in payload if c not in key_list]
+    cols = key_list + [order] + ([tiebreak] if tiebreak else []) + pay
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            return (schema.empty_table() if schema is not None
+                    else tbl.select(cols) if tbl.num_columns else
+                    pa.table({}))
+        n = tbl.num_rows
+        # joint group code over the key columns
+        codes = np.zeros(n, np.int64)
+        for k in key_list:
+            enc = tbl[k].combine_chunks().dictionary_encode()
+            c = enc.indices.fill_null(-1).to_numpy(
+                zero_copy_only=False).astype(np.int64) + 1
+            codes = codes * (len(enc.dictionary) + 1) + c
+        def axis(name):
+            col = tbl[name].combine_chunks()
+            if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+                col = col.cast(pa.int64())
+            return col.to_numpy(zero_copy_only=False)
+        sort_keys = (axis(order), codes) if tiebreak is None else \
+            (axis(tiebreak), axis(order), codes)
+        sel = np.lexsort(sort_keys)
+        cs = codes[sel]
+        last = np.concatenate((cs[:-1] != cs[1:], [True])) if n > 1 \
+            else np.array([True])
+        return tbl.select(cols).take(pa.array(sel[last]))
+
+    partials = ds.select_columns(cols).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_exchange(partials, nbuckets=nbuckets, on=key_list,
+                         reduce_fn=kernel, schema=schema)
+
+
 def histogram(ds, value: str, *, lo: int, hi: int, nbins: int):
     """Fixed-width integer histogram: counts per bin over
     ``[lo, hi)`` with ``width = (hi - lo) / nbins`` (must divide

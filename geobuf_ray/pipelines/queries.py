@@ -4881,3 +4881,36 @@ def orders_status_history(sf_dir: str):
     from ..collect import collect_table
 
     return collect_table(out)
+
+
+def orders_latest_order(sf_dir: str):
+    """Per-customer ARGMAX (functions/agg.arg_max_agg): the orderkey
+    and price of each customer's latest order under the TOTAL order
+    (o_orderdate, o_orderkey) — deterministic where bare max_by is
+    not.  One surviving row per (group x block) crosses the wire.
+    Hash-checked vs a ROW_NUMBER DESC twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.agg import arg_max_agg
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "o_orderdate": batch["o_orderdate"],
+            "o_orderkey": batch["o_orderkey"],
+            "price_cents": pa.array(np.round(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64)),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey",
+                 "o_totalprice"]).map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = arg_max_agg(ds, ["o_custkey"], "o_orderdate",
+                      ["price_cents"], tiebreak="o_orderkey",
+                      nbuckets=16)
+    return collect_table(out).select(
+        ["o_custkey", "o_orderkey", "price_cents"])

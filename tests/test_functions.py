@@ -797,3 +797,36 @@ def test_mad_outliers_scalar_and_boundary(ray_session):
         if prev is not None:
             assert np.array_equal(got, prev)
         prev = got
+
+
+def test_arg_max_agg_vs_scalar_and_ties(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.agg import arg_max_agg
+
+    rng = np.random.default_rng(41)
+    n = 6000
+    g = rng.integers(0, 150, n)
+    o = rng.integers(0, 40, n)          # heavy order ties
+    tb = rng.permutation(n).astype(np.int64)  # unique tiebreak
+    p = rng.integers(-10**6, 10**6, n)
+    want = {}
+    for i in range(n):
+        cur = want.get(g[i])
+        if cur is None or (o[i], tb[i]) > cur[0]:
+            want[g[i]] = ((o[i], tb[i]), p[i])
+    tbl = pa.table({"g": pa.array(g), "o": pa.array(o),
+                    "tb": pa.array(tb), "p": pa.array(p)})
+    prev = None
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = arg_max_agg(ds, ["g"], "o", ["p"], tiebreak="tb",
+                          nbuckets=8).to_pandas()
+        got = {int(r.g): ((int(r.o), int(r.tb)), int(r.p))
+               for r in out.itertuples(index=False)}
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
