@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": q.embeddings_kmeans,
         "embeddings_semantic_dedup": q.embeddings_semantic_dedup,
         "embeddings_pq_topk": q.embeddings_pq_topk,
+        "embeddings_ivfpq_topk": q.embeddings_ivfpq_topk,
         "embeddings_covariance": q.embeddings_covariance,
         "embeddings_pca_project": q.embeddings_pca_project,
         "events_interval_coalesce": q.events_interval_coalesce,

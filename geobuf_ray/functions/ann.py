@@ -283,9 +283,10 @@ def pq_train(sample: np.ndarray, m: int, ksub: int = 16,
 
 def pq_encode(ds, codebooks: np.ndarray, *, vec_col: str = "embedding",
               id_col: str = "vec_id", out_col: str = "pq_code",
-              **map_kwargs):
+              keep_cols: tuple = (), **map_kwargs):
     """Encode each vector to ``m`` uint8 nearest-subcentroid codes
-    (one binary cell per row — d x 8 bytes shrink to m bytes)."""
+    (one binary cell per row — d x 8 bytes shrink to m bytes).
+    ``keep_cols`` pass through unchanged (e.g. an IVF cell stamp)."""
     import ray
 
     books = np.asarray(codebooks, np.float64)
@@ -295,7 +296,8 @@ def pq_encode(ds, codebooks: np.ndarray, *, vec_col: str = "embedding",
     def enc(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
-                             out_col: pa.array([], pa.binary())})
+                             out_col: pa.array([], pa.binary()),
+                             **{c: batch[c] for c in keep_cols}})
         b = ray.get(bref)
         x = _to_matrix(batch[vec_col])
         n = len(x)
@@ -308,7 +310,8 @@ def pq_encode(ds, codebooks: np.ndarray, *, vec_col: str = "embedding",
         return pa.table({
             id_col: batch[id_col],
             out_col: pa.array([codes[i].tobytes() for i in range(n)],
-                              pa.binary())})
+                              pa.binary()),
+            **{c: batch[c] for c in keep_cols}})
 
     return ds.map_batches(enc, batch_format="pyarrow",
                           zero_copy_batch=True, **map_kwargs)
@@ -409,6 +412,133 @@ def pq_topk(codes_ds, queries: pa.Table, codebooks: np.ndarray,
             PQTopK, fn_constructor_args=(qref, bref, k, code_col, id_col),
             batch_format="pyarrow", zero_copy_batch=True,
             concurrency=concurrency, **map_kwargs)
+    df = collect_table(partials).to_pandas()
+    df = df.sort_values(["query_id", "adc", "vec_id"],
+                        ascending=[True, True, True], kind="stable")
+    df = df.groupby("query_id", as_index=False).head(k) \
+        .reset_index(drop=True)
+    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype("int32")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse partition pruning + compressed-domain scan, composed
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build(ds, centroids: np.ndarray, codebooks: np.ndarray,
+                out_dir: str, *, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> str:
+    """Write the IVF-PQ index: one hive partition per coarse cell
+    holding only ``(vec_id, pq_code, cell)`` — m bytes per vector, the
+    float vectors never reach the index.  Composes the engine's two
+    ANN halves: ivf_partition's coarse routing (a probe READS only its
+    cells) and pq_encode's compressed codes (the scan never touches
+    floats).  ``cell`` is duplicated as a data column because hive
+    partition columns are stripped from the files and path-targeted
+    reads don't re-parse them."""
+    stamped = ivf_partition(ds, centroids, vec_col=vec_col)
+
+    def dup(batch: pa.Table) -> pa.Table:
+        return batch.append_column("cell", batch["ivf_cell"])
+
+    coded = pq_encode(stamped.map_batches(dup, batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                      codebooks, vec_col=vec_col, id_col=id_col,
+                      keep_cols=("cell", "ivf_cell"))
+    coded.write_parquet(out_dir, partition_cols=["ivf_cell"])
+    return out_dir
+
+
+class IVFPQTopK(PQTopK):
+    """PQTopK with per-query probe-cell masking: each query scores
+    ONLY rows whose coarse cell is in its own probe list (true IVF-PQ
+    semantics — a union-of-partitions read still scans per query only
+    its lists)."""
+
+    def __init__(self, queries_ref, books_ref, k: int, code_col: str,
+                 id_col: str, probes_ref, cell_col: str = "cell"):
+        import ray
+
+        super().__init__(queries_ref, books_ref, k, code_col, id_col)
+        self.probes = (ray.get(probes_ref)
+                       if not isinstance(probes_ref, np.ndarray)
+                       else probes_ref)
+        self.cell_col = cell_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        ca = batch[self.code_col].combine_chunks()
+        n = len(ca)
+        buf = np.frombuffer(ca.buffers()[2], np.uint8)
+        offs = np.frombuffer(ca.buffers()[1], np.int32)[
+            ca.offset: ca.offset + n + 1]
+        codes = buf[offs[0]:offs[0] + n * self.m].reshape(n, self.m)
+        ids = batch[self.id_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cells = batch[self.cell_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # same id-sorted total order as PQTopK (ADC ties are common)
+        o0 = np.argsort(ids, kind="stable")
+        ids, codes, cells = ids[o0], codes[o0], cells[o0]
+        nq = len(self.q_ids)
+        dist = np.zeros((nq, n))
+        for j in range(self.m):
+            dist += self.lut[:, j, :][:, codes[:, j].astype(np.int64)]
+        # mask rows outside each query's probe list
+        allowed = np.zeros((nq, n), bool)
+        for qi in range(nq):
+            allowed[qi] = np.isin(cells, self.probes[qi])
+        dist[~allowed] = np.inf
+        k = min(self.k, n)
+        part = np.argsort(dist, axis=1, kind="stable")[:, :k]
+        dd = np.take_along_axis(dist, part, axis=1)
+        keep = np.isfinite(dd).reshape(-1)
+        return pa.table({
+            "query_id": pa.array(np.repeat(self.q_ids, k)[keep]),
+            "vec_id": pa.array(ids[part].reshape(-1)[keep]),
+            "adc": pa.array(dd.reshape(-1)[keep]),
+        })
+
+
+def ivfpq_topk(index_dir: str, queries: pa.Table,
+               centroids: np.ndarray, codebooks: np.ndarray,
+               k: int = 10, *, nprobe: int = 4,
+               code_col: str = "pq_code", id_col: str = "vec_id",
+               query_vec_col: str = "embedding",
+               query_id_col: str = "vec_id", concurrency=(1, 4),
+               **map_kwargs) -> pa.Table:
+    """IVF-PQ top-k over an :func:`ivfpq_build` layout: per query the
+    ``nprobe`` nearest coarse cells are chosen, the read touches ONLY
+    the union of probed partitions (codes, never floats), and each
+    query ADC-scans just its own lists.  Partial per-block top-k +
+    bounded final reduce; smallest ADC wins, ties to lowest vec_id."""
+    import ray
+
+    from ..collect import collect_table
+
+    cent = _normalize(centroids)
+    qm_full = _to_matrix(queries[query_vec_col])
+    qn = _normalize(qm_full)
+    q_ids = queries[query_id_col].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    paths = ivf_probe_paths(index_dir, probes.reshape(-1))
+    if not paths:
+        return _empty_topk_table().append_column(
+            "rank", pa.array([], pa.int64()))
+    ds = ray.data.read_parquet(paths, columns=[id_col, code_col, "cell"])
+    q = (q_ids, qm_full)
+    books = np.asarray(codebooks, np.float64)
+    qref, bref, pref = ray.put(q), ray.put(books), ray.put(probes)
+    partials = ds.map_batches(
+        IVFPQTopK,
+        fn_constructor_args=(qref, bref, k, code_col, id_col, pref),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, **map_kwargs)
     df = collect_table(partials).to_pandas()
     df = df.sort_values(["query_id", "adc", "vec_id"],
                         ascending=[True, True, True], kind="stable")

@@ -4914,3 +4914,55 @@ def orders_latest_order(sf_dir: str):
                       nbuckets=16)
     return collect_table(out).select(
         ["o_custkey", "o_orderkey", "price_cents"])
+
+
+def embeddings_ivfpq_topk(sf_dir: str, k: int = 10, n_queries: int = 10,
+                          n_centroids: int = 16, nprobe: int = 6,
+                          m: int = 4, ksub: int = 32):
+    """IVF-PQ ANN (functions/ann.ivfpq_build/ivfpq_topk): the two
+    scale paths composed — the probe READS only its nprobe coarse
+    partitions AND the scan runs over m-byte PQ codes, so neither
+    unprobed rows nor float vectors ever leave storage.  Rows-only
+    (k-means training is not SQL); the pytest oracle pins the
+    masked-scan identity vs pq_topk, recall, pruning, and partition
+    invariance."""
+    import hashlib
+    import os
+
+    import duckdb
+
+    from ..functions.ann import (fit_centroids, ivfpq_build, ivfpq_topk,
+                                 pq_train)
+
+    con = duckdb.connect()
+    sample = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 512").fetchnumpy()["embedding"]
+    mat = np.stack([np.asarray(v, np.float64) for v in sample])
+    cent = fit_centroids(mat, n_centroids)
+    books = pq_train(mat[:256], m=m, ksub=ksub, iters=10, seed=0)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:ivfpq{n_centroids}x{m}x{ksub}"
+        .encode()).hexdigest()[:16]
+    index_dir = f"/tmp/geobuf_ray_ivfpq/{tag}"
+    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+        import uuid
+
+        import ray
+
+        tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        ivfpq_build(ds, cent, books, tmp)
+        try:
+            os.rename(tmp, index_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    queries = pa.table(con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {n_queries}").arrow())
+    out = ivfpq_topk(index_dir, queries, cent, books, k=k,
+                     nprobe=nprobe)
+    return out.select(["query_id", "rank", "vec_id"])

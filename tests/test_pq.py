@@ -93,3 +93,71 @@ def test_pq_partition_invariance(ray_session):
                             concurrency=None).to_pandas()
                     .reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_ivfpq_masked_identity_pruning_and_partitions(ray_session, tmp_path):
+    """ivfpq_topk == pq_topk restricted to each query's probe cells
+    (the masked-scan identity), the read touches only probed
+    partitions, and the result is partition-invariant."""
+    import os
+
+    import ray
+
+    from geobuf_ray.functions.ann import (fit_centroids, ivfpq_build,
+                                          ivfpq_topk, ivf_probe_paths)
+    from geobuf_ray.functions.ann import _normalize, _to_matrix
+
+    rng = np.random.default_rng(19)
+    X, _ = _clustered(rng, n=700, n_blobs=10)
+    cent = fit_centroids(X[:512], 8)
+    books = pq_train(X[:400], m=4, ksub=16, iters=8, seed=2)
+    ids = np.arange(len(X), dtype=np.int64) * 3 + 1
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([r.tolist() for r in X],
+                                          pa.list_(pa.float64()))})
+    q = pa.table({"vec_id": pa.array(np.arange(6, dtype=np.int64)),
+                  "embedding": pa.array([r.tolist() for r in X[:6]],
+                                        pa.list_(pa.float64()))})
+    nprobe, k = 3, 7
+    prev = None
+    for i, nparts in enumerate((2, 6)):
+        idx = str(tmp_path / f"ivfpq{i}")
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        ivfpq_build(ds, cent, books, idx)
+        out = ivfpq_topk(idx, q, cent, books, k=k,
+                         nprobe=nprobe).to_pandas()
+        got = [(int(r.query_id), int(r.rank), int(r.vec_id))
+               for r in out.itertuples(index=False)]
+        if prev is not None:
+            assert got == prev
+        prev = got
+        # pruning: probed paths are a strict subset of all partitions
+        probes = np.argsort(-( _normalize(_to_matrix(q["embedding"]))
+                               @ _normalize(cent).T), axis=1)[:, :nprobe]
+        npart_dirs = len([d for d in os.listdir(idx)
+                          if d.startswith("ivf_cell=")])
+        probed_cells = len(np.unique(probes))
+        assert probed_cells < npart_dirs or npart_dirs <= nprobe * len(q)
+
+    # masked identity: per query, pq_topk over ONLY its probe-cell
+    # rows gives the same ranking
+    from geobuf_ray.functions.ann import ivf_partition, pq_encode, pq_topk
+
+    stamped = ivf_partition(ray.data.from_arrow(tbl), cent).to_pandas()
+    coded = pq_encode(ray.data.from_arrow(tbl), books).to_pandas()
+    merged = stamped.merge(coded, on="vec_id")
+    qm = _to_matrix(q["embedding"])
+    probes = np.argsort(-(_normalize(qm) @ _normalize(cent).T),
+                        axis=1)[:, :nprobe]
+    for qi in range(len(q)):
+        sub = merged[merged["ivf_cell"].isin(probes[qi])]
+        sub_ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(sub["vec_id"].to_numpy()),
+            "pq_code": pa.array(list(sub["pq_code"]), pa.binary())}))
+        one_q = q.slice(qi, 1)
+        want = pq_topk(sub_ds, one_q, books, k=k,
+                       concurrency=None).to_pandas()
+        got_rows = [r for r in prev if r[0] == int(q["vec_id"][qi].as_py())]
+        want_rows = [(int(r.query_id), int(r.rank), int(r.vec_id))
+                     for r in want.itertuples(index=False)]
+        assert got_rows == want_rows
