@@ -40,13 +40,43 @@ def _np(col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+def _local_cc(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """In-memory CC for the small-graph regime: min-label iteration
+    with pointer jumping, fully vectorized.  ``nodes`` is sorted
+    ascending, so min over indices IS min over node ids."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[:len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        l2 = lab.copy()
+        np.minimum.at(l2, ea, lab[eb])
+        for _ in range(3):         # pointer jumping: halve chains
+            l2 = l2[l2]
+        if np.array_equal(l2, lab):
+            break
+        lab = l2
+    return pa.table({"node": pa.array(nodes),
+                     "component": pa.array(nodes[lab])})
+
+
 def connected_components(edges, *, src: str = "src", dst: str = "dst",
-                         nbuckets: int = 32, max_rounds: int = 64):
+                         nbuckets: int = 32, max_rounds: int = 64,
+                         local_threshold: int = 2_000_000):
     """Components of the undirected graph given by an edge Dataset.
 
     Returns a pyarrow Table ``(node, component)`` where ``component``
     is the minimum node id reachable from ``node``.  Nodes appear iff
     they occur in an edge (self-loops fine).  Node ids must be int64.
+
+    Two regimes (the engine's broadcast-vs-shuffle discipline): at or
+    below ``local_threshold`` symmetrized edge rows the graph collects
+    once and resolves with a vectorized local pointer-jumping kernel —
+    the label table was going to be driver-sized anyway (this
+    function's contract), so collecting the same-order edge set buys
+    back the multi-round exchange latency that dominates small graphs
+    (measured: 4-5s of chained barriers for a 370k-edge DBSCAN graph).
+    Above it, the distributed pointer-doubling loop runs — identical
+    results (both compute min-reachable), only the schedule differs.
     """
     import ray
 
@@ -61,6 +91,12 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
 
     sedges = edges.map_batches(sym, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
+
+    if sedges.count() <= local_threshold:
+        t = collect_table(sedges)
+        return _local_cc(_np(t["a"]), _np(t["b"])) if t.num_rows else \
+            pa.table({"node": pa.array([], _I64),
+                      "component": pa.array([], _I64)})
 
     # initial labels: L(v) = min(v, min neighbor) — one exchange-free
     # partial per block + a bucket combine folded into round 1's merge

@@ -4819,7 +4819,7 @@ def customers_dbscan(sf_dir: str, eps: int = 400, min_pts: int = 3):
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey"]).map_batches(
         pts, batch_format="pyarrow", zero_copy_batch=True)
-    out = grid_dbscan(ds, eps=eps, min_pts=min_pts, nbuckets=16)
+    out = grid_dbscan(ds, eps=eps, min_pts=min_pts, nbuckets=8)
     return out.rename_columns(["custkey", "cluster", "is_core"])
 
 

@@ -256,3 +256,22 @@ def test_bfs_hops_random_vs_reference(ray_session):
     out = bfs_hops(ray.data.from_arrow(tbl).repartition(5), sources,
                    nbuckets=6).to_pydict()
     assert dict(zip(out["node"], out["dist"])) == expect
+
+
+def test_cc_local_and_distributed_regimes_agree(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.graph import connected_components
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    e = rng.integers(0, 400, (n, 2)).astype(np.int64)
+    tbl = pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    local = connected_components(ds, nbuckets=4)          # small regime
+    dist = connected_components(ds, nbuckets=4,
+                                local_threshold=0)        # forced shuffle
+    key = [("node", "ascending")]
+    assert local.sort_by(key).equals(dist.sort_by(key))
