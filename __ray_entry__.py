@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_dbscan": q.customers_dbscan,
         "orders_status_history": q.orders_status_history,
         "orders_latest_order": q.orders_latest_order,
+        "tpch_q5": q.tpch_q5,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
         "segments_intersect_pairs": q.segments_intersect_pairs,
@@ -279,6 +280,21 @@ def oracle_sql() -> dict[str, str]:
             WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat FROM customer)
             SELECT {hq} AS hex_q, {hr} AS hex_r, COUNT(*) AS n_points
             FROM pt GROUP BY hex_q, hex_r
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_c2
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1998-01-01'
+            GROUP BY n_name
         """,
         "orders_latest_order": """
             WITH r AS (SELECT o_custkey, o_orderkey,

@@ -4966,3 +4966,102 @@ def embeddings_ivfpq_topk(sf_dir: str, k: int = 10, n_queries: int = 10,
     out = ivfpq_topk(index_dir, queries, cent, books, k=k,
                      nprobe=nprobe)
     return out.select(["query_id", "rank", "vec_id"])
+
+
+def tpch_q5(sf_dir: str, region: str = "ASIA",
+            date_lo: str = "1996-01-01", date_hi: str = "1998-01-01"):
+    """TPC-H Q5 (local-supplier revenue): the 6-table composition —
+    region/nation/supplier ride a broadcast (genuinely small sides),
+    orders x customer and lineitem x orders are REAL hash-join
+    shuffles, and the Q5 twist (supplier and customer must share a
+    nation) is a post-join integer compare.  Revenue is exact
+    cents x (100 - discount_bp).  Hash-checked vs the classic Q5
+    SQL."""
+    import duckdb
+    import ray
+
+    from ..functions.join import hash_join
+
+    con = duckdb.connect()
+    # nation -> (in-region flag, name); supplier -> nationkey: tiny
+    nat = con.execute(f"""
+        SELECT n_nationkey, n_name FROM '{sf_dir}/nation.parquet' n
+        JOIN '{sf_dir}/region.parquet' r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = '{region}' ORDER BY n_nationkey""").fetch_arrow_table()
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nnames = nat["n_name"].to_pylist()
+    sup = con.execute(
+        f"SELECT s_suppkey, s_nationkey FROM '{sf_dir}/supplier.parquet'"
+    ).fetch_arrow_table()
+    skeys = sup["s_suppkey"].to_numpy().astype(np.int64)
+    snat = sup["s_nationkey"].to_numpy().astype(np.int64)
+    smap = np.full(int(skeys.max()) + 1, -1, np.int64)
+    smap[skeys] = snat
+    in_region = np.zeros(int(nkeys.max()) + 1 if len(nkeys) else 1, bool)
+    in_region[nkeys] = True
+    bref = ray.put((smap, in_region))
+
+    lo = np.datetime64(date_lo, "D")
+    hi = np.datetime64(date_hi, "D")
+
+    def oprep(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy().astype("datetime64[D]")
+        keep = (d >= lo) & (d < hi)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"]}).filter(pa.array(keep))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        oprep, batch_format="pyarrow", zero_copy_batch=True)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"],
+                            "c_nat": b["c_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ordc = hash_join(orders, cust, on="o_custkey", nbuckets=32) \
+        .select_columns(["o_orderkey", "c_nat"])
+
+    def lprep(b: pa.Table) -> pa.Table:
+        sm, reg = ray.get(bref) if isinstance(bref, ray.ObjectRef) \
+            else bref
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_nat = sm[np.minimum(sk, len(sm) - 1)]
+        s_nat[sk >= len(sm)] = -1
+        price = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        keep = (s_nat >= 0) & reg[np.maximum(np.minimum(
+            s_nat, len(reg) - 1), 0)] & (s_nat < len(reg))
+        return pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "s_nat": pa.array(s_nat),
+            "rev_c2": pa.array(price * (100 - disc)),
+        }).filter(pa.array(keep))
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        lprep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(items, ordc, on="o_orderkey", nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cn = b["c_nat"].to_numpy(zero_copy_only=False)
+        sn = b["s_nat"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(cn == sn))
+        if t.num_rows == 0:
+            return pa.table({"s_nat": pa.array([], pa.int64()),
+                             "revenue_c2": pa.array([], pa.int64())})
+        g = t.group_by("s_nat").aggregate([("rev_c2", "sum")])
+        return g.rename_columns(["s_nat", "revenue_c2"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = _final_combine(parts, ["s_nat"], ["revenue_c2"])
+    nk = agg["s_nat"].to_numpy()
+    name_of = {int(k): nm for k, nm in zip(nkeys, nnames)}
+    return pa.table({
+        "n_name": pa.array([name_of[int(k)] for k in nk]),
+        "revenue_c2": agg["revenue_c2"],
+    })
