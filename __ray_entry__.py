@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_status_history": q.orders_status_history,
         "orders_latest_order": q.orders_latest_order,
         "tpch_q5": q.tpch_q5,
+        "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
         "segments_intersect_pairs": q.segments_intersect_pairs,
@@ -1071,6 +1072,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
         """,
         "lineitem_price_band_join": """
+            WITH bands AS (
+                SELECT s_suppkey AS band_id,
+                       (s_suppkey * 9973) % 9000000 AS lo_cents,
+                       (s_suppkey * 9973) % 9000000
+                         + 50000 + (s_suppkey % 13) * 10000 AS hi_cents
+                FROM supplier)
+            SELECT band_id,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM lineitem JOIN bands
+              ON CAST(round(l_extendedprice * 100) AS BIGINT) >= lo_cents
+             AND CAST(round(l_extendedprice * 100) AS BIGINT) < hi_cents
+            GROUP BY band_id
+        """,
+        "lineitem_price_band_broadcast": """
             WITH bands AS (
                 SELECT s_suppkey AS band_id,
                        (s_suppkey * 9973) % 9000000 AS lo_cents,

@@ -773,3 +773,78 @@ def interval_overlap_join(a, b, *, a_lo: str, a_hi: str, b_lo: str,
 
     return grouped_exchange(tagged, "__bin", join_bin,
                             nbuckets=nbuckets, schema=out_schema)
+
+
+def broadcast_range_join(points, intervals: pa.Table, *, value: str,
+                         lo: str, hi: str, id_cols: list[str] | None = None,
+                         **map_kwargs):
+    """Point-in-interval join with a BROADCAST small side — the
+    two-regime twin of :func:`range_join` (exactly as
+    ``revenue_by_region`` pairs broadcast with its shuffle twin).
+    Intervals are half-open ``[lo, hi)`` integer ranges and MAY
+    overlap.
+
+    The interval set flattens driver-side into elementary segments
+    (sorted distinct endpoints) with a CSR list of covering interval
+    ids per segment — built once, shipped once via ``ray.put``.  Each
+    point batch is then ONE searchsorted + one ragged CSR window
+    gather: output-proportional, no shuffle, no per-point loop.  Use
+    when ``|intervals| x |overlap depth|`` fits a broadcast (the CSR is
+    O(sum of per-interval segment spans), worst case O(B^2) for B
+    fully-overlapping intervals); above that, ``range_join``'s bin
+    fan-out co-group is the scale path.
+    """
+    import ray
+
+    id_cols = list(id_cols) if id_cols is not None else \
+        [c for c in intervals.schema.names if c not in (lo, hi)]
+    lov = intervals[lo].to_numpy(zero_copy_only=False).astype(np.int64)
+    hiv = intervals[hi].to_numpy(zero_copy_only=False).astype(np.int64)
+    if (hiv < lov).any():
+        raise ValueError("interval with hi < lo")
+    ends = np.unique(np.concatenate([lov, hiv]))
+    # band covers elementary segment j = [ends[j], ends[j+1]) iff
+    # lo <= ends[j] < hi
+    s = np.searchsorted(ends, lov, side="left")
+    e = np.searchsorted(ends, hiv, side="left")
+    ln = e - s
+    band_of = np.repeat(np.arange(len(lov), dtype=np.int64), ln)
+    seg_of = (np.arange(int(ln.sum()), dtype=np.int64)
+              - np.repeat(np.cumsum(ln) - ln, ln)
+              + np.repeat(s, ln))
+    order = np.argsort(seg_of, kind="stable")
+    seg_sorted, band_sorted = seg_of[order], band_of[order]
+    offs = np.zeros(len(ends) + 1, np.int64)
+    np.add.at(offs, seg_sorted + 1, 1)
+    offs = np.cumsum(offs)
+    payload = ray.put((ends, offs, band_sorted,
+                       {c: intervals[c].combine_chunks() for c in id_cols}))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        ends_, offs_, bands_, idc = ray.get(payload) if isinstance(
+            payload, ray.ObjectRef) else payload
+        out_empty = {c: batch[c].slice(0, 0) for c in batch.schema.names}
+        out_empty.update({c: idc[c].slice(0, 0) for c in id_cols})
+        if batch.num_rows == 0:
+            return pa.table(out_empty)
+        p = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.searchsorted(ends_, p, side="right") - 1
+        ok = (j >= 0) & (j < len(ends_) - 1)
+        jj = np.where(ok, j, 0)
+        a, b = offs_[jj], offs_[jj + 1]
+        ln = np.where(ok, b - a, 0)
+        tot = int(ln.sum())
+        if tot == 0:
+            return pa.table(out_empty)
+        pi = np.repeat(np.arange(len(p), dtype=np.int64), ln)
+        off = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(ln) - ln, ln)
+        bi = bands_[np.repeat(a, ln) + off]
+        out = {c: batch[c].combine_chunks().take(pa.array(pi))
+               for c in batch.schema.names}
+        for c in id_cols:
+            out[c] = idc[c].take(pa.array(bi))
+        return pa.table(out)
+
+    return points.map_batches(lookup, batch_format="pyarrow",
+                              zero_copy_batch=True, **map_kwargs)

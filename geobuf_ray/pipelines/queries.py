@@ -5065,3 +5065,51 @@ def tpch_q5(sf_dir: str, region: str = "ASIA",
         "n_name": pa.array([name_of[int(k)] for k in nk]),
         "revenue_c2": agg["revenue_c2"],
     })
+
+
+def lineitem_price_band_broadcast(sf_dir: str):
+    """The broadcast twin of :func:`lineitem_price_band_join`
+    (functions/join.broadcast_range_join): identical semantics and the
+    IDENTICAL SQL oracle, but the overlapping band set flattens into
+    elementary segments + CSR driver-side and rides one ray.put — each
+    point batch is one searchsorted + a ragged gather, no shuffle.
+    Broadcast when the small side is small, shuffle (range_join) when
+    it isn't — the engine's two-regime discipline for range joins."""
+    import duckdb
+    import ray
+
+    from ..functions.join import broadcast_range_join
+
+    skeys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    lo = ((skeys * 9973) % 9_000_000).astype(np.int64)
+    hi = lo + 50_000 + (skeys % 13) * 10_000
+    bands = pa.table({"band_id": pa.array(skeys),
+                      "lo_cents": pa.array(lo),
+                      "hi_cents": pa.array(hi)})
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"price_cents": pa.array(cents)})
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = broadcast_range_join(items, bands, value="price_cents",
+                                  lo="lo_cents", hi="hi_cents",
+                                  id_cols=["band_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"band_id": b["band_id"],
+                      "n_items": pa.array(np.ones(b.num_rows, np.int64)),
+                      "sum_cents": b["price_cents"]})
+        return t.group_by("band_id").aggregate(
+            [("n_items", "sum"), ("sum_cents", "sum")]).rename_columns(
+            ["band_id", "n_items", "sum_cents"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return _final_combine(parts, ["band_id"], ["n_items", "sum_cents"])

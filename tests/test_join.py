@@ -531,3 +531,43 @@ def test_interval_overlap_join_touching_endpoints(ray_session):
         b_lo="blo", b_hi="bhi", bin_width=4, nbuckets=2).to_pandas()
     got = sorted(zip(out["aid"], out["bid"]))
     assert got == [(1, 1), (2, 1)]
+
+
+def test_broadcast_range_join_vs_shuffle_range_join(ray_session):
+    """The two range-join regimes agree pair-for-pair on random
+    overlapping intervals, and both match brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.join import broadcast_range_join, range_join
+
+    rng = np.random.default_rng(53)
+    nb, npt = 80, 5000
+    lo = rng.integers(0, 10_000, nb).astype(np.int64)
+    hi = lo + rng.integers(0, 3_000, nb)
+    bands = pa.table({"band_id": pa.array(np.arange(nb, dtype=np.int64)),
+                      "lo": pa.array(lo), "hi": pa.array(hi)})
+    p = rng.integers(-500, 13_000, npt).astype(np.int64)
+    pts_tbl = pa.table({"pid": pa.array(np.arange(npt, dtype=np.int64)),
+                        "v": pa.array(p)})
+    want = set()
+    for b in range(nb):
+        for i in np.flatnonzero((p >= lo[b]) & (p < hi[b])):
+            want.add((int(i), b))
+
+    pts = ray.data.from_arrow(pts_tbl).repartition(4)
+    bc = broadcast_range_join(pts, bands, value="v", lo="lo", hi="hi",
+                              id_cols=["band_id"]).to_pandas()
+    got_bc = set(zip(bc["pid"].astype(int), bc["band_id"].astype(int)))
+    assert got_bc == want
+
+    sh = range_join(
+        pts, ray.data.from_arrow(bands), value="v", lo="lo", hi="hi",
+        bin_width=1000.0,
+        points_schema=pa.schema([("pid", pa.int64()), ("v", pa.int64())]),
+        intervals_schema=pa.schema([("band_id", pa.int64()),
+                                    ("lo", pa.int64()),
+                                    ("hi", pa.int64())])).to_pandas()
+    got_sh = set(zip(sh["pid"].astype(int), sh["band_id"].astype(int)))
+    assert got_sh == want
