@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_by_flag": q.lineitem_corr_by_flag,
         "embeddings_pos_sums": q.embeddings_pos_sums,
         "docs_pack_chunks": q.docs_pack_chunks,
+        "docs_chunk_spans": q.docs_chunk_spans,
         "docs_pack_greedy": q.docs_pack_greedy,
         "docs_similar_prefixes": q.docs_similar_prefixes,
         "docs_decontaminate": q.docs_decontaminate,
@@ -1899,6 +1900,19 @@ def oracle_sql() -> dict[str, str]:
             FROM I JOIN S sa ON sa.doc_id = I.doc_a
                    JOIN S sb ON sb.doc_id = I.doc_b
             WHERE inter * 10 >= 9 * (sa.n + sb.n - inter)
+        """,
+        "docs_chunk_spans": """
+            WITH k AS (SELECT doc_id, n_chars,
+                          CASE WHEN n_chars <= 500 THEN 1
+                               ELSE (n_chars - 500 + 399) // 400 + 1
+                          END AS nk
+                       FROM documents),
+            s AS (SELECT doc_id, n_chars,
+                         unnest(generate_series(0, nk - 1)) AS j FROM k)
+            SELECT doc_id, COUNT(*) AS n_chunks,
+                   CAST(SUM(LEAST(j * 400 + 500, n_chars) - j * 400)
+                        AS BIGINT) AS covered_units
+            FROM s GROUP BY doc_id
         """,
         "docs_dup_clusters": r"""
             WITH RECURSIVE tok AS (

@@ -125,3 +125,49 @@ def pack_greedy(ds, *, id_col: str = "doc_id",
         ds.select_columns([id_col, group_col, len_col]),
         nbuckets=nbuckets, on=group_col, reduce_fn=kernel,
         schema=out_schema)
+
+
+def chunk_spans(ds, *, id_col: str = "doc_id", len_col: str = "n_chars",
+                chunk: int = 512, overlap: int = 64):
+    """RAG-style sliding-window chunking: each document of length n
+    yields chunks starting every ``stride = chunk - overlap`` units —
+    chunk j covers ``[j*stride, min(j*stride + chunk, n))`` and the
+    count is 1 for n <= chunk else ``ceil((n - chunk)/stride) + 1``
+    (the last chunk always reaches the document end; consecutive
+    chunks share ``overlap`` units).
+
+    Pure per-row fan-out arithmetic — no shuffle, no exchange, just a
+    ragged repeat inside map_batches: the embarrassingly-parallel
+    regime.  Emits (id, chunk_idx, c_start, c_end).  Lengths must be
+    >= 1; ``overlap < chunk`` required.
+    """
+    if not 0 <= overlap < chunk:
+        raise ValueError("need 0 <= overlap < chunk")
+    stride = chunk - overlap
+
+    def fan(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "chunk_idx": pa.array([], pa.int64()),
+                          "c_start": pa.array([], pa.int64()),
+                          "c_end": pa.array([], pa.int64())})
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (n < 1).any():
+            raise ValueError("document length < 1")
+        k = np.where(n <= chunk, 1,
+                     (n - chunk + stride - 1) // stride + 1)
+        tot = int(k.sum())
+        ri = np.repeat(np.arange(len(ids), dtype=np.int64), k)
+        j = (np.arange(tot, dtype=np.int64)
+             - np.repeat(np.cumsum(k) - k, k))
+        start = j * stride
+        end = np.minimum(start + chunk, n[ri])
+        return pa.table({id_col: pa.array(ids[ri]),
+                         "chunk_idx": pa.array(j),
+                         "c_start": pa.array(start),
+                         "c_end": pa.array(end)})
+
+    return ds.map_batches(fan, batch_format="pyarrow",
+                          zero_copy_batch=True)

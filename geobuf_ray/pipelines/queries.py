@@ -5113,3 +5113,36 @@ def lineitem_price_band_broadcast(sf_dir: str):
     parts = joined.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True)
     return _final_combine(parts, ["band_id"], ["n_items", "sum_cents"])
+
+
+def docs_chunk_spans(sf_dir: str, chunk: int = 500, overlap: int = 100):
+    """RAG sliding-window chunking (functions/pack.chunk_spans): every
+    document fans to overlapping [start, end) chunks — stride 400,
+    last chunk clipped to the document end — then per-document chunk
+    counts and covered-unit sums.  Pure map-side arithmetic, no
+    shuffle.  Hash-checked vs a generate_series SQL twin computing the
+    identical ceil-division chunk count."""
+    import ray
+
+    from ..functions.pack import chunk_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    spans = chunk_spans(ds, chunk=chunk, overlap=overlap)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "doc_id": b["doc_id"],
+            "n_chunks": pa.array(np.ones(b.num_rows, np.int64)),
+            "covered_units": pa.array(
+                b["c_end"].to_numpy(zero_copy_only=False)
+                - b["c_start"].to_numpy(zero_copy_only=False)),
+        })
+        return t.group_by("doc_id").aggregate(
+            [("n_chunks", "sum"), ("covered_units", "sum")]) \
+            .rename_columns(["doc_id", "n_chunks", "covered_units"])
+
+    parts = spans.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return _final_combine(parts, ["doc_id"],
+                          ["n_chunks", "covered_units"])

@@ -83,3 +83,39 @@ def test_pack_chunks_spans(ray_session):
     assert out.start_chunk.tolist() == [0, 1, 2, 2]
     assert out.start_offset.tolist() == [0, 36, 0, 5]
     assert out.end_chunk.tolist() == [1, 1, 2, 4]
+
+
+def test_chunk_spans_scalar_and_edges(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.pack import chunk_spans
+
+    chunk, overlap = 10, 3
+    stride = chunk - overlap
+    lens = np.array([1, 5, 10, 11, 17, 18, 24, 100], np.int64)
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(lens),
+                                                 dtype=np.int64)),
+                    "n_chars": pa.array(lens)})
+    out = chunk_spans(ray.data.from_arrow(tbl).repartition(3),
+                      chunk=chunk, overlap=overlap).to_pandas()
+    for d, n in enumerate(lens):
+        rows = out[out.doc_id == d].sort_values("chunk_idx")
+        # scalar reference
+        want = []
+        j = 0
+        while True:
+            s = j * stride
+            e = min(s + chunk, n)
+            want.append((j, s, e))
+            if e >= n:
+                break
+            j += 1
+        got = [(int(r.chunk_idx), int(r.c_start), int(r.c_end))
+               for r in rows.itertuples(index=False)]
+        assert got == want, (n, got, want)
+        # coverage: last chunk reaches the end, consecutive overlap
+        assert got[-1][2] == n
+        for (a, b) in zip(got, got[1:]):
+            assert b[1] == a[1] + stride and b[1] < a[2]
