@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_zorder_cells": q.customers_zorder_cells,
         "events_top_users_mg": q.events_top_users_mg,
         "images_dup_clusters": q.images_dup_clusters,
+        "images_embed_dedup": q.images_embed_dedup,
         "customers_geohash_counts": q.customers_geohash_counts,
         "lineitem_unpivot_sums": q.lineitem_unpivot_sums,
         "orders_priority_hull": q.orders_priority_hull,

@@ -752,3 +752,51 @@ def augment_images(ds, *, ops=("hflip", "rot90"),
         fn_constructor_kwargs=dict(ops=ops, per_image=per_image),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, **map_kwargs)
+
+
+class EmbedImagesFn:
+    """Actor-pool embedding stage — the CLIP-inference shape.
+
+    A real image-embedding model loads ONCE in ``__init__`` (weights,
+    device) and runs a batched forward pass in ``__call__``; this
+    container has no model libs, so the forward pass is a
+    deterministic stand-in with the same contract: decode -> 32x32
+    gray resample -> ``pool x pool`` mean pool -> L2-normalized
+    float vector.  Near-duplicate pixels land at cosine ~1, so the
+    output drives the engine's embedding-dedup machinery exactly the
+    way CLIP vectors would.  Small batch_size keeps payload x
+    concurrency inside worker heaps."""
+
+    def __init__(self, pool: int = 8):
+        self.pool = pool
+        self.dct = None  # a real model's weights would load here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        n = len(ids)
+        p = self.pool
+        step = 32 // p
+        out = np.empty((n, p * p))
+        for i in range(n):  # decode is inherently per-payload
+            px = decode_image(blobs[i])
+            g32 = _resample_gray32(px)  # grayscale + 32x32 area pool
+            out[i] = g32.reshape(p, step, p, step).mean(
+                axis=(1, 3)).reshape(-1)
+        norm = np.sqrt((out * out).sum(axis=1, keepdims=True))
+        out = out / np.maximum(norm, 1e-12)
+        idx = np.array([int(s[3:]) for s in ids], np.int64)
+        return pa.table({
+            "img_idx": pa.array(idx),
+            "embedding": pa.array(out.tolist(),
+                                  pa.list_(pa.float64())),
+        })
+
+
+def embed_images(ds, *, pool: int = 8, batch_size: int = 64,
+                 concurrency=(1, 8), **map_kwargs):
+    """Dataset stage: image rows -> (img_idx, embedding)."""
+    return ds.map_batches(
+        EmbedImagesFn, fn_constructor_kwargs=dict(pool=pool),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **map_kwargs)

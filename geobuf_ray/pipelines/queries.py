@@ -5146,3 +5146,33 @@ def docs_chunk_spans(sf_dir: str, chunk: int = 500, overlap: int = 100):
                               zero_copy_batch=True)
     return _final_combine(parts, ["doc_id"],
                           ["n_chunks", "covered_units"])
+
+
+def images_embed_dedup(sf_dir: str, threshold: float = 0.995):
+    """The CLIP-dedup pipeline end to end (io/images.embed_images ->
+    functions/dedup.embedding_dedup_pairs -> graph.connected_components):
+    decode each image in an actor pool, produce a deterministic
+    CLIP-stand-in embedding (real model slots into the same stage),
+    find cosine near-duplicates via hyperplane LSH with exact verify,
+    resolve transitive clusters, label every clustered image with its
+    min reachable index.  Rows-only (pixel-derived embeddings); the
+    pytest oracle checks the planted i%23==11 near-copies cluster with
+    their base rows and brute-force cosine agrees."""
+    from ..functions.dedup import embedding_dedup_pairs
+    from ..functions.graph import connected_components
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    import ray
+
+    emb = im.embed_images(ds, batch_size=32, concurrency=(1, 4))
+    pairs = embedding_dedup_pairs(emb, vec_col="embedding",
+                                  id_col="img_idx",
+                                  threshold=threshold)
+    # verified pairs only (truncated = capped degenerate buckets,
+    # cosine unverified) become edges
+    ver = pairs.filter(pc.invert(pairs["truncated"].combine_chunks()))
+    comp = connected_components(ray.data.from_arrow(ver),
+                                src="id_a", dst="id_b", nbuckets=8)
+    return comp.rename_columns(["img_idx", "cluster"])

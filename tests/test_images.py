@@ -386,3 +386,52 @@ def test_dct_phash_pairs_query_planted_recall(ray_session):
     assert planted_close >= 5  # the corpus plants enough close pairs
     # every reported pair really is within the threshold
     assert max(d["distance"], default=0) <= 3
+
+
+def test_embed_images_dedup_planted_and_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.dedup import embedding_dedup_pairs
+    from geobuf_ray.io import images as im
+
+    n = 150
+    tbl = im.synthesize_image_table(n)
+    prev = None
+    for nparts in (2, 5):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        emb = im.embed_images(ds, batch_size=16, concurrency=(1, 2))
+        edf = emb.to_pandas().sort_values("img_idx")
+        V = np.stack(edf["embedding"].to_numpy())
+        ids = edf["img_idx"].to_numpy()
+        # embeddings are unit-normalized
+        assert np.allclose((V * V).sum(axis=1), 1.0)
+        # brute-force cosine ground truth at the query threshold
+        cos = V @ V.T
+        thr = 0.995
+        want = set()
+        for a in range(n):
+            for b in range(a + 1, n):
+                if cos[a, b] >= thr:
+                    want.add((int(ids[a]), int(ids[b])))
+        # planted near-copies are found by brute force (sanity that
+        # the embedding actually separates/joins the right things)
+        for i in range(23, n):
+            if i % 23 == 11:
+                pair = (min(i - 7, i), max(i - 7, i))
+                assert pair in want
+        pairs = embedding_dedup_pairs(emb, vec_col="embedding",
+                                      id_col="img_idx", threshold=thr)
+        pdf = pairs.to_pandas()
+        got = set((int(a), int(b)) if a < b else (int(b), int(a))
+                  for a, b, tr in zip(pdf.id_a, pdf.id_b, pdf.truncated)
+                  if not tr)
+        # LSH may miss borderline pairs but must find every planted one
+        for i in range(23, n):
+            if i % 23 == 11:
+                assert (min(i - 7, i), i) in got
+        assert got <= want  # exact verify: no false positives
+        if prev is not None:
+            assert got == prev
+        prev = got
