@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
         "events_transitions": q.events_transitions,
+        "events_value_twap": q.events_value_twap,
         "events_hourly_gapfill": q.events_hourly_gapfill,
         "lineitem_price_mad_outliers": q.lineitem_price_mad_outliers,
         "customers_hexbin": q.customers_hexbin,
@@ -461,6 +462,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_users
             FROM ud JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "events_value_twap": """
+            WITH e AS (SELECT user_id,
+                          CAST(epoch_us(ts) AS BIGINT) AS t,
+                          CAST(round(value * 100) AS BIGINT) AS cents,
+                          LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                            AS nt
+                       FROM events)
+            SELECT user_id,
+                   CAST(COALESCE(SUM(cents * (nt - t)), 0) AS BIGINT)
+                       AS wsum_cents_us,
+                   CAST(COALESCE(SUM(nt - t), 0) AS BIGINT) AS dur_us
+            FROM e GROUP BY user_id
         """,
         "events_transitions": """
             WITH seq AS (

@@ -5176,3 +5176,56 @@ def images_embed_dedup(sf_dir: str, threshold: float = 0.995):
     comp = connected_components(ray.data.from_arrow(ver),
                                 src="id_a", dst="id_b", nbuckets=8)
     return comp.rename_columns(["img_idx", "cluster"])
+
+
+def events_value_twap(sf_dir: str):
+    """Time-weighted average position per user — the TWAP/CDC
+    interval-weighted mean: each event's value holds until the user's
+    next event (the last event carries no weight), and the weighted
+    sum is EXACT int64 (microsecond durations x integer cents).
+    Emits per-user (wsum, wdur) integer pairs; the division stays with
+    the consumer, so the result hash-checks bit-for-bit.  One user
+    exchange; the kernel is the lag_lead lexsort + shifted diff."""
+    import ray
+
+    from ..functions.exchange import hash_exchange
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("wsum_cents_us", pa.int64()),
+                            ("dur_us", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            return out_schema.empty_table()
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = tbl["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.round(tbl["value"].to_numpy() * 100).astype(np.int64)
+        sel = np.lexsort((eid, ts, uid))
+        u, t, c = uid[sel], ts[sel], cents[sel]
+        same_next = np.concatenate((u[:-1] == u[1:], [False]))
+        dur = np.zeros(len(u), np.int64)
+        dur[:-1] = t[1:] - t[:-1]
+        dur[~same_next] = 0
+        uu, inv = np.unique(u, return_inverse=True)
+        # int64 accumulation (bincount's float64 weights lose ulps
+        # above 2^53 — cents x microsecond durations reach 2.6e16)
+        wsum = np.zeros(len(uu), np.int64)
+        np.add.at(wsum, inv, c * dur)
+        dsum = np.zeros(len(uu), np.int64)
+        np.add.at(dsum, inv, dur)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "wsum_cents_us": pa.array(wsum),
+            "dur_us": pa.array(dsum),
+        })
+
+    out = hash_exchange(ds, nbuckets=32, on="user_id",
+                        reduce_fn=kernel, schema=out_schema)
+    from ..collect import collect_table
+
+    return collect_table(out)
