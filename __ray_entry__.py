@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_transitions": q.events_transitions,
         "events_value_twap": q.events_value_twap,
+        "events_cusum_alarms": q.events_cusum_alarms,
         "events_hourly_gapfill": q.events_hourly_gapfill,
         "lineitem_price_mad_outliers": q.lineitem_price_mad_outliers,
         "customers_hexbin": q.customers_hexbin,
@@ -462,6 +463,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_users
             FROM ud JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "events_cusum_alarms": """
+            WITH e AS (SELECT user_id,
+                          (CAST(epoch_us(ts) AS BIGINT) // 1000000)
+                            * 16777216 + event_id AS o,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events),
+            s AS (SELECT user_id, o,
+                     SUM(v - 5500) OVER (PARTITION BY user_id ORDER BY o)
+                       AS ps
+                  FROM e),
+            c AS (SELECT user_id,
+                     ps - LEAST(MIN(ps) OVER (PARTITION BY user_id
+                                              ORDER BY o), 0) AS cusum
+                  FROM s)
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN cusum > 20000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_alarms,
+                   CAST(MAX(cusum) AS BIGINT) AS max_cusum
+            FROM c GROUP BY user_id
         """,
         "events_value_twap": """
             WITH e AS (SELECT user_id,

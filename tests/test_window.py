@@ -285,3 +285,48 @@ def test_scd2_intervals_vs_scalar(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_cusum_alarms_vs_scalar_and_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from geobuf_ray.functions.window import cusum_alarms
+
+    rng = np.random.default_rng(61)
+    n = 6000
+    tbl = pa.table({
+        "u": pa.array(rng.integers(0, 120, n)),
+        "t": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(-50, 80, n)),
+    })
+    drift, thresh = 10, 120
+    out = cusum_alarms(ray.data.from_arrow(tbl).repartition(5),
+                       key="u", order="t", value="v", drift=drift,
+                       threshold=thresh, nbuckets=8).to_pandas()
+    # scalar recurrence reference
+    df = tbl.to_pandas().sort_values(["u", "t"])
+    want = []
+    cur_u, c = None, 0
+    for r in df.itertuples(index=False):
+        if r.u != cur_u:
+            cur_u, c = r.u, 0
+        c = max(0, c + int(r.v) - drift)
+        want.append((r.u, r.t, c, c > thresh))
+    wdf = pd.DataFrame(want, columns=["u", "t", "cusum", "alarm"])
+    got = out.sort_values(["u", "t"]).reset_index(drop=True)[
+        ["u", "t", "cusum", "alarm"]]
+    pd.testing.assert_frame_equal(got, wdf, check_dtype=False)
+    # and the SUM-OVER/MIN-OVER SQL identity
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    o = con.execute(f"""
+        WITH s AS (SELECT u, t,
+                      SUM(v - {drift}) OVER (PARTITION BY u ORDER BY t)
+                        AS ps FROM t)
+        SELECT u, t,
+               CAST(ps - LEAST(MIN(ps) OVER (PARTITION BY u ORDER BY t),
+                               0) AS BIGINT) AS cusum
+        FROM s""").df().sort_values(["u", "t"]).reset_index(drop=True)
+    assert (got["cusum"].to_numpy() == o["cusum"].to_numpy()).all()
