@@ -583,7 +583,12 @@ def gap_fill(ds, *, key: str, tick: str, start: int, stop: int,
             kt = tbl[key].type if tbl.num_columns else pa.int64()
             cols = {key: pa.array([], kt), tick: pa.array([], pa.int64())}
             for c in vcols:
-                cols[c] = pa.array([], pa.int64())
+                # match the non-empty buckets' summed types, or the
+                # exchange's concat fails on mixed schemas
+                vt = tbl[c].type if tbl.num_columns else pa.int64()
+                cols[c] = pa.array([], pa.int64()
+                                   if pa.types.is_integer(vt)
+                                   else pa.float64())
             return pa.table(cols)
         g = tbl.group_by([key, tick]).aggregate(
             [(c, "sum") for c in vcols])

@@ -330,3 +330,19 @@ def test_cusum_alarms_vs_scalar_and_duckdb(ray_session):
                                0) AS BIGINT) AS cusum
         FROM s""").df().sort_values(["u", "t"]).reset_index(drop=True)
     assert (got["cusum"].to_numpy() == o["cusum"].to_numpy()).all()
+
+
+def test_gap_fill_float_cols_with_empty_buckets(ray_session):
+    import ray
+
+    from geobuf_ray.functions.window import gap_fill
+
+    # 2 keys, 16 buckets -> most buckets empty; float value column
+    tbl = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                    "t": pa.array([0, 2, 1], pa.int64()),
+                    "f": pa.array([1.5, 2.5, 3.5])})
+    out = gap_fill(ray.data.from_arrow(tbl), key="k", tick="t",
+                   start=0, stop=3, zero_cols=("f",),
+                   nbuckets=16).to_pandas().sort_values(["k", "t"])
+    assert list(out[out.k == 1].f) == [1.5, 0.0, 2.5, 0.0]
+    assert list(out[out.k == 2].f) == [0.0, 3.5, 0.0, 0.0]
