@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": q.events_transitions,
         "events_value_twap": q.events_value_twap,
         "events_cusum_alarms": q.events_cusum_alarms,
+        "events_value_ewma": q.events_value_ewma,
         "events_hourly_gapfill": q.events_hourly_gapfill,
         "lineitem_price_mad_outliers": q.lineitem_price_mad_outliers,
         "customers_hexbin": q.customers_hexbin,

@@ -763,3 +763,78 @@ def cusum_alarms(ds, *, key: str, order: str, value: str, drift: int,
 
     return hash_exchange(ds, nbuckets=nbuckets, on=key,
                          reduce_fn=kernel, schema=None)
+
+
+def ewma(ds, *, key: str, order: str, value: str, alpha: float,
+         nbuckets: int = 64, out_col: str = "ewma",
+         chunk_len: int = 256):
+    """Per-key exponentially weighted moving average (pandas
+    ``ewm(alpha, adjust=False)`` semantics: ``y_0 = x_0``,
+    ``y_i = (1-a) y_{i-1} + a x_i``) — the linear-recurrence twin of
+    ``cusum_alarms``\' max-plus scan.
+
+    Two-level vectorization with NO closed-form weighted cumsum (the
+    ``(1-a)^-j`` form amplifies rounding by its weight span — measured
+    1e-7 relative error at alpha=0.3): within chunks of ``chunk_len``
+    the exact recurrence runs as a column loop vectorized ACROSS all
+    chunks of every key (chunk_len iterations of O(active chunks)
+    gathers), and chunk boundaries compose by linear superposition —
+    the homogeneous solution propagates as ``carry * (1-a)^(j+1)``,
+    one round per chunk depth, vectorized across keys.  Total Python
+    iterations = chunk_len + max_chunks ~ O(sqrt(longest key)) at the
+    default; every operation is the recurrence itself, so precision is
+    O(eps) per step with no amplification.
+    """
+    from .exchange import hash_exchange
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha in (0, 1]")
+    if chunk_len < 2 or chunk_len > 65536:
+        raise ValueError("chunk_len in [2, 65536]")
+    b = 1.0 - alpha
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0:
+            return pa.table({})
+        n = tbl.num_rows
+        if n == 0:
+            return tbl.append_column(out_col, pa.array([], pa.float64()))
+        codes = _key_codes(tbl, key)
+        ov = _order_values(tbl, order)
+        x = tbl[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        sel = np.lexsort((ov, codes))
+        cs = codes[sel]
+        xs = x[sel]
+        new_seg = np.concatenate(([True], cs[1:] != cs[:-1]))
+        seg_starts = np.flatnonzero(new_seg)
+        seg_len = np.diff(np.append(seg_starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(seg_starts, seg_len)
+        j = pos % chunk_len
+        new_chunk = new_seg | (j == 0)
+        g_starts = np.flatnonzero(new_chunk)
+        g_len = np.diff(np.append(g_starts, n))
+        # in-chunk exact recurrence, one column at a time across all
+        # chunks: y_j = a x_j + b y_{j-1}
+        y = alpha * xs
+        y[new_seg] = xs[new_seg]        # y_0 = x_0 per key
+        for jj in range(1, chunk_len):
+            gsel = g_starts[g_len > jj] + jj
+            if len(gsel) == 0:
+                break
+            y[gsel] += b * y[gsel - 1]
+        # carry rounds: chunk c inherits the end value of its
+        # segment\'s chunk c-1 (already final), scaled by b^(j+1) —
+        # the homogeneous solution of the recurrence
+        chunk_id = pos // chunk_len
+        for c in range(1, int(chunk_id.max()) + 1 if n else 0):
+            rows = np.flatnonzero(chunk_id == c)
+            if len(rows) == 0:
+                break
+            carry = y[rows - (j[rows] + 1)]  # donor = chunk start - 1
+            y[rows] += carry * (b ** (j[rows] + 1.0))
+        out = np.empty(n, np.float64)
+        out[sel] = y
+        return tbl.append_column(out_col, pa.array(out))
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=None)

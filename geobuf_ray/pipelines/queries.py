@@ -5289,3 +5289,34 @@ def events_cusum_alarms(sf_dir: str, drift: int = 5500,
     g = tbl.group_by("user_id").aggregate(
         [("n_alarms", "sum"), ("max_cusum", "max")])
     return g.rename_columns(["user_id", "n_alarms", "max_cusum"])
+
+
+def events_value_ewma(sf_dir: str, alpha: float = 0.1):
+    """Per-user EWMA of event values (functions/window.ewma, pandas
+    adjust=False semantics), reporting each user's final smoothed
+    value — the streaming feature-engineering shape.  Rows-only: the
+    chunked recurrence's float op ORDER differs from a sequential
+    scan's, so ulps differ from any SQL recursive-CTE twin; the pytest
+    oracle checks against pandas ewm to 1e-10."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.agg import arg_max_agg
+    from ..functions.window import ewma
+
+    def axis(b: pa.Table) -> pa.Table:
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "o": pa.array((t // 1_000_000) * (1 << 24) + e),
+                         "v": b["value"]})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"]).map_batches(
+        axis, batch_format="pyarrow", zero_copy_batch=True)
+    sm = ewma(ds, key="user_id", order="o", value="v", alpha=alpha,
+              nbuckets=32)
+    last = arg_max_agg(sm, ["user_id"], "o", ["ewma"], nbuckets=16)
+    out = collect_table(last).select(["user_id", "ewma"])
+    return out.rename_columns(["user_id", "ewma_last"])

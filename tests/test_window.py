@@ -346,3 +346,28 @@ def test_gap_fill_float_cols_with_empty_buckets(ray_session):
                    nbuckets=16).to_pandas().sort_values(["k", "t"])
     assert list(out[out.k == 1].f) == [1.5, 0.0, 2.5, 0.0]
     assert list(out[out.k == 2].f) == [0.0, 3.5, 0.0, 0.0]
+
+
+def test_ewma_vs_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from geobuf_ray.functions.window import ewma
+
+    rng = np.random.default_rng(71)
+    n = 9000
+    tbl = pa.table({
+        "u": pa.array(rng.integers(0, 8, n)),   # long segments -> many chunks
+        "t": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.normal(0, 10, n)),
+    })
+    for alpha in (0.3, 0.05, 1.0):
+        out = ewma(ray.data.from_arrow(tbl).repartition(4), key="u",
+                   order="t", value="v", alpha=alpha, nbuckets=4,
+                   chunk_len=64).to_pandas()
+        got = out.sort_values(["u", "t"]).reset_index(drop=True)
+        df = tbl.to_pandas().sort_values(["u", "t"]).reset_index(drop=True)
+        want = df.groupby("u")["v"].transform(
+            lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+        assert np.allclose(got["ewma"].to_numpy(), want.to_numpy(),
+                           rtol=1e-10, atol=1e-10), alpha
