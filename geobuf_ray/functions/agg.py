@@ -962,18 +962,18 @@ def arg_max_agg(ds, keys: list[str], order: str, payload: list[str], *,
                     else tbl.select(cols) if tbl.num_columns else
                     pa.table({}))
         n = tbl.num_rows
-        # joint group code over the key columns
+        # joint group code over the key columns (NULL keys group,
+        # window._key_codes semantics); order axes via the shared
+        # decoder so timestamp/date32 handling lives in one place
+        from .window import _key_codes, _order_values
+
         codes = np.zeros(n, np.int64)
         for k in key_list:
             enc = tbl[k].combine_chunks().dictionary_encode()
             c = enc.indices.fill_null(-1).to_numpy(
                 zero_copy_only=False).astype(np.int64) + 1
             codes = codes * (len(enc.dictionary) + 1) + c
-        def axis(name):
-            col = tbl[name].combine_chunks()
-            if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
-                col = col.cast(pa.int64())
-            return col.to_numpy(zero_copy_only=False)
+        axis = lambda name: _order_values(tbl, name)  # noqa: E731
         sort_keys = (axis(order), codes) if tiebreak is None else \
             (axis(tiebreak), axis(order), codes)
         sel = np.lexsort(sort_keys)

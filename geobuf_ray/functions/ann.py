@@ -485,20 +485,32 @@ class IVFPQTopK(PQTopK):
         o0 = np.argsort(ids, kind="stable")
         ids, codes, cells = ids[o0], codes[o0], cells[o0]
         nq = len(self.q_ids)
-        dist = np.zeros((nq, n))
-        for j in range(self.m):
-            dist += self.lut[:, j, :][:, codes[:, j].astype(np.int64)]
-        # mask rows outside each query's probe list
-        allowed = np.zeros((nq, n), bool)
+        # a batch is (usually) ONE coarse partition: score only the
+        # queries that probed a cell present here — the others would
+        # pay the full m-gather accumulation just to be masked to inf
+        qmask = np.zeros(nq, bool)
+        allowed_rows = []
         for qi in range(nq):
-            allowed[qi] = np.isin(cells, self.probes[qi])
+            a = np.isin(cells, self.probes[qi])
+            if a.any():
+                qmask[qi] = True
+                allowed_rows.append(a)
+        if not qmask.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        qs = np.flatnonzero(qmask)
+        allowed = np.stack(allowed_rows)
+        dist = np.zeros((len(qs), n))
+        for j in range(self.m):
+            dist += self.lut[qs, j, :][:, codes[:, j].astype(np.int64)]
         dist[~allowed] = np.inf
         k = min(self.k, n)
         part = np.argsort(dist, axis=1, kind="stable")[:, :k]
         dd = np.take_along_axis(dist, part, axis=1)
         keep = np.isfinite(dd).reshape(-1)
         return pa.table({
-            "query_id": pa.array(np.repeat(self.q_ids, k)[keep]),
+            "query_id": pa.array(np.repeat(self.q_ids[qs], k)[keep]),
             "vec_id": pa.array(ids[part].reshape(-1)[keep]),
             "adc": pa.array(dd.reshape(-1)[keep]),
         })
@@ -528,8 +540,10 @@ def ivfpq_topk(index_dir: str, queries: pa.Table,
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
     paths = ivf_probe_paths(index_dir, probes.reshape(-1))
     if not paths:
-        return _empty_topk_table().append_column(
-            "rank", pa.array([], pa.int64()))
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "adc": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int32())})
     ds = ray.data.read_parquet(paths, columns=[id_col, code_col, "cell"])
     q = (q_ids, qm_full)
     books = np.asarray(codebooks, np.float64)

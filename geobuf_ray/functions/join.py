@@ -799,6 +799,12 @@ def broadcast_range_join(points, intervals: pa.Table, *, value: str,
     id_cols = list(id_cols) if id_cols is not None else \
         [c for c in intervals.schema.names if c not in (lo, hi)]
     lov = intervals[lo].to_numpy(zero_copy_only=False).astype(np.int64)
+    _point_cols = set(points.schema().names)
+    clash = [c for c in id_cols if c in _point_cols]
+    if clash:
+        raise ValueError(
+            f"interval id column(s) {clash} collide with point "
+            "columns — rename one side (silent overwrite otherwise)")
     hiv = intervals[hi].to_numpy(zero_copy_only=False).astype(np.int64)
     if (hiv < lov).any():
         raise ValueError("interval with hi < lo")

@@ -64,6 +64,11 @@ def lag_lead(ds, *, key: str, order: str, value: str,
 
 def _order_values(tbl: pa.Table, order: str) -> np.ndarray:
     o = tbl[order].combine_chunks()
+    if pa.types.is_date32(o.type):
+        # date32 -> int64 is an unsupported Arrow cast; go via the
+        # int32 day storage
+        return o.cast(pa.int32()).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
     if pa.types.is_timestamp(o.type) or pa.types.is_date(o.type):
         return o.cast(pa.int64()).to_numpy(zero_copy_only=False)
     return o.to_numpy(zero_copy_only=False)

@@ -768,6 +768,8 @@ class EmbedImagesFn:
     concurrency inside worker heaps."""
 
     def __init__(self, pool: int = 8):
+        if pool < 1 or 32 % pool != 0:
+            raise ValueError("pool must divide 32")
         self.pool = pool
         self.dct = None  # a real model's weights would load here
 

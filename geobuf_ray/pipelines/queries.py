@@ -4865,6 +4865,9 @@ def orders_status_history(sf_dir: str):
         day = batch["o_orderdate"].to_numpy().astype(
             "datetime64[D]").astype(np.int64)
         k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        if len(k) and int(k.max()) >= (1 << 24):
+            raise ValueError("composite day*2^24+orderkey axis needs "
+                             "orderkey < 2^24 — widen the shift")
         return pa.table({
             "o_custkey": batch["o_custkey"],
             "t": pa.array(day * (1 << 24) + k),
@@ -5261,7 +5264,10 @@ def events_cusum_alarms(sf_dir: str, drift: int = 5500,
         t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         e = b["event_id"].to_numpy(zero_copy_only=False)
         # second-resolution epoch * 2^24 + event_id: unique, monotone
-        # in (ts, id) for the test corpora (ids < 2^24), int64-safe
+        # in (ts, id), int64-safe; guard the id width instead of
+        # assuming it
+        if len(e) and int(e.max()) >= (1 << 24):
+            raise ValueError("composite axis needs event_id < 2^24")
         return pa.table({"user_id": b["user_id"],
                          "o": pa.array((t // 1_000_000) * (1 << 24) + e),
                          "v": b["v"]})
@@ -5307,6 +5313,8 @@ def events_value_ewma(sf_dir: str, alpha: float = 0.1):
     def axis(b: pa.Table) -> pa.Table:
         t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         e = b["event_id"].to_numpy(zero_copy_only=False)
+        if len(e) and int(e.max()) >= (1 << 24):
+            raise ValueError("composite axis needs event_id < 2^24")
         return pa.table({"user_id": b["user_id"],
                          "o": pa.array((t // 1_000_000) * (1 << 24) + e),
                          "v": b["value"]})

@@ -59,8 +59,7 @@ def _window_pairs(pcell: np.ndarray, dcell: np.ndarray):
     return pi, di
 
 
-def _pack(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
-    return (cx << np.int64(32)) | (cy & np.int64(0xFFFFFFFF))
+from .hexgrid import _pack_cells as _pack  # shared int64 cell packer
 
 
 def _cells(x: np.ndarray, y: np.ndarray, eps: int):
