@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_dbscan": q.customers_dbscan,
         "orders_status_history": q.orders_status_history,
         "orders_latest_order": q.orders_latest_order,
+        "suppliers_sssp": q.suppliers_sssp,
         "tpch_q5": q.tpch_q5,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
         "events_last_order_asof": q.events_last_order_asof,
@@ -286,6 +287,21 @@ def oracle_sql() -> dict[str, str]:
             WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat FROM customer)
             SELECT {hq} AS hex_q, {hr} AS hex_r, COUNT(*) AS n_points
             FROM pt GROUP BY hex_q, hex_r
+        """,
+        "suppliers_sssp": """
+            WITH RECURSIVE e AS (
+              SELECT u, v, (u * 31 + v * 17) % 100 + 1 AS w FROM (
+                SELECT a.u,
+                       32 * (a.u // 32 + 1) + (a.u * 7 + j.j * 13) % 32
+                         AS v
+                FROM (SELECT unnest(generate_series(0, 223)) AS u) a,
+                     (SELECT unnest(generate_series(0, 2)) AS j) j)),
+            walk(node, d) AS (
+              SELECT s.s, 0 FROM (SELECT unnest([0, 1, 2, 3]) AS s) s
+              UNION
+              SELECT e.v, w.d + e.w FROM walk w JOIN e ON e.u = w.node)
+            SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+            FROM walk GROUP BY node
         """,
         "tpch_q5": """
             SELECT n_name,

@@ -611,3 +611,111 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
         "n_edges": pa.array(
             [int(t["n_edges"].to_numpy(zero_copy_only=False).sum())], _I64),
     })
+
+
+_WEDGE_SCHEMA = pa.schema([("a", _I64), ("b", _I64), ("w", _I64)])
+
+
+def weighted_sssp(edges, sources, *, src: str = "src", dst: str = "dst",
+                  weight: str = "w", directed: bool = False,
+                  nbuckets: int = 32, max_rounds: int = 64) -> pa.Table:
+    """Single/multi-source shortest paths with non-negative integer
+    edge weights — distributed Bellman-Ford with frontier relaxation
+    (the weighted generalization of :func:`bfs_hops`).
+
+    Returns ``(node, dist)`` for every node reachable within
+    ``max_rounds`` relaxation rounds (a round settles all paths of one
+    more EDGE, so max_rounds bounds path length in hops, not weight).
+    Each round only last round's IMPROVED rows probe the pre-split,
+    shipped-once edge buckets; candidates pre-minimize per block
+    before the skinny (node, dist) exchange.  Integer weights keep
+    every distance exact int64 (hash-matches a recursive-CTE SQL
+    twin).  Negative weights raise.
+    """
+    import ray
+
+    from ..collect import collect_table
+    from .exchange import cogroup_presplit, hash_cogroup, presplit
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = batch[src].combine_chunks().cast(_I64)
+        v = batch[dst].combine_chunks().cast(_I64)
+        w = batch[weight].combine_chunks().cast(_I64)
+        wn = w.to_numpy(zero_copy_only=False)
+        if len(wn) and wn.min() < 0:
+            raise ValueError("weighted_sssp: negative edge weight")
+        if directed:
+            return pa.table({"a": u, "b": v, "w": w})
+        return pa.table({"a": pa.concat_arrays([u, v]),
+                         "b": pa.concat_arrays([v, u]),
+                         "w": pa.concat_arrays([w, w])})
+
+    sedges = edges.map_batches(sym, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    edge_maps = presplit(sedges, nbuckets=nbuckets, on="a")
+
+    srcs = np.unique(np.asarray(sources, dtype=np.int64))
+    init = pa.table({"node": pa.array(srcs),
+                     "label": pa.array(np.zeros(len(srcs), np.int64))})
+    dist = ray.data.from_arrow(init).materialize()
+    frontier = dist
+
+    def merge_min(new: pa.Table, cur: pa.Table) -> pa.Table:
+        node = np.concatenate([_np(new["node"]), _np(cur["node"])])
+        lab = np.concatenate([_np(new["label"]), _np(cur["label"])])
+        return _first_per_node(node, lab)
+
+    def improved_only(new: pa.Table, old: pa.Table) -> pa.Table:
+        """rows of new strictly better than (or absent from) old."""
+        nn, nl = _np(new["node"]), _np(new["label"])
+        on, ol = _np(old["node"]), _np(old["label"])
+        order = np.argsort(on)
+        on, ol = on[order], ol[order]
+        if len(on):
+            pos = np.clip(np.searchsorted(on, nn), 0, len(on) - 1)
+            hit = on[pos] == nn
+            keep = ~hit | (nl < np.where(hit, ol[pos], 0))
+        else:
+            keep = np.ones(len(nn), bool)
+        # several improved candidates can target one node (one per
+        # edge bucket) — keep the min, or relax() would read whichever
+        # sorts first
+        return _first_per_node(nn[keep], nl[keep])
+
+    for _ in range(max_rounds):
+        def relax(e: pa.Table, f: pa.Table) -> pa.Table:
+            a, b, w = _np(e["a"]), _np(e["b"]), _np(e["w"])
+            node = _np(f["node"])
+            lab = _np(f["label"])
+            order = np.argsort(node)
+            node, lab = node[order], lab[order]
+            if not len(node):
+                return pa.table({"node": pa.array([], _I64),
+                                 "label": pa.array([], _I64)})
+            pos = np.clip(np.searchsorted(node, a), 0, len(node) - 1)
+            hit = node[pos] == a
+            cand_n = b[hit]
+            cand_d = lab[pos[hit]] + w[hit]
+            return _first_per_node(cand_n, cand_d)  # per-block min
+
+        cand = cogroup_presplit(edge_maps, frontier, nbuckets=nbuckets,
+                                right_on="node", reduce_fn=relax,
+                                left_schema=_WEDGE_SCHEMA,
+                                right_schema=_LAB_SCHEMA)
+        # improved candidates (vs current dist) become the frontier;
+        # then fold them into dist
+        frontier = hash_cogroup(cand, dist, nbuckets=nbuckets,
+                                left_on="node", right_on="node",
+                                reduce_fn=improved_only,
+                                left_schema=_LAB_SCHEMA,
+                                right_schema=_LAB_SCHEMA).materialize()
+        if frontier.count() == 0:
+            break
+        dist = hash_cogroup(frontier, dist, nbuckets=nbuckets,
+                            left_on="node", right_on="node",
+                            reduce_fn=merge_min,
+                            left_schema=_LAB_SCHEMA,
+                            right_schema=_LAB_SCHEMA).materialize()
+
+    out = collect_table(dist)
+    return out.rename_columns(["node", "dist"])

@@ -5328,3 +5328,37 @@ def events_value_ewma(sf_dir: str, alpha: float = 0.1):
     last = arg_max_agg(sm, ["user_id"], "o", ["ewma"], nbuckets=16)
     out = collect_table(last).select(["user_id", "ewma"])
     return out.rename_columns(["user_id", "ewma_last"])
+
+
+def _sssp_dag_edges(sf_dir: str):
+    """Deterministic layered DAG over the first 256 supplier-derived
+    nodes: 8 layers x 32, out-degree 3 into the next layer, integer
+    weights — finite path sets so a recursive-CTE oracle terminates."""
+    u = np.arange(224, dtype=np.int64)          # layers 0..6 fan out
+    layer = u // 32
+    vs = []
+    us = []
+    for j in range(3):
+        v = 32 * (layer + 1) + (u * 7 + j * 13) % 32
+        us.append(u)
+        vs.append(v)
+    uu = np.concatenate(us)
+    vv = np.concatenate(vs)
+    ww = (uu * 31 + vv * 17) % 100 + 1
+    return pa.table({"src": pa.array(uu), "dst": pa.array(vv),
+                     "w": pa.array(ww)})
+
+
+def suppliers_sssp(sf_dir: str):
+    """Weighted shortest paths (functions/graph.weighted_sssp:
+    distributed Bellman-Ford, frontier-only relaxation over pre-split
+    edge buckets, exact int64 distances) from 4 sources over the
+    layered supplier DAG.  Hash-checked against a recursive-CTE walk +
+    MIN SQL twin (finite on the DAG)."""
+    import ray
+
+    from ..functions.graph import weighted_sssp
+
+    edges = ray.data.from_arrow(_sssp_dag_edges(sf_dir))
+    out = weighted_sssp(edges, [0, 1, 2, 3], directed=True, nbuckets=8)
+    return out

@@ -275,3 +275,67 @@ def test_cc_local_and_distributed_regimes_agree(ray_session):
                                 local_threshold=0)        # forced shuffle
     key = [("node", "ascending")]
     assert local.sort_by(key).equals(dist.sort_by(key))
+
+
+def test_weighted_sssp_vs_dijkstra(ray_session):
+    import heapq
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.graph import weighted_sssp
+
+    rng = np.random.default_rng(83)
+    n_nodes, n_edges = 300, 1500
+    u = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    v = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    w = rng.integers(1, 100, n_edges).astype(np.int64)
+    sources = [0, 17]
+
+    # scalar Dijkstra reference (undirected)
+    adj = {}
+    for a, b, ww in zip(u, v, w):
+        adj.setdefault(int(a), []).append((int(b), int(ww)))
+        adj.setdefault(int(b), []).append((int(a), int(ww)))
+    want = {}
+    pq = [(0, s) for s in sources]
+    for _, s in pq:
+        want[s] = 0
+    heapq.heapify(pq)
+    while pq:
+        d, x = heapq.heappop(pq)
+        if d > want.get(x, 1 << 62):
+            continue
+        for y, ww in adj.get(x, []):
+            nd = d + ww
+            if nd < want.get(y, 1 << 62):
+                want[y] = nd
+                heapq.heappush(pq, (nd, y))
+
+    tbl = pa.table({"src": pa.array(u), "dst": pa.array(v),
+                    "w": pa.array(w)})
+    prev = None
+    for nparts in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = weighted_sssp(ds, sources, nbuckets=8)
+        got = dict(zip(out["node"].to_pylist(), out["dist"].to_pylist()))
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
+
+
+def test_weighted_sssp_negative_raises(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from geobuf_ray.functions.graph import weighted_sssp
+
+    tbl = pa.table({"src": pa.array([0], pa.int64()),
+                    "dst": pa.array([1], pa.int64()),
+                    "w": pa.array([-3], pa.int64())})
+    with pytest.raises(Exception):
+        weighted_sssp(ray.data.from_arrow(tbl), [0], nbuckets=2)
