@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ewma": q.events_value_ewma,
         "events_hourly_gapfill": q.events_hourly_gapfill,
         "lineitem_price_mad_outliers": q.lineitem_price_mad_outliers,
+        "lineitem_price_mad_outliers_by_flag":
+            q.lineitem_price_mad_outliers_by_flag,
         "customers_hexbin": q.customers_hexbin,
         "suppliers_hex_neighbors": q.suppliers_hex_neighbors,
         "customers_dbscan": q.customers_dbscan,
@@ -525,6 +527,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, next_type, COUNT(*) AS n_transitions
             FROM seq WHERE next_type IS NOT NULL
             GROUP BY event_type, next_type
+        """,
+        "lineitem_price_mad_outliers_by_flag": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS v
+                       FROM lineitem),
+            m AS (SELECT l_returnflag,
+                         percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                             AS med
+                  FROM c GROUP BY l_returnflag),
+            d AS (SELECT c.l_returnflag,
+                         percentile_disc(0.5) WITHIN GROUP
+                             (ORDER BY abs(v - med)) AS mad
+                  FROM c JOIN m USING (l_returnflag)
+                  GROUP BY c.l_returnflag)
+            SELECT c.l_returnflag, COUNT(*) AS n_outliers,
+                   CAST(SUM(v) AS BIGINT) AS outlier_cents
+            FROM c JOIN m USING (l_returnflag) JOIN d USING (l_returnflag)
+            WHERE 5 * abs(v - med) > 9 * mad
+            GROUP BY c.l_returnflag
         """,
         "lineitem_price_mad_outliers": """
             WITH c AS (SELECT l_returnflag,

@@ -988,6 +988,86 @@ def arg_max_agg(ds, keys: list[str], order: str, payload: list[str], *,
                          reduce_fn=kernel, schema=schema)
 
 
+
+def group_mad_outliers(ds, keys: list[str], value: str, *,
+                       k_num: int = 3, k_den: int = 1,
+                       nbuckets: int = 16):
+    """Per-GROUP median-absolute-deviation outlier filter: keep rows
+    with ``|x - med_g| > (k_num/k_den) * MAD_g`` where med_g / MAD_g
+    are the row's group's exact PERCENTILE_DISC medians — the grouped
+    generalization of :func:`mad_outliers` (one global gate misses a
+    group whose whole distribution sits inside another's spread).
+
+    Three streaming passes: per-group median via
+    :func:`group_quantile`, per-group deviation median with the
+    (small) median table broadcast into the deviation stamp, then a
+    broadcast-threshold filter.  All-integer predicate — hash-matches
+    a percentile_disc-per-group SQL twin.  Group cardinality must fit
+    a broadcast (it is the AGGREGATE's output size; beyond that,
+    thresholds become a hash_join instead — same algebra).
+    """
+    import ray
+
+    from ..collect import collect_table
+
+    if k_num < 0 or k_den <= 0:
+        raise ValueError("need k_num >= 0 and k_den > 0")
+    key_list = list(keys)
+
+    def _lookup(tbl: pa.Table):
+        """(joint group key tuple) -> row index map for a small table."""
+        cols = [tbl[k].to_pylist() for k in key_list]
+        return {t: i for i, t in enumerate(zip(*cols))}
+
+    med_t = collect_table(group_quantile(
+        ds, key_list, value, {"m": 0.5}, nbuckets=nbuckets))
+    med_map = _lookup(med_t)
+    med_v = med_t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mref = ray.put((med_map, med_v))
+
+    def _group_rows(batch: pa.Table, table_ref):
+        mmap, mv = ray.get(table_ref) if isinstance(
+            table_ref, ray.ObjectRef) else table_ref
+        cols = [batch[k].to_pylist() for k in key_list]
+        idx = np.fromiter((mmap.get(t, -1) for t in zip(*cols)),
+                          np.int64, batch.num_rows)
+        return idx, mv
+
+    def dev_stamp(batch: pa.Table) -> pa.Table:
+        idx, mv = _group_rows(batch, mref)
+        x = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = idx >= 0
+        dev = np.abs(x - mv[np.maximum(idx, 0)])
+        t = pa.table({**{k: batch[k] for k in key_list},
+                      "__dev": pa.array(dev)})
+        return t.filter(pa.array(ok))
+
+    devs = ds.map_batches(dev_stamp, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    mad_t = collect_table(group_quantile(
+        devs, key_list, "__dev", {"m": 0.5}, nbuckets=nbuckets))
+    mad_map = _lookup(mad_t)
+    mad_v = mad_t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tref = ray.put((med_map, med_v, mad_map, mad_v))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mmap, mv, dmap, dv = ray.get(tref) if isinstance(
+            tref, ray.ObjectRef) else tref
+        cols = [batch[k].to_pylist() for k in key_list]
+        mi = np.fromiter((mmap.get(t, -1) for t in zip(*cols)),
+                         np.int64, batch.num_rows)
+        di = np.fromiter((dmap.get(t, -1) for t in zip(*cols)),
+                         np.int64, batch.num_rows)
+        x = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (mi >= 0) & (di >= 0)
+        lhs = np.int64(k_den) * np.abs(x - mv[np.maximum(mi, 0)])
+        rhs = np.int64(k_num) * dv[np.maximum(di, 0)]
+        return batch.filter(pa.array(ok & (lhs > rhs)))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def histogram(ds, value: str, *, lo: int, hi: int, nbins: int):
     """Fixed-width integer histogram: counts per bin over
     ``[lo, hi)`` with ``width = (hi - lo) / nbins`` (must divide

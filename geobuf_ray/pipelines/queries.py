@@ -5362,3 +5362,43 @@ def suppliers_sssp(sf_dir: str):
     edges = ray.data.from_arrow(_sssp_dag_edges(sf_dir))
     out = weighted_sssp(edges, [0, 1, 2, 3], directed=True, nbuckets=8)
     return out
+
+
+def lineitem_price_mad_outliers_by_flag(sf_dir: str, k_num: int = 9,
+                                        k_den: int = 5):
+    """Per-GROUP robust outliers (functions/agg.group_mad_outliers):
+    each returnflag gets its own exact med/MAD gate — per-flag counts
+    + sums of the survivors, hash-checked vs a percentile_disc-per-
+    group SQL twin."""
+    import ray
+
+    from ..functions.agg import group_mad_outliers
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "v": np.round(batch["l_extendedprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"]).map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = group_mad_outliers(ds, ["l_returnflag"], "v",
+                             k_num=k_num, k_den=k_den)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["l_returnflag"].combine_chunks().dictionary_encode()
+        inv = d.indices.to_numpy(zero_copy_only=False)
+        k = len(d.dictionary)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": d.dictionary.cast(pa.string()),
+            "n_outliers": np.bincount(inv, minlength=k).astype(np.int64),
+            "outlier_cents": np.bincount(
+                inv, weights=v, minlength=k).astype(np.int64)})
+
+    parts = out.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _final_combine(parts, ["l_returnflag"],
+                          ["n_outliers", "outlier_cents"])

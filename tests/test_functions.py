@@ -830,3 +830,53 @@ def test_arg_max_agg_vs_scalar_and_ties(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_group_mad_outliers_vs_scalar(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.agg import group_mad_outliers
+
+    rng = np.random.default_rng(97)
+    n = 6000
+    g = rng.choice(["a", "b", "c"], n)
+    # group b sits entirely inside group a's spread — the case a
+    # global gate misses
+    x = np.where(g == "a", rng.integers(-10000, 10000, n),
+                 np.where(g == "b", rng.integers(-50, 50, n),
+                          rng.integers(5000, 5100, n))).astype(np.int64)
+    # plant real outliers: far tails in groups b and c (a uniform
+    # group has NO 3-MAD outliers — max dev < 3*MAD by construction)
+    g = np.concatenate([g, ["b"] * 12, ["c"] * 12])
+    x = np.concatenate([x, np.full(12, 900, np.int64),
+                        np.full(12, 9000, np.int64)])
+    n = len(x)
+
+    def disc_median(v):
+        sv = np.sort(v)
+        return int(sv[int(np.ceil(0.5 * len(sv))) - 1])
+
+    want = set()
+    for gg in ("a", "b", "c"):
+        v = x[g == gg]
+        med = disc_median(v)
+        mad = disc_median(np.abs(v - med))
+        idx = np.flatnonzero(g == gg)
+        for i in idx:
+            if 1 * abs(int(x[i]) - med) > 3 * mad:
+                want.add(int(i))
+
+    tbl = pa.table({"i": pa.array(np.arange(n, dtype=np.int64)),
+                    "g": pa.array(g), "v": pa.array(x)})
+    prev = None
+    for nparts in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = group_mad_outliers(ds, ["g"], "v", k_num=3,
+                                 k_den=1).to_pandas()
+        got = set(int(i) for i in out["i"])
+        assert got == want
+        if prev is not None:
+            assert got == prev
+        prev = got
