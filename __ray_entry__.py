@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum_alarms": q.events_cusum_alarms,
         "events_value_ewma": q.events_value_ewma,
         "events_hourly_gapfill": q.events_hourly_gapfill,
+        "events_hourly_interp": q.events_hourly_interp,
         "lineitem_price_mad_outliers": q.lineitem_price_mad_outliers,
         "lineitem_price_mad_outliers_by_flag":
             q.lineitem_price_mad_outliers_by_flag,
@@ -561,6 +562,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v) AS BIGINT) AS outlier_cents
             FROM c, m, d WHERE 5 * abs(v - med) > 9 * mad
             GROUP BY l_returnflag
+        """,
+        "events_hourly_interp": """
+            WITH hourly AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT min(hour) AS a, max(hour) AS b FROM hourly),
+            spine AS (SELECT unnest(generate_series(a, b)) AS hour
+                      FROM bounds),
+            keys AS (SELECT DISTINCT event_type FROM events),
+            j AS (SELECT k.event_type, s.hour,
+                         CAST(h.cents AS DOUBLE) AS val
+                  FROM spine s CROSS JOIN keys k
+                  LEFT JOIN hourly h ON h.event_type = k.event_type
+                                    AND h.hour = s.hour),
+            w AS (SELECT event_type, hour, val,
+                    last_value(CASE WHEN val IS NOT NULL THEN hour END
+                               IGNORE NULLS)
+                      OVER (PARTITION BY event_type ORDER BY hour) AS pt,
+                    last_value(val IGNORE NULLS)
+                      OVER (PARTITION BY event_type ORDER BY hour) AS pv,
+                    first_value(CASE WHEN val IS NOT NULL THEN hour END
+                                IGNORE NULLS)
+                      OVER (PARTITION BY event_type ORDER BY hour
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+                            FOLLOWING) AS nt,
+                    first_value(val IGNORE NULLS)
+                      OVER (PARTITION BY event_type ORDER BY hour
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+                            FOLLOWING) AS nv
+                  FROM j)
+            SELECT event_type, hour,
+                   CASE WHEN pt IS NULL OR nt IS NULL THEN NULL
+                        WHEN nt = pt THEN pv
+                        ELSE pv + (nv - pv) * (CAST(hour - pt AS DOUBLE)
+                                               / CAST(nt - pt AS DOUBLE))
+                   END AS cents_interp
+            FROM w
         """,
         "events_hourly_gapfill": """
             WITH hourly AS (

@@ -559,12 +559,17 @@ def transition_counts(ds, *, key: str, order: str, state: str,
 
 def gap_fill(ds, *, key: str, tick: str, start: int, stop: int,
              step: int = 1, zero_cols: tuple = (), ffill_cols: tuple = (),
-             nbuckets: int = 64):
+             interp_cols: tuple = (), nbuckets: int = 64):
     """Dense time-spine gap fill: for every key present in ``ds``, emit
     one row per tick in ``start..stop`` (inclusive, stride ``step``) —
     SQL's ``generate_series CROSS JOIN keys LEFT JOIN facts``.  Missing
     ticks get 0 in ``zero_cols`` and the last observed value (NULL
     before the first observation) in ``ffill_cols``.
+
+    ``interp_cols`` are LINEARLY interpolated between the two nearest
+    observations (``pv + (nv - pv) * (t - pt) / (nt - pt)`` in float64
+    — the exact expression a SQL twin can reproduce op-for-op); ticks
+    before the first / after the last observation stay NULL.
 
     Duplicate (key, tick) rows are summed first (so per-block partial
     aggregates can feed this directly); ticks outside the spine are
@@ -581,7 +586,7 @@ def gap_fill(ds, *, key: str, tick: str, start: int, stop: int,
     if step <= 0 or stop < start:
         raise ValueError("need step > 0 and stop >= start")
     nticks = (stop - start) // step + 1
-    vcols = list(zero_cols) + list(ffill_cols)
+    vcols = list(zero_cols) + list(ffill_cols) + list(interp_cols)
 
     def kernel(tbl: pa.Table) -> pa.Table:
         if tbl.num_columns == 0 or tbl.num_rows == 0:
@@ -619,7 +624,7 @@ def gap_fill(ds, *, key: str, tick: str, start: int, stop: int,
             z = np.zeros(nk * nticks, v.dtype)
             z[slot] = v
             cols[c] = pa.array(z)
-        if ffill_cols:
+        if ffill_cols or interp_cols:
             # accumulate SLOT indices (monotone along the tick axis by
             # construction), not row indices — group_by output order is
             # arbitrary, so the latest tick need not be the last row
@@ -633,6 +638,31 @@ def gap_fill(ds, *, key: str, tick: str, start: int, stop: int,
             take = pa.array(np.where(idx < 0, None, idx), pa.int64())
             for c in ffill_cols:
                 cols[c] = g[c].combine_chunks().take(take)
+        if interp_cols:
+            # the NEXT observation: reversed maximum.accumulate of the
+            # negated slot axis
+            big = nk * nticks
+            obs2 = np.full(big, big, np.int64)
+            obs2[slot] = slot
+            nxt = np.minimum.accumulate(
+                obs2.reshape(nk, nticks)[:, ::-1], axis=1)[:, ::-1].ravel()
+            nidx = np.where(nxt >= big, -1,
+                            row_of[np.minimum(nxt, big - 1)])
+            both = (idx >= 0) & (nidx >= 0)
+            pt = (last % nticks).astype(np.float64)
+            nt = (nxt % nticks).astype(np.float64)
+            tt = np.tile(np.arange(nticks, dtype=np.float64), nk)
+            denom = np.where(nt > pt, nt - pt, 1.0)
+            frac = (tt - pt) / denom
+            for c in interp_cols:
+                v = g[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                pv = v[np.maximum(idx, 0)]
+                nv = v[np.maximum(nidx, 0)]
+                val = pv + (nv - pv) * frac
+                cols[c] = pa.Array.from_buffers(
+                    pa.float64(), big,
+                    [pa.py_buffer(np.packbits(both, bitorder="little")),
+                     pa.py_buffer(np.ascontiguousarray(val))])
         return pa.table(cols)
 
     return hash_exchange(ds.select_columns([key, tick] + vcols),

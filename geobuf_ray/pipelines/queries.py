@@ -5402,3 +5402,41 @@ def lineitem_price_mad_outliers_by_flag(sf_dir: str, k_num: int = 9,
                             zero_copy_batch=True)
     return _final_combine(parts, ["l_returnflag"],
                           ["n_outliers", "outlier_cents"])
+
+
+def events_hourly_interp(sf_dir: str):
+    """Linear-interpolation gap fill (gap_fill interp_cols): hourly
+    per-type cents sums interpolated across empty hours — NULL outside
+    each type's observed range.  The interpolation expression
+    pv + (nv-pv) * ((t-pt)/(nt-pt)) evaluates in the same float64 op
+    order as the SQL twin's, so the whole surface hash-checks."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.window import gap_fill
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "hour": pa.array(ts // 3_600_000_000),
+            "cents": pa.array(cents),
+        })
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("cents", "sum")]).rename_columns(
+            ["event_type", "hour", "cents"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    hourly = _final_combine(parts, ["event_type", "hour"], ["cents"])
+    hours = hourly["hour"].to_numpy()
+    filled = gap_fill(ray.data.from_arrow(hourly), key="event_type",
+                      tick="hour", start=int(hours.min()),
+                      stop=int(hours.max()), interp_cols=("cents",),
+                      nbuckets=4)
+    out = collect_table(filled)
+    return out.rename_columns(["event_type", "hour", "cents_interp"])

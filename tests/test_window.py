@@ -371,3 +371,33 @@ def test_ewma_vs_pandas(ray_session):
             lambda s: s.ewm(alpha=alpha, adjust=False).mean())
         assert np.allclose(got["ewma"].to_numpy(), want.to_numpy(),
                            rtol=1e-10, atol=1e-10), alpha
+
+
+def test_gap_fill_interp_vs_scalar(ray_session):
+    import ray
+
+    from geobuf_ray.functions.window import gap_fill
+
+    rng = np.random.default_rng(101)
+    # sparse observations on a 0..40 spine, two keys
+    k = np.array([1] * 5 + [2] * 3, np.int64)
+    t = np.array([0, 10, 15, 30, 40, 5, 20, 35], np.int64)
+    v = rng.uniform(-10, 10, len(k))
+    tbl = pa.table({"k": pa.array(k), "t": pa.array(t),
+                    "v": pa.array(v)})
+    out = gap_fill(ray.data.from_arrow(tbl).repartition(3), key="k",
+                   tick="t", start=0, stop=40, step=5,
+                   interp_cols=("v",), nbuckets=4).to_pandas()
+    out = out.sort_values(["k", "t"]).reset_index(drop=True)
+    obs = {(int(kk), int(tt)): vv for kk, tt, vv in zip(k, t, v)}
+    for r in out.itertuples(index=False):
+        ticks = sorted(tt for (kk, tt) in obs if kk == r.k)
+        prevs = [x for x in ticks if x <= r.t]
+        nxts = [x for x in ticks if x >= r.t]
+        if not prevs or not nxts:
+            assert r.v != r.v  # NaN outside the observed range
+            continue
+        pt, nt = prevs[-1], nxts[0]
+        pv, nv = obs[(r.k, pt)], obs[(r.k, nt)]
+        want = pv if nt == pt else pv + (nv - pv) * (r.t - pt) / (nt - pt)
+        assert abs(r.v - want) < 1e-12, (r.k, r.t)
