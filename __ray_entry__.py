@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_gapfill": q.events_hourly_gapfill,
         "events_hourly_interp": q.events_hourly_interp,
         "lineitem_price_mad_outliers": q.lineitem_price_mad_outliers,
+        "lineitem_price_decile_stats": q.lineitem_price_decile_stats,
         "lineitem_price_mad_outliers_by_flag":
             q.lineitem_price_mad_outliers_by_flag,
         "customers_hexbin": q.customers_hexbin,
@@ -528,6 +529,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, next_type, COUNT(*) AS n_transitions
             FROM seq WHERE next_type IS NOT NULL
             GROUP BY event_type, next_type
+        """,
+        "lineitem_price_decile_stats": """
+            WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS v
+                       FROM lineitem),
+            b AS (SELECT
+                    percentile_disc(0.1) WITHIN GROUP (ORDER BY v) AS b1,
+                    percentile_disc(0.2) WITHIN GROUP (ORDER BY v) AS b2,
+                    percentile_disc(0.3) WITHIN GROUP (ORDER BY v) AS b3,
+                    percentile_disc(0.4) WITHIN GROUP (ORDER BY v) AS b4,
+                    percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS b5,
+                    percentile_disc(0.6) WITHIN GROUP (ORDER BY v) AS b6,
+                    percentile_disc(0.7) WITHIN GROUP (ORDER BY v) AS b7,
+                    percentile_disc(0.8) WITHIN GROUP (ORDER BY v) AS b8,
+                    percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS b9
+                  FROM c)
+            SELECT 1 + (v > b1)::INT + (v > b2)::INT + (v > b3)::INT
+                     + (v > b4)::INT + (v > b5)::INT + (v > b6)::INT
+                     + (v > b7)::INT + (v > b8)::INT + (v > b9)::INT
+                     AS decile,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(v) AS BIGINT) AS sum_cents
+            FROM c, b GROUP BY decile
         """,
         "lineitem_price_mad_outliers_by_flag": """
             WITH c AS (SELECT l_returnflag,

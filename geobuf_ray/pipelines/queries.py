@@ -5440,3 +5440,48 @@ def events_hourly_interp(sf_dir: str):
                       nbuckets=4)
     out = collect_table(filled)
     return out.rename_columns(["event_type", "hour", "cents_interp"])
+
+
+def lineitem_price_decile_stats(sf_dir: str):
+    """Equi-depth binning (functions/agg.group_quantile boundaries +
+    broadcast searchsorted assignment): exact PERCENTILE_DISC decile
+    cut points, every row assigned bin = 1 + #(boundaries < x) —
+    integer comparisons only, so counts and sums hash-check against a
+    boundary-sum SQL twin."""
+    import ray
+
+    from ..functions.agg import group_quantile
+
+    src = f"{sf_dir}/lineitem.parquet"
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": np.zeros(batch.num_rows, np.int64),
+            "v": np.round(batch["l_extendedprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)})
+
+    flat = ray.data.read_parquet(src, columns=["l_extendedprice"]) \
+        .map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    qs = {f"p{i*10}": i / 10 for i in range(1, 10)}
+    qt = group_quantile(flat, ["g"], "v", qs).to_pandas()
+    bounds = np.array([int(qt[f"p{i*10}"].iloc[0])
+                       for i in range(1, 10)], np.int64)
+    bref = ray.put(bounds)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref) if not isinstance(bref, np.ndarray) else bref
+        v = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        # bin = 1 + number of boundaries strictly below x (ties go to
+        # the LOWER bin, matching the SQL (x > b) indicator sum)
+        bin_ = 1 + (v[:, None] > b[None, :]).sum(axis=1).astype(np.int64)
+        t = pa.table({"decile": pa.array(bin_),
+                      "n_items": pa.array(np.ones(len(v), np.int64)),
+                      "sum_cents": pa.array(v)})
+        return t.group_by("decile").aggregate(
+            [("n_items", "sum"), ("sum_cents", "sum")]).rename_columns(
+            ["decile", "n_items", "sum_cents"])
+
+    parts = ray.data.read_parquet(src, columns=["l_extendedprice"]) \
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return _final_combine(parts, ["decile"], ["n_items", "sum_cents"])
