@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.lineitem_price_mad_outliers_by_flag,
         "customers_hexbin": q.customers_hexbin,
         "suppliers_hex_neighbors": q.suppliers_hex_neighbors,
+        "customers_nearest_supplier": q.customers_nearest_supplier,
         "customers_dbscan": q.customers_dbscan,
         "orders_status_history": q.orders_status_history,
         "orders_latest_order": q.orders_latest_order,
@@ -353,6 +354,24 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY valid_from)
                      AS valid_to
             FROM r
+        """,
+        "customers_nearest_supplier": """
+            WITH c AS (SELECT c_custkey,
+                              (c_custkey*7919)%36000 - 18000 AS x,
+                              (c_custkey*104729)%17000 - 8500 AS y
+                       FROM customer),
+            s AS (SELECT s_suppkey,
+                         (s_suppkey*7919)%36000 - 18000 AS x,
+                         (s_suppkey*104729)%17000 - 8500 AS y
+                  FROM supplier),
+            r AS (SELECT c.c_custkey, s.s_suppkey,
+                         ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                             ORDER BY (c.x-s.x)*(c.x-s.x)
+                                      + (c.y-s.y)*(c.y-s.y),
+                                      s.s_suppkey) AS rn
+                  FROM c CROSS JOIN s)
+            SELECT s_suppkey, COUNT(*) AS n_customers
+            FROM r WHERE rn = 1 GROUP BY s_suppkey
         """,
         "customers_dbscan": """
             WITH RECURSIVE p AS (SELECT c_custkey AS id,

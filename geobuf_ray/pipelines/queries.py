@@ -5485,3 +5485,41 @@ def lineitem_price_decile_stats(sf_dir: str):
     parts = ray.data.read_parquet(src, columns=["l_extendedprice"]) \
         .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     return _final_combine(parts, ["decile"], ["n_items", "sum_cents"])
+
+
+def customers_nearest_supplier(sf_dir: str):
+    """Discrete Voronoi / nearest-facility assignment: every customer
+    maps to its nearest supplier by EXACT integer squared planar
+    distance (hundredth-degree lattice), ties to the lowest suppkey —
+    then demand counts per facility.  The small side broadcasts once;
+    each batch is one (n x facilities) squared-distance matrix argmin.
+    Hash-checked vs a ROW_NUMBER-over-(dist, suppkey) SQL twin."""
+    import ray
+
+    skeys = _supplier_keys(sf_dir)
+    sx = (skeys * 7919) % 36000 - 18000
+    sy = (skeys * 104729) % 17000 - 8500
+    fac = ray.put((skeys, sx, sy))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        sk, fx, fy = ray.get(fac) if not isinstance(fac, tuple) else fac
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (k * 7919) % 36000 - 18000
+        y = (k * 104729) % 17000 - 8500
+        dx = x[:, None] - fx[None, :]
+        dy = y[:, None] - fy[None, :]
+        d2 = dx * dx + dy * dy
+        # argmin with ties to the lowest suppkey: skeys ascend, and
+        # np.argmin returns the FIRST minimum
+        j = np.argmin(d2, axis=1)
+        t = pa.table({"s_suppkey": pa.array(sk[j]),
+                      "n_customers": pa.array(np.ones(len(k), np.int64))})
+        return t.group_by("s_suppkey").aggregate(
+            [("n_customers", "sum")]).rename_columns(
+            ["s_suppkey", "n_customers"])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+    parts = ds.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return _final_combine(parts, ["s_suppkey"], ["n_customers"])
