@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_within_2000km": q.suppliers_within_2000km,
         "rects_overlap_join": q.rects_overlap_join,
         "codec_roundtrip_points": q.codec_roundtrip_points,
+        "codec_wkb_roundtrip": q.codec_wkb_roundtrip,
         "tri_geometry_measures": q.tri_geometry_measures,
         "lines_simplify": q.lines_simplify,
         "suppliers_components": q.suppliers_components,
@@ -1752,6 +1753,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey,
                    trunc({_LON} * 10000000) / 10000000 AS lon_q,
                    trunc({_LAT} * 10000000) / 10000000 AS lat_q
+            FROM customer
+        """,
+        "codec_wkb_roundtrip": f"""
+            SELECT c_custkey AS custkey,
+                   {_LON} AS lon,
+                   {_LAT} AS lat
             FROM customer
         """,
         # measures oracle: both sides work in the quantized int64

@@ -5523,3 +5523,41 @@ def customers_nearest_supplier(sf_dir: str):
     parts = ds.map_batches(assign, batch_format="pyarrow",
                            zero_copy_batch=True)
     return _final_combine(parts, ["s_suppkey"], ["n_customers"])
+
+
+def codec_wkb_roundtrip(sf_dir: str):
+    """Customer points through the WKB interop codec (codec/wkb:
+    vectorized OGC Well-Known Binary encode -> decode).  WKB carries
+    raw float64 coordinates, so the round-trip is EXACT — the oracle
+    is the plain coordinate derivation, making any codec bit error a
+    hash mismatch."""
+    from ..codec.wkb import decode_wkb, encode_wkb
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        k = batch["custkey"].combine_chunks()
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        coords = np.empty(2 * n)
+        coords[0::2] = lon
+        coords[1::2] = lat
+        geo = pa.table({
+            "geom_type": pa.array(np.ones(n, np.int8)),
+            "dim": pa.array(np.full(n, 2, np.int8)),
+            "coords": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int32)),
+                pa.array(coords)),
+            "ring_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+            "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+        })
+        dec = decode_wkb(encode_wkb(geo))
+        vals = dec["coords"].combine_chunks().values.to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "custkey": k,
+            "lon": pa.array(vals[0::2]),
+            "lat": pa.array(vals[1::2]),
+        })
+
+    return customer_points(sf_dir).map_batches(
+        roundtrip, batch_format="pyarrow", zero_copy_batch=True)
