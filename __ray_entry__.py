@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs": q.docs_jaccard_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_fingerprint": q.docs_fingerprint,
+        "docs_pii_scrub": q.docs_pii_scrub,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -1938,6 +1939,49 @@ def oracle_sql() -> dict[str, str]:
         # the utf8 BYTES (hex(encode(text)) + strpos nibble decode) in
         # HUGEINT mod 2^64 — bit-identical to functions/text.py
         # fingerprint64 (asserted by tools/check_oracles)
+        "docs_pii_scrub": """
+            WITH d0 AS (
+                SELECT doc_id,
+                       text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                       || CASE WHEN doc_id % 3 <> 0 THEN
+                              ' or call '
+                              || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+                              || CAST(100 + (doc_id * 7) % 900 AS VARCHAR)
+                              || '-'
+                              || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                          ELSE '' END
+                       || CASE WHEN doc_id % 2 = 0 THEN
+                              ' from 10.'
+                              || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                              || CAST(doc_id % 100 AS VARCHAR)
+                          ELSE '' END AS t
+                FROM documents),
+            s1 AS (SELECT doc_id,
+                       len(string_split_regex(t,
+                           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) - 1
+                           AS n_email,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                   FROM d0),
+            s2 AS (SELECT doc_id, n_email,
+                       len(string_split_regex(t1,
+                           '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) - 1 AS n_phone,
+                       regexp_replace(t1,
+                           '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b',
+                           '<PHONE>', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_phone,
+                       len(string_split_regex(t2,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) - 1
+                           AS n_ip,
+                       regexp_replace(t2,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS clean
+                   FROM s2)
+            SELECT doc_id, n_email, n_phone, n_ip, clean FROM s3
+        """,
         "docs_fingerprint": """
             WITH RECURSIVE b AS (
                 SELECT doc_id, hex(encode(text)) AS hx,

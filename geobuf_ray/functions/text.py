@@ -614,3 +614,57 @@ def inverted_lookup(index_dir: str, terms: list[str]):
 
     return ray.data.read_parquet(paths).map_batches(
         only_terms, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Ordered (class, RE2 pattern, replacement) rules.  Email first so a
+# user@10.0.0.1-style address is classed as email, not chewed by the
+# IP rule; phone before IP so dotted phone separators never leave a
+# digit run the IP rule could claim half of.  Patterns are plain RE2
+# (no lookaround) so DuckDB's regexp functions — also RE2 — reproduce
+# the exact same match set, which is what makes the driver query
+# hash-checkable.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "clean",
+                    rules: tuple[tuple[str, str, str], ...] = PII_RULES
+                    ) -> pa.Table:
+    """Detect and redact PII-shaped substrings (vectorized, Arrow RE2
+    kernels — no per-row Python).  Rules apply IN ORDER, each counting
+    matches on the text as left by the previous rule and replacing
+    every non-overlapping occurrence with its class token; per-row
+    match counts come out as ``n_<class>`` int64 columns next to the
+    redacted ``out_col``.  The staged count-then-replace semantics are
+    exactly reproducible in SQL as nested ``regexp_replace(..., 'g')``
+    + split-length counts, so pipelines built on this stage stay
+    oracle-checkable."""
+    text = batch[text_col].combine_chunks()
+    if isinstance(text, pa.ChunkedArray):  # 0-chunk edge
+        text = pa.concat_arrays([c for c in text.chunks]) if text.num_chunks \
+            else pa.array([], pa.string())
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    for name, pattern, token in rules:
+        n = pc.count_substring_regex(text, pattern)
+        text = pc.replace_substring_regex(text, pattern, token)
+        out = out.append_column(f"n_{name}", n.cast(pa.int64()))
+    return out.append_column(out_col, text)
+
+
+def pii_scrub(ds, *, text_col: str = "text", out_col: str = "clean",
+              rules: tuple[tuple[str, str, str], ...] = PII_RULES,
+              **map_kwargs):
+    """Dataset-level PII scrub: pure map stage (no shuffle), patterns
+    compiled once inside Arrow's RE2."""
+    return ds.map_batches(
+        lambda b: pii_scrub_batch(b, text_col, out_col, rules),
+        batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)

@@ -5561,3 +5561,43 @@ def codec_wkb_roundtrip(sf_dir: str):
 
     return customer_points(sf_dir).map_batches(
         roundtrip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def docs_pii_scrub(sf_dir: str):
+    """PII detection + redaction (functions/text.pii_scrub — staged
+    Arrow-RE2 count-then-replace, pure map stage, no shuffle).  The
+    synthetic corpus has no organic PII, so a deterministic PII tail
+    derived from doc_id is appended IDENTICALLY here and in the SQL
+    twin (one email always; a phone when doc_id%3 != 0; an IPv4 when
+    doc_id%2 == 0) — the scrub stage itself sees one opaque string
+    column.  Hash-checks vs nested ``regexp_replace(..., 'g')`` +
+    split-length counts (DuckDB is RE2 too, so the match sets are
+    byte-identical)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.text import pii_scrub_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def add_pii_tail(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = lambda a: pa.array(np.char.mod("%d", a))
+        txt = batch["text"].combine_chunks()
+        email = pc.binary_join_element_wise(
+            txt, " contact u", s(did), "@ex", s(did % 7), ".com", "")
+        phone = pc.binary_join_element_wise(
+            " or call ", s(100 + did % 900), "-",
+            s(100 + (did * 7) % 900), "-", s(1000 + did % 9000), "")
+        ip = pc.binary_join_element_wise(
+            " from 10.", s(did % 256), ".0.", s(did % 100), "")
+        full = pc.binary_join_element_wise(
+            email,
+            pc.if_else(pa.array(did % 3 != 0), phone, ""),
+            pc.if_else(pa.array(did % 2 == 0), ip, ""), "")
+        return pa.table({"doc_id": pa.array(did), "text": full})
+
+    return ds.map_batches(add_pii_tail, batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        pii_scrub_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -880,3 +880,49 @@ def test_group_mad_outliers_vs_scalar(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def test_pii_scrub_matches_python_re():
+    """Scalar reference: Python's re module agrees with RE2 on these
+    lookaround-free patterns; staged count-then-replace semantics."""
+    import re as _re
+
+    texts = [
+        "mail bob.smith+x@ex-a.co.uk now",
+        "call 555-123-4567 or 555.123.4567 ip 10.0.0.1",
+        "no pii at all",
+        "a@b.io c@d.io twice",
+        "999.999.999.999",       # IP rule is shape-based, not ranged
+        "x 123-456-7890y",       # trailing \b fails -> no phone
+        "x123-456-7890 y",       # leading \b fails -> no phone
+        "user@10.0.0.1",         # email wins (applied first)
+        "",
+        "end with 10.1.2.3",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = text.pii_scrub_batch(tbl)
+    cur = list(texts)
+    for name, pattern, token in text.PII_RULES:
+        exp_n = [len(_re.findall(pattern, s)) for s in cur]
+        assert out[f"n_{name}"].to_pylist() == exp_n, name
+        cur = [_re.sub(pattern, token, s) for s in cur]
+    assert out["clean"].to_pylist() == cur
+
+
+def test_pii_scrub_dataset_partition_invariant(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+
+    texts = [f"u{i}@ex.com 10.0.0.{i % 9} txt" for i in range(64)]
+    tbl = pa.table({"doc_id": pa.array(range(64), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    a = collect_table(text.pii_scrub(
+        ray.data.from_arrow(tbl).repartition(1)))
+    b = collect_table(text.pii_scrub(
+        ray.data.from_arrow(tbl).repartition(13)))
+    pda = a.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pdb = b.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pda, pdb)
+    assert pda["n_email"].sum() == 64 and pda["n_ip"].sum() == 64
