@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_fingerprint": q.docs_fingerprint,
         "docs_pii_scrub": q.docs_pii_scrub,
+        "docs_repetition_stats": q.docs_repetition_stats,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -1939,6 +1940,28 @@ def oracle_sql() -> dict[str, str]:
         # the utf8 BYTES (hex(encode(text)) + strpos nibble decode) in
         # HUGEINT mod 2^64 — bit-identical to functions/text.py
         # fingerprint64 (asserted by tools/check_oracles)
+        "docs_repetition_stats": """
+            WITH w AS (SELECT doc_id, u.w
+                       FROM documents,
+                            UNNEST(string_split(text, ' ')) AS u(w)),
+            c AS (SELECT doc_id, w, COUNT(*) AS cnt
+                  FROM w GROUP BY doc_id, w),
+            a AS (SELECT doc_id,
+                      CAST(SUM(cnt) AS BIGINT) AS n_words,
+                      CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                      CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                           AS BIGINT) AS dup_words,
+                      CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(w)
+                               ELSE 0 END) AS BIGINT) AS dup_chars
+                  FROM c GROUP BY doc_id),
+            t AS (SELECT doc_id, cnt * length(w) AS tc,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY cnt DESC, w ASC) AS rn
+                  FROM c)
+            SELECT a.doc_id, a.n_words, a.n_distinct, a.dup_words,
+                   a.dup_chars, CAST(t.tc AS BIGINT) AS top_chars
+            FROM a JOIN t ON t.doc_id = a.doc_id AND t.rn = 1
+        """,
         "docs_pii_scrub": """
             WITH d0 AS (
                 SELECT doc_id,

@@ -668,3 +668,76 @@ def pii_scrub(ds, *, text_col: str = "text", out_col: str = "clean",
     return ds.map_batches(
         lambda b: pii_scrub_batch(b, text_col, out_col, rules),
         batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# repetition / duplication quality metrics (Gopher-style filters)
+# ---------------------------------------------------------------------------
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           doc_col: str = "doc_id") -> pa.Table:
+    """Per-document word-repetition metrics — the Gopher-family
+    quality gates ("fraction of duplicated n-grams / most-common-word
+    mass") over whitespace tokens, all-integer so the SQL twin
+    hash-checks bit-for-bit:
+
+    - ``n_words`` / ``n_distinct``: total and distinct word counts,
+    - ``dup_words`` / ``dup_chars``: occurrences (and their chars) of
+      words appearing more than once in the document,
+    - ``top_chars``: count*length mass of the most frequent word
+      (ties broken by lexicographically smallest word, the same total
+      order as SQL ``ORDER BY cnt DESC, w ASC``).
+
+    One split + one dictionary-encode + one lexsort per batch; a doc
+    never spans rows, so this is a pure map stage (no shuffle)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({doc_col: pa.array([], pa.int64()),
+                         "n_words": pa.array([], pa.int64()),
+                         "n_distinct": pa.array([], pa.int64()),
+                         "dup_words": pa.array([], pa.int64()),
+                         "dup_chars": pa.array([], pa.int64()),
+                         "top_chars": pa.array([], pa.int64())})
+    words = pc.split_pattern(batch[text_col], " ").combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_arr = denc.dictionary
+    wlen = pc.utf8_length(dict_arr).to_numpy(zero_copy_only=False
+                                             ).astype(np.int64)
+    # lexicographic rank of each dictionary code (ASCII corpus: numpy
+    # codepoint order == DuckDB binary collation)
+    lex_rank = np.empty(len(dict_arr), np.int64)
+    lex_rank[np.argsort(np.asarray(dict_arr), kind="stable")] = \
+        np.arange(len(dict_arr))
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    # per-(doc, word) occurrence counts: one lexsort + run lengths
+    sel = np.lexsort((codes, doc_idx))
+    d_s, c_s = doc_idx[sel], codes[sel]
+    new = np.concatenate(([True], (d_s[1:] != d_s[:-1])
+                          | (c_s[1:] != c_s[:-1])))
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, len(sel)))
+    gd, gc = d_s[starts], c_s[starts]          # one row per (doc, word)
+    glen = wlen[gc]
+    n_words = np.bincount(gd, weights=cnt, minlength=n).astype(np.int64)
+    n_distinct = np.bincount(gd, minlength=n).astype(np.int64)
+    dup = cnt > 1
+    dup_words = np.bincount(gd[dup], weights=cnt[dup],
+                            minlength=n).astype(np.int64)
+    dup_chars = np.bincount(gd[dup], weights=cnt[dup] * glen[dup],
+                            minlength=n).astype(np.int64)
+    # top word per doc under (cnt DESC, lex ASC): lexsort then first
+    top_sel = np.lexsort((lex_rank[gc], -cnt, gd))
+    first = np.concatenate(([True], gd[top_sel][1:] != gd[top_sel][:-1]))
+    top_rows = top_sel[first]
+    top_chars = np.zeros(n, np.int64)
+    top_chars[gd[top_rows]] = cnt[top_rows] * glen[top_rows]
+    return pa.table({
+        doc_col: batch[doc_col],
+        "n_words": n_words, "n_distinct": n_distinct,
+        "dup_words": dup_words, "dup_chars": dup_chars,
+        "top_chars": top_chars})

@@ -5601,3 +5601,19 @@ def docs_pii_scrub(sf_dir: str):
     return ds.map_batches(add_pii_tail, batch_format="pyarrow",
                           zero_copy_batch=True).map_batches(
         pii_scrub_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def docs_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality metrics per document
+    (functions/text.repetition_stats_batch): total/distinct word
+    counts, duplicated-word occurrence and char mass, most-frequent
+    word mass under the (cnt DESC, word ASC) total order.  Pure map
+    stage, all-integer — hash-checks vs an UNNEST + window SQL twin."""
+    import ray
+
+    from ..functions.text import repetition_stats_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

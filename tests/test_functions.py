@@ -926,3 +926,25 @@ def test_pii_scrub_dataset_partition_invariant(ray_session):
     pdb = b.to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(pda, pdb)
     assert pda["n_email"].sum() == 64 and pda["n_ip"].sum() == 64
+
+
+def test_repetition_stats_scalar_reference():
+    from collections import Counter
+
+    rng = np.random.default_rng(11)
+    words = ["aa", "b", "ccc", "dd", "e"]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 40)))
+             for _ in range(100)] + ["", "solo", "x x x x"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = text.repetition_stats_batch(tbl).to_pydict()
+    for i, s in enumerate(texts):
+        toks = s.split(" ")
+        c = Counter(toks)
+        assert out["n_words"][i] == len(toks)
+        assert out["n_distinct"][i] == len(c)
+        assert out["dup_words"][i] == sum(v for v in c.values() if v > 1)
+        assert out["dup_chars"][i] == sum(v * len(w) for w, v in c.items()
+                                          if v > 1)
+        top_w = min(c, key=lambda w: (-c[w], w))
+        assert out["top_chars"][i] == c[top_w] * len(top_w), (i, s)
