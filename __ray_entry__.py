@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": q.docs_fingerprint,
         "docs_pii_scrub": q.docs_pii_scrub,
         "docs_repetition_stats": q.docs_repetition_stats,
+        "docs_boilerplate_prune": q.docs_boilerplate_prune,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -1961,6 +1962,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, a.n_words, a.n_distinct, a.dup_words,
                    a.dup_chars, CAST(t.tc AS BIGINT) AS top_chars
             FROM a JOIN t ON t.doc_id = a.doc_id AND t.rn = 1
+        """,
+        "docs_boilerplate_prune": """
+            WITH w AS (SELECT doc_id, u.w
+                       FROM documents,
+                            UNNEST(string_split(text, ' ')) AS u(w)),
+            df AS (SELECT w, COUNT(DISTINCT doc_id) AS df
+                   FROM w GROUP BY w),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            hot AS (SELECT COALESCE(list(w), []) AS hl
+                    FROM df, nd WHERE df * 100 >= 77 * nd.n)
+            SELECT d.doc_id,
+                   CAST(len(string_split(d.text, ' '))
+                        - len(list_filter(string_split(d.text, ' '),
+                                          x -> NOT list_contains(h.hl, x)))
+                        AS BIGINT) AS n_removed,
+                   COALESCE(array_to_string(
+                       list_filter(string_split(d.text, ' '),
+                                   x -> NOT list_contains(h.hl, x)),
+                       ' '), '') AS clean
+            FROM documents d CROSS JOIN hot h
         """,
         "docs_pii_scrub": """
             WITH d0 AS (

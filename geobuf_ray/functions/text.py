@@ -741,3 +741,98 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
         "n_words": n_words, "n_distinct": n_distinct,
         "dup_words": dup_words, "dup_chars": dup_chars,
         "top_chars": top_chars})
+
+
+# ---------------------------------------------------------------------------
+# boilerplate token pruning (corpus-frequency stopword removal)
+# ---------------------------------------------------------------------------
+
+def _df_partial(batch: pa.Table, text_col: str, doc_col: str) -> pa.Table:
+    """Per-block partial document frequency: each doc is one row, so
+    block-level (doc, token) dedup is exact and per-token partials sum
+    to the true DF across blocks."""
+    words = pc.split_pattern(batch[text_col], " ").combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    denc = pc.dictionary_encode(words.values)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                        np.diff(offs))
+    pair = np.unique(codes * np.int64(batch.num_rows) + doc_idx)
+    u, df = np.unique(pair // np.int64(batch.num_rows),
+                      return_counts=True)
+    return pa.table({"token": denc.dictionary.take(pa.array(u)),
+                     "df": df.astype(np.int64)})
+
+
+def frequent_tokens(ds, *, n_docs: int, frac_num: int, frac_den: int,
+                    text_col: str = "text", doc_col: str = "doc_id",
+                    nbuckets: int = 32) -> pa.Table:
+    """Tokens whose document frequency satisfies
+    ``df * frac_den >= frac_num * n_docs`` (integer predicate).  One
+    skinny (token, df) exchange; the hot set is bounded by
+    total-occurrences / (frac * n_docs), never vocabulary-sized."""
+    from ..collect import collect_table
+    from .exchange import hash_exchange
+
+    parts = ds.map_batches(
+        lambda b: _df_partial(b, text_col, doc_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def reduce_hot(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by("token").aggregate([("df", "sum")])
+        df = g["df_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = df * np.int64(frac_den) >= np.int64(frac_num) * n_docs
+        return pa.table({"token": g["token"].filter(pa.array(keep)),
+                         "df": pa.array(df[keep])})
+
+    hot = collect_table(hash_exchange(parts, nbuckets=nbuckets,
+                                      on="token", reduce_fn=reduce_hot))
+    return hot.sort_by("token")
+
+
+def prune_frequent_tokens(ds, *, n_docs: int, frac_num: int = 1,
+                          frac_den: int = 3, text_col: str = "text",
+                          doc_col: str = "doc_id", out_col: str = "clean",
+                          nbuckets: int = 32, **map_kwargs):
+    """Boilerplate removal: drop every token appearing in at least
+    ``frac_num/frac_den`` of the corpus' documents (CCNet-style
+    corpus-frequency pruning generalized to tokens).  Two passes: a
+    skinny (token, df) hash exchange finds the hot set (bounded by
+    definition, shipped once via ``ray.put``), then a pure map pass
+    rebuilds each document from its surviving tokens — no reassembly
+    shuffle, a doc never leaves its block."""
+    import ray as _ray
+
+    hot = frequent_tokens(ds, n_docs=n_docs, frac_num=frac_num,
+                          frac_den=frac_den, text_col=text_col,
+                          doc_col=doc_col, nbuckets=nbuckets)
+    hot_ref = _ray.put(hot["token"].combine_chunks())
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        hot_arr = _ray.get(hot_ref)
+        words = pc.split_pattern(batch[text_col], " ").combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values
+        drop = pc.is_in(flat, value_set=hot_arr).to_numpy(
+            zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                            np.diff(offs))
+        kept = np.bincount(doc_idx[~drop], minlength=batch.num_rows)
+        new_offs = np.zeros(batch.num_rows + 1, np.int64)
+        np.cumsum(kept, out=new_offs[1:])
+        kept_words = flat.filter(pa.array(~drop))
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), kept_words)
+        clean = pc.binary_join(
+            lst, pa.scalar(" ", pa.string()))
+        removed = np.bincount(doc_idx[drop],
+                              minlength=batch.num_rows).astype(np.int64)
+        out = batch.select([c for c in batch.column_names
+                            if c != text_col])
+        return (out.append_column("n_removed", pa.array(removed))
+                .append_column(out_col, clean))
+
+    return ds.map_batches(scrub, batch_format="pyarrow",
+                          zero_copy_batch=True, **map_kwargs)

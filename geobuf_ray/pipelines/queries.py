@@ -5617,3 +5617,24 @@ def docs_repetition_stats(sf_dir: str):
                                columns=["doc_id", "text"])
     return ds.map_batches(repetition_stats_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def docs_boilerplate_prune(sf_dir: str):
+    """Corpus-frequency boilerplate removal
+    (functions/text.prune_frequent_tokens): tokens in >= 77% of all
+    documents are dropped from every document (the corpus vocabulary's
+    DF range straddles that line, so the hot set is a proper subset).  One skinny (token, df)
+    hash exchange finds the hot set (exact: a doc never spans blocks,
+    so block-level dedup + partial sums give true document frequency),
+    shipped once via ray.put; the rebuild is a pure map pass.
+    Hash-checks counts + full rebuilt text vs a list_filter SQL twin."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.text import prune_frequent_tokens
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    return prune_frequent_tokens(ds, n_docs=n_docs, frac_num=77,
+                                 frac_den=100)

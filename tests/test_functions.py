@@ -948,3 +948,42 @@ def test_repetition_stats_scalar_reference():
                                           if v > 1)
         top_w = min(c, key=lambda w: (-c[w], w))
         assert out["top_chars"][i] == c[top_w] * len(top_w), (i, s)
+
+
+def test_prune_frequent_tokens_scalar_and_partition_invariant(ray_session):
+    from collections import Counter
+
+    import ray
+
+    from geobuf_ray.collect import collect_table
+
+    rng = np.random.default_rng(5)
+    words = ["the", "of", "rare1", "rare2", "mid", "x"]
+    probs = [0.95, 0.9, 0.05, 0.02, 0.5, 0.3]
+    texts = []
+    for _ in range(120):
+        toks = [w for w, p in zip(words, probs) if rng.random() < p]
+        toks += list(rng.choice(["pad1", "pad2"], 3))
+        texts.append(" ".join(toks) if toks else "")
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    n = len(texts)
+    # scalar reference
+    df = Counter()
+    for s in texts:
+        for w in set(s.split(" ")):
+            df[w] += 1
+    hot = {w for w, c in df.items() if c * 2 >= n}
+    exp = []
+    for s in texts:
+        toks = s.split(" ")
+        kept = [w for w in toks if w not in hot]
+        exp.append((" ".join(kept), len(toks) - len(kept)))
+
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = collect_table(text.prune_frequent_tokens(
+            ds, n_docs=n, frac_num=1, frac_den=2, nbuckets=4)
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(out["clean"]) == [e[0] for e in exp], parts
+        assert list(out["n_removed"]) == [e[1] for e in exp], parts
