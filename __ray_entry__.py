@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": q.docs_pii_scrub,
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_boilerplate_prune": q.docs_boilerplate_prune,
+        "customers_areal_value": q.customers_areal_value,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -1982,6 +1983,37 @@ def oracle_sql() -> dict[str, str]:
                                    x -> NOT list_contains(h.hl, x)),
                        ' '), '') AS clean
             FROM documents d CROSS JOIN hot h
+        """,
+        "customers_areal_value": """
+            WITH z AS (SELECT
+                    ((s_suppkey * 37) % 300) * 100 AS w,
+                    ((s_suppkey * 53) % 160) * 100 AS s,
+                    ((s_suppkey * 37) % 300) * 100
+                        + 500 + (s_suppkey % 7) * 300 AS e,
+                    ((s_suppkey * 53) % 160) * 100
+                        + 400 + (s_suppkey % 5) * 300 AS n,
+                    CAST(round(s_acctbal * 100) AS BIGINT) AS v
+                FROM supplier),
+            t AS (SELECT c_custkey,
+                    (c_custkey * 7919) % 36000 AS w,
+                    (c_custkey * 104729) % 17000 AS s,
+                    (c_custkey * 7919) % 36000
+                        + 50 + (c_custkey % 5) * 30 AS e,
+                    (c_custkey * 104729) % 17000
+                        + 40 + (c_custkey % 7) * 20 AS n
+                FROM customer)
+            SELECT t.c_custkey AS custkey,
+                   CAST(SUM(z.v
+                        * (LEAST(t.e, z.e) - GREATEST(t.w, z.w))
+                        * (LEAST(t.n, z.n) - GREATEST(t.s, z.s)))
+                        AS BIGINT) AS val_area,
+                   CAST(SUM((LEAST(t.e, z.e) - GREATEST(t.w, z.w))
+                        * (LEAST(t.n, z.n) - GREATEST(t.s, z.s)))
+                        AS BIGINT) AS inter_area
+            FROM t JOIN z
+              ON GREATEST(t.w, z.w) < LEAST(t.e, z.e)
+             AND GREATEST(t.s, z.s) < LEAST(t.n, z.n)
+            GROUP BY 1
         """,
         "docs_pii_scrub": """
             WITH d0 AS (

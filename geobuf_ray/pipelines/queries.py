@@ -5638,3 +5638,52 @@ def docs_boilerplate_prune(sf_dir: str):
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
     return prune_frequent_tokens(ds, n_docs=n_docs, frac_num=77,
                                  frac_den=100)
+
+
+def customers_areal_value(sf_dir: str):
+    """Areal interpolation (spatial/interp.rect_areal_weights): the
+    supplier zone layer's account-balance value transferred onto
+    customer target rects weighted by EXACT integer overlap area —
+    per customer ``val_area = sum_z v_z * area(c & z)`` and
+    ``inter_area = sum_z area(c & z)`` (consumer divides for the
+    area-weighted mean; integer sums keep the result bit-exact and
+    partition-invariant).  Grid fan-out co-group, each pair generated
+    exactly once at its intersection's SW corner; only per-target
+    partial sums cross the wire.  Hash-checked vs a GREATEST/LEAST
+    overlap-join SQL twin."""
+    import ray
+
+    from ..spatial.interp import rect_areal_weights
+
+    def zones(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        w = ((k * 37) % 300) * 100
+        s = ((k * 53) % 160) * 100
+        v = np.round(batch["s_acctbal"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"value": v, "w": w, "s": s,
+                         "e": w + 500 + (k % 7) * 300,
+                         "n": s + 400 + (k % 5) * 300})
+
+    def targets(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        w = (k * 7919) % 36000
+        s = (k * 104729) % 17000
+        return pa.table({"id": k, "w": w, "s": s,
+                         "e": w + 50 + (k % 5) * 30,
+                         "n": s + 40 + (k % 7) * 20})
+
+    zds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_acctbal"]).map_batches(
+        zones, batch_format="pyarrow", zero_copy_batch=True)
+    tds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
+        targets, batch_format="pyarrow", zero_copy_batch=True)
+    parts = rect_areal_weights(
+        tds, zds, cell_bits=9, target_cols=("w", "s", "e", "n"),
+        zone_cols=("w", "s", "e", "n"), nbuckets=32)
+    out = _final_combine(parts, ["id"], ["val_area", "inter_area"])
+    return out.rename_columns(["custkey", "val_area", "inter_area"])

@@ -1,0 +1,169 @@
+"""Areal interpolation: rect-overlay join with exact integer
+intersection areas.
+
+The classic GIS "areal interpolation / dasymetric" step — transfer a
+value known on one polygon layer (zones) onto another layer (targets)
+weighted by overlap area — specialized to axis-aligned integer
+rectangles so every weight is EXACT int64 arithmetic (floats never
+decide; the SQL twin's GREATEST/LEAST products are bit-identical).
+
+Distributed shape: both layers fan their rects to the grid cells they
+cover (half-open [w, e) x [s, n) integer domain), one
+:func:`~geobuf_ray.functions.exchange.hash_cogroup` co-groups equal
+cell hashes, and each intersecting pair is generated ONLY in the cell
+containing its reference point ``(max(w_t, w_z), max(s_t, s_z))`` —
+the SW corner of the intersection, which lies in exactly one cell
+that both fan-outs provably contain — so exactly-once needs no dedup
+shuffle (the same rule as ``bbox_intersection_join`` /
+``segment_intersect_join``, here over the integer grid).  The reduce
+emits per-target PARTIAL sums (value x area, area), so only skinny
+aggregate rows leave the exchange; the final combine is
+|targets-with-overlap| x |buckets| bounded.
+
+Cell sizing: a rect covers ``O(extent / 2^cell_bits)`` cells per
+axis; candidate matching inside a cell is a sorted-w searchsorted
+window, so pick ``cell_bits`` near the typical rect size (the
+grid-join regime note on ``segment_intersect_join`` applies
+unchanged).  Coordinates must satisfy ``|v| < 2^40`` (enforced) so
+the in-cell composite search key stays overflow-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["rect_areal_weights"]
+
+_COORD_BOUND = np.int64(1) << 40
+_SHIFT = np.int64(1) << 42
+
+
+def _fan_rects(batch: pa.Table, cols: tuple[str, str, str, str],
+               keep: list[str], cell_bits: int, nbuckets: int
+               ) -> tuple[np.ndarray, pa.Table]:
+    """Fan each half-open integer rect to every covered grid cell.
+    Returns (bucket id per fanned row, fanned table carrying
+    ``__cell``)."""
+    from ..codec.varint import ramp
+
+    w, s, e, n = (batch[c].to_numpy(zero_copy_only=False) for c in cols)
+    for v, c in zip((w, s, e, n), cols):
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(f"rect_areal_weights needs integer coords, "
+                            f"got {v.dtype} in {c!r}")
+    w, s, e, n = (v.astype(np.int64) for v in (w, s, e, n))
+    if np.any(e <= w) or np.any(n <= s):
+        raise ValueError("degenerate rect: need w < e and s < n "
+                         "(half-open [w,e) x [s,n))")
+    if max((np.abs(v).max(initial=0) for v in (w, s, e, n))) \
+            >= _COORD_BOUND:
+        raise ValueError("rect coords must satisfy |v| < 2^40")
+    cx0, cx1 = w >> cell_bits, (e - 1) >> cell_bits
+    cy0, cy1 = s >> cell_bits, (n - 1) >> cell_bits
+    nx = cx1 - cx0 + 1
+    cnt = nx * (cy1 - cy0 + 1)
+    rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64), cnt)
+    k = ramp(cnt)                      # 0..cnt-1 within each rect
+    nxr = np.repeat(nx, cnt)
+    cx = np.repeat(cx0, cnt) + k % nxr
+    cy = np.repeat(cy0, cnt) + k // nxr
+    cell = (cx << np.int64(32)) | (cy & np.int64(0xFFFFFFFF))
+    taken = batch.select(keep).take(pa.array(rows, pa.int64()))
+    bucket = ((cell % nbuckets) + nbuckets) % nbuckets
+    return bucket, taken.append_column("__cell", pa.array(cell))
+
+
+def rect_areal_weights(targets, zones, *, cell_bits: int,
+                       target_cols: tuple[str, str, str, str],
+                       zone_cols: tuple[str, str, str, str],
+                       target_id: str = "id", zone_value: str = "value",
+                       nbuckets: int = 32, **map_kwargs):
+    """Per-target exact overlap-weighted sums over a zone layer:
+    ``val_area = sum_z value_z * area(target & z)`` and
+    ``inter_area = sum_z area(target & z)`` (consumer divides for the
+    area-weighted mean; keeping the quotient out keeps the result
+    integer-exact and partition-invariant).  Inner semantics: targets
+    with no overlapping zone emit nothing.
+
+    Returns a Ray Dataset of per-bucket PARTIAL rows
+    ``(target_id, val_area, inter_area)`` — one row per target per
+    bucket it overlaps zones in; finish with a tiny grouped sum
+    (``_final_combine`` shape).
+    """
+    from ..functions.exchange import hash_cogroup
+
+    tb = int(cell_bits)
+    tw, ts, te, tn = target_cols
+    zw, zs, ze, zn = zone_cols
+
+    def t_fn(batch: pa.Table):
+        return _fan_rects(batch, target_cols, [target_id, *target_cols],
+                          tb, nbuckets)
+
+    def z_fn(batch: pa.Table):
+        return _fan_rects(batch, zone_cols, [zone_value, *zone_cols],
+                          tb, nbuckets)
+
+    empty = pa.table({target_id: pa.array([], pa.int64()),
+                      "val_area": pa.array([], pa.int64()),
+                      "inter_area": pa.array([], pa.int64())})
+
+    def reduce_fn(ltbl: pa.Table, rtbl: pa.Table) -> pa.Table:
+        if ltbl.num_rows == 0 or rtbl.num_rows == 0:
+            return empty
+        lcell = ltbl["__cell"].to_numpy(zero_copy_only=False)
+        rcell = rtbl["__cell"].to_numpy(zero_copy_only=False)
+        lw, ls, le, ln = (ltbl[c].to_numpy(zero_copy_only=False)
+                          .astype(np.int64) for c in (tw, ts, te, tn))
+        rw, rs, re_, rn = (rtbl[c].to_numpy(zero_copy_only=False)
+                           .astype(np.int64) for c in (zw, zs, ze, zn))
+        tid = ltbl[target_id].to_numpy(zero_copy_only=False)
+        zval = rtbl[zone_value].to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+        # zones sorted by (cell, w): per target the candidate zones of
+        # its cell with z.w < t.e are one contiguous window
+        zsel = np.lexsort((rw, rcell))
+        rcell_s, rw_s = rcell[zsel], rw[zsel]
+        lo = np.searchsorted(rcell_s, lcell, "left")
+        hi0 = np.searchsorted(rcell_s, lcell, "right")
+        # two-key (cell, w) searchsorted via a dense-rank composite
+        crank = np.cumsum(np.concatenate(
+            ([0], (rcell_s[1:] != rcell_s[:-1]).astype(np.int64))))
+        ucell = rcell_s[np.concatenate(
+            ([True], rcell_s[1:] != rcell_s[:-1]))] \
+            if len(rcell_s) else rcell_s
+        comp = crank * _SHIFT + (rw_s + (_SHIFT >> 1))
+        lrank = np.searchsorted(ucell, lcell)
+        lcomp = lrank.astype(np.int64) * _SHIFT + (le + (_SHIFT >> 1))
+        hi = np.clip(np.searchsorted(comp, lcomp, "left"), lo, hi0)
+        cnt = hi - lo
+        from ..codec.varint import ramp
+
+        ti = np.repeat(np.arange(len(lcell), dtype=np.int64), cnt)
+        zi = zsel[np.repeat(lo, cnt) + ramp(cnt)]
+        # overlap + reference-point-in-this-cell filter (exactly once)
+        ww = np.maximum(lw[ti], rw[zi])
+        ss = np.maximum(ls[ti], rs[zi])
+        ee = np.minimum(le[ti], re_[zi])
+        nn = np.minimum(ln[ti], rn[zi])
+        refcell = ((ww >> tb) << np.int64(32)) | ((ss >> tb)
+                                                  & np.int64(0xFFFFFFFF))
+        ok = (ww < ee) & (ss < nn) & (refcell == lcell[ti])
+        ti, zi = ti[ok], zi[ok]
+        if len(ti) == 0:
+            return empty
+        area = (ee[ok] - ww[ok]) * (nn[ok] - ss[ok])
+        ut, inv = np.unique(tid[ti], return_inverse=True)
+        val_area = np.zeros(len(ut), np.int64)
+        np.add.at(val_area, inv, zval[zi] * area)   # exact int64 sums
+        inter = np.zeros(len(ut), np.int64)
+        np.add.at(inter, inv, area)
+        return pa.table({target_id: pa.array(ut),
+                         "val_area": pa.array(val_area),
+                         "inter_area": pa.array(inter)})
+
+    return hash_cogroup(targets, zones, nbuckets=nbuckets,
+                        left_bucket_fn=t_fn, right_bucket_fn=z_fn,
+                        reduce_fn=reduce_fn, **map_kwargs,
+                        left_schema=None, right_schema=None)

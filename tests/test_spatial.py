@@ -316,3 +316,69 @@ def test_zorder_sort_clusters(ray_session):
     assert (morton_key(out["lon"].to_numpy(), out["lat"].to_numpy(),
                        bits=12) == keys).all()
     assert sorted(out["id"]) == list(range(n))
+
+
+def test_rect_areal_weights_brute_force_and_cell_invariance(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.interp import rect_areal_weights
+
+    rng = np.random.default_rng(7)
+    NT, NZ = 250, 60
+    tw = rng.integers(0, 5000, NT)
+    ts_ = rng.integers(0, 5000, NT)
+    te = tw + rng.integers(1, 400, NT)
+    tn = ts_ + rng.integers(1, 400, NT)
+    zw = rng.integers(0, 5000, NZ)
+    zs = rng.integers(0, 5000, NZ)
+    ze = zw + rng.integers(1, 900, NZ)
+    zn = zs + rng.integers(1, 900, NZ)
+    zv = rng.integers(-50, 1000, NZ)
+    T = pa.table({"id": pa.array(np.arange(NT)), "w": tw, "s": ts_,
+                  "e": te, "n": tn})
+    Z = pa.table({"value": zv, "w": zw, "s": zs, "e": ze, "n": zn})
+    exp = {}
+    for i in range(NT):
+        va = ia = 0
+        for j in range(NZ):
+            w = max(tw[i], zw[j]); s = max(ts_[i], zs[j])
+            e = min(te[i], ze[j]); n = min(tn[i], zn[j])
+            if w < e and s < n:
+                a = int(e - w) * int(n - s)
+                va += int(zv[j]) * a
+                ia += a
+        if ia:
+            exp[i] = (va, ia)
+    for bits, parts, nb in ((9, 5, 8), (7, 1, 4), (11, 3, 16)):
+        out = collect_table(rect_areal_weights(
+            ray.data.from_arrow(T).repartition(parts),
+            ray.data.from_arrow(Z).repartition(max(1, parts - 2)),
+            cell_bits=bits, target_cols=("w", "s", "e", "n"),
+            zone_cols=("w", "s", "e", "n"), nbuckets=nb))
+        agg = out.group_by("id").aggregate(
+            [("val_area", "sum"), ("inter_area", "sum")])
+        got = {r["id"]: (r["val_area_sum"], r["inter_area_sum"])
+               for r in agg.to_pylist()}
+        assert got == exp, (bits, parts)
+
+
+def test_rect_areal_weights_rejects_bad_input(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.interp import rect_areal_weights
+
+    T = pa.table({"id": pa.array([0], pa.int64()),
+                  "w": pa.array([0.5]), "s": pa.array([0.0]),
+                  "e": pa.array([1.0]), "n": pa.array([1.0])})
+    Z = pa.table({"value": pa.array([1], pa.int64()),
+                  "w": pa.array([0], pa.int64()),
+                  "s": pa.array([0], pa.int64()),
+                  "e": pa.array([1], pa.int64()),
+                  "n": pa.array([1], pa.int64())})
+    with pytest.raises(Exception):
+        collect_table(rect_areal_weights(
+            ray.data.from_arrow(T), ray.data.from_arrow(Z), cell_bits=4,
+            target_cols=("w", "s", "e", "n"),
+            zone_cols=("w", "s", "e", "n"), nbuckets=2))
