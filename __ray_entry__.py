@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_stats": q.docs_repetition_stats,
         "docs_boilerplate_prune": q.docs_boilerplate_prune,
         "customers_areal_value": q.customers_areal_value,
+        "suppliers_union_area": q.suppliers_union_area,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -2014,6 +2015,44 @@ def oracle_sql() -> dict[str, str]:
               ON GREATEST(t.w, z.w) < LEAST(t.e, z.e)
              AND GREATEST(t.s, z.s) < LEAST(t.n, z.n)
             GROUP BY 1
+        """,
+        "suppliers_union_area": """
+            WITH r AS (SELECT
+                    CAST(s_nationkey AS BIGINT) AS g,
+                    ((s_suppkey * 37) % 300) * 100 AS w,
+                    ((s_suppkey * 53) % 160) * 100 AS s,
+                    ((s_suppkey * 37) % 300) * 100
+                        + 500 + (s_suppkey % 7) * 300 AS e,
+                    ((s_suppkey * 53) % 160) * 100
+                        + 400 + (s_suppkey % 5) * 300 AS n
+                FROM supplier),
+            xs AS (SELECT DISTINCT g, x FROM
+                       (SELECT g, w AS x FROM r
+                        UNION SELECT g, e FROM r)),
+            st AS (SELECT g, x AS sx,
+                       LEAD(x) OVER (PARTITION BY g ORDER BY x) AS ex
+                   FROM xs),
+            sr AS (SELECT st.g, st.sx, st.ex, r.s, r.n
+                   FROM st JOIN r ON r.g = st.g AND r.w <= st.sx
+                                 AND r.e >= st.ex
+                   WHERE st.ex IS NOT NULL),
+            fl AS (SELECT g, sx, ex, s, n,
+                       CASE WHEN s > COALESCE(
+                           MAX(n) OVER (PARTITION BY g, sx ORDER BY s, n
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING),
+                           -4611686018427387904) THEN 1 ELSE 0 END
+                           AS isl_new
+                   FROM sr),
+            il AS (SELECT g, sx, ex, s, n,
+                       SUM(isl_new) OVER (PARTITION BY g, sx
+                                          ORDER BY s, n) AS isl
+                   FROM fl),
+            ia AS (SELECT g, sx, ex, isl, MAX(n) - MIN(s) AS cov
+                   FROM il GROUP BY g, sx, ex, isl)
+            SELECT g AS nationkey,
+                   CAST(SUM(cov * (ex - sx)) AS BIGINT) AS union_area
+            FROM ia GROUP BY g
         """,
         "docs_pii_scrub": """
             WITH d0 AS (

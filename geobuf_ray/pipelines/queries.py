@@ -5687,3 +5687,38 @@ def customers_areal_value(sf_dir: str):
         zone_cols=("w", "s", "e", "n"), nbuckets=32)
     out = _final_combine(parts, ["id"], ["val_area", "inter_area"])
     return out.rename_columns(["custkey", "val_area", "inter_area"])
+
+
+def suppliers_union_area(sf_dir: str):
+    """Exact union area of the supplier zone rects per nation
+    (spatial/interp.rect_union_area — ST_Union+ST_Area for the rect
+    family): overlap counted ONCE, via the coordinate-compression
+    sweep (distinct x-edges -> elementary strips -> per-strip interval
+    union by segmented running max), fully vectorized across a
+    bucket's groups.  One hash exchange on the nation key; each group
+    resolves in exactly one bucket.  Hash-checked vs a LEAD-strip +
+    islands-window SQL twin."""
+    import ray
+
+    from ..spatial.interp import rect_union_area
+
+    def zones(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        w = ((k * 37) % 300) * 100
+        s = ((k * 53) % 160) * 100
+        return pa.table({
+            "nationkey": batch["s_nationkey"].combine_chunks().cast(
+                pa.int64()),
+            "w": w, "s": s,
+            "e": w + 500 + (k % 7) * 300,
+            "n": s + 400 + (k % 5) * 300})
+
+    zds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).map_batches(
+        zones, batch_format="pyarrow", zero_copy_batch=True)
+    out = rect_union_area(zds, group="nationkey",
+                          cols=("w", "s", "e", "n"), nbuckets=8)
+    from ..collect import collect_table
+    return collect_table(out)

@@ -382,3 +382,43 @@ def test_rect_areal_weights_rejects_bad_input(ray_session):
             ray.data.from_arrow(T), ray.data.from_arrow(Z), cell_bits=4,
             target_cols=("w", "s", "e", "n"),
             zone_cols=("w", "s", "e", "n"), nbuckets=2))
+
+
+def test_rect_union_area_raster_oracle_and_partition_invariance(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.interp import rect_union_area
+
+    rng = np.random.default_rng(3)
+    N = 350
+    g = rng.integers(0, 11, N)
+    w = rng.integers(-1200, 800, N)
+    s = rng.integers(-1200, 800, N)
+    e = w + rng.integers(1, 500, N)
+    n = s + rng.integers(1, 500, N)
+    T = pa.table({"g": g, "w": w, "s": s, "e": e, "n": n})
+    exp = {}
+    for gg in np.unique(g):
+        m = g == gg
+        grid = np.zeros((2600, 2600), bool)
+        for W, S, E, Nn in zip(w[m] + 1300, s[m] + 1300,
+                               e[m] + 1300, n[m] + 1300):
+            grid[W:E, S:Nn] = True
+        exp[int(gg)] = int(grid.sum())
+    for parts, nb in ((1, 4), (7, 8)):
+        out = collect_table(rect_union_area(
+            ray.data.from_arrow(T).repartition(parts), group="g",
+            cols=("w", "s", "e", "n"), nbuckets=nb))
+        got = {r["g"]: r["union_area"] for r in out.to_pylist()}
+        assert got == exp, parts
+    # identical stacked rects: union == single rect, not 3x
+    T2 = pa.table({"g": pa.array([5, 5, 5], pa.int64()),
+                   "w": pa.array([0, 0, 0], pa.int64()),
+                   "s": pa.array([0, 0, 0], pa.int64()),
+                   "e": pa.array([10, 10, 10], pa.int64()),
+                   "n": pa.array([4, 4, 4], pa.int64())})
+    out2 = collect_table(rect_union_area(
+        ray.data.from_arrow(T2), group="g", cols=("w", "s", "e", "n"),
+        nbuckets=2))
+    assert out2.to_pylist() == [{"g": 5, "union_area": 40}]
