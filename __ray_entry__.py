@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_boilerplate_prune": q.docs_boilerplate_prune,
         "customers_areal_value": q.customers_areal_value,
         "suppliers_union_area": q.suppliers_union_area,
+        "events_trajectory": q.events_trajectory,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -2053,6 +2054,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS nationkey,
                    CAST(SUM(cov * (ex - sx)) AS BIGINT) AS union_area
             FROM ia GROUP BY g
+        """,
+        "events_trajectory": """
+            WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                    (CAST(epoch_us(ts) AS BIGINT) // 1000000)
+                        * 16777216 + event_id AS o,
+                    (event_id * 7919) % 20000 AS x,
+                    (event_id * 104729) % 17000 AS y
+                FROM events),
+            d AS (SELECT user_id, o, x, y,
+                    LAG(x) OVER (PARTITION BY user_id ORDER BY o) AS px,
+                    LAG(y) OVER (PARTITION BY user_id ORDER BY o) AS py
+                FROM e)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(CASE WHEN px IS NOT NULL
+                            THEN abs(x - px) + abs(y - py)
+                            ELSE 0 END) AS BIGINT) AS path_l1,
+                   CAST(abs(first(x ORDER BY o DESC)
+                            - first(x ORDER BY o ASC))
+                        + abs(first(y ORDER BY o DESC)
+                              - first(y ORDER BY o ASC))
+                        AS BIGINT) AS net_l1
+            FROM d GROUP BY user_id
         """,
         "docs_pii_scrub": """
             WITH d0 AS (

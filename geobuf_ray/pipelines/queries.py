@@ -5722,3 +5722,38 @@ def suppliers_union_area(sf_dir: str):
                           cols=("w", "s", "e", "n"), nbuckets=8)
     from ..collect import collect_table
     return collect_table(out)
+
+
+def events_trajectory(sf_dir: str):
+    """Per-user trajectory metrics (spatial/trajectory.trajectory
+    _stats): events become GPS-style track points (deterministic
+    integer positions derived from event_id), ordered by the exact
+    composite (second, event_id) axis; per user the Manhattan path
+    length, net first->last displacement and point count — all int64.
+    One user-hash exchange, kernel vectorized across a bucket's users.
+    Hash-checked vs a LAG + ordered-FIRST SQL twin."""
+    import ray
+
+    from ..spatial.trajectory import trajectory_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if eid.max(initial=0) >= (1 << 24):
+            raise ValueError("event_id exceeds the composite-axis width")
+        o = (ts // 1_000_000) * (1 << 24) + eid
+        return pa.table({
+            "user_id": batch["user_id"].combine_chunks().cast(pa.int64()),
+            "o": o,
+            "x": (eid * 7919) % 20000,
+            "y": (eid * 104729) % 17000})
+
+    pts = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return trajectory_stats(pts, key="user_id", order="o", x="x", y="y",
+                            nbuckets=16)

@@ -422,3 +422,34 @@ def test_rect_union_area_raster_oracle_and_partition_invariance(ray_session):
         ray.data.from_arrow(T2), group="g", cols=("w", "s", "e", "n"),
         nbuckets=2))
     assert out2.to_pylist() == [{"g": 5, "union_area": 40}]
+
+
+def test_trajectory_stats_scalar_reference(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.trajectory import trajectory_stats
+
+    rng = np.random.default_rng(21)
+    N = 500
+    k = rng.integers(0, 17, N)
+    o = rng.permutation(N).astype(np.int64)   # unique order values
+    x = rng.integers(-1000, 1000, N)
+    y = rng.integers(-1000, 1000, N)
+    T = pa.table({"k": k, "o": o, "x": x, "y": y})
+    exp = {}
+    for kk in np.unique(k):
+        m = k == kk
+        sel = np.argsort(o[m])
+        xs, ys = x[m][sel], y[m][sel]
+        exp[int(kk)] = (int(m.sum()),
+                        int(np.abs(np.diff(xs)).sum()
+                            + np.abs(np.diff(ys)).sum()),
+                        int(abs(xs[-1] - xs[0]) + abs(ys[-1] - ys[0])))
+    for parts in (1, 9):
+        out = collect_table(trajectory_stats(
+            ray.data.from_arrow(T).repartition(parts), key="k",
+            order="o", x="x", y="y", nbuckets=4))
+        got = {r["k"]: (r["n_points"], r["path_l1"], r["net_l1"])
+               for r in out.to_pylist()}
+        assert got == exp, parts
