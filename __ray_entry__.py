@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_areal_value": q.customers_areal_value,
         "suppliers_union_area": q.suppliers_union_area,
         "events_trajectory": q.events_trajectory,
+        "docs_stratified_split": q.docs_stratified_split,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -2077,6 +2078,19 @@ def oracle_sql() -> dict[str, str]:
                               - first(y ORDER BY o ASC))
                         AS BIGINT) AS net_l1
             FROM d GROUP BY user_id
+        """,
+        "docs_stratified_split": """
+            WITH h AS (SELECT doc_id,
+                    CAST(substr(source, 4) AS BIGINT) AS src,
+                    ((doc_id % 1000003) * 2654435761) % 4294967296 AS hv
+                FROM documents),
+            t AS (SELECT src,
+                    percentile_disc(0.125) WITHIN GROUP (ORDER BY hv)
+                        AS thr
+                  FROM h GROUP BY src)
+            SELECT h.doc_id, h.src,
+                   CAST(h.hv <= t.thr AS BIGINT) AS is_val
+            FROM h JOIN t USING (src)
         """,
         "docs_pii_scrub": """
             WITH d0 AS (

@@ -134,3 +134,50 @@ def weighted_sample(ds, *, weight: str, k: int, id_col: str,
     order = np.argsort(-pri, kind="stable")[:k]
     return cand.take(pa.array(order, pa.int64())) \
         .drop_columns(["__pri"])
+
+
+def stratified_split(ds, *, group: str, hash_col: str, frac: float,
+                     nbuckets: int = 16, out_col: str = "is_val",
+                     **map_kwargs):
+    """EXACT-quota stratified split: within every group, flag the
+    ``max(ceil(frac * n_g), 1)`` rows with the smallest ``hash_col``
+    values (pass a collision-free deterministic hash of the row id —
+    the flag is then reproducible, partition-invariant, and each
+    group's validation quota is met exactly, unlike rate-based
+    sampling which only hits the quota in expectation).
+
+    Shape: the per-group threshold is the ``PERCENTILE_DISC(frac)``
+    of the hash values (``group_quantile``'s distinct-value exchange —
+    rows never shuffle), broadcast once; assignment is a pure map
+    compare.  Equal-hash collisions both land inside the split (the
+    quota can then exceed by the collision count; a 64-bit id hash
+    makes that astronomically rare, and the SQL twin using the same
+    hash agrees bit-for-bit regardless)."""
+    import ray as _ray
+
+    from ..collect import collect_table
+    from .agg import group_quantile
+
+    thr_t = collect_table(group_quantile(
+        ds.select_columns([group, hash_col]), [group], hash_col,
+        {"thr": frac}, nbuckets=nbuckets))
+    gk = thr_t[group].to_numpy(zero_copy_only=False).astype(np.int64)
+    tv = thr_t["thr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(gk)
+    ref = _ray.put((gk[order], tv[order]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys, thr = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) \
+            else ref
+        g = batch[group].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = batch[hash_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        pos = np.searchsorted(keys, g)
+        ok = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)]
+                                  == g)
+        flag = np.zeros(len(g), np.int64)
+        flag[ok] = (hv[ok] <= thr[pos[ok]]).astype(np.int64)
+        return batch.append_column(out_col, pa.array(flag))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True, **map_kwargs)

@@ -5757,3 +5757,35 @@ def events_trajectory(sf_dir: str):
                          zero_copy_batch=True)
     return trajectory_stats(pts, key="user_id", order="o", x="x", y="y",
                             nbuckets=16)
+
+
+def docs_stratified_split(sf_dir: str):
+    """Exact-quota stratified train/val split
+    (functions/sample.stratified_split): within every source, exactly
+    ``max(ceil(0.125 * n), 1)`` documents flag as validation — the
+    ones with the smallest SQL-reproducible 32-bit id hashes.  The
+    per-source threshold is a PERCENTILE_DISC through group_quantile's
+    distinct-value exchange (rows never shuffle), broadcast once;
+    assignment is a pure map compare.  Hash-checked vs a
+    percentile_disc + join SQL twin."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.sample import stratified_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        src = pc.utf8_slice_codeunits(
+            batch["source"].combine_chunks(), 3, 99).cast(pa.int64())
+        hv = ((ids % 1000003) * 2654435761) % 4294967296
+        return pa.table({"doc_id": ids, "src": src, "hv": hv})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = stratified_split(prepped, group="src", hash_col="hv",
+                           frac=0.125, nbuckets=8)
+    return out.select_columns(["doc_id", "src", "is_val"])

@@ -987,3 +987,30 @@ def test_prune_frequent_tokens_scalar_and_partition_invariant(ray_session):
         ).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert list(out["clean"]) == [e[0] for e in exp], parts
         assert list(out["n_removed"]) == [e[1] for e in exp], parts
+
+
+def test_stratified_split_exact_quota(ray_session):
+    import math
+
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.sample import stratified_split
+
+    rng = np.random.default_rng(13)
+    n = 700
+    g = rng.integers(0, 9, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    hv = ((ids * 2654435761) % (2**61)).astype(np.int64)  # unique
+    T = pa.table({"id": ids, "g": g, "hv": hv})
+    for parts in (1, 8):
+        out = collect_table(stratified_split(
+            ray.data.from_arrow(T).repartition(parts), group="g",
+            hash_col="hv", frac=0.25, nbuckets=4)).to_pandas()
+        for gg in np.unique(g):
+            sub = out[out["g"] == gg]
+            quota = max(math.ceil(0.25 * len(sub)), 1)
+            assert sub["is_val"].sum() == quota, (parts, gg)
+            # flagged rows are exactly the quota smallest hashes
+            flagged = set(sub[sub["is_val"] == 1]["hv"])
+            assert flagged == set(sub["hv"].nsmallest(quota)), (parts, gg)
