@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_union_area": q.suppliers_union_area,
         "events_trajectory": q.events_trajectory,
         "docs_stratified_split": q.docs_stratified_split,
+        "customers_kernel_interp": q.customers_kernel_interp,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -2091,6 +2092,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, h.src,
                    CAST(h.hv <= t.thr AS BIGINT) AS is_val
             FROM h JOIN t USING (src)
+        """,
+        "customers_kernel_interp": """
+            WITH t AS (SELECT c_custkey,
+                    (c_custkey * 7919) % 36000 AS x,
+                    (c_custkey * 104729) % 17000 AS y
+                FROM customer),
+            s AS (SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS v,
+                    ((s_suppkey * 37) % 300) * 100 AS x,
+                    ((s_suppkey * 53) % 160) * 100 AS y
+                FROM supplier)
+            SELECT t.c_custkey AS custkey,
+                   CAST(SUM(s.v * (4000000
+                        - (t.x - s.x) * (t.x - s.x)
+                        - (t.y - s.y) * (t.y - s.y))) AS BIGINT) AS num,
+                   CAST(SUM(4000000
+                        - (t.x - s.x) * (t.x - s.x)
+                        - (t.y - s.y) * (t.y - s.y)) AS BIGINT) AS den
+            FROM t JOIN s
+              ON (t.x - s.x) * (t.x - s.x)
+                 + (t.y - s.y) * (t.y - s.y) < 4000000
+            GROUP BY 1
         """,
         "docs_pii_scrub": """
             WITH d0 AS (

@@ -5789,3 +5789,42 @@ def docs_stratified_split(sf_dir: str):
     out = stratified_split(prepped, group="src", hash_col="hv",
                            frac=0.125, nbuckets=8)
     return out.select_columns(["doc_id", "src", "is_val"])
+
+
+def customers_kernel_interp(sf_dir: str):
+    """Kernel-weighted spatial interpolation
+    (spatial/interp.kernel_interpolate): supplier account balances
+    interpolated onto customer points with the EXACT integer quadratic
+    kernel w = R^2 - d^2 (d^2 < R^2, R = 2000 grid units) — per
+    customer the int64 (num, den) pair, consumer divides.  Sources fan
+    to the cells their radius square touches, targets stay home,
+    every pair meets exactly once; per-target sums complete in one
+    bucket.  Hash-checked vs the distance-predicate join SQL twin."""
+    import ray
+
+    from ..spatial.interp import kernel_interpolate
+
+    def tprep(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({"id": k, "x": (k * 7919) % 36000,
+                         "y": (k * 104729) % 17000})
+
+    def sprep(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        v = np.round(batch["s_acctbal"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"value": v, "x": ((k * 37) % 300) * 100,
+                         "y": ((k * 53) % 160) * 100})
+
+    tds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
+        tprep, batch_format="pyarrow", zero_copy_batch=True)
+    sds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_acctbal"]).map_batches(
+        sprep, batch_format="pyarrow", zero_copy_batch=True)
+    out = kernel_interpolate(tds, sds, radius=2000, cell_bits=11,
+                             nbuckets=32)
+    return out.rename_columns(["custkey", "num", "den"])

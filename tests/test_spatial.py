@@ -453,3 +453,35 @@ def test_trajectory_stats_scalar_reference(ray_session):
         got = {r["k"]: (r["n_points"], r["path_l1"], r["net_l1"])
                for r in out.to_pylist()}
         assert got == exp, parts
+
+
+def test_kernel_interpolate_brute_force(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.interp import kernel_interpolate
+
+    rng = np.random.default_rng(4)
+    NT, NS = 300, 90
+    tx = rng.integers(-3000, 3000, NT)
+    ty = rng.integers(-3000, 3000, NT)
+    sx = rng.integers(-3000, 3000, NS)
+    sy = rng.integers(-3000, 3000, NS)
+    sv = rng.integers(-100, 2000, NS)
+    R = 700
+    T = pa.table({"id": np.arange(NT), "x": tx, "y": ty})
+    S = pa.table({"value": sv, "x": sx, "y": sy})
+    exp = {}
+    for i in range(NT):
+        d2 = (tx[i] - sx) ** 2 + (ty[i] - sy) ** 2
+        w = R * R - d2
+        m = w > 0
+        if m.any():
+            exp[i] = (int((sv[m] * w[m]).sum()), int(w[m].sum()))
+    for bits, parts in ((9, 5), (11, 1)):
+        out = collect_table(kernel_interpolate(
+            ray.data.from_arrow(T).repartition(parts),
+            ray.data.from_arrow(S).repartition(2),
+            radius=R, cell_bits=bits, nbuckets=8))
+        got = {r["id"]: (r["num"], r["den"]) for r in out.to_pylist()}
+        assert got == exp, bits
