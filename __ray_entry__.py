@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trajectory": q.events_trajectory,
         "docs_stratified_split": q.docs_stratified_split,
         "customers_kernel_interp": q.customers_kernel_interp,
+        "docs_repeated_spans": q.docs_repeated_spans,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -2113,6 +2114,33 @@ def oracle_sql() -> dict[str, str]:
               ON (t.x - s.x) * (t.x - s.x)
                  + (t.y - s.y) * (t.y - s.y) < 4000000
             GROUP BY 1
+        """,
+        "docs_repeated_spans": """
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+            pos AS (SELECT doc_id, w,
+                        unnest(generate_series(1,
+                            greatest(len(w) - 4, 0))) AS i
+                    FROM tok),
+            g AS (SELECT doc_id, i,
+                      array_to_string(w[i:i+4], ' ') AS gram
+                  FROM pos),
+            hot AS (SELECT gram FROM g GROUP BY gram
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            hp AS (SELECT g.doc_id, g.i - 1 AS p
+                   FROM g JOIN hot USING (gram)),
+            fl AS (SELECT doc_id, p,
+                       CASE WHEN p > COALESCE(
+                           LAG(p) OVER (PARTITION BY doc_id ORDER BY p),
+                           -1000000) + 5 THEN 1 ELSE 0 END AS st
+                   FROM hp),
+            il AS (SELECT doc_id, p,
+                       SUM(st) OVER (PARTITION BY doc_id ORDER BY p)
+                           AS isl
+                   FROM fl)
+            SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+                   CAST(MAX(p) + 5 AS BIGINT) AS span_end
+            FROM il GROUP BY doc_id, isl
         """,
         "docs_pii_scrub": """
             WITH d0 AS (

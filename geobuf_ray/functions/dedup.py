@@ -1094,3 +1094,130 @@ def semantic_dedup(ds, *, col: str = "embedding", id_col: str = "vec_id",
     slim = assigned.select_columns([id_col, col, "cluster"])
     return grouped_exchange(slim, "cluster", group_fn,
                             nbuckets=nbuckets, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated n-gram spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+_GRAM_P = np.uint64(0x100000001B3)      # FNV prime as the mix multiplier
+
+
+def _gram_hashes(batch: pa.Table, text_col: str, n: int
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-position n-gram hashes over whitespace tokens, vectorized
+    across the batch: one split, one word fingerprint pass, then n
+    shifted mix rounds (no per-doc loop).  Returns (doc_idx of each
+    valid gram start, local word position, uint64 gram hash)."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(batch[text_col], " ").combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    h = fingerprint64(words.values)
+    W = len(h)
+    wc = np.diff(offs)
+    doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), wc)
+    if W < n:
+        z = np.array([], np.int64)
+        return z, z, z.astype(np.uint64)
+    # polynomial combination of n consecutive word hashes
+    g = np.zeros(W - n + 1, np.uint64)
+    for k in range(n):
+        g = g * _GRAM_P + h[k:W - n + 1 + k]
+    starts = np.arange(W - n + 1, dtype=np.int64)
+    valid = doc_of[starts] == doc_of[starts + n - 1]
+    starts = starts[valid]
+    d = doc_of[starts]
+    return d, starts - offs[d], g[valid]
+
+
+def repeated_ngram_spans(ds, *, n: int = 5, doc_col: str = "doc_id",
+                         text_col: str = "text", min_df: int = 2,
+                         nbuckets: int = 32, max_hot: int = 5_000_000,
+                         on_overflow: str = "raise", **map_kwargs):
+    """Cross-document repeated n-gram SPAN detection — the
+    substring-level dedup step of the "deduplicating training data"
+    family: find, per document, the maximal word-index spans
+    ``[span_start, span_end)`` covered by n-grams that appear in at
+    least ``min_df`` distinct documents.
+
+    Two passes, rows never shuffle:
+
+    1. per-block (gram-hash, doc) dedup -> skinny (gram, df) partials
+       -> one gram-hash exchange summing true document frequency (a
+       doc never spans blocks); grams with ``df >= min_df`` collect —
+       bounded by the volume of DUPLICATED content, not vocabulary —
+       and broadcast once via ``ray.put``.  If the hot set exceeds
+       ``max_hot``: raise (default), or ``on_overflow='truncate'``
+       keeps the ``max_hot`` smallest hashes (deterministic subset).
+    2. a pure map pass re-hashes each doc's grams, marks hot
+       positions, and merges overlapping/adjacent gram intervals
+       (gap > n starts a new span) into maximal spans.
+
+    Gram identity is a 64-bit polynomial hash of word fingerprints —
+    a collision (~2^-64 per pair) could merge two distinct grams; the
+    SQL twin compares gram STRINGS, so the driver hash-check also
+    audits that."""
+    import ray as _ray
+
+    from ..collect import collect_table
+    from .exchange import hash_exchange
+
+    if on_overflow not in ("raise", "truncate"):
+        raise ValueError("on_overflow must be 'raise' or 'truncate'")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        d, _, g = _gram_hashes(batch, text_col, n)
+        # dedupe (gram, doc): docs are batch-local small ints
+        u = np.unique(np.stack([g.view(np.int64), d]), axis=1)
+        ug, df = np.unique(u[0], return_counts=True)
+        return pa.table({"gram": pa.array(ug),
+                         "df": pa.array(df.astype(np.int64))})
+
+    parts = ds.map_batches(df_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, **map_kwargs)
+
+    def reduce_hot(tbl: pa.Table) -> pa.Table:
+        gb = tbl.group_by("gram").aggregate([("df", "sum")])
+        df = gb["df_sum"].to_numpy(zero_copy_only=False)
+        keep = df >= min_df
+        return pa.table({"gram": gb["gram"].filter(pa.array(keep))})
+
+    hot_t = collect_table(hash_exchange(parts, nbuckets=nbuckets,
+                                        on="gram", reduce_fn=reduce_hot))
+    hot = np.sort(hot_t["gram"].to_numpy(zero_copy_only=False))
+    if len(hot) > max_hot:
+        if on_overflow == "raise":
+            raise ValueError(
+                f"hot n-gram set ({len(hot)}) exceeds max_hot "
+                f"({max_hot}); the corpus is duplication-degenerate — "
+                "raise max_hot or pass on_overflow='truncate'")
+        hot = hot[np.argsort(hot.view(np.uint64),
+                             kind="stable")][:max_hot]
+        hot = np.sort(hot)
+    hot_ref = _ray.put(hot)
+
+    def spans(batch: pa.Table) -> pa.Table:
+        hv = _ray.get(hot_ref)
+        d, p, g = _gram_hashes(batch, text_col, n)
+        pos = np.searchsorted(hv, g.view(np.int64))
+        ism = (pos < len(hv)) & (hv[np.minimum(pos, len(hv) - 1)]
+                                 == g.view(np.int64))
+        d, p = d[ism], p[ism]
+        ids = batch[doc_col].to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table({doc_col: pa.array([], batch[doc_col].type),
+                             "span_start": pa.array([], pa.int64()),
+                             "span_end": pa.array([], pa.int64())})
+        # (d, p) already sorted by construction (ascending flat order)
+        new = np.concatenate(([True],
+                              (d[1:] != d[:-1])
+                              | (p[1:] > p[:-1] + n)))
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d)) - 1
+        return pa.table({doc_col: pa.array(ids[d[starts]]),
+                         "span_start": pa.array(p[starts]),
+                         "span_end": pa.array(p[ends] + n)})
+
+    return ds.map_batches(spans, batch_format="pyarrow",
+                          zero_copy_batch=True, **map_kwargs)

@@ -5828,3 +5828,21 @@ def customers_kernel_interp(sf_dir: str):
     out = kernel_interpolate(tds, sds, radius=2000, cell_bits=11,
                              nbuckets=32)
     return out.rename_columns(["custkey", "num", "den"])
+
+
+def docs_repeated_spans(sf_dir: str):
+    """Cross-document repeated n-gram span detection
+    (functions/dedup.repeated_ngram_spans, n=5): the substring-level
+    dedup step of the deduplicating-training-data family — per doc,
+    the maximal word-index spans covered by 5-grams appearing in >= 2
+    distinct documents.  Skinny (gram, df) exchange -> hot set
+    broadcast -> pure map span merge; rows never shuffle.
+    Hash-checked vs a gram-STRING SQL twin (which therefore also
+    audits the 64-bit gram-hash construction for collisions)."""
+    import ray
+
+    from ..functions.dedup import repeated_ngram_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return repeated_ngram_spans(ds, n=5, nbuckets=16)

@@ -1014,3 +1014,73 @@ def test_stratified_split_exact_quota(ray_session):
             # flagged rows are exactly the quota smallest hashes
             flagged = set(sub[sub["is_val"] == 1]["hv"])
             assert flagged == set(sub["hv"].nsmallest(quota)), (parts, gg)
+
+
+def test_repeated_ngram_spans_scalar_reference(ray_session):
+    from collections import defaultdict
+
+    import ray
+
+    from geobuf_ray.collect import collect_table
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(400)]
+    n = 4
+    base = [" ".join(rng.choice(vocab, rng.integers(8, 30)))
+            for _ in range(60)]
+    texts = list(base)
+    # plant: exact dup, mid-doc shared window, two disjoint windows
+    texts.append(base[0])
+    texts.append("q1 q2 q3 " + " ".join(base[1].split()[2:2 + 6])
+                 + " q4 q5 q6")
+    texts.append(" ".join(base[2].split()[:n]) + " zz1 zz2 zz3 zz4 "
+                 + " ".join(base[3].split()[:n]))
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    # scalar reference
+    df = defaultdict(set)
+    toks = [s.split(" ") for s in texts]
+    for d, ws in enumerate(toks):
+        for i in range(len(ws) - n + 1):
+            df[tuple(ws[i:i + n])].add(d)
+    hot = {g for g, ds_ in df.items() if len(ds_) >= 2}
+    exp = []
+    for d, ws in enumerate(toks):
+        ps = [i for i in range(len(ws) - n + 1)
+              if tuple(ws[i:i + n]) in hot]
+        spans = []
+        for p in ps:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p)
+            if not spans or p > spans[-1][1] + n:
+                spans.append([p, p])
+            else:
+                spans[-1][1] = p
+        exp.extend((d, a, b + n) for a, b in spans)
+
+    for parts in (1, 6):
+        out = collect_table(dedup.repeated_ngram_spans(
+            ray.data.from_arrow(t).repartition(parts), n=n, nbuckets=4))
+        got = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                     for r in out.to_pylist())
+        assert got == sorted(exp), parts
+
+
+def test_repeated_ngram_spans_overflow_guard(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+
+    # 50 identical docs -> every gram hot; cap of 1 must raise
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": pa.array(["a b c d e f g h"] * 50)})
+    with pytest.raises(ValueError, match="max_hot"):
+        collect_table(dedup.repeated_ngram_spans(
+            ray.data.from_arrow(t), n=4, nbuckets=2, max_hot=1))
+    out = collect_table(dedup.repeated_ngram_spans(
+        ray.data.from_arrow(t), n=4, nbuckets=2, max_hot=1,
+        on_overflow="truncate"))
+    # truncated run still finds spans (from the surviving gram)
+    assert out.num_rows == 50
