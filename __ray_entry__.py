@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_split": q.docs_stratified_split,
         "customers_kernel_interp": q.customers_kernel_interp,
         "docs_repeated_spans": q.docs_repeated_spans,
+        "docs_top_bigrams": q.docs_top_bigrams,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -2141,6 +2142,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
                    CAST(MAX(p) + 5 AS BIGINT) AS span_end
             FROM il GROUP BY doc_id, isl
+        """,
+        "docs_top_bigrams": """
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+            pos AS (SELECT doc_id, w,
+                        unnest(generate_series(1,
+                            greatest(len(w) - 1, 0))) AS i
+                    FROM tok),
+            b AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM pos),
+            c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM b GROUP BY 1, 2),
+            r AS (SELECT *, ROW_NUMBER() OVER
+                      (ORDER BY tf DESC, w1, w2) AS rn FROM c)
+            SELECT w1, w2, tf FROM r WHERE rn <= 40
         """,
         "docs_pii_scrub": """
             WITH d0 AS (

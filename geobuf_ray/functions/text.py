@@ -836,3 +836,95 @@ def prune_frequent_tokens(ds, *, n_docs: int, frac_num: int = 1,
 
     return ds.map_batches(scrub, batch_format="pyarrow",
                           zero_copy_batch=True, **map_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# bigram collocations (PMI-family counts)
+# ---------------------------------------------------------------------------
+
+def bigram_counts_batch(batch: pa.Table, text_col: str = "text"
+                        ) -> pa.Table:
+    """Per-block adjacent-word-pair counts: one split + one
+    dictionary-encode; pair identity is an int64 code product key, so
+    counting is a single ``np.unique`` (no Python string pairs until
+    the block's distinct bigrams materialize)."""
+    words = pc.split_pattern(batch[text_col], " ").combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    denc = pc.dictionary_encode(words.values)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    W = len(codes)
+    if W < 2:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                       np.diff(offs))
+    same = doc_of[:-1] == doc_of[1:]
+    V = np.int64(len(denc.dictionary))
+    key = codes[:-1][same] * V + codes[1:][same]
+    u, tf = np.unique(key, return_counts=True)
+    d = denc.dictionary
+    return pa.table({"w1": d.take(pa.array(u // V)),
+                     "w2": d.take(pa.array(u % V)),
+                     "tf": pa.array(tf.astype(np.int64))})
+
+
+def top_bigrams(ds, k: int = 40, *, text_col: str = "text",
+                nbuckets: int = 64) -> pa.Table:
+    """Corpus top-k bigram collocations by raw count (the count table
+    of PMI / collocation mining; ties break (tf DESC, w1 ASC, w2
+    ASC) so the result is a total order).  Same partial-top-k shape
+    as :func:`top_terms`: block partials -> bigram-hash bucket
+    exchange summing true counts + local top-k -> bounded k x buckets
+    driver merge; the unbounded bigram vocabulary never
+    centralizes."""
+    from ..collect import collect_table
+    from .exchange import hash_exchange
+    from .join import _key_hash
+
+    partials = ds.map_batches(
+        lambda b: bigram_counts_batch(b, text_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    mask = np.int64(min(nbuckets, 64) - 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch["w1"]) * np.uint64(31) ^ _key_hash(
+            batch["w2"])
+        return batch.append_column(
+            "bucket", pa.array((h & np.uint64(mask)).astype(np.int64)))
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        w1 = np.asarray(group["w1"].to_pylist(), object)
+        w2 = np.asarray(group["w2"].to_pylist(), object)
+        joint = np.char.add(np.char.add(w1.astype(str), "\x00"),
+                            w2.astype(str))
+        u, inv = np.unique(joint, return_inverse=True)
+        tf = np.bincount(inv, weights=group["tf"].to_numpy(
+            zero_copy_only=False), minlength=len(u)).astype(np.int64)
+        first = np.zeros(len(u), np.int64)
+        first[inv[::-1]] = np.arange(len(inv) - 1, -1, -1)
+        order = np.lexsort((u, -tf))[:k]
+        rows = first[order]
+        return pa.table({"w1": pa.array(w1[rows].tolist(), pa.string()),
+                         "w2": pa.array(w2[rows].tolist(), pa.string()),
+                         "tf": pa.array(tf[order])})
+
+    cand = hash_exchange(
+        partials.map_batches(add_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        nbuckets=min(nbuckets, 64), on="bucket", reduce_fn=bucket_topk)
+    tbl = collect_table(cand)
+    w1 = np.asarray(tbl["w1"].to_pylist(), object)
+    w2 = np.asarray(tbl["w2"].to_pylist(), object)
+    tf = tbl["tf"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((w2, w1, -tf))[:k]
+    return pa.table({"w1": pa.array(w1[order].tolist(), pa.string()),
+                     "w2": pa.array(w2[order].tolist(), pa.string()),
+                     "tf": pa.array(tf[order])})

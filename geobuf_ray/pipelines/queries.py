@@ -5846,3 +5846,19 @@ def docs_repeated_spans(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return repeated_ngram_spans(ds, n=5, nbuckets=16)
+
+
+def docs_top_bigrams(sf_dir: str):
+    """Top-40 bigram collocations by corpus count
+    (functions/text.top_bigrams — the count table PMI / collocation
+    mining starts from), total-ordered (tf DESC, w1, w2).  Block
+    partials -> bigram-hash bucket exchange + local top-k -> bounded
+    driver merge; the bigram vocabulary never centralizes.
+    Hash-checked vs an UNNEST + LEAD-pair SQL twin."""
+    import ray
+
+    from ..functions.text import top_bigrams
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return top_bigrams(ds, k=40, nbuckets=32)

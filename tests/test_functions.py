@@ -1084,3 +1084,27 @@ def test_repeated_ngram_spans_overflow_guard(ray_session):
         on_overflow="truncate"))
     # truncated run still finds spans (from the surviving gram)
     assert out.num_rows == 50
+
+
+def test_top_bigrams_scalar_reference(ray_session):
+    from collections import Counter
+
+    import ray
+
+    rng = np.random.default_rng(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(2, 25)))
+             for _ in range(150)] + ["solo", ""]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    c = Counter()
+    for s in texts:
+        ws = s.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c[(a, b)] += 1
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    for parts in (1, 7):
+        got = text.top_bigrams(
+            ray.data.from_arrow(t).repartition(parts), k=10, nbuckets=8)
+        rows = [((r["w1"], r["w2"]), r["tf"]) for r in got.to_pylist()]
+        assert rows == exp, parts
