@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_kernel_interp": q.customers_kernel_interp,
         "docs_repeated_spans": q.docs_repeated_spans,
         "docs_top_bigrams": q.docs_top_bigrams,
+        "lineitem_profile": q.lineitem_profile,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_minhash_dedup": q.docs_minhash_dedup,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -2156,6 +2157,35 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, ROW_NUMBER() OVER
                       (ORDER BY tf DESC, w1, w2) AS rn FROM c)
             SELECT w1, w2, tf FROM r WHERE rn <= 40
+        """,
+        "lineitem_profile": """
+            SELECT 'l_orderkey' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+                   COALESCE(MIN(CAST(l_orderkey AS VARCHAR)), '') AS min_v,
+                   COALESCE(MAX(CAST(l_orderkey AS VARCHAR)), '') AS max_v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct,
+                   COALESCE(MIN(CAST(l_linenumber AS VARCHAR)), '') AS min_v,
+                   COALESCE(MAX(CAST(l_linenumber AS VARCHAR)), '') AS max_v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
+                   COALESCE(MIN(CAST(l_returnflag AS VARCHAR)), '') AS min_v,
+                   COALESCE(MAX(CAST(l_returnflag AS VARCHAR)), '') AS max_v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_distinct,
+                   COALESCE(MIN(CAST(l_linestatus AS VARCHAR)), '') AS min_v,
+                   COALESCE(MAX(CAST(l_linestatus AS VARCHAR)), '') AS max_v
+            FROM lineitem
         """,
         "docs_pii_scrub": """
             WITH d0 AS (

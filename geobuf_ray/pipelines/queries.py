@@ -5862,3 +5862,22 @@ def docs_top_bigrams(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return top_bigrams(ds, k=40, nbuckets=32)
+
+
+def lineitem_profile(sf_dir: str):
+    """Table profiling (functions/profile.profile_table — the ANALYZE
+    / data-quality profile as an engine operator): per column the row
+    count, null count, EXACT distinct count and lexicographic min/max
+    over the string rendering (int and string columns render
+    identically in Arrow and SQL; floats are rejected by the op).
+    Pass A is |cols| x |blocks| partials; pass B ships block-DISTINCT
+    (column, value) pairs through one value-hash exchange.
+    Hash-checked vs a per-column UNION ALL twin."""
+    import ray
+
+    from ..functions.profile import profile_table
+
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=cols)
+    return profile_table(ds, cols, nbuckets=16)

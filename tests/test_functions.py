@@ -1108,3 +1108,36 @@ def test_top_bigrams_scalar_reference(ray_session):
             ray.data.from_arrow(t).repartition(parts), k=10, nbuckets=8)
         rows = [((r["w1"], r["w2"]), r["tf"]) for r in got.to_pylist()]
         assert rows == exp, parts
+
+
+def test_profile_table_scalar_reference(ray_session):
+    import ray
+
+    from geobuf_ray.functions.profile import profile_table
+
+    n = 500
+    rng = np.random.default_rng(31)
+    ints = rng.integers(-50, 50, n)
+    int_nulls = pa.array([None if i % 7 == 0 else int(v)
+                          for i, v in enumerate(ints)], pa.int64())
+    strs = pa.array([None if i % 11 == 0 else f"s{v % 13}"
+                     for i, v in enumerate(ints)], pa.string())
+    t = pa.table({"a": int_nulls, "b": strs})
+    for parts in (1, 6):
+        out = profile_table(ray.data.from_arrow(t).repartition(parts),
+                            ["a", "b"], nbuckets=4)
+        rows = {r["column"]: r for r in out.to_pylist()}
+        av = [v for v in int_nulls.to_pylist() if v is not None]
+        bv = [v for v in strs.to_pylist() if v is not None]
+        assert rows["a"]["n_rows"] == n
+        assert rows["a"]["n_nulls"] == sum(
+            1 for v in int_nulls.to_pylist() if v is None)
+        assert rows["a"]["n_distinct"] == len(set(av))
+        assert rows["a"]["min_v"] == min(str(v) for v in av)
+        assert rows["a"]["max_v"] == max(str(v) for v in av)
+        assert rows["b"]["n_distinct"] == len(set(bv))
+        assert rows["b"]["min_v"] == min(bv)
+        assert rows["b"]["max_v"] == max(bv)
+    with pytest.raises(TypeError):
+        profile_table(ray.data.from_arrow(pa.table(
+            {"f": pa.array([1.5])})), ["f"])
