@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_latest_order": q.orders_latest_order,
         "suppliers_sssp": q.suppliers_sssp,
         "tpch_q5": q.tpch_q5,
+        "tpch_q10": q.tpch_q10,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
@@ -334,6 +335,24 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate < DATE '1998-01-01'
             GROUP BY n_name
+        """,
+        "tpch_q10": """
+            SELECT c_custkey AS custkey, c_name,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_c2,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents,
+                   n_name
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND l_returnflag = 'R'
+              AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue_c2 DESC, custkey
+            LIMIT 20
         """,
         "orders_latest_order": """
             WITH r AS (SELECT o_custkey, o_orderkey,

@@ -5881,3 +5881,90 @@ def lineitem_profile(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=cols)
     return profile_table(ds, cols, nbuckets=16)
+
+
+def tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue, top 20 customers):
+    quarter-filtered orders hash-join the 'R'-flag lineitems (both
+    reads column- and predicate-pruned), integer-cent revenue partials
+    combine per customer, the top 20 under the (revenue DESC,
+    custkey) total order resolve BEFORE any dimension attribute moves
+    — c_name/c_acctbal/n_name then attach to just those 20 rows (a
+    key-pruned read, not a broadcast of the customer table)."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.join import hash_join
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+
+    def oprep(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].to_numpy().astype("datetime64[D]")
+        keep = (od >= lo) & (od < hi)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"]}).filter(
+            pa.array(keep))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        oprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def lprep(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["l_returnflag"], "R")
+        price = np.round(b["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        disc = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "rev_c2": pa.array(price * (100 - disc))
+                         }).filter(keep)
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        lprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(items, orders, on="o_orderkey", nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["o_custkey"]).aggregate(
+            [("rev_c2", "sum")]).rename_columns(["o_custkey", "rev_c2"])
+
+    agg = _final_combine(
+        joined.select_columns(["o_custkey", "rev_c2"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], ["rev_c2"])
+    ck = agg["o_custkey"].to_numpy(zero_copy_only=False)
+    rv = agg["rev_c2"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((ck, -rv))[:20]
+    ck, rv = ck[top], rv[top]
+    # attributes attach to the 20 winners only: a key-filtered
+    # customer read (20-key predicate, never a table broadcast) plus
+    # the genuinely tiny nation table
+    key_set = pa.array(ck, pa.int64())
+
+    def cfilter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["c_custkey"], value_set=key_set))
+
+    cattrs = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).map_batches(cfilter, batch_format="pyarrow",
+                  zero_copy_batch=True))
+    nat = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"]))
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+    amap = {r["c_custkey"]: r for r in cattrs.to_pylist()}
+    return pa.table({
+        "custkey": pa.array(ck),
+        "c_name": pa.array([amap[int(k)]["c_name"] for k in ck]),
+        "revenue_c2": pa.array(rv),
+        "acct_cents": pa.array(
+            [int(np.round(amap[int(k)]["c_acctbal"] * 100))
+             for k in ck], pa.int64()),
+        "n_name": pa.array([nmap[amap[int(k)]["c_nationkey"]]
+                            for k in ck])})
