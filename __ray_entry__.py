@@ -190,6 +190,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_sssp": q.suppliers_sssp,
         "tpch_q5": q.tpch_q5,
         "tpch_q10": q.tpch_q10,
+        "tpch_q13": q.tpch_q13,
+        "tpch_q18": q.tpch_q18,
+        "tpch_q4": q.tpch_q4,
+        "tpch_q12": q.tpch_q12,
+        "tpch_q14": q.tpch_q14,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
@@ -353,6 +358,80 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue_c2 DESC, custkey
             LIMIT 20
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM orders, lineitem
+            WHERE o_orderkey = l_orderkey
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "tpch_q14": """
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN CAST(round(l_extendedprice * 100)
+                                           AS BIGINT)
+                                      * (100 - CAST(round(l_discount
+                                                          * 100)
+                                                    AS BIGINT))
+                                 ELSE 0 END) AS BIGINT) AS promo_rev_c2,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS total_rev_c2
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= DATE '1996-03-01'
+              AND l_shipdate < DATE '1996-04-01'
+        """,
+        "tpch_q13": """
+            WITH pc AS (SELECT c_custkey,
+                               COUNT(o_orderkey) AS c_count
+                        FROM customer LEFT JOIN orders
+                          ON c_custkey = o_custkey
+                        GROUP BY c_custkey)
+            SELECT c_count, COUNT(*) AS custdist
+            FROM pc GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey AS custkey, o_orderkey,
+                   CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                       AS o_day,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS price_cents,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty
+            FROM customer, orders, lineitem
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300)
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+                     o_totalprice
+            ORDER BY price_cents DESC, o_orderkey
+            LIMIT 100
         """,
         "orders_latest_order": """
             WITH r AS (SELECT o_custkey, o_orderkey,

@@ -5968,3 +5968,346 @@ def tpch_q10(sf_dir: str):
              for k in ck], pa.int64()),
         "n_name": pa.array([nmap[amap[int(k)]["c_nationkey"]]
                             for k in ck])})
+
+
+def tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): per-block
+    partial (custkey, n) counts shrink the fact table to one row per
+    customer per block, a custkey exchange sums true per-customer
+    counts AND collapses each bucket to its count-histogram before
+    anything returns — only |distinct counts| rows per bucket reach
+    the driver, never O(customers).  Customers with no orders land in
+    the 0 bin as total-customer-count minus the histogram mass (the
+    LEFT JOIN's null-extension, computed without moving the customer
+    table)."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy().astype(np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table({"o_custkey": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = orders.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def hist_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_count": pa.array([], pa.int64()),
+                             "custdist": pa.array([], pa.int64())})
+        agg = t.group_by(["o_custkey"]).aggregate([("n", "sum")])
+        counts = agg["n_sum"].to_numpy()
+        uc, nc = np.unique(counts, return_counts=True)
+        return pa.table({"c_count": pa.array(uc.astype(np.int64)),
+                         "custdist": pa.array(nc.astype(np.int64))})
+
+    hist = collect_table(hash_exchange(
+        parts, nbuckets=32, on="o_custkey", reduce_fn=hist_reduce,
+        schema=pa.schema([("c_count", pa.int64()),
+                          ("custdist", pa.int64())])))
+    agg = hist.group_by(["c_count"]).aggregate([("custdist", "sum")])
+    cc = agg["c_count"].to_numpy().astype(np.int64)
+    cd = agg["custdist_sum"].to_numpy().astype(np.int64)
+    ncust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey"]).count()
+    zero = int(ncust) - int(cd.sum())
+    if zero > 0:
+        cc = np.concatenate([cc, [0]])
+        cd = np.concatenate([cd, [zero]])
+    order = np.lexsort((-cc, -cd))
+    return pa.table({"c_count": pa.array(cc[order]),
+                     "custdist": pa.array(cd[order])})
+
+
+def tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): per-block partial
+    quantity sums -> one orderkey exchange with the HAVING > 300
+    filter applied INSIDE each bucket, so only the large-volume tail
+    (small by the query's own semantics) ever leaves the exchange;
+    orders and customer attach via key-filtered reads of just the
+    qualifying keys, and the top 100 resolves under the
+    (price DESC, orderkey) total order."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    items = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                  columns=["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy().astype(np.int64)
+        q = np.round(b["l_quantity"].to_numpy()).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, q)
+        return pa.table({"l_orderkey": pa.array(uk),
+                         "q": pa.array(s)})
+
+    def having(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "sum_qty": pa.array([], pa.int64())})
+        agg = t.group_by(["l_orderkey"]).aggregate([("q", "sum")])
+        k = agg["l_orderkey"].to_numpy().astype(np.int64)
+        s = agg["q_sum"].to_numpy().astype(np.int64)
+        keep = s > 300
+        return pa.table({"o_orderkey": pa.array(k[keep]),
+                         "sum_qty": pa.array(s[keep])})
+
+    big = collect_table(hash_exchange(
+        items.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        nbuckets=32, on="l_orderkey", reduce_fn=having,
+        schema=pa.schema([("o_orderkey", pa.int64()),
+                          ("sum_qty", pa.int64())])))
+    qty = dict(zip(big["o_orderkey"].to_pylist(),
+                   big["sum_qty"].to_pylist()))
+    key_set = pa.array(big["o_orderkey"].to_numpy(), pa.int64())
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["o_orderkey"], value_set=key_set))
+
+    ot = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"]).map_batches(
+        ofilter, batch_format="pyarrow", zero_copy_batch=True))
+    ok = ot["o_orderkey"].to_numpy().astype(np.int64)
+    price = np.round(ot["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    day = ot["o_orderdate"].to_numpy().astype(
+        "datetime64[D]").astype(np.int64)
+    ck = ot["o_custkey"].to_numpy().astype(np.int64)
+    top = np.lexsort((ok, -price))[:100]
+    ok, price, day, ck = ok[top], price[top], day[top], ck[top]
+    cust_set = pa.array(np.unique(ck), pa.int64())
+
+    def cfilter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["c_custkey"], value_set=cust_set))
+
+    ct = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"]).map_batches(
+        cfilter, batch_format="pyarrow", zero_copy_batch=True))
+    nmap = dict(zip(ct["c_custkey"].to_pylist(),
+                    ct["c_name"].to_pylist()))
+    return pa.table({
+        "c_name": pa.array([nmap[int(c)] for c in ck]),
+        "custkey": pa.array(ck),
+        "o_orderkey": pa.array(ok),
+        "o_day": pa.array(day),
+        "price_cents": pa.array(price),
+        "sum_qty": pa.array([qty[int(k)] for k in ok], pa.int64())})
+
+
+def tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (order priority checking): the correlated EXISTS
+    (a lineitem shipped after its order's date) is a per-key max — the
+    lineitem side collapses to one (orderkey, max shipday) row per
+    block BEFORE the exchange, so the cogroup ships the 4:1-reduced
+    skinny side, and each bucket emits only its priority-count
+    partial.  Priorities are a 5-row final combine."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_cogroup
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+
+    def oprep(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].to_numpy().astype("datetime64[D]")
+        keep = (od >= lo) & (od < hi)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_day": pa.array(od.astype(np.int64)),
+                         "o_orderpriority": b["o_orderpriority"]
+                         }).filter(pa.array(keep))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(oprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def lprep(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy().astype(np.int64)
+        sd = b["l_shipdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, sd)
+        return pa.table({"l_orderkey": pa.array(uk),
+                         "ship_day": pa.array(mx)})
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def reduce(ot: pa.Table, it: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if ot.num_rows == 0 or it.num_rows == 0:
+            return empty
+        agg = it.group_by(["l_orderkey"]).aggregate([("ship_day", "max")])
+        ik = agg["l_orderkey"].to_numpy().astype(np.int64)
+        mx = agg["ship_day_max"].to_numpy().astype(np.int64)
+        order = np.argsort(ik)
+        ik, mx = ik[order], mx[order]
+        ok = ot["o_orderkey"].to_numpy().astype(np.int64)
+        od = ot["o_day"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(ik, ok)
+        pos[pos == len(ik)] = len(ik) - 1
+        hit = (ik[pos] == ok) & (mx[pos] > od)
+        pr = ot["o_orderpriority"].filter(pa.array(hit))
+        t = pa.table({"o_orderpriority": pr})
+        if t.num_rows == 0:
+            return empty
+        c = t.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+        return c.rename_columns(["o_orderpriority", "n"]).set_column(
+            1, "n", c.column(1).cast(pa.int64()))
+
+    parts = hash_cogroup(
+        orders, items, nbuckets=32, reduce_fn=reduce,
+        left_on="o_orderkey", right_on="l_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_day", pa.int64()),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("ship_day", pa.int64())]))
+    t = collect_table(parts)
+    agg = t.group_by(["o_orderpriority"]).aggregate([("n", "sum")])
+    pr = agg["o_orderpriority"].to_pylist()
+    n = agg["n_sum"].to_numpy().astype(np.int64)
+    order = np.argsort(np.array(pr))
+    return pa.table({"o_orderpriority": pa.array([pr[i] for i in order]),
+                     "order_count": pa.array(n[order])})
+
+
+def tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (shipmode priority counts, adapted to the
+    trimmed schema's l_returnflag): year-pruned lineitems hash-join
+    orders carrying only a precomputed high-priority BIT, then the
+    grouped conditional counts are 3-row partials."""
+    import ray
+
+    from ..functions.join import hash_join
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def lprep(b: pa.Table) -> pa.Table:
+        sd = b["l_shipdate"].to_numpy().astype("datetime64[D]")
+        keep = (sd >= lo) & (sd < hi)
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "l_returnflag": b["l_returnflag"]
+                         }).filter(pa.array(keep))
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(lprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def oprep(b: pa.Table) -> pa.Table:
+        high = pc.is_in(b["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "high": high.cast(pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        oprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(items, orders, on="o_orderkey", nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = b["high"].to_numpy().astype(np.int64)
+        fl = b["l_returnflag"].combine_chunks().dictionary_encode()
+        codes = fl.indices.to_numpy().astype(np.int64)
+        names = fl.dictionary.to_pylist()
+        nh = np.bincount(codes, weights=h,
+                         minlength=len(names)).astype(np.int64)
+        nl = np.bincount(codes, weights=1 - h,
+                         minlength=len(names)).astype(np.int64)
+        return pa.table({"l_returnflag": pa.array(names),
+                         "high_line_count": pa.array(nh),
+                         "low_line_count": pa.array(nl)})
+
+    agg = _final_combine(
+        joined.select_columns(["l_returnflag", "high"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag"], ["high_line_count", "low_line_count"])
+    fl = agg["l_returnflag"].to_pylist()
+    order = np.argsort(np.array(fl))
+    return pa.table({
+        "l_returnflag": pa.array([fl[i] for i in order]),
+        "high_line_count": pa.array(
+            agg["high_line_count"].to_numpy()[order]),
+        "low_line_count": pa.array(
+            agg["low_line_count"].to_numpy()[order])})
+
+
+def tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue share): the PROMO partkey set
+    broadcasts once as a sorted int64 array (membership by
+    searchsorted per batch), the month-pruned lineitems stream through
+    a two-scalar partial — the ratio's exact integer numerator and
+    denominator are the result, division left to the consumer so the
+    hash check stays bit-exact."""
+    import ray
+
+    from ..collect import collect_table
+
+    def pprep(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["p_type"], "PROMO")
+        return b.select(["p_partkey"]).filter(keep)
+
+    pt = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(pprep, batch_format="pyarrow", zero_copy_batch=True))
+    promo = np.sort(pt["p_partkey"].to_numpy().astype(np.int64))
+    promo_ref = ray.put(promo)
+
+    lo = np.datetime64("1996-03-01")
+    hi = np.datetime64("1996-04-01")
+
+    class Partial:
+        def __init__(self):
+            self.promo = ray.get(promo_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sd = b["l_shipdate"].to_numpy().astype("datetime64[D]")
+            keep = (sd >= lo) & (sd < hi)
+            pk = b["l_partkey"].to_numpy().astype(np.int64)[keep]
+            price = np.round(
+                b["l_extendedprice"].to_numpy()[keep] * 100
+            ).astype(np.int64)
+            disc = np.round(
+                b["l_discount"].to_numpy()[keep] * 100).astype(np.int64)
+            rev = price * (100 - disc)
+            pos = np.searchsorted(self.promo, pk)
+            pos[pos == len(self.promo)] = max(len(self.promo) - 1, 0)
+            is_promo = (self.promo[pos] == pk) if len(self.promo) \
+                else np.zeros(len(pk), bool)
+            return pa.table({
+                "promo_rev_c2": pa.array([int(rev[is_promo].sum())]),
+                "total_rev_c2": pa.array([int(rev.sum())])})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(
+        Partial, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4))
+    t = collect_table(ds)
+    return pa.table({
+        "promo_rev_c2": pa.array(
+            [int(t["promo_rev_c2"].to_numpy().sum())], pa.int64()),
+        "total_rev_c2": pa.array(
+            [int(t["total_rev_c2"].to_numpy().sum())], pa.int64())})
