@@ -195,6 +195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4": q.tpch_q4,
         "tpch_q12": q.tpch_q12,
         "tpch_q14": q.tpch_q14,
+        "tpch_q19": q.tpch_q19,
+        "tpch_q22": q.tpch_q22,
+        "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
@@ -358,6 +361,64 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue_c2 DESC, custkey
             LIMIT 20
+        """,
+        "tpch_q19": """
+            SELECT CAST(SUM(
+                CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+            ) AS BIGINT) AS revenue_c2
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND (
+                (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30))
+        """,
+        "tpch_q22": """
+            WITH s AS (SELECT CAST(SUM(CAST(round(c_acctbal * 100)
+                                            AS BIGINT)) AS BIGINT)
+                               AS sp,
+                              COUNT(*) AS np
+                       FROM customer WHERE c_acctbal > 0)
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS totacct_c2
+            FROM customer, s
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * s.np > s.sp
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= DATE '1999-01-01')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
+        """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(SUM(volume) AS BIGINT) AS revenue_c2
+            FROM (
+                SELECT n1.n_name AS supp_nation,
+                       n2.n_name AS cust_nation,
+                       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100)
+                                     AS BIGINT)) AS volume
+                FROM supplier, lineitem, orders, customer,
+                     nation n1, nation n2
+                WHERE s_suppkey = l_suppkey
+                  AND o_orderkey = l_orderkey
+                  AND c_custkey = o_custkey
+                  AND s_nationkey = n1.n_nationkey
+                  AND c_nationkey = n2.n_nationkey
+                  AND ((n1.n_name = 'NATION_3'
+                        AND n2.n_name = 'NATION_7')
+                    OR (n1.n_name = 'NATION_7'
+                        AND n2.n_name = 'NATION_3'))
+                  AND l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1998-01-01')
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
         """,
         "tpch_q4": """
             SELECT o_orderpriority,

@@ -33,8 +33,15 @@ def collect_table(ds, schema: pa.Schema | None = None) -> pa.Table:
     if not tables:
         if schema is not None:
             return schema.empty_table()
+        # prefer a zero-row block's own schema: ds.schema() can be None
+        # when every block is empty (nothing to unify)
+        for b in blocks:
+            if isinstance(b, pa.Table) and b.num_columns:
+                return b.slice(0, 0)
         s = ds.schema()
         s = getattr(s, "base_schema", s)
+        if s is None:
+            return pa.table({})
         return s.empty_table()
     out = pa.concat_tables(tables, promote_options="default")
     if schema is not None and out.schema != schema:

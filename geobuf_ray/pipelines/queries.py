@@ -6311,3 +6311,274 @@ def tpch_q14(sf_dir: str):
             [int(t["promo_rev_c2"].to_numpy().sum())], pa.int64()),
         "total_rev_c2": pa.array(
             [int(t["total_rev_c2"].to_numpy().sum())], pa.int64())})
+
+
+def tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive discounted revenue): the three
+    brand/size clauses reduce the part side to a tiny (partkey, case)
+    map broadcast once; each lineitem batch resolves its case by
+    searchsorted and evaluates its case's quantity window vectorized
+    — the OR-of-ANDs never materializes a join, and the result is one
+    exact integer scalar."""
+    import ray
+
+    from ..collect import collect_table
+
+    cases = [("Brand#12", 1, 5, 1, 11),
+             ("Brand#23", 1, 10, 10, 20),
+             ("Brand#34", 1, 15, 20, 30)]
+
+    def pprep(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy().astype(np.int64)
+        sz = b["p_size"].to_numpy().astype(np.int64)
+        br = b["p_brand"].to_pylist()
+        case = np.full(len(pk), -1, np.int64)
+        for ci, (brand, slo, shi, _, _) in enumerate(cases):
+            m = (np.array([x == brand for x in br])
+                 & (sz >= slo) & (sz <= shi))
+            case[m] = ci
+        keep = case >= 0
+        return pa.table({"p_partkey": pa.array(pk[keep]),
+                         "case": pa.array(case[keep])})
+
+    pt = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+        pprep, batch_format="pyarrow", zero_copy_batch=True))
+    pk = pt["p_partkey"].to_numpy().astype(np.int64)
+    case = pt["case"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    side_ref = ray.put((pk[order], case[order]))
+    qlo = np.array([c[3] for c in cases], np.int64)
+    qhi = np.array([c[4] for c in cases], np.int64)
+
+    class Partial:
+        def __init__(self):
+            self.pk, self.case = ray.get(side_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = b["l_partkey"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(self.pk, k)
+            pos[pos == len(self.pk)] = max(len(self.pk) - 1, 0)
+            hit = (self.pk[pos] == k) if len(self.pk) \
+                else np.zeros(len(k), bool)
+            qty = np.round(b["l_quantity"].to_numpy()).astype(np.int64)
+            ci = np.where(hit, self.case[pos], 0)
+            ok = hit & (qty >= qlo[ci]) & (qty <= qhi[ci])
+            price = np.round(
+                b["l_extendedprice"].to_numpy()[ok] * 100
+            ).astype(np.int64)
+            disc = np.round(
+                b["l_discount"].to_numpy()[ok] * 100).astype(np.int64)
+            rev = price * (100 - disc)
+            return pa.table({"revenue_c2": pa.array([int(rev.sum())])})
+
+    t = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        Partial, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4)))
+    return pa.table({"revenue_c2": pa.array(
+        [int(t["revenue_c2"].to_numpy().sum())], pa.int64())})
+
+
+def tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global customers above the positive-balance
+    average with no RECENT order — adapted cutoff 1999-01-01 because
+    this corpus gives every customer at least one all-time order): the
+    scalar average never becomes a float — the predicate is the
+    cross-multiplied integer compare cents * n_pos > sum_pos (two
+    scalar partials broadcast free in the closure), the NOT EXISTS is
+    the engine's distributed anti_join (orders filter + project to the
+    key column before the exchange), and the per-nation sums are a
+    25-row final combine."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.join import anti_join
+
+    def avg_partial(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy()
+        pos = bal > 0
+        cents = np.round(bal[pos] * 100).astype(np.int64)
+        return pa.table({"sp": pa.array([int(cents.sum())]),
+                         "np_": pa.array([int(pos.sum())])})
+
+    st = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_acctbal"]).map_batches(
+        avg_partial, batch_format="pyarrow", zero_copy_batch=True))
+    sp = int(st["sp"].to_numpy().sum())
+    npos = int(st["np_"].to_numpy().sum())
+
+    def cprep(b: pa.Table) -> pa.Table:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        keep = cents * npos > sp
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "c_nationkey": b["c_nationkey"],
+                         "acct_c2": pa.array(cents)}).filter(
+            pa.array(keep))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        cprep, batch_format="pyarrow", zero_copy_batch=True)
+    cut = np.datetime64("1999-01-01")
+
+    def oprep(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].to_numpy().astype("datetime64[D]")
+        return b.select(["o_custkey"]).filter(pa.array(od >= cut))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"]).map_batches(
+        oprep, batch_format="pyarrow", zero_copy_batch=True)
+    left = anti_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", nbuckets=32,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_nationkey", pa.int64()),
+                               ("acct_c2", pa.int64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy().astype(np.int64)
+        ac = b["acct_c2"].to_numpy().astype(np.int64)
+        uk, inv = np.unique(nk, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, ac)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({"c_nationkey": pa.array(uk),
+                         "numcust": pa.array(n),
+                         "totacct_c2": pa.array(s)})
+
+    agg = _final_combine(
+        left.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["c_nationkey"], ["numcust", "totacct_c2"])
+    nk = agg["c_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(nk)
+    return pa.table({
+        "c_nationkey": pa.array(nk[order]),
+        "numcust": pa.array(agg["numcust"].to_numpy()[order]),
+        "totacct_c2": pa.array(agg["totacct_c2"].to_numpy()[order])})
+
+
+def tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations): supplier
+    nationality broadcasts once and PRE-FILTERS lineitems to the two
+    nations' suppliers (~2/25 of the fact table) before anything
+    shuffles; then two REAL chained hash joins (lineitem→orders,
+    →customer) carry only (key, year, rev, supp_nation) through the
+    exchanges; the (supp, cust) pair filter and the 2x2xyears partial
+    aggregate run post-join."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.join import hash_join
+
+    nat_a, nat_b = "NATION_3", "NATION_7"
+    nat = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]))
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nnames = nat["n_name"].to_pylist()
+    name_of = dict(zip(nkeys.tolist(), nnames))
+    pair_keys = {k for k, v in name_of.items() if v in (nat_a, nat_b)}
+
+    sup = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]))
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    snk = sup["s_nationkey"].to_numpy().astype(np.int64)
+    span = int(sk.max()) + 1 if len(sk) else 0
+    s2n = np.full(span, -1, np.int64)
+    s2n[sk] = snk
+    s2n_ref = ray.put(s2n)
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    class LPrep:
+        def __init__(self):
+            self.s2n = ray.get(s2n_ref)
+            self.keep_nk = np.array(sorted(pair_keys), np.int64)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sd = b["l_shipdate"].to_numpy().astype("datetime64[D]")
+            keep = (sd >= lo) & (sd < hi)
+            skey = b["l_suppkey"].to_numpy().astype(np.int64)
+            snk = np.where((skey >= 0) & (skey < len(self.s2n)),
+                           self.s2n[np.minimum(skey, len(self.s2n) - 1)],
+                           -1)
+            keep &= np.isin(snk, self.keep_nk)
+            yr = (sd.astype("datetime64[Y]").astype(np.int64) + 1970)
+            price = np.round(b["l_extendedprice"].to_numpy() * 100) \
+                .astype(np.int64)
+            disc = np.round(b["l_discount"].to_numpy() * 100) \
+                .astype(np.int64)
+            return pa.table({
+                "o_orderkey": b["l_orderkey"],
+                "supp_nk": pa.array(snk),
+                "l_year": pa.array(yr),
+                "volume": pa.array(price * (100 - disc))}).filter(
+                pa.array(keep))
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        LPrep, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4))
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    j1 = hash_join(items, orders, on="o_orderkey", nbuckets=32)
+
+    def rekey(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["c_custkey" if n == "o_custkey" else n
+             for n in b.column_names])
+
+    j1 = j1.map_batches(rekey, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, on="c_custkey", nbuckets=32)
+
+    ab = {k for k, v in name_of.items() if v == nat_a}
+    code_a = next(iter(ab))
+    code_b = next(k for k, v in name_of.items() if v == nat_b)
+
+    def partial(b: pa.Table) -> pa.Table:
+        sn = b["supp_nk"].to_numpy().astype(np.int64)
+        cn = b["c_nationkey"].to_numpy().astype(np.int64)
+        keep = ((sn == code_a) & (cn == code_b)) | \
+               ((sn == code_b) & (cn == code_a))
+        t = pa.table({"supp_nk": pa.array(sn[keep]),
+                      "cust_nk": pa.array(cn[keep]),
+                      "l_year": b["l_year"].filter(pa.array(keep)),
+                      "volume": b["volume"].filter(pa.array(keep))})
+        if t.num_rows == 0:
+            return pa.table({"supp_nk": pa.array([], pa.int64()),
+                             "cust_nk": pa.array([], pa.int64()),
+                             "l_year": pa.array([], pa.int64()),
+                             "revenue_c2": pa.array([], pa.int64())})
+        agg = t.group_by(["supp_nk", "cust_nk", "l_year"]).aggregate(
+            [("volume", "sum")])
+        return agg.rename_columns(
+            ["supp_nk", "cust_nk", "l_year", "revenue_c2"])
+
+    agg = _final_combine(
+        j2.select_columns(["supp_nk", "c_nationkey", "l_year", "volume"]
+                          ).map_batches(partial, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+        ["supp_nk", "cust_nk", "l_year"], ["revenue_c2"])
+    sn = agg["supp_nk"].to_numpy().astype(np.int64)
+    cn = agg["cust_nk"].to_numpy().astype(np.int64)
+    yr = agg["l_year"].to_numpy().astype(np.int64)
+    rv = agg["revenue_c2"].to_numpy().astype(np.int64)
+    sname = np.array([name_of[int(k)] for k in sn])
+    cname = np.array([name_of[int(k)] for k in cn])
+    order = np.lexsort((yr, cname, sname))
+    return pa.table({
+        "supp_nation": pa.array(sname[order]),
+        "cust_nation": pa.array(cname[order]),
+        "l_year": pa.array(yr[order]),
+        "revenue_c2": pa.array(rv[order])})
