@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": q.tpch_q12,
         "tpch_q14": q.tpch_q14,
         "tpch_q19": q.tpch_q19,
+        "events_by_segment_salted": q.events_by_segment_salted,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
@@ -361,6 +362,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue_c2 DESC, custkey
             LIMIT 20
+        """,
+        "events_by_segment_salted": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS value_c2
+            FROM events, customer
+            WHERE user_id = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "tpch_q19": """
             SELECT CAST(SUM(

@@ -81,10 +81,106 @@ def _null_any(tbl: pa.Table, cols: list[str], n: int) -> np.ndarray:
     return out
 
 
+def detect_hot_keys(ds, on: str, *, threshold: int, topk: int = 16
+                    ) -> np.ndarray:
+    """One cheap extra pass over ``ds`` returning key values whose
+    total count provably reaches ``threshold``: each block reports only
+    its ``topk`` most frequent keys (two scalars each), the driver sums
+    those partial counts, and a key qualifies when the LOWER BOUND
+    (sum of the block counts that surfaced it) reaches ``threshold``.
+
+    Detection has one-sided error: a genuinely hot key dominates some
+    blocks and is caught; a key spread so thin it never makes a block's
+    top-``topk`` can be missed, which only means it stays unsalted
+    (correctness unaffected, just the plain-join cost).  Feed the
+    result to :func:`hash_join`'s ``hot_keys``."""
+    from ..collect import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b[on]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count:
+            mask = ~arr.is_null().to_numpy(zero_copy_only=False)
+            k = arr.fill_null(0).to_numpy(
+                zero_copy_only=False).astype(np.int64)[mask]
+        else:
+            k = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        if len(uk) > topk:
+            sel = np.argpartition(cnt, -topk)[-topk:]
+            uk, cnt = uk[sel], cnt[sel]
+        return pa.table({"k": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    t = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        schema=pa.schema([("k", pa.int64()), ("n", pa.int64())]))
+    if t.num_rows == 0:
+        return np.empty(0, np.int64)
+    agg = t.group_by(["k"]).aggregate([("n", "sum")])
+    k = agg["k"].to_numpy().astype(np.int64)
+    n = agg["n_sum"].to_numpy().astype(np.int64)
+    return np.sort(k[n >= threshold])
+
+
+def _salted_bucket_fns(key_col: str, on_cols: list[str], nbuckets: int,
+                       hot: np.ndarray, salt: int):
+    """Bucket functions for the skew-salted join: cold rows route by
+    the ordinary hash % nbuckets; each hot KEY owns a dedicated range
+    of ``salt`` buckets after the cold range.  Left hot rows partition
+    across their key's salt buckets (any assignment is correct for
+    inner/left — every right row of the key is present in every salt
+    bucket); right hot rows REPLICATE x``salt`` via the exchange's
+    fan-out form, so each qualifying pair still meets exactly once, in
+    the left row's salt bucket."""
+    hot = np.sort(np.asarray(hot, np.int64))
+
+    def classify(tbl: pa.Table):
+        b = (_combined_hash(tbl, on_cols)
+             % np.uint64(nbuckets)).astype(np.int64)
+        arr = tbl[key_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        null = (arr.is_null().to_numpy(zero_copy_only=False)
+                if arr.null_count else None)
+        k = arr.fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(hot, k), len(hot) - 1)
+        is_hot = (hot[pos] == k) if len(hot) else np.zeros(len(k), bool)
+        if null is not None:
+            is_hot &= ~null
+        return b, pos, is_hot
+
+    def left_fn(tbl: pa.Table):
+        b, pos, is_hot = classify(tbl)
+        nh = int(is_hot.sum())
+        if nh:
+            b[is_hot] = (nbuckets + pos[is_hot] * salt
+                         + np.arange(nh, dtype=np.int64) % salt)
+        return b, tbl
+
+    def right_fn(tbl: pa.Table):
+        b, pos, is_hot = classify(tbl)
+        if not is_hot.any():
+            return b, tbl
+        cold = np.flatnonzero(~is_hot)
+        hotr = np.flatnonzero(is_hot)
+        idx = np.concatenate([cold, np.repeat(hotr, salt)])
+        hb = ((nbuckets + pos[hotr] * salt)[:, None]
+              + np.arange(salt, dtype=np.int64)[None, :]).ravel()
+        buckets = np.concatenate([b[cold], hb])
+        return buckets, tbl.take(pa.array(idx, pa.int64()))
+
+    return left_fn, right_fn
+
+
 def hash_join(left, right, on, *, how: str = "inner",
               nbuckets: int = 64, rsuffix: str = "_r",
               left_schema: pa.Schema | None = None,
-              right_schema: pa.Schema | None = None, **map_kwargs):
+              right_schema: pa.Schema | None = None,
+              hot_keys=None, salt: int = 8, **map_kwargs):
     """Equi-join two Datasets on column ``on`` (a name or a list of
     names for a composite key).
 
@@ -102,6 +198,16 @@ def hash_join(left, right, on, *, how: str = "inner",
     hash_cogroup` — the raw-task simple shuffle — so each side ships
     only its own columns; the per-bucket kernel is one vectorized
     sort + searchsorted expansion, no per-row Python.
+
+    **Skew salting**: pass ``hot_keys`` (an int64 array of key VALUES,
+    e.g. from :func:`detect_hot_keys`) and each hot key's rows split
+    across ``salt`` dedicated buckets — left rows partitioned, right
+    rows replicated — so one boilerplate key can no longer pin a whole
+    join to a single reduce task.  Replication is what makes the
+    results exactly equal to the unsalted join for ``how="inner"`` /
+    ``"left"``; ``"right"``/``"full"`` would see a replicated right row
+    miss in one salt bucket while matching in another, so salting those
+    raises.  Salting requires a single integer key column.
     """
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"unsupported how={how!r}")
@@ -200,6 +306,24 @@ def hash_join(left, right, on, *, how: str = "inner",
         return out
 
     from .exchange import hash_cogroup
+
+    if hot_keys is not None and len(hot_keys):
+        if how not in ("inner", "left"):
+            raise ValueError("hot_keys salting supports how='inner'/"
+                             f"'left', not {how!r} (replicated right "
+                             "rows would emit spurious misses)")
+        if len(on_cols) != 1 or not pa.types.is_integer(
+                l_types[on_cols[0]]):
+            raise ValueError("hot_keys salting requires a single "
+                             "integer key column")
+        lf, rf = _salted_bucket_fns(on_cols[0], on_cols, nbuckets,
+                                    hot_keys, salt)
+        return hash_cogroup(
+            left, right,
+            nbuckets=nbuckets + len(hot_keys) * salt,
+            left_bucket_fn=lf, right_bucket_fn=rf,
+            reduce_fn=join_bucket,
+            left_schema=l_pa_schema, right_schema=r_pa_schema)
 
     return hash_cogroup(left, right, nbuckets=nbuckets,
                         left_on=on_cols, right_on=on_cols,

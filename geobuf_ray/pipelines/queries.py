@@ -6582,3 +6582,71 @@ def tpch_q7(sf_dir: str):
         "cust_nation": pa.array(cname[order]),
         "l_year": pa.array(yr[order]),
         "revenue_c2": pa.array(rv[order])})
+
+
+def events_by_segment_salted(sf_dir: str):
+    """Skew-salted fact join: the events table concentrates ALL its
+    rows on ~150 user ids, so a plain hash % nbuckets exchange
+    degenerates to whole-key granularity (one boilerplate key = one
+    overloaded reduce task — the classic skew failure at web scale).
+    detect_hot_keys finds the heavy ids from per-block top-k count
+    partials, and hash_join(hot_keys=..., salt=4) splits each hot
+    key's left rows across 4 dedicated buckets while replicating its
+    (few) right rows into each — results provably identical to the
+    unsalted join, which the SQL hash check certifies end-to-end."""
+    import ray
+
+    from ..functions.join import detect_hot_keys, hash_join
+
+    def eprep(b: pa.Table) -> pa.Table:
+        cents = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"user_id": b["user_id"],
+                         "cents": pa.array(cents)})
+
+    def mk_events():
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "value"]).map_batches(
+            eprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    hot = detect_hot_keys(mk_events(), "user_id", threshold=40)
+
+    def cprep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["c_custkey"],
+                         "c_mktsegment": b["c_mktsegment"]})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]).map_batches(
+        cprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(mk_events(), cust, on="user_id", nbuckets=16,
+                       hot_keys=hot, salt=4,
+                       left_schema=pa.schema([("user_id", pa.int64()),
+                                              ("cents", pa.int64())]),
+                       right_schema=pa.schema(
+                           [("user_id", pa.int64()),
+                            ("c_mktsegment", pa.string())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        seg = b["c_mktsegment"].combine_chunks().dictionary_encode()
+        codes = seg.indices.to_numpy().astype(np.int64)
+        names = seg.dictionary.to_pylist()
+        cents = b["cents"].to_numpy().astype(np.int64)
+        n = np.bincount(codes, minlength=len(names)).astype(np.int64)
+        s = np.zeros(len(names), np.int64)
+        np.add.at(s, codes, cents)
+        return pa.table({"c_mktsegment": pa.array(names),
+                         "n_events": pa.array(n),
+                         "value_c2": pa.array(s)})
+
+    agg = _final_combine(
+        joined.select_columns(["c_mktsegment", "cents"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_mktsegment"], ["n_events", "value_c2"])
+    seg = agg["c_mktsegment"].to_pylist()
+    order = np.argsort(np.array(seg))
+    return pa.table({
+        "c_mktsegment": pa.array([seg[i] for i in order]),
+        "n_events": pa.array(agg["n_events"].to_numpy()[order]),
+        "value_c2": pa.array(agg["value_c2"].to_numpy()[order])})

@@ -571,3 +571,62 @@ def test_broadcast_range_join_vs_shuffle_range_join(ray_session):
                                     ("hi", pa.int64())])).to_pandas()
     got_sh = set(zip(sh["pid"].astype(int), sh["band_id"].astype(int)))
     assert got_sh == want
+
+
+def test_salted_join_equals_plain(ray_session):
+    """One key holding half the rows (the boilerplate-skew shape):
+    the salted join must be row-for-row identical to the unsalted
+    join for inner AND left, including left misses."""
+    rng = np.random.default_rng(11)
+    n = 4000
+    lk = rng.integers(0, 100, n)
+    lk[: n // 2] = 7                      # planted hot key
+    lk[-5:] = np.arange(900, 905)         # keys absent on the right
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "lv": pa.array(np.arange(n), pa.int64())})
+    rk = np.repeat(np.arange(100), 3)     # 3 right rows per key
+    right = pa.table({"k": pa.array(rk, pa.int64()),
+                      "rv": pa.array(np.arange(len(rk)), pa.int64())})
+    for how in ("inner", "left"):
+        plain = hash_join(_ds(left), _ds(right), on="k", how=how,
+                          nbuckets=8).to_pandas()
+        salted = hash_join(_ds(left), _ds(right), on="k", how=how,
+                           nbuckets=8, hot_keys=np.array([7, 42]),
+                           salt=4).to_pandas()
+        key = ["k", "lv", "rv"]
+        p = plain.sort_values(key).reset_index(drop=True)
+        s = salted.sort_values(key).reset_index(drop=True)
+        assert len(p) == len(s)
+        assert p.equals(s), how
+
+
+def test_detect_hot_keys_finds_planted(ray_session):
+    from geobuf_ray.functions.join import detect_hot_keys
+
+    rng = np.random.default_rng(3)
+    k = rng.integers(0, 10_000, 20_000)
+    k[:8000] = 77
+    ds = _ds(pa.table({"k": pa.array(k, pa.int64())}), parts=8)
+    hot = detect_hot_keys(ds, "k", threshold=4000)
+    assert 77 in hot.tolist()
+    # uniform keys (~2 rows each) must NOT qualify
+    assert len(hot) == 1
+
+
+def test_salted_join_rejects_unsupported(ray_session):
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "lv": pa.array([1, 2], pa.int64())})
+    right = pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "rv": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError, match="inner"):
+        hash_join(_ds(left, 1), _ds(right, 1), on="k", how="full",
+                  nbuckets=2, hot_keys=np.array([1]))
+    left2 = pa.table({"a": pa.array([1], pa.int64()),
+                      "b": pa.array([1], pa.int64()),
+                      "lv": pa.array([1], pa.int64())})
+    right2 = pa.table({"a": pa.array([1], pa.int64()),
+                       "b": pa.array([1], pa.int64()),
+                       "rv": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="single integer"):
+        hash_join(_ds(left2, 1), _ds(right2, 1), on=["a", "b"],
+                  nbuckets=2, hot_keys=np.array([1]))
