@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": q.tpch_q14,
         "tpch_q19": q.tpch_q19,
         "events_by_segment_salted": q.events_by_segment_salted,
+        "customers_map_match": q.customers_map_match,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
@@ -362,6 +363,51 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue_c2 DESC, custkey
             LIMIT 20
+        """,
+        "customers_map_match": """
+            WITH sp AS (SELECT s_suppkey,
+                          CAST((s_suppkey * 7919) % 36000 - 18000
+                               AS BIGINT) AS sx,
+                          CAST((s_suppkey * 104729) % 17000 - 8500
+                               AS BIGINT) AS sy
+                        FROM supplier),
+            seg AS (SELECT s_suppkey AS seg_id, sx AS ax, sy AS ay,
+                           LEAD(sx) OVER (ORDER BY s_suppkey) AS bx,
+                           LEAD(sy) OVER (ORDER BY s_suppkey) AS by
+                    FROM sp),
+            segs AS (SELECT seg_id, ax, ay, bx - ax AS abx,
+                            by - ay AS aby
+                     FROM seg WHERE bx IS NOT NULL
+                       AND (bx - ax) * (bx - ax)
+                           + (by - ay) * (by - ay) > 0),
+            cp AS (SELECT c_custkey,
+                     CAST((c_custkey * 7919) % 36000 - 18000
+                          AS BIGINT) AS px,
+                     CAST((c_custkey * 104729) % 17000 - 8500
+                          AS BIGINT) AS py
+                   FROM customer),
+            tt AS (SELECT c_custkey, seg_id, px, py, ax, ay, abx, aby,
+                     LEAST(GREATEST(
+                       CAST((px - ax) * abx + (py - ay) * aby
+                            AS DOUBLE)
+                       / CAST(abx * abx + aby * aby AS DOUBLE),
+                       0), 1) AS t
+                   FROM cp, segs),
+            dd AS (SELECT c_custkey, seg_id,
+                     (px - (ax + t * abx)) * (px - (ax + t * abx))
+                     + (py - (ay + t * aby)) * (py - (ay + t * aby))
+                       AS d2
+                   FROM tt),
+            r AS (SELECT c_custkey, seg_id,
+                    ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                       ORDER BY d2, seg_id) AS rn
+                  FROM dd)
+            SELECT seg_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey
+            FROM r WHERE rn = 1
+            GROUP BY seg_id
+            ORDER BY seg_id
         """,
         "events_by_segment_salted": """
             SELECT c_mktsegment,

@@ -6650,3 +6650,80 @@ def events_by_segment_salted(sf_dir: str):
         "c_mktsegment": pa.array([seg[i] for i in order]),
         "n_events": pa.array(agg["n_events"].to_numpy()[order]),
         "value_c2": pa.array(agg["value_c2"].to_numpy()[order])})
+
+
+def customers_map_match(sf_dir: str):
+    """Map matching: every customer point snaps to the nearest SEGMENT
+    of the supplier polyline (consecutive suppkeys in key order), the
+    point-to-segment projection t = clamp(dot/len2, 0, 1) evaluated in
+    EXACTLY the SQL twin's operation order — integer dot products and
+    squared lengths stay int64 (< 2^53, so the float64 conversion is
+    exact) and the single division + the d2 expression are the same
+    IEEE ops in both engines, making the float bit-equal and the
+    (d2, seg_id) argmin reproducible.  Segments broadcast once and
+    each batch scans them in 512-wide chunks with a strict-< running
+    minimum (ascending seg order == ties to the lowest seg_id ==
+    ROW_NUMBER's order).  Demand per segment returns as exact integer
+    (count, custkey-sum) pairs."""
+    import ray
+
+    skeys = _supplier_keys(sf_dir)
+    sx = (skeys * 7919) % 36000 - 18000
+    sy = (skeys * 104729) % 17000 - 8500
+    seg_id = skeys[:-1]
+    ax, ay, bx, by = sx[:-1], sy[:-1], sx[1:], sy[1:]
+    abx, aby = bx - ax, by - ay
+    len2 = (abx * abx + aby * aby).astype(np.float64)
+    keep = len2 > 0  # degenerate segments (can't occur with this
+    seg = ray.put((seg_id[keep], ax[keep], ay[keep],   # generator, but
+                   abx[keep], aby[keep], len2[keep]))  # guarded anyway)
+
+    class Assign:
+        def __init__(self):
+            self.seg = ray.get(seg)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sid, ax, ay, abx, aby, len2 = self.seg
+            k = batch["c_custkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            px = (k * 7919) % 36000 - 18000
+            py = (k * 104729) % 17000 - 8500
+            best = np.full(len(k), np.inf)
+            bidx = np.zeros(len(k), np.int64)
+            for lo in range(0, len(sid), 512):
+                hi = min(lo + 512, len(sid))
+                apx = px[:, None] - ax[None, lo:hi]
+                apy = py[:, None] - ay[None, lo:hi]
+                dot = (apx * abx[None, lo:hi]
+                       + apy * aby[None, lo:hi]).astype(np.float64)
+                t = np.clip(dot / len2[None, lo:hi], 0.0, 1.0)
+                dx = px[:, None] - (ax[None, lo:hi]
+                                    + t * abx[None, lo:hi])
+                dy = py[:, None] - (ay[None, lo:hi]
+                                    + t * aby[None, lo:hi])
+                d2 = dx * dx + dy * dy
+                cm = d2.min(axis=1)
+                ca = d2.argmin(axis=1) + lo
+                upd = cm < best  # strict: earlier (lower seg_id) wins
+                best[upd] = cm[upd]
+                bidx[upd] = ca[upd]
+            t = pa.table({"seg_id": pa.array(sid[bidx]),
+                          "n_customers": pa.array(
+                              np.ones(len(k), np.int64)),
+                          "sum_custkey": pa.array(k)})
+            return t.group_by("seg_id").aggregate(
+                [("n_customers", "sum"), ("sum_custkey", "sum")]
+            ).rename_columns(["seg_id", "n_customers", "sum_custkey"])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"]).map_batches(
+        Assign, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=(1, 4))
+    agg = _final_combine(ds, ["seg_id"],
+                         ["n_customers", "sum_custkey"])
+    s = agg["seg_id"].to_numpy().astype(np.int64)
+    order = np.argsort(s)
+    return pa.table({
+        "seg_id": pa.array(s[order]),
+        "n_customers": pa.array(agg["n_customers"].to_numpy()[order]),
+        "sum_custkey": pa.array(agg["sum_custkey"].to_numpy()[order])})

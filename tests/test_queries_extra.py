@@ -105,3 +105,46 @@ def test_images_zonal_stats_direct_oracle(ray_session):
         assert np.isclose(g["mean_r"], sr / cnt)
         assert np.isclose(g["mean_g"], sg / cnt)
         assert np.isclose(g["mean_b"], sb / cnt)
+
+
+def test_customers_map_match_vs_scalar(ray_session):
+    """Brute-force scalar point-to-segment assignment (Python floats,
+    same clamp formula) must reproduce the distributed result exactly,
+    including clamp-at-endpoint cases and (d2, seg_id) ties."""
+    from geobuf_ray.pipelines import queries as q
+
+    got = {int(r["seg_id"]): (int(r["n_customers"]),
+                              int(r["sum_custkey"]))
+           for r in q.customers_map_match(SF).to_pylist()}
+
+    import duckdb
+
+    sk = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{SF}/supplier.parquet' ORDER BY 1"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    ck = duckdb.connect().execute(
+        f"SELECT c_custkey FROM '{SF}/customer.parquet'"
+    ).fetchnumpy()["c_custkey"].astype(np.int64)
+    sx = (sk * 7919) % 36000 - 18000
+    sy = (sk * 104729) % 17000 - 8500
+    segs = [(int(sk[i]), sx[i], sy[i], sx[i + 1], sy[i + 1])
+            for i in range(len(sk) - 1)]
+    want = {}
+    for k in ck.tolist():
+        px = (k * 7919) % 36000 - 18000
+        py = (k * 104729) % 17000 - 8500
+        best = None
+        for sid, ax, ay, bx, by in segs:
+            abx, aby = bx - ax, by - ay
+            t = ((px - ax) * abx + (py - ay) * aby) / float(
+                abx * abx + aby * aby)
+            t = min(max(t, 0.0), 1.0)
+            dx = px - (ax + t * abx)
+            dy = py - (ay + t * aby)
+            d2 = dx * dx + dy * dy
+            if best is None or (d2, sid) < best:
+                best = (d2, sid)
+        e = want.setdefault(best[1], [0, 0])
+        e[0] += 1
+        e[1] += k
+    assert got == {s: (n, sc) for s, (n, sc) in want.items()}
