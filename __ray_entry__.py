@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19": q.tpch_q19,
         "events_by_segment_salted": q.events_by_segment_salted,
         "customers_map_match": q.customers_map_match,
+        "rects_contain_join": q.rects_contain_join,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
@@ -1947,6 +1948,18 @@ def oracle_sql() -> dict[str, str]:
               AND ({_LON} + 0.5 + (c_custkey % 4) * 0.5) >= (-180.0 + (s_suppkey * 37) % 300)
               AND {_LAT} <= (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005)
               AND ({_LAT} + 0.5 + (c_custkey % 3) * 0.5) >= (-85.0 + (s_suppkey * 53) % 160)
+        """,
+        "rects_contain_join": f"""
+            SELECT c_custkey AS custkey, s_suppkey
+            FROM customer, supplier
+            WHERE (-180.0 + (s_suppkey * 37) % 300) <= {_LON}
+              AND ({_LON} + 0.5 + (c_custkey % 4) * 0.5)
+                  <= (-180.0 + (s_suppkey * 37) % 300 + 5.0
+                      + (s_suppkey % 7) * 3.0 + 0.005)
+              AND (-85.0 + (s_suppkey * 53) % 160) <= {_LAT}
+              AND ({_LAT} + 0.5 + (c_custkey % 3) * 0.5)
+                  <= (-85.0 + (s_suppkey * 53) % 160 + 4.0
+                      + (s_suppkey % 5) * 3.0 + 0.005)
         """,
         # radius join: exact haversine <= 2000 km predicate
         "suppliers_within_2000km": f"""

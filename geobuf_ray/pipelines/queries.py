@@ -6727,3 +6727,38 @@ def customers_map_match(sf_dir: str):
         "seg_id": pa.array(s[order]),
         "n_customers": pa.array(agg["n_customers"].to_numpy()[order]),
         "sum_custkey": pa.array(agg["sum_custkey"].to_numpy()[order])})
+
+
+def rects_contain_join(sf_dir: str):
+    """ST_Contains join (supplier rect fully contains customer rect):
+    containment implies intersection, so the S2-cover intersection
+    join is a LOSSLESS candidate filter and the containment predicate
+    refines its (custkey, suppkey) pairs in a pure map stage — bounds
+    recompute from the ids with float expressions in the SQL twin's
+    exact evaluation order, so the comparisons are bit-identical and
+    no geometry ever re-ships."""
+    import ray
+
+    from ..spatial.join import bbox_intersection_join
+
+    left = ray.data.from_arrow(customer_rects(sf_dir))
+    right = ray.data.from_arrow(supplier_rects(sf_dir))
+    out = bbox_intersection_join(left, right, level=5, nbuckets=64)
+
+    def refine(b: pa.Table) -> pa.Table:
+        ck = b["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wc = ((ck * 7919) % 36000) / 100.0 - 180.0
+        sc = ((ck * 104729) % 17000) / 100.0 - 85.0
+        ec = wc + 0.5 + (ck % 4) * 0.5
+        nc = sc + 0.5 + (ck % 3) * 0.5
+        ws = -180.0 + (sk * 37) % 300
+        ss = -85.0 + (sk * 53) % 160
+        es = ws + 5.0 + (sk % 7) * 3.0 + 0.005
+        ns = ss + 4.0 + (sk % 5) * 3.0 + 0.005
+        keep = (ws <= wc) & (ec <= es) & (ss <= sc) & (nc <= ns)
+        return pa.table({"custkey": pa.array(ck[keep]),
+                         "s_suppkey": pa.array(sk[keep])})
+
+    return out.map_batches(refine, batch_format="pyarrow",
+                           zero_copy_batch=True)
