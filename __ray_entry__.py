@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_segment_salted": q.events_by_segment_salted,
         "customers_map_match": q.customers_map_match,
         "rects_contain_join": q.rects_contain_join,
+        "suppliers_line_interpolate": q.suppliers_line_interpolate,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
@@ -1948,6 +1949,51 @@ def oracle_sql() -> dict[str, str]:
               AND ({_LON} + 0.5 + (c_custkey % 4) * 0.5) >= (-180.0 + (s_suppkey * 37) % 300)
               AND {_LAT} <= (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005)
               AND ({_LAT} + 0.5 + (c_custkey % 3) * 0.5) >= (-85.0 + (s_suppkey * 53) % 160)
+        """,
+        "suppliers_line_interpolate": """
+            WITH sp AS (SELECT s_suppkey, s_nationkey,
+                          CAST((s_suppkey * 7919) % 36000 - 18000
+                               AS BIGINT) AS x,
+                          CAST((s_suppkey * 104729) % 17000 - 8500
+                               AS BIGINT) AS y
+                        FROM supplier),
+            seg AS (SELECT s_nationkey, x, y,
+                      LEAD(x) OVER w - x AS dx,
+                      LEAD(y) OVER w - y AS dy,
+                      ROW_NUMBER() OVER w AS i
+                    FROM sp
+                    WINDOW w AS (PARTITION BY s_nationkey
+                                 ORDER BY s_suppkey)),
+            segs AS (SELECT s_nationkey, x, y, dx, dy, i,
+                       sqrt(CAST(dx * dx + dy * dy AS DOUBLE)) AS len
+                     FROM seg WHERE dx IS NOT NULL),
+            cum0 AS (SELECT *,
+                       SUM(len) OVER (PARTITION BY s_nationkey
+                                      ORDER BY i) AS cl
+                     FROM segs),
+            cum AS (SELECT *,
+                      COALESCE(LAG(cl) OVER (PARTITION BY s_nationkey
+                                             ORDER BY i), 0.0) AS prev
+                    FROM cum0),
+            tot AS (SELECT s_nationkey, MAX(cl) AS total
+                    FROM cum GROUP BY s_nationkey),
+            f AS (SELECT CAST(fr AS DOUBLE) AS fr
+                  FROM (VALUES (0.25), (0.5), (0.75)) v(fr)),
+            tgt AS (SELECT s_nationkey, fr, fr * total AS target
+                    FROM tot, f),
+            hit AS (SELECT t.s_nationkey, t.fr, t.target,
+                           MIN(c.i) AS i
+                    FROM tgt t JOIN cum c
+                      ON c.s_nationkey = t.s_nationkey
+                     AND c.cl >= t.target
+                    GROUP BY t.s_nationkey, t.fr, t.target)
+            SELECT h.s_nationkey AS nationkey,
+                   CAST(h.fr * 100 AS BIGINT) AS fr_pct,
+                   c.x + (h.target - c.prev) / c.len * c.dx AS px,
+                   c.y + (h.target - c.prev) / c.len * c.dy AS py
+            FROM hit h JOIN cum c
+              ON c.s_nationkey = h.s_nationkey AND c.i = h.i
+            ORDER BY nationkey, fr_pct
         """,
         "rects_contain_join": f"""
             SELECT c_custkey AS custkey, s_suppkey

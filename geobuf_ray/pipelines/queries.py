@@ -6762,3 +6762,68 @@ def rects_contain_join(sf_dir: str):
 
     return out.map_batches(refine, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def suppliers_line_interpolate(sf_dir: str):
+    """ST_LineInterpolatePoint: for each nation's supplier polyline
+    (vertices in suppkey order) emit the point at fractions
+    0.25/0.50/0.75 of its total arc length.  One nationkey exchange;
+    the per-bucket kernel walks each nation's cumulative segment
+    lengths (sqrt on exact int64 squared lengths, sequential cumsum —
+    the same IEEE op order as the SQL twin's windowed SUM + LAG), so
+    coordinates agree to well under the harness's 1e-9 float
+    tolerance.  Boundary rule is identical on both sides: the target
+    segment is the FIRST with cumulative length >= fraction * total."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    ds = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey"])
+    out_schema = pa.schema([("nationkey", pa.int64()),
+                            ("fr_pct", pa.int64()),
+                            ("px", pa.float64()),
+                            ("py", pa.float64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        nk = t["s_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sk = t["s_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = {"nationkey": [], "fr_pct": [], "px": [], "py": []}
+        for nation in np.unique(nk):
+            ssk = np.sort(sk[nk == nation])
+            if len(ssk) < 2:
+                continue
+            x = (ssk * 7919) % 36000 - 18000
+            y = (ssk * 104729) % 17000 - 8500
+            dx, dy = np.diff(x), np.diff(y)
+            ln = np.sqrt((dx * dx + dy * dy).astype(np.float64))
+            cl = np.cumsum(ln)
+            total = cl[-1]
+            prev = np.concatenate(([0.0], cl[:-1]))
+            for fr in (0.25, 0.5, 0.75):
+                tgt = fr * total
+                i = min(int(np.searchsorted(cl, tgt, side="left")),
+                        len(cl) - 1)
+                u = (tgt - prev[i]) / ln[i]
+                rows["nationkey"].append(int(nation))
+                rows["fr_pct"].append(int(fr * 100))
+                rows["px"].append(x[i] + u * dx[i])
+                rows["py"].append(y[i] + u * dy[i])
+        return pa.table({
+            "nationkey": pa.array(rows["nationkey"], pa.int64()),
+            "fr_pct": pa.array(rows["fr_pct"], pa.int64()),
+            "px": pa.array(rows["px"], pa.float64()),
+            "py": pa.array(rows["py"], pa.float64())})
+
+    t = collect_table(hash_exchange(ds, nbuckets=8, on="s_nationkey",
+                                    reduce_fn=kernel,
+                                    schema=out_schema))
+    nk = t["nationkey"].to_numpy().astype(np.int64)
+    fp = t["fr_pct"].to_numpy().astype(np.int64)
+    order = np.lexsort((fp, nk))
+    return t.take(pa.array(order, pa.int64()))

@@ -148,3 +148,41 @@ def test_customers_map_match_vs_scalar(ray_session):
         e[0] += 1
         e[1] += k
     assert got == {s: (n, sc) for s, (n, sc) in want.items()}
+
+
+def test_line_interpolate_vs_scalar(ray_session):
+    """Scalar arc-length walk per nation polyline must reproduce the
+    distributed result; interpolated points sit exactly at
+    fraction * total length."""
+    import duckdb
+
+    from geobuf_ray.pipelines import queries as q
+
+    got = {(int(r["nationkey"]), int(r["fr_pct"])):
+           (r["px"], r["py"])
+           for r in q.suppliers_line_interpolate(SF).to_pylist()}
+    sup = duckdb.connect().execute(
+        f"SELECT s_suppkey, s_nationkey FROM '{SF}/supplier.parquet' "
+        "ORDER BY s_suppkey").df()
+    want = {}
+    for nation, grp in sup.groupby("s_nationkey"):
+        sk = np.sort(grp["s_suppkey"].to_numpy().astype(np.int64))
+        if len(sk) < 2:
+            continue
+        x = (sk * 7919) % 36000 - 18000
+        y = (sk * 104729) % 17000 - 8500
+        ln = [float(np.hypot(x[i + 1] - x[i], y[i + 1] - y[i]))
+              for i in range(len(sk) - 1)]
+        total = sum(ln)
+        for fr in (0.25, 0.5, 0.75):
+            tgt, acc, i = fr * total, 0.0, 0
+            while i < len(ln) - 1 and acc + ln[i] < tgt:
+                acc += ln[i]
+                i += 1
+            u = (tgt - acc) / ln[i]
+            want[(int(nation), int(fr * 100))] = (
+                x[i] + u * (x[i + 1] - x[i]),
+                y[i] + u * (y[i + 1] - y[i]))
+    assert set(got) == set(want)
+    for k, (px, py) in want.items():
+        assert abs(got[k][0] - px) < 1e-6 and abs(got[k][1] - py) < 1e-6
