@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_map_match": q.customers_map_match,
         "rects_contain_join": q.rects_contain_join,
         "suppliers_line_interpolate": q.suppliers_line_interpolate,
+        "od_matrix_2000km": q.od_matrix_2000km,
+        "images_dedup_survivors": q.images_dedup_survivors,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
@@ -2006,6 +2008,19 @@ def oracle_sql() -> dict[str, str]:
               AND ({_LAT} + 0.5 + (c_custkey % 3) * 0.5)
                   <= (-85.0 + (s_suppkey * 53) % 160 + 4.0
                       + (s_suppkey % 5) * 3.0 + 0.005)
+        """,
+        "od_matrix_2000km": f"""
+            SELECT c_nationkey AS cust_nation,
+                   s_nationkey AS supp_nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM customer, supplier
+            WHERE 2.0 * 6371008.8 * asin(sqrt(
+                      pow(sin((radians({_SLAT}) - radians({_LAT})) / 2.0), 2)
+                      + cos(radians({_LAT})) * cos(radians({_SLAT}))
+                      * pow(sin((radians({_SLON}) - radians({_LON})) / 2.0), 2)
+                  )) <= 2000000.0
+            GROUP BY c_nationkey, s_nationkey
+            ORDER BY cust_nation, supp_nation
         """,
         # radius join: exact haversine <= 2000 km predicate
         "suppliers_within_2000km": f"""

@@ -6827,3 +6827,140 @@ def suppliers_line_interpolate(sf_dir: str):
     fp = t["fr_pct"].to_numpy().astype(np.int64)
     order = np.lexsort((fp, nk))
     return t.take(pa.array(order, pa.int64()))
+
+
+def od_matrix_2000km(sf_dir: str):
+    """Origin-destination matrix: the exact 2,000 km radius join
+    (S2 disk-cover shuffle, every qualifying pair meets exactly once)
+    chains into a nation x nation flow aggregate — both endpoint
+    nationalities attach from broadcast dense arrays inside the
+    partial stage (3-scalar rows per block), so the pair stream never
+    re-shuffles after the spatial exchange."""
+    import duckdb
+    import ray
+
+    from ..spatial.join import within_distance_join
+
+    con = duckdb.connect()
+    skeys = con.execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet' ORDER BY 1"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    snat = con.execute(
+        f"SELECT s_suppkey, s_nationkey FROM '{sf_dir}/supplier.parquet'"
+    ).fetch_arrow_table()
+    cnat = con.execute(
+        f"SELECT c_custkey, c_nationkey FROM '{sf_dir}/customer.parquet'"
+    ).fetch_arrow_table()
+
+    def dense(keys, vals):
+        k = keys.to_numpy().astype(np.int64)
+        v = vals.to_numpy().astype(np.int64)
+        a = np.full(int(k.max()) + 1, -1, np.int64)
+        a[k] = v
+        return a
+
+    s2n = dense(snat["s_suppkey"], snat["s_nationkey"])
+    c2n = dense(cnat["c_custkey"], cnat["c_nationkey"])
+    maps = ray.put((c2n, s2n))
+
+    ref = pa.table({
+        "id": pa.array(skeys),
+        "lon": pa.array(derive_lon(skeys)),
+        "lat": pa.array(derive_lat(skeys)),
+    })
+    pairs = within_distance_join(customer_points(sf_dir), ref,
+                                 2_000_000.0, level=5, id_col="custkey")
+
+    class Partial:
+        def __init__(self):
+            self.c2n, self.s2n = ray.get(maps)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["custkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sk = b["neighbor_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cn = self.c2n[ck]
+            sn = self.s2n[sk]
+            code = cn * 64 + sn
+            uc, cnt = np.unique(code, return_counts=True)
+            return pa.table({
+                "cust_nation": pa.array(uc // 64),
+                "supp_nation": pa.array(uc % 64),
+                "n_pairs": pa.array(cnt.astype(np.int64))})
+
+    agg = _final_combine(
+        pairs.select_columns(["custkey", "neighbor_id"]).map_batches(
+            Partial, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=(1, 4)),
+        ["cust_nation", "supp_nation"], ["n_pairs"])
+    cn = agg["cust_nation"].to_numpy().astype(np.int64)
+    sn = agg["supp_nation"].to_numpy().astype(np.int64)
+    order = np.lexsort((sn, cn))
+    return pa.table({
+        "cust_nation": pa.array(cn[order]),
+        "supp_nation": pa.array(sn[order]),
+        "n_pairs": pa.array(agg["n_pairs"].to_numpy()[order])})
+
+
+def images_dedup_survivors(sf_dir: str, max_distance: int = 3):
+    """Canonicalization tail of the image dedup pipeline: after
+    phash-LSH pairs + connected components label the near-duplicate
+    clusters, each cluster keeps its BEST row — most pixels (w*h),
+    ties to the lowest image index (the deterministic survivor rule
+    that makes re-runs reproducible).  Emits the per-cluster manifest
+    (survivor, member count, max pixels).  Rows-only (phash needs
+    pixels); the pytest oracle recomputes clusters + survivor rule
+    scalar-side."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.dedup import hash64_candidate_pairs
+    from ..functions.graph import connected_components
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+
+    def project(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(
+            batch["image_id"].combine_chunks(), 3, 15), pa.int64())
+        px = (batch["w"].to_numpy().astype(np.int64)
+              * batch["h"].to_numpy().astype(np.int64))
+        return pa.table({"img_idx": idx, "phash": batch["phash"],
+                         "pixels": pa.array(px)})
+
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    pairs = hash64_candidate_pairs(proj, hash_col="phash",
+                                   id_col="img_idx",
+                                   max_distance=max_distance)
+
+    def self_loops(batch: pa.Table) -> pa.Table:
+        return pa.table({"id_a": batch["img_idx"],
+                         "id_b": batch["img_idx"]})
+
+    edges = ray.data.from_arrow(pairs.select(["id_a", "id_b"])).union(
+        proj.map_batches(self_loops, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    cc = connected_components(edges, src="id_a", dst="id_b", nbuckets=8)
+    node = cc["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    comp = cc["component"].to_numpy(zero_copy_only=False).astype(np.int64)
+    meta = collect_table(proj.select_columns(["img_idx", "pixels"]))
+    mi = meta["img_idx"].to_numpy().astype(np.int64)
+    mp = meta["pixels"].to_numpy().astype(np.int64)
+    pix_of = np.zeros(int(mi.max()) + 1, np.int64)
+    pix_of[mi] = mp
+    px = pix_of[node]
+    order = np.lexsort((node, -px, comp))
+    comp_s, node_s, px_s = comp[order], node[order], px[order]
+    first = np.concatenate(([True], comp_s[1:] != comp_s[:-1]))
+    sizes = np.diff(np.concatenate(
+        (np.flatnonzero(first), [len(comp_s)])))
+    return pa.table({
+        "cluster_id": pa.array([f"img{int(c):012d}"
+                                for c in comp_s[first]]),
+        "survivor_id": pa.array([f"img{int(i):012d}"
+                                 for i in node_s[first]]),
+        "n_members": pa.array(sizes.astype(np.int64)),
+        "max_pixels": pa.array(px_s[first])})

@@ -186,3 +186,51 @@ def test_line_interpolate_vs_scalar(ray_session):
     assert set(got) == set(want)
     for k, (px, py) in want.items():
         assert abs(got[k][0] - px) < 1e-6 and abs(got[k][1] - py) < 1e-6
+
+
+def test_images_dedup_survivors_vs_scalar(ray_session):
+    """Scalar recompute: brute-force Hamming<=3 phash pairs ->
+    union-find -> per-cluster (max pixels, min idx) survivor; the
+    planted near-duplicates copy w/h from their base row, so their
+    pixel counts tie and the LOWER index must survive."""
+    from geobuf_ray.io import images as im
+    from geobuf_ray.pipelines import queries as q
+
+    got = {r["cluster_id"]: r
+           for r in q.images_dedup_survivors(SF).to_pylist()}
+
+    tbl = im.synthesize_image_table(100)
+    ph = np.array(tbl["phash"].to_pylist(), np.int64).astype(np.uint64)
+    w = np.array(tbl["w"].to_pylist(), np.int64)
+    h = np.array(tbl["h"].to_pylist(), np.int64)
+    parent = list(range(100))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(100):
+        for j in range(i + 1, 100):
+            if bin(int(ph[i] ^ ph[j])).count("1") <= 3:
+                parent[find(i)] = find(j)
+    clusters = {}
+    for i in range(100):
+        clusters.setdefault(find(i), []).append(i)
+    want = {}
+    for members in clusters.values():
+        cid = min(members)
+        px = w[members] * h[members]
+        best = min(zip(-px, members))[1]
+        want[f"img{cid:012d}"] = (f"img{best:012d}", len(members),
+                                  int((w[best] * h[best])))
+    assert set(got) == set(want)
+    for cid, (sid, nm, mp) in want.items():
+        g = got[cid]
+        assert g["survivor_id"] == sid and g["n_members"] == nm \
+            and g["max_pixels"] == mp
+    # at least one planted pair must have collapsed with the BASE
+    # (lower) index surviving the pixel tie
+    multi = [c for c, (s, n, m) in want.items() if n >= 2]
+    assert multi
