@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_line_interpolate": q.suppliers_line_interpolate,
         "od_matrix_2000km": q.od_matrix_2000km,
         "images_dedup_survivors": q.images_dedup_survivors,
+        "suppliers_subtree_sums": q.suppliers_subtree_sums,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
@@ -2008,6 +2009,22 @@ def oracle_sql() -> dict[str, str]:
               AND ({_LAT} + 0.5 + (c_custkey % 3) * 0.5)
                   <= (-85.0 + (s_suppkey * 53) % 160 + 4.0
                       + (s_suppkey % 5) * 3.0 + 0.005)
+        """,
+        "suppliers_subtree_sums": """
+            WITH RECURSIVE walk(node, anc) AS (
+                SELECT s_suppkey, s_suppkey FROM supplier
+                UNION ALL
+                SELECT node, anc // 2 FROM walk WHERE anc >= 2
+            ),
+            v AS (SELECT s_suppkey AS node,
+                         CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+                  FROM supplier)
+            SELECT anc AS s_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(cents) AS BIGINT) AS subtree_cents
+            FROM walk JOIN v USING (node)
+            GROUP BY anc
+            ORDER BY anc
         """,
         "od_matrix_2000km": f"""
             SELECT c_nationkey AS cust_nation,

@@ -6964,3 +6964,56 @@ def images_dedup_survivors(sf_dir: str, max_distance: int = 3):
                                  for i in node_s[first]]),
         "n_members": pa.array(sizes.astype(np.int64)),
         "max_pixels": pa.array(px_s[first])})
+
+
+def suppliers_subtree_sums(sf_dir: str):
+    """Hierarchical rollup (org-chart subtree aggregation): each node
+    of the binary hierarchy parent(k) = k//2 accumulates the balance
+    and count of its WHOLE subtree.  Ancestors are arithmetic, so the
+    fan-out is a pure vectorized map — log2(max_key) shift rounds per
+    block, partials pre-aggregated with np.unique before the single
+    key exchange, O(n log n) skinny rows total and no iteration over
+    exchanges (contrast bfs_hops, where parents live in data and each
+    hop must ship)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["s_suppkey"].to_numpy().astype(np.int64)
+        cents = np.round(b["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        # shift 0 keeps every node (node 0 is its own root: its parent
+        # chain 0//2 = 0 never reaches 1, matching the CTE's anc >= 2
+        # stop); deeper shifts follow the chain while the ancestor >= 1
+        ancs, vals = [k], [cents]
+        s = 1
+        while True:
+            anc = k >> s
+            live = anc >= 1
+            if not live.any():
+                break
+            ancs.append(anc[live])
+            vals.append(cents[live])
+            s += 1
+        anc = np.concatenate(ancs)
+        val = np.concatenate(vals)
+        uk, inv = np.unique(anc, return_inverse=True)
+        sm = np.zeros(len(uk), np.int64)
+        np.add.at(sm, inv, val)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({"s_suppkey": pa.array(uk),
+                         "n_nodes": pa.array(cnt),
+                         "subtree_cents": pa.array(sm)})
+
+    agg = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["s_suppkey"], ["n_nodes", "subtree_cents"])
+    k = agg["s_suppkey"].to_numpy().astype(np.int64)
+    order = np.argsort(k)
+    return pa.table({
+        "s_suppkey": pa.array(k[order]),
+        "n_nodes": pa.array(agg["n_nodes"].to_numpy()[order]),
+        "subtree_cents": pa.array(
+            agg["subtree_cents"].to_numpy()[order])})

@@ -234,3 +234,29 @@ def test_images_dedup_survivors_vs_scalar(ray_session):
     # (lower) index surviving the pixel tie
     multi = [c for c, (s, n, m) in want.items() if n >= 2]
     assert multi
+
+
+def test_subtree_sums_vs_scalar(ray_session):
+    """Scalar ancestor-walk reference (including the node-0 self-root
+    edge) must match the vectorized shift fan-out exactly."""
+    import duckdb
+
+    from geobuf_ray.pipelines import queries as q
+
+    got = {int(r["s_suppkey"]): (int(r["n_nodes"]),
+                                 int(r["subtree_cents"]))
+           for r in q.suppliers_subtree_sums(SF).to_pylist()}
+    df = duckdb.connect().execute(
+        f"SELECT s_suppkey, CAST(round(s_acctbal*100) AS BIGINT) c "
+        f"FROM '{SF}/supplier.parquet'").df()
+    want = {}
+    for k, c in zip(df["s_suppkey"].astype(int), df["c"].astype(int)):
+        a = k
+        while True:
+            e = want.setdefault(a, [0, 0])
+            e[0] += 1
+            e[1] += c
+            if a < 2:
+                break
+            a //= 2
+    assert got == {a: (n, s) for a, (n, s) in want.items()}
