@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix_2000km": q.od_matrix_2000km,
         "images_dedup_survivors": q.images_dedup_survivors,
         "suppliers_subtree_sums": q.suppliers_subtree_sums,
+        "events_ohlc_hourly": q.events_ohlc_hourly,
+        "parts_copurchase_top": q.parts_copurchase_top,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
@@ -2009,6 +2011,42 @@ def oracle_sql() -> dict[str, str]:
               AND ({_LAT} + 0.5 + (c_custkey % 3) * 0.5)
                   <= (-85.0 + (s_suppkey * 53) % 160 + 4.0
                       + (s_suppkey % 5) * 3.0 + 0.005)
+        """,
+        "parts_copurchase_top": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                  FROM d a JOIN d b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey)
+            SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM p GROUP BY p1, p2
+            ORDER BY n_orders DESC, p1, p2
+            LIMIT 50
+        """,
+        "events_ohlc_hourly": """
+            WITH e AS (SELECT user_id,
+                          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+                          CAST(epoch_us(ts) AS BIGINT) AS t, event_id,
+                          CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            r AS (SELECT user_id, hr, c,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, hr
+                                       ORDER BY t, event_id) AS rn_a,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, hr
+                                       ORDER BY t DESC,
+                                                event_id DESC) AS rn_d
+                  FROM e)
+            SELECT user_id, hr,
+                   CAST(MAX(CASE WHEN rn_a = 1 THEN c END) AS BIGINT)
+                       AS open_c2,
+                   CAST(MAX(c) AS BIGINT) AS high_c2,
+                   CAST(MIN(c) AS BIGINT) AS low_c2,
+                   CAST(MAX(CASE WHEN rn_d = 1 THEN c END) AS BIGINT)
+                       AS close_c2,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM r GROUP BY user_id, hr
+            ORDER BY user_id, hr
         """,
         "suppliers_subtree_sums": """
             WITH RECURSIVE walk(node, anc) AS (

@@ -7017,3 +7017,133 @@ def suppliers_subtree_sums(sf_dir: str):
         "n_nodes": pa.array(agg["n_nodes"].to_numpy()[order]),
         "subtree_cents": pa.array(
             agg["subtree_cents"].to_numpy()[order])})
+
+
+def events_ohlc_hourly(sf_dir: str):
+    """OHLC candle aggregation: per (user, hour) the opening value
+    (first under the (ts, event_id) total order), closing value
+    (last), high, low, and count — the financial downsampling shape.
+    One user exchange; the per-bucket kernel is a single lexsort plus
+    segment reduceat extremes, first/last picked at the segment
+    boundary positions — no per-group Python."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("hr", pa.int64()),
+        ("open_c2", pa.int64()), ("high_c2", pa.int64()),
+        ("low_c2", pa.int64()), ("close_c2", pa.int64()),
+        ("n_events", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            return out_schema.empty_table()
+        uid = tbl["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = tbl["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hr = t // 3_600_000_000
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        c = np.round(tbl["value"].to_numpy() * 100).astype(np.int64)
+        sel = np.lexsort((eid, t, hr, uid))
+        u, h, cv = uid[sel], hr[sel], c[sel]
+        new = np.concatenate(([True],
+                              (u[1:] != u[:-1]) | (h[1:] != h[:-1])))
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u)) - 1
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "hr": pa.array(h[starts]),
+            "open_c2": pa.array(cv[starts]),
+            "high_c2": pa.array(np.maximum.reduceat(cv, starts)),
+            "low_c2": pa.array(np.minimum.reduceat(cv, starts)),
+            "close_c2": pa.array(cv[ends]),
+            "n_events": pa.array(
+                (ends - starts + 1).astype(np.int64))})
+
+    t = collect_table(hash_exchange(ds, nbuckets=32, on="user_id",
+                                    reduce_fn=kernel,
+                                    schema=out_schema))
+    uid = t["user_id"].to_numpy().astype(np.int64)
+    hr = t["hr"].to_numpy().astype(np.int64)
+    order = np.lexsort((hr, uid))
+    return t.take(pa.array(order, pa.int64()))
+
+
+def parts_copurchase_top(sf_dir: str, k: int = 50):
+    """Market-basket co-occurrence: the top-k part PAIRS by number of
+    orders containing both.  Exchange 1 co-locates each order's lines
+    (dedup + vectorized triangular pair fan-out: every position pairs
+    with its group's remaining positions via one repeat + ramp — no
+    per-order loop), pairs pre-count per bucket through a packed
+    int64 code unique; exchange 2 sums true pair counts and emits only
+    its local top-k under the (count DESC, p1, p2) total order, so the
+    driver merges k x buckets rows and the pair vocabulary never
+    centralizes — the same bound the bigram engine uses."""
+    import ray
+
+    from ..codec.varint import ramp
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    pair_schema = pa.schema([("p1", pa.int64()), ("p2", pa.int64()),
+                             ("n_orders", pa.int64())])
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pair_schema.empty_table()
+        ok = t["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pk = t["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        code = ok * (np.int64(1) << 32) + pk  # partkey < 2^32
+        code = np.unique(code)                # DISTINCT (order, part)
+        o = code >> 32
+        p = code & ((np.int64(1) << 32) - 1)
+        n = len(o)
+        new = np.concatenate(([True], o[1:] != o[:-1]))
+        seg_start = np.flatnonzero(new)
+        seg_len = np.diff(np.append(seg_start, n))
+        seg_end = np.repeat(seg_start + seg_len, seg_len)
+        pos = np.arange(n, dtype=np.int64)
+        rem = seg_end - pos - 1               # partners after me
+        first = np.repeat(pos, rem)
+        second = first + 1 + ramp(rem)
+        pc = p[first] * (np.int64(1) << 32) + p[second]
+        uc, cnt = np.unique(pc, return_counts=True)
+        return pa.table({
+            "p1": pa.array(uc >> 32),
+            "p2": pa.array(uc & ((np.int64(1) << 32) - 1)),
+            "n_orders": pa.array(cnt.astype(np.int64))})
+
+    pairs = hash_exchange(ds, nbuckets=32, on="l_orderkey",
+                          reduce_fn=pair_kernel, schema=pair_schema)
+
+    def topk_kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pair_schema.empty_table()
+        agg = t.group_by(["p1", "p2"]).aggregate([("n_orders", "sum")])
+        p1 = agg["p1"].to_numpy().astype(np.int64)
+        p2 = agg["p2"].to_numpy().astype(np.int64)
+        n = agg["n_orders_sum"].to_numpy().astype(np.int64)
+        sel = np.lexsort((p2, p1, -n))[:k]
+        return pa.table({"p1": pa.array(p1[sel]),
+                         "p2": pa.array(p2[sel]),
+                         "n_orders": pa.array(n[sel])})
+
+    t = collect_table(hash_exchange(pairs, nbuckets=16,
+                                    on=["p1", "p2"],
+                                    reduce_fn=topk_kernel,
+                                    schema=pair_schema))
+    p1 = t["p1"].to_numpy().astype(np.int64)
+    p2 = t["p2"].to_numpy().astype(np.int64)
+    n = t["n_orders"].to_numpy().astype(np.int64)
+    sel = np.lexsort((p2, p1, -n))[:k]
+    return pa.table({"p1": pa.array(p1[sel]), "p2": pa.array(p2[sel]),
+                     "n_orders": pa.array(n[sel])})

@@ -260,3 +260,26 @@ def test_subtree_sums_vs_scalar(ray_session):
                 break
             a //= 2
     assert got == {a: (n, s) for a, (n, s) in want.items()}
+
+
+def test_copurchase_pairs_vs_scalar(ray_session):
+    """itertools.combinations reference over DISTINCT (order, part)
+    must reproduce the triangular repeat+ramp fan-out's top-k."""
+    from itertools import combinations
+
+    import duckdb
+
+    from geobuf_ray.pipelines import queries as q
+
+    got = [(int(r["p1"]), int(r["p2"]), int(r["n_orders"]))
+           for r in q.parts_copurchase_top(SF, k=20).to_pylist()]
+    df = duckdb.connect().execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey "
+        f"FROM '{SF}/lineitem.parquet'").df()
+    counts = {}
+    for _, grp in df.groupby("l_orderkey"):
+        for a, b in combinations(sorted(grp["l_partkey"].astype(int)), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    want = sorted(((n, p1, p2) for (p1, p2), n in counts.items()),
+                  key=lambda t: (-t[0], t[1], t[2]))[:20]
+    assert got == [(p1, p2, n) for n, p1, p2 in want]
