@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_subtree_sums": q.suppliers_subtree_sums,
         "events_ohlc_hourly": q.events_ohlc_hourly,
         "parts_copurchase_top": q.parts_copurchase_top,
+        "parts_copurchase_kcore": q.parts_copurchase_kcore,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
@@ -287,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": q.docs_simhash_pairs,
         # embeddings: similarity search + near-dup
         "embeddings_topk": q.embeddings_topk,
+        "embeddings_topk_filtered": q.embeddings_topk_filtered,
         "embeddings_topk_ivf": q.embeddings_topk_ivf,
         "embeddings_dup_pairs": q.embeddings_dup_pairs,
         # image pipeline (rows-only: procedural payloads)
@@ -2798,6 +2800,18 @@ def oracle_sql() -> dict[str, str]:
                                     e.vec_id
                        ) AS rnk
                 FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) qv
+            ) WHERE rnk <= 5
+        """,
+        "embeddings_topk_filtered": """
+            SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id FROM (
+                SELECT qv.vec_id AS query_id, e.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY qv.vec_id
+                           ORDER BY list_cosine_similarity(qv.embedding, e.embedding) DESC,
+                                    e.vec_id
+                       ) AS rnk
+                FROM (SELECT * FROM embeddings WHERE label = 1) e,
+                     (SELECT * FROM embeddings WHERE vec_id < 5) qv
             ) WHERE rnk <= 5
         """,
     }

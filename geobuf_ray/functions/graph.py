@@ -719,3 +719,140 @@ def weighted_sssp(edges, sources, *, src: str = "src", dst: str = "dst",
 
     out = collect_table(dist)
     return out.rename_columns(["node", "dist"])
+
+
+def kcore(edges, k: int, *, src: str = "src", dst: str = "dst",
+          nbuckets: int = 32, max_rounds: int = 10_000) -> pa.Table:
+    """k-core decomposition by distributed peeling: repeatedly remove
+    nodes of degree < ``k`` until none remain; returns ``(node, deg)``
+    for the survivors, ``deg`` being each node's degree WITHIN the
+    core subgraph.
+
+    Edges are symmetrized, self-loop-free and deduplicated inside the
+    initial degree exchange (a multi-edge counts once — every copy of
+    (a, b) lands in a's bucket, so the dedup is exact).  After that,
+    each peeling wave is frontier-shaped like :func:`bfs_hops`: only
+    the nodes removed LAST round probe the pre-split, shipped-once
+    edge buckets, decrement candidates pre-aggregate per bucket, and
+    the degree table updates through one skinny cogroup — removed
+    nodes leave the table, so a stale decrement aimed at an
+    already-removed neighbor joins nothing and is ignored by
+    construction.  Rounds = number of peel waves (data-dependent, not
+    O(log n) — degrees aren't foldable across doubled pointers)."""
+    import ray
+
+    from ..collect import collect_table
+    from .exchange import cogroup_presplit, hash_cogroup, hash_exchange, presplit
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = _np(batch[src].combine_chunks().cast(_I64))
+        v = _np(batch[dst].combine_chunks().cast(_I64))
+        keep = u != v
+        u, v = u[keep], v[keep]
+        if len(u) and (min(u.min(), v.min()) < 0
+                       or max(u.max(), v.max()) >= (1 << 31)):
+            raise ValueError("kcore packs node pairs into int64: ids "
+                             "must be in [0, 2^31)")
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        # canonical (lo, hi) per block pre-dedups before symmetrizing
+        code = np.unique(lo * (np.int64(1) << 32) + hi)
+        lo = code >> 32
+        hi = code & ((np.int64(1) << 32) - 1)
+        return pa.table({"a": pa.array(np.concatenate([lo, hi])),
+                         "b": pa.array(np.concatenate([hi, lo]))})
+
+    sedges = edges.map_batches(sym, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    edge_maps = presplit(sedges, nbuckets=nbuckets, on="a")
+
+    def degree0(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return _LAB_SCHEMA.empty_table()
+        a = _np(t["a"])
+        b = _np(t["b"])
+        code = np.unique(a * (np.int64(1) << 32)
+                         + (b & ((np.int64(1) << 32) - 1)))
+        ua, cnt = np.unique(code >> 32, return_counts=True)
+        return pa.table({"node": pa.array(ua),
+                         "label": pa.array(cnt.astype(np.int64))})
+
+    deg = hash_exchange(sedges, nbuckets=nbuckets, on="a",
+                        reduce_fn=degree0,
+                        schema=_LAB_SCHEMA).materialize()
+
+    def split_alive(batch: pa.Table) -> pa.Table:
+        keep = _np(batch["label"]) >= k
+        return batch.filter(pa.array(keep))
+
+    def split_dead(batch: pa.Table) -> pa.Table:
+        keep = _np(batch["label"]) < k
+        return batch.filter(pa.array(keep))
+
+    frontier = deg.map_batches(split_dead, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    deg = deg.map_batches(split_alive, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    for _ in range(max_rounds):
+        if frontier.count() == 0:
+            break
+
+        def decrements(e: pa.Table, f: pa.Table) -> pa.Table:
+            a, b = _np(e["a"]), _np(e["b"])
+            node = np.sort(_np(f["node"]))
+            if not len(node) or not len(a):
+                return _LAB_SCHEMA.empty_table()
+            # dedup this bucket's (a, b) again: presplit concatenated
+            # blocks, so a pair may appear once per source block
+            code = np.unique(a * (np.int64(1) << 32) + b)
+            a = code >> 32
+            b = code & ((np.int64(1) << 32) - 1)
+            pos = np.clip(np.searchsorted(node, a), 0, len(node) - 1)
+            hit = node[pos] == a
+            ub, cnt = np.unique(b[hit], return_counts=True)
+            return pa.table({"node": pa.array(ub),
+                             "label": pa.array(cnt.astype(np.int64))})
+
+        cand = cogroup_presplit(edge_maps, frontier, nbuckets=nbuckets,
+                                right_on="node", reduce_fn=decrements,
+                                left_schema=_EDGE_SCHEMA,
+                                right_schema=_LAB_SCHEMA)
+
+        def apply_dec(c: pa.Table, d: pa.Table) -> pa.Table:
+            if d.num_columns == 0 or d.num_rows == 0:
+                return _LAB_SCHEMA.empty_table()
+            node = _np(d["node"])
+            dv = _np(d["label"])
+            if c.num_rows:
+                # a node collects decrements from EVERY edge bucket
+                # holding one of its removed neighbors — sum the per-
+                # bucket rows before the lookup (a lone searchsorted
+                # would silently keep only one of them)
+                cn_raw = _np(c["node"])
+                cv_raw = _np(c["label"])
+                cn, inv = np.unique(cn_raw, return_inverse=True)
+                cv = np.zeros(len(cn), np.int64)
+                np.add.at(cv, inv, cv_raw)
+                pos = np.clip(np.searchsorted(cn, node), 0,
+                              len(cn) - 1)
+                hit = cn[pos] == node
+                dv = dv - np.where(hit, cv[pos], 0)
+            return pa.table({"node": pa.array(node),
+                             "label": pa.array(dv)})
+
+        deg = hash_cogroup(cand, deg, nbuckets=nbuckets,
+                           left_on="node", right_on="node",
+                           reduce_fn=apply_dec,
+                           left_schema=_LAB_SCHEMA,
+                           right_schema=_LAB_SCHEMA).materialize()
+        frontier = deg.map_batches(split_dead, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+        deg = deg.map_batches(split_alive, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    out = collect_table(deg, schema=_LAB_SCHEMA)
+    return out.rename_columns(["node", "deg"])

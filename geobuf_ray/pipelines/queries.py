@@ -7074,30 +7074,29 @@ def events_ohlc_hourly(sf_dir: str):
     return t.take(pa.array(order, pa.int64()))
 
 
-def parts_copurchase_top(sf_dir: str, k: int = 50):
-    """Market-basket co-occurrence: the top-k part PAIRS by number of
-    orders containing both.  Exchange 1 co-locates each order's lines
-    (dedup + vectorized triangular pair fan-out: every position pairs
-    with its group's remaining positions via one repeat + ramp — no
-    per-order loop), pairs pre-count per bucket through a packed
-    int64 code unique; exchange 2 sums true pair counts and emits only
-    its local top-k under the (count DESC, p1, p2) total order, so the
-    driver merges k x buckets rows and the pair vocabulary never
-    centralizes — the same bound the bigram engine uses."""
+_PAIR_SCHEMA = pa.schema([("p1", pa.int64()), ("p2", pa.int64()),
+                          ("n_orders", pa.int64())])
+
+
+def _copurchase_pairs(sf_dir: str):
+    """Co-ordered part pairs as PARTIAL count rows: one orderkey
+    exchange whose kernel dedups (order, part), fans each order's
+    lines to its triangular pairs via repeat + ramp (no per-order
+    loop), and pre-counts per bucket through a packed int64 code
+    unique.  Rows for one pair may appear once per bucket — consumers
+    either re-aggregate (top-k) or treat pairs as multi-edges a dedup
+    absorbs (k-core)."""
     import ray
 
     from ..codec.varint import ramp
-    from ..collect import collect_table
     from ..functions.exchange import hash_exchange
 
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_partkey"])
-    pair_schema = pa.schema([("p1", pa.int64()), ("p2", pa.int64()),
-                             ("n_orders", pa.int64())])
 
     def pair_kernel(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
-            return pair_schema.empty_table()
+            return _PAIR_SCHEMA.empty_table()
         ok = t["l_orderkey"].to_numpy(
             zero_copy_only=False).astype(np.int64)
         pk = t["l_partkey"].to_numpy(
@@ -7122,12 +7121,26 @@ def parts_copurchase_top(sf_dir: str, k: int = 50):
             "p2": pa.array(uc & ((np.int64(1) << 32) - 1)),
             "n_orders": pa.array(cnt.astype(np.int64))})
 
-    pairs = hash_exchange(ds, nbuckets=32, on="l_orderkey",
-                          reduce_fn=pair_kernel, schema=pair_schema)
+    return hash_exchange(ds, nbuckets=32, on="l_orderkey",
+                         reduce_fn=pair_kernel, schema=_PAIR_SCHEMA)
+
+
+def parts_copurchase_top(sf_dir: str, k: int = 50):
+    """Market-basket co-occurrence: the top-k part PAIRS by number of
+    orders containing both (pair stream from
+    :func:`_copurchase_pairs`); a pair exchange sums true counts and
+    emits only its local top-k under the (count DESC, p1, p2) total
+    order, so the driver merges k x buckets rows and the pair
+    vocabulary never centralizes — the same bound the bigram engine
+    uses."""
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    pairs = _copurchase_pairs(sf_dir)
 
     def topk_kernel(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
-            return pair_schema.empty_table()
+            return _PAIR_SCHEMA.empty_table()
         agg = t.group_by(["p1", "p2"]).aggregate([("n_orders", "sum")])
         p1 = agg["p1"].to_numpy().astype(np.int64)
         p2 = agg["p2"].to_numpy().astype(np.int64)
@@ -7140,10 +7153,54 @@ def parts_copurchase_top(sf_dir: str, k: int = 50):
     t = collect_table(hash_exchange(pairs, nbuckets=16,
                                     on=["p1", "p2"],
                                     reduce_fn=topk_kernel,
-                                    schema=pair_schema))
+                                    schema=_PAIR_SCHEMA))
     p1 = t["p1"].to_numpy().astype(np.int64)
     p2 = t["p2"].to_numpy().astype(np.int64)
     n = t["n_orders"].to_numpy().astype(np.int64)
     sel = np.lexsort((p2, p1, -n))[:k]
     return pa.table({"p1": pa.array(p1[sel]), "p2": pa.array(p2[sel]),
                      "n_orders": pa.array(n[sel])})
+
+
+def embeddings_topk_filtered(sf_dir: str, k: int = 5,
+                             n_queries: int = 5, label: int = 1):
+    """Filtered vector search (the metadata-predicate ANN every RAG
+    stack needs): the label predicate applies AT THE SCAN — candidate
+    batches drop non-matching rows before any distance math, so the
+    matmul only ever sees qualifying vectors (pre-filtering, the
+    exact-recall strategy; post-filtering an unfiltered top-k can
+    return fewer than k valid hits)."""
+    import duckdb
+
+    from ..functions.ann import brute_force_topk
+
+    queries = duckdb.connect().execute(
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id < {n_queries}").fetch_arrow_table()
+
+    def lfilter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["label"], label))
+
+    ds = _pq(sf_dir, "embeddings").map_batches(
+        lfilter, batch_format="pyarrow", zero_copy_batch=True)
+    out = brute_force_topk(ds, queries, k=k, concurrency=None)
+    return out.select(["query_id", "rank", "vec_id"])
+
+
+def parts_copurchase_kcore(sf_dir: str, k: int = 60):
+    """k-core of the co-purchase graph: parts that remain after
+    iteratively peeling every part co-ordered with fewer than k
+    distinct partners — the dense sub-community extraction step of
+    basket analysis (functions/graph.kcore: frontier-shaped waves over
+    pre-split edges, duplicate pair rows absorbed by the in-exchange
+    dedup).  Rows-only (iterative peeling has no single-query SQL
+    form); the kernel is pytest-oracled against scalar peeling."""
+    from ..functions.graph import kcore
+
+    t = kcore(_copurchase_pairs(sf_dir), k, src="p1", dst="p2",
+              nbuckets=16)
+    node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    deg = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(node)
+    return pa.table({"p_partkey": pa.array(node[order]),
+                     "core_degree": pa.array(deg[order])})

@@ -339,3 +339,56 @@ def test_weighted_sssp_negative_raises(ray_session):
                     "w": pa.array([-3], pa.int64())})
     with pytest.raises(Exception):
         weighted_sssp(ray.data.from_arrow(tbl), [0], nbuckets=2)
+
+
+def _kcore_oracle(edges, k):
+    """Scalar peeling reference: iterate full-degree recomputation."""
+    adj = {}
+    for a, b in set(map(tuple, (sorted(e) for e in edges))):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+def test_kcore_vs_scalar_peeling(ray_session):
+    import ray
+
+    from geobuf_ray.functions.graph import kcore
+
+    rng = np.random.default_rng(7)
+    # planted K8 clique (7-core) + random sparse noise + path tails
+    clique = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    noise = [(int(a), int(b)) for a, b in
+             rng.integers(0, 300, size=(600, 2)) if a != b]
+    tails = [(i, i + 1) for i in range(300, 340)]
+    edges = clique + noise + tails
+    # duplicate + reverse some edges: multi-edges must count once
+    edges += [(b, a) for a, b in edges[::3]]
+    tbl = pa.table({"src": pa.array([a for a, b in edges], pa.int64()),
+                    "dst": pa.array([b for a, b in edges], pa.int64())})
+    for k in (3, 7):
+        got = {int(r["node"]): int(r["deg"])
+               for r in kcore(ray.data.from_arrow(tbl).repartition(6),
+                              k, nbuckets=8).to_pylist()}
+        assert got == _kcore_oracle(edges, k), k
+
+
+def test_kcore_rejects_wide_ids(ray_session):
+    import pytest
+    import ray
+
+    from geobuf_ray.functions.graph import kcore
+
+    tbl = pa.table({"src": pa.array([1 << 40], pa.int64()),
+                    "dst": pa.array([1], pa.int64())})
+    with pytest.raises((ValueError, Exception)):
+        kcore(ray.data.from_arrow(tbl), 1, nbuckets=2).to_pylist()
