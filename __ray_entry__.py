@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc_hourly": q.events_ohlc_hourly,
         "parts_copurchase_top": q.parts_copurchase_top,
         "parts_copurchase_kcore": q.parts_copurchase_kcore,
+        "parts_copurchase_lift": q.parts_copurchase_lift,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
@@ -231,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": q.parts_by_brand,
         "revenue_by_region": q.revenue_by_region,
         "revenue_by_region_shuffle": q.revenue_by_region_shuffle,
+        "revenue_by_region_merge": q.revenue_by_region_merge,
         "customers_with_nation": q.customers_with_nation,
         "customers_without_orders": q.customers_without_orders,
         "top_lineitems_per_supplier": q.top_lineitems_per_supplier,
@@ -1793,6 +1795,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
+        "revenue_by_region_merge": """
+            SELECT r_name,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
         "min_price_lineitems": """
             SELECT l.l_orderkey, l.l_partkey, l.l_suppkey,
                    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
@@ -2013,6 +2025,27 @@ def oracle_sql() -> dict[str, str]:
               AND ({_LAT} + 0.5 + (c_custkey % 3) * 0.5)
                   <= (-85.0 + (s_suppkey * 53) % 160 + 4.0
                       + (s_suppkey % 5) * 3.0 + 0.005)
+        """,
+        "parts_copurchase_lift": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                          CAST(COUNT(*) AS BIGINT) AS n_both
+                   FROM d a JOIN d b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2
+                   ORDER BY n_both DESC, p1, p2 LIMIT 50),
+            m AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT)
+                             AS n_orders
+                  FROM d GROUP BY l_partkey)
+            SELECT p1, p2, n_both,
+                   m1.n_orders AS n_p1, m2.n_orders AS n_p2,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+                       AS n_orders_total
+            FROM pr JOIN m m1 ON m1.l_partkey = p1
+                    JOIN m m2 ON m2.l_partkey = p2
+            ORDER BY n_both DESC, p1, p2
         """,
         "parts_copurchase_top": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey

@@ -7204,3 +7204,142 @@ def parts_copurchase_kcore(sf_dir: str, k: int = 60):
     order = np.argsort(node)
     return pa.table({"p_partkey": pa.array(node[order]),
                      "core_degree": pa.array(deg[order])})
+
+
+def parts_copurchase_lift(sf_dir: str, k: int = 50):
+    """Association-rule support table: the top-k co-ordered pairs with
+    the EXACT integer ingredients of confidence and lift — pair
+    support, each part's own order count, and the total order count —
+    so the consumer divides and the hash check stays bit-exact.  Pair
+    marginals come from one part-keyed exchange that dedups
+    (part, order) across blocks before counting (a block-local count
+    would double-count an order whose lines split across blocks)."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    top = parts_copurchase_top(sf_dir, k=k)
+    p1 = top["p1"].to_numpy().astype(np.int64)
+    p2 = top["p2"].to_numpy().astype(np.int64)
+    nb = top["n_orders"].to_numpy().astype(np.int64)
+    wanted = np.unique(np.concatenate([p1, p2]))
+    wanted_ref = ray.put(wanted)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    def project(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w = ray.get(wanted_ref) if not isinstance(wanted_ref,
+                                                  np.ndarray) else wanted_ref
+        pos = np.clip(np.searchsorted(w, pk), 0, len(w) - 1)
+        keep = w[pos] == pk
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "l_orderkey": b["l_orderkey"]}).filter(
+            pa.array(keep))
+
+    cnt_schema = pa.schema([("l_partkey", pa.int64()),
+                            ("n_orders", pa.int64())])
+
+    def count_kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return cnt_schema.empty_table()
+        pk = t["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ok = t["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        code = np.unique(pk * (np.int64(1) << 32) + ok)
+        up, c = np.unique(code >> 32, return_counts=True)
+        return pa.table({"l_partkey": pa.array(up),
+                         "n_orders": pa.array(c.astype(np.int64))})
+
+    marg = collect_table(hash_exchange(
+        ds.map_batches(project, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        nbuckets=16, on="l_partkey", reduce_fn=count_kernel,
+        schema=cnt_schema))
+    mk = marg["l_partkey"].to_numpy().astype(np.int64)
+    mc = marg["n_orders"].to_numpy().astype(np.int64)
+    lut = dict(zip(mk.tolist(), mc.tolist()))
+
+    # every order has lineitems in this corpus, so the distinct-order
+    # universe is the orders table's row count — a metadata-only read
+    n_total = int(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]).count())
+    return pa.table({
+        "p1": pa.array(p1), "p2": pa.array(p2),
+        "n_both": pa.array(nb),
+        "n_p1": pa.array([lut[int(a)] for a in p1], pa.int64()),
+        "n_p2": pa.array([lut[int(b)] for b in p2], pa.int64()),
+        "n_orders_total": pa.array(
+            np.full(len(p1), n_total, np.int64))})
+
+
+def revenue_by_region_merge(sf_dir: str):
+    """Third PHYSICAL strategy for the same logical query as
+    :func:`revenue_by_region` (broadcast) and
+    :func:`revenue_by_region_shuffle` (hash partition): the
+    range-partitioned SORT-MERGE join (functions/join.merge_join,
+    TeraSort-style sampled splits, key-clustered output blocks).
+    All three hash-match one oracle — the broadcast/hash/merge trio is
+    the planner choice a real warehouse makes by side size, skew and
+    downstream order requirements."""
+    import duckdb
+    import ray
+
+    from ..functions.join import merge_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "o_totalprice": batch["o_totalprice"]})
+
+    orders = orders.map_batches(rename, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    joined = merge_join(
+        orders, cust, "c_custkey", nbuckets=32,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int32())]))
+
+    side = duckdb.connect().execute(f"""
+        SELECT n_nationkey, r_name FROM '{sf_dir}/nation.parquet'
+        JOIN '{sf_dir}/region.parquet' ON n_regionkey = r_regionkey
+    """).fetch_arrow_table()
+    nk = side["n_nationkey"].to_numpy().astype(np.int64)
+    lab = side["r_name"].combine_chunks().dictionary_encode()
+    names = lab.dictionary.to_pylist()
+    idx = np.full(int(nk.max()) + 1, -1, np.int16)
+    idx[nk] = lab.indices.to_numpy().astype(np.int16)
+
+    def agg(batch: pa.Table) -> pa.Table:
+        nkey = batch["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        code = idx[np.clip(nkey, 0, len(idx) - 1)].astype(np.int64)
+        code[(nkey < 0) | (nkey >= len(idx))] = -1
+        ok = code >= 0
+        code = code[ok]
+        cents = np.round(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False)[ok] * 100).astype(np.int64)
+        nbins = len(names)
+        counts = np.bincount(code, minlength=nbins)
+        present = np.flatnonzero(counts)
+        return pa.table({
+            "r_name": pa.array([names[c] for c in present]),
+            "total_cents": pa.array(np.bincount(
+                code, weights=cents,
+                minlength=nbins).astype(np.int64)[present]),
+            "n_orders": pa.array(counts[present].astype(np.int64)),
+        })
+
+    partials = joined.map_batches(agg, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return _final_combine(partials, ["r_name"],
+                          ["total_cents", "n_orders"])
