@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_top": q.parts_copurchase_top,
         "parts_copurchase_kcore": q.parts_copurchase_kcore,
         "parts_copurchase_lift": q.parts_copurchase_lift,
+        "orders_merge_into": q.orders_merge_into,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
@@ -2025,6 +2026,31 @@ def oracle_sql() -> dict[str, str]:
               AND ({_LAT} + 0.5 + (c_custkey % 3) * 0.5)
                   <= (-85.0 + (s_suppkey * 53) % 160 + 4.0
                       + (s_suppkey % 5) * 3.0 + 0.005)
+        """,
+        "orders_merge_into": """
+            WITH base AS (SELECT o_orderkey AS id,
+                            CAST(floor(epoch(o_orderdate) / 86400)
+                                 AS BIGINT) AS ver,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents,
+                            o_orderpriority
+                          FROM orders),
+            delta AS (SELECT id, ver + 10000 AS ver, cents * 2 AS cents,
+                             o_orderpriority
+                      FROM base WHERE id % 97 = 0),
+            all_rows AS (SELECT *, 0 AS is_d FROM base
+                         UNION ALL
+                         SELECT *, 1 AS is_d FROM delta),
+            u AS (SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY id
+                        ORDER BY ver DESC, is_d DESC) AS rn
+                    FROM all_rows) WHERE rn = 1)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM u GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "parts_copurchase_lift": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey

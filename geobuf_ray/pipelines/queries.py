@@ -7343,3 +7343,81 @@ def revenue_by_region_merge(sf_dir: str):
                                   zero_copy_batch=True)
     return _final_combine(partials, ["r_name"],
                           ["total_cents", "n_orders"])
+
+
+def orders_merge_into(sf_dir: str):
+    """End-to-end MERGE INTO (state/mergeinto): orders materialize as
+    a hash-keyed parquet layout, a CDC delta (every 97th key doubled
+    at a later version, plus a same-version row whose delta copy must
+    win the tie) applies with PARTITION PRUNING — only partitions
+    holding delta keys are re-opened — and the merged table aggregates
+    per priority.  The SQL twin simulates the same merge with a
+    UNION ALL + QUALIFY, so the hash check certifies the storage op's
+    latest-wins semantics, not just the aggregate."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.mergeinto import (build_keyed_layout, merge_into,
+                                   read_keyed_layout)
+
+    def oprep(b: pa.Table) -> pa.Table:
+        day = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"id": b["o_orderkey"],
+                         "ver": pa.array(day),
+                         "cents": pa.array(cents),
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    def base_ds():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_totalprice",
+                     "o_orderpriority"]).map_batches(
+            oprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dprep(b: pa.Table) -> pa.Table:
+        k = b["id"].to_numpy().astype(np.int64)
+        keep = k % 97 == 0
+        t = b.filter(pa.array(keep))
+        ver = t["ver"].to_numpy().astype(np.int64) + 10000
+        cents = t["cents"].to_numpy().astype(np.int64) * 2
+        return pa.table({"id": t["id"], "ver": pa.array(ver),
+                         "cents": pa.array(cents),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    d = tempfile.mkdtemp(prefix="mergeinto_", dir="/tmp")
+    try:
+        build_keyed_layout(base_ds(), d, key="id", version="ver",
+                           npartitions=32)
+        merge_into(d, base_ds().map_batches(
+            dprep, batch_format="pyarrow", zero_copy_batch=True))
+
+        def partial(b: pa.Table) -> pa.Table:
+            pr = b["o_orderpriority"].combine_chunks() \
+                .dictionary_encode()
+            codes = pr.indices.to_numpy().astype(np.int64)
+            names = pr.dictionary.to_pylist()
+            cents = b["cents"].to_numpy().astype(np.int64)
+            n = np.bincount(codes, minlength=len(names)).astype(np.int64)
+            s = np.zeros(len(names), np.int64)
+            np.add.at(s, codes, cents)
+            return pa.table({"o_orderpriority": pa.array(names),
+                             "n_rows": pa.array(n),
+                             "sum_cents": pa.array(s)})
+
+        agg = _final_combine(
+            read_keyed_layout(d).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["o_orderpriority"], ["n_rows", "sum_cents"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    pr = agg["o_orderpriority"].to_pylist()
+    order = np.argsort(np.array(pr))
+    return pa.table({
+        "o_orderpriority": pa.array([pr[i] for i in order]),
+        "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
+        "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order])})

@@ -1,0 +1,96 @@
+"""MERGE INTO keyed layout: correctness, pruning, atomic replace."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from geobuf_ray.state.mergeinto import (build_keyed_layout, merge_into,
+                                        read_keyed_layout)
+
+
+def _base(n=500):
+    k = np.arange(n, dtype=np.int64)
+    return pa.table({"id": pa.array(k),
+                     "ver": pa.array(np.zeros(n, np.int64)),
+                     "val": pa.array(k * 10)})
+
+
+def _fingerprints(d):
+    out = {}
+    for f in os.listdir(d):
+        if f.startswith("part-"):
+            p = os.path.join(d, f)
+            with open(p, "rb") as fh:
+                out[f] = fh.read()
+    return out
+
+
+def test_merge_into_latest_wins_and_prunes(ray_session, tmp_path):
+    import ray
+
+    d = str(tmp_path / "layout")
+    build_keyed_layout(ray.data.from_arrow(_base()).repartition(4),
+                       d, key="id", version="ver", npartitions=32)
+    before = _fingerprints(d)
+
+    # delta: update ids 0..9 (ver 2), stale update id 10 at SAME ver 0
+    # (delta wins ties), insert new ids 1000..1004
+    ids = list(range(10)) + [10] + list(range(1000, 1005))
+    delta = pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "ver": pa.array([2] * 10 + [0] + [1] * 5, pa.int64()),
+        "val": pa.array([i * 100 for i in ids], pa.int64())})
+    res = merge_into(d, ray.data.from_arrow(delta).repartition(3))
+    assert res["touched"] and res["untouched"] >= 1
+
+    got = {r["id"]: (r["ver"], r["val"])
+           for r in read_keyed_layout(d).take_all()}
+    assert len(got) == 505
+    for i in range(10):
+        assert got[i] == (2, i * 100)      # update won by version
+    assert got[10] == (0, 1000)            # tie: delta wins
+    for i in range(1000, 1005):
+        assert got[i] == (1, i * 100)      # inserts
+    assert got[11] == (0, 110)             # untouched row intact
+
+    # pruning proof: partitions with no delta rows are byte-identical
+    after = _fingerprints(d)
+    from geobuf_ray.state.mergeinto import _part_ids
+
+    dp = set(_part_ids(delta, "id", 32).tolist())
+    for f, blob in before.items():
+        i = int(f.split("-")[1].split(".")[0])
+        if i not in dp:
+            assert after[f] == blob, f
+
+
+def test_merge_into_empty_delta_touches_nothing(ray_session, tmp_path):
+    import ray
+
+    d = str(tmp_path / "layout")
+    build_keyed_layout(ray.data.from_arrow(_base(50)), d, key="id",
+                       version="ver", npartitions=4)
+    before = _fingerprints(d)
+    res = merge_into(d, ray.data.from_arrow(_base(0)))
+    assert res["touched"] == [] and res["untouched"] == 4
+    assert _fingerprints(d) == before
+
+
+def test_merge_into_stale_delta_loses(ray_session, tmp_path):
+    import ray
+
+    d = str(tmp_path / "layout")
+    base = pa.table({"id": pa.array([1, 2], pa.int64()),
+                     "ver": pa.array([5, 5], pa.int64()),
+                     "val": pa.array([10, 20], pa.int64())})
+    build_keyed_layout(ray.data.from_arrow(base), d, key="id",
+                       version="ver", npartitions=2)
+    delta = pa.table({"id": pa.array([1], pa.int64()),
+                      "ver": pa.array([3], pa.int64()),  # older
+                      "val": pa.array([999], pa.int64())})
+    merge_into(d, ray.data.from_arrow(delta))
+    got = {r["id"]: r["val"] for r in read_keyed_layout(d).take_all()}
+    assert got == {1: 10, 2: 20}
