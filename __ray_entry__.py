@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_kcore": q.parts_copurchase_kcore,
         "parts_copurchase_lift": q.parts_copurchase_lift,
         "orders_merge_into": q.orders_merge_into,
+        "images_caption_quality": q.images_caption_quality,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,

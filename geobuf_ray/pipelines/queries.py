@@ -7421,3 +7421,53 @@ def orders_merge_into(sf_dir: str):
         "o_orderpriority": pa.array([pr[i] for i in order]),
         "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
         "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order])})
+
+
+def images_caption_quality(sf_dir: str):
+    """Cross-modal composition: the TEXT quality/token operators run
+    unchanged over the image table's caption column (the north-rule
+    image+caption pairing — captions are first-class text), then
+    aggregate per image format: caption count, exact token sums, and
+    quality-pass counts (quality >= 0.5).  Rows-only (captions are RNG
+    synthesis, not SQL-derivable); the text kernels carry their own
+    hash-checked oracles on the documents table."""
+    from ..functions.text import quality_batch, token_count_batch
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"fmt": b["fmt"], "text": b["caption"]})
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = token_count_batch(b.select(["text"]))
+        qual = quality_batch(b.select(["text"]))
+        fmt = b["fmt"].combine_chunks().dictionary_encode()
+        codes = fmt.indices.to_numpy().astype(np.int64)
+        names = fmt.dictionary.to_pylist()
+        ws = toks["n_tokens_ws"].to_numpy().astype(np.int64)
+        qv = qual["quality"].to_numpy()
+        n_ = np.bincount(codes, minlength=len(names)).astype(np.int64)
+        tsum = np.zeros(len(names), np.int64)
+        np.add.at(tsum, codes, ws)
+        qpass = np.zeros(len(names), np.int64)
+        np.add.at(qpass, codes, (qv >= 0.5).astype(np.int64))
+        return pa.table({"fmt": pa.array(names),
+                         "n_captions": pa.array(n_),
+                         "tokens_ws": pa.array(tsum),
+                         "quality_pass": pa.array(qpass)})
+
+    agg = _final_combine(
+        ds.map_batches(project, batch_format="pyarrow",
+                       zero_copy_batch=True).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["fmt"], ["n_captions", "tokens_ws", "quality_pass"])
+    f = agg["fmt"].to_pylist()
+    order = np.argsort(np.array(f))
+    return pa.table({
+        "fmt": pa.array([f[i] for i in order]),
+        "n_captions": pa.array(agg["n_captions"].to_numpy()[order]),
+        "tokens_ws": pa.array(agg["tokens_ws"].to_numpy()[order]),
+        "quality_pass": pa.array(
+            agg["quality_pass"].to_numpy()[order])})

@@ -283,3 +283,27 @@ def test_copurchase_pairs_vs_scalar(ray_session):
     want = sorted(((n, p1, p2) for (p1, p2), n in counts.items()),
                   key=lambda t: (-t[0], t[1], t[2]))[:20]
     assert got == [(p1, p2, n) for n, p1, p2 in want]
+
+
+def test_images_caption_quality_vs_scalar(ray_session):
+    """Scalar recompute of per-format caption token sums and quality
+    passes from the pinned synthesis."""
+    from geobuf_ray.functions.text import quality_batch, token_count_batch
+    from geobuf_ray.io import images as im
+    from geobuf_ray.pipelines import queries as q
+
+    got = {r["fmt"]: (r["n_captions"], r["tokens_ws"],
+                      r["quality_pass"])
+           for r in q.images_caption_quality(SF).to_pylist()}
+    tbl = im.synthesize_image_table(100)
+    toks = token_count_batch(pa.table({"text": tbl["caption"]}))
+    qual = quality_batch(pa.table({"text": tbl["caption"]}))
+    want = {}
+    for fmt, ws, qv in zip(tbl["fmt"].to_pylist(),
+                           toks["n_tokens_ws"].to_pylist(),
+                           qual["quality"].to_pylist()):
+        e = want.setdefault(fmt, [0, 0, 0])
+        e[0] += 1
+        e[1] += int(ws)
+        e[2] += int(qv >= 0.5)
+    assert got == {f: tuple(v) for f, v in want.items()}
