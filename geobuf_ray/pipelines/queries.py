@@ -6277,34 +6277,32 @@ def tpch_q14(sf_dir: str):
     lo = np.datetime64("1996-03-01")
     hi = np.datetime64("1996-04-01")
 
-    class Partial:
-        def __init__(self):
-            self.promo = ray.get(promo_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            sd = b["l_shipdate"].to_numpy().astype("datetime64[D]")
-            keep = (sd >= lo) & (sd < hi)
-            pk = b["l_partkey"].to_numpy().astype(np.int64)[keep]
-            price = np.round(
-                b["l_extendedprice"].to_numpy()[keep] * 100
-            ).astype(np.int64)
-            disc = np.round(
-                b["l_discount"].to_numpy()[keep] * 100).astype(np.int64)
-            rev = price * (100 - disc)
-            pos = np.searchsorted(self.promo, pk)
-            pos[pos == len(self.promo)] = max(len(self.promo) - 1, 0)
-            is_promo = (self.promo[pos] == pk) if len(self.promo) \
-                else np.zeros(len(pk), bool)
-            return pa.table({
-                "promo_rev_c2": pa.array([int(rev[is_promo].sum())]),
-                "total_rev_c2": pa.array([int(rev.sum())])})
+    def partial(b: pa.Table) -> pa.Table:
+        # task closure: the promo key set is tiny; a local ray.get is
+        # a zero-copy handle, cheaper than actor-pool startup
+        promo = ray.get(promo_ref)
+        sd = b["l_shipdate"].to_numpy().astype("datetime64[D]")
+        keep = (sd >= lo) & (sd < hi)
+        pk = b["l_partkey"].to_numpy().astype(np.int64)[keep]
+        price = np.round(
+            b["l_extendedprice"].to_numpy()[keep] * 100
+        ).astype(np.int64)
+        disc = np.round(
+            b["l_discount"].to_numpy()[keep] * 100).astype(np.int64)
+        rev = price * (100 - disc)
+        pos = np.searchsorted(promo, pk)
+        pos[pos == len(promo)] = max(len(promo) - 1, 0)
+        is_promo = (promo[pos] == pk) if len(promo) \
+            else np.zeros(len(pk), bool)
+        return pa.table({
+            "promo_rev_c2": pa.array([int(rev[is_promo].sum())]),
+            "total_rev_c2": pa.array([int(rev.sum())])})
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount",
                  "l_shipdate"]).map_batches(
-        Partial, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4))
+        partial, batch_format="pyarrow", zero_copy_batch=True)
     t = collect_table(ds)
     return pa.table({
         "promo_rev_c2": pa.array(
@@ -6352,33 +6350,30 @@ def tpch_q19(sf_dir: str):
     qlo = np.array([c[3] for c in cases], np.int64)
     qhi = np.array([c[4] for c in cases], np.int64)
 
-    class Partial:
-        def __init__(self):
-            self.pk, self.case = ray.get(side_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            k = b["l_partkey"].to_numpy().astype(np.int64)
-            pos = np.searchsorted(self.pk, k)
-            pos[pos == len(self.pk)] = max(len(self.pk) - 1, 0)
-            hit = (self.pk[pos] == k) if len(self.pk) \
-                else np.zeros(len(k), bool)
-            qty = np.round(b["l_quantity"].to_numpy()).astype(np.int64)
-            ci = np.where(hit, self.case[pos], 0)
-            ok = hit & (qty >= qlo[ci]) & (qty <= qhi[ci])
-            price = np.round(
-                b["l_extendedprice"].to_numpy()[ok] * 100
-            ).astype(np.int64)
-            disc = np.round(
-                b["l_discount"].to_numpy()[ok] * 100).astype(np.int64)
-            rev = price * (100 - disc)
-            return pa.table({"revenue_c2": pa.array([int(rev.sum())])})
+    def partial(b: pa.Table) -> pa.Table:
+        # task closure: the 3-brand (partkey, case) map is tiny
+        spk, scase = ray.get(side_ref)
+        k = b["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(spk, k)
+        pos[pos == len(spk)] = max(len(spk) - 1, 0)
+        hit = (spk[pos] == k) if len(spk) \
+            else np.zeros(len(k), bool)
+        qty = np.round(b["l_quantity"].to_numpy()).astype(np.int64)
+        ci = np.where(hit, scase[pos], 0)
+        ok = hit & (qty >= qlo[ci]) & (qty <= qhi[ci])
+        price = np.round(
+            b["l_extendedprice"].to_numpy()[ok] * 100
+        ).astype(np.int64)
+        disc = np.round(
+            b["l_discount"].to_numpy()[ok] * 100).astype(np.int64)
+        rev = price * (100 - disc)
+        return pa.table({"revenue_c2": pa.array([int(rev.sum())])})
 
     t = collect_table(ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice",
                  "l_discount"]).map_batches(
-        Partial, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4)))
+        partial, batch_format="pyarrow", zero_copy_batch=True))
     return pa.table({"revenue_c2": pa.array(
         [int(t["revenue_c2"].to_numpy().sum())], pa.int64())})
 
@@ -6678,47 +6673,46 @@ def customers_map_match(sf_dir: str):
     seg = ray.put((seg_id[keep], ax[keep], ay[keep],   # generator, but
                    abx[keep], aby[keep], len2[keep]))  # guarded anyway)
 
-    class Assign:
-        def __init__(self):
-            self.seg = ray.get(seg)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sid, ax, ay, abx, aby, len2 = self.seg
-            k = batch["c_custkey"].to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            px = (k * 7919) % 36000 - 18000
-            py = (k * 104729) % 17000 - 8500
-            best = np.full(len(k), np.inf)
-            bidx = np.zeros(len(k), np.int64)
-            for lo in range(0, len(sid), 512):
-                hi = min(lo + 512, len(sid))
-                apx = px[:, None] - ax[None, lo:hi]
-                apy = py[:, None] - ay[None, lo:hi]
-                dot = (apx * abx[None, lo:hi]
-                       + apy * aby[None, lo:hi]).astype(np.float64)
-                t = np.clip(dot / len2[None, lo:hi], 0.0, 1.0)
-                dx = px[:, None] - (ax[None, lo:hi]
-                                    + t * abx[None, lo:hi])
-                dy = py[:, None] - (ay[None, lo:hi]
-                                    + t * aby[None, lo:hi])
-                d2 = dx * dx + dy * dy
-                cm = d2.min(axis=1)
-                ca = d2.argmin(axis=1) + lo
-                upd = cm < best  # strict: earlier (lower seg_id) wins
-                best[upd] = cm[upd]
-                bidx[upd] = ca[upd]
-            t = pa.table({"seg_id": pa.array(sid[bidx]),
-                          "n_customers": pa.array(
-                              np.ones(len(k), np.int64)),
-                          "sum_custkey": pa.array(k)})
-            return t.group_by("seg_id").aggregate(
-                [("n_customers", "sum"), ("sum_custkey", "sum")]
-            ).rename_columns(["seg_id", "n_customers", "sum_custkey"])
+    def assign(batch: pa.Table) -> pa.Table:
+        # task closure, not an actor pool: the segment table is tiny
+        # (<100 KB at any sf tier) and ray.get of a local object is a
+        # zero-copy handle — actor startup would cost more than it saves
+        sid, ax, ay, abx, aby, len2 = ray.get(seg)
+        k = batch["c_custkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        px = (k * 7919) % 36000 - 18000
+        py = (k * 104729) % 17000 - 8500
+        best = np.full(len(k), np.inf)
+        bidx = np.zeros(len(k), np.int64)
+        for lo in range(0, len(sid), 512):
+            hi = min(lo + 512, len(sid))
+            apx = px[:, None] - ax[None, lo:hi]
+            apy = py[:, None] - ay[None, lo:hi]
+            dot = (apx * abx[None, lo:hi]
+                   + apy * aby[None, lo:hi]).astype(np.float64)
+            t = np.clip(dot / len2[None, lo:hi], 0.0, 1.0)
+            dx = px[:, None] - (ax[None, lo:hi]
+                                + t * abx[None, lo:hi])
+            dy = py[:, None] - (ay[None, lo:hi]
+                                + t * aby[None, lo:hi])
+            d2 = dx * dx + dy * dy
+            cm = d2.min(axis=1)
+            ca = d2.argmin(axis=1) + lo
+            upd = cm < best  # strict: earlier (lower seg_id) wins
+            best[upd] = cm[upd]
+            bidx[upd] = ca[upd]
+        t = pa.table({"seg_id": pa.array(sid[bidx]),
+                      "n_customers": pa.array(
+                          np.ones(len(k), np.int64)),
+                      "sum_custkey": pa.array(k)})
+        return t.group_by("seg_id").aggregate(
+            [("n_customers", "sum"), ("sum_custkey", "sum")]
+        ).rename_columns(["seg_id", "n_customers", "sum_custkey"])
 
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey"]).map_batches(
-        Assign, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=4096, concurrency=(1, 4))
+        assign, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096)
     agg = _final_combine(ds, ["seg_id"],
                          ["n_customers", "sum_custkey"])
     s = agg["seg_id"].to_numpy().astype(np.int64)
