@@ -6865,28 +6865,26 @@ def od_matrix_2000km(sf_dir: str):
     pairs = within_distance_join(customer_points(sf_dir), ref,
                                  2_000_000.0, level=5, id_col="custkey")
 
-    class Partial:
-        def __init__(self):
-            self.c2n, self.s2n = ray.get(maps)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ck = b["custkey"].to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            sk = b["neighbor_id"].to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            cn = self.c2n[ck]
-            sn = self.s2n[sk]
-            code = cn * 64 + sn
-            uc, cnt = np.unique(code, return_counts=True)
-            return pa.table({
-                "cust_nation": pa.array(uc // 64),
-                "supp_nation": pa.array(uc % 64),
-                "n_pairs": pa.array(cnt.astype(np.int64))})
+    def partial(b: pa.Table) -> pa.Table:
+        # task closure: the two dense nation maps are ~1 MB at sf0.1;
+        # a local ray.get is a zero-copy handle
+        c2n, s2n = ray.get(maps)
+        ck = b["custkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sk = b["neighbor_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cn = c2n[ck]
+        sn = s2n[sk]
+        code = cn * 64 + sn
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            "cust_nation": pa.array(uc // 64),
+            "supp_nation": pa.array(uc % 64),
+            "n_pairs": pa.array(cnt.astype(np.int64))})
 
     agg = _final_combine(
         pairs.select_columns(["custkey", "neighbor_id"]).map_batches(
-            Partial, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, 4)),
+            partial, batch_format="pyarrow", zero_copy_batch=True),
         ["cust_nation", "supp_nation"], ["n_pairs"])
     cn = agg["cust_nation"].to_numpy().astype(np.int64)
     sn = agg["supp_nation"].to_numpy().astype(np.int64)
