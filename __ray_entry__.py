@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_lift": q.parts_copurchase_lift,
         "orders_merge_into": q.orders_merge_into,
         "images_caption_quality": q.images_caption_quality,
+        "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
@@ -2027,6 +2028,28 @@ def oracle_sql() -> dict[str, str]:
               AND ({_LAT} + 0.5 + (c_custkey % 3) * 0.5)
                   <= (-85.0 + (s_suppkey * 53) % 160 + 4.0
                       + (s_suppkey % 5) * 3.0 + 0.005)
+        """,
+        "events_stay_points": """
+            WITH p AS (SELECT user_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) * 16777216
+                           + event_id AS o,
+                         ((event_id * 7919) % 20000) // 4000 * 8
+                           + ((event_id * 104729) % 17000) // 4000
+                           AS cell
+                       FROM events),
+            l AS (SELECT *, LAG(cell) OVER (PARTITION BY user_id
+                                            ORDER BY o) AS pc
+                  FROM p),
+            g AS (SELECT *, SUM(CASE WHEN pc IS NULL OR pc <> cell
+                                     THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY o) AS grp
+                  FROM l)
+            SELECT user_id, cell,
+                   MIN(o) AS o_start, MAX(o) AS o_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_points
+            FROM g GROUP BY user_id, cell, grp
+            HAVING COUNT(*) >= 3
+            ORDER BY user_id, o_start
         """,
         "orders_merge_into": """
             WITH base AS (SELECT o_orderkey AS id,

@@ -7463,3 +7463,61 @@ def images_caption_quality(sf_dir: str):
         "tokens_ws": pa.array(agg["tokens_ws"].to_numpy()[order]),
         "quality_pass": pa.array(
             agg["quality_pass"].to_numpy()[order])})
+
+
+def events_stay_points(sf_dir: str, min_points: int = 3):
+    """Trajectory stay-point detection (grid variant): a stay is a
+    maximal run of CONSECUTIVE track points inside one coarse grid
+    cell with at least ``min_points`` points — the gaps-and-islands
+    shape on the cell sequence, so it stays exact and SQL-twinnable
+    (the greedy radius-anchor variant is order-sequential and has no
+    closed SQL form).  One user exchange; the kernel is one lexsort +
+    run boundaries + reduceat, vectorized across a bucket's users."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("cell", pa.int64()),
+                            ("o_start", pa.int64()),
+                            ("o_end", pa.int64()),
+                            ("n_points", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        o = (ts // 1_000_000) * (1 << 24) + eid
+        x = (eid * 7919) % 20000
+        y = (eid * 104729) % 17000
+        cell = (x // 4000) * 8 + y // 4000
+        sel = np.lexsort((o, uid))
+        u, oo, c = uid[sel], o[sel], cell[sel]
+        new = np.concatenate(([True],
+                              (u[1:] != u[:-1]) | (c[1:] != c[:-1])))
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u)) - 1
+        n = (ends - starts + 1).astype(np.int64)
+        keep = n >= min_points
+        return pa.table({
+            "user_id": pa.array(u[starts][keep]),
+            "cell": pa.array(c[starts][keep]),
+            "o_start": pa.array(oo[starts][keep]),
+            "o_end": pa.array(oo[ends][keep]),
+            "n_points": pa.array(n[keep])})
+
+    t = collect_table(hash_exchange(ds, nbuckets=32, on="user_id",
+                                    reduce_fn=kernel,
+                                    schema=out_schema))
+    uid = t["user_id"].to_numpy().astype(np.int64)
+    os_ = t["o_start"].to_numpy().astype(np.int64)
+    order = np.lexsort((os_, uid))
+    return t.take(pa.array(order, pa.int64()))
