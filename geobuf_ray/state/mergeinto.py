@@ -136,3 +136,50 @@ def merge_into(out_dir: str, delta, *, npartitions: int | None = None
     touched = [i for i, t in enumerate(touched_flags) if t]
     return {"touched": touched,
             "untouched": nparts - len(touched)}
+
+
+def delete_from(out_dir: str, keys) -> dict:
+    """Partition-pruned DELETE: drop every row whose key appears in
+    ``keys`` (a Ray Dataset carrying the layout's key column, or a
+    numpy int64 array).  Like :func:`merge_into`, only partitions that
+    hash-route a requested key are opened and atomically rewritten;
+    keys absent from the table delete nothing (idempotent replay —
+    the CDC tombstone contract)."""
+    from ..collect import collect_table
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    key = meta["key"]
+    nparts = meta["npartitions"]
+
+    if not isinstance(keys, np.ndarray):
+        keys = collect_table(keys.select_columns([key]))[key] \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = np.unique(keys)
+    ktbl = pa.table({key: pa.array(keys, pa.int64())})
+    pid = _part_ids(ktbl, key, nparts)
+
+    @ray.remote
+    def delete_one(i: int, kk: np.ndarray) -> int:
+        path = os.path.join(out_dir, f"part-{i}.parquet")
+        if not os.path.exists(path):
+            return 0
+        base = pq.read_table(path)
+        k = base[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(kk, k), 0, len(kk) - 1)
+        drop = kk[pos] == k
+        if not drop.any():
+            return 0  # nothing matched: leave the file untouched
+        out = base.filter(pa.array(~drop))
+        tmp = os.path.join(out_dir, f".part-{i}.parquet.tmp")
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+        return int(drop.sum())
+
+    jobs = {}
+    for i in np.unique(pid):
+        jobs[int(i)] = delete_one.remote(int(i), np.sort(keys[pid == i]))
+    dropped = ray.get(list(jobs.values()))
+    return {"touched": [i for i, d in zip(jobs, dropped) if d],
+            "deleted": int(sum(dropped)),
+            "untouched": nparts - len(jobs)}

@@ -94,3 +94,33 @@ def test_merge_into_stale_delta_loses(ray_session, tmp_path):
     merge_into(d, ray.data.from_arrow(delta))
     got = {r["id"]: r["val"] for r in read_keyed_layout(d).take_all()}
     assert got == {1: 10, 2: 20}
+
+
+def test_delete_from_prunes_and_is_idempotent(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.state.mergeinto import delete_from
+
+    d = str(tmp_path / "layout")
+    build_keyed_layout(ray.data.from_arrow(_base(300)), d, key="id",
+                       version="ver", npartitions=16)
+    before = _fingerprints(d)
+    res = delete_from(d, np.array([5, 6, 7, 9999], dtype=np.int64))
+    assert res["deleted"] == 3            # 9999 absent: no-op
+    got = {r["id"] for r in read_keyed_layout(d).take_all()}
+    assert got == set(range(300)) - {5, 6, 7}
+    # pruned partitions byte-identical
+    from geobuf_ray.state.mergeinto import _part_ids
+
+    ktbl = pa.table({"id": pa.array([5, 6, 7, 9999], pa.int64())})
+    dp = set(_part_ids(ktbl, "id", 16).tolist())
+    after = _fingerprints(d)
+    for f, blob in before.items():
+        i = int(f.split("-")[1].split(".")[0])
+        if i not in dp:
+            assert after[f] == blob
+    # replay: nothing left to delete, nothing rewritten
+    mid = _fingerprints(d)
+    res2 = delete_from(d, np.array([5, 6, 7], dtype=np.int64))
+    assert res2["deleted"] == 0
+    assert _fingerprints(d) == mid
