@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_transitions": q.events_transitions,
         "events_value_twap": q.events_value_twap,
+        "events_value_autocorr": q.events_value_autocorr,
         "events_cusum_alarms": q.events_cusum_alarms,
         "events_value_ewma": q.events_value_ewma,
         "events_hourly_gapfill": q.events_hourly_gapfill,
@@ -779,6 +780,24 @@ def oracle_sql() -> dict[str, str]:
                        AS wsum_cents_us,
                    CAST(COALESCE(SUM(nt - t), 0) AS BIGINT) AS dur_us
             FROM e GROUP BY user_id
+        """,
+        "events_value_autocorr": """
+            WITH e AS (SELECT user_id,
+                          CAST(round(value * 100) AS BIGINT) AS c,
+                          LEAD(CAST(round(value * 100) AS BIGINT), 3)
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS y
+                       FROM events)
+            SELECT user_id,
+                   COUNT(y) AS npairs,
+                   CAST(SUM(CASE WHEN y IS NOT NULL THEN c END)
+                        AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(c * y) AS BIGINT) AS sum_xy,
+                   CAST(SUM(CASE WHEN y IS NOT NULL THEN c * c END)
+                        AS BIGINT) AS sum_xx,
+                   CAST(SUM(y * y) AS BIGINT) AS sum_yy
+            FROM e GROUP BY user_id HAVING COUNT(y) > 0
         """,
         "events_transitions": """
             WITH seq AS (

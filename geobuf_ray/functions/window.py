@@ -873,3 +873,72 @@ def ewma(ds, *, key: str, order: str, value: str, alpha: float,
 
     return hash_exchange(ds, nbuckets=nbuckets, on=key,
                          reduce_fn=kernel, schema=None)
+
+
+def autocorr_ingredients(ds, *, key: str, order, value: str, lag: int,
+                         nbuckets: int = 32):
+    """Per-key lag-``lag`` autocorrelation ingredients: the EXACT
+    integer moments of the (x_t, x_{t+lag}) pair stream that Pearson's
+    r at lag k is a ratio of — per key ``npairs, sum_x, sum_y, sum_xy,
+    sum_xx, sum_yy`` where x runs over the key's rows ordered by
+    ``order`` and y is the value ``lag`` rows later in the SAME key
+    (SQL's ``LEAD(value, lag) OVER (PARTITION BY key ORDER BY ...)``).
+
+    ``value`` must already be integer-typed (quantize upstream — cents
+    convention); every sum is exact int64, so the result is
+    partition-invariant and hash-checks bit-for-bit against a HUGEINT
+    SQL twin.  The division (r_k = (n*sxy - sx*sy) /
+    sqrt((n*sxx - sx^2) * (n*syy - sy^2))) stays with the consumer.
+    Keys with fewer than ``lag + 1`` rows emit nothing (the twin's
+    ``HAVING COUNT(y) > 0``).  One hash exchange on ``key``; the
+    kernel is one lexsort + two shifted views — the pair stream never
+    materializes beyond aligned slices.  Int64 bound: |value|^2 x
+    rows-per-key must stay under 2^63 (cents-scale values hold to
+    ~1e10 rows per key)."""
+    from .exchange import hash_exchange
+
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    order_cols = [order] if isinstance(order, str) else list(order)
+
+    out_schema = pa.schema([(key, pa.int64()), ("npairs", pa.int64()),
+                            ("sum_x", pa.int64()), ("sum_y", pa.int64()),
+                            ("sum_xy", pa.int64()), ("sum_xx", pa.int64()),
+                            ("sum_yy", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows <= lag:
+            return out_schema.empty_table()
+        if not pa.types.is_integer(tbl[value].type):
+            raise TypeError(f"autocorr value column {value!r} must be "
+                            f"integer-typed, got {tbl[value].type}")
+        k = tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ovs = [_order_values(tbl, c) for c in order_cols]
+        sel = np.lexsort(tuple(reversed(ovs)) + (k,))
+        ks = k[sel]
+        v = tbl[value].to_numpy(zero_copy_only=False).astype(
+            np.int64)[sel]
+        same = ks[:-lag] == ks[lag:]
+        if not same.any():
+            return out_schema.empty_table()
+        x, y, kk = v[:-lag][same], v[lag:][same], ks[:-lag][same]
+        uu, inv = np.unique(kk, return_inverse=True)
+
+        def seg(vals: np.ndarray) -> np.ndarray:
+            # int64 accumulation (bincount weights are float64 — loses
+            # ulps once products pass 2^53)
+            out = np.zeros(len(uu), np.int64)
+            np.add.at(out, inv, vals)
+            return out
+
+        return pa.table({key: pa.array(uu),
+                         "npairs": pa.array(seg(np.ones(len(kk),
+                                                        np.int64))),
+                         "sum_x": pa.array(seg(x)),
+                         "sum_y": pa.array(seg(y)),
+                         "sum_xy": pa.array(seg(x * y)),
+                         "sum_xx": pa.array(seg(x * x)),
+                         "sum_yy": pa.array(seg(y * y))})
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=out_schema)

@@ -7521,3 +7521,32 @@ def events_stay_points(sf_dir: str, min_points: int = 3):
     os_ = t["o_start"].to_numpy().astype(np.int64)
     order = np.lexsort((os_, uid))
     return t.take(pa.array(order, pa.int64()))
+
+
+def events_value_autocorr(sf_dir: str, lag: int = 3):
+    """Per-user lag-3 autocorrelation ingredients (functions/window
+    .autocorr_ingredients): exact int64 moments of the (x_t, x_{t+3})
+    pair stream under the (ts, event_id) total order — the
+    signal-analysis twin of the EWMA/CUSUM family, with the Pearson
+    division left to the consumer so the result hash-checks
+    bit-for-bit vs a LEAD + HUGEINT SQL twin.  Cents conversion is a
+    pure map stage before the single user exchange."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.window import autocorr_ingredients
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+
+    def to_cents(tbl: pa.Table) -> pa.Table:
+        cents = np.round(tbl["value"].to_numpy() * 100).astype(np.int64)
+        return tbl.drop_columns(["value"]).append_column(
+            "cents", pa.array(cents))
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = autocorr_ingredients(ds, key="user_id",
+                               order=["ts", "event_id"],
+                               value="cents", lag=lag)
+    return collect_table(out)

@@ -401,3 +401,61 @@ def test_gap_fill_interp_vs_scalar(ray_session):
         pv, nv = obs[(r.k, pt)], obs[(r.k, nt)]
         want = pv if nt == pt else pv + (nv - pv) * (r.t - pt) / (nt - pt)
         assert abs(r.v - want) < 1e-12, (r.k, r.t)
+
+
+def test_autocorr_ingredients_vs_scalar(ray_session):
+    import pandas as pd
+    import ray
+
+    from geobuf_ray.functions.window import autocorr_ingredients
+
+    rng = np.random.default_rng(11)
+    n, lag = 5000, 4
+    tbl = pa.table({
+        "u": pa.array(rng.integers(0, 80, n)),
+        "t": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(-500, 500, n)),
+    })
+    # scalar reference: per key, sort by t, pair i with i+lag
+    ref = {}
+    df = tbl.to_pandas()
+    for u, g in df.groupby("u"):
+        v = g.sort_values("t")["v"].to_numpy().astype(np.int64)
+        if len(v) <= lag:
+            continue
+        x, y = v[:-lag], v[lag:]
+        ref[u] = (len(x), x.sum(), y.sum(), (x * y).sum(),
+                  (x * x).sum(), (y * y).sum())
+
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = autocorr_ingredients(ds, key="u", order="t", value="v",
+                                   lag=lag).to_pandas()
+        got = {r.u: (r.npairs, r.sum_x, r.sum_y, r.sum_xy,
+                     r.sum_xx, r.sum_yy)
+               for r in out.itertuples()}
+        assert got == ref
+
+    # lag longer than every series: empty result, schema intact
+    short = pa.table({"u": pa.array([1, 1, 2], pa.int64()),
+                      "t": pa.array([0, 1, 0], pa.int64()),
+                      "v": pa.array([5, 6, 7], pa.int64())})
+    from geobuf_ray.collect import collect_table
+
+    out = collect_table(
+        autocorr_ingredients(ray.data.from_arrow(short), key="u",
+                             order="t", value="v", lag=5)).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["u", "npairs", "sum_x", "sum_y",
+                                 "sum_xy", "sum_xx", "sum_yy"]
+
+    # float value column rejected
+    fl = pa.table({"u": pa.array([1, 1], pa.int64()),
+                   "t": pa.array([0, 1], pa.int64()),
+                   "v": pa.array([1.5, 2.5])})
+    try:
+        autocorr_ingredients(ray.data.from_arrow(fl), key="u",
+                             order="t", value="v", lag=1).to_pandas()
+        raise AssertionError("float value column must raise")
+    except Exception as e:
+        assert "integer-typed" in str(e)
