@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_kcore": q.parts_copurchase_kcore,
         "parts_copurchase_lift": q.parts_copurchase_lift,
         "orders_merge_into": q.orders_merge_into,
+        "orders_merge_on_read": q.orders_merge_on_read,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -2084,6 +2085,34 @@ def oracle_sql() -> dict[str, str]:
             all_rows AS (SELECT *, 0 AS is_d FROM base
                          UNION ALL
                          SELECT *, 1 AS is_d FROM delta),
+            u AS (SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY id
+                        ORDER BY ver DESC, is_d DESC) AS rn
+                    FROM all_rows) WHERE rn = 1)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM u GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "orders_merge_on_read": """
+            WITH base AS (SELECT o_orderkey AS id,
+                            CAST(floor(epoch(o_orderdate) / 86400)
+                                 AS BIGINT) AS ver,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents,
+                            o_orderpriority
+                          FROM orders),
+            d1 AS (SELECT id, ver + 10000 AS ver, cents * 2 AS cents,
+                          o_orderpriority
+                   FROM base WHERE id % 97 = 0),
+            d2 AS (SELECT id, ver + 10000 AS ver, cents * 3 AS cents,
+                          o_orderpriority
+                   FROM base WHERE id % 194 = 0),
+            all_rows AS (SELECT *, 0 AS is_d FROM base
+                         UNION ALL SELECT *, 1 AS is_d FROM d1
+                         UNION ALL SELECT *, 2 AS is_d FROM d2),
             u AS (SELECT * FROM (
                     SELECT *, ROW_NUMBER() OVER (
                         PARTITION BY id

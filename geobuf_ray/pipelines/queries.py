@@ -7550,3 +7550,98 @@ def events_value_autocorr(sf_dir: str, lag: int = 3):
                                order=["ts", "event_id"],
                                value="cents", lag=lag)
     return collect_table(out)
+
+
+def orders_merge_on_read(sf_dir: str):
+    """Merge-on-read + compaction (state/mergeinto.append_delta /
+    compact_keyed_layout): orders materialize as the keyed layout,
+    then TWO CDC deltas append as O(delta) delta files — no base file
+    is read — with the second delta overlapping the first AT THE SAME
+    VERSION so the later-append-wins tie rule is load-bearing.  The
+    scan resolves latest-wins per partition; the query then COMPACTS
+    and re-aggregates, asserting the copy-on-write result is
+    identical (merge-on-read ≡ compacted — the Iceberg/Delta
+    equivalence), and hash-checks the aggregate against a UNION ALL +
+    ROW_NUMBER simulation twin."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.mergeinto import (append_delta, build_keyed_layout,
+                                   compact_keyed_layout,
+                                   read_keyed_layout)
+
+    def oprep(b: pa.Table) -> pa.Table:
+        day = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"id": b["o_orderkey"],
+                         "ver": pa.array(day),
+                         "cents": pa.array(cents),
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    def base_ds():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_totalprice",
+                     "o_orderpriority"]).map_batches(
+            oprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dprep(mod: int, mul: int):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b["id"].to_numpy().astype(np.int64)
+            t = b.filter(pa.array(k % mod == 0))
+            ver = t["ver"].to_numpy().astype(np.int64) + 10000
+            cents = t["cents"].to_numpy().astype(np.int64) * mul
+            return pa.table({"id": t["id"], "ver": pa.array(ver),
+                             "cents": pa.array(cents),
+                             "o_orderpriority": t["o_orderpriority"]})
+        return fn
+
+    def aggregate(ds):
+        def partial(b: pa.Table) -> pa.Table:
+            pr = b["o_orderpriority"].combine_chunks() \
+                .dictionary_encode()
+            codes = pr.indices.to_numpy().astype(np.int64)
+            names = pr.dictionary.to_pylist()
+            cents = b["cents"].to_numpy().astype(np.int64)
+            n = np.bincount(codes, minlength=len(names)).astype(np.int64)
+            s = np.zeros(len(names), np.int64)
+            np.add.at(s, codes, cents)
+            return pa.table({"o_orderpriority": pa.array(names),
+                             "n_rows": pa.array(n),
+                             "sum_cents": pa.array(s)})
+
+        return _final_combine(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["o_orderpriority"], ["n_rows", "sum_cents"])
+
+    d = tempfile.mkdtemp(prefix="mor_", dir="/tmp")
+    try:
+        build_keyed_layout(base_ds(), d, key="id", version="ver",
+                           npartitions=32)
+        append_delta(d, base_ds().map_batches(
+            dprep(97, 2), batch_format="pyarrow", zero_copy_batch=True))
+        append_delta(d, base_ds().map_batches(
+            dprep(194, 3), batch_format="pyarrow", zero_copy_batch=True))
+        mor = aggregate(read_keyed_layout(d))
+        compact_keyed_layout(d)
+        cow = aggregate(read_keyed_layout(d))
+        for col in ("o_orderpriority", "n_rows", "sum_cents"):
+            a = sorted(mor[col].to_pylist())
+            b = sorted(cow[col].to_pylist())
+            if a != b:
+                raise AssertionError(
+                    f"compaction changed {col}: merge-on-read and "
+                    "copy-on-write reads must be identical")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    pr = mor["o_orderpriority"].to_pylist()
+    order = np.argsort(np.array(pr))
+    return pa.table({
+        "o_orderpriority": pa.array([pr[i] for i in order]),
+        "n_rows": pa.array(mor["n_rows"].to_numpy()[order]),
+        "sum_cents": pa.array(mor["sum_cents"].to_numpy()[order])})

@@ -13,6 +13,18 @@ rewrite is a raw Ray task (a deliberate Dataset-API exception: the
 unit of work is a FILE swap keyed by partition id, not a record
 transform — the same justification as the split-combine subfile
 writers, SURVEY §2.4 T1).
+
+Two write paths, the Iceberg/Delta pair:
+
+- **copy-on-write** (:func:`merge_into`): each touched partition is
+  read, upserted, rewritten — reads stay plain parquet scans.
+- **merge-on-read** (:func:`append_delta`): the delta lands as an
+  O(delta) ``delta-<part>-<seq>.parquet`` file per touched partition
+  with NO base read; :func:`read_keyed_layout` resolves latest-wins
+  (version, then append order — base is seq 0) at scan time until
+  :func:`compact_keyed_layout` folds deltas back into the base.
+  Mixing paths is refused while deltas are pending (tie order would
+  be ambiguous): compact first.
 """
 
 from __future__ import annotations
@@ -83,10 +95,135 @@ def build_keyed_layout(ds, out_dir: str, *, key: str, version: str,
     return meta
 
 
+def _delta_files(out_dir: str) -> dict[int, list[str]]:
+    """Pending merge-on-read delta files, grouped by partition id and
+    sorted by append sequence (the resolve order)."""
+    out: dict[int, list[str]] = {}
+    for f in sorted(os.listdir(out_dir)):
+        if f.startswith("delta-") and f.endswith(".parquet"):
+            out.setdefault(int(f.split("-")[1]), []).append(f)
+    return out
+
+
+def _resolve_partition(out_dir: str, i: int, key: str, version: str,
+                       dfiles: list[str]) -> pa.Table:
+    """Base file + its delta files -> one row per key, highest
+    (version, append-seq) wins — the base carries seq 0, so a delta
+    beats the base on a version tie and a later delta beats an
+    earlier one (the same tie rule merge_into applies eagerly)."""
+    path = os.path.join(out_dir, f"part-{i}.parquet")
+    tbls = [pq.read_table(path)] if os.path.exists(path) else []
+    tbls += [pq.read_table(os.path.join(out_dir, f)) for f in dfiles]
+    merged = tbls[0] if len(tbls) == 1 else pa.concat_tables(
+        tbls, promote_options="default")
+    if merged.num_rows == 0:
+        return merged
+    seq = np.concatenate([np.full(t.num_rows, j, np.int64)
+                          for j, t in enumerate(tbls)])
+    return _upsert_last_wins(merged, key, version, seq)
+
+
 def read_keyed_layout(out_dir: str):
-    return ray.data.read_parquet(
-        [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
-         if f.startswith("part-") and f.endswith(".parquet")])
+    """Scan the layout.  With no pending deltas this is a plain
+    parquet read of the base files; with merge-on-read deltas present
+    each partition resolves base + deltas to latest-wins rows in a
+    per-partition task (the file group is the unit of work — the same
+    raw-task exception the writers use)."""
+    deltas = _delta_files(out_dir)
+    if not deltas:
+        return ray.data.read_parquet(
+            [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.startswith("part-") and f.endswith(".parquet")])
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    key, version = meta["key"], meta["version"]
+    nparts = meta["npartitions"]
+
+    @ray.remote
+    def resolve_one(i: int) -> pa.Table:
+        return _resolve_partition(out_dir, i, key, version,
+                                  deltas.get(i, []))
+
+    return ray.data.from_arrow_refs(
+        [resolve_one.remote(i) for i in range(nparts)])
+
+
+def append_delta(out_dir: str, delta) -> dict:
+    """Merge-on-read CDC append: route ``delta`` through the pinned
+    hash and write one ``delta-<part>-<seq>.parquet`` per touched
+    partition — the base files are NEVER read or rewritten, so an
+    append costs O(delta) regardless of table size (the
+    Iceberg/Delta merge-on-read write path; :func:`merge_into` is the
+    copy-on-write twin).  Reads resolve latest-wins at scan time until
+    :func:`compact_keyed_layout` folds the deltas back into the base.
+    Within one append, a later delta row beats an earlier one on a
+    version tie (the order merge_into's stable sort gives).  Single
+    writer assumed (a commit protocol is out of scope here)."""
+    from ..functions.exchange import hash_exchange
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    key, version = meta["key"], meta["version"]
+    nparts = meta["npartitions"]
+
+    def bucket_fn(tbl: pa.Table):
+        return _part_ids(tbl, key, nparts), tbl
+
+    parts = hash_exchange(delta, nbuckets=nparts, bucket_fn=bucket_fn,
+                          reduce_fn=None)
+    refs = [r for b in parts.iter_internal_ref_bundles()
+            for r in b.block_refs]
+
+    @ray.remote
+    def append_one(i: int, blk) -> int:
+        d = blk if isinstance(blk, pa.Table) else pa.table(blk)
+        if d.num_rows == 0:
+            return 0
+        d = _upsert_last_wins(d, key, version,
+                              np.arange(d.num_rows, dtype=np.int64))
+        seqs = [int(f.split("-")[2].split(".")[0])
+                for f in os.listdir(out_dir)
+                if f.startswith(f"delta-{i}-") and f.endswith(".parquet")]
+        seq = max(seqs, default=0) + 1
+        tmp = os.path.join(out_dir, f".delta-{i}-{seq:05d}.parquet.tmp")
+        pq.write_table(d, tmp)
+        os.replace(tmp, os.path.join(out_dir,
+                                     f"delta-{i}-{seq:05d}.parquet"))
+        return 1
+
+    touched_flags = ray.get([append_one.remote(i, r)
+                             for i, r in enumerate(refs)])
+    touched = [i for i, t in enumerate(touched_flags) if t]
+    return {"touched": touched, "untouched": nparts - len(touched)}
+
+
+def compact_keyed_layout(out_dir: str) -> dict:
+    """Copy-on-write compaction: fold every partition's pending delta
+    files into its base file (resolving latest-wins exactly as the
+    merge-on-read scan does), atomically replace the base, and remove
+    the deltas.  Partitions with no deltas are never opened — their
+    files stay byte-identical.  After compaction a scan is a plain
+    parquet read again."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    key, version = meta["key"], meta["version"]
+    nparts = meta["npartitions"]
+    deltas = _delta_files(out_dir)
+
+    @ray.remote
+    def compact_one(i: int, dfiles: list[str]) -> int:
+        t = _resolve_partition(out_dir, i, key, version, dfiles)
+        tmp = os.path.join(out_dir, f".part-{i}.parquet.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(out_dir, f"part-{i}.parquet"))
+        for f in dfiles:
+            os.remove(os.path.join(out_dir, f))
+        return t.num_rows
+
+    ray.get([compact_one.remote(i, fs) for i, fs in deltas.items()])
+    return {"compacted": sorted(deltas),
+            "untouched": nparts - len(deltas)}
 
 
 def merge_into(out_dir: str, delta, *, npartitions: int | None = None
@@ -102,6 +239,12 @@ def merge_into(out_dir: str, delta, *, npartitions: int | None = None
         meta = json.load(f)
     key, version = meta["key"], meta["version"]
     nparts = meta["npartitions"]
+    if _delta_files(out_dir):
+        raise ValueError(
+            "layout has pending merge-on-read delta files; run "
+            "compact_keyed_layout() before a copy-on-write merge "
+            "(mixing the two write paths would make version-tie "
+            "resolution order-ambiguous)")
 
     def bucket_fn(tbl: pa.Table):
         return _part_ids(tbl, key, nparts), tbl
@@ -151,6 +294,11 @@ def delete_from(out_dir: str, keys) -> dict:
         meta = json.load(f)
     key = meta["key"]
     nparts = meta["npartitions"]
+    if _delta_files(out_dir):
+        raise ValueError(
+            "layout has pending merge-on-read delta files; run "
+            "compact_keyed_layout() before DELETE (a tombstone must "
+            "see the resolved table, not just the base files)")
 
     if not isinstance(keys, np.ndarray):
         keys = collect_table(keys.select_columns([key]))[key] \

@@ -124,3 +124,97 @@ def test_delete_from_prunes_and_is_idempotent(ray_session, tmp_path):
     res2 = delete_from(d, np.array([5, 6, 7], dtype=np.int64))
     assert res2["deleted"] == 0
     assert _fingerprints(d) == mid
+
+
+def test_merge_on_read_equals_copy_on_write(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.state.mergeinto import (append_delta,
+                                            compact_keyed_layout)
+
+    d1 = pa.table({"id": pa.array([0, 1, 10, 2000], pa.int64()),
+                   "ver": pa.array([5, 5, 0, 1], pa.int64()),
+                   "val": pa.array([7, 8, 9, 10], pa.int64())})
+    # second delta overlaps id 0 at the SAME version 5: the later
+    # append must win; id 10 at ver 0 ties the BASE row and must win
+    d2 = pa.table({"id": pa.array([0, 10, 2001], pa.int64()),
+                   "ver": pa.array([5, 0, 1], pa.int64()),
+                   "val": pa.array([70, 90, 11], pa.int64())})
+
+    # copy-on-write reference: eager merges on a twin layout
+    cow = str(tmp_path / "cow")
+    build_keyed_layout(ray.data.from_arrow(_base()), cow, key="id",
+                       version="ver", npartitions=16)
+    merge_into(cow, ray.data.from_arrow(d1))
+    merge_into(cow, ray.data.from_arrow(d2))
+    want = {r["id"]: (r["ver"], r["val"])
+            for r in read_keyed_layout(cow).take_all()}
+
+    mor = str(tmp_path / "mor")
+    build_keyed_layout(ray.data.from_arrow(_base()), mor, key="id",
+                       version="ver", npartitions=16)
+    before = _fingerprints(mor)
+    append_delta(mor, ray.data.from_arrow(d1))
+    append_delta(mor, ray.data.from_arrow(d2))
+    # append never touches a base file — EVERY base file byte-identical
+    assert _fingerprints(mor) == before
+    got = {r["id"]: (r["ver"], r["val"])
+           for r in read_keyed_layout(mor).take_all()}
+    assert got == want
+    assert got[0] == (5, 70)       # later append wins the version tie
+    assert got[10] == (0, 90)      # delta beats base on a tie
+    assert got[2000] == (1, 10) and got[2001] == (1, 11)   # inserts
+
+    # pending deltas block the copy-on-write paths
+    from geobuf_ray.state.mergeinto import delete_from
+
+    with pytest.raises(ValueError, match="pending"):
+        merge_into(mor, ray.data.from_arrow(d1))
+    with pytest.raises(ValueError, match="pending"):
+        delete_from(mor, np.array([0], np.int64))
+
+    # compaction folds deltas in: same logical rows, no delta files,
+    # untouched partitions byte-identical
+    touched_parts = {int(f.split("-")[1]) for f in os.listdir(mor)
+                     if f.startswith("delta-")}
+    res = compact_keyed_layout(mor)
+    assert sorted(touched_parts) == res["compacted"]
+    assert not [f for f in os.listdir(mor) if f.startswith("delta-")]
+    after = _fingerprints(mor)
+    for f, blob in before.items():
+        if int(f.split("-")[1].split(".")[0]) not in touched_parts:
+            assert after[f] == blob
+    got2 = {r["id"]: (r["ver"], r["val"])
+            for r in read_keyed_layout(mor).take_all()}
+    assert got2 == want
+
+    # compacted layout accepts copy-on-write writes again
+    merge_into(mor, ray.data.from_arrow(
+        pa.table({"id": pa.array([3000], pa.int64()),
+                  "ver": pa.array([9], pa.int64()),
+                  "val": pa.array([1], pa.int64())})))
+    assert read_keyed_layout(mor).count() == len(want) + 1
+
+
+def test_append_delta_intra_file_last_wins(ray_session, tmp_path):
+    """Two rows for one key inside ONE delta: the later row wins a
+    version tie (merge_into's stable-sort order)."""
+    import ray
+
+    from geobuf_ray.state.mergeinto import (append_delta,
+                                            compact_keyed_layout)
+
+    d = str(tmp_path / "layout")
+    build_keyed_layout(ray.data.from_arrow(_base(50)), d, key="id",
+                       version="ver", npartitions=4)
+    delta = pa.table({"id": pa.array([7, 7, 7], pa.int64()),
+                      "ver": pa.array([3, 3, 2], pa.int64()),
+                      "val": pa.array([100, 200, 300], pa.int64())})
+    append_delta(d, ray.data.from_arrow(delta).repartition(1))
+    got = {r["id"]: (r["ver"], r["val"])
+           for r in read_keyed_layout(d).take_all()}
+    assert got[7] == (3, 200)
+    compact_keyed_layout(d)
+    got = {r["id"]: (r["ver"], r["val"])
+           for r in read_keyed_layout(d).take_all()}
+    assert got[7] == (3, 200)
