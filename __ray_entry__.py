@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_lift": q.parts_copurchase_lift,
         "orders_merge_into": q.orders_merge_into,
         "orders_merge_on_read": q.orders_merge_on_read,
+        "orders_agg_view": q.orders_agg_view,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -2123,6 +2124,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM u GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "orders_agg_view": """
+            WITH eff AS (SELECT o_custkey,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents
+                         FROM orders WHERE o_orderkey % 8 <> 1),
+            g AS (SELECT o_custkey,
+                         CAST(COUNT(*) AS BIGINT) AS n_rows,
+                         CAST(SUM(cents) AS BIGINT) AS sum_cents
+                  FROM eff GROUP BY o_custkey)
+            SELECT o_custkey % 16 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                   CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+                   CAST(SUM(o_custkey * n_rows) AS BIGINT) AS key_rowsum
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         "parts_copurchase_lift": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey

@@ -7645,3 +7645,79 @@ def orders_merge_on_read(sf_dir: str):
         "o_orderpriority": pa.array([pr[i] for i in order]),
         "n_rows": pa.array(mor["n_rows"].to_numpy()[order]),
         "sum_cents": pa.array(mor["sum_cents"].to_numpy()[order])})
+
+
+def orders_agg_view(sf_dir: str):
+    """Incremental materialized aggregate view (state/aggview): a
+    per-customer COUNT/SUM view builds over three quarters of orders,
+    then maintains itself by DELTAS only — an insert refresh (+1) folds
+    the remaining quarter in and a retract refresh (-1) removes the
+    orderkey%8==1 slice — so the final view state equals a GROUP BY
+    over ``orders WHERE o_orderkey % 8 <> 1`` without ever recomputing
+    from the base table.  The view (one row per custkey) rolls up per
+    custkey%16 with a key-weighted checksum so the hash check certifies
+    the maintained GROUPS, not just grand totals.  The SQL twin
+    computes the same effective-row GROUP BY directly."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.aggview import (build_agg_view, read_agg_view,
+                                 refresh_agg_view)
+
+    def oprep(b: pa.Table) -> pa.Table:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "cents": pa.array(cents)})
+
+    def rows(pred):
+        def fn(b: pa.Table) -> pa.Table:
+            t = oprep(b)
+            k = t["o_orderkey"].to_numpy().astype(np.int64)
+            return t.filter(pa.array(pred(k))).drop(["o_orderkey"])
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
+            .map_batches(fn, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    d = tempfile.mkdtemp(prefix="aggview_", dir="/tmp")
+    try:
+        build_agg_view(rows(lambda k: k % 4 != 0), d, key="o_custkey",
+                       sums={"sum_cents": "cents"}, npartitions=32)
+        refresh_agg_view(d, rows(lambda k: k % 4 == 0), weight=1)
+        refresh_agg_view(d, rows(lambda k: k % 8 == 1), weight=-1)
+
+        def rollup(b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy().astype(np.int64)
+            nr = b["n_rows"].to_numpy().astype(np.int64)
+            sc = b["sum_cents"].to_numpy().astype(np.int64)
+            bk = ck % 16
+            uu, inv = np.unique(bk, return_inverse=True)
+            out = {"bucket": pa.array(uu)}
+            for name, v in (("n_groups", np.ones(len(ck), np.int64)),
+                            ("n_rows", nr), ("sum_cents", sc),
+                            ("key_rowsum", ck * nr)):
+                s = np.zeros(len(uu), np.int64)
+                np.add.at(s, inv, v)
+                out[name] = pa.array(s)
+            return pa.table(out)
+
+        agg = _final_combine(
+            read_agg_view(d).map_batches(
+                rollup, batch_format="pyarrow", zero_copy_batch=True),
+            ["bucket"], ["n_groups", "n_rows", "sum_cents",
+                         "key_rowsum"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    bk = agg["bucket"].to_numpy().astype(np.int64)
+    order = np.argsort(bk)
+    return pa.table({
+        "bucket": pa.array(bk[order]),
+        "n_groups": pa.array(agg["n_groups"].to_numpy()[order]),
+        "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
+        "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order]),
+        "key_rowsum": pa.array(agg["key_rowsum"].to_numpy()[order])})
