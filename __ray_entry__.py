@@ -215,6 +215,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
         "tpch_q7": q.tpch_q7,
+        "tpch_q6": q.tpch_q6,
+        "tpch_q15": q.tpch_q15,
+        "tpch_q17": q.tpch_q17,
+        "tpch_q8": q.tpch_q8,
+        "tpch_q9": q.tpch_q9,
+        "tpch_q11": q.tpch_q11,
+        "tpch_q21": q.tpch_q21,
+        "tpch_q2": q.tpch_q2,
+        "tpch_q16": q.tpch_q16,
+        "tpch_q20": q.tpch_q20,
         "lineitem_price_band_broadcast": q.lineitem_price_band_broadcast,
         "events_last_order_asof": q.events_last_order_asof,
         "orders_next_order_asof": q.orders_next_order_asof,
@@ -2124,6 +2134,191 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM u GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "tpch_q6": """
+            SELECT CAST(COALESCE(SUM(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                   AS BIGINT) AS revenue_c2
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(SUM(CAST(round(l_extendedprice * 100)
+                               AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                               AS BIGINT))) AS BIGINT)
+                           AS total_revenue_c2
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1997-01-01'
+                  AND l_shipdate < DATE '1997-04-01'
+                GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s_name, total_revenue_c2
+            FROM supplier s JOIN revenue r ON s.s_suppkey = r.s_suppkey
+            WHERE total_revenue_c2 =
+                  (SELECT MAX(total_revenue_c2) FROM revenue)
+            ORDER BY s.s_suppkey
+        """,
+        "tpch_q17": """
+            WITH agg AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                           AS BIGINT) AS sum_qty,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#7' AND p_size < 15
+                GROUP BY l_partkey)
+            SELECT CAST(COALESCE(SUM(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)), 0)
+                   AS BIGINT) AS sum_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem JOIN agg ON lineitem.l_partkey = agg.l_partkey
+            WHERE 5 * CAST(round(l_quantity) AS BIGINT) * n < sum_qty
+        """,
+        "tpch_q8": """
+            WITH vol AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                           AS o_year,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev,
+                       s_nationkey
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+                  AND o_orderdate >= DATE '1996-01-01'
+                  AND o_orderdate < DATE '1998-01-01')
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN s_nationkey =
+                       (SELECT n_nationkey FROM nation
+                        WHERE n_name = 'NATION_6')
+                       THEN rev ELSE 0 END) AS BIGINT) AS num_c2,
+                   CAST(SUM(rev) AS BIGINT) AS den_c2
+            FROM vol GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q9": """
+            SELECT n_name,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(SUM(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       - CAST(round(p_retailprice * 100) AS BIGINT)
+                         * 100 * CAST(round(l_quantity) AS BIGINT))
+                       AS BIGINT) AS profit_c2
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year DESC
+        """,
+        "tpch_q11": """
+            WITH v AS (
+                SELECT l_partkey,
+                       CAST(SUM(
+                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                               AS BIGINT))) AS BIGINT) AS value_c2
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_4'
+                GROUP BY l_partkey)
+            SELECT l_partkey, value_c2 FROM v
+            WHERE value_c2 * 1000 > (SELECT SUM(value_c2) FROM v)
+            ORDER BY value_c2 DESC, l_partkey
+        """,
+        "tpch_q21": """
+            WITH l AS (
+                SELECT l_orderkey, l_suppkey,
+                       (l_shipdate > o_orderdate + INTERVAL 90 DAY)
+                           AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'),
+            o AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS ns,
+                       COUNT(DISTINCT CASE WHEN late THEN l_suppkey
+                                      END) AS nl,
+                       MAX(CASE WHEN late THEN l_suppkey END)
+                           AS the_late
+                FROM l GROUP BY l_orderkey)
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM o JOIN supplier ON the_late = s_suppkey
+            WHERE ns > 1 AND nl = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "tpch_q2": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                        FROM lineitem),
+            cand AS (
+                SELECT p_partkey, s_suppkey,
+                       CAST(round(s_acctbal * 100) AS BIGINT) AS bal,
+                       s_name, n_name
+                FROM ps
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE p_type = 'SMALL' AND p_size = 15
+                  AND r_name = 'EUROPE'),
+            m AS (SELECT p_partkey, MIN(bal) AS mb
+                  FROM cand GROUP BY p_partkey)
+            SELECT bal AS s_acctbal_cents, s_name, n_name,
+                   cand.p_partkey
+            FROM cand JOIN m ON cand.p_partkey = m.p_partkey
+            WHERE bal = mb
+            ORDER BY s_acctbal_cents DESC, n_name, s_name,
+                     cand.p_partkey
+            LIMIT 100
+        """,
+        "tpch_q16": """
+            SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey
+                  FROM lineitem) ps
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE p_brand <> 'Brand#5' AND s_acctbal >= 0
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+        """,
+        "tpch_q20": """
+            WITH rp AS (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '%red%'),
+            agg AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                           AS BIGINT) AS sq
+                FROM lineitem JOIN rp ON l_partkey = p_partkey
+                WHERE l_shipdate >= DATE '1997-01-01'
+                  AND l_shipdate < DATE '1998-01-01'
+                GROUP BY l_partkey, l_suppkey),
+            tot AS (SELECT l_partkey, SUM(sq) AS tq
+                    FROM agg GROUP BY l_partkey)
+            SELECT DISTINCT s_name
+            FROM agg
+            JOIN tot ON agg.l_partkey = tot.l_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE 5 * sq > tq AND n_name = 'NATION_2'
+            ORDER BY s_name
         """,
         "orders_agg_view": """
             WITH eff AS (SELECT o_custkey,

@@ -7721,3 +7721,772 @@ def orders_agg_view(sf_dir: str):
         "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
         "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order]),
         "key_rowsum": pa.array(agg["key_rowsum"].to_numpy()[order])})
+
+
+def _cents_np(col) -> np.ndarray:
+    return np.round(col.to_numpy() * 100).astype(np.int64)
+
+
+def tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): the pure scan-aggregate
+    — date window + discount band + quantity cap, revenue =
+    sum(extendedprice x discount) in exact cents x pct int64.  One
+    column-pruned pass, one partial row per block, no shuffle at
+    all."""
+    import ray
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def partial(b: pa.Table) -> pa.Table:
+        sd = b["l_shipdate"].to_numpy().astype("datetime64[D]")
+        disc = _cents_np(b["l_discount"])
+        qty = b["l_quantity"].to_numpy()
+        keep = ((sd >= lo) & (sd < hi) & (disc >= 5) & (disc <= 7)
+                & (qty < 24))
+        price = _cents_np(b["l_extendedprice"])[keep]
+        return pa.table({"revenue_c2":
+                         pa.array([int((price * disc[keep]).sum())])})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ..collect import collect_table
+
+    tot = int(collect_table(ds)["revenue_c2"].to_numpy().sum())
+    return pa.table({"revenue_c2": pa.array([tot], pa.int64())})
+
+
+def tpch_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier): per-supplier quarter revenue via
+    per-block partials (supplier cardinality is small by contract),
+    then the MAX + equality filter on the driver — the 'revenue view +
+    scalar subquery' shape with no shuffle.  Emits every supplier
+    achieving the max (canonical ties semantics)."""
+    import ray
+
+    from ..collect import collect_table
+
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1997-04-01")
+
+    def partial(b: pa.Table) -> pa.Table:
+        sd = b["l_shipdate"].to_numpy().astype("datetime64[D]")
+        keep = (sd >= lo) & (sd < hi)
+        sk = b["l_suppkey"].to_numpy().astype(np.int64)[keep]
+        rev = (_cents_np(b["l_extendedprice"]) *
+               (100 - _cents_np(b["l_discount"])))[keep]
+        uu, inv = np.unique(sk, return_inverse=True)
+        s = np.zeros(len(uu), np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({"s_suppkey": pa.array(uu),
+                         "total_revenue_c2": pa.array(s)})
+
+    agg = _final_combine(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["s_suppkey"], ["total_revenue_c2"])
+    sk = agg["s_suppkey"].to_numpy().astype(np.int64)
+    rv = agg["total_revenue_c2"].to_numpy().astype(np.int64)
+    mx = int(rv.max())
+    win = sk[rv == mx]
+    sup = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]))
+    name_of = dict(zip(sup["s_suppkey"].to_pylist(),
+                       sup["s_name"].to_pylist()))
+    win = np.sort(win)
+    return pa.table({
+        "s_suppkey": pa.array(win),
+        "s_name": pa.array([name_of[int(k)] for k in win]),
+        "total_revenue_c2": pa.array(
+            np.full(len(win), mx, np.int64))})
+
+
+def tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part AVG becomes two column-pruned passes — pass 1 aggregates
+    (sum_qty, n) per brand-filtered part into a tiny broadcast, pass 2
+    filters 'qty < 0.2 x avg' as the exact integer cross-multiply
+    5 x qty x n < sum_qty.  Returns the exact integer numerator
+    (sum_cents, n_rows); the /7.0 display division stays with the
+    consumer."""
+    import ray
+
+    from ..collect import collect_table
+
+    part = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]))
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    keep = (np.asarray(part["p_brand"].to_pylist()) == "Brand#7") & \
+        (part["p_size"].to_numpy() < 15)
+    span = int(pk.max()) + 2
+    inset = np.zeros(span, bool)
+    inset[pk[keep]] = True
+    inset_ref = ray.put(inset)
+
+    def pass1(b: pa.Table) -> pa.Table:
+        s = ray.get(inset_ref)
+        k = np.minimum(b["l_partkey"].to_numpy().astype(np.int64),
+                       len(s) - 1)
+        m = s[k]
+        k = k[m]
+        qty = np.round(b["l_quantity"].to_numpy()).astype(np.int64)[m]
+        uu, inv = np.unique(k, return_inverse=True)
+        sq = np.zeros(len(uu), np.int64)
+        np.add.at(sq, inv, qty)
+        return pa.table({
+            "l_partkey": pa.array(uu), "sum_qty": pa.array(sq),
+            "n": pa.array(np.bincount(
+                inv, minlength=len(uu)).astype(np.int64))})
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    agg = _final_combine(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=cols[:2]).map_batches(
+            pass1, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], ["sum_qty", "n"])
+    sq = np.zeros(span, np.int64)
+    nn = np.zeros(span, np.int64)
+    ak = agg["l_partkey"].to_numpy().astype(np.int64)
+    sq[ak] = agg["sum_qty"].to_numpy()
+    nn[ak] = agg["n"].to_numpy()
+    sq_ref, nn_ref = ray.put(sq), ray.put(nn)
+
+    def pass2(b: pa.Table) -> pa.Table:
+        s, n = ray.get(sq_ref), ray.get(nn_ref)
+        k = np.minimum(b["l_partkey"].to_numpy().astype(np.int64),
+                       len(s) - 1)
+        qty = np.round(b["l_quantity"].to_numpy()).astype(np.int64)
+        m = (n[k] > 0) & (5 * qty * n[k] < s[k])
+        cents = _cents_np(b["l_extendedprice"])[m]
+        return pa.table({
+            "sum_cents": pa.array([int(cents.sum())]),
+            "n_rows": pa.array([int(m.sum())])})
+
+    out = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=cols).map_batches(
+        pass2, batch_format="pyarrow", zero_copy_batch=True))
+    return pa.table({
+        "sum_cents": pa.array([int(out["sum_cents"].to_numpy().sum())]),
+        "n_rows": pa.array([int(out["n_rows"].to_numpy().sum())])})
+
+
+def tpch_q8(sf_dir: str):
+    """TPC-H Q8 shape (national market share): lineitems pre-filter to
+    PROMO parts via a broadcast bool set, ONE hash join attaches the
+    order year + custkey, and both nationalities resolve from dense
+    broadcast arrays post-join; per-year numerator (share nation's
+    volume) and denominator (region volume) return as exact integers —
+    the display division stays with the consumer so the hash is
+    bit-stable."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.join import hash_join
+
+    nat = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"]))
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nreg = nat["n_regionkey"].to_numpy().astype(np.int64)
+    names = nat["n_name"].to_pylist()
+    america = np.sort(nk[nreg == 1])
+    share_nk = int(nk[np.asarray(names) == "NATION_6"][0])
+
+    part = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]))
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    promo = np.zeros(int(pk.max()) + 2, bool)
+    promo[pk[np.asarray(part["p_type"].to_pylist()) == "PROMO"]] = True
+    promo_ref = ray.put(promo)
+
+    def dense(path, kcol, vcol):
+        t = collect_table(ray.data.read_parquet(
+            path, columns=[kcol, vcol]))
+        k = t[kcol].to_numpy().astype(np.int64)
+        a = np.full(int(k.max()) + 2, -1, np.int64)
+        a[k] = t[vcol].to_numpy().astype(np.int64)
+        return a
+
+    c2n_ref = ray.put(dense(f"{sf_dir}/customer.parquet",
+                            "c_custkey", "c_nationkey"))
+    s2n_ref = ray.put(dense(f"{sf_dir}/supplier.parquet",
+                            "s_suppkey", "s_nationkey"))
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    def oprep(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].to_numpy().astype("datetime64[D]")
+        keep = (od >= lo) & (od < hi)
+        yr = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "o_year": pa.array(yr)}).filter(pa.array(keep))
+
+    def lprep(b: pa.Table) -> pa.Table:
+        pr = ray.get(promo_ref)
+        k = np.minimum(b["l_partkey"].to_numpy().astype(np.int64),
+                       len(pr) - 1)
+        rev = _cents_np(b["l_extendedprice"]) * \
+            (100 - _cents_np(b["l_discount"]))
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "rev": pa.array(rev)}).filter(pa.array(pr[k]))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        oprep, batch_format="pyarrow", zero_copy_batch=True)
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        lprep, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(items, orders, on="o_orderkey", nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c2n, s2n = ray.get(c2n_ref), ray.get(s2n_ref)
+        ck = np.minimum(b["o_custkey"].to_numpy().astype(np.int64),
+                        len(c2n) - 1)
+        keep = np.isin(c2n[ck], america)
+        sk = np.minimum(b["l_suppkey"].to_numpy().astype(np.int64),
+                        len(s2n) - 1)[keep]
+        yr = b["o_year"].to_numpy().astype(np.int64)[keep]
+        rev = b["rev"].to_numpy().astype(np.int64)[keep]
+        is_share = (s2n[sk] == share_nk).astype(np.int64)
+        uu, inv = np.unique(yr, return_inverse=True)
+        num = np.zeros(len(uu), np.int64)
+        den = np.zeros(len(uu), np.int64)
+        np.add.at(num, inv, rev * is_share)
+        np.add.at(den, inv, rev)
+        return pa.table({"o_year": pa.array(uu),
+                         "num_c2": pa.array(num),
+                         "den_c2": pa.array(den)})
+
+    agg = _final_combine(
+        j.map_batches(partial, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["o_year"], ["num_c2", "den_c2"])
+    yr = agg["o_year"].to_numpy().astype(np.int64)
+    order = np.argsort(yr)
+    return pa.table({
+        "o_year": pa.array(yr[order]),
+        "num_c2": pa.array(agg["num_c2"].to_numpy()[order]),
+        "den_c2": pa.array(agg["den_c2"].to_numpy()[order])})
+
+
+def tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation-year): cost
+    adapts to p_retailprice x quantity (no partsupp table in the
+    corpus — documented stand-in for ps_supplycost); amount =
+    price_c x (100 - disc) - retail_c x 100 x qty stays exact int64.
+    The 'red' part family broadcasts as (bool, retail-cents) dense
+    arrays, one hash join attaches the order year, supplier
+    nationality resolves from a dense broadcast."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.join import hash_join
+
+    nat = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]))
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+
+    part = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"]))
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    red = np.array(["red" in s for s in part["p_name"].to_pylist()])
+    span = int(pk.max()) + 2
+    inset = np.zeros(span, bool)
+    inset[pk[red]] = True
+    retail = np.zeros(span, np.int64)
+    retail[pk] = _cents_np(part["p_retailprice"])
+    inset_ref, retail_ref = ray.put(inset), ray.put(retail)
+
+    sup = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]))
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    s2n = np.full(int(sk.max()) + 2, -1, np.int64)
+    s2n[sk] = sup["s_nationkey"].to_numpy().astype(np.int64)
+    s2n_ref = ray.put(s2n)
+
+    def lprep(b: pa.Table) -> pa.Table:
+        ins, ret = ray.get(inset_ref), ray.get(retail_ref)
+        k = np.minimum(b["l_partkey"].to_numpy().astype(np.int64),
+                       len(ins) - 1)
+        qty = np.round(b["l_quantity"].to_numpy()).astype(np.int64)
+        amt = (_cents_np(b["l_extendedprice"]) *
+               (100 - _cents_np(b["l_discount"]))
+               - ret[k] * 100 * qty)
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "amount_c2": pa.array(amt)}).filter(
+            pa.array(ins[k]))
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        lprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def oprep(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].to_numpy().astype("datetime64[D]")
+        yr = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_year": pa.array(yr)})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"]).map_batches(
+        oprep, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(items, orders, on="o_orderkey", nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s2n_ = ray.get(s2n_ref)
+        sk_ = np.minimum(b["l_suppkey"].to_numpy().astype(np.int64),
+                         len(s2n_) - 1)
+        nk = s2n_[sk_]
+        yr = b["o_year"].to_numpy().astype(np.int64)
+        amt = b["amount_c2"].to_numpy().astype(np.int64)
+        code = nk * 4096 + (yr - 1970)
+        uu, inv = np.unique(code, return_inverse=True)
+        s = np.zeros(len(uu), np.int64)
+        np.add.at(s, inv, amt)
+        return pa.table({"code": pa.array(uu),
+                         "profit_c2": pa.array(s)})
+
+    agg = _final_combine(
+        j.map_batches(partial, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["code"], ["profit_c2"])
+    code = agg["code"].to_numpy().astype(np.int64)
+    nk = code // 4096
+    yr = code % 4096 + 1970
+    pr = agg["profit_c2"].to_numpy().astype(np.int64)
+    names = np.asarray([name_of[int(k)] for k in nk])
+    order = np.lexsort((-yr, names))
+    return pa.table({"n_name": pa.array(names[order]),
+                     "o_year": pa.array(yr[order]),
+                     "profit_c2": pa.array(pr[order])})
+
+
+def tpch_q11(sf_dir: str):
+    """TPC-H Q11 shape (important parts): per-part value restricted to
+    one nation's suppliers, kept only if value x 1000 > the nation's
+    grand total (the scalar-subquery HAVING as an exact integer
+    cross-multiply — no float fraction).  Value adapts to lineitem
+    revenue (no partsupp table — documented).  Per-block partials
+    bound the collect to |parts| x |blocks|; the threshold filter runs
+    on the driver over the final combine."""
+    import ray
+
+    from ..collect import collect_table
+
+    sup = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]))
+    nat = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]))
+    target = int(nat["n_nationkey"].to_numpy()[
+        np.asarray(nat["n_name"].to_pylist()) == "NATION_4"][0])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    in_nat = np.zeros(int(sk.max()) + 2, bool)
+    in_nat[sk[sup["s_nationkey"].to_numpy().astype(np.int64)
+              == target]] = True
+    in_nat_ref = ray.put(in_nat)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = ray.get(in_nat_ref)
+        k = np.minimum(b["l_suppkey"].to_numpy().astype(np.int64),
+                       len(s) - 1)
+        m = s[k]
+        pk = b["l_partkey"].to_numpy().astype(np.int64)[m]
+        rev = (_cents_np(b["l_extendedprice"]) *
+               (100 - _cents_np(b["l_discount"])))[m]
+        uu, inv = np.unique(pk, return_inverse=True)
+        v = np.zeros(len(uu), np.int64)
+        np.add.at(v, inv, rev)
+        return pa.table({"l_partkey": pa.array(uu),
+                         "value_c2": pa.array(v)})
+
+    agg = _final_combine(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], ["value_c2"])
+    pk = agg["l_partkey"].to_numpy().astype(np.int64)
+    v = agg["value_c2"].to_numpy().astype(np.int64)
+    total = int(v.sum())
+    keep = v * 1000 > total
+    pk, v = pk[keep], v[keep]
+    order = np.lexsort((pk, -v))
+    return pa.table({"l_partkey": pa.array(pk[order]),
+                     "value_c2": pa.array(v[order])})
+
+
+def tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): 'late'
+    adapts to l_shipdate > o_orderdate + 90 days (no
+    commit/receiptdate columns — documented).  One hash join attaches
+    the order date to F-status orders' lines; the join's bucket-local
+    output co-locates each order's rows in ONE block, so the
+    EXISTS-other-supplier / NOT-EXISTS-other-late-supplier pair
+    evaluates vectorized per block (distinct-supplier and
+    distinct-late counts per order), and only per-supplier numwait
+    partials leave."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.join import hash_join
+
+    def oprep(b: pa.Table) -> pa.Table:
+        st = np.asarray(b["o_orderstatus"].to_pylist())
+        od = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_day": pa.array(od)}).filter(
+            pa.array(st == "F"))
+
+    def lprep(b: pa.Table) -> pa.Table:
+        sd = b["l_shipdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "s_day": pa.array(sd)})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"]
+    ).map_batches(oprep, batch_format="pyarrow", zero_copy_batch=True)
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        lprep, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(items, orders, on="o_orderkey", nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "numwait": pa.array([], pa.int64())})
+        ok = b["o_orderkey"].to_numpy().astype(np.int64)
+        sk = b["l_suppkey"].to_numpy().astype(np.int64)
+        late = b["s_day"].to_numpy().astype(np.int64) > \
+            b["o_day"].to_numpy().astype(np.int64) + 90
+        # distinct (order, supplier, any-late) pairs via one lexsort
+        order = np.lexsort((sk, ok))
+        ok, sk, late = ok[order], sk[order], late[order]
+        newpair = np.ones(len(ok), bool)
+        newpair[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        pid = np.cumsum(newpair) - 1
+        plate = np.zeros(pid[-1] + 1, bool)
+        np.logical_or.at(plate, pid, late)
+        pok, psk = ok[newpair], sk[newpair]
+        # per order over distinct pairs: ns, n_late, the late supplier
+        neword = np.ones(len(pok), bool)
+        neword[1:] = pok[1:] != pok[:-1]
+        oid = np.cumsum(neword) - 1
+        ns = np.bincount(oid)
+        nl = np.bincount(oid, weights=plate).astype(np.int64)
+        the_late = np.zeros(oid[-1] + 1, np.int64)
+        lm = plate
+        the_late[oid[lm]] = psk[lm]  # nl==1 rows: exactly one write
+        qual = (ns > 1) & (nl == 1)
+        winners = the_late[qual]
+        uu, cnt = np.unique(winners, return_counts=True)
+        return pa.table({"s_suppkey": pa.array(uu),
+                         "numwait": pa.array(cnt.astype(np.int64))})
+
+    agg = _final_combine(
+        j.map_batches(partial, batch_format="pyarrow",
+                      zero_copy_batch=True, batch_size=None),
+        ["s_suppkey"], ["numwait"])
+    sup = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]))
+    name_of = dict(zip(sup["s_suppkey"].to_pylist(),
+                       sup["s_name"].to_pylist()))
+    sk = agg["s_suppkey"].to_numpy().astype(np.int64)
+    nw = agg["numwait"].to_numpy().astype(np.int64)
+    names = np.asarray([name_of[int(k)] for k in sk])
+    order = np.lexsort((names, -nw))[:100]
+    return pa.table({"s_name": pa.array(names[order]),
+                     "numwait": pa.array(nw[order])})
+
+
+def tpch_q2(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier): the part-supplier
+    relation derives from DISTINCT lineitem pairs (no partsupp table —
+    documented) and 'cost' adapts to s_acctbal; for each SMALL/size-15
+    part the EUROPE suppliers achieving the per-part MIN acctbal
+    survive.  Min is duplicate-insensitive, so blocks emit only their
+    per-part block-min pairs (bounded by parts x blocks) and the
+    driver resolves the global min + winner set; supplier/nation
+    attributes attach to winners only."""
+    import ray
+
+    from ..collect import collect_table
+
+    sup = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]))
+    nat = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"]))
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    europe = set(nk[nat["n_regionkey"].to_numpy().astype(np.int64)
+                    == 3].tolist())
+    name_of = dict(zip(nk.tolist(), nat["n_name"].to_pylist()))
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    snk = sup["s_nationkey"].to_numpy().astype(np.int64)
+    sbal = _cents_np(sup["s_acctbal"])
+    span = int(sk.max()) + 2
+    in_eu = np.zeros(span, bool)
+    in_eu[sk[np.isin(snk, np.array(sorted(europe), np.int64))]] = True
+    bal = np.zeros(span, np.int64)
+    bal[sk] = sbal
+    sname = dict(zip(sk.tolist(), sup["s_name"].to_pylist()))
+    s2n = np.full(span, -1, np.int64)
+    s2n[sk] = snk
+
+    part = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type", "p_size"]))
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    pm = (np.asarray(part["p_type"].to_pylist()) == "SMALL") & \
+        (part["p_size"].to_numpy() == 15)
+    pset = np.zeros(int(pk.max()) + 2, bool)
+    pset[pk[pm]] = True
+    pset_ref, in_eu_ref, bal_ref = (ray.put(pset), ray.put(in_eu),
+                                    ray.put(bal))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ps, eu, bl = (ray.get(pset_ref), ray.get(in_eu_ref),
+                      ray.get(bal_ref))
+        k = np.minimum(b["l_partkey"].to_numpy().astype(np.int64),
+                       len(ps) - 1)
+        s = np.minimum(b["l_suppkey"].to_numpy().astype(np.int64),
+                       len(eu) - 1)
+        m = ps[k] & eu[s]
+        k, s = k[m], s[m]
+        ab = bl[s]
+        # block-local min per part, keep pairs achieving it
+        order = np.lexsort((s, ab, k))
+        k, s, ab = k[order], s[order], ab[order]
+        newk = np.ones(len(k), bool)
+        newk[1:] = k[1:] != k[:-1]
+        gmin = ab[newk][np.cumsum(newk) - 1]  # per-row group min
+        at_min = ab == gmin
+        # dedup (part, supp) among the at-min pairs
+        kk, ss = k[at_min], s[at_min]
+        newp = np.ones(len(kk), bool)
+        newp[1:] = (kk[1:] != kk[:-1]) | (ss[1:] != ss[:-1])
+        return pa.table({"p_partkey": pa.array(kk[newp]),
+                         "s_suppkey": pa.array(ss[newp]),
+                         "bal": pa.array(bl[ss[newp]])})
+
+    cand = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    k = cand["p_partkey"].to_numpy().astype(np.int64)
+    s = cand["s_suppkey"].to_numpy().astype(np.int64)
+    ab = cand["bal"].to_numpy().astype(np.int64)
+    if len(k):
+        order = np.lexsort((s, ab, k))
+        k, s, ab = k[order], s[order], ab[order]
+        newk = np.ones(len(k), bool)
+        newk[1:] = k[1:] != k[:-1]
+        gmin = ab[newk][np.cumsum(newk) - 1]
+        at_min = ab == gmin
+        k, s, ab = k[at_min], s[at_min], ab[at_min]
+        newp = np.ones(len(k), bool)
+        newp[1:] = (k[1:] != k[:-1]) | (s[1:] != s[:-1])
+        k, s, ab = k[newp], s[newp], ab[newp]
+    if not len(k):
+        return pa.table({"s_acctbal_cents": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "n_name": pa.array([], pa.string()),
+                         "p_partkey": pa.array([], pa.int64())})
+    nn = np.asarray([name_of[int(s2n[i])] for i in s])
+    sn = np.asarray([sname[int(i)] for i in s])
+    order = np.lexsort((k, sn, nn, -ab))[:100]
+    return pa.table({
+        "s_acctbal_cents": pa.array(ab[order]),
+        "s_name": pa.array(sn[order].tolist(), pa.string()),
+        "n_name": pa.array(nn[order].tolist(), pa.string()),
+        "p_partkey": pa.array(k[order])})
+
+
+def tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape (supplier relationship count): COUNT(DISTINCT
+    suppliers) per (brand, size) over the distinct lineitem
+    (part, supplier) relation, excluding Brand#5 parts and
+    negative-balance suppliers (the complaints stand-in).  Blocks
+    pre-dedup (brand, size, supp) triples, ONE exchange on the packed
+    triple makes bucket-level dedup global (a triple lives in exactly
+    one bucket), and per-bucket (brand, size) counts sum exactly."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    part = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]))
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    brands = sorted(set(part["p_brand"].to_pylist()))
+    bcode = {b: i for i, b in enumerate(brands)}
+    pb = np.asarray([bcode[b] for b in part["p_brand"].to_pylist()],
+                    np.int64)
+    psz = part["p_size"].to_numpy().astype(np.int64)
+    span = int(pk.max()) + 2
+    pbrand = np.full(span, -1, np.int64)
+    pbrand[pk] = pb
+    psize = np.zeros(span, np.int64)
+    psize[pk] = psz
+    excl_b = bcode.get("Brand#5", -2)
+
+    sup = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_acctbal"]))
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    oksup = np.zeros(int(sk.max()) + 2, bool)
+    oksup[sk[sup["s_acctbal"].to_numpy() >= 0]] = True
+    pb_ref, ps_ref, ok_ref = (ray.put(pbrand), ray.put(psize),
+                              ray.put(oksup))
+    NB, NS = len(brands), 64  # sizes are 1..50 < 64
+
+    def prep(b: pa.Table) -> pa.Table:
+        pbr, psz_, oks = ray.get(pb_ref), ray.get(ps_ref), ray.get(ok_ref)
+        k = np.minimum(b["l_partkey"].to_numpy().astype(np.int64),
+                       len(pbr) - 1)
+        s = np.minimum(b["l_suppkey"].to_numpy().astype(np.int64),
+                       len(oks) - 1)
+        m = (pbr[k] >= 0) & (pbr[k] != excl_b) & oks[s]
+        code = (pbr[k[m]] * NS + psz_[k[m]])
+        trip = np.unique(code * (1 << 40) + s[m])
+        return pa.table({"trip": pa.array(trip)})
+
+    def dedup_count(t: pa.Table) -> pa.Table:
+        trip = np.unique(t["trip"].to_numpy().astype(np.int64))
+        code = trip >> 40
+        uu, cnt = np.unique(code, return_counts=True)
+        return pa.table({"code": pa.array(uu),
+                         "supplier_cnt": pa.array(
+                             cnt.astype(np.int64))})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = hash_exchange(ds, nbuckets=32, on="trip",
+                        reduce_fn=dedup_count)
+    agg = _final_combine(out, ["code"], ["supplier_cnt"])
+    code = agg["code"].to_numpy().astype(np.int64)
+    cnt = agg["supplier_cnt"].to_numpy().astype(np.int64)
+    bn = np.asarray([brands[c] for c in (code // NS)])
+    sz = code % NS
+    order = np.lexsort((sz, bn, -cnt))
+    return pa.table({
+        "p_brand": pa.array(bn[order].tolist(), pa.string()),
+        "p_size": pa.array(sz[order]),
+        "supplier_cnt": pa.array(cnt[order])})
+
+
+def tpch_q20(sf_dir: str):
+    """TPC-H Q20 shape (part promotion candidates): suppliers in one
+    nation who shipped MORE THAN 20%% of some red part's total 1997
+    volume (availqty adapts to shipped quantity — no partsupp table,
+    documented).  Per-block (part, supp) quantity partials feed ONE
+    exchange on partkey; a bucket holds a part's complete 1997 stream,
+    so the per-part total and the 5 x supp_qty > total cross-multiply
+    (exact integers, no 0.2 float) both resolve bucket-locally and
+    only qualifying supplier ids leave."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    part = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]))
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    red = np.asarray(["red" in s for s in part["p_name"].to_pylist()])
+    pset = np.zeros(int(pk.max()) + 2, bool)
+    pset[pk[red]] = True
+    pset_ref = ray.put(pset)
+
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    def prep(b: pa.Table) -> pa.Table:
+        ps = ray.get(pset_ref)
+        sd = b["l_shipdate"].to_numpy().astype("datetime64[D]")
+        k = np.minimum(b["l_partkey"].to_numpy().astype(np.int64),
+                       len(ps) - 1)
+        m = ps[k] & (sd >= lo) & (sd < hi)
+        k = k[m]
+        s = b["l_suppkey"].to_numpy().astype(np.int64)[m]
+        q = np.round(b["l_quantity"].to_numpy()).astype(np.int64)[m]
+        # per-block (part, supp) partial sums
+        order = np.lexsort((s, k))
+        k, s, q = k[order], s[order], q[order]
+        newp = np.ones(len(k), bool)
+        newp[1:] = (k[1:] != k[:-1]) | (s[1:] != s[:-1])
+        pid = np.cumsum(newp) - 1
+        sq = np.zeros(int(pid[-1]) + 1 if len(pid) else 0, np.int64)
+        np.add.at(sq, pid, q)
+        return pa.table({"l_partkey": pa.array(k[newp]),
+                         "l_suppkey": pa.array(s[newp]),
+                         "sq": pa.array(sq)})
+
+    def qualify(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        q = t["sq"].to_numpy().astype(np.int64)
+        order = np.lexsort((s, k))
+        k, s, q = k[order], s[order], q[order]
+        newp = np.ones(len(k), bool)
+        newp[1:] = (k[1:] != k[:-1]) | (s[1:] != s[:-1])
+        pid = np.cumsum(newp) - 1
+        sq = np.zeros(int(pid[-1]) + 1 if len(pid) else 0, np.int64)
+        np.add.at(sq, pid, q)
+        kk, ss = k[newp], s[newp]
+        uu, inv = np.unique(kk, return_inverse=True)
+        tot = np.zeros(len(uu), np.int64)
+        np.add.at(tot, inv, sq)
+        win = np.unique(ss[5 * sq > tot[inv]])
+        return pa.table({"s_suppkey": pa.array(win)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity",
+                 "l_shipdate"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = collect_table(hash_exchange(ds, nbuckets=32, on="l_partkey",
+                                      reduce_fn=qualify))
+    win = np.unique(out["s_suppkey"].to_numpy().astype(np.int64))
+
+    sup = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"]))
+    nat = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]))
+    target = int(nat["n_nationkey"].to_numpy()[
+        np.asarray(nat["n_name"].to_pylist()) == "NATION_2"][0])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    keep = np.isin(sk, win) & (
+        sup["s_nationkey"].to_numpy().astype(np.int64) == target)
+    names = sorted(np.asarray(sup["s_name"].to_pylist())[keep].tolist())
+    return pa.table({"s_name": pa.array(names, pa.string())})
