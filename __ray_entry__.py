@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_merge_into": q.orders_merge_into,
         "orders_merge_on_read": q.orders_merge_on_read,
         "orders_agg_view": q.orders_agg_view,
+        "orders_time_travel": q.orders_time_travel,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -2319,6 +2320,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE 5 * sq > tq AND n_name = 'NATION_2'
             ORDER BY s_name
+        """,
+        "orders_time_travel": """
+            WITH base AS (SELECT o_orderkey AS id,
+                            CAST(floor(epoch(o_orderdate) / 86400)
+                                 AS BIGINT) AS ver,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents,
+                            o_orderpriority
+                          FROM orders),
+            d1 AS (SELECT id, ver + 10000 AS ver, cents * 2 AS cents,
+                          o_orderpriority
+                   FROM base WHERE id % 97 = 0),
+            all_rows AS (SELECT *, 0 AS is_d FROM base
+                         UNION ALL SELECT *, 1 AS is_d FROM d1),
+            u AS (SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY id
+                        ORDER BY ver DESC, is_d DESC) AS rn
+                    FROM all_rows) WHERE rn = 1)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM u GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "orders_agg_view": """
             WITH eff AS (SELECT o_custkey,

@@ -8490,3 +8490,106 @@ def tpch_q20(sf_dir: str):
         sup["s_nationkey"].to_numpy().astype(np.int64) == target)
     names = sorted(np.asarray(sup["s_name"].to_pylist())[keep].tolist())
     return pa.table({"s_name": pa.array(names, pa.string())})
+
+
+def orders_time_travel(sf_dir: str):
+    """Snapshot time travel over the merge-on-read keyed layout
+    (state/mergeinto.read_keyed_layout(as_of=...)): orders build as
+    the base (snapshot 0), two CDC appends land as snapshots 1 and 2,
+    and the query reads AS OF snapshot 1 — the second delta must be
+    invisible.  Snapshot ids are global per append and pinned in
+    meta.json; history lives in the delta files so travel reaches
+    back to the last compaction (the Iceberg expire-snapshots
+    contract, enforced with a raise).  In-query asserts pin as_of=0
+    == the base build and as_of=None == the latest snapshot; the
+    hash check certifies the as_of=1 state vs a UNION ALL +
+    ROW_NUMBER twin over base + first delta only."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.mergeinto import (append_delta, build_keyed_layout,
+                                   read_keyed_layout)
+
+    def oprep(b: pa.Table) -> pa.Table:
+        day = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"id": b["o_orderkey"],
+                         "ver": pa.array(day),
+                         "cents": pa.array(cents),
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    def base_ds():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_totalprice",
+                     "o_orderpriority"]).map_batches(
+            oprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dprep(mod: int, mul: int, bump: int):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b["id"].to_numpy().astype(np.int64)
+            t = b.filter(pa.array(k % mod == 0))
+            ver = t["ver"].to_numpy().astype(np.int64) + bump
+            cents = t["cents"].to_numpy().astype(np.int64) * mul
+            return pa.table({"id": t["id"], "ver": pa.array(ver),
+                             "cents": pa.array(cents),
+                             "o_orderpriority": t["o_orderpriority"]})
+        return fn
+
+    def aggregate(ds):
+        def partial(b: pa.Table) -> pa.Table:
+            pr = b["o_orderpriority"].combine_chunks() \
+                .dictionary_encode()
+            codes = pr.indices.to_numpy().astype(np.int64)
+            names = pr.dictionary.to_pylist()
+            cents = b["cents"].to_numpy().astype(np.int64)
+            n = np.bincount(codes, minlength=len(names)).astype(np.int64)
+            s = np.zeros(len(names), np.int64)
+            np.add.at(s, codes, cents)
+            return pa.table({"o_orderpriority": pa.array(names),
+                             "n_rows": pa.array(n),
+                             "sum_cents": pa.array(s)})
+
+        return _final_combine(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["o_orderpriority"], ["n_rows", "sum_cents"])
+
+    def as_dict(t: pa.Table):
+        return {p: (int(n), int(s)) for p, n, s in zip(
+            t["o_orderpriority"].to_pylist(),
+            t["n_rows"].to_pylist(), t["sum_cents"].to_pylist())}
+
+    d = tempfile.mkdtemp(prefix="timetravel_", dir="/tmp")
+    try:
+        build_keyed_layout(base_ds(), d, key="id", version="ver",
+                           npartitions=32)
+        base_agg = aggregate(read_keyed_layout(d))
+        r1 = append_delta(d, base_ds().map_batches(
+            dprep(97, 2, 10000), batch_format="pyarrow",
+            zero_copy_batch=True))
+        r2 = append_delta(d, base_ds().map_batches(
+            dprep(194, 3, 20000), batch_format="pyarrow",
+            zero_copy_batch=True))
+        if (r1["snapshot"], r2["snapshot"]) != (1, 2):
+            raise AssertionError("snapshot ids must be global 1, 2")
+        snap1 = aggregate(read_keyed_layout(d, as_of=1))
+        if as_dict(aggregate(read_keyed_layout(d, as_of=0))) != \
+                as_dict(base_agg):
+            raise AssertionError("as_of=0 must equal the base build")
+        if as_dict(aggregate(read_keyed_layout(d))) == as_dict(snap1):
+            raise AssertionError(
+                "latest must differ from snapshot 1 here (delta 2 "
+                "changes every 194th key)")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    pr = snap1["o_orderpriority"].to_pylist()
+    order = np.argsort(np.array(pr))
+    return pa.table({
+        "o_orderpriority": pa.array([pr[i] for i in order]),
+        "n_rows": pa.array(snap1["n_rows"].to_numpy()[order]),
+        "sum_cents": pa.array(snap1["sum_cents"].to_numpy()[order])})

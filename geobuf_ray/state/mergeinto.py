@@ -95,14 +95,28 @@ def build_keyed_layout(ds, out_dir: str, *, key: str, version: str,
     return meta
 
 
-def _delta_files(out_dir: str) -> dict[int, list[str]]:
+def _delta_files(out_dir: str, as_of: int | None = None
+                 ) -> dict[int, list[str]]:
     """Pending merge-on-read delta files, grouped by partition id and
-    sorted by append sequence (the resolve order)."""
+    sorted by append sequence (the resolve order).  ``as_of`` keeps
+    only files from snapshots <= as_of (time travel); the snapshot id
+    is global per append, so the per-partition sorted order is the
+    append order."""
     out: dict[int, list[str]] = {}
     for f in sorted(os.listdir(out_dir)):
         if f.startswith("delta-") and f.endswith(".parquet"):
+            if as_of is not None and \
+                    int(f.split("-")[2].split(".")[0]) > as_of:
+                continue
             out.setdefault(int(f.split("-")[1]), []).append(f)
     return out
+
+
+def _write_meta(out_dir: str, meta: dict) -> None:
+    tmp = os.path.join(out_dir, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
 
 
 def _resolve_partition(out_dir: str, i: int, key: str, version: str,
@@ -123,13 +137,28 @@ def _resolve_partition(out_dir: str, i: int, key: str, version: str,
     return _upsert_last_wins(merged, key, version, seq)
 
 
-def read_keyed_layout(out_dir: str):
+def read_keyed_layout(out_dir: str, *, as_of: int | None = None):
     """Scan the layout.  With no pending deltas this is a plain
     parquet read of the base files; with merge-on-read deltas present
     each partition resolves base + deltas to latest-wins rows in a
     per-partition task (the file group is the unit of work — the same
-    raw-task exception the writers use)."""
-    deltas = _delta_files(out_dir)
+    raw-task exception the writers use).
+
+    ``as_of`` reads the table AS OF a snapshot: 0 = the base build,
+    k = after the k-th :func:`append_delta` (snapshot ids are global,
+    recorded in ``meta.json``).  History lives in the delta files, so
+    time travel reaches back only to the last compaction — an
+    ``as_of`` older than ``compacted_at`` raises (the Iceberg
+    expire-snapshots contract)."""
+    if as_of is not None:
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            m = json.load(f)
+        floor_ = int(m.get("compacted_at", 0))
+        if as_of < floor_:
+            raise ValueError(
+                f"snapshot {as_of} expired: compaction folded history "
+                f"up to snapshot {floor_} into the base files")
+    deltas = _delta_files(out_dir, as_of)
     if not deltas:
         return ray.data.read_parquet(
             [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
@@ -175,6 +204,11 @@ def append_delta(out_dir: str, delta) -> dict:
     refs = [r for b in parts.iter_internal_ref_bundles()
             for r in b.block_refs]
 
+    # global snapshot id: one per append (single writer), so any
+    # partition's sorted delta files are in append order AND a
+    # snapshot cut (as_of) is one filename-number compare
+    snap = int(meta.get("snapshot", 0)) + 1
+
     @ray.remote
     def append_one(i: int, blk) -> int:
         d = blk if isinstance(blk, pa.Table) else pa.table(blk)
@@ -182,20 +216,19 @@ def append_delta(out_dir: str, delta) -> dict:
             return 0
         d = _upsert_last_wins(d, key, version,
                               np.arange(d.num_rows, dtype=np.int64))
-        seqs = [int(f.split("-")[2].split(".")[0])
-                for f in os.listdir(out_dir)
-                if f.startswith(f"delta-{i}-") and f.endswith(".parquet")]
-        seq = max(seqs, default=0) + 1
-        tmp = os.path.join(out_dir, f".delta-{i}-{seq:05d}.parquet.tmp")
+        tmp = os.path.join(out_dir, f".delta-{i}-{snap:05d}.parquet.tmp")
         pq.write_table(d, tmp)
         os.replace(tmp, os.path.join(out_dir,
-                                     f"delta-{i}-{seq:05d}.parquet"))
+                                     f"delta-{i}-{snap:05d}.parquet"))
         return 1
 
     touched_flags = ray.get([append_one.remote(i, r)
                              for i, r in enumerate(refs)])
+    meta["snapshot"] = snap
+    _write_meta(out_dir, meta)
     touched = [i for i, t in enumerate(touched_flags) if t]
-    return {"touched": touched, "untouched": nparts - len(touched)}
+    return {"touched": touched, "untouched": nparts - len(touched),
+            "snapshot": snap}
 
 
 def compact_keyed_layout(out_dir: str) -> dict:
@@ -222,8 +255,13 @@ def compact_keyed_layout(out_dir: str) -> dict:
         return t.num_rows
 
     ray.get([compact_one.remote(i, fs) for i, fs in deltas.items()])
+    # history up to the current snapshot is now folded into the base:
+    # time travel below this watermark raises from read_keyed_layout
+    meta["compacted_at"] = int(meta.get("snapshot", 0))
+    _write_meta(out_dir, meta)
     return {"compacted": sorted(deltas),
-            "untouched": nparts - len(deltas)}
+            "untouched": nparts - len(deltas),
+            "compacted_at": meta["compacted_at"]}
 
 
 def merge_into(out_dir: str, delta, *, npartitions: int | None = None

@@ -218,3 +218,53 @@ def test_append_delta_intra_file_last_wins(ray_session, tmp_path):
     got = {r["id"]: (r["ver"], r["val"])
            for r in read_keyed_layout(d).take_all()}
     assert got[7] == (3, 200)
+
+
+def test_time_travel_snapshots(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.state.mergeinto import (append_delta,
+                                            compact_keyed_layout)
+
+    d = str(tmp_path / "tt")
+    build_keyed_layout(ray.data.from_arrow(_base(100)), d, key="id",
+                       version="ver", npartitions=8)
+
+    d1 = pa.table({"id": pa.array([3, 200], pa.int64()),
+                   "ver": pa.array([1, 1], pa.int64()),
+                   "val": pa.array([333, 2000], pa.int64())})
+    d2 = pa.table({"id": pa.array([3, 7], pa.int64()),
+                   "ver": pa.array([2, 2], pa.int64()),
+                   "val": pa.array([444, 777], pa.int64())})
+    r1 = append_delta(d, ray.data.from_arrow(d1))
+    r2 = append_delta(d, ray.data.from_arrow(d2))
+    assert (r1["snapshot"], r2["snapshot"]) == (1, 2)
+
+    def state(**kw):
+        return {r["id"]: r["val"]
+                for r in read_keyed_layout(d, **kw).take_all()}
+
+    s0 = state(as_of=0)
+    assert s0[3] == 30 and 200 not in s0 and len(s0) == 100
+    s1 = state(as_of=1)
+    assert s1[3] == 333 and s1[200] == 2000 and s1[7] == 70
+    s2 = state(as_of=2)
+    assert s2[3] == 444 and s2[7] == 777 and s2[200] == 2000
+    assert state() == s2                     # latest == newest snapshot
+    assert state(as_of=99) == s2             # beyond current == latest
+
+    res = compact_keyed_layout(d)
+    assert res["compacted_at"] == 2
+    assert state() == s2                     # compaction preserves latest
+    assert state(as_of=2) == s2              # watermark itself readable
+    with pytest.raises(ValueError, match="expired"):
+        read_keyed_layout(d, as_of=1)        # history gone
+
+    # a post-compaction append continues the global numbering
+    d3 = pa.table({"id": pa.array([3], pa.int64()),
+                   "ver": pa.array([9], pa.int64()),
+                   "val": pa.array([555], pa.int64())})
+    r3 = append_delta(d, ray.data.from_arrow(d3))
+    assert r3["snapshot"] == 3
+    assert state(as_of=2) == s2
+    assert state(as_of=3)[3] == 555
