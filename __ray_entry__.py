@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_merge_on_read": q.orders_merge_on_read,
         "orders_agg_view": q.orders_agg_view,
         "orders_time_travel": q.orders_time_travel,
+        "orders_change_feed": q.orders_change_feed,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -2344,6 +2345,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM u GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "orders_change_feed": """
+            WITH base AS (SELECT o_orderkey AS id,
+                            CAST(floor(epoch(o_orderdate) / 86400)
+                                 AS BIGINT) AS ver,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents,
+                            o_orderpriority
+                          FROM orders),
+            d1 AS (SELECT id, ver + 10000 AS ver, cents * 2 AS cents,
+                          o_orderpriority
+                   FROM base WHERE id % 97 = 0),
+            d2 AS (SELECT id, ver + 20000 AS ver, cents * 3 AS cents,
+                          o_orderpriority
+                   FROM base WHERE id % 194 = 0
+                   UNION ALL
+                   SELECT id + 100000000, ver + 20000, cents * 3,
+                          o_orderpriority
+                   FROM base WHERE id % 500 = 0),
+            s1 AS (SELECT id, ver, cents, o_orderpriority FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                         ORDER BY ver DESC, is_d DESC) AS rn
+                     FROM (SELECT *, 0 AS is_d FROM base
+                           UNION ALL SELECT *, 1 AS is_d FROM d1))
+                   WHERE rn = 1),
+            s2 AS (SELECT id, ver, cents, o_orderpriority FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                         ORDER BY ver DESC, is_d DESC) AS rn
+                     FROM (SELECT *, 0 AS is_d FROM base
+                           UNION ALL SELECT *, 1 AS is_d FROM d1
+                           UNION ALL SELECT *, 2 AS is_d FROM d2))
+                   WHERE rn = 1),
+            diff AS (
+                SELECT COALESCE(s2.id, s1.id) AS id,
+                       s1.cents AS c1, s2.cents AS c2,
+                       CASE WHEN s1.id IS NULL THEN 'insert'
+                            WHEN s2.id IS NULL THEN 'delete'
+                            WHEN (s1.ver, s1.cents, s1.o_orderpriority)
+                                 IS DISTINCT FROM
+                                 (s2.ver, s2.cents, s2.o_orderpriority)
+                            THEN 'update' END AS typ
+                FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id),
+            changes AS (
+                SELECT 'insert' AS _change_type, id, c2 AS cents
+                FROM diff WHERE typ = 'insert'
+                UNION ALL
+                SELECT 'update_preimage', id, c1
+                FROM diff WHERE typ = 'update'
+                UNION ALL
+                SELECT 'update_postimage', id, c2
+                FROM diff WHERE typ = 'update')
+            SELECT _change_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(SUM(id) AS BIGINT) AS id_sum
+            FROM changes GROUP BY _change_type ORDER BY _change_type
         """,
         "orders_agg_view": """
             WITH eff AS (SELECT o_custkey,

@@ -8593,3 +8593,109 @@ def orders_time_travel(sf_dir: str):
         "o_orderpriority": pa.array([pr[i] for i in order]),
         "n_rows": pa.array(snap1["n_rows"].to_numpy()[order]),
         "sum_cents": pa.array(snap1["sum_cents"].to_numpy()[order])})
+
+
+def orders_change_feed(sf_dir: str):
+    """Change data feed between snapshots (state/mergeinto
+    .table_changes — the Delta CDF shape): orders build as the base,
+    snapshot 1 doubles every 97th key, snapshot 2 triples every 194th
+    key AND inserts brand-new keys; the feed FROM 1 TO 2 must contain
+    exactly the inserts and the update pre/post image pairs, nothing
+    from snapshot 1's churn.  Both states resolve bucket-locally from
+    the time-travel cuts (a key never re-shuffles) and partitions
+    whose delta lists are identical at both cuts are skipped without
+    opening a file.  Hash-checked per change type (count, cents sum,
+    id checksum) vs a FULL OUTER JOIN twin over the two simulated
+    states."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.mergeinto import (append_delta, build_keyed_layout,
+                                   table_changes)
+
+    def oprep(b: pa.Table) -> pa.Table:
+        day = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"id": b["o_orderkey"],
+                         "ver": pa.array(day),
+                         "cents": pa.array(cents),
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    def base_ds():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_totalprice",
+                     "o_orderpriority"]).map_batches(
+            oprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def d1prep(b: pa.Table) -> pa.Table:
+        k = b["id"].to_numpy().astype(np.int64)
+        t = b.filter(pa.array(k % 97 == 0))
+        return pa.table({
+            "id": t["id"],
+            "ver": pa.array(t["ver"].to_numpy().astype(np.int64)
+                            + 10000),
+            "cents": pa.array(t["cents"].to_numpy().astype(np.int64)
+                              * 2),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    def d2prep(b: pa.Table) -> pa.Table:
+        k = b["id"].to_numpy().astype(np.int64)
+        upd = b.filter(pa.array(k % 194 == 0))
+        ins = b.filter(pa.array(k % 500 == 0))
+
+        def bump(t, id_off):
+            return pa.table({
+                "id": pa.array(t["id"].to_numpy().astype(np.int64)
+                               + id_off),
+                "ver": pa.array(t["ver"].to_numpy().astype(np.int64)
+                                + 20000),
+                "cents": pa.array(t["cents"].to_numpy().astype(np.int64)
+                                  * 3),
+                "o_orderpriority": t["o_orderpriority"]})
+
+        return pa.concat_tables([bump(upd, 0), bump(ins, 100000000)])
+
+    d = tempfile.mkdtemp(prefix="cdf_", dir="/tmp")
+    try:
+        build_keyed_layout(base_ds(), d, key="id", version="ver",
+                           npartitions=32)
+        append_delta(d, base_ds().map_batches(
+            d1prep, batch_format="pyarrow", zero_copy_batch=True))
+        append_delta(d, base_ds().map_batches(
+            d2prep, batch_format="pyarrow", zero_copy_batch=True))
+        feed = table_changes(d, from_snapshot=1, to_snapshot=2)
+
+        def partial(b: pa.Table) -> pa.Table:
+            ct = b["_change_type"].combine_chunks().dictionary_encode()
+            codes = ct.indices.to_numpy().astype(np.int64)
+            names = ct.dictionary.to_pylist()
+            cents = b["cents"].to_numpy().astype(np.int64)
+            ids = b["id"].to_numpy().astype(np.int64)
+            n = np.bincount(codes, minlength=len(names)).astype(np.int64)
+            s = np.zeros(len(names), np.int64)
+            np.add.at(s, codes, cents)
+            isum = np.zeros(len(names), np.int64)
+            np.add.at(isum, codes, ids)
+            return pa.table({"_change_type": pa.array(names),
+                             "n_rows": pa.array(n),
+                             "sum_cents": pa.array(s),
+                             "id_sum": pa.array(isum)})
+
+        agg = _final_combine(
+            feed.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["_change_type"], ["n_rows", "sum_cents", "id_sum"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    ct = agg["_change_type"].to_pylist()
+    order = np.argsort(np.array(ct))
+    return pa.table({
+        "_change_type": pa.array([ct[i] for i in order]),
+        "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
+        "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order]),
+        "id_sum": pa.array(agg["id_sum"].to_numpy()[order])})

@@ -369,3 +369,91 @@ def delete_from(out_dir: str, keys) -> dict:
     return {"touched": [i for i, d in zip(jobs, dropped) if d],
             "deleted": int(sum(dropped)),
             "untouched": nparts - len(jobs)}
+
+
+def _row_diff_mask(a: pa.Table, b: pa.Table) -> np.ndarray:
+    """Per-row 'any column differs' over two ALIGNED tables (same
+    schema, same row count).  Null == null; null vs value differs."""
+    import pyarrow.compute as pc
+
+    changed = np.zeros(a.num_rows, bool)
+    for name in a.column_names:
+        ca, cb = a[name], b[name]
+        eq = pc.equal(ca, cb)  # null where either side is null
+        both_null = pc.and_(pc.is_null(ca), pc.is_null(cb))
+        same = pc.fill_null(pc.or_(pc.fill_null(eq, False), both_null),
+                            False)
+        changed |= ~same.to_numpy(zero_copy_only=False)
+    return changed
+
+
+def table_changes(out_dir: str, *, from_snapshot: int,
+                  to_snapshot: int | None = None):
+    """Change data feed between two snapshots (the Delta CDF shape):
+    a Dataset of the rows that changed from ``from_snapshot``'s state
+    to ``to_snapshot``'s (default: latest), each stamped with
+    ``_change_type`` in {insert, update_preimage, update_postimage,
+    delete}.
+
+    Both states resolve PER PARTITION from base + snapshot-cut delta
+    files (the time-travel read), so the diff is bucket-local: a key
+    lives in exactly one partition at both snapshots and never
+    re-shuffles.  Cost is O(touched partitions x partition size);
+    partitions no delta in (from, to] ever touched are skipped
+    entirely — their two states are provably identical.  History
+    reaches back to the last compaction, like ``as_of``."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    key, version = meta["key"], meta["version"]
+    floor_ = int(meta.get("compacted_at", 0))
+    cur = int(meta.get("snapshot", 0))
+    if to_snapshot is None:
+        to_snapshot = cur
+    if from_snapshot < floor_:
+        raise ValueError(
+            f"snapshot {from_snapshot} expired: compaction folded "
+            f"history up to snapshot {floor_} into the base files")
+    if to_snapshot < from_snapshot:
+        raise ValueError("to_snapshot must be >= from_snapshot")
+    d_from = _delta_files(out_dir, from_snapshot)
+    d_to = _delta_files(out_dir, to_snapshot)
+    # a partition whose delta list is identical at both cuts cannot
+    # have changed — skip it without opening any file
+    touched = [i for i in d_to
+               if d_to.get(i, []) != d_from.get(i, [])]
+
+    @ray.remote
+    def diff_one(i: int) -> pa.Table:
+        a = _resolve_partition(out_dir, i, key, version,
+                               d_from.get(i, []))
+        b = _resolve_partition(out_dir, i, key, version,
+                               d_to.get(i, []))
+        ka = a[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        # resolve output is key-sorted (the upsert lexsort); align
+        in_a = np.isin(kb, ka)
+        in_b = np.isin(ka, kb)
+        ins = b.filter(pa.array(~in_a))
+        dele = a.filter(pa.array(~in_b))
+        ac = a.filter(pa.array(in_b))
+        bc = b.filter(pa.array(in_a))
+        chg = _row_diff_mask(ac, bc.select(ac.column_names))
+        pre = ac.filter(pa.array(chg))
+        post = bc.filter(pa.array(chg))
+
+        def stamp(t: pa.Table, typ: str) -> pa.Table:
+            return t.append_column(
+                "_change_type",
+                pa.array(np.full(t.num_rows, typ), pa.string()))
+
+        return pa.concat_tables([
+            stamp(ins, "insert"), stamp(pre, "update_preimage"),
+            stamp(post, "update_postimage"), stamp(dele, "delete")])
+
+    if not touched:
+        # empty feed with the right schema: diff partition 0 at the
+        # SAME cut (provably empty rows, real columns)
+        d_from = d_to = {0: d_to.get(0, [])}
+        touched = [0]
+    return ray.data.from_arrow_refs(
+        [diff_one.remote(i) for i in sorted(touched)])

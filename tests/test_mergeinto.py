@@ -268,3 +268,46 @@ def test_time_travel_snapshots(ray_session, tmp_path):
     assert r3["snapshot"] == 3
     assert state(as_of=2) == s2
     assert state(as_of=3)[3] == 555
+
+
+def test_change_feed_types_and_pruning(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.state.mergeinto import (append_delta,
+                                            compact_keyed_layout,
+                                            table_changes)
+
+    d = str(tmp_path / "cdf")
+    build_keyed_layout(ray.data.from_arrow(_base(100)), d, key="id",
+                       version="ver", npartitions=8)
+    # snap 1: update id 3; snap 2: update id 7 (real change),
+    # touch id 3 with an IDENTICAL row (no change), insert id 500
+    append_delta(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([3], pa.int64()),
+        "ver": pa.array([1], pa.int64()),
+        "val": pa.array([333], pa.int64())})))
+    append_delta(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([7, 3, 500], pa.int64()),
+        "ver": pa.array([2, 1, 1], pa.int64()),
+        "val": pa.array([777, 333, 5000], pa.int64())})))
+
+    rows = table_changes(d, from_snapshot=1, to_snapshot=2).take_all()
+    got = {(r["_change_type"], r["id"]): (r["ver"], r["val"])
+           for r in rows}
+    assert got == {
+        ("insert", 500): (1, 5000),
+        ("update_preimage", 7): (0, 70),
+        ("update_postimage", 7): (2, 777),
+    }  # id 3's identical re-write must NOT appear
+
+    # snapshot-1 churn invisible; from==to is empty
+    full = table_changes(d, from_snapshot=0).take_all()
+    assert ("update_postimage", 3) in {(r["_change_type"], r["id"])
+                                       for r in full}
+    assert table_changes(d, from_snapshot=2, to_snapshot=2).count() == 0
+
+    with pytest.raises(ValueError, match=">="):
+        table_changes(d, from_snapshot=2, to_snapshot=1)
+    compact_keyed_layout(d)
+    with pytest.raises(ValueError, match="expired"):
+        table_changes(d, from_snapshot=1)
