@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_agg_view": q.orders_agg_view,
         "orders_time_travel": q.orders_time_travel,
         "orders_change_feed": q.orders_change_feed,
+        "orders_schema_evolution": q.orders_schema_evolution,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -2401,6 +2402,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS sum_cents,
                    CAST(SUM(id) AS BIGINT) AS id_sum
             FROM changes GROUP BY _change_type ORDER BY _change_type
+        """,
+        "orders_schema_evolution": """
+            SELECT o_orderpriority,
+                   CASE WHEN o_orderkey % 4 = 0 THEN 2 ELSE 1 END
+                       AS flag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_cents
+            FROM orders
+            GROUP BY o_orderpriority, flag
+            ORDER BY o_orderpriority, flag
         """,
         "orders_agg_view": """
             WITH eff AS (SELECT o_custkey,

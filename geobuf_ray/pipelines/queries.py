@@ -8699,3 +8699,106 @@ def orders_change_feed(sf_dir: str):
         "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
         "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order]),
         "id_sum": pa.array(agg["id_sum"].to_numpy()[order])})
+
+
+def orders_schema_evolution(sf_dir: str):
+    """Metadata-only schema evolution (state/mergeinto.add_column):
+    three quarters of orders build the layout WITHOUT a ``flag``
+    column, the column is then declared with initial default 1 — no
+    data file touched — and the remaining quarter appends carrying
+    flag=2 physically.  Reads fill the default PER FILE (Iceberg
+    initial-default semantics: pre-evolution files read as 1,
+    post-evolution values stay what was written), so the per-(priority,
+    flag) aggregate certifies both regimes; the query then COMPACTS —
+    materializing the column physically — and asserts the aggregate is
+    unchanged.  SQL twin derives flag from the same key split."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    import ray
+
+    from ..state.mergeinto import (add_column, append_delta,
+                                   build_keyed_layout,
+                                   compact_keyed_layout,
+                                   read_keyed_layout)
+
+    def oprep(with_flag: bool, keep):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy().astype(np.int64)
+            day = b["o_orderdate"].to_numpy().astype(
+                "datetime64[D]").astype(np.int64)
+            cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+                .astype(np.int64)
+            cols = {"id": b["o_orderkey"], "ver": pa.array(day),
+                    "cents": pa.array(cents),
+                    "o_orderpriority": b["o_orderpriority"]}
+            if with_flag:
+                cols["flag"] = pa.array(np.full(len(k), 2, np.int64))
+            return pa.table(cols).filter(pa.array(keep(k)))
+        return fn
+
+    def read_orders(fn):
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_totalprice",
+                     "o_orderpriority"]).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    def aggregate():
+        def partial(b: pa.Table) -> pa.Table:
+            pr = b["o_orderpriority"].combine_chunks() \
+                .dictionary_encode()
+            codes = pr.indices.to_numpy().astype(np.int64)
+            names = pr.dictionary.to_pylist()
+            fl = b["flag"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = b["cents"].to_numpy().astype(np.int64)
+            code = codes * 8 + fl
+            uu, inv = np.unique(code, return_inverse=True)
+            n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+            s = np.zeros(len(uu), np.int64)
+            np.add.at(s, inv, cents)
+            return pa.table({
+                "o_orderpriority": pa.array(
+                    [names[c // 8] for c in uu.tolist()]),
+                "flag": pa.array(uu % 8),
+                "n_rows": pa.array(n), "sum_cents": pa.array(s)})
+
+        return _final_combine(
+            read_keyed_layout(d).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["o_orderpriority", "flag"], ["n_rows", "sum_cents"])
+
+    def as_dict(t):
+        return {(p, int(f)): (int(n), int(s)) for p, f, n, s in zip(
+            t["o_orderpriority"].to_pylist(), t["flag"].to_pylist(),
+            t["n_rows"].to_pylist(), t["sum_cents"].to_pylist())}
+
+    d = tempfile.mkdtemp(prefix="schevo_", dir="/tmp")
+    try:
+        build_keyed_layout(
+            read_orders(oprep(False, lambda k: k % 4 != 0)), d,
+            key="id", version="ver", npartitions=32)
+        add_column(d, "flag", "int64", default=1)
+        append_delta(d, read_orders(oprep(True, lambda k: k % 4 == 0)))
+        agg = aggregate()
+        res = compact_keyed_layout(d)
+        for i in res["compacted"]:
+            if "flag" not in _pq.read_schema(
+                    f"{d}/part-{i}.parquet").names:
+                raise AssertionError(
+                    "compaction must materialize the evolved column")
+        if as_dict(aggregate()) != as_dict(agg):
+            raise AssertionError(
+                "compaction changed the evolved-column aggregate")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    pr = np.asarray(agg["o_orderpriority"].to_pylist())
+    fl = agg["flag"].to_numpy().astype(np.int64)
+    order = np.lexsort((fl, pr))
+    return pa.table({
+        "o_orderpriority": pa.array(pr[order].tolist(), pa.string()),
+        "flag": pa.array(fl[order]),
+        "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
+        "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order])})

@@ -120,14 +120,18 @@ def _write_meta(out_dir: str, meta: dict) -> None:
 
 
 def _resolve_partition(out_dir: str, i: int, key: str, version: str,
-                       dfiles: list[str]) -> pa.Table:
+                       dfiles: list[str],
+                       adds: dict | None = None) -> pa.Table:
     """Base file + its delta files -> one row per key, highest
     (version, append-seq) wins — the base carries seq 0, so a delta
     beats the base on a version tie and a later delta beats an
-    earlier one (the same tie rule merge_into applies eagerly)."""
+    earlier one (the same tie rule merge_into applies eagerly).
+    Evolved columns fill PER FILE (initial-default semantics)."""
     path = os.path.join(out_dir, f"part-{i}.parquet")
     tbls = [pq.read_table(path)] if os.path.exists(path) else []
     tbls += [pq.read_table(os.path.join(out_dir, f)) for f in dfiles]
+    if adds:
+        tbls = [_apply_schema_adds(t, adds) for t in tbls]
     merged = tbls[0] if len(tbls) == 1 else pa.concat_tables(
         tbls, promote_options="default")
     if merged.num_rows == 0:
@@ -150,29 +154,28 @@ def read_keyed_layout(out_dir: str, *, as_of: int | None = None):
     time travel reaches back only to the last compaction — an
     ``as_of`` older than ``compacted_at`` raises (the Iceberg
     expire-snapshots contract)."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
     if as_of is not None:
-        with open(os.path.join(out_dir, "meta.json")) as f:
-            m = json.load(f)
-        floor_ = int(m.get("compacted_at", 0))
+        floor_ = int(meta.get("compacted_at", 0))
         if as_of < floor_:
             raise ValueError(
                 f"snapshot {as_of} expired: compaction folded history "
                 f"up to snapshot {floor_} into the base files")
     deltas = _delta_files(out_dir, as_of)
-    if not deltas:
+    adds = meta.get("schema_adds") or {}
+    if not deltas and not adds:
         return ray.data.read_parquet(
             [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
              if f.startswith("part-") and f.endswith(".parquet")])
 
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
     key, version = meta["key"], meta["version"]
     nparts = meta["npartitions"]
 
     @ray.remote
     def resolve_one(i: int) -> pa.Table:
         return _resolve_partition(out_dir, i, key, version,
-                                  deltas.get(i, []))
+                                  deltas.get(i, []), adds)
 
     return ray.data.from_arrow_refs(
         [resolve_one.remote(i) for i in range(nparts)])
@@ -209,12 +212,15 @@ def append_delta(out_dir: str, delta) -> dict:
     # snapshot cut (as_of) is one filename-number compare
     snap = int(meta.get("snapshot", 0)) + 1
 
+    adds = meta.get("schema_adds") or {}
+
     @ray.remote
     def append_one(i: int, blk) -> int:
         d = blk if isinstance(blk, pa.Table) else pa.table(blk)
         if d.num_rows == 0:
             return 0
-        d = _upsert_last_wins(d, key, version,
+        d = _apply_schema_adds(d, adds)  # post-evolution writes are
+        d = _upsert_last_wins(d, key, version,  # physically complete
                               np.arange(d.num_rows, dtype=np.int64))
         tmp = os.path.join(out_dir, f".delta-{i}-{snap:05d}.parquet.tmp")
         pq.write_table(d, tmp)
@@ -244,9 +250,13 @@ def compact_keyed_layout(out_dir: str) -> dict:
     nparts = meta["npartitions"]
     deltas = _delta_files(out_dir)
 
+    adds = meta.get("schema_adds") or {}
+
     @ray.remote
     def compact_one(i: int, dfiles: list[str]) -> int:
-        t = _resolve_partition(out_dir, i, key, version, dfiles)
+        # resolve fills evolved columns, so compaction MATERIALIZES
+        # them physically in the rewritten base files
+        t = _resolve_partition(out_dir, i, key, version, dfiles, adds)
         tmp = os.path.join(out_dir, f".part-{i}.parquet.tmp")
         pq.write_table(t, tmp)
         os.replace(tmp, os.path.join(out_dir, f"part-{i}.parquet"))
@@ -292,14 +302,17 @@ def merge_into(out_dir: str, delta, *, npartitions: int | None = None
     refs = [r for b in parts.iter_internal_ref_bundles()
             for r in b.block_refs]
 
+    adds = meta.get("schema_adds") or {}
+
     @ray.remote
     def apply_one(i: int, blk) -> int:
         d = blk if isinstance(blk, pa.Table) else pa.table(blk)
         if d.num_rows == 0:
             return 0  # pruned: the base file is not even opened
+        d = _apply_schema_adds(d, adds)
         path = os.path.join(out_dir, f"part-{i}.parquet")
-        base = pq.read_table(path) if os.path.exists(path) \
-            else d.slice(0, 0)
+        base = _apply_schema_adds(pq.read_table(path), adds) \
+            if os.path.exists(path) else d.slice(0, 0)
         d = d.select(base.column_names) if base.num_columns else d
         merged = pa.concat_tables([base, d],
                                   promote_options="default")
@@ -422,12 +435,14 @@ def table_changes(out_dir: str, *, from_snapshot: int,
     touched = [i for i in d_to
                if d_to.get(i, []) != d_from.get(i, [])]
 
+    adds = meta.get("schema_adds") or {}
+
     @ray.remote
     def diff_one(i: int) -> pa.Table:
         a = _resolve_partition(out_dir, i, key, version,
-                               d_from.get(i, []))
+                               d_from.get(i, []), adds)
         b = _resolve_partition(out_dir, i, key, version,
-                               d_to.get(i, []))
+                               d_to.get(i, []), adds)
         ka = a[key].to_numpy(zero_copy_only=False).astype(np.int64)
         kb = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
         # resolve output is key-sorted (the upsert lexsort); align
@@ -457,3 +472,43 @@ def table_changes(out_dir: str, *, from_snapshot: int,
         touched = [0]
     return ray.data.from_arrow_refs(
         [diff_one.remote(i) for i in sorted(touched)])
+
+
+def _apply_schema_adds(t: pa.Table, adds: dict) -> pa.Table:
+    """Fill evolved columns PER PHYSICAL FILE: a table missing an
+    added column predates the evolution, so every row reads as the
+    declared initial default (the Iceberg initial-default rule) — a
+    column physically present is left alone, so a genuine NULL written
+    after the evolution stays NULL."""
+    for name, spec in adds.items():
+        if name not in t.column_names:
+            typ = pa.type_for_alias(spec["type"])
+            if spec["default"] is None:
+                col = pa.nulls(t.num_rows, typ)
+            else:
+                col = pa.array([spec["default"]] * t.num_rows, typ)
+            t = t.append_column(name, col)
+    return t
+
+
+def add_column(out_dir: str, name: str, type_alias: str,
+               default=None) -> dict:
+    """Metadata-only schema evolution: declare a new column with an
+    initial default.  NO data file is touched — the default applies at
+    read time to every file that predates the column; writes from now
+    on carry it physically (appends/merges fill absent columns with
+    the default at write time), and compaction materializes it.
+    Type must be a pyarrow alias (``int64``, ``float64``, ``string``,
+    ...); re-adding an existing column raises."""
+    pa.type_for_alias(type_alias)  # validate early
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    adds = meta.setdefault("schema_adds", {})
+    base0 = os.path.join(out_dir, "part-0.parquet")
+    physical = (pq.read_schema(base0).names
+                if os.path.exists(base0) else [])
+    if name in adds or name in physical:
+        raise ValueError(f"column {name!r} already exists")
+    adds[name] = {"type": type_alias, "default": default}
+    _write_meta(out_dir, meta)
+    return meta

@@ -311,3 +311,72 @@ def test_change_feed_types_and_pruning(ray_session, tmp_path):
     compact_keyed_layout(d)
     with pytest.raises(ValueError, match="expired"):
         table_changes(d, from_snapshot=1)
+
+
+def test_schema_evolution_initial_default(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+
+    import ray
+
+    from geobuf_ray.state.mergeinto import (add_column, append_delta,
+                                            compact_keyed_layout,
+                                            merge_into)
+
+    d = str(tmp_path / "evo")
+    build_keyed_layout(ray.data.from_arrow(_base(40)), d, key="id",
+                       version="ver", npartitions=4)
+    before = _fingerprints(d)
+    add_column(d, "flag", "int64", default=7)
+    assert _fingerprints(d) == before      # metadata-only: no file touched
+
+    # pre-evolution rows read as the default
+    got = {r["id"]: r["flag"]
+           for r in read_keyed_layout(d).take_all()}
+    assert set(got.values()) == {7} and len(got) == 40
+
+    # post-evolution append: physical value 9, explicit NULL stays NULL
+    append_delta(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([100, 101], pa.int64()),
+        "ver": pa.array([1, 1], pa.int64()),
+        "val": pa.array([1, 2], pa.int64()),
+        "flag": pa.array([9, None], pa.int64())})))
+    got = {r["id"]: r["flag"]
+           for r in read_keyed_layout(d).take_all()}
+    assert got[100] == 9 and got[101] is None and got[0] == 7
+
+    # append WITHOUT the column: write-time default fill
+    append_delta(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([102], pa.int64()),
+        "ver": pa.array([1], pa.int64()),
+        "val": pa.array([3], pa.int64())})))
+    got = {r["id"]: r["flag"]
+           for r in read_keyed_layout(d).take_all()}
+    assert got[102] == 7
+    dfiles = [f for f in os.listdir(d) if f.startswith("delta-")]
+    for f in dfiles:  # post-evolution delta files carry it physically
+        assert "flag" in pq_.read_schema(os.path.join(d, f)).names
+
+    # compaction materializes (in the partitions it rewrites —
+    # delta-free partitions are pruned and keep default-on-read)
+    res = compact_keyed_layout(d)
+    assert res["compacted"]
+    i = res["compacted"][0]
+    assert "flag" in pq_.read_schema(
+        os.path.join(d, f"part-{i}.parquet")).names
+    got2 = {r["id"]: r["flag"]
+            for r in read_keyed_layout(d).take_all()}
+    assert got2 == got
+
+    # CoW merge also fills at write time
+    merge_into(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([0], pa.int64()),
+        "ver": pa.array([5], pa.int64()),
+        "val": pa.array([99], pa.int64())})))
+    got3 = {r["id"]: (r["val"], r["flag"])
+            for r in read_keyed_layout(d).take_all()}
+    assert got3[0] == (99, 7)
+
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(d, "flag", "int64", default=0)
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(d, "val", "int64", default=0)
