@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_time_travel": q.orders_time_travel,
         "orders_change_feed": q.orders_change_feed,
         "orders_schema_evolution": q.orders_schema_evolution,
+        "events_seasonal_anomalies": q.events_seasonal_anomalies,
+        "docs_token_drift": q.docs_token_drift,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -2413,6 +2415,42 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority, flag
             ORDER BY o_orderpriority, flag
+        """,
+        "events_seasonal_anomalies": """
+            WITH c AS (SELECT event_type,
+                           CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+                           CAST(EXTRACT(hour FROM ts) AS BIGINT)
+                               AS hour,
+                           CAST(COUNT(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY 1, 2, 3),
+            m AS (SELECT event_type, hour,
+                         CAST(percentile_disc(0.5) WITHIN GROUP
+                             (ORDER BY n_events) AS BIGINT) AS med_n
+                  FROM c GROUP BY 1, 2)
+            SELECT c.event_type, day, c.hour, n_events, med_n
+            FROM c JOIN m ON c.event_type = m.event_type
+                         AND c.hour = m.hour
+            WHERE 2 * n_events > 3 * med_n
+            ORDER BY c.event_type, day, c.hour
+        """,
+        "docs_token_drift": """
+            WITH t AS (
+              SELECT CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+                          THEN 0 ELSE 1 END AS grp,
+                     unnest(regexp_split_to_array(text, '\\s+')) AS term
+              FROM documents),
+            c AS (SELECT term,
+                    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+                  FROM t WHERE term <> '' GROUP BY term),
+            tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS pt,
+                           CAST(SUM(n_b) AS BIGINT) AS qt FROM c)
+            SELECT term, n_a, n_b,
+                   CAST(abs(n_a * qt - n_b * pt) AS BIGINT) AS drift
+            FROM c, tot
+            ORDER BY drift DESC, term LIMIT 20
         """,
         "orders_agg_view": """
             WITH eff AS (SELECT o_custkey,

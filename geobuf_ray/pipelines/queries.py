@@ -8802,3 +8802,187 @@ def orders_schema_evolution(sf_dir: str):
         "flag": pa.array(fl[order]),
         "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
         "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order])})
+
+
+def events_seasonal_anomalies(sf_dir: str):
+    """Seasonal anomaly detection: hourly event counts per type are
+    judged against their hour-of-day MEDIAN across days (the seasonal
+    baseline), and a bucket is anomalous when count > 1.5 x median —
+    evaluated as the exact integer cross-multiply 2n > 3m, never a
+    float threshold.  One distributed counting pass (partials per
+    block); the (type, day, hour) count table is driver-sized by
+    contract (bounded by types x 24 x days), so the PERCENTILE_DISC
+    median per (type, hour) and the gate run on the driver.  Buckets
+    with zero events have no row and don't enter the median — same
+    on both sides."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy()
+        et = b["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy().astype(np.int64)
+        names = et.dictionary.to_pylist()
+        d = ts.astype("datetime64[D]")
+        day = (d - ts.astype("datetime64[M]")).astype(np.int64) + 1
+        hour = (ts.astype("datetime64[h]") - d).astype(np.int64)
+        code = (codes * 32 + day) * 32 + hour
+        uu, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(
+                [names[c] for c in (uu >> 10).tolist()]),
+            "day": pa.array((uu >> 5) & 31),
+            "hour": pa.array(uu & 31),
+            "n_events": pa.array(n)})
+
+    c = _final_combine(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "event_type"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "day", "hour"], ["n_events"])
+    et = np.asarray(c["event_type"].to_pylist())
+    day = c["day"].to_numpy().astype(np.int64)
+    hour = c["hour"].to_numpy().astype(np.int64)
+    n = c["n_events"].to_numpy().astype(np.int64)
+    # PERCENTILE_DISC(0.5) per (type, hour): smallest value whose
+    # cumulative share reaches one half
+    order = np.lexsort((n, hour, et))
+    et_s, h_s, n_s = et[order], hour[order], n[order]
+    grp = np.ones(len(et_s), bool)
+    grp[1:] = (et_s[1:] != et_s[:-1]) | (h_s[1:] != h_s[:-1])
+    gid = np.cumsum(grp) - 1
+    starts = np.flatnonzero(grp)
+    sizes = np.diff(np.append(starts, len(gid)))
+    med_pos = starts + (sizes + 1) // 2 - 1
+    med_per_group = n_s[med_pos]
+    med = np.empty(len(et), np.int64)
+    med[order] = med_per_group[gid]
+    keep = 2 * n > 3 * med
+    et, day, hour, n, med = (et[keep], day[keep], hour[keep],
+                             n[keep], med[keep])
+    o2 = np.lexsort((hour, day, et))
+    return pa.table({
+        "event_type": pa.array(et[o2].tolist(), pa.string()),
+        "day": pa.array(day[o2]), "hour": pa.array(hour[o2]),
+        "n_events": pa.array(n[o2]), "med_n": pa.array(med[o2])})
+
+
+def docs_token_drift(sf_dir: str, k: int = 20):
+    """Token-distribution drift between two corpus halves (the
+    drift-monitoring gate of a training-data pipeline): sources
+    src0-src9 vs the rest, per-term drift = |n_a x Q - n_b x P| — the
+    cross-multiplied form of |n_a/P - n_b/Q|, exact int64 (guarded:
+    both totals must stay < 2^31 for the product bound; raise above).
+    One text scan: block partials shrink to (term, n_a, n_b) rows, a
+    term-hash exchange sums exact counts into a MATERIALIZED skinny
+    vocab table (spills fine — the vocabulary never centralizes), the
+    totals reduce off that table, and a scoring pass emits local
+    top-k per block for a bounded driver merge.  Tokenization is the
+    same RE2 \\s+ split as top_terms / DuckDB."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+    from ..functions.join import _key_hash
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        grp = np.array([int(s[3:]) >= 10 for s in src], np.int64)
+        toks = pc.split_pattern_regex(batch["text"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        grp_of_tok = np.repeat(grp, np.diff(offs))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            sel = np.flatnonzero(keep)
+            flat = flat.take(pa.array(sel))
+            grp_of_tok = grp_of_tok[sel]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nterm = len(enc.dictionary)
+        n_a = np.bincount(codes[grp_of_tok == 0],
+                          minlength=nterm).astype(np.int64)
+        n_b = np.bincount(codes[grp_of_tok == 1],
+                          minlength=nterm).astype(np.int64)
+        return pa.table({"term": enc.dictionary,
+                         "n_a": pa.array(n_a), "n_b": pa.array(n_b)})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch["term"])
+        return batch.append_column(
+            "bucket", pa.array((h & np.uint64(63)).astype(np.int64)))
+
+    def sum_terms(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64())})
+        enc = t["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nterm = len(enc.dictionary)
+        a = np.bincount(codes, weights=t["n_a"].to_numpy(
+            zero_copy_only=False), minlength=nterm).astype(np.int64)
+        b = np.bincount(codes, weights=t["n_b"].to_numpy(
+            zero_copy_only=False), minlength=nterm).astype(np.int64)
+        return pa.table({"term": enc.dictionary, "n_a": pa.array(a),
+                         "n_b": pa.array(b)})
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None).map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    vocab = hash_exchange(parts, nbuckets=64, on="bucket",
+                          reduce_fn=sum_terms).materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p": pa.array([int(t["n_a"].to_numpy().sum())]),
+            "q": pa.array([int(t["n_b"].to_numpy().sum())])})
+
+    tot = collect_table(vocab.map_batches(
+        totals, batch_format="pyarrow", zero_copy_batch=True))
+    P = int(tot["p"].to_numpy().sum())
+    Q = int(tot["q"].to_numpy().sum())
+    if max(P, Q) >= 1 << 31:
+        raise OverflowError(
+            "token totals exceed the exact-int64 cross-multiply bound "
+            "(2^31 occurrences per side); scale scores instead")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64()),
+                             "drift": pa.array([], pa.int64())})
+        a = t["n_a"].to_numpy().astype(np.int64)
+        b = t["n_b"].to_numpy().astype(np.int64)
+        drift = np.abs(a * Q - b * P)
+        terms_np = np.asarray(t["term"].to_pylist(), object)
+        order = np.lexsort((terms_np, -drift))[:k]
+        return pa.table({
+            "term": pa.array(terms_np[order].tolist(), pa.string()),
+            "n_a": pa.array(a[order]), "n_b": pa.array(b[order]),
+            "drift": pa.array(drift[order])})
+
+    cand = collect_table(vocab.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None))
+    terms_np = np.asarray(cand["term"].to_pylist(), object)
+    a = cand["n_a"].to_numpy().astype(np.int64)
+    b = cand["n_b"].to_numpy().astype(np.int64)
+    drift = cand["drift"].to_numpy().astype(np.int64)
+    order = np.lexsort((terms_np, -drift))[:k]
+    return pa.table({
+        "term": pa.array(terms_np[order].tolist(), pa.string()),
+        "n_a": pa.array(a[order]), "n_b": pa.array(b[order]),
+        "drift": pa.array(drift[order])})

@@ -307,3 +307,61 @@ def test_images_caption_quality_vs_scalar(ray_session):
         e[1] += int(ws)
         e[2] += int(qv >= 0.5)
     assert got == {f: tuple(v) for f, v in want.items()}
+
+
+def test_seasonal_anomalies_scalar_reference(ray_session):
+    """Pure-Python reference: hourly counts per (type, day, hour),
+    PERCENTILE_DISC(0.5) per (type, hour), gate 2n > 3m."""
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"])
+    cnt = Counter()
+    for ts, et in zip(t["ts"].to_pylist(), t["event_type"].to_pylist()):
+        cnt[(et, ts.day, ts.hour)] += 1
+    byhour = defaultdict(list)
+    for (et, day, hour), n in cnt.items():
+        byhour[(et, hour)].append(n)
+    med = {k: sorted(v)[(len(v) + 1) // 2 - 1] for k, v in byhour.items()}
+    want = {(et, day, hour, n, med[(et, hour)])
+            for (et, day, hour), n in cnt.items()
+            if 2 * n > 3 * med[(et, hour)]}
+
+    got = {(r["event_type"], r["day"], r["hour"], r["n_events"],
+            r["med_n"])
+           for r in q.events_seasonal_anomalies(SF).to_pylist()}
+    assert got == want
+
+
+def test_token_drift_scalar_reference(ray_session):
+    """Pure-Python reference: re2-equivalent split, exact cross-
+    multiplied drift, top-20 under (drift DESC, term ASC)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["source", "text"])
+    ca, cb = Counter(), Counter()
+    for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        c = ca if int(src[3:]) < 10 else cb
+        for w in re.split(r"\s+", txt):
+            if w:
+                c[w] += 1
+    P, Q = sum(ca.values()), sum(cb.values())
+    vocab = set(ca) | set(cb)
+    scored = sorted(
+        ((abs(ca[w] * Q - cb[w] * P), w) for w in vocab),
+        key=lambda x: (-x[0], x[1]))[:20]
+    want = [(w, ca[w], cb[w], d) for d, w in scored]
+
+    out = q.docs_token_drift(SF)
+    got = list(zip(out["term"].to_pylist(), out["n_a"].to_pylist(),
+                   out["n_b"].to_pylist(), out["drift"].to_pylist()))
+    assert got == want
