@@ -7337,6 +7337,61 @@ def revenue_by_region_merge(sf_dir: str):
                           ["total_cents", "n_orders"])
 
 
+
+def _orders_cdc_base(sf_dir: str):
+    """Shared CDC fixture stream: orders as (id, ver=epoch-day,
+    cents, o_orderpriority) — the keyed-layout base every lakehouse
+    query (merge/MoR/time-travel/CDF/evolution) derives from, kept in
+    ONE place so the cents rounding and version axis cannot diverge
+    between the queries and their SQL twins."""
+    import ray
+
+    def oprep(b: pa.Table) -> pa.Table:
+        day = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"id": b["o_orderkey"],
+                         "ver": pa.array(day),
+                         "cents": pa.array(cents),
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice",
+                 "o_orderpriority"]).map_batches(
+        oprep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _priority_cents_agg(ds) -> pa.Table:
+    """Per-priority (n_rows, sum_cents) over a CDC-shaped Dataset."""
+    def partial(b: pa.Table) -> pa.Table:
+        pr = b["o_orderpriority"].combine_chunks().dictionary_encode()
+        codes = pr.indices.to_numpy().astype(np.int64)
+        names = pr.dictionary.to_pylist()
+        cents = b["cents"].to_numpy().astype(np.int64)
+        n = np.bincount(codes, minlength=len(names)).astype(np.int64)
+        su = np.zeros(len(names), np.int64)
+        np.add.at(su, codes, cents)
+        return pa.table({"o_orderpriority": pa.array(names),
+                         "n_rows": pa.array(n),
+                         "sum_cents": pa.array(su)})
+
+    return _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["o_orderpriority"], ["n_rows", "sum_cents"])
+
+
+def _priority_sorted(agg: pa.Table) -> pa.Table:
+    pr = agg["o_orderpriority"].to_pylist()
+    order = np.argsort(np.array(pr))
+    return pa.table({
+        "o_orderpriority": pa.array([pr[i] for i in order]),
+        "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
+        "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order])})
+
+
 def orders_merge_into(sf_dir: str):
     """End-to-end MERGE INTO (state/mergeinto): orders materialize as
     a hash-keyed parquet layout, a CDC delta (every 97th key doubled
@@ -7354,22 +7409,8 @@ def orders_merge_into(sf_dir: str):
     from ..state.mergeinto import (build_keyed_layout, merge_into,
                                    read_keyed_layout)
 
-    def oprep(b: pa.Table) -> pa.Table:
-        day = b["o_orderdate"].to_numpy().astype(
-            "datetime64[D]").astype(np.int64)
-        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
-            .astype(np.int64)
-        return pa.table({"id": b["o_orderkey"],
-                         "ver": pa.array(day),
-                         "cents": pa.array(cents),
-                         "o_orderpriority": b["o_orderpriority"]})
-
     def base_ds():
-        return ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_orderdate", "o_totalprice",
-                     "o_orderpriority"]).map_batches(
-            oprep, batch_format="pyarrow", zero_copy_batch=True)
+        return _orders_cdc_base(sf_dir)
 
     def dprep(b: pa.Table) -> pa.Table:
         k = b["id"].to_numpy().astype(np.int64)
@@ -7388,31 +7429,10 @@ def orders_merge_into(sf_dir: str):
         merge_into(d, base_ds().map_batches(
             dprep, batch_format="pyarrow", zero_copy_batch=True))
 
-        def partial(b: pa.Table) -> pa.Table:
-            pr = b["o_orderpriority"].combine_chunks() \
-                .dictionary_encode()
-            codes = pr.indices.to_numpy().astype(np.int64)
-            names = pr.dictionary.to_pylist()
-            cents = b["cents"].to_numpy().astype(np.int64)
-            n = np.bincount(codes, minlength=len(names)).astype(np.int64)
-            s = np.zeros(len(names), np.int64)
-            np.add.at(s, codes, cents)
-            return pa.table({"o_orderpriority": pa.array(names),
-                             "n_rows": pa.array(n),
-                             "sum_cents": pa.array(s)})
-
-        agg = _final_combine(
-            read_keyed_layout(d).map_batches(
-                partial, batch_format="pyarrow", zero_copy_batch=True),
-            ["o_orderpriority"], ["n_rows", "sum_cents"])
+        agg = _priority_cents_agg(read_keyed_layout(d))
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    pr = agg["o_orderpriority"].to_pylist()
-    order = np.argsort(np.array(pr))
-    return pa.table({
-        "o_orderpriority": pa.array([pr[i] for i in order]),
-        "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
-        "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order])})
+    return _priority_sorted(agg)
 
 
 def images_caption_quality(sf_dir: str):
@@ -7572,22 +7592,8 @@ def orders_merge_on_read(sf_dir: str):
                                    compact_keyed_layout,
                                    read_keyed_layout)
 
-    def oprep(b: pa.Table) -> pa.Table:
-        day = b["o_orderdate"].to_numpy().astype(
-            "datetime64[D]").astype(np.int64)
-        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
-            .astype(np.int64)
-        return pa.table({"id": b["o_orderkey"],
-                         "ver": pa.array(day),
-                         "cents": pa.array(cents),
-                         "o_orderpriority": b["o_orderpriority"]})
-
     def base_ds():
-        return ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_orderdate", "o_totalprice",
-                     "o_orderpriority"]).map_batches(
-            oprep, batch_format="pyarrow", zero_copy_batch=True)
+        return _orders_cdc_base(sf_dir)
 
     def dprep(mod: int, mul: int):
         def fn(b: pa.Table) -> pa.Table:
@@ -7600,24 +7606,7 @@ def orders_merge_on_read(sf_dir: str):
                              "o_orderpriority": t["o_orderpriority"]})
         return fn
 
-    def aggregate(ds):
-        def partial(b: pa.Table) -> pa.Table:
-            pr = b["o_orderpriority"].combine_chunks() \
-                .dictionary_encode()
-            codes = pr.indices.to_numpy().astype(np.int64)
-            names = pr.dictionary.to_pylist()
-            cents = b["cents"].to_numpy().astype(np.int64)
-            n = np.bincount(codes, minlength=len(names)).astype(np.int64)
-            s = np.zeros(len(names), np.int64)
-            np.add.at(s, codes, cents)
-            return pa.table({"o_orderpriority": pa.array(names),
-                             "n_rows": pa.array(n),
-                             "sum_cents": pa.array(s)})
-
-        return _final_combine(
-            ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True),
-            ["o_orderpriority"], ["n_rows", "sum_cents"])
+    aggregate = _priority_cents_agg
 
     d = tempfile.mkdtemp(prefix="mor_", dir="/tmp")
     try:
@@ -7639,12 +7628,7 @@ def orders_merge_on_read(sf_dir: str):
                     "copy-on-write reads must be identical")
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    pr = mor["o_orderpriority"].to_pylist()
-    order = np.argsort(np.array(pr))
-    return pa.table({
-        "o_orderpriority": pa.array([pr[i] for i in order]),
-        "n_rows": pa.array(mor["n_rows"].to_numpy()[order]),
-        "sum_cents": pa.array(mor["sum_cents"].to_numpy()[order])})
+    return _priority_sorted(mor)
 
 
 def orders_agg_view(sf_dir: str):
@@ -7793,6 +7777,10 @@ def tpch_q15(sf_dir: str):
         ["s_suppkey"], ["total_revenue_c2"])
     sk = agg["s_suppkey"].to_numpy().astype(np.int64)
     rv = agg["total_revenue_c2"].to_numpy().astype(np.int64)
+    if not len(rv):
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue_c2": pa.array([], pa.int64())})
     mx = int(rv.max())
     win = sk[rv == mx]
     sup = collect_table(ray.data.read_parquet(
@@ -7894,10 +7882,14 @@ def tpch_q8(sf_dir: str):
     nat = collect_table(ray.data.read_parquet(
         f"{sf_dir}/nation.parquet",
         columns=["n_nationkey", "n_name", "n_regionkey"]))
+    reg = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/region.parquet"))
+    rk = int(reg["r_regionkey"].to_numpy()[
+        np.asarray(reg["r_name"].to_pylist()) == "AMERICA"][0])
     nk = nat["n_nationkey"].to_numpy().astype(np.int64)
     nreg = nat["n_regionkey"].to_numpy().astype(np.int64)
     names = nat["n_name"].to_pylist()
-    america = np.sort(nk[nreg == 1])
+    america = np.sort(nk[nreg == rk])
     share_nk = int(nk[np.asarray(names) == "NATION_6"][0])
 
     part = collect_table(ray.data.read_parquet(
@@ -8244,9 +8236,13 @@ def tpch_q2(sf_dir: str):
     nat = collect_table(ray.data.read_parquet(
         f"{sf_dir}/nation.parquet",
         columns=["n_nationkey", "n_name", "n_regionkey"]))
+    reg = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/region.parquet"))
+    rk = int(reg["r_regionkey"].to_numpy()[
+        np.asarray(reg["r_name"].to_pylist()) == "EUROPE"][0])
     nk = nat["n_nationkey"].to_numpy().astype(np.int64)
     europe = set(nk[nat["n_regionkey"].to_numpy().astype(np.int64)
-                    == 3].tolist())
+                    == rk].tolist())
     name_of = dict(zip(nk.tolist(), nat["n_name"].to_pylist()))
     sk = sup["s_suppkey"].to_numpy().astype(np.int64)
     snk = sup["s_nationkey"].to_numpy().astype(np.int64)
@@ -8512,22 +8508,8 @@ def orders_time_travel(sf_dir: str):
     from ..state.mergeinto import (append_delta, build_keyed_layout,
                                    read_keyed_layout)
 
-    def oprep(b: pa.Table) -> pa.Table:
-        day = b["o_orderdate"].to_numpy().astype(
-            "datetime64[D]").astype(np.int64)
-        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
-            .astype(np.int64)
-        return pa.table({"id": b["o_orderkey"],
-                         "ver": pa.array(day),
-                         "cents": pa.array(cents),
-                         "o_orderpriority": b["o_orderpriority"]})
-
     def base_ds():
-        return ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_orderdate", "o_totalprice",
-                     "o_orderpriority"]).map_batches(
-            oprep, batch_format="pyarrow", zero_copy_batch=True)
+        return _orders_cdc_base(sf_dir)
 
     def dprep(mod: int, mul: int, bump: int):
         def fn(b: pa.Table) -> pa.Table:
@@ -8540,24 +8522,7 @@ def orders_time_travel(sf_dir: str):
                              "o_orderpriority": t["o_orderpriority"]})
         return fn
 
-    def aggregate(ds):
-        def partial(b: pa.Table) -> pa.Table:
-            pr = b["o_orderpriority"].combine_chunks() \
-                .dictionary_encode()
-            codes = pr.indices.to_numpy().astype(np.int64)
-            names = pr.dictionary.to_pylist()
-            cents = b["cents"].to_numpy().astype(np.int64)
-            n = np.bincount(codes, minlength=len(names)).astype(np.int64)
-            s = np.zeros(len(names), np.int64)
-            np.add.at(s, codes, cents)
-            return pa.table({"o_orderpriority": pa.array(names),
-                             "n_rows": pa.array(n),
-                             "sum_cents": pa.array(s)})
-
-        return _final_combine(
-            ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True),
-            ["o_orderpriority"], ["n_rows", "sum_cents"])
+    aggregate = _priority_cents_agg
 
     def as_dict(t: pa.Table):
         return {p: (int(n), int(s)) for p, n, s in zip(
@@ -8587,12 +8552,7 @@ def orders_time_travel(sf_dir: str):
                 "changes every 194th key)")
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    pr = snap1["o_orderpriority"].to_pylist()
-    order = np.argsort(np.array(pr))
-    return pa.table({
-        "o_orderpriority": pa.array([pr[i] for i in order]),
-        "n_rows": pa.array(snap1["n_rows"].to_numpy()[order]),
-        "sum_cents": pa.array(snap1["sum_cents"].to_numpy()[order])})
+    return _priority_sorted(snap1)
 
 
 def orders_change_feed(sf_dir: str):
@@ -8615,22 +8575,8 @@ def orders_change_feed(sf_dir: str):
     from ..state.mergeinto import (append_delta, build_keyed_layout,
                                    table_changes)
 
-    def oprep(b: pa.Table) -> pa.Table:
-        day = b["o_orderdate"].to_numpy().astype(
-            "datetime64[D]").astype(np.int64)
-        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
-            .astype(np.int64)
-        return pa.table({"id": b["o_orderkey"],
-                         "ver": pa.array(day),
-                         "cents": pa.array(cents),
-                         "o_orderpriority": b["o_orderpriority"]})
-
     def base_ds():
-        return ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_orderdate", "o_totalprice",
-                     "o_orderpriority"]).map_batches(
-            oprep, batch_format="pyarrow", zero_copy_batch=True)
+        return _orders_cdc_base(sf_dir)
 
     def d1prep(b: pa.Table) -> pa.Table:
         k = b["id"].to_numpy().astype(np.int64)

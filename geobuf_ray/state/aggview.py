@@ -34,13 +34,21 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ..functions.join import _key_hash
+from .mergeinto import _part_ids
 
 
 def _partials(tbl: pa.Table, key: str, sums: dict[str, str],
               count_col: str, weight: int) -> pa.Table:
     """Per-block group partials: one row per distinct key with
-    weight-scaled count + sums (exact int64)."""
+    weight-scaled count + sums (exact int64).  NULLs in the key or a
+    sum column raise — to_numpy would smuggle them through as NaN and
+    astype(int64) turns NaN into INT64_MIN garbage silently."""
+    for c in (key, *sums.values()):
+        if tbl[c].null_count:
+            raise ValueError(
+                f"agg view column {c!r} contains NULLs; drop or fill "
+                "them before the refresh (NaN->int64 would corrupt "
+                "the sums silently)")
     k = tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
     uu, inv = np.unique(k, return_inverse=True)
     cols: dict[str, pa.Array] = {key: pa.array(uu)}
@@ -81,7 +89,22 @@ def _merge_groups(tbls: list[pa.Table], key: str,
             keep = s > 0
         cols[c] = pa.array(s)
     tbl = pa.table(cols)
-    return tbl.filter(pa.array(keep)) if keep is not None else tbl
+    if keep is not None and not keep.all():
+        # a group retracted down to count 0 must have sums 0 too —
+        # a residual sum means the delta retracted VALUES the view
+        # never contained even though the row count balanced
+        for c in val_cols:
+            if c == count_col:
+                continue
+            resid = tbl[c].to_numpy()[~keep]
+            if (resid != 0).any():
+                bad = tbl[key].to_numpy()[~keep][resid != 0][:5]
+                raise ValueError(
+                    f"over-retraction: group(s) {bad.tolist()} reached "
+                    f"count 0 with nonzero residual {c!r} — the delta "
+                    "retracted values the view never contained")
+        tbl = tbl.filter(pa.array(keep))
+    return tbl
 
 
 def build_agg_view(ds, view_dir: str, *, key: str,
@@ -103,8 +126,7 @@ def build_agg_view(ds, view_dir: str, *, key: str,
         batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_fn(tbl: pa.Table):
-        return ((_key_hash(tbl[key]) % np.uint64(npartitions))
-                .astype(np.int64), tbl)
+        return _part_ids(tbl, key, npartitions), tbl
 
     parts = hash_exchange(part, nbuckets=npartitions,
                           bucket_fn=bucket_fn, reduce_fn=None)
@@ -152,8 +174,7 @@ def refresh_agg_view(view_dir: str, delta, *, weight: int = 1) -> dict:
         batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_fn(tbl: pa.Table):
-        return ((_key_hash(tbl[key]) % np.uint64(nparts))
-                .astype(np.int64), tbl)
+        return _part_ids(tbl, key, nparts), tbl
 
     parts = hash_exchange(part, nbuckets=nparts, bucket_fn=bucket_fn,
                           reduce_fn=None)

@@ -119,6 +119,19 @@ def _write_meta(out_dir: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(out_dir, "meta.json"))
 
 
+def _advance_cow_snapshot(out_dir: str, meta: dict) -> int:
+    """A copy-on-write rewrite (merge_into / delete_from) mutates the
+    base files in place: the new state is a NEW snapshot and history
+    below it is GONE — advance both the snapshot counter and the
+    compacted_at watermark so ``as_of`` / ``table_changes`` raise
+     'expired' instead of silently serving rewritten state."""
+    snap = int(meta.get("snapshot", 0)) + 1
+    meta["snapshot"] = snap
+    meta["compacted_at"] = snap
+    _write_meta(out_dir, meta)
+    return snap
+
+
 def _resolve_partition(out_dir: str, i: int, key: str, version: str,
                        dfiles: list[str],
                        adds: dict | None = None) -> pa.Table:
@@ -132,6 +145,11 @@ def _resolve_partition(out_dir: str, i: int, key: str, version: str,
     tbls += [pq.read_table(os.path.join(out_dir, f)) for f in dfiles]
     if adds:
         tbls = [_apply_schema_adds(t, adds) for t in tbls]
+    return _upsert_tables(tbls, key, version)
+
+
+def _upsert_tables(tbls: list[pa.Table], key: str,
+                   version: str) -> pa.Table:
     merged = tbls[0] if len(tbls) == 1 else pa.concat_tables(
         tbls, promote_options="default")
     if merged.num_rows == 0:
@@ -209,8 +227,15 @@ def append_delta(out_dir: str, delta) -> dict:
 
     # global snapshot id: one per append (single writer), so any
     # partition's sorted delta files are in append order AND a
-    # snapshot cut (as_of) is one filename-number compare
-    snap = int(meta.get("snapshot", 0)) + 1
+    # snapshot cut (as_of) is one filename-number compare.  The floor
+    # over EXISTING file seqs keeps a crashed append (files written,
+    # meta not yet advanced) or a legacy per-partition-seq layout from
+    # being silently overwritten by id reuse
+    disk_max = max((int(f.split("-")[2].split(".")[0])
+                    for f in os.listdir(out_dir)
+                    if f.startswith("delta-") and f.endswith(".parquet")),
+                   default=0)
+    snap = max(int(meta.get("snapshot", 0)), disk_max) + 1
 
     adds = meta.get("schema_adds") or {}
 
@@ -328,8 +353,10 @@ def merge_into(out_dir: str, delta, *, npartitions: int | None = None
     touched_flags = ray.get([apply_one.remote(i, r)
                              for i, r in enumerate(refs)])
     touched = [i for i, t in enumerate(touched_flags) if t]
-    return {"touched": touched,
-            "untouched": nparts - len(touched)}
+    out = {"touched": touched, "untouched": nparts - len(touched)}
+    if touched:  # base files changed: this IS a new snapshot
+        out["snapshot"] = _advance_cow_snapshot(out_dir, meta)
+    return out
 
 
 def delete_from(out_dir: str, keys) -> dict:
@@ -379,9 +406,12 @@ def delete_from(out_dir: str, keys) -> dict:
     for i in np.unique(pid):
         jobs[int(i)] = delete_one.remote(int(i), np.sort(keys[pid == i]))
     dropped = ray.get(list(jobs.values()))
-    return {"touched": [i for i, d in zip(jobs, dropped) if d],
-            "deleted": int(sum(dropped)),
-            "untouched": nparts - len(jobs)}
+    touched = [i for i, d in zip(jobs, dropped) if d]
+    out = {"touched": touched, "deleted": int(sum(dropped)),
+           "untouched": nparts - len(jobs)}
+    if touched:  # base files changed: this IS a new snapshot
+        out["snapshot"] = _advance_cow_snapshot(out_dir, meta)
+    return out
 
 
 def _row_diff_mask(a: pa.Table, b: pa.Table) -> np.ndarray:
@@ -439,10 +469,18 @@ def table_changes(out_dir: str, *, from_snapshot: int,
 
     @ray.remote
     def diff_one(i: int) -> pa.Table:
-        a = _resolve_partition(out_dir, i, key, version,
-                               d_from.get(i, []), adds)
-        b = _resolve_partition(out_dir, i, key, version,
-                               d_to.get(i, []), adds)
+        # d_from's file list is a PREFIX of d_to's (same files, lower
+        # snapshot cut), so read base + to-files ONCE and resolve both
+        # states from slices — no file is opened twice
+        path = os.path.join(out_dir, f"part-{i}.parquet")
+        tbls = [pq.read_table(path)] if os.path.exists(path) else []
+        nfrom = len(tbls) + len(d_from.get(i, []))
+        tbls += [pq.read_table(os.path.join(out_dir, f))
+                 for f in d_to.get(i, [])]
+        if adds:
+            tbls = [_apply_schema_adds(t, adds) for t in tbls]
+        a = _upsert_tables(tbls[:nfrom], key, version)
+        b = _upsert_tables(tbls, key, version)
         ka = a[key].to_numpy(zero_copy_only=False).astype(np.int64)
         kb = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
         # resolve output is key-sorted (the upsert lexsort); align

@@ -112,3 +112,29 @@ def test_guards(ray_session, tmp_path):
     with pytest.raises(Exception, match="integer-typed"):
         build_agg_view(ray.data.from_arrow(bad), str(tmp_path / "bad"),
                        key="k", sums={"sum_v": "v"})
+
+
+def test_null_values_rejected(ray_session, tmp_path):
+    import ray
+
+    d = _build(ray, tmp_path, [1, 2], [10, 20])
+    bad = pa.table({"k": pa.array([1, None], pa.int64()),
+                    "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="NULL"):
+        refresh_agg_view(d, ray.data.from_arrow(bad))
+    bad2 = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "v": pa.array([1, None], pa.int64())})
+    with pytest.raises(Exception, match="NULL"):
+        refresh_agg_view(d, ray.data.from_arrow(bad2))
+
+
+def test_zero_count_nonzero_sum_retraction_rejected(ray_session,
+                                                    tmp_path):
+    """Retracting the right NUMBER of rows but the wrong VALUES must
+    raise, not silently drop the group with a residual sum."""
+    import ray
+
+    d = _build(ray, tmp_path, [1], [10])
+    with pytest.raises(Exception, match="residual"):
+        refresh_agg_view(d, ray.data.from_arrow(_rows([1], [25])),
+                         weight=-1)

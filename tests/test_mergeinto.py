@@ -380,3 +380,72 @@ def test_schema_evolution_initial_default(ray_session, tmp_path):
         add_column(d, "flag", "int64", default=0)
     with pytest.raises(ValueError, match="already exists"):
         add_column(d, "val", "int64", default=0)
+
+
+def test_cow_writes_advance_snapshot_and_watermark(ray_session,
+                                                   tmp_path):
+    import ray
+
+    from geobuf_ray.state.mergeinto import (append_delta, delete_from,
+                                            table_changes)
+
+    d = str(tmp_path / "cowsnap")
+    build_keyed_layout(ray.data.from_arrow(_base(50)), d, key="id",
+                       version="ver", npartitions=4)
+    res = merge_into(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "ver": pa.array([9], pa.int64()),
+        "val": pa.array([111], pa.int64())})))
+    assert res["snapshot"] == 1
+    # the rewrite destroyed snapshot 0: historical reads must raise,
+    # never silently serve post-merge state as 'the base build'
+    with pytest.raises(ValueError, match="expired"):
+        read_keyed_layout(d, as_of=0)
+    with pytest.raises(ValueError, match="expired"):
+        table_changes(d, from_snapshot=0)
+    assert {r["id"]: r["val"]
+            for r in read_keyed_layout(d, as_of=1).take_all()}[1] == 111
+
+    res2 = delete_from(d, np.array([2], np.int64))
+    assert res2["snapshot"] == 2
+    with pytest.raises(ValueError, match="expired"):
+        read_keyed_layout(d, as_of=1)
+    # a no-op CoW write (nothing matched) is NOT a new snapshot
+    res3 = delete_from(d, np.array([99999], np.int64))
+    assert "snapshot" not in res3
+    assert read_keyed_layout(d, as_of=2).count() == 49
+
+    # MoR append after CoW writes continues the numbering
+    r = append_delta(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([3], pa.int64()),
+        "ver": pa.array([9], pa.int64()),
+        "val": pa.array([333], pa.int64())})))
+    assert r["snapshot"] == 3
+
+
+def test_append_snapshot_floor_survives_orphan_files(ray_session,
+                                                     tmp_path):
+    """A crashed append (delta files on disk, meta not advanced) must
+    not have its files overwritten by snapshot-id reuse."""
+    import ray
+
+    from geobuf_ray.state.mergeinto import append_delta
+
+    d = str(tmp_path / "orphan")
+    build_keyed_layout(ray.data.from_arrow(_base(20)), d, key="id",
+                       version="ver", npartitions=2)
+    # simulate the crash: a delta file exists at seq 2, meta says 0
+    orphan = pa.table({"id": pa.array([999], pa.int64()),
+                       "ver": pa.array([1], pa.int64()),
+                       "val": pa.array([9], pa.int64())})
+    import pyarrow.parquet as pq_
+    pq_.write_table(orphan, os.path.join(d, "delta-0-00002.parquet"))
+    before = open(os.path.join(d, "delta-0-00002.parquet"), "rb").read()
+
+    r = append_delta(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([5], pa.int64()),
+        "ver": pa.array([1], pa.int64()),
+        "val": pa.array([55], pa.int64())})))
+    assert r["snapshot"] == 3  # floor over disk seqs, not meta
+    after = open(os.path.join(d, "delta-0-00002.parquet"), "rb").read()
+    assert after == before  # orphan never clobbered
