@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_schema_evolution": q.orders_schema_evolution,
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "docs_token_drift": q.docs_token_drift,
+        "docs_curation_funnel": q.docs_curation_funnel,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -2451,6 +2452,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(abs(n_a * qt - n_b * pt) AS BIGINT) AS drift
             FROM c, tot
             ORDER BY drift DESC, term LIMIT 20
+        """,
+        "docs_curation_funnel": r"""
+            WITH q AS (SELECT doc_id, lang, source,
+                          CAST(len(string_split_regex(text, '\s+'))
+                              AS BIGINT) AS toks,
+                          CAST(length(text) AS BIGINT) AS chars
+                       FROM documents),
+            qual AS (SELECT * FROM q
+                     WHERE chars >= 100 AND 3 * toks <= chars
+                       AND chars <= 12 * toks),
+            ded AS (SELECT * FROM qual
+                    QUALIFY row_number() OVER (
+                        PARTITION BY lang, source
+                        ORDER BY doc_id) = 1),
+            spl AS (SELECT * FROM ded WHERE doc_id % 8 = 0)
+            SELECT 'a_total' AS stage,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS n_tokens
+            FROM q
+            UNION ALL SELECT 'b_quality', CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(toks), 0) AS BIGINT) FROM qual
+            UNION ALL SELECT 'c_dedup', CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(toks), 0) AS BIGINT) FROM ded
+            UNION ALL SELECT 'd_split', CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(toks), 0) AS BIGINT) FROM spl
+            ORDER BY stage
         """,
         "orders_agg_view": """
             WITH eff AS (SELECT o_custkey,

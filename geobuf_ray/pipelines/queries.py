@@ -8932,3 +8932,110 @@ def docs_token_drift(sf_dir: str, k: int = 20):
         "term": pa.array(terms_np[order].tolist(), pa.string()),
         "n_a": pa.array(a[order]), "n_b": pa.array(b[order]),
         "drift": pa.array(drift[order])})
+
+
+def docs_curation_funnel(sf_dir: str):
+    """End-to-end curation funnel — the composition a training-data
+    user actually runs: corpus -> quality gate (chars >= 100 and mean
+    token length in [3, 12], evaluated as the exact cross-multiplies
+    3·toks <= chars <= 12·toks) -> exact dedup (first doc_id per
+    (lang, source) among survivors — the docs_exact_dedup rule) ->
+    deterministic 1/8 train-audit split (doc_id % 8 == 0).  ONE pass:
+    per-block partials carry every stage's (count, token-sum) plus the
+    block-min qualifying doc id AND ITS token count per (lang, source);
+    the combine is driver-sized by contract (|langs| x |sources|
+    metadata domain).  Emits one row per stage, hash-checked against
+    the chained-CTE twin."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks_l = pc.split_pattern_regex(b["text"], r"\s+")
+        if isinstance(toks_l, pa.ChunkedArray):
+            toks_l = toks_l.combine_chunks()
+        offs = toks_l.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        toks = np.diff(offs)
+        chars = pc.utf8_length(b["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        qual = (chars >= 100) & (3 * toks <= chars) & \
+            (chars <= 12 * toks)
+        grp = pa.table({"lang": b["lang"], "source": b["source"]})
+        key = pc.binary_join_element_wise(
+            grp["lang"].cast(pa.string()),
+            grp["source"].cast(pa.string()), "\x1f")
+        enc = key.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ng = len(enc.dictionary)
+        out = {"key": enc.dictionary,
+               "n_docs": np.bincount(codes, minlength=ng)
+               .astype(np.int64),
+               "toks": np.zeros(ng, np.int64),
+               "q_docs": np.zeros(ng, np.int64),
+               "q_toks": np.zeros(ng, np.int64)}
+        np.add.at(out["toks"], codes, toks)
+        np.add.at(out["q_docs"], codes, qual.astype(np.int64))
+        np.add.at(out["q_toks"], codes, toks * qual)
+        # block-min qualifying doc id per group + its token count
+        min_id = np.full(ng, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(min_id, codes[qual], did[qual])
+        min_toks = np.zeros(ng, np.int64)
+        if qual.any():
+            # first qualifying row per group in (code, id) order
+            # carries the survivor's own token count
+            oq = np.lexsort((did[qual], codes[qual]))
+            cq, dq, tq = (codes[qual][oq], did[qual][oq],
+                          toks[qual][oq])
+            fq = np.ones(len(cq), bool)
+            fq[1:] = cq[1:] != cq[:-1]
+            min_toks[cq[fq]] = tq[fq]
+        cols = {"key": out["key"]}
+        for name in ("n_docs", "toks", "q_docs", "q_toks"):
+            cols[name] = pa.array(out[name])
+        cols["min_id"] = pa.array(min_id)
+        cols["min_toks"] = pa.array(min_toks)
+        return pa.table(cols)
+
+    from ..collect import collect_table
+
+    t = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    keys = np.asarray(t["key"].to_pylist(), object)
+    uu, inv = np.unique(keys, return_inverse=True)
+    ng = len(uu)
+
+    def summed(col):
+        s = np.zeros(ng, np.int64)
+        np.add.at(s, inv, t[col].to_numpy().astype(np.int64))
+        return s
+
+    n_docs, toks = summed("n_docs"), summed("toks")
+    q_docs, q_toks = summed("q_docs"), summed("q_toks")
+    # global min qualifying id per group; its tokens come from the
+    # block that contributed that exact id
+    mid = t["min_id"].to_numpy().astype(np.int64)
+    mtk = t["min_toks"].to_numpy().astype(np.int64)
+    gmin = np.full(ng, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(gmin, inv, mid)
+    surv = gmin < np.iinfo(np.int64).max
+    carrier = mid == gmin[inv]
+    gtok = np.zeros(ng, np.int64)
+    gtok[inv[carrier]] = mtk[carrier]
+
+    stages = [
+        ("a_total", int(n_docs.sum()), int(toks.sum())),
+        ("b_quality", int(q_docs.sum()), int(q_toks.sum())),
+        ("c_dedup", int(surv.sum()), int(gtok[surv].sum())),
+    ]
+    split = surv & (gmin % 8 == 0)
+    stages.append(("d_split", int(split.sum()),
+                   int(gtok[split].sum())))
+    return pa.table({
+        "stage": pa.array([s[0] for s in stages], pa.string()),
+        "n_docs": pa.array([s[1] for s in stages], pa.int64()),
+        "n_tokens": pa.array([s[2] for s in stages], pa.int64())})

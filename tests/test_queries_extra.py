@@ -365,3 +365,43 @@ def test_token_drift_scalar_reference(ray_session):
     got = list(zip(out["term"].to_pylist(), out["n_a"].to_pylist(),
                    out["n_b"].to_pylist(), out["drift"].to_pylist()))
     assert got == want
+
+
+def test_curation_funnel_scalar_reference(ray_session):
+    """Pure-Python funnel: raw-piece token count (\\s+ split, empties
+    KEPT — the len(string_split_regex) convention), integer quality
+    gate, min-id-per-(lang,source) dedup, %8 split."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "lang", "source"])
+    rows = []
+    for did, txt, lg, src in zip(t["doc_id"].to_pylist(),
+                                 t["text"].to_pylist(),
+                                 t["lang"].to_pylist(),
+                                 t["source"].to_pylist()):
+        toks = len(re.split(r"\s+", txt))
+        chars = len(txt)
+        rows.append((did, lg, src, toks, chars))
+    qual = [r for r in rows
+            if r[4] >= 100 and 3 * r[3] <= r[4] <= 12 * r[3]]
+    best = {}
+    for did, lg, src, toks, chars in qual:
+        k = (lg, src)
+        if k not in best or did < best[k][0]:
+            best[k] = (did, toks)
+    ded = list(best.values())
+    spl = [d for d in ded if d[0] % 8 == 0]
+    want = [("a_total", len(rows), sum(r[3] for r in rows)),
+            ("b_quality", len(qual), sum(r[3] for r in qual)),
+            ("c_dedup", len(ded), sum(d[1] for d in ded)),
+            ("d_split", len(spl), sum(d[1] for d in spl))]
+
+    out = q.docs_curation_funnel(SF)
+    got = list(zip(out["stage"].to_pylist(), out["n_docs"].to_pylist(),
+                   out["n_tokens"].to_pylist()))
+    assert got == want
