@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_time_travel": q.orders_time_travel,
         "orders_change_feed": q.orders_change_feed,
         "orders_schema_evolution": q.orders_schema_evolution,
+        "orders_rebalance": q.orders_rebalance,
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "docs_token_drift": q.docs_token_drift,
         "docs_curation_funnel": q.docs_curation_funnel,
@@ -2478,6 +2479,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'd_split', CAST(COUNT(*) AS BIGINT),
                    CAST(COALESCE(SUM(toks), 0) AS BIGINT) FROM spl
             ORDER BY stage
+        """,
+        "orders_rebalance": """
+            WITH base AS (SELECT o_orderkey AS id,
+                            CAST(floor(epoch(o_orderdate) / 86400)
+                                 AS BIGINT) AS ver,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents,
+                            o_orderpriority
+                          FROM orders),
+            delta AS (SELECT id, ver + 10000 AS ver, cents * 2 AS cents,
+                             o_orderpriority
+                      FROM base WHERE id % 97 = 0),
+            all_rows AS (SELECT *, 0 AS is_d FROM base
+                         UNION ALL
+                         SELECT *, 1 AS is_d FROM delta),
+            u AS (SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY id
+                        ORDER BY ver DESC, is_d DESC) AS rn
+                    FROM all_rows) WHERE rn = 1)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM u GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "orders_agg_view": """
             WITH eff AS (SELECT o_custkey,

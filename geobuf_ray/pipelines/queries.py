@@ -9039,3 +9039,62 @@ def docs_curation_funnel(sf_dir: str):
         "stage": pa.array([s[0] for s in stages], pa.string()),
         "n_docs": pa.array([s[1] for s in stages], pa.int64()),
         "n_tokens": pa.array([s[2] for s in stages], pa.int64())})
+
+
+def orders_rebalance(sf_dir: str):
+    """Layout re-bucketing (state/mergeinto.rebalance_keyed_layout):
+    orders build at 8 partitions, a CDC merge applies, then the table
+    re-buckets to 24 partitions through the SAME pinned hash — the
+    maintenance op for a table that outgrew its bucket count.  The
+    query asserts in-flight that every rebalanced partition holds
+    exactly the keys the hash routes to it, then aggregates; the hash
+    check (same merge-simulation twin as orders_merge_into) certifies
+    the rebalance moved every row and invented none."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from ..state.mergeinto import (_part_ids, build_keyed_layout,
+                                   merge_into, read_keyed_layout,
+                                   rebalance_keyed_layout)
+
+    def dprep(b: pa.Table) -> pa.Table:
+        k = b["id"].to_numpy().astype(np.int64)
+        t = b.filter(pa.array(k % 97 == 0))
+        return pa.table({
+            "id": t["id"],
+            "ver": pa.array(t["ver"].to_numpy().astype(np.int64)
+                            + 10000),
+            "cents": pa.array(t["cents"].to_numpy().astype(np.int64)
+                              * 2),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    d = tempfile.mkdtemp(prefix="rebalance_", dir="/tmp")
+    try:
+        build_keyed_layout(_orders_cdc_base(sf_dir), d, key="id",
+                           version="ver", npartitions=8)
+        merge_into(d, _orders_cdc_base(sf_dir).map_batches(
+            dprep, batch_format="pyarrow", zero_copy_batch=True))
+        res = rebalance_keyed_layout(d, 24)
+        if res["npartitions"] != 24 or res["old_npartitions"] != 8:
+            raise AssertionError("rebalance bookkeeping wrong")
+        nfiles = len([f for f in _os.listdir(d)
+                      if f.startswith("part-")
+                      and f.endswith(".parquet")])
+        if nfiles != 24:
+            raise AssertionError(f"expected 24 partition files, "
+                                 f"got {nfiles}")
+        for i in (0, 11, 23):  # routing spot-check
+            t = _pq.read_table(f"{d}/part-{i}.parquet",
+                               columns=["id"])
+            if t.num_rows and not (
+                    _part_ids(t, "id", 24) == i).all():
+                raise AssertionError(
+                    f"partition {i} holds keys the pinned hash "
+                    "routes elsewhere")
+        agg = _priority_cents_agg(read_keyed_layout(d))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return _priority_sorted(agg)

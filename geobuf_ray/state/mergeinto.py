@@ -550,3 +550,66 @@ def add_column(out_dir: str, name: str, type_alias: str,
     adds[name] = {"type": type_alias, "default": default}
     _write_meta(out_dir, meta)
     return meta
+
+
+def rebalance_keyed_layout(out_dir: str, new_npartitions: int) -> dict:
+    """Re-bucket the layout to a new partition count (the lakehouse
+    maintenance op for a table that outgrew — or over-shot — its
+    bucket layout).  Every row re-routes through the SAME pinned hash
+    at the new modulus, so the routing contract stays one function
+    (`_part_ids`); evolved columns materialize physically in the
+    rewritten files.  Refuses pending merge-on-read deltas (compact
+    first — same rule as the CoW paths) and advances the snapshot +
+    watermark: the rewrite destroys file-level history.  Single
+    writer assumed, like every mutation here; new files land as
+    ``.new`` and swap in only after ALL partitions are written, so a
+    crash mid-rebalance leaves the old layout intact."""
+    from ..functions.exchange import hash_exchange
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    key, version = meta["key"], meta["version"]
+    old_nparts = meta["npartitions"]
+    if _delta_files(out_dir):
+        raise ValueError(
+            "layout has pending merge-on-read delta files; run "
+            "compact_keyed_layout() before a rebalance")
+    if new_npartitions < 1:
+        raise ValueError("new_npartitions must be >= 1")
+
+    def bucket_fn(tbl: pa.Table):
+        return _part_ids(tbl, key, new_npartitions), tbl
+
+    parts = hash_exchange(read_keyed_layout(out_dir),
+                          nbuckets=new_npartitions,
+                          bucket_fn=bucket_fn, reduce_fn=None)
+    refs = [r for b in parts.iter_internal_ref_bundles()
+            for r in b.block_refs]
+    adds = meta.get("schema_adds") or {}
+
+    @ray.remote
+    def write_new(i: int, blk) -> int:
+        t = blk if isinstance(blk, pa.Table) else pa.table(blk)
+        t = _apply_schema_adds(t, adds)
+        if t.num_rows:
+            t = _upsert_last_wins(t, key, version,
+                                  np.zeros(t.num_rows, np.int64))
+        pq.write_table(t, os.path.join(out_dir,
+                                       f".part-{i}.parquet.new"))
+        return t.num_rows
+
+    counts = ray.get([write_new.remote(i, r)
+                      for i, r in enumerate(refs)])
+    # all new files written: swap (old files removed AFTER the new
+    # set is complete, so an earlier crash leaves the layout valid)
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, f))
+    for i in range(new_npartitions):
+        os.replace(os.path.join(out_dir, f".part-{i}.parquet.new"),
+                   os.path.join(out_dir, f"part-{i}.parquet"))
+    meta["npartitions"] = new_npartitions
+    snap = _advance_cow_snapshot(out_dir, meta)
+    return {"npartitions": new_npartitions,
+            "old_npartitions": old_nparts,
+            "rows": int(sum(counts)), "snapshot": snap}

@@ -449,3 +449,48 @@ def test_append_snapshot_floor_survives_orphan_files(ray_session,
     assert r["snapshot"] == 3  # floor over disk seqs, not meta
     after = open(os.path.join(d, "delta-0-00002.parquet"), "rb").read()
     assert after == before  # orphan never clobbered
+
+
+def test_rebalance_grow_shrink_and_guards(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.state.mergeinto import (add_column, append_delta,
+                                            _part_ids,
+                                            rebalance_keyed_layout)
+
+    d = str(tmp_path / "rebal")
+    build_keyed_layout(ray.data.from_arrow(_base(300)), d, key="id",
+                       version="ver", npartitions=4)
+    add_column(d, "flag", "int64", default=7)
+
+    def state():
+        return {r["id"]: (r["val"], r["flag"])
+                for r in read_keyed_layout(d).take_all()}
+
+    before = state()
+    res = rebalance_keyed_layout(d, 12)          # grow
+    assert res["rows"] == 300 and res["snapshot"] == 1
+    assert state() == before
+    files = [f for f in os.listdir(d)
+             if f.startswith("part-") and f.endswith(".parquet")]
+    assert len(files) == 12
+    for f in files:  # every key routed to its pinned-hash partition
+        i = int(f.split("-")[1].split(".")[0])
+        t = pq.read_table(os.path.join(d, f))
+        if t.num_rows:
+            assert (_part_ids(t, "id", 12) == i).all()
+            assert "flag" in t.column_names  # evolution materialized
+
+    res2 = rebalance_keyed_layout(d, 3)          # shrink
+    assert res2["rows"] == 300 and state() == before
+    assert len([f for f in os.listdir(d) if f.startswith("part-")
+                and f.endswith(".parquet")]) == 3
+
+    # pending deltas refuse a rebalance
+    append_delta(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "ver": pa.array([9], pa.int64()),
+        "val": pa.array([1], pa.int64()),
+        "flag": pa.array([1], pa.int64())})))
+    with pytest.raises(ValueError, match="pending"):
+        rebalance_keyed_layout(d, 6)
