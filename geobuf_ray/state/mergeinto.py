@@ -613,3 +613,27 @@ def rebalance_keyed_layout(out_dir: str, new_npartitions: int) -> dict:
     return {"npartitions": new_npartitions,
             "old_npartitions": old_nparts,
             "rows": int(sum(counts)), "snapshot": snap}
+
+
+def vacuum_keyed_layout(out_dir: str) -> dict:
+    """Remove crash debris: orphaned ``.tmp`` / ``.new`` staging files
+    (an interrupted atomic write never swapped them in) and delta
+    files at-or-below the compaction watermark (their content already
+    lives in the base files; they can only exist after a crash
+    between compact's folds and its deletes).  Live state is NEVER
+    touched — base files and deltas above the watermark stay, so
+    vacuum is always safe to run and idempotent."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    floor_ = int(meta.get("compacted_at", 0))
+    removed = {"staging": [], "expired_deltas": []}
+    for f in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, f)
+        if f.endswith((".tmp", ".new")) and f.startswith("."):
+            removed["staging"].append(f)
+            os.remove(path)
+        elif f.startswith("delta-") and f.endswith(".parquet") and \
+                int(f.split("-")[2].split(".")[0]) <= floor_:
+            removed["expired_deltas"].append(f)
+            os.remove(path)
+    return removed

@@ -494,3 +494,45 @@ def test_rebalance_grow_shrink_and_guards(ray_session, tmp_path):
         "flag": pa.array([1], pa.int64())})))
     with pytest.raises(ValueError, match="pending"):
         rebalance_keyed_layout(d, 6)
+
+
+def test_vacuum_removes_debris_only(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.state.mergeinto import (append_delta,
+                                            compact_keyed_layout,
+                                            vacuum_keyed_layout)
+
+    d = str(tmp_path / "vac")
+    build_keyed_layout(ray.data.from_arrow(_base(50)), d, key="id",
+                       version="ver", npartitions=4)
+    append_delta(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "ver": pa.array([9], pa.int64()),
+        "val": pa.array([11], pa.int64())})))
+    compact_keyed_layout(d)
+    # live delta ABOVE the watermark + crash debris
+    append_delta(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([2], pa.int64()),
+        "ver": pa.array([9], pa.int64()),
+        "val": pa.array([22], pa.int64())})))
+    open(os.path.join(d, ".part-0.parquet.tmp"), "wb").write(b"junk")
+    open(os.path.join(d, ".part-1.parquet.new"), "wb").write(b"junk")
+    # an expired delta a crashed compact left behind (seq <= watermark)
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64()),
+                             "ver": pa.array([9], pa.int64()),
+                             "val": pa.array([11], pa.int64())}),
+                   os.path.join(d, "delta-1-00001.parquet"))
+
+    before = {r["id"]: r["val"]
+              for r in read_keyed_layout(d).take_all()}
+    res = vacuum_keyed_layout(d)
+    assert sorted(res["staging"]) == [".part-0.parquet.tmp",
+                                      ".part-1.parquet.new"]
+    assert res["expired_deltas"] == ["delta-1-00001.parquet"]
+    live = [f for f in os.listdir(d) if f.startswith("delta-")]
+    assert len(live) >= 1  # the above-watermark delta survives
+    assert {r["id"]: r["val"]
+            for r in read_keyed_layout(d).take_all()} == before
+    assert vacuum_keyed_layout(d) == {"staging": [],
+                                      "expired_deltas": []}
