@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_overlap_join": q.rects_overlap_join,
         "codec_roundtrip_points": q.codec_roundtrip_points,
         "codec_wkb_roundtrip": q.codec_wkb_roundtrip,
+        "codec_geoparquet_roundtrip": q.codec_geoparquet_roundtrip,
         "tri_geometry_measures": q.tri_geometry_measures,
         "lines_simplify": q.lines_simplify,
         "suppliers_components": q.suppliers_components,
@@ -2646,6 +2647,13 @@ def oracle_sql() -> dict[str, str]:
                    {_LON} AS lon,
                    {_LAT} AS lat
             FROM customer
+        """,
+        "codec_geoparquet_roundtrip": f"""
+            SELECT c_custkey AS custkey,
+                   {_LON} AS lon,
+                   {_LAT} AS lat
+            FROM customer
+            ORDER BY custkey
         """,
         # measures oracle: both sides work in the quantized int64
         # lattice (trunc toward zero at 1e7 — the codec's native

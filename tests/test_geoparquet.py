@@ -1,0 +1,82 @@
+"""GeoParquet interop: spec metadata, bbox file pruning, round-trip."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from geobuf_ray.codec.wkb import decode_wkb, encode_wkb
+from geobuf_ray.io.geoparquet import (read_geoparquet,
+                                      read_geoparquet_meta,
+                                      write_geoparquet)
+
+
+def _points_wkb(lons, lats):
+    n = len(lons)
+    coords = np.empty(2 * n)
+    coords[0::2] = lons
+    coords[1::2] = lats
+    geo = pa.table({
+        "geom_type": pa.array(np.ones(n, np.int8)),
+        "dim": pa.array(np.full(n, 2, np.int8)),
+        "coords": pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int32)),
+            pa.array(coords)),
+        "ring_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+        "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+    })
+    return encode_wkb(geo)
+
+
+def test_geoparquet_roundtrip_meta_and_pruning(ray_session, tmp_path):
+    import ray
+
+    d = str(tmp_path / "gpq")
+    # two spatially-disjoint blocks -> two files with disjoint bboxes
+    west = pa.table({"id": pa.array([1, 2], pa.int64()),
+                     "geometry": _points_wkb([-100.0, -90.0],
+                                             [10.0, 20.0])})
+    east = pa.table({"id": pa.array([3, 4], pa.int64()),
+                     "geometry": _points_wkb([100.0, 110.0],
+                                             [30.0, 40.0])})
+    ds = ray.data.from_arrow([west, east])
+    res = write_geoparquet(ds, d)
+    assert res["files"] == 2 and res["rows"] == 4
+    assert res["bbox"] == [-100.0, 10.0, 110.0, 40.0]
+
+    meta = read_geoparquet_meta(d)
+    assert len(meta) == 2
+    for m in meta.values():
+        col = m["columns"]["geometry"]
+        assert m["version"] == "1.0.0"
+        assert col["encoding"] == "WKB"
+        assert col["geometry_types"] == ["Point"]
+
+    # full read round-trips exactly
+    got = {}
+    for b in read_geoparquet(d).iter_batches(batch_format="pyarrow"):
+        dec = decode_wkb(b["geometry"])
+        vals = dec["coords"].combine_chunks().values.to_numpy(
+            zero_copy_only=False)
+        for i, lon, lat in zip(b["id"].to_pylist(), vals[0::2],
+                               vals[1::2]):
+            got[i] = (lon, lat)
+    assert got == {1: (-100.0, 10.0), 2: (-90.0, 20.0),
+                   3: (100.0, 30.0), 4: (110.0, 40.0)}
+
+    # bbox pruning skips the east file entirely
+    west_only = read_geoparquet(d, bbox=[-120, 0, -80, 50])
+    assert sorted(r["id"] for b in west_only.iter_batches(
+        batch_format="pyarrow") for r in b.to_pylist()) == [1, 2]
+    with pytest.raises(ValueError, match="pruned every file"):
+        read_geoparquet(d, bbox=[0, -10, 10, -5])
+
+    # a plain parquet directory is NOT GeoParquet
+    d2 = str(tmp_path / "plain")
+    os.makedirs(d2)
+    pq.write_table(pa.table({"x": pa.array([1])}),
+                   os.path.join(d2, "part-0.parquet"))
+    with pytest.raises(ValueError, match="no 'geo' metadata"):
+        read_geoparquet_meta(d2)
