@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "docs_token_drift": q.docs_token_drift,
         "docs_curation_funnel": q.docs_curation_funnel,
+        "docs_unigram_surprise": q.docs_unigram_surprise,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -2505,6 +2506,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM u GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "docs_unigram_surprise": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents),
+            tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+            df AS (SELECT term,
+                          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM tt GROUP BY term),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd
+                  FROM documents)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(length(bin(nd // df))) AS BIGINT)
+                       AS surprise
+            FROM tt JOIN df USING (term), n
+            GROUP BY doc_id
+            ORDER BY surprise DESC, doc_id LIMIT 20
         """,
         "orders_agg_view": """
             WITH eff AS (SELECT o_custkey,

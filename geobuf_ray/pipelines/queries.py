@@ -9173,3 +9173,118 @@ def codec_geoparquet_roundtrip(sf_dir: str):
         "custkey": pa.array(k[order]),
         "lon": pa.array(tbl["lon"].to_numpy()[order]),
         "lat": pa.array(tbl["lat"].to_numpy()[order])})
+
+
+def docs_unigram_surprise(sf_dir: str, k: int = 20):
+    """Unigram-LM surprise scoring — the exact-integer stand-in for
+    the CCNet perplexity gate: a token's surprise is
+    bit_length(N // df) (the integer log2-idf; exact on both engines:
+    numpy via frexp on ints < 2^53, SQL via length(bin(x))), a doc's
+    score the sum over its token OCCURRENCES, and the top-k most
+    surprising docs emerge under (surprise DESC, doc_id).
+
+    One text scan: blocks pre-aggregate (doc, term, cnt) pairs; a
+    term-hash exchange makes each bucket hold EVERY pair of its terms,
+    so df is just the per-term pair-row count in-bucket (a doc never
+    spans blocks — one pair row per (doc, term) globally) and per-pair
+    surprise attaches without any broadcast; a doc-hash exchange sums
+    per doc and emits local top-k only.  The vocabulary and the
+    per-doc score table both stay distributed."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+    from ..functions.join import _key_hash
+
+    N = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        did = batch["doc_id"].to_numpy().astype(np.int64)
+        doc_of = np.repeat(did, np.diff(offs))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            sel = np.flatnonzero(keep)
+            flat = flat.take(pa.array(sel))
+            doc_of = doc_of[sel]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nterm = len(enc.dictionary)
+        # one row per (doc, term) with its occurrence count
+        dpos = np.unique(doc_of, return_inverse=True)
+        pid = dpos[1] * nterm + codes
+        uu, inv = np.unique(pid, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        t = pa.table({
+            "doc_id": pa.array(dpos[0][uu // nterm]),
+            "term": enc.dictionary.take(pa.array(uu % nterm)),
+            "cnt": pa.array(cnt)})
+        h = _key_hash(t["term"])
+        return t.append_column(
+            "bucket", pa.array((h & np.uint64(63)).astype(np.int64)))
+
+    def bucket_score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "surprise": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        enc = t["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = np.bincount(codes, minlength=len(enc.dictionary)) \
+            .astype(np.int64)
+        # exact integer bit length: frexp's exponent (ints < 2^53)
+        bitlen = np.frexp((N // df).astype(np.float64))[1] \
+            .astype(np.int64)
+        cnt = t["cnt"].to_numpy().astype(np.int64)
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        per_pair = cnt * bitlen[codes]
+        uu, inv = np.unique(did, return_inverse=True)
+        s = np.zeros(len(uu), np.int64)
+        np.add.at(s, inv, per_pair)
+        ntok = np.zeros(len(uu), np.int64)
+        np.add.at(ntok, inv, cnt)
+        return pa.table({"doc_id": pa.array(uu),
+                         "surprise": pa.array(s),
+                         "n_tokens": pa.array(ntok)})
+
+    scored = hash_exchange(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"]).map_batches(
+            pairs, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None),
+        nbuckets=64, on="bucket", reduce_fn=bucket_score)
+
+    def doc_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        uu, inv = np.unique(did, return_inverse=True)
+        s = np.zeros(len(uu), np.int64)
+        np.add.at(s, inv, t["surprise"].to_numpy().astype(np.int64))
+        ntok = np.zeros(len(uu), np.int64)
+        np.add.at(ntok, inv, t["n_tokens"].to_numpy().astype(np.int64))
+        order = np.lexsort((uu, -s))[:k]
+        return pa.table({"doc_id": pa.array(uu[order]),
+                         "surprise": pa.array(s[order]),
+                         "n_tokens": pa.array(ntok[order])})
+
+    cand = collect_table(hash_exchange(
+        scored, nbuckets=16, on="doc_id", reduce_fn=doc_topk))
+    did = cand["doc_id"].to_numpy().astype(np.int64)
+    s = cand["surprise"].to_numpy().astype(np.int64)
+    ntok = cand["n_tokens"].to_numpy().astype(np.int64)
+    order = np.lexsort((did, -s))[:k]
+    return pa.table({"doc_id": pa.array(did[order]),
+                     "n_tokens": pa.array(ntok[order]),
+                     "surprise": pa.array(s[order])})

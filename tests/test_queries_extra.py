@@ -405,3 +405,37 @@ def test_curation_funnel_scalar_reference(ray_session):
     got = list(zip(out["stage"].to_pylist(), out["n_docs"].to_pylist(),
                    out["n_tokens"].to_pylist()))
     assert got == want
+
+
+def test_unigram_surprise_scalar_reference(ray_session):
+    """Pure-Python reference: df per term, bit_length(N // df) per
+    occurrence, per-doc sums, top-20 under (surprise DESC, doc_id)."""
+    import re
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    docs = {did: [w for w in re.split(r"\s+", txt) if w]
+            for did, txt in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist())}
+    N = len(docs)
+    df = Counter()
+    for words in docs.values():
+        for w in set(words):
+            df[w] += 1
+    scores = {}
+    for did, words in docs.items():
+        scores[did] = (sum((N // df[w]).bit_length() for w in words),
+                       len(words))
+    want = sorted(((did, ntok, s) for did, (s, ntok) in scores.items()),
+                  key=lambda x: (-x[2], x[0]))[:20]
+
+    out = q.docs_unigram_surprise(SF)
+    got = list(zip(out["doc_id"].to_pylist(),
+                   out["n_tokens"].to_pylist(),
+                   out["surprise"].to_pylist()))
+    assert got == want
