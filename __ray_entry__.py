@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_drift": q.docs_token_drift,
         "docs_curation_funnel": q.docs_curation_funnel,
         "docs_unigram_surprise": q.docs_unigram_surprise,
+        "docs_bpe_merges": q.docs_bpe_merges,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

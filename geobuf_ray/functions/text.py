@@ -928,3 +928,208 @@ def top_bigrams(ds, k: int = 40, *, text_col: str = "text",
     return pa.table({"w1": pa.array(w1[order].tolist(), pa.string()),
                      "w2": pa.array(w2[order].tolist(), pa.string()),
                      "tf": pa.array(tf[order])})
+
+
+def bpe_train(ds, k: int = 12, *, text_col: str = "text",
+              nbuckets: int = 32):
+    """Train ``k`` byte-pair-encoding merges over the corpus — the
+    tokenizer-training step of an LLM-data pipeline, distributed the
+    way the classic algorithm factors:
+
+    * the WORD VOCABULARY (distinct ``\\s+`` tokens + counts) builds
+      once via a word-hash exchange and stays a materialized Dataset;
+    * each round counts adjacent symbol pairs weighted by word count
+      (per-block partials -> skinny pair exchange -> per-bucket best),
+      takes the exact global argmax under the (count DESC, pair-code
+      ASC) total order — only bucket BESTS reach the driver — and
+      applies the merge as a pure map over the vocab (greedy
+      left-to-right non-overlap, the canonical rule, vectorized via
+      run parity);
+    * symbol codes are deterministic (sorted initial characters, then
+      merges in rank order), which is what makes the tie-break — and
+      therefore the whole merge sequence — reproducible and
+      partition-invariant.
+
+    Returns (merges, symtab): ``merges`` is a pyarrow table with rank,
+    left/right/new symbol strings and the pair count; ``symtab`` the
+    final symbol list.  Stops early when no pair repeats."""
+    import ray
+
+    from ..collect import collect_table
+    from .exchange import hash_exchange
+    from .join import _key_hash
+
+    # 1. word vocabulary (distinct token + count), distributed
+    def word_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[text_col], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            flat = flat.take(pa.array(np.flatnonzero(keep)))
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = np.bincount(codes, minlength=len(enc.dictionary)) \
+            .astype(np.int64)
+        t = pa.table({"word": enc.dictionary, "n": pa.array(n)})
+        h = _key_hash(t["word"])
+        return t.append_column("bucket", pa.array(
+            (h % np.uint64(nbuckets)).astype(np.int64)))
+
+    def word_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        enc = t["word"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = np.bincount(codes, weights=t["n"].to_numpy(
+            zero_copy_only=False),
+            minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"word": enc.dictionary, "n": pa.array(n)})
+
+    vocab_words = hash_exchange(
+        ds.map_batches(word_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        nbuckets=nbuckets, on="bucket", reduce_fn=word_sum)
+
+    # 2. deterministic initial symbol table: sorted distinct chars
+    def char_partial(t: pa.Table) -> pa.Table:
+        chars = set()
+        for w in t["word"].to_pylist():
+            chars.update(w)
+        return pa.table({"ch": pa.array(sorted(chars), pa.string())})
+
+    chars = sorted(set(collect_table(vocab_words.map_batches(
+        char_partial, batch_format="pyarrow",
+        zero_copy_batch=True))["ch"].to_pylist()))
+    symtab = list(chars)
+    code_of = {c: i for i, c in enumerate(chars)}
+    code_ref = ray.put(code_of)
+
+    def to_segs(t: pa.Table) -> pa.Table:
+        cm = ray.get(code_ref)
+        words = t["word"].to_pylist()
+        flat = np.fromiter(
+            (cm[c] for w in words for c in w), np.int32,
+            count=sum(len(w) for w in words))
+        offs = np.zeros(len(words) + 1, np.int32)
+        np.cumsum([len(w) for w in words], out=offs[1:])
+        return pa.table({
+            "n": t["n"],
+            "syms": pa.ListArray.from_arrays(pa.array(offs),
+                                             pa.array(flat))})
+
+    segs = vocab_words.map_batches(
+        to_segs, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None).materialize()
+
+    PACK = np.int64(1) << np.int64(21)  # codes < 2M by construction
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        syms = t["syms"].combine_chunks()
+        flat = syms.values.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offs = syms.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = t["n"].to_numpy().astype(np.int64)
+        if len(flat) < 2:
+            return pa.table({"pack": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        wid = np.repeat(np.arange(len(n)), np.diff(offs))
+        a, b = flat[:-1], flat[1:]
+        same = wid[:-1] == wid[1:]
+        pack = (a * PACK + b)[same]
+        w = n[wid[:-1][same]]
+        uu, inv = np.unique(pack, return_inverse=True)
+        cnt = np.zeros(len(uu), np.int64)
+        np.add.at(cnt, inv, w)
+        return pa.table({"pack": pa.array(uu), "cnt": pa.array(cnt)})
+
+    def bucket_best(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pack": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        pk = t["pack"].to_numpy().astype(np.int64)
+        ct = t["cnt"].to_numpy().astype(np.int64)
+        uu, inv = np.unique(pk, return_inverse=True)
+        s = np.zeros(len(uu), np.int64)
+        np.add.at(s, inv, ct)
+        best = np.lexsort((uu, -s))[0]
+        return pa.table({"pack": pa.array(uu[best:best + 1]),
+                         "cnt": pa.array(s[best:best + 1])})
+
+    merges = []
+    for rank in range(k):
+        cand = collect_table(hash_exchange(
+            segs.map_batches(pair_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None),
+            nbuckets=16, on="pack", reduce_fn=bucket_best))
+        if cand.num_rows == 0:
+            break
+        pk = cand["pack"].to_numpy().astype(np.int64)
+        ct = cand["cnt"].to_numpy().astype(np.int64)
+        best = np.lexsort((pk, -ct))[0]
+        if ct[best] < 2:
+            break
+        bp, bc = int(pk[best]), int(ct[best])
+        ca, cb = bp // int(PACK), bp % int(PACK)
+        new_code = len(symtab)
+        merges.append((rank, symtab[ca], symtab[cb],
+                       symtab[ca] + symtab[cb], bc))
+        symtab.append(symtab[ca] + symtab[cb])
+
+        def apply_merge(t: pa.Table, ca=ca, cb=cb,
+                        new_code=new_code) -> pa.Table:
+            syms = t["syms"].combine_chunks()
+            flat = syms.values.to_numpy(zero_copy_only=False) \
+                .astype(np.int32).copy()
+            offs = syms.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(flat) >= 2:
+                wid = np.repeat(np.arange(len(offs) - 1),
+                                np.diff(offs))
+                m = np.zeros(len(flat), bool)
+                m[:-1] = (flat[:-1] == ca) & (flat[1:] == cb) & \
+                    (wid[:-1] == wid[1:])
+                # greedy left-to-right non-overlap: within each run
+                # of consecutive matches keep even positions only
+                if m.any():
+                    starts = m & ~np.concatenate(([False], m[:-1]))
+                    run_id = np.cumsum(starts) - 1
+                    pos_raw = np.arange(len(flat))
+                    run_start = np.zeros(len(flat), np.int64)
+                    run_start[m] = pos_raw[starts][run_id[m]] \
+                        if starts.any() else 0
+                    keep_merge = m & (
+                        (pos_raw - run_start) % 2 == 0)
+                    flat[keep_merge] = new_code
+                    drop = np.zeros(len(flat), bool)
+                    drop[1:] = keep_merge[:-1]
+                    kept = ~drop
+                    new_flat = flat[kept]
+                    new_counts = np.add.reduceat(
+                        kept.astype(np.int64), offs[:-1]) \
+                        if len(offs) > 1 else np.array([], np.int64)
+                    new_offs = np.zeros(len(offs), np.int32)
+                    np.cumsum(new_counts, out=new_offs[1:])
+                    return pa.table({
+                        "n": t["n"],
+                        "syms": pa.ListArray.from_arrays(
+                            pa.array(new_offs),
+                            pa.array(new_flat.astype(np.int32)))})
+            return t
+
+        segs = segs.map_batches(
+            apply_merge, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None).materialize()
+
+    tbl = pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left_sym": pa.array([m[1] for m in merges], pa.string()),
+        "right_sym": pa.array([m[2] for m in merges], pa.string()),
+        "new_sym": pa.array([m[3] for m in merges], pa.string()),
+        "count": pa.array([m[4] for m in merges], pa.int64())})
+    return tbl, symtab

@@ -9288,3 +9288,22 @@ def docs_unigram_surprise(sf_dir: str, k: int = 20):
     return pa.table({"doc_id": pa.array(did[order]),
                      "n_tokens": pa.array(ntok[order]),
                      "surprise": pa.array(s[order])})
+
+
+def docs_bpe_merges(sf_dir: str, k: int = 12):
+    """Tokenizer training over the corpus (functions/text.bpe_train):
+    the first k byte-pair-encoding merges with their counts.  The
+    word vocabulary and per-round pair counts stay distributed; only
+    per-bucket argmax candidates reach the driver each round.
+    Rows-only (iterative training has no single-query SQL form); the
+    pytest oracle replays the canonical greedy BPE in pure Python
+    with the same deterministic (count DESC, code-pair ASC) tie rule
+    and asserts the identical merge sequence."""
+    import ray
+
+    from ..functions.text import bpe_train
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    merges, _ = bpe_train(ds, k=k)
+    return merges

@@ -439,3 +439,62 @@ def test_unigram_surprise_scalar_reference(ray_session):
                    out["n_tokens"].to_pylist(),
                    out["surprise"].to_pylist()))
     assert got == want
+
+
+def test_bpe_merges_scalar_reference(ray_session):
+    """Canonical greedy BPE in pure Python (same deterministic code
+    assignment: sorted initial chars, merges appended in rank order;
+    ties by (count DESC, (code_a, code_b) ASC)) must produce the
+    identical merge sequence."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    vocab = Counter()
+    for txt in t["text"].to_pylist():
+        for w in re.split(r"\s+", txt):
+            if w:
+                vocab[w] += 1
+    chars = sorted({c for w in vocab for c in w})
+    code = {c: i for i, c in enumerate(chars)}
+    symtab = list(chars)
+    segs = {w: [code[c] for c in w] for w in vocab}
+    want = []
+    for rank in range(12):
+        pairs = Counter()
+        for w, syms in segs.items():
+            n = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (ca, cb), cnt = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        new = len(symtab)
+        want.append((rank, symtab[ca], symtab[cb],
+                     symtab[ca] + symtab[cb], cnt))
+        symtab.append(symtab[ca] + symtab[cb])
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == ca \
+                        and syms[i + 1] == cb:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+
+    out = q.docs_bpe_merges(SF)
+    got = list(zip(out["rank"].to_pylist(), out["left_sym"].to_pylist(),
+                   out["right_sym"].to_pylist(),
+                   out["new_sym"].to_pylist(),
+                   out["count"].to_pylist()))
+    assert got == want
