@@ -7715,8 +7715,15 @@ def tpch_q6(sf_dir: str):
     """TPC-H Q6 (forecasting revenue change): the pure scan-aggregate
     — date window + discount band + quantity cap, revenue =
     sum(extendedprice x discount) in exact cents x pct int64.  One
-    column-pruned pass, one partial row per block, no shuffle at
-    all."""
+    column-pruned pass with the date/quantity predicates PUSHED TO THE
+    SCAN (pyarrow dataset filter: row groups whose statistics exclude
+    the window never leave storage — the prune-at-the-read rule at
+    100 TB); the in-map filter re-applies them idempotently so
+    correctness never depends on pushdown semantics."""
+    import datetime
+
+    import pyarrow.dataset as pds
+
     import ray
 
     lo = np.datetime64("1996-01-01")
@@ -7735,7 +7742,12 @@ def tpch_q6(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_shipdate", "l_discount", "l_quantity",
-                 "l_extendedprice"]).map_batches(
+                 "l_extendedprice"],
+        filter=((pds.field("l_shipdate")
+                 >= datetime.datetime(1996, 1, 1))
+                & (pds.field("l_shipdate")
+                   < datetime.datetime(1997, 1, 1))
+                & (pds.field("l_quantity") < 24))).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True)
     from ..collect import collect_table
 
