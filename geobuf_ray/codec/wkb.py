@@ -417,3 +417,22 @@ def decode_wkb(arr) -> pa.Table:
         "ring_sizes": _gather(rs_feat, rs_ord, rs_val, np.int32),
         "poly_sizes": _gather(ps_feat, ps_ord, ps_val, np.int32),
     })
+
+
+def points_geo_table(lons, lats) -> pa.Table:
+    """Build the codec's geometry-table input for N 2-D Points — the
+    non-obvious schema contract (interleaved coords ListArray, [[1]]
+    ring/poly sizes) in ONE place for every caller."""
+    n = len(lons)
+    coords = np.empty(2 * n)
+    coords[0::2] = lons
+    coords[1::2] = lats
+    return pa.table({
+        "geom_type": pa.array(np.ones(n, np.int8)),
+        "dim": pa.array(np.full(n, 2, np.int8)),
+        "coords": pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int32)),
+            pa.array(coords)),
+        "ring_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+        "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+    })

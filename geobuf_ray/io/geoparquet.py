@@ -49,6 +49,12 @@ def write_geoparquet(ds, out_dir: str, *,
     from ..codec.wkb import decode_wkb
 
     os.makedirs(out_dir, exist_ok=True)
+    # a write REPLACES the directory's dataset: stale part files from
+    # a previous (larger) write would otherwise silently merge into
+    # every later read
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, f))
     refs = [r for b in ds.iter_internal_ref_bundles()
             for r in b.block_refs]
 
@@ -58,14 +64,13 @@ def write_geoparquet(ds, out_dir: str, *,
         if geometry_col not in t.column_names:
             raise ValueError(f"missing geometry column "
                              f"{geometry_col!r}")
+        if t.num_rows == 0:
+            return None  # empty block: no file, no fabricated bbox
         dec = decode_wkb(t[geometry_col])
         coords = dec["coords"].combine_chunks().values.to_numpy(
             zero_copy_only=False)
-        if len(coords):
-            bbox = [float(coords[0::2].min()), float(coords[1::2].min()),
-                    float(coords[0::2].max()), float(coords[1::2].max())]
-        else:
-            bbox = [0.0, 0.0, 0.0, 0.0]
+        bbox = [float(coords[0::2].min()), float(coords[1::2].min()),
+                float(coords[0::2].max()), float(coords[1::2].max())]
         gts = sorted({_GEO_TYPES[int(g)] for g in
                       np.unique(dec["geom_type"].to_numpy(
                           zero_copy_only=False))})
@@ -77,12 +82,14 @@ def write_geoparquet(ds, out_dir: str, *,
         os.replace(tmp, os.path.join(out_dir, f"part-{i}.parquet"))
         return [t.num_rows, bbox]
 
-    out = ray.get([write_one.remote(i, r) for i, r in enumerate(refs)])
+    out = [o for o in ray.get([write_one.remote(i, r)
+                               for i, r in enumerate(refs)])
+           if o is not None]
     boxes = [b for _, b in out]
     return {"files": len(out), "rows": int(sum(n for n, _ in out)),
             "bbox": [min(b[0] for b in boxes), min(b[1] for b in boxes),
                      max(b[2] for b in boxes), max(b[3] for b in boxes)]
-            if boxes else [0.0, 0.0, 0.0, 0.0]}
+            if boxes else None}
 
 
 def read_geoparquet_meta(path: str) -> dict:

@@ -5533,23 +5533,12 @@ def codec_wkb_roundtrip(sf_dir: str):
     hash mismatch."""
     from ..codec.wkb import decode_wkb, encode_wkb
 
+    from ..codec.wkb import points_geo_table
+
     def roundtrip(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         k = batch["custkey"].combine_chunks()
-        lon = batch["lon"].to_numpy()
-        lat = batch["lat"].to_numpy()
-        coords = np.empty(2 * n)
-        coords[0::2] = lon
-        coords[1::2] = lat
-        geo = pa.table({
-            "geom_type": pa.array(np.ones(n, np.int8)),
-            "dim": pa.array(np.full(n, 2, np.int8)),
-            "coords": pa.ListArray.from_arrays(
-                pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int32)),
-                pa.array(coords)),
-            "ring_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
-            "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
-        })
+        geo = points_geo_table(batch["lon"].to_numpy(),
+                               batch["lat"].to_numpy())
         dec = decode_wkb(encode_wkb(geo))
         vals = dec["coords"].combine_chunks().values.to_numpy(
             zero_copy_only=False)
@@ -9130,22 +9119,11 @@ def codec_geoparquet_roundtrip(sf_dir: str):
     from ..io.geoparquet import (read_geoparquet, read_geoparquet_meta,
                                  write_geoparquet)
 
+    from ..codec.wkb import points_geo_table
+
     def to_wkb(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        lon = batch["lon"].to_numpy()
-        lat = batch["lat"].to_numpy()
-        coords = np.empty(2 * n)
-        coords[0::2] = lon
-        coords[1::2] = lat
-        geo = pa.table({
-            "geom_type": pa.array(np.ones(n, np.int8)),
-            "dim": pa.array(np.full(n, 2, np.int8)),
-            "coords": pa.ListArray.from_arrays(
-                pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int32)),
-                pa.array(coords)),
-            "ring_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
-            "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
-        })
+        geo = points_geo_table(batch["lon"].to_numpy(),
+                               batch["lat"].to_numpy())
         return pa.table({"custkey": batch["custkey"],
                          "geometry": encode_wkb(geo)})
 

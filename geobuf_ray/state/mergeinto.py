@@ -172,8 +172,7 @@ def read_keyed_layout(out_dir: str, *, as_of: int | None = None):
     time travel reaches back only to the last compaction — an
     ``as_of`` older than ``compacted_at`` raises (the Iceberg
     expire-snapshots contract)."""
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(out_dir)
     if as_of is not None:
         floor_ = int(meta.get("compacted_at", 0))
         if as_of < floor_:
@@ -212,8 +211,7 @@ def append_delta(out_dir: str, delta) -> dict:
     writer assumed (a commit protocol is out of scope here)."""
     from ..functions.exchange import hash_exchange
 
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(out_dir)
     key, version = meta["key"], meta["version"]
     nparts = meta["npartitions"]
 
@@ -269,8 +267,7 @@ def compact_keyed_layout(out_dir: str) -> dict:
     the deltas.  Partitions with no deltas are never opened — their
     files stay byte-identical.  After compaction a scan is a plain
     parquet read again."""
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(out_dir)
     key, version = meta["key"], meta["version"]
     nparts = meta["npartitions"]
     deltas = _delta_files(out_dir)
@@ -308,8 +305,7 @@ def merge_into(out_dir: str, delta, *, npartitions: int | None = None
     partition files are never opened, never rewritten."""
     from ..functions.exchange import hash_exchange
 
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(out_dir)
     key, version = meta["key"], meta["version"]
     nparts = meta["npartitions"]
     if _delta_files(out_dir):
@@ -368,8 +364,7 @@ def delete_from(out_dir: str, keys) -> dict:
     the CDC tombstone contract)."""
     from ..collect import collect_table
 
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(out_dir)
     key = meta["key"]
     nparts = meta["npartitions"]
     if _delta_files(out_dir):
@@ -445,8 +440,7 @@ def table_changes(out_dir: str, *, from_snapshot: int,
     partitions no delta in (from, to] ever touched are skipped
     entirely — their two states are provably identical.  History
     reaches back to the last compaction, like ``as_of``."""
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(out_dir)
     key, version = meta["key"], meta["version"]
     floor_ = int(meta.get("compacted_at", 0))
     cur = int(meta.get("snapshot", 0))
@@ -539,8 +533,7 @@ def add_column(out_dir: str, name: str, type_alias: str,
     Type must be a pyarrow alias (``int64``, ``float64``, ``string``,
     ...); re-adding an existing column raises."""
     pa.type_for_alias(type_alias)  # validate early
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(out_dir)
     adds = meta.setdefault("schema_adds", {})
     base0 = os.path.join(out_dir, "part-0.parquet")
     physical = (pq.read_schema(base0).names
@@ -552,6 +545,44 @@ def add_column(out_dir: str, name: str, type_alias: str,
     return meta
 
 
+def _finish_rebalance(out_dir: str, meta: dict) -> None:
+    """Roll FORWARD a committed rebalance (meta carries
+    ``rebalance_pending``): move any staged files still in
+    ``rebalance.tmp/`` into place (idempotent — os.replace), drop
+    old-layout files beyond the new partition count, clear the marker.
+    Called from _load_meta, so ANY reader or writer that opens the
+    layout completes an interrupted swap before using it."""
+    new = int(meta["rebalance_pending"])
+    tmp = os.path.join(out_dir, "rebalance.tmp")
+    if os.path.isdir(tmp):
+        for i in range(new):
+            p = os.path.join(tmp, f"part-{i}.parquet")
+            if os.path.exists(p):
+                os.replace(p, os.path.join(out_dir,
+                                           f"part-{i}.parquet"))
+        if not os.listdir(tmp):
+            os.rmdir(tmp)
+    for f in list(os.listdir(out_dir)):
+        if f.startswith("part-") and f.endswith(".parquet") and \
+                int(f.split("-")[1].split(".")[0]) >= new:
+            os.remove(os.path.join(out_dir, f))
+    meta["npartitions"] = new
+    del meta["rebalance_pending"]
+    _write_meta(out_dir, meta)
+
+
+def _load_meta(out_dir: str) -> dict:
+    """Read meta.json, completing any committed-but-interrupted
+    rebalance first (the commit point is the pending marker: before
+    it the old layout is untouched, after it the swap is
+    deterministic and idempotent)."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("rebalance_pending"):
+        _finish_rebalance(out_dir, meta)
+    return meta
+
+
 def rebalance_keyed_layout(out_dir: str, new_npartitions: int) -> dict:
     """Re-bucket the layout to a new partition count (the lakehouse
     maintenance op for a table that outgrew — or over-shot — its
@@ -560,14 +591,21 @@ def rebalance_keyed_layout(out_dir: str, new_npartitions: int) -> dict:
     (`_part_ids`); evolved columns materialize physically in the
     rewritten files.  Refuses pending merge-on-read deltas (compact
     first — same rule as the CoW paths) and advances the snapshot +
-    watermark: the rewrite destroys file-level history.  Single
-    writer assumed, like every mutation here; new files land as
-    ``.new`` and swap in only after ALL partitions are written, so a
-    crash mid-rebalance leaves the old layout intact."""
+    watermark: the rewrite destroys file-level history.
+
+    Crash safety is a two-phase commit: ALL new files stage into
+    ``rebalance.tmp/`` while the live layout is untouched, then ONE
+    atomic meta write (``rebalance_pending`` + the snapshot advance)
+    commits the swap, and the swap itself is rolled forward by any
+    later reader/writer via :func:`_load_meta` if interrupted.  A
+    crash before the marker leaves the old layout live (the staged
+    dir is vacuum-able debris); a crash after it leaves a swap that
+    completes deterministically."""
+    import shutil
+
     from ..functions.exchange import hash_exchange
 
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(out_dir)
     key, version = meta["key"], meta["version"]
     old_nparts = meta["npartitions"]
     if _delta_files(out_dir):
@@ -586,6 +624,9 @@ def rebalance_keyed_layout(out_dir: str, new_npartitions: int) -> dict:
     refs = [r for b in parts.iter_internal_ref_bundles()
             for r in b.block_refs]
     adds = meta.get("schema_adds") or {}
+    tmp = os.path.join(out_dir, "rebalance.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)  # stale uncommitted stage
+    os.makedirs(tmp)
 
     @ray.remote
     def write_new(i: int, blk) -> int:
@@ -594,42 +635,45 @@ def rebalance_keyed_layout(out_dir: str, new_npartitions: int) -> dict:
         if t.num_rows:
             t = _upsert_last_wins(t, key, version,
                                   np.zeros(t.num_rows, np.int64))
-        pq.write_table(t, os.path.join(out_dir,
-                                       f".part-{i}.parquet.new"))
+        pq.write_table(t, os.path.join(tmp, f"part-{i}.parquet"))
         return t.num_rows
 
     counts = ray.get([write_new.remote(i, r)
                       for i, r in enumerate(refs)])
-    # all new files written: swap (old files removed AFTER the new
-    # set is complete, so an earlier crash leaves the layout valid)
-    for f in os.listdir(out_dir):
-        if f.startswith("part-") and f.endswith(".parquet"):
-            os.remove(os.path.join(out_dir, f))
-    for i in range(new_npartitions):
-        os.replace(os.path.join(out_dir, f".part-{i}.parquet.new"),
-                   os.path.join(out_dir, f"part-{i}.parquet"))
-    meta["npartitions"] = new_npartitions
-    snap = _advance_cow_snapshot(out_dir, meta)
+    # COMMIT POINT: one atomic meta write carries the pending marker
+    # and the snapshot/watermark advance together
+    snap = int(meta.get("snapshot", 0)) + 1
+    meta["snapshot"] = snap
+    meta["compacted_at"] = snap
+    meta["rebalance_pending"] = new_npartitions
+    _write_meta(out_dir, meta)
+    _finish_rebalance(out_dir, meta)
     return {"npartitions": new_npartitions,
             "old_npartitions": old_nparts,
             "rows": int(sum(counts)), "snapshot": snap}
 
 
 def vacuum_keyed_layout(out_dir: str) -> dict:
-    """Remove crash debris: orphaned ``.tmp`` / ``.new`` staging files
-    (an interrupted atomic write never swapped them in) and delta
-    files at-or-below the compaction watermark (their content already
-    lives in the base files; they can only exist after a crash
-    between compact's folds and its deletes).  Live state is NEVER
-    touched — base files and deltas above the watermark stay, so
-    vacuum is always safe to run and idempotent."""
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
+    """Remove crash debris: orphaned dot-``.tmp`` staging files (an
+    interrupted atomic write never swapped them in), an UNCOMMITTED
+    ``rebalance.tmp/`` stage (no pending marker in meta — the live
+    layout never changed), and delta files at-or-below the compaction
+    watermark (their content already lives in the base files).  Live
+    state is NEVER touched: _load_meta first completes any COMMITTED
+    rebalance, so staged files that are the only copy of data are
+    moved into place, never deleted.  Always safe, idempotent."""
+    import shutil
+
+    meta = _load_meta(out_dir)  # completes a committed rebalance
     floor_ = int(meta.get("compacted_at", 0))
     removed = {"staging": [], "expired_deltas": []}
+    tmp = os.path.join(out_dir, "rebalance.tmp")
+    if os.path.isdir(tmp):  # uncommitted: meta has no pending marker
+        removed["staging"].append("rebalance.tmp/")
+        shutil.rmtree(tmp)
     for f in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, f)
-        if f.endswith((".tmp", ".new")) and f.startswith("."):
+        if f.endswith(".tmp") and f.startswith("."):
             removed["staging"].append(f)
             os.remove(path)
         elif f.startswith("delta-") and f.endswith(".parquet") and \

@@ -14,20 +14,9 @@ from geobuf_ray.io.geoparquet import (read_geoparquet,
 
 
 def _points_wkb(lons, lats):
-    n = len(lons)
-    coords = np.empty(2 * n)
-    coords[0::2] = lons
-    coords[1::2] = lats
-    geo = pa.table({
-        "geom_type": pa.array(np.ones(n, np.int8)),
-        "dim": pa.array(np.full(n, 2, np.int8)),
-        "coords": pa.ListArray.from_arrays(
-            pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int32)),
-            pa.array(coords)),
-        "ring_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
-        "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
-    })
-    return encode_wkb(geo)
+    from geobuf_ray.codec.wkb import points_geo_table
+
+    return encode_wkb(points_geo_table(lons, lats))
 
 
 def test_geoparquet_roundtrip_meta_and_pruning(ray_session, tmp_path):

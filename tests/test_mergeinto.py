@@ -517,7 +517,6 @@ def test_vacuum_removes_debris_only(ray_session, tmp_path):
         "ver": pa.array([9], pa.int64()),
         "val": pa.array([22], pa.int64())})))
     open(os.path.join(d, ".part-0.parquet.tmp"), "wb").write(b"junk")
-    open(os.path.join(d, ".part-1.parquet.new"), "wb").write(b"junk")
     # an expired delta a crashed compact left behind (seq <= watermark)
     pq.write_table(pa.table({"id": pa.array([1], pa.int64()),
                              "ver": pa.array([9], pa.int64()),
@@ -527,8 +526,7 @@ def test_vacuum_removes_debris_only(ray_session, tmp_path):
     before = {r["id"]: r["val"]
               for r in read_keyed_layout(d).take_all()}
     res = vacuum_keyed_layout(d)
-    assert sorted(res["staging"]) == [".part-0.parquet.tmp",
-                                      ".part-1.parquet.new"]
+    assert res["staging"] == [".part-0.parquet.tmp"]
     assert res["expired_deltas"] == ["delta-1-00001.parquet"]
     live = [f for f in os.listdir(d) if f.startswith("delta-")]
     assert len(live) >= 1  # the above-watermark delta survives
@@ -536,3 +534,66 @@ def test_vacuum_removes_debris_only(ray_session, tmp_path):
             for r in read_keyed_layout(d).take_all()} == before
     assert vacuum_keyed_layout(d) == {"staging": [],
                                       "expired_deltas": []}
+
+
+def test_rebalance_crash_windows_roll_forward(ray_session, tmp_path):
+    """Two-phase commit: before the pending marker the old layout is
+    live and the stage is debris; after it, ANY reader completes the
+    swap — and vacuum must never delete staged files that are the
+    only copy."""
+    import json
+    import shutil
+
+    import ray
+
+    from geobuf_ray.state.mergeinto import (_write_meta,
+                                            vacuum_keyed_layout)
+
+    d = str(tmp_path / "crash")
+    build_keyed_layout(ray.data.from_arrow(_base(100)), d, key="id",
+                       version="ver", npartitions=4)
+    want = {r["id"]: r["val"] for r in read_keyed_layout(d).take_all()}
+
+    # window 1: stage written, marker NOT yet committed -> old layout
+    # is authoritative; vacuum removes the uncommitted stage
+    os.makedirs(os.path.join(d, "rebalance.tmp"))
+    pq.write_table(pa.table({"junk": pa.array([1])}),
+                   os.path.join(d, "rebalance.tmp/part-0.parquet"))
+    assert {r["id"]: r["val"]
+            for r in read_keyed_layout(d).take_all()} == want
+    res = vacuum_keyed_layout(d)
+    assert "rebalance.tmp/" in res["staging"]
+    assert not os.path.isdir(os.path.join(d, "rebalance.tmp"))
+
+    # window 2: marker committed, swap interrupted mid-move -> the
+    # next reader rolls forward; vacuum moves (never deletes) staged
+    # files. Simulate: stage a REAL 2-partition re-bucketing, commit
+    # the marker, move only one file, and delete one old file.
+    full = pa.concat_tables([pq.read_table(os.path.join(d, f))
+                             for f in sorted(os.listdir(d))
+                             if f.startswith("part-")])
+    from geobuf_ray.state.mergeinto import _part_ids
+
+    pid = _part_ids(full, "id", 2)
+    os.makedirs(os.path.join(d, "rebalance.tmp"))
+    for i in range(2):
+        pq.write_table(full.filter(pa.array(pid == i)),
+                       os.path.join(d, f"rebalance.tmp/part-{i}.parquet"))
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    meta["rebalance_pending"] = 2
+    meta["snapshot"] = meta["compacted_at"] = 1
+    _write_meta(d, meta)
+    # interrupted swap: one staged file moved, one old file removed
+    os.replace(os.path.join(d, "rebalance.tmp/part-0.parquet"),
+               os.path.join(d, "part-0.parquet"))
+    os.remove(os.path.join(d, "part-3.parquet"))
+
+    got = {r["id"]: r["val"] for r in read_keyed_layout(d).take_all()}
+    assert got == want                       # roll-forward completed
+    files = sorted(f for f in os.listdir(d) if f.startswith("part-"))
+    assert files == ["part-0.parquet", "part-1.parquet"]
+    with open(os.path.join(d, "meta.json")) as f:
+        m2 = json.load(f)
+    assert m2["npartitions"] == 2 and "rebalance_pending" not in m2
+    assert not os.path.isdir(os.path.join(d, "rebalance.tmp"))
