@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_change_feed": q.orders_change_feed,
         "orders_schema_evolution": q.orders_schema_evolution,
         "orders_rebalance": q.orders_rebalance,
+        "orders_point_lookup": q.orders_point_lookup,
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "docs_token_drift": q.docs_token_drift,
         "docs_curation_funnel": q.docs_curation_funnel,
@@ -2526,6 +2527,27 @@ def oracle_sql() -> dict[str, str]:
             FROM tt JOIN df USING (term), n
             GROUP BY doc_id
             ORDER BY surprise DESC, doc_id LIMIT 20
+        """,
+        "orders_point_lookup": """
+            WITH base AS (SELECT o_orderkey AS id,
+                            CAST(floor(epoch(o_orderdate) / 86400)
+                                 AS BIGINT) AS ver,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents,
+                            o_orderpriority
+                          FROM orders),
+            d1 AS (SELECT id, ver + 10000 AS ver, cents * 2 AS cents,
+                          o_orderpriority
+                   FROM base WHERE id % 97 = 0),
+            u AS (SELECT id, ver, cents, o_orderpriority FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                        ORDER BY ver DESC, is_d DESC) AS rn
+                    FROM (SELECT *, 0 AS is_d FROM base
+                          UNION ALL SELECT *, 1 AS is_d FROM d1))
+                  WHERE rn = 1)
+            SELECT id, ver, cents, o_orderpriority
+            FROM u WHERE id % 997 = 0
+            ORDER BY id
         """,
         "orders_agg_view": """
             WITH eff AS (SELECT o_custkey,

@@ -9297,3 +9297,63 @@ def docs_bpe_merges(sf_dir: str, k: int = 12):
                                columns=["text"])
     merges, _ = bpe_train(ds, k=k)
     return merges
+
+
+def orders_point_lookup(sf_dir: str):
+    """Key-addressed point lookup over the keyed layout — the
+    lakehouse analog of the geobuf SubFile seek
+    (reference reader.go:277-304): ``read_keyed_layout(keys=...)``
+    opens ONLY the partitions the pinned hash routes the requested
+    keys to, resolves latest-wins there (a merge-on-read delta is
+    pending, so the lookup must see through it), and key-filters.
+    Requested: every 997th orderkey plus one absent id (absent keys
+    return nothing, not an error).  Hash-checked vs an IN-list twin
+    over the same base + delta simulation."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.mergeinto import (append_delta, build_keyed_layout,
+                                   read_keyed_layout)
+
+    def dprep(b: pa.Table) -> pa.Table:
+        k = b["id"].to_numpy().astype(np.int64)
+        t = b.filter(pa.array(k % 97 == 0))
+        return pa.table({
+            "id": t["id"],
+            "ver": pa.array(t["ver"].to_numpy().astype(np.int64)
+                            + 10000),
+            "cents": pa.array(t["cents"].to_numpy().astype(np.int64)
+                              * 2),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    d = tempfile.mkdtemp(prefix="lookup_", dir="/tmp")
+    try:
+        build_keyed_layout(_orders_cdc_base(sf_dir), d, key="id",
+                           version="ver", npartitions=32)
+        append_delta(d, _orders_cdc_base(sf_dir).map_batches(
+            dprep, batch_format="pyarrow", zero_copy_batch=True))
+        from ..collect import collect_table
+
+        maxk = int(collect_table(
+            ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                  columns=["o_orderkey"]).map_batches(
+                lambda b: pa.table({"m": pa.array(
+                    [int(b["o_orderkey"].to_numpy().max())])}),
+                batch_format="pyarrow", zero_copy_batch=True))
+            ["m"].to_numpy().max())
+        want = np.arange(0, maxk + 1, 997, dtype=np.int64)
+        want = np.append(want, maxk + 999983)  # absent key: a no-op
+        tbl = collect_table(read_keyed_layout(d, keys=want))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    k = tbl["id"].to_numpy().astype(np.int64)
+    order = np.argsort(k)
+    return pa.table({
+        "id": pa.array(k[order]),
+        "ver": pa.array(tbl["ver"].to_numpy()[order]),
+        "cents": pa.array(tbl["cents"].to_numpy()[order]),
+        "o_orderpriority": pa.array(
+            np.asarray(tbl["o_orderpriority"].to_pylist())[order]
+            .tolist(), pa.string())})

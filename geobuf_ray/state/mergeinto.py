@@ -159,7 +159,8 @@ def _upsert_tables(tbls: list[pa.Table], key: str,
     return _upsert_last_wins(merged, key, version, seq)
 
 
-def read_keyed_layout(out_dir: str, *, as_of: int | None = None):
+def read_keyed_layout(out_dir: str, *, as_of: int | None = None,
+                      keys=None):
     """Scan the layout.  With no pending deltas this is a plain
     parquet read of the base files; with merge-on-read deltas present
     each partition resolves base + deltas to latest-wins rows in a
@@ -171,7 +172,14 @@ def read_keyed_layout(out_dir: str, *, as_of: int | None = None):
     recorded in ``meta.json``).  History lives in the delta files, so
     time travel reaches back only to the last compaction — an
     ``as_of`` older than ``compacted_at`` raises (the Iceberg
-    expire-snapshots contract)."""
+    expire-snapshots contract).
+
+    ``keys`` (int64 array-like) is the POINT-LOOKUP path — the
+    lakehouse analog of the geobuf SubFile seek (reader.go:277-304):
+    only the partitions the pinned hash routes those keys to are
+    opened (every other file is never touched), then an exact key
+    filter refines.  Cost is O(partitions hit + matched rows),
+    independent of table size."""
     meta = _load_meta(out_dir)
     if as_of is not None:
         floor_ = int(meta.get("compacted_at", 0))
@@ -181,13 +189,32 @@ def read_keyed_layout(out_dir: str, *, as_of: int | None = None):
                 f"up to snapshot {floor_} into the base files")
     deltas = _delta_files(out_dir, as_of)
     adds = meta.get("schema_adds") or {}
+    key, version = meta["key"], meta["version"]
+    nparts = meta["npartitions"]
+
+    if keys is not None:
+        kk = np.unique(np.asarray(keys, np.int64))
+        ktbl = pa.table({key: pa.array(kk, pa.int64())})
+        wanted = np.unique(_part_ids(ktbl, key, nparts)) \
+            if len(kk) else np.array([0], np.int64)
+
+        @ray.remote
+        def lookup_one(i: int) -> pa.Table:
+            t = _resolve_partition(out_dir, i, key, version,
+                                   deltas.get(i, []), adds)
+            if t.num_rows == 0 or len(kk) == 0:
+                return t.slice(0, 0)
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(kk, k), 0, len(kk) - 1)
+            return t.filter(pa.array(kk[pos] == k))
+
+        return ray.data.from_arrow_refs(
+            [lookup_one.remote(int(i)) for i in wanted])
+
     if not deltas and not adds:
         return ray.data.read_parquet(
             [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
              if f.startswith("part-") and f.endswith(".parquet")])
-
-    key, version = meta["key"], meta["version"]
-    nparts = meta["npartitions"]
 
     @ray.remote
     def resolve_one(i: int) -> pa.Table:

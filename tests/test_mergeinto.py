@@ -597,3 +597,32 @@ def test_rebalance_crash_windows_roll_forward(ray_session, tmp_path):
         m2 = json.load(f)
     assert m2["npartitions"] == 2 and "rebalance_pending" not in m2
     assert not os.path.isdir(os.path.join(d, "rebalance.tmp"))
+
+
+def test_point_lookup_prunes_and_sees_deltas(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.state.mergeinto import _part_ids, append_delta
+
+    d = str(tmp_path / "lookup")
+    build_keyed_layout(ray.data.from_arrow(_base(500)), d, key="id",
+                       version="ver", npartitions=16)
+    append_delta(d, ray.data.from_arrow(pa.table({
+        "id": pa.array([7], pa.int64()),
+        "ver": pa.array([9], pa.int64()),
+        "val": pa.array([777], pa.int64())})))
+
+    want_keys = np.array([7, 123, 456, 99999], np.int64)  # one absent
+    ds = read_keyed_layout(d, keys=want_keys)
+    got = {r["id"]: r["val"] for r in ds.take_all()}
+    assert got == {7: 777, 123: 1230, 456: 4560}  # delta visible
+
+    # pruning: output blocks == partitions the hash routes to, only
+    ktbl = pa.table({"id": pa.array(want_keys, pa.int64())})
+    wanted = set(np.unique(_part_ids(ktbl, "id", 16)).tolist())
+    assert ds.num_blocks() == len(wanted) <= 4
+
+    # empty key set: empty result with the right schema, no error
+    empty = read_keyed_layout(d, keys=np.array([], np.int64))
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"id", "ver", "val"}
