@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_schema_evolution": q.orders_schema_evolution,
         "orders_rebalance": q.orders_rebalance,
         "orders_point_lookup": q.orders_point_lookup,
+        "lineitem_constraints": q.lineitem_constraints,
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "docs_token_drift": q.docs_token_drift,
         "docs_curation_funnel": q.docs_curation_funnel,
@@ -2548,6 +2549,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, ver, cents, o_orderpriority
             FROM u WHERE id % 997 = 0
             ORDER BY id
+        """,
+        "lineitem_constraints": """
+            WITH fk1 AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+                       CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey
+                           IS NULL THEN l.l_orderkey END) AS BIGINT)
+                           AS v
+                FROM lineitem l LEFT JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey),
+            fk2 AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+                       CAST(SUM(CASE WHEN s.s_suppkey IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v
+                FROM lineitem l LEFT JOIN
+                     (SELECT s_suppkey FROM supplier
+                      WHERE s_acctbal >= 0) s
+                  ON l.l_suppkey = s.s_suppkey),
+            pk AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+                       CAST(COUNT(*) - COUNT(DISTINCT
+                           l_orderkey * 8 + l_linenumber) AS BIGINT)
+                           AS v
+                FROM lineitem)
+            SELECT 'fk_orderkey' AS "check", n_checked,
+                   v AS n_violations FROM fk1
+            UNION ALL SELECT 'fk_suppkey_posbal', n_checked, v
+            FROM fk2
+            UNION ALL SELECT 'pk_orderkey_linenumber', n_checked, v
+            FROM pk
+            ORDER BY "check"
         """,
         "orders_agg_view": """
             WITH eff AS (SELECT o_custkey,

@@ -498,3 +498,36 @@ def test_bpe_merges_scalar_reference(ray_session):
                    out["new_sym"].to_pylist(),
                    out["count"].to_pylist()))
     assert got == want
+
+
+def test_constraints_vs_duckdb_and_nonzero(ray_session):
+    """Every audit row must equal direct SQL at sf0.001, and at least
+    one violation count must be NONZERO (the corpus's PK duplicates)
+    so an under-counting bug can't hide behind zeros."""
+    import duckdb
+
+    from geobuf_ray.pipelines import queries as q
+
+    out = {r["check"]: (r["n_checked"], r["n_violations"])
+           for r in q.lineitem_constraints(SF).to_pylist()}
+    con = duckdb.connect()
+    n, pk_v = con.execute(f"""
+        SELECT COUNT(*),
+               COUNT(*) - COUNT(DISTINCT l_orderkey * 8 + l_linenumber)
+        FROM '{SF}/lineitem.parquet'""").fetchone()
+    fk2_v = con.execute(f"""
+        SELECT SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+        FROM '{SF}/lineitem.parquet' l
+        LEFT JOIN (SELECT s_suppkey FROM '{SF}/supplier.parquet'
+                   WHERE s_acctbal >= 0) s
+          ON l.l_suppkey = s.s_suppkey""").fetchone()[0]
+    fk1_v = con.execute(f"""
+        SELECT COUNT(DISTINCT l.l_orderkey)
+        FROM '{SF}/lineitem.parquet' l
+        LEFT JOIN '{SF}/orders.parquet' o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL""").fetchone()[0]
+    assert out["pk_orderkey_linenumber"] == (n, pk_v)
+    assert out["fk_suppkey_posbal"] == (n, fk2_v)
+    assert out["fk_orderkey"] == (n, fk1_v)
+    assert pk_v > 0  # the distinguishing nonzero row
