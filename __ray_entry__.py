@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rebalance": q.orders_rebalance,
         "orders_point_lookup": q.orders_point_lookup,
         "lineitem_constraints": q.lineitem_constraints,
+        "orders_cdc_to_view": q.orders_cdc_to_view,
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "docs_token_drift": q.docs_token_drift,
         "docs_curation_funnel": q.docs_curation_funnel,
@@ -2579,6 +2580,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'pk_orderkey_linenumber', n_checked, v
             FROM pk
             ORDER BY "check"
+        """,
+        "orders_cdc_to_view": """
+            WITH base AS (SELECT o_orderkey AS id,
+                            CAST(floor(epoch(o_orderdate) / 86400)
+                                 AS BIGINT) AS ver,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents,
+                            o_custkey
+                          FROM orders),
+            d1 AS (SELECT id, ver + 10000 AS ver, cents * 2 AS cents,
+                          o_custkey
+                   FROM base WHERE id % 97 = 0),
+            d2 AS (SELECT id + 100000000 AS id, ver + 20000 AS ver,
+                          cents * 3 AS cents, o_custkey
+                   FROM base WHERE id % 500 = 0),
+            u AS (SELECT id, ver, cents, o_custkey FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                        ORDER BY ver DESC, is_d DESC) AS rn
+                    FROM (SELECT *, 0 AS is_d FROM base
+                          UNION ALL SELECT *, 1 AS is_d FROM d1
+                          UNION ALL SELECT *, 2 AS is_d FROM d2))
+                  WHERE rn = 1),
+            g AS (SELECT o_custkey,
+                         CAST(COUNT(*) AS BIGINT) AS n_rows,
+                         CAST(SUM(cents) AS BIGINT) AS sum_cents
+                  FROM u GROUP BY o_custkey)
+            SELECT o_custkey % 16 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                   CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+                   CAST(SUM(o_custkey * n_rows) AS BIGINT)
+                       AS key_rowsum
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         "orders_agg_view": """
             WITH eff AS (SELECT o_custkey,

@@ -9464,3 +9464,117 @@ def lineitem_constraints(sf_dir: str):
                               pa.int64()),
         "n_violations": pa.array([fk1_viol, fk2_viol, pk_viol],
                                  pa.int64())})
+
+
+def orders_cdc_to_view(sf_dir: str):
+    """The classic CDC -> materialized-view maintenance pipeline,
+    composed from the engine's own parts: a per-customer COUNT/SUM
+    view builds over the keyed table's BASE state, two merge-on-read
+    deltas land (updates double every 97th key's cents at a later
+    version, inserts add brand-new keys), and the view is maintained
+    PURELY from ``table_changes(0 -> 2)`` — postimages and inserts
+    refresh with Z-set weight +1, preimages and deletes with -1 —
+    never from the table.  The hash check certifies the maintained
+    view equals a direct GROUP BY over the FINAL latest-wins state:
+    the change feed and the delta algebra agree end to end."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.aggview import build_agg_view, read_agg_view
+    from ..state.aggview import refresh_agg_view
+    from ..state.mergeinto import (append_delta, build_keyed_layout,
+                                   read_keyed_layout, table_changes)
+
+    def dprep(mod, mul, bump, id_off=0):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b["id"].to_numpy().astype(np.int64)
+            t = b.filter(pa.array(k % mod == 0))
+            return pa.table({
+                "id": pa.array(t["id"].to_numpy().astype(np.int64)
+                               + id_off),
+                "ver": pa.array(t["ver"].to_numpy().astype(np.int64)
+                                + bump),
+                "cents": pa.array(t["cents"].to_numpy()
+                                  .astype(np.int64) * mul),
+                "o_custkey": t["o_custkey"]})
+        return fn
+
+    def oprep(b: pa.Table) -> pa.Table:
+        day = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"id": b["o_orderkey"],
+                         "ver": pa.array(day),
+                         "cents": pa.array(cents),
+                         "o_custkey": b["o_custkey"]})
+
+    def base_ds():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_totalprice",
+                     "o_custkey"]).map_batches(
+            oprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def feed_side(feed, types, drop):
+        def fn(b: pa.Table) -> pa.Table:
+            ct = np.asarray(b["_change_type"].to_pylist())
+            return b.filter(pa.array(np.isin(ct, types))).drop(drop)
+        return feed.map_batches(fn, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    d = tempfile.mkdtemp(prefix="cdc2view_", dir="/tmp")
+    v = tempfile.mkdtemp(prefix="cdcview_", dir="/tmp")
+    try:
+        build_keyed_layout(base_ds(), d, key="id", version="ver",
+                           npartitions=32)
+        build_agg_view(read_keyed_layout(d), v, key="o_custkey",
+                       sums={"sum_cents": "cents"}, npartitions=32)
+        append_delta(d, base_ds().map_batches(
+            dprep(97, 2, 10000), batch_format="pyarrow",
+            zero_copy_batch=True))
+        append_delta(d, base_ds().map_batches(
+            dprep(500, 3, 20000, id_off=100000000),
+            batch_format="pyarrow", zero_copy_batch=True))
+
+        feed = table_changes(d, from_snapshot=0,
+                             to_snapshot=2).materialize()
+        drop = ["_change_type"]
+        refresh_agg_view(v, feed_side(
+            feed, ["insert", "update_postimage"], drop), weight=1)
+        refresh_agg_view(v, feed_side(
+            feed, ["update_preimage", "delete"], drop), weight=-1)
+
+        def rollup(b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy().astype(np.int64)
+            nr = b["n_rows"].to_numpy().astype(np.int64)
+            sc = b["sum_cents"].to_numpy().astype(np.int64)
+            bk = ck % 16
+            uu, inv = np.unique(bk, return_inverse=True)
+            out = {"bucket": pa.array(uu)}
+            for name, vv in (("n_groups", np.ones(len(ck), np.int64)),
+                             ("n_rows", nr), ("sum_cents", sc),
+                             ("key_rowsum", ck * nr)):
+                s = np.zeros(len(uu), np.int64)
+                np.add.at(s, inv, vv)
+                out[name] = pa.array(s)
+            return pa.table(out)
+
+        agg = _final_combine(
+            read_agg_view(v).map_batches(
+                rollup, batch_format="pyarrow", zero_copy_batch=True),
+            ["bucket"], ["n_groups", "n_rows", "sum_cents",
+                         "key_rowsum"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(v, ignore_errors=True)
+    bk = agg["bucket"].to_numpy().astype(np.int64)
+    order = np.argsort(bk)
+    return pa.table({
+        "bucket": pa.array(bk[order]),
+        "n_groups": pa.array(agg["n_groups"].to_numpy()[order]),
+        "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
+        "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order]),
+        "key_rowsum": pa.array(agg["key_rowsum"].to_numpy()[order])})
