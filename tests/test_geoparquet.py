@@ -69,3 +69,49 @@ def test_geoparquet_roundtrip_meta_and_pruning(ray_session, tmp_path):
                    os.path.join(d2, "part-0.parquet"))
     with pytest.raises(ValueError, match="no 'geo' metadata"):
         read_geoparquet_meta(d2)
+
+COUNTY = "/root/reference/test_data/county.geobuf"
+
+
+@pytest.mark.skipif(not os.path.exists(COUNTY),
+                    reason="reference corpus absent")
+def test_geobuf_to_geoparquet_county(ray_session, tmp_path):
+    """geobuf -> GeoParquet converter: every county feature survives
+    with geometry (via WKB, raw float64 = bit-exact) and properties
+    value-equal to a direct decode of the same stream."""
+    from geobuf_ray.io import geobuf_file as gbf
+    from geobuf_ray.pipelines.convert import geobuf_to_geoparquet
+    from geobuf_ray.stages import codec_stages as cs
+
+    d = str(tmp_path / "county_gp")
+    man = geobuf_to_geoparquet(COUNTY, d)
+    assert man["files"] >= 1
+
+    # reference: direct decode of the stream
+    ref = (cs.decode(gbf.read_geobuf(COUNTY))
+           .to_pandas().sort_values(["id", "index"])
+           .reset_index(drop=True))
+    assert man["rows"] == len(ref)
+    assert not ref.duplicated(["id", "index"]).any()
+
+    got_tabs = []
+    for b in read_geoparquet(d).iter_batches(batch_format="pyarrow"):
+        geo = decode_wkb(b["geometry"])
+        t = b.drop_columns(["geometry"])
+        for name in geo.column_names:
+            t = t.append_column(name, geo[name])
+        got_tabs.append(t)
+    got = (pa.concat_tables(got_tabs).to_pandas()
+           .sort_values(["id", "index"]).reset_index(drop=True))
+
+    assert len(got) == len(ref)
+    for col in ("id", "AREA", "COLORKEY", "area", "index",
+                "geom_type"):
+        same = (got[col] == ref[col]) | (got[col].isna()
+                                         & ref[col].isna())
+        assert same.all(), col
+    for i in range(0, len(ref), 97):  # coords bit-exact (WKB is raw f64)
+        assert np.array_equal(np.asarray(got["coords"][i]),
+                              np.asarray(ref["coords"][i]))
+        assert np.array_equal(np.asarray(got["ring_sizes"][i]),
+                              np.asarray(ref["ring_sizes"][i]))
