@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_rect_join_s2": q.pip_rect_join_s2,
         "pip_rect_join_s2_adaptive": q.pip_rect_join_s2_adaptive,
         "rects_tile_clip": q.rects_tile_clip,
+        "rects_mvt_tiles": q.rects_mvt_tiles,
         "rects_rasterize": q.rects_rasterize,
         "knn_suppliers": q.knn_suppliers,
         "knn_suppliers_s2": q.knn_suppliers_s2,

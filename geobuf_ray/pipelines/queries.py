@@ -3463,6 +3463,56 @@ def suppliers_within_2000km(sf_dir: str, radius_m: float = 2_000_000.0):
         {"neighbor_id": "s_suppkey"})
 
 
+def rects_mvt_tiles(sf_dir: str, zoom: int = 5):
+    """Supplier rectangles served as Mapbox Vector Tiles — the
+    web-map last mile of the reference's split-combine tiling
+    (split_combine.go:244-257 writes the per-tile layout; this encodes
+    it): tile_clip fans each rect to its exact covering tiles, one
+    tile_key exchange completes every layer in-bucket, and the
+    vectorized MVT encoder (codec/mvt, public spec v2.1) emits one
+    protobuf blob per tile with zigzag-delta command geometry —
+    geobuf's own varint discipline pointed at the serving format.
+
+    Rows-only (protobuf bytes have no SQL form); the pytest oracle
+    (test_mvt.py) DECODES tiles with an independent scalar walk and
+    proves geometry/winding/property round-trip.  Emitted crc32 pins
+    the bytes: the in-bucket (tile_key, id) sort makes them
+    deterministic and partition-invariant, so the hashed rows
+    certify byte-stable tiles, not just counts."""
+    import zlib
+
+    import ray
+
+    from ..collect import collect_table
+    from .tiling import make_mvt_tiles
+
+    rects = supplier_rects(sf_dir)
+    keys = rects["id"].to_numpy(zero_copy_only=False)
+    rects = rects.append_column(
+        "band", pa.array((keys % 7).astype(np.int64)))
+    rects = rects.append_column(
+        "cls", pa.array(np.where(keys % 2 == 0, "even", "odd")))
+    tiles = make_mvt_tiles(ray.data.from_arrow(rects), zoom,
+                           layer_name="rects")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"tile_x": pa.array([], pa.int32()),
+                             "tile_y": pa.array([], pa.int32()),
+                             "features": pa.array([], pa.int64()),
+                             "nbytes": pa.array([], pa.int64()),
+                             "crc": pa.array([], pa.int64())})
+        crc = [zlib.crc32(b) for b in batch["mvt"].to_pylist()]
+        return pa.table({
+            "tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+            "features": batch["features"], "nbytes": batch["nbytes"],
+            "crc": pa.array(np.asarray(crc, np.int64))})
+
+    out = tiles.map_batches(fin, batch_format="pyarrow")
+    return collect_table(out).sort_by([("tile_x", "ascending"),
+                                       ("tile_y", "ascending")])
+
+
 def rects_tile_clip(sf_dir: str, n: int = 32):
     """Supplier rectangles clipped to a flat n x n grid through the
     REAL vectorized Sutherland–Hodgman kernel (tileclip.ClipFeature

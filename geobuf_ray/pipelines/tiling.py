@@ -623,3 +623,40 @@ def adaptive_tile_assign(points, *, lon_col: str = "lon",
 
     return pts.map_batches(assign, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def make_mvt_tiles(ds, zoom: int, *, extent: int = 4096,
+                   layer_name: str = "layer", prop_cols=None,
+                   id_col: str = "id", bounds=None, nbuckets: int = 64,
+                   order_by: tuple = ("tile_key", "id"),
+                   map_kwargs: dict | None = None):
+    """Features -> one Mapbox Vector Tile blob per slippy tile — the
+    serving-side continuation of the reference's split-combine tiling
+    (split_combine.go:244-257 writes per-tile geobuf subfiles; a web
+    map consumes exactly this layout as MVT).
+
+    Shape: ``tile_clip`` fans features to their EXACT covering tiles
+    with per-tile clipped geometry, then ONE exchange on ``tile_key``
+    lands every row of a tile in one bucket — the per-layer value
+    dictionary and feature order are complete in-bucket, so each MVT
+    encodes in a single vectorized pass (codec/mvt).  Rows sort by
+    ``order_by`` in-bucket, making tile BYTES deterministic and
+    partition-invariant.  Output: one row per non-empty tile
+    (``codec.mvt.MVT_TILE_SCHEMA``).
+    """
+    from ..codec.mvt import MVT_TILE_SCHEMA, encode_mvt_batch
+    from ..functions.exchange import hash_exchange
+
+    clipped = tile_clip(ds, zoom, bounds, **(map_kwargs or {}))
+
+    def enc(tbl: pa.Table) -> pa.Table:
+        keys = [(c, "ascending") for c in order_by
+                if c in tbl.column_names]
+        if keys:
+            tbl = tbl.sort_by(keys)
+        return encode_mvt_batch(tbl, zoom, extent=extent,
+                                layer_name=layer_name,
+                                prop_cols=prop_cols, id_col=id_col)
+
+    return hash_exchange(clipped, nbuckets=nbuckets, on="tile_key",
+                         reduce_fn=enc, schema=MVT_TILE_SCHEMA)
