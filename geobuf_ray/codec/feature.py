@@ -74,25 +74,28 @@ def dequantize(q: np.ndarray) -> np.ndarray:
     domain (for |q| < 2^53; beyond float64's exact-integer range no
     double can requantize exactly — geographic coordinates quantize
     to |q| <= 1.8e9, far inside)."""
-    d = q.astype(np.float64) / _POWER
+    qf = q.astype(np.float64)  # exact for |q| < 2^53
+    d = qf / _POWER
     if len(d) == 0:
         return d
     # truncation toward zero re-quantizes wrong iff the float product
     # lands strictly on the wrong side of q: e < q for q > 0 (floor
-    # drops it to q-1), e > q for q < 0 (ceil lifts it to q+1) — one
-    # multiply + compare instead of trunc + astype + compare.
-    # |q| >= 2^53 is outside float64's exact-integer range: no
-    # double can requantize to q, so the identity contract ends
-    # there (a geographic coordinate quantizes to |q| <= 1.8e9;
-    # such values only arise from non-geographic payloads) —
-    # exclude them rather than burn futile nudge passes
+    # drops it to q-1), e > q for q < 0 (ceil lifts it to q+1).
+    # Folding the sign in (sd = (e-q)·sign(q)) collapses the two arms
+    # to ONE pair of compares: wrong ⇔ sd < 0 or sd >= 1 (q = 0 gives
+    # sd = 0, never wrong).  |q| >= 2^53 is outside float64's
+    # exact-integer range — no double can requantize to q, the
+    # identity contract ends there (geographic coordinates quantize to
+    # |q| <= 1.8e9) — that guard runs only on the rare wrong lanes.
     e = d * _POWER
-    qf = q.astype(np.float64)  # exact for |q| < 2^53
-    # floor(e) == q iff q <= e < q+1; ceil(e) == q iff q-1 < e <= q
-    # (the overshoot arms only fire near 2^53 where |e-q| can reach 1)
-    wrong = np.where(q > 0, (e < qf) | (e >= qf + 1.0),
-                     (e > qf) | (e <= qf - 1.0))
-    sel = np.flatnonzero(wrong & (np.abs(q) < (1 << 53)))
+    # sign fold without a branch pair: e and qf share q's sign and sit
+    # within a factor of 2 of each other, so |e| - |qf| is the exact
+    # (Sterbenz) value of (e - qf)·sign(q)
+    sd = np.abs(e)
+    np.subtract(sd, np.abs(qf), out=sd)
+    sel = np.flatnonzero((sd < 0) | (sd >= 1.0))
+    if len(sel):
+        sel = sel[np.abs(q[sel]) < (1 << 53)]
     r = np.trunc(e[sel]).astype(np.int64)  # only the wrong lanes
     # one nudge suffices in practice; bounded anyway.  Only the
     # detection pass above is full-array — the re-check loop runs on
