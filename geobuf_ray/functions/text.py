@@ -1133,3 +1133,121 @@ def bpe_train(ds, k: int = 12, *, text_col: str = "text",
         "new_sym": pa.array([m[3] for m in merges], pa.string()),
         "count": pa.array([m[4] for m in merges], pa.int64())})
     return tbl, symtab
+
+
+def _bpe_merge_pass(flat: np.ndarray, wid: np.ndarray, ca: int, cb: int,
+                    new_code: int) -> tuple[np.ndarray, np.ndarray]:
+    """One merge rank applied greedily left-to-right non-overlapping
+    over a flat symbol stream with word ids (the canonical BPE rule,
+    run-parity vectorized — identical semantics to the trainer's
+    per-rank pass in :func:`bpe_train`).  Returns (flat', wid')."""
+    if len(flat) < 2:
+        return flat, wid
+    m = np.zeros(len(flat), bool)
+    m[:-1] = (flat[:-1] == ca) & (flat[1:] == cb) & (wid[:-1] == wid[1:])
+    if not m.any():
+        return flat, wid
+    starts = m & ~np.concatenate(([False], m[:-1]))
+    run_id = np.cumsum(starts) - 1
+    pos = np.arange(len(flat), dtype=np.int64)
+    run_start = np.zeros(len(flat), np.int64)
+    run_start[m] = pos[starts][run_id[m]]
+    keep_merge = m & ((pos - run_start) % 2 == 0)
+    flat = flat.copy()
+    flat[keep_merge] = new_code
+    drop = np.zeros(len(flat), bool)
+    drop[1:] = keep_merge[:-1]
+    kept = ~drop
+    return flat[kept], wid[kept]
+
+
+def bpe_encode_batch(batch: pa.Table, merges_codes: list[tuple[int, int, int]],
+                     char_code: dict[str, int], *, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     passthrough: tuple[str, ...] = ()) -> pa.Table:
+    """Encode one batch of documents with a TRAINED merge list: split
+    on ``\\s+``, map chars to initial symbol codes (unseen chars ->
+    UNK = -1, which no merge rule can touch), then apply every merge
+    in rank order — each pass greedy left-to-right non-overlapping
+    within word boundaries, exactly the trainer's convention, so
+    ``bpe_encode(corpus, bpe_train(corpus))`` reproduces the trainer's
+    final segmentation.  Emits per-doc exact integers: post-merge
+    token count, UNK count, and a positional checksum
+    ``sum (i+1)*(code+2)`` over the doc's token sequence (i = token
+    position within the doc) — sequence-sensitive, so two docs with
+    permuted tokens hash apart."""
+    if batch.num_rows == 0:
+        cols = {id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_unk": pa.array([], pa.int64()),
+                "checksum": pa.array([], pa.int64())}
+        for c in passthrough:
+            cols[c] = batch[c]
+        return pa.table(cols)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.split_pattern_regex(batch[text_col], r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    words = toks.values
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of_word = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                            np.diff(offs))
+    keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        words = words.take(pa.array(np.flatnonzero(keep)))
+        doc_of_word = doc_of_word[keep]
+    # chars -> codes without a Python loop per char: one big codepoint
+    # array from the concatenated word bytes is overkill for the tiny
+    # vocab here — per-word fromiter is the trainer's own shape
+    wl = pc.utf8_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    wstrs = words.to_pylist()
+    total = int(wl.sum())
+    flat = np.fromiter(
+        (char_code.get(c, -1) for w in wstrs for c in w),
+        np.int32, count=total)
+    wid = np.repeat(np.arange(len(wstrs), dtype=np.int64), wl)
+    for ca, cb, new_code in merges_codes:
+        flat, wid = _bpe_merge_pass(flat, wid, ca, cb, new_code)
+    doc_of_tok = doc_of_word[wid] if len(wid) else wid
+    n_tok = np.bincount(doc_of_tok, minlength=batch.num_rows) \
+        .astype(np.int64)
+    n_unk = np.bincount(doc_of_tok[flat == -1],
+                        minlength=batch.num_rows).astype(np.int64)
+    # position within doc: doc_of_tok is nondecreasing (words stay in
+    # text order), so a per-doc ramp aligns
+    from ..codec import varint as vi
+
+    pos_in_doc = vi.ramp(n_tok)
+    checksum = np.bincount(
+        doc_of_tok, weights=(pos_in_doc + 1) * (flat.astype(np.int64) + 2),
+        minlength=batch.num_rows).astype(np.int64)
+    cols = {id_col: pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+            "n_unk": pa.array(n_unk),
+            "checksum": pa.array(checksum)}
+    for c in passthrough:  # output is row-aligned with the input batch
+        cols[c] = batch[c]
+    return pa.table(cols)
+
+
+def bpe_encode(ds, merges_tbl: pa.Table, symtab: list[str], *,
+               id_col: str = "doc_id", text_col: str = "text",
+               passthrough: tuple[str, ...] = ()):
+    """Apply a :func:`bpe_train` result to a corpus as a PURE MAP stage
+    (the merge table is tokenizer-sized — kilobytes — so it travels in
+    the task closure; no shuffle, no state).  Returns a Dataset of
+    per-doc (n_tokens, n_unk, checksum) exact integers."""
+    code_of = {s: i for i, s in enumerate(symtab)}
+    merges_codes = [
+        (code_of[l], code_of[r], code_of[n])
+        for l, r, n in zip(merges_tbl["left_sym"].to_pylist(),
+                           merges_tbl["right_sym"].to_pylist(),
+                           merges_tbl["new_sym"].to_pylist())]
+    char_code = {s: i for i, s in enumerate(symtab) if len(s) == 1}
+
+    return ds.map_batches(
+        lambda b: bpe_encode_batch(b, merges_codes, char_code,
+                                   id_col=id_col, text_col=text_col,
+                                   passthrough=passthrough),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -9628,3 +9628,54 @@ def orders_cdc_to_view(sf_dir: str):
         "n_rows": pa.array(agg["n_rows"].to_numpy()[order]),
         "sum_cents": pa.array(agg["sum_cents"].to_numpy()[order]),
         "key_rowsum": pa.array(agg["key_rowsum"].to_numpy()[order])})
+
+
+def docs_bpe_encode(sf_dir: str):
+    """Tokenizer lifecycle end to end: train 12 BPE merges over the
+    corpus (functions/text.bpe_train — distributed pair counting,
+    exact global argmax), then ENCODE the same corpus with them as a
+    pure map stage (functions/text.bpe_encode: the kilobyte merge
+    table rides in the task closure, no shuffle) and aggregate per
+    language: docs, post-merge token sum, UNK sum (zero by
+    construction — train and encode see the same corpus, certifying
+    symbol coverage), and the positional-checksum sum (sequence-
+    sensitive, so any greedy-rule divergence between trainer and
+    encoder breaks it).  Rows-only: iterative merge training has no
+    single-query SQL form; the encoder's scalar oracle lives in
+    tests/test_bpe_encode.py."""
+    import ray
+
+    from ..functions.text import bpe_encode, bpe_train
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    merges, symtab = bpe_train(ds, k=12)
+    enc = bpe_encode(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"]),
+        merges, symtab, passthrough=("lang",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b["lang"].combine_chunks().dictionary_encode()
+        inv = lang.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(lang.dictionary)
+        out = {"lang": lang.dictionary,
+               "n_docs": pa.array(np.bincount(inv, minlength=k)
+                                  .astype(np.int64))}
+        for col in ("n_tokens", "n_unk", "checksum"):
+            v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = np.zeros(k, np.int64)
+            np.add.at(s, inv, v)
+            out[f"sum_{col}"] = pa.array(s)
+        return pa.table(out)
+
+    agg = _final_combine(
+        enc.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["lang"], ["n_docs", "sum_n_tokens", "sum_n_unk",
+                   "sum_checksum"])
+    lang = np.asarray(agg["lang"].to_pylist(), object)
+    order = np.argsort(lang.astype(str), kind="stable")
+    sel = pa.array(order)
+    return pa.table({c: agg[c].take(sel) for c in agg.column_names})
