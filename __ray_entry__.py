@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lines_simplify": q.lines_simplify,
         "suppliers_components": q.suppliers_components,
         "suppliers_bfs_hops": q.suppliers_bfs_hops,
+        "suppliers_random_walks": q.suppliers_random_walks,
         # documents: dedup + text analysis
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_token_stats": q.docs_token_stats,
@@ -2790,6 +2791,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, LEAST(node, MIN(reach)) AS component
             FROM r GROUP BY node
+        """,
+        "suppliers_random_walks": """
+            WITH e AS (
+              SELECT s_suppkey AS a, s_suppkey - (s_suppkey % 7) AS b FROM supplier
+              UNION ALL SELECT s_suppkey - (s_suppkey % 7), s_suppkey FROM supplier
+              UNION ALL SELECT s_suppkey, s_suppkey - 1 FROM supplier WHERE s_suppkey % 10 = 0
+              UNION ALL SELECT s_suppkey - 1, s_suppkey FROM supplier WHERE s_suppkey % 10 = 0),
+            w0 AS (SELECT DISTINCT s_suppkey AS start, s_suppkey AS node
+                   FROM supplier WHERE s_suppkey % 8 = 0),
+            w1 AS (SELECT f.start, e.b AS node FROM w0 f JOIN e ON e.a = f.node
+               QUALIFY row_number() OVER (PARTITION BY f.start
+                 ORDER BY (((f.node*2654435761 + 1*97 + e.b*40503) % 2147483647)
+                           + 2147483647) % 2147483647, e.b) = 1),
+            w2 AS (SELECT f.start, e.b AS node FROM w1 f JOIN e ON e.a = f.node
+               QUALIFY row_number() OVER (PARTITION BY f.start
+                 ORDER BY (((f.node*2654435761 + 2*97 + e.b*40503) % 2147483647)
+                           + 2147483647) % 2147483647, e.b) = 1),
+            w3 AS (SELECT f.start, e.b AS node FROM w2 f JOIN e ON e.a = f.node
+               QUALIFY row_number() OVER (PARTITION BY f.start
+                 ORDER BY (((f.node*2654435761 + 3*97 + e.b*40503) % 2147483647)
+                           + 2147483647) % 2147483647, e.b) = 1),
+            w4 AS (SELECT f.start, e.b AS node FROM w3 f JOIN e ON e.a = f.node
+               QUALIFY row_number() OVER (PARTITION BY f.start
+                 ORDER BY (((f.node*2654435761 + 4*97 + e.b*40503) % 2147483647)
+                           + 2147483647) % 2147483647, e.b) = 1)
+            SELECT start, CAST(step AS BIGINT) AS step, node FROM (
+              SELECT start, 0 AS step, node FROM w0
+              UNION ALL SELECT start, 1, node FROM w1
+              UNION ALL SELECT start, 2, node FROM w2
+              UNION ALL SELECT start, 3, node FROM w3
+              UNION ALL SELECT start, 4, node FROM w4)
+            ORDER BY start, step
         """,
         "suppliers_bfs_hops": """
             WITH RECURSIVE e AS (

@@ -856,3 +856,120 @@ def kcore(edges, k: int, *, src: str = "src", dst: str = "dst",
 
     out = collect_table(deg, schema=_LAB_SCHEMA)
     return out.rename_columns(["node", "deg"])
+
+
+def random_walks(edges, starts, nsteps: int, *, src: str = "src",
+                 dst: str = "dst", directed: bool = True,
+                 nbuckets: int = 32,
+                 score_consts: tuple[int, int, int, int] =
+                 (2654435761, 97, 40503, 2147483647)):
+    """Fixed-length DETERMINISTIC walks from every start node — the
+    neighbor-sampling primitive of GNN / node2vec-style training
+    pipelines, made reproducible (and therefore SQL-checkable and
+    partition-invariant) by replacing the RNG with a pinned integer
+    score: at node u on step t the walk moves to the out-neighbor v
+    minimizing ``(u*A + (t+1)*B + v*C) mod M`` — FLOORED mod (numpy
+    semantics; a SQL twin over signed ids needs the
+    ``((x % M) + M) % M`` wrap) — with ties to smallest v.
+    That is exactly how production samplers get restartable walks:
+    hash(state) pseudo-randomness, not shared RNG state.
+
+    Shape: edges pre-split ONCE by hash(src) (:func:`presplit` — the
+    iterative-algorithm contract shared with bfs/kcore), then one
+    cogroup per step ships only the live frontier (start, cur) rows;
+    each bucket fans its frontier rows to their neighbor lists
+    (searchsorted spans over the bucket-sorted edges) and takes the
+    per-walk argmin vectorized (one lexsort).  A walk reaching a node
+    with no out-edges stops; all arithmetic is exact int64 (u, v <
+    2^31 guarded so u*A cannot overflow).
+
+    Returns a pyarrow Table ``(start, step, node)`` with step 0 = the
+    start itself, sorted by (start, step).
+    """
+    import ray
+
+    from ..collect import collect_table
+    from .exchange import cogroup_presplit, presplit
+
+    A, B, C, M = (np.int64(x) for x in score_consts)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = batch[src].combine_chunks().cast(_I64)
+        v = batch[dst].combine_chunks().cast(_I64)
+        if directed:
+            return pa.table({"a": u, "b": v})
+        return pa.table({"a": pa.concat_arrays([u, v]),
+                         "b": pa.concat_arrays([v, u])})
+
+    edge_maps = presplit(
+        edges.map_batches(sym, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        nbuckets=nbuckets, on="a")
+
+    starts = np.unique(np.asarray(starts, dtype=np.int64))
+    frontier = ray.data.from_arrow(pa.table({
+        "start": pa.array(starts),
+        "node": pa.array(starts.copy())})).materialize()
+    _F = pa.schema([("start", _I64), ("node", _I64)])
+
+    traces = [pa.table({"start": pa.array(starts),
+                        "step": pa.array(np.zeros(len(starts), np.int64)),
+                        "node": pa.array(starts.copy())})]
+    for t in range(nsteps):
+        tt = np.int64(t + 1)
+
+        def advance(e: pa.Table, f: pa.Table, tt=tt) -> pa.Table:
+            empty = pa.table({"start": pa.array([], _I64),
+                              "node": pa.array([], _I64)})
+            if f.num_rows == 0 or e.num_rows == 0:
+                return empty
+            a, b = _np(e["a"]), _np(e["b"])
+            eo = np.lexsort((b, a))
+            a, b = a[eo], b[eo]
+            cur = _np(f["node"])
+            st = _np(f["start"])
+            if (np.abs(cur) >= (1 << 31)).any() or \
+                    (np.abs(b) >= (1 << 31)).any():
+                raise ValueError("random_walks: node ids must fit "
+                                 "31 bits for exact int64 scoring")
+            lo = np.searchsorted(a, cur, side="left")
+            hi = np.searchsorted(a, cur, side="right")
+            deg = hi - lo
+            alive = deg > 0
+            if not alive.any():
+                return empty
+            from ..codec import varint as vi
+
+            dega = deg[alive]
+            idx = np.repeat(lo[alive], dega) + vi.ramp(dega)
+            v = b[idx]
+            rid = np.repeat(np.flatnonzero(alive), dega)
+            score = (cur[rid] * A + tt * B + v * C) % M
+            order = np.lexsort((v, score, rid))
+            rid_s = rid[order]
+            first = np.ones(len(rid_s), bool)
+            first[1:] = rid_s[1:] != rid_s[:-1]
+            pick = order[first]
+            return pa.table({"start": pa.array(st[rid[pick]]),
+                             "node": pa.array(v[pick])})
+
+        frontier = cogroup_presplit(
+            edge_maps, frontier, nbuckets=nbuckets, right_on="node",
+            reduce_fn=advance, left_schema=_EDGE_SCHEMA,
+            right_schema=_F).materialize()
+        step_tbl = collect_table(frontier)
+        if step_tbl.num_rows == 0:
+            break
+        traces.append(pa.table({
+            "start": step_tbl["start"],
+            "step": pa.array(np.full(step_tbl.num_rows, tt)),
+            "node": step_tbl["node"]}))
+
+    out = pa.concat_tables(traces)
+    s = _np(out["start"])
+    p = _np(out["step"])
+    o = np.lexsort((p, s))
+    sel = pa.array(o)
+    return pa.table({"start": out["start"].take(sel),
+                     "step": out["step"].take(sel),
+                     "node": out["node"].take(sel)})

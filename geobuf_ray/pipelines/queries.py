@@ -9679,3 +9679,30 @@ def docs_bpe_encode(sf_dir: str):
     order = np.argsort(lang.astype(str), kind="stable")
     sel = pa.array(order)
     return pa.table({c: agg[c].take(sel) for c in agg.column_names})
+
+
+def suppliers_random_walks(sf_dir: str, nsteps: int = 4):
+    """Deterministic random-walk sampling (functions/graph.
+    random_walks) over the same supplier graph as
+    suppliers_components/bfs_hops, from every 8th key: at node u on
+    step t the walk moves to the out-neighbor minimizing the pinned
+    integer score ``(u*A + t*B + v*C) % M`` (ties to smallest v) —
+    the reproducible stand-in for RNG neighbor sampling that GNN /
+    node2vec training pipelines need for restartable walks.  Edges
+    pre-split once; each step ships only the live frontier.  The
+    DuckDB oracle replays the walk with per-step QUALIFY argmin
+    windows — exact integer equality on every (start, step, node)."""
+    import ray
+
+    from ..functions.graph import random_walks
+
+    keys = _supplier_keys(sf_dir)
+    bridged = keys[keys % 10 == 0]
+    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
+    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a, pa.int64()),
+        "dst": pa.array(b, pa.int64()),
+    })).repartition(4)
+    return random_walks(edges, keys[keys % 8 == 0], nsteps,
+                        directed=True, nbuckets=16)

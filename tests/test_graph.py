@@ -392,3 +392,95 @@ def test_kcore_rejects_wide_ids(ray_session):
                     "dst": pa.array([1], pa.int64())})
     with pytest.raises((ValueError, Exception)):
         kcore(ray.data.from_arrow(tbl), 1, nbuckets=2).to_pylist()
+
+
+def _walk_oracle(edges, starts, nsteps,
+                 consts=(2654435761, 97, 40503, 2147483647)):
+    """Scalar replay of the pinned-score walk (floored mod)."""
+    A, B, C, M = consts
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    rows = []
+    for s in sorted(set(starts)):
+        cur = s
+        rows.append((s, 0, s))
+        for t in range(1, nsteps + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda v: ((cur * A + t * B + v * C)
+                                           % M, v))
+            rows.append((s, t, cur))
+    return rows
+
+
+def test_random_walks_scalar_reference(ray_session):
+    import random
+
+    import ray
+
+    from geobuf_ray.functions.graph import random_walks
+
+    rng = random.Random(11)
+    nodes = list(range(-20, 60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(300)]
+    tbl = pa.table({"src": pa.array([a for a, b in edges], pa.int64()),
+                    "dst": pa.array([b for a, b in edges], pa.int64())})
+    starts = [n for n in nodes if n % 3 == 0]
+    got = random_walks(ray.data.from_arrow(tbl).repartition(5), starts,
+                       6, directed=True, nbuckets=8)
+    rows = list(zip(got["start"].to_pylist(), got["step"].to_pylist(),
+                    got["node"].to_pylist()))
+    assert rows == _walk_oracle(edges, starts, 6)
+
+
+def test_random_walks_dead_end_stops(ray_session):
+    import ray
+
+    from geobuf_ray.functions.graph import random_walks
+
+    # 1 -> 2 -> 3, 3 has no out-edge: walk of length 5 stops at step 2
+    tbl = pa.table({"src": pa.array([1, 2], pa.int64()),
+                    "dst": pa.array([2, 3], pa.int64())})
+    got = random_walks(ray.data.from_arrow(tbl), [1, 9], 5,
+                       directed=True, nbuckets=4)
+    rows = list(zip(got["start"].to_pylist(), got["step"].to_pylist(),
+                    got["node"].to_pylist()))
+    # start 9 has no out-edges at all: only its step-0 row survives
+    assert rows == [(1, 0, 1), (1, 1, 2), (1, 2, 3), (9, 0, 9)]
+
+
+def test_random_walks_partition_invariance(ray_session):
+    import random
+
+    import ray
+
+    from geobuf_ray.functions.graph import random_walks
+
+    rng = random.Random(4)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(150)]
+    tbl = pa.table({"src": pa.array([a for a, b in edges], pa.int64()),
+                    "dst": pa.array([b for a, b in edges], pa.int64())})
+    starts = list(range(0, 40, 5))
+
+    def run(parts, nb):
+        t = random_walks(ray.data.from_arrow(tbl).repartition(parts),
+                         starts, 4, directed=True, nbuckets=nb)
+        return list(zip(t["start"].to_pylist(), t["step"].to_pylist(),
+                        t["node"].to_pylist()))
+
+    assert run(1, 2) == run(7, 16)
+
+
+def test_random_walks_rejects_wide_ids(ray_session):
+    import pytest
+    import ray
+
+    from geobuf_ray.functions.graph import random_walks
+
+    tbl = pa.table({"src": pa.array([1 << 33], pa.int64()),
+                    "dst": pa.array([1], pa.int64())})
+    with pytest.raises(Exception):
+        random_walks(ray.data.from_arrow(tbl), [1 << 33], 2,
+                     nbuckets=2)
