@@ -802,3 +802,77 @@ def embed_images(ds, *, pool: int = 8, batch_size: int = 64,
         EmbedImagesFn, fn_constructor_kwargs=dict(pool=pool),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, **map_kwargs)
+
+
+def caption_embed_batch(captions, dim: int = 64) -> np.ndarray:
+    """Deterministic text-tower stand-in: signed feature-hashed bag of
+    words (``\\s+`` tokens; token j adds ±1 at slot fp64(token) % dim,
+    sign from the fingerprint's top bit), L2-normalized.  The contract
+    a real text encoder slots into — batched forward, unit-norm rows —
+    with vectorized token hashing (no per-row Python).  Empty captions
+    embed to the zero vector (cosine 0 against everything)."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import fingerprint64
+
+    if not isinstance(captions, (pa.Array, pa.ChunkedArray)):
+        captions = pa.array(list(captions), pa.string())
+    if isinstance(captions, pa.ChunkedArray):
+        captions = captions.combine_chunks()
+    n = len(captions)
+    toks = pc.split_pattern_regex(captions, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.take(pa.array(np.flatnonzero(keep)))
+        row_of = row_of[keep]
+    out = np.zeros((n, dim))
+    if len(row_of):
+        fp = fingerprint64(flat)
+        slot = (fp % np.uint64(dim)).astype(np.int64)
+        sign = np.where((fp >> np.uint64(63)).astype(bool), -1.0, 1.0)
+        np.add.at(out, (row_of, slot), sign)
+    norm = np.sqrt((out * out).sum(axis=1, keepdims=True))
+    return out / np.maximum(norm, 1e-12)
+
+
+class ClipScoreFn:
+    """Actor-pool CLIP-score stage: BOTH towers run in one batched
+    forward over paired rows — image tower = the :class:`EmbedImagesFn`
+    stand-in (decode → 32×32 → pooled, unit norm), text tower =
+    :func:`caption_embed_batch` — and the per-row cosine is their dot
+    product (both unit vectors).  This is the LAION-style pairing
+    filter shape: a real deployment swaps the two stand-ins for CLIP's
+    encoders and nothing else changes (state loads once per actor,
+    batches stay bounded by payload size).  Scores are quantized to
+    exact integers ``floor(score * 2^20)`` so downstream aggregation is
+    bit-deterministic and partition-invariant."""
+
+    def __init__(self, pool: int = 8):
+        self.img_tower = EmbedImagesFn(pool=pool)
+        self.dim = pool * pool
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        img = self.img_tower(batch)
+        iv = np.asarray(img["embedding"].to_pylist())
+        tv = caption_embed_batch(batch["caption"], dim=self.dim)
+        score = (iv * tv).sum(axis=1)
+        q = np.floor(score * (1 << 20)).astype(np.int64)
+        return pa.table({
+            "img_idx": img["img_idx"],
+            "fmt": batch["fmt"],
+            "score_q": pa.array(q)})
+
+
+def clip_scores(ds, *, pool: int = 8, batch_size: int = 64,
+                concurrency=(1, 8), **map_kwargs):
+    """Dataset stage: paired image+caption rows -> (img_idx, fmt,
+    score_q) with score_q = floor(cosine(img_emb, txt_emb) * 2^20)."""
+    return ds.map_batches(
+        ClipScoreFn, fn_constructor_kwargs=dict(pool=pool),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **map_kwargs)

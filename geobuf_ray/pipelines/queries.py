@@ -9706,3 +9706,63 @@ def suppliers_random_walks(sf_dir: str, nsteps: int = 4):
     })).repartition(4)
     return random_walks(edges, keys[keys % 8 == 0], nsteps,
                         directed=True, nbuckets=16)
+
+
+def images_clip_score(sf_dir: str):
+    """CLIP-score pairing gate over the image+caption table — the
+    LAION-style filter: both towers (io/images.ClipScoreFn: the
+    deterministic image-embedding stand-in + the feature-hashed text
+    tower, each unit-norm with the exact contract real encoders slot
+    into) run in ONE batched actor-pool forward over paired rows, the
+    per-row cosine quantizes to exact int floor(score * 2^20), and the
+    gate aggregates per format: images, passes (score > 0), quantized
+    score sum and min/max.  Pure map + driver-sized combine — no
+    shuffle anywhere.  Rows-only (procedural payloads aren't SQL);
+    the planted caption-duplicate invariant and a scalar two-tower
+    replay are pinned in tests/test_clip_score.py."""
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    scored = im.clip_scores(ds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        fmt = b["fmt"].combine_chunks().dictionary_encode()
+        inv = fmt.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(fmt.dictionary)
+        sq = b["score_q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        spos = np.zeros(k, np.int64)
+        np.add.at(spos, inv[sq > 0], 1)
+        ssum = np.zeros(k, np.int64)
+        np.add.at(ssum, inv, sq)
+        smin = np.full(k, np.iinfo(np.int64).max)
+        np.minimum.at(smin, inv, sq)
+        smax = np.full(k, np.iinfo(np.int64).min)
+        np.maximum.at(smax, inv, sq)
+        return pa.table({
+            "fmt": fmt.dictionary,
+            "n_images": pa.array(np.bincount(inv, minlength=k)
+                                 .astype(np.int64)),
+            "n_pass": pa.array(spos),
+            "sum_score_q": pa.array(ssum),
+            "min_score_q": pa.array(smin),
+            "max_score_q": pa.array(smax)})
+
+    from ..collect import collect_table
+
+    tbl = collect_table(scored.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    fmt = np.asarray(tbl["fmt"].to_pylist(), object)
+    uu, inv = np.unique(fmt.astype(str), return_inverse=True)
+    out = {"fmt": pa.array(uu.tolist(), pa.string())}
+    for col, red, init in (("n_images", np.add, 0), ("n_pass", np.add, 0),
+                           ("sum_score_q", np.add, 0),
+                           ("min_score_q", np.minimum,
+                            np.iinfo(np.int64).max),
+                           ("max_score_q", np.maximum,
+                            np.iinfo(np.int64).min)):
+        v = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.full(len(uu), init, np.int64)
+        red.at(s, inv, v)
+        out[col] = pa.array(s)
+    return pa.table(out)
