@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_tile_clip": q.rects_tile_clip,
         "rects_mvt_tiles": q.rects_mvt_tiles,
         "rects_rasterize": q.rects_rasterize,
+        "rects_distance_field": q.rects_distance_field,
         "knn_suppliers": q.knn_suppliers,
         "knn_suppliers_s2": q.knn_suppliers_s2,
         "suppliers_within_2000km": q.suppliers_within_2000km,
@@ -1974,6 +1975,29 @@ def oracle_sql() -> dict[str, str]:
         # raster<->vector: pixel-center-in-rect on the linear 256x256
         # global pixel grid, grouped to 16x16-pixel tiles — the exact
         # semantics of spatial/raster.py rasterize_batch
+        "rects_distance_field": """
+            WITH rects AS (
+              SELECT s_suppkey,
+                     (-180.0 + (s_suppkey * 37) % 300) AS w,
+                     (-85.0 + (s_suppkey * 53) % 160) AS s,
+                     (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0 + 0.005) AS e,
+                     (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005) AS n
+              FROM supplier WHERE s_suppkey % 5 = 0),
+            gi AS (SELECT UNNEST(range(0, 256)) AS i),
+            gj AS (SELECT UNNEST(range(0, 256)) AS j),
+            occ AS (SELECT i, j FROM gi, gj
+                    WHERE EXISTS (SELECT 1 FROM rects
+                      WHERE (-180.0 + (i + 0.5) * (360.0 / 256)) >= w
+                        AND (-180.0 + (i + 0.5) * (360.0 / 256)) <= e
+                        AND (-85.0 + (j + 0.5) * (170.0 / 256)) >= s
+                        AND (-85.0 + (j + 0.5) * (170.0 / 256)) <= n)),
+            cells AS (SELECT i, j FROM gi, gj WHERE (i * 256 + j) % 13 = 0)
+            SELECT c.i AS gx, c.j AS gy,
+                   CAST(MIN(abs(c.i - o.i) + abs(c.j - o.j)) AS BIGINT) AS dist
+            FROM cells c CROSS JOIN occ o
+            GROUP BY c.i, c.j
+            ORDER BY gx, gy
+        """,
         "rects_rasterize": """
             WITH rects AS (
               SELECT s_suppkey,

@@ -9766,3 +9766,46 @@ def images_clip_score(sf_dir: str):
         red.at(s, inv, v)
         out[col] = pa.array(s)
     return pa.table(out)
+
+
+def rects_distance_field(sf_dir: str, ntiles: int = 16, px: int = 16):
+    """Exact L1 distance transform of the sparse supplier-rect raster
+    (every 5th key keeps the field interesting — distances reach tens
+    of cells): rasterize -> union occupancy -> spatial/raster.
+    distance_transform_l1 (separable two-pass, one ROW-band exchange
+    then one COLUMN-band exchange, each pass two vectorized
+    accumulates — no per-cell loop anywhere).  The output field is
+    dense by definition; the query ships a deterministic 1/13 cell
+    sample for a driver-sized hash check against the brute-force
+    MIN(|dx|+|dy|) SQL twin (which certifies the separable scan
+    equals the direct definition)."""
+    import ray
+
+    from ..spatial.polygonize import union_tile_masks
+    from ..spatial.raster import distance_transform_l1, rasterize_polygons
+
+    rects = supplier_rects(sf_dir)
+    ids = rects["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rects = rects.filter(pa.array(ids % 5 == 0))
+    polys = ray.data.from_arrow(rects)
+    raster = rasterize_polygons(polys, ntiles=ntiles, px=px, id_col="id")
+    occ = union_tile_masks(raster, px=px, nbuckets=16)
+    dt = distance_transform_l1(occ, ntiles=ntiles, px=px, nbuckets=16)
+    N = ntiles * px
+
+    def sample(b: pa.Table) -> pa.Table:
+        gx = b["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gy = b["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array((gx * N + gy) % 13 == 0))
+
+    from ..collect import collect_table
+
+    tbl = collect_table(dt.map_batches(sample, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+    gx = tbl["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gy = tbl["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((gy, gx))
+    sel = pa.array(o)
+    return pa.table({"gx": tbl["gx"].take(sel),
+                     "gy": tbl["gy"].take(sel),
+                     "dist": tbl["dist"].take(sel)})

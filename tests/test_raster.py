@@ -78,3 +78,109 @@ def test_masks_to_boxes_inverse():
     for k, m in enumerate(masks):
         bits = np.unpackbits(np.frombuffer(m, np.uint8)).reshape(16, 16)
         assert (rebuilt[k] == bits.astype(bool)).all()
+
+
+def _brute_dt(occ_xy, N):
+    import numpy as np
+    d = np.full((N, N), 1 << 30, np.int64)
+    for (ox, oy) in occ_xy:
+        gx, gy = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+        d = np.minimum(d, np.abs(gx - ox) + np.abs(gy - oy))
+    return d
+
+
+def _occ_ds_from_pixels(pix, ntiles, px):
+    """Build union_tile_masks-shaped occupancy rows from pixel list."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    tiles = {}
+    for gx, gy in pix:
+        key = (gx // px, gy // px)
+        m = tiles.setdefault(key, np.zeros((px, px), np.uint8))
+        m[gy % px, gx % px] = 1
+    tx, ty, masks = [], [], []
+    for (a, b), m in sorted(tiles.items()):
+        tx.append(a)
+        ty.append(b)
+        masks.append(np.packbits(m.reshape(-1)).tobytes())
+    tbl = pa.table({"tile_x": pa.array(tx, pa.int64()),
+                    "tile_y": pa.array(ty, pa.int64()),
+                    "mask": pa.array(masks, pa.binary())})
+    return ray.data.from_arrow(tbl).repartition(max(len(tx) // 2, 1))
+
+
+def test_distance_transform_matches_brute_force(ray_session):
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.spatial.raster import distance_transform_l1
+
+    rng = random.Random(3)
+    ntiles, px = 4, 8
+    N = ntiles * px
+    pix = sorted({(rng.randrange(N), rng.randrange(N))
+                  for _ in range(25)})
+    ds = _occ_ds_from_pixels(pix, ntiles, px)
+    out = pa.concat_tables(ray.get(distance_transform_l1(
+        ds, ntiles=ntiles, px=px, nbuckets=8).to_arrow_refs()))
+    assert out.num_rows == N * N
+    got = np.full((N, N), -1, np.int64)
+    got[out["gx"].to_numpy(), out["gy"].to_numpy()] = \
+        out["dist"].to_numpy()
+    np.testing.assert_array_equal(got, _brute_dt(pix, N))
+
+
+def test_distance_transform_empty_and_single(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.spatial.raster import distance_transform_l1
+
+    ntiles, px = 2, 4
+    N = ntiles * px
+    empty = pa.table({"tile_x": pa.array([], pa.int64()),
+                      "tile_y": pa.array([], pa.int64()),
+                      "mask": pa.array([], pa.binary())})
+    out = pa.concat_tables(ray.get(distance_transform_l1(
+        ray.data.from_arrow(empty), ntiles=ntiles, px=px,
+        nbuckets=4).to_arrow_refs()))
+    assert out.num_rows == 0  # all-empty raster -> empty field
+
+    one = _occ_ds_from_pixels([(5, 2)], ntiles, px)
+    out = pa.concat_tables(ray.get(distance_transform_l1(
+        one, ntiles=ntiles, px=px, nbuckets=4).to_arrow_refs()))
+    got = np.zeros((N, N), np.int64)
+    got[out["gx"].to_numpy(), out["gy"].to_numpy()] = \
+        out["dist"].to_numpy()
+    np.testing.assert_array_equal(got, _brute_dt([(5, 2)], N))
+
+
+def test_distance_transform_bucket_invariance(ray_session):
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.spatial.raster import distance_transform_l1
+
+    rng = random.Random(9)
+    ntiles, px = 4, 4
+    N = ntiles * px
+    pix = sorted({(rng.randrange(N), rng.randrange(N))
+                  for _ in range(10)})
+
+    def run(nb):
+        ds = _occ_ds_from_pixels(pix, ntiles, px)
+        t = pa.concat_tables(ray.get(distance_transform_l1(
+            ds, ntiles=ntiles, px=px, nbuckets=nb).to_arrow_refs()))
+        o = np.lexsort((t["gy"].to_numpy(), t["gx"].to_numpy()))
+        return t["dist"].to_numpy()[o].tolist()
+
+    assert run(2) == run(16)
