@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_constraints": q.lineitem_constraints,
         "orders_cdc_to_view": q.orders_cdc_to_view,
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
+        "events_rank_test": q.events_rank_test,
         "docs_token_drift": q.docs_token_drift,
         "docs_curation_funnel": q.docs_curation_funnel,
         "docs_unigram_surprise": q.docs_unigram_surprise,
@@ -2451,6 +2452,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority, flag
             ORDER BY o_orderpriority, flag
+        """,
+        "events_rank_test": """
+            WITH e AS (SELECT event_type,
+                         CAST(round(value * 100) AS BIGINT) AS v,
+                         CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END AS grp
+                       FROM events WHERE value IS NOT NULL),
+            r AS (SELECT event_type, grp,
+                    RANK() OVER (PARTITION BY event_type ORDER BY v) AS rlo,
+                    COUNT(*) OVER (PARTITION BY event_type, v) AS ceq
+                  FROM e),
+            s AS (SELECT event_type,
+                    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                    CAST(SUM(CASE WHEN grp = 0 THEN 2 * rlo + ceq - 1 ELSE 0 END)
+                         AS BIGINT) AS r2_a
+                  FROM r GROUP BY event_type)
+            SELECT event_type, n_a, n_b,
+                   CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a
+            FROM s ORDER BY event_type
         """,
         "events_seasonal_anomalies": """
             WITH c AS (SELECT event_type,

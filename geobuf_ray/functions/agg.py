@@ -1181,3 +1181,103 @@ def table_digest(ds, keys: list[str], value: str, *, nbuckets: int = 16):
 
     return hash_exchange(partials, nbuckets=nbuckets, on=keys,
                          reduce_fn=merge, schema=None)
+
+
+def rank_sum_u2(ds, *, key: str = "key", value: str = "v",
+                side: str = "side", nbuckets: int = 16):
+    """Exact Mann-Whitney U between two samples per key — the
+    distribution-comparison gate of an A/B pipeline, kept in integer
+    arithmetic by reporting ``u2_a = 2*U_A`` (ties contribute the half
+    step as +1): ``u2_a = sum over side-0 rows of (2*#{side-1 < v} +
+    #{side-1 = v})``.
+
+    Shape: per-block partials compress rows to the (key, v) DISTINCT
+    distribution (counts per side), a key-hash exchange lands each
+    key's whole compressed distribution in one bucket (the exchange
+    ships O(distinct values), not O(rows)), the in-bucket kernel is
+    one lexsort + exclusive cumsum per key run, and only per-key
+    SCALARS leave.  Input ``value`` must be integer-typed (quantize
+    floats upstream — cents, not raw doubles); NULL values must be
+    filtered upstream so both engines agree on the population."""
+    import pyarrow as pa
+
+    from .exchange import hash_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({key: b[key].slice(0, 0),
+                          "v": pa.array([], pa.int64()),
+                          "n_a": pa.array([], pa.int64()),
+                          "n_b": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        v = b[value].to_numpy(zero_copy_only=False)
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError("rank_sum_u2: value must be integer-typed")
+        v = v.astype(np.int64)
+        s = b[side].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ((s != 0) & (s != 1)).any():
+            raise ValueError("rank_sum_u2: side must be 0/1")
+        kenc = b[key].combine_chunks().dictionary_encode()
+        kc = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, v, kc))
+        kc_s, v_s, s_s = kc[order], v[order], s[order]
+        new = np.ones(len(kc_s), bool)
+        new[1:] = (kc_s[1:] != kc_s[:-1]) | (v_s[1:] != v_s[:-1])
+        gid = np.cumsum(new) - 1
+        n_a = np.bincount(gid[s_s == 0]).astype(np.int64)
+        n_a = np.pad(n_a, (0, gid[-1] + 1 - len(n_a)))
+        n_b = np.bincount(gid[s_s == 1]).astype(np.int64)
+        n_b = np.pad(n_b, (0, gid[-1] + 1 - len(n_b)))
+        starts = np.flatnonzero(new)
+        return pa.table({
+            key: kenc.dictionary.take(pa.array(kc_s[starts])),
+            "v": pa.array(v_s[starts]),
+            "n_a": pa.array(n_a), "n_b": pa.array(n_b)})
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({key: t[key].slice(0, 0),
+                          "n_a": pa.array([], pa.int64()),
+                          "n_b": pa.array([], pa.int64()),
+                          "u2_a": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        kenc = t[key].combine_chunks().dictionary_encode()
+        kc = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, kc))
+        kc, v, na, nb = kc[order], v[order], na[order], nb[order]
+        # merge equal (key, v) rows from different blocks
+        new = np.ones(len(kc), bool)
+        new[1:] = (kc[1:] != kc[:-1]) | (v[1:] != v[:-1])
+        gid = np.cumsum(new) - 1
+        ng = gid[-1] + 1
+        na = np.bincount(gid, weights=na, minlength=ng).astype(np.int64)
+        nb = np.bincount(gid, weights=nb, minlength=ng).astype(np.int64)
+        kc = kc[new]
+        # exclusive per-key prefix of n_b over ascending v
+        cum = np.cumsum(nb) - nb
+        kstart = np.ones(ng, bool)
+        kstart[1:] = kc[1:] != kc[:-1]
+        base = np.repeat(cum[kstart], np.diff(
+            np.append(np.flatnonzero(kstart), ng)))
+        b_less = cum - base
+        contrib = na * (2 * b_less + nb)
+        nkeys = int(kstart.sum())
+        kidx = np.cumsum(kstart) - 1
+        u2 = np.bincount(kidx, weights=contrib, minlength=nkeys) \
+            .astype(np.int64)
+        ta = np.bincount(kidx, weights=na, minlength=nkeys) \
+            .astype(np.int64)
+        tb = np.bincount(kidx, weights=nb, minlength=nkeys) \
+            .astype(np.int64)
+        return pa.table({
+            key: kenc.dictionary.take(pa.array(kc[kstart])),
+            "n_a": pa.array(ta), "n_b": pa.array(tb),
+            "u2_a": pa.array(u2)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return hash_exchange(partials, nbuckets=nbuckets, on=key,
+                         reduce_fn=reduce_fn)

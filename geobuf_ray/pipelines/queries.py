@@ -9809,3 +9809,44 @@ def rects_distance_field(sf_dir: str, ntiles: int = 16, px: int = 16):
     return pa.table({"gx": tbl["gx"].take(sel),
                      "gy": tbl["gy"].take(sel),
                      "dist": tbl["dist"].take(sel)})
+
+
+def events_rank_test(sf_dir: str):
+    """Exact Mann-Whitney rank test per event type (even vs odd
+    user_id populations) — the A/B distribution-comparison gate, all
+    integer: values quantize to cents, the statistic ships as
+    u2_a = 2*U_A (a tie contributes +1, the half step).  One scan
+    compresses rows to per-block (type, cents) distributions, a
+    type-hash exchange finishes each type's exclusive tie-aware
+    prefix in-bucket (functions/agg.rank_sum_u2), only per-type
+    scalars leave.  Hash-checked vs the RANK()-window identity
+    2*U_A = sum_A (2*rank_min + ties - 1) - n_a*(n_a+1)."""
+    import ray
+
+    from ..functions.agg import rank_sum_u2
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        val = b["value"].combine_chunks()
+        ok = ~val.is_null().to_numpy(zero_copy_only=False)
+        cents = np.round(val.to_numpy(zero_copy_only=False) * 100)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.flatnonzero(ok)
+        return pa.table({
+            "event_type": b["event_type"].take(pa.array(sel)),
+            "v": pa.array(cents[ok].astype(np.int64)),
+            "side": pa.array((u[ok] % 2 != 0).astype(np.int64))})
+
+    out = rank_sum_u2(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key="event_type", value="v", side="side", nbuckets=8)
+    from ..collect import collect_table
+
+    tbl = collect_table(out)
+    et = np.asarray(tbl["event_type"].to_pylist(), object)
+    o = np.argsort(et.astype(str), kind="stable")
+    sel = pa.array(o)
+    return pa.table({c: tbl[c].take(sel) for c in tbl.column_names})

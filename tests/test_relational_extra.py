@@ -1194,3 +1194,68 @@ def test_table_digest_order_invariance_and_sensitivity(ray_session):
     import pytest as _pt
     with _pt.raises(Exception):
         table_digest(_ds(bad, 1), ["g"], "v", nbuckets=2).to_pandas()
+
+
+def _u2_oracle(rows):
+    """Brute-force 2*U_A per key: sum over (a, b) pairs of
+    2*(b < a) + (b == a)."""
+    from collections import defaultdict
+    groups = defaultdict(lambda: ([], []))
+    for k, v, s in rows:
+        groups[k][s].append(v)
+    out = {}
+    for k, (A, B) in groups.items():
+        u2 = sum(2 * sum(1 for b in B if b < a) +
+                 sum(1 for b in B if b == a) for a in A)
+        out[k] = (len(A), len(B), u2)
+    return out
+
+
+def test_rank_sum_u2_brute_force(ray_session):
+    import random
+
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.agg import rank_sum_u2
+
+    rng = random.Random(5)
+    # heavy ties: values drawn from a tiny domain
+    rows = [(f"k{rng.randrange(4)}", rng.randrange(-3, 6),
+             rng.randrange(2)) for _ in range(800)]
+    tbl = pa.table({"key": pa.array([r[0] for r in rows], pa.string()),
+                    "v": pa.array([r[1] for r in rows], pa.int64()),
+                    "side": pa.array([r[2] for r in rows], pa.int64())})
+    got = pa.concat_tables(ray.get(rank_sum_u2(
+        ray.data.from_arrow(tbl).repartition(6),
+        nbuckets=4).to_arrow_refs()))
+    by = {k: (a, b, u) for k, a, b, u in
+          zip(got["key"].to_pylist(), got["n_a"].to_pylist(),
+              got["n_b"].to_pylist(), got["u2_a"].to_pylist())}
+    assert by == _u2_oracle(rows)
+
+
+def test_rank_sum_u2_one_sided_and_invariance(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.agg import rank_sum_u2
+
+    # key with only side-0 rows: u2_a = 0, n_b = 0
+    tbl = pa.table({"key": pa.array(["x"] * 5 + ["y"] * 4, pa.string()),
+                    "v": pa.array([1, 2, 3, 4, 5, 9, 9, 1, 1], pa.int64()),
+                    "side": pa.array([0, 0, 0, 0, 0, 0, 0, 1, 1],
+                                     pa.int64())})
+
+    def run(parts, nb):
+        t = pa.concat_tables(ray.get(rank_sum_u2(
+            ray.data.from_arrow(tbl).repartition(parts),
+            nbuckets=nb).to_arrow_refs()))
+        return {k: (a, b, u) for k, a, b, u in
+                zip(t["key"].to_pylist(), t["n_a"].to_pylist(),
+                    t["n_b"].to_pylist(), t["u2_a"].to_pylist())}
+
+    got = run(1, 2)
+    assert got["x"] == (5, 0, 0)
+    assert got["y"] == (2, 2, 8)  # both 9s beat both 1s: 2 * 2 * 2
+    assert got == run(4, 8)
