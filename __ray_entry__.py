@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_mvt_tiles": q.rects_mvt_tiles,
         "rects_rasterize": q.rects_rasterize,
         "rects_distance_field": q.rects_distance_field,
+        "rects_contours": q.rects_contours,
         "knn_suppliers": q.knn_suppliers,
         "knn_suppliers_s2": q.knn_suppliers_s2,
         "suppliers_within_2000km": q.suppliers_within_2000km,
@@ -1976,6 +1977,58 @@ def oracle_sql() -> dict[str, str]:
         # raster<->vector: pixel-center-in-rect on the linear 256x256
         # global pixel grid, grouped to 16x16-pixel tiles — the exact
         # semantics of spatial/raster.py rasterize_batch
+        "rects_contours": """
+            WITH rects AS (
+              SELECT s_suppkey,
+                     (-180.0 + (s_suppkey * 37) % 300) AS w,
+                     (-85.0 + (s_suppkey * 53) % 160) AS s,
+                     (-180.0 + (s_suppkey * 37) % 300 + 5.0 + (s_suppkey % 7) * 3.0 + 0.005) AS e,
+                     (-85.0 + (s_suppkey * 53) % 160 + 4.0 + (s_suppkey % 5) * 3.0 + 0.005) AS n
+              FROM supplier WHERE s_suppkey % 5 = 0),
+            gi AS (SELECT UNNEST(range(0, 256)) AS i),
+            gj AS (SELECT UNNEST(range(0, 256)) AS j),
+            occ AS (SELECT i, j FROM gi, gj
+                    WHERE EXISTS (SELECT 1 FROM rects
+                      WHERE (-180.0 + (i + 0.5) * (360.0 / 256)) >= w
+                        AND (-180.0 + (i + 0.5) * (360.0 / 256)) <= e
+                        AND (-85.0 + (j + 0.5) * (170.0 / 256)) >= s
+                        AND (-85.0 + (j + 0.5) * (170.0 / 256)) <= n)),
+            cx AS (SELECT UNNEST(range(0, 255)) AS x),
+            cy AS (SELECT UNNEST(range(0, 255)) AS y),
+            cse AS (SELECT x, y,
+                      (CASE WHEN o00.i IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN o10.i IS NOT NULL THEN 2 ELSE 0 END
+                     + CASE WHEN o11.i IS NOT NULL THEN 4 ELSE 0 END
+                     + CASE WHEN o01.i IS NOT NULL THEN 8 ELSE 0 END) AS c
+                    FROM (SELECT x, y FROM cx, cy) cells
+                    LEFT JOIN occ o00 ON o00.i = x AND o00.j = y
+                    LEFT JOIN occ o10 ON o10.i = x + 1 AND o10.j = y
+                    LEFT JOIN occ o11 ON o11.i = x + 1 AND o11.j = y + 1
+                    LEFT JOIN occ o01 ON o01.i = x AND o01.j = y + 1),
+            segv(c, ex0, ey0, ex1, ey1) AS (VALUES
+              (1, 0, 1, 1, 0),
+              (2, 1, 0, 2, 1),
+              (3, 0, 1, 2, 1),
+              (4, 1, 2, 2, 1),
+              (5, 0, 1, 1, 0),
+              (5, 1, 2, 2, 1),
+              (6, 1, 0, 1, 2),
+              (7, 0, 1, 1, 2),
+              (8, 0, 1, 1, 2),
+              (9, 1, 0, 1, 2),
+              (10, 1, 0, 2, 1),
+              (10, 0, 1, 1, 2),
+              (11, 1, 2, 2, 1),
+              (12, 0, 1, 2, 1),
+              (13, 1, 0, 2, 1),
+              (14, 0, 1, 1, 0))
+            SELECT CAST(2 * x + ex0 AS BIGINT) AS x0,
+                   CAST(2 * y + ey0 AS BIGINT) AS y0,
+                   CAST(2 * x + ex1 AS BIGINT) AS x1,
+                   CAST(2 * y + ey1 AS BIGINT) AS y1
+            FROM cse JOIN segv USING (c)
+            ORDER BY x0, y0, x1, y1
+        """,
         "rects_distance_field": """
             WITH rects AS (
               SELECT s_suppkey,

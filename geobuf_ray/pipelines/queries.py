@@ -9850,3 +9850,35 @@ def events_rank_test(sf_dir: str):
     o = np.argsort(et.astype(str), kind="stable")
     sel = pa.array(o)
     return pa.table({c: tbl[c].take(sel) for c in tbl.column_names})
+
+
+def rects_contours(sf_dir: str, ntiles: int = 16, px: int = 16):
+    """Vector-from-raster contouring: binary marching squares
+    (spatial/raster.marching_squares — halo exchange on column bands,
+    per-bucket dense case grid, pinned 16-case segment table with the
+    deterministic saddle convention) over the sparse every-5th
+    supplier-rect occupancy.  Segment endpoints are edge midpoints in
+    DOUBLED integer grid coords, endpoint pairs canonicalized
+    lexicographically, so the whole contour hash-checks against a SQL
+    twin that evaluates the same case table through four occupancy
+    joins and a 16-row VALUES lookup."""
+    import ray
+
+    from ..spatial.polygonize import union_tile_masks
+    from ..spatial.raster import marching_squares, rasterize_polygons
+
+    rects = supplier_rects(sf_dir)
+    ids = rects["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rects = rects.filter(pa.array(ids % 5 == 0))
+    polys = ray.data.from_arrow(rects)
+    raster = rasterize_polygons(polys, ntiles=ntiles, px=px, id_col="id")
+    occ = union_tile_masks(raster, px=px, nbuckets=16)
+    segs = marching_squares(occ, ntiles=ntiles, px=px, nbuckets=16)
+    from ..collect import collect_table
+
+    tbl = collect_table(segs)
+    cols = [tbl[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in ("x0", "y0", "x1", "y1")]
+    o = np.lexsort((cols[3], cols[2], cols[1], cols[0]))
+    sel = pa.array(o)
+    return pa.table({c: tbl[c].take(sel) for c in tbl.column_names})

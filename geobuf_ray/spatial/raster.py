@@ -379,3 +379,150 @@ def distance_transform_l1(occ_ds, *, ntiles: int, px: int,
                        reduce_fn=pass1)
     return hash_exchange(d1, nbuckets=nbuckets, on="band",
                          reduce_fn=pass2)
+
+
+# binary marching-squares case table.  Corner bits: SW=1, SE=2, NE=4,
+# NW=8.  Edges by midpoint in DOUBLED grid coords: W=(2x,2y+1),
+# S=(2x+1,2y), E=(2x+2,2y+1), N=(2x+1,2y+2).  Saddles (5, 10) use the
+# pinned disconnect convention {W-S, E-N} / {S-E, N-W} so output is
+# deterministic.  Segment = (edge, edge) or (-1, -1) for none.
+_MS_SEGS = [
+    [(-1, -1), (-1, -1)],  # 0
+    [(0, 1), (-1, -1)],    # 1  SW        : W-S
+    [(1, 2), (-1, -1)],    # 2  SE        : S-E
+    [(0, 2), (-1, -1)],    # 3  SW SE     : W-E
+    [(2, 3), (-1, -1)],    # 4  NE        : E-N
+    [(0, 1), (2, 3)],      # 5  SW NE     : saddle
+    [(1, 3), (-1, -1)],    # 6  SE NE     : S-N
+    [(0, 3), (-1, -1)],    # 7  SW SE NE  : W-N
+    [(3, 0), (-1, -1)],    # 8  NW        : N-W
+    [(1, 3), (-1, -1)],    # 9  SW NW     : S-N
+    [(1, 2), (3, 0)],      # 10 SE NW     : saddle
+    [(2, 3), (-1, -1)],    # 11 SW SE NW  : E-N
+    [(2, 0), (-1, -1)],    # 12 NE NW     : E-W
+    [(1, 2), (-1, -1)],    # 13 SW NE NW  : S-E
+    [(0, 1), (-1, -1)],    # 14 SE NE NW  : W-S
+    [(-1, -1), (-1, -1)],  # 15
+]
+
+
+def marching_squares(occ_ds, *, ntiles: int, px: int,
+                     nbuckets: int = 16, **map_kwargs):
+    """Binary marching squares over a tiled occupancy raster: the
+    vector-from-raster CONTOUR of the set-pixel region at pixel
+    resolution.  Every 2x2 corner quad is a cell; its 4-bit case
+    indexes the pinned segment table above; segment endpoints are edge
+    midpoints in DOUBLED integer coordinates (so everything stays
+    exact int64 and hashable).
+
+    Distribution is the halo-exchange shape shared with
+    ``focal_box_sum``: a cell at column x needs columns x and x+1, so
+    a set pixel on a column band's FIRST column also ships to the band
+    to its left (halo width 1, set pixels only); each bucket then owns
+    the cells whose x falls in its band and reads the dense
+    (band+halo) x N local grid.  Output rows: one per segment,
+    ``(x0, y0, x1, y1)`` in doubled coords with endpoints in
+    lexicographic order — canonical, partition-invariant.
+    """
+    from ..functions.exchange import hash_exchange
+    from .polygonize import _mask_bits
+
+    N = ntiles * px
+    bw = max(N // nbuckets, 1)
+
+    def fan(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"band": pa.array([], pa.int64()),
+                          "gx": pa.array([], pa.int64()),
+                          "gy": pa.array([], pa.int64())})
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bits = _mask_bits(batch["mask"], n, px)
+        mi, y, x = np.nonzero(bits)
+        gx = tx[mi] * px + x
+        gy = ty[mi] * px + y
+        band = gx // bw
+        halo = (gx % bw == 0) & (gx > 0)
+        return pa.table({
+            "band": pa.array(np.concatenate([band, band[halo] - 1])),
+            "gx": pa.array(np.concatenate([gx, gx[halo]])),
+            "gy": pa.array(np.concatenate([gy, gy[halo]]))})
+
+    def cells(t: pa.Table) -> pa.Table:
+        empty = pa.table({"x0": pa.array([], pa.int64()),
+                          "y0": pa.array([], pa.int64()),
+                          "x1": pa.array([], pa.int64()),
+                          "y1": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        gx_all = t["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gy_all = t["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bands = t["band"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # a hash bucket can hold several bands — process each band's
+        # rows on its own local grid
+        exo = np.array([0, 1, 2, 1], np.int64)
+        eyo = np.array([1, 0, 1, 2], np.int64)
+        e0 = np.full(16, -1, np.int64)
+        f0 = np.full(16, -1, np.int64)
+        e1 = np.full(16, -1, np.int64)
+        f1 = np.full(16, -1, np.int64)
+        for c, ((a, b), (c2, d2)) in enumerate(_MS_SEGS):
+            e0[c], f0[c] = a, b
+            e1[c], f1[c] = c2, d2
+        out = []
+        for band in np.unique(bands):
+            m = bands == band
+            gx, gy = gx_all[m], gy_all[m]
+            x0b = int(band) * bw
+            # local dense grid: band columns + one halo column right
+            w = min(bw + 1, N - x0b)
+            grid = np.zeros((w, N), bool)
+            grid[gx - x0b, gy] = True
+            # cells owned by this band: x in [x0b, x0b+bw), x+1 < N
+            cw = min(bw, N - 1 - x0b)
+            if cw <= 0:
+                continue
+            sw = grid[:cw, :-1]
+            se = grid[1:cw + 1, :-1]
+            ne = grid[1:cw + 1, 1:]
+            nw = grid[:cw, 1:]
+            case = (sw.astype(np.int8) + 2 * se.astype(np.int8)
+                    + 4 * ne.astype(np.int8) + 8 * nw.astype(np.int8))
+            cx, cy = np.nonzero(case)
+            cs = case[cx, cy]
+            for etab, ftab in ((e0, f0), (e1, f1)):
+                ea, fa = etab[cs], ftab[cs]
+                has = ea >= 0
+                if not has.any():
+                    continue
+                bx = (cx[has] + x0b) * 2
+                by = cy[has] * 2
+                ax0 = bx + exo[ea[has]]
+                ay0 = by + eyo[ea[has]]
+                ax1 = bx + exo[fa[has]]
+                ay1 = by + eyo[fa[has]]
+                out.append((ax0, ay0, ax1, ay1))
+        if not out:
+            return empty
+        x0 = np.concatenate([o[0] for o in out])
+        y0 = np.concatenate([o[1] for o in out])
+        x1 = np.concatenate([o[2] for o in out])
+        y1 = np.concatenate([o[3] for o in out])
+        # canonical endpoint order
+        swp = (x0 > x1) | ((x0 == x1) & (y0 > y1))
+        x0s = np.where(swp, x1, x0)
+        y0s = np.where(swp, y1, y0)
+        x1s = np.where(swp, x0, x1)
+        y1s = np.where(swp, y0, y1)
+        return pa.table({"x0": pa.array(x0s), "y0": pa.array(y0s),
+                         "x1": pa.array(x1s), "y1": pa.array(y1s)})
+
+    rows = occ_ds.map_batches(fan, batch_format="pyarrow",
+                              zero_copy_batch=True, **map_kwargs)
+    return hash_exchange(rows, nbuckets=nbuckets, on="band",
+                         reduce_fn=cells)

@@ -184,3 +184,96 @@ def test_distance_transform_bucket_invariance(ray_session):
         return t["dist"].to_numpy()[o].tolist()
 
     assert run(2) == run(16)
+
+
+def _brute_marching(pix, N):
+    """Pure-Python per-cell case walk over the same pinned table."""
+    from geobuf_ray.spatial.raster import _MS_SEGS
+    EX, EY = [0, 1, 2, 1], [1, 0, 1, 2]
+    occ = set(pix)
+    segs = []
+    for x in range(N - 1):
+        for y in range(N - 1):
+            c = (((x, y) in occ) + 2 * ((x + 1, y) in occ)
+                 + 4 * ((x + 1, y + 1) in occ)
+                 + 8 * ((x, y + 1) in occ))
+            for (a, b) in _MS_SEGS[c]:
+                if a < 0:
+                    continue
+                p0 = (2 * x + EX[a], 2 * y + EY[a])
+                p1 = (2 * x + EX[b], 2 * y + EY[b])
+                if p1 < p0:
+                    p0, p1 = p1, p0
+                segs.append((*p0, *p1))
+    return sorted(segs)
+
+
+def test_marching_squares_brute_force(ray_session):
+    import random
+
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.spatial.raster import marching_squares
+
+    rng = random.Random(13)
+    ntiles, px = 4, 8
+    N = ntiles * px
+    # dense enough to hit saddles and all case classes
+    pix = sorted({(rng.randrange(N), rng.randrange(N))
+                  for _ in range(300)})
+    ds = _occ_ds_from_pixels(pix, ntiles, px)
+    out = pa.concat_tables(ray.get(marching_squares(
+        ds, ntiles=ntiles, px=px, nbuckets=8).to_arrow_refs()))
+    got = sorted(zip(out["x0"].to_pylist(), out["y0"].to_pylist(),
+                     out["x1"].to_pylist(), out["y1"].to_pylist()))
+    assert got == _brute_marching(pix, N)
+
+
+def test_marching_squares_single_pixel_ring(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.spatial.raster import marching_squares
+
+    ntiles, px = 2, 4
+    out = pa.concat_tables(ray.get(marching_squares(
+        _occ_ds_from_pixels([(3, 3)], ntiles, px), ntiles=ntiles,
+        px=px, nbuckets=4).to_arrow_refs()))
+    got = sorted(zip(out["x0"].to_pylist(), out["y0"].to_pylist(),
+                     out["x1"].to_pylist(), out["y1"].to_pylist()))
+    # an isolated interior pixel contours as a 4-segment diamond
+    assert got == _brute_marching([(3, 3)], ntiles * px)
+    assert len(got) == 4
+
+
+def test_marching_squares_bucket_invariance_and_empty(ray_session):
+    import random
+
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.spatial.raster import marching_squares
+
+    ntiles, px = 4, 4
+    N = ntiles * px
+    empty = pa.table({"tile_x": pa.array([], pa.int64()),
+                      "tile_y": pa.array([], pa.int64()),
+                      "mask": pa.array([], pa.binary())})
+    out = pa.concat_tables(ray.get(marching_squares(
+        ray.data.from_arrow(empty), ntiles=ntiles, px=px,
+        nbuckets=4).to_arrow_refs()))
+    assert out.num_rows == 0
+
+    rng = random.Random(2)
+    pix = sorted({(rng.randrange(N), rng.randrange(N))
+                  for _ in range(40)})
+
+    def run(nb):
+        t = pa.concat_tables(ray.get(marching_squares(
+            _occ_ds_from_pixels(pix, ntiles, px), ntiles=ntiles,
+            px=px, nbuckets=nb).to_arrow_refs()))
+        return sorted(zip(t["x0"].to_pylist(), t["y0"].to_pylist(),
+                          t["x1"].to_pylist(), t["y1"].to_pylist()))
+
+    assert run(2) == run(16) == _brute_marching(pix, N)
