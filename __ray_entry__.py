@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cdc_to_view": q.orders_cdc_to_view,
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "events_rank_test": q.events_rank_test,
+        "events_watermark_hourly": q.events_watermark_hourly,
         "docs_token_drift": q.docs_token_drift,
         "docs_curation_funnel": q.docs_curation_funnel,
         "docs_unigram_surprise": q.docs_unigram_surprise,
@@ -2505,6 +2506,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority, flag
             ORDER BY o_orderpriority, flag
+        """,
+        "events_watermark_hourly": """
+            WITH e AS (SELECT event_id % 8 AS wave,
+                          CAST(epoch_us(ts) AS BIGINT) AS tus,
+                          CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS window_id,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            wx AS (SELECT wave, MAX(tus) AS max_t FROM e GROUP BY wave),
+            wm AS (SELECT wave, MAX(max_t) OVER (ORDER BY wave
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                   FROM wx),
+            c AS (SELECT e.window_id, e.cents,
+                    CASE WHEN wm.pmax IS NOT NULL
+                          AND (e.window_id + 1) * 3600000000 <= wm.pmax - 7200000000
+                         THEN 1 ELSE 0 END AS late
+                  FROM e JOIN wm USING (wave))
+            SELECT window_id,
+                   CAST(SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+                   CAST(SUM(CASE WHEN late = 0 THEN cents ELSE 0 END) AS BIGINT) AS cents_ontime,
+                   CAST(SUM(late) AS BIGINT) AS n_late
+            FROM c GROUP BY window_id ORDER BY window_id
         """,
         "events_rank_test": """
             WITH e AS (SELECT event_type,

@@ -942,3 +942,72 @@ def autocorr_ingredients(ds, *, key: str, order, value: str, lag: int,
 
     return hash_exchange(ds, nbuckets=nbuckets, on=key,
                          reduce_fn=kernel, schema=out_schema)
+
+
+def watermark_window_agg(ds, *, ts_col: str, wave_col: str,
+                         cents_col: str, window_us: int,
+                         delay_us: int, nwaves: int):
+    """Watermark / late-data semantics of a streaming windowed
+    aggregate, replayed deterministically over a batch corpus: rows
+    arrive in ``nwaves`` deterministic waves; the watermark at the
+    START of wave w is ``max(ts of waves < w) - delay``; a row is LATE
+    iff its window has already closed under that watermark
+    (``window_end <= watermark``) — the Flink/Beam allowed-lateness
+    rule with the RNG-free arrival order that makes the whole thing
+    SQL-checkable and partition-invariant.
+
+    Two distributed passes, no iteration: pass A reduces per-wave max
+    timestamps (``nwaves`` scalars) and the exclusive prefix max turns
+    them into per-wave watermarks broadcast in the task closure; pass
+    B classifies every row against its wave's watermark and partial-
+    aggregates per window.  Returns per-window
+    ``(window_id, n_ontime, cents_ontime, n_late)`` partial rows —
+    callers finish with a driver-sized combine."""
+    import pyarrow as pa
+
+    def wave_max(b: pa.Table) -> pa.Table:
+        w = b[wave_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = np.full(nwaves, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, w, t)
+        live = mx > np.iinfo(np.int64).min
+        return pa.table({"wave": pa.array(np.flatnonzero(live)),
+                         "max_t": pa.array(mx[live])})
+
+    from ..collect import collect_table
+
+    parts = collect_table(ds.map_batches(
+        wave_max, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None))
+    mx = np.full(nwaves, np.iinfo(np.int64).min, np.int64)
+    np.maximum.at(mx, parts["wave"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64),
+                  parts["max_t"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+    NEG = np.iinfo(np.int64).min
+    pmax = np.full(nwaves, NEG, np.int64)
+    np.maximum.accumulate(mx[:-1], out=pmax[1:]) if nwaves > 1 else None
+    # watermark per wave; NEG stays "no watermark yet" (never late)
+    wm = np.where(pmax == NEG, NEG, pmax - np.int64(delay_us))
+
+    def classify(b: pa.Table) -> pa.Table:
+        w = b[wave_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = b[cents_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        win = t // np.int64(window_us)
+        late = (wm[w] != NEG) & ((win + 1) * np.int64(window_us)
+                                 <= wm[w])
+        uniq, inv = np.unique(win, return_inverse=True)
+        k = len(uniq)
+        n_on = np.bincount(inv[~late], minlength=k).astype(np.int64)
+        c_on = np.bincount(inv[~late], weights=cents[~late],
+                           minlength=k).astype(np.int64)
+        n_late = np.bincount(inv[late], minlength=k).astype(np.int64)
+        return pa.table({"window_id": pa.array(uniq),
+                         "n_ontime": pa.array(n_on),
+                         "cents_ontime": pa.array(c_on),
+                         "n_late": pa.array(n_late)})
+
+    return ds.map_batches(classify, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)

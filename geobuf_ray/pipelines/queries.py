@@ -9882,3 +9882,43 @@ def rects_contours(sf_dir: str, ntiles: int = 16, px: int = 16):
     o = np.lexsort((cols[3], cols[2], cols[1], cols[0]))
     sel = pa.array(o)
     return pa.table({c: tbl[c].take(sel) for c in tbl.column_names})
+
+
+def events_watermark_hourly(sf_dir: str, nwaves: int = 8,
+                            delay_hours: int = 2):
+    """Streaming watermark semantics replayed over the event corpus
+    (functions/window.watermark_window_agg): rows arrive in 8
+    deterministic waves (event_id % 8), the watermark entering wave w
+    is max(ts of earlier waves) - 2h, and a row whose hourly window
+    already closed under that watermark counts as LATE instead of
+    aggregating — the Flink/Beam allowed-lateness rule with an
+    RNG-free arrival order.  Two passes (wave maxes -> broadcast
+    watermarks -> classify + window partials), driver-sized combine.
+    Hash-checked vs a prefix-max window SQL twin."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"tus": pa.array(t),
+                         "wave": pa.array(eid % nwaves),
+                         "cents": pa.array(cents)})
+
+    from ..functions.window import watermark_window_agg
+
+    partials = watermark_window_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ts_col="tus", wave_col="wave", cents_col="cents",
+        window_us=3_600_000_000,
+        delay_us=delay_hours * 3_600_000_000, nwaves=nwaves)
+    agg = _final_combine(partials, ["window_id"],
+                         ["n_ontime", "cents_ontime", "n_late"])
+    w = agg["window_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = pa.array(np.argsort(w))
+    return pa.table({c: agg[c].take(sel) for c in agg.column_names})

@@ -1259,3 +1259,68 @@ def test_rank_sum_u2_one_sided_and_invariance(ray_session):
     assert got["x"] == (5, 0, 0)
     assert got["y"] == (2, 2, 8)  # both 9s beat both 1s: 2 * 2 * 2
     assert got == run(4, 8)
+
+
+def test_watermark_window_scalar_reference(ray_session):
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.window import watermark_window_agg
+
+    rng = random.Random(17)
+    n, nwaves, W, D = 500, 4, 100, 150
+    ts = [rng.randrange(0, 3000) for _ in range(n)]
+    wave = [rng.randrange(nwaves) for _ in range(n)]
+    cents = [rng.randrange(-50, 200) for _ in range(n)]
+    tbl = pa.table({"tus": pa.array(ts, pa.int64()),
+                    "wave": pa.array(wave, pa.int64()),
+                    "cents": pa.array(cents, pa.int64())})
+    out = pa.concat_tables(ray.get(watermark_window_agg(
+        ray.data.from_arrow(tbl).repartition(6), ts_col="tus",
+        wave_col="wave", cents_col="cents", window_us=W, delay_us=D,
+        nwaves=nwaves).to_arrow_refs()))
+    agg = {}
+    for w, a, c, l in zip(out["window_id"].to_pylist(),
+                          out["n_ontime"].to_pylist(),
+                          out["cents_ontime"].to_pylist(),
+                          out["n_late"].to_pylist()):
+        p = agg.setdefault(w, [0, 0, 0])
+        p[0] += a; p[1] += c; p[2] += l
+
+    # scalar replay
+    mx = {}
+    for t, wv in zip(ts, wave):
+        mx[wv] = max(mx.get(wv, -1 << 62), t)
+    want = {}
+    for t, wv, c in zip(ts, wave, cents):
+        pmax = max((mx[u] for u in mx if u < wv), default=None)
+        win = t // W
+        late = pmax is not None and (win + 1) * W <= pmax - D
+        p = want.setdefault(win, [0, 0, 0])
+        if late:
+            p[2] += 1
+        else:
+            p[0] += 1; p[1] += c
+    assert agg == want
+    assert sum(v[2] for v in want.values()) > 0  # scenario has lates
+
+
+def test_watermark_window_wave0_never_late(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.window import watermark_window_agg
+
+    # everything in wave 0: no watermark exists, nothing can be late
+    tbl = pa.table({"tus": pa.array([5, 500, 999], pa.int64()),
+                    "wave": pa.array([0, 0, 0], pa.int64()),
+                    "cents": pa.array([1, 2, 3], pa.int64())})
+    out = pa.concat_tables(ray.get(watermark_window_agg(
+        ray.data.from_arrow(tbl), ts_col="tus", wave_col="wave",
+        cents_col="cents", window_us=10, delay_us=0,
+        nwaves=3).to_arrow_refs()))
+    assert sum(out["n_late"].to_pylist()) == 0
+    assert sum(out["n_ontime"].to_pylist()) == 3
