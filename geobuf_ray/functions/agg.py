@@ -1272,6 +1272,12 @@ def rank_sum_u2(ds, *, key: str = "key", value: str = "v",
             .astype(np.int64)
         tb = np.bincount(kidx, weights=nb, minlength=nkeys) \
             .astype(np.int64)
+        # the float64-weighted bincount sums are exact only below
+        # 2^53; u2_a <= 2*n_a*n_b, so guard the product
+        if len(ta) and (ta.astype(np.float64) * tb > 2.0 ** 52).any():
+            raise OverflowError(
+                "rank_sum_u2: 2*n_a*n_b exceeds the exact-float64 "
+                "summation bound; shard the key upstream")
         return pa.table({
             key: kenc.dictionary.take(pa.array(kc[kstart])),
             "n_a": pa.array(ta), "n_b": pa.array(tb),

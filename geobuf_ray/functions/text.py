@@ -1219,6 +1219,15 @@ def bpe_encode_batch(batch: pa.Table, merges_codes: list[tuple[int, int, int]],
     from ..codec import varint as vi
 
     pos_in_doc = vi.ramp(n_tok)
+    # float64-weighted bincount is exact only below 2^53: the largest
+    # per-doc checksum is bounded by maxtok*(maxtok+1)/2 * (maxcode+2)
+    mt = int(n_tok.max()) if len(n_tok) else 0
+    maxcode = max((c for _, _, c in merges_codes),
+                  default=len(char_code))
+    if mt * (mt + 1) // 2 * (maxcode + 2) > (1 << 52):
+        raise OverflowError("bpe_encode: positional checksum exceeds "
+                            "the exact-float64 bound for this doc "
+                            "length / vocabulary")
     checksum = np.bincount(
         doc_of_tok, weights=(pos_in_doc + 1) * (flat.astype(np.int64) + 2),
         minlength=batch.num_rows).astype(np.int64)

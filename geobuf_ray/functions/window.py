@@ -986,7 +986,8 @@ def watermark_window_agg(ds, *, ts_col: str, wave_col: str,
                   .astype(np.int64))
     NEG = np.iinfo(np.int64).min
     pmax = np.full(nwaves, NEG, np.int64)
-    np.maximum.accumulate(mx[:-1], out=pmax[1:]) if nwaves > 1 else None
+    if nwaves > 1:
+        np.maximum.accumulate(mx[:-1], out=pmax[1:])
     # watermark per wave; NEG stays "no watermark yet" (never late)
     wm = np.where(pmax == NEG, NEG, pmax - np.int64(delay_us))
 
