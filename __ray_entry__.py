@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_point_lookup": q.orders_point_lookup,
         "lineitem_constraints": q.lineitem_constraints,
         "orders_cdc_to_view": q.orders_cdc_to_view,
+        "orders_txn_consistency": q.orders_txn_consistency,
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "events_rank_test": q.events_rank_test,
         "events_watermark_hourly": q.events_watermark_hourly,
@@ -2527,6 +2528,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN late = 0 THEN cents ELSE 0 END) AS BIGINT) AS cents_ontime,
                    CAST(SUM(late) AS BIGINT) AS n_late
             FROM c GROUP BY window_id ORDER BY window_id
+        """,
+        "orders_txn_consistency": """
+            WITH base AS (SELECT o_orderkey AS id,
+                            CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                            o_orderpriority FROM orders),
+            eff AS (SELECT id, o_orderpriority,
+                      CASE WHEN id % 13 = 1 THEN cents * 2
+                           WHEN id % 7 = 3 THEN cents * 3
+                           ELSE cents END AS c
+                    FROM base)
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(c) AS BIGINT) AS sum_cents_a,
+                   CAST(SUM(c) AS BIGINT) AS sum_cents_b,
+                   CAST(0 AS BIGINT) AS n_mismatch
+            FROM eff GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "events_rank_test": """
             WITH e AS (SELECT event_type,

@@ -9922,3 +9922,130 @@ def events_watermark_hourly(sf_dir: str, nwaves: int = 8,
     w = agg["window_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     sel = pa.array(np.argsort(w))
     return pa.table({c: agg[c].take(sel) for c in agg.column_names})
+
+
+def orders_txn_consistency(sf_dir: str):
+    """Multi-table ATOMIC transaction (state/txn.py): two keyed
+    layouts — orders and a mirrored totals ledger — take correlated
+    deltas through one snapshot-vector commit; a direct append_delta
+    to ONE table then simulates a crashed half-transaction (poisoned
+    cents).  Reads through txn_read resolve AS OF the latest published
+    vector, so the poison is invisible, and the next txn_commit's
+    recovery step ROLLS IT BACK (asserted in-query) before appending.
+    The result aggregates both tables' transactionally-consistent
+    state per priority with a cross-table mismatch count (0 — the
+    ledgers agree key-for-key); the SQL twin composes base + ONLY the
+    two committed delta rules, so the hash matches iff the half-
+    transaction never leaks."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.mergeinto import append_delta, build_keyed_layout
+    from ..state.txn import txn_commit, txn_read
+
+    base = _orders_cdc_base(sf_dir)
+
+    def mirror(b: pa.Table) -> pa.Table:
+        return pa.table({"id": b["id"], "ver": b["ver"],
+                         "cents": b["cents"],
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    def delta_rule(modk: int, residue: int, ver_off: int, mult: int):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = b.filter(pa.array(k % modk == residue))
+            return pa.table({
+                "id": t["id"],
+                "ver": pa.array(t["ver"].to_numpy(
+                    zero_copy_only=False).astype(np.int64) + ver_off),
+                "cents": pa.array(t["cents"].to_numpy(
+                    zero_copy_only=False).astype(np.int64) * mult),
+                "o_orderpriority": t["o_orderpriority"]})
+
+        return fn
+
+    da = tempfile.mkdtemp(prefix="txn_a_", dir="/tmp")
+    db = tempfile.mkdtemp(prefix="txn_b_", dir="/tmp")
+    dt = tempfile.mkdtemp(prefix="txn_log_", dir="/tmp")
+    try:
+        build_keyed_layout(base, da, key="id", version="ver",
+                           npartitions=16)
+        build_keyed_layout(base.map_batches(
+            mirror, batch_format="pyarrow", zero_copy_batch=True),
+            db, key="id", version="ver", npartitions=16)
+        txn_commit(dt, {}, pin_only={"a": da, "b": db})
+
+        d2 = delta_rule(7, 3, 10000, 3)
+        txn_commit(dt, {
+            "a": (da, base.map_batches(d2, batch_format="pyarrow",
+                                       zero_copy_batch=True)),
+            "b": (db, base.map_batches(d2, batch_format="pyarrow",
+                                       zero_copy_batch=True))})
+
+        # crashed half-transaction: poison cents land in A only,
+        # published by no vector
+        def poison(b: pa.Table) -> pa.Table:
+            k = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = b.filter(pa.array(k % 11 == 5))
+            return pa.table({
+                "id": t["id"],
+                "ver": pa.array(t["ver"].to_numpy(
+                    zero_copy_only=False).astype(np.int64) + 20000),
+                "cents": pa.array(t["cents"].to_numpy(
+                    zero_copy_only=False).astype(np.int64) + 999999),
+                "o_orderpriority": t["o_orderpriority"]})
+
+        append_delta(da, base.map_batches(
+            poison, batch_format="pyarrow", zero_copy_batch=True))
+
+        # vector readers must not see the poison
+        mid = _priority_cents_agg(txn_read(dt, "a", da))
+        d3 = delta_rule(13, 1, 30000, 2)
+        res = txn_commit(dt, {
+            "a": (da, base.map_batches(d3, batch_format="pyarrow",
+                                       zero_copy_batch=True)),
+            "b": (db, base.map_batches(d3, batch_format="pyarrow",
+                                       zero_copy_batch=True))})
+        assert res["rolled_back"].get("a", 0) >= 1, \
+            "recovery must roll back the crashed half-transaction"
+
+        from ..collect import collect_table
+
+        ta = collect_table(txn_read(dt, "a", da))
+        tb = collect_table(txn_read(dt, "b", db))
+        bt = collect_table(base)
+    finally:
+        shutil.rmtree(da, ignore_errors=True)
+        shutil.rmtree(db, ignore_errors=True)
+        shutil.rmtree(dt, ignore_errors=True)
+
+    ka = ta["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ca = ta["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    kb = tb["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = tb["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    oa, ob = np.argsort(ka), np.argsort(kb)
+    assert (ka[oa] == kb[ob]).all()
+    mismatch = ca[oa] != cb[ob]
+    pr = np.asarray(ta["o_orderpriority"].to_pylist(), object)[oa]
+    uu, inv = np.unique(pr.astype(str), return_inverse=True)
+    n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+    sa = np.zeros(len(uu), np.int64)
+    np.add.at(sa, inv, ca[oa])
+    sb = np.zeros(len(uu), np.int64)
+    np.add.at(sb, inv, cb[ob])
+    nm = np.bincount(inv[mismatch], minlength=len(uu)).astype(np.int64)
+    # mid-state guard: between the poison append and commit 3, the
+    # vector read must equal base + delta2 EXACTLY (poison invisible)
+    bk = bt["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bc = bt["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    expected_mid = int(np.where(bk % 7 == 3, bc * 3, bc).sum())
+    got_mid = int(mid["sum_cents"].to_numpy().sum())
+    assert got_mid == expected_mid, \
+        f"half-transaction leaked into the vector read: {got_mid}"
+    return pa.table({"o_orderpriority": pa.array(uu.tolist(), pa.string()),
+                     "n_orders": pa.array(n),
+                     "sum_cents_a": pa.array(sa),
+                     "sum_cents_b": pa.array(sb),
+                     "n_mismatch": pa.array(nm)})
