@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_constraints": q.lineitem_constraints,
         "orders_cdc_to_view": q.orders_cdc_to_view,
         "orders_txn_consistency": q.orders_txn_consistency,
+        "orders_join_view_maintenance": q.orders_join_view_maintenance,
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "events_rank_test": q.events_rank_test,
         "events_watermark_hourly": q.events_watermark_hourly,
@@ -2528,6 +2529,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN late = 0 THEN cents ELSE 0 END) AS BIGINT) AS cents_ontime,
                    CAST(SUM(late) AS BIGINT) AS n_late
             FROM c GROUP BY window_id ORDER BY window_id
+        """,
+        "orders_join_view_maintenance": """
+            WITH a AS (SELECT o_orderkey AS id,
+                        CASE WHEN o_orderkey % 23 = 2
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT) * 5
+                             ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents,
+                        CASE WHEN o_orderkey % 23 = 2 THEN o_custkey
+                             WHEN o_orderkey % 31 = 4
+                             THEN (o_custkey + 13) % (SELECT count(*) FROM customer)
+                             ELSE o_custkey END AS custkey
+                       FROM orders),
+            b AS (SELECT c_custkey,
+                    CASE WHEN c_custkey % 17 = 6 THEN 'MOVED'
+                         ELSE c_mktsegment END AS segment
+                  FROM customer)
+            SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM a JOIN b ON a.custkey = b.c_custkey
+            GROUP BY segment ORDER BY segment
         """,
         "orders_txn_consistency": """
             WITH base AS (SELECT o_orderkey AS id,

@@ -10049,3 +10049,260 @@ def orders_txn_consistency(sf_dir: str):
                      "sum_cents_a": pa.array(sa),
                      "sum_cents_b": pa.array(sb),
                      "n_mismatch": pa.array(nm)})
+
+
+def orders_join_view_maintenance(sf_dir: str):
+    """Incremental JOIN-view maintenance — the DBSP/materialize
+    bilinear rule composed from the engine's own lakehouse parts:
+    V = A(orders) JOIN B(customers) grouped per segment, maintained as
+    ``V1 = V0 + dA JOIN B@0 + A@1 JOIN dB`` (exact:
+    A1B1 = A0B0 + dA*B0 + A1*dB for Z-set deltas).  The pieces
+    compose end to end: both deltas land as merge-on-read appends,
+    ``table_changes`` supplies the weighted rows (+1 insert/postimage,
+    -1 preimage/delete), the dA term resolves its customer segments
+    with the TIME-TRAVELED POINT LOOKUP (keys=, as_of=0 — only the
+    partitions those custkeys hash to are opened, at the OLD state),
+    and the dB term broadcasts the few changed customers into one
+    filtered scan of A@1 (the term a production system would serve
+    from a join index; the scan is the documented stand-in).  The
+    delta rules cover the nasty cases: cents updates, CUSTKEY
+    REASSIGNMENT (an order migrates segments via its A-side pre/post
+    pair), and segment renames (every order of that customer migrates
+    via the B-side pair).  An in-query assert certifies the maintained
+    view equals a direct join over the final states; the SQL twin
+    computes that final join independently."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..collect import collect_table
+    from ..state.mergeinto import (append_delta, build_keyed_layout,
+                                   read_keyed_layout, table_changes)
+
+    ncust = int(__import__("duckdb").connect().execute(
+        f"SELECT count(*) FROM '{sf_dir}/customer.parquet'").fetchone()[0])
+
+    def aprep(b: pa.Table) -> pa.Table:
+        day = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"id": b["o_orderkey"], "ver": pa.array(day),
+                         "custkey": b["o_custkey"],
+                         "cents": pa.array(cents)})
+
+    def bprep(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"id": b["c_custkey"],
+                         "ver": pa.array(np.zeros(n, np.int64)),
+                         "segment": b["c_mktsegment"]})
+
+    a_ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice",
+                 "o_custkey"]).map_batches(
+        aprep, batch_format="pyarrow", zero_copy_batch=True)
+    b_ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]).map_batches(
+        bprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def da_rule(b: pa.Table) -> pa.Table:
+        k = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (k % 23 == 2) | (k % 31 == 4)
+        t = b.filter(pa.array(sel))
+        k = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ck = t["custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        isc = k % 23 == 2  # cents rule wins on overlap (CASE order)
+        return pa.table({
+            "id": t["id"],
+            "ver": pa.array(t["ver"].to_numpy(
+                zero_copy_only=False).astype(np.int64) + 10000),
+            "custkey": pa.array(np.where(isc, ck, (ck + 13) % ncust)),
+            "cents": pa.array(np.where(isc, cents * 5, cents))})
+
+    def db_rule(b: pa.Table) -> pa.Table:
+        k = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(k % 17 == 6))
+        n = t.num_rows
+        return pa.table({
+            "id": t["id"],
+            "ver": pa.array(np.ones(n, np.int64)),
+            "segment": pa.array(["MOVED"] * n, pa.string())})
+
+    def weights(ct: pa.ChunkedArray) -> np.ndarray:
+        c = np.asarray(ct.to_pylist(), object).astype(str)
+        return np.where((c == "insert") | (c == "update_postimage"),
+                        np.int64(1), np.int64(-1))
+
+    da_dir = tempfile.mkdtemp(prefix="jv_a_", dir="/tmp")
+    db_dir = tempfile.mkdtemp(prefix="jv_b_", dir="/tmp")
+    try:
+        build_keyed_layout(a_ds, da_dir, key="id", version="ver",
+                           npartitions=16)
+        build_keyed_layout(b_ds, db_dir, key="id", version="ver",
+                           npartitions=16)
+
+        # V0: broadcast B@0 segment map into one A scan
+        b0 = collect_table(read_keyed_layout(db_dir, as_of=0))
+        seg_of = np.asarray(b0["segment"].to_pylist(), object)
+        ck0 = b0["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        so = np.argsort(ck0)
+        ck0s, seg0s = ck0[so], seg_of[so]
+
+        def v0_partial(b: pa.Table) -> pa.Table:
+            ck = b["custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cents = b["cents"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos = np.searchsorted(ck0s, ck)
+            segs = seg0s[np.clip(pos, 0, len(ck0s) - 1)]
+            ok = ck0s[np.clip(pos, 0, len(ck0s) - 1)] == ck
+            uu, inv = np.unique(segs[ok].astype(str),
+                                return_inverse=True)
+            n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+            s = np.zeros(len(uu), np.int64)
+            np.add.at(s, inv, cents[ok])
+            return pa.table({"segment": pa.array(uu.tolist(), pa.string()),
+                             "n_orders": pa.array(n),
+                             "sum_cents": pa.array(s)})
+
+        v0 = _final_combine(
+            read_keyed_layout(da_dir, as_of=0).map_batches(
+                v0_partial, batch_format="pyarrow",
+                zero_copy_batch=True),
+            ["segment"], ["n_orders", "sum_cents"])
+
+        append_delta(da_dir, a_ds.map_batches(
+            da_rule, batch_format="pyarrow", zero_copy_batch=True))
+        append_delta(db_dir, b_ds.map_batches(
+            db_rule, batch_format="pyarrow", zero_copy_batch=True))
+
+        # term 1: dA JOIN B@0 — time-traveled point lookup on B
+        dA = collect_table(table_changes(da_dir, from_snapshot=0,
+                                         to_snapshot=1))
+        wA = weights(dA["_change_type"].combine_chunks())
+        ckA = dA["custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cA = dA["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lk = collect_table(read_keyed_layout(
+            db_dir, keys=np.unique(ckA), as_of=0))
+        lkk = lk["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lks = np.asarray(lk["segment"].to_pylist(), object)
+        lo = np.argsort(lkk)
+        pos = np.searchsorted(lkk[lo], ckA)
+        segsA = lks[lo][np.clip(pos, 0, len(lkk) - 1)]
+        okA = lkk[lo][np.clip(pos, 0, len(lkk) - 1)] == ckA
+
+        # term 2: A@1 JOIN dB — broadcast the changed customers into
+        # one filtered scan of the new A state
+        dB = collect_table(table_changes(db_dir, from_snapshot=0,
+                                         to_snapshot=1))
+        wB = weights(dB["_change_type"].combine_chunks())
+        ckB = dB["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        segB = np.asarray(dB["segment"].to_pylist(), object)
+        bo = np.argsort(ckB, kind="stable")
+        ckBs, segBs, wBs = ckB[bo], segB[bo], wB[bo]
+
+        def t2_partial(b: pa.Table) -> pa.Table:
+            ck = b["custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cents = b["cents"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            lo_ = np.searchsorted(ckBs, ck, side="left")
+            hi_ = np.searchsorted(ckBs, ck, side="right")
+            span = hi_ - lo_
+            sel = np.flatnonzero(span > 0)
+            if len(sel) == 0:
+                return pa.table({"segment": pa.array([], pa.string()),
+                                 "n_orders": pa.array([], pa.int64()),
+                                 "sum_cents": pa.array([], pa.int64())})
+            from ..codec import varint as vi
+
+            reps = span[sel]
+            idx = np.repeat(lo_[sel], reps) + vi.ramp(reps)
+            rows = np.repeat(sel, reps)
+            segs = segBs[idx].astype(str)
+            w = wBs[idx]
+            uu, inv = np.unique(segs, return_inverse=True)
+            n = np.zeros(len(uu), np.int64)
+            np.add.at(n, inv, w)
+            s = np.zeros(len(uu), np.int64)
+            np.add.at(s, inv, w * cents[rows])
+            return pa.table({"segment": pa.array(uu.tolist(), pa.string()),
+                             "n_orders": pa.array(n),
+                             "sum_cents": pa.array(s)})
+
+        t2 = _final_combine(
+            read_keyed_layout(da_dir).map_batches(
+                t2_partial, batch_format="pyarrow",
+                zero_copy_batch=True),
+            ["segment"], ["n_orders", "sum_cents"])
+
+        # V1 = V0 + term1 + term2 (Z-set sum; zero-count groups drop)
+        acc: dict = {}
+        for s, n, c in zip(v0["segment"].to_pylist(),
+                           v0["n_orders"].to_numpy(),
+                           v0["sum_cents"].to_numpy()):
+            acc[str(s)] = [int(n), int(c)]
+        for s, w, c in zip(segsA[okA].astype(str), wA[okA], cA[okA]):
+            p = acc.setdefault(str(s), [0, 0])
+            p[0] += int(w)
+            p[1] += int(w) * int(c)
+        for s, n, c in zip(t2["segment"].to_pylist(),
+                           t2["n_orders"].to_numpy(),
+                           t2["sum_cents"].to_numpy()):
+            p = acc.setdefault(str(s), [0, 0])
+            p[0] += int(n)
+            p[1] += int(c)
+        acc = {k: v for k, v in acc.items() if v[0] != 0}
+
+        # certification: the maintained view equals a direct join over
+        # the FINAL states
+        b1 = collect_table(read_keyed_layout(db_dir))
+        seg1 = np.asarray(b1["segment"].to_pylist(), object)
+        ck1 = b1["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o1 = np.argsort(ck1)
+        ck1s, seg1s = ck1[o1], seg1[o1]
+
+        def vf_partial(b: pa.Table) -> pa.Table:
+            ck = b["custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cents = b["cents"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos = np.searchsorted(ck1s, ck)
+            segs = seg1s[np.clip(pos, 0, len(ck1s) - 1)]
+            ok = ck1s[np.clip(pos, 0, len(ck1s) - 1)] == ck
+            uu, inv = np.unique(segs[ok].astype(str),
+                                return_inverse=True)
+            n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+            s = np.zeros(len(uu), np.int64)
+            np.add.at(s, inv, cents[ok])
+            return pa.table({"segment": pa.array(uu.tolist(), pa.string()),
+                             "n_orders": pa.array(n),
+                             "sum_cents": pa.array(s)})
+
+        vf = _final_combine(
+            read_keyed_layout(da_dir).map_batches(
+                vf_partial, batch_format="pyarrow",
+                zero_copy_batch=True),
+            ["segment"], ["n_orders", "sum_cents"])
+        direct = {str(s): [int(n), int(c)] for s, n, c in
+                  zip(vf["segment"].to_pylist(),
+                      vf["n_orders"].to_numpy(),
+                      vf["sum_cents"].to_numpy()) if n != 0}
+        assert acc == direct, "maintained join view diverged from " \
+            f"direct recompute: {acc} vs {direct}"
+    finally:
+        shutil.rmtree(da_dir, ignore_errors=True)
+        shutil.rmtree(db_dir, ignore_errors=True)
+
+    segs = sorted(acc)
+    return pa.table({
+        "segment": pa.array(segs, pa.string()),
+        "n_orders": pa.array([acc[s][0] for s in segs], pa.int64()),
+        "sum_cents": pa.array([acc[s][1] for s in segs], pa.int64())})

@@ -99,3 +99,17 @@ def test_txn_recover_idempotent_and_unmanaged(ray_session):
     finally:
         for d in (da, db, dt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_join_view_maintenance_self_certifies(ray_session):
+    """The query carries an in-query assert that the incrementally
+    maintained join view equals a direct recompute over the final
+    states — running it IS the oracle; additionally the segment
+    migration paths must both fire (MOVED present, totals conserved
+    modulo the cents-update rule)."""
+    from geobuf_ray.pipelines import queries as q
+
+    t = q.orders_join_view_maintenance("/root/testdata/sf0.001")
+    segs = t["segment"].to_pylist()
+    assert "MOVED" in segs and len(segs) >= 5
+    assert all(n > 0 for n in t["n_orders"].to_pylist())
