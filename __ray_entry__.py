@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_view_maintenance": q.orders_join_view_maintenance,
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "events_rank_test": q.events_rank_test,
+        "lineitem_gini_by_flag": q.lineitem_gini_by_flag,
         "events_watermark_hourly": q.events_watermark_hourly,
         "docs_token_drift": q.docs_token_drift,
         "docs_curation_funnel": q.docs_curation_funnel,
@@ -2563,6 +2564,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS BIGINT) AS sum_cents_b,
                    CAST(0 AS BIGINT) AS n_mismatch
             FROM eff GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "lineitem_gini_by_flag": """
+            WITH x AS (SELECT l_returnflag,
+                         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                       FROM lineitem),
+            r AS (SELECT l_returnflag, v,
+                    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                       ORDER BY v) AS rk
+                  FROM x)
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   CAST(2 * SUM(rk * v) - (COUNT(*) + 1) * SUM(v)
+                        AS BIGINT) AS gini_num
+            FROM r GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "events_rank_test": """
             WITH e AS (SELECT event_type,

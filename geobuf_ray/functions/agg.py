@@ -1287,3 +1287,99 @@ def rank_sum_u2(ds, *, key: str = "key", value: str = "v",
                               zero_copy_batch=True, batch_size=None)
     return hash_exchange(partials, nbuckets=nbuckets, on=key,
                          reduce_fn=reduce_fn)
+
+
+def group_gini(ds, *, key: str = "key", value: str = "v",
+               nbuckets: int = 16):
+    """Exact per-group Gini inequality ingredients: ``gini_num =
+    2*sum(rank_i * x_(i)) - (n+1)*sum(x)`` and the consumer divides by
+    ``gini_den = n*sum(x)`` — all int64, and TIE-ORDER INVARIANT
+    (swapping equal values never changes the rank-weighted sum, so
+    the statistic is well-defined without a tie rule).
+
+    Same distribution shape as :func:`rank_sum_u2`: block partials
+    compress rows to the per-(key, value) DISTINCT distribution, one
+    key-hash exchange lands each key's whole distribution in a bucket,
+    and the closed form per distinct value v with count c after
+    c_prev smaller values — ``v * (c*c_prev + c*(c+1)/2)`` — needs one
+    lexsort + an exclusive prefix.  Values must be nonnegative
+    integers (Gini is undefined below zero; quantize upstream)."""
+    import pyarrow as pa
+
+    from .exchange import hash_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({key: b[key].slice(0, 0),
+                          "v": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        v = b[value].to_numpy(zero_copy_only=False)
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError("group_gini: value must be integer-typed")
+        v = v.astype(np.int64)
+        if (v < 0).any():
+            raise ValueError("group_gini: negative values")
+        kenc = b[key].combine_chunks().dictionary_encode()
+        kc = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, kc))
+        kc_s, v_s = kc[order], v[order]
+        new = np.ones(len(kc_s), bool)
+        new[1:] = (kc_s[1:] != kc_s[:-1]) | (v_s[1:] != v_s[:-1])
+        gid = np.cumsum(new) - 1
+        cnt = np.bincount(gid).astype(np.int64)
+        starts = np.flatnonzero(new)
+        return pa.table({key: kenc.dictionary.take(pa.array(kc_s[starts])),
+                         "v": pa.array(v_s[starts]),
+                         "cnt": pa.array(cnt)})
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({key: t[key].slice(0, 0),
+                          "n": pa.array([], pa.int64()),
+                          "sum_v": pa.array([], pa.int64()),
+                          "gini_num": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        kenc = t[key].combine_chunks().dictionary_encode()
+        kc = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, kc))
+        kc, v, cnt = kc[order], v[order], cnt[order]
+        new = np.ones(len(kc), bool)
+        new[1:] = (kc[1:] != kc[:-1]) | (v[1:] != v[:-1])
+        gid = np.cumsum(new) - 1
+        ng = gid[-1] + 1
+        c = np.zeros(ng, np.int64)
+        np.add.at(c, gid, cnt)
+        kc, v = kc[new], v[new]
+        kstart = np.ones(ng, bool)
+        kstart[1:] = kc[1:] != kc[:-1]
+        kidx = np.cumsum(kstart) - 1
+        nkeys = int(kstart.sum())
+        cum = np.cumsum(c) - c
+        base = np.repeat(cum[kstart], np.diff(
+            np.append(np.flatnonzero(kstart), ng)))
+        c_prev = cum - base
+        n = np.zeros(nkeys, np.int64)
+        np.add.at(n, kidx, c)
+        sv = np.zeros(nkeys, np.int64)
+        np.add.at(sv, kidx, v * c)
+        # int64 bound: sum(rank*x) <= n^2 * vmax
+        nk = n[kidx]
+        if len(v) and (nk.astype(np.float64) ** 2
+                       * v.astype(np.float64) > 2.0 ** 62).any():
+            raise OverflowError("group_gini: rank-weighted sum "
+                                "exceeds int64; rescale values")
+        rsum = np.zeros(nkeys, np.int64)
+        np.add.at(rsum, kidx, v * (c * c_prev + c * (c + 1) // 2))
+        gnum = 2 * rsum - (n + 1) * sv
+        return pa.table({key: kenc.dictionary.take(
+                            pa.array(kc[kstart])),
+                         "n": pa.array(n), "sum_v": pa.array(sv),
+                         "gini_num": pa.array(gnum)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return hash_exchange(partials, nbuckets=nbuckets, on=key,
+                         reduce_fn=reduce_fn)

@@ -10306,3 +10306,36 @@ def orders_join_view_maintenance(sf_dir: str):
         "segment": pa.array(segs, pa.string()),
         "n_orders": pa.array([acc[s][0] for s in segs], pa.int64()),
         "sum_cents": pa.array([acc[s][1] for s in segs], pa.int64())})
+
+
+def lineitem_gini_by_flag(sf_dir: str):
+    """Exact Gini inequality ingredients of extended price per return
+    flag (functions/agg.group_gini): gini_num = 2*sum(rank*x) -
+    (n+1)*sum(x), denominator n*sum(x) left to the consumer — all
+    int64, tie-order invariant (the rank-weighted sum of equal values
+    does not depend on their order, so no tie rule is needed on either
+    engine).  One compressed-distribution exchange; hash-checked vs a
+    ROW_NUMBER twin."""
+    import ray
+
+    from ..functions.agg import group_gini
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "v": pa.array(np.round(
+                b["l_extendedprice"].to_numpy() * 100).astype(np.int64))})
+
+    out = group_gini(ds.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     key="l_returnflag", value="v", nbuckets=8)
+    from ..collect import collect_table
+
+    tbl = collect_table(out)
+    f = np.asarray(tbl["l_returnflag"].to_pylist(), object)
+    sel = pa.array(np.argsort(f.astype(str), kind="stable"))
+    return pa.table({c: tbl[c].take(sel) for c in tbl.column_names})

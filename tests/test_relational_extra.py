@@ -1324,3 +1324,45 @@ def test_watermark_window_wave0_never_late(ray_session):
         nwaves=3).to_arrow_refs()))
     assert sum(out["n_late"].to_pylist()) == 0
     assert sum(out["n_ontime"].to_pylist()) == 3
+
+
+def test_group_gini_scalar_and_tie_invariance(ray_session):
+    import random
+
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.agg import group_gini
+
+    rng = random.Random(7)
+    rows = [(f"g{rng.randrange(3)}", rng.randrange(0, 20))
+            for _ in range(600)]  # heavy ties
+
+    def scalar(rows):
+        from collections import defaultdict
+        g = defaultdict(list)
+        for k, v in rows:
+            g[k].append(v)
+        out = {}
+        for k, xs in g.items():
+            xs = sorted(xs)
+            n, s = len(xs), sum(xs)
+            rsum = sum((i + 1) * x for i, x in enumerate(xs))
+            out[k] = (n, s, 2 * rsum - (n + 1) * s)
+        return out
+
+    tbl = pa.table({"key": pa.array([r[0] for r in rows], pa.string()),
+                    "v": pa.array([r[1] for r in rows], pa.int64())})
+    got = pa.concat_tables(ray.get(group_gini(
+        ray.data.from_arrow(tbl).repartition(7),
+        nbuckets=4).to_arrow_refs()))
+    by = {k: (n, s, g) for k, n, s, g in
+          zip(got["key"].to_pylist(), got["n"].to_pylist(),
+              got["sum_v"].to_pylist(), got["gini_num"].to_pylist())}
+    assert by == scalar(rows)
+    # uniform values: gini_num must be exactly 0
+    u = pa.table({"key": pa.array(["u"] * 50, pa.string()),
+                  "v": pa.array([7] * 50, pa.int64())})
+    g2 = pa.concat_tables(ray.get(group_gini(
+        ray.data.from_arrow(u), nbuckets=2).to_arrow_refs()))
+    assert g2["gini_num"].to_pylist() == [0]
