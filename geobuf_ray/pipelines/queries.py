@@ -9330,6 +9330,27 @@ def docs_unigram_surprise(sf_dir: str, k: int = 20):
                      "surprise": pa.array(s[order])})
 
 
+_BPE_CACHE: dict = {}
+
+
+def _trained_bpe(sf_dir: str, k: int = 12):
+    """Memoized tokenizer training: the merge sequence is a pure
+    deterministic function of (corpus, k), so the two queries that
+    need it (docs_bpe_merges, docs_bpe_encode) share one training run
+    per process — the same per-process artifact caching the media
+    queries use (_cached_media_ds)."""
+    import ray
+
+    from ..functions.text import bpe_train
+
+    key = (sf_dir, k)
+    if key not in _BPE_CACHE:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["text"])
+        _BPE_CACHE[key] = bpe_train(ds, k=k)
+    return _BPE_CACHE[key]
+
+
 def docs_bpe_merges(sf_dir: str, k: int = 12):
     """Tokenizer training over the corpus (functions/text.bpe_train):
     the first k byte-pair-encoding merges with their counts.  The
@@ -9339,13 +9360,7 @@ def docs_bpe_merges(sf_dir: str, k: int = 12):
     pytest oracle replays the canonical greedy BPE in pure Python
     with the same deterministic (count DESC, code-pair ASC) tie rule
     and asserts the identical merge sequence."""
-    import ray
-
-    from ..functions.text import bpe_train
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["text"])
-    merges, _ = bpe_train(ds, k=k)
+    merges, _ = _trained_bpe(sf_dir, k)
     return merges
 
 
@@ -9645,11 +9660,9 @@ def docs_bpe_encode(sf_dir: str):
     tests/test_bpe_encode.py."""
     import ray
 
-    from ..functions.text import bpe_encode, bpe_train
+    from ..functions.text import bpe_encode
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-    merges, symtab = bpe_train(ds, k=12)
+    merges, symtab = _trained_bpe(sf_dir, 12)
     enc = bpe_encode(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text", "lang"]),
