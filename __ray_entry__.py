@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_surprise": q.docs_unigram_surprise,
         "docs_bpe_merges": q.docs_bpe_merges,
         "docs_bpe_encode": q.docs_bpe_encode,
+        "docs_compression_ratio": q.docs_compression_ratio,
         "images_clip_score": q.images_clip_score,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,

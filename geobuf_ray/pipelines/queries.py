@@ -10352,3 +10352,54 @@ def lineitem_gini_by_flag(sf_dir: str):
     f = np.asarray(tbl["l_returnflag"].to_pylist(), object)
     sel = pa.array(np.argsort(f.astype(str), kind="stable"))
     return pa.table({c: tbl[c].take(sel) for c in tbl.column_names})
+
+
+def docs_compression_ratio(sf_dir: str):
+    """Compression-ratio quality gate (the Gopher/FineWeb-style
+    repetition signal: highly compressible text is boilerplate): per
+    doc, DEFLATE-compressed size of the utf-8 text (zlib level 6,
+    pinned) against raw bytes; per language the gate counts docs whose
+    compressed size is below 30% of raw via the exact cross-multiply
+    ``10 * comp < 3 * raw``.  The per-payload zlib call is inherent
+    per-row work (same contract as the media codecs) inside one map
+    stage; aggregation is block partials + driver combine.  Rows-only
+    (SQL has no DEFLATE); the scalar zlib replay is the pytest
+    oracle."""
+    import zlib
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), 6)) for t in texts),
+            np.int64, count=len(texts))
+        raw = np.fromiter((len(t.encode("utf-8")) for t in texts),
+                          np.int64, count=len(texts))
+        lang = b["lang"].combine_chunks().dictionary_encode()
+        inv = lang.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(lang.dictionary)
+        flagged = 10 * comp < 3 * raw
+        out = {
+            "lang": lang.dictionary,
+            "n_docs": pa.array(np.bincount(inv, minlength=k)
+                               .astype(np.int64)),
+            "sum_raw": pa.array(np.bincount(inv, weights=raw,
+                                            minlength=k).astype(np.int64)),
+            "sum_comp": pa.array(np.bincount(inv, weights=comp,
+                                             minlength=k).astype(np.int64)),
+            "n_flagged": pa.array(np.bincount(inv[flagged], minlength=k)
+                                  .astype(np.int64))}
+        return pa.table(out)
+
+    agg = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["lang"], ["n_docs", "sum_raw", "sum_comp", "n_flagged"])
+    lang = np.asarray(agg["lang"].to_pylist(), object)
+    sel = pa.array(np.argsort(lang.astype(str), kind="stable"))
+    return pa.table({c: agg[c].take(sel) for c in agg.column_names})

@@ -531,3 +531,28 @@ def test_constraints_vs_duckdb_and_nonzero(ray_session):
     assert out["fk_suppkey_posbal"] == (n, fk2_v)
     assert out["fk_orderkey"] == (n, fk1_v)
     assert pk_v > 0  # the distinguishing nonzero row
+
+
+def test_compression_ratio_scalar_replay(ray_session):
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    out = q.docs_compression_ratio(SF)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["text", "lang"])
+    want = {}
+    for txt, lang in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+        raw = len(txt.encode("utf-8"))
+        comp = len(zlib.compress(txt.encode("utf-8"), 6))
+        p = want.setdefault(lang, [0, 0, 0, 0])
+        p[0] += 1
+        p[1] += raw
+        p[2] += comp
+        p[3] += 10 * comp < 3 * raw
+    got = {r["lang"]: [r["n_docs"], r["sum_raw"], r["sum_comp"],
+                       r["n_flagged"]] for r in out.to_pylist()}
+    assert got == want
