@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_hexbin": q.customers_hexbin,
         "suppliers_hex_neighbors": q.suppliers_hex_neighbors,
         "customers_nearest_supplier": q.customers_nearest_supplier,
+        "customers_hausdorff_nations": q.customers_hausdorff_nations,
         "customers_dbscan": q.customers_dbscan,
         "orders_status_history": q.orders_status_history,
         "orders_latest_order": q.orders_latest_order,
@@ -2579,6 +2580,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 * SUM(rk * v) - (COUNT(*) + 1) * SUM(v)
                         AS BIGINT) AS gini_num
             FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "customers_hausdorff_nations": """
+            WITH p AS (SELECT c_custkey AS k, c_nationkey AS n,
+                         (c_custkey * 37) % 3600 - 1800 AS x,
+                         (c_custkey * 53) % 1700 - 850 AS y
+                       FROM customer),
+            d AS (SELECT a.n AS code_a, b.n AS code_b, a.k,
+                    MIN((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y)) AS mind
+                  FROM p a JOIN p b ON a.n <> b.n
+                  GROUP BY a.n, b.n, a.k)
+            SELECT code_a, code_b,
+                   CAST(MAX(mind) AS BIGINT) AS hausdorff_d2
+            FROM d GROUP BY code_a, code_b ORDER BY code_a, code_b
         """,
         "events_rank_test": """
             WITH e AS (SELECT event_type,

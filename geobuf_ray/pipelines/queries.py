@@ -10403,3 +10403,48 @@ def docs_compression_ratio(sf_dir: str):
     lang = np.asarray(agg["lang"].to_pylist(), object)
     sel = pa.array(np.argsort(lang.astype(str), kind="stable"))
     return pa.table({c: agg[c].take(sel) for c in agg.column_names})
+
+
+def customers_hausdorff_nations(sf_dir: str):
+    """Directed Hausdorff distance between NATION point sets
+    (spatial/measures.directed_hausdorff_groups): for every ordered
+    nation pair (a, b), the farthest any a-customer sits from b's
+    nearest customer, in exact integer squared euclidean on the
+    key-derived grid points — the set-coverage measure ('how badly
+    does b's footprint cover a's').  Reference sets broadcast once
+    sorted by nation (per-group min = one reduceat over the distance
+    matrix), the customer stream carries only per-pair running maxes.
+    Hash-checked vs the MIN-per-point + MAX-per-pair SQL twin."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "x": pa.array((k * 37) % 3600 - 1800),
+            "y": pa.array((k * 53) % 1700 - 850),
+            "code": pa.array(b["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64))})
+
+    pts = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    from ..collect import collect_table
+    from ..spatial.measures import directed_hausdorff_groups
+
+    ref = collect_table(pts)
+    ref_xy = np.stack([ref["x"].to_numpy(zero_copy_only=False),
+                       ref["y"].to_numpy(zero_copy_only=False)],
+                      axis=1).astype(np.int64)
+    ref_codes = ref["code"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    out = directed_hausdorff_groups(pts, ref_xy, ref_codes,
+                                    ncodes=25)
+    a = out["code_a"].to_numpy(zero_copy_only=False)
+    b2 = out["code_b"].to_numpy(zero_copy_only=False)
+    sel = pa.array(np.lexsort((b2, a)))
+    return pa.table({"code_a": out["code_a"].take(sel),
+                     "code_b": out["code_b"].take(sel),
+                     "hausdorff_d2": out["hausdorff_d2"].take(sel)})

@@ -224,3 +224,83 @@ def geometry_measures(ds, *, quantized: bool = True, euclid: bool = True,
     return ds.map_batches(
         lambda b: measures_batch(b, quantized=quantized, euclid=euclid),
         batch_format="pyarrow", zero_copy_batch=True, **map_kwargs)
+
+
+def directed_hausdorff_groups(ds, ref_xy: np.ndarray,
+                              ref_codes: np.ndarray, *,
+                              x_col: str = "x", y_col: str = "y",
+                              code_col: str = "code",
+                              ncodes: int | None = None,
+                              **map_kwargs):
+    """Directed Hausdorff distance between GROUP point sets:
+    ``H2(a -> b) = max over a-points of min over b-points of squared
+    euclidean distance`` for every ordered group pair (a != b) — the
+    set-similarity measure of shape matching / coverage analysis.
+
+    Shape: the reference sets broadcast once (sorted by group, so the
+    per-group min collapses to one ``minimum.reduceat`` over the
+    distance matrix's columns); the big side STREAMS through a map
+    stage whose per-batch kernel is one (m x P) int32 matrix and two
+    reduction passes — partials carry only the per-(a, b) running max,
+    and the driver-side combine is |groups|^2 cells.  For reference
+    sets too big to broadcast, use the cell-join kNN machinery
+    instead; this operator targets the many-vs-small-reference shape.
+
+    Coordinates must be integers with |dx^2 + dy^2| < 2^31 (int32
+    matrix — guarded)."""
+    from ..collect import collect_table
+
+    order = np.argsort(ref_codes, kind="stable")
+    rxy = np.ascontiguousarray(ref_xy[order], dtype=np.int64)
+    rc = ref_codes[order].astype(np.int64)
+    K = int(ncodes if ncodes is not None else (rc.max() + 1 if len(rc)
+                                               else 0))
+    seg_starts = np.searchsorted(rc, np.arange(K))
+    seg_has = np.searchsorted(rc, np.arange(K), side="right") > seg_starts
+    span = float(np.abs(rxy).max()) if len(rxy) else 0.0
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.int64()),
+                          "maxmin": pa.array([], pa.int64())})
+        if b.num_rows == 0 or len(rc) == 0:
+            return empty
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = b[code_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if (max(float(np.abs(x).max()), float(np.abs(y).max()), span)
+                > 32000):
+            raise ValueError("directed_hausdorff_groups: coordinates "
+                             "exceed the int32 distance bound")
+        dx = x[:, None] - rxy[:, 0][None, :]
+        dy = y[:, None] - rxy[:, 1][None, :]
+        d2 = (dx * dx + dy * dy).astype(np.int32)
+        # per-row min within each reference group: reduceat over the
+        # group-sorted columns (empty groups yield garbage — masked)
+        mins = np.minimum.reduceat(d2, seg_starts, axis=1)
+        # max over the batch rows per (row-group, ref-group) cell
+        out = np.full(K * K, -1, np.int64)
+        pairidx = code[:, None] * K + np.arange(K)[None, :]
+        np.maximum.at(out, pairidx.ravel(),
+                      mins.astype(np.int64).ravel())
+        valid = np.zeros(K * K, bool)
+        vp = np.unique(pairidx)
+        valid[vp] = True
+        # mask: empty ref groups and the diagonal never emit
+        pa_, pb_ = np.divmod(np.arange(K * K), K)
+        keep = valid & seg_has[pb_] & (pa_ != pb_) & (out >= 0)
+        sel = np.flatnonzero(keep)
+        return pa.table({"pair": pa.array(sel),
+                         "maxmin": pa.array(out[sel])})
+
+    parts = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        **map_kwargs))
+    pairs = parts["pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mm = parts["maxmin"].to_numpy(zero_copy_only=False).astype(np.int64)
+    agg = np.full(K * K, -1, np.int64)
+    np.maximum.at(agg, pairs, mm)
+    sel = np.flatnonzero(agg >= 0)
+    return pa.table({"code_a": pa.array(sel // K),
+                     "code_b": pa.array(sel % K),
+                     "hausdorff_d2": pa.array(agg[sel])})

@@ -191,3 +191,43 @@ def test_wide_feature_exact_and_overflow_guard():
 
     with _pytest.raises(OverflowError):
         measures_batch(_feat_table([(1, 3, 2, [[world]])]))
+
+
+def test_directed_hausdorff_scalar_and_empty_group(ray_session):
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.spatial.measures import directed_hausdorff_groups
+
+    rng = random.Random(21)
+    pts = [(rng.randrange(-50, 50), rng.randrange(-50, 50),
+            rng.choice([0, 1, 3]))  # group 2 empty
+           for _ in range(120)]
+    tbl = pa.table({"x": pa.array([p[0] for p in pts], pa.int64()),
+                    "y": pa.array([p[1] for p in pts], pa.int64()),
+                    "code": pa.array([p[2] for p in pts], pa.int64())})
+    xy = np.array([(p[0], p[1]) for p in pts], np.int64)
+    codes = np.array([p[2] for p in pts], np.int64)
+    out = directed_hausdorff_groups(
+        ray.data.from_arrow(tbl).repartition(5), xy, codes, ncodes=4)
+    got = {(a, b): d for a, b, d in zip(out["code_a"].to_pylist(),
+                                        out["code_b"].to_pylist(),
+                                        out["hausdorff_d2"].to_pylist())}
+    # scalar replay
+    from collections import defaultdict
+    g = defaultdict(list)
+    for x, y, c in pts:
+        g[c].append((x, y))
+    want = {}
+    for a in g:
+        for b in g:
+            if a == b:
+                continue
+            want[(a, b)] = max(
+                min((ax - bx) ** 2 + (ay - by) ** 2
+                    for bx, by in g[b]) for ax, ay in g[a])
+    assert got == want
+    assert not any(2 in p for p in got)  # empty group never pairs
