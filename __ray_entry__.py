@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "events_rank_test": q.events_rank_test,
         "lineitem_gini_by_flag": q.lineitem_gini_by_flag,
+        "lineitem_benford": q.lineitem_benford,
         "events_watermark_hourly": q.events_watermark_hourly,
         "docs_token_drift": q.docs_token_drift,
         "docs_curation_funnel": q.docs_curation_funnel,
@@ -2594,6 +2595,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT code_a, code_b,
                    CAST(MAX(mind) AS BIGINT) AS hausdorff_d2
             FROM d GROUP BY code_a, code_b ORDER BY code_a, code_b
+        """,
+        "lineitem_benford": """
+            SELECT l_returnflag,
+                   CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, digit
         """,
         "events_rank_test": """
             WITH e AS (SELECT event_type,

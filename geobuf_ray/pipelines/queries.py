@@ -10448,3 +10448,48 @@ def customers_hausdorff_nations(sf_dir: str):
     return pa.table({"code_a": out["code_a"].take(sel),
                      "code_b": out["code_b"].take(sel),
                      "hausdorff_d2": out["hausdorff_d2"].take(sel)})
+
+
+def lineitem_benford(sf_dir: str):
+    """Benford first-significant-digit audit (the fraud/data-quality
+    classic) of extended-price cents per return flag: exact digit
+    counts 1-9 from one counting pass (first digit via float log-free
+    integer peeling — divide by 10 until < 10, vectorized as a
+    fixed-depth loop over the int64 magnitude), block partials +
+    driver combine.  Hash-checked vs a substr twin."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        if (cents <= 0).any():
+            raise ValueError("benford: nonpositive amounts")
+        d = cents.copy()
+        for _ in range(18):  # int64 magnitude bound
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        fl = b["l_returnflag"].combine_chunks().dictionary_encode()
+        inv = fl.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(fl.dictionary)
+        cell = inv * 10 + d
+        cnt = np.bincount(cell, minlength=k * 10).astype(np.int64)
+        rows = np.flatnonzero(cnt)
+        return pa.table({
+            "l_returnflag": fl.dictionary.take(pa.array(rows // 10)),
+            "digit": pa.array(rows % 10),
+            "n": pa.array(cnt[rows])})
+
+    agg = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_returnflag", "digit"], ["n"])
+    f = np.asarray(agg["l_returnflag"].to_pylist(), object).astype(str)
+    dg = agg["digit"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = pa.array(np.lexsort((dg, f)))
+    return pa.table({c: agg[c].take(sel) for c in agg.column_names})
