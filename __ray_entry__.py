@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_rasterize": q.rects_rasterize,
         "rects_distance_field": q.rects_distance_field,
         "rects_contours": q.rects_contours,
+        "rects_pole_of_inaccessibility": q.rects_pole_of_inaccessibility,
         "knn_suppliers": q.knn_suppliers,
         "knn_suppliers_s2": q.knn_suppliers_s2,
         "suppliers_within_2000km": q.suppliers_within_2000km,

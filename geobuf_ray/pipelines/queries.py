@@ -10493,3 +10493,108 @@ def lineitem_benford(sf_dir: str):
     dg = agg["digit"].to_numpy(zero_copy_only=False).astype(np.int64)
     sel = pa.array(np.lexsort((dg, f)))
     return pa.table({c: agg[c].take(sel) for c in agg.column_names})
+
+
+def rects_pole_of_inaccessibility(sf_dir: str, ntiles: int = 16,
+                                  px: int = 16):
+    """Pole of inaccessibility (polylabel) of the supplier-rect union
+    at grid resolution, COMPOSED from the distance-transform operator:
+    the pole is the interior cell farthest (L1) from any exterior
+    cell, i.e. the argmax of the distance transform computed with the
+    COMPLEMENT as the source set, restricted to interior cells —
+    deterministic tie-break to the smallest (gx, gy).  One extra map
+    inverts the occupancy masks; everything else reuses
+    distance_transform_l1's two exchanges.  Rows-only (the global
+    argmax SQL twin would need a full-grid cross join); the pytest
+    oracle replays it brute-force on small grids and this query
+    asserts the pole is genuinely interior with a positive depth."""
+    import ray
+
+    from ..spatial.polygonize import union_tile_masks
+    from ..spatial.raster import distance_transform_l1, rasterize_polygons
+
+    rects = supplier_rects(sf_dir)
+    ids = rects["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rects = rects.filter(pa.array(ids % 5 == 0))
+    raster = rasterize_polygons(ray.data.from_arrow(rects),
+                                ntiles=ntiles, px=px, id_col="id")
+    occ = union_tile_masks(raster, px=px, nbuckets=16).materialize()
+    N = ntiles * px
+    nb = px * px // 8
+
+    # build the COMPLEMENT occupancy: tiles present invert their mask;
+    # tiles absent from occ are fully exterior (all-ones complement)
+    tile_keys = [np.empty(0, np.int64)]
+    occ_blocks = [ray.get(r) for r in occ.to_arrow_refs()]
+    for t in occ_blocks:
+        tx = t["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tile_keys.append(tx * ntiles + ty)
+    seen_keys = np.unique(np.concatenate(tile_keys))
+
+    def invert(b: pa.Table) -> pa.Table:
+        masks = [bytes(np.frombuffer(m, np.uint8) ^ 0xFF)
+                 for m in b["mask"].to_pylist()]
+        return pa.table({"tile_x": b["tile_x"], "tile_y": b["tile_y"],
+                         "mask": pa.array(masks, pa.binary())})
+
+    allk = np.arange(ntiles * ntiles, dtype=np.int64)
+    missing = allk[~np.isin(allk, seen_keys)]
+    full = pa.table({
+        "tile_x": pa.array(missing // ntiles),
+        "tile_y": pa.array(missing % ntiles),
+        "mask": pa.array([b"\xff" * nb] * len(missing), pa.binary())})
+    comp = occ.map_batches(invert, batch_format="pyarrow",
+                           zero_copy_batch=True).union(
+        ray.data.from_arrow(full))
+    dt = distance_transform_l1(comp, ntiles=ntiles, px=px, nbuckets=16)
+
+    # interior = occupied cells; per-block argmax partials under the
+    # (depth DESC, gx ASC, gy ASC) total order
+    from ..spatial.polygonize import _mask_bits
+
+    cell_keys = [np.empty(0, np.int64)]
+    for t in occ_blocks:
+        if t.num_rows == 0:
+            continue
+        bits = _mask_bits(t["mask"], t.num_rows, px)
+        mi, y, x = np.nonzero(bits)
+        tx = t["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell_keys.append((tx[mi] * px + x) * N + (ty[mi] * px + y))
+    occ_keys = np.unique(np.concatenate(cell_keys))
+    occ_ref = ray.put(occ_keys)
+
+    def argmax_partial(b: pa.Table) -> pa.Table:
+        import ray as _r
+        keys = _r.get(occ_ref)
+        gx = b["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gy = b["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = gx * N + gy
+        pos = np.searchsorted(keys, kk)
+        inside = (pos < len(keys)) & (keys[np.clip(pos, 0,
+                                                   len(keys) - 1)] == kk)
+        if not inside.any():
+            return pa.table({"gx": pa.array([], pa.int64()),
+                             "gy": pa.array([], pa.int64()),
+                             "depth": pa.array([], pa.int64())})
+        sel = np.flatnonzero(inside)
+        order = np.lexsort((gy[sel], gx[sel], -d[sel]))[:1]
+        pick = sel[order]
+        return pa.table({"gx": pa.array(gx[pick]),
+                         "gy": pa.array(gy[pick]),
+                         "depth": pa.array(d[pick])})
+
+    from ..collect import collect_table
+
+    parts = collect_table(dt.map_batches(
+        argmax_partial, batch_format="pyarrow", zero_copy_batch=True))
+    gx = parts["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gy = parts["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = parts["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
+    best = np.lexsort((gy, gx, -d))[0]
+    assert d[best] >= 1, "pole must be interior with positive depth"
+    return pa.table({"gx": pa.array(gx[best:best + 1]),
+                     "gy": pa.array(gy[best:best + 1]),
+                     "depth": pa.array(d[best:best + 1])})

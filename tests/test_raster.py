@@ -277,3 +277,52 @@ def test_marching_squares_bucket_invariance_and_empty(ray_session):
                           t["x1"].to_pylist(), t["y1"].to_pylist()))
 
     assert run(2) == run(16) == _brute_marching(pix, N)
+
+
+def test_pole_of_inaccessibility_brute_force(ray_session):
+    """Query-level polylabel composition replayed brute force: the
+    interior cell maximizing min-L1-to-exterior, ties to smallest
+    (gx, gy)."""
+    import numpy as np
+
+    from geobuf_ray.pipelines import queries as q
+
+    out = q.rects_pole_of_inaccessibility("/root/testdata/sf0.001",
+                                          ntiles=4, px=8)
+    N = 32
+    # rebuild the same occupancy the query rasterizes
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE VIEW supplier AS SELECT * FROM "
+                "'/root/testdata/sf0.001/supplier.parquet'")
+    occ = np.zeros((N, N), bool)
+    rows = con.execute("""
+      SELECT (-180.0 + (s_suppkey*37) % 300) w,
+             (-85.0 + (s_suppkey*53) % 160) s,
+             (-180.0 + (s_suppkey*37) % 300 + 5.0 + (s_suppkey%7)*3.0 + 0.005) e,
+             (-85.0 + (s_suppkey*53) % 160 + 4.0 + (s_suppkey%5)*3.0 + 0.005) n
+      FROM supplier WHERE s_suppkey % 5 = 0""").fetchall()
+    for w, s, e, n in rows:
+        for i in range(N):
+            cx = -180.0 + (i + 0.5) * (360.0 / N)
+            if not (w <= cx <= e):
+                continue
+            for j in range(N):
+                cy = -85.0 + (j + 0.5) * (170.0 / N)
+                if s <= cy <= n:
+                    occ[i, j] = True
+    best = None
+    for i in range(N):
+        for j in range(N):
+            if not occ[i, j]:
+                continue
+            dmin = min(abs(i - a) + abs(j - b)
+                       for a in range(N) for b in range(N)
+                       if not occ[a, b])
+            cand = (-dmin, i, j)
+            if best is None or cand < best:
+                best = cand
+    want = (best[1], best[2], -best[0])
+    got = (out["gx"][0].as_py(), out["gy"][0].as_py(),
+           out["depth"][0].as_py())
+    assert got == want
