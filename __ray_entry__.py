@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_encode": q.docs_bpe_encode,
         "docs_compression_ratio": q.docs_compression_ratio,
         "images_clip_score": q.images_clip_score,
+        "images_aspect_buckets": q.images_aspect_buckets,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

@@ -10598,3 +10598,62 @@ def rects_pole_of_inaccessibility(sf_dir: str, ntiles: int = 16,
     return pa.table({"gx": pa.array(gx[best:best + 1]),
                      "gy": pa.array(gy[best:best + 1]),
                      "depth": pa.array(d[best:best + 1])})
+
+
+_ASPECT_BUCKETS = [(1, 8), (1, 4), (1, 2), (1, 1), (2, 1), (4, 1),
+                   (8, 1)]
+
+
+def images_aspect_buckets(sf_dir: str, batch_size: int = 32):
+    """SDXL-style aspect-ratio bucketing — the batch-packing step of
+    an image-training pipeline: every image routes to the bucket whose
+    aspect ratio is nearest in LOG space, decided log-free with the
+    exact geometric-mean boundary test ``w^2 * Hb*Hc < h^2 * Wb*Wc``
+    (r nearer rb than rc iff r^2 < rb*rc; ties go high — pinned), so
+    engine and SQL agree bit-for-bit.  Within a bucket every image
+    resizes to the bucket target, so batches are exactly
+    ceil(n / batch_size).  One metadata-only map + driver combine (the
+    payload bytes never load)."""
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    B = _ASPECT_BUCKETS
+    K = len(B)
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.full(len(w), K - 1, np.int64)
+        assigned = np.zeros(len(w), bool)
+        for i in range(K - 1):
+            lo_w, lo_h = B[i]
+            hi_w, hi_h = B[i + 1]
+            take = ~assigned & (w * w * (lo_h * hi_h)
+                                < h * h * (lo_w * hi_w))
+            bucket[take] = i
+            assigned |= take
+        cnt = np.bincount(bucket, minlength=K).astype(np.int64)
+        pix = np.zeros(K, np.int64)
+        np.add.at(pix, bucket, w * h)
+        rows = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(rows),
+                         "n_images": pa.array(cnt[rows]),
+                         "sum_src_pixels": pa.array(pix[rows])})
+
+    agg = _final_combine(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"], ["n_images", "sum_src_pixels"])
+    bk = agg["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = np.argsort(bk)
+    n_img = agg["n_images"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[sel]
+    return pa.table({
+        "bucket": pa.array(bk[sel]),
+        "ratio_w": pa.array([B[i][0] for i in bk[sel]], pa.int64()),
+        "ratio_h": pa.array([B[i][1] for i in bk[sel]], pa.int64()),
+        "n_images": pa.array(n_img),
+        "n_batches": pa.array((n_img + batch_size - 1) // batch_size),
+        "sum_src_pixels": pa.array(
+            agg["sum_src_pixels"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[sel])})

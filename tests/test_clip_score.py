@@ -79,3 +79,32 @@ def test_clip_score_partition_invariance(ray_session):
                         t["score_q"].to_pylist()))
 
     assert run(1) == run(6)
+
+
+def test_aspect_buckets_scalar_replay(ray_session):
+    import math
+
+    import numpy as np
+
+    from geobuf_ray.pipelines import queries as q
+    from geobuf_ray.io import images as im
+
+    out = q.images_aspect_buckets("/root/testdata/sf0.001")
+    rows = im.synthesize_rows(np.arange(100))
+    B = q._ASPECT_BUCKETS
+    want = {}
+    for w, h in zip(rows["w"].to_pylist(), rows["h"].to_pylist()):
+        # scalar log-space nearest with the same tie rule (ties high)
+        r = math.log(w / h)
+        dists = [abs(r - math.log(bw / bh)) for bw, bh in B]
+        m = min(dists)
+        idx = max(i for i, d in enumerate(dists) if abs(d - m) < 1e-12)
+        p = want.setdefault(idx, [0, 0])
+        p[0] += 1
+        p[1] += w * h
+    got = {b: [n, s] for b, n, s in zip(out["bucket"].to_pylist(),
+                                        out["n_images"].to_pylist(),
+                                        out["sum_src_pixels"].to_pylist())}
+    assert got == want
+    for r in out.to_pylist():
+        assert r["n_batches"] == (r["n_images"] + 31) // 32
