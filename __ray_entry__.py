@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_compression_ratio": q.docs_compression_ratio,
         "images_clip_score": q.images_clip_score,
         "images_aspect_buckets": q.images_aspect_buckets,
+        "suppliers_balance_tier_theta": q.suppliers_balance_tier_theta,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -3689,5 +3690,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT * FROM embeddings WHERE label = 1) e,
                      (SELECT * FROM embeddings WHERE vec_id < 5) qv
             ) WHERE rnk <= 5
+        """,
+        "suppliers_balance_tier_theta": """
+            WITH tiers(tier, lo_c, hi_c) AS (VALUES
+                (0, -100000, 230000), (1, 120000, 450000),
+                (2, 340000, 670000), (3, 560000, 890000),
+                (4, 780000, 1110000)),
+            s AS (SELECT s_suppkey, s_nationkey,
+                         CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+                  FROM supplier)
+            SELECT s_suppkey, CAST(tier AS BIGINT) AS tier, bal_c
+            FROM s JOIN tiers
+              ON bal_c >= lo_c AND bal_c < hi_c
+                 AND s_nationkey % 5 <> tier
+            ORDER BY s_suppkey, tier
         """,
     }

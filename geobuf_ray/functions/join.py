@@ -1131,3 +1131,85 @@ def merge_join(left, right, on: str, *, how: str = "inner",
                         left_bucket_fn=range_fn, right_bucket_fn=range_fn,
                         reduce_fn=merge_bucket,
                         left_schema=l_pa_schema, right_schema=r_pa_schema)
+
+
+def theta_join(left, right: pa.Table, predicate, *, how: str = "inner",
+               rsuffix: str = "_r", chunk_cells: int = 1 << 18,
+               **map_kwargs):
+    """General-predicate (theta) join of a Dataset against a SMALL
+    broadcast table — the physical join shape for conditions no
+    equi/band/interval operator expresses (``<>``, multi-clause
+    inequalities, arbitrary vectorized expressions).
+
+    The right side ships ONCE via ``ray.put``; every left batch
+    evaluates ``predicate`` over the candidate cross product in
+    bounded chunks of at most ``chunk_cells`` pairs, so per-task
+    memory is O(chunk_cells) regardless of batch size.  This is a
+    broadcast NESTED-LOOP join: cost is |left| x |right| predicate
+    evaluations by definition, which is exactly right when the right
+    side is a handful of rule rows (tier tables, configuration bands)
+    and wrong for two large sides — large x large non-equi conditions
+    should compose a lossless prefilter (``range_join``,
+    ``interval_overlap_join``, S2 covers) with a refine map instead.
+
+    ``predicate(lt, rt)`` receives two pair-aligned ``pa.Table`` views
+    (row i of each is candidate pair i) and returns a bool ndarray;
+    it must be a pure vectorized function.  Output = left columns +
+    right columns (collisions suffixed ``rsuffix``); ``how`` is
+    ``inner`` or ``left`` (unmatched left rows null-extend the right
+    columns, SQL LEFT JOIN ON <predicate> semantics).
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    m = right.num_rows
+    r_names = list(right.column_names)
+    handle = ray.put(right)
+    r_types = {rn: right.schema.field(rn).type for rn in r_names}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        rtab = ray.get(handle)
+        n = batch.num_rows
+        l_names = batch.column_names
+        out_r = [rn + rsuffix if rn in l_names else rn for rn in r_names]
+
+        def emit(lidx: np.ndarray, ridx: np.ndarray) -> pa.Table:
+            lt = batch.take(pa.array(lidx, pa.int64()))
+            cols = {nme: lt[nme] for nme in l_names}
+            for rn, orn in zip(r_names, out_r):
+                cols[orn] = rtab[rn].take(pa.array(ridx, pa.int64()))
+            return pa.table(cols)
+
+        if n == 0 or m == 0:
+            parts = [emit(np.empty(0, np.int64), np.empty(0, np.int64))]
+            matched = np.zeros(n, bool)
+        else:
+            step = max(1, chunk_cells // m)
+            parts, matched = [], np.zeros(n, bool)
+            tile = np.tile(np.arange(m), step)
+            for s in range(0, n, step):
+                cl = min(step, n - s)
+                lidx = s + np.repeat(np.arange(cl), m)
+                ridx = tile[:cl * m]
+                lt = batch.take(pa.array(lidx, pa.int64()))
+                rt = rtab.take(pa.array(ridx, pa.int64()))
+                ok = np.asarray(predicate(lt, rt), bool)
+                if ok.shape != (cl * m,):
+                    raise ValueError("theta_join: predicate returned "
+                                     f"shape {ok.shape}, want {(cl*m,)}")
+                keep = np.flatnonzero(ok)
+                matched[lidx[keep]] = True
+                parts.append(emit(lidx[keep], ridx[keep]))
+        if how == "left":
+            miss = np.flatnonzero(~matched)
+            if len(miss):
+                lt = batch.take(pa.array(miss, pa.int64()))
+                cols = {nme: lt[nme] for nme in l_names}
+                for rn, orn in zip(r_names, out_r):
+                    cols[orn] = pa.nulls(len(miss), r_types[rn])
+                parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return left.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True, **map_kwargs)

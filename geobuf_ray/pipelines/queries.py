@@ -10657,3 +10657,56 @@ def images_aspect_buckets(sf_dir: str, batch_size: int = 32):
         "sum_src_pixels": pa.array(
             agg["sum_src_pixels"].to_numpy(
                 zero_copy_only=False).astype(np.int64)[sel])})
+
+
+def suppliers_balance_tier_theta(sf_dir: str):
+    """General-predicate (theta) join demo: suppliers matched against
+    a 5-row OVERLAPPING balance-tier rule table — each supplier's
+    cents balance can fall in one OR two tiers (bands overlap by
+    1100.00), and a second non-equi clause ``s_nationkey % 5 <> tier``
+    prunes same-residue pairs, so no equi/band operator expresses the
+    condition (functions/join.theta_join: broadcast nested loop,
+    bounded chunk cross products).  Output is the raw pair table;
+    hash-checked vs the identical SQL JOIN ON predicate."""
+    import ray
+
+    from ..functions.join import theta_join
+
+    tiers = pa.table({
+        "tier": pa.array(np.arange(5, dtype=np.int64)),
+        "lo_c": pa.array(220000 * np.arange(5, dtype=np.int64) - 100000),
+        "hi_c": pa.array(220000 * np.arange(5, dtype=np.int64) + 230000)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        bal = np.round(b["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "s_suppkey": b["s_suppkey"],
+            "s_nationkey": b["s_nationkey"].cast(pa.int64()),
+            "bal_c": pa.array(bal)})
+
+    def pred(lt: pa.Table, rt: pa.Table) -> np.ndarray:
+        bal = lt["bal_c"].to_numpy(zero_copy_only=False)
+        nk = lt["s_nationkey"].to_numpy(zero_copy_only=False)
+        lo = rt["lo_c"].to_numpy(zero_copy_only=False)
+        hi = rt["hi_c"].to_numpy(zero_copy_only=False)
+        tr = rt["tier"].to_numpy(zero_copy_only=False)
+        return (bal >= lo) & (bal < hi) & (nk % 5 != tr)
+
+    pairs = theta_join(
+        ds.map_batches(to_cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        tiers, pred)
+    from ..collect import collect_table
+
+    tbl = collect_table(pairs)
+    sk = tbl["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tr = tbl["tier"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = pa.array(np.lexsort((tr, sk)))
+    return pa.table({
+        "s_suppkey": tbl["s_suppkey"].take(sel),
+        "tier": tbl["tier"].take(sel),
+        "bal_c": tbl["bal_c"].take(sel)})

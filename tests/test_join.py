@@ -703,3 +703,85 @@ def test_merge_join_output_clustered_by_key(ray_session):
         blk = ray.get(ref)
         k = blk["k"].to_numpy(zero_copy_only=False)
         assert (np.diff(k) >= 0).all()
+
+
+def test_theta_join_inner_vs_duckdb(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.join import theta_join
+
+    rng = np.random.default_rng(11)
+    left = pa.table({
+        "a": pa.array(rng.integers(-50, 50, 3000), pa.int64()),
+        "b": pa.array(rng.integers(0, 7, 3000), pa.int64())})
+    right = pa.table({
+        "lo": pa.array([-60, -20, 0, 10, 30], pa.int64()),
+        "hi": pa.array([-10, 15, 35, 40, 60], pa.int64()),
+        "m": pa.array([0, 1, 2, 3, 4], pa.int64())})
+
+    def pred(lt, rt):
+        a = lt["a"].to_numpy(zero_copy_only=False)
+        b = lt["b"].to_numpy(zero_copy_only=False)
+        lo = rt["lo"].to_numpy(zero_copy_only=False)
+        hi = rt["hi"].to_numpy(zero_copy_only=False)
+        m = rt["m"].to_numpy(zero_copy_only=False)
+        return (a >= lo) & (a < hi) & (b != m)
+
+    # tiny chunk_cells forces the chunked cross-product path
+    out = theta_join(_ds(left), right, pred, chunk_cells=16)
+    got = out.to_pandas().sort_values(["a", "b", "m"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("l", left); con.register("r", right)
+    exp = con.execute(
+        "SELECT a, b, lo, hi, m FROM l JOIN r "
+        "ON a >= lo AND a < hi AND b <> m "
+        "ORDER BY a, b, m").fetchdf()
+    assert len(got) == len(exp)
+    assert (got[["a", "b", "lo", "hi", "m"]].values == exp.values).all()
+
+
+def test_theta_join_left_null_extends(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.join import theta_join
+
+    rng = np.random.default_rng(12)
+    left = pa.table({
+        "a": pa.array(rng.integers(0, 100, 800), pa.int64()),
+        "id": pa.array(np.arange(800), pa.int64())})
+    right = pa.table({
+        "lo": pa.array([10, 40], pa.int64()),
+        "hi": pa.array([20, 55], pa.int64())})
+
+    def pred(lt, rt):
+        a = lt["a"].to_numpy(zero_copy_only=False)
+        return (a >= rt["lo"].to_numpy(zero_copy_only=False)) & \
+               (a < rt["hi"].to_numpy(zero_copy_only=False))
+
+    out = theta_join(_ds(left), right, pred, how="left", chunk_cells=32)
+    got = out.to_pandas().sort_values(
+        ["id", "lo"], na_position="last").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("l", left); con.register("r", right)
+    exp = con.execute(
+        "SELECT id, a, lo, hi FROM l LEFT JOIN r ON a >= lo AND a < hi "
+        "ORDER BY id, lo NULLS LAST").fetchdf()
+    assert len(got) == len(exp)
+    assert (got["id"].values == exp["id"].values).all()
+    assert got["lo"].isna().equals(exp["lo"].isna())
+    ok = ~got["lo"].isna()
+    assert (got.loc[ok, "lo"].values == exp.loc[ok, "lo"].values).all()
+
+
+def test_theta_join_empty_right(ray_session):
+    from geobuf_ray.functions.join import theta_join
+
+    left = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    right = pa.table({"lo": pa.array([], pa.int64())})
+
+    def pred(lt, rt):
+        return np.ones(lt.num_rows, bool)
+
+    assert theta_join(_ds(left, 2), right, pred).count() == 0
+    out = theta_join(_ds(left, 2), right, pred, how="left").to_pandas()
+    assert len(out) == 3 and out["lo"].isna().all()
