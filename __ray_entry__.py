@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_clip_score": q.images_clip_score,
         "images_aspect_buckets": q.images_aspect_buckets,
         "suppliers_balance_tier_theta": q.suppliers_balance_tier_theta,
+        "events_user_freq_cms": q.events_user_freq_cms,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
