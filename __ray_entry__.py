@@ -235,7 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_clip_score": q.images_clip_score,
         "images_aspect_buckets": q.images_aspect_buckets,
         "suppliers_balance_tier_theta": q.suppliers_balance_tier_theta,
-        "events_user_freq_cms": q.events_user_freq_cms,
+        "lineitem_qty_power_sums": q.lineitem_qty_power_sums,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -3691,6 +3691,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT * FROM embeddings WHERE label = 1) e,
                      (SELECT * FROM embeddings WHERE vec_id < 5) qv
             ) WHERE rnk <= 5
+        """,
+        "lineitem_qty_power_sums": """
+            WITH v AS (SELECT l_returnflag,
+                              CAST(round(l_quantity) AS BIGINT) AS q
+                       FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS s1,
+                   CAST(SUM(q * q) AS BIGINT) AS s2,
+                   CAST(SUM(q * q * q) AS BIGINT) AS s3,
+                   CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+            FROM v GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "suppliers_balance_tier_theta": """
             WITH tiers(tier, lo_c, hi_c) AS (VALUES

@@ -1383,3 +1383,66 @@ def group_gini(ds, *, key: str = "key", value: str = "v",
                               zero_copy_batch=True, batch_size=None)
     return hash_exchange(partials, nbuckets=nbuckets, on=key,
                          reduce_fn=reduce_fn)
+
+
+def group_power_sums(ds, keys: list[str], value: str, *,
+                     max_power: int = 4, **map_kwargs) -> pa.Table:
+    """Exact per-group power sums ``s1..s{max_power}`` (+ ``n``) of an
+    INTEGER column — the streaming ingredients of skewness / kurtosis
+    (central moments follow algebraically: m3 = (n^2*s3 - 3n*s1*s2 +
+    2*s1^3)/n^3 etc.), with the division left to the consumer so the
+    emitted table is bit-exact and SQL-twinnable as plain
+    ``SUM(v*v*v)`` expressions.
+
+    Per block: one Arrow group_by collapses rows to a partial row per
+    group, guarded so ``|v|^max_power * block_rows`` provably fits
+    int64.  The driver merge sums partials with PYTHON ints (groups
+    are driver-sized by contract) and re-checks the int64 range, so a
+    global overflow raises instead of silently wrapping.  NULL values
+    don't count (SQL aggregate semantics)."""
+    from ..collect import collect_table
+
+    key_list = list(keys)
+    names = ["n"] + [f"s{p}" for p in range(1, max_power + 1)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [(k, batch.schema.field(k).type) for k in key_list]
+            + [(c, pa.int64()) for c in names])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        col = batch[value].combine_chunks()
+        if not pa.types.is_integer(col.type):
+            raise TypeError("group_power_sums: integer columns only")
+        valid = np.ones(len(col), bool)
+        if col.null_count:
+            valid = ~col.is_null().to_numpy(zero_copy_only=False)
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.where(valid, v, 0)
+        vmax = int(np.abs(v).max(initial=0))
+        if vmax and vmax ** max_power > 2**62 // max(len(v), 1):
+            raise OverflowError(
+                "group_power_sums: |v|^p * block_rows exceeds int64; "
+                "pre-scale the value column")
+        cols = {**{k: batch[k] for k in key_list},
+                "n": pa.array(valid.astype(np.int64))}
+        pw = np.ones(len(v), np.int64)
+        for p in range(1, max_power + 1):
+            pw = pw * v
+            cols[f"s{p}"] = pa.array(np.where(valid, pw, 0))
+        t = pa.table(cols)
+        g = t.group_by(key_list).aggregate([(c, "sum") for c in names])
+        return g.rename_columns(key_list + names).cast(schema)
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                         zero_copy_batch=True,
+                                         **map_kwargs))
+    df = parts.to_pandas()
+    for c in names:  # Python-int merge: no silent int64 wrap
+        df[c] = df[c].astype(object)
+    out = df.groupby(key_list, as_index=False, sort=True)[names].sum()
+    for c in names:
+        if len(out) and out[c].map(abs).max() >= 2**63:
+            raise OverflowError(f"group_power_sums: {c} exceeds int64")
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -10712,50 +10712,29 @@ def suppliers_balance_tier_theta(sf_dir: str):
         "bal_c": tbl["bal_c"].take(sel)})
 
 
-def events_user_freq_cms(sf_dir: str, width: int = 4096, depth: int = 4,
-                         nprobe: int = 64):
-    """Count-Min point-frequency estimation (functions/sketch.cms_build
-    — Cormode & Muthukrishnan 2005): per-block (depth, width) int64
-    partials merge by elementwise SUM (exactly associative, so the
-    sketch is partition-invariant bit-for-bit), communication one
-    fixed-size row per block at any cardinality.  Probes the first
-    ``nprobe`` distinct user ids and audits the deterministic CM
-    guarantee IN-QUERY: est >= exact for every probe, and the summed
-    overestimate stays under depth * nrows * nprobe / width (the
-    union-Markov expectation bound with slack depth).  Rows-only (a
-    sketch has no SQL form); the pytest oracle replays the scalar
-    sketch and checks merge associativity."""
+def lineitem_qty_power_sums(sf_dir: str):
+    """Exact skewness/kurtosis ingredients per return flag
+    (functions/agg.group_power_sums): power sums s1..s4 of the integer
+    quantity column with n, all exact int64 (per-block overflow guard
+    + Python-int driver merge, so a global overflow raises instead of
+    wrapping), division left to the consumer — central moments follow
+    algebraically (m3 = (n^2*s3 - 3n*s1*s2 + 2*s1^3)/n^3).  Extends
+    lineitem_qty_moments (second moments) to the 3rd/4th.
+    Hash-checked vs plain SUM(q*q*q) / SUM(q*q*q*q) SQL."""
     import ray
 
-    from ..functions.sketch import _hash_column, cms_build, cms_estimate
+    from ..functions.agg import group_power_sums
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id"])
-    counts = cms_build(ds, "user_id", width=width, depth=depth)
-    nrows = int(counts[0].sum())
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
 
-    probes = np.arange(nprobe, dtype=np.int64)
+    def to_int(b: pa.Table) -> pa.Table:
+        q = np.round(b["l_quantity"].to_numpy()).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "q": pa.array(q)})
 
-    def exact_partial(b: pa.Table) -> pa.Table:
-        u = b["user_id"].to_numpy(zero_copy_only=False)
-        small = u[(u >= 0) & (u < nprobe)]
-        cnt = np.bincount(small, minlength=nprobe).astype(np.int64)
-        return pa.table({"user_id": pa.array(probes),
-                         "n_exact": pa.array(cnt)})
-
-    exact = _final_combine(
-        ds.map_batches(exact_partial, batch_format="pyarrow",
+    out = group_power_sums(
+        ds.map_batches(to_int, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["user_id"], ["n_exact"])
-    ex = np.zeros(nprobe, np.int64)
-    uid = exact["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ex[uid] = exact["n_exact"].to_numpy(zero_copy_only=False)
-
-    est = cms_estimate(counts, _hash_column(pa.array(probes)))
-    if (est < ex).any():
-        raise AssertionError("count-min underestimated a probe")
-    if (est - ex).sum() > depth * nrows * nprobe // width:
-        raise AssertionError("count-min overestimate beyond bound")
-    return pa.table({"user_id": pa.array(probes),
-                     "n_exact": pa.array(ex),
-                     "cms_est": pa.array(est.astype(np.int64))})
+        ["l_returnflag"], "q", max_power=4)
+    return out.sort_by([("l_returnflag", "ascending")])

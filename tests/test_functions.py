@@ -1141,3 +1141,38 @@ def test_profile_table_scalar_reference(ray_session):
     with pytest.raises(TypeError):
         profile_table(ray.data.from_arrow(pa.table(
             {"f": pa.array([1.5])})), ["f"])
+
+
+def test_group_power_sums_exact(ray_session):
+    import ray
+
+    from geobuf_ray.functions.agg import group_power_sums
+
+    rng = np.random.default_rng(7)
+    k = rng.integers(0, 3, 5000)
+    v = rng.integers(-40, 60, 5000)
+    mask = rng.random(5000) < 0.05
+    tbl = pa.table({"k": pa.array(k, pa.int64()),
+                    "v": pa.array(np.where(mask, 0, v), pa.int64(),
+                                  mask=mask)})
+    out = group_power_sums(
+        ray.data.from_arrow(tbl).repartition(7), ["k"], "v", max_power=4)
+    df = out.to_pandas().set_index("k")
+    for g in range(3):
+        vals = v[(k == g) & ~mask].astype(object)
+        assert df.loc[g, "n"] == len(vals)
+        for p in range(1, 5):
+            assert df.loc[g, f"s{p}"] == sum(int(x) ** p for x in vals), \
+                (g, p)
+
+
+def test_group_power_sums_block_overflow_raises(ray_session):
+    import ray
+
+    from geobuf_ray.functions.agg import group_power_sums
+
+    tbl = pa.table({"k": pa.array([0, 0], pa.int64()),
+                    "v": pa.array([2**16, 2**16], pa.int64())})
+    with pytest.raises(Exception, match="int64"):
+        group_power_sums(ray.data.from_arrow(tbl), ["k"], "v",
+                         max_power=4)
