@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_aspect_buckets": q.images_aspect_buckets,
         "suppliers_balance_tier_theta": q.suppliers_balance_tier_theta,
         "lineitem_qty_power_sums": q.lineitem_qty_power_sums,
+        "images_nms": q.images_nms,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

@@ -876,3 +876,90 @@ def clip_scores(ds, *, pool: int = 8, batch_size: int = 64,
         ClipScoreFn, fn_constructor_kwargs=dict(pool=pool),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, **map_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# detection boxes + non-maximum suppression (the detector-output dedup
+# primitive: at training-data scale, NMS is how raw per-image detector
+# candidates collapse to a clean label set)
+# ---------------------------------------------------------------------------
+
+_BOX_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_BOX_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= _BOX_MIX1
+    x ^= x >> np.uint64(33)
+    x *= _BOX_MIX2
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def synthesize_boxes(indices: np.ndarray, w: np.ndarray, h: np.ndarray,
+                     kb: int = 8):
+    """Deterministic detection boxes for image rows: ``kb`` boxes per
+    image derived from the image's CRC seed — a pure function of
+    (index, w, h), so any chunking or shuffle reproduces identical
+    boxes (the same contract as the procedural pixels).  Returns
+    (x0, y0, x1, y1, score) int64 arrays of shape (n, kb) with
+    4 <= box extent, boxes inside [0,w]x[0,h], scores in [0, 1000)."""
+    idx = np.ascontiguousarray(indices, np.int64)
+    wid = np.ascontiguousarray(w, np.int64)[:, None]
+    hei = np.ascontiguousarray(h, np.int64)[:, None]
+    base = image_hash64(idx)[:, None]
+    slot = (np.arange(kb, dtype=np.uint64) + np.uint64(1))[None, :]
+    hx = _mix64(base * _BOX_MIX2 + slot)
+    h2 = _mix64(hx)
+    h3 = _mix64(h2)
+    h4 = _mix64(h3)
+    h5 = _mix64(h4)
+    x0 = (hx % np.maximum(wid - 8, 1).astype(np.uint64)).astype(np.int64)
+    y0 = (h2 % np.maximum(hei - 8, 1).astype(np.uint64)).astype(np.int64)
+    bw = 4 + (h3 % np.maximum(wid // 2, 1).astype(np.uint64)).astype(np.int64)
+    bh = 4 + (h4 % np.maximum(hei // 2, 1).astype(np.uint64)).astype(np.int64)
+    x1 = np.minimum(x0 + bw, wid)
+    y1 = np.minimum(y0 + bh, hei)
+    score = (h5 % np.uint64(1000)).astype(np.int64)
+    return x0, y0, x1, y1, score
+
+
+def nms_dense(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray,
+              y1: np.ndarray, score: np.ndarray, *,
+              thr_num: int = 1, thr_den: int = 2) -> np.ndarray:
+    """Greedy non-maximum suppression over DENSE (n_images, kb) box
+    arrays, vectorized across images: boxes sort per image by
+    (score desc, slot asc — a stable argsort, the deterministic
+    tie-break), then kb sequential acceptance rounds each compare one
+    sorted slot against every earlier KEPT box with the exact integer
+    IoU test ``inter * thr_den > thr_num * union`` (floats never
+    decide; coordinates must stay < 2^15 so products fit int64).
+    Cost is O(kb^2) vectorized passes over n-length arrays — the
+    per-image box count is the small fixed dimension, images are the
+    parallel one.  Returns a bool keep mask in ORIGINAL slot order."""
+    g, kb = score.shape
+    if max(int(np.abs(x1).max(initial=0)),
+           int(np.abs(y1).max(initial=0))) >= 1 << 15:
+        raise OverflowError("nms_dense: coordinates must be < 2^15")
+    order = np.argsort(-score, axis=1, kind="stable")
+    ar = np.arange(g)[:, None]
+    xs0, ys0 = x0[ar, order], y0[ar, order]
+    xs1, ys1 = x1[ar, order], y1[ar, order]
+    area = (xs1 - xs0) * (ys1 - ys0)
+    keep_s = np.ones((g, kb), bool)
+    for s in range(1, kb):
+        supp = np.zeros(g, bool)
+        for e in range(s):
+            iw = np.minimum(xs1[:, s], xs1[:, e]) \
+                - np.maximum(xs0[:, s], xs0[:, e])
+            ih = np.minimum(ys1[:, s], ys1[:, e]) \
+                - np.maximum(ys0[:, s], ys0[:, e])
+            inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+            union = area[:, s] + area[:, e] - inter
+            supp |= keep_s[:, e] & (inter * thr_den > thr_num * union)
+        keep_s[:, s] = ~supp
+    keep = np.zeros((g, kb), bool)
+    keep[ar, order] = keep_s
+    return keep

@@ -10738,3 +10738,63 @@ def lineitem_qty_power_sums(sf_dir: str):
                        zero_copy_batch=True),
         ["l_returnflag"], "q", max_power=4)
     return out.sort_by([("l_returnflag", "ascending")])
+
+
+def images_nms(sf_dir: str, kb: int = 8):
+    """Non-maximum suppression over per-image detection boxes
+    (io/images.nms_dense): each image's kb deterministic candidate
+    boxes (synthesize_boxes — pure function of the row, like the
+    procedural pixels) collapse greedily under the exact integer IoU >
+    1/2 test, vectorized ACROSS images (kb^2 passes over the block,
+    never a per-image Python loop); payload bytes never load — the
+    boxes derive from metadata columns only.  Per-format rollup of
+    kept counts, score mass and a slot-sensitive checksum; in-query
+    asserts pin that every image keeps its top box and suppression
+    genuinely fires.  Rows-only (procedural boxes aren't SQL); the
+    pytest oracle replays scalar greedy NMS."""
+    import ray
+
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["image_id"].combine_chunks()
+        idx = np.asarray([int(s[3:]) for s in ids.to_pylist()], np.int64)
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0, y0, x1, y1, sc = im.synthesize_boxes(idx, w, h, kb=kb)
+        keep = im.nms_dense(x0, y0, x1, y1, sc)
+        if not keep.any(axis=1).all():
+            raise AssertionError("nms dropped every box of an image")
+        fmt = b["fmt"].combine_chunks().dictionary_encode()
+        inv = fmt.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(fmt.dictionary)
+        slot = np.broadcast_to(np.arange(kb, dtype=np.int64), keep.shape)
+        kept_per_img = keep.sum(axis=1).astype(np.int64)
+        return pa.table({
+            "fmt": fmt.dictionary,
+            "n_images": pa.array(np.bincount(inv, minlength=k)
+                                 .astype(np.int64)),
+            "n_boxes": pa.array(np.bincount(inv, minlength=k)
+                                .astype(np.int64) * kb),
+            "n_kept": pa.array(np.bincount(inv, weights=kept_per_img,
+                                           minlength=k).astype(np.int64)),
+            "sum_kept_score": pa.array(np.bincount(
+                inv, weights=(sc * keep).sum(axis=1),
+                minlength=k).astype(np.int64)),
+            "kept_checksum": pa.array(np.bincount(
+                inv, weights=((idx[:, None] * 31 + slot) * keep)
+                .sum(axis=1), minlength=k).astype(np.int64)),
+        })
+
+    agg = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["fmt"], ["n_images", "n_boxes", "n_kept", "sum_kept_score",
+                  "kept_checksum"])
+    if not (agg["n_kept"].to_numpy(zero_copy_only=False)
+            < agg["n_boxes"].to_numpy(zero_copy_only=False)).all():
+        raise AssertionError("nms suppressed nothing — thr too loose")
+    return agg.sort_by([("fmt", "ascending")])

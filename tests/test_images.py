@@ -435,3 +435,69 @@ def test_embed_images_dedup_planted_and_brute_force(ray_session):
         if prev is not None:
             assert got == prev
         prev = got
+
+
+def _nms_scalar(boxes, thr_num=1, thr_den=2):
+    """Reference greedy NMS for one image: list of (x0,y0,x1,y1,score,
+    slot); returns kept slot set."""
+    order = sorted(range(len(boxes)), key=lambda i: (-boxes[i][4], i))
+    kept = []
+    for i in order:
+        x0, y0, x1, y1, s, _ = boxes[i]
+        a = (x1 - x0) * (y1 - y0)
+        ok = True
+        for j in kept:
+            u0, v0, u1, v1, _, _ = boxes[j]
+            iw = min(x1, u1) - max(x0, u0)
+            ih = min(y1, v1) - max(y0, v0)
+            inter = max(iw, 0) * max(ih, 0)
+            union = a + (u1 - u0) * (v1 - v0) - inter
+            if inter * thr_den > thr_num * union:
+                ok = False
+                break
+        if ok:
+            kept.append(i)
+    return {boxes[i][5] for i in kept}
+
+
+def test_nms_dense_matches_scalar_greedy():
+    from geobuf_ray.io.images import nms_dense
+
+    rng = np.random.default_rng(3)
+    g, kb = 200, 8
+    x0 = rng.integers(0, 100, (g, kb))
+    y0 = rng.integers(0, 100, (g, kb))
+    x1 = x0 + rng.integers(4, 80, (g, kb))
+    y1 = y0 + rng.integers(4, 80, (g, kb))
+    sc = rng.integers(0, 50, (g, kb))  # narrow range forces score ties
+    keep = nms_dense(x0, y0, x1, y1, sc)
+    assert keep.any(axis=1).all()
+    for i in range(g):
+        boxes = [(int(x0[i, j]), int(y0[i, j]), int(x1[i, j]),
+                  int(y1[i, j]), int(sc[i, j]), j) for j in range(kb)]
+        assert {j for j in range(kb) if keep[i, j]} == _nms_scalar(boxes), i
+
+
+def test_nms_identical_boxes_keep_one():
+    from geobuf_ray.io.images import nms_dense
+
+    one = np.full((1, 5), 10)
+    keep = nms_dense(one * 0, one * 0, one * 0 + 20, one * 0 + 20,
+                     np.array([[7, 9, 9, 3, 9]]))
+    # three score-9 ties: stable sort keeps the lowest slot
+    assert keep.tolist() == [[False, True, False, False, False]]
+
+
+def test_synthesize_boxes_chunk_invariant():
+    from geobuf_ray.io.images import synthesize_boxes
+
+    idx = np.arange(40)
+    w = np.full(40, 64)
+    h = np.full(40, 48)
+    full = synthesize_boxes(idx, w, h)
+    part = synthesize_boxes(idx[13:27], w[13:27], h[13:27])
+    for a, b in zip(full, part):
+        assert (a[13:27] == b).all()
+    x0, y0, x1, y1, sc = full
+    assert (x1 > x0).all() and (y1 > y0).all()
+    assert (x1 <= 64).all() and (y1 <= 48).all() and (x0 >= 0).all()
