@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_balance_tier_theta": q.suppliers_balance_tier_theta,
         "lineitem_qty_power_sums": q.lineitem_qty_power_sums,
         "images_nms": q.images_nms,
+        "parts_soundex_blocks": q.parts_soundex_blocks,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -3692,6 +3693,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT * FROM embeddings WHERE label = 1) e,
                      (SELECT * FROM embeddings WHERE vec_id < 5) qv
             ) WHERE rnk <= 5
+        """,
+        "parts_soundex_blocks": """
+            WITH w AS (SELECT p_partkey AS id,
+                              regexp_replace(p_name, ' .*$', '') AS word
+                       FROM part),
+            u AS (SELECT id, word,
+                         upper(regexp_replace(word, '[^A-Za-z]', '', 'g'))
+                             AS uw FROM w),
+            s AS (SELECT id, word, substr(uw, 1, 1) AS f,
+                         substr(uw, 1, 1)
+                             || translate(substr(uw, 2), 'HW', '') AS body
+                  FROM u),
+            c AS (SELECT id, word, f,
+                         translate(body, 'BFPVCGJKQSXZDTLMNRAEIOUY',
+                                   '111122222222334556000000') AS coded
+                  FROM s),
+            x AS (SELECT id, word, f, i,
+                         substr(coded, CAST(i AS INT), 1) AS ch
+                  FROM c, unnest(generate_series(1, length(coded)))
+                           AS t(i)),
+            y AS (SELECT id, word, f, i, ch,
+                         lag(ch) OVER (PARTITION BY id ORDER BY i) AS pch
+                  FROM x),
+            z AS (SELECT id, word, f,
+                         string_agg(ch, '' ORDER BY i) AS coll
+                  FROM y WHERE pch IS NULL OR ch <> pch
+                  GROUP BY id, word, f)
+            SELECT f || substr(replace(substr(coll, 2), '0', '')
+                               || '000', 1, 3) AS sdx,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
+            FROM z GROUP BY 1 ORDER BY sdx
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -1260,3 +1260,87 @@ def bpe_encode(ds, merges_tbl: pa.Table, symtab: list[str], *,
                                    id_col=id_col, text_col=text_col,
                                    passthrough=passthrough),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# phonetic encoding (record-linkage blocking keys)
+# ---------------------------------------------------------------------------
+
+# letter -> soundex digit class; 7 = H/W (collapse-transparent,
+# removed before coding except at position 0), 0 = vowels + Y
+_SDX_LUT = np.zeros(256, np.uint8)
+for _c, _d in [("AEIOUY", 0), ("BFPV", 1), ("CGJKQSXZ", 2), ("DT", 3),
+               ("L", 4), ("MN", 5), ("R", 6), ("HW", 7)]:
+    for _ch in _c:
+        _SDX_LUT[ord(_ch)] = _d
+
+
+def soundex_batch(col) -> pa.Array:
+    """American Soundex codes (the SQL-Server-compatible variant),
+    fully vectorized over the flat utf8 byte buffer — no per-row
+    Python.  The variant is pinned to be expressible as plain SQL
+    (``translate`` + one run-collapsing ``regexp_replace``), which is
+    what makes blocking pipelines built on it hash-checkable:
+
+    1. upper-case, strip non-A-Z,
+    2. drop H/W everywhere EXCEPT position 0 (codes collapse across
+       them — the classic quirk),
+    3. code every letter (including the first) to its digit class,
+       collapse adjacent equal digits,
+    4. result = first letter + first 3 non-vowel digits of the rest,
+       zero-padded; '' encodes to '000' (the SQL expression's value).
+
+    Nulls propagate."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.string())
+    null_mask = np.asarray(arr.is_null()) if arr.null_count else None
+    u = pc.replace_substring_regex(
+        pc.utf8_upper(arr.fill_null("").cast(pa.string())), "[^A-Z]", "")
+    data, offs = _string_parts(u)
+    lens = np.diff(offs)
+    total = int(offs[-1] - offs[0])
+    data = data[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    sid = np.repeat(np.arange(n), lens)
+    pos = np.arange(total)
+    is_start = pos == offs[sid]
+
+    # step 2: drop non-leading H/W
+    c = _SDX_LUT[data]
+    keep = is_start | (c != 7)
+    data, c, sid, is_start = data[keep], c[keep], sid[keep], is_start[keep]
+    # step 3: collapse adjacent equal digit classes (a leading H/W is
+    # the only code-7 left; it never equals a digit so never collapses)
+    prev = np.empty_like(c)
+    prev[1:] = c[:-1]
+    keep = is_start | (c != prev[:len(c)] if len(c) else is_start)
+    data, c, sid, is_start = data[keep], c[keep], sid[keep], is_start[keep]
+    # step 4: drop vowel-class positions after the first
+    keep = is_start | (c != 0)
+    data, c, sid, is_start = data[keep], c[keep], sid[keep], is_start[keep]
+
+    out = np.full((n, 4), ord("0"), np.uint8)
+    out[sid[is_start], 0] = data[is_start]
+    # rank of each kept digit within its string (start = rank 0)
+    new_lens = np.bincount(sid, minlength=n)
+    new_offs = np.concatenate(([0], np.cumsum(new_lens)))
+    rank = np.arange(len(sid)) - new_offs[sid]
+    dig = ~is_start & (rank <= 3)
+    out[sid[dig], rank[dig]] = 48 + c[dig]
+
+    if (lens == 0).any():
+        vals = [bytes(out[i, 1:]).decode() if lens[i] == 0
+                else bytes(out[i]).decode() for i in range(n)]
+        res = pa.array(vals, pa.string())
+    else:
+        flat = pa.py_buffer(out.tobytes())
+        o = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * 4).tobytes())
+        res = pa.Array.from_buffers(pa.string(), n, [None, o, flat])
+    if null_mask is not None:
+        res = pa.array(res.to_pylist(), pa.string(),
+                       mask=null_mask)
+    return res

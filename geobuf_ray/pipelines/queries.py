@@ -10798,3 +10798,43 @@ def images_nms(sf_dir: str, kb: int = 8):
             < agg["n_boxes"].to_numpy(zero_copy_only=False)).all():
         raise AssertionError("nms suppressed nothing — thr too loose")
     return agg.sort_by([("fmt", "ascending")])
+
+
+def parts_soundex_blocks(sf_dir: str):
+    """Phonetic blocking keys (functions/text.soundex_batch): the
+    record-linkage primitive — rows sharing a Soundex code are the
+    candidate block a fuzzy-match verify (edit_distance_self_join)
+    would scan.  Vectorized over the flat byte buffer, variant pinned
+    to be SQL-expressible (translate + UNNEST/LAG run collapse — RE2
+    has no backreferences, so the classic regexp collapse is not
+    available to either engine).  Per-code block sizes + distinct
+    word counts over the first word of p_name, hash-checked."""
+    import ray
+
+    from ..functions.text import soundex_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_name"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        word = pc.replace_substring_regex(
+            b["p_name"].combine_chunks(), " .*$", "")
+        sdx = soundex_batch(word)
+        t = pa.table({"sdx": sdx, "word": word,
+                      "n": pa.array(np.ones(len(sdx), np.int64))})
+        g = t.group_by(["sdx", "word"]).aggregate([("n", "sum")])
+        return g.rename_columns(["sdx", "word", "n"])
+
+    from ..collect import collect_table
+
+    parts = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    df = parts.to_pandas().groupby(["sdx", "word"], as_index=False)["n"] \
+        .sum()
+    out = df.groupby("sdx", as_index=False).agg(
+        n_parts=("n", "sum"), n_distinct=("word", "nunique"))
+    out = out.sort_values("sdx").reset_index(drop=True)
+    return pa.table({
+        "sdx": pa.array(out["sdx"], pa.string()),
+        "n_parts": pa.array(out["n_parts"].astype(np.int64)),
+        "n_distinct": pa.array(out["n_distinct"].astype(np.int64))})

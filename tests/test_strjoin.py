@@ -143,3 +143,47 @@ def test_jaccard_set_join_edges(ray_session):
     assert len(out) == 1
     assert (out.iloc[0].doc_a, out.iloc[0].doc_b) == (1, 2)
     assert out.iloc[0].inter == 3
+
+
+def test_soundex_canonical_vectors():
+    from geobuf_ray.functions.text import soundex_batch
+
+    # the published American Soundex test vectors (collapse-across-HW
+    # quirk included) + edge cases
+    vec = {"Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+           "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+           "Honeyman": "H555", "A": "A000", "Wu": "W000",
+           "lloyd": "L300", "gauss": "G200", "hilbert": "H416",
+           "heilbronn": "H416", "": "000", "O'Brien": "O165"}
+    got = soundex_batch(pa.array(list(vec))).to_pylist()
+    assert got == list(vec.values())
+
+
+def test_soundex_nulls_and_scalar_reference():
+    from geobuf_ray.functions.text import soundex_batch
+
+    def scalar(word):
+        lut = {}
+        for cs, d in [("AEIOUY", "0"), ("BFPV", "1"), ("CGJKQSXZ", "2"),
+                      ("DT", "3"), ("L", "4"), ("MN", "5"), ("R", "6")]:
+            for ch in cs:
+                lut[ch] = d
+        u = "".join(c for c in word.upper() if "A" <= c <= "Z")
+        if not u:
+            return "000"
+        body = u[0] + "".join(c for c in u[1:] if c not in "HW")
+        coded = "".join(lut.get(c, c) for c in body)
+        coll = coded[0]
+        for c in coded[1:]:
+            if c != coll[-1]:
+                coll += c
+        digits = coll[1:].replace("0", "")
+        return u[0] + (digits + "000")[:3]
+
+    rng = np.random.default_rng(8)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    words = ["".join(rng.choice(letters, rng.integers(1, 12)))
+             for _ in range(500)] + [None, "x", None]
+    got = soundex_batch(pa.array(words, pa.string())).to_pylist()
+    for w, g in zip(words, got):
+        assert g == (None if w is None else scalar(w)), (w, g)
