@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_power_sums": q.lineitem_qty_power_sums,
         "images_nms": q.images_nms,
         "parts_soundex_blocks": q.parts_soundex_blocks,
+        "nations_frechet_pairs": q.nations_frechet_pairs,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -3725,6 +3726,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_parts,
                    CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
             FROM z GROUP BY 1 ORDER BY sdx
+        """,
+        "nations_frechet_pairs": """
+            WITH RECURSIVE
+            seq AS (SELECT c_nationkey AS code,
+                           CAST(ROW_NUMBER() OVER (
+                               PARTITION BY c_nationkey
+                               ORDER BY c_custkey) - 1 AS BIGINT) AS i,
+                           (c_custkey * 37) % 3600 - 1800 AS x,
+                           (c_custkey * 53) % 1700 - 850 AS y
+                    FROM customer
+                    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_custkey) <= 12),
+            codes AS (SELECT DISTINCT code FROM seq),
+            prs AS (SELECT a.code AS ca, b.code AS cb,
+                           a.code * 100 + b.code AS pair
+                    FROM codes a, codes b WHERE a.code <> b.code),
+            sa AS (SELECT pair, i, x, y FROM prs
+                   JOIN seq ON seq.code = prs.ca),
+            sb AS (SELECT pair, i AS j, x, y FROM prs
+                   JOIN seq ON seq.code = prs.cb),
+            lens AS (SELECT a.pair, ma, pb FROM
+                     (SELECT pair, COUNT(*) AS ma FROM sa GROUP BY pair) a
+                     JOIN (SELECT pair, COUNT(*) AS pb FROM sb
+                           GROUP BY pair) b USING (pair)),
+            dist AS (SELECT sa.pair, i, j,
+                            (sa.x-sb.x)*(sa.x-sb.x)
+                            + (sa.y-sb.y)*(sa.y-sb.y) AS d
+                     FROM sa JOIN sb USING (pair)),
+            r(pair, i, j, val, c) AS (
+                SELECT pair, 0, 0, d, 1 FROM dist WHERE i = 0 AND j = 0
+                UNION ALL
+                (WITH w AS (SELECT * FROM r),
+                 spawn AS (
+                    SELECT DISTINCT w.pair, w.i + 1 AS ni, w.j AS nj
+                    FROM w JOIN lens USING (pair)
+                    WHERE c = 1 AND w.i + 1 < ma
+                    UNION
+                    SELECT DISTINCT w.pair, w.i AS ni, w.j + 1 AS nj
+                    FROM w JOIN lens USING (pair)
+                    WHERE c = 1 AND w.j + 1 < pb),
+                 nxt AS (
+                    SELECT s.pair, s.ni AS i, s.nj AS j,
+                      CASE WHEN s.ni = 0 THEN greatest(d.d, lf.val)
+                           WHEN s.nj = 0 THEN greatest(d.d, up.val)
+                           ELSE greatest(d.d, least(up.val, lf.val,
+                                                    dg.val)) END AS val
+                    FROM spawn s
+                    JOIN dist d ON d.pair = s.pair AND d.i = s.ni
+                                AND d.j = s.nj
+                    LEFT JOIN w up ON up.c = 1 AND up.pair = s.pair
+                                   AND up.i = s.ni - 1 AND up.j = s.nj
+                    LEFT JOIN w lf ON lf.c = 1 AND lf.pair = s.pair
+                                   AND lf.i = s.ni AND lf.j = s.nj - 1
+                    LEFT JOIN w dg ON dg.c = 0 AND dg.pair = s.pair
+                                   AND dg.i = s.ni - 1
+                                   AND dg.j = s.nj - 1)
+                 SELECT pair, i, j, val, 1 FROM nxt
+                 UNION ALL
+                 SELECT w.pair, w.i, w.j, w.val, 0
+                 FROM w JOIN lens USING (pair)
+                 WHERE w.c = 1 AND w.i + w.j < ma + pb - 2))
+            SELECT prs.ca AS code_a, prs.cb AS code_b,
+                   CAST(r.val AS BIGINT) AS frechet_d2
+            FROM r JOIN lens USING (pair) JOIN prs USING (pair)
+            WHERE r.c = 1 AND r.i = ma - 1 AND r.j = pb - 1
+            ORDER BY code_a, code_b
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -10838,3 +10838,76 @@ def parts_soundex_blocks(sf_dir: str):
         "sdx": pa.array(out["sdx"], pa.string()),
         "n_parts": pa.array(out["n_parts"].astype(np.int64)),
         "n_distinct": pa.array(out["n_distinct"].astype(np.int64))})
+
+
+def nations_frechet_pairs(sf_dir: str, m: int = 12):
+    """Discrete Fréchet distance between nation customer TRAJECTORIES
+    (spatial/measures.discrete_frechet_pairs — Eiter–Mannila DP):
+    each nation's path is its first ``m`` customers by custkey on the
+    key-derived grid (the ORDERED twin of customers_hausdorff_nations'
+    point sets); every ordered nation pair gets the exact int64
+    squared-euclidean Fréchet value, the DP vectorized ACROSS all
+    pairs (the grid is the small sequential dimension).  Sequence
+    extraction is distributed (per-block partial top-m per nation,
+    bounded rows per block); the pair table is driver-sized by
+    contract (|nations|^2).  Ragged nations pad by repeating their
+    last point (Fréchet is stutter-invariant — tested).  Hash-checked
+    vs a two-diagonal recursive-CTE DP twin (RE2-free, carries diag
+    d and d-1 through the recursion)."""
+    import ray
+
+    from ..collect import collect_table
+    from ..spatial.measures import discrete_frechet_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        code = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = np.lexsort((k, code))
+        code_s, k_s = code[sel], k[sel]
+        starts = np.concatenate(([0], np.flatnonzero(
+            np.diff(code_s)) + 1))
+        rank = np.arange(len(code_s)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(code_s)]))))
+        keep = rank < m
+        return pa.table({"code": pa.array(code_s[keep]),
+                         "k": pa.array(k_s[keep])})
+
+    cand = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    code = cand["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = cand["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = np.lexsort((k, code))
+    code, k = code[sel], k[sel]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(code)) + 1))
+    lens_all = np.diff(np.concatenate((starts, [len(code)])))
+    rank = np.arange(len(code)) - np.repeat(starts, lens_all)
+    keep = rank < m
+    code, k, rank = code[keep], k[keep], rank[keep]
+
+    codes = np.unique(code)
+    nc = len(codes)
+    lens = np.bincount(np.searchsorted(codes, code), minlength=nc)
+    # dense (nation, m) coordinate matrices, ragged tails repeat the
+    # last point (stutter-invariance keeps the DP exact)
+    X = np.zeros((nc, m), np.int64)
+    Y = np.zeros((nc, m), np.int64)
+    ci = np.searchsorted(codes, code)
+    X[ci, rank] = (k * 37) % 3600 - 1800
+    Y[ci, rank] = (k * 53) % 1700 - 850
+    for g in range(nc):  # nc <= 25: pad tails
+        if lens[g] < m:
+            X[g, lens[g]:] = X[g, lens[g] - 1]
+            Y[g, lens[g]:] = Y[g, lens[g] - 1]
+
+    ai, bi = np.meshgrid(np.arange(nc), np.arange(nc), indexing="ij")
+    off = ai.ravel() != bi.ravel()
+    ai, bi = ai.ravel()[off], bi.ravel()[off]
+    d2 = discrete_frechet_pairs(X[ai], Y[ai], X[bi], Y[bi])
+    return pa.table({"code_a": pa.array(codes[ai]),
+                     "code_b": pa.array(codes[bi]),
+                     "frechet_d2": pa.array(d2)})

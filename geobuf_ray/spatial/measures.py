@@ -304,3 +304,44 @@ def directed_hausdorff_groups(ds, ref_xy: np.ndarray,
     return pa.table({"code_a": pa.array(sel // K),
                      "code_b": pa.array(sel % K),
                      "hausdorff_d2": pa.array(agg[sel])})
+
+
+def discrete_frechet_pairs(ax: np.ndarray, ay: np.ndarray,
+                           bx: np.ndarray, by: np.ndarray) -> np.ndarray:
+    """Discrete Fréchet distance (squared euclidean, exact int64) for
+    MANY sequence pairs at once: inputs are (npairs, m) / (npairs, p)
+    integer coordinate arrays; the classic Eiter–Mannila DP runs
+    sequentially over the small (i, j) grid with every cell one
+    vectorized op ACROSS pairs — the pair set is the parallel
+    dimension, never a Python loop body.
+
+    Ragged sequences pad by REPEATING their last point: the discrete
+    Fréchet distance is invariant under consecutive duplication (a
+    coupling may hold one side still), so the padded terminal equals
+    the unpadded answer — asserted against the scalar DP in tests.
+    Coordinates are guarded to |v| < 2^31 so squared distances stay
+    exact int64."""
+    for arr in (ax, ay, bx, by):
+        if arr.size and int(np.abs(arr).max()) >= 1 << 31:
+            raise OverflowError("discrete_frechet_pairs: |coord| < 2^31")
+    npairs, m = ax.shape
+    p = bx.shape[1]
+    prev = np.empty((npairs, p), np.int64)
+    cur = np.empty((npairs, p), np.int64)
+    for i in range(m):
+        for j in range(p):
+            dx = ax[:, i] - bx[:, j]
+            dy = ay[:, i] - by[:, j]
+            dd = dx * dx + dy * dy
+            if i == 0 and j == 0:
+                cur[:, 0] = dd
+            elif i == 0:
+                cur[:, j] = np.maximum(cur[:, j - 1], dd)
+            elif j == 0:
+                cur[:, j] = np.maximum(prev[:, 0], dd)
+            else:
+                cur[:, j] = np.maximum(dd, np.minimum(
+                    np.minimum(prev[:, j], prev[:, j - 1]),
+                    cur[:, j - 1]))
+        prev, cur = cur, prev
+    return prev[:, p - 1].copy()

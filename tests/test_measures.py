@@ -231,3 +231,65 @@ def test_directed_hausdorff_scalar_and_empty_group(ray_session):
                     for bx, by in g[b]) for ax, ay in g[a])
     assert got == want
     assert not any(2 in p for p in got)  # empty group never pairs
+
+
+def _frechet_scalar(A, B):
+    c = {}
+    m, p = len(A), len(B)
+    for i in range(m):
+        for j in range(p):
+            dx = A[i][0] - B[j][0]
+            dy = A[i][1] - B[j][1]
+            dd = dx * dx + dy * dy
+            if i == 0 and j == 0:
+                c[i, j] = dd
+            elif i == 0:
+                c[i, j] = max(c[i, j - 1], dd)
+            elif j == 0:
+                c[i, j] = max(c[i - 1, j], dd)
+            else:
+                c[i, j] = max(dd, min(c[i - 1, j], c[i - 1, j - 1],
+                                      c[i, j - 1]))
+    return c[m - 1, p - 1]
+
+
+def test_frechet_pairs_match_scalar_dp():
+    from geobuf_ray.spatial.measures import discrete_frechet_pairs
+
+    rng = np.random.default_rng(4)
+    n, m, p = 80, 7, 9
+    ax = rng.integers(-500, 500, (n, m))
+    ay = rng.integers(-500, 500, (n, m))
+    bx = rng.integers(-500, 500, (n, p))
+    by = rng.integers(-500, 500, (n, p))
+    got = discrete_frechet_pairs(ax, ay, bx, by)
+    for k in range(n):
+        A = list(zip(ax[k], ay[k]))
+        B = list(zip(bx[k], by[k]))
+        assert got[k] == _frechet_scalar(A, B), k
+
+
+def test_frechet_stutter_pad_invariance():
+    from geobuf_ray.spatial.measures import discrete_frechet_pairs
+
+    rng = np.random.default_rng(5)
+    for _ in range(30):
+        la, lb = rng.integers(1, 8), rng.integers(1, 8)
+        A = rng.integers(-100, 100, (la, 2))
+        B = rng.integers(-100, 100, (lb, 2))
+        m = 10  # pad both to 10 by repeating the last point
+        ax = np.concatenate([A[:, 0], np.full(m - la, A[-1, 0])])[None]
+        ay = np.concatenate([A[:, 1], np.full(m - la, A[-1, 1])])[None]
+        bx = np.concatenate([B[:, 0], np.full(m - lb, B[-1, 0])])[None]
+        by = np.concatenate([B[:, 1], np.full(m - lb, B[-1, 1])])[None]
+        got = discrete_frechet_pairs(ax, ay, bx, by)[0]
+        assert got == _frechet_scalar(
+            [tuple(r) for r in A], [tuple(r) for r in B])
+
+
+def test_frechet_coordinate_guard():
+    from geobuf_ray.spatial.measures import discrete_frechet_pairs
+
+    big = np.full((1, 2), 1 << 31)
+    with pytest.raises(OverflowError):
+        discrete_frechet_pairs(big, big, big, big)
