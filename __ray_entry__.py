@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_nms": q.images_nms,
         "parts_soundex_blocks": q.parts_soundex_blocks,
         "nations_frechet_pairs": q.nations_frechet_pairs,
+        "nations_path_raster": q.nations_path_raster,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -3792,6 +3793,39 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN lens USING (pair) JOIN prs USING (pair)
             WHERE r.c = 1 AND r.i = ma - 1 AND r.j = pb - 1
             ORDER BY code_a, code_b
+        """,
+        "nations_path_raster": """
+            WITH seq AS (SELECT c_nationkey AS code,
+                    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                       ORDER BY c_custkey) AS rnk,
+                    (c_custkey * 37) % 3600 - 1800 AS x,
+                    (c_custkey * 53) % 1700 - 850 AS y
+                 FROM customer
+                 QUALIFY rnk <= 12),
+            segs AS (SELECT code, x AS x0, y AS y0,
+                        LEAD(x) OVER (PARTITION BY code ORDER BY rnk)
+                            AS x1,
+                        LEAD(y) OVER (PARTITION BY code ORDER BY rnk)
+                            AS y1
+                     FROM seq QUALIFY x1 IS NOT NULL),
+            st AS (SELECT code, x0, y0, x1, y1,
+                       greatest(abs(x1 - x0), abs(y1 - y0)) AS steps,
+                       greatest(greatest(abs(x1 - x0), abs(y1 - y0)),
+                                1) AS dv
+                   FROM segs),
+            pts AS (SELECT code,
+                       x0 + CAST(floor(CAST(t * (x1 - x0) AS DOUBLE)
+                                       / dv) AS BIGINT) AS x,
+                       y0 + CAST(floor(CAST(t * (y1 - y0) AS DOUBLE)
+                                       / dv) AS BIGINT) AS y
+                    FROM st, unnest(generate_series(0, steps)) AS u(t)),
+            cl AS (SELECT DISTINCT code,
+                       (CAST(floor(x / 64.0) AS BIGINT) + 64) * 4096
+                       + CAST(floor(y / 64.0) AS BIGINT) + 64 AS packed
+                   FROM pts)
+            SELECT code, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(packed) AS BIGINT) AS cell_checksum
+            FROM cl GROUP BY code ORDER BY code
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -10840,24 +10840,15 @@ def parts_soundex_blocks(sf_dir: str):
         "n_distinct": pa.array(out["n_distinct"].astype(np.int64))})
 
 
-def nations_frechet_pairs(sf_dir: str, m: int = 12):
-    """Discrete Fréchet distance between nation customer TRAJECTORIES
-    (spatial/measures.discrete_frechet_pairs — Eiter–Mannila DP):
-    each nation's path is its first ``m`` customers by custkey on the
-    key-derived grid (the ORDERED twin of customers_hausdorff_nations'
-    point sets); every ordered nation pair gets the exact int64
-    squared-euclidean Fréchet value, the DP vectorized ACROSS all
-    pairs (the grid is the small sequential dimension).  Sequence
-    extraction is distributed (per-block partial top-m per nation,
-    bounded rows per block); the pair table is driver-sized by
-    contract (|nations|^2).  Ragged nations pad by repeating their
-    last point (Fréchet is stutter-invariant — tested).  Hash-checked
-    vs a two-diagonal recursive-CTE DP twin (RE2-free, carries diag
-    d and d-1 through the recursion)."""
+def _nation_customer_sequences(sf_dir: str, m: int):
+    """Shared trajectory extraction: the first ``m`` customers per
+    nation by custkey (distributed per-block partial top-m — bounded
+    rows per block — then a driver-sized final cut), with grid coords
+    derived by the customers_hausdorff_nations formulas.  Returns
+    (code, k, rank, x, y) sorted by (code, rank)."""
     import ray
 
     from ..collect import collect_table
-    from ..spatial.measures import discrete_frechet_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_nationkey"])
@@ -10888,6 +10879,26 @@ def nations_frechet_pairs(sf_dir: str, m: int = 12):
     rank = np.arange(len(code)) - np.repeat(starts, lens_all)
     keep = rank < m
     code, k, rank = code[keep], k[keep], rank[keep]
+    return code, k, rank, (k * 37) % 3600 - 1800, (k * 53) % 1700 - 850
+
+
+def nations_frechet_pairs(sf_dir: str, m: int = 12):
+    """Discrete Fréchet distance between nation customer TRAJECTORIES
+    (spatial/measures.discrete_frechet_pairs — Eiter–Mannila DP):
+    each nation's path is its first ``m`` customers by custkey on the
+    key-derived grid (the ORDERED twin of customers_hausdorff_nations'
+    point sets); every ordered nation pair gets the exact int64
+    squared-euclidean Fréchet value, the DP vectorized ACROSS all
+    pairs (the grid is the small sequential dimension).  Sequence
+    extraction is distributed (per-block partial top-m per nation,
+    bounded rows per block); the pair table is driver-sized by
+    contract (|nations|^2).  Ragged nations pad by repeating their
+    last point (Fréchet is stutter-invariant — tested).  Hash-checked
+    vs a two-diagonal recursive-CTE DP twin (RE2-free, carries diag
+    d and d-1 through the recursion)."""
+    from ..spatial.measures import discrete_frechet_pairs
+
+    code, k, rank, _px, _py = _nation_customer_sequences(sf_dir, m)
 
     codes = np.unique(code)
     nc = len(codes)
@@ -10911,3 +10922,58 @@ def nations_frechet_pairs(sf_dir: str, m: int = 12):
     return pa.table({"code_a": pa.array(codes[ai]),
                      "code_b": pa.array(codes[bi]),
                      "frechet_d2": pa.array(d2)})
+
+
+def nations_path_raster(sf_dir: str, m: int = 12, cell: int = 64):
+    """Vector -> raster LINE rasterization (spatial/raster.
+    rasterize_lines_dda): each nation's customer trajectory (the
+    Fréchet sequences) becomes segments whose sampled-DDA walk visits
+    grid cells — the footprint/coverage question for linear features
+    (roads, tracks) that rasterize_polygons answers for areas.  The
+    pinned rule (major-axis steps, minor = exact floored division) is
+    float-floor-exact in SQL, so per-nation DISTINCT visited coarse
+    cells hash-check bit-for-bit.  Segment extraction is driver-sized
+    by contract; the cell fan-out (the heavy part) is a distributed
+    output-proportional map; per-block cell dedup bounds what ships."""
+    import ray
+
+    from ..collect import collect_table
+    from ..spatial.raster import rasterize_lines_dda
+
+    code, k, rank, px, py = _nation_customer_sequences(sf_dir, m)
+    # consecutive points within a nation -> segments
+    same = code[1:] == code[:-1]
+    segs = pa.table({
+        "code": pa.array(code[:-1][same]),
+        "x0": pa.array(px[:-1][same]), "y0": pa.array(py[:-1][same]),
+        "x1": pa.array(px[1:][same]), "y1": pa.array(py[1:][same])})
+    if segs.num_rows == 0:
+        return pa.table({"code": pa.array([], pa.int64()),
+                         "n_cells": pa.array([], pa.int64()),
+                         "cell_checksum": pa.array([], pa.int64())})
+
+    cells = ray.data.from_arrow(segs).repartition(8).map_batches(
+        lambda b: rasterize_lines_dda(b, cell=cell),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup(b: pa.Table) -> pa.Table:
+        c = b["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = b["cx"].to_numpy(zero_copy_only=False)
+        cy = b["cy"].to_numpy(zero_copy_only=False)
+        packed = (cx + 64) * 4096 + (cy + 64)
+        u = np.unique(np.stack([c, packed], axis=1), axis=0)
+        return pa.table({"code": pa.array(u[:, 0]),
+                         "packed": pa.array(u[:, 1])})
+
+    tbl = collect_table(cells.map_batches(dedup, batch_format="pyarrow",
+                                          zero_copy_batch=True))
+    c = tbl["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p = tbl["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = np.unique(np.stack([c, p], axis=1), axis=0)
+    cnt = np.bincount(np.searchsorted(np.unique(u[:, 0]), u[:, 0]))
+    codes_out = np.unique(u[:, 0])
+    sums = np.bincount(np.searchsorted(codes_out, u[:, 0]),
+                       weights=u[:, 1].astype(np.float64)).astype(np.int64)
+    return pa.table({"code": pa.array(codes_out),
+                     "n_cells": pa.array(cnt.astype(np.int64)),
+                     "cell_checksum": pa.array(sums)})

@@ -526,3 +526,47 @@ def marching_squares(occ_ds, *, ntiles: int, px: int,
                               zero_copy_batch=True, **map_kwargs)
     return hash_exchange(rows, nbuckets=nbuckets, on="band",
                          reduce_fn=cells)
+
+
+def rasterize_lines_dda(batch: pa.Table, *, cell: int = 64,
+                        cols=("x0", "y0", "x1", "y1")) -> pa.Table:
+    """Rasterize line segments to visited grid cells by sampled DDA:
+    each segment walks ``steps = max(|dx|, |dy|)`` unit increments of
+    its major axis, the minor coordinate following as the exact
+    floored division ``c0 + (t*dc) // steps`` — every step lands one
+    cell, the major coordinate never repeats, and the rule is pinned
+    to be SQL-reproducible (float-division floor is provably exact
+    while |t*dc| < 2^26, guarded).  Output: one row per (input row,
+    step) with the COARSE cell coords ``cx = x // cell`` (floored, so
+    negative coordinates bucket consistently with SQL's
+    floor(x/cell.0)); callers dedup per group as needed.  Degenerate
+    zero-length segments emit their single cell.
+
+    The fan-out is output-proportional (a map stage over a segment
+    table — the classic vector->raster shape, the line twin of
+    rasterize_polygons)."""
+    from ..codec.varint import ramp
+
+    n = batch.num_rows
+    x0 = batch[cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+    y0 = batch[cols[1]].to_numpy(zero_copy_only=False).astype(np.int64)
+    x1 = batch[cols[2]].to_numpy(zero_copy_only=False).astype(np.int64)
+    y1 = batch[cols[3]].to_numpy(zero_copy_only=False).astype(np.int64)
+    dx, dy = x1 - x0, y1 - y0
+    steps = np.maximum(np.abs(dx), np.abs(dy))
+    if steps.size and int(steps.max()) * max(
+            int(np.abs(dx).max(initial=0)),
+            int(np.abs(dy).max(initial=0))) >= 1 << 52:
+        raise OverflowError("rasterize_lines_dda: t*dc must stay well "
+                            "under 2^53 for the SQL float-floor twin")
+    div = np.maximum(steps, 1)
+    counts = steps + 1
+    row = np.repeat(np.arange(n), counts)
+    t = ramp(counts)
+    x = x0[row] + (t * dx[row]) // div[row]
+    y = y0[row] + (t * dy[row]) // div[row]
+    keep = [c for c in batch.column_names if c not in cols]
+    out = {c: batch[c].take(pa.array(row, pa.int64())) for c in keep}
+    out["cx"] = pa.array(x // cell)
+    out["cy"] = pa.array(y // cell)
+    return pa.table(out)

@@ -326,3 +326,52 @@ def test_pole_of_inaccessibility_brute_force(ray_session):
     got = (out["gx"][0].as_py(), out["gy"][0].as_py(),
            out["depth"][0].as_py())
     assert got == want
+
+
+def test_rasterize_lines_dda_scalar_reference():
+    from geobuf_ray.spatial.raster import rasterize_lines_dda
+
+    rng = np.random.default_rng(6)
+    n = 200
+    tbl = pa.table({
+        "sid": pa.array(np.arange(n), pa.int64()),
+        "x0": pa.array(rng.integers(-300, 300, n), pa.int64()),
+        "y0": pa.array(rng.integers(-300, 300, n), pa.int64()),
+        "x1": pa.array(rng.integers(-300, 300, n), pa.int64()),
+        "y1": pa.array(rng.integers(-300, 300, n), pa.int64())})
+    out = rasterize_lines_dda(tbl, cell=16)
+    got = {}
+    for s, cx, cy in zip(out["sid"].to_pylist(), out["cx"].to_pylist(),
+                         out["cy"].to_pylist()):
+        got.setdefault(s, []).append((cx, cy))
+    import math
+    for i in range(n):
+        x0, y0 = tbl["x0"][i].as_py(), tbl["y0"][i].as_py()
+        x1, y1 = tbl["x1"][i].as_py(), tbl["y1"][i].as_py()
+        dx, dy = x1 - x0, y1 - y0
+        steps = max(abs(dx), abs(dy))
+        dv = max(steps, 1)
+        exp = []
+        for t in range(steps + 1):
+            x = x0 + math.floor(t * dx / dv)
+            y = y0 + math.floor(t * dy / dv)
+            exp.append((math.floor(x / 16), math.floor(y / 16)))
+        assert got[i] == exp, i
+
+
+def test_rasterize_lines_dda_degenerate_and_props():
+    from geobuf_ray.spatial.raster import rasterize_lines_dda
+
+    tbl = pa.table({"sid": pa.array([0, 1], pa.int64()),
+                    "x0": pa.array([5, -100], pa.int64()),
+                    "y0": pa.array([5, 0], pa.int64()),
+                    "x1": pa.array([5, 100], pa.int64()),
+                    "y1": pa.array([5, 0], pa.int64())})
+    out = rasterize_lines_dda(tbl, cell=64)
+    df = out.to_pandas()
+    assert len(df[df.sid == 0]) == 1  # zero-length segment: one cell
+    seg1 = df[df.sid == 1]
+    assert len(seg1) == 201  # major axis never repeats
+    assert seg1["cx"].tolist() == sorted(seg1["cx"].tolist())
+    # endpoints land in their own cells
+    assert seg1["cx"].iloc[0] == -2 and seg1["cx"].iloc[-1] == 1
