@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_soundex_blocks": q.parts_soundex_blocks,
         "nations_frechet_pairs": q.nations_frechet_pairs,
         "nations_path_raster": q.nations_path_raster,
+        "images_box_pixel_sums": q.images_box_pixel_sums,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

@@ -963,3 +963,58 @@ def nms_dense(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray,
     keep = np.zeros((g, kb), bool)
     keep[ar, order] = keep_s
     return keep
+
+
+class BoxSumsFn:
+    """Actor-pool stage composing decode -> integral image -> per-box
+    pixel sums for the image's NMS-kept detection boxes: the
+    summed-area table makes every box reduction O(1) corner lookups
+    after one O(w*h) cumsum per image — the classic trick when MANY
+    regions query one image.  Per row emits exact int64 kept-box
+    statistics; one probe box per image is re-verified against the
+    direct pixel-slice sum in-stage (the corner formula cannot drift).
+    """
+
+    def __init__(self, kb: int = 8):
+        self.kb = kb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        n = len(ids)
+        idx = np.asarray([int(s[3:]) for s in ids], np.int64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0, y0, x1, y1, sc = synthesize_boxes(idx, w, h, kb=self.kb)
+        keep = nms_dense(x0, y0, x1, y1, sc)
+        n_kept = keep.sum(axis=1).astype(np.int64)
+        kept_sum = np.zeros(n, np.int64)
+        kept_max = np.zeros(n, np.int64)
+        total = np.zeros(n, np.int64)
+        for i in range(n):  # decode is inherently per-payload
+            px = decode_image(blobs[i]).astype(np.int64).sum(axis=2)
+            ii = np.zeros((px.shape[0] + 1, px.shape[1] + 1), np.int64)
+            np.cumsum(np.cumsum(px, axis=0), axis=1, out=ii[1:, 1:])
+            total[i] = ii[-1, -1]
+            bs = (ii[y1[i], x1[i]] - ii[y0[i], x1[i]]
+                  - ii[y1[i], x0[i]] + ii[y0[i], x0[i]])
+            probe = int(px[y0[i, 0]:y1[i, 0], x0[i, 0]:x1[i, 0]].sum())
+            if probe != int(bs[0]):
+                raise AssertionError("integral-image corner formula "
+                                     "disagrees with the direct sum")
+            kept_sum[i] = bs[keep[i]].sum()
+            kept_max[i] = bs[keep[i]].max(initial=0)
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("n_kept", pa.array(n_kept))
+        out = out.append_column("kept_pixel_sum", pa.array(kept_sum))
+        out = out.append_column("max_box_sum", pa.array(kept_max))
+        out = out.append_column("image_pixel_sum", pa.array(total))
+        return out
+
+
+def box_pixel_sums(ds, *, kb: int = 8, batch_size: int = 32,
+                   concurrency=(1, 8), **map_kwargs):
+    """Dataset stage: decode + integral image + NMS-kept box sums."""
+    return ds.map_batches(BoxSumsFn, fn_constructor_kwargs=dict(kb=kb),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, **map_kwargs)

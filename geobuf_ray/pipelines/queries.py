@@ -10977,3 +10977,48 @@ def nations_path_raster(sf_dir: str, m: int = 12, cell: int = 64):
     return pa.table({"code": pa.array(codes_out),
                      "n_cells": pa.array(cnt.astype(np.int64)),
                      "cell_checksum": pa.array(sums)})
+
+
+def images_box_pixel_sums(sf_dir: str):
+    """Region statistics over decoded pixels via integral images
+    (io/images.BoxSumsFn): decode -> one summed-area table per image
+    -> O(1) corner lookups for every NMS-KEPT detection box — the
+    many-regions-one-image composition (crop statistics, RoI pooling
+    ingredients).  Exact int64 throughout; the stage re-verifies one
+    probe box per image against the direct pixel-slice sum.  Per-fmt
+    rollup; rows-only (procedural payloads), scalar pytest oracle."""
+    from ..io import images as im
+    from ..io.images import box_pixel_sums
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    rows = box_pixel_sums(ds, batch_size=32, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        fmt = b["fmt"].combine_chunks().dictionary_encode()
+        inv = fmt.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(fmt.dictionary)
+
+        def s(col):
+            return pa.array(np.bincount(
+                inv, weights=b[col].to_numpy(zero_copy_only=False)
+                .astype(np.float64), minlength=k).astype(np.int64))
+
+        if (b["kept_pixel_sum"].to_numpy(zero_copy_only=False)
+                > b["image_pixel_sum"].to_numpy(
+                    zero_copy_only=False) * 8).any():
+            raise AssertionError("kept box mass exceeds kb x image mass")
+        return pa.table({
+            "fmt": fmt.dictionary,
+            "n_images": pa.array(np.bincount(inv, minlength=k)
+                                 .astype(np.int64)),
+            "n_kept": s("n_kept"),
+            "kept_pixel_sum": s("kept_pixel_sum"),
+            "image_pixel_sum": s("image_pixel_sum")})
+
+    agg = _final_combine(
+        rows.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["fmt"], ["n_images", "n_kept", "kept_pixel_sum",
+                  "image_pixel_sum"])
+    return agg.sort_by([("fmt", "ascending")])

@@ -501,3 +501,27 @@ def test_synthesize_boxes_chunk_invariant():
     x0, y0, x1, y1, sc = full
     assert (x1 > x0).all() and (y1 > y0).all()
     assert (x1 <= 64).all() and (y1 <= 48).all() and (x0 >= 0).all()
+
+
+def test_box_sums_fn_scalar_reference():
+    from geobuf_ray.io.images import (BoxSumsFn, decode_image, nms_dense,
+                                      synthesize_boxes,
+                                      synthesize_image_table)
+
+    tbl = synthesize_image_table(12)
+    out = BoxSumsFn(kb=8)(tbl)
+    df = out.to_pandas()
+    idx = np.arange(12)
+    w = tbl["w"].to_numpy().astype(np.int64)
+    h = tbl["h"].to_numpy().astype(np.int64)
+    x0, y0, x1, y1, sc = synthesize_boxes(idx, w, h, kb=8)
+    keep = nms_dense(x0, y0, x1, y1, sc)
+    for i in range(12):
+        px = decode_image(tbl["bytes"][i].as_py()).astype(np.int64) \
+            .sum(axis=2)
+        exp_total = int(px.sum())
+        exp_kept = sum(int(px[y0[i, j]:y1[i, j], x0[i, j]:x1[i, j]].sum())
+                       for j in range(8) if keep[i, j])
+        assert df["image_pixel_sum"][i] == exp_total
+        assert df["kept_pixel_sum"][i] == exp_kept
+        assert df["n_kept"][i] == int(keep[i].sum())
