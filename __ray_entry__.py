@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_frechet_pairs": q.nations_frechet_pairs,
         "nations_path_raster": q.nations_path_raster,
         "images_box_pixel_sums": q.images_box_pixel_sums,
+        "rects_morphology_open": q.rects_morphology_open,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -3827,6 +3828,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT code, CAST(COUNT(*) AS BIGINT) AS n_cells,
                    CAST(SUM(packed) AS BIGINT) AS cell_checksum
             FROM cl GROUP BY code ORDER BY code
+        """,
+        "rects_morphology_open": """
+            WITH s AS (
+              SELECT (s_suppkey*37) % 248 AS a, (s_suppkey*53) % 248 AS b,
+                     s_suppkey % 3 + 1 AS sx, (s_suppkey*7) % 3 + 1 AS sy
+              FROM supplier),
+            p AS (
+              SELECT DISTINCT a + i.range AS gx, b + j.range AS gy
+              FROM s, range(0, 4) i, range(0, 4) j
+              WHERE i.range <= sx AND j.range <= sy),
+            e AS (
+              SELECT p1.gx, p1.gy
+              FROM p p1 JOIN p p2
+                ON abs(p2.gx - p1.gx) <= 1 AND abs(p2.gy - p1.gy) <= 1
+              GROUP BY p1.gx, p1.gy HAVING COUNT(*) = 9),
+            d AS (
+              SELECT DISTINCT e.gx + i.range - 1 AS gx,
+                              e.gy + j.range - 1 AS gy
+              FROM e, range(0, 3) i, range(0, 3) j
+              WHERE e.gx + i.range - 1 BETWEEN 0 AND 255
+                AND e.gy + j.range - 1 BETWEEN 0 AND 255)
+            SELECT gx, gy FROM d ORDER BY gx, gy
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

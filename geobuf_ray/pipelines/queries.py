@@ -11022,3 +11022,29 @@ def images_box_pixel_sums(sf_dir: str):
         ["fmt"], ["n_images", "n_kept", "kept_pixel_sum",
                   "image_pixel_sum"])
     return agg.sort_by([("fmt", "ascending")])
+
+
+def rects_morphology_open(sf_dir: str):
+    """Morphological OPENING of the dyadic supplier-rect raster
+    (spatial/raster.morphology_open): 3x3 erosion (the focal halo
+    exchange with a full-window test) then 3x3 dilation (neighbor
+    fan-out + one dedup exchange) — the despeckle primitive composed
+    from the engine's own focal machinery.  Returns the opened pixel
+    set; hash-checked vs a HAVING COUNT(*)=9 neighborhood self-join +
+    DISTINCT neighbor-expansion SQL twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..spatial.polygonize import union_tile_masks
+    from ..spatial.raster import morphology_open, rasterize_polygons
+
+    polys = ray.data.from_arrow(_dyadic_rects(sf_dir))
+    raster = rasterize_polygons(polys, ntiles=32, px=8, id_col="id")
+    occ = union_tile_masks(raster, px=8, nbuckets=16)
+    opened = collect_table(morphology_open(occ, ntiles=32, px=8,
+                                           nbuckets=16))
+    gx = opened["gx"].to_numpy(zero_copy_only=False)
+    gy = opened["gy"].to_numpy(zero_copy_only=False)
+    sel = pa.array(np.lexsort((gy, gx)))
+    return pa.table({"gx": opened["gx"].take(sel),
+                     "gy": opened["gy"].take(sel)})

@@ -570,3 +570,46 @@ def rasterize_lines_dda(batch: pa.Table, *, cell: int = 64,
     out["cx"] = pa.array(x // cell)
     out["cy"] = pa.array(y // cell)
     return pa.table(out)
+
+
+def morphology_open(occ_ds, *, ntiles: int, px: int, nbuckets: int = 16,
+                    **map_kwargs):
+    """Morphological OPENING (3x3 erosion then dilation) of a tiled
+    binary raster — the despeckle/smoothing primitive, COMPOSED from
+    the engine's own parts: erosion = the focal halo-exchange with a
+    full-window test (a set pixel survives iff its 3x3 box sum is 9 —
+    grid-boundary pixels can never satisfy it, matching the SQL
+    neighborhood-count semantics), dilation = each survivor fans to
+    its in-grid 3x3 neighborhood and ONE hash exchange dedups cells.
+    Returns a Dataset of (gx, gy) opened set pixels."""
+    from ..functions.exchange import hash_exchange
+
+    n = ntiles * px
+    focal = focal_box_sum(occ_ds, ntiles=ntiles, px=px,
+                          nbuckets=nbuckets, **map_kwargs)
+    out_schema = pa.schema([("gx", pa.int64()), ("gy", pa.int64())])
+
+    def fan(batch: pa.Table):
+        f = batch["focal"].to_numpy(zero_copy_only=False)
+        gx = batch["gx"].to_numpy(zero_copy_only=False)[f == 9]
+        gy = batch["gy"].to_numpy(zero_copy_only=False)[f == 9]
+        dx, dy = np.meshgrid(np.arange(-1, 2), np.arange(-1, 2),
+                             indexing="ij")
+        nx = (gx[:, None] + dx.ravel()[None, :]).ravel()
+        ny = (gy[:, None] + dy.ravel()[None, :]).ravel()
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        nx, ny = nx[ok], ny[ok]
+        cell = nx * n + ny
+        tbl = pa.table({"gx": pa.array(nx), "gy": pa.array(ny)})
+        return (cell % nbuckets).astype(np.int64), tbl
+
+    def dedup(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        gx = tbl["gx"].to_numpy(zero_copy_only=False)
+        gy = tbl["gy"].to_numpy(zero_copy_only=False)
+        u = np.unique(gx * n + gy)
+        return pa.table({"gx": pa.array(u // n), "gy": pa.array(u % n)})
+
+    return hash_exchange(focal, nbuckets=nbuckets, bucket_fn=fan,
+                         reduce_fn=dedup, schema=out_schema)

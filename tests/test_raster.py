@@ -375,3 +375,43 @@ def test_rasterize_lines_dda_degenerate_and_props():
     assert seg1["cx"].tolist() == sorted(seg1["cx"].tolist())
     # endpoints land in their own cells
     assert seg1["cx"].iloc[0] == -2 and seg1["cx"].iloc[-1] == 1
+
+
+def test_morphology_open_brute_force(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.raster import morphology_open
+
+    # hand grid: a 4x4 solid block + speckle pixels that opening removes
+    ntiles, px = 4, 4
+    n = ntiles * px
+    pix = {(5, 5), (5, 6), (5, 7), (5, 8),
+           (6, 5), (6, 6), (6, 7), (6, 8),
+           (7, 5), (7, 6), (7, 7), (7, 8),
+           (8, 5), (8, 6), (8, 7), (8, 8),
+           (1, 1), (12, 3), (0, 15)}  # speckles
+    # build per-tile masks
+    rows = {}
+    for gx, gy in pix:
+        key = (gx // px, gy // px)
+        m = rows.setdefault(key, np.zeros((px, px), bool))
+        m[gy % px, gx % px] = True
+    occ = pa.table({
+        "tile_x": pa.array([k[0] for k in rows], pa.int64()),
+        "tile_y": pa.array([k[1] for k in rows], pa.int64()),
+        "mask": pa.array([bytes(np.packbits(m)) for m in rows.values()],
+                         pa.binary())})
+    out = collect_table(morphology_open(
+        ray.data.from_arrow(occ), ntiles=ntiles, px=px, nbuckets=4))
+    got = set(zip(out["gx"].to_pylist(), out["gy"].to_pylist()))
+
+    # brute-force reference
+    eroded = {(x, y) for (x, y) in pix
+              if all((x + dx, y + dy) in pix
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1))}
+    dilated = {(x + dx, y + dy) for (x, y) in eroded
+               for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               if 0 <= x + dx < n and 0 <= y + dy < n}
+    assert got == dilated
+    assert (6, 6) in got and (1, 1) not in got  # speckles gone
