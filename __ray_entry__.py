@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_path_raster": q.nations_path_raster,
         "images_box_pixel_sums": q.images_box_pixel_sums,
         "rects_morphology_open": q.rects_morphology_open,
+        "docs_rrf_fusion": q.docs_rrf_fusion,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -3850,6 +3851,48 @@ def oracle_sql() -> dict[str, str]:
               WHERE e.gx + i.range - 1 BETWEEN 0 AND 255
                 AND e.gy + j.range - 1 BETWEEN 0 AND 255)
             SELECT gx, gy FROM d ORDER BY gx, gy
+        """,
+        "docs_rrf_fusion": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents
+            ),
+            t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+            st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                          (SELECT CAST(SUM(dl) AS BIGINT) FROM dl)
+                              AS total_len),
+            q(term) AS (VALUES ('hash'), ('join'), ('scan'), ('window')),
+            tf AS (SELECT t.doc_id, t.term, COUNT(*) AS tf
+                   FROM t JOIN q USING (term) GROUP BY t.doc_id, t.term),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.term, tf.doc_id,
+                     ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75
+                          * ((dl.dl * st.n)
+                             / CAST(st.total_len AS DOUBLE)))) AS score
+              FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st
+            ),
+            ranked AS (
+              SELECT term, doc_id, rank FROM (
+                SELECT term, doc_id, CAST(ROW_NUMBER() OVER (
+                    PARTITION BY term ORDER BY score DESC, doc_id
+                ) AS BIGINT) AS rank FROM scored
+              ) WHERE rank <= 20),
+            fused AS (
+              SELECT doc_id,
+                     CAST(SUM(1000000000 // (60 + rank)) AS BIGINT)
+                         AS rrf_score,
+                     CAST(COUNT(*) AS BIGINT) AS n_lists
+              FROM ranked GROUP BY doc_id)
+            SELECT doc_id, rrf_score, n_lists,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+                       AS fused_rank
+            FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

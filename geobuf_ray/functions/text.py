@@ -1344,3 +1344,37 @@ def soundex_batch(col) -> pa.Array:
         res = pa.array(res.to_pylist(), pa.string(),
                        mask=null_mask)
     return res
+
+
+def rrf_fuse(ranked: pa.Table, *, list_col: str = "term",
+             id_col: str = "doc_id", rank_col: str = "rank",
+             kconst: int = 60, scale: int = 10**9,
+             topk: int = 10) -> pa.Table:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of several ranked
+    lists into one consensus ranking — the standard hybrid-retrieval
+    combiner.  Scores are the PINNED integer ``scale // (kconst +
+    rank)`` per appearance (floored division, so both engines agree
+    bit-for-bit; the float 1/(k+r) classic differs only by the
+    quantization), summed per id across lists; ties break to the
+    smaller id.  Input is the stacked (list, rank, id) table the
+    retrieval stages emit (bounded: lists x k rows), so fusion is
+    driver-sized by contract — the distributed work lives in the
+    retrieval stages that produced the lists."""
+    ids = ranked[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    rnk = ranked[rank_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if (rnk < 1).any():
+        raise ValueError("rrf_fuse: ranks must be 1-based")
+    pts = scale // (kconst + rnk)
+    uid = np.unique(ids)
+    pos = np.searchsorted(uid, ids)
+    score = np.bincount(pos, weights=pts.astype(np.float64),
+                        minlength=len(uid)).astype(np.int64)
+    if len(ranked) and int(pts.max()) * len(ranked) >= 1 << 53:
+        raise OverflowError("rrf_fuse: score sum exceeds exact float64")
+    nlists = np.bincount(pos, minlength=len(uid)).astype(np.int64)
+    sel = np.lexsort((uid, -score))[:topk]
+    return pa.table({
+        id_col: pa.array(uid[sel]),
+        "rrf_score": pa.array(score[sel]),
+        "n_lists": pa.array(nlists[sel]),
+        "fused_rank": pa.array(np.arange(1, len(sel) + 1))})

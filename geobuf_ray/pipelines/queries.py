@@ -11048,3 +11048,23 @@ def rects_morphology_open(sf_dir: str):
     sel = pa.array(np.lexsort((gy, gx)))
     return pa.table({"gx": opened["gx"].take(sel),
                      "gy": opened["gy"].take(sel)})
+
+
+def docs_rrf_fusion(sf_dir: str, k: int = 20, topk: int = 10):
+    """Hybrid-retrieval rank fusion (functions/text.rrf_fuse —
+    reciprocal-rank fusion, Cormack et al. 2009): the four per-term
+    BM25 rankings fuse into one consensus list under the pinned
+    integer score sum(10^9 // (60 + rank)) — floored division keeps
+    both engines bit-equal where the classic float 1/(k+r) would
+    hash-drift.  The distributed work is the BM25 retrieval itself
+    (one tokenizing pass + skinny candidate scoring); the fusion input
+    is bounded at lists x k rows by contract.  Hash-checked vs the
+    BM25 CTE twin extended with the same integer RRF aggregate."""
+    import ray
+
+    from ..functions.text import bm25_topk, rrf_fuse
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ranked = bm25_topk(ds, ["hash", "join", "scan", "window"], k=k)
+    return rrf_fuse(ranked, topk=topk)

@@ -1176,3 +1176,26 @@ def test_group_power_sums_block_overflow_raises(ray_session):
     with pytest.raises(Exception, match="int64"):
         group_power_sums(ray.data.from_arrow(tbl), ["k"], "v",
                          max_power=4)
+
+
+def test_rrf_fuse_scalar_reference():
+    from geobuf_ray.functions.text import rrf_fuse
+
+    ranked = pa.table({
+        "term": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+        "rank": pa.array([1, 2, 3, 1, 2, 1], pa.int64()),
+        "doc_id": pa.array([10, 20, 30, 20, 10, 40], pa.int64())})
+    out = rrf_fuse(ranked, kconst=60, scale=10**9, topk=4)
+    exp = {}
+    for t, r, d in zip(*[ranked[c].to_pylist()
+                         for c in ("term", "rank", "doc_id")]):
+        exp[d] = exp.get(d, 0) + 10**9 // (60 + r)
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    assert out["doc_id"].to_pylist() == order
+    assert out["rrf_score"].to_pylist() == [exp[d] for d in order]
+    assert out["fused_rank"].to_pylist() == [1, 2, 3, 4]
+    # doc present in two lists outranks a single higher-ranked doc
+    assert out["doc_id"].to_pylist()[0] in (10, 20)
+    with pytest.raises(ValueError):
+        rrf_fuse(pa.table({"term": ["a"], "rank": pa.array([0]),
+                           "doc_id": pa.array([1])}))
