@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_box_pixel_sums": q.images_box_pixel_sums,
         "rects_morphology_open": q.rects_morphology_open,
         "docs_rrf_fusion": q.docs_rrf_fusion,
+        "docs_source_diversity": q.docs_source_diversity,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -3893,6 +3894,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY rrf_score DESC, doc_id) AS BIGINT)
                        AS fused_rank
             FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
+        "docs_source_diversity": """
+            WITH c AS (SELECT lang, source,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY lang, source)
+            SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(SUM(n * n) AS BIGINT) AS collision_mass,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM c GROUP BY lang ORDER BY lang
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

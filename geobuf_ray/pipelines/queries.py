@@ -11068,3 +11068,42 @@ def docs_rrf_fusion(sf_dir: str, k: int = 20, topk: int = 10):
                                columns=["doc_id", "text"])
     ranked = bm25_topk(ds, ["hash", "join", "scan", "window"], k=k)
     return rrf_fuse(ranked, topk=topk)
+
+
+def docs_source_diversity(sf_dir: str):
+    """Gini–Simpson diversity ingredients per language: N docs, the
+    collision mass sum(n_source^2) and the source count — the exact
+    integer core of Simpson's index 1 - sum(n^2)/N^2 (division left
+    to the consumer, the mixture-balance gate for training-corpus
+    composition).  One counting pass (per-block (lang, source)
+    partials), driver square-sum over the metadata-domain groups.
+    Hash-checked vs a two-level GROUP BY twin."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"], "source": b["source"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["lang", "source"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "source", "n"])
+
+    pairs = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["lang", "source"], ["n"])
+    df = pairs.to_pandas()
+    n = df["n"].astype(np.int64)
+    if len(df) and int(n.max()) ** 2 * len(df) >= 2**62:
+        raise OverflowError("docs_source_diversity: n^2 sum bound")
+    df["nsq"] = n * n
+    out = df.groupby("lang", as_index=False).agg(
+        n_docs=("n", "sum"), collision_mass=("nsq", "sum"),
+        n_sources=("source", "nunique")).sort_values("lang")
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype(np.int64)),
+        "collision_mass": pa.array(out["collision_mass"]
+                                   .astype(np.int64)),
+        "n_sources": pa.array(out["n_sources"].astype(np.int64))})
