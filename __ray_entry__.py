@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_morphology_open": q.rects_morphology_open,
         "docs_rrf_fusion": q.docs_rrf_fusion,
         "docs_source_diversity": q.docs_source_diversity,
+        "lineitem_lookup_join": q.lineitem_lookup_join,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -3903,6 +3904,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n * n) AS BIGINT) AS collision_mass,
                    CAST(COUNT(*) AS BIGINT) AS n_sources
             FROM c GROUP BY lang ORDER BY lang
+        """,
+        "lineitem_lookup_join": """
+            WITH o AS (SELECT o_orderkey,
+                              CASE WHEN o_orderkey % 97 = 0
+                                   THEN '9-RETAGGED'
+                                   ELSE o_orderpriority END AS pr
+                       FROM orders)
+            SELECT pr AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty
+            FROM lineitem JOIN o ON l_orderkey = o_orderkey
+            GROUP BY pr ORDER BY pr
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -11107,3 +11107,83 @@ def docs_source_diversity(sf_dir: str):
         "collision_mass": pa.array(out["collision_mass"]
                                    .astype(np.int64)),
         "n_sources": pa.array(out["n_sources"].astype(np.int64))})
+
+
+def lineitem_lookup_join(sf_dir: str):
+    """INDEX-NESTED-LOOP enrichment join (state/mergeinto.lookup_join):
+    the lineitem STREAM enriches with order priority by probing the
+    keyed orders layout — each probe batch opens only the partitions
+    its orderkeys hash to, with a per-actor LRU of resolved partitions
+    (the physical join shape when the dimension side is a huge
+    disk-partitioned table: too big to broadcast, wasteful to
+    re-shuffle).  A pending merge-on-read delta RE-PRIORITIZES every
+    97th order, so the lookup must resolve latest-wins through it —
+    the enrichment sees the delta'd priorities, which the hash check
+    certifies.  Aggregates (n, sum qty) per enriched priority;
+    hash-checked vs a base+delta merge-simulation join twin."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.mergeinto import (append_delta, build_keyed_layout,
+                                   lookup_join)
+
+    def dprep(b: pa.Table) -> pa.Table:
+        k = b["id"].to_numpy().astype(np.int64)
+        t = b.filter(pa.array(k % 97 == 0))
+        return pa.table({
+            "id": t["id"],
+            "ver": pa.array(t["ver"].to_numpy().astype(np.int64)
+                            + 10000),
+            "cents": t["cents"],
+            "o_orderpriority": pa.array(
+                ["9-RETAGGED"] * t.num_rows, pa.string())})
+
+    d = tempfile.mkdtemp(prefix="lkj_", dir="/tmp")
+    try:
+        build_keyed_layout(_orders_cdc_base(sf_dir), d, key="id",
+                           version="ver", npartitions=32)
+        append_delta(d, _orders_cdc_base(sf_dir).map_batches(
+            dprep, batch_format="pyarrow", zero_copy_batch=True))
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_quantity"])
+
+        def lprep(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "qty": pa.array(np.round(b["l_quantity"].to_numpy())
+                                .astype(np.int64))})
+
+        enriched = lookup_join(
+            li.map_batches(lprep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            d, "l_orderkey", columns=["o_orderpriority"],
+            batch_size=8192, concurrency=(1, 4))
+
+        def partial(b: pa.Table) -> pa.Table:
+            pr = b["o_orderpriority"].combine_chunks() \
+                .dictionary_encode()
+            inv = pr.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            k = len(pr.dictionary)
+            qty = b["qty"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "o_orderpriority": pr.dictionary,
+                "n": pa.array(np.bincount(inv, minlength=k)
+                              .astype(np.int64)),
+                "sum_qty": pa.array(np.bincount(
+                    inv, weights=qty.astype(np.float64),
+                    minlength=k).astype(np.int64))})
+
+        agg = _final_combine(
+            enriched.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            ["o_orderpriority"], ["n", "sum_qty"])
+        if "9-RETAGGED" not in agg["o_orderpriority"].to_pylist():
+            raise AssertionError("lookup join missed the MoR delta")
+        return agg.sort_by([("o_orderpriority", "ascending")])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

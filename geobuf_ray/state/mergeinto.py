@@ -708,3 +708,133 @@ def vacuum_keyed_layout(out_dir: str) -> dict:
             removed["expired_deltas"].append(f)
             os.remove(path)
     return removed
+
+
+class LookupJoinFn:
+    """Actor-pool INDEX-NESTED-LOOP join against a keyed layout: each
+    probe batch routes its keys through the pinned hash and resolves
+    ONLY the partitions they land in (latest-wins through pending
+    merge-on-read deltas), with a per-actor LRU of resolved,
+    key-sorted partitions so hot partitions load once per actor, not
+    once per batch.
+
+    This is the enrichment-join physical shape the other joins can't
+    give at 100 TB: the dimension table is too big to broadcast, and
+    a shuffle join would read + re-partition ALL of it when the table
+    is already hash-partitioned on disk — the lookup touches only the
+    partitions the probe stream actually references, O(partitions hit
+    + matches) like the geobuf SubFile seek it mirrors
+    (reference reader.go:277-304)."""
+
+    def __init__(self, layout_dir: str, on: str, *, how: str = "inner",
+                 columns=None, rsuffix: str = "_r", cache_parts: int = 64):
+        if how not in ("inner", "left"):
+            raise ValueError(f"unsupported how={how!r}")
+        self.dir = layout_dir
+        self.on = on
+        self.how = how
+        self.columns = list(columns) if columns is not None else None
+        self.rsuffix = rsuffix
+        self.cache_parts = cache_parts
+        meta = _load_meta(layout_dir)
+        self.key = meta["key"]
+        self.version = meta["version"]
+        self.nparts = meta["npartitions"]
+        self.deltas = _delta_files(layout_dir)
+        self.adds = meta.get("schema_adds") or {}
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[int, tuple]" = OrderedDict()
+
+    def _partition(self, i: int):
+        hit = self._cache.get(i)
+        if hit is not None:
+            self._cache.move_to_end(i)
+            return hit
+        t = _resolve_partition(self.dir, i, self.key, self.version,
+                               self.deltas.get(i, []), self.adds)
+        if self.columns is not None:
+            want = [self.key] + [c for c in self.columns
+                                 if c != self.key]
+            t = t.select(want)
+        k = t[self.key].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        entry = (k[order], t.take(pa.array(order, pa.int64())))
+        self._cache[i] = entry
+        if len(self._cache) > self.cache_parts:
+            self._cache.popitem(last=False)
+        return entry
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        col = batch[self.on]
+        if col.null_count:
+            raise ValueError("lookup_join: null probe keys (astype "
+                             "would corrupt them silently)")
+        pk = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = _part_ids(pa.table({self.key: pa.array(pk)}),
+                        self.key, self.nparts)
+        lidx_all, ridx_all, rtabs = [], [], []
+        for i in np.unique(pid):
+            rows = np.flatnonzero(pid == i)
+            keys_sorted, rtab = self._partition(int(i))
+            pos = np.clip(np.searchsorted(keys_sorted, pk[rows]),
+                          0, max(len(keys_sorted) - 1, 0))
+            ok = (keys_sorted[pos] == pk[rows]) if len(keys_sorted) \
+                else np.zeros(len(rows), bool)
+            lidx_all.append(rows[ok])
+            ridx_all.append(pos[ok])
+            rtabs.append(rtab)
+        l_names = batch.column_names
+        parts = []
+        matched = np.zeros(n, bool)
+        for rows, pos, rtab in zip(lidx_all, ridx_all, rtabs):
+            if not len(rows):
+                continue
+            matched[rows] = True
+            lt = batch.take(pa.array(rows, pa.int64()))
+            cols = {c: lt[c] for c in l_names}
+            for rn in rtab.column_names:
+                if rn == self.key:
+                    continue
+                orn = rn + self.rsuffix if rn in l_names else rn
+                cols[orn] = rtab[rn].take(pa.array(pos, pa.int64()))
+            parts.append(pa.table(cols))
+        if self.how == "left":
+            miss = np.flatnonzero(~matched)
+            if len(miss):
+                ref = self._partition(int(np.unique(pid)[0]))[1]
+                lt = batch.take(pa.array(miss, pa.int64()))
+                cols = {c: lt[c] for c in l_names}
+                for rn in ref.column_names:
+                    if rn == self.key:
+                        continue
+                    orn = rn + self.rsuffix if rn in l_names else rn
+                    cols[orn] = pa.nulls(len(miss),
+                                         ref.schema.field(rn).type)
+                parts.append(pa.table(cols))
+        if not parts:
+            ref = self._partition(int(np.unique(pid)[0] if n else 0))[1]
+            cols = {c: batch[c].slice(0, 0) for c in l_names}
+            for rn in ref.column_names:
+                if rn == self.key:
+                    continue
+                orn = rn + self.rsuffix if rn in l_names else rn
+                cols[orn] = pa.nulls(0, ref.schema.field(rn).type)
+            return pa.table(cols)
+        return pa.concat_tables(parts)
+
+
+def lookup_join(probe_ds, layout_dir: str, on: str, *,
+                how: str = "inner", columns=None, rsuffix: str = "_r",
+                batch_size: int = 8192, concurrency=(1, 8),
+                cache_parts: int = 64, **map_kwargs):
+    """Dataset stage: stream probe rows through per-actor partition-
+    cached lookups against a keyed layout (see :class:`LookupJoinFn`)."""
+    return probe_ds.map_batches(
+        LookupJoinFn,
+        fn_constructor_kwargs=dict(layout_dir=layout_dir, on=on, how=how,
+                                   columns=columns, rsuffix=rsuffix,
+                                   cache_parts=cache_parts),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **map_kwargs)

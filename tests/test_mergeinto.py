@@ -626,3 +626,55 @@ def test_point_lookup_prunes_and_sees_deltas(ray_session, tmp_path):
     empty = read_keyed_layout(d, keys=np.array([], np.int64))
     assert empty.count() == 0
     assert set(empty.schema().names) == {"id", "ver", "val"}
+
+
+def test_lookup_join_inner_left_and_delta_visibility(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.state.mergeinto import (append_delta,
+                                            build_keyed_layout,
+                                            lookup_join)
+
+    d = str(tmp_path / "lkj")
+    build_keyed_layout(ray.data.from_arrow(_base(200)), d, key="id",
+                       version="ver", npartitions=8)
+    # MoR delta: ids 0,10,..,190 get val boosted
+    delta = pa.table({"id": pa.array(np.arange(0, 200, 10), pa.int64()),
+                      "ver": pa.array(np.ones(20, np.int64)),
+                      "val": pa.array(np.arange(0, 200, 10) * 10 + 7)})
+    append_delta(d, ray.data.from_arrow(delta))
+
+    probe = pa.table({"l": pa.array([0, 5, 10, 10, 250, 42], pa.int64()),
+                      "tag": pa.array(list("abcdef"), pa.string())})
+    inner = lookup_join(ray.data.from_arrow(probe).repartition(3),
+                        d, "l", concurrency=1).to_pandas() \
+        .sort_values(["l", "tag"]).reset_index(drop=True)
+    # 250 is absent -> dropped; delta'd vals visible
+    assert inner["l"].tolist() == [0, 5, 10, 10, 42]
+    assert inner["val"].tolist() == [7, 50, 107, 107, 420]
+
+    left = lookup_join(ray.data.from_arrow(probe), d, "l", how="left",
+                       concurrency=1).to_pandas() \
+        .sort_values(["l", "tag"]).reset_index(drop=True)
+    assert len(left) == 6
+    assert left[left.l == 250]["val"].isna().all()
+
+
+def test_lookup_join_prunes_partitions(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.state.mergeinto import (LookupJoinFn,
+                                            build_keyed_layout)
+
+    d = str(tmp_path / "prune")
+    build_keyed_layout(ray.data.from_arrow(_base(400)), d, key="id",
+                       version="ver", npartitions=16)
+    fn = LookupJoinFn(d, "l")
+    probe = pa.table({"l": pa.array([3, 3, 3, 7], pa.int64())})
+    out = fn(probe)
+    assert out.num_rows == 4
+    # only the partitions those two keys hash to were resolved
+    assert len(fn._cache) <= 2
+
+    with pytest.raises(ValueError, match="null"):
+        fn(pa.table({"l": pa.array([1, None], pa.int64())}))
