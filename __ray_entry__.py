@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rrf_fusion": q.docs_rrf_fusion,
         "docs_source_diversity": q.docs_source_diversity,
         "lineitem_lookup_join": q.lineitem_lookup_join,
+        "rects_affine_warp": q.rects_affine_warp,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -3917,6 +3918,28 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_qty
             FROM lineitem JOIN o ON l_orderkey = o_orderkey
             GROUP BY pr ORDER BY pr
+        """,
+        "rects_affine_warp": """
+            WITH s AS (
+              SELECT (s_suppkey*37) % 248 AS a, (s_suppkey*53) % 248 AS b,
+                     s_suppkey % 3 + 1 AS sx, (s_suppkey*7) % 3 + 1 AS sy
+              FROM supplier),
+            p AS (
+              SELECT DISTINCT a + i.range AS gx, b + j.range AS gy
+              FROM s, range(0, 4) i, range(0, 4) j
+              WHERE i.range <= sx AND j.range <= sy),
+            o AS (SELECT i.range AS ox, j.range AS oy
+                  FROM range(0, 256) i, range(0, 256) j),
+            pre AS (SELECT ox, oy,
+                       128 + CAST(floor((4*(ox-128) + 3*(oy-128))
+                                        / 5.0) AS BIGINT) AS ix,
+                       128 + CAST(floor((-3*(ox-128) + 4*(oy-128))
+                                        / 5.0) AS BIGINT) AS iy
+                    FROM o)
+            SELECT ox AS gx, oy AS gy
+            FROM pre JOIN p ON p.gx = pre.ix AND p.gy = pre.iy
+            WHERE ix BETWEEN 0 AND 255 AND iy BETWEEN 0 AND 255
+            ORDER BY gx, gy
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -11187,3 +11187,30 @@ def lineitem_lookup_join(sf_dir: str):
         return agg.sort_by([("o_orderpriority", "ascending")])
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def rects_affine_warp(sf_dir: str):
+    """Exact fixed-point affine warp (spatial/raster.affine_warp_nn):
+    the dyadic supplier raster rotated by the 3-4-5 Pythagorean angle
+    (cos 4/5, sin 3/5) about the grid center with nearest-neighbor
+    sampling — every preimage is an exact small-integer floored
+    division, so the warped pixel set reproduces bit-for-bit in SQL.
+    Distribution is output-driven with a forward-image halo fan and
+    ONE tile exchange.  Returns the warped set pixels, hash-checked
+    vs a full-grid preimage-join twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..spatial.polygonize import union_tile_masks
+    from ..spatial.raster import affine_warp_nn, rasterize_polygons
+
+    polys = ray.data.from_arrow(_dyadic_rects(sf_dir))
+    raster = rasterize_polygons(polys, ntiles=32, px=8, id_col="id")
+    occ = union_tile_masks(raster, px=8, nbuckets=16)
+    warped = collect_table(affine_warp_nn(occ, ntiles=32, px=8,
+                                          nbuckets=16))
+    gx = warped["gx"].to_numpy(zero_copy_only=False)
+    gy = warped["gy"].to_numpy(zero_copy_only=False)
+    sel = pa.array(np.lexsort((gy, gx)))
+    return pa.table({"gx": warped["gx"].take(sel),
+                     "gy": warped["gy"].take(sel)})

@@ -613,3 +613,119 @@ def morphology_open(occ_ds, *, ntiles: int, px: int, nbuckets: int = 16,
 
     return hash_exchange(focal, nbuckets=nbuckets, bucket_fn=fan,
                          reduce_fn=dedup, schema=out_schema)
+
+
+def affine_warp_nn(occ_ds, *, ntiles: int, px: int,
+                   coeffs: tuple = (4, 3, -3, 4, 5),
+                   center: tuple | None = None, nbuckets: int = 16,
+                   **map_kwargs):
+    """Nearest-neighbor AFFINE WARP of a tiled binary raster in exact
+    fixed-point arithmetic — the resample/rotate primitive.  Output
+    pixel (ox, oy) samples input ``(cx + floor((a*(ox-cx) + b*(oy-cy))
+    / den), cy + floor((c*(ox-cx) + d*(oy-cy)) / den))``; the default
+    coefficients are the 3-4-5 Pythagorean rotation (cos = 4/5, sin =
+    3/5), so every division is an exact small-integer floor and the
+    rule reproduces bit-for-bit in SQL.
+
+    Distribution is OUTPUT-DRIVEN with a forward-image halo: each set
+    input pixel ships to every output tile overlapping its forward
+    image ±2 pixels (the unit-cell image has per-axis diameter
+    (|a|+|b|)/den < 2, so the slack provably covers all output pixels
+    whose preimage floors to it — shipping volume is the only thing
+    the slack costs, the reduce re-evaluates the exact rule).  One
+    hash exchange on the output tile key; a bucket may hold several
+    tiles, so the reduce groups by tile internally.  Returns set
+    OUTPUT pixels (gx, gy)."""
+    from ..functions.exchange import hash_exchange
+    from .polygonize import _mask_bits
+
+    a, b, c, d, den = (int(v) for v in coeffs)
+    det = a * d - b * c
+    if det == 0:
+        raise ValueError("affine_warp_nn: singular transform")
+    n = ntiles * px
+    cx = cy = n // 2 if center is None else None
+    if center is not None:
+        cx, cy = int(center[0]), int(center[1])
+    out_schema = pa.schema([("gx", pa.int64()), ("gy", pa.int64())])
+    # forward map (preimage rule inverted): o - c = den/det * [[d,-b],
+    # [-c,a]] . (i - c); slack covers the floor cell image (per-axis
+    # deviation < (|b|+|d|)*den/det, conservatively rounded up)
+    slack = 2 + (abs(a) + abs(b) + abs(c) + abs(d)) // den
+    if px < 2 * slack:
+        raise ValueError("affine_warp_nn: px must be >= 2*slack so the "
+                         "4-corner tile fan covers the halo window")
+
+    def fan(batch: pa.Table):
+        m = batch.num_rows
+        if m == 0:
+            return (np.empty(0, np.int64),
+                    pa.table({"ix": pa.array([], pa.int64()),
+                              "iy": pa.array([], pa.int64()),
+                              "tile": pa.array([], pa.int64())}))
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bits = _mask_bits(batch["mask"], m, px)
+        mi, y, x = np.nonzero(bits)
+        ix = tx[mi] * px + x
+        iy = ty[mi] * px + y
+        # forward position (real) = c + (den * M^-1 (i-c)) / det
+        fx = cx + (den * (d * (ix - cx) - b * (iy - cy))) / det
+        fy = cy + (den * (-c * (ix - cx) + a * (iy - cy))) / det
+        txlo = np.clip(((fx - slack) // px).astype(np.int64), 0,
+                       ntiles - 1)
+        txhi = np.clip(((fx + slack) // px).astype(np.int64), 0,
+                       ntiles - 1)
+        tylo = np.clip(((fy - slack) // px).astype(np.int64), 0,
+                       ntiles - 1)
+        tyhi = np.clip(((fy + slack) // px).astype(np.int64), 0,
+                       ntiles - 1)
+        # forward tiles span at most 2 per axis at px >= 4
+        parts_t, parts_i = [], []
+        for ax in range(2):
+            for ay in range(2):
+                ttx = np.where(ax == 0, txlo, txhi)
+                tty = np.where(ay == 0, tylo, tyhi)
+                parts_t.append(ttx * ntiles + tty)
+                parts_i.append(np.arange(len(ix)))
+        t_all = np.concatenate(parts_t)
+        i_all = np.concatenate(parts_i)
+        u = np.unique(np.stack([t_all, i_all], axis=1), axis=0)
+        tbl = pa.table({"ix": pa.array(ix[u[:, 1]]),
+                        "iy": pa.array(iy[u[:, 1]]),
+                        "tile": pa.array(u[:, 0])})
+        return (u[:, 0] % nbuckets).astype(np.int64), tbl
+
+    def reduce_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        ix = tbl["ix"].to_numpy(zero_copy_only=False)
+        iy = tbl["iy"].to_numpy(zero_copy_only=False)
+        tile = tbl["tile"].to_numpy(zero_copy_only=False)
+        outs = []
+        for t in np.unique(tile):  # a bucket can hold several tiles
+            sel = tile == t
+            have = np.unique(ix[sel] * n + iy[sel])
+            tx0, ty0 = (t // ntiles) * px, (t % ntiles) * px
+            oy, ox = np.meshgrid(np.arange(px), np.arange(px),
+                                 indexing="ij")
+            ox = (ox + tx0).ravel()
+            oy = (oy + ty0).ravel()
+            sx = cx + (a * (ox - cx) + b * (oy - cy)) // den
+            sy = cy + (c * (ox - cx) + d * (oy - cy)) // den
+            ok = (sx >= 0) & (sx < n) & (sy >= 0) & (sy < n)
+            packed = sx * n + sy
+            pos = np.searchsorted(have, packed)
+            pos = np.clip(pos, 0, len(have) - 1)
+            hit = ok & (have[pos] == packed)
+            if hit.any():
+                outs.append(pa.table({"gx": pa.array(ox[hit]),
+                                      "gy": pa.array(oy[hit])}))
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs)
+
+    return hash_exchange(occ_ds, nbuckets=nbuckets, bucket_fn=fan,
+                         reduce_fn=reduce_fn, schema=out_schema)

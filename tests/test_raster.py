@@ -415,3 +415,66 @@ def test_morphology_open_brute_force(ray_session):
                if 0 <= x + dx < n and 0 <= y + dy < n}
     assert got == dilated
     assert (6, 6) in got and (1, 1) not in got  # speckles gone
+
+
+def test_affine_warp_nn_brute_force(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.raster import affine_warp_nn
+
+    ntiles, px = 4, 8
+    n = ntiles * px
+    rng = np.random.default_rng(9)
+    pix = {(int(x), int(y))
+           for x, y in rng.integers(0, n, (150, 2))}
+    rows = {}
+    for gx, gy in pix:
+        key = (gx // px, gy // px)
+        m = rows.setdefault(key, np.zeros((px, px), bool))
+        m[gy % px, gx % px] = True
+    occ = pa.table({
+        "tile_x": pa.array([k[0] for k in rows], pa.int64()),
+        "tile_y": pa.array([k[1] for k in rows], pa.int64()),
+        "mask": pa.array([bytes(np.packbits(m)) for m in rows.values()],
+                         pa.binary())})
+    out = collect_table(affine_warp_nn(
+        ray.data.from_arrow(occ), ntiles=ntiles, px=px, nbuckets=4))
+    got = set(zip(out["gx"].to_pylist(), out["gy"].to_pylist()))
+
+    import math
+    c = n // 2
+    exp = set()
+    for ox in range(n):
+        for oy in range(n):
+            ix = c + math.floor((4 * (ox - c) + 3 * (oy - c)) / 5)
+            iy = c + math.floor((-3 * (ox - c) + 4 * (oy - c)) / 5)
+            if 0 <= ix < n and 0 <= iy < n and (ix, iy) in pix:
+                exp.add((ox, oy))
+    assert got == exp
+
+
+def test_affine_warp_identity_and_guard(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.raster import affine_warp_nn
+
+    px = 8
+    m = np.zeros((px, px), bool)
+    m[2, 3] = m[5, 1] = True
+    occ = pa.table({"tile_x": pa.array([1], pa.int64()),
+                    "tile_y": pa.array([2], pa.int64()),
+                    "mask": pa.array([bytes(np.packbits(m))],
+                                     pa.binary())})
+    out = collect_table(affine_warp_nn(
+        ray.data.from_arrow(occ), ntiles=4, px=px, nbuckets=2,
+        coeffs=(1, 0, 0, 1, 1)))
+    got = set(zip(out["gx"].to_pylist(), out["gy"].to_pylist()))
+    assert got == {(1 * px + 3, 2 * px + 2), (1 * px + 1, 2 * px + 5)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="px must be"):
+        affine_warp_nn(ray.data.from_arrow(occ), ntiles=4, px=4,
+                       nbuckets=2)
