@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_diversity": q.docs_source_diversity,
         "lineitem_lookup_join": q.lineitem_lookup_join,
         "rects_affine_warp": q.rects_affine_warp,
+        "embeddings_topk_bq": q.embeddings_topk_bq,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

@@ -11214,3 +11214,27 @@ def rects_affine_warp(sf_dir: str):
     sel = pa.array(np.lexsort((gy, gx)))
     return pa.table({"gx": warped["gx"].take(sel),
                      "gy": warped["gy"].take(sel)})
+
+
+def embeddings_topk_bq(sf_dir: str, k: int = 5, rerank: int = 64):
+    """Binary-quantized ANN (functions/ann.bq_encode/bq_topk): vectors
+    compress to sign-bit codes (32x smaller — 1 byte per 8 dims), one
+    Hamming scan (XOR + popcount LUT) keeps per-block top-R candidates
+    per query, and the exact-cosine rerank reads ONLY those R rows
+    back (broadcast id set, membership filter).  The floats never
+    ship through the scan — the 100 TB memory path next to IVF/PQ.
+    Rows-only (sign codes aren't SQL); the pytest oracle pins the
+    rerank-all == brute-force identity and planted-recall."""
+    import duckdb
+    import ray
+
+    from ..functions.ann import bq_topk
+
+    con = duckdb.connect()
+    queries = pa.table(con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id < 5 ORDER BY vec_id").arrow())
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = bq_topk(ds, queries, k=k, rerank=rerank)
+    return out.select(["query_id", "rank", "vec_id"])

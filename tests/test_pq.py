@@ -161,3 +161,53 @@ def test_ivfpq_masked_identity_pruning_and_partitions(ray_session, tmp_path):
         want_rows = [(int(r.query_id), int(r.rank), int(r.vec_id))
                      for r in want.itertuples(index=False)]
         assert got_rows == want_rows
+
+
+def _blob_table(n=400, d=32, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(8, d)) * 4
+    vecs = centers[np.arange(n) % 8] + rng.normal(size=(n, d)) * 0.3
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                              pa.list_(pa.float32()))})
+
+
+def test_bq_topk_rerank_all_is_exact(ray_session):
+    import ray
+
+    from geobuf_ray.functions.ann import bq_topk, brute_force_topk
+
+    tbl = _blob_table()
+    queries = tbl.slice(0, 4)
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = bq_topk(ds, queries, k=5, rerank=tbl.num_rows)
+    exp = brute_force_topk(ray.data.from_arrow(tbl), queries, 5,
+                           concurrency=None)
+    assert got.select(["query_id", "rank", "vec_id"]).to_pydict() == \
+        exp.select(["query_id", "rank", "vec_id"]).to_pydict()
+
+
+def test_bq_topk_blob_recall(ray_session):
+    import ray
+
+    from geobuf_ray.functions.ann import bq_topk
+
+    tbl = _blob_table()
+    queries = tbl.slice(0, 8)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = bq_topk(ds, queries, k=5, rerank=48).to_pandas()
+    # every retrieved neighbor should come from the query's own blob
+    same_blob = (got["vec_id"] % 8) == (got["query_id"] % 8)
+    assert same_blob.mean() >= 0.9
+
+
+def test_bq_bits_shape_and_guard():
+    from geobuf_ray.functions.ann import bq_bits
+
+    m = np.array([[1.0, -2.0, 0.0, 3.0, -1.0, -1.0, 2.0, 0.5]])
+    bits = bq_bits(m)
+    assert bits.shape == (1, 1)
+    assert bits[0, 0] == 0b10010011
+    with pytest.raises(ValueError):
+        bq_bits(np.zeros((2, 7)))
