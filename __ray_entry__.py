@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_lookup_join": q.lineitem_lookup_join,
         "rects_affine_warp": q.rects_affine_warp,
         "embeddings_topk_bq": q.embeddings_topk_bq,
+        "docs_grouped_split": q.docs_grouped_split,
+        "docs_keywords": q.docs_keywords,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -3941,6 +3943,64 @@ def oracle_sql() -> dict[str, str]:
             FROM pre JOIN p ON p.gx = pre.ix AND p.gy = pre.iy
             WHERE ix BETWEEN 0 AND 255 AND iy BETWEEN 0 AND 255
             ORDER BY gx, gy
+        """,
+        "docs_grouped_split": """
+            WITH RECURSIVE srcs AS (
+                SELECT DISTINCT source FROM documents
+            ),
+            b AS (SELECT source, hex(encode(source)) AS hx,
+                         octet_length(encode(source)) AS nb
+                  FROM srcs),
+            fnv AS (
+                SELECT source, hx, nb, 0 AS j,
+                       CAST(14695981039346656037 AS HUGEINT) AS h
+                FROM b
+                UNION ALL
+                SELECT source, hx, nb, j + 1,
+                    (xor(h, CAST(
+                        strpos('123456789ABCDEF',
+                               substr(hx, 2*j + 1, 1)) * 16 +
+                        strpos('123456789ABCDEF',
+                               substr(hx, 2*j + 2, 1)) AS HUGEINT))
+                     * 1099511628211) % 18446744073709551616
+                FROM fnv WHERE j < nb
+            ),
+            sp AS (SELECT source, CAST(h % 8 AS BIGINT) AS split
+                   FROM fnv WHERE j = nb),
+            d AS (SELECT sp.split, d.source,
+                         CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(d.doc_id % 1000003) AS BIGINT)
+                             AS id_checksum
+                  FROM documents d JOIN sp USING (source)
+                  GROUP BY sp.split, d.source)
+            SELECT split, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(SUM(id_checksum) AS BIGINT) AS id_checksum
+            FROM d GROUP BY split ORDER BY split
+        """,
+        "docs_keywords": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\s+')) AS term
+              FROM documents
+            ),
+            t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     tf.tf * length(bin(n.n // df.df)) AS score
+              FROM tf JOIN df USING (term), n
+              WHERE tf.doc_id % 499 = 0)
+            SELECT doc_id, kw_rank, term, tf, df,
+                   CAST(score AS BIGINT) AS score FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, term
+              ) AS BIGINT) AS kw_rank FROM scored
+            ) WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -11238,3 +11238,148 @@ def embeddings_topk_bq(sf_dir: str, k: int = 5, rerank: int = 64):
                                columns=["vec_id", "embedding"])
     out = bq_topk(ds, queries, k=k, rerank=rerank)
     return out.select(["query_id", "rank", "vec_id"])
+
+
+def docs_grouped_split(sf_dir: str, nsplits: int = 8):
+    """Leakage-safe train/val split: the split is decided by the FNV
+    hash of the GROUP key (source), not the row id, so every document
+    of a source lands in the same split — the group-aware rule that
+    keeps near-duplicate families from straddling train and eval.
+    Coordination-free pure map (the hash is the split), one counting
+    exchange; per-split doc counts, distinct sources and an id
+    checksum hash-check vs the recursive-CTE FNV twin with the
+    floored-mod wrap."""
+    import ray
+
+    from ..functions.text import fingerprint64
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        split = (fingerprint64(b["source"]) % np.uint64(nsplits)) \
+            .astype(np.int64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"split": pa.array(split),
+                      "source": b["source"],
+                      "n_docs": pa.array(np.ones(len(ids), np.int64)),
+                      "id_checksum": pa.array(ids % 1000003)})
+        g = t.group_by(["split", "source"]).aggregate(
+            [("n_docs", "sum"), ("id_checksum", "sum")])
+        return g.rename_columns(["split", "source", "n_docs",
+                                 "id_checksum"])
+
+    pairs = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["split", "source"], ["n_docs", "id_checksum"])
+    df = pairs.to_pandas()
+    # leakage audit: a source must live in exactly one split
+    if df["source"].duplicated().any():
+        raise AssertionError("grouped split leaked a source")
+    out = df.groupby("split", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_sources=("source", "nunique"),
+        id_checksum=("id_checksum", "sum")).sort_values("split")
+    return pa.table({
+        "split": pa.array(out["split"].astype(np.int64)),
+        "n_docs": pa.array(out["n_docs"].astype(np.int64)),
+        "n_sources": pa.array(out["n_sources"].astype(np.int64)),
+        "id_checksum": pa.array(out["id_checksum"].astype(np.int64))})
+
+
+def docs_keywords(sf_dir: str, topk: int = 3, stride: int = 499):
+    """Per-document keyword extraction — integer TF-IDF: a probe
+    document's keywords are its top terms under tf * bit_length(N //
+    df) (the exact-integer log2-idf shared with the unigram-surprise
+    gate), ties to the lexicographically smaller term.  ONE text scan
+    emits block-preaggregated (doc, term, tf) pairs; the term-hash
+    exchange derives df IN-BUCKET from pair-row counts (no broadcast,
+    no second scan) and only the PROBE docs' scored pairs leave the
+    exchange — the vocabulary stays distributed.  Hash-checked vs an
+    UNNEST + length(bin()) + ROW_NUMBER twin."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+    from ..functions.join import _key_hash
+
+    N = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        did = batch["doc_id"].to_numpy().astype(np.int64)
+        doc_of = np.repeat(did, np.diff(offs))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            sel = np.flatnonzero(keep)
+            flat = flat.take(pa.array(sel))
+            doc_of = doc_of[sel]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nterm = len(enc.dictionary)
+        dpos = np.unique(doc_of, return_inverse=True)
+        pid = dpos[1] * nterm + codes
+        uu, inv = np.unique(pid, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        t = pa.table({
+            "doc_id": pa.array(dpos[0][uu // nterm]),
+            "term": enc.dictionary.take(pa.array(uu % nterm)),
+            "tf": pa.array(cnt)})
+        h = _key_hash(t["term"])
+        return t.append_column(
+            "bucket", pa.array((h & np.uint64(63)).astype(np.int64)))
+
+    def bucket_probe(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        enc = t["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = np.bincount(codes, minlength=len(enc.dictionary)) \
+            .astype(np.int64)
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        probe = did % stride == 0
+        if not probe.any():
+            return empty
+        sel = np.flatnonzero(probe)
+        return pa.table({
+            "doc_id": pa.array(did[sel]),
+            "term": t["term"].combine_chunks().take(pa.array(sel)),
+            "tf": pa.array(t["tf"].to_numpy().astype(np.int64)[sel]),
+            "df": pa.array(df[codes[sel]])})
+
+    src = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+    pr = collect_table(hash_exchange(
+        src.map_batches(pairs, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        nbuckets=64, on="bucket", reduce_fn=bucket_probe))
+    df_ = pr.to_pandas()
+    bitlen = (N // df_["df"].to_numpy()).astype(np.int64)
+    bitlen = np.frexp(bitlen.astype(np.float64))[1].astype(np.int64)
+    df_["score"] = df_["tf"].to_numpy() * bitlen
+    df_ = df_.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="stable")
+    out = df_.groupby("doc_id", as_index=False).head(topk)
+    out["kw_rank"] = out.groupby("doc_id").cumcount() + 1
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+        "kw_rank": pa.array(out["kw_rank"].astype(np.int64)),
+        "term": pa.array(out["term"], pa.string()),
+        "tf": pa.array(out["tf"].astype(np.int64)),
+        "df": pa.array(out["df"].astype(np.int64)),
+        "score": pa.array(out["score"].astype(np.int64))})
