@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_topk_bq": q.embeddings_topk_bq,
         "docs_grouped_split": q.docs_grouped_split,
         "docs_keywords": q.docs_keywords,
+        "images_blob_stats": q.images_blob_stats,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

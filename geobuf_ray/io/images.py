@@ -1018,3 +1018,75 @@ def box_pixel_sums(ds, *, kb: int = 8, batch_size: int = 32,
     return ds.map_batches(BoxSumsFn, fn_constructor_kwargs=dict(kb=kb),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, **map_kwargs)
+
+
+def blob_stats(mask: np.ndarray) -> tuple[int, int]:
+    """(n_blobs, largest_blob_pixels) of a 2-D bool mask under
+    4-connectivity — run-based CCL: rows decompose into maximal True
+    runs (vectorized), consecutive-row runs union where their column
+    intervals overlap (two-pointer via searchsorted), a tiny
+    union-find over the RUN graph (runs, not pixels) resolves labels.
+    The per-image twin of the tiled polygonize CCL."""
+    h, w = mask.shape
+    pad = np.zeros((h, w + 2), bool)
+    pad[:, 1:-1] = mask
+    d = np.diff(pad.view(np.int8), axis=1)
+    ri, cs = np.nonzero(d == 1)
+    _, ce = np.nonzero(d == -1)
+    if len(ri) == 0:
+        return 0, 0
+    # runs are emitted row-major: starts/ends align pairwise
+    starts, ends = cs, ce  # [start, end) in original columns
+    row_of = ri
+    nruns = len(ri)
+    parent = np.arange(nruns)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    row_begin = np.searchsorted(row_of, np.arange(h + 1))
+    for r in range(1, h):
+        a0, a1 = row_begin[r - 1], row_begin[r]
+        b0, b1 = row_begin[r], row_begin[r + 1]
+        if a0 == a1 or b0 == b1:
+            continue
+        i, j = a0, b0
+        while i < a1 and j < b1:  # two-pointer interval overlap
+            if starts[i] < ends[j] and starts[j] < ends[i]:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            if ends[i] <= ends[j]:
+                i += 1
+            else:
+                j += 1
+    roots = np.array([find(i) for i in range(nruns)])
+    lens = ends - starts
+    sizes = np.bincount(roots, weights=lens.astype(np.float64),
+                        minlength=nruns).astype(np.int64)
+    labels = np.unique(roots)
+    return len(labels), int(sizes[labels].max())
+
+
+class BlobStatsFn:
+    """Actor-pool stage: decode -> brightness threshold -> per-image
+    connected-component blob statistics (count + largest)."""
+
+    def __init__(self, threshold: int = 384):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        n = len(blobs)
+        nb = np.zeros(n, np.int64)
+        lg = np.zeros(n, np.int64)
+        for i in range(n):  # decode is inherently per-payload
+            px = decode_image(blobs[i]).astype(np.int64).sum(axis=2)
+            nb[i], lg[i] = blob_stats(px > self.threshold)
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("n_blobs", pa.array(nb))
+        out = out.append_column("largest_blob", pa.array(lg))
+        return out

@@ -11383,3 +11383,41 @@ def docs_keywords(sf_dir: str, topk: int = 3, stride: int = 499):
         "tf": pa.array(out["tf"].astype(np.int64)),
         "df": pa.array(out["df"].astype(np.int64)),
         "score": pa.array(out["score"].astype(np.int64))})
+
+
+def images_blob_stats(sf_dir: str):
+    """Per-image blob detection (io/images.BlobStatsFn): decode ->
+    brightness threshold -> run-based connected-component labeling
+    (the per-image twin of the tiled polygonize CCL: runs, not
+    pixels, enter the union-find).  Per-format rollup of blob counts
+    and largest-blob mass; rows-only (procedural payloads), scalar
+    flood-fill pytest oracle."""
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    rows = ds.map_batches(im.BlobStatsFn, batch_format="pyarrow",
+                          batch_size=32, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        fmt = b["fmt"].combine_chunks().dictionary_encode()
+        inv = fmt.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(fmt.dictionary)
+        nb = b["n_blobs"].to_numpy(zero_copy_only=False)
+        lg = b["largest_blob"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "fmt": fmt.dictionary,
+            "n_images": pa.array(np.bincount(inv, minlength=k)
+                                 .astype(np.int64)),
+            "sum_blobs": pa.array(np.bincount(
+                inv, weights=nb.astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "sum_largest": pa.array(np.bincount(
+                inv, weights=lg.astype(np.float64),
+                minlength=k).astype(np.int64))})
+
+    agg = _final_combine(
+        rows.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["fmt"], ["n_images", "sum_blobs", "sum_largest"])
+    return agg.sort_by([("fmt", "ascending")])

@@ -525,3 +525,44 @@ def test_box_sums_fn_scalar_reference():
         assert df["image_pixel_sum"][i] == exp_total
         assert df["kept_pixel_sum"][i] == exp_kept
         assert df["n_kept"][i] == int(keep[i].sum())
+
+
+def test_blob_stats_matches_flood_fill():
+    from geobuf_ray.io.images import blob_stats
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        m = rng.random((20, 17)) < 0.35
+
+        def flood(mask):
+            seen = np.zeros_like(mask)
+            sizes = []
+            for sy, sx in zip(*np.nonzero(mask)):
+                if seen[sy, sx]:
+                    continue
+                stack, size = [(sy, sx)], 0
+                seen[sy, sx] = True
+                while stack:
+                    y, x = stack.pop()
+                    size += 1
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = y + dy, x + dx
+                        if 0 <= ny < mask.shape[0] \
+                                and 0 <= nx < mask.shape[1] \
+                                and mask[ny, nx] and not seen[ny, nx]:
+                            seen[ny, nx] = True
+                            stack.append((ny, nx))
+                sizes.append(size)
+            return (len(sizes), max(sizes)) if sizes else (0, 0)
+
+        assert blob_stats(m) == flood(m)
+
+
+def test_blob_stats_u_shape_merges():
+    from geobuf_ray.io.images import blob_stats
+
+    m = np.zeros((5, 5), bool)
+    m[0:4, 0] = True
+    m[0:4, 4] = True
+    m[3, 0:5] = True  # U: two arms joined at the bottom
+    assert blob_stats(m) == (1, int(m.sum()))
