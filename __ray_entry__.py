@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_grouped_split": q.docs_grouped_split,
         "docs_keywords": q.docs_keywords,
         "images_blob_stats": q.images_blob_stats,
+        "events_debounce": q.events_debounce,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4002,6 +4003,22 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY doc_id ORDER BY score DESC, term
               ) AS BIGINT) AS kw_rank FROM scored
             ) WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank
+        """,
+        "events_debounce": """
+            WITH RECURSIVE e AS (
+                SELECT user_id, epoch_us(ts) // 1000000 AS sec
+                FROM events),
+            k(user_id, sec) AS (
+                SELECT user_id, MIN(sec) FROM e GROUP BY user_id
+                UNION ALL
+                SELECT e.user_id, MIN(e.sec)
+                FROM k JOIN e ON e.user_id = k.user_id
+                            AND e.sec >= k.sec + 21600
+                GROUP BY e.user_id
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(sec % 100000) AS BIGINT) AS sum_sec
+            FROM k GROUP BY user_id ORDER BY user_id
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

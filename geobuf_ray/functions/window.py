@@ -1012,3 +1012,57 @@ def watermark_window_agg(ds, *, ts_col: str, wave_col: str,
 
     return ds.map_batches(classify, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
+
+
+def debounce(ds, key: str, time_col: str, cooldown: int, *,
+             nbuckets: int = 64, **map_kwargs):
+    """Event-stream DEBOUNCE / throttle: per key keep the first event,
+    then the next event at ``t >= last_kept + cooldown``, and so on —
+    the rate-limiting rule where the cooldown restarts from the last
+    KEPT event (sessionize's gap rule restarts from the last SEEN
+    event; the two differ on bursty streams).  The kept chain is
+    inherently sequential, so the kernel advances ALL keys in lockstep
+    rounds: one global searchsorted per round over segment-offset
+    times (each key's times shift into a disjoint window, making the
+    bucket globally sorted), rounds = the longest kept chain — never
+    a per-key Python loop.  Emits one (key, time) row per kept event
+    (same-time duplicates collapse, matching the SQL MIN(t) twin)."""
+    import numpy as np
+
+    from ..functions.exchange import hash_exchange
+
+    if cooldown <= 0:
+        raise ValueError("debounce: cooldown must be positive")
+    out_schema = pa.schema([(key, pa.int64()), (time_col, pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        k = tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = tbl[time_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((t, k))
+        k, t = k[order], t[order]
+        n = len(k)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        seg_of = np.repeat(np.arange(len(starts)), ends - starts)
+        trel = t - t[starts[seg_of]]
+        span = int(trel.max(initial=0)) + cooldown + 1
+        if span * len(starts) >= 1 << 62:
+            raise OverflowError("debounce: time span x keys overflows")
+        tglob = trel + seg_of * span
+        cur = starts.copy()
+        kept = []
+        while len(cur):
+            kept.append(cur)
+            nxt = np.searchsorted(tglob, tglob[cur] + cooldown,
+                                  side="left")
+            live = nxt < ends[seg_of[cur]]
+            cur = nxt[live]
+        pos = np.sort(np.concatenate(kept))
+        return pa.table({key: pa.array(k[pos]),
+                         time_col: pa.array(t[pos])})
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=out_schema)

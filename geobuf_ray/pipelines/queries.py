@@ -11421,3 +11421,46 @@ def images_blob_stats(sf_dir: str):
                          zero_copy_batch=True),
         ["fmt"], ["n_images", "sum_blobs", "sum_largest"])
     return agg.sort_by([("fmt", "ascending")])
+
+
+def events_debounce(sf_dir: str, cooldown: int = 21600):
+    """Per-user event debounce (functions/window.debounce): keep the
+    first event, then the next at >= last KEPT + 6h — the token-bucket
+    rate-limit rule (distinct from sessionize's gap rule, which
+    restarts from the last SEEN event).  The kept chain advances all
+    users in lockstep searchsorted rounds.  Per-user kept counts +
+    second checksums, hash-checked vs a recursive-CTE chain twin
+    (the recursion IS the kept-chain definition)."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.window import debounce
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": b["user_id"],
+                         "sec": pa.array(us // 1_000_000)})
+
+    kept = debounce(ds.map_batches(prep, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                    "user_id", "sec", cooldown, nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        s = b["sec"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_kept": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_sec": pa.array(np.bincount(
+                inv, weights=(s % 100000).astype(np.float64))
+                .astype(np.int64))})
+
+    agg = _final_combine(
+        kept.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["user_id"], ["n_kept", "sum_sec"])
+    return agg.sort_by([("user_id", "ascending")])

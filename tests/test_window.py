@@ -459,3 +459,48 @@ def test_autocorr_ingredients_vs_scalar(ray_session):
         raise AssertionError("float value column must raise")
     except Exception as e:
         assert "integer-typed" in str(e)
+
+
+def test_debounce_scalar_reference(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.window import debounce
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "t": pa.array(rng.integers(0, 5000, n), pa.int64())})
+    out = collect_table(debounce(
+        ray.data.from_arrow(tbl).repartition(6), "k", "t", 137,
+        nbuckets=8))
+    got = sorted(zip(out["k"].to_pylist(), out["t"].to_pylist()))
+
+    exp = []
+    df = tbl.to_pandas().sort_values(["k", "t"])
+    for k, g in df.groupby("k"):
+        last = None
+        for t in g["t"]:
+            if last is None or t >= last + 137:
+                exp.append((k, t))
+                last = t
+    assert got == sorted(exp)
+
+
+def test_debounce_same_time_burst_and_guard(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.window import debounce
+
+    tbl = pa.table({"k": pa.array([1] * 5, pa.int64()),
+                    "t": pa.array([7, 7, 7, 7, 200], pa.int64())})
+    out = collect_table(debounce(ray.data.from_arrow(tbl), "k", "t",
+                                 100, nbuckets=2))
+    assert sorted(zip(out["k"].to_pylist(), out["t"].to_pylist())) == \
+        [(1, 7), (1, 200)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        debounce(ray.data.from_arrow(tbl), "k", "t", 0)
