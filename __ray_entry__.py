@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_keywords": q.docs_keywords,
         "images_blob_stats": q.images_blob_stats,
         "events_debounce": q.events_debounce,
+        "docs_cdc_chunks": q.docs_cdc_chunks,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

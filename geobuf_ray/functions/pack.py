@@ -171,3 +171,114 @@ def chunk_spans(ds, *, id_col: str = "doc_id", len_col: str = "n_chars",
 
     return ds.map_batches(fan, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+_CDC_BASE = np.uint64(1099511628211)
+
+
+def cdc_chunk_stats(col, *, window: int = 16, mask_bits: int = 6,
+                    min_size: int = 32, max_size: int = 512):
+    """Content-defined chunking (the dedup-storage / FastCDC family):
+    a chunk boundary falls where the rolling polynomial hash of the
+    last ``window`` bytes has ``mask_bits`` low zero bits — content,
+    not position, decides the cut, so an insertion only perturbs
+    nearby chunks.  The PINNED deterministic variant (documented, and
+    replayed by the scalar test): natural boundaries thinner than
+    ``min_size`` apart are debounced (cooldown restarts from the last
+    kept cut — the debounce chain), then gaps wider than ``max_size``
+    get forced cuts at multiples of ``max_size`` from the previous
+    kept cut WITHOUT re-evaluating naturals.
+
+    Fully vectorized over the flat byte buffer: the rolling hash is
+    ``window`` shifted wrapping multiply-adds over ALL documents at
+    once (windows straddling a document start are masked), the
+    debounce chain runs in lockstep searchsorted rounds across
+    documents.  Returns (n_chunks, sum_sq_len, max_len) int64 arrays
+    per row."""
+    from ..functions.text import _string_parts
+
+    data, offs = _string_parts(col)
+    nd = len(offs) - 1
+    lens = np.diff(offs)
+    total = int(offs[-1] - offs[0])
+    data = data[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    if total == 0:
+        z = np.zeros(nd, np.int64)
+        return (lens > 0).astype(np.int64), z, z
+
+    with np.errstate(over="ignore"):
+        powers = np.concatenate((
+            [np.uint64(1)],
+            np.cumprod(np.full(window - 1, _CDC_BASE, np.uint64)))) \
+            .astype(np.uint64)
+        h = np.zeros(total, np.uint64)
+        b = data.astype(np.uint64)
+        for j in range(min(window, total)):  # shifted adds, vectorized
+            h[j:] += b[:total - j] * powers[j]
+    doc_of = np.repeat(np.arange(nd), lens)
+    pos_in = np.arange(total) - offs[doc_of]
+    mask = np.uint64((1 << mask_bits) - 1)
+    natural = ((h & mask) == 0) & (pos_in >= window - 1) \
+        & (pos_in < lens[doc_of] - 1)  # a cut at the last byte is moot
+
+    # debounce naturals per doc: lockstep rounds (cooldown = min_size)
+    cand = np.flatnonzero(natural)
+    cdoc = doc_of[cand]
+    cpos = pos_in[cand]
+    starts = np.searchsorted(cdoc, np.arange(nd))
+    ends = np.searchsorted(cdoc, np.arange(nd), side="right")
+    span = int(lens.max()) + min_size + 1
+    cglob = cpos + cdoc * span
+    cur = starts[starts < ends]
+    kept = []
+    while len(cur):
+        kept.append(cur)
+        nxt = np.searchsorted(cglob, cglob[cur] + min_size)
+        ok = nxt < ends[cdoc[cur]]
+        cur = nxt[ok]
+    kpos = np.sort(np.concatenate(kept)) if kept \
+        else np.empty(0, np.int64)
+    kdoc, kcut = cdoc[kpos], cpos[kpos]
+
+    # chunk lengths: cuts split [0, len) after position kcut
+    n_chunks = np.zeros(nd, np.int64)
+    sum_sq = np.zeros(nd, np.int64)
+    max_len = np.zeros(nd, np.int64)
+    # segment walk per doc vectorized via prepend/append of cut lists
+    cut_counts = np.bincount(kdoc, minlength=nd)
+    ends_of = np.cumsum(cut_counts)
+    starts_of = ends_of - cut_counts
+    # previous cut position per kept cut (or -1 at doc head)
+    prev = np.empty(len(kcut), np.int64)
+    prev[1:] = kcut[:-1]
+    prev[starts_of[cut_counts > 0]] = -1
+    seg_lens = [kcut - prev]  # natural chunks (cut inclusive)
+    seg_docs = [kdoc]
+    # tail chunk per doc: from last cut (or -1) to len-1
+    last_cut = np.full(nd, -1, np.int64)
+    if len(kcut):
+        nz = np.flatnonzero(cut_counts)
+        last_cut[nz] = kcut[ends_of[nz] - 1]
+    tail = lens - 1 - last_cut
+    nz_tail = tail > 0
+    seg_lens.append(tail[nz_tail])
+    seg_docs.append(np.flatnonzero(nz_tail))
+    sl = np.concatenate(seg_lens)
+    sd = np.concatenate(seg_docs)
+    # forced cuts inside over-long segments: a segment of length L
+    # becomes ceil(L / max_size) chunks of max_size (+ remainder)
+    nfull = sl // max_size
+    rem = sl - nfull * max_size
+    cnt = nfull + (rem > 0)
+    n_chunks = np.bincount(sd, weights=cnt.astype(np.float64),
+                           minlength=nd).astype(np.int64)
+    sq = nfull * max_size * max_size + rem * rem
+    if int(sl.max(initial=0)) ** 2 >= 1 << 53:
+        raise OverflowError("cdc_chunk_stats: chunk length bound")
+    sum_sq = np.bincount(sd, weights=sq.astype(np.float64),
+                         minlength=nd).astype(np.int64)
+    mx = np.minimum(sl, np.where(nfull > 0, max_size, sl))
+    max_len = np.zeros(nd, np.int64)
+    np.maximum.at(max_len, sd, mx)
+    return n_chunks, sum_sq, max_len

@@ -11464,3 +11464,57 @@ def events_debounce(sf_dir: str, cooldown: int = 21600):
                          zero_copy_batch=True),
         ["user_id"], ["n_kept", "sum_sec"])
     return agg.sort_by([("user_id", "ascending")])
+
+
+def docs_cdc_chunks(sf_dir: str):
+    """Content-defined chunking stats (functions/pack.cdc_chunk_stats
+    — the FastCDC-family dedup-storage primitive): boundaries fall
+    where the rolling 16-byte hash has 6 low zero bits, so an edit
+    only perturbs nearby chunks; min-size debouncing runs as the
+    lockstep debounce chain, over-long gaps get forced max-size cuts.
+    Per-language rollup (docs, chunks, squared-length mass, max);
+    rows-only (a per-position rolling hash has no tractable SQL
+    form); the pytest oracle replays the pinned rule scalar."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..functions.pack import cdc_chunk_stats
+
+        nc, sq, mx = cdc_chunk_stats(b["text"], min_size=32,
+                                     max_size=512)
+        lang = b["lang"].combine_chunks().dictionary_encode()
+        inv = lang.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(lang.dictionary)
+        mxl = np.zeros(k, np.int64)
+        np.maximum.at(mxl, inv, mx)
+        return pa.table({
+            "lang": lang.dictionary,
+            "n_docs": pa.array(np.bincount(inv, minlength=k)
+                               .astype(np.int64)),
+            "n_chunks": pa.array(np.bincount(
+                inv, weights=nc.astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "sq_mass": pa.array(np.bincount(
+                inv, weights=sq.astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "max_chunk": pa.array(mxl)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    from ..collect import collect_table
+
+    tbl = collect_table(parts).to_pandas()
+    out = tbl.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_chunks=("n_chunks", "sum"),
+        sq_mass=("sq_mass", "sum"), max_chunk=("max_chunk", "max")) \
+        .sort_values("lang")
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype(np.int64)),
+        "n_chunks": pa.array(out["n_chunks"].astype(np.int64)),
+        "sq_mass": pa.array(out["sq_mass"].astype(np.int64)),
+        "max_chunk": pa.array(out["max_chunk"].astype(np.int64))})

@@ -119,3 +119,66 @@ def test_chunk_spans_scalar_and_edges(ray_session):
         assert got[-1][2] == n
         for (a, b) in zip(got, got[1:]):
             assert b[1] == a[1] + stride and b[1] < a[2]
+
+
+def test_cdc_chunk_stats_scalar_replay():
+    from geobuf_ray.functions.pack import _CDC_BASE, cdc_chunk_stats
+
+    def scalar(s, window=16, mask_bits=6, min_size=8, max_size=64):
+        b = s.encode()
+        L = len(b)
+        if L == 0:
+            return (0, 0, 0)
+        powers = [np.uint64(1)]
+        with np.errstate(over="ignore"):
+            for _ in range(window - 1):
+                powers.append(np.uint64(powers[-1] * _CDC_BASE))
+            naturals = []
+            for i in range(window - 1, L - 1):
+                h = np.uint64(0)
+                for j in range(window):
+                    h = np.uint64(h + np.uint64(b[i - j]) * powers[j])
+                if int(h) & ((1 << mask_bits) - 1) == 0:
+                    naturals.append(i)
+        kept, last = [], None
+        for p in naturals:
+            if last is None or p >= last + min_size:
+                kept.append(p)
+                last = p
+        segs, prev = [], -1
+        for c in kept:
+            segs.append(c - prev)
+            prev = c
+        if L - 1 - prev > 0:
+            segs.append(L - 1 - prev)
+        chunks = []
+        for sl in segs:
+            nfull, rem = divmod(sl, max_size)
+            chunks += [max_size] * nfull + ([rem] if rem else [])
+        return (len(chunks), sum(c * c for c in chunks),
+                max(chunks) if chunks else 0)
+
+    rng = np.random.default_rng(17)
+    texts = ["".join(chr(97 + int(c)) for c in rng.integers(0, 26, int(n)))
+             for n in rng.integers(0, 300, 30)] + ["", "x", "ab"]
+    nc, sq, mx = cdc_chunk_stats(pa.array(texts, pa.string()),
+                                 min_size=8, max_size=64)
+    for i, s in enumerate(texts):
+        assert (nc[i], sq[i], mx[i]) == scalar(s), (i, len(s))
+    # chunks partition the bytes: a doc with no cuts is ONE chunk
+    one = cdc_chunk_stats(pa.array(["hello"], pa.string()))
+    assert one[0][0] == 1 and one[2][0] == 5
+
+
+def test_cdc_chunks_stable_under_prefix_insertion():
+    from geobuf_ray.functions.pack import cdc_chunk_stats
+
+    rng = np.random.default_rng(23)
+    body = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 2000))
+    a = cdc_chunk_stats(pa.array([body], pa.string()),
+                        min_size=16, max_size=256)
+    b = cdc_chunk_stats(pa.array(["ZQXJ" + body], pa.string()),
+                        min_size=16, max_size=256)
+    # content-defined: chunk counts shift by at most a couple at the
+    # head, never globally (position-defined chunking would re-cut all)
+    assert abs(int(a[0][0]) - int(b[0][0])) <= 2
