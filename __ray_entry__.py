@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_blob_stats": q.images_blob_stats,
         "events_debounce": q.events_debounce,
         "docs_cdc_chunks": q.docs_cdc_chunks,
+        "parts_fuzzy_matches": q.parts_fuzzy_matches,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4021,7 +4022,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(sec % 100000) AS BIGINT) AS sum_sec
             FROM k GROUP BY user_id ORDER BY user_id
         """,
-        "lineitem_qty_power_sums": """
+        "parts_fuzzy_matches": """
+            WITH raw AS (
+                SELECT regexp_replace(p_name, ' .*$', '') AS word
+                FROM part
+                UNION
+                SELECT regexp_replace(p_name, '^[^ ]* ', '') FROM part),
+            w AS (SELECT DISTINCT word FROM raw),
+            u AS (SELECT word,
+                         upper(regexp_replace(word, '[^A-Za-z]', '', 'g'))
+                             AS uw FROM w),
+            s AS (SELECT word, substr(uw, 1, 1) AS f,
+                         substr(uw, 1, 1)
+                             || translate(substr(uw, 2), 'HW', '') AS body
+                  FROM u),
+            c AS (SELECT word, f,
+                         translate(body, 'BFPVCGJKQSXZDTLMNRAEIOUY',
+                                   '111122222222334556000000') AS coded
+                  FROM s),
+            x AS (SELECT word, f, i,
+                         substr(coded, CAST(i AS INT), 1) AS ch
+                  FROM c, unnest(generate_series(1, length(coded)))
+                           AS t(i)),
+            y AS (SELECT word, f, i, ch,
+                         lag(ch) OVER (PARTITION BY word ORDER BY i)
+                             AS pch
+                  FROM x),
+            z AS (SELECT word, f,
+                         string_agg(ch, '' ORDER BY i) AS coll
+                  FROM y WHERE pch IS NULL OR ch <> pch
+                  GROUP BY word, f),
+            e AS (SELECT word,
+                         substr(replace(substr(coll, 2), '0', '')
+                                || '000', 1, 3) AS block
+                  FROM z)
+            SELECT a.word AS word_a, b.word AS word_b, a.block,
+                   CAST(levenshtein(a.word, b.word) AS BIGINT) AS lev
+            FROM e a JOIN e b ON a.block = b.block AND a.word < b.word
+            WHERE levenshtein(a.word, b.word) <= 2
+            ORDER BY a.block, word_a, word_b
+        """,
+       "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,
                               CAST(round(l_quantity) AS BIGINT) AS q
                        FROM lineitem)

@@ -11518,3 +11518,64 @@ def docs_cdc_chunks(sf_dir: str):
         "n_chunks": pa.array(out["n_chunks"].astype(np.int64)),
         "sq_mass": pa.array(out["sq_mass"].astype(np.int64)),
         "max_chunk": pa.array(out["max_chunk"].astype(np.int64))})
+
+
+def parts_fuzzy_matches(sf_dir: str, k: int = 2):
+    """Record-linkage composition: phonetic BLOCKING + edit-distance
+    VERIFY — candidate pairs form only inside a block sharing the
+    Soundex DIGIT signature (the coarser first-letter-free variant, so
+    cold/old and red/rod block together), then the bit-parallel Myers
+    kernel (functions/strjoin.levenshtein_pairs) confirms lev <= 2.
+    Both stages are load-bearing: the block key prunes the pair space,
+    the verify genuinely rejects same-block far pairs (hot/red at
+    lev 3).  Vocabulary = both words of p_name (distinct via block
+    partials, metadata-domain by contract).  Hash-checked vs the
+    sdx-digit-equality + levenshtein SQL twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.strjoin import levenshtein_pairs
+    from ..functions.text import soundex_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_name"])
+
+    def distinct_words(b: pa.Table) -> pa.Table:
+        names = b["p_name"].combine_chunks()
+        w1 = pc.replace_substring_regex(names, " .*$", "")
+        w2 = pc.replace_substring_regex(names, "^[^ ]* ", "")
+        return pa.table({"word": pa.concat_arrays(
+            [w1.unique(), w2.unique()]).unique()})
+
+    words = collect_table(ds.map_batches(
+        distinct_words, batch_format="pyarrow", zero_copy_batch=True))
+    vocab = words["word"].combine_chunks().unique()
+    sdx = soundex_batch(vocab)
+    digits = pc.utf8_slice_codeunits(sdx, 1, 4)
+    order = pa.array(np.lexsort((
+        np.asarray(vocab.to_pylist(), object).astype(str),
+        np.asarray(digits.to_pylist(), object).astype(str))))
+    vocab, digits = vocab.take(order), digits.take(order)
+    codes = np.asarray(digits.to_pylist(), object).astype(str)
+    starts = np.concatenate(([0], np.flatnonzero(
+        codes[1:] != codes[:-1]) + 1, [len(codes)]))
+    ai, bi = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        if e - s > 1:
+            ii, jj = np.triu_indices(e - s, k=1)
+            ai.append(ii + s)
+            bi.append(jj + s)
+    if not ai:
+        raise AssertionError("fuzzy blocking found no candidate blocks")
+    ai = np.concatenate(ai)
+    bi = np.concatenate(bi)
+    lev = levenshtein_pairs(vocab.take(pa.array(ai)),
+                            vocab.take(pa.array(bi)))
+    keep = lev <= k
+    if not keep.any() or keep.all():
+        raise AssertionError("verify stage must both keep and reject")
+    return pa.table({
+        "word_a": vocab.take(pa.array(ai[keep])),
+        "word_b": vocab.take(pa.array(bi[keep])),
+        "block": digits.take(pa.array(ai[keep])),
+        "lev": pa.array(lev[keep].astype(np.int64))})

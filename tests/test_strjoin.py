@@ -187,3 +187,30 @@ def test_soundex_nulls_and_scalar_reference():
     got = soundex_batch(pa.array(words, pa.string())).to_pylist()
     for w, g in zip(words, got):
         assert g == (None if w is None else scalar(w)), (w, g)
+
+
+def test_fuzzy_blocking_pipeline_hand_vocab():
+    import pyarrow.compute as pc
+
+    from geobuf_ray.functions.strjoin import levenshtein_pairs
+    from geobuf_ray.functions.text import soundex_batch
+
+    vocab = ["cold", "old", "bolt", "plate", "hot", "red", "rod",
+             "widget", "gizmo"]
+    sdx = soundex_batch(pa.array(vocab)).to_pylist()
+    blocks = {}
+    for w, s in zip(vocab, sdx):
+        blocks.setdefault(s[1:], []).append(w)
+    pairs = []
+    for b, ws in blocks.items():
+        ws = sorted(ws)
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                pairs.append((ws[i], ws[j]))
+    lev = levenshtein_pairs(pa.array([a for a, _ in pairs]),
+                            pa.array([b for _, b in pairs]))
+    got = {p for p, d in zip(pairs, lev) if d <= 2}
+    assert got == {("cold", "old"), ("bolt", "cold"), ("bolt", "old"),
+                   ("hot", "rod"), ("red", "rod")}
+    # the verify stage genuinely rejected same-block far pairs
+    assert ("hot", "red") in set(pairs) and ("hot", "red") not in got
