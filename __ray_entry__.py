@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q.events_debounce,
         "docs_cdc_chunks": q.docs_cdc_chunks,
         "parts_fuzzy_matches": q.parts_fuzzy_matches,
+        "docs_temperature_mix": q.docs_temperature_mix,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4062,7 +4063,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(a.word, b.word) <= 2
             ORDER BY a.block, word_a, word_b
         """,
-       "lineitem_qty_power_sums": """
+        "docs_temperature_mix": """
+            WITH tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                         FROM documents GROUP BY source),
+            mx AS (SELECT MAX(CAST(floor(sqrt(n)) AS BIGINT)) AS rmax
+                   FROM tot),
+            thr AS (SELECT source, n,
+                           CAST(floor(sqrt(n)) AS BIGINT)
+                               * 4294967296 // rmax AS t
+                    FROM tot, mx),
+            k AS (SELECT d.source,
+                         CAST(COUNT(*) AS BIGINT) AS n_kept
+                  FROM documents d JOIN thr USING (source)
+                  WHERE ((d.doc_id % 1000003) * 2654435761)
+                        % 4294967296 < t
+                  GROUP BY d.source)
+            SELECT source, n, n_kept
+            FROM thr JOIN k USING (source) ORDER BY source
+        """,
+        "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,
                               CAST(round(l_quantity) AS BIGINT) AS q
                        FROM lineitem)

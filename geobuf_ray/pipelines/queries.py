@@ -11579,3 +11579,60 @@ def parts_fuzzy_matches(sf_dir: str, k: int = 2):
         "word_b": vocab.take(pa.array(bi[keep])),
         "block": digits.take(pa.array(ai[keep])),
         "lev": pa.array(lev[keep].astype(np.int64))})
+
+
+def docs_temperature_mix(sf_dir: str):
+    """Temperature-weighted mixture resampling (the T5/multilingual
+    mixing rule p_s ∝ n_s^(1/2)): big sources downsample toward the
+    temperature share, keep rate_s = isqrt(n_max) scaled so the
+    LARGEST source keeps ~its fair share and smaller sources keep
+    proportionally more.  The gate is the SQL-reproducible 32-bit id
+    hash against the exact integer threshold isqrt(n_s) * 2^32 /
+    isqrt(n_max) (floored once, pinned) — coordination-free after ONE
+    counting pass broadcasts the per-source totals.  Emits per-source
+    kept counts; hash-checked vs a CASE twin computing the identical
+    integer thresholds."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["source"]).aggregate([("n", "sum")]) \
+            .rename_columns(["source", "n"])
+
+    totals = _final_combine(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["source"], ["n"])
+    src = np.asarray(totals["source"].to_pylist(), object).astype(str)
+    n = totals["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    import math
+
+    root = np.array([math.isqrt(int(x)) for x in n], np.int64)
+    thr = root * (1 << 32) // int(root.max())
+    thr_map = dict(zip(src.tolist(), thr.tolist()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        gate = ((ids % 1000003) * 2654435761) % 4294967296
+        enc = batch["source"].combine_chunks().dictionary_encode()
+        dthr = np.asarray([thr_map[s] for s in
+                           enc.dictionary.to_pylist()], np.int64)
+        t = dthr[enc.indices.to_numpy(zero_copy_only=False)
+                 .astype(np.int64)]
+        m = gate < t
+        tt = pa.table({"source": batch["source"].filter(pa.array(m)),
+                       "n_kept": pa.array(
+                           np.ones(int(m.sum()), np.int64))})
+        return tt.group_by(["source"]).aggregate([("n_kept", "sum")]) \
+            .rename_columns(["source", "n_kept"])
+
+    kept = _final_combine(
+        ds.map_batches(keep, batch_format="pyarrow",
+                       zero_copy_batch=True), ["source"], ["n_kept"])
+    out = kept.join(totals, keys=["source"]).sort_by(
+        [("source", "ascending")])
+    return out.select(["source", "n", "n_kept"])
