@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cdc_chunks": q.docs_cdc_chunks,
         "parts_fuzzy_matches": q.parts_fuzzy_matches,
         "docs_temperature_mix": q.docs_temperature_mix,
+        "audio_silence_segments": q.audio_silence_segments,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

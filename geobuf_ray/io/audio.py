@@ -257,3 +257,49 @@ def synthesize_video_index(n: int, **map_kwargs):
 
     return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True,
                           **map_kwargs)
+
+
+class SilenceSegmentsFn:
+    """Actor-pool voice-activity-style segmentation: per clip, frame
+    RMS against a RELATIVE threshold (half the clip's median frame
+    RMS — absolute thresholds break across gain levels), quiet runs of
+    at least ``min_run`` frames count as silence segments, their
+    complement as active segments.  The run extraction is the same
+    diff-of-padded-mask kernel the raster CCL uses."""
+
+    def __init__(self, frame: int = 512, min_run: int = 4):
+        self.frame = frame
+        self.min_run = min_run
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        n = len(blobs)
+        out = {k: np.zeros(n, np.int64)
+               for k in ("n_frames", "n_quiet_frames",
+                         "n_silence_segs", "n_active_segs")}
+        for i in range(n):  # decode is inherently per-payload
+            samples, _rate = decode_audio(blobs[i])
+            nf = len(samples) // self.frame
+            if nf == 0:
+                continue
+            fr = samples[:nf * self.frame].reshape(nf, self.frame) \
+                .astype(np.float64)
+            rms = np.sqrt((fr * fr).mean(axis=1))
+            thr = 0.5 * np.median(rms)
+            quiet = rms < thr
+            pad = np.zeros(nf + 2, np.int8)
+            pad[1:-1] = quiet
+            starts = np.flatnonzero(np.diff(pad) == 1)
+            ends = np.flatnonzero(np.diff(pad) == -1)
+            runs = ends - starts
+            out["n_frames"][i] = nf
+            out["n_quiet_frames"][i] = int(quiet.sum())
+            out["n_silence_segs"][i] = int((runs >= self.min_run).sum())
+            act = ~quiet
+            pad[1:-1] = act
+            a_st = np.flatnonzero(np.diff(pad) == 1)
+            out["n_active_segs"][i] = len(a_st)
+        res = batch.drop_columns(["bytes"])
+        for k, v in out.items():
+            res = res.append_column(k, pa.array(v))
+        return res

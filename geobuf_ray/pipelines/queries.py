@@ -11636,3 +11636,44 @@ def docs_temperature_mix(sf_dir: str):
     out = kept.join(totals, keys=["source"]).sort_by(
         [("source", "ascending")])
     return out.select(["source", "n", "n_kept"])
+
+
+def audio_silence_segments(sf_dir: str):
+    """Voice-activity-style segmentation (io/audio.SilenceSegmentsFn):
+    per-clip frame RMS against a relative threshold (half the clip's
+    median — gain-invariant), min-run silence segments plus active
+    complements; the run kernel is the raster CCL's diff-of-padded-
+    mask.  Per-format rollup; rows-only (procedural payloads), scalar
+    constructed-waveform pytest oracle."""
+    from ..io import audio as au
+
+    n = 50 if "0.001" in sf_dir else (150 if "0.01" in sf_dir else 500)
+    ds = _cached_media_ds("audio", n, au.synthesize_audio_dataset)
+    rows = ds.map_batches(au.SilenceSegmentsFn, batch_format="pyarrow",
+                          batch_size=32, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        fmt = b["fmt"].combine_chunks().dictionary_encode()
+        inv = fmt.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(fmt.dictionary)
+
+        def s(col):
+            return pa.array(np.bincount(
+                inv, weights=b[col].to_numpy(zero_copy_only=False)
+                .astype(np.float64), minlength=k).astype(np.int64))
+
+        return pa.table({
+            "fmt": fmt.dictionary,
+            "n_clips": pa.array(np.bincount(inv, minlength=k)
+                                .astype(np.int64)),
+            "n_frames": s("n_frames"),
+            "n_quiet_frames": s("n_quiet_frames"),
+            "n_silence_segs": s("n_silence_segs"),
+            "n_active_segs": s("n_active_segs")})
+
+    agg = _final_combine(
+        rows.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["fmt"], ["n_clips", "n_frames", "n_quiet_frames",
+                  "n_silence_segs", "n_active_segs"])
+    return agg.sort_by([("fmt", "ascending")])

@@ -73,3 +73,47 @@ def test_video_frame_sampling(ray_session):
     for cid, fr in by_clip.items():
         exp = list(range(0, idx[cid], 4))
         assert sorted(fr) == exp  # ONLY sampled frames materialized
+
+
+def test_silence_segments_constructed_waveform():
+    from geobuf_ray.io.audio import SilenceSegmentsFn, encode_pcmz
+
+    frame = 256
+    loud = np.sin(np.linspace(0, 400 * np.pi, frame * 6)) * 0.8
+    quiet = np.zeros(frame * 5, np.float64) + 0.001
+    wav = np.concatenate([loud, quiet, loud, quiet[:frame * 2], loud]) \
+        .astype(np.float32)
+    tbl = pa.table({
+        "clip_id": pa.array(["c0"], pa.string()),
+        "bytes": pa.array([encode_pcmz(wav, 16000)], pa.binary()),
+        "fmt": pa.array(["pcmz"], pa.string())})
+    out = SilenceSegmentsFn(frame=frame, min_run=3)(tbl).to_pandas()
+    # 18 + 7 quiet frames -> but min_run=3: both quiet runs (5, 2):
+    # only the 5-run counts as a silence segment; 3 active segments
+    assert out["n_frames"][0] == 6 + 5 + 6 + 2 + 6
+    assert out["n_quiet_frames"][0] == 7
+    assert out["n_silence_segs"][0] == 1
+    assert out["n_active_segs"][0] == 3
+
+
+def test_silence_segments_gain_invariance():
+    from geobuf_ray.io.audio import SilenceSegmentsFn, encode_pcmz
+
+    frame = 256
+    rng = np.random.default_rng(5)
+    base = np.repeat(rng.uniform(0.2, 0.9, 40), frame) \
+        * np.sin(np.linspace(0, 900 * np.pi, frame * 40))
+    gaps = base.copy()
+    gaps[frame * 10: frame * 14] = 0.0
+    for gain in (1.0, 0.25):
+        tbl = pa.table({
+            "clip_id": pa.array(["g"], pa.string()),
+            "bytes": pa.array([encode_pcmz(
+                (gaps * gain).astype(np.float32), 16000)], pa.binary()),
+            "fmt": pa.array(["pcmz"], pa.string())})
+        out = SilenceSegmentsFn(frame=frame, min_run=3)(tbl).to_pandas()
+        assert out["n_silence_segs"][0] >= 1
+        if gain == 1.0:
+            ref = out["n_silence_segs"][0]
+        else:  # relative threshold: same segmentation at 1/4 gain
+            assert out["n_silence_segs"][0] == ref
