@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_fuzzy_matches": q.parts_fuzzy_matches,
         "docs_temperature_mix": q.docs_temperature_mix,
         "audio_silence_segments": q.audio_silence_segments,
+        "orders_zonemap_scan": q.orders_zonemap_scan,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4081,6 +4082,17 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY d.source)
             SELECT source, n, n_kept
             FROM thr JOIN k USING (source) ORDER BY source
+        """,
+        "orders_zonemap_scan": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders
+            WHERE datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) BETWEEN 9496
+                  AND 9586
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -11677,3 +11677,69 @@ def audio_silence_segments(sf_dir: str):
         ["fmt"], ["n_clips", "n_frames", "n_quiet_frames",
                   "n_silence_segs", "n_active_segs"])
     return agg.sort_by([("fmt", "ascending")])
+
+
+def orders_zonemap_scan(sf_dir: str):
+    """Zone-map data skipping (state/zonemap): orders lay out
+    range-sorted by date-day with per-file min/max sidecar stats, then
+    a narrow one-quarter scan opens ONLY the files whose zone
+    intersects the window — the Iceberg/Delta file-pruning primitive
+    (the relational-column twin of the gob SubFile index and the
+    GeoParquet bbox skip).  The predicate re-applies per batch, so
+    correctness never depends on pruning; the in-query assert pins
+    that pruning genuinely fired.  Per-priority counts + cents sums
+    over the window, hash-checked vs a plain BETWEEN twin."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..state.zonemap import read_with_zonemap, zonemap_build, \
+        zonemap_files
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"day": pa.array(day),
+                         "cents": pa.array(cents),
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice", "o_orderpriority"]) \
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    d = tempfile.mkdtemp(prefix="zm_", dir="/tmp")
+    try:
+        zonemap_build(src, d, columns=["day"], sort_by="day",
+                      rows_per_file=4096)
+        lo, hi = 9496, 9586  # one ~quarter of 1996
+        files, total = zonemap_files(d, "day", lo, hi)
+        if not (0 < len(files) < total):
+            raise AssertionError("zone map pruned nothing")
+        ds = read_with_zonemap(d, "day", lo, hi)
+
+        def partial(b: pa.Table) -> pa.Table:
+            pr = b["o_orderpriority"].combine_chunks() \
+                .dictionary_encode()
+            inv = pr.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            k = len(pr.dictionary)
+            return pa.table({
+                "o_orderpriority": pr.dictionary,
+                "n": pa.array(np.bincount(inv, minlength=k)
+                              .astype(np.int64)),
+                "sum_cents": pa.array(np.bincount(
+                    inv, weights=b["cents"].to_numpy(
+                        zero_copy_only=False).astype(np.float64),
+                    minlength=k).astype(np.int64))})
+
+        agg = _final_combine(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["o_orderpriority"], ["n", "sum_cents"])
+        return agg.sort_by([("o_orderpriority", "ascending")])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -678,3 +678,33 @@ def test_lookup_join_prunes_partitions(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="null"):
         fn(pa.table({"l": pa.array([1, None], pa.int64())}))
+
+
+def test_zonemap_prunes_and_reads_exact(ray_session, tmp_path):
+    import ray
+
+    from geobuf_ray.state.zonemap import (read_with_zonemap,
+                                          zonemap_build, zonemap_files)
+
+    d = str(tmp_path / "zm")
+    rng = np.random.default_rng(3)
+    tbl = pa.table({"v": pa.array(rng.permutation(5000), pa.int64()),
+                    "w": pa.array(np.arange(5000), pa.int64())})
+    zonemap_build(ray.data.from_arrow(tbl).repartition(4), d,
+                  columns=["v"], sort_by="v", rows_per_file=500)
+    files, total = zonemap_files(d, "v", 1200, 1399)
+    # sorted layout: zones are disjoint, the 200-row window touches
+    # only a couple of files (block-boundary slivers allowed)
+    assert total >= 10 and 1 <= len(files) <= 3 and len(files) < total
+    out = read_with_zonemap(d, "v", 1200, 1399).to_pandas()
+    assert sorted(out["v"]) == list(range(1200, 1400))
+
+    # unsorted layout: zones overlap, pruning degrades but stays exact
+    d2 = str(tmp_path / "zm2")
+    zonemap_build(ray.data.from_arrow(tbl).repartition(4), d2,
+                  columns=["v"], rows_per_file=500)
+    out2 = read_with_zonemap(d2, "v", 1200, 1399).to_pandas()
+    assert sorted(out2["v"]) == list(range(1200, 1400))
+
+    with pytest.raises(KeyError):
+        zonemap_files(d, "w", 0, 1)
