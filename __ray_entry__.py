@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_temperature_mix": q.docs_temperature_mix,
         "audio_silence_segments": q.audio_silence_segments,
         "orders_zonemap_scan": q.orders_zonemap_scan,
+        "docs_skipgram_top": q.docs_skipgram_top,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4094,7 +4095,32 @@ def oracle_sql() -> dict[str, str]:
                   AND 9586
             GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
-        "lineitem_qty_power_sums": """
+        "docs_skipgram_top": r"""
+            WITH arrs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(text, '\s+') AS arr
+              FROM documents),
+            raw AS (
+              SELECT doc_id, arr[CAST(i AS INT)] AS term, i AS pos
+              FROM arrs, unnest(generate_series(1, len(arr)))
+                   AS t(i)),
+            tok AS (
+              SELECT doc_id, term,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS i
+              FROM raw WHERE term <> ''),
+            prs AS (
+              SELECT a.term AS a, b.term AS b,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id
+               AND b.i - a.i BETWEEN 1 AND 2
+              GROUP BY a.term, b.term)
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY cnt DESC, a, b) AS BIGINT) AS rank,
+                   a, b, cnt
+            FROM prs ORDER BY cnt DESC, a, b LIMIT 20
+        """,        "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,
                               CAST(round(l_quantity) AS BIGINT) AS q
                        FROM lineitem)

@@ -1378,3 +1378,74 @@ def rrf_fuse(ranked: pa.Table, *, list_col: str = "term",
         "rrf_score": pa.array(score[sel]),
         "n_lists": pa.array(nlists[sel]),
         "fused_rank": pa.array(np.arange(1, len(sel) + 1))})
+
+
+def skipgram_counts(ds, *, window: int = 2, k: int = 20,
+                    text_col: str = "text", nbuckets: int = 64,
+                    **map_kwargs) -> pa.Table:
+    """Top-k skip-gram co-occurrence pairs (the word2vec / GloVe
+    training-table ingredient): ordered (center, context) pairs at
+    token distance 1..window within a document, counted exactly.
+    Blocks pre-aggregate pair counts (shifted-array comparisons — no
+    token loop), ONE pair-hash exchange sums true counts and each
+    bucket emits only its local top-k (the pair vocabulary never
+    centralizes), bounded driver merge under (count DESC, a, b)."""
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("cnt", pa.int64())])
+        flat, doc_of = _tokens_per_doc(batch, text_col)
+        if len(flat) == 0:
+            return schema.empty_table()
+        parts = []
+        for d in range(1, window + 1):
+            same = doc_of[d:] == doc_of[:-d] if len(flat) > d else \
+                np.zeros(0, bool)
+            sel = np.flatnonzero(same)
+            if not len(sel):
+                continue
+            parts.append(pa.table({
+                "a": flat.take(pa.array(sel)),
+                "b": flat.take(pa.array(sel + d))}))
+        if not parts:
+            return schema.empty_table()
+        t = pa.concat_tables(parts)
+        t = t.append_column("cnt", pa.array(
+            np.ones(t.num_rows, np.int64)))
+        g = t.group_by(["a", "b"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["a", "b", "cnt"]).cast(schema)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, **map_kwargs)
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("cnt", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        g = t.group_by(["a", "b"]).aggregate([("cnt", "sum")]) \
+            .rename_columns(["a", "b", "cnt"])
+        df = g.to_pandas().sort_values(
+            ["cnt", "a", "b"], ascending=[False, True, True],
+            kind="stable").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .cast(schema)
+
+    def pair_bucket(batch: pa.Table):
+        from .dedup import _mix
+
+        h = _mix(fingerprint64(batch["a"]) * np.uint64(0x9E3779B1)
+                 ^ fingerprint64(batch["b"]), 0xC0FE)
+        return (h % np.uint64(nbuckets)).astype(np.int64), batch
+
+    merged = collect_table(hash_exchange(
+        pairs, nbuckets=nbuckets, bucket_fn=pair_bucket,
+        reduce_fn=bucket_topk))
+    df = merged.to_pandas().sort_values(
+        ["cnt", "a", "b"], ascending=[False, True, True],
+        kind="stable").head(k).reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1)
+    return pa.Table.from_pandas(df[["rank", "a", "b", "cnt"]],
+                                preserve_index=False)

@@ -11743,3 +11743,20 @@ def orders_zonemap_scan(sf_dir: str):
         return agg.sort_by([("o_orderpriority", "ascending")])
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def docs_skipgram_top(sf_dir: str, window: int = 2, k: int = 20):
+    """Skip-gram co-occurrence table (functions/text.skipgram_counts
+    — the word2vec/GloVe ingredient): ordered (center, context) pairs
+    at token distance 1..2, exact counts via block partials + ONE
+    pair-hash exchange with in-bucket top-k (a pair lives wholly in
+    one bucket, so the merged top-k is provably exact and the pair
+    vocabulary never centralizes).  Hash-checked vs a positions
+    self-join twin."""
+    import ray
+
+    from ..functions.text import skipgram_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return skipgram_counts(ds, window=window, k=k)

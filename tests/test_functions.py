@@ -1199,3 +1199,28 @@ def test_rrf_fuse_scalar_reference():
     with pytest.raises(ValueError):
         rrf_fuse(pa.table({"term": ["a"], "rank": pa.array([0]),
                            "doc_id": pa.array([1])}))
+
+
+def test_skipgram_counts_scalar_reference(ray_session):
+    import ray
+
+    from geobuf_ray.functions.text import skipgram_counts
+
+    docs = ["a b c a b", "b c  c", "x", ""]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    out = skipgram_counts(ray.data.from_arrow(tbl).repartition(3),
+                          window=2, k=50, nbuckets=4).to_pandas()
+    exp = {}
+    for s in docs:
+        toks = [t for t in s.split() if t]
+        for i in range(len(toks)):
+            for d in (1, 2):
+                if i + d < len(toks):
+                    key = (toks[i], toks[i + d])
+                    exp[key] = exp.get(key, 0) + 1
+    got = {(r.a, r.b): r.cnt for r in out.itertuples()}
+    assert got == exp
+    order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r.a, r.b) for r in out.itertuples()] == \
+        [k for k, _ in order]
