@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_silence_segments": q.audio_silence_segments,
         "orders_zonemap_scan": q.orders_zonemap_scan,
         "docs_skipgram_top": q.docs_skipgram_top,
+        "events_last_order_asof_broadcast": q.events_last_order_asof_broadcast,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4120,7 +4121,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cnt DESC, a, b) AS BIGINT) AS rank,
                    a, b, cnt
             FROM prs ORDER BY cnt DESC, a, b LIMIT 20
-        """,        "lineitem_qty_power_sums": """
+        """,        "events_last_order_asof_broadcast": """
+            SELECT event_id, user_id, o_orderkey FROM (
+                SELECT e.event_id, e.user_id, o.o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o ON o.o_custkey = e.user_id
+                             AND o.o_orderdate <= CAST(e.ts AS DATE)
+            ) WHERE rn = 1
+        """,
+        "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,
                               CAST(round(l_quantity) AS BIGINT) AS q
                        FROM lineitem)

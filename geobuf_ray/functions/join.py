@@ -1213,3 +1213,121 @@ def theta_join(left, right: pa.Table, predicate, *, how: str = "inner",
 
     return left.map_batches(probe, batch_format="pyarrow",
                             zero_copy_batch=True, **map_kwargs)
+
+
+def broadcast_asof_join(left, right: pa.Table, on, *, left_time: str,
+                        right_time: str, direction: str = "backward",
+                        rsuffix: str = "_r", **map_kwargs):
+    """As-of join against a SMALL broadcast right table — the
+    no-shuffle twin of :func:`asof_join` (the same two-regime pairing
+    as range_join / broadcast_range_join): the right side ships once
+    via ``ray.put`` pre-sorted by (key hash, time); every left batch
+    merges with it locally and runs the identical lexsort +
+    segment-forward-fill kernel, so the two regimes return identical
+    rows by construction (inner semantics, NULL keys/times match
+    nothing, int64 time axis preserved — no float round-trip).
+
+    ``direction``: backward / forward / nearest with exactly
+    :func:`asof_join`'s tie and distance rules (forward rides the
+    order-reversing ``~t`` bijection; nearest compares uint64
+    distances, ties prefer backward)."""
+    import ray
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unsupported direction={direction!r}")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    r_names = [n for n in right.column_names
+               if n not in on_cols and n != right_time]
+
+    def _times(tbl: pa.Table, col: str):
+        c = tbl[col].combine_chunks()
+        null = np.zeros(len(c), bool)
+        if c.null_count:
+            null = c.is_null().to_numpy(zero_copy_only=False)
+        if pa.types.is_timestamp(c.type):
+            t = c.cast(pa.int64()).fill_null(0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            t = c.fill_null(0).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        return t, null
+
+    rh = _combined_hash(right, on_cols)
+    rt, rt_null = _times(right, right_time)
+    r_null = _null_any(right, on_cols, right.num_rows) | rt_null
+    order = np.lexsort((rt, rh))
+    handle = ray.put((rh[order], rt[order], order, right))
+
+    def _match(lh, lt, rh_s, rt_s, flip):
+        """Index into (rh_s, rt_s) of the backward as-of match per
+        left row, or -1 — over the order-reversing ``~t`` bijection
+        when ``flip`` (= the forward match).  One merged lexsort +
+        segment forward-fill, the same kernel as asof_join's bucket."""
+        nl, nr = len(lh), len(rh_s)
+        t_l = ~lt if flip else lt
+        t_r = ~rt_s if flip else rt_s
+        side = np.concatenate((np.ones(nl, np.int8),
+                               np.zeros(nr, np.int8)))
+        hh = np.concatenate((lh, rh_s))
+        tt = np.concatenate((t_l, t_r))
+        o = np.lexsort((side, tt, hh))  # right rows first at equal t
+        total = nl + nr
+        is_right = side[o] == 0
+        src = np.where(is_right, np.arange(total), -1)
+        np.maximum.accumulate(src, out=src)
+        newkey = np.empty(total, bool)
+        newkey[0] = True
+        hho = hh[o]
+        newkey[1:] = hho[1:] != hho[:-1]
+        first_of_seg = np.zeros(total, np.int64)
+        first_of_seg[newkey] = np.flatnonzero(newkey)
+        np.maximum.accumulate(first_of_seg, out=first_of_seg)
+        match_sorted = np.where(src >= first_of_seg, src, -1)
+        res = np.full(nl, -1, np.int64)
+        is_left = ~is_right
+        lpos = o[is_left]  # original left row index (< nl)
+        m = match_sorted[is_left]
+        ok = m >= 0
+        res[lpos[ok]] = o[m[ok]] - nl  # original right index
+        return res
+
+    def probe(batch: pa.Table) -> pa.Table:
+        rh_s, rt_s, rord, rtab = ray.get(handle)
+        n = batch.num_rows
+        l_names = batch.column_names
+        lh = _combined_hash(batch, on_cols)
+        lt, lt_null = _times(batch, left_time)
+        lnull = _null_any(batch, on_cols, n) | lt_null
+        lh = lh.copy()
+        lh[lnull] = np.uint64(0xDEAD0000DEAD0001)  # never matches
+        rn = ~r_null[rord]
+        rh_ok, rt_ok = rh_s[rn], rt_s[rn]
+        rmap_ok = np.flatnonzero(rn)
+        if direction in ("backward", "nearest"):
+            mb = _match(lh, lt, rh_ok, rt_ok, flip=False)
+        if direction in ("forward", "nearest"):
+            mf = _match(lh, lt, rh_ok, rt_ok, flip=True)
+        if direction == "backward":
+            m = mb
+        elif direction == "forward":
+            m = mf
+        else:
+            db = np.where(mb >= 0,
+                          (lt - rt_ok[np.maximum(mb, 0)])
+                          .astype(np.uint64), np.uint64(2**64 - 1))
+            dff = np.where(mf >= 0,
+                           (rt_ok[np.maximum(mf, 0)] - lt)
+                           .astype(np.uint64), np.uint64(2**64 - 1))
+            m = np.where((mb >= 0) & (db <= dff), mb, mf)
+        hit = np.flatnonzero(m >= 0)
+        ridx = rord[rmap_ok[m[hit]]]
+        lt_tbl = batch.take(pa.array(hit, pa.int64()))
+        cols = {nme: lt_tbl[nme] for nme in l_names}
+        rt_take = rtab.take(pa.array(ridx, pa.int64()))
+        for rn_ in r_names:
+            orn = rn_ + rsuffix if rn_ in l_names else rn_
+            cols[orn] = rt_take[rn_]
+        return pa.table(cols)
+
+    return left.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True, **map_kwargs)

@@ -11760,3 +11760,48 @@ def docs_skipgram_top(sf_dir: str, window: int = 2, k: int = 20):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return skipgram_counts(ds, window=window, k=k)
+
+
+def events_last_order_asof_broadcast(sf_dir: str):
+    """Broadcast-regime twin of events_last_order_asof
+    (functions/join.broadcast_asof_join): the orders side ships ONCE
+    via ray.put and every event batch runs the identical lexsort +
+    segment-forward-fill kernel locally — no shuffle at all.  The
+    two regimes hash-check against the SAME oracle (the planner-pair
+    contract range_join/broadcast_range_join established)."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.join import broadcast_asof_join
+
+    _SHIFT = 1 << 24
+
+    def ev_prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "event_day": pa.array(
+                             ts * _SHIFT + (_SHIFT - 1))})
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"]).map_batches(
+        ev_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        keys = batch["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({"user_id": batch["o_custkey"],
+                         "o_orderkey": pa.array(keys),
+                         "order_day": pa.array(od * _SHIFT + keys)})
+
+    orders = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ord_prep, batch_format="pyarrow", zero_copy_batch=True))
+    out = broadcast_asof_join(events, orders, "user_id",
+                              left_time="event_day",
+                              right_time="order_day")
+    return out.select_columns(["event_id", "user_id", "o_orderkey"])

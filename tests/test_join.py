@@ -785,3 +785,62 @@ def test_theta_join_empty_right(ray_session):
     assert theta_join(_ds(left, 2), right, pred).count() == 0
     out = theta_join(_ds(left, 2), right, pred, how="left").to_pandas()
     assert len(out) == 3 and out["lo"].isna().all()
+
+
+def test_broadcast_asof_matches_exchange_asof(ray_session):
+    from geobuf_ray.functions.join import asof_join, broadcast_asof_join
+
+    rng = np.random.default_rng(21)
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 25, 3000), pa.int64()),
+        "t": pa.array(rng.integers(0, 10**6, 3000), pa.int64()),
+        "lv": pa.array(np.arange(3000), pa.int64())})
+    right = pa.table({
+        "k": pa.array(rng.integers(0, 25, 400), pa.int64()),
+        "t": pa.array(rng.integers(0, 10**6, 400), pa.int64()),
+        "rv": pa.array(np.arange(400), pa.int64())})
+    for direction in ("backward", "forward", "nearest"):
+        got = broadcast_asof_join(
+            _ds(left), right, "k", left_time="t", right_time="t",
+            direction=direction).to_pandas() \
+            .sort_values(["k", "t", "lv"]).reset_index(drop=True)
+        exp = asof_join(_ds(left), _ds(right), "k", left_time="t",
+                        right_time="t", direction=direction,
+                        nbuckets=8).to_pandas() \
+            .sort_values(["k", "t", "lv"]).reset_index(drop=True)
+        assert len(got) == len(exp), direction
+        assert (got[["k", "t", "lv", "rv"]].values
+                == exp[["k", "t", "lv", "rv"]].values).all(), direction
+
+
+def test_broadcast_asof_nulls_and_duckdb(ray_session):
+    import duckdb
+
+    from geobuf_ray.functions.join import broadcast_asof_join
+
+    left = pa.table({
+        "k": pa.array([1, 1, None, 2], pa.int64()),
+        "t": pa.array([10, 5, 7, None], pa.int64()),
+        "lv": pa.array([0, 1, 2, 3], pa.int64())})
+    right = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([4, 9, None], pa.int64()),
+        "rv": pa.array([100, 200, 300], pa.int64())})
+    got = broadcast_asof_join(_ds(left, 2), right, "k",
+                              left_time="t", right_time="t") \
+        .to_pandas().sort_values("lv").reset_index(drop=True)
+    # lv=0 (t=10) -> rv=200; lv=1 (t=5) -> rv=100; null key/time drop;
+    # right null-time row matches nothing
+    assert got["lv"].tolist() == [0, 1]
+    assert got["rv"].tolist() == [200, 100]
+    # DuckDB cross-check on the non-null domain (its ASOF matches
+    # null-time right rows; this engine pins NULLs-match-nothing,
+    # proven identical to the exchange asof above)
+    con = duckdb.connect()
+    con.register("l", left); con.register("r", right)
+    exp = con.execute(
+        "SELECT lv, rv FROM l ASOF JOIN r "
+        "ON l.k = r.k AND l.t >= r.t "
+        "WHERE l.k IS NOT NULL AND l.t IS NOT NULL "
+        "AND r.t IS NOT NULL ORDER BY lv").fetchdf()
+    assert got["rv"].tolist() == exp["rv"].tolist()
