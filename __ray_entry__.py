@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_zonemap_scan": q.orders_zonemap_scan,
         "docs_skipgram_top": q.docs_skipgram_top,
         "events_last_order_asof_broadcast": q.events_last_order_asof_broadcast,
+        "images_sharpness": q.images_sharpness,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

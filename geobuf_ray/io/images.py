@@ -1090,3 +1090,41 @@ class BlobStatsFn:
         out = out.append_column("n_blobs", pa.array(nb))
         out = out.append_column("largest_blob", pa.array(lg))
         return out
+
+
+class SharpnessFn:
+    """Actor-pool blur/sharpness scoring — the LAION-style image
+    quality gate: per image the EXACT integer variance numerator of
+    the 4-neighbor Laplacian over interior gray pixels (blurry images
+    have small high-frequency response).  All arithmetic int64
+    (gray = channel sum <= 765, |lap| <= 4*765, lap^2 <= ~9.4e6; the
+    per-image sums are guarded), so the score is bit-deterministic —
+    division by n^2 stays with the consumer."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        n = len(blobs)
+        ns = np.zeros(n, np.int64)
+        s1 = np.zeros(n, np.int64)
+        s2 = np.zeros(n, np.int64)
+        for i in range(n):  # decode is inherently per-payload
+            px = decode_image(blobs[i]).astype(np.int64).sum(axis=2)
+            lap = (px[:-2, 1:-1] + px[2:, 1:-1] + px[1:-1, :-2]
+                   + px[1:-1, 2:] - 4 * px[1:-1, 1:-1])
+            m = lap.size
+            if m == 0:
+                continue
+            # n*sumsq and sum^2 both bounded by m^2 * (4*765)^2
+            if m * m > (1 << 62) // (4 * 765) ** 2:
+                raise OverflowError("sharpness: image too large for "
+                                    "exact int64 sums")
+            ns[i] = m
+            s1[i] = int(lap.sum())
+            s2[i] = int((lap * lap).sum())
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("lap_n", pa.array(ns))
+        out = out.append_column("lap_sum", pa.array(s1))
+        out = out.append_column("lap_sumsq", pa.array(s2))
+        # exact variance numerator n*sumsq - sum^2 (var = num / n^2)
+        out = out.append_column("sharp_num", pa.array(ns * s2 - s1 * s1))
+        return out

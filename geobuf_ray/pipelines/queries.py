@@ -11805,3 +11805,44 @@ def events_last_order_asof_broadcast(sf_dir: str):
                               left_time="event_day",
                               right_time="order_day")
     return out.select_columns(["event_id", "user_id", "o_orderkey"])
+
+
+def images_sharpness(sf_dir: str):
+    """Blur/sharpness quality gate (io/images.SharpnessFn — the
+    Laplacian-variance classic): per image the exact int64 variance
+    numerator of the 4-neighbor Laplacian over interior gray pixels;
+    per-format rollup plus a gate count at the pinned integer
+    threshold sharp_num * 4 < n^2 * 5200 (Laplacian variance < 1300 —
+    calibrated so the gate genuinely splits this corpus).
+    Rows-only (procedural payloads); scalar conv replay pytest."""
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    rows = ds.map_batches(im.SharpnessFn, batch_format="pyarrow",
+                          batch_size=32, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        fmt = b["fmt"].combine_chunks().dictionary_encode()
+        inv = fmt.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(fmt.dictionary)
+        num = b["sharp_num"].to_numpy(zero_copy_only=False)
+        cnt = b["lap_n"].to_numpy(zero_copy_only=False)
+        blurry = (num * 4 < cnt * cnt * 5200).astype(np.int64)
+        return pa.table({
+            "fmt": fmt.dictionary,
+            "n_images": pa.array(np.bincount(inv, minlength=k)
+                                 .astype(np.int64)),
+            "n_blurry": pa.array(np.bincount(
+                inv, weights=blurry.astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "sum_lap_sumsq": pa.array(np.bincount(
+                inv, weights=b["lap_sumsq"].to_numpy(
+                    zero_copy_only=False).astype(np.float64),
+                minlength=k).astype(np.int64))})
+
+    agg = _final_combine(
+        rows.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["fmt"], ["n_images", "n_blurry", "sum_lap_sumsq"])
+    return agg.sort_by([("fmt", "ascending")])

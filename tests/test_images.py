@@ -566,3 +566,37 @@ def test_blob_stats_u_shape_merges():
     m[0:4, 4] = True
     m[3, 0:5] = True  # U: two arms joined at the bottom
     assert blob_stats(m) == (1, int(m.sum()))
+
+
+def test_sharpness_scalar_replay_and_ordering():
+    from geobuf_ray.io.images import (SharpnessFn, encode_rawz,
+                                      synthesize_image_table)
+
+    tbl = synthesize_image_table(6)
+    out = SharpnessFn()(tbl).to_pandas()
+    from geobuf_ray.io.images import decode_image
+
+    for i in range(6):
+        px = decode_image(tbl["bytes"][i].as_py()).astype(np.int64) \
+            .sum(axis=2)
+        lap = (px[:-2, 1:-1] + px[2:, 1:-1] + px[1:-1, :-2]
+               + px[1:-1, 2:] - 4 * px[1:-1, 1:-1])
+        assert out["lap_n"][i] == lap.size
+        assert out["lap_sum"][i] == lap.sum()
+        assert out["lap_sumsq"][i] == (lap * lap).sum()
+        assert out["sharp_num"][i] == \
+            lap.size * (lap * lap).sum() - lap.sum() ** 2
+
+    import pyarrow as pa
+
+    # a flat image scores zero; a checkerboard scores huge
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    cb = np.indices((16, 16)).sum(axis=0) % 2 * 255
+    cb = np.stack([cb, cb, cb], axis=2).astype(np.uint8)
+    t2 = pa.table({
+        "image_id": pa.array(["img000000000000", "img000000000001"]),
+        "bytes": pa.array([encode_rawz(flat), encode_rawz(cb)],
+                          pa.binary())})
+    o2 = SharpnessFn()(t2).to_pandas()
+    assert o2["sharp_num"][0] == 0
+    assert o2["sharp_num"][1] > 10**9
