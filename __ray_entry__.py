@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_skipgram_top": q.docs_skipgram_top,
         "events_last_order_asof_broadcast": q.events_last_order_asof_broadcast,
         "images_sharpness": q.images_sharpness,
+        "customers_rfm": q.customers_rfm,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4133,6 +4134,40 @@ def oracle_sql() -> dict[str, str]:
                 JOIN orders o ON o.o_custkey = e.user_id
                              AND o.o_orderdate <= CAST(e.ts AS DATE)
             ) WHERE rn = 1
+        """,
+        "customers_rfm": """
+            WITH c AS (SELECT o_custkey,
+                    MAX(datediff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE))) AS r,
+                    CAST(COUNT(*) AS BIGINT) AS f,
+                    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS m
+                FROM orders GROUP BY o_custkey),
+            q AS (SELECT
+                    quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.5)
+                        AS r2, quantile_disc(r, 0.75) AS r3,
+                    quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5)
+                        AS f2, quantile_disc(f, 0.75) AS f3,
+                    quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5)
+                        AS m2, quantile_disc(m, 0.75) AS m3
+                  FROM c),
+            b AS (SELECT
+                    1 + CASE WHEN r > r1 THEN 1 ELSE 0 END
+                      + CASE WHEN r > r2 THEN 1 ELSE 0 END
+                      + CASE WHEN r > r3 THEN 1 ELSE 0 END AS rb,
+                    1 + CASE WHEN f > f1 THEN 1 ELSE 0 END
+                      + CASE WHEN f > f2 THEN 1 ELSE 0 END
+                      + CASE WHEN f > f3 THEN 1 ELSE 0 END AS fb,
+                    1 + CASE WHEN m > m1 THEN 1 ELSE 0 END
+                      + CASE WHEN m > m2 THEN 1 ELSE 0 END
+                      + CASE WHEN m > m3 THEN 1 ELSE 0 END AS mb,
+                    m
+                  FROM c, q)
+            SELECT CAST(rb AS BIGINT) AS rb, CAST(fb AS BIGINT) AS fb,
+                   CAST(mb AS BIGINT) AS mb,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(m) AS BIGINT) AS sum_cents
+            FROM b GROUP BY rb, fb, mb ORDER BY rb, fb, mb
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

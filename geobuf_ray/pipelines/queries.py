@@ -11846,3 +11846,69 @@ def images_sharpness(sf_dir: str):
                          zero_copy_batch=True),
         ["fmt"], ["n_images", "n_blurry", "sum_lap_sumsq"])
     return agg.sort_by([("fmt", "ascending")])
+
+
+def customers_rfm(sf_dir: str):
+    """RFM segmentation (the classic CRM composition): per customer
+    Recency (latest order day), Frequency (order count), Monetary
+    (cents sum) from ONE distributed counting pass, quartile cut
+    points by the exact PERCENTILE_DISC rank rule, and every customer
+    lands in a (r, f, m) quartile cell — counts per cell.  All
+    integers; the per-customer table is a driver combine of per-block
+    partials (|customers| rows by contract); hash-checked vs a
+    quantile_disc + CASE twin."""
+    import ray
+
+    from ..collect import collect_table
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        t = pa.table({"c": b["o_custkey"], "r": pa.array(day),
+                      "f": pa.array(np.ones(len(day), np.int64)),
+                      "m": pa.array(cents)})
+        g = t.group_by(["c"]).aggregate(
+            [("r", "max"), ("f", "sum"), ("m", "sum")])
+        return g.rename_columns(["c", "r", "f", "m"])
+
+    parts = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    df = parts.to_pandas().groupby("c", as_index=False).agg(
+        r=("r", "max"), f=("f", "sum"), m=("m", "sum"))
+
+    def cuts_exact(v):
+        s = np.sort(v.to_numpy())
+        n = len(s)
+        out = []
+        for num, den in ((1, 4), (1, 2), (3, 4)):
+            rank = -(-num * n // den)  # ceil(q*n) in exact integers
+            out.append(int(s[max(rank, 1) - 1]))
+        return out
+
+    rc = cuts_exact(df["r"])
+    fc = cuts_exact(df["f"])
+    mc = cuts_exact(df["m"])
+
+    def bucket(v, c3):
+        v = v.to_numpy()
+        return (1 + (v > c3[0]).astype(np.int64) + (v > c3[1])
+                + (v > c3[2]))
+
+    df["rb"] = bucket(df["r"], rc)
+    df["fb"] = bucket(df["f"], fc)
+    df["mb"] = bucket(df["m"], mc)
+    out = df.groupby(["rb", "fb", "mb"], as_index=False).agg(
+        n_customers=("c", "size"), sum_cents=("m", "sum")) \
+        .sort_values(["rb", "fb", "mb"])
+    return pa.table({
+        "rb": pa.array(out["rb"].astype(np.int64)),
+        "fb": pa.array(out["fb"].astype(np.int64)),
+        "mb": pa.array(out["mb"].astype(np.int64)),
+        "n_customers": pa.array(out["n_customers"].astype(np.int64)),
+        "sum_cents": pa.array(out["sum_cents"].astype(np.int64))})
