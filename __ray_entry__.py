@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order_asof_broadcast": q.events_last_order_asof_broadcast,
         "images_sharpness": q.images_sharpness,
         "customers_rfm": q.customers_rfm,
+        "images_quarantine_decode": q.images_quarantine_decode,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

@@ -1128,3 +1128,37 @@ class SharpnessFn:
         # exact variance numerator n*sumsq - sum^2 (var = num / n^2)
         out = out.append_column("sharp_num", pa.array(ns * s2 - s1 * s1))
         return out
+
+
+class QuarantineDecodeFn:
+    """Dead-letter decode stage: the fault-tolerant ingestion shape —
+    a corrupted payload must NOT kill a 100 TB job, nor silently
+    vanish.  Each row decodes under a try; failures emit a
+    ``decode_error`` string (the exception's message head) with null
+    feature columns, successes a null error — ONE output schema, so
+    good rows and the dead-letter channel split downstream with a
+    plain filter, never a second scan."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        n = len(blobs)
+        mean = np.zeros(n)
+        ph = np.zeros(n, np.int64)
+        ok = np.zeros(n, bool)
+        errs: list = [None] * n
+        for i in range(n):  # decode is inherently per-payload
+            try:
+                px = decode_image(blobs[i])
+                mean[i] = px.mean()
+                ph[i] = phash64(px)
+                ok[i] = True
+            except Exception as e:  # noqa: BLE001 — the dead letter
+                errs[i] = f"{type(e).__name__}: {str(e)[:80]}"
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column(
+            "mean_px", pa.array(np.where(ok, mean, 0.0), mask=~ok))
+        out = out.append_column(
+            "phash_decoded", pa.array(np.where(ok, ph, 0), mask=~ok))
+        out = out.append_column("decode_error",
+                                pa.array(errs, pa.string()))
+        return out

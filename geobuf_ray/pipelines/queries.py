@@ -11912,3 +11912,65 @@ def customers_rfm(sf_dir: str):
         "mb": pa.array(out["mb"].astype(np.int64)),
         "n_customers": pa.array(out["n_customers"].astype(np.int64)),
         "sum_cents": pa.array(out["sum_cents"].astype(np.int64))})
+
+
+def images_quarantine_decode(sf_dir: str):
+    """Fault-tolerant ingestion (io/images.QuarantineDecodeFn — the
+    dead-letter channel): every 13th payload is deterministically
+    CORRUPTED (magic bytes flipped) before decode; the stage
+    quarantines failures as rows with a ``decode_error`` instead of
+    killing the job or dropping them silently.  Per-format (n_ok,
+    n_quarantined, quarantined id checksum); the in-query asserts pin
+    that exactly the corrupted rows quarantine.  Rows-only
+    (procedural payloads); the pytest oracle corrupts by hand."""
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        ids = b["image_id"].to_pylist()
+        blobs = b["bytes"].to_pylist()
+        out = []
+        for i, (s, d) in enumerate(zip(ids, blobs)):
+            if int(s[3:]) % 13 == 0:
+                out.append(b"XXXX" + d[4:])
+            else:
+                out.append(d)
+        return b.set_column(b.column_names.index("bytes"), "bytes",
+                            pa.array(out, pa.binary()))
+
+    rows = ds.map_batches(corrupt, batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        im.QuarantineDecodeFn, batch_format="pyarrow",
+        batch_size=32, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = np.asarray([int(s[3:]) for s in
+                          b["image_id"].to_pylist()], np.int64)
+        bad = ~b["decode_error"].combine_chunks().is_null() \
+            .to_numpy(zero_copy_only=False)
+        if not (bad == (ids % 13 == 0)).all():
+            raise AssertionError("quarantine set != corrupted set")
+        fmt = b["fmt"].combine_chunks().dictionary_encode()
+        inv = fmt.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(fmt.dictionary)
+        return pa.table({
+            "fmt": fmt.dictionary,
+            "n_ok": pa.array(np.bincount(
+                inv, weights=(~bad).astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "n_quarantined": pa.array(np.bincount(
+                inv, weights=bad.astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "bad_id_checksum": pa.array(np.bincount(
+                inv, weights=np.where(bad, ids % 99991, 0)
+                .astype(np.float64), minlength=k).astype(np.int64))})
+
+    agg = _final_combine(
+        rows.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["fmt"], ["n_ok", "n_quarantined", "bad_id_checksum"])
+    if int(agg["n_quarantined"].to_numpy().sum()) == 0:
+        raise AssertionError("no rows quarantined — corruption no-op")
+    return agg.sort_by([("fmt", "ascending")])

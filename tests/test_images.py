@@ -600,3 +600,23 @@ def test_sharpness_scalar_replay_and_ordering():
     o2 = SharpnessFn()(t2).to_pandas()
     assert o2["sharp_num"][0] == 0
     assert o2["sharp_num"][1] > 10**9
+
+
+def test_quarantine_decode_dead_letter():
+    import pyarrow as pa
+
+    from geobuf_ray.io.images import (QuarantineDecodeFn,
+                                      synthesize_image_table)
+
+    tbl = synthesize_image_table(10)
+    blobs = tbl["bytes"].to_pylist()
+    blobs[3] = b"XXXX" + blobs[3][4:]      # unknown magic
+    blobs[7] = blobs[7][:20]               # truncated zlib
+    tbl = tbl.set_column(tbl.column_names.index("bytes"), "bytes",
+                         pa.array(blobs, pa.binary()))
+    out = QuarantineDecodeFn()(tbl).to_pandas()
+    bad = out["decode_error"].notna()
+    assert bad.tolist() == [i in (3, 7) for i in range(10)]
+    assert out.loc[~bad, "phash_decoded"].notna().all()
+    assert out.loc[bad, "phash_decoded"].isna().all()
+    assert out.loc[3, "decode_error"].startswith("ValueError")
