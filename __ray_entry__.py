@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_sharpness": q.images_sharpness,
         "customers_rfm": q.customers_rfm,
         "images_quarantine_decode": q.images_quarantine_decode,
+        "orders_join_size_estimate": q.orders_join_size_estimate,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

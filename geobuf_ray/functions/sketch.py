@@ -522,3 +522,21 @@ def kmv_intersect_estimate(sa: np.ndarray, sb: np.ndarray,
     in_b = np.isin(x, sb, assume_unique=True)
     rho = float((in_a & in_b).sum()) / max(len(x), 1)
     return rho * kmv_estimate(x, k)
+
+
+def cms_inner_product(a: np.ndarray, b: np.ndarray) -> int:
+    """Join-cardinality estimate from two Count-Min sketches built
+    with the SAME (depth, width, hash family): the equi-join size
+    |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k) is over-estimated by each row's
+    dot product (colliding keys only ADD mass), so the min over rows
+    never under-estimates — the classic AGMS/CM planner statistic
+    (Cormode & Muthukrishnan 2005, §4.2).  Python-int arithmetic: the
+    dot product of two row-count vectors can exceed int64."""
+    if a.shape != b.shape:
+        raise ValueError("sketch shapes differ")
+    best = None
+    for i in range(a.shape[0]):
+        dot = int(np.multiply(a[i].astype(object),
+                              b[i].astype(object)).sum())
+        best = dot if best is None else min(best, dot)
+    return int(best)

@@ -11974,3 +11974,59 @@ def images_quarantine_decode(sf_dir: str):
     if int(agg["n_quarantined"].to_numpy().sum()) == 0:
         raise AssertionError("no rows quarantined — corruption no-op")
     return agg.sort_by([("fmt", "ascending")])
+
+
+def orders_join_size_estimate(sf_dir: str, width: int = 4096,
+                              depth: int = 4):
+    """Join-cardinality estimation BEFORE the join (the planner
+    statistic that decides broadcast vs shuffle at 100 TB): Count-Min
+    sketches of orders.o_custkey and customer.c_custkey built in one
+    pass each (fixed-size partials, sum-merged), their row-wise inner
+    product min never under-estimates |orders ⋈ customer|
+    (functions/sketch.cms_inner_product — colliding keys only add
+    mass).  The exact join size here equals COUNT(orders with a
+    matching customer); the in-query audit pins est >= exact and the
+    expected-error bound.  Rows-only (a sketch has no SQL form); the
+    scalar pytest replays both sketches."""
+    import ray
+
+    from ..functions.sketch import cms_build, cms_inner_product
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"])
+    c = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    sa = cms_build(o, "o_custkey", width=width, depth=depth)
+    sb = cms_build(c, "c_custkey", width=width, depth=depth)
+    est = cms_inner_product(sa, sb)
+
+    # exact join size: every order's custkey exists once in customer,
+    # so |join| = count of orders whose custkey appears in customer —
+    # computed distributed via the broadcast anti of absent keys
+    from ..collect import collect_table
+
+    ckeys = np.sort(collect_table(c)["c_custkey"]
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+
+    def cnt(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.clip(np.searchsorted(ckeys, k), 0, len(ckeys) - 1)
+        return pa.table({"g": pa.array([0]),
+                         "n": pa.array([int((ckeys[pos] == k).sum())])})
+
+    exact = int(_final_combine(
+        o.map_batches(cnt, batch_format="pyarrow",
+                      zero_copy_batch=True), ["g"], ["n"])
+        ["n"].to_numpy().sum())
+    na = int(sa[0].sum())
+    nb = int(sb[0].sum())
+    if est < exact:
+        raise AssertionError("CM inner product under-estimated")
+    if est - exact > depth * na * nb // width:
+        raise AssertionError("CM join estimate beyond bound")
+    return pa.table({
+        "n_orders": pa.array([na], pa.int64()),
+        "n_customers": pa.array([nb], pa.int64()),
+        "join_exact": pa.array([exact], pa.int64()),
+        "join_est": pa.array([est], pa.int64())})

@@ -1224,3 +1224,27 @@ def test_skipgram_counts_scalar_reference(ray_session):
     order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
     assert [(r.a, r.b) for r in out.itertuples()] == \
         [k for k, _ in order]
+
+
+def test_cms_inner_product_never_underestimates(ray_session):
+    import ray
+
+    from geobuf_ray.functions.sketch import cms_build, cms_inner_product
+
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 300, 5000)
+    b = rng.integers(0, 300, 2000)
+    da = ray.data.from_arrow(pa.table({"k": pa.array(a, pa.int64())}))
+    db = ray.data.from_arrow(pa.table({"k": pa.array(b, pa.int64())}))
+    for w in (1 << 8, 1 << 12):
+        sa = cms_build(da, "k", width=w, depth=4)
+        sb = cms_build(db, "k", width=w, depth=4)
+        est = cms_inner_product(sa, sb)
+        exact = int(sum(int((a == k).sum()) * int((b == k).sum())
+                        for k in np.unique(a)))
+        assert est >= exact
+        assert est - exact <= 4 * len(a) * len(b) // w
+    # wider sketches tighten: the 2^12 estimate sits within 10% here
+    # (collisions are birthday-random, so exactness is NOT guaranteed
+    # even when width >> distinct keys)
+    assert est - exact <= exact // 10
