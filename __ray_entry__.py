@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_rfm": q.customers_rfm,
         "images_quarantine_decode": q.images_quarantine_decode,
         "orders_join_size_estimate": q.orders_join_size_estimate,
+        "customers_k_anonymity": q.customers_k_anonymity,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4170,6 +4171,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_customers,
                    CAST(SUM(m) AS BIGINT) AS sum_cents
             FROM b GROUP BY rb, fb, mb ORDER BY rb, fb, mb
+        """,
+        "customers_k_anonymity": """
+            WITH c AS (SELECT c_nationkey AS nation,
+                              c_mktsegment AS segment,
+                              CAST(floor(CAST(round(c_acctbal * 100)
+                                  AS BIGINT) / 200000.0) AS BIGINT)
+                                  AS band,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM customer GROUP BY 1, 2, 3)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_risky_groups,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+                        AS BIGINT) AS rows_at_risk,
+                   CAST(MAX(n) AS BIGINT) AS max_group
+            FROM c GROUP BY band ORDER BY band
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -12030,3 +12030,51 @@ def orders_join_size_estimate(sf_dir: str, width: int = 4096,
         "n_customers": pa.array([nb], pa.int64()),
         "join_exact": pa.array([exact], pa.int64()),
         "join_est": pa.array([est], pa.int64())})
+
+
+def customers_k_anonymity(sf_dir: str, k: int = 5):
+    """k-anonymity audit (the data-governance gate before a quasi-
+    identifier release): every (nation, segment, balance-band)
+    combination with fewer than k members is a re-identification
+    risk.  One counting pass (block partials per combo — the combo
+    domain is metadata-sized); emits per-band risk rollups: groups
+    below k, rows at risk, and the largest safe group.  Balance band
+    = floor(cents / 200000) (exact integer).  Hash-checked vs a
+    HAVING twin."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100) \
+            .astype(np.int64)
+        band = np.floor_divide(cents, 200000)
+        t = pa.table({
+            "nation": b["c_nationkey"].cast(pa.int64()),
+            "segment": b["c_mktsegment"],
+            "band": pa.array(band),
+            "n": pa.array(np.ones(len(band), np.int64))})
+        g = t.group_by(["nation", "segment", "band"]).aggregate(
+            [("n", "sum")])
+        return g.rename_columns(["nation", "segment", "band", "n"])
+
+    combos = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["nation", "segment", "band"], ["n"])
+    df = combos.to_pandas()
+    df["risky"] = df["n"] < k
+    out = df.groupby("band", as_index=False).agg(
+        n_groups=("n", "size"),
+        n_risky_groups=("risky", "sum"),
+        rows_at_risk=("n", lambda s: int(s[s < k].sum())),
+        max_group=("n", "max")).sort_values("band")
+    return pa.table({
+        "band": pa.array(out["band"].astype(np.int64)),
+        "n_groups": pa.array(out["n_groups"].astype(np.int64)),
+        "n_risky_groups": pa.array(out["n_risky_groups"]
+                                   .astype(np.int64)),
+        "rows_at_risk": pa.array(out["rows_at_risk"].astype(np.int64)),
+        "max_group": pa.array(out["max_group"].astype(np.int64))})
