@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_quarantine_decode": q.images_quarantine_decode,
         "orders_join_size_estimate": q.orders_join_size_estimate,
         "customers_k_anonymity": q.customers_k_anonymity,
+        "orders_reconciliation": q.orders_reconciliation,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4187,6 +4188,30 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rows_at_risk,
                    CAST(MAX(n) AS BIGINT) AS max_group
             FROM c GROUP BY band ORDER BY band
+        """,
+        "orders_reconciliation": """
+            WITH l AS (SELECT l_orderkey,
+                              CAST(SUM(CAST(round(l_extendedprice * 100)
+                                  AS BIGINT)) AS BIGINT) AS lc
+                       FROM lineitem GROUP BY l_orderkey),
+            j AS (SELECT o.o_orderpriority,
+                         CAST(round(o.o_totalprice * 100) AS BIGINT)
+                             AS oc, l.lc
+                  FROM orders o LEFT JOIN l
+                    ON o.o_orderkey = l.l_orderkey)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN lc IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_with_lines,
+                   CAST(SUM(CASE WHEN lc = oc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact,
+                   CAST(SUM(CASE WHEN lc IS NOT NULL
+                                 THEN abs(oc - lc) ELSE 0 END)
+                        AS BIGINT) AS abs_break_cents,
+                   CAST(MAX(CASE WHEN lc IS NOT NULL
+                                 THEN abs(oc - lc) ELSE 0 END)
+                        AS BIGINT) AS max_break
+            FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -12078,3 +12078,106 @@ def customers_k_anonymity(sf_dir: str, k: int = 5):
                                    .astype(np.int64)),
         "rows_at_risk": pa.array(out["rows_at_risk"].astype(np.int64)),
         "max_group": pa.array(out["max_group"].astype(np.int64))})
+
+
+def orders_reconciliation(sf_dir: str):
+    """Double-entry reconciliation audit (the finance/data-quality
+    break report): each order's header total vs the sum of its line
+    amounts — per priority the order count, how many have ANY lines,
+    how many reconcile exactly, and the absolute break mass in cents.
+    The corpus genuinely breaks (zero exact matches, 257 headerless
+    orders at sf0.01), so the hash check certifies real break
+    accounting.  Line sums aggregate through one orderkey exchange;
+    the header side attaches via the distributed hash join (LEFT, so
+    line-less orders surface as unmatched)."""
+    import ray
+
+    from ..functions.exchange import hash_exchange
+    from ..functions.join import hash_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice"])
+
+    def lpart(b: pa.Table) -> pa.Table:
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        t = pa.table({"o_orderkey": b["l_orderkey"],
+                      "lc": pa.array(cents)})
+        g = t.group_by(["o_orderkey"]).aggregate([("lc", "sum")])
+        return g.rename_columns(["o_orderkey", "lc"])
+
+    def lsum_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("o_orderkey", pa.int64()),
+                              ("lc", pa.int64())]).empty_table()
+        g = t.group_by(["o_orderkey"]).aggregate([("lc", "sum")])
+        return g.rename_columns(["o_orderkey", "lc"])
+
+    lsums = hash_exchange(
+        li.map_batches(lpart, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        nbuckets=32, on="o_orderkey", reduce_fn=lsum_reduce)
+
+    def oprep(b: pa.Table) -> pa.Table:
+        oc = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "oc": pa.array(oc),
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"]) \
+        .map_batches(oprep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(orders, lsums, on="o_orderkey", how="left",
+                       nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        pr = b["o_orderpriority"].combine_chunks().dictionary_encode()
+        inv = pr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(pr.dictionary)
+        lc = b["lc"].combine_chunks()
+        has = ~lc.is_null().to_numpy(zero_copy_only=False) \
+            if lc.null_count else np.ones(b.num_rows, bool)
+        lcv = lc.fill_null(0).to_numpy(zero_copy_only=False)
+        oc = b["oc"].to_numpy(zero_copy_only=False)
+        delta = np.where(has, np.abs(oc - lcv), 0)
+        mx = np.zeros(k, np.int64)
+        np.maximum.at(mx, inv, delta)
+        return pa.table({
+            "o_orderpriority": pr.dictionary,
+            "n_orders": pa.array(np.bincount(inv, minlength=k)
+                                 .astype(np.int64)),
+            "n_with_lines": pa.array(np.bincount(
+                inv, weights=has.astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "n_exact": pa.array(np.bincount(
+                inv, weights=(has & (oc == lcv)).astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "abs_break_cents": pa.array(np.bincount(
+                inv, weights=delta.astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "max_break": pa.array(mx)})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    from ..collect import collect_table
+
+    df = collect_table(parts).to_pandas()
+    out = df.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum"),
+        n_with_lines=("n_with_lines", "sum"),
+        n_exact=("n_exact", "sum"),
+        abs_break_cents=("abs_break_cents", "sum"),
+        max_break=("max_break", "max")).sort_values("o_orderpriority")
+    if int(out["n_with_lines"].sum()) == int(out["n_exact"].sum()):
+        raise AssertionError("reconciliation found no breaks — audit "
+                             "not exercised")
+    return pa.table({
+        "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+        "n_orders": pa.array(out["n_orders"].astype(np.int64)),
+        "n_with_lines": pa.array(out["n_with_lines"].astype(np.int64)),
+        "n_exact": pa.array(out["n_exact"].astype(np.int64)),
+        "abs_break_cents": pa.array(out["abs_break_cents"]
+                                    .astype(np.int64)),
+        "max_break": pa.array(out["max_break"].astype(np.int64))})
