@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_size_estimate": q.orders_join_size_estimate,
         "customers_k_anonymity": q.customers_k_anonymity,
         "orders_reconciliation": q.orders_reconciliation,
+        "nations_viterbi_match": q.nations_viterbi_match,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4212,6 +4213,47 @@ def oracle_sql() -> dict[str, str]:
                                  THEN abs(oc - lc) ELSE 0 END)
                         AS BIGINT) AS max_break
             FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "nations_viterbi_match": """
+            WITH RECURSIVE
+            seq0 AS (SELECT c_nationkey AS code,
+                            CAST(ROW_NUMBER() OVER (
+                                PARTITION BY c_nationkey
+                                ORDER BY c_custkey) - 1 AS BIGINT) AS i,
+                            (c_custkey * 37) % 3600 - 1800 AS x,
+                            (c_custkey * 53) % 1700 - 850 AS y
+                     FROM customer
+                     QUALIFY ROW_NUMBER() OVER (
+                         PARTITION BY c_nationkey
+                         ORDER BY c_custkey) <= 8),
+            meff AS (SELECT LEAST(8, MIN(cnt)) AS m FROM
+                     (SELECT COUNT(*) AS cnt FROM seq0 GROUP BY code)),
+            seq AS (SELECT seq0.* FROM seq0, meff WHERE i < m),
+            nodes AS (SELECT CAST(ROW_NUMBER() OVER (
+                          ORDER BY s_suppkey) - 1 AS BIGINT) AS r,
+                          (s_suppkey * 7919) % 36000 - 18000 AS sx,
+                          (s_suppkey * 104729) % 17000 - 8500 AS sy
+                      FROM supplier),
+            emit AS (SELECT code, i, r,
+                            (x - sx) * (x - sx) + (y - sy) * (y - sy)
+                                AS e
+                     FROM seq, nodes),
+            v(code, i, r, c) AS (
+                SELECT code, i, r, e FROM emit WHERE i = 0
+                UNION ALL
+                SELECT e.code, e.i, e.r,
+                       e.e + MIN(v.c + 500000 * abs(v.r - e.r))
+                FROM v JOIN emit e
+                  ON e.code = v.code AND e.i = v.i + 1
+                GROUP BY e.code, e.i, e.r, e.e
+            ),
+            fin AS (SELECT v.code, v.c, v.r FROM v, meff
+                    WHERE v.i = m - 1)
+            SELECT code, CAST(c AS BIGINT) AS viterbi_cost,
+                   CAST(r AS BIGINT) AS last_node
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY code ORDER BY c, r) AS rk FROM fin)
+            WHERE rk = 1 ORDER BY code
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

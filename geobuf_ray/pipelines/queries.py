@@ -12181,3 +12181,40 @@ def orders_reconciliation(sf_dir: str):
         "abs_break_cents": pa.array(out["abs_break_cents"]
                                     .astype(np.int64)),
         "max_break": pa.array(out["max_break"].astype(np.int64))})
+
+
+def nations_viterbi_match(sf_dir: str, m: int = 8, lam: int = 500000):
+    """HMM map matching by exact Viterbi decode
+    (spatial/measures.viterbi_decode_costs): each nation trajectory
+    (the shared customer sequences) matches against supplier road
+    NODES with integer squared-distance emissions and a rank-distance
+    transition lam*|p - s| — the smoothness prior point-wise snapping
+    (customers_map_match) lacks.  The min-plus step collapses to two
+    running-min accumulates (the L1-DT separability), O(states) per
+    step vectorized across nations.  Steps truncate to the shortest
+    nation (deterministic, mirrored in SQL).  Hash-checked vs a
+    recursive-CTE DP twin with a GROUP BY MIN step rule."""
+    from ..spatial.measures import viterbi_decode_costs
+
+    code, k, rank, px, py = _nation_customer_sequences(sf_dir, m)
+    codes = np.unique(code)
+    nc = len(codes)
+    lens = np.bincount(np.searchsorted(codes, code), minlength=nc)
+    m_eff = int(min(m, lens.min()))
+    keep = rank < m_eff
+    code, px, py, rank = code[keep], px[keep], py[keep], rank[keep]
+
+    skeys = _supplier_keys(sf_dir)
+    sx = (skeys * 7919) % 36000 - 18000
+    sy = (skeys * 104729) % 17000 - 8500
+    s = len(skeys)
+
+    ci = np.searchsorted(codes, code)
+    emit = np.empty((nc, m_eff, s), np.int64)
+    dx = px[:, None] - sx[None, :]
+    dy = py[:, None] - sy[None, :]
+    emit[ci, rank, :] = dx * dx + dy * dy
+    cost, last = viterbi_decode_costs(emit, lam)
+    return pa.table({"code": pa.array(codes),
+                     "viterbi_cost": pa.array(cost),
+                     "last_node": pa.array(last.astype(np.int64))})

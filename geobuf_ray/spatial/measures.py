@@ -345,3 +345,32 @@ def discrete_frechet_pairs(ax: np.ndarray, ay: np.ndarray,
                     cur[:, j - 1]))
         prev, cur = cur, prev
     return prev[:, p - 1].copy()
+
+
+def viterbi_decode_costs(emit: np.ndarray, lam: int) -> tuple:
+    """Exact Viterbi decode over an |rank-distance| transition model —
+    the HMM map-matching core: ``emit`` is (n_seqs, n_steps, n_states)
+    int64 emission costs, transition(p -> s) = ``lam * |p - s|`` in
+    state-rank space.  The min-plus convolution with an L1 kernel
+    collapses to TWO running-minimum accumulates per step (the same
+    separability the L1 distance transform exploits), so each step is
+    O(states) vectorized across sequences — never the states² naive
+    product.  Returns (total_cost, last_state) per sequence, the
+    argmin final state tie-breaking to the smallest rank."""
+    u, t, s = emit.shape
+    if s == 0 or t == 0:
+        raise ValueError("viterbi_decode_costs: empty grid")
+    ranks = np.arange(s, dtype=np.int64)
+    bound = int(np.abs(emit).max(initial=0))
+    if (bound + lam * s) * t >= 1 << 62:
+        raise OverflowError("viterbi_decode_costs: cost accumulation "
+                            "exceeds int64")
+    c = emit[:, 0, :].astype(np.int64).copy()
+    for step in range(1, t):
+        fwd = np.minimum.accumulate(c - lam * ranks, axis=1) \
+            + lam * ranks
+        bwd = np.minimum.accumulate(
+            (c + lam * ranks)[:, ::-1], axis=1)[:, ::-1] - lam * ranks
+        c = emit[:, step, :] + np.minimum(fwd, bwd)
+    best = np.argmin(c, axis=1)  # first minimum = smallest rank
+    return c[np.arange(u), best], best

@@ -293,3 +293,34 @@ def test_frechet_coordinate_guard():
     big = np.full((1, 2), 1 << 31)
     with pytest.raises(OverflowError):
         discrete_frechet_pairs(big, big, big, big)
+
+
+def test_viterbi_minplus_matches_naive_dp():
+    from geobuf_ray.spatial.measures import viterbi_decode_costs
+
+    rng = np.random.default_rng(9)
+    U, T, S = 10, 6, 13
+    emit = rng.integers(0, 5000, (U, T, S)).astype(np.int64)
+    lam = 211
+    cost, last = viterbi_decode_costs(emit, lam)
+    for u in range(U):
+        c = [int(x) for x in emit[u, 0]]
+        for t in range(1, T):
+            c = [min(c[p] + lam * abs(p - s) for p in range(S))
+                 + int(emit[u, t, s]) for s in range(S)]
+        assert int(cost[u]) == min(c)
+        assert int(last[u]) == c.index(min(c))
+
+
+def test_viterbi_transition_actually_smooths():
+    from geobuf_ray.spatial.measures import viterbi_decode_costs
+
+    # two states; emissions alternate which is cheaper by 1, but
+    # switching costs 100 — the decode must stay put
+    emit = np.array([[[0, 1], [1, 0], [0, 1], [1, 0]]], np.int64)
+    cost, last = viterbi_decode_costs(emit, 100)
+    assert int(cost[0]) == 2  # stay in state 0: 0+1+0+1
+    assert int(last[0]) == 0
+    # with a free transition it zigzags
+    cost2, _ = viterbi_decode_costs(emit, 0)
+    assert int(cost2[0]) == 0
