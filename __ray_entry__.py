@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_k_anonymity": q.customers_k_anonymity,
         "orders_reconciliation": q.orders_reconciliation,
         "nations_viterbi_match": q.nations_viterbi_match,
+        "customers_survival": q.customers_survival,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4254,6 +4255,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, ROW_NUMBER() OVER (
                       PARTITION BY code ORDER BY c, r) AS rk FROM fin)
             WHERE rk = 1 ORDER BY code
+        """,
+        "customers_survival": """
+            WITH o AS (SELECT o_custkey AS c,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS day
+                       FROM orders),
+            h AS (SELECT MAX(day) AS horizon FROM o),
+            g AS (SELECT c, day,
+                         LEAD(day) OVER (PARTITION BY c ORDER BY day)
+                             AS nxt
+                  FROM o),
+            dur AS (SELECT CASE WHEN nxt IS NULL
+                                THEN (SELECT horizon FROM h) - day
+                                ELSE nxt - day END AS dur,
+                           CASE WHEN nxt IS NULL THEN 0 ELSE 1 END
+                               AS event
+                    FROM g),
+            byday AS (SELECT dur,
+                             CAST(SUM(event) AS BIGINT) AS n_events,
+                             CAST(COUNT(*) AS BIGINT) AS n_all
+                      FROM dur GROUP BY dur),
+            risk AS (SELECT dur, n_events,
+                            CAST(SUM(n_all) OVER (ORDER BY dur DESC)
+                                 AS BIGINT) AS n_at_risk
+                     FROM byday)
+            SELECT dur, n_events, n_at_risk FROM risk
+            WHERE n_events > 0 ORDER BY dur LIMIT 40
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,
