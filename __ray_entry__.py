@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_reconciliation": q.orders_reconciliation,
         "nations_viterbi_match": q.nations_viterbi_match,
         "customers_survival": q.customers_survival,
+        "events_attribution": q.events_attribution,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4282,6 +4283,42 @@ def oracle_sql() -> dict[str, str]:
                      FROM byday)
             SELECT dur, n_events, n_at_risk FROM risk
             WHERE n_events > 0 ORDER BY dur LIMIT 40
+        """,
+        "events_attribution": """
+            WITH t AS (SELECT user_id, event_type AS touch_type,
+                              epoch_us(ts) AS t_us
+                       FROM events
+                       WHERE event_type IN ('click', 'view')),
+            p AS (SELECT user_id, event_id, epoch_us(ts) AS p_us,
+                         CAST(round(COALESCE(value, 0) * 100)
+                              AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase'),
+            lastt AS (SELECT * FROM (
+                SELECT p.event_id, p.cents, t.touch_type,
+                       ROW_NUMBER() OVER (PARTITION BY p.event_id
+                           ORDER BY t.t_us DESC) AS rk
+                FROM p JOIN t ON t.user_id = p.user_id
+                 AND t.t_us < p.p_us
+                 AND t.t_us >= p.p_us - 604800000000
+            ) WHERE rk = 1),
+            firstt AS (SELECT * FROM (
+                SELECT p.event_id, p.cents, t.touch_type,
+                       ROW_NUMBER() OVER (PARTITION BY p.event_id
+                           ORDER BY t.t_us ASC) AS rk
+                FROM p JOIN t ON t.user_id = p.user_id
+                 AND t.t_us < p.p_us
+                 AND t.t_us >= p.p_us - 604800000000
+            ) WHERE rk = 1),
+            la AS (SELECT touch_type,
+                          CAST(COUNT(*) AS BIGINT) AS n_last,
+                          CAST(SUM(cents) AS BIGINT) AS cents_last
+                   FROM lastt GROUP BY touch_type),
+            fa AS (SELECT touch_type,
+                          CAST(COUNT(*) AS BIGINT) AS n_first,
+                          CAST(SUM(cents) AS BIGINT) AS cents_first
+                   FROM firstt GROUP BY touch_type)
+            SELECT touch_type, n_last, cents_last, n_first, cents_first
+            FROM la JOIN fa USING (touch_type) ORDER BY touch_type
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -12300,3 +12300,126 @@ def customers_survival(sf_dir: str, k: int = 40):
         "n_events": pa.array(ev["n"].astype(np.int64)),
         "n_at_risk": pa.array(
             np.asarray([risk_map[d] for d in ev["dur"]], np.int64))})
+
+
+def events_attribution(sf_dir: str, window_days: int = 7):
+    """Marketing attribution, first- and last-touch: every purchase
+    attributes to the LATEST click/view of the same user strictly
+    before it (last touch) and to the EARLIEST one inside the 7-day
+    lookback (first touch) — both COMPOSED from the as-of join
+    (backward for last, forward-from-window-start for first, the
+    window bound refined after the match).  Touch timestamps are
+    asserted unique per user in-query (a tie would make either rule
+    ambiguous); exact integer microseconds throughout.  Per touch
+    type: conversions attributed each way + last-touch cents.
+    Hash-checked vs a ROW_NUMBER-over-window-join twin."""
+    import ray
+
+    from ..functions.join import asof_join
+
+    W = window_days * 86_400_000_000
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def tprep(b: pa.Table) -> pa.Table:
+        et = b["event_type"].combine_chunks()
+        keep = pc.is_in(et, value_set=pa.array(["click", "view"]))
+        t = b.filter(keep)
+        us = t["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "t_us": pa.array(us),
+                         "touch_type": t["event_type"]})
+
+    def pprep(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"].combine_chunks(), "purchase")
+        t = b.filter(keep)
+        us = t["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.round(np.nan_to_num(val) * 100).astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "p_us": pa.array(us),
+                         "lt_last": pa.array(us - 1),
+                         "lt_first": pa.array(us - W),
+                         "cents": pa.array(cents)})
+
+    touches = ev.map_batches(tprep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def uniq_check(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        t = b["t_us"].to_numpy(zero_copy_only=False)
+        pairs = np.stack([u, t], axis=1)
+        if len(np.unique(pairs, axis=0)) != len(pairs):
+            raise AssertionError("duplicate (user, ts) touch")
+        return b
+
+    purchases = ev.map_batches(pprep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    t_schema = pa.schema([("user_id", pa.int64()),
+                          ("t_us", pa.int64()),
+                          ("touch_type", pa.string())])
+    p_schema = pa.schema([("user_id", pa.int64()),
+                          ("event_id", pa.int64()),
+                          ("p_us", pa.int64()), ("lt_last", pa.int64()),
+                          ("lt_first", pa.int64()),
+                          ("cents", pa.int64())])
+    last = asof_join(purchases, touches, on="user_id",
+                     left_time="lt_last", right_time="t_us",
+                     nbuckets=32, left_schema=p_schema,
+                     right_schema=t_schema)
+    first = asof_join(purchases, touches, on="user_id",
+                      left_time="lt_first", right_time="t_us",
+                      direction="forward", nbuckets=32,
+                      left_schema=p_schema, right_schema=t_schema)
+
+    def agg(kind):
+        def partial(b: pa.Table) -> pa.Table:
+            t_us = b["t_us"].to_numpy(zero_copy_only=False)
+            p_us = b["p_us"].to_numpy(zero_copy_only=False)
+            if kind == "last":
+                ok = t_us >= p_us - W
+            else:
+                ok = t_us < p_us
+            t = b.filter(pa.array(ok))
+            tt = t["touch_type"].combine_chunks().dictionary_encode()
+            inv = tt.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            k = len(tt.dictionary)
+            return pa.table({
+                "touch_type": tt.dictionary,
+                f"n_{kind}": pa.array(np.bincount(inv, minlength=k)
+                                      .astype(np.int64)),
+                f"cents_{kind}": pa.array(np.bincount(
+                    inv, weights=t["cents"].to_numpy(
+                        zero_copy_only=False).astype(np.float64),
+                    minlength=k).astype(np.int64))})
+
+        return partial
+
+    la = _final_combine(
+        last.map_batches(agg("last"), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["touch_type"], ["n_last", "cents_last"])
+    fa = _final_combine(
+        first.map_batches(agg("first"), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["touch_type"], ["n_first", "cents_first"])
+    # GLOBAL touch-time uniqueness audit: every (user, t) pair lands
+    # in one user-hash bucket, so the in-bucket check is global — a
+    # tie would make either attribution rule ambiguous
+    from ..functions.exchange import hash_exchange
+
+    tcheck = hash_exchange(touches, nbuckets=32, on="user_id",
+                           reduce_fn=uniq_check,
+                           schema=t_schema).count()
+    if tcheck == 0:
+        raise AssertionError("no touches")
+    out = la.join(fa, keys=["touch_type"]).sort_by(
+        [("touch_type", "ascending")])
+    return out.select(["touch_type", "n_last", "cents_last",
+                       "n_first", "cents_first"])
