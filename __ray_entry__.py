@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_viterbi_match": q.nations_viterbi_match,
         "customers_survival": q.customers_survival,
         "events_attribution": q.events_attribution,
+        "orders_priority_diameter": q.orders_priority_diameter,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4319,6 +4320,25 @@ def oracle_sql() -> dict[str, str]:
                    FROM firstt GROUP BY touch_type)
             SELECT touch_type, n_last, cents_last, n_first, cents_first
             FROM la JOIN fa USING (touch_type) ORDER BY touch_type
+        """,
+        "orders_priority_diameter": """
+            WITH g AS (SELECT o_orderpriority AS grp,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM orders GROUP BY o_orderpriority),
+            rim AS (SELECT grp, CAST(i AS DOUBLE) AS x,
+                           CAST(i AS DOUBLE) * CAST(i AS DOUBLE) AS y
+                    FROM g, unnest(generate_series(7, 7 * (cnt // 7), 7))
+                         AS t(i)),
+            hv AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_hull_vertices
+                   FROM rim GROUP BY grp),
+            dd AS (SELECT a.grp,
+                          CAST(MAX((a.x - b.x) * (a.x - b.x)
+                               + (a.y - b.y) * (a.y - b.y)) AS BIGINT)
+                              AS diameter_d2
+                   FROM rim a JOIN rim b ON a.grp = b.grp
+                   GROUP BY a.grp)
+            SELECT dd.grp, diameter_d2, n_hull_vertices
+            FROM dd JOIN hv ON dd.grp = hv.grp ORDER BY dd.grp
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

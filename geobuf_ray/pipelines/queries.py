@@ -12423,3 +12423,64 @@ def events_attribution(sf_dir: str, window_days: int = 7):
         [("touch_type", "ascending")])
     return out.select(["touch_type", "n_last", "cents_last",
                        "n_first", "cents_first"])
+
+
+def orders_priority_diameter(sf_dir: str):
+    """Set diameter per group (rotating-calipers family): the farthest
+    pair of a point set realizes on its CONVEX HULL, so the engine
+    computes per-group hulls distributed (per-block partial hulls, one
+    skinny candidate exchange) and brute-forces only the h hull
+    vertices driver-side — O(n log n + h^2) where the naive answer is
+    O(n^2).  Same exact-answer parabola corpus as orders_priority_hull
+    (all coordinates integer-valued float64, distances < 2^53 exact);
+    the SQL twin may brute-force rim points only BECAUSE diameter
+    endpoints are provably hull vertices.  Hash-checked."""
+    import ray
+
+    from ..codec.schema import list_column_parts
+    from ..collect import collect_table
+    from ..functions.exchange import grouped_exchange
+    from ..spatial.hull import convex_hull
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_orderkey"])
+
+    def build_points(group: pa.Table) -> pa.Table:
+        cnt = group.num_rows
+        m = 7 * (cnt // 7)
+        if m < 21:
+            return pa.table({"grp": pa.array([], pa.string()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64())})
+        rn = np.arange(1, cnt + 1, dtype=np.float64)
+        keep = (rn >= 7) & (rn <= m)
+        rn = rn[keep]
+        rim = (rn % 7) == 0
+        y_par = rn * rn
+        chord = 49.0 + (rn - 7.0) * (7.0 + m)
+        y = np.where(rim, y_par, (y_par + chord) * 0.5)
+        grp = group["o_orderpriority"][0].as_py()
+        return pa.table({"grp": pa.array([grp] * len(rn)),
+                         "x": pa.array(rn), "y": pa.array(y)})
+
+    pts = grouped_exchange(ds, "o_orderpriority", build_points,
+                           nbuckets=4)
+    hulls = collect_table(convex_hull(pts, x="x", y="y", key="grp",
+                                      nbuckets=4))
+    grps, d2s, nv = [], [], []
+    for i in range(hulls.num_rows):
+        flat, offs = list_column_parts(hulls["hull"].slice(i, 1),
+                                       np.float64)
+        v = flat[offs[0]:offs[1]].reshape(-1, 2)[:-1]  # drop closure
+        dx = v[:, 0][:, None] - v[:, 0][None, :]
+        dy = v[:, 1][:, None] - v[:, 1][None, :]
+        d2 = dx * dx + dy * dy
+        grps.append(hulls["grp"][i].as_py())
+        d2s.append(int(d2.max()))
+        nv.append(len(v))
+    order = np.argsort(np.asarray(grps, object).astype(str))
+    return pa.table({
+        "grp": pa.array([grps[i] for i in order], pa.string()),
+        "diameter_d2": pa.array([d2s[i] for i in order], pa.int64()),
+        "n_hull_vertices": pa.array([nv[i] for i in order],
+                                    pa.int64())})
