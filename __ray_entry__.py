@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_survival": q.customers_survival,
         "events_attribution": q.events_attribution,
         "orders_priority_diameter": q.orders_priority_diameter,
+        "orders_backlog_curve": q.orders_backlog_curve,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4339,6 +4340,23 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY a.grp)
             SELECT dd.grp, diameter_d2, n_hull_vertices
             FROM dd JOIN hv ON dd.grp = hv.grp ORDER BY dd.grp
+        """,
+        "orders_backlog_curve": """
+            WITH o AS (SELECT datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS s,
+                              o_orderkey % 30 + 1 AS dur
+                       FROM orders),
+            bb AS (SELECT MIN(s) AS lo, MAX(s) + 31 AS hi FROM o),
+            days AS (SELECT lo + 30 * t.i AS day FROM bb,
+                     unnest(generate_series(0, (hi - lo) // 30))
+                         AS t(i)),
+            c AS (SELECT day,
+                         CAST((SELECT COUNT(*) FROM o
+                               WHERE o.s <= day
+                                 AND day < o.s + o.dur) AS BIGINT)
+                             AS n_open
+                  FROM days)
+            SELECT day, n_open FROM c ORDER BY day
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -12484,3 +12484,58 @@ def orders_priority_diameter(sf_dir: str):
         "diameter_d2": pa.array([d2s[i] for i in order], pa.int64()),
         "n_hull_vertices": pa.array([nv[i] for i in order],
                                     pa.int64())})
+
+
+def orders_backlog_curve(sf_dir: str, stride: int = 30):
+    """Concurrent-interval counting (the backlog / open-items curve):
+    how many orders are OPEN at each sample day, where an order spans
+    [orderdate, orderdate + okey % 30 + 1).  The engine never joins:
+    each block bincounts +1 at starts and -1 at ends into a
+    day-difference array partial (one bounded row per block), the
+    driver prefix-sums once and reads the sample days — O(days), the
+    classic sweep where the SQL twin pays a days × orders join.
+    Hash-checked."""
+    import ray
+
+    from ..collect import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_orderdate"])
+
+    def bounds(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({"lo": pa.array([int(d.min())]),
+                         "hi": pa.array([int(d.max())])})
+
+    mm = collect_table(ds.map_batches(bounds, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    lo = int(mm["lo"].to_numpy().min())
+    hi = int(mm["hi"].to_numpy().max()) + 31
+    ndays = hi - lo + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        start = d - lo
+        end = start + k % 30 + 1
+        diff = np.bincount(start, minlength=ndays).astype(np.int64) \
+            - np.bincount(end, minlength=ndays + 1)[:ndays]
+        return pa.table({"day_idx": pa.array(
+            np.arange(ndays, dtype=np.int64)),
+            "diff": pa.array(diff)})
+
+    agg = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day_idx"], ["diff"])
+    idx = agg["day_idx"].to_numpy(zero_copy_only=False)
+    dif = agg["diff"].to_numpy(zero_copy_only=False)
+    full = np.zeros(ndays, np.int64)
+    full[idx] = dif
+    open_at = np.cumsum(full)
+    samples = np.arange(0, ndays, stride, dtype=np.int64)
+    return pa.table({"day": pa.array(samples + lo),
+                     "n_open": pa.array(open_at[samples])})
