@@ -12539,3 +12539,70 @@ def orders_backlog_curve(sf_dir: str, stride: int = 30):
     samples = np.arange(0, ndays, stride, dtype=np.int64)
     return pa.table({"day": pa.array(samples + lo),
                      "n_open": pa.array(open_at[samples])})
+
+
+def embeddings_matryoshka_recall(sf_dir: str, k: int = 10,
+                                 n_queries: int = 8):
+    """Matryoshka-truncation evaluation (the MRL deployment question:
+    how much top-k is lost at prefix dimensions d/2, d/4, d/8?):
+    brute-force exact cosine top-k runs once per prefix width (the
+    truncation is a zero-copy column slice inside the map — vectors
+    never re-ship), overlap measured against the full-width answer
+    per query.  Rows-only; the in-query asserts pin overlap
+    monotonicity in expectation bounds (full == full, every overlap
+    <= k) and that truncation genuinely degrades at d/8 or the metric
+    would be vacuous."""
+    import duckdb
+    import ray
+
+    from ..functions.ann import BruteForceTopK, topk_reduce
+    from ..collect import collect_table
+
+    con = duckdb.connect()
+    queries = pa.table(con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {n_queries}").arrow())
+    q_ids = queries["vec_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    from ..functions.ann import _to_matrix
+    qm = _to_matrix(queries["embedding"])
+    d = qm.shape[1]
+
+    results = {}
+    for dim in (d, d // 2, d // 4, d // 8):
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+
+        def trunc(b: pa.Table, dim=dim) -> pa.Table:
+            m = _to_matrix(b["embedding"])[:, :dim]
+            return pa.table({
+                "vec_id": b["vec_id"],
+                "embedding": pa.array(list(m), pa.list_(pa.float64()))})
+
+        fn = BruteForceTopK((q_ids, qm[:, :dim]), k, "embedding",
+                            "vec_id")
+        parts = collect_table(ds.map_batches(
+            trunc, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(fn, batch_format="pyarrow",
+                         zero_copy_batch=True))
+        df = topk_reduce(parts, k).to_pandas()
+        results[dim] = {q: set(df[df.query_id == q]["vec_id"])
+                        for q in q_ids}
+
+    dims, overlaps = [], []
+    full = results[d]
+    for dim in (d, d // 2, d // 4, d // 8):
+        ov = sum(len(results[dim][q] & full[q]) for q in q_ids)
+        if ov > k * len(q_ids):
+            raise AssertionError("overlap exceeds k")
+        dims.append(dim)
+        overlaps.append(ov)
+    if overlaps[0] != k * len(q_ids):
+        raise AssertionError("full-width overlap must be exact")
+    if overlaps[-1] >= overlaps[0]:
+        raise AssertionError("d/8 truncation lost nothing — metric "
+                             "vacuous on this corpus")
+    return pa.table({
+        "prefix_dim": pa.array(dims, pa.int64()),
+        "overlap_at_k": pa.array(overlaps, pa.int64()),
+        "max_overlap": pa.array([k * len(q_ids)] * 4, pa.int64())})
