@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_diameter": q.orders_priority_diameter,
         "orders_backlog_curve": q.orders_backlog_curve,
         "embeddings_matryoshka_recall": q.embeddings_matryoshka_recall,
+        "docs_huffman_plan": q.docs_huffman_plan,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

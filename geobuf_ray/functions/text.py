@@ -1449,3 +1449,31 @@ def skipgram_counts(ds, *, window: int = 2, k: int = 20,
     df["rank"] = np.arange(1, len(df) + 1)
     return pa.Table.from_pandas(df[["rank", "a", "b", "cnt"]],
                                 preserve_index=False)
+
+
+def huffman_lengths(counts: np.ndarray) -> np.ndarray:
+    """Optimal prefix-code lengths for symbol frequencies (Huffman,
+    deterministic: the heap orders by (weight, smallest contained
+    symbol), so ties merge identically everywhere).  Zero-count
+    symbols get length 0 (absent); a single-symbol alphabet gets
+    length 1.  Driver-sized by contract — the alphabet, not the
+    corpus, bounds the work; counts come from a distributed pass."""
+    import heapq
+
+    n = len(counts)
+    live = [(int(c), int(s), s) for s, c in enumerate(counts) if c > 0]
+    lengths = np.zeros(n, np.int64)
+    if not live:
+        return lengths
+    if len(live) == 1:
+        lengths[live[0][2]] = 1
+        return lengths
+    heap = [(c, s, [s]) for c, s, s2 in live]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        c1, s1, m1 = heapq.heappop(heap)
+        c2, s2, m2 = heapq.heappop(heap)
+        lengths[m1] += 1
+        lengths[m2] += 1
+        heapq.heappush(heap, (c1 + c2, min(s1, s2), m1 + m2))
+    return lengths

@@ -12606,3 +12606,53 @@ def embeddings_matryoshka_recall(sf_dir: str, k: int = 10,
         "prefix_dim": pa.array(dims, pa.int64()),
         "overlap_at_k": pa.array(overlaps, pa.int64()),
         "max_overlap": pa.array([k * len(q_ids)] * 4, pa.int64())})
+
+
+def docs_huffman_plan(sf_dir: str):
+    """Compression planning: exact byte-frequency counts from one
+    distributed pass (per-block 256-bin bincounts — one fixed row per
+    block), then the optimal prefix-code lengths (functions/text.
+    huffman_lengths, deterministic tie rule) price the corpus under
+    an entropy coder: total coded bits, raw bits, distinct symbols,
+    max code length.  The Kraft equality and the H <= avg < H+1
+    entropy envelope are asserted in-query.  Rows-only (Huffman has
+    no SQL form); the pytest oracle pins the CLRS optimum and the
+    envelope."""
+    import ray
+
+    from ..functions.text import _string_parts, huffman_lengths
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        data, offs = _string_parts(b["text"])
+        data = data[offs[0]:offs[-1]]
+        cnt = np.bincount(data, minlength=256).astype(np.int64)
+        return pa.table({"sym": pa.array(np.arange(256, dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    agg = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["sym"], ["n"])
+    counts = np.zeros(256, np.int64)
+    counts[agg["sym"].to_numpy(zero_copy_only=False)] = \
+        agg["n"].to_numpy(zero_copy_only=False)
+    lengths = huffman_lengths(counts)
+    live = counts > 0
+    total_bits = int((counts * lengths).sum())
+    raw_bits = int(counts.sum()) * 8
+    # Kraft equality (full binary tree) + entropy envelope
+    kraft = sum(2.0 ** -int(l) for l in lengths[live])
+    if abs(kraft - 1.0) > 1e-9:
+        raise AssertionError("Kraft equality violated")
+    p = counts[live] / counts.sum()
+    h = float(-(p * np.log2(p)).sum())
+    avg = total_bits / counts.sum()
+    if not (h - 1e-9 <= avg < h + 1.0):
+        raise AssertionError("Huffman outside the entropy envelope")
+    return pa.table({
+        "n_symbols": pa.array([int(live.sum())], pa.int64()),
+        "raw_bits": pa.array([raw_bits], pa.int64()),
+        "huffman_bits": pa.array([total_bits], pa.int64()),
+        "max_code_len": pa.array([int(lengths.max())], pa.int64())})

@@ -1248,3 +1248,19 @@ def test_cms_inner_product_never_underestimates(ray_session):
     # (collisions are birthday-random, so exactness is NOT guaranteed
     # even when width >> distinct keys)
     assert est - exact <= exact // 10
+
+
+def test_huffman_lengths_clrs_and_edges():
+    from geobuf_ray.functions.text import huffman_lengths
+
+    c = np.array([45, 13, 12, 16, 9, 5], np.int64)
+    L = huffman_lengths(c)
+    assert int((c * L).sum()) == 224  # CLRS optimum
+    assert abs(sum(2.0 ** -int(l) for l in L) - 1.0) < 1e-12
+    # single symbol gets one bit; zero-count symbols get none
+    L2 = huffman_lengths(np.array([0, 7, 0], np.int64))
+    assert L2.tolist() == [0, 1, 0]
+    assert huffman_lengths(np.zeros(4, np.int64)).tolist() == [0] * 4
+    # uniform power-of-two alphabet: flat code
+    L3 = huffman_lengths(np.full(8, 10, np.int64))
+    assert L3.tolist() == [3] * 8
