@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_backlog_curve": q.orders_backlog_curve,
         "embeddings_matryoshka_recall": q.embeddings_matryoshka_recall,
         "docs_huffman_plan": q.docs_huffman_plan,
+        "revenue_by_region_auto": q.revenue_by_region_auto,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4359,6 +4360,16 @@ def oracle_sql() -> dict[str, str]:
                              AS n_open
                   FROM days)
             SELECT day, n_open FROM c ORDER BY day
+        """,
+        "revenue_by_region_auto": """
+            SELECT r_name,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -12656,3 +12656,35 @@ def docs_huffman_plan(sf_dir: str):
         "raw_bits": pa.array([raw_bits], pa.int64()),
         "huffman_bits": pa.array([total_bits], pa.int64()),
         "max_code_len": pa.array([int(lengths.max())], pa.int64())})
+
+
+def revenue_by_region_auto(sf_dir: str,
+                           broadcast_limit: int = 4_000_000):
+    """COST-BASED physical join choice — the fourth member of the
+    revenue_by_region planner family (broadcast / hash / merge /
+    AUTO): Count-Min sketches of both key columns (one fixed-size
+    pass each) feed the decision — the probe side's distinct-key
+    bound (n rows, never more keys than rows) and the CM inner
+    product (never-under join-size estimate) pick BROADCAST when the
+    build side fits the limit and the estimated output stays linear,
+    else the hash shuffle.  All four variants hash-check the same
+    oracle, so the planner can never trade correctness for its
+    choice."""
+    import ray
+
+    from ..functions.sketch import cms_build, cms_inner_product
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"])
+    c = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    sa = cms_build(o, "o_custkey", width=2048, depth=4)
+    sb = cms_build(c, "c_custkey", width=2048, depth=4)
+    n_orders = int(sa[0].sum())
+    n_cust = int(sb[0].sum())
+    est_join = cms_inner_product(sa, sb)
+    # broadcast is safe when the build side is bounded AND the join
+    # stays ~linear in the probe side (no exploding key)
+    if n_cust <= broadcast_limit and est_join <= 4 * n_orders:
+        return revenue_by_region(sf_dir)
+    return revenue_by_region_shuffle(sf_dir)
