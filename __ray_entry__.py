@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_matryoshka_recall": q.embeddings_matryoshka_recall,
         "docs_huffman_plan": q.docs_huffman_plan,
         "revenue_by_region_auto": q.revenue_by_region_auto,
+        "audio_normalize": q.audio_normalize,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

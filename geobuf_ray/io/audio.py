@@ -303,3 +303,44 @@ class SilenceSegmentsFn:
         for k, v in out.items():
             res = res.append_column(k, pa.array(v))
         return res
+
+
+class NormalizeAudioFn:
+    """Actor-pool loudness normalization: scale each clip to a target
+    RMS (the broadcast-prep step before mixing corpora recorded at
+    different gains), clipping guarded — the applied gain caps so the
+    peak stays within full scale, and the ACHIEVED rms + gain ship as
+    metadata so downstream can audit the cap."""
+
+    def __init__(self, target_rms: float = 0.125):
+        self.target = target_rms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, blobs, rates = [], [], []
+        rms_in, rms_out, gains = [], [], []
+        for clip_id, data in zip(batch["clip_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+            samples, rate = decode_audio(data)
+            r = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+            if r <= 0:
+                g = 1.0
+            else:
+                g = self.target / r
+                peak = float(np.abs(samples).max())
+                if peak * g > 0.999:  # clip guard
+                    g = 0.999 / peak
+            out = (samples.astype(np.float64) * g).astype(np.float32)
+            ids.append(clip_id)
+            blobs.append(encode_pcmz(out, rate))
+            rates.append(rate)
+            rms_in.append(r)
+            rms_out.append(float(np.sqrt(np.mean(
+                out.astype(np.float64) ** 2))))
+            gains.append(g)
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "sample_rate": pa.array(np.asarray(rates, np.int32)),
+            "rms_in": pa.array(rms_in, pa.float64()),
+            "rms_out": pa.array(rms_out, pa.float64()),
+            "gain": pa.array(gains, pa.float64())})

@@ -12688,3 +12688,57 @@ def revenue_by_region_auto(sf_dir: str,
     if n_cust <= broadcast_limit and est_join <= 4 * n_orders:
         return revenue_by_region(sf_dir)
     return revenue_by_region_shuffle(sf_dir)
+
+
+def audio_normalize(sf_dir: str, target: float = 0.125):
+    """Loudness normalization (io/audio.NormalizeAudioFn): every clip
+    scales toward a target RMS with a clip guard (gain caps so the
+    peak stays inside full scale), re-encoded payload out plus audit
+    metadata.  Per-format rollup of clips, capped clips, and the
+    worst residual RMS deviation in parts-per-million (quantized
+    int); in-query asserts pin that uncapped clips land within 1% of
+    target.  Rows-only; round-trip pytest."""
+    from ..io import audio as au
+
+    n = 50 if "0.001" in sf_dir else (150 if "0.01" in sf_dir else 500)
+    ds = _cached_media_ds("audio", n, au.synthesize_audio_dataset)
+    rows = ds.map_batches(au.NormalizeAudioFn,
+                          fn_constructor_kwargs=dict(target_rms=target),
+                          batch_format="pyarrow", batch_size=32,
+                          concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        # group by rate: the stable metadata axis post-re-encode
+        rate = b["sample_rate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rin = b["rms_in"].to_numpy(zero_copy_only=False)
+        rout = b["rms_out"].to_numpy(zero_copy_only=False)
+        g = b["gain"].to_numpy(zero_copy_only=False)
+        capped = g < (target / np.maximum(rin, 1e-12)) - 1e-12
+        dev_ppm = np.abs(rout - target) / target * 1e6
+        if ((~capped) & (dev_ppm > 10000)).any():
+            raise AssertionError("uncapped clip missed target rms")
+        uu, inv = np.unique(rate, return_inverse=True)
+        mx = np.zeros(len(uu), np.int64)
+        np.maximum.at(mx, inv, dev_ppm.astype(np.int64))
+        return pa.table({
+            "sample_rate": pa.array(uu),
+            "n_clips": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_capped": pa.array(np.bincount(
+                inv, weights=capped.astype(np.float64))
+                .astype(np.int64)),
+            "max_dev_ppm": pa.array(mx)})
+
+    parts = rows.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    from ..collect import collect_table
+
+    df = collect_table(parts).to_pandas()
+    out = df.groupby("sample_rate", as_index=False).agg(
+        n_clips=("n_clips", "sum"), n_capped=("n_capped", "sum"),
+        max_dev_ppm=("max_dev_ppm", "max")).sort_values("sample_rate")
+    return pa.table({
+        "sample_rate": pa.array(out["sample_rate"].astype(np.int64)),
+        "n_clips": pa.array(out["n_clips"].astype(np.int64)),
+        "n_capped": pa.array(out["n_capped"].astype(np.int64)),
+        "max_dev_ppm": pa.array(out["max_dev_ppm"].astype(np.int64))})

@@ -117,3 +117,27 @@ def test_silence_segments_gain_invariance():
             ref = out["n_silence_segs"][0]
         else:  # relative threshold: same segmentation at 1/4 gain
             assert out["n_silence_segs"][0] == ref
+
+
+def test_normalize_hits_target_and_clip_guard():
+    from geobuf_ray.io.audio import NormalizeAudioFn, decode_audio, \
+        encode_pcmz
+
+    quiet = (0.01 * np.sin(np.linspace(0, 50 * np.pi, 4000))) \
+        .astype(np.float32)
+    # spiky clip: normalizing its tiny RMS to 0.125 would push the
+    # peak far past full scale — the guard must cap the gain
+    spiky = np.zeros(4000, np.float32)
+    spiky[::400] = 0.9
+    tbl = pa.table({
+        "clip_id": pa.array(["q", "s"], pa.string()),
+        "bytes": pa.array([encode_pcmz(quiet, 16000),
+                           encode_pcmz(spiky, 16000)], pa.binary())})
+    out = NormalizeAudioFn(target_rms=0.125)(tbl).to_pandas()
+    s0, _ = decode_audio(out["bytes"][0])
+    assert abs(out["rms_out"][0] - 0.125) < 0.125 * 0.01
+    assert np.abs(s0).max() <= 1.0
+    s1, _ = decode_audio(out["bytes"][1])
+    assert np.abs(s1).max() <= 0.9995  # capped, not clipped
+    assert out["rms_out"][1] < 0.125  # cap kept it below target
+    assert out["gain"][1] < 0.125 / out["rms_in"][1]
