@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_huffman_plan": q.docs_huffman_plan,
         "revenue_by_region_auto": q.revenue_by_region_auto,
         "audio_normalize": q.audio_normalize,
+        "docs_pair_token_edit": q.docs_pair_token_edit,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4371,6 +4372,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "docs_pair_token_edit": r"""
+            WITH RECURSIVE
+            prs AS (SELECT d.doc_id AS pair FROM documents d
+                    WHERE d.doc_id % 61 = 0 AND EXISTS (
+                        SELECT 1 FROM documents e
+                        WHERE e.doc_id = d.doc_id + 1)),
+            arrs AS (SELECT doc_id,
+                            regexp_split_to_array(text, '\s+') AS arr
+                     FROM documents
+                     WHERE doc_id IN (SELECT pair FROM prs)
+                        OR doc_id IN (SELECT pair + 1 FROM prs)),
+            raw AS (SELECT doc_id, arr[CAST(i AS INT)] AS term, i
+                    FROM arrs, unnest(generate_series(1, len(arr)))
+                         AS t(i)),
+            tok AS (SELECT doc_id, term,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY i) AS rnk
+                    FROM raw WHERE term <> ''
+                    QUALIFY rnk <= 48),
+            ta AS (SELECT pair, rnk AS i, term FROM prs
+                   JOIN tok ON tok.doc_id = pair),
+            tb AS (SELECT pair, rnk AS j, term FROM prs
+                   JOIN tok ON tok.doc_id = pair + 1),
+            lens AS (SELECT pair,
+                        COALESCE((SELECT MAX(i) FROM ta
+                                  WHERE ta.pair = prs.pair), 0) AS la,
+                        COALESCE((SELECT MAX(j) FROM tb
+                                  WHERE tb.pair = prs.pair), 0) AS lb
+                     FROM prs),
+            r(pair, i, j, val, c) AS (
+                SELECT pair, 0, 0, 0, 1 FROM prs
+                UNION ALL
+                (WITH w AS (SELECT * FROM r),
+                 spawn AS (
+                    SELECT DISTINCT w.pair, w.i + 1 AS ni, w.j AS nj
+                    FROM w JOIN lens USING (pair)
+                    WHERE c = 1 AND w.i + 1 <= la
+                    UNION
+                    SELECT DISTINCT w.pair, w.i AS ni, w.j + 1 AS nj
+                    FROM w JOIN lens USING (pair)
+                    WHERE c = 1 AND w.j + 1 <= lb),
+                 nxt AS (
+                    SELECT s.pair, s.ni AS i, s.nj AS j,
+                      CASE WHEN s.ni = 0 THEN lf.val + 1
+                           WHEN s.nj = 0 THEN up.val + 1
+                           ELSE least(up.val + 1, lf.val + 1,
+                                      dg.val + CASE WHEN a.term
+                                          = b.term THEN 0 ELSE 1 END)
+                      END AS val
+                    FROM spawn s
+                    LEFT JOIN w up ON up.c = 1 AND up.pair = s.pair
+                                   AND up.i = s.ni - 1 AND up.j = s.nj
+                    LEFT JOIN w lf ON lf.c = 1 AND lf.pair = s.pair
+                                   AND lf.i = s.ni AND lf.j = s.nj - 1
+                    LEFT JOIN w dg ON dg.c = 0 AND dg.pair = s.pair
+                                   AND dg.i = s.ni - 1
+                                   AND dg.j = s.nj - 1
+                    LEFT JOIN ta a ON a.pair = s.pair AND a.i = s.ni
+                    LEFT JOIN tb b ON b.pair = s.pair AND b.j = s.nj)
+                 SELECT pair, i, j, val, 1 FROM nxt
+                 UNION ALL
+                 SELECT w.pair, w.i, w.j, w.val, 0
+                 FROM w JOIN lens USING (pair)
+                 WHERE w.c = 1 AND w.i + w.j < la + lb))
+            SELECT prs.pair AS doc_a, prs.pair + 1 AS doc_b,
+                   CAST(lens.la AS BIGINT) AS n_tok_a,
+                   CAST(lens.lb AS BIGINT) AS n_tok_b,
+                   CAST(r.val AS BIGINT) AS edit_dist
+            FROM r JOIN lens USING (pair) JOIN prs USING (pair)
+            WHERE r.c = 1 AND r.i = la AND r.j = lb
+            ORDER BY doc_a
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -12742,3 +12742,76 @@ def audio_normalize(sf_dir: str, target: float = 0.125):
         "n_clips": pa.array(out["n_clips"].astype(np.int64)),
         "n_capped": pa.array(out["n_capped"].astype(np.int64)),
         "max_dev_ppm": pa.array(out["max_dev_ppm"].astype(np.int64))})
+
+
+def docs_pair_token_edit(sf_dir: str, stride: int = 61,
+                         max_tokens: int = 48):
+    """Token-level sequence alignment (spatial/measures.
+    token_edit_distance_pairs — Wagner–Fischer, the token twin of the
+    byte-level Myers verifier): Levenshtein distance between each
+    probe document and its successor over their first 48 whitespace
+    tokens, the DP vectorized ACROSS pairs with per-pair true-length
+    terminals (padding provably cannot contaminate).  Token equality
+    compares 64-bit fingerprints (collision 2^-64, documented).  The
+    probe set is driver-sized by contract.  Hash-checked vs a
+    two-diagonal recursive-CTE DP twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.text import _tokens_per_doc, fingerprint64
+    from ..spatial.measures import token_edit_distance_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def probe_tokens(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        want = (ids % stride == 0) | ((ids - 1) % stride == 0)
+        t = b.filter(pa.array(want))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64())})
+        flat, doc_of = _tokens_per_doc(t, "text")
+        pos = np.arange(len(doc_of)) - np.searchsorted(
+            doc_of, doc_of, side="left")
+        keep = pos < max_tokens
+        h = fingerprint64(flat.take(pa.array(np.flatnonzero(keep))))
+        did = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[doc_of[keep]]
+        return pa.table({"doc_id": pa.array(did),
+                         "pos": pa.array(pos[keep]),
+                         "h": pa.array(h, pa.uint64())})
+
+    tok = collect_table(ds.map_batches(
+        probe_tokens, batch_format="pyarrow", zero_copy_batch=True))
+    did = tok["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = tok["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hh = tok["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    docs = np.unique(did)
+    a_docs = docs[(docs % stride == 0)]
+    a_docs = a_docs[np.isin(a_docs + 1, docs)]
+    if len(a_docs) == 0:
+        raise AssertionError("no probe pairs")
+    npair = len(a_docs)
+    A = np.zeros((npair, max_tokens), np.uint64)
+    B = np.zeros((npair, max_tokens), np.uint64)
+    la = np.zeros(npair, np.int64)
+    lb = np.zeros(npair, np.int64)
+    lookup = {int(d): i for i, d in enumerate(a_docs)}
+    for d, p_, h in zip(did, pos, hh):
+        if int(d) in lookup:
+            i = lookup[int(d)]
+            A[i, p_] = h
+            la[i] = max(la[i], p_ + 1)
+        if int(d) - 1 in lookup:
+            i = lookup[int(d) - 1]
+            B[i, p_] = h
+            lb[i] = max(lb[i], p_ + 1)
+    dist = token_edit_distance_pairs(A.view(np.int64),
+                                     B.view(np.int64), la, lb)
+    return pa.table({"doc_a": pa.array(a_docs),
+                     "doc_b": pa.array(a_docs + 1),
+                     "n_tok_a": pa.array(la), "n_tok_b": pa.array(lb),
+                     "edit_dist": pa.array(dist)})

@@ -374,3 +374,37 @@ def viterbi_decode_costs(emit: np.ndarray, lam: int) -> tuple:
         c = emit[:, step, :] + np.minimum(fwd, bwd)
     best = np.argmin(c, axis=1)  # first minimum = smallest rank
     return c[np.arange(u), best], best
+
+
+def token_edit_distance_pairs(a_codes: np.ndarray, b_codes: np.ndarray,
+                              len_a: np.ndarray,
+                              len_b: np.ndarray) -> np.ndarray:
+    """Levenshtein distance between MANY token-code sequence pairs at
+    once (unit insert/delete/substitute — the Wagner–Fischer DP, the
+    token-level twin of strjoin's byte-level Myers kernel): inputs are
+    (npairs, m) / (npairs, p) padded int arrays with true lengths; the
+    DP runs sequentially over the small grid with every cell one
+    vectorized op ACROSS pairs, and each pair's answer reads at its
+    own true terminal — cells beyond a pair's true lengths are
+    computed but never read (a DP cell depends only on smaller
+    indices, so padding cannot contaminate the terminal)."""
+    npairs, m = a_codes.shape
+    p = b_codes.shape[1]
+    prev = np.arange(p + 1, dtype=np.int64)[None, :].repeat(npairs, 0)
+    out = np.zeros(npairs, np.int64)
+    done_b0 = len_a == 0
+    out[done_b0] = len_b[done_b0]
+    for i in range(1, m + 1):
+        cur = np.empty((npairs, p + 1), np.int64)
+        cur[:, 0] = i
+        for j in range(1, p + 1):
+            neq = (a_codes[:, i - 1] != b_codes[:, j - 1]) \
+                .astype(np.int64)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + neq)
+        hit = len_a == i
+        if hit.any():
+            out[hit] = cur[hit, len_b[hit]]
+        prev = cur
+    return out

@@ -324,3 +324,28 @@ def test_viterbi_transition_actually_smooths():
     # with a free transition it zigzags
     cost2, _ = viterbi_decode_costs(emit, 0)
     assert int(cost2[0]) == 0
+
+
+def test_token_edit_pairs_vs_scalar():
+    from geobuf_ray.spatial.measures import token_edit_distance_pairs
+
+    def scalar(a, b):
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            nd = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                nd[j] = min(d[j] + 1, nd[j - 1] + 1,
+                            d[j - 1] + (a[i - 1] != b[j - 1]))
+            d = nd
+        return d[len(b)]
+
+    rng = np.random.default_rng(15)
+    N, M, P = 60, 12, 10
+    la = rng.integers(0, M + 1, N)
+    lb = rng.integers(0, P + 1, N)
+    A = rng.integers(0, 4, (N, M))
+    B = rng.integers(0, 4, (N, P))
+    got = token_edit_distance_pairs(A, B, la, lb)
+    for i in range(N):
+        assert got[i] == scalar(list(A[i, :la[i]]),
+                                list(B[i, :lb[i]])), i
