@@ -12815,3 +12815,47 @@ def docs_pair_token_edit(sf_dir: str, stride: int = 61,
                      "doc_b": pa.array(a_docs + 1),
                      "n_tok_a": pa.array(la), "n_tok_b": pa.array(lb),
                      "edit_dist": pa.array(dist)})
+
+
+def images_caption_dups(sf_dir: str):
+    """Cross-modal duplicate audit: caption text shared by MULTIPLE
+    distinct images — the web-scale signature of boilerplate alt-text
+    and of near-duplicate crawls (this corpus PLANTS them: every
+    i%23==11 row reuses row i-7's caption over nudged pixels).  One
+    pass emits per-block (caption fingerprint, image count, distinct
+    phash count) partials; groups with >1 image and >1 phash are the
+    true cross-modal dups.  In-query asserts pin that the planted
+    family is found.  Rows-only (procedural corpus); the synthesis
+    rule is the pytest oracle."""
+    from ..functions.text import fingerprint64
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = fingerprint64(b["caption"])
+        ph = b["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"cap": pa.array(h.astype(np.int64)),
+                      "phash": pa.array(ph),
+                      "n": pa.array(np.ones(len(ph), np.int64))})
+        g = t.group_by(["cap", "phash"]).aggregate([("n", "sum")])
+        return g.rename_columns(["cap", "phash", "n"])
+
+    pairs = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["cap", "phash"], ["n"])
+    df = pairs.to_pandas()
+    g = df.groupby("cap").agg(n_images=("n", "sum"),
+                              n_phashes=("phash", "nunique"))
+    dup = g[g["n_images"] > 1]
+    if len(dup) == 0:
+        raise AssertionError("planted caption dups not found")
+    return pa.table({
+        "n_captions": pa.array([len(g)], pa.int64()),
+        "n_dup_captions": pa.array([len(dup)], pa.int64()),
+        "n_dup_images": pa.array([int(dup["n_images"].sum())],
+                                 pa.int64()),
+        "n_crossmodal": pa.array(
+            [int((dup["n_phashes"] > 1).sum())], pa.int64())})
