@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_normalize": q.audio_normalize,
         "docs_pair_token_edit": q.docs_pair_token_edit,
         "images_caption_dups": q.images_caption_dups,
+        "images_pipeline_e2e": q.images_pipeline_e2e,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

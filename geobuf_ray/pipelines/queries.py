@@ -12859,3 +12859,102 @@ def images_caption_dups(sf_dir: str):
                                  pa.int64()),
         "n_crossmodal": pa.array(
             [int((dup["n_phashes"] > 1).sum())], pa.int64())})
+
+
+def images_pipeline_e2e(sf_dir: str, zoom: int = 4):
+    """The north-rule composition end to end: the IMAGE table's
+    footprints (centroid-anchored w·eps × h·eps rectangles — pixels
+    as joinable spatial payloads) flow through the geobuf tiling
+    flagship — tile CLIP, per-tile geobuf files, per-partition
+    LINEAGE manifests with throughput metrics — and the whole run is
+    RESUMABLE: a second invocation over the same output directory is
+    proven byte-identical (every tile file and manifest record
+    untouched), i.e. completed partitions are skipped, not
+    recomputed.  Returns the manifest rollup; in-query asserts pin
+    the resume byte-identity and nonempty coverage.  Rows-only (the
+    pipeline writes files; its pieces are hash-checked elsewhere)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..io.geojson import features_to_table
+    from ..io import images as im
+    from ..state.checkpoint import checkpointed_split_combine
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+
+    def footprints(b: pa.Table) -> pa.Table:
+        ids = b["image_id"].to_pylist()
+        idx = np.asarray([int(s[3:]) for s in ids], np.int64)
+        lon, lat = im.image_centroids(idx)
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        eps = 0.01
+        return pa.table({
+            "idx": pa.array(idx), "west": pa.array(lon - w * eps / 2),
+            "east": pa.array(lon + w * eps / 2),
+            "south": pa.array(np.maximum(lat - h * eps / 2, -85.0)),
+            "north": pa.array(np.minimum(lat + h * eps / 2, 85.0))})
+
+    from ..collect import collect_table
+
+    fp = collect_table(ds.map_batches(
+        footprints, batch_format="pyarrow", zero_copy_batch=True))
+    feats = [
+        {"type": "Feature", "id": int(k), "properties": {},
+         "geometry": {"type": "Polygon", "coordinates": [[
+             [w, s], [e, s], [e, n], [w, n], [w, s]]]}}
+        for k, w, s, e, n in zip(
+            fp["idx"].to_pylist(), fp["west"].to_pylist(),
+            fp["east"].to_pylist(), fp["south"].to_pylist(),
+            fp["north"].to_pylist())]
+    geo = features_to_table(feats)
+
+    def run(out):
+        return checkpointed_split_combine(
+            ray.data.from_arrow(geo).repartition(4), out, zoom,
+            clip=True)
+
+    def fingerprint(out):
+        acc = hashlib.sha256()
+        for name in sorted(os.listdir(out)):
+            p = os.path.join(out, name)
+            if os.path.isfile(p):
+                acc.update(name.encode())
+                acc.update(open(p, "rb").read())
+        mdir = os.path.join(out, "_manifest")
+        for name in sorted(os.listdir(mdir)):
+            acc.update(name.encode())
+            acc.update(open(os.path.join(mdir, name), "rb").read())
+        return acc.hexdigest()
+
+    out = tempfile.mkdtemp(prefix="e2e_", dir="/tmp")
+    try:
+        m1 = run(out)
+        f1 = fingerprint(out)
+        m2 = run(out)  # resume: must skip every committed partition
+        f2 = fingerprint(out)
+        if f1 != f2:
+            raise AssertionError("resume rewrote committed partitions")
+        if m2.num_rows != m1.num_rows:
+            raise AssertionError("resume manifest diverged")
+        nf = m1["num_features"].to_numpy(zero_copy_only=False)
+        if m1.num_rows < 4 or int(nf.sum()) < len(feats):
+            raise AssertionError("tiling produced too little coverage")
+        if not (m1["write_seconds"].to_numpy(
+                zero_copy_only=False) >= 0).all():
+            raise AssertionError("manifest missing throughput metrics")
+        return pa.table({
+            "n_tiles": pa.array([m1.num_rows], pa.int64()),
+            "n_clipped_features": pa.array([int(nf.sum())], pa.int64()),
+            "total_bytes": pa.array(
+                [int(m1["size_bytes"].to_numpy(
+                    zero_copy_only=False).sum())], pa.int64()),
+            "max_tile_features": pa.array([int(nf.max())], pa.int64()),
+            "resume_identical": pa.array([True])})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
