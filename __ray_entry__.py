@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pair_token_edit": q.docs_pair_token_edit,
         "images_caption_dups": q.images_caption_dups,
         "images_pipeline_e2e": q.images_pipeline_e2e,
+        "rects_box_density": q.rects_box_density,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4446,6 +4447,26 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN lens USING (pair) JOIN prs USING (pair)
             WHERE r.c = 1 AND r.i = la AND r.j = lb
             ORDER BY doc_a
+        """,
+        "rects_box_density": """
+            WITH s AS (
+              SELECT (s_suppkey*37) % 248 AS a, (s_suppkey*53) % 248 AS b,
+                     s_suppkey % 3 + 1 AS sx, (s_suppkey*7) % 3 + 1 AS sy
+              FROM supplier),
+            p AS (
+              SELECT DISTINCT a + i.range AS gx, b + j.range AS gy
+              FROM s, range(0, 4) i, range(0, 4) j
+              WHERE i.range <= sx AND j.range <= sy),
+            d AS (
+              SELECT p.gx + i.range - 2 AS gx, p.gy + j.range - 2 AS gy,
+                     CAST(COUNT(*) AS BIGINT) AS density
+              FROM p, range(0, 5) i, range(0, 5) j
+              WHERE p.gx + i.range - 2 BETWEEN 0 AND 255
+                AND p.gy + j.range - 2 BETWEEN 0 AND 255
+              GROUP BY 1, 2)
+            SELECT gx, gy, density FROM d
+            WHERE (gx * 31 + gy * 17) % 13 = 0
+            ORDER BY gx, gy
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

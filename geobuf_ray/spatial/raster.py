@@ -729,3 +729,93 @@ def affine_warp_nn(occ_ds, *, ntiles: int, px: int,
 
     return hash_exchange(occ_ds, nbuckets=nbuckets, bucket_fn=fan,
                          reduce_fn=reduce_fn, schema=out_schema)
+
+
+def box_density(occ_ds, *, ntiles: int, px: int, radius: int = 2,
+                nbuckets: int = 16, **map_kwargs):
+    """Windowed density field (kernel density with a box kernel): for
+    every grid cell, the COUNT of set pixels within Chebyshev radius
+    ``radius`` — separable like the L1 distance transform, so each
+    axis is one prefix-sum difference per band and the distribution
+    is the same two exchanges (row bands, then column bands; a band
+    owns complete rows/columns, so each pass finishes in-bucket).
+    Only cells with nonzero density materialize (output is
+    O(set pixels · (2r+1)²) worst case, sparse-friendly)."""
+    from ..functions.exchange import hash_exchange
+    from .polygonize import _mask_bits
+
+    N = ntiles * px
+    r = int(radius)
+    band = max(N // nbuckets, 1)
+
+    def fan_rows(batch: pa.Table):
+        empty = pa.table({"gx": pa.array([], pa.int64()),
+                          "gy": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return np.empty(0, np.int64), empty
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bits = _mask_bits(batch["mask"], batch.num_rows, px)
+        mi, y, x = np.nonzero(bits)
+        gx = tx[mi] * px + x
+        gy = ty[mi] * px + y
+        return (gy // band) % nbuckets, pa.table(
+            {"gx": pa.array(gx), "gy": pa.array(gy)})
+
+    p1_schema = pa.schema([("gx", pa.int64()), ("gy", pa.int64()),
+                           ("c1", pa.int64())])
+
+    def pass1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return p1_schema.empty_table()
+        gx = t["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gy = t["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.unique(gy)
+        ridx = np.searchsorted(rows, gy)
+        occ = np.zeros((len(rows), N), np.int64)
+        occ[ridx, gx] = 1
+        pref = np.zeros((len(rows), N + 1), np.int64)
+        np.cumsum(occ, axis=1, out=pref[:, 1:])
+        hi = np.minimum(np.arange(N) + r + 1, N)
+        lo = np.maximum(np.arange(N) - r, 0)
+        c1 = pref[:, hi] - pref[:, lo]
+        ri, xs = np.nonzero(c1)
+        return pa.table({"gx": pa.array(xs.astype(np.int64)),
+                         "gy": pa.array(rows[ri]),
+                         "c1": pa.array(c1[ri, xs])})
+
+    rows1 = hash_exchange(occ_ds, nbuckets=nbuckets,
+                          bucket_fn=fan_rows, reduce_fn=pass1,
+                          schema=p1_schema, **map_kwargs)
+
+    out_schema = pa.schema([("gx", pa.int64()), ("gy", pa.int64()),
+                            ("density", pa.int64())])
+
+    def fan_cols(batch: pa.Table):
+        gx = batch["gx"].to_numpy(zero_copy_only=False)
+        return (gx // band) % nbuckets, batch
+
+    def pass2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        gx = t["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gy = t["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = np.unique(gx)
+        cidx = np.searchsorted(cols, gx)
+        dense = np.zeros((len(cols), N), np.int64)
+        dense[cidx, gy] = c1
+        pref = np.zeros((len(cols), N + 1), np.int64)
+        np.cumsum(dense, axis=1, out=pref[:, 1:])
+        hi = np.minimum(np.arange(N) + r + 1, N)
+        lo = np.maximum(np.arange(N) - r, 0)
+        d = pref[:, hi] - pref[:, lo]
+        ci, ys = np.nonzero(d)
+        return pa.table({"gx": pa.array(cols[ci]),
+                         "gy": pa.array(ys.astype(np.int64)),
+                         "density": pa.array(d[ci, ys])})
+
+    return hash_exchange(rows1, nbuckets=nbuckets, bucket_fn=fan_cols,
+                         reduce_fn=pass2, schema=out_schema)

@@ -478,3 +478,36 @@ def test_affine_warp_identity_and_guard(ray_session):
     with pytest.raises(ValueError, match="px must be"):
         affine_warp_nn(ray.data.from_arrow(occ), ntiles=4, px=4,
                        nbuckets=2)
+
+
+def test_box_density_brute_force(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.raster import box_density
+
+    ntiles, px, r = 4, 8, 2
+    n = ntiles * px
+    rng = np.random.default_rng(21)
+    pix = {(int(x), int(y)) for x, y in rng.integers(0, n, (60, 2))}
+    rows = {}
+    for gx, gy in pix:
+        key = (gx // px, gy // px)
+        m = rows.setdefault(key, np.zeros((px, px), bool))
+        m[gy % px, gx % px] = True
+    occ = pa.table({
+        "tile_x": pa.array([k[0] for k in rows], pa.int64()),
+        "tile_y": pa.array([k[1] for k in rows], pa.int64()),
+        "mask": pa.array([bytes(np.packbits(m)) for m in rows.values()],
+                         pa.binary())})
+    out = collect_table(box_density(
+        ray.data.from_arrow(occ), ntiles=ntiles, px=px, radius=r,
+        nbuckets=4))
+    got = {(x, y): d for x, y, d in zip(out["gx"].to_pylist(),
+                                        out["gy"].to_pylist(),
+                                        out["density"].to_pylist())}
+    for x in range(n):
+        for y in range(n):
+            exp = sum(1 for (px_, py_) in pix
+                      if abs(px_ - x) <= r and abs(py_ - y) <= r)
+            assert got.get((x, y), 0) == exp, (x, y)
