@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_caption_dups": q.images_caption_dups,
         "images_pipeline_e2e": q.images_pipeline_e2e,
         "rects_box_density": q.rects_box_density,
+        "events_change_point": q.events_change_point,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4467,6 +4468,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT gx, gy, density FROM d
             WHERE (gx * 31 + gy * 17) % 13 = 0
             ORDER BY gx, gy
+        """,
+        "events_change_point": """
+            WITH h AS (SELECT event_type,
+                              datediff('hour', TIMESTAMP '1970-01-01',
+                                       CAST(ts AS TIMESTAMP)) AS hour,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(round(COALESCE(value, 0)
+                                  * 100) AS BIGINT)) AS BIGINT) AS cents
+                       FROM events GROUP BY 1, 2),
+            c AS (SELECT event_type, hour,
+                         SUM(n) OVER w AS n1, SUM(cents) OVER w AS s1,
+                         SUM(n) OVER t AS nt, SUM(cents) OVER t AS st,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY hour DESC) AS from_end
+                  FROM h
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hour),
+                         t AS (PARTITION BY event_type)),
+            sp AS (SELECT event_type, hour,
+                          CAST(n1 AS HUGEINT) AS n1,
+                          CAST(s1 AS HUGEINT) AS s1,
+                          CAST(nt - n1 AS HUGEINT) AS n2,
+                          CAST(st - s1 AS HUGEINT) AS s2
+                   FROM c WHERE from_end > 1),
+            sc AS (SELECT event_type, hour, n1, s1,
+                          (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1)
+                              AS num,
+                          n1 * n2 AS den
+                   FROM sp)
+            SELECT a.event_type, CAST(a.hour AS BIGINT) AS split_hour,
+                   CAST(a.n1 AS BIGINT) AS n_before,
+                   CAST(a.s1 AS BIGINT) AS cents_before
+            FROM sc a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sc b
+                WHERE b.event_type = a.event_type
+                  AND (b.num * a.den > a.num * b.den
+                       OR (b.num * a.den = a.num * b.den
+                           AND b.hour < a.hour)))
+            ORDER BY a.event_type
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -12988,3 +12988,61 @@ def rects_box_density(sf_dir: str, radius: int = 2):
     o = np.lexsort((gy, gx))
     return pa.table({"gx": pa.array(gx[o]), "gy": pa.array(gy[o]),
                      "density": pa.array(d[o])})
+
+
+def events_change_point(sf_dir: str):
+    """Exact change-point detection (binary segmentation's first
+    split): per event type, the hour boundary that MAXIMIZES the
+    between-segment contrast — equivalently argmax over splits of
+    (S1·n2 − S2·n1)² / (n1·n2) with S the segment cents sums; the
+    comparison cross-multiplies to pure integers (Python ints — the
+    squares exceed int64 by design), so the argmax is exact and
+    deterministic (ties to the earliest split).  One distributed
+    counting pass builds the hourly series (driver-sized by the time
+    domain); the split scan is exact driver arithmetic.  Hash-checked
+    vs a HUGEINT window twin."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        val = np.nan_to_num(b["value"].to_numpy(zero_copy_only=False))
+        cents = np.round(val * 100).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "hour": pa.array(us),
+                      "n": pa.array(np.ones(len(us), np.int64)),
+                      "cents": pa.array(cents)})
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "hour", "n", "cents"])
+
+    hourly = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], ["n", "cents"])
+    df = hourly.to_pandas().sort_values(["event_type", "hour"])
+    out_rows = []
+    for et, g in df.groupby("event_type", sort=True):
+        n = g["n"].to_numpy().astype(object)
+        s = g["cents"].to_numpy().astype(object)
+        hours = g["hour"].to_numpy()
+        cn = np.cumsum(n)
+        cs = np.cumsum(s)
+        N, S = int(cn[-1]), int(cs[-1])
+        best = None
+        for i in range(len(hours) - 1):  # split AFTER hour i
+            n1, s1 = int(cn[i]), int(cs[i])
+            n2, s2 = N - n1, S - s1
+            num = (s1 * n2 - s2 * n1) ** 2
+            den = n1 * n2
+            # compare num/den > best_num/best_den exactly
+            if best is None or num * best[1] > best[0] * den:
+                best = (num, den, int(hours[i]), n1, s1)
+        out_rows.append((et, best[2], best[3], best[4]))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out_rows], pa.string()),
+        "split_hour": pa.array([r[1] for r in out_rows], pa.int64()),
+        "n_before": pa.array([r[2] for r in out_rows], pa.int64()),
+        "cents_before": pa.array([r[3] for r in out_rows], pa.int64())})
