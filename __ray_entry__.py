@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_pipeline_e2e": q.images_pipeline_e2e,
         "rects_box_density": q.rects_box_density,
         "events_change_point": q.events_change_point,
+        "lineitem_qq_table": q.lineitem_qq_table,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4508,7 +4509,31 @@ def oracle_sql() -> dict[str, str]:
                            AND b.hour < a.hour)))
             ORDER BY a.event_type
         """,
-        "lineitem_qty_power_sums": """
+        "lineitem_qq_table": """
+            WITH v AS (SELECT l_returnflag AS flag,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS c
+                       FROM lineitem
+                       WHERE l_returnflag IN ('A', 'N')),
+            n AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM v GROUP BY flag),
+            ranked AS (SELECT flag, c,
+                              ROW_NUMBER() OVER (PARTITION BY flag
+                                  ORDER BY c) AS rnk
+                       FROM v),
+            g AS (SELECT k FROM unnest(generate_series(1, 19)) t(k)),
+            want AS (SELECT n.flag, g.k,
+                            GREATEST(CAST(ceil(g.k * n.cnt / 32.0)
+                                AS BIGINT), 1) AS r
+                     FROM n, g),
+            hit AS (SELECT w.flag, w.k, ranked.c
+                    FROM want w JOIN ranked
+                      ON ranked.flag = w.flag AND ranked.rnk = w.r)
+            SELECT k AS k32,
+                   MAX(CASE WHEN flag = 'A' THEN c END) AS q_a,
+                   MAX(CASE WHEN flag = 'N' THEN c END) AS q_n
+            FROM hit GROUP BY k ORDER BY k32
+        """,        "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,
                               CAST(round(l_quantity) AS BIGINT) AS q
                        FROM lineitem)

@@ -13046,3 +13046,44 @@ def events_change_point(sf_dir: str):
         "split_hour": pa.array([r[1] for r in out_rows], pa.int64()),
         "n_before": pa.array([r[2] for r in out_rows], pa.int64()),
         "cents_before": pa.array([r[3] for r in out_rows], pa.int64())})
+
+
+def lineitem_qq_table(sf_dir: str):
+    """Q–Q comparison table (the distribution-matching companion of
+    the rank-sum test): exact PERCENTILE_DISC price-cents quantiles of
+    the A-flag vs N-flag populations at a fixed 19-point grid, via the
+    compressed-distribution group_quantile exchange (the wire carries
+    distinct values with multiplicities, never rows).  The q values
+    are exact binary floats (k/32), so both engines evaluate the same
+    rank rule bit-for-bit.  Hash-checked vs quantile_disc."""
+    import ray
+
+    from ..functions.agg import group_quantile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["l_returnflag"].combine_chunks(),
+                              value_set=pa.array(["A", "N"])))
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"flag": t["l_returnflag"],
+                         "cents": pa.array(cents)})
+
+    qs = {f"q{k}": k / 32 for k in range(1, 20)}
+    out = group_quantile(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["flag"], "cents", qs,
+        schema=pa.schema([("flag", pa.string()),
+                          ("cents", pa.int64())]))
+    df = out.to_pandas().set_index("flag")
+    ks = np.arange(1, 20, dtype=np.int64)
+    return pa.table({
+        "k32": pa.array(ks),
+        "q_a": pa.array(np.asarray(
+            [df.loc["A", f"q{k}"] for k in ks], np.int64)),
+        "q_n": pa.array(np.asarray(
+            [df.loc["N", f"q{k}"] for k in ks], np.int64))})
