@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_box_density": q.rects_box_density,
         "events_change_point": q.events_change_point,
         "lineitem_qq_table": q.lineitem_qq_table,
+        "orders_dow_chisq": q.orders_dow_chisq,
+        "lineitem_bootstrap_sums": q.lineitem_bootstrap_sums,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4533,7 +4535,49 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN flag = 'A' THEN c END) AS q_a,
                    MAX(CASE WHEN flag = 'N' THEN c END) AS q_n
             FROM hit GROUP BY k ORDER BY k32
-        """,        "lineitem_qty_power_sums": """
+        """,        "orders_dow_chisq": """
+            WITH c AS (SELECT o_orderpriority AS pr,
+                              (datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) + 4) % 7
+                                  AS dow,
+                              CAST(COUNT(*) AS BIGINT) AS o
+                       FROM orders GROUP BY 1, 2),
+            n AS (SELECT pr, CAST(SUM(o) AS BIGINT) AS n
+                  FROM c GROUP BY pr),
+            grid AS (SELECT n.pr, d.dow, n.n
+                     FROM n CROSS JOIN
+                          unnest(generate_series(0, 6)) d(dow)),
+            full_ AS (SELECT grid.pr, grid.dow,
+                             COALESCE(c.o, 0) AS o, grid.n
+                      FROM grid LEFT JOIN c
+                        ON c.pr = grid.pr AND c.dow = grid.dow)
+            SELECT pr AS o_orderpriority, MAX(n) AS n,
+                   CAST(SUM((7 * o - n) * (7 * o - n)) AS BIGINT)
+                       AS chisq_num,
+                   CAST(7 * MAX(n) AS BIGINT) AS chisq_den
+            FROM full_ GROUP BY pr ORDER BY pr
+        """,
+        "lineitem_bootstrap_sums": """
+            WITH r AS (SELECT l_orderkey * 8 + l_linenumber % 8 AS rid,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM lineitem),
+            reps AS (SELECT b FROM unnest(generate_series(0, 15)) t(b)),
+            w AS (SELECT b AS rep,
+                         ((rid * 2654435761 + b * 40503) % 4294967296)
+                             // 1073741824 AS h,
+                         cents
+                  FROM r, reps),
+            ww AS (SELECT rep,
+                          CASE WHEN h = 0 THEN 0
+                               WHEN h = 3 THEN 2 ELSE 1 END AS wt,
+                          cents
+                   FROM w)
+            SELECT rep, CAST(SUM(wt) AS BIGINT) AS n,
+                   CAST(SUM(wt * cents) AS BIGINT) AS cents
+            FROM ww GROUP BY rep ORDER BY rep
+        """,
+        "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,
                               CAST(round(l_quantity) AS BIGINT) AS q
                        FROM lineitem)

@@ -13087,3 +13087,80 @@ def lineitem_qq_table(sf_dir: str):
             [df.loc["A", f"q{k}"] for k in ks], np.int64)),
         "q_n": pa.array(np.asarray(
             [df.loc["N", f"q{k}"] for k in ks], np.int64))})
+
+
+def orders_dow_chisq(sf_dir: str):
+    """Day-of-week uniformity test (chi-square ingredients, exact):
+    per priority the 7 DOW counts plus the cross-multiplied statistic
+    num = Σ(7·O_d − N)², den = 7·N (χ² = num/den; division left to
+    the consumer).  One counting pass; all int64 (counts < 2^31 keep
+    the squares exact).  Hash-checked."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority",
+                                        "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        dow = ((day + 4) % 7)  # 1970-01-01 was a Thursday
+        t = pa.table({"pr": b["o_orderpriority"],
+                      "dow": pa.array(dow),
+                      "n": pa.array(np.ones(len(dow), np.int64))})
+        g = t.group_by(["pr", "dow"]).aggregate([("n", "sum")])
+        return g.rename_columns(["pr", "dow", "n"])
+
+    cells = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["pr", "dow"], ["n"])
+    df = cells.to_pandas()
+    rows = []
+    for pr, g in df.groupby("pr", sort=True):
+        o = np.zeros(7, np.int64)
+        o[g["dow"].to_numpy()] = g["n"].to_numpy()
+        n = int(o.sum())
+        num = int(((7 * o - n) ** 2).sum())
+        rows.append((pr, n, num, 7 * n))
+    return pa.table({
+        "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "chisq_num": pa.array([r[2] for r in rows], pa.int64()),
+        "chisq_den": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def lineitem_bootstrap_sums(sf_dir: str, b_reps: int = 16):
+    """Deterministic Poisson-style bootstrap (the resampling CI
+    machinery made reproducible): replicate b weights each row by two
+    pinned hash bits (w ∈ {0,1,2} with mean 1 — the documented
+    variance-0.5 stand-in for Poisson(1), coordination-free and
+    partition-invariant), so every replicate's exact (n, cents sum)
+    is a plain weighted partial aggregate over ONE scan.  Hash-checked
+    vs a CASE twin evaluating the identical bit rule."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber",
+                                        "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        rid = ok * 8 + ln % 8
+        reps = np.arange(b_reps, dtype=np.int64)
+        h = ((rid[:, None] * 2654435761 + reps[None, :] * 40503)
+             % 4294967296) >> 30  # top 2 of 32 pinned bits
+        w = np.where(h == 0, 0, np.where(h == 3, 2, 1)).astype(np.int64)
+        return pa.table({
+            "rep": pa.array(np.tile(reps, len(rid))),
+            "n": pa.array(w.reshape(-1)),
+            "cents": pa.array((w * cents[:, None]).reshape(-1))})
+
+    agg = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["rep"], ["n", "cents"])
+    return agg.sort_by([("rep", "ascending")])
