@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qq_table": q.lineitem_qq_table,
         "orders_dow_chisq": q.orders_dow_chisq,
         "lineitem_bootstrap_sums": q.lineitem_bootstrap_sums,
+        "images_shard_roundtrip": q.images_shard_roundtrip,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

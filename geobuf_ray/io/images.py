@@ -1162,3 +1162,99 @@ class QuarantineDecodeFn:
         out = out.append_column("decode_error",
                                 pa.array(errs, pa.string()))
         return out
+
+
+# ---------------------------------------------------------------------------
+# sharded sample storage (the WebDataset pattern: size-bounded shards +
+# a byte-offset index for random access — how training loaders actually
+# consume image corpora; the same seek discipline as the geobuf gob
+# SubFile index, reference reader.go:277-304)
+# ---------------------------------------------------------------------------
+
+_SHARD_MAGIC = b"GSH1"
+
+
+def write_shards(ds, out_dir: str, *, target_bytes: int = 1 << 20,
+                 **map_kwargs) -> "pa.Table":
+    """Write image rows into size-bounded shard files, one Ray block
+    per writer task (no shuffle): each shard is a flat concatenation
+    of payloads and its SIDE-CAR index records (image_id, offset,
+    length) — random access never scans.  Shards commit atomically
+    (tmp + rename, the checkpoint discipline); returns the manifest
+    (shard, n_samples, bytes)."""
+    import os
+    import uuid
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        shards, counts, sizes = [], [], []
+        i = 0
+        while i < len(ids):
+            name = f"shard-{uuid.uuid4().hex[:12]}"
+            buf, idx_rows, start = [], [], 0
+            total = 0
+            j = i
+            while j < len(ids) and (total == 0
+                                    or total < target_bytes):
+                b = blobs[j]
+                idx_rows.append((ids[j], total, len(b)))
+                buf.append(b)
+                total += len(b)
+                j += 1
+            data = _SHARD_MAGIC + b"".join(buf)
+            tmp = os.path.join(out_dir, name + ".bin.tmp")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, os.path.join(out_dir, name + ".bin"))
+            itbl = pa.table({
+                "image_id": pa.array([r[0] for r in idx_rows]),
+                "offset": pa.array([r[1] for r in idx_rows],
+                                   pa.int64()),
+                "length": pa.array([r[2] for r in idx_rows],
+                                   pa.int64())})
+            import pyarrow.parquet as pq
+
+            tmpx = os.path.join(out_dir, name + ".idx.tmp")
+            pq.write_table(itbl, tmpx)
+            os.replace(tmpx, os.path.join(out_dir, name + ".idx"))
+            shards.append(name)
+            counts.append(len(idx_rows))
+            sizes.append(total)
+            i = j
+        return pa.table({"shard": pa.array(shards, pa.string()),
+                         "n_samples": pa.array(counts, pa.int64()),
+                         "bytes": pa.array(sizes, pa.int64())})
+
+    from ..collect import collect_table
+
+    return collect_table(ds.map_batches(
+        write_block, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None, **map_kwargs))
+
+
+def read_shard_member(out_dir: str, shard: str, image_id: str) -> bytes:
+    """Random access: ONE index lookup + ONE byte-range read (seek,
+    never a scan) — the SubFile contract for sample shards."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    idx = pq.read_table(os.path.join(out_dir, shard + ".idx"))
+    ids = idx["image_id"].to_pylist()
+    try:
+        row = ids.index(image_id)
+    except ValueError:
+        raise KeyError(f"{image_id!r} not in shard {shard}")
+    off = idx["offset"][row].as_py() + len(_SHARD_MAGIC)
+    ln = idx["length"][row].as_py()
+    with open(os.path.join(out_dir, shard + ".bin"), "rb") as f:
+        f.seek(off)
+        data = f.read(ln)
+    if len(data) != ln:
+        raise IOError("short read — shard truncated")
+    return data

@@ -13164,3 +13164,64 @@ def lineitem_bootstrap_sums(sf_dir: str, b_reps: int = 16):
         ds.map_batches(partial, batch_format="pyarrow",
                        zero_copy_batch=True), ["rep"], ["n", "cents"])
     return agg.sort_by([("rep", "ascending")])
+
+
+def images_shard_roundtrip(sf_dir: str):
+    """Sharded sample storage (io/images.write_shards — the WebDataset
+    pattern: size-bounded shards + byte-offset side-car indexes, the
+    SubFile seek discipline for training samples): the image corpus
+    writes to shards with NO shuffle (one writer per block), then
+    every 7th image reads back by RANDOM ACCESS (one index lookup +
+    one byte-range seek) and must be byte-identical to its source
+    payload — asserted in-query.  Returns deterministic shard-layout
+    stats.  Rows-only (file layout op)."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..collect import collect_table
+    from ..io import images as im
+    from ..io.images import read_shard_member, write_shards
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    out = tempfile.mkdtemp(prefix="shards_", dir="/tmp")
+    try:
+        manifest = write_shards(ds, out, target_bytes=1 << 18)
+        # membership map: shard per image (from the side-car indexes)
+        import os
+
+        import pyarrow.parquet as pq
+
+        member = {}
+        for f in sorted(os.listdir(out)):
+            if f.endswith(".idx"):
+                idx = pq.read_table(os.path.join(out, f))
+                for s in idx["image_id"].to_pylist():
+                    member[s] = f[:-4]
+        src = collect_table(ds.map_batches(
+            lambda b: b.select(["image_id", "bytes"]),
+            batch_format="pyarrow", zero_copy_batch=True))
+        ids = src["image_id"].to_pylist()
+        blobs = src["bytes"].to_pylist()
+        n_checked = 0
+        for i in range(0, len(ids), 7):
+            got = read_shard_member(out, member[ids[i]], ids[i])
+            if got != blobs[i]:
+                raise AssertionError(f"shard round-trip mismatch at "
+                                     f"{ids[i]}")
+            n_checked += 1
+        ns = manifest["n_samples"].to_numpy(zero_copy_only=False)
+        bs = manifest["bytes"].to_numpy(zero_copy_only=False)
+        if int(ns.sum()) != n:
+            raise AssertionError("shards lost samples")
+        return pa.table({
+            "n_shards": pa.array([manifest.num_rows], pa.int64()),
+            "n_samples": pa.array([int(ns.sum())], pa.int64()),
+            "total_bytes": pa.array([int(bs.sum())], pa.int64()),
+            "max_shard_samples": pa.array([int(ns.max())], pa.int64()),
+            "n_random_access_checked": pa.array([n_checked],
+                                                pa.int64())})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

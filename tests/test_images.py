@@ -620,3 +620,36 @@ def test_quarantine_decode_dead_letter():
     assert out.loc[~bad, "phash_decoded"].notna().all()
     assert out.loc[bad, "phash_decoded"].isna().all()
     assert out.loc[3, "decode_error"].startswith("ValueError")
+
+
+def test_shard_write_and_random_access(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.io.images import (read_shard_member,
+                                      synthesize_image_table,
+                                      write_shards)
+
+    tbl = synthesize_image_table(20)
+    out = str(tmp_path / "sh")
+    man = write_shards(ray.data.from_arrow(tbl).repartition(3), out,
+                       target_bytes=1 << 14)
+    assert int(man["n_samples"].to_numpy().sum()) == 20
+    # every sample readable by random access, byte-identical
+    member = {}
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(out):
+        if f.endswith(".idx"):
+            for s in pq.read_table(os.path.join(out, f))["image_id"] \
+                    .to_pylist():
+                member[s] = f[:-4]
+    for i in range(20):
+        iid = tbl["image_id"][i].as_py()
+        assert read_shard_member(out, member[iid], iid) == \
+            tbl["bytes"][i].as_py()
+    with pytest.raises(KeyError):
+        read_shard_member(out, next(iter(member.values())),
+                          "img999999999999")
