@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_dow_chisq": q.orders_dow_chisq,
         "lineitem_bootstrap_sums": q.lineitem_bootstrap_sums,
         "images_shard_roundtrip": q.images_shard_roundtrip,
+        "rects_containment_parent": q.rects_containment_parent,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4577,6 +4578,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT rep, CAST(SUM(wt) AS BIGINT) AS n,
                    CAST(SUM(wt * cents) AS BIGINT) AS cents
             FROM ww GROUP BY rep ORDER BY rep
+        """,
+        "rects_containment_parent": f"""
+            WITH pairs AS (
+              SELECT c_custkey AS custkey, s_suppkey,
+                     CAST((5005 + (s_suppkey % 7) * 3000)
+                          * (4005 + (s_suppkey % 5) * 3000) AS BIGINT)
+                         AS parent_area_mu
+              FROM customer, supplier
+              WHERE (-180.0 + (s_suppkey * 37) % 300) <= {_LON}
+                AND ({_LON} + 0.5 + (c_custkey % 4) * 0.5)
+                    <= (-180.0 + (s_suppkey * 37) % 300 + 5.0
+                        + (s_suppkey % 7) * 3.0 + 0.005)
+                AND (-85.0 + (s_suppkey * 53) % 160) <= {_LAT}
+                AND ({_LAT} + 0.5 + (c_custkey % 3) * 0.5)
+                    <= (-85.0 + (s_suppkey * 53) % 160 + 4.0
+                        + (s_suppkey % 5) * 3.0 + 0.005))
+            SELECT custkey, s_suppkey AS parent_suppkey,
+                   parent_area_mu
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey
+                      ORDER BY parent_area_mu, s_suppkey) AS rk
+                  FROM pairs)
+            WHERE rk = 1 ORDER BY custkey
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -13225,3 +13225,42 @@ def images_shard_roundtrip(sf_dir: str):
                                                 pa.int64())})
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def rects_containment_parent(sf_dir: str):
+    """Containment hierarchy (the admin-boundary parent-assignment
+    step): every contained customer rect gets its SMALLEST strict
+    container among the supplier rects — argmin over the ST_Contains
+    pairs under the exact integer (area in milli-degree² units,
+    suppkey) total order.  Composes rects_contain_join's lossless
+    S2-candidate + refine pipeline with a per-block partial argmin
+    (one surviving row per custkey per block).  Hash-checked vs a
+    ROW_NUMBER twin over the same containment join."""
+    pairs = rects_contain_join(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b["custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = b["s_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        area = (5005 + (sk % 7) * 3000) * (4005 + (sk % 5) * 3000)
+        o = np.lexsort((sk, area, ck))
+        ck, sk, area = ck[o], sk[o], area[o]
+        first = np.concatenate(([True], ck[1:] != ck[:-1]))
+        return pa.table({"custkey": pa.array(ck[first]),
+                         "parent_suppkey": pa.array(sk[first]),
+                         "parent_area_mu": pa.array(area[first])})
+
+    from ..collect import collect_table
+
+    t = collect_table(pairs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    ck = t["custkey"].to_numpy(zero_copy_only=False)
+    sk = t["parent_suppkey"].to_numpy(zero_copy_only=False)
+    ar = t["parent_area_mu"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((sk, ar, ck))
+    ck, sk, ar = ck[o], sk[o], ar[o]
+    first = np.concatenate(([True], ck[1:] != ck[:-1]))
+    return pa.table({"custkey": pa.array(ck[first]),
+                     "parent_suppkey": pa.array(sk[first]),
+                     "parent_area_mu": pa.array(ar[first])})
