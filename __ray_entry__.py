@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_bootstrap_sums": q.lineitem_bootstrap_sums,
         "images_shard_roundtrip": q.images_shard_roundtrip,
         "rects_containment_parent": q.rects_containment_parent,
+        "images_epoch_order": q.images_epoch_order,
+        "docs_langid_confusion": q.docs_langid_confusion,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

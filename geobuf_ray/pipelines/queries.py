@@ -13264,3 +13264,82 @@ def rects_containment_parent(sf_dir: str):
     return pa.table({"custkey": pa.array(ck[first]),
                      "parent_suppkey": pa.array(sk[first]),
                      "parent_area_mu": pa.array(ar[first])})
+
+
+def images_epoch_order(sf_dir: str, epochs: int = 2, head: int = 24):
+    """Deterministic training-epoch shuffling over the sharded layout
+    (the loader-side companion of write_shards): epoch e orders
+    samples by the pinned hash mix(id_index, e) — reshuffling between
+    epochs with NO coordination and NO state, reproducible on any
+    worker.  Emits per-epoch the head-of-order id checksum and proves
+    the multiset is preserved (same ids every epoch, different
+    order).  Rows-only; all values deterministic."""
+    import ray
+
+    from ..collect import collect_table
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    ids = collect_table(ds.map_batches(
+        lambda b: b.select(["image_id"]), batch_format="pyarrow",
+        zero_copy_batch=True))["image_id"].to_pylist()
+    idx = np.asarray([int(s[3:]) for s in ids], np.int64)
+    rows = []
+    orders = []
+    for e in range(epochs):
+        key = ((idx * 2654435761 + e * 0x9E3779B1) % (1 << 32))
+        o = np.lexsort((idx, key))
+        orders.append(idx[o])
+        rows.append((e, int((idx[o][:head] * (np.arange(head) + 1))
+                            .sum()), int(idx[o][0])))
+    if (orders[0] == orders[1]).all():
+        raise AssertionError("epochs produced identical order")
+    if not np.array_equal(np.sort(orders[0]), np.sort(orders[1])):
+        raise AssertionError("epoch shuffle lost samples")
+    return pa.table({
+        "epoch": pa.array([r[0] for r in rows], pa.int64()),
+        "head_checksum": pa.array([r[1] for r in rows], pa.int64()),
+        "first_idx": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def docs_langid_confusion(sf_dir: str):
+    """Language-ID vs metadata audit: the n-gram classifier
+    (functions/text.LangIdFn — its accuracy on genuine German/CJK
+    text is pinned in tests) cross-tabulated against the corpus's
+    ``lang`` METADATA column.  The confusion matrix EXPOSES a real
+    property of this corpus: its text is drawn from one shared
+    vocabulary, so the metadata lang does not match the content —
+    exactly the metadata-drift mismatch this audit exists to catch in
+    crawled corpora.  Rows-only (heuristic classifier); the in-query
+    assert pins that the audit genuinely fires (off-diagonal mass
+    present) and that every metadata class is represented."""
+    import ray
+
+    from ..functions.text import LangIdFn
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    pred = ds.map_batches(LangIdFn, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"], "pred": b["lang_pred"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["lang", "pred"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "pred", "n"])
+
+    cm = _final_combine(
+        pred.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["lang", "pred"], ["n"])
+    df = cm.to_pandas().sort_values(["lang", "pred"])
+    off_diag = int(df[df.lang != df.pred]["n"].sum())
+    if off_diag == 0:
+        raise AssertionError("audit vacuous: no metadata drift found")
+    if df["lang"].nunique() < 5:
+        raise AssertionError("a metadata class vanished")
+    return pa.table({
+        "lang": pa.array(df["lang"], pa.string()),
+        "pred": pa.array(df["pred"], pa.string()),
+        "n": pa.array(df["n"].astype(np.int64))})
