@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_containment_parent": q.rects_containment_parent,
         "images_epoch_order": q.images_epoch_order,
         "docs_langid_confusion": q.docs_langid_confusion,
+        "lineitem_sequence_gaps": q.lineitem_sequence_gaps,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4602,6 +4603,34 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY parent_area_mu, s_suppkey) AS rk
                   FROM pairs)
             WHERE rk = 1 ORDER BY custkey
+        """,
+        "lineitem_sequence_gaps": """
+            WITH per_o AS (SELECT l_orderkey,
+                                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                                  CAST(COUNT(DISTINCT l_linenumber)
+                                       AS BIGINT) AS n_distinct,
+                                  CAST(MAX(l_linenumber) AS BIGINT)
+                                      AS mx,
+                                  CAST(MIN(l_linenumber) AS BIGINT)
+                                      AS mn
+                           FROM lineitem GROUP BY l_orderkey),
+            j AS (SELECT o.o_orderpriority,
+                         CASE WHEN mx <> n_distinct OR mn <> 1
+                              THEN 1 ELSE 0 END AS gap,
+                         CASE WHEN NOT (mx <> n_distinct OR mn <> 1)
+                                  AND n_rows <> n_distinct
+                              THEN 1 ELSE 0 END AS dup_only,
+                         CASE WHEN NOT (mx <> n_distinct OR mn <> 1)
+                                  AND n_rows = n_distinct
+                              THEN 1 ELSE 0 END AS clean
+                  FROM per_o JOIN orders o
+                    ON o.o_orderkey = per_o.l_orderkey)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(gap) AS BIGINT) AS n_gapped,
+                   CAST(SUM(dup_only) AS BIGINT) AS n_dup_only,
+                   CAST(SUM(clean) AS BIGINT) AS n_clean
+            FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

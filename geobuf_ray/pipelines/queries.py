@@ -13343,3 +13343,92 @@ def docs_langid_confusion(sf_dir: str):
         "lang": pa.array(df["lang"], pa.string()),
         "pred": pa.array(df["pred"], pa.string()),
         "n": pa.array(df["n"].astype(np.int64))})
+
+
+def lineitem_sequence_gaps(sf_dir: str):
+    """Sequence-integrity audit (the companion of the PK/FK
+    constraint gate): are each order's line numbers a contiguous
+    1..k run?  Duplicates exist in this corpus (the PK audit's real
+    find), so the rule counts DISTINCT line numbers per order: a gap
+    iff max != n_distinct or min != 1.  One packed-key exchange
+    (bucket-local distinct), per-priority rollup of orders with gaps
+    / dup-only defects / clean runs.  Hash-checked."""
+    import ray
+
+    from ..functions.exchange import hash_exchange
+    from ..functions.join import hash_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber"])
+
+    schema = pa.schema([("l_orderkey", pa.int64()),
+                        ("n_rows", pa.int64()),
+                        ("n_distinct", pa.int64()),
+                        ("mx", pa.int64()), ("mn", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        o = np.lexsort((ln, ok))
+        ok, ln = ok[o], ln[o]
+        new_o = np.concatenate(([True], ok[1:] != ok[:-1]))
+        new_pair = new_o | np.concatenate(([True], ln[1:] != ln[:-1]))
+        starts = np.flatnonzero(new_o)
+        oid = ok[starts]
+        seg = np.cumsum(new_o) - 1
+        n_rows = np.bincount(seg).astype(np.int64)
+        n_dist = np.bincount(seg[new_pair]).astype(np.int64)
+        mx = np.zeros(len(oid), np.int64)
+        np.maximum.at(mx, seg, ln)
+        mn = np.full(len(oid), 1 << 60, np.int64)
+        np.minimum.at(mn, seg, ln)
+        return pa.table({"l_orderkey": pa.array(oid),
+                         "n_rows": pa.array(n_rows),
+                         "n_distinct": pa.array(n_dist),
+                         "mx": pa.array(mx), "mn": pa.array(mn)})
+
+    per_order = hash_exchange(li, nbuckets=32, on="l_orderkey",
+                              reduce_fn=kernel, schema=schema)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"],
+                            "o_orderpriority": b["o_orderpriority"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(per_order, orders, on="l_orderkey", nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        pr = b["o_orderpriority"].combine_chunks().dictionary_encode()
+        inv = pr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(pr.dictionary)
+        mx = b["mx"].to_numpy(zero_copy_only=False)
+        mn = b["mn"].to_numpy(zero_copy_only=False)
+        nd = b["n_distinct"].to_numpy(zero_copy_only=False)
+        nr = b["n_rows"].to_numpy(zero_copy_only=False)
+        gap = (mx != nd) | (mn != 1)
+        dup_only = ~gap & (nr != nd)
+        clean = ~gap & (nr == nd)
+
+        def s(v):
+            return pa.array(np.bincount(
+                inv, weights=v.astype(np.float64),
+                minlength=k).astype(np.int64))
+
+        return pa.table({"o_orderpriority": pr.dictionary,
+                         "n_orders": pa.array(
+                             np.bincount(inv, minlength=k)
+                             .astype(np.int64)),
+                         "n_gapped": s(gap),
+                         "n_dup_only": s(dup_only),
+                         "n_clean": s(clean)})
+
+    agg = _final_combine(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderpriority"], ["n_orders", "n_gapped", "n_dup_only",
+                              "n_clean"])
+    return agg.sort_by([("o_orderpriority", "ascending")])
