@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_epoch_order": q.images_epoch_order,
         "docs_langid_confusion": q.docs_langid_confusion,
         "lineitem_sequence_gaps": q.lineitem_sequence_gaps,
+        "events_sliding_median": q.events_sliding_median,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4631,6 +4632,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(dup_only) AS BIGINT) AS n_dup_only,
                    CAST(SUM(clean) AS BIGINT) AS n_clean
             FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "events_sliding_median": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                              CAST(round(COALESCE(value, 0) * 100)
+                                   AS BIGINT) AS cents
+                       FROM events),
+            m AS (SELECT user_id,
+                         CAST(median(cents) OVER (
+                             PARTITION BY user_id
+                             ORDER BY t_us, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS med,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY t_us, event_id) AS rn
+                  FROM e)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(SUM(med) AS BIGINT) AS sum_median
+            FROM m WHERE rn >= 5 GROUP BY user_id ORDER BY user_id
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

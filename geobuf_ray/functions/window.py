@@ -1066,3 +1066,54 @@ def debounce(ds, key: str, time_col: str, cooldown: int, *,
 
     return hash_exchange(ds, nbuckets=nbuckets, on=key,
                          reduce_fn=kernel, schema=out_schema)
+
+
+def sliding_median(ds, key: str, order_cols: list[str], value: str,
+                   *, w: int = 5, nbuckets: int = 64, **map_kwargs):
+    """Exact sliding-window MEDIAN (ROWS w-1 PRECEDING .. CURRENT,
+    complete windows only): the robust-smoothing window aggregate the
+    prefix-sum family can't express.  Per bucket one lexsort, then the
+    w-wide windows materialize as w shifted column views and one
+    np.sort across the small axis — O(w log w) per row vectorized over
+    the whole bucket, windows straddling a key boundary dropped.
+    ``w`` must be odd so the median is an exact data value (int64 in,
+    int64 out, bit-identical to SQL's windowed median)."""
+    import numpy as np
+
+    from ..functions.exchange import hash_exchange
+
+    if w % 2 == 0:
+        raise ValueError("sliding_median: w must be odd")
+    out_schema = pa.schema(
+        [(key, pa.int64())] + [(c, pa.int64()) for c in order_cols]
+        + [("median", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows < w:
+            return out_schema.empty_table()
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ords = [t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in order_cols]
+        v = t[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort(tuple(reversed(ords)) + (k,))
+        k = k[o]
+        v = v[o]
+        ords = [c[o] for c in ords]
+        n = len(k)
+        m = n - w + 1
+        stack = np.stack([v[i:i + m] for i in range(w)], axis=1)
+        same = np.ones(m, bool)
+        for i in range(1, w):
+            same &= k[i:i + m] == k[:m]
+        med = np.sort(stack, axis=1)[:, w // 2]
+        sel = np.flatnonzero(same)
+        end = sel + w - 1  # window END row position
+        cols = {key: pa.array(k[end])}
+        for c, arr in zip(order_cols, ords):
+            cols[c] = pa.array(arr[end])
+        cols["median"] = pa.array(med[sel])
+        return pa.table(cols)
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=out_schema,
+                         **map_kwargs)

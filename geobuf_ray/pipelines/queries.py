@@ -13432,3 +13432,52 @@ def lineitem_sequence_gaps(sf_dir: str):
         ["o_orderpriority"], ["n_orders", "n_gapped", "n_dup_only",
                               "n_clean"])
     return agg.sort_by([("o_orderpriority", "ascending")])
+
+
+def events_sliding_median(sf_dir: str, w: int = 5):
+    """Exact sliding-window median of event cents per user
+    (functions/window.sliding_median — the robust smoother the
+    prefix-sum window family cannot express): complete 5-row windows
+    under the total order (ts, event_id), per-bucket lexsort + one
+    np.sort over the w-wide shifted stack.  Aggregated per user to
+    (n_windows, sum of medians) so the driver table stays user-sized.
+    Hash-checked vs DuckDB's windowed median (odd w keeps it an exact
+    data value)."""
+    import ray
+
+    from ..functions.window import sliding_median
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts",
+                                        "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        val = np.nan_to_num(b["value"].to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t_us": pa.array(us),
+                         "event_id": b["event_id"],
+                         "cents": pa.array(
+                             np.round(val * 100).astype(np.int64))})
+
+    med = sliding_median(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", ["t_us", "event_id"], "cents", w=w, nbuckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        m = b["median"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_windows": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_median": pa.array(np.bincount(
+                inv, weights=m.astype(np.float64)).astype(np.int64))})
+
+    agg = _final_combine(
+        med.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["user_id"], ["n_windows", "sum_median"])
+    return agg.sort_by([("user_id", "ascending")])

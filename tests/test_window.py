@@ -504,3 +504,35 @@ def test_debounce_same_time_burst_and_guard(ray_session):
 
     with _pt.raises(ValueError):
         debounce(ray.data.from_arrow(tbl), "k", "t", 0)
+
+
+def test_sliding_median_scalar_and_boundaries(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.window import sliding_median
+
+    rng = np.random.default_rng(33)
+    n = 3000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 20, n), pa.int64()),
+        "t": pa.array(rng.permutation(n), pa.int64()),
+        "v": pa.array(rng.integers(-100, 100, n), pa.int64())})
+    out = collect_table(sliding_median(
+        ray.data.from_arrow(tbl).repartition(5), "k", ["t"], "v",
+        w=5, nbuckets=8)).to_pandas().sort_values(["k", "t"])
+
+    df = tbl.to_pandas().sort_values(["k", "t"])
+    exp = []
+    for k, g in df.groupby("k"):
+        vs = g["v"].tolist()
+        ts = g["t"].tolist()
+        for i in range(4, len(vs)):
+            exp.append((k, ts[i], int(np.median(vs[i - 4:i + 1]))))
+    got = list(zip(out["k"], out["t"], out["median"]))
+    assert sorted(got) == sorted(exp)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sliding_median(ray.data.from_arrow(tbl), "k", ["t"], "v", w=4)
