@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid_confusion": q.docs_langid_confusion,
         "lineitem_sequence_gaps": q.lineitem_sequence_gaps,
         "events_sliding_median": q.events_sliding_median,
+        "events_ks_test": q.events_ks_test,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4651,6 +4652,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_windows,
                    CAST(SUM(med) AS BIGINT) AS sum_median
             FROM m WHERE rn >= 5 GROUP BY user_id ORDER BY user_id
+        """,
+        "events_ks_test": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v,
+                              CASE WHEN user_id % 2 = 0 THEN 0
+                                   ELSE 1 END AS side
+                       FROM events WHERE value IS NOT NULL),
+            d AS (SELECT event_type, v,
+                         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS na,
+                         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS nb
+                  FROM e GROUP BY event_type, v),
+            c AS (SELECT event_type, v,
+                         SUM(na) OVER w AS ca, SUM(nb) OVER w AS cb,
+                         SUM(na) OVER t AS ta, SUM(nb) OVER t AS tb
+                  FROM d
+                  WINDOW w AS (PARTITION BY event_type ORDER BY v),
+                         t AS (PARTITION BY event_type))
+            SELECT event_type,
+                   CAST(MAX(ta) AS BIGINT) AS n_a,
+                   CAST(MAX(tb) AS BIGINT) AS n_b,
+                   CAST(MAX(abs(ca * tb - cb * ta)) AS BIGINT)
+                       AS d_num
+            FROM c GROUP BY event_type ORDER BY event_type
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -1446,3 +1446,114 @@ def group_power_sums(ds, keys: list[str], value: str, *,
             raise OverflowError(f"group_power_sums: {c} exceeds int64")
         out[c] = out[c].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ks_statistic(ds, *, key: str = "key", value: str = "v",
+                 side: str = "side", nbuckets: int = 16):
+    """Exact two-sample Kolmogorov–Smirnov statistic per key, in the
+    cross-multiplied integer form: ``D_num = max over values of
+    |cum_a·n_b − cum_b·n_a|`` with ``D = D_num/(n_a·n_b)`` left to
+    the consumer — completes the two-sample family (rank-sum for
+    location, Q–Q for shape, KS for the supremum gap).  Same
+    compressed-distribution exchange as :func:`rank_sum_u2`: the wire
+    carries each key's DISTINCT (value, per-side counts), the
+    in-bucket kernel is one lexsort + per-key cumulative sums, only
+    per-key scalars leave.  Guarded to keep cum·n products exact
+    int64."""
+    import pyarrow as pa
+
+    from .exchange import hash_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({key: b[key].slice(0, 0),
+                          "v": pa.array([], pa.int64()),
+                          "n_a": pa.array([], pa.int64()),
+                          "n_b": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        v = b[value].to_numpy(zero_copy_only=False)
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError("ks_statistic: value must be integer-typed")
+        v = v.astype(np.int64)
+        s = b[side].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ((s != 0) & (s != 1)).any():
+            raise ValueError("ks_statistic: side must be 0/1")
+        kenc = b[key].combine_chunks().dictionary_encode()
+        kc = kenc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((s, v, kc))
+        kc_s, v_s, s_s = kc[order], v[order], s[order]
+        new = np.ones(len(kc_s), bool)
+        new[1:] = (kc_s[1:] != kc_s[:-1]) | (v_s[1:] != v_s[:-1])
+        gid = np.cumsum(new) - 1
+        n_a = np.bincount(gid[s_s == 0]).astype(np.int64)
+        n_a = np.pad(n_a, (0, gid[-1] + 1 - len(n_a)))
+        n_b = np.bincount(gid[s_s == 1]).astype(np.int64)
+        n_b = np.pad(n_b, (0, gid[-1] + 1 - len(n_b)))
+        starts = np.flatnonzero(new)
+        return pa.table({
+            key: kenc.dictionary.take(pa.array(kc_s[starts])),
+            "v": pa.array(v_s[starts]),
+            "n_a": pa.array(n_a), "n_b": pa.array(n_b)})
+
+    out_schema_cols = ["n_a", "n_b", "d_num"]
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({key: t[key].slice(0, 0),
+                          "n_a": pa.array([], pa.int64()),
+                          "n_b": pa.array([], pa.int64()),
+                          "d_num": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        kenc = t[key].combine_chunks().dictionary_encode()
+        kc = kenc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, kc))
+        kc, v, na, nb = kc[order], v[order], na[order], nb[order]
+        # merge duplicate (key, v) partials from different blocks
+        new = np.ones(len(kc), bool)
+        new[1:] = (kc[1:] != kc[:-1]) | (v[1:] != v[:-1])
+        gid = np.cumsum(new) - 1
+        na = np.bincount(gid, weights=na.astype(np.float64)) \
+            .astype(np.int64)
+        nb = np.bincount(gid, weights=nb.astype(np.float64)) \
+            .astype(np.int64)
+        starts = np.flatnonzero(new)
+        kc = kc[starts]
+        key_new = np.ones(len(kc), bool)
+        key_new[1:] = kc[1:] != kc[:-1]
+        kseg = np.cumsum(key_new) - 1
+        # per-key totals + cumulative counts (segment-reset cumsums)
+        tot_a = np.bincount(kseg, weights=na.astype(np.float64)) \
+            .astype(np.int64)
+        tot_b = np.bincount(kseg, weights=nb.astype(np.float64)) \
+            .astype(np.int64)
+        if len(tot_a) and int(tot_a.max()) * int(tot_b.max()) \
+                >= 1 << 62:
+            raise OverflowError("ks_statistic: n_a*n_b exceeds int64")
+        cum_a = np.cumsum(na)
+        cum_b = np.cumsum(nb)
+        kstart = np.flatnonzero(key_new)
+        base_a = np.repeat(np.concatenate(
+            ([0], cum_a[kstart[1:] - 1])) if len(kstart) else [],
+            np.diff(np.concatenate((kstart, [len(na)]))))
+        base_b = np.repeat(np.concatenate(
+            ([0], cum_b[kstart[1:] - 1])) if len(kstart) else [],
+            np.diff(np.concatenate((kstart, [len(nb)]))))
+        ca = cum_a - base_a
+        cb = cum_b - base_b
+        gap = np.abs(ca * tot_b[kseg] - cb * tot_a[kseg])
+        d_num = np.zeros(len(kstart), np.int64)
+        np.maximum.at(d_num, kseg, gap)
+        return pa.table({
+            key: kenc.dictionary.take(pa.array(kc[kstart])),
+            "n_a": pa.array(tot_a), "n_b": pa.array(tot_b),
+            "d_num": pa.array(d_num)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return hash_exchange(parts, nbuckets=nbuckets, on=key,
+                         reduce_fn=reduce_fn)

@@ -13481,3 +13481,42 @@ def events_sliding_median(sf_dir: str, w: int = 5):
                         zero_copy_batch=True),
         ["user_id"], ["n_windows", "sum_median"])
     return agg.sort_by([("user_id", "ascending")])
+
+
+def events_ks_test(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov statistic per event type
+    (functions/agg.ks_statistic): even- vs odd-user cent values, the
+    supremum CDF gap in the cross-multiplied integer form D_num =
+    max|cum_a·n_b − cum_b·n_a| (D = D_num/(n_a·n_b) with the
+    consumer) — completing the two-sample family next to the
+    rank-sum test and the Q–Q table.  Same compressed-distribution
+    exchange; hash-checked vs a cumulative-window twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.agg import ks_statistic
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id",
+                                        "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        val = b["value"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(val)
+        t = b.filter(pa.array(ok))
+        val = t["value"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"key": t["event_type"],
+                         "v": pa.array(np.round(val * 100)
+                                       .astype(np.int64)),
+                         "side": pa.array(u % 2)})
+
+    out = collect_table(ks_statistic(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True), nbuckets=16))
+    k = np.asarray(out["key"].to_pylist(), object).astype(str)
+    sel = pa.array(np.argsort(k))
+    t = out.take(sel)
+    return pa.table({"event_type": t["key"], "n_a": t["n_a"],
+                     "n_b": t["n_b"], "d_num": t["d_num"]})

@@ -1264,3 +1264,36 @@ def test_huffman_lengths_clrs_and_edges():
     # uniform power-of-two alphabet: flat code
     L3 = huffman_lengths(np.full(8, 10, np.int64))
     assert L3.tolist() == [3] * 8
+
+
+def test_ks_statistic_scalar_and_invariance(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.agg import ks_statistic
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    tbl = pa.table({
+        "key": pa.array(rng.integers(0, 4, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "side": pa.array(rng.integers(0, 2, n), pa.int64())})
+
+    def run(parts, nb):
+        out = collect_table(ks_statistic(
+            ray.data.from_arrow(tbl).repartition(parts), nbuckets=nb))
+        return out.to_pandas().sort_values("key").reset_index(drop=True)
+
+    a = run(1, 2)
+    b = run(9, 8)
+    assert a.equals(b)  # partition/bucket invariance
+    df = tbl.to_pandas()
+    for k, g in df.groupby("key"):
+        xa = np.sort(g[g.side == 0].v.to_numpy())
+        xb = np.sort(g[g.side == 1].v.to_numpy())
+        vals = np.unique(np.concatenate((xa, xb)))
+        ca = np.searchsorted(xa, vals, side="right")
+        cb = np.searchsorted(xb, vals, side="right")
+        exp = int(np.abs(ca * len(xb) - cb * len(xa)).max())
+        row = a[a.key == k].iloc[0]
+        assert row.d_num == exp and row.n_a == len(xa)
