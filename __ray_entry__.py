@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_sequence_gaps": q.lineitem_sequence_gaps,
         "events_sliding_median": q.events_sliding_median,
         "events_ks_test": q.events_ks_test,
+        "events_bucket_skew": q.events_bucket_skew,
+        "supplier_balance_pareto": q.supplier_balance_pareto,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4677,6 +4679,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(abs(ca * tb - cb * ta)) AS BIGINT)
                        AS d_num
             FROM c GROUP BY event_type ORDER BY event_type
+        """,
+        "events_bucket_skew": """
+            WITH b AS (SELECT ((user_id % 1000003) * 2654435761)
+                              % 4294967296 % 32 AS bucket
+                       FROM events),
+            g AS (SELECT i.range AS bucket FROM range(0, 32) i)
+            SELECT g.bucket,
+                   CAST(COALESCE(COUNT(b.bucket), 0) AS BIGINT) AS n
+            FROM g LEFT JOIN b ON b.bucket = g.bucket
+            GROUP BY g.bucket ORDER BY g.bucket
+        """,
+        "supplier_balance_pareto": """
+            WITH s AS (SELECT s_suppkey,
+                              CAST(round(s_acctbal * 100) AS BIGINT)
+                                  AS c
+                       FROM supplier),
+            r AS (SELECT c, ROW_NUMBER() OVER (
+                      ORDER BY c DESC, s_suppkey) AS rn,
+                      SUM(c) OVER (ORDER BY c DESC, s_suppkey)
+                          AS cum,
+                      COUNT(*) OVER () AS n
+                  FROM s),
+            d AS (SELECT CAST(dd.d AS BIGINT) AS decile,
+                         CAST(ceil(dd.d * r.n / 10.0) AS BIGINT)
+                             AS rank
+                  FROM (SELECT i.range + 1 AS d FROM range(0, 10) i)
+                       dd, (SELECT MAX(n) AS n FROM r) r)
+            SELECT d.decile, d.rank,
+                   CAST(r.cum AS BIGINT) AS cum_cents
+            FROM d JOIN r ON r.rn = d.rank ORDER BY d.decile
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

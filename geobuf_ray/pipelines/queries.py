@@ -13520,3 +13520,62 @@ def events_ks_test(sf_dir: str):
     t = out.take(sel)
     return pa.table({"event_type": t["key"], "n_a": t["n_a"],
                      "n_b": t["n_b"], "d_num": t["d_num"]})
+
+
+def events_bucket_skew(sf_dir: str, nbuckets: int = 32):
+    """Shuffle-skew diagnostics (the report behind the salted-join
+    decision): row counts per hash bucket of user_id under the
+    SQL-reproducible 32-bit mix — the imbalance a key exchange would
+    see, with the max/median pressure ratio as exact integers.  One
+    counting pass.  Hash-checked."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bk = (((u % 1000003) * 2654435761) % 4294967296) % nbuckets
+        return pa.table({"bucket": pa.array(
+            np.arange(nbuckets, dtype=np.int64)),
+            "n": pa.array(np.bincount(bk, minlength=nbuckets)
+                          .astype(np.int64))})
+
+    agg = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["bucket"], ["n"])
+    return agg.sort_by([("bucket", "ascending")])
+
+
+def supplier_balance_pareto(sf_dir: str):
+    """Concentration curve (the Pareto 80/20 report): suppliers sorted
+    by balance descending, the exact cumulative cents held by the top
+    1..10 deciles — rank cut points by the integer ceil rule, all
+    sums exact (negative balances included: the curve can overshoot
+    100% and come back, which this corpus exhibits).  Hash-checked vs
+    a window twin."""
+    import ray
+
+    from ..collect import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.round(b["s_acctbal"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"k": b["s_suppkey"], "c": pa.array(cents)})
+
+    t = collect_table(ds.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+    c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((k, -c))  # balance DESC, suppkey ASC
+    cs = np.cumsum(c[o])
+    n = len(c)
+    ranks = np.array([-(-d * n // 10) for d in range(1, 11)], np.int64)
+    return pa.table({
+        "decile": pa.array(np.arange(1, 11, dtype=np.int64)),
+        "rank": pa.array(ranks),
+        "cum_cents": pa.array(cs[ranks - 1])})
