@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_test": q.events_ks_test,
         "events_bucket_skew": q.events_bucket_skew,
         "supplier_balance_pareto": q.supplier_balance_pareto,
+        "lineitem_discount_profile": q.lineitem_discount_profile,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4709,6 +4710,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.decile, d.rank,
                    CAST(r.cum AS BIGINT) AS cum_cents
             FROM d JOIN r ON r.rn = d.rank ORDER BY d.decile
+        """,
+        "lineitem_discount_profile": """
+            SELECT l_returnflag,
+                   CAST(round(l_discount * 10000) AS BIGINT) AS bp,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100)
+                            AS BIGINT)
+                        * (10000 - CAST(round(l_discount * 10000)
+                                        AS BIGINT))) AS BIGINT)
+                       AS rev_micro
+            FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, bp
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

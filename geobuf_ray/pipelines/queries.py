@@ -13579,3 +13579,45 @@ def supplier_balance_pareto(sf_dir: str):
         "decile": pa.array(np.arange(1, 11, dtype=np.int64)),
         "rank": pa.array(ranks),
         "cum_cents": pa.array(cs[ranks - 1])})
+
+
+def lineitem_discount_profile(sf_dir: str):
+    """Pricing-ladder profile: per (return flag, discount basis
+    points) the line count, quantity sum, and the exact discounted
+    revenue in 1e-4-dollar units (cents × bp arithmetic, the TPC-H
+    revenue discipline) — the discount-effectiveness table a pricing
+    team reads.  One counting pass over a metadata-sized (flag × bp)
+    domain.  Hash-checked."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bp = np.round(b["l_discount"].to_numpy() * 10000) \
+            .astype(np.int64)
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        qty = np.round(b["l_quantity"].to_numpy()).astype(np.int64)
+        # cents x bp-complement = 1e-6-dollar units, exact int64
+        rev = cents * (10000 - bp)
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "bp": pa.array(bp),
+                      "n": pa.array(np.ones(len(bp), np.int64)),
+                      "sum_qty": pa.array(qty),
+                      "rev_micro": pa.array(rev)})
+        g = t.group_by(["l_returnflag", "bp"]).aggregate(
+            [("n", "sum"), ("sum_qty", "sum"), ("rev_micro", "sum")])
+        return g.rename_columns(["l_returnflag", "bp", "n", "sum_qty",
+                                 "rev_micro"])
+
+    agg = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_returnflag", "bp"], ["n", "sum_qty", "rev_micro"])
+    f = np.asarray(agg["l_returnflag"].to_pylist(), object).astype(str)
+    bp = agg["bp"].to_numpy(zero_copy_only=False)
+    sel = pa.array(np.lexsort((bp, f)))
+    return agg.take(sel)
