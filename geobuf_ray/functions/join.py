@@ -1303,6 +1303,15 @@ def broadcast_asof_join(left, right: pa.Table, on, *, left_time: str,
         rn = ~r_null[rord]
         rh_ok, rt_ok = rh_s[rn], rt_s[rn]
         rmap_ok = np.flatnonzero(rn)
+        if len(rh_ok) == 0:  # nothing can match (nearest would index
+            m = np.full(n, -1, np.int64)  # into the empty time array)
+            hit = np.flatnonzero(m >= 0)
+            lt_tbl = batch.take(pa.array(hit, pa.int64()))
+            cols = {nme: lt_tbl[nme] for nme in l_names}
+            for rn_ in r_names:
+                orn = rn_ + rsuffix if rn_ in l_names else rn_
+                cols[orn] = pa.nulls(0, right.schema.field(rn_).type)
+            return pa.table(cols)
         if direction in ("backward", "nearest"):
             mb = _match(lh, lt, rh_ok, rt_ok, flip=False)
         if direction in ("forward", "nearest"):

@@ -844,3 +844,25 @@ def test_broadcast_asof_nulls_and_duckdb(ray_session):
         "WHERE l.k IS NOT NULL AND l.t IS NOT NULL "
         "AND r.t IS NOT NULL ORDER BY lv").fetchdf()
     assert got["rv"].tolist() == exp["rv"].tolist()
+
+
+def test_broadcast_asof_empty_and_all_null_right(ray_session):
+    from geobuf_ray.functions.join import broadcast_asof_join
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "t": pa.array([5, 6], pa.int64())})
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "t": pa.array([], pa.int64()),
+                      "rv": pa.array([], pa.int64())})
+    for d in ("backward", "forward", "nearest"):
+        out = broadcast_asof_join(_ds(left, 2), empty, "k",
+                                  left_time="t", right_time="t",
+                                  direction=d)
+        assert out.count() == 0, d
+    allnull = pa.table({"k": pa.array([1], pa.int64()),
+                        "t": pa.array([None], pa.int64()),
+                        "rv": pa.array([9], pa.int64())})
+    out = broadcast_asof_join(_ds(left, 2), allnull, "k",
+                              left_time="t", right_time="t",
+                              direction="nearest")
+    assert out.count() == 0
