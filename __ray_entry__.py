@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bucket_skew": q.events_bucket_skew,
         "supplier_balance_pareto": q.supplier_balance_pareto,
         "lineitem_discount_profile": q.lineitem_discount_profile,
+        "lineitem_weighted_median": q.lineitem_weighted_median,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4723,6 +4724,27 @@ def oracle_sql() -> dict[str, str]:
                                         AS BIGINT))) AS BIGINT)
                        AS rev_micro
             FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, bp
+        """,
+        "lineitem_weighted_median": """
+            WITH v AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS c,
+                              CAST(round(l_quantity) AS BIGINT) AS q
+                       FROM lineitem),
+            d AS (SELECT l_returnflag, c,
+                         CAST(SUM(q) AS BIGINT) AS w
+                  FROM v GROUP BY l_returnflag, c),
+            cw AS (SELECT l_returnflag, c,
+                          SUM(w) OVER (PARTITION BY l_returnflag
+                                       ORDER BY c) AS cum,
+                          SUM(w) OVER (PARTITION BY l_returnflag)
+                              AS tot
+                   FROM d)
+            SELECT l_returnflag,
+                   CAST(MIN(c) AS BIGINT) AS wmedian,
+                   CAST(MAX(tot) AS BIGINT) AS total_w
+            FROM cw WHERE 2 * cum >= tot
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -1557,3 +1557,73 @@ def ks_statistic(ds, *, key: str = "key", value: str = "v",
                            zero_copy_batch=True, batch_size=None)
     return hash_exchange(parts, nbuckets=nbuckets, on=key,
                          reduce_fn=reduce_fn)
+
+
+def weighted_median(ds, keys: list[str], value: str, weight: str, *,
+                    nbuckets: int = 16):
+    """Exact per-group WEIGHTED median of an integer column: the
+    smallest value v with ``2·cumweight(v) >= total_weight`` (the
+    lower weighted median — deterministic, division-free).  Same
+    compressed-distribution exchange as the quantile family: blocks
+    collapse to (group, value, weight-sum) partials, the group's
+    distribution lands in one bucket, one lexsort + cumulative sum
+    finds the crossing.  Integer weights only (exactness)."""
+    from ..collect import collect_table
+    from .exchange import hash_exchange
+
+    key_list = list(keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        schema = pa.schema([(k, b.schema.field(k).type)
+                            for k in key_list]
+                           + [("v", pa.int64()), ("w", pa.int64())])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        v = b[value].to_numpy(zero_copy_only=False)
+        w = b[weight].to_numpy(zero_copy_only=False)
+        if not (np.issubdtype(v.dtype, np.integer)
+                and np.issubdtype(w.dtype, np.integer)):
+            raise TypeError("weighted_median: integer value/weight")
+        if (w < 0).any():
+            raise ValueError("weighted_median: negative weight")
+        t = pa.table({**{k: b[k] for k in key_list},
+                      "v": pa.array(v.astype(np.int64)),
+                      "w": pa.array(w.astype(np.int64))})
+        g = t.group_by(key_list + ["v"]).aggregate([("w", "sum")])
+        return g.rename_columns(key_list + ["v", "w"]).cast(schema)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(f.name, f.type) for f in t.schema
+                            if f.name in key_list]
+                           + [("wmedian", pa.int64()),
+                              ("total_w", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        kenc = None
+        # pack composite keys via dictionary encode of a struct-free
+        # concat: use pandas groupby for the driver-free in-bucket
+        # walk (a bucket's groups are bounded by the exchange)
+        df = t.to_pandas()
+        df = df.groupby(key_list + ["v"], as_index=False)["w"].sum()
+        df = df.sort_values(key_list + ["v"])
+        out = []
+        for kv, g in df.groupby(key_list, sort=True):
+            w = g["w"].to_numpy().astype(np.int64)
+            v = g["v"].to_numpy().astype(np.int64)
+            tot = int(w.sum())
+            cum = np.cumsum(w)
+            pos = int(np.searchsorted(2 * cum, tot, side="left"))
+            row = kv if isinstance(kv, tuple) else (kv,)
+            out.append(row + (int(v[pos]), tot))
+        cols = {}
+        for i, k in enumerate(key_list):
+            cols[k] = pa.array([r[i] for r in out],
+                               t.schema.field(k).type)
+        cols["wmedian"] = pa.array([r[-2] for r in out], pa.int64())
+        cols["total_w"] = pa.array([r[-1] for r in out], pa.int64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return hash_exchange(parts, nbuckets=nbuckets, on=key_list,
+                         reduce_fn=reduce_fn)

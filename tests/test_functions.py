@@ -1297,3 +1297,34 @@ def test_ks_statistic_scalar_and_invariance(ray_session):
         exp = int(np.abs(ca * len(xb) - cb * len(xa)).max())
         row = a[a.key == k].iloc[0]
         assert row.d_num == exp and row.n_a == len(xa)
+
+
+def test_weighted_median_scalar_reference(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.agg import weighted_median
+
+    rng = np.random.default_rng(19)
+    n = 4000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 4, n), pa.int64()),
+        "v": pa.array(rng.integers(-50, 50, n), pa.int64()),
+        "w": pa.array(rng.integers(0, 9, n), pa.int64())})
+    out = collect_table(weighted_median(
+        ray.data.from_arrow(tbl).repartition(7), ["k"], "v", "w",
+        nbuckets=4)).to_pandas().set_index("k")
+    df = tbl.to_pandas()
+    for k, g in df.groupby("k"):
+        g = g.sort_values("v")
+        tot = int(g.w.sum())
+        cum = g.w.cumsum()
+        med = int(g.v[2 * cum >= tot].iloc[0])
+        assert out.loc[k, "wmedian"] == med
+        assert out.loc[k, "total_w"] == tot
+    bad = pa.table({"k": pa.array([0], pa.int64()),
+                    "v": pa.array([1], pa.int64()),
+                    "w": pa.array([-1], pa.int64())})
+    with pytest.raises(Exception, match="negative weight"):
+        collect_table(weighted_median(ray.data.from_arrow(bad),
+                                      ["k"], "v", "w"))
