@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_pareto": q.supplier_balance_pareto,
         "lineitem_discount_profile": q.lineitem_discount_profile,
         "lineitem_weighted_median": q.lineitem_weighted_median,
+        "events_hourly_trend": q.events_hourly_trend,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4745,6 +4746,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(tot) AS BIGINT) AS total_w
             FROM cw WHERE 2 * cum >= tot
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_hourly_trend": """
+            WITH h AS (SELECT event_type,
+                              datediff('hour', TIMESTAMP '1970-01-01',
+                                       CAST(ts AS TIMESTAMP)) AS hour,
+                              CAST(COUNT(*) AS BIGINT) AS y
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT MIN(hour) AS base FROM h),
+            p AS (SELECT event_type,
+                         CAST(hour - base AS BIGINT) AS x, y
+                  FROM h, b),
+            s AS (SELECT event_type,
+                         CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS sx,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                         CAST(SUM(y * y) AS HUGEINT) AS syy
+                  FROM p GROUP BY event_type)
+            SELECT event_type,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                          * CAST(n*syy - sy*sy AS DOUBLE)) AS corr,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+            FROM s ORDER BY event_type
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -13653,3 +13653,47 @@ def lineitem_weighted_median(sf_dir: str):
         ["l_returnflag"], "cents", "qty", nbuckets=8))
     f = np.asarray(out["l_returnflag"].to_pylist(), object).astype(str)
     return out.take(pa.array(np.argsort(f)))
+
+
+def events_hourly_trend(sf_dir: str):
+    """Per-type activity TREND: the least-squares slope of hourly
+    event counts against the hour axis (functions/agg.corr_agg with
+    slope output — exact integer moment sums, one arbitrary-precision
+    final evaluation), the is-this-growing statistic behind alerting
+    dashboards.  The hourly series is built by one counting pass; the
+    regression runs over (hour-index, count) pairs per type.
+    Hash-checked vs a HUGEINT regr twin evaluating the identical
+    final expression."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.agg import corr_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "hour": pa.array(h),
+                      "n": pa.array(np.ones(len(h), np.int64))})
+        g = t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    hourly = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], ["n"])
+    h = hourly["hour"].to_numpy(zero_copy_only=False).astype(np.int64)
+    base = int(h.min())
+    series = pa.table({"event_type": hourly["event_type"],
+                       "x": pa.array(h - base),
+                       "y": hourly["n"]})
+    out = collect_table(corr_agg(
+        ray.data.from_arrow(series), ["event_type"], "x", "y",
+        nbuckets=4, slope_col="slope"))
+    f = np.asarray(out["event_type"].to_pylist(), object).astype(str)
+    out = out.take(pa.array(np.argsort(f)))
+    keep = [c for c in out.column_names
+            if c in ("event_type", "corr", "slope")]
+    return out.select(keep)
