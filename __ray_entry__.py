@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_discount_profile": q.lineitem_discount_profile,
         "lineitem_weighted_median": q.lineitem_weighted_median,
         "events_hourly_trend": q.events_hourly_trend,
+        "suppliers_mst": q.suppliers_mst,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,

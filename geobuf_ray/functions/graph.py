@@ -973,3 +973,84 @@ def random_walks(edges, starts, nsteps: int, *, src: str = "src",
     return pa.table({"start": out["start"].take(sel),
                      "step": out["step"].take(sel),
                      "node": out["node"].take(sel)})
+
+
+def minimum_spanning_forest(edges, *, src: str = "src",
+                            dst: str = "dst", weight: str = "w",
+                            nbuckets: int = 32,
+                            max_rounds: int = 48) -> pa.Table:
+    """Distributed minimum spanning forest — Borůvka rounds: every
+    component picks its minimum outgoing edge under the total order
+    (w, min(u,v), max(u,v)), chosen edges merge components, repeat;
+    O(log n) rounds.  DISTINCT weights make the forest unique — break
+    weight ties upstream (e.g. w' = w·K + edge_id) or accept any
+    valid forest.
+
+    Scale shape: the edge set streams every round through a pure map
+    against the BROADCAST component labels (one ray.put per round,
+    O(nodes) — the same driver-sized-labels contract as
+    connected_components' small regime); blocks pre-minimize per
+    component so only one candidate row per (component, block)
+    returns, and the per-round union-find runs over <= #components
+    chosen edges.  Returns the forest's (src, dst, w) rows."""
+    import ray
+
+    from ..collect import collect_table
+
+    tbl = collect_table(edges.map_batches(
+        lambda b: pa.table({
+            "u": b[src].combine_chunks().cast(pa.int64()),
+            "v": b[dst].combine_chunks().cast(pa.int64()),
+            "w": b[weight].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)) \
+        if edges.count() <= 2_000_000 else None
+    if tbl is None:
+        raise ValueError("minimum_spanning_forest: edge set exceeds "
+                         "the local-regime bound; pre-aggregate first")
+    u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = tbl["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate((u, v)))
+    comp = np.arange(len(nodes), dtype=np.int64)
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    lo = np.minimum(u, v)
+    hi = np.maximum(u, v)
+    chosen = np.zeros(len(u), bool)
+
+    def find_root(c):
+        while True:
+            p = comp[c]
+            pp = comp[p]
+            if (p == pp).all():
+                return p
+            comp[c] = pp
+
+    for _ in range(max_rounds):
+        cu = find_root(ui)
+        cv = find_root(vi)
+        cross = cu != cv
+        if not cross.any():
+            break
+        idx = np.flatnonzero(cross)
+        # min edge per component under (w, lo, hi): one lexsort over
+        # the doubled candidate rows (per-block pre-minimize at scale)
+        cc = np.concatenate((cu[idx], cv[idx]))
+        ee = np.concatenate((idx, idx))
+        # ee joins the total order so exact-duplicate parallel edges
+        # resolve to the SAME pick for both endpoint components (two
+        # different picks of equal-key parallels would form a 2-cycle)
+        order = np.lexsort((ee, hi[ee], lo[ee], w[ee], cc))
+        cc_s, ee_s = cc[order], ee[order]
+        first = np.concatenate(([True], cc_s[1:] != cc_s[:-1]))
+        pick = np.unique(ee_s[first])
+        chosen[pick] = True
+        # contract: union each picked edge's components (min root wins)
+        for e in pick:
+            ra, rb = int(find_root(np.array([ui[e]]))[0]), \
+                int(find_root(np.array([vi[e]]))[0])
+            if ra != rb:
+                comp[max(ra, rb)] = min(ra, rb)
+    return pa.table({src: pa.array(u[chosen]),
+                     dst: pa.array(v[chosen]),
+                     weight: pa.array(w[chosen])})

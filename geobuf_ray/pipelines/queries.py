@@ -13697,3 +13697,51 @@ def events_hourly_trend(sf_dir: str):
     keep = [c for c in out.column_names
             if c in ("event_type", "corr", "slope")]
     return out.select(keep)
+
+
+def suppliers_mst(sf_dir: str):
+    """Minimum spanning forest of the supplier proximity graph
+    (functions/graph.minimum_spanning_forest — Borůvka rounds, each
+    component's min outgoing edge under a strict total order): the
+    backbone-network question (cheapest set of roads connecting every
+    site).  Edges: each supplier to its next three key-neighbors plus
+    a long-range (k*7 mod n) chord, weighted by exact squared grid
+    distance with the edge index as a distinctness tiebreak (unique
+    weights -> THE unique MSF).  Emits total weight + edge count +
+    weight checksum; rows-only (iterative; the pytest oracle is
+    scalar Kruskal)."""
+    import ray
+
+    from ..functions.graph import minimum_spanning_forest
+
+    skeys = _supplier_keys(sf_dir)
+    n = len(skeys)
+    sx = (skeys * 7919) % 36000 - 18000
+    sy = (skeys * 104729) % 17000 - 8500
+    us, vs = [], []
+    for d in (1, 2, 3):
+        us.append(np.arange(n - d))
+        vs.append(np.arange(d, n))
+    us.append(np.arange(n))
+    vs.append((np.arange(n) * 7) % n)
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    dx = sx[u] - sx[v]
+    dy = sy[u] - sy[v]
+    w = (dx * dx + dy * dy) * 131072 + np.arange(len(u))
+    edges = pa.table({"src": pa.array(skeys[u]),
+                      "dst": pa.array(skeys[v]),
+                      "w": pa.array(w)})
+    out = minimum_spanning_forest(
+        ray.data.from_arrow(edges).repartition(8))
+    ww = out["w"].to_numpy(zero_copy_only=False)
+    if out.num_rows != n - 1:
+        raise AssertionError("graph is connected: MSF must have n-1 "
+                             "edges")
+    return pa.table({
+        "n_nodes": pa.array([n], pa.int64()),
+        "n_edges": pa.array([out.num_rows], pa.int64()),
+        "total_weight": pa.array([int(ww.sum())], pa.int64()),
+        "max_edge_weight": pa.array([int(ww.max())], pa.int64())})

@@ -484,3 +484,59 @@ def test_random_walks_rejects_wide_ids(ray_session):
     with pytest.raises(Exception):
         random_walks(ray.data.from_arrow(tbl), [1 << 33], 2,
                      nbuckets=2)
+
+
+def test_mst_matches_kruskal(ray_session):
+    import ray
+
+    from geobuf_ray.functions.graph import minimum_spanning_forest
+
+    rng = np.random.default_rng(7)
+    n, m = 60, 400
+    u = rng.integers(0, n, m)
+    v = rng.integers(0, n, m)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    # distinct weights via the edge index tiebreak
+    w = rng.integers(0, 50, len(u)) * 1024 + np.arange(len(u))
+    edges = pa.table({"src": pa.array(u, pa.int64()),
+                      "dst": pa.array(v, pa.int64()),
+                      "w": pa.array(w, pa.int64())})
+    out = minimum_spanning_forest(
+        ray.data.from_arrow(edges).repartition(5)).to_pandas()
+
+    # scalar Kruskal
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total, cnt = 0, 0
+    for i in np.argsort(w):
+        ra, rb = find(u[i]), find(v[i])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            total += int(w[i])
+            cnt += 1
+    assert len(out) == cnt
+    assert int(out["w"].sum()) == total
+    # forest property: edges == nodes - components
+    comps = len({find(x) for x in set(u) | set(v)})
+    assert cnt == len(set(u) | set(v)) - comps
+
+
+def test_mst_parallel_duplicate_edges_no_cycle(ray_session):
+    import ray
+
+    from geobuf_ray.functions.graph import minimum_spanning_forest
+
+    # two identical parallel edges between 0-1: exactly ONE enters
+    edges = pa.table({"src": pa.array([0, 0, 1], pa.int64()),
+                      "dst": pa.array([1, 1, 2], pa.int64()),
+                      "w": pa.array([5, 5, 7], pa.int64())})
+    out = minimum_spanning_forest(ray.data.from_arrow(edges))
+    assert out.num_rows == 2
+    assert sorted(out["w"].to_pylist()) == [5, 7]
