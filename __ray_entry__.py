@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median": q.lineitem_weighted_median,
         "events_hourly_trend": q.events_hourly_trend,
         "suppliers_mst": q.suppliers_mst,
+        "suppliers_temporal_reach": q.suppliers_temporal_reach,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4773,6 +4774,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n*sxy - sx*sy AS DOUBLE)
                    / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
             FROM s ORDER BY event_type
+        """,
+        "suppliers_temporal_reach": """
+            WITH RECURSIVE
+            nn AS (SELECT COUNT(*) AS n FROM supplier),
+            e AS (SELECT s_suppkey AS u,
+                         (s_suppkey % n) + 1 AS v
+                  FROM supplier, nn
+                  UNION ALL
+                  SELECT s_suppkey, ((s_suppkey * 3) % n) + 1
+                  FROM supplier, nn),
+            ed AS (SELECT u, v, (u * 13 + v * 7) % 240 AS t
+                   FROM e WHERE u <> v),
+            r(node, arr) AS (
+                SELECT 1, 0
+                UNION
+                SELECT ed.v, MIN(ed.t)
+                FROM r JOIN ed ON ed.u = r.node AND ed.t >= r.arr
+                GROUP BY ed.v
+            )
+            SELECT node, CAST(MIN(arr) AS BIGINT) AS arrival
+            FROM r GROUP BY node ORDER BY node
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

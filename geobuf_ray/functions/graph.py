@@ -1054,3 +1054,103 @@ def minimum_spanning_forest(edges, *, src: str = "src",
     return pa.table({src: pa.array(u[chosen]),
                      dst: pa.array(v[chosen]),
                      weight: pa.array(w[chosen])})
+
+
+def temporal_reachability(edges, sources, *, src: str = "src",
+                          dst: str = "dst", time: str = "t",
+                          directed: bool = True, nbuckets: int = 32,
+                          max_rounds: int = 64) -> pa.Table:
+    """Time-respecting reachability — FOREMOST arrival times over a
+    temporal graph: a path is valid only if edge timestamps are
+    non-decreasing along it, so ``arrival[v] = min t of an edge
+    (u, v, t) with t >= arrival[u]`` (sources arrive at 0).  The static
+    shortest path is a LOWER bound; temporal reachability can differ
+    wildly (an early edge that departs before you arrive is useless —
+    the property plain BFS/SSSP cannot express).
+
+    Same frontier shape as :func:`weighted_sssp`: pre-split edges
+    shipped once, each round only improved arrivals probe their edge
+    buckets, candidates pre-minimize per block, arrivals merge by
+    min.  Exact int64 times; hash-matches a recursive-CTE GROUP BY
+    MIN twin."""
+    import ray
+
+    from ..collect import collect_table
+    from .exchange import cogroup_presplit, hash_cogroup, presplit
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch[src].combine_chunks().cast(_I64)
+        v = batch[dst].combine_chunks().cast(_I64)
+        t = batch[time].combine_chunks().cast(_I64)
+        tn = t.to_numpy(zero_copy_only=False)
+        if len(tn) and tn.min() < 0:
+            raise ValueError("temporal_reachability: negative time")
+        if directed:
+            return pa.table({"a": u, "b": v, "w": t})
+        return pa.table({"a": pa.concat_arrays([u, v]),
+                         "b": pa.concat_arrays([v, u]),
+                         "w": pa.concat_arrays([t, t])})
+
+    sedges = edges.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    edge_maps = presplit(sedges, nbuckets=nbuckets, on="a")
+    srcs = np.unique(np.asarray(sources, dtype=np.int64))
+    init = pa.table({"node": pa.array(srcs),
+                     "label": pa.array(np.zeros(len(srcs), np.int64))})
+    arrival = ray.data.from_arrow(init).materialize()
+    frontier = arrival
+
+    def merge_min(new: pa.Table, cur: pa.Table) -> pa.Table:
+        node = np.concatenate([_np(new["node"]), _np(cur["node"])])
+        lab = np.concatenate([_np(new["label"]), _np(cur["label"])])
+        return _first_per_node(node, lab)
+
+    def improved_only(new: pa.Table, old: pa.Table) -> pa.Table:
+        nn, nl = _np(new["node"]), _np(new["label"])
+        on, ol = _np(old["node"]), _np(old["label"])
+        order = np.argsort(on)
+        on, ol = on[order], ol[order]
+        if len(on):
+            pos = np.clip(np.searchsorted(on, nn), 0, len(on) - 1)
+            hit = on[pos] == nn
+            keep = ~hit | (nl < np.where(hit, ol[pos], 0))
+        else:
+            keep = np.ones(len(nn), bool)
+        return _first_per_node(nn[keep], nl[keep])
+
+    for _ in range(max_rounds):
+        def relax(e: pa.Table, f: pa.Table) -> pa.Table:
+            a, b, t = _np(e["a"]), _np(e["b"]), _np(e["w"])
+            node = _np(f["node"])
+            lab = _np(f["label"])
+            order = np.argsort(node)
+            node, lab = node[order], lab[order]
+            if not len(node):
+                return pa.table({"node": pa.array([], _I64),
+                                 "label": pa.array([], _I64)})
+            pos = np.clip(np.searchsorted(node, a), 0, len(node) - 1)
+            hit = node[pos] == a
+            # time-respecting: only edges departing at or after the
+            # tail's arrival carry
+            ok = hit & (t >= np.where(hit, lab[pos], 0))
+            return _first_per_node(b[ok], t[ok])
+
+        cand = cogroup_presplit(edge_maps, frontier, nbuckets=nbuckets,
+                                right_on="node", reduce_fn=relax,
+                                left_schema=_WEDGE_SCHEMA,
+                                right_schema=_LAB_SCHEMA)
+        frontier = hash_cogroup(cand, arrival, nbuckets=nbuckets,
+                                left_on="node", right_on="node",
+                                reduce_fn=improved_only,
+                                left_schema=_LAB_SCHEMA,
+                                right_schema=_LAB_SCHEMA).materialize()
+        if frontier.count() == 0:
+            break
+        arrival = hash_cogroup(frontier, arrival, nbuckets=nbuckets,
+                               left_on="node", right_on="node",
+                               reduce_fn=merge_min,
+                               left_schema=_LAB_SCHEMA,
+                               right_schema=_LAB_SCHEMA).materialize()
+
+    out = collect_table(arrival)
+    return out.rename_columns(["node", "arrival"])

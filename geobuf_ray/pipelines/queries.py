@@ -13745,3 +13745,35 @@ def suppliers_mst(sf_dir: str):
         "n_edges": pa.array([out.num_rows], pa.int64()),
         "total_weight": pa.array([int(ww.sum())], pa.int64()),
         "max_edge_weight": pa.array([int(ww.max())], pa.int64())})
+
+
+def suppliers_temporal_reach(sf_dir: str):
+    """Time-respecting reachability (functions/graph.
+    temporal_reachability — foremost arrival times): over a DIRECTED
+    temporal supplier graph (ring + chord edges with deterministic
+    departure times), the earliest arrival at every node from supplier
+    1 where a path is valid only if timestamps never decrease — the
+    temporal property plain BFS/SSSP cannot express (an early edge
+    that departs before you arrive is useless).  Frontier rounds over
+    pre-split edges; hash-checked vs a recursive-CTE GROUP BY MIN
+    twin."""
+    import ray
+
+    from ..functions.graph import temporal_reachability
+
+    skeys = _supplier_keys(sf_dir)
+    n = len(skeys)
+    k = skeys
+    v1 = (k % n) + 1          # ring successor over the key domain
+    v2 = ((k * 3) % n) + 1    # chord
+    u = np.concatenate((k, k))
+    v = np.concatenate((v1, v2))
+    t = (u * 13 + v * 7) % 240
+    keep = u != v
+    edges = pa.table({"src": pa.array(u[keep]),
+                      "dst": pa.array(v[keep]),
+                      "t": pa.array(t[keep])})
+    out = temporal_reachability(
+        ray.data.from_arrow(edges).repartition(8), [1], nbuckets=16)
+    node = out["node"].to_numpy(zero_copy_only=False)
+    return out.take(pa.array(np.argsort(node)))

@@ -540,3 +540,40 @@ def test_mst_parallel_duplicate_edges_no_cycle(ray_session):
     out = minimum_spanning_forest(ray.data.from_arrow(edges))
     assert out.num_rows == 2
     assert sorted(out["w"].to_pylist()) == [5, 7]
+
+
+def test_temporal_reachability_scalar_and_strictness(ray_session):
+    import ray
+
+    from geobuf_ray.functions.graph import (bfs_hops,
+                                            temporal_reachability)
+
+    rng = np.random.default_rng(3)
+    m = 300
+    u = rng.integers(0, 40, m)
+    v = rng.integers(0, 40, m)
+    t = rng.integers(0, 50, m)
+    keep = u != v
+    u, v, t = u[keep], v[keep], t[keep]
+    edges = pa.table({"src": pa.array(u, pa.int64()),
+                      "dst": pa.array(v, pa.int64()),
+                      "t": pa.array(t, pa.int64())})
+    out = temporal_reachability(
+        ray.data.from_arrow(edges).repartition(4), [0],
+        nbuckets=8).to_pandas().set_index("node")["arrival"].to_dict()
+
+    # scalar fixpoint
+    arr = {0: 0}
+    changed = True
+    while changed:
+        changed = False
+        for uu, vv, tt in zip(u, v, t):
+            if uu in arr and tt >= arr[uu] and tt < arr.get(vv, 1 << 60):
+                arr[vv] = int(tt)
+                changed = True
+    assert out == arr
+
+    # the temporal constraint genuinely prunes vs static reachability
+    static = bfs_hops(ray.data.from_arrow(edges), [0], directed=True,
+                      nbuckets=8)
+    assert static.num_rows >= len(out)
