@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_trend": q.events_hourly_trend,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
+        "events_time_to_convert": q.events_time_to_convert,
+        "customers_flow_octants": q.customers_flow_octants,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4795,6 +4797,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(MIN(arr) AS BIGINT) AS arrival
             FROM r GROUP BY node ORDER BY node
+        """,
+        "events_time_to_convert": """
+            WITH fv AS (SELECT user_id,
+                               MIN(epoch_us(ts)) AS first_view
+                        FROM events WHERE event_type = 'view'
+                        GROUP BY user_id),
+            fp AS (SELECT e.user_id,
+                          MIN(epoch_us(e.ts)) AS first_purchase
+                   FROM events e JOIN fv ON fv.user_id = e.user_id
+                   WHERE e.event_type = 'purchase'
+                     AND epoch_us(e.ts) >= fv.first_view
+                   GROUP BY e.user_id),
+            g AS (SELECT (fp.first_purchase - fv.first_view)
+                         // 1000000 AS gap_s
+                  FROM fv JOIN fp USING (user_id)),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+            r AS (SELECT gap_s, ROW_NUMBER() OVER (ORDER BY gap_s)
+                      AS rn FROM g)
+            SELECT q, CAST(gap_seconds AS BIGINT) AS gap_seconds,
+                   n.n AS n_converters
+            FROM (
+              SELECT 25 AS q, (SELECT gap_s FROM r, n WHERE rn =
+                  GREATEST(CAST(ceil(1 * n / 4.0) AS BIGINT), 1))
+                  AS gap_seconds
+              UNION ALL
+              SELECT 50, (SELECT gap_s FROM r, n WHERE rn =
+                  GREATEST(CAST(ceil(1 * n / 2.0) AS BIGINT), 1))
+              UNION ALL
+              SELECT 75, (SELECT gap_s FROM r, n WHERE rn =
+                  GREATEST(CAST(ceil(3 * n / 4.0) AS BIGINT), 1))
+            ), n ORDER BY q
+        """,
+        "customers_flow_octants": """
+            WITH c AS (SELECT c_custkey,
+                              (c_custkey * 7919) % 36000 - 18000 AS x,
+                              (c_custkey * 104729) % 17000 - 8500 AS y
+                       FROM customer),
+            s AS (SELECT s_suppkey,
+                         (s_suppkey * 7919) % 36000 - 18000 AS fx,
+                         (s_suppkey * 104729) % 17000 - 8500 AS fy
+                  FROM supplier),
+            nearest AS (SELECT * FROM (
+                SELECT c.c_custkey, s.fx - c.x AS dx, s.fy - c.y AS dy,
+                       ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                           ORDER BY (c.x - s.fx) * (c.x - s.fx)
+                                  + (c.y - s.fy) * (c.y - s.fy),
+                                    s.s_suppkey) AS rk
+                FROM c, s) WHERE rk = 1),
+            o AS (SELECT CASE
+                    WHEN dx >= 0 AND dy >= 0 THEN
+                         CASE WHEN abs(dx) >= abs(dy) THEN 0 ELSE 1 END
+                    WHEN dx < 0 AND dy >= 0 THEN
+                         CASE WHEN abs(dy) > abs(dx) THEN 2 ELSE 3 END
+                    WHEN dx < 0 AND dy < 0 THEN
+                         CASE WHEN abs(dx) >= abs(dy) THEN 4 ELSE 5 END
+                    ELSE CASE WHEN abs(dy) > abs(dx) THEN 6 ELSE 7 END
+                  END AS octant,
+                  dx * dx + dy * dy AS d2
+                  FROM nearest),
+            g AS (SELECT i.range AS octant FROM range(0, 8) i)
+            SELECT g.octant,
+                   CAST(COALESCE(COUNT(o.octant), 0) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(o.d2), 0) AS BIGINT) AS d2_mass
+            FROM g LEFT JOIN o ON o.octant = g.octant
+            GROUP BY g.octant ORDER BY g.octant
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

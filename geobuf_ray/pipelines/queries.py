@@ -13777,3 +13777,139 @@ def suppliers_temporal_reach(sf_dir: str):
         ray.data.from_arrow(edges).repartition(8), [1], nbuckets=16)
     node = out["node"].to_numpy(zero_copy_only=False)
     return out.take(pa.array(np.argsort(node)))
+
+
+def events_time_to_convert(sf_dir: str):
+    """Time-to-convert distribution: per user the gap from FIRST view
+    to FIRST subsequent purchase (users whose first purchase precedes
+    any view don't convert by this funnel), exact PERCENTILE_DISC
+    quartiles of the gap seconds via the compressed-distribution
+    exchange — the product metric behind activation dashboards.
+    Hash-checked vs a window twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.agg import group_quantile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].combine_chunks()
+        keep = pc.is_in(et, value_set=pa.array(["view", "purchase"]))
+        t = b.filter(keep)
+        us = t["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        isv = pc.equal(t["event_type"].combine_chunks(), "view") \
+            .to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        big = np.int64(1) << 62
+        fv = np.full(len(uu), big)
+        np.minimum.at(fv, inv[isv], us[isv])
+        return pa.table({"user_id": pa.array(uu),
+                         "first_view": pa.array(fv),
+                         "vn": pa.array(np.ones(len(uu), np.int64))})
+
+    # two-pass: first-view per user (partial mins), then the first
+    # purchase AT OR AFTER it (a per-user asof-style min)
+    fv = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)) \
+        .to_pandas().groupby("user_id")["first_view"].min()
+    import ray as _ray
+
+    fv_ref = _ray.put((fv.index.to_numpy().astype(np.int64),
+                       fv.to_numpy().astype(np.int64)))
+
+    def gap_partial(b: pa.Table) -> pa.Table:
+        uu, fvv = _ray.get(fv_ref)
+        et = b["event_type"].combine_chunks()
+        t = b.filter(pc.equal(et, "purchase"))
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "first_purchase": pa.array([], pa.int64())})
+        us = t["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.clip(np.searchsorted(uu, u), 0, len(uu) - 1)
+        ok = (uu[pos] == u) & (us >= fvv[pos]) \
+            & (fvv[pos] < (np.int64(1) << 62))
+        gu, ginv = np.unique(u[ok], return_inverse=True)
+        big = np.int64(1) << 62
+        fp = np.full(len(gu), big)
+        np.minimum.at(fp, ginv, us[ok])
+        return pa.table({"user_id": pa.array(gu),
+                         "first_purchase": pa.array(fp)})
+
+    fp = collect_table(ds.map_batches(
+        gap_partial, batch_format="pyarrow", zero_copy_batch=True)) \
+        .to_pandas().groupby("user_id")["first_purchase"].min()
+    both = fv.to_frame().join(fp.to_frame(), how="inner")
+    gap_s = ((both["first_purchase"] - both["first_view"])
+             // 1_000_000).astype(np.int64)
+    gaps = np.sort(gap_s.to_numpy())
+    n = len(gaps)
+    out = []
+    for num, den in ((1, 4), (1, 2), (3, 4)):
+        rank = max(-(-num * n // den), 1)
+        out.append(int(gaps[rank - 1]))
+    return pa.table({"q": pa.array([25, 50, 75], pa.int64()),
+                     "gap_seconds": pa.array(out, pa.int64()),
+                     "n_converters": pa.array([n] * 3, pa.int64())})
+
+
+def customers_flow_octants(sf_dir: str):
+    """Compass-rose flow aggregation WITHOUT trigonometry: each
+    customer→nearest-supplier displacement classifies into one of 8
+    octants by pure integer sign and |dx| vs |dy| comparisons (the
+    45° boundaries need no atan2 — the half-plane tests ARE the
+    classification, so both engines agree bit-for-bit where a float
+    angle would wobble on the boundaries; ties pinned).  One
+    distributed pass: facilities broadcast once, per-batch exact
+    squared-distance argmin (the discrete-Voronoi kernel) feeds the
+    octant bincount partials.  Hash-checked vs a CASE twin."""
+    import ray
+
+    skeys = _supplier_keys(sf_dir)
+    sx = (skeys * 7919) % 36000 - 18000
+    sy = (skeys * 104729) % 17000 - 8500
+    fac = ray.put((skeys, sx, sy))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk, fx, fy = ray.get(fac)
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = (k * 7919) % 36000 - 18000
+        y = (k * 104729) % 17000 - 8500
+        ddx = x[:, None] - fx[None, :]
+        ddy = y[:, None] - fy[None, :]
+        d2m = ddx * ddx + ddy * ddy
+        j = np.argmin(d2m, axis=1)  # first min == lowest suppkey
+        dx = fx[j] - x
+        dy = fy[j] - y
+        ax = np.abs(dx)
+        ay = np.abs(dy)
+        oct_ = np.where(
+            (dx >= 0) & (dy >= 0), np.where(ax >= ay, 0, 1),
+            np.where((dx < 0) & (dy >= 0), np.where(ay > ax, 2, 3),
+                     np.where((dx < 0) & (dy < 0),
+                              np.where(ax >= ay, 4, 5),
+                              np.where(ay > ax, 6, 7)))).astype(np.int64)
+        d2 = dx * dx + dy * dy
+        return pa.table({
+            "octant": pa.array(np.arange(8, dtype=np.int64)),
+            "n": pa.array(np.bincount(oct_, minlength=8)
+                          .astype(np.int64)),
+            "d2_mass": pa.array(np.bincount(
+                oct_, weights=d2.astype(np.float64),
+                minlength=8).astype(np.int64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+    agg = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["octant"], ["n", "d2_mass"])
+    return agg.sort_by([("octant", "ascending")])
