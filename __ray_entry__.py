@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
         "events_time_to_convert": q.events_time_to_convert,
         "customers_flow_octants": q.customers_flow_octants,
+        "rects_density_probe": q.rects_density_probe,
         "images_caption_quality": q.images_caption_quality,
         "events_stay_points": q.events_stay_points,
         "tpch_q22": q.tpch_q22,
@@ -4862,6 +4863,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(o.d2), 0) AS BIGINT) AS d2_mass
             FROM g LEFT JOIN o ON o.octant = g.octant
             GROUP BY g.octant ORDER BY g.octant
+        """,
+        "rects_density_probe": """
+            WITH s AS (
+              SELECT (s_suppkey*37) % 248 AS a, (s_suppkey*53) % 248 AS b,
+                     s_suppkey % 3 + 1 AS sx, (s_suppkey*7) % 3 + 1 AS sy
+              FROM supplier),
+            p AS (
+              SELECT DISTINCT a + i.range AS gx, b + j.range AS gy
+              FROM s, range(0, 4) i, range(0, 4) j
+              WHERE i.range <= sx AND j.range <= sy),
+            dens AS (
+              SELECT p.gx + i.range - 2 AS gx, p.gy + j.range - 2 AS gy,
+                     CAST(COUNT(*) AS BIGINT) AS d
+              FROM p, range(0, 5) i, range(0, 5) j
+              WHERE p.gx + i.range - 2 BETWEEN 0 AND 255
+                AND p.gy + j.range - 2 BETWEEN 0 AND 255
+              GROUP BY 1, 2),
+            pr AS (SELECT i.range AS probe,
+                          (i.range * 1013) % (4 * 255) AS x4,
+                          (i.range * 2027) % (4 * 255) AS y4
+                   FROM range(0, 64) i),
+            q AS (SELECT probe, x4, y4,
+                         x4 // 4 AS x0, y4 // 4 AS y0,
+                         x4 % 4 AS fx, y4 % 4 AS fy
+                  FROM pr)
+            SELECT probe, x4, y4,
+                   CAST((4 - fx) * (4 - fy) * COALESCE(d00.d, 0)
+                      + fx * (4 - fy) * COALESCE(d10.d, 0)
+                      + (4 - fx) * fy * COALESCE(d01.d, 0)
+                      + fx * fy * COALESCE(d11.d, 0) AS BIGINT)
+                       AS num16
+            FROM q
+            LEFT JOIN dens d00 ON d00.gx = q.x0 AND d00.gy = q.y0
+            LEFT JOIN dens d10 ON d10.gx = q.x0 + 1 AND d10.gy = q.y0
+            LEFT JOIN dens d01 ON d01.gx = q.x0 AND d01.gy = q.y0 + 1
+            LEFT JOIN dens d11 ON d11.gx = q.x0 + 1
+                              AND d11.gy = q.y0 + 1
+            ORDER BY probe
         """,
         "lineitem_qty_power_sums": """
             WITH v AS (SELECT l_returnflag,

@@ -13913,3 +13913,78 @@ def customers_flow_octants(sf_dir: str):
                        zero_copy_batch=True),
         ["octant"], ["n", "d2_mass"])
     return agg.sort_by([("octant", "ascending")])
+
+
+def rects_density_probe(sf_dir: str, nprobe: int = 64):
+    """Raster→point sampling: EXACT bilinear interpolation of the
+    box-density field at probe points held in quarter-cell integer
+    coordinates — the weights are the two low bits (f/4), so the
+    interpolated value is a pure integer numerator over the fixed
+    denominator 16 and both engines agree bit-for-bit (no float
+    sample positions anywhere).  The density field streams; each
+    block emits only the probe contributions of cells it holds
+    (absent cells contribute zero — a probe's four corners may live
+    in different blocks and their partials sum).  Hash-checked vs a
+    four-way LEFT JOIN twin over the fan-and-count density CTE."""
+    import ray
+
+    from ..spatial.polygonize import union_tile_masks
+    from ..spatial.raster import box_density, rasterize_polygons
+
+    N = 256
+    polys = ray.data.from_arrow(_dyadic_rects(sf_dir))
+    raster = rasterize_polygons(polys, ntiles=32, px=8, id_col="id")
+    occ = union_tile_masks(raster, px=8, nbuckets=16)
+    dens = box_density(occ, ntiles=32, px=8, radius=2, nbuckets=16)
+
+    pid = np.arange(nprobe, dtype=np.int64)
+    px4 = (pid * 1013) % (4 * (N - 1))
+    py4 = (pid * 2027) % (4 * (N - 1))
+    x0 = px4 // 4
+    y0 = py4 // 4
+    fx = px4 % 4
+    fy = py4 % 4
+    # the four corner cells + their integer weights (den = 16)
+    corners = []
+    for dxx, dyy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        wgt = ((4 - fx) if dxx == 0 else fx) \
+            * ((4 - fy) if dyy == 0 else fy)
+        corners.append((x0 + dxx, y0 + dyy, wgt))
+    cell_ids = np.concatenate([cx * N + cy for cx, cy, _ in corners])
+    weights = np.concatenate([w for _, _, w in corners])
+    probe_of = np.tile(pid, 4)
+    order = np.argsort(cell_ids, kind="stable")
+    cell_s, w_s, p_s = cell_ids[order], weights[order], probe_of[order]
+    ref = ray.put((cell_s, w_s, p_s))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cs, ws, ps = ray.get(ref)
+        gx = b["gx"].to_numpy(zero_copy_only=False)
+        gy = b["gy"].to_numpy(zero_copy_only=False)
+        d = b["density"].to_numpy(zero_copy_only=False)
+        packed = gx * N + gy
+        lo = np.searchsorted(cs, packed, side="left")
+        hi = np.searchsorted(cs, packed, side="right")
+        counts = hi - lo
+        rows = np.repeat(np.arange(len(packed)), counts)
+        from ..codec.varint import ramp
+
+        pos = np.repeat(lo, counts) + ramp(counts)
+        contrib = d[rows] * ws[pos]
+        pr = ps[pos]
+        return pa.table({
+            "probe": pa.array(pid),
+            "num16": pa.array(np.bincount(
+                pr, weights=contrib.astype(np.float64),
+                minlength=nprobe).astype(np.int64))})
+
+    agg = _final_combine(
+        dens.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["probe"], ["num16"])
+    out = np.zeros(nprobe, np.int64)
+    out[agg["probe"].to_numpy(zero_copy_only=False)] = \
+        agg["num16"].to_numpy(zero_copy_only=False)
+    return pa.table({"probe": pa.array(pid),
+                     "x4": pa.array(px4), "y4": pa.array(py4),
+                     "num16": pa.array(out)})
