@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_discount_profile": q.lineitem_discount_profile,
         "lineitem_weighted_median": q.lineitem_weighted_median,
         "events_hourly_trend": q.events_hourly_trend,
+        "events_mann_kendall": q.events_mann_kendall,
+        "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
         "events_time_to_convert": q.events_time_to_convert,
@@ -4777,6 +4779,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n*sxy - sx*sy AS DOUBLE)
                    / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
             FROM s ORDER BY event_type
+        """,
+        "events_mann_kendall": """
+            WITH h AS (SELECT event_type,
+                              datediff('hour', TIMESTAMP '1970-01-01',
+                                       CAST(ts AS TIMESTAMP)) AS hour,
+                              CAST(COUNT(*) AS BIGINT) AS y
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT a.event_type,
+                         CAST(SUM(SIGN(b.y - a.y)) AS BIGINT) AS s
+                  FROM h a JOIN h b
+                    ON a.event_type = b.event_type
+                   AND a.hour < b.hour
+                  GROUP BY a.event_type),
+            ties AS (SELECT event_type, y, COUNT(*) AS c
+                     FROM h GROUP BY 1, 2),
+            v AS (SELECT event_type,
+                         CAST(SUM(c) AS BIGINT) AS n,
+                         CAST(SUM(c * (c - 1) * (2 * c + 5))
+                              AS BIGINT) AS tie_term
+                  FROM ties GROUP BY event_type)
+            SELECT v.event_type, COALESCE(s.s, 0) AS s,
+                   n * (n - 1) * (2 * n + 5) - tie_term AS var18,
+                   n
+            FROM v LEFT JOIN s USING (event_type)
+            ORDER BY event_type
+        """,
+        "events_theil_sen": """
+            WITH h AS (SELECT event_type,
+                              datediff('hour', TIMESTAMP '1970-01-01',
+                                       CAST(ts AS TIMESTAMP)) AS hour,
+                              CAST(COUNT(*) AS BIGINT) AS y
+                       FROM events GROUP BY 1, 2),
+            p AS (SELECT a.event_type,
+                         b.y - a.y AS dy, b.hour - a.hour AS dx,
+                         CAST(b.y - a.y AS DOUBLE)
+                         / CAST(b.hour - a.hour AS DOUBLE) AS slope
+                  FROM h a JOIN h b
+                    ON a.event_type = b.event_type
+                   AND a.hour < b.hour),
+            r AS (SELECT event_type, slope,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY slope, dy, dx) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS m
+                  FROM p)
+            SELECT event_type, slope, m AS n_pairs
+            FROM r WHERE rn = (m + 1) // 2
+            ORDER BY event_type
         """,
         "suppliers_temporal_reach": """
             WITH RECURSIVE

@@ -1627,3 +1627,148 @@ def weighted_median(ds, keys: list[str], value: str, weight: str, *,
                            zero_copy_batch=True, batch_size=None)
     return hash_exchange(parts, nbuckets=nbuckets, on=key_list,
                          reduce_fn=reduce_fn)
+
+
+def mann_kendall(ds, keys: list[str], t: str, y: str, *,
+                 nbuckets: int = 8, schema: pa.Schema | None = None):
+    """Exact per-group Mann–Kendall trend test ingredients: the S
+    statistic ``sum over time pairs t_i < t_j of sign(y_j - y_i)`` and
+    the tie-corrected variance NUMERATOR ``var18 = n(n-1)(2n+5) -
+    sum_ties c(c-1)(2c+5)`` (the classic variance is var18/18; the
+    division — and the Z normalization — stays with the consumer, so
+    everything this emits is exact int64 and hash-stable).  The
+    monotone-trend detector that least-squares regression is not:
+    S depends only on sign agreements, so one outlier moves it by at
+    most n-1.
+
+    Pinned rules: rows with NULL ``t`` or ``y`` are skipped; pairs
+    with EQUAL times are excluded from S (the SQL twin's
+    ``a.t < b.t`` join); ``var18`` uses the distinct-time formula
+    with the y-tie correction only (the usual form — if the caller
+    feeds tied times, both engines still agree because the expression
+    is pinned, but the statistical variance interpretation assumes
+    distinct times, which per-group time series built by a counting
+    pass satisfy by construction).
+
+    Each group's series must fit one task (it is typically the OUTPUT
+    of a time-bucket pre-aggregation, so it is bounded by the time
+    domain, not the data size); the pair scan is chunk-vectorized
+    O(n^2) with bounded memory.  Output: keys + ``s`` + ``var18`` +
+    ``n`` (valid rows).
+    """
+    from .exchange import grouped_exchange
+
+    key_list = list(keys)
+    if schema is None:
+        in_schema = ds.schema()
+        types = dict(zip(in_schema.names, in_schema.types))
+    else:
+        types = {f.name: f.type for f in schema}
+    out_schema = pa.schema([(k, types[k]) for k in key_list]
+                           + [("s", pa.int64()), ("var18", pa.int64()),
+                              ("n", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        tc = g[t].combine_chunks()
+        yc = g[y].combine_chunks()
+        ok = pc.and_(pc.is_valid(tc), pc.is_valid(yc))
+        if not pc.all(ok).as_py():
+            sel = pa.array(np.flatnonzero(
+                ok.to_numpy(zero_copy_only=False)), pa.int64())
+            tc, yc = tc.take(sel), yc.take(sel)
+        tv = tc.to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = yc.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(tv)
+        order = np.lexsort((yv, tv))
+        tv, yv = tv[order], yv[order]
+        s = 0
+        # chunked pair scan: rows i vs all j, masked to t_i < t_j
+        step = max(1, (1 << 22) // max(n, 1))
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            dy = yv[None, :] - yv[lo:hi, None]
+            mask = tv[None, :] > tv[lo:hi, None]
+            s += int(np.sign(dy[mask]).sum())
+        _, cnt = np.unique(yv, return_counts=True)
+        c = cnt.astype(object)  # exact Python ints, no int64 risk
+        var18 = (n * (n - 1) * (2 * n + 5)
+                 - int((c * (c - 1) * (2 * c + 5)).sum()))
+        cols = {k: g[k].slice(0, 1) for k in key_list}
+        cols["s"] = pa.array([s], pa.int64())
+        cols["var18"] = pa.array([int(var18)], pa.int64())
+        cols["n"] = pa.array([n], pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_exchange(ds, key_list, group_fn, nbuckets=nbuckets,
+                            schema=out_schema)
+
+
+def theil_sen(ds, keys: list[str], x: str, y: str, *,
+              nbuckets: int = 8, schema: pa.Schema | None = None):
+    """Per-group Theil–Sen robust slope: the LOWER MEDIAN of the
+    pairwise slopes ``(y_j - y_i) / (x_j - x_i)`` over pairs with
+    ``x_i < x_j`` — the estimator that pairs with [[mann_kendall]]
+    (up to ~29% contaminated points cannot move it, where one outlier
+    owns the least-squares slope).
+
+    Pinned total order (so a SQL twin hash-matches bit-for-bit): the
+    slope is the IEEE double ``CAST(dy AS DOUBLE) / CAST(dx AS
+    DOUBLE)`` — exactly-rounded and engine-independent — ordered by
+    ``(slope, dy, dx)``, and the lower median is the element at
+    0-based index ``(m-1)//2``, i.e. ``ROW_NUMBER = (m+1)//2``.
+    Rows with NULL x or y are skipped; pairs with equal x are
+    excluded; a group with no pairs emits nothing (the SQL pair join
+    drops it).  Output: keys + ``slope`` (float64) + ``n_pairs``.
+
+    Same size contract as mann_kendall: a group's series fits one
+    task (pre-aggregated time buckets), pair enumeration is
+    chunk-vectorized with bounded memory.
+    """
+    from .exchange import grouped_exchange
+
+    key_list = list(keys)
+    if schema is None:
+        in_schema = ds.schema()
+        types = dict(zip(in_schema.names, in_schema.types))
+    else:
+        types = {f.name: f.type for f in schema}
+    out_schema = pa.schema([(k, types[k]) for k in key_list]
+                           + [("slope", pa.float64()),
+                              ("n_pairs", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        xc = g[x].combine_chunks()
+        yc = g[y].combine_chunks()
+        ok = pc.and_(pc.is_valid(xc), pc.is_valid(yc))
+        if not pc.all(ok).as_py():
+            sel = pa.array(np.flatnonzero(
+                ok.to_numpy(zero_copy_only=False)), pa.int64())
+            xc, yc = xc.take(sel), yc.take(sel)
+        xv = xc.to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = yc.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(xv)
+        order = np.lexsort((yv, xv))
+        xv, yv = xv[order], yv[order]
+        dys, dxs = [], []
+        step = max(1, (1 << 22) // max(n, 1))
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            dx = xv[None, :] - xv[lo:hi, None]
+            dy = yv[None, :] - yv[lo:hi, None]
+            m = dx > 0  # x_i < x_j exactly once per unordered pair
+            dys.append(dy[m])
+            dxs.append(dx[m])
+        dy = np.concatenate(dys) if dys else np.empty(0, np.int64)
+        dx = np.concatenate(dxs) if dxs else np.empty(0, np.int64)
+        m = len(dy)
+        if m == 0:
+            return out_schema.empty_table()
+        slope = dy.astype(np.float64) / dx.astype(np.float64)
+        pick = np.lexsort((dx, dy, slope))[(m - 1) // 2]
+        cols = {k: g[k].slice(0, 1) for k in key_list}
+        cols["slope"] = pa.array([float(slope[pick])], pa.float64())
+        cols["n_pairs"] = pa.array([m], pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_exchange(ds, key_list, group_fn, nbuckets=nbuckets,
+                            schema=out_schema)

@@ -13988,3 +13988,76 @@ def rects_density_probe(sf_dir: str, nprobe: int = 64):
     return pa.table({"probe": pa.array(pid),
                      "x4": pa.array(px4), "y4": pa.array(py4),
                      "num16": pa.array(out)})
+
+
+def events_mann_kendall(sf_dir: str):
+    """Mann–Kendall monotone-trend test per event type
+    (functions/agg.mann_kendall): exact S = sum of sign(later count -
+    earlier count) over hourly pairs, plus the tie-corrected variance
+    numerator var18 — the rank-based trend detector one outlier can
+    move by at most n-1, where it owns the least-squares slope
+    (events_hourly_trend's regression is the fragile twin).  One
+    counting pass builds the hourly series; the pair scan runs
+    in-bucket over the bounded time domain.  Hash-checked vs a
+    pairwise self-join + tie-count twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.agg import mann_kendall
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "hour": pa.array(h),
+                      "n": pa.array(np.ones(len(h), np.int64))})
+        g = t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    hourly = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], ["n"])
+    out = collect_table(mann_kendall(
+        ray.data.from_arrow(hourly), ["event_type"], "hour", "n",
+        nbuckets=4))
+    f = np.asarray(out["event_type"].to_pylist(), object).astype(str)
+    return out.take(pa.array(np.argsort(f)))
+
+
+def events_theil_sen(sf_dir: str):
+    """Theil–Sen robust slope of hourly activity per event type
+    (functions/agg.theil_sen): the LOWER MEDIAN of all pairwise
+    slopes (count_j - count_i)/(hour_j - hour_i) under the pinned
+    (IEEE-double slope, dy, dx) total order — the estimator that
+    pairs with the Mann–Kendall test and shrugs off up to ~29%
+    contamination.  Hash-checked vs a pairwise self-join +
+    ROW_NUMBER median twin (both engines divide the same int64 pair
+    deltas, so the doubles are bit-identical)."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.agg import theil_sen
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "hour": pa.array(h),
+                      "n": pa.array(np.ones(len(h), np.int64))})
+        g = t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    hourly = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], ["n"])
+    out = collect_table(theil_sen(
+        ray.data.from_arrow(hourly), ["event_type"], "hour", "n",
+        nbuckets=4))
+    f = np.asarray(out["event_type"].to_pylist(), object).astype(str)
+    return out.take(pa.array(np.argsort(f)))

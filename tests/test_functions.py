@@ -1328,3 +1328,113 @@ def test_weighted_median_scalar_reference(ray_session):
     with pytest.raises(Exception, match="negative weight"):
         collect_table(weighted_median(ray.data.from_arrow(bad),
                                       ["k"], "v", "w"))
+
+
+def test_mann_kendall_scalar_reference(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.agg import mann_kendall
+
+    rng = np.random.default_rng(41)
+    keys, ts, ys = [], [], []
+    for k in range(3):
+        n = int(rng.integers(5, 60))
+        t = rng.choice(1000, size=n, replace=False).astype(np.int64)
+        y = rng.integers(-5, 6, size=n).astype(np.int64)  # many ties
+        keys += [f"k{k}"] * n
+        ts.append(t)
+        ys.append(y)
+    tbl = pa.table({"key": pa.array(keys),
+                    "t": pa.array(np.concatenate(ts)),
+                    "y": pa.array(np.concatenate(ys))})
+    out = collect_table(mann_kendall(
+        ray.data.from_arrow(tbl).repartition(5), ["key"], "t", "y",
+        nbuckets=3))
+    got = {out["key"][i].as_py():
+           (out["s"][i].as_py(), out["var18"][i].as_py(),
+            out["n"][i].as_py()) for i in range(out.num_rows)}
+    for k, t, y in zip(("k0", "k1", "k2"), ts, ys):
+        order = np.argsort(t)
+        yy = y[order]
+        n = len(yy)
+        s = sum(int(np.sign(yy[j] - yy[i]))
+                for i in range(n) for j in range(i + 1, n))
+        _, cnt = np.unique(yy, return_counts=True)
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            int(c) * (int(c) - 1) * (2 * int(c) + 5) for c in cnt)
+        assert got[k] == (s, var18, n)
+
+
+def test_mann_kendall_nulls_and_equal_times(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.agg import mann_kendall
+
+    # equal times: the (t=1, t=1) pair contributes nothing; NULLs skip
+    tbl = pa.table({"key": pa.array(["a"] * 5),
+                    "t": pa.array([1, 1, 2, None, 3], pa.int64()),
+                    "y": pa.array([10, 0, 5, 7, None], pa.int64())})
+    out = collect_table(mann_kendall(
+        ray.data.from_arrow(tbl), ["key"], "t", "y"))
+    assert out.num_rows == 1 and out["n"][0].as_py() == 3
+    # valid rows: (1,10),(1,0),(2,5); pairs with t_i<t_j:
+    # (1,10)->(2,5): -1 ; (1,0)->(2,5): +1  => S = 0
+    assert out["s"][0].as_py() == 0
+
+
+def test_theil_sen_scalar_reference_and_rules(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.agg import theil_sen
+
+    rng = np.random.default_rng(43)
+    n = 40
+    x = rng.choice(500, size=n, replace=False).astype(np.int64)
+    y = (3 * x + rng.integers(-20, 21, size=n)).astype(np.int64)
+    tbl = pa.table({"key": pa.array(["g"] * n),
+                    "x": pa.array(x), "y": pa.array(y)})
+    out = collect_table(theil_sen(
+        ray.data.from_arrow(tbl).repartition(4), ["key"], "x", "y",
+        nbuckets=2))
+    # scalar reference under the pinned (slope, dy, dx) lower-median
+    pairs = []
+    for i in range(n):
+        for j in range(n):
+            dx = int(x[j] - x[i])
+            if dx > 0:
+                dy = int(y[j] - y[i])
+                pairs.append((dy / dx, dy, dx))
+    pairs.sort()
+    want = pairs[(len(pairs) - 1) // 2][0]
+    assert out.num_rows == 1
+    assert out["slope"][0].as_py() == want
+    assert out["n_pairs"][0].as_py() == len(pairs)
+    assert abs(want - 3.0) < 0.5  # sanity: recovers the real slope
+
+    # a group whose x values are all equal has no pairs -> dropped
+    one = pa.table({"key": pa.array(["z"] * 3),
+                    "x": pa.array([7, 7, 7], pa.int64()),
+                    "y": pa.array([1, 2, 3], pa.int64())})
+    out2 = collect_table(theil_sen(ray.data.from_arrow(one),
+                                   ["key"], "x", "y"))
+    assert out2.num_rows == 0
+
+
+def test_theil_sen_outlier_robust_vs_ols(ray_session):
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.agg import theil_sen
+
+    # clean line y = 2x with ONE wild outlier: Theil-Sen stays at 2
+    x = np.arange(30, dtype=np.int64)
+    y = 2 * x
+    y[29] = 10_000
+    tbl = pa.table({"key": pa.array(["g"] * 30),
+                    "x": pa.array(x), "y": pa.array(y)})
+    out = collect_table(theil_sen(ray.data.from_arrow(tbl),
+                                  ["key"], "x", "y"))
+    assert out["slope"][0].as_py() == 2.0
