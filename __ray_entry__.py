@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median": q.lineitem_weighted_median,
         "events_hourly_trend": q.events_hourly_trend,
         "events_mann_kendall": q.events_mann_kendall,
+        "orders_fd_audit": q.orders_fd_audit,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -4779,6 +4780,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n*sxy - sx*sy AS DOUBLE)
                    / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
             FROM s ORDER BY event_type
+        """,
+        "orders_fd_audit": """
+            WITH c1 AS (SELECT o_orderkey AS a,
+                               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nb
+                        FROM orders GROUP BY 1),
+            c2 AS (SELECT o_custkey AS a,
+                          CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nb
+                   FROM orders GROUP BY 1),
+            c3 AS (SELECT o_orderdate AS a,
+                          CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nb
+                   FROM orders GROUP BY 1),
+            c4 AS (SELECT o_orderpriority AS a,
+                          CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nb
+                   FROM orders GROUP BY 1),
+            u AS (
+              SELECT 'o_orderkey->o_custkey' AS fd, nb FROM c1
+              UNION ALL
+              SELECT 'o_custkey->o_orderstatus' AS fd, nb FROM c2
+              UNION ALL
+              SELECT 'o_orderdate->o_orderpriority' AS fd, nb FROM c3
+              UNION ALL
+              SELECT 'o_orderpriority->o_orderstatus' AS fd, nb FROM c4)
+            SELECT fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_det,
+                   CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_viol_det,
+                   CAST(SUM(nb - 1) AS BIGINT) AS extra_pairs,
+                   CAST(CASE WHEN SUM(nb - 1) = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS holds
+            FROM u GROUP BY fd ORDER BY fd
         """,
         "events_mann_kendall": """
             WITH h AS (SELECT event_type,

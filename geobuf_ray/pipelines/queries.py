@@ -14061,3 +14061,57 @@ def events_theil_sen(sf_dir: str):
         nbuckets=4))
     f = np.asarray(out["event_type"].to_pylist(), object).astype(str)
     return out.take(pa.array(np.argsort(f)))
+
+
+def orders_fd_audit(sf_dir: str):
+    """Functional-dependency discovery audit — the data-governance
+    question behind schema normalization and key inference: for each
+    candidate rule A -> B over orders, how many determinant values A
+    exist (n_det), how many of them VIOLATE the rule by mapping to
+    >= 2 distinct B's (n_viol_det), and the total violation mass
+    (extra_pairs = sum over A of distinct_B - 1; the rule holds iff
+    it is 0).  o_orderkey -> o_custkey certifies the primary key;
+    the other candidates measure how far the attribute pairs are from
+    determinacy.  Shape: per candidate one distinct_agg (blocks dedup
+    their (A, B) pairs BEFORE the exchange, the wire carries distinct
+    pairs, per-A counts stream out) + a bounded partial rollup — the
+    per-A table never centralizes.  Hash-checked vs a UNION ALL of
+    GROUP BY twins."""
+    import ray
+
+    cands = [("o_orderkey", "o_custkey"),
+             ("o_custkey", "o_orderstatus"),
+             ("o_orderdate", "o_orderpriority"),
+             ("o_orderpriority", "o_orderstatus")]
+    rows = []
+    for a, b in cands:
+        from ..functions.agg import distinct_agg
+
+        ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=[a, b])
+        per_a = distinct_agg(ds, [a], b, nbuckets=8,
+                             out_col="nb")
+
+        def roll(t: pa.Table) -> pa.Table:
+            nb = t["nb"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n_det": pa.array([len(nb)], pa.int64()),
+                "n_viol_det": pa.array([int((nb > 1).sum())],
+                                       pa.int64()),
+                "extra_pairs": pa.array([int((nb - 1).sum())],
+                                        pa.int64())})
+
+        parts = per_a.map_batches(roll, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+        n_det = sum(p["n_det"] for p in parts)
+        n_viol = sum(p["n_viol_det"] for p in parts)
+        extra = sum(p["extra_pairs"] for p in parts)
+        rows.append((f"{a}->{b}", int(n_det), int(n_viol),
+                     int(extra), int(extra == 0)))
+    rows.sort()
+    return pa.table({
+        "fd": pa.array([r[0] for r in rows]),
+        "n_det": pa.array([r[1] for r in rows], pa.int64()),
+        "n_viol_det": pa.array([r[2] for r in rows], pa.int64()),
+        "extra_pairs": pa.array([r[3] for r in rows], pa.int64()),
+        "holds": pa.array([r[4] for r in rows], pa.int64())})

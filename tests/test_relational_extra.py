@@ -1366,3 +1366,17 @@ def test_group_gini_scalar_and_tie_invariance(ray_session):
     g2 = pa.concat_tables(ray.get(group_gini(
         ray.data.from_arrow(u), nbuckets=2).to_arrow_refs()))
     assert g2["gini_num"].to_pylist() == [0]
+
+
+def test_orders_fd_audit_pk_holds(ray_session):
+    from geobuf_ray.pipelines import queries as q
+
+    out = q.orders_fd_audit("/root/testdata/sf0.001")
+    d = {out["fd"][i].as_py(): (out["extra_pairs"][i].as_py(),
+                                out["holds"][i].as_py())
+         for i in range(out.num_rows)}
+    # the primary key determines everything
+    assert d["o_orderkey->o_custkey"] == (0, 1)
+    # a customer with >1 order can hit >1 status: genuinely violated
+    assert d["o_custkey->o_orderstatus"][0] > 0
+    assert d["o_custkey->o_orderstatus"][1] == 0
