@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_trend": q.events_hourly_trend,
         "events_mann_kendall": q.events_mann_kendall,
         "orders_fd_audit": q.orders_fd_audit,
+        "rects_line_of_sight": q.rects_line_of_sight,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -4780,6 +4781,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n*sxy - sx*sy AS DOUBLE)
                    / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
             FROM s ORDER BY event_type
+        """,
+        "rects_line_of_sight": """
+            WITH s AS (
+              SELECT (s_suppkey*37) % 248 AS a, (s_suppkey*53) % 248 AS b,
+                     s_suppkey % 3 + 1 AS sx, (s_suppkey*7) % 3 + 1 AS sy
+              FROM supplier),
+            p AS (
+              SELECT DISTINCT a + i.range AS gx, b + j.range AS gy
+              FROM s, range(0, 4) i, range(0, 4) j
+              WHERE i.range <= sx AND j.range <= sy),
+            dens AS (
+              SELECT p.gx + i.range - 2 AS gx, p.gy + j.range - 2 AS gy,
+                     CAST(COUNT(*) AS BIGINT) AS d
+              FROM p, range(0, 5) i, range(0, 5) j
+              WHERE p.gx + i.range - 2 BETWEEN 0 AND 255
+                AND p.gy + j.range - 2 BETWEEN 0 AND 255
+              GROUP BY 1, 2),
+            pr AS (SELECT i.range AS pair,
+                          (i.range*379) % 256 AS ax,
+                          (i.range*523) % 256 AS ay,
+                          ((i.range*691)+37) % 256 AS bx,
+                          ((i.range*811)+91) % 256 AS by
+                   FROM range(0, 48) i),
+            st AS (SELECT pair, ax, ay, bx, by,
+                       greatest(abs(bx - ax), abs(by - ay)) AS steps,
+                       greatest(greatest(abs(bx - ax), abs(by - ay)),
+                                1) AS dv
+                   FROM pr),
+            pts AS (SELECT pair, steps, t,
+                       ax + CAST(floor(CAST(t * (bx - ax) AS DOUBLE)
+                                       / dv) AS BIGINT) AS x,
+                       ay + CAST(floor(CAST(t * (by - ay) AS DOUBLE)
+                                       / dv) AS BIGINT) AS y
+                    FROM st, unnest(generate_series(0, steps)) AS u(t)),
+            e AS (SELECT pair, steps, t, COALESCE(d.d, 0) AS z
+                  FROM pts LEFT JOIN dens d
+                    ON d.gx = pts.x AND d.gy = pts.y),
+            ends AS (SELECT pair,
+                            MAX(CASE WHEN t = 0 THEN z END) + 2 AS za,
+                            MAX(CASE WHEN t = steps THEN z END) + 2
+                                AS zb
+                     FROM e GROUP BY pair),
+            m AS (SELECT e.pair, e.steps,
+                     CAST(SUM(z) AS BIGINT) AS path_mass,
+                     CAST(SUM(CASE WHEN t > 0 AND t < steps
+                          AND z * steps >= za * (steps - t) + zb * t
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_block,
+                     CAST(COALESCE(MIN(CASE WHEN t > 0 AND t < steps
+                          AND z * steps >= za * (steps - t) + zb * t
+                          THEN t END), 0) AS BIGINT) AS first_block
+                  FROM e JOIN ends USING (pair)
+                  GROUP BY e.pair, e.steps)
+            SELECT pair, CAST(steps AS BIGINT) AS steps, path_mass,
+                   n_block, first_block,
+                   CAST(CASE WHEN n_block = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS visible
+            FROM m ORDER BY pair
         """,
         "orders_fd_audit": """
             WITH c1 AS (SELECT o_orderkey AS a,

@@ -14115,3 +14115,100 @@ def orders_fd_audit(sf_dir: str):
         "n_viol_det": pa.array([r[2] for r in rows], pa.int64()),
         "extra_pairs": pa.array([r[3] for r in rows], pa.int64()),
         "holds": pa.array([r[4] for r in rows], pa.int64())})
+
+
+def rects_line_of_sight(sf_dir: str, npair: int = 48, mast: int = 2):
+    """Raster line-of-sight (the viewshed primitive): for
+    observer->target probe pairs over the box-density field read as
+    TERRAIN, walk the pinned sampled-DDA path (major-axis unit steps,
+    minor = exact floored division — the rasterize_lines_dda rule, so
+    the SQL twin replays it with generate_series + float-floor, exact
+    under 2^52) and test every strictly-intermediate cell against the
+    sight line with CROSS-MULTIPLIED integers: blocked iff
+    z_t * steps >= za*(steps-t) + zb*t where za/zb are the endpoint
+    elevations plus a mast height — no float heights anywhere, so
+    both engines agree bit-for-bit on boundary grazes.  The terrain
+    STREAMS: each block emits only the (pair, t, z) contributions of
+    path cells it holds (a path cell lives in exactly one block;
+    absent cells are elevation 0), partials combine, and the driver
+    folds a bounded npair x grid-diameter table.  Emits per pair the
+    step count, path terrain mass, blocker count, first blocking
+    step and visibility.  Hash-checked vs a LEFT JOIN + window twin
+    over the fan-and-count density CTE."""
+    import ray
+
+    from ..spatial.polygonize import union_tile_masks
+    from ..spatial.raster import box_density, rasterize_polygons
+
+    N = 256
+    polys = ray.data.from_arrow(_dyadic_rects(sf_dir))
+    raster = rasterize_polygons(polys, ntiles=32, px=8, id_col="id")
+    occ = union_tile_masks(raster, px=8, nbuckets=16)
+    dens = box_density(occ, ntiles=32, px=8, radius=2, nbuckets=16)
+
+    pid = np.arange(npair, dtype=np.int64)
+    ax = (pid * 379) % N
+    ay = (pid * 523) % N
+    bx = (pid * 691 + 37) % N
+    by = (pid * 811 + 91) % N
+    dx, dy = bx - ax, by - ay
+    steps = np.maximum(np.abs(dx), np.abs(dy))
+    dv = np.maximum(steps, 1)
+    counts = steps + 1
+    row = np.repeat(pid, counts)
+
+    from ..codec.varint import ramp
+
+    t = ramp(counts)
+    xs = ax[row] + (t * dx[row]) // dv[row]
+    ys = ay[row] + (t * dy[row]) // dv[row]
+    packed = xs * N + ys
+    order = np.argsort(packed, kind="stable")
+    ref = ray.put((packed[order], row[order], t[order]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cs, pr, ts = ray.get(ref)
+        gx = b["gx"].to_numpy(zero_copy_only=False)
+        gy = b["gy"].to_numpy(zero_copy_only=False)
+        d = b["density"].to_numpy(zero_copy_only=False)
+        pk = gx * N + gy
+        lo = np.searchsorted(cs, pk, side="left")
+        hi = np.searchsorted(cs, pk, side="right")
+        cnt = hi - lo
+        rows = np.repeat(np.arange(len(pk)), cnt)
+        pos = np.repeat(lo, cnt) + ramp(cnt)
+        return pa.table({"pair": pa.array(pr[pos]),
+                         "t": pa.array(ts[pos]),
+                         "z": pa.array(d[rows].astype(np.int64))})
+
+    agg = _final_combine(
+        dens.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["pair", "t"], ["z"])
+    z = np.zeros(int(counts.sum()), np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    ap = agg["pair"].to_numpy(zero_copy_only=False)
+    at = agg["t"].to_numpy(zero_copy_only=False)
+    z[offs[ap] + at] = agg["z"].to_numpy(zero_copy_only=False)
+
+    n_block = np.zeros(npair, np.int64)
+    first_block = np.zeros(npair, np.int64)
+    path_mass = np.zeros(npair, np.int64)
+    for i in range(npair):
+        k = int(steps[i])
+        zi = z[offs[i]:offs[i] + k + 1]
+        path_mass[i] = zi.sum()
+        za, zb = int(zi[0]) + mast, int(zi[-1]) + mast
+        if k >= 2:
+            tt = np.arange(1, k)
+            blk = zi[1:k] * k >= za * (k - tt) + zb * tt
+            n_block[i] = int(blk.sum())
+            hits = np.flatnonzero(blk)
+            first_block[i] = int(tt[hits[0]]) if len(hits) else 0
+    return pa.table({
+        "pair": pa.array(pid),
+        "steps": pa.array(steps),
+        "path_mass": pa.array(path_mass),
+        "n_block": pa.array(n_block),
+        "first_block": pa.array(first_block),
+        "visible": pa.array((n_block == 0).astype(np.int64))})

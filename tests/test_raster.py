@@ -511,3 +511,47 @@ def test_box_density_brute_force(ray_session):
             exp = sum(1 for (px_, py_) in pix
                       if abs(px_ - x) <= r and abs(py_ - y) <= r)
             assert got.get((x, y), 0) == exp, (x, y)
+
+
+def test_rects_line_of_sight_brute_force(ray_session):
+    """Independent scalar replay: rebuild the density terrain with a
+    dense numpy grid, walk each probe pair with the pinned DDA rule,
+    and apply the cross-multiplied visibility test."""
+    import duckdb
+
+    from geobuf_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    out = q.rects_line_of_sight(sf)
+
+    keys = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf}/supplier.parquet'"
+    ).fetchnumpy()["s_suppkey"].astype(np.int64)
+    N = 256
+    occ = np.zeros((N, N), bool)
+    for k in keys:
+        a, b = int(k * 37 % 248), int(k * 53 % 248)
+        sx, sy = int(k % 3 + 1), int(k * 7 % 3 + 1)
+        occ[a:a + sx + 1, b:b + sy + 1] = True
+    dens = np.zeros((N, N), np.int64)
+    xs, ys = np.nonzero(occ)
+    for x, y in zip(xs, ys):
+        dens[max(0, x - 2):x + 3, max(0, y - 2):y + 3] += 1
+
+    for i in range(out.num_rows):
+        ax, ay = i * 379 % N, i * 523 % N
+        bx, by = (i * 691 + 37) % N, (i * 811 + 91) % N
+        k = max(abs(bx - ax), abs(by - ay))
+        dv = max(k, 1)
+        path = [(ax + (t * (bx - ax)) // dv, ay + (t * (by - ay)) // dv)
+                for t in range(k + 1)]
+        z = [int(dens[x, y]) for x, y in path]
+        za, zb = z[0] + 2, z[-1] + 2
+        blocked = [t for t in range(1, k)
+                   if z[t] * k >= za * (k - t) + zb * t]
+        assert out["steps"][i].as_py() == k
+        assert out["path_mass"][i].as_py() == sum(z)
+        assert out["n_block"][i].as_py() == len(blocked)
+        assert out["first_block"][i].as_py() == (blocked[0] if blocked
+                                                 else 0)
+        assert out["visible"][i].as_py() == (0 if blocked else 1)
