@@ -344,3 +344,58 @@ class NormalizeAudioFn:
             "rms_in": pa.array(rms_in, pa.float64()),
             "rms_out": pa.array(rms_out, pa.float64()),
             "gain": pa.array(gains, pa.float64())})
+
+
+class SceneCutsFn:
+    """Actor-pool scene-cut detection — the shot-boundary pass every
+    video curation pipeline runs before sampling clips.  Frames are
+    procedural scene-structured payloads: a clip's frame f belongs to
+    scene ``f // period`` and renders as that scene's procedural
+    pattern plus a small brightness jitter (``min(px + f % 3, 255)``),
+    so consecutive same-scene frames differ by <= 2 gray levels per
+    pixel while a scene change swaps the whole pattern.  The detector
+    knows NOTHING of the planting: it thresholds the exact integer
+    mean-absolute frame delta (``sum|p_t - p_{t-1}| > thr * npx``).
+    Frames STREAM through the actor one at a time (only the previous
+    frame is held — a long clip costs O(1) frame memory), and only
+    per-clip scalars leave the stage."""
+
+    def __init__(self, w: int = 32, h: int = 32, thr: int = 8):
+        self.w, self.h, self.thr = w, h, thr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import images as im
+
+        clips = batch["clip_id"].to_pylist()
+        nfr = batch["n_frames"].to_numpy(zero_copy_only=False)
+        n = len(clips)
+        out = {k: np.zeros(n, np.int64)
+               for k in ("n_frames", "n_cuts", "cut_checksum",
+                         "n_planted", "planted_checksum", "matched")}
+        npx = self.w * self.h
+        for i in range(n):
+            idx = int(clips[i][3:])
+            period = idx % 7 + 4
+            frames = int(nfr[i])
+            prev = None
+            cuts = []
+            for f in range(frames):
+                scene = f // period
+                px = im.procedural_pixels(
+                    f"{clips[i]}/s{scene:04d}", self.w, self.h) \
+                    .astype(np.int64)
+                px = np.minimum(px + f % 3, 255)
+                if prev is not None:
+                    delta = int(np.abs(px - prev).sum())
+                    if delta > self.thr * npx:
+                        cuts.append(f)
+                prev = px
+            planted = list(range(period, frames, period))
+            out["n_frames"][i] = frames
+            out["n_cuts"][i] = len(cuts)
+            out["cut_checksum"][i] = sum(cuts)
+            out["n_planted"][i] = len(planted)
+            out["planted_checksum"][i] = sum(planted)
+            out["matched"][i] = int(cuts == planted)
+        return pa.table({"clip_id": batch["clip_id"],
+                         **{k: pa.array(v) for k, v in out.items()}})

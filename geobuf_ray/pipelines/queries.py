@@ -14212,3 +14212,49 @@ def rects_line_of_sight(sf_dir: str, npair: int = 48, mast: int = 2):
         "n_block": pa.array(n_block),
         "first_block": pa.array(first_block),
         "visible": pa.array((n_block == 0).astype(np.int64))})
+
+
+def video_scene_cuts(sf_dir: str):
+    """Video shot-boundary detection (io/audio.SceneCutsFn): per clip,
+    the exact integer mean-absolute frame-delta threshold finds scene
+    changes; frames stream through the actor with O(1) frame memory
+    and only per-clip scalars leave.  The clips plant scene
+    boundaries every ``idx%7+4`` frames and the detector — which
+    never sees the plant — must recover them exactly; the in-query
+    assert pins it (rows-only: procedural media).  Emits a per-period
+    rollup with planted-vs-detected totals."""
+    from ..io import audio as au
+
+    n = 30 if "0.001" in sf_dir else (100 if "0.01" in sf_dir else 300)
+    ds = au.synthesize_video_index(n)
+    per_clip = ds.map_batches(
+        au.SceneCutsFn, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        idx = np.asarray([int(c[3:]) for c in
+                          b["clip_id"].to_pylist()], np.int64)
+        t = pa.table({
+            "period": pa.array(idx % 7 + 4),
+            "n_clips": pa.array(np.ones(len(idx), np.int64)),
+            "n_frames": b["n_frames"],
+            "n_cuts": b["n_cuts"],
+            "cut_checksum": b["cut_checksum"],
+            "n_planted": b["n_planted"],
+            "n_matched": b["matched"]})
+        g = t.group_by(["period"]).aggregate(
+            [(c, "sum") for c in t.column_names[1:]])
+        return g.rename_columns(t.column_names)
+
+    agg = _final_combine(
+        per_clip.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["period"], ["n_clips", "n_frames", "n_cuts", "cut_checksum",
+                     "n_planted", "n_matched"])
+    if not pc.all(pc.equal(agg["n_matched"], agg["n_clips"])).as_py():
+        raise AssertionError("scene-cut detector must recover every "
+                             "planted boundary set exactly")
+    if pc.sum(agg["n_cuts"]).as_py() <= 0:
+        raise AssertionError("corpus plants real scene changes")
+    p = agg["period"].to_numpy(zero_copy_only=False)
+    return agg.take(pa.array(np.argsort(p)))

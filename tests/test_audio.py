@@ -141,3 +141,41 @@ def test_normalize_hits_target_and_clip_guard():
     assert np.abs(s1).max() <= 0.9995  # capped, not clipped
     assert out["rms_out"][1] < 0.125  # cap kept it below target
     assert out["gain"][1] < 0.125 / out["rms_in"][1]
+
+
+def test_scene_cuts_recovers_planted_and_no_cut_clip(ray_session):
+    from geobuf_ray.io import audio as au
+
+    fn = au.SceneCutsFn()
+    # vid...7: period = 7%7+4 = 4; 13 frames -> planted cuts at 4,8,12
+    batch = pa.table({"clip_id": pa.array(["vid000000000007"]),
+                      "n_frames": pa.array([13], pa.int32())})
+    out = fn(batch)
+    assert out["n_cuts"][0].as_py() == 3
+    assert out["cut_checksum"][0].as_py() == 4 + 8 + 12
+    assert out["matched"][0].as_py() == 1
+
+    # a clip shorter than its period has NO scene change
+    batch2 = pa.table({"clip_id": pa.array(["vid000000000003"]),
+                       "n_frames": pa.array([6], pa.int32())})
+    out2 = fn(batch2)  # period = 3%7+4 = 7 > 6 frames
+    assert out2["n_cuts"][0].as_py() == 0
+    assert out2["n_planted"][0].as_py() == 0
+    assert out2["matched"][0].as_py() == 1
+
+
+def test_scene_cuts_within_scene_jitter_below_threshold(ray_session):
+    """The brightness jitter alone must never fire the detector: a
+    single-scene clip (period > n_frames) detects zero cuts even
+    though every consecutive frame pair differs."""
+    from geobuf_ray.io import audio as au
+    from geobuf_ray.io import images as im
+
+    px0 = im.procedural_pixels("vid000000000003/s0000", 32, 32)
+    j0 = np.minimum(px0.astype(np.int64) + 0, 255)
+    j1 = np.minimum(px0.astype(np.int64) + 1, 255)
+    assert np.abs(j1 - j0).sum() > 0  # frames genuinely differ
+    out = au.SceneCutsFn()(pa.table({
+        "clip_id": pa.array(["vid000000000003"]),
+        "n_frames": pa.array([6], pa.int32())}))
+    assert out["n_cuts"][0].as_py() == 0
