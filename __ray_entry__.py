@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fd_audit": q.orders_fd_audit,
         "rects_line_of_sight": q.rects_line_of_sight,
         "video_scene_cuts": q.video_scene_cuts,
+        "images_equalize": q.images_equalize,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,

@@ -1258,3 +1258,69 @@ def read_shard_member(out_dir: str, shard: str, image_id: str) -> bytes:
     if len(data) != ln:
         raise IOError("short read — shard truncated")
     return data
+
+
+def equalize_pixels(px: np.ndarray) -> np.ndarray:
+    """Classic integer histogram equalization, per channel: LUT(v) =
+    floor((cdf(v) - cdf_min) * 255 / (npx - cdf_min)) — every step
+    exact integer arithmetic, so the remap is deterministic
+    bit-for-bit.  A flat channel (all pixels one value, cdf_min ==
+    npx) is pinned to identity.  The LUT is monotone non-decreasing,
+    so pixel ORDER is preserved, and any channel with >= 2 distinct
+    values stretches to the full [0, 255] span."""
+    out = np.empty_like(px)
+    npx = px.shape[0] * px.shape[1]
+    for c in range(px.shape[2]):
+        ch = px[:, :, c]
+        hist = np.bincount(ch.reshape(-1), minlength=256)
+        cdf = np.cumsum(hist)
+        cdf_min = int(cdf[np.flatnonzero(hist)[0]])
+        if cdf_min == npx:
+            out[:, :, c] = ch
+            continue
+        lut = ((cdf - cdf_min) * 255 // (npx - cdf_min)) \
+            .astype(np.uint8)
+        out[:, :, c] = lut[ch]
+    return out
+
+
+class EqualizeImagesFn:
+    """Actor-pool histogram-equalization stage: decode -> exact
+    integer per-channel CDF remap (equalize_pixels) -> lossless
+    re-encode, with span/variance audit columns.  The contrast-
+    normalization prep a vision corpus runs before training when
+    sources mix exposure levels.  Per-payload decode in a bounded
+    batch; only the re-encoded payload + audit scalars leave."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        n = len(ids)
+        cols = {k: np.zeros(n, np.int64)
+                for k in ("pre_span", "post_span", "pre_var_num",
+                          "post_var_num", "distinct_vals",
+                          "nonflat_ch")}
+        eq_blobs = []
+        for i in range(n):
+            px = decode_image(blobs[i])
+            eq = equalize_pixels(px)
+            eq_blobs.append(encode_rawz(eq))
+            g0 = px.astype(np.int64).reshape(-1)
+            g1 = eq.astype(np.int64).reshape(-1)
+            m = len(g0)
+            cols["pre_span"][i] = int(g0.max() - g0.min())
+            cols["post_span"][i] = int(g1.max() - g1.min())
+            cols["pre_var_num"][i] = int(m * (g0 * g0).sum()
+                                         - int(g0.sum()) ** 2)
+            cols["post_var_num"][i] = int(m * (g1 * g1).sum()
+                                          - int(g1.sum()) ** 2)
+            cols["distinct_vals"][i] = len(np.unique(g0))
+            cols["nonflat_ch"][i] = sum(
+                int(px[:, :, c].max() != px[:, :, c].min())
+                for c in range(px.shape[2]))
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("bytes_eq",
+                                pa.array(eq_blobs, pa.binary()))
+        for k, v in cols.items():
+            out = out.append_column(k, pa.array(v))
+        return out

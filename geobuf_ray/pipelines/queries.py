@@ -14258,3 +14258,61 @@ def video_scene_cuts(sf_dir: str):
         raise AssertionError("corpus plants real scene changes")
     p = agg["period"].to_numpy(zero_copy_only=False)
     return agg.take(pa.array(np.argsort(p)))
+
+
+def images_equalize(sf_dir: str):
+    """Histogram equalization (io/images.EqualizeImagesFn): the
+    contrast-normalization prep a vision corpus runs when sources mix
+    exposure levels — per channel the classic exact-integer CDF remap
+    LUT(v) = floor((cdf(v)-cdf_min)*255/(npx-cdf_min)), monotone so
+    pixel ORDER within a channel is preserved, and any channel with
+    >= 2 distinct values stretches to the full [0, 255] span.  The
+    in-query assert pins that invariant on every image with a
+    non-flat channel (rows-only: procedural payloads; LUT scalar
+    replay + monotonicity pytest).  Per-format rollup of span /
+    exact variance-numerator audit scalars."""
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    rows = ds.map_batches(im.EqualizeImagesFn, batch_format="pyarrow",
+                          batch_size=32, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        nonflat = b["nonflat_ch"].to_numpy(zero_copy_only=False)
+        post = b["post_span"].to_numpy(zero_copy_only=False)
+        if not bool(np.all(post[nonflat >= 1] == 255)):
+            raise AssertionError(
+                "equalization must stretch every non-flat channel "
+                "to the full [0,255] span")
+        fmt = b["fmt"].combine_chunks().dictionary_encode()
+        inv = fmt.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(fmt.dictionary)
+
+        def bc(v):
+            return pa.array(np.bincount(
+                inv, weights=np.asarray(v, np.float64),
+                minlength=k).astype(np.int64))
+
+        return pa.table({
+            "fmt": fmt.dictionary,
+            "n_images": pa.array(np.bincount(inv, minlength=k)
+                                 .astype(np.int64)),
+            "n_fullspan": bc(post == 255),
+            "sum_pre_span": bc(b["pre_span"].to_numpy(
+                zero_copy_only=False)),
+            "sum_post_span": bc(post),
+            "sum_distinct_vals": bc(b["distinct_vals"].to_numpy(
+                zero_copy_only=False)),
+            "n_var_up": bc(
+                b["post_var_num"].to_numpy(zero_copy_only=False)
+                > b["pre_var_num"].to_numpy(zero_copy_only=False))})
+
+    agg = _final_combine(
+        rows.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["fmt"], ["n_images", "n_fullspan", "sum_pre_span",
+                  "sum_post_span", "sum_distinct_vals", "n_var_up"])
+    if pc.sum(agg["n_fullspan"]).as_py() <= 0:
+        raise AssertionError("corpus must contain non-flat images")
+    return agg.sort_by([("fmt", "ascending")])

@@ -653,3 +653,56 @@ def test_shard_write_and_random_access(ray_session, tmp_path):
     with pytest.raises(KeyError):
         read_shard_member(out, next(iter(member.values())),
                           "img999999999999")
+
+
+def test_equalize_scalar_replay_and_invariants():
+    import pyarrow as pa
+
+    from geobuf_ray.io.images import (EqualizeImagesFn, decode_image,
+                                      encode_rawz, equalize_pixels,
+                                      synthesize_image_table)
+
+    # scalar replay of the LUT on a synthetic image
+    tbl = synthesize_image_table(4)
+    px = decode_image(tbl["bytes"][0].as_py())
+    eq = equalize_pixels(px)
+    npx = px.shape[0] * px.shape[1]
+    for c in range(px.shape[2]):
+        ch = px[:, :, c].astype(np.int64)
+        hist = np.bincount(ch.reshape(-1), minlength=256)
+        cdf = np.cumsum(hist)
+        cdf_min = int(cdf[np.flatnonzero(hist)[0]])
+        if cdf_min == npx:
+            assert np.array_equal(eq[:, :, c], px[:, :, c])
+            continue
+        for v in np.unique(ch):
+            want = (int(cdf[v]) - cdf_min) * 255 // (npx - cdf_min)
+            got = eq[:, :, c][px[:, :, c] == v]
+            assert np.all(got == want)
+        # monotone: pixel order within the channel is preserved
+        vs = np.unique(ch)
+        luts = [(int(cdf[v]) - cdf_min) * 255 // (npx - cdf_min)
+                for v in vs]
+        assert all(a <= b for a, b in zip(luts, luts[1:]))
+        # non-flat channel stretches to the full span
+        if len(vs) >= 2:
+            assert eq[:, :, c].min() == 0 and eq[:, :, c].max() == 255
+
+    # flat channel is identity; flat image round-trips unchanged
+    flat = np.full((8, 8, 3), 123, np.uint8)
+    assert np.array_equal(equalize_pixels(flat), flat)
+
+    # stage: audit columns and payload round-trip
+    t2 = pa.table({
+        "image_id": pa.array(["img000000000000", "img000000000001"]),
+        "fmt": pa.array(["rawz", "rawz"]),
+        "bytes": pa.array([encode_rawz(flat),
+                           tbl["bytes"][1].as_py()], pa.binary())})
+    out = EqualizeImagesFn()(t2)
+    d = out.to_pandas()
+    assert d["nonflat_ch"][0] == 0
+    assert d["post_span"][0] == d["pre_span"][0] == 0
+    assert d["nonflat_ch"][1] >= 1 and d["post_span"][1] == 255
+    back = decode_image(d["bytes_eq"][1])
+    assert np.array_equal(
+        back, equalize_pixels(decode_image(tbl["bytes"][1].as_py())))
