@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_scene_cuts": q.video_scene_cuts,
         "images_equalize": q.images_equalize,
         "customers_l_diversity": q.customers_l_diversity,
+        "images_trim_borders": q.images_trim_borders,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,

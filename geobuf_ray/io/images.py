@@ -1324,3 +1324,88 @@ class EqualizeImagesFn:
         for k, v in cols.items():
             out = out.append_column(k, pa.array(v))
         return out
+
+
+def trim_margins(px: np.ndarray) -> tuple[int, int, int, int]:
+    """Uniform-border (letterbox) margins of one image, the
+    crop-to-content rule pinned for replay: top counts leading rows
+    every pixel of which equals the [0,0] corner pixel; bottom counts
+    trailing rows equal to the [-1,-1] corner; left/right count
+    columns of the ROW-TRIMMED region against ITS corner pixels (so a
+    full frame is one ring, not rows-then-stale-columns).  A single
+    pass removes exactly one uniform ring per side color — nested
+    rings of different colors need repeated calls (pinned by test).
+    An all-uniform image is BLANK: returns (h, 0, 0, 0)."""
+    h, w = px.shape[0], px.shape[1]
+
+    def run_len(eq_rows: np.ndarray) -> int:
+        bad = np.flatnonzero(~eq_rows)
+        return int(bad[0]) if len(bad) else len(eq_rows)
+
+    top = run_len(np.all(px == px[0, 0], axis=(1, 2)))
+    if top == h:
+        return h, 0, 0, 0
+    bot = run_len(np.all(px == px[-1, -1], axis=(1, 2))[::-1])
+    core = px[top:h - bot]
+    left = run_len(np.all(core == core[0, 0], axis=(0, 2)))
+    right = run_len(np.all(core == core[-1, -1], axis=(0, 2))[::-1])
+    return top, bot, left, right
+
+
+def add_border(px: np.ndarray, top: int, bot: int, left: int,
+               right: int, color: int) -> np.ndarray:
+    """Constant-gray padding (the letterbox planter)."""
+    return np.pad(px, ((top, bot), (left, right), (0, 0)),
+                  constant_values=np.uint8(color))
+
+
+def pixel_checksum(px: np.ndarray) -> int:
+    """Order-sensitive exact checksum: sum of pixel value * (1 +
+    flat index mod 8191) in int64 — cheap, vectorized, and position
+    sensitive so a crop that is off by one row cannot collide."""
+    v = px.astype(np.int64).reshape(-1)
+    return int((v * (1 + np.arange(len(v), dtype=np.int64) % 8191))
+               .sum())
+
+
+class TrimBordersFn:
+    """Actor-pool crop-to-content stage: decode -> trim_margins ->
+    crop -> lossless re-encode, emitting detected margins, trimmed
+    dims, a blank flag, and the exact pixel checksum of the cropped
+    region.  The letterbox/scan-bar cleanup a vision corpus runs
+    before training; bounded batches, only the cropped payload +
+    scalars leave the stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        n = len(blobs)
+        cols = {k: np.zeros(n, np.int64)
+                for k in ("trim_top", "trim_bottom", "trim_left",
+                          "trim_right", "out_w", "out_h", "blank",
+                          "out_checksum")}
+        out_blobs = []
+        for i in range(n):
+            px = decode_image(blobs[i])
+            t, b, lft, r = trim_margins(px)
+            h, w = px.shape[0], px.shape[1]
+            if t == h:  # blank: keep payload, flag it
+                cols["blank"][i] = 1
+                cols["trim_top"][i] = h
+                out_blobs.append(blobs[i])
+                cols["out_h"][i], cols["out_w"][i] = h, w
+                cols["out_checksum"][i] = pixel_checksum(px)
+                continue
+            core = px[t:h - b, lft:w - r]
+            cols["trim_top"][i] = t
+            cols["trim_bottom"][i] = b
+            cols["trim_left"][i] = lft
+            cols["trim_right"][i] = r
+            cols["out_h"][i], cols["out_w"][i] = core.shape[:2]
+            cols["out_checksum"][i] = pixel_checksum(core)
+            out_blobs.append(encode_rawz(np.ascontiguousarray(core)))
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("bytes_trim",
+                                pa.array(out_blobs, pa.binary()))
+        for k, v in cols.items():
+            out = out.append_column(k, pa.array(v))
+        return out

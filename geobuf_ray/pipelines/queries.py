@@ -14396,3 +14396,90 @@ def customers_l_diversity(sf_dir: str, l_min: int = 3, t_num: int = 1,
         "l_ok": pa.array(cols[4], pa.int64()),
         "emd_num": pa.array(cols[5], pa.int64()),
         "t_ok": pa.array(cols[6], pa.int64())})
+
+
+def images_trim_borders(sf_dir: str):
+    """Letterbox / uniform-border trim (io/images.TrimBordersFn — the
+    crop-to-content cleanup a vision corpus runs before training):
+    each image is PLANTED inside a constant-gray ring with
+    idx-derived margins >= 1 and a ring gray chosen to differ from
+    both content corner pixels (so single-pass detection provably
+    stops exactly at content); the detector — which never sees the
+    plant — must recover every margin exactly AND the cropped pixels
+    must checksum-match the original bit-for-bit (position-sensitive
+    checksum), both pinned by in-query asserts.  Rows-only
+    (procedural payloads); blank/nested-ring/scalar-replay pytest.
+    Per-planted-top rollup."""
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+
+    def plant(b: pa.Table) -> pa.Table:
+        idx = np.asarray([int(s[3:]) for s in
+                          b["image_id"].to_pylist()], np.int64)
+        blobs = b["bytes"].to_pylist()
+        out, planted, ck, oh, ow = [], [], [], [], []
+        for i, blob in enumerate(blobs):
+            px = im.decode_image(blob)
+            k = int(idx[i])
+            t, bo, lf, r = k % 5 + 1, k // 5 % 4 + 1, \
+                k // 3 % 6 + 1, k // 7 % 3 + 1
+            c0, c1 = px[0, 0], px[-1, -1]
+            color = next(g for g in (7, 131, 219)
+                         if not (np.all(c0 == g) or np.all(c1 == g)))
+            out.append(im.encode_rawz(
+                im.add_border(px, t, bo, lf, r, color)))
+            planted.append((t, bo, lf, r))
+            ck.append(im.pixel_checksum(px))
+            oh.append(px.shape[0])
+            ow.append(px.shape[1])
+        pt = np.asarray(planted, np.int64)
+        return pa.table({
+            "image_id": b["image_id"], "fmt": b["fmt"],
+            "bytes": pa.array(out, pa.binary()),
+            "p_top": pa.array(pt[:, 0]), "p_bottom": pa.array(pt[:, 1]),
+            "p_left": pa.array(pt[:, 2]), "p_right": pa.array(pt[:, 3]),
+            "orig_checksum": pa.array(ck, pa.int64()),
+            "orig_h": pa.array(oh, pa.int64()),
+            "orig_w": pa.array(ow, pa.int64())})
+
+    rows = ds.map_batches(plant, batch_format="pyarrow",
+                          batch_size=32) \
+        .map_batches(im.TrimBordersFn, batch_format="pyarrow",
+                     batch_size=32, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = {k: b[k].to_numpy(zero_copy_only=False)
+             for k in ("p_top", "p_bottom", "p_left", "p_right",
+                       "trim_top", "trim_bottom", "trim_left",
+                       "trim_right", "orig_checksum", "out_checksum",
+                       "orig_h", "orig_w", "out_h", "out_w", "blank")}
+        exact = ((d["p_top"] == d["trim_top"])
+                 & (d["p_bottom"] == d["trim_bottom"])
+                 & (d["p_left"] == d["trim_left"])
+                 & (d["p_right"] == d["trim_right"])
+                 & (d["orig_checksum"] == d["out_checksum"])
+                 & (d["orig_h"] == d["out_h"])
+                 & (d["orig_w"] == d["out_w"]) & (d["blank"] == 0))
+        t = pa.table({
+            "p_top": b["p_top"],
+            "n_images": pa.array(np.ones(len(exact), np.int64)),
+            "n_exact": pa.array(exact.astype(np.int64)),
+            "sum_out_px": pa.array(d["out_h"] * d["out_w"]),
+            "sum_margin": pa.array(
+                d["trim_top"] + d["trim_bottom"] + d["trim_left"]
+                + d["trim_right"])})
+        g = t.group_by(["p_top"]).aggregate(
+            [(c, "sum") for c in t.column_names[1:]])
+        return g.rename_columns(t.column_names)
+
+    agg = _final_combine(
+        rows.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["p_top"], ["n_images", "n_exact", "sum_out_px", "sum_margin"])
+    if not pc.all(pc.equal(agg["n_exact"], agg["n_images"])).as_py():
+        raise AssertionError("border trim must recover every planted "
+                             "margin and checksum exactly")
+    p = agg["p_top"].to_numpy(zero_copy_only=False)
+    return agg.take(pa.array(np.argsort(p)))

@@ -706,3 +706,44 @@ def test_equalize_scalar_replay_and_invariants():
     back = decode_image(d["bytes_eq"][1])
     assert np.array_equal(
         back, equalize_pixels(decode_image(tbl["bytes"][1].as_py())))
+
+
+def test_trim_margins_replay_blank_and_nested():
+    from geobuf_ray.io.images import (TrimBordersFn, add_border,
+                                      decode_image, encode_rawz,
+                                      pixel_checksum, trim_margins)
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 255, (20, 30, 3)).astype(np.uint8)
+    px[0, 0] = (1, 2, 3)      # corners differ from any uniform gray
+    px[-1, -1] = (4, 5, 6)
+    padded = add_border(px, 2, 3, 4, 1, 131)
+    assert trim_margins(padded) == (2, 3, 4, 1)
+
+    # blank image: (h, 0, 0, 0) and the stage flags it
+    blank = np.full((8, 10, 3), 42, np.uint8)
+    assert trim_margins(blank) == (8, 0, 0, 0)
+
+    # nested rings of DIFFERENT colors: one pass removes one ring
+    nested = add_border(add_border(px, 1, 1, 1, 1, 9), 2, 2, 2, 2, 77)
+    t, b, lf, r = trim_margins(nested)
+    assert (t, b, lf, r) == (2, 2, 2, 2)
+    core = nested[t:nested.shape[0] - b, lf:nested.shape[1] - r]
+    assert trim_margins(core) == (1, 1, 1, 1)
+
+    # a content image with NO border trims nothing (row 0 is not
+    # uniform by construction)
+    assert trim_margins(px) == (0, 0, 0, 0)
+
+    import pyarrow as pa
+
+    t2 = pa.table({
+        "image_id": pa.array(["a", "b"]),
+        "bytes": pa.array([encode_rawz(padded), encode_rawz(blank)],
+                          pa.binary())})
+    out = TrimBordersFn()(t2).to_pandas()
+    assert out["blank"].tolist() == [0, 1]
+    assert out["out_h"][0] == 20 and out["out_w"][0] == 30
+    assert out["out_checksum"][0] == pixel_checksum(px)
+    back = decode_image(out["bytes_trim"][0])
+    assert np.array_equal(back, px)
