@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_equalize": q.images_equalize,
         "customers_l_diversity": q.customers_l_diversity,
         "images_trim_borders": q.images_trim_borders,
+        "suppliers_scc": q.suppliers_scc,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -4262,6 +4263,39 @@ def oracle_sql() -> dict[str, str]:
             FROM grp JOIN emd ON emd.nation = grp.nation
                 AND emd.segment = grp.segment
             ORDER BY 1, 2
+        """,
+        "suppliers_scc": """
+            WITH RECURSIVE params AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+            edges AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS src,
+                       CAST(CASE WHEN s_suppkey % 10 = 0
+                            THEN s_suppkey - 9
+                            ELSE s_suppkey + 1 END AS BIGINT) AS dst
+                FROM supplier
+                UNION ALL
+                SELECT CAST(s_suppkey AS BIGINT),
+                       CAST(((s_suppkey * 7) % (SELECT n FROM params))
+                            + 1 AS BIGINT)
+                FROM supplier),
+            e AS (SELECT DISTINCT src, dst FROM edges
+                  WHERE dst >= 1 AND dst <= (SELECT n FROM params)
+                    AND src <> dst),
+            reach(a, b) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.a, e2.dst FROM reach r
+                JOIN e e2 ON e2.src = r.b),
+            nodes AS (SELECT src AS v FROM e
+                      UNION SELECT dst FROM e)
+            SELECT n2.v AS node,
+                   LEAST(n2.v, COALESCE(MIN(CASE WHEN r2.a IS NOT NULL
+                       THEN r1.b END), n2.v)) AS scc
+            FROM nodes n2
+            LEFT JOIN reach r1 ON r1.a = n2.v
+            LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = n2.v
+            GROUP BY n2.v
+            ORDER BY node
         """,
         "customers_k_anonymity": """
             WITH c AS (SELECT c_nationkey AS nation,

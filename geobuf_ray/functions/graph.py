@@ -1154,3 +1154,238 @@ def temporal_reachability(edges, sources, *, src: str = "src",
 
     out = collect_table(arrival)
     return out.rename_columns(["node", "arrival"])
+
+
+def _local_scc(u: np.ndarray, v: np.ndarray) -> pa.Table:
+    """In-memory SCC for the small-graph regime: the FW-BW
+    min-propagation peel, fully vectorized.  Each outer round
+    computes F(x) = min active node that can REACH x (forward
+    min-label fixpoint with pointer doubling — valid directed: if
+    L(x) reaches x and L(L(x)) reaches L(x), it reaches x) and B(x) =
+    min active node x can reach (same fixpoint over reversed edges);
+    x resolves iff F(x) == B(x) == r (r reaches x and x reaches r, so
+    x is in SCC(r)).  The minimum active node's whole SCC provably
+    resolves every round (nothing smaller can color it), so the peel
+    terminates."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    eu, ev = inv[:len(u)], inv[len(u):]
+    n = len(nodes)
+    idx = np.arange(n, dtype=np.int64)
+    scc = np.full(n, -1, np.int64)
+    active = np.ones(n, bool)
+
+    def minprop(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        lab = idx.copy()
+        while True:
+            l2 = lab.copy()
+            np.minimum.at(l2, sb, lab[sa])
+            l2 = np.minimum(l2, l2[l2])
+            l2 = np.minimum(l2, l2[l2])
+            if np.array_equal(l2, lab):
+                return lab
+            lab = l2
+
+    while active.any():
+        keep = active[eu] & active[ev]
+        au, av = eu[keep], ev[keep]
+        f = minprop(au, av)
+        b = minprop(av, au)
+        done = active & (f == b)
+        scc[done] = f[done]
+        active &= ~done
+    return pa.table({"node": pa.array(nodes),
+                     "scc": pa.array(nodes[scc])})
+
+
+def strongly_connected_components(edges, *, src: str = "src",
+                                  dst: str = "dst", nbuckets: int = 32,
+                                  max_rounds: int = 64,
+                                  local_threshold: int = 2_000_000):
+    """SCCs of a DIRECTED edge Dataset: ``(node, scc)`` where ``scc``
+    is the minimum node id in the component (mutual reachability).
+    The cycle-structure question behind dependency graphs, retry
+    loops, and ownership chains that plain (undirected) components
+    cannot answer — A reaching B does not put them in one SCC unless
+    B also reaches A.
+
+    Same two regimes as :func:`connected_components`: small graphs
+    collect once into the vectorized local peel; big graphs run the
+    FW-BW min-propagation peel distributed — per outer round two
+    directed min-label fixpoints (each the CC loop shape: pre-split
+    edges shipped ONCE and reused across all rounds and both
+    directions' probes never re-exchange |E|; labels merge by min
+    with pointer doubling; driver reads only (count, sum) checksums),
+    then F meets B in one key exchange: F==B rows retire with their
+    scc, the rest re-arm.  Inactive nodes simply lose their label
+    rows, so the static edge buckets need no re-filtering — probes
+    against retired endpoints miss and contribute nothing."""
+    import ray
+
+    from ..collect import collect_table
+    from .exchange import cogroup_presplit, hash_cogroup, presplit
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": batch[src].combine_chunks().cast(_I64),
+            "b": batch[dst].combine_chunks().cast(_I64)})
+
+    dedges = edges.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    if dedges.count() <= local_threshold:
+        t = collect_table(dedges)
+        return _local_scc(_np(t["a"]), _np(t["b"])) if t.num_rows else \
+            pa.table({"node": pa.array([], _I64),
+                      "scc": pa.array([], _I64)})
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch["b"], "b": batch["a"]})
+
+    fwd_maps = presplit(dedges, nbuckets=nbuckets, on="a")
+    bwd_maps = presplit(dedges.map_batches(rev, batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                        nbuckets=nbuckets, on="a")
+
+    def node_init(batch: pa.Table) -> pa.Table:
+        a, b = _np(batch["a"]), _np(batch["b"])
+        nn = np.unique(np.concatenate([a, b]))
+        return pa.table({"node": pa.array(nn), "label": pa.array(nn)})
+
+    def merge_min(new: pa.Table, cur: pa.Table) -> pa.Table:
+        node = np.concatenate([_np(new["node"]), _np(cur["node"])])
+        lab = np.concatenate([_np(new["label"]), _np(cur["label"])])
+        return _first_per_node(node, lab)
+
+    def propagate(e: pa.Table, l: pa.Table) -> pa.Table:
+        a, b = _np(e["a"]), _np(e["b"])
+        node, lab = _np(l["node"]), _np(l["label"])
+        order = np.argsort(node)
+        node, lab = node[order], lab[order]
+        if not len(node):
+            return pa.table({"node": pa.array([], _I64),
+                             "label": pa.array([], _I64)})
+        pos = np.clip(np.searchsorted(node, a), 0, len(node) - 1)
+        hit = node[pos] == a
+        # only propagate to targets that are STILL ACTIVE: b must
+        # also hold a label row — enforced by merge (candidates for
+        # retired nodes are dropped there)
+        return pa.table({"node": pa.array(b[hit]),
+                         "label": pa.array(lab[pos[hit]])})
+
+    def merge_min_active(new: pa.Table, cur: pa.Table) -> pa.Table:
+        """merge_min but rows only survive for nodes present in
+        ``cur`` (the active set) — retired nodes accept no labels."""
+        if cur.num_rows == 0:
+            return pa.table({"node": pa.array([], _I64),
+                             "label": pa.array([], _I64)})
+        t = merge_min(new, cur)
+        node = _np(t["node"])
+        curn = np.sort(_np(cur["node"]))
+        pos = np.clip(np.searchsorted(curn, node), 0, len(curn) - 1)
+        return t.filter(pa.array(curn[pos] == node))
+
+    def double(l_by_label: pa.Table, l_by_node: pa.Table) -> pa.Table:
+        node1, lab1 = _np(l_by_label["node"]), _np(l_by_label["label"])
+        node2, lab2 = _np(l_by_node["node"]), _np(l_by_node["label"])
+        order = np.argsort(node2)
+        node2, lab2 = node2[order], lab2[order]
+        if len(node2):
+            pos = np.clip(np.searchsorted(node2, lab1), 0,
+                          len(node2) - 1)
+            hit = node2[pos] == lab1
+            lab1 = np.where(hit, np.minimum(lab1, lab2[pos]), lab1)
+        return pa.table({"node": pa.array(node1),
+                         "label": pa.array(lab1.astype(np.int64))})
+
+    def checksum(ds) -> tuple[int, int]:
+        def part(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "c": pa.array([b.num_rows], _I64),
+                "s": pa.array([int(_np(b["label"]).sum())
+                               if b.num_rows else 0], _I64)})
+
+        t = collect_table(ds.map_batches(part, batch_format="pyarrow",
+                                         zero_copy_batch=True,
+                                         batch_size=None))
+        return (int(_np(t["c"]).sum()), int(_np(t["s"]).sum()))
+
+    def fixpoint(edge_maps, active):
+        labels = active
+        prev = checksum(labels)
+        for _ in range(max_rounds):
+            cand = cogroup_presplit(edge_maps, labels,
+                                    nbuckets=nbuckets, right_on="node",
+                                    reduce_fn=propagate,
+                                    left_schema=_EDGE_SCHEMA,
+                                    right_schema=_LAB_SCHEMA)
+            labels = hash_cogroup(cand, labels, nbuckets=nbuckets,
+                                  left_on="node", right_on="node",
+                                  reduce_fn=merge_min_active,
+                                  left_schema=_LAB_SCHEMA,
+                                  right_schema=_LAB_SCHEMA).materialize()
+            labels = hash_cogroup(labels, labels, nbuckets=nbuckets,
+                                  left_on="label", right_on="node",
+                                  reduce_fn=double,
+                                  left_schema=_LAB_SCHEMA,
+                                  right_schema=_LAB_SCHEMA).materialize()
+            cur = checksum(labels)
+            if cur == prev:
+                return labels
+            prev = cur
+        return labels
+
+    # initial active label table: one row per node
+    active = hash_cogroup(
+        dedges.map_batches(node_init, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ray.data.from_arrow(pa.table({"node": pa.array([], _I64),
+                                      "label": pa.array([], _I64)})),
+        nbuckets=nbuckets, left_on="node", right_on="node",
+        reduce_fn=merge_min, left_schema=_LAB_SCHEMA,
+        right_schema=_LAB_SCHEMA).materialize()
+
+    done_parts: list = []
+    for _ in range(max_rounds):
+        cnt = active.count()
+        if cnt == 0:
+            break
+        f = fixpoint(fwd_maps, active)
+        bk = fixpoint(bwd_maps, active)
+
+        def meet(ft: pa.Table, bt: pa.Table) -> pa.Table:
+            nf, lf = _np(ft["node"]), _np(ft["label"])
+            order = np.argsort(nf)
+            nf, lf = nf[order], lf[order]
+            nb, lb = _np(bt["node"]), _np(bt["label"])
+            order = np.argsort(nb)
+            nb, lb = nb[order], lb[order]
+            # identical node sets by construction
+            same = lf == lb
+            return pa.table({"node": pa.array(nf),
+                             "label": pa.array(np.where(same, lf, -1)),
+                             "done": pa.array(same.astype(np.int64))})
+
+        met = hash_cogroup(f, bk, nbuckets=nbuckets, left_on="node",
+                           right_on="node", reduce_fn=meet,
+                           left_schema=_LAB_SCHEMA,
+                           right_schema=_LAB_SCHEMA).materialize()
+        done = met.filter(lambda r: r["done"] == 1) \
+            .map_batches(lambda b: pa.table({"node": b["node"],
+                                             "scc": b["label"]}),
+                         batch_format="pyarrow", zero_copy_batch=True)
+        done_parts.append(done.materialize())
+
+        def rearm(b: pa.Table) -> pa.Table:
+            nn = _np(b["node"])
+            return pa.table({"node": pa.array(nn), "label": pa.array(nn)})
+
+        active = met.filter(lambda r: r["done"] == 0) \
+            .map_batches(rearm, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    out = done_parts[0]
+    for d in done_parts[1:]:
+        out = out.union(d)
+    t = collect_table(out)
+    node = _np(t["node"])
+    return t.take(pa.array(np.argsort(node)))

@@ -14483,3 +14483,34 @@ def images_trim_borders(sf_dir: str):
                              "margin and checksum exactly")
     p = agg["p_top"].to_numpy(zero_copy_only=False)
     return agg.take(pa.array(np.argsort(p)))
+
+
+def suppliers_scc(sf_dir: str):
+    """Strongly connected components (functions/graph.
+    strongly_connected_components — FW-BW min-propagation peel): over
+    a DIRECTED supplier graph (10-blocks closed into cycles by a back
+    edge, plus one-way *7 chords), each node's SCC = the minimum
+    mutually-reachable node — the cycle-structure question behind
+    dependency graphs and retry loops that undirected components
+    cannot answer (a chord INTO a cycle joins nothing unless a path
+    leads back).  Small-regime collect here; the distributed peel
+    (two directed min-label fixpoints per round over pre-split edge
+    buckets, F==B retires) is equivalence-tested in pytest.
+    Hash-checked vs a recursive-CTE mutual-reachability twin."""
+    import ray
+
+    from ..functions.graph import strongly_connected_components
+
+    k = _supplier_keys(sf_dir)
+    n = len(k)
+    chain = np.where(k % 10 == 0, k - 9, k + 1)
+    chord = ((k * 7) % n) + 1
+    u = np.concatenate((k, k))
+    v = np.concatenate((chain, chord))
+    keep = (v >= 1) & (v <= n) & (u != v)
+    edges = pa.table({"src": pa.array(u[keep]),
+                      "dst": pa.array(v[keep])})
+    out = strongly_connected_components(
+        ray.data.from_arrow(edges).repartition(8), nbuckets=16)
+    node = out["node"].to_numpy(zero_copy_only=False)
+    return out.take(pa.array(np.argsort(node)))

@@ -577,3 +577,49 @@ def test_temporal_reachability_scalar_and_strictness(ray_session):
     static = bfs_hops(ray.data.from_arrow(edges), [0], directed=True,
                       nbuckets=8)
     assert static.num_rows >= len(out)
+
+
+def test_scc_local_brute_force_and_distributed(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.functions.graph import (_local_scc,
+                                            strongly_connected_components)
+
+    # known structure: two 3-cycles bridged one-way + a tail
+    u = np.array([1, 2, 3, 4, 5, 6, 3, 6], dtype=np.int64)
+    v = np.array([2, 3, 1, 5, 6, 4, 4, 7], dtype=np.int64)
+    got = _local_scc(u, v).to_pandas()
+    assert dict(zip(got["node"], got["scc"])) == \
+        {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
+
+    # random graphs vs boolean transitive-closure brute force
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        n, m = 40, 90
+        eu = rng.randint(0, n, m).astype(np.int64)
+        ev = rng.randint(0, n, m).astype(np.int64)
+        adj = np.zeros((n, n), bool)
+        adj[eu, ev] = True
+        reach = adj.copy()
+        np.fill_diagonal(reach, True)
+        for _ in range(n.bit_length() + 1):
+            reach = reach | (reach @ reach)
+        mutual = reach & reach.T
+        want = {i: int(np.flatnonzero(mutual[i])[0]) for i in range(n)}
+        got = _local_scc(eu, ev).to_pandas()
+        for node, scc in zip(got["node"], got["scc"]):
+            assert scc == want[int(node)], (trial, node)
+
+    # distributed peel == local kernel on a 200-node random graph
+    eu = rng.randint(1, 201, 500).astype(np.int64)
+    ev = rng.randint(1, 201, 500).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(eu), "dst": pa.array(ev)})) \
+        .repartition(4)
+    dist = strongly_connected_components(
+        ds, local_threshold=0, nbuckets=8).to_pandas()
+    loc = _local_scc(eu, ev).to_pandas()
+    m2 = loc.merge(dist, on="node", suffixes=("_l", "_d"))
+    assert len(m2) == len(loc)
+    assert (m2["scc_l"] == m2["scc_d"]).all()
