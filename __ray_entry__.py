@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_l_diversity": q.customers_l_diversity,
         "images_trim_borders": q.images_trim_borders,
         "suppliers_scc": q.suppliers_scc,
+        "audio_clip_audit": q.audio_clip_audit,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,

@@ -399,3 +399,59 @@ class SceneCutsFn:
             out["matched"][i] = int(cuts == planted)
         return pa.table({"clip_id": batch["clip_id"],
                          **{k: pa.array(v) for k, v in out.items()}})
+
+
+def longest_true_run(mask: np.ndarray) -> int:
+    """Longest run of consecutive True values, vectorized (boundary
+    diff of the padded mask — no Python loop over samples)."""
+    if not mask.any():
+        return 0
+    m = np.concatenate(([False], mask, [False]))
+    d = np.flatnonzero(np.diff(m.astype(np.int8)))
+    return int((d[1::2] - d[0::2]).max())
+
+
+class AudioClipAuditFn:
+    """Clipping / dynamics audit in the exact CODE domain — the
+    level-sanity gate an audio corpus runs before training (clipped
+    sources distort every downstream feature).  The payload parses
+    straight to its integer codes (pcmz: int16 PCM, full scale =
+    |v| >= 32767; ulawz: uint8 mu-law, full scale = code 0 or 255) so
+    no float round-trip can blur the full-scale test.  Per clip:
+    sample count, full-scale count, LONGEST full-scale run (the real
+    distortion indicator — isolated peaks are fine, runs are flat-
+    topped waves), integer peak and sum-of-squares (crest-factor
+    numerators; division stays with the consumer).  Only scalars
+    leave the stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        blobs = batch["bytes"].to_pylist()
+        n = len(blobs)
+        cols = {k: np.zeros(n, np.int64)
+                for k in ("n_codes", "n_clipped", "clip_run",
+                          "peak", "sumsq")}
+        for i, data in enumerate(blobs):
+            magic = data[:4]
+            body = _z.decompress(data[8:])
+            if magic == _MAGIC_PCMZ:
+                v = np.frombuffer(body, "<i2").astype(np.int64)
+                full = np.abs(v) >= 32767
+                dev = v
+            elif magic == _MAGIC_ULAWZ:
+                c = np.frombuffer(body, np.uint8).astype(np.int64)
+                full = (c == 0) | (c == 255)
+                dev = 2 * c - 255  # symmetric deviation, exact ints
+            else:
+                raise ValueError("unknown audio payload magic")
+            cols["n_codes"][i] = len(dev)
+            cols["n_clipped"][i] = int(full.sum())
+            cols["clip_run"][i] = longest_true_run(full)
+            cols["peak"][i] = int(np.abs(dev).max()) if len(dev) else 0
+            cols["sumsq"][i] = int((dev * dev).sum())
+        out = batch.drop_columns(
+            [c for c in ("bytes",) if c in batch.column_names])
+        for k, v in cols.items():
+            out = out.append_column(k, pa.array(v))
+        return out

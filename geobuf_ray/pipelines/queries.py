@@ -14514,3 +14514,86 @@ def suppliers_scc(sf_dir: str):
         ray.data.from_arrow(edges).repartition(8), nbuckets=16)
     node = out["node"].to_numpy(zero_copy_only=False)
     return out.take(pa.array(np.argsort(node)))
+
+
+def audio_clip_audit(sf_dir: str):
+    """Clipping / dynamics audit (io/audio.AudioClipAuditFn): every
+    idx%9==4 clip is deterministically driven 16x hot before
+    re-encoding in its own format (single-sine peak >= 0.1 makes
+    16x full-scale a certainty, so the plant is provably clipped),
+    then the auditor — exact integer code-domain, never sees the
+    plant — must flag EVERY planted clip with a full-scale run >= 4
+    (flat-topped waves, not isolated peaks); pinned by in-query
+    assert.  Per (fmt, planted) rollup of clip counts, full-scale
+    mass, longest run, and crest numerators.  Rows-only (procedural
+    media); run-length + code-domain scalar replay pytest."""
+    from ..io import audio as au
+
+    n = 60 if "0.001" in sf_dir else (200 if "0.01" in sf_dir else 600)
+    ds = au.synthesize_audio_dataset(n)
+
+    def plant(b: pa.Table) -> pa.Table:
+        idx = np.asarray([int(s[4:]) for s in
+                          b["clip_id"].to_pylist()], np.int64)
+        hot = idx % 9 == 4
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        out = []
+        for i, data in enumerate(blobs):
+            if not hot[i]:
+                out.append(data)
+                continue
+            x, rate = au.decode_audio(data)
+            loud = np.clip(x.astype(np.float64) * 16.0, -1.0, 1.0)
+            enc = au.encode_pcmz if fmts[i] == "pcmz" else au.encode_ulawz
+            out.append(enc(loud, rate))
+        t = b.drop_columns(["bytes"])
+        t = t.append_column("bytes", pa.array(out, pa.binary()))
+        return t.append_column("planted",
+                               pa.array(hot.astype(np.int64)))
+
+    rows = ds.map_batches(plant, batch_format="pyarrow",
+                          batch_size=32) \
+        .map_batches(au.AudioClipAuditFn, batch_format="pyarrow",
+                     batch_size=32, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        planted = b["planted"].to_numpy(zero_copy_only=False)
+        run = b["clip_run"].to_numpy(zero_copy_only=False)
+        if not bool(np.all(run[planted == 1] >= 4)):
+            raise AssertionError("every 16x-hot clip must audit as "
+                                 "flat-top clipped (run >= 4)")
+        t = pa.table({
+            "fmt": b["fmt"], "planted": b["planted"],
+            "n_clips": pa.array(np.ones(len(run), np.int64)),
+            "n_flagged": pa.array((run >= 4).astype(np.int64)),
+            "sum_clipped": b["n_clipped"],
+            "sum_codes": b["n_codes"],
+            "max_run": b["clip_run"],
+            "sum_sumsq": b["sumsq"]})
+        g = t.group_by(["fmt", "planted"]).aggregate(
+            [("n_clips", "sum"), ("n_flagged", "sum"),
+             ("sum_clipped", "sum"), ("sum_codes", "sum"),
+             ("max_run", "max"), ("sum_sumsq", "sum")])
+        return g.rename_columns(["fmt", "planted", "n_clips",
+                                 "n_flagged", "sum_clipped",
+                                 "sum_codes", "max_run", "sum_sumsq"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["fmt", "planted"],
+                                   as_index=False).agg(
+            n_clips=("n_clips", "sum"), n_flagged=("n_flagged", "sum"),
+            sum_clipped=("sum_clipped", "sum"),
+            sum_codes=("sum_codes", "sum"), max_run=("max_run", "max"),
+            sum_sumsq=("sum_sumsq", "sum")) \
+            .sort_values(["fmt", "planted"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ..collect import collect_table
+
+    agg = combine(collect_table(rows.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)))
+    pl = agg.filter(pc.equal(agg["planted"], 1))
+    if not pc.all(pc.equal(pl["n_flagged"], pl["n_clips"])).as_py():
+        raise AssertionError("planted-clip flag rate must be 100%")
+    return agg

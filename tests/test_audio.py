@@ -179,3 +179,39 @@ def test_scene_cuts_within_scene_jitter_below_threshold(ray_session):
         "clip_id": pa.array(["vid000000000003"]),
         "n_frames": pa.array([6], pa.int32())}))
     assert out["n_cuts"][0].as_py() == 0
+
+
+def test_clip_audit_code_domain_replay():
+    import pyarrow as pa
+
+    from geobuf_ray.io.audio import (AudioClipAuditFn, encode_pcmz,
+                                     encode_ulawz, longest_true_run)
+
+    # run-length kernel
+    assert longest_true_run(np.array([], bool)) == 0
+    assert longest_true_run(np.array([0, 1, 1, 0, 1, 1, 1], bool)) == 3
+    assert longest_true_run(np.ones(5, bool)) == 5
+
+    # pcmz: a wave with a planted flat top of 6 samples at +1.0 and
+    # one isolated -1.0 peak
+    x = np.zeros(100, np.float64)
+    x[10:16] = 1.0
+    x[50] = -1.0
+    x[70] = 0.5
+    t = pa.table({"clip_id": pa.array(["a", "b"]),
+                  "fmt": pa.array(["pcmz", "ulawz"]),
+                  "bytes": pa.array([encode_pcmz(x, 16000),
+                                     encode_ulawz(x, 16000)],
+                                    pa.binary())})
+    out = AudioClipAuditFn()(t).to_pandas()
+    # pcmz row: 7 full-scale codes, longest run 6, peak 32767
+    assert out["n_codes"][0] == 100
+    assert out["n_clipped"][0] == 7
+    assert out["clip_run"][0] == 6
+    assert out["peak"][0] == 32767
+    v = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int64)
+    assert out["sumsq"][0] == int((v * v).sum())
+    # ulawz row: codes 0/255 at the same positions
+    assert out["n_clipped"][1] == 7
+    assert out["clip_run"][1] == 6
+    assert out["peak"][1] == 255  # |2*code - 255| at full scale
