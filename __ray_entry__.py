@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_trim_borders": q.images_trim_borders,
         "suppliers_scc": q.suppliers_scc,
         "audio_clip_audit": q.audio_clip_audit,
+        "rects_terrain_aspect": q.rects_terrain_aspect,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -4297,6 +4298,47 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = n2.v
             GROUP BY n2.v
             ORDER BY node
+        """,
+        "rects_terrain_aspect": """
+            WITH s AS (
+              SELECT (s_suppkey*37) % 248 AS a, (s_suppkey*53) % 248 AS b,
+                     s_suppkey % 3 + 1 AS sx, (s_suppkey*7) % 3 + 1 AS sy
+              FROM supplier),
+            p AS (
+              SELECT DISTINCT a + i.range AS gx, b + j.range AS gy
+              FROM s, range(0, 4) i, range(0, 4) j
+              WHERE i.range <= sx AND j.range <= sy),
+            dens AS (
+              SELECT p.gx + i.range - 2 AS gx, p.gy + j.range - 2 AS gy,
+                     CAST(COUNT(*) AS BIGINT) AS d
+              FROM p, range(0, 5) i, range(0, 5) j
+              WHERE p.gx + i.range - 2 BETWEEN 0 AND 255
+                AND p.gy + j.range - 2 BETWEEN 0 AND 255
+              GROUP BY 1, 2),
+            dirs AS (SELECT * FROM (VALUES (0,1,0),(1,1,1),(2,0,1),
+                     (3,-1,1),(4,-1,0),(5,-1,-1),(6,0,-1),(7,1,-1))
+                     AS t(i, dx, dy)),
+            j AS (SELECT c.gx, c.gy, c.d AS z, dd.i,
+                         COALESCE(nb.d, 0) AS zn
+                  FROM dens c CROSS JOIN dirs dd
+                  LEFT JOIN dens nb ON nb.gx = c.gx + dd.dx
+                      AND nb.gy = c.gy + dd.dy),
+            a1 AS (SELECT gx, gy, z, MAX(z - zn) AS steepest,
+                          CAST(SUM(CASE WHEN zn > z THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_higher
+                   FROM j GROUP BY 1, 2, 3),
+            asp AS (SELECT j.gx, j.gy, CAST(MIN(j.i) AS BIGINT) AS mi
+                    FROM j JOIN a1 ON a1.gx = j.gx AND a1.gy = j.gy
+                    WHERE j.z - j.zn = a1.steepest GROUP BY 1, 2)
+            SELECT CAST(a1.gx AS BIGINT) AS gx,
+                   CAST(a1.gy AS BIGINT) AS gy, a1.z,
+                   CAST(a1.steepest AS BIGINT) AS steepest,
+                   CAST(CASE WHEN a1.steepest > 0 THEN asp.mi
+                        ELSE -1 END AS BIGINT) AS aspect,
+                   a1.n_higher
+            FROM a1 JOIN asp ON asp.gx = a1.gx AND asp.gy = a1.gy
+            WHERE (a1.gx*31 + a1.gy*17) % 13 = 0
+            ORDER BY a1.gx, a1.gy
         """,
         "customers_k_anonymity": """
             WITH c AS (SELECT c_nationkey AS nation,

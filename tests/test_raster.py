@@ -555,3 +555,49 @@ def test_rects_line_of_sight_brute_force(ray_session):
         assert out["first_block"][i].as_py() == (blocked[0] if blocked
                                                  else 0)
         assert out["visible"][i].as_py() == (0 if blocked else 1)
+
+
+def test_terrain_aspect_dense_brute_force(ray_session):
+    """rects_terrain_aspect vs a dense-grid numpy brute force built
+    straight from the supplier-key fan (the SQL twin's derivation)."""
+    import duckdb
+
+    from geobuf_ray.pipelines.queries import rects_terrain_aspect
+
+    sf = "/root/testdata/sf0.001"
+    out = rects_terrain_aspect(sf).to_pandas()
+
+    k = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf}/supplier.parquet'").fetchnumpy()[
+        "s_suppkey"].astype(np.int64)
+    N = 256
+    occ = np.zeros((N, N), bool)
+    for kk in k:
+        a, b = (kk * 37) % 248, (kk * 53) % 248
+        sx, sy = kk % 3 + 1, (kk * 7) % 3 + 1
+        occ[a:a + sx + 1, b:b + sy + 1] = True
+    z = np.zeros((N, N), np.int64)
+    xs, ys = np.nonzero(occ)
+    for x, y in zip(xs, ys):
+        z[max(0, x - 2):x + 3, max(0, y - 2):y + 3] += 1
+
+    DIRS = [(1, 0), (1, 1), (0, 1), (-1, 1),
+            (-1, 0), (-1, -1), (0, -1), (1, -1)]
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        gx, gy = int(r["gx"]), int(r["gy"])
+        assert z[gx, gy] == r["z"] and z[gx, gy] > 0
+        drops, higher = [], 0
+        for dx, dy in DIRS:
+            nx, ny = gx + dx, gy + dy
+            zn = z[nx, ny] if 0 <= nx < N and 0 <= ny < N else 0
+            drops.append(z[gx, gy] - zn)
+            higher += zn > z[gx, gy]
+        steep = max(drops)
+        assert r["steepest"] == steep
+        assert r["n_higher"] == higher
+        assert r["aspect"] == (drops.index(steep) if steep > 0 else -1)
+    # every sampled nonzero cell appears
+    want = sum(1 for x in range(N) for y in range(N)
+               if z[x, y] > 0 and (x * 31 + y * 17) % 13 == 0)
+    assert len(out) == want
