@@ -14602,87 +14602,80 @@ def audio_clip_audit(sf_dir: str):
 def rects_terrain_aspect(sf_dir: str):
     """Terrain slope/aspect classification over the box-density field
     read as elevation — the hillshade/flow-direction primitive,
-    trig-free: per nonzero cell the STEEPEST DESCENT drop max(z -
-    z_nbr) over the 8 neighbors (absent cells are elevation zero) and
-    its direction as the MINIMUM direction index among the argmax
-    ties (dirs pinned E,NE,N,NW,W,SW,S,SE = 0..7; flats and pits emit
-    aspect -1), plus the count of strictly-higher neighbors — all in
-    exact integers so boundary ties are bit-stable where float
-    gradients would wobble.  The field STREAMS: each density block
-    fans its cells' elevations to the 9 affected targets (a cell's 8
-    neighbors may live in other blocks), one key exchange co-locates
-    each target's slots, and only sampled output rows survive.
-    Hash-checked vs a dirs-table CROSS JOIN + LEFT JOIN twin over the
-    fan-and-count density CTE."""
+    trig-free (spatial/raster.d8_table): per nonzero cell the
+    STEEPEST DESCENT drop max(z - z_nbr) over the 8 neighbors (absent
+    cells are elevation zero) and its direction as the MINIMUM
+    direction index among the argmax ties (dirs pinned
+    E,NE,N,NW,W,SW,S,SE = 0..7; flats and pits emit aspect -1), plus
+    the count of strictly-higher neighbors — all in exact integers so
+    boundary ties are bit-stable where float gradients would wobble.
+    The field STREAMS through the D8 fan/exchange; only the
+    deterministic 1/13 cell sample leaves.  Hash-checked vs a
+    dirs-table CROSS JOIN + LEFT JOIN twin over the fan-and-count
+    density CTE."""
     import ray
 
-    from ..functions.exchange import hash_exchange
+    from ..collect import collect_table
     from ..spatial.polygonize import union_tile_masks
-    from ..spatial.raster import box_density, rasterize_polygons
+    from ..spatial.raster import box_density, d8_table, \
+        rasterize_polygons
 
-    N = 256
-    DIRS = np.array([(1, 0), (1, 1), (0, 1), (-1, 1),
-                     (-1, 0), (-1, -1), (0, -1), (1, -1)], np.int64)
     polys = ray.data.from_arrow(_dyadic_rects(sf_dir))
     raster = rasterize_polygons(polys, ntiles=32, px=8, id_col="id")
     occ = union_tile_masks(raster, px=8, nbuckets=16)
     dens = box_density(occ, ntiles=32, px=8, radius=2, nbuckets=16)
+    d8 = d8_table(dens, grid=256, nbuckets=16)
 
-    def fan(b: pa.Table) -> pa.Table:
+    def sample(b: pa.Table) -> pa.Table:
         gx = b["gx"].to_numpy(zero_copy_only=False)
         gy = b["gy"].to_numpy(zero_copy_only=False)
-        z = b["density"].to_numpy(zero_copy_only=False)
-        n = len(gx)
-        # slot 8 = self; slots 0..7 = "I am your neighbor in dir i",
-        # so a source cell c serves target t = c - dir_i
-        tx = np.concatenate([gx - DIRS[i, 0] for i in range(8)] + [gx])
-        ty = np.concatenate([gy - DIRS[i, 1] for i in range(8)] + [gy])
-        slot = np.concatenate(
-            [np.full(n, i, np.int64) for i in range(8)]
-            + [np.full(n, 8, np.int64)])
-        zz = np.tile(z, 9)
-        keep = (tx >= 0) & (tx < N) & (ty >= 0) & (ty < N)
-        return pa.table({"cell": pa.array(tx[keep] * N + ty[keep]),
-                         "slot": pa.array(slot[keep]),
-                         "z": pa.array(zz[keep])})
+        return b.filter(pa.array((gx * 31 + gy * 17) % 13 == 0))
 
-    def reduce_cells(t: pa.Table) -> pa.Table:
-        out_schema = pa.schema([
-            ("gx", pa.int64()), ("gy", pa.int64()), ("z", pa.int64()),
-            ("steepest", pa.int64()), ("aspect", pa.int64()),
-            ("n_higher", pa.int64())])
-        if t.num_rows == 0:
-            return out_schema.empty_table()
-        cell = t["cell"].to_numpy(zero_copy_only=False)
-        slot = t["slot"].to_numpy(zero_copy_only=False)
-        z = t["z"].to_numpy(zero_copy_only=False)
-        uc, inv = np.unique(cell, return_inverse=True)
-        zmat = np.zeros((len(uc), 9), np.int64)
-        zmat[inv, slot] = z
-        has_self = np.zeros(len(uc), bool)
-        has_self[inv[slot == 8]] = True
-        zmat = zmat[has_self]
-        uc = uc[has_self]
-        zs = zmat[:, 8]
-        drops = zs[:, None] - zmat[:, :8]
-        steepest = drops.max(axis=1)
-        aspect = np.where(steepest > 0, np.argmax(drops, axis=1), -1)
-        n_higher = (zmat[:, :8] > zs[:, None]).sum(axis=1)
-        gx, gy = uc // N, uc % N
-        keep = (gx * 31 + gy * 17) % 13 == 0
-        return pa.table({
-            "gx": pa.array(gx[keep]), "gy": pa.array(gy[keep]),
-            "z": pa.array(zs[keep]),
-            "steepest": pa.array(steepest[keep]),
-            "aspect": pa.array(aspect[keep].astype(np.int64)),
-            "n_higher": pa.array(n_higher[keep].astype(np.int64))})
-
-    from ..collect import collect_table
-
-    out = collect_table(hash_exchange(
-        dens.map_batches(fan, batch_format="pyarrow",
-                         zero_copy_batch=True),
-        nbuckets=16, on="cell", reduce_fn=reduce_cells))
+    out = collect_table(d8.map_batches(sample, batch_format="pyarrow",
+                                       zero_copy_batch=True))
     o = np.lexsort((out["gy"].to_numpy(zero_copy_only=False),
                     out["gx"].to_numpy(zero_copy_only=False)))
     return out.take(pa.array(o))
+
+
+def rects_flow_accumulation(sf_dir: str):
+    """D8 flow accumulation — the watershed/drainage primitive on top
+    of the terrain family: acc(c) = number of cells whose
+    steepest-descent pointer chain passes through c (including c),
+    pointers from the same pinned D8 rule as rects_terrain_aspect.
+    Drops are strictly downhill, so the pointer graph is a forest of
+    in-trees and ONE pass in decreasing-z order finalizes every
+    accumulation (all contributors sit strictly above); chains that
+    point at absent cells exit the field.  The terrain table streams
+    through the D8 fan/exchange; the accumulation fold is bounded
+    driver arithmetic over the O(nonzero cells) table — the same
+    contract the viewshed fold uses.  Emits the deterministic 1/13
+    cell sample with per-cell acc + outflow flag.  Hash-checked vs a
+    recursive-CTE chain-walk COUNT twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..spatial.polygonize import union_tile_masks
+    from ..spatial.raster import (box_density, d8_table,
+                                  flow_accumulation,
+                                  rasterize_polygons)
+
+    polys = ray.data.from_arrow(_dyadic_rects(sf_dir))
+    raster = rasterize_polygons(polys, ntiles=32, px=8, id_col="id")
+    occ = union_tile_masks(raster, px=8, nbuckets=16)
+    dens = box_density(occ, ntiles=32, px=8, radius=2, nbuckets=16)
+    d8 = collect_table(d8_table(dens, grid=256, nbuckets=16))
+    acc = flow_accumulation(d8, grid=256)
+    gx = d8["gx"].to_numpy(zero_copy_only=False)
+    gy = d8["gy"].to_numpy(zero_copy_only=False)
+    keep = (gx * 31 + gy * 17) % 13 == 0
+    t = pa.table({
+        "gx": pa.array(gx[keep]), "gy": pa.array(gy[keep]),
+        "z": d8["z"].filter(pa.array(keep)),
+        "acc": pa.array(acc[keep]),
+        "has_outflow": pa.array(
+            (d8["aspect"].to_numpy(zero_copy_only=False)[keep] >= 0)
+            .astype(np.int64))})
+    o = np.lexsort((t["gy"].to_numpy(zero_copy_only=False),
+                    t["gx"].to_numpy(zero_copy_only=False)))
+    return t.take(pa.array(o))

@@ -819,3 +819,116 @@ def box_density(occ_ds, *, ntiles: int, px: int, radius: int = 2,
 
     return hash_exchange(rows1, nbuckets=nbuckets, bucket_fn=fan_cols,
                          reduce_fn=pass2, schema=out_schema)
+
+
+D8_DIRS = np.array([(1, 0), (1, 1), (0, 1), (-1, 1),
+                    (-1, 0), (-1, -1), (0, -1), (1, -1)], np.int64)
+
+
+def d8_table(dens_ds, *, grid: int, nbuckets: int = 16):
+    """D8 terrain table over a sparse elevation field ``(gx, gy,
+    density)``: per nonzero cell the steepest-descent drop ``max(z -
+    z_nbr)`` over the 8 neighbors (absent cells = elevation 0), its
+    direction as the MINIMUM index among argmax ties (``D8_DIRS``
+    order pinned E,NE,N,NW,W,SW,S,SE; flats/pits emit -1), and the
+    strictly-higher-neighbor count — exact integers throughout.
+
+    The field STREAMS: each block fans its cells' elevations to the
+    9 affected targets (slot 8 = self; slot i = "I am your neighbor
+    in direction i", so source c serves target c - dir_i), one key
+    exchange co-locates each target's slots, the per-bucket kernel
+    scatters into a (cells x 9) matrix.  Output rows only for cells
+    that exist (z > 0).  Returns a Dataset ``(gx, gy, z, steepest,
+    aspect, n_higher)``."""
+    from ..functions.exchange import hash_exchange
+
+    N = grid
+
+    def fan(b: pa.Table) -> pa.Table:
+        gx = b["gx"].to_numpy(zero_copy_only=False)
+        gy = b["gy"].to_numpy(zero_copy_only=False)
+        z = b["density"].to_numpy(zero_copy_only=False)
+        n = len(gx)
+        tx = np.concatenate(
+            [gx - D8_DIRS[i, 0] for i in range(8)] + [gx])
+        ty = np.concatenate(
+            [gy - D8_DIRS[i, 1] for i in range(8)] + [gy])
+        slot = np.concatenate(
+            [np.full(n, i, np.int64) for i in range(8)]
+            + [np.full(n, 8, np.int64)])
+        zz = np.tile(z, 9)
+        keep = (tx >= 0) & (tx < N) & (ty >= 0) & (ty < N)
+        return pa.table({"cell": pa.array(tx[keep] * N + ty[keep]),
+                         "slot": pa.array(slot[keep]),
+                         "z": pa.array(zz[keep])})
+
+    def reduce_cells(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("gx", pa.int64()), ("gy", pa.int64()), ("z", pa.int64()),
+            ("steepest", pa.int64()), ("aspect", pa.int64()),
+            ("n_higher", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        slot = t["slot"].to_numpy(zero_copy_only=False)
+        z = t["z"].to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(cell, return_inverse=True)
+        zmat = np.zeros((len(uc), 9), np.int64)
+        zmat[inv, slot] = z
+        has_self = np.zeros(len(uc), bool)
+        has_self[inv[slot == 8]] = True
+        zmat = zmat[has_self]
+        uc = uc[has_self]
+        zs = zmat[:, 8]
+        drops = zs[:, None] - zmat[:, :8]
+        steepest = drops.max(axis=1)
+        aspect = np.where(steepest > 0, np.argmax(drops, axis=1), -1)
+        n_higher = (zmat[:, :8] > zs[:, None]).sum(axis=1)
+        return pa.table({
+            "gx": pa.array(uc // N), "gy": pa.array(uc % N),
+            "z": pa.array(zs),
+            "steepest": pa.array(steepest),
+            "aspect": pa.array(aspect.astype(np.int64)),
+            "n_higher": pa.array(n_higher.astype(np.int64))})
+
+    return hash_exchange(
+        dens_ds.map_batches(fan, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        nbuckets=nbuckets, on="cell", reduce_fn=reduce_cells)
+
+
+def flow_accumulation(d8: pa.Table, *, grid: int) -> np.ndarray:
+    """D8 flow accumulation over a BOUNDED terrain table (the same
+    driver-fold contract the viewshed uses): acc(c) = number of cells
+    whose steepest-descent pointer chain passes through c, including
+    c itself.  Pointers go strictly downhill (drop > 0 means the
+    target's z is strictly smaller), so the pointer graph is a forest
+    of in-trees and one pass over cells in DECREASING z order
+    finalizes each accumulation before it is pushed: all of a cell's
+    contributors sit strictly above it.  Chains pointing at absent
+    (zero) cells exit the field and accumulate nowhere.  Returns the
+    acc array aligned with the input rows."""
+    N = grid
+    gx = d8["gx"].to_numpy(zero_copy_only=False)
+    gy = d8["gy"].to_numpy(zero_copy_only=False)
+    z = d8["z"].to_numpy(zero_copy_only=False)
+    asp = d8["aspect"].to_numpy(zero_copy_only=False)
+    cells = gx * N + gy
+    order = np.argsort(cells)
+    scells = cells[order]
+    has_ptr = asp >= 0
+    tgt = np.where(has_ptr,
+                   (gx + D8_DIRS[np.maximum(asp, 0), 0]) * N
+                   + (gy + D8_DIRS[np.maximum(asp, 0), 1]),
+                   np.int64(-1))
+    pos = np.clip(np.searchsorted(scells, tgt), 0, len(scells) - 1)
+    tgt_idx = np.where(has_ptr & (scells[pos] == tgt),
+                       order[pos], np.int64(-1))
+    acc = np.ones(len(cells), np.int64)
+    # strictly-decreasing-z levels: all contributors of a cell live
+    # in strictly higher levels, so per-level scatter-adds are final
+    for lvl in np.unique(z)[::-1]:
+        m = np.flatnonzero((z == lvl) & (tgt_idx >= 0))
+        if len(m):
+            np.add.at(acc, tgt_idx[m], acc[m])
+    return acc

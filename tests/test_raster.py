@@ -601,3 +601,56 @@ def test_terrain_aspect_dense_brute_force(ray_session):
     want = sum(1 for x in range(N) for y in range(N)
                if z[x, y] > 0 and (x * 31 + y * 17) % 13 == 0)
     assert len(out) == want
+
+
+def test_flow_accumulation_brute_force():
+    """flow_accumulation vs a per-cell chain-walk brute force on a
+    random sparse field (pointer forest: strictly-downhill D8)."""
+    import pyarrow as pa
+
+    from geobuf_ray.spatial.raster import D8_DIRS, flow_accumulation
+
+    rng = np.random.RandomState(5)
+    N = 32
+    z = np.zeros((N, N), np.int64)
+    pts = rng.randint(1, N - 1, (60, 2))
+    for x, y in pts:
+        z[x - 1:x + 2, y - 1:y + 2] += rng.randint(1, 4)
+    xs, ys = np.nonzero(z)
+
+    rows = []
+    for x, y in zip(xs, ys):
+        drops = []
+        for dx, dy in D8_DIRS:
+            nx, ny = x + dx, y + dy
+            zn = z[nx, ny] if 0 <= nx < N and 0 <= ny < N else 0
+            drops.append(z[x, y] - zn)
+        steep = max(drops)
+        asp = drops.index(steep) if steep > 0 else -1
+        rows.append((x, y, z[x, y], steep, asp, 0))
+    t = pa.table({
+        "gx": pa.array([r[0] for r in rows], pa.int64()),
+        "gy": pa.array([r[1] for r in rows], pa.int64()),
+        "z": pa.array([r[2] for r in rows], pa.int64()),
+        "steepest": pa.array([r[3] for r in rows], pa.int64()),
+        "aspect": pa.array([r[4] for r in rows], pa.int64()),
+        "n_higher": pa.array([r[5] for r in rows], pa.int64())})
+    acc = flow_accumulation(t, grid=N)
+
+    # brute force: walk every cell's chain, count visits per cell
+    exists = {(r[0], r[1]): i for i, r in enumerate(rows)}
+    want = np.zeros(len(rows), np.int64)
+    for i, (x, y, _, _, asp, _) in enumerate(rows):
+        cx, cy = x, y
+        while True:
+            want[exists[(cx, cy)]] += 1
+            a = rows[exists[(cx, cy)]][4]
+            if a < 0:
+                break
+            nx, ny = cx + D8_DIRS[a][0], cy + D8_DIRS[a][1]
+            if (nx, ny) not in exists:
+                break
+            cx, cy = nx, ny
+    assert np.array_equal(acc, want)
+    # conservation: total accumulation == total chain length
+    assert acc.sum() == want.sum() and acc.min() >= 1
