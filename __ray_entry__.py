@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_clip_audit": q.audio_clip_audit,
         "rects_terrain_aspect": q.rects_terrain_aspect,
         "rects_flow_accumulation": q.rects_flow_accumulation,
+        "rects_watershed_basins": q.rects_watershed_basins,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -4395,6 +4396,67 @@ def oracle_sql() -> dict[str, str]:
             FROM ptr2 p2 JOIN acc ON acc.gx = p2.gx AND acc.gy = p2.gy
             WHERE (p2.gx*31 + p2.gy*17) % 13 = 0
             ORDER BY p2.gx, p2.gy
+        """,
+        "rects_watershed_basins": """
+            WITH RECURSIVE s AS (
+              SELECT (s_suppkey*37) % 248 AS a, (s_suppkey*53) % 248 AS b,
+                     s_suppkey % 3 + 1 AS sx, (s_suppkey*7) % 3 + 1 AS sy
+              FROM supplier),
+            p AS (
+              SELECT DISTINCT a + i.range AS gx, b + j.range AS gy
+              FROM s, range(0, 4) i, range(0, 4) j
+              WHERE i.range <= sx AND j.range <= sy),
+            dens AS (
+              SELECT p.gx + i.range - 2 AS gx, p.gy + j.range - 2 AS gy,
+                     CAST(COUNT(*) AS BIGINT) AS d
+              FROM p, range(0, 5) i, range(0, 5) j
+              WHERE p.gx + i.range - 2 BETWEEN 0 AND 255
+                AND p.gy + j.range - 2 BETWEEN 0 AND 255
+              GROUP BY 1, 2),
+            dirs AS (SELECT * FROM (VALUES (0,1,0),(1,1,1),(2,0,1),
+                     (3,-1,1),(4,-1,0),(5,-1,-1),(6,0,-1),(7,1,-1))
+                     AS t(i, dx, dy)),
+            j AS (SELECT c.gx, c.gy, c.d AS z, dd.i,
+                         COALESCE(nb.d, 0) AS zn
+                  FROM dens c CROSS JOIN dirs dd
+                  LEFT JOIN dens nb ON nb.gx = c.gx + dd.dx
+                      AND nb.gy = c.gy + dd.dy),
+            a1 AS (SELECT gx, gy, z, MAX(z - zn) AS steepest
+                   FROM j GROUP BY 1, 2, 3),
+            asp AS (SELECT j.gx, j.gy, MIN(j.i) AS mi
+                    FROM j JOIN a1 ON a1.gx = j.gx AND a1.gy = j.gy
+                    WHERE j.z - j.zn = a1.steepest GROUP BY 1, 2),
+            ptr AS (SELECT a1.gx, a1.gy, a1.z,
+                           CASE WHEN a1.steepest > 0 THEN asp.mi
+                                ELSE -1 END AS aspect
+                    FROM a1 JOIN asp ON asp.gx = a1.gx
+                        AND asp.gy = a1.gy),
+            ptr2 AS (SELECT pr.gx, pr.gy, pr.z, pr.aspect,
+                            pr.gx + d.dx AS tx, pr.gy + d.dy AS ty
+                     FROM ptr pr LEFT JOIN dirs d ON d.i = pr.aspect),
+            chain(ugx, ugy, cx, cy) AS (
+              SELECT gx, gy, gx, gy FROM ptr2
+              UNION ALL
+              SELECT c.ugx, c.ugy, n.gx, n.gy
+              FROM chain c
+              JOIN ptr2 pc ON pc.gx = c.cx AND pc.gy = c.cy
+              JOIN ptr2 n ON n.gx = pc.tx AND n.gy = pc.ty),
+            term AS (
+              SELECT c.ugx, c.ugy,
+                     CASE WHEN pc.aspect = -1
+                          THEN pc.gx * 256 + pc.gy
+                          ELSE -1 END AS basin
+              FROM chain c
+              JOIN ptr2 pc ON pc.gx = c.cx AND pc.gy = c.cy
+              LEFT JOIN ptr2 n ON n.gx = pc.tx AND n.gy = pc.ty
+              WHERE pc.aspect = -1 OR n.gx IS NULL)
+            SELECT CAST(t.basin AS BIGINT) AS basin,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(p2.z) AS BIGINT) AS sum_z,
+                   CAST(MAX(p2.z) AS BIGINT) AS max_z
+            FROM term t JOIN ptr2 p2
+              ON p2.gx = t.ugx AND p2.gy = t.ugy
+            GROUP BY t.basin ORDER BY basin
         """,
         "customers_k_anonymity": """
             WITH c AS (SELECT c_nationkey AS nation,

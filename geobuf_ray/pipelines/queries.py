@@ -14679,3 +14679,43 @@ def rects_flow_accumulation(sf_dir: str):
     o = np.lexsort((t["gy"].to_numpy(zero_copy_only=False),
                     t["gx"].to_numpy(zero_copy_only=False)))
     return t.take(pa.array(o))
+
+
+def rects_watershed_basins(sf_dir: str):
+    """Watershed segmentation — the basin-labeling step on top of the
+    D8 terrain family (slope/aspect -> accumulation -> basins): every
+    nonzero cell is labeled by the TERMINAL cell of its
+    steepest-descent pointer chain (a pit keeps its own cell id
+    gx*256+gy; a chain that steps onto an absent cell exits the field
+    into the shared basin -1), then basins aggregate to (n_cells,
+    sum_z, max_z).  One increasing-z pass finalizes every label —
+    the exact mirror of the accumulation fold's decreasing-z pass —
+    as bounded driver arithmetic over the O(nonzero cells) terrain
+    table (the viewshed fold's contract); the terrain table itself
+    streams through the D8 fan/exchange.  Hash-checked vs a
+    recursive-CTE chain-walk twin that picks each chain's last
+    in-field cell."""
+    import ray
+
+    from ..collect import collect_table
+    from ..spatial.polygonize import union_tile_masks
+    from ..spatial.raster import (box_density, d8_table,
+                                  rasterize_polygons, watershed_labels)
+
+    polys = ray.data.from_arrow(_dyadic_rects(sf_dir))
+    raster = rasterize_polygons(polys, ntiles=32, px=8, id_col="id")
+    occ = union_tile_masks(raster, px=8, nbuckets=16)
+    dens = box_density(occ, ntiles=32, px=8, radius=2, nbuckets=16)
+    d8 = collect_table(d8_table(dens, grid=256, nbuckets=16))
+    basin, _ = watershed_labels(d8, grid=256)
+    z = d8["z"].to_numpy(zero_copy_only=False)
+    ub, inv = np.unique(basin, return_inverse=True)
+    n_cells = np.bincount(inv, minlength=len(ub))
+    sum_z = np.bincount(inv, weights=z,
+                        minlength=len(ub)).astype(np.int64)
+    max_z = np.zeros(len(ub), np.int64)
+    np.maximum.at(max_z, inv, z)
+    return pa.table({
+        "basin": pa.array(ub.astype(np.int64)),
+        "n_cells": pa.array(n_cells.astype(np.int64)),
+        "sum_z": pa.array(sum_z), "max_z": pa.array(max_z)})

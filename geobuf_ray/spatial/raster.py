@@ -932,3 +932,42 @@ def flow_accumulation(d8: pa.Table, *, grid: int) -> np.ndarray:
         if len(m):
             np.add.at(acc, tgt_idx[m], acc[m])
     return acc
+
+
+def watershed_labels(d8: pa.Table, *, grid: int):
+    """Watershed basin labels over a BOUNDED terrain table — the
+    segmentation that flow accumulation's counts imply: every cell is
+    labeled by the TERMINAL cell of its steepest-descent pointer
+    chain.  A chain ends at a pit (aspect == -1; basin = that cell's
+    id ``gx*grid+gy``) or by stepping onto an absent cell, leaving
+    the field (basin = -1, the shared "exit" basin).  Pointers go
+    strictly downhill, so one pass in INCREASING z order finalizes
+    every label before it is read: a cell's target sits strictly
+    below it and was already resolved (the mirror of the
+    decreasing-z accumulation pass).  Bounded driver arithmetic over
+    the O(nonzero cells) table — the viewshed/accumulation fold's
+    contract.  Returns (basin, is_exit) arrays aligned with the
+    input rows."""
+    N = grid
+    gx = d8["gx"].to_numpy(zero_copy_only=False)
+    gy = d8["gy"].to_numpy(zero_copy_only=False)
+    z = d8["z"].to_numpy(zero_copy_only=False)
+    asp = d8["aspect"].to_numpy(zero_copy_only=False)
+    cells = gx * N + gy
+    order = np.argsort(cells)
+    scells = cells[order]
+    has_ptr = asp >= 0
+    tgt = np.where(has_ptr,
+                   (gx + D8_DIRS[np.maximum(asp, 0), 0]) * N
+                   + (gy + D8_DIRS[np.maximum(asp, 0), 1]),
+                   np.int64(-1))
+    pos = np.clip(np.searchsorted(scells, tgt), 0, len(scells) - 1)
+    tgt_idx = np.where(has_ptr & (scells[pos] == tgt),
+                       order[pos], np.int64(-1))
+    # pits own their cell id; pointers onto absent cells exit (-1)
+    basin = np.where(asp < 0, cells, np.int64(-1))
+    for lvl in np.unique(z):
+        m = np.flatnonzero((z == lvl) & (tgt_idx >= 0))
+        if len(m):
+            basin[m] = basin[tgt_idx[m]]
+    return basin, basin == -1

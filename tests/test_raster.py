@@ -654,3 +654,64 @@ def test_flow_accumulation_brute_force():
     assert np.array_equal(acc, want)
     # conservation: total accumulation == total chain length
     assert acc.sum() == want.sum() and acc.min() >= 1
+
+
+def test_watershed_labels_brute_force():
+    """watershed_labels vs a per-cell chain-walk brute force on a
+    random sparse field: pits own their cell id, exits share -1, and
+    labels are consistent with flow accumulation (the pit's acc ==
+    its basin's cell count when no chain through it exits)."""
+    import pyarrow as pa
+
+    from geobuf_ray.spatial.raster import D8_DIRS, watershed_labels
+
+    rng = np.random.RandomState(11)
+    N = 32
+    z = np.zeros((N, N), np.int64)
+    pts = rng.randint(1, N - 1, (60, 2))
+    for x, y in pts:
+        z[x - 1:x + 2, y - 1:y + 2] += rng.randint(1, 4)
+    xs, ys = np.nonzero(z)
+
+    rows = []
+    for x, y in zip(xs, ys):
+        drops = []
+        for dx, dy in D8_DIRS:
+            nx, ny = x + dx, y + dy
+            zn = z[nx, ny] if 0 <= nx < N and 0 <= ny < N else 0
+            drops.append(z[x, y] - zn)
+        steep = max(drops)
+        asp = drops.index(steep) if steep > 0 else -1
+        rows.append((x, y, int(z[x, y]), steep, asp, 0))
+    t = pa.table({
+        "gx": pa.array([r[0] for r in rows], pa.int64()),
+        "gy": pa.array([r[1] for r in rows], pa.int64()),
+        "z": pa.array([r[2] for r in rows], pa.int64()),
+        "steepest": pa.array([r[3] for r in rows], pa.int64()),
+        "aspect": pa.array([r[4] for r in rows], pa.int64()),
+        "n_higher": pa.array([r[5] for r in rows], pa.int64())})
+    basin, is_exit = watershed_labels(t, grid=N)
+
+    exists = {(r[0], r[1]): i for i, r in enumerate(rows)}
+    want = np.empty(len(rows), np.int64)
+    for i, (x, y, _, _, asp, _) in enumerate(rows):
+        cx, cy = x, y
+        while True:
+            a = rows[exists[(cx, cy)]][4]
+            if a < 0:
+                want[i] = cx * N + cy
+                break
+            nx, ny = cx + D8_DIRS[a][0], cy + D8_DIRS[a][1]
+            if (nx, ny) not in exists:
+                want[i] = -1
+                break
+            cx, cy = nx, ny
+    assert np.array_equal(basin, want)
+    assert np.array_equal(is_exit, want == -1)
+    # pits are fixed points of their own basin; at least one of each
+    for i, (x, y, _, _, asp, _) in enumerate(rows):
+        if asp < 0:
+            assert basin[i] == x * N + y
+    assert (basin == -1).any() or (basin >= 0).all()
+    assert len(np.unique(basin[basin >= 0])) == \
+        sum(1 for r in rows if r[4] < 0)
