@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_terrain_aspect": q.rects_terrain_aspect,
         "rects_flow_accumulation": q.rects_flow_accumulation,
         "rects_watershed_basins": q.rects_watershed_basins,
+        "events_pattern_match": q.events_pattern_match,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -4396,6 +4397,25 @@ def oracle_sql() -> dict[str, str]:
             FROM ptr2 p2 JOIN acc ON acc.gx = p2.gx AND acc.gy = p2.gy
             WHERE (p2.gx*31 + p2.gy*17) % 13 = 0
             ORDER BY p2.gx, p2.gy
+        """,
+        "events_pattern_match": """
+            WITH seq AS (
+              SELECT user_id,
+                     string_agg(substr(event_type, 1, 1), ''
+                                ORDER BY ts, event_id) AS s
+              FROM events GROUP BY user_id),
+            pats AS (SELECT * FROM (VALUES ('ee+'), ('sv'),
+                     ('v[cs]*p')) AS t(pattern)),
+            m AS (SELECT p.pattern,
+                         CAST(len(regexp_extract_all(u.s, p.pattern))
+                              AS BIGINT) AS k
+                  FROM seq u CROSS JOIN pats p)
+            SELECT pattern,
+                   CAST(SUM(k) AS BIGINT) AS n_matches,
+                   CAST(SUM(CASE WHEN k > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_users,
+                   CAST(MAX(k) AS BIGINT) AS max_per_user
+            FROM m GROUP BY pattern ORDER BY pattern
         """,
         "rects_watershed_basins": """
             WITH RECURSIVE s AS (

@@ -1117,3 +1117,78 @@ def sliding_median(ds, key: str, order_cols: list[str], value: str,
     return hash_exchange(ds, nbuckets=nbuckets, on=key,
                          reduce_fn=kernel, schema=out_schema,
                          **map_kwargs)
+
+
+def pattern_match_counts(ds, *, key: str, order: str, state: str,
+                         patterns: list[str],
+                         tiebreak: str | None = None,
+                         nbuckets: int = 64):
+    """MATCH_RECOGNIZE-lite: per ``key``, order rows by (``order``,
+    ``tiebreak``), render each key's state sequence as a string of
+    FIRST CHARACTERS of ``state``, and count the leftmost
+    NON-OVERLAPPING occurrences of each regex in ``patterns`` —
+    ``re.findall`` semantics, identical to RE2's
+    ``regexp_extract_all`` so a ``string_agg(substr(state,1,1))``
+    SQL twin is exact.
+
+    Shape: one hash exchange on ``key`` co-locates each key's rows so
+    every sequence is complete inside exactly one bucket; the bucket
+    kernel is vectorized up to the per-key regex scan (one lexsort,
+    dictionary-encoded first-char gather, one contiguous byte buffer
+    sliced per key segment — the only Python loop is one
+    ``findall`` per (key, pattern), bounded by keys-per-bucket) and
+    collapses immediately to ``len(patterns)`` partial rows
+    (pattern, n_matches, n_users, max_per_user) — the combiner
+    discipline: no per-key rows leave a bucket.  The caller sums /
+    maxes partials across buckets."""
+    import re
+
+    from .exchange import hash_exchange
+
+    compiled = [(p, re.compile(p)) for p in sorted(patterns)]
+    out_schema = pa.schema([
+        ("pattern", pa.string()), ("n_matches", pa.int64()),
+        ("n_users", pa.int64()), ("max_per_user", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            return out_schema.empty_table()
+        codes = _key_codes(tbl, key)
+        ov = _order_values(tbl, order)
+        senc = tbl[state].combine_chunks().dictionary_encode()
+        scode = senc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # first byte per dictionary value; null state -> \x00 (never
+        # matched by the printable patterns callers pass)
+        first = np.frombuffer(
+            b"".join((s.as_py() or "\x00")[:1].encode("latin1")
+                     or b"\x00" for s in senc.dictionary),
+            np.uint8)
+        keys_sort = (ov, codes) if tiebreak is None else \
+            (_order_values(tbl, tiebreak), ov, codes)
+        sel = np.lexsort(keys_sort)
+        cs = codes[sel]
+        chars = np.where(scode[sel] >= 0, first[scode[sel]],
+                         np.uint8(0)).astype(np.uint8)
+        buf = chars.tobytes()
+        bounds = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(cs)]))
+        nm = np.zeros(len(compiled), np.int64)
+        nu = np.zeros(len(compiled), np.int64)
+        mx = np.zeros(len(compiled), np.int64)
+        for st, en in zip(starts, ends):
+            s = buf[st:en].decode("latin1")
+            for i, (_, rx) in enumerate(compiled):
+                k = len(rx.findall(s))
+                nm[i] += k
+                nu[i] += k > 0
+                if k > mx[i]:
+                    mx[i] = k
+        return pa.table({
+            "pattern": pa.array([p for p, _ in compiled]),
+            "n_matches": pa.array(nm), "n_users": pa.array(nu),
+            "max_per_user": pa.array(mx)})
+
+    return hash_exchange(ds, nbuckets=nbuckets, on=key,
+                         reduce_fn=kernel, schema=out_schema)

@@ -14719,3 +14719,37 @@ def rects_watershed_basins(sf_dir: str):
         "basin": pa.array(ub.astype(np.int64)),
         "n_cells": pa.array(n_cells.astype(np.int64)),
         "sum_z": pa.array(sum_z), "max_z": pa.array(max_z)})
+
+
+def events_pattern_match(sf_dir: str):
+    """MATCH_RECOGNIZE-lite sequence-pattern scan
+    (functions/window.pattern_match_counts): per user, events in (ts,
+    event_id) order render as a string of event-type initials
+    (c/e/p/s/v) and three behavioral regexes count leftmost
+    non-overlapping matches — 'ee+' (error bursts), 'sv'
+    (signup immediately after view), 'v[cs]*p' (view converting to
+    purchase through only clicks/signups).  One user-hash exchange
+    co-locates each sequence; the bucket kernel collapses to 3
+    partial rows (combiner discipline), so only |patterns| x
+    |buckets| rows reach the driver.  re.findall and RE2's
+    regexp_extract_all share leftmost non-overlapping semantics, so
+    the string_agg + regexp_extract_all SQL twin hash-checks
+    exactly."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.window import pattern_match_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    parts = collect_table(pattern_match_counts(
+        ds, key="user_id", order="ts", state="event_type",
+        patterns=["ee+", "sv", "v[cs]*p"], tiebreak="event_id",
+        nbuckets=32))
+    agg = parts.group_by(["pattern"]).aggregate(
+        [("n_matches", "sum"), ("n_users", "sum"),
+         ("max_per_user", "max")]).rename_columns(
+        ["pattern", "n_matches", "n_users", "max_per_user"])
+    o = np.argsort(agg["pattern"].to_numpy(zero_copy_only=False))
+    return agg.take(pa.array(o))

@@ -536,3 +536,50 @@ def test_sliding_median_scalar_and_boundaries(ray_session):
 
     with _pt.raises(ValueError):
         sliding_median(ray.data.from_arrow(tbl), "k", ["t"], "v", w=4)
+
+
+def test_pattern_match_counts_brute_force(ray_session):
+    """pattern_match_counts vs a per-user re.findall replay on random
+    sequences — including bucket invariance, an empty-match pattern,
+    and a user whose events interleave across input blocks."""
+    import re
+
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.window import pattern_match_counts
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    users = rng.randint(0, 80, n)
+    ts = rng.permutation(n).astype(np.int64)
+    types = np.array(["alpha", "beta", "gamma"])[rng.randint(0, 3, n)]
+    tbl = pa.table({"u": pa.array(users), "t": pa.array(ts),
+                    "i": pa.array(np.arange(n)),
+                    "s": pa.array(types)})
+    pats = ["ab+", "g", "zz", "a[bg]*a"]
+
+    want = {p: [0, 0, 0] for p in pats}
+    df = tbl.to_pandas().sort_values(["u", "t", "i"])
+    for _, g in df.groupby("u"):
+        s = "".join(x[0] for x in g["s"])
+        for p in pats:
+            k = len(re.findall(p, s))
+            want[p][0] += k
+            want[p][1] += k > 0
+            want[p][2] = max(want[p][2], k)
+
+    for nb in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        out = collect_table(pattern_match_counts(
+            ds, key="u", order="t", state="s", patterns=pats,
+            tiebreak="i", nbuckets=nb))
+        agg = out.group_by(["pattern"]).aggregate(
+            [("n_matches", "sum"), ("n_users", "sum"),
+             ("max_per_user", "max")])
+        got = {r["pattern"]: (r["n_matches_sum"], r["n_users_sum"],
+                              r["max_per_user_max"])
+               for r in agg.to_pylist()}
+        for p in pats:
+            assert got[p] == tuple(want[p]), (nb, p, got[p], want[p])
+        assert got["zz"] == (0, 0, 0)
