@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_flow_accumulation": q.rects_flow_accumulation,
         "rects_watershed_basins": q.rects_watershed_basins,
         "events_pattern_match": q.events_pattern_match,
+        "suppliers_voronoi_areas": q.suppliers_voronoi_areas,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -4397,6 +4398,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ptr2 p2 JOIN acc ON acc.gx = p2.gx AND acc.gy = p2.gy
             WHERE (p2.gx*31 + p2.gy*17) % 13 = 0
             ORDER BY p2.gx, p2.gy
+        """,
+        "suppliers_voronoi_areas": """
+            WITH s AS (
+              SELECT s_suppkey,
+                     (s_suppkey*7919) % 36000 - 18000 AS sx,
+                     (s_suppkey*104729) % 17000 - 8500 AS sy
+              FROM supplier),
+            g AS (SELECT i.range AS cx, j.range AS cy,
+                         -18000 + i.range*300 + 150 AS px,
+                         -8500 + j.range*200 + 100 AS py
+                  FROM range(0, 120) i, range(0, 85) j),
+            w AS (SELECT g.cx, g.cy, s.s_suppkey
+                  FROM g CROSS JOIN s
+                  QUALIFY ROW_NUMBER() OVER (
+                      PARTITION BY g.cx, g.cy
+                      ORDER BY (px-sx)*(px-sx) + (py-sy)*(py-sy),
+                               s.s_suppkey) = 1)
+            SELECT s_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(MIN(cx) AS BIGINT) AS min_cx,
+                   CAST(MAX(cx) AS BIGINT) AS max_cx,
+                   CAST(MIN(cy) AS BIGINT) AS min_cy,
+                   CAST(MAX(cy) AS BIGINT) AS max_cy
+            FROM w GROUP BY s_suppkey ORDER BY s_suppkey
         """,
         "events_pattern_match": """
             WITH seq AS (

@@ -14753,3 +14753,58 @@ def events_pattern_match(sf_dir: str):
         ["pattern", "n_matches", "n_users", "max_per_user"])
     o = np.argsort(agg["pattern"].to_numpy(zero_copy_only=False))
     return agg.take(pa.array(o))
+
+
+def suppliers_voronoi_areas(sf_dir: str):
+    """Discrete Voronoi diagram of the supplier sites
+    (spatial/raster.voronoi_label_grid): a 120x85 grid over the
+    integer centidegree plane ([-18000,18000] x [-8500,8500], cells
+    300x200 with integer centers) labels every cell with its nearest
+    supplier by squared planar distance, ties to the smallest
+    suppkey; per supplier the region aggregates to its discrete area
+    (cell count) and bounding cell box — the service-area /
+    catchment primitive.  The site table broadcasts ONCE via
+    ray.put pre-sorted so argmin's first-occurrence rule IS the
+    min-key tie-break; the grid streams in batches (O(batch x
+    nsites) memory, grid never materializes) and per-supplier
+    partials bound what reaches the driver.  All-integer arithmetic,
+    hash-checked vs a CROSS JOIN + QUALIFY ROW_NUMBER SQL twin."""
+    import duckdb
+    import ray
+
+    from ..spatial.raster import voronoi_label_grid
+
+    sup = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet'"
+    ).fetch_arrow_table()
+    keys = sup["s_suppkey"].to_numpy().astype(np.int64)
+    sites = pa.table({
+        "id": pa.array(keys),
+        "x": pa.array((keys * 7919) % 36000 - 18000),
+        "y": pa.array((keys * 104729) % 17000 - 8500)})
+    labeled = voronoi_label_grid(
+        sites, gx=120, gy=85, x0=-18000, y0=-8500, cw=300, ch=200)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "s_suppkey": b["site"],
+            "n_cells": pa.array(np.ones(b.num_rows, np.int64)),
+            "min_cx": b["cx"], "max_cx": b["cx"],
+            "min_cy": b["cy"], "max_cy": b["cy"]})
+        return t.group_by(["s_suppkey"]).aggregate(
+            [("n_cells", "sum"), ("min_cx", "min"), ("max_cx", "max"),
+             ("min_cy", "min"), ("max_cy", "max")]).rename_columns(
+            ["s_suppkey", "n_cells", "min_cx", "max_cx",
+             "min_cy", "max_cy"])
+
+    from ..collect import collect_table
+
+    parts = collect_table(labeled.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    agg = parts.group_by(["s_suppkey"]).aggregate(
+        [("n_cells", "sum"), ("min_cx", "min"), ("max_cx", "max"),
+         ("min_cy", "min"), ("max_cy", "max")]).rename_columns(
+        ["s_suppkey", "n_cells", "min_cx", "max_cx",
+         "min_cy", "max_cy"])
+    o = np.argsort(agg["s_suppkey"].to_numpy(zero_copy_only=False))
+    return agg.take(pa.array(o))

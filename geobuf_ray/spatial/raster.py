@@ -971,3 +971,57 @@ def watershed_labels(d8: pa.Table, *, grid: int):
         if len(m):
             basin[m] = basin[tgt_idx[m]]
     return basin, basin == -1
+
+
+def voronoi_label_grid(sites: pa.Table, *, gx: int, gy: int,
+                       x0: int, y0: int, cw: int, ch: int,
+                       id_col: str = "id", x_col: str = "x",
+                       y_col: str = "y", batch_rows: int = 8192):
+    """Discrete Voronoi labeling: every cell of a ``gx x gy`` grid is
+    assigned its NEAREST site by squared planar distance from the
+    cell's center ``(x0 + cx*cw + cw//2, y0 + cy*ch + ch//2)``, ties
+    broken by the smallest site id — all integer arithmetic, so the
+    labeling is bit-stable and a CROSS JOIN + QUALIFY SQL twin is
+    exact.
+
+    Shape: the (small) site table ships ONCE via ``ray.put``
+    pre-sorted by id so ``argmin``'s first-occurrence rule IS the
+    min-id tie-break; the grid itself never materializes — cells
+    stream from ``ray.data.range(gx*gy)`` and each batch computes its
+    ``(batch, nsites)`` distance matrix vectorized, so memory is
+    O(batch_rows x nsites) per task regardless of grid size.  Returns
+    a Dataset ``(cx, cy, site)``."""
+    import ray
+
+    order = np.argsort(sites[id_col].to_numpy(zero_copy_only=False))
+    ids = sites[id_col].to_numpy(zero_copy_only=False)[order] \
+        .astype(np.int64)
+    sx = sites[x_col].to_numpy(zero_copy_only=False)[order] \
+        .astype(np.int64)
+    sy = sites[y_col].to_numpy(zero_copy_only=False)[order] \
+        .astype(np.int64)
+    ref = ray.put((ids, sx, sy))
+
+    class LabelFn:
+        def __init__(self):
+            self.ids, self.sx, self.sy = ray.get(ref)
+
+        def __call__(self, batch) -> pa.Table:
+            cell = batch["id"].astype(np.int64)
+            cx = cell // gy
+            cy = cell % gy
+            px = x0 + cx * cw + cw // 2
+            py = y0 + cy * ch + ch // 2
+            d2 = ((px[:, None] - self.sx[None, :]) ** 2
+                  + (py[:, None] - self.sy[None, :]) ** 2)
+            near = np.argmin(d2, axis=1)
+            return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                             "site": pa.array(self.ids[near])})
+
+    grid = ray.data.range(gx * gy, override_num_blocks=max(
+        1, (gx * gy) // batch_rows))
+    # autoscaling pool with min 1: a fixed pool the size of the CPU
+    # count would starve the ReadRange tasks that feed it (deadlock
+    # observed under the 4-cpu test session)
+    return grid.map_batches(LabelFn, batch_format="numpy",
+                            batch_size=batch_rows, concurrency=(1, 4))

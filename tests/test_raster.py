@@ -715,3 +715,35 @@ def test_watershed_labels_brute_force():
     assert (basin == -1).any() or (basin >= 0).all()
     assert len(np.unique(basin[basin >= 0])) == \
         sum(1 for r in rows if r[4] < 0)
+
+
+def test_voronoi_label_grid_brute_force(ray_session):
+    """voronoi_label_grid vs a dense numpy argmin replay — random
+    sites plus two COINCIDENT sites (the tie must go to the smaller
+    id) and a site outside the grid's bbox."""
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.spatial.raster import voronoi_label_grid
+
+    ids = np.array([9, 2, 5, 17, 3, 40], np.int64)
+    sx = np.array([10, 95, 95, -50, 42, 400], np.int64)
+    sy = np.array([7, 33, 33, 20, -8, 400], np.int64)  # 2 and 5 coincide
+    sites = pa.table({"id": pa.array(ids),
+                      "x": pa.array(sx), "y": pa.array(sy)})
+    GX, GY, X0, Y0, CW, CH = 12, 9, -60, -20, 14, 6
+    out = collect_table(voronoi_label_grid(
+        sites, gx=GX, gy=GY, x0=X0, y0=Y0, cw=CW, ch=CH,
+        batch_rows=16))
+    assert out.num_rows == GX * GY
+    got = {(r["cx"], r["cy"]): r["site"] for r in out.to_pylist()}
+    order = np.argsort(ids)
+    for cx in range(GX):
+        for cy in range(GY):
+            px = X0 + cx * CW + CW // 2
+            py = Y0 + cy * CH + CH // 2
+            d2 = (px - sx[order]) ** 2 + (py - sy[order]) ** 2
+            want = ids[order][np.argmin(d2)]
+            assert got[(cx, cy)] == want, (cx, cy)
+    # the coincident pair: id 5 never wins a cell (2 < 5 at equal d2)
+    assert 5 not in set(got.values())
