@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rects_watershed_basins": q.rects_watershed_basins,
         "events_pattern_match": q.events_pattern_match,
         "suppliers_voronoi_areas": q.suppliers_voronoi_areas,
+        "suppliers_closeness": q.suppliers_closeness,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -4398,6 +4399,33 @@ def oracle_sql() -> dict[str, str]:
             FROM ptr2 p2 JOIN acc ON acc.gx = p2.gx AND acc.gy = p2.gy
             WHERE (p2.gx*31 + p2.gy*17) % 13 = 0
             ORDER BY p2.gx, p2.gy
+        """,
+        "suppliers_closeness": """
+            WITH RECURSIVE e AS (
+              SELECT s_suppkey AS a, s_suppkey - (s_suppkey % 7) AS b
+              FROM supplier
+              UNION ALL
+              SELECT s_suppkey - (s_suppkey % 7), s_suppkey FROM supplier
+              UNION ALL
+              SELECT s_suppkey, s_suppkey - 1 FROM supplier
+              WHERE s_suppkey % 10 = 0
+              UNION ALL
+              SELECT s_suppkey - 1, s_suppkey FROM supplier
+              WHERE s_suppkey % 10 = 0
+            ),
+            walk(src, node, d) AS (
+              SELECT s_suppkey, s_suppkey, 0 FROM supplier
+              UNION
+              SELECT walk.src, e.b, walk.d + 1
+              FROM walk JOIN e ON e.a = walk.node
+              WHERE walk.d < 63
+            ),
+            md AS (SELECT src, node, MIN(d) AS d
+                   FROM walk GROUP BY src, node)
+            SELECT src AS node,
+                   CAST(SUM(d) AS BIGINT) AS farness,
+                   CAST(COUNT(*) AS BIGINT) AS n_reached
+            FROM md GROUP BY src ORDER BY src
         """,
         "suppliers_voronoi_areas": """
             WITH s AS (

@@ -1389,3 +1389,78 @@ def strongly_connected_components(edges, *, src: str = "src",
     t = collect_table(out)
     node = _np(t["node"])
     return t.take(pa.array(np.argsort(node)))
+
+
+def all_pairs_hops(edges, sources, *, src: str = "src",
+                   dst: str = "dst", directed: bool = True,
+                   max_rounds: int = 64, batch_sources: int = 64,
+                   max_nodes: int = 8192):
+    """Exact farness / closeness ingredients from every source: BFS
+    hop distances to all reachable nodes, collapsed per source to
+    ``(node, farness, n_reached)`` where farness = sum of hop
+    distances (exact int) and n_reached counts reachable nodes
+    (including the source at distance 0).
+
+    Regime: the edge list is collected ONCE, compacted to a dense
+    node index + boolean adjacency, and broadcast via ``ray.put`` —
+    the metadata-scale-graph regime (supplier networks, admin
+    hierarchies) where per-source BFS becomes embarrassingly
+    parallel: sources stream in batches and each task runs a
+    LEVEL-SYNCHRONOUS matrix BFS for its whole batch at once (one
+    uint8 matmul per round for all its sources — no per-node Python).
+    Graphs too large to broadcast belong to :func:`bfs_hops`'s
+    pre-split edge-bucket rounds instead; ``max_nodes`` guards the
+    O(N^2) adjacency against silent misuse."""
+    import ray
+
+    from ..collect import collect_table
+
+    et = collect_table(edges.select_columns([src, dst]))
+    a = et[src].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = et[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+    if not directed:
+        a, b = np.concatenate([a, b]), np.concatenate([b, a])
+    srcs = np.asarray(sources, np.int64)
+    nodes = np.unique(np.concatenate([a, b, srcs]))
+    n = len(nodes)
+    if n > max_nodes:
+        raise ValueError(
+            f"all_pairs_hops broadcast regime is for graphs that fit "
+            f"a worker ({n} nodes > max_nodes={max_nodes}); use "
+            f"bfs_hops' exchange rounds for larger graphs")
+    adj = np.zeros((n, n), np.uint8)
+    adj[np.searchsorted(nodes, a), np.searchsorted(nodes, b)] = 1
+    ref = ray.put((nodes, adj))
+
+    class BFSFn:
+        def __init__(self):
+            self.nodes, self.adj = ray.get(ref)
+
+        def __call__(self, batch) -> pa.Table:
+            s = batch["node"].astype(np.int64)
+            si = np.searchsorted(self.nodes, s)
+            m = len(s)
+            nn = len(self.nodes)
+            dist = np.full((m, nn), -1, np.int64)
+            frontier = np.zeros((m, nn), bool)
+            frontier[np.arange(m), si] = True
+            dist[np.arange(m), si] = 0
+            r = 0
+            while frontier.any() and r < max_rounds:
+                r += 1
+                hit = (frontier.astype(np.uint8) @ self.adj) > 0
+                new = hit & (dist < 0)
+                dist[new] = r
+                frontier = new
+            reached = dist >= 0
+            return pa.table({
+                "node": pa.array(s),
+                "farness": pa.array(
+                    np.where(reached, dist, 0).sum(axis=1)),
+                "n_reached": pa.array(
+                    reached.sum(axis=1).astype(np.int64))})
+
+    ds = ray.data.from_arrow(pa.table({"node": pa.array(srcs)}))
+    return ds.map_batches(BFSFn, batch_format="numpy",
+                          batch_size=batch_sources,
+                          concurrency=(1, 4))

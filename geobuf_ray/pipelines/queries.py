@@ -14808,3 +14808,34 @@ def suppliers_voronoi_areas(sf_dir: str):
          "min_cy", "max_cy"])
     o = np.argsort(agg["s_suppkey"].to_numpy(zero_copy_only=False))
     return agg.take(pa.array(o))
+
+
+def suppliers_closeness(sf_dir: str):
+    """Closeness centrality's exact-integer ingredients over the
+    deterministic supplier graph (functions/graph.all_pairs_hops):
+    per node its FARNESS (sum of BFS hop distances to every reachable
+    node) and reach count — the centrality ranking the BFS family
+    implies but one source at a time cannot produce.  The graph is
+    metadata-scale, so the edge list broadcasts ONCE as a dense node
+    index + boolean adjacency and per-source BFS becomes
+    embarrassingly parallel: source batches stream through a
+    level-synchronous MATRIX BFS (one uint8 matmul per round covers
+    the whole batch); graphs too large to broadcast stay with
+    bfs_hops' exchange rounds.  Hash-checked vs an all-sources
+    recursive-CTE walk with MIN(d) per (src, node)."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.graph import all_pairs_hops
+
+    keys = _supplier_keys(sf_dir)
+    bridged = keys[keys % 10 == 0]
+    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
+    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a, pa.int64()),
+        "dst": pa.array(b, pa.int64())})).repartition(4)
+    out = collect_table(all_pairs_hops(edges, keys, directed=True,
+                                       batch_sources=64))
+    o = np.argsort(out["node"].to_numpy(zero_copy_only=False))
+    return out.take(pa.array(o))

@@ -623,3 +623,48 @@ def test_scc_local_brute_force_and_distributed(ray_session):
     m2 = loc.merge(dist, on="node", suffixes=("_l", "_d"))
     assert len(m2) == len(loc)
     assert (m2["scc_l"] == m2["scc_d"]).all()
+
+
+def test_all_pairs_hops_brute_force(ray_session):
+    """all_pairs_hops vs a per-source scalar BFS replay on a random
+    directed graph with a disconnected island and an isolated
+    source."""
+    from collections import deque
+
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.graph import all_pairs_hops
+
+    rng = np.random.RandomState(13)
+    n_nodes = 40
+    a = rng.randint(0, n_nodes, 120)
+    b = rng.randint(0, n_nodes, 120)
+    # island 100..102 and isolated source 200
+    a = np.concatenate([a, [100, 101]])
+    b = np.concatenate([b, [101, 102]])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a, pa.int64()),
+        "dst": pa.array(b, pa.int64())})).repartition(3)
+    sources = np.concatenate([np.arange(n_nodes), [100, 200]])
+
+    out = collect_table(all_pairs_hops(edges, sources, directed=True,
+                                       batch_sources=7))
+    got = {r["node"]: (r["farness"], r["n_reached"])
+           for r in out.to_pylist()}
+    assert len(got) == len(sources)
+
+    adj = {}
+    for x, y in zip(a, b):
+        adj.setdefault(int(x), set()).add(int(y))
+    for s in sources:
+        dist = {int(s): 0}
+        dq = deque([int(s)])
+        while dq:
+            u = dq.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        assert got[int(s)] == (sum(dist.values()), len(dist)), s
+    assert got[200] == (0, 1)
