@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pattern_match": q.events_pattern_match,
         "suppliers_voronoi_areas": q.suppliers_voronoi_areas,
         "suppliers_closeness": q.suppliers_closeness,
+        "events_dtw_pairs": q.events_dtw_pairs,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -4399,6 +4400,42 @@ def oracle_sql() -> dict[str, str]:
             FROM ptr2 p2 JOIN acc ON acc.gx = p2.gx AND acc.gy = p2.gy
             WHERE (p2.gx*31 + p2.gy*17) % 13 = 0
             ORDER BY p2.gx, p2.gy
+        """,
+        "events_dtw_pairs": """
+            WITH RECURSIVE seq AS (
+              SELECT user_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) - 1 AS BIGINT) AS i,
+                     (event_id*37) % 200 AS x,
+                     (event_id*53) % 200 AS y
+              FROM events
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) <= 5),
+            elig AS (SELECT user_id FROM seq GROUP BY user_id
+                     HAVING COUNT(*) = 5),
+            pairs AS (SELECT a.user_id AS ua, b.user_id AS ub
+                      FROM elig a JOIN elig b
+                        ON b.user_id = a.user_id + 1
+                      WHERE a.user_id % 2 = 0),
+            cost AS (SELECT p.ua, p.ub, sa.i AS i, sb.i AS j,
+                            (sa.x-sb.x)*(sa.x-sb.x)
+                            + (sa.y-sb.y)*(sa.y-sb.y) AS d
+                     FROM pairs p
+                     JOIN seq sa ON sa.user_id = p.ua
+                     JOIN seq sb ON sb.user_id = p.ub),
+            paths(ua, ub, i, j, c) AS (
+              SELECT ua, ub, i, j, d FROM cost WHERE i = 0 AND j = 0
+              UNION
+              SELECT c2.ua, c2.ub, c2.i, c2.j, p.c + c2.d
+              FROM paths p JOIN cost c2
+                ON c2.ua = p.ua AND c2.ub = p.ub
+               AND ((c2.i = p.i + 1 AND c2.j = p.j)
+                    OR (c2.i = p.i AND c2.j = p.j + 1)
+                    OR (c2.i = p.i + 1 AND c2.j = p.j + 1)))
+            SELECT ua AS user_a, ub AS user_b,
+                   CAST(MIN(c) AS BIGINT) AS dtw_cost
+            FROM paths WHERE i = 4 AND j = 4
+            GROUP BY ua, ub ORDER BY ua
         """,
         "suppliers_closeness": """
             WITH RECURSIVE e AS (

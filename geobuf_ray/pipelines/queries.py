@@ -14839,3 +14839,88 @@ def suppliers_closeness(sf_dir: str):
                                        batch_sources=64))
     o = np.argsort(out["node"].to_numpy(zero_copy_only=False))
     return out.take(pa.array(o))
+
+
+def events_dtw_pairs(sf_dir: str, m: int = 5):
+    """Dynamic-time-warping trajectory similarity
+    (spatial/measures.dtw_distance_pairs): each user's first 5 events
+    in exact (ts, event_id) order become an integer track, and every
+    (even u, u+1) user pair gets its DTW cost — the
+    alignment-tolerant similarity the pointwise Frechet/Hausdorff
+    measures cannot express, with squared-Euclidean cell costs kept
+    in exact int64 so the answer is bit-stable.  One user-hash
+    exchange emits only the first-5 points per user (bounded to
+    5 x |users| — the probe-set driver contract token-edit also
+    uses); the DP is vectorized ACROSS pairs.  DTW == min-cost
+    monotone path where entering (i,j) costs d(i,j), so the SQL twin
+    is a recursive-CTE path walk with MIN at the terminal —
+    hash-checked exactly."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+    from ..spatial.measures import dtw_distance_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("i", pa.int64()),
+        ("x", pa.int64()), ("y", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            return out_schema.empty_table()
+        u = tbl["user_id"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = np.lexsort((eid, ts, u))
+        us = u[sel]
+        new = np.concatenate(([True], us[1:] != us[:-1]))
+        pos = np.arange(len(us)) - np.repeat(
+            np.flatnonzero(new), np.diff(np.append(
+                np.flatnonzero(new), len(us))))
+        keep = pos < m
+        es = eid[sel][keep]
+        return pa.table({
+            "user_id": pa.array(us[keep]),
+            "i": pa.array(pos[keep]),
+            "x": pa.array((es * 37) % 200),
+            "y": pa.array((es * 53) % 200)})
+
+    pts = collect_table(hash_exchange(
+        ds, nbuckets=32, on="user_id", reduce_fn=kernel,
+        schema=out_schema))
+    uid = pts["user_id"].to_numpy(zero_copy_only=False)
+    ii = pts["i"].to_numpy(zero_copy_only=False)
+    xx = pts["x"].to_numpy(zero_copy_only=False)
+    yy = pts["y"].to_numpy(zero_copy_only=False)
+    users, inv = np.unique(uid, return_inverse=True)
+    cnt = np.bincount(inv, minlength=len(users))
+    X = np.zeros((len(users), m), np.int64)
+    Y = np.zeros((len(users), m), np.int64)
+    X[inv, ii] = xx
+    Y[inv, ii] = yy
+    elig = cnt == m
+    # pairs: even user u with u+1, both eligible
+    upos = {int(v): k for k, v in enumerate(users)}
+    pa_idx, pb_idx = [], []
+    for k, v in enumerate(users):
+        if v % 2 == 0 and elig[k] and int(v) + 1 in upos \
+                and elig[upos[int(v) + 1]]:
+            pa_idx.append(k)
+            pb_idx.append(upos[int(v) + 1])
+    pa_idx = np.array(pa_idx, np.int64)
+    pb_idx = np.array(pb_idx, np.int64)
+    lens = np.full(len(pa_idx), m, np.int64)
+    cost = dtw_distance_pairs(X[pa_idx], Y[pa_idx],
+                              X[pb_idx], Y[pb_idx], lens, lens)
+    o = np.argsort(users[pa_idx])
+    return pa.table({
+        "user_a": pa.array(users[pa_idx][o]),
+        "user_b": pa.array(users[pb_idx][o]),
+        "dtw_cost": pa.array(cost[o])})

@@ -408,3 +408,47 @@ def token_edit_distance_pairs(a_codes: np.ndarray, b_codes: np.ndarray,
             out[hit] = cur[hit, len_b[hit]]
         prev = cur
     return out
+
+
+def dtw_distance_pairs(ax: np.ndarray, ay: np.ndarray,
+                       bx: np.ndarray, by: np.ndarray,
+                       len_a: np.ndarray,
+                       len_b: np.ndarray) -> np.ndarray:
+    """Dynamic-time-warping distance between MANY trajectory pairs at
+    once — the alignment-tolerant trajectory similarity the pointwise
+    (Frechet / Hausdorff) measures cannot express.  Cell cost is the
+    exact integer SQUARED Euclidean distance, steps are the classic
+    (i-1,j), (i,j-1), (i-1,j-1) — i.e. DTW == min-cost monotone path
+    where entering cell (i,j) costs d(i,j), which is also the
+    recursive-CTE formulation the SQL twin walks.  Same shape as
+    :func:`token_edit_distance_pairs`: (npairs, m)/(npairs, p) padded
+    int coordinate arrays with true lengths, every DP cell one
+    vectorized op ACROSS pairs, each pair reading its answer at its
+    own true terminal (cells depend only on smaller indices, so
+    padding cannot contaminate).  Lengths must be >= 1."""
+    if (len_a < 1).any() or (len_b < 1).any():
+        raise ValueError("DTW needs non-empty trajectories")
+    npairs, m = ax.shape
+    p = bx.shape[1]
+    out = np.zeros(npairs, np.int64)
+    prev = None
+    for i in range(m):
+        cur = np.empty((npairs, p), np.int64)
+        for j in range(p):
+            dij = (ax[:, i] - bx[:, j]) ** 2 \
+                + (ay[:, i] - by[:, j]) ** 2
+            if i == 0 and j == 0:
+                cur[:, 0] = dij
+            elif i == 0:
+                cur[:, j] = cur[:, j - 1] + dij
+            elif j == 0:
+                cur[:, 0] = prev[:, 0] + dij
+            else:
+                cur[:, j] = dij + np.minimum(
+                    np.minimum(prev[:, j], cur[:, j - 1]),
+                    prev[:, j - 1])
+        hit = len_a == i + 1
+        if hit.any():
+            out[hit] = cur[hit, len_b[hit] - 1]
+        prev = cur
+    return out

@@ -349,3 +349,52 @@ def test_token_edit_pairs_vs_scalar():
     for i in range(N):
         assert got[i] == scalar(list(A[i, :la[i]]),
                                 list(B[i, :lb[i]])), i
+
+
+def test_dtw_distance_pairs_brute_force():
+    """dtw_distance_pairs vs a scalar DP replay on random integer
+    trajectories of MIXED true lengths (padding must not
+    contaminate), plus identity (dtw(a,a)=0) and single-point
+    cases."""
+    from geobuf_ray.spatial.measures import dtw_distance_pairs
+
+    def scalar_dtw(A, B):
+        m, p = len(A), len(B)
+        D = np.full((m, p), 1 << 60, np.int64)
+        for i in range(m):
+            for j in range(p):
+                d = (A[i][0]-B[j][0])**2 + (A[i][1]-B[j][1])**2
+                if i == 0 and j == 0:
+                    D[i, j] = d
+                elif i == 0:
+                    D[i, j] = D[i, j-1] + d
+                elif j == 0:
+                    D[i, j] = D[i-1, j] + d
+                else:
+                    D[i, j] = d + min(D[i-1, j], D[i, j-1], D[i-1, j-1])
+        return int(D[m-1, p-1])
+
+    rng = np.random.RandomState(17)
+    npairs, M = 40, 7
+    la = rng.randint(1, M + 1, npairs)
+    lb = rng.randint(1, M + 1, npairs)
+    ax = rng.randint(0, 50, (npairs, M)).astype(np.int64)
+    ay = rng.randint(0, 50, (npairs, M)).astype(np.int64)
+    bx = rng.randint(0, 50, (npairs, M)).astype(np.int64)
+    by = rng.randint(0, 50, (npairs, M)).astype(np.int64)
+    # poison the padding: it must never be read
+    for k in range(npairs):
+        ax[k, la[k]:] = 999999
+        by[k, lb[k]:] = -999999
+    got = dtw_distance_pairs(ax, ay, bx, by, la, lb)
+    for k in range(npairs):
+        A = list(zip(ax[k, :la[k]], ay[k, :la[k]]))
+        B = list(zip(bx[k, :lb[k]], by[k, :lb[k]]))
+        assert got[k] == scalar_dtw(A, B), k
+    # identity and single-point
+    same = dtw_distance_pairs(ax, ay, ax, ay, la, la)
+    assert (same == 0).all()
+    one = dtw_distance_pairs(
+        np.array([[3]]), np.array([[4]]), np.array([[0]]),
+        np.array([[0]]), np.array([1]), np.array([1]))
+    assert one[0] == 25
