@@ -1409,3 +1409,95 @@ class TrimBordersFn:
         for k, v in cols.items():
             out = out.append_column(k, pa.array(v))
         return out
+
+
+def template_8() -> np.ndarray:
+    """The global 8x8x3 search template.  Every value is ``8k + 4`` —
+    the quantz codec's dequantization bin centers — so a stamped
+    template survives BOTH codecs bit-exactly (rawz is lossless;
+    quantz maps 8k+4 -> k -> 8k+4) and a planted image matches at
+    SAD exactly 0 in either format."""
+    i, j, c = np.mgrid[0:8, 0:8, 0:3]
+    return (((i * 7 + j * 13 + c * 29) % 32) * 8 + 4).astype(np.uint8)
+
+
+def planted_template_offset(i: int, w: int, h: int):
+    """Deterministic (ox, oy) stamp position for planted row i."""
+    return (i * 11) % (w - 8), (i * 17) % (h - 8)
+
+
+class StampTemplateFn:
+    """Corpus-planting stage: rows with index % 7 == 3 get the global
+    template stamped at an index-derived offset, re-encoded in the
+    row's OWN format.  Emits planted / p_ox / p_oy audit columns the
+    matcher never reads — the plant/audit separation the audio
+    clipping audit uses."""
+
+    def __init__(self):
+        self.t = template_8()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = len(blobs)
+        planted = np.zeros(n, np.int64)
+        pox = np.full(n, -1, np.int64)
+        poy = np.full(n, -1, np.int64)
+        out = list(blobs)
+        for k in range(n):
+            i = int(ids[k][3:])
+            if i % 7 != 3:
+                continue
+            px = decode_image(blobs[k]).copy()
+            h, w, _ = px.shape
+            ox, oy = planted_template_offset(i, w, h)
+            px[oy:oy + 8, ox:ox + 8] = self.t
+            out[k] = (encode_quantz(px) if fmts[k] == "quantz"
+                      else encode_rawz(px))
+            planted[k], pox[k], poy[k] = 1, ox, oy
+        res = batch.drop_columns(["bytes"])
+        res = res.append_column("bytes", pa.array(out, pa.binary()))
+        res = res.append_column("planted", pa.array(planted))
+        res = res.append_column("p_ox", pa.array(pox))
+        res = res.append_column("p_oy", pa.array(poy))
+        return res
+
+
+class MatchTemplateFn:
+    """Template-matching stage: per image the integer SAD surface of
+    the global 8x8x3 template over every offset, reporting the
+    argmin (row-major first occurrence — pinned tie-break), the
+    exact min SAD and the count of zero-SAD offsets.  Vectorized per
+    image via a sliding-window view (the abs-diff reduction is the
+    only materialized intermediate, O((h-7)(w-7)*192) int16).  The
+    matcher reads ONLY pixels + the template — never the plant
+    columns."""
+
+    def __init__(self):
+        self.t = template_8().astype(np.int16)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        blobs = batch["bytes"].to_pylist()
+        n = len(blobs)
+        bx = np.zeros(n, np.int64)
+        by = np.zeros(n, np.int64)
+        ms = np.zeros(n, np.int64)
+        nz = np.zeros(n, np.int64)
+        for k in range(n):
+            px = decode_image(blobs[k]).astype(np.int16)
+            win = sliding_window_view(px, (8, 8, 3))[:, :, 0]
+            sad = np.abs(win - self.t[None, None]).sum(
+                axis=(-1, -2, -3), dtype=np.int64)
+            flat = int(np.argmin(sad))
+            by[k], bx[k] = divmod(flat, sad.shape[1])
+            ms[k] = sad.reshape(-1)[flat]
+            nz[k] = int((sad == 0).sum())
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("best_ox", pa.array(bx))
+        out = out.append_column("best_oy", pa.array(by))
+        out = out.append_column("min_sad", pa.array(ms))
+        out = out.append_column("n_zero_sad", pa.array(nz))
+        return out

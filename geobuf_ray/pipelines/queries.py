@@ -14924,3 +14924,70 @@ def events_dtw_pairs(sf_dir: str, m: int = 5):
         "user_a": pa.array(users[pa_idx][o]),
         "user_b": pa.array(users[pb_idx][o]),
         "dtw_cost": pa.array(cost[o])})
+
+
+def images_template_match(sf_dir: str):
+    """Template matching — the locate-the-watermark / find-the-logo
+    primitive (io/images.StampTemplateFn + MatchTemplateFn): a
+    planting stage stamps the global 8x8x3 template into every
+    idx%7==3 image at an index-derived offset re-encoded in the row's
+    OWN format (the template's values are quantz bin centers, so it
+    survives both codecs bit-exactly), and a separate matching stage
+    that sees ONLY pixels + template computes the integer SAD surface
+    per image, reporting argmin (row-major tie-break pinned), exact
+    min SAD and zero-SAD count.  In-query asserts: every planted
+    image recovers its exact stamp offset at SAD 0 with exactly one
+    zero offset; every unplanted image has min SAD > 0 — the corpus
+    separates cleanly.  Rows-only (procedural payloads); scalar SAD
+    replay pytest."""
+    from ..collect import collect_table
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    rows = ds.map_batches(im.StampTemplateFn, batch_format="pyarrow",
+                          batch_size=32, concurrency=(1, 4)) \
+        .map_batches(im.MatchTemplateFn, batch_format="pyarrow",
+                     batch_size=16, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        planted = b["planted"].to_numpy(zero_copy_only=False)
+        ms = b["min_sad"].to_numpy(zero_copy_only=False)
+        nz = b["n_zero_sad"].to_numpy(zero_copy_only=False)
+        bx = b["best_ox"].to_numpy(zero_copy_only=False)
+        by = b["best_oy"].to_numpy(zero_copy_only=False)
+        px = b["p_ox"].to_numpy(zero_copy_only=False)
+        py = b["p_oy"].to_numpy(zero_copy_only=False)
+        pl = planted == 1
+        if not bool(np.all((ms[pl] == 0) & (nz[pl] == 1)
+                           & (bx[pl] == px[pl]) & (by[pl] == py[pl]))):
+            raise AssertionError("planted template must be recovered "
+                                 "at its exact offset, SAD 0, unique")
+        if not bool(np.all(ms[~pl] > 0)):
+            raise AssertionError("unplanted images must not contain "
+                                 "the template")
+        t = pa.table({
+            "fmt": b["fmt"], "planted": b["planted"],
+            "n_images": pa.array(np.ones(len(ms), np.int64)),
+            "n_exact": pa.array((ms == 0).astype(np.int64)),
+            "sum_min_sad": pa.array(ms),
+            "max_zero_offsets": pa.array(nz)})
+        return t.group_by(["fmt", "planted"]).aggregate(
+            [("n_images", "sum"), ("n_exact", "sum"),
+             ("sum_min_sad", "sum"), ("max_zero_offsets", "max")]) \
+            .rename_columns(["fmt", "planted", "n_images", "n_exact",
+                             "sum_min_sad", "max_zero_offsets"])
+
+    parts = collect_table(rows.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    df = parts.to_pandas().groupby(["fmt", "planted"],
+                                   as_index=False).agg(
+        n_images=("n_images", "sum"), n_exact=("n_exact", "sum"),
+        sum_min_sad=("sum_min_sad", "sum"),
+        max_zero_offsets=("max_zero_offsets", "max")) \
+        .sort_values(["fmt", "planted"])
+    out = pa.Table.from_pandas(df, preserve_index=False)
+    pl = out.filter(pc.equal(out["planted"], 1))
+    if not pc.all(pc.equal(pl["n_exact"], pl["n_images"])).as_py():
+        raise AssertionError("planted recovery rate must be 100%")
+    return out

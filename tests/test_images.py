@@ -747,3 +747,45 @@ def test_trim_margins_replay_blank_and_nested():
     assert out["out_checksum"][0] == pixel_checksum(px)
     back = decode_image(out["bytes_trim"][0])
     assert np.array_equal(back, px)
+
+
+def test_template_match_scalar_replay(ray_session):
+    """Stamp + match round trip on a tiny corpus: planted rows
+    recover their exact offset at SAD 0 in BOTH formats; a scalar
+    SAD replay confirms the vectorized surface on one image; the
+    template survives the quantz codec bit-exactly."""
+    from geobuf_ray.io import images as im
+
+    t = im.template_8()
+    assert ((t.astype(np.int64) - 4) % 8 == 0).all()
+    # quantz round-trip preserves the template exactly
+    rt = im.decode_image(im.encode_quantz(
+        np.tile(t, (4, 4, 1))))[:8, :8]
+    assert np.array_equal(rt, t)
+
+    # indices chosen so %7==3 hits both fmts (10,24 planted)
+    tbl = im.synthesize_image_table(30)
+    stamped = im.StampTemplateFn()(tbl)
+    matched = im.MatchTemplateFn()(stamped)
+    planted = matched["planted"].to_numpy()
+    ms = matched["min_sad"].to_numpy()
+    assert planted.sum() >= 2
+    for r in matched.to_pylist():
+        if r["planted"]:
+            assert r["min_sad"] == 0 and r["n_zero_sad"] == 1
+            assert (r["best_ox"], r["best_oy"]) == (r["p_ox"], r["p_oy"])
+        else:
+            assert r["min_sad"] > 0
+
+    # scalar replay of the SAD surface on the first planted image
+    k = int(np.flatnonzero(planted)[0])
+    px = im.decode_image(stamped["bytes"][k].as_py()).astype(np.int64)
+    h, w, _ = px.shape
+    best = (1 << 62, -1, -1)
+    for oy in range(h - 7):
+        for ox in range(w - 7):
+            sad = int(np.abs(px[oy:oy+8, ox:ox+8] - t).sum())
+            if sad < best[0]:
+                best = (sad, ox, oy)
+    r = matched.to_pylist()[k]
+    assert best == (r["min_sad"], r["best_ox"], r["best_oy"])
