@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_closeness": q.suppliers_closeness,
         "events_dtw_pairs": q.events_dtw_pairs,
         "images_template_match": q.images_template_match,
+        "video_motion_estimate": q.video_motion_estimate,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,

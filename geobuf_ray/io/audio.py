@@ -455,3 +455,71 @@ class AudioClipAuditFn:
         for k, v in cols.items():
             out = out.append_column(k, pa.array(v))
         return out
+
+
+class MotionEstimateFn:
+    """Actor-pool global-motion estimation — the block-matching pass
+    (the H.264/MPEG motion-search primitive) video curation uses to
+    separate static, panning and cut-heavy clips.  Frames are
+    procedural PANNING scenes: clip frame f is the w x h crop of one
+    large base pattern at offset ``center + f * (vx, vy)`` with the
+    per-clip velocity derived from the clip index (|v| <= 1 px/frame,
+    so a 49-frame clip stays inside the base).  The estimator knows
+    NOTHING of the planting: per consecutive frame pair it scans
+    displacement candidates (dy, dx) in [-2,2]^2 in fixed row-major
+    order (tie-break pinned, though the noisy pattern makes the true
+    displacement's SAD exactly 0 and all others positive) and takes
+    the strict argmin of the exact integer SAD over the overlap
+    region.  Frames STREAM (only the previous frame is held) and
+    only per-clip scalars leave the stage."""
+
+    def __init__(self, w: int = 32, h: int = 32, search: int = 2):
+        self.w, self.h, self.search = w, h, search
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import images as im
+
+        clips = batch["clip_id"].to_pylist()
+        nfr = batch["n_frames"].to_numpy(zero_copy_only=False)
+        n = len(clips)
+        w, h, s = self.w, self.h, self.search
+        out = {k: np.zeros(n, np.int64)
+               for k in ("n_frames", "n_pairs", "n_recovered",
+                         "est_vx", "est_vy", "sum_best_sad")}
+        for i in range(n):
+            idx = int(clips[i][3:])
+            vx, vy = idx % 3 - 1, (idx // 3) % 3 - 1
+            frames = int(nfr[i])
+            base = im.procedural_pixels(
+                f"{clips[i]}/pan", w + 100, h + 100).astype(np.int64)
+            c0 = 50
+            prev = None
+            rec = 0
+            first = None
+            for f in range(frames):
+                sx, sy = c0 + f * vx, c0 + f * vy
+                px = base[sy:sy + h, sx:sx + w]
+                if prev is not None:
+                    best = (1 << 62, 0, 0)
+                    for dy in range(-s, s + 1):
+                        for dx in range(-s, s + 1):
+                            y0, y1 = max(0, -dy), h - max(0, dy)
+                            x0, x1 = max(0, -dx), w - max(0, dx)
+                            sad = int(np.abs(
+                                px[y0:y1, x0:x1]
+                                - prev[y0 + dy:y1 + dy,
+                                       x0 + dx:x1 + dx]).sum())
+                            if sad < best[0]:
+                                best = (sad, dx, dy)
+                    if first is None:
+                        first = (best[1], best[2])
+                    rec += int((best[1], best[2]) == (vx, vy)
+                               and best[0] == 0)
+                    out["sum_best_sad"][i] += best[0]
+                prev = px
+            out["n_frames"][i] = frames
+            out["n_pairs"][i] = frames - 1
+            out["n_recovered"][i] = rec
+            out["est_vx"][i], out["est_vy"][i] = first or (0, 0)
+        return pa.table({"clip_id": batch["clip_id"],
+                         **{k: pa.array(v) for k, v in out.items()}})

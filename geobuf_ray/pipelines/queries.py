@@ -14991,3 +14991,59 @@ def images_template_match(sf_dir: str):
     if not pc.all(pc.equal(pl["n_exact"], pl["n_images"])).as_py():
         raise AssertionError("planted recovery rate must be 100%")
     return out
+
+
+def video_motion_estimate(sf_dir: str):
+    """Global motion estimation over the video corpus
+    (io/audio.MotionEstimateFn): every clip is a procedural PANNING
+    scene (frame f = crop of one base pattern at center + f*(vx,vy),
+    velocity planted from the clip index, |v| <= 1 px/frame) and the
+    block-matching estimator — which never sees the plant — scans
+    [-2,2]^2 displacements per consecutive frame pair taking the
+    strict argmin of exact integer SAD over the overlap.  The true
+    displacement's SAD is exactly 0 and the noisy pattern makes every
+    other candidate positive, so the in-query assert demands ALL
+    pairs of ALL clips recover their planted velocity at SAD 0 —
+    including the static (0,0) clips.  Frames stream with O(1)
+    memory; only per-clip scalars leave.  Emits a per-velocity
+    rollup.  Rows-only (procedural media); scalar replay pytest."""
+    from ..io import audio as au
+
+    n = 30 if "0.001" in sf_dir else (100 if "0.01" in sf_dir else 300)
+    ds = au.synthesize_video_index(n)
+    per_clip = ds.map_batches(
+        au.MotionEstimateFn, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        idx = np.asarray([int(c[3:]) for c in
+                          b["clip_id"].to_pylist()], np.int64)
+        vx, vy = idx % 3 - 1, (idx // 3) % 3 - 1
+        est_vx = b["est_vx"].to_numpy(zero_copy_only=False)
+        est_vy = b["est_vy"].to_numpy(zero_copy_only=False)
+        rec = b["n_recovered"].to_numpy(zero_copy_only=False)
+        pairs = b["n_pairs"].to_numpy(zero_copy_only=False)
+        sad = b["sum_best_sad"].to_numpy(zero_copy_only=False)
+        if not bool(np.all((rec == pairs) & (est_vx == vx)
+                           & (est_vy == vy) & (sad == 0))):
+            raise AssertionError("every pair of every clip must "
+                                 "recover its planted velocity at "
+                                 "SAD 0")
+        t = pa.table({
+            "vx": pa.array(vx), "vy": pa.array(vy),
+            "n_clips": pa.array(np.ones(len(idx), np.int64)),
+            "n_pairs": b["n_pairs"],
+            "n_recovered": b["n_recovered"]})
+        g = t.group_by(["vx", "vy"]).aggregate(
+            [("n_clips", "sum"), ("n_pairs", "sum"),
+             ("n_recovered", "sum")])
+        return g.rename_columns(["vx", "vy", "n_clips", "n_pairs",
+                                 "n_recovered"])
+
+    agg = _final_combine(
+        per_clip.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["vx", "vy"], ["n_clips", "n_pairs", "n_recovered"])
+    o = np.lexsort((agg["vy"].to_numpy(zero_copy_only=False),
+                    agg["vx"].to_numpy(zero_copy_only=False)))
+    return agg.take(pa.array(o))

@@ -215,3 +215,34 @@ def test_clip_audit_code_domain_replay():
     assert out["n_clipped"][1] == 7
     assert out["clip_run"][1] == 6
     assert out["peak"][1] == 255  # |2*code - 255| at full scale
+
+
+def test_motion_estimate_scalar_replay():
+    """MotionEstimateFn recovers planted velocities on a tiny clip
+    set; a manual crop replay confirms the frame model and that the
+    true displacement's SAD is exactly zero while neighbors are
+    positive."""
+    import pyarrow as pa
+
+    from geobuf_ray.io import audio as au
+    from geobuf_ray.io import images as im
+
+    # idx 0 -> v=(-1,-1); idx 4 -> static (0,0); idx 5 -> v=(1,0)
+    tbl = pa.table({"clip_id": pa.array([f"vid{i:012d}"
+                                         for i in (0, 4, 5)]),
+                    "n_frames": pa.array([10, 12, 49], pa.int32())})
+    out = au.MotionEstimateFn()(tbl).to_pylist()
+    for r, (vx, vy) in zip(out, [(-1, -1), (0, 0), (1, 0)]):
+        assert (r["est_vx"], r["est_vy"]) == (vx, vy)
+        assert r["n_recovered"] == r["n_pairs"] == r["n_frames"] - 1
+        assert r["sum_best_sad"] == 0
+
+    # manual replay: frame crops of vid..5 really shift by (1,0)
+    base = im.procedural_pixels("vid000000000005/pan", 132, 132) \
+        .astype(np.int64)
+    f0 = base[50:82, 50:82]
+    f1 = base[50:82, 51:83]
+    # cur(y,x) == prev(y+vy, x+vx) on the overlap for (vx,vy)=(1,0)
+    assert np.array_equal(f1[:, 0:31], f0[:, 1:32])
+    # and a wrong displacement does not match
+    assert not np.array_equal(f1[0:31, 0:31], f0[1:32, 1:32])
