@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dtw_pairs": q.events_dtw_pairs,
         "images_template_match": q.images_template_match,
         "video_motion_estimate": q.video_motion_estimate,
+        "customers_hilbert_cells": q.customers_hilbert_cells,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -1525,6 +1526,35 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT {_spread16('qx')}
                          | ({_spread16('qy')} << 1) AS zkey FROM g)
             SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "customers_hilbert_cells": f"""
+            WITH RECURSIVE
+            pt AS (SELECT {_LON} AS lon, {_LAT} AS lat FROM customer),
+            g AS (SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS k,
+                         {_quant('lon', -180.0, 360.0, 8)} AS qx,
+                         {_quant('lat', -90.0, 180.0, 8)} AS qy
+                  FROM pt),
+            hs(k, s, x, y, d) AS (
+              SELECT k, CAST(128 AS BIGINT), qx, qy,
+                     CAST(0 AS BIGINT) FROM g
+              UNION ALL
+              SELECT k, s // 2,
+                     CASE WHEN (y & s) = 0
+                          THEN (CASE WHEN (x & s) > 0
+                                     THEN 255 - y ELSE y END)
+                          ELSE x END,
+                     CASE WHEN (y & s) = 0
+                          THEN (CASE WHEN (x & s) > 0
+                                     THEN 255 - x ELSE x END)
+                          ELSE y END,
+                     d + s * s * (CASE WHEN (x & s) = 0
+                          THEN (CASE WHEN (y & s) > 0
+                                     THEN 1 ELSE 0 END)
+                          ELSE (CASE WHEN (y & s) > 0
+                                     THEN 2 ELSE 3 END) END)
+              FROM hs WHERE s > 0)
+            SELECT d AS hkey, COUNT(*) AS n
+            FROM hs WHERE s = 0 GROUP BY d ORDER BY hkey
         """,
         "customers_geohash_counts": f"""
             WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat FROM customer),

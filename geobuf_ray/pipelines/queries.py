@@ -15047,3 +15047,27 @@ def video_motion_estimate(sf_dir: str):
     o = np.lexsort((agg["vy"].to_numpy(zero_copy_only=False),
                     agg["vx"].to_numpy(zero_copy_only=False)))
     return agg.take(pa.array(o))
+
+
+def customers_hilbert_cells(sf_dir: str, bits: int = 8):
+    """Hilbert layout keys (spatial/curves.hilbert_key): the
+    better-locality companion of customers_zorder_cells — the same
+    linear quantization, then the classic xy2d bit walk whose
+    consecutive indices are always edge-adjacent cells (Z-order jumps
+    quadrant seams), so range reads over the sorted key prune
+    strictly better.  Pure per-batch map (no shuffle), integer ops
+    end-to-end; hash-checked against a recursive-CTE twin running the
+    same flip/swap/digit walk per point."""
+    from ..functions.agg import grouping_sets_agg
+    from ..spatial.curves import hilbert_key
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        key = hilbert_key(batch["lon"].to_numpy(zero_copy_only=False),
+                          batch["lat"].to_numpy(zero_copy_only=False),
+                          bits=bits)
+        return pa.table({"hkey": pa.array(key)})
+
+    pts = customer_points(sf_dir).map_batches(stamp, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+    return grouping_sets_agg(pts, sets=[["hkey"]], sums={}, count_col="n",
+                             schema=pa.schema([("hkey", pa.int64())]))

@@ -195,3 +195,43 @@ def zorder_bbox_lookup(index_dir: str, west: float, south: float,
 
     return ds.map_batches(refine, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def hilbert_d(qx: np.ndarray, qy: np.ndarray, *, bits: int) -> np.ndarray:
+    """Hilbert-curve index of integer grid cells (the classic xy2d
+    bit walk, vectorized): better locality than Morton — EVERY pair
+    of consecutive indices is an edge-adjacent cell pair (|dx|+|dy| =
+    1, the property the pytest proves for the whole grid), where
+    Z-order jumps across quadrant seams.  Exact integer ops
+    (flip = n-1-v, swap, quadrant digit (3*rx) XOR ry), so the walk
+    is reproducible as a recursive CTE in SQL.  ``bits`` <= 15
+    (d < 2^30, int64-exact)."""
+    if not 1 <= bits <= 15:
+        raise ValueError("bits must be in [1, 15]")
+    n = np.int64(1) << np.int64(bits)
+    x = qx.astype(np.int64).copy()
+    y = qy.astype(np.int64).copy()
+    d = np.zeros(len(x), np.int64)
+    s = int(n) >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        m = ry == 0
+        fl = m & (rx == 1)
+        x = np.where(fl, n - 1 - x, x)
+        y = np.where(fl, n - 1 - y, y)
+        x, y = np.where(m, y, x), np.where(m, x, y)
+        s >>= 1
+    return d
+
+
+def hilbert_key(lon: np.ndarray, lat: np.ndarray, *, bits: int = 8
+                ) -> np.ndarray:
+    """Hilbert layout key for lon/lat points: the same linear
+    quantization as :func:`morton_key`, then the Hilbert bit walk —
+    the lakehouse ``OPTIMIZE`` layout with strictly better range
+    locality than Z-order."""
+    qx, qy = quantize_lonlat(np.asarray(lon, np.float64),
+                             np.asarray(lat, np.float64), bits)
+    return hilbert_d(qx, qy, bits=bits)

@@ -440,3 +440,44 @@ def test_clamp_level_for_radius_bounds_fanout():
         # conservative padding (110km/deg + poleward lon) inflates the
         # rect beyond the disk, but the fan-out must stay bounded
         assert len(rows) / 200 <= 150, (radius, lv, len(rows) / 200)
+
+
+def test_hilbert_curve_properties_and_scalar_replay():
+    """hilbert_d is a true Hilbert curve on the full grid: a
+    BIJECTION onto [0, 4^bits) whose consecutive indices are always
+    EDGE-ADJACENT cells (|dx|+|dy| == 1 — the locality property
+    Z-order lacks across quadrant seams); plus a scalar xy2d replay
+    and the lon/lat wrapper's quantization contract."""
+    from geobuf_ray.spatial.curves import hilbert_d, hilbert_key
+
+    def scalar_xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    for b in (2, 4):
+        n = 1 << b
+        xx, yy = np.meshgrid(np.arange(n), np.arange(n))
+        d = hilbert_d(xx.ravel(), yy.ravel(), bits=b)
+        assert sorted(d) == list(range(n * n))
+        o = np.argsort(d)
+        step = (np.abs(np.diff(xx.ravel()[o]))
+                + np.abs(np.diff(yy.ravel()[o])))
+        assert (step == 1).all()
+        for x, y in [(0, 0), (n-1, 0), (3 % n, 2 % n), (n-1, n-1)]:
+            assert hilbert_d(np.array([x]), np.array([y]),
+                             bits=b)[0] == scalar_xy2d(n, x, y)
+
+    # wrapper: corners of the lon/lat domain land in corner cells
+    k = hilbert_key(np.array([-180.0, 179.99]),
+                    np.array([-90.0, 89.99]), bits=8)
+    assert k[0] == 0 and 0 <= k[1] < 1 << 16
