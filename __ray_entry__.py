@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_template_match": q.images_template_match,
         "video_motion_estimate": q.video_motion_estimate,
         "customers_hilbert_cells": q.customers_hilbert_cells,
+        "orders_allen_relations": q.orders_allen_relations,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -1526,6 +1527,37 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT {_spread16('qx')}
                          | ({_spread16('qy')} << 1) AS zkey FROM g)
             SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "orders_allen_relations": """
+            WITH iv AS (
+              SELECT o_custkey,
+                     CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                         AS s,
+                     CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                         + o_orderkey % 20 + 1 AS e,
+                     o_orderkey
+              FROM orders),
+            nx AS (
+              SELECT s AS s1, e AS e1,
+                     LEAD(s) OVER w AS s2, LEAD(e) OVER w AS e2
+              FROM iv
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY s, e, o_orderkey)),
+            rel AS (
+              SELECT CASE
+                       WHEN e1 < s2 THEN 'precedes'
+                       WHEN e1 = s2 THEN 'meets'
+                       WHEN s1 < s2 AND s2 < e1 AND e1 < e2
+                           THEN 'overlaps'
+                       WHEN s1 < s2 AND e1 = e2 THEN 'finished_by'
+                       WHEN s1 < s2 AND e2 < e1 THEN 'contains'
+                       WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+                       WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+                       ELSE 'started_by'
+                     END AS relation
+              FROM nx WHERE s2 IS NOT NULL)
+            SELECT relation, CAST(COUNT(*) AS BIGINT) AS n
+            FROM rel GROUP BY relation ORDER BY relation
         """,
         "customers_hilbert_cells": f"""
             WITH RECURSIVE

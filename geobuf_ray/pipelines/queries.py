@@ -15071,3 +15071,75 @@ def customers_hilbert_cells(sf_dir: str, bits: int = 8):
                                               zero_copy_batch=True)
     return grouping_sets_agg(pts, sets=[["hkey"]], sums={}, count_col="n",
                              schema=pa.schema([("hkey", pa.int64())]))
+
+
+def orders_allen_relations(sf_dir: str):
+    """Allen interval-algebra profile — the temporal-relation
+    classifier behind calendar/booking conflict logic: each order
+    becomes the integer-day interval [start, start + okey%20 + 1)
+    and every customer's CONSECUTIVE interval pair (sorted by start,
+    end, orderkey — so the left interval never starts later) is
+    classified into the reachable Allen relations (precedes, meets,
+    overlaps, finished_by, contains, starts, equals — started_by is
+    structurally unreachable under the (start, end, key) sort since
+    equal starts imply e1 <= e2; the branch stays as a guard),
+    counted per relation.  One customer-hash exchange;
+    the bucket kernel is one lexsort + shifted compare + np.select
+    and collapses to at most 8 partial rows (combiner discipline).
+    All-integer predicates, hash-checked vs a LEAD-window CASE
+    twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    NAMES = np.array(["precedes", "meets", "overlaps", "finished_by",
+                      "contains", "starts", "equals", "started_by"])
+    out_schema = pa.schema([("relation", pa.string()),
+                            ("n", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            return out_schema.empty_table()
+        cust = tbl["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        okey = tbl["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = tbl["o_orderdate"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 86_400_000_000
+        s = day
+        e = day + okey % 20 + 1
+        sel = np.lexsort((okey, e, s, cust))
+        cs, ss, es = cust[sel], s[sel], e[sel]
+        same = cs[:-1] == cs[1:]
+        s1, e1 = ss[:-1][same], es[:-1][same]
+        s2, e2 = ss[1:][same], es[1:][same]
+        code = np.select(
+            [e1 < s2,                       # precedes
+             e1 == s2,                      # meets
+             (s1 < s2) & (s2 < e1) & (e1 < e2),   # overlaps
+             (s1 < s2) & (e1 == e2),        # finished_by
+             (s1 < s2) & (e2 < e1),         # contains
+             (s1 == s2) & (e1 < e2),        # starts
+             (s1 == s2) & (e1 == e2),       # equals
+             (s1 == s2) & (e2 < e1)],       # started_by
+            np.arange(8), default=-1)
+        if (code < 0).any():
+            raise AssertionError("unreachable Allen relation for "
+                                 "start-sorted pairs")
+        cnt = np.bincount(code, minlength=8)
+        hit = np.flatnonzero(cnt)
+        return pa.table({"relation": pa.array(NAMES[hit]),
+                         "n": pa.array(cnt[hit].astype(np.int64))})
+
+    parts = collect_table(hash_exchange(
+        ds, nbuckets=32, on="o_custkey", reduce_fn=kernel,
+        schema=out_schema))
+    agg = parts.group_by(["relation"]).aggregate([("n", "sum")]) \
+        .rename_columns(["relation", "n"])
+    o = np.argsort(agg["relation"].to_numpy(zero_copy_only=False))
+    return agg.take(pa.array(o))

@@ -1380,3 +1380,71 @@ def test_orders_fd_audit_pk_holds(ray_session):
     # a customer with >1 order can hit >1 status: genuinely violated
     assert d["o_custkey->o_orderstatus"][0] > 0
     assert d["o_custkey->o_orderstatus"][1] == 0
+
+
+def test_allen_relations_scalar_replay(ray_session, tmp_path):
+    """orders_allen_relations vs a scalar classifier on a synthetic
+    orders file engineered to hit ALL EIGHT reachable relations,
+    including equals (identical start AND end)."""
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    # one customer, handcrafted intervals: e = s + okey % 20 + 1
+    # (cust, okey, day) chosen so consecutive start-sorted pairs
+    # produce each relation at least once
+    rows = [
+        # precedes: [0,3) then [10,12)
+        (1, 2, 0), (1, 1, 10),
+        # meets: [12,14) starts where previous ends
+        (1, 21, 12),
+        # overlaps: [13,18)
+        (1, 4, 13),
+        # contains: [14,16) inside [13,18)? pair order: (13,18)->(14,16)
+        (1, 41, 14),
+        # started_by / starts / equals on a fresh customer
+        (2, 4, 0),   # [0,5)
+        (2, 2, 0),   # [0,3)  -> starts (sorted: [0,3) then [0,5))
+        (2, 22, 0),  # [0,3)  -> equals with (2,2)
+        # finished_by: s1<s2, e1==e2: [10,15) then [12,15)
+        (2, 24, 10), (2, 42, 12),
+    ]
+    tbl = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64(r[2] * 86_400_000_000, "us")
+             for r in rows], pa.timestamp("us"))})
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    out = q.orders_allen_relations(str(tmp_path))
+    got = {r["relation"]: r["n"] for r in out.to_pylist()}
+
+    def classify(p, n):
+        (s1, e1), (s2, e2) = p, n
+        if e1 < s2:
+            return "precedes"
+        if e1 == s2:
+            return "meets"
+        if s1 < s2 and s2 < e1 and e1 < e2:
+            return "overlaps"
+        if s1 < s2 and e1 == e2:
+            return "finished_by"
+        if s1 < s2 and e2 < e1:
+            return "contains"
+        if s1 == s2 and e1 < e2:
+            return "starts"
+        if s1 == s2 and e1 == e2:
+            return "equals"
+        return "started_by"
+
+    want = {}
+    for cust in (1, 2):
+        ivs = sorted([(d, d + k % 20 + 1, k)
+                      for c, k, d in rows if c == cust])
+        for p, n in zip(ivs, ivs[1:]):
+            r = classify((p[0], p[1]), (n[0], n[1]))
+            want[r] = want.get(r, 0) + 1
+    assert got == want
+    for r in ("precedes", "meets", "overlaps", "contains", "starts",
+              "equals", "finished_by"):
+        assert r in got, r
