@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_motion_estimate": q.video_motion_estimate,
         "customers_hilbert_cells": q.customers_hilbert_cells,
         "orders_allen_relations": q.orders_allen_relations,
+        "images_otsu_threshold": q.images_otsu_threshold,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,

@@ -1501,3 +1501,59 @@ class MatchTemplateFn:
         out = out.append_column("min_sad", pa.array(ms))
         out = out.append_column("n_zero_sad", pa.array(nz))
         return out
+
+
+class OtsuThresholdFn:
+    """Actor-pool Otsu binarization — the document-image thresholding
+    classic: per image the 8-bit gray histogram (gray = channel sum
+    // 3) and the threshold t maximizing the between-class variance
+    w0*w1*(mu0-mu1)^2, compared as the EXACT rational D(t)^2 / B(t)
+    with D = s0*w1 - s1*w0 and B = w0*w1.  D^2 can exceed int64 for
+    large images, so the argmax is two-stage: a vectorized float64
+    scan shortlists every candidate within 1e-9 relative of the float
+    max, then Python big-int cross-multiplication resolves the
+    shortlist exactly (ties -> smallest t, pinned).  Emits the
+    threshold and exact foreground/background counts."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        n = len(blobs)
+        thr = np.zeros(n, np.int64)
+        fg = np.zeros(n, np.int64)
+        bg = np.zeros(n, np.int64)
+        fg_sum = np.zeros(n, np.int64)
+        for k in range(n):
+            px = decode_image(blobs[k]).astype(np.int64)
+            gray = px.sum(axis=2) // 3
+            hist = np.bincount(gray.reshape(-1), minlength=256)
+            c = np.cumsum(hist)
+            s = np.cumsum(hist * np.arange(256, dtype=np.int64))
+            npx, S = c[-1], s[-1]
+            w0 = c[:-1]
+            w1 = npx - w0
+            ok = (w0 > 0) & (w1 > 0)
+            D = s[:-1] * w1 - (S - s[:-1]) * w0
+            B = w0 * w1
+            score = np.where(ok, D.astype(np.float64) ** 2
+                             / np.maximum(B, 1), -1.0)
+            mx = score.max()
+            cand = np.flatnonzero(score >= mx * (1 - 1e-9)) \
+                if mx > 0 else np.flatnonzero(ok)
+            if len(cand) == 0:          # constant image
+                thr[k], fg[k], bg[k] = 0, 0, npx
+                continue
+            best_t, best = -1, (-1, 1)
+            for t in cand:              # exact big-int resolve
+                a, b = int(D[t]) ** 2, int(B[t])
+                if a * best[1] > best[0] * b:
+                    best, best_t = (a, b), int(t)
+            thr[k] = best_t
+            fg[k] = npx - c[best_t]
+            bg[k] = c[best_t]
+            fg_sum[k] = S - s[best_t]
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("otsu_t", pa.array(thr))
+        out = out.append_column("n_fg", pa.array(fg))
+        out = out.append_column("n_bg", pa.array(bg))
+        out = out.append_column("fg_graysum", pa.array(fg_sum))
+        return out

@@ -15143,3 +15143,53 @@ def orders_allen_relations(sf_dir: str):
         .rename_columns(["relation", "n"])
     o = np.argsort(agg["relation"].to_numpy(zero_copy_only=False))
     return agg.take(pa.array(o))
+
+
+def images_otsu_threshold(sf_dir: str):
+    """Otsu binarization sweep (io/images.OtsuThresholdFn): per image
+    the threshold maximizing between-class variance over the 8-bit
+    gray histogram, decided by EXACT rational comparison (vectorized
+    float scan shortlists candidates within 1e-9 of the max, Python
+    big-int cross-multiplication resolves them, ties to the smallest
+    threshold — D^2 overflows int64 for 256px images, so the
+    two-stage argmax is the exactness contract); per-format rollup of
+    threshold spread and foreground mass.  In-query assert: fg + bg
+    == w*h for every image.  Rows-only (procedural payloads); scalar
+    Fraction replay pytest."""
+    from ..collect import collect_table
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    rows = ds.map_batches(im.OtsuThresholdFn, batch_format="pyarrow",
+                          batch_size=32, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        fgv = b["n_fg"].to_numpy(zero_copy_only=False)
+        bgv = b["n_bg"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not bool(np.all(fgv + bgv == w * h)):
+            raise AssertionError("Otsu classes must partition the "
+                                 "image exactly")
+        t = pa.table({
+            "fmt": b["fmt"],
+            "n_images": pa.array(np.ones(len(fgv), np.int64)),
+            "sum_t": b["otsu_t"], "min_t": b["otsu_t"],
+            "max_t": b["otsu_t"],
+            "sum_fg": b["n_fg"], "sum_fg_gray": b["fg_graysum"]})
+        return t.group_by(["fmt"]).aggregate(
+            [("n_images", "sum"), ("sum_t", "sum"), ("min_t", "min"),
+             ("max_t", "max"), ("sum_fg", "sum"),
+             ("sum_fg_gray", "sum")]).rename_columns(
+            ["fmt", "n_images", "sum_t", "min_t", "max_t", "sum_fg",
+             "sum_fg_gray"])
+
+    parts = collect_table(rows.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    df = parts.to_pandas().groupby("fmt", as_index=False).agg(
+        n_images=("n_images", "sum"), sum_t=("sum_t", "sum"),
+        min_t=("min_t", "min"), max_t=("max_t", "max"),
+        sum_fg=("sum_fg", "sum"),
+        sum_fg_gray=("sum_fg_gray", "sum")).sort_values("fmt")
+    return pa.Table.from_pandas(df, preserve_index=False)

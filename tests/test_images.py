@@ -789,3 +789,60 @@ def test_template_match_scalar_replay(ray_session):
                 best = (sad, ox, oy)
     r = matched.to_pylist()[k]
     assert best == (r["min_sad"], r["best_ox"], r["best_oy"])
+
+
+def test_otsu_threshold_fraction_replay():
+    """OtsuThresholdFn vs an all-thresholds Fraction brute force on
+    real corpus images plus a handcrafted bimodal image (where the
+    answer is known) and a constant image (no valid split)."""
+    from fractions import Fraction
+
+    from geobuf_ray.io import images as im
+
+    def brute_otsu(gray):
+        hist = np.bincount(gray.reshape(-1), minlength=256)
+        # plain Python ints: np.int64 would silently overflow D*D
+        npx, S = int(hist.sum()), int((hist * np.arange(256)).sum())
+        best_t, best = 0, Fraction(-1)
+        c = s = 0
+        for t in range(255):
+            c += int(hist[t])
+            s += int(hist[t]) * t
+            w0, w1 = c, npx - c
+            if w0 == 0 or w1 == 0:
+                continue
+            D = s * w1 - (S - s) * w0
+            sc = Fraction(D * D, w0 * w1)
+            if sc > best:
+                best, best_t = sc, t
+        return best_t
+
+    tbl = im.synthesize_image_table(8)
+    out = im.OtsuThresholdFn()(tbl)
+    for k in range(8):
+        px = im.decode_image(tbl["bytes"][k].as_py()).astype(np.int64)
+        gray = px.sum(axis=2) // 3
+        t = out["otsu_t"][k].as_py()
+        assert t == brute_otsu(gray), k
+        assert out["n_fg"][k].as_py() == int((gray > t).sum())
+        assert out["n_bg"][k].as_py() == int((gray <= t).sum())
+
+    import pyarrow as pa
+
+    # handcrafted bimodal: half 10s, half 200s -> split between them
+    bi = np.zeros((16, 16, 3), np.uint8)
+    bi[:8] = 10 * 3 // 3
+    bi[8:] = 200
+    bi[:8] = 10
+    t2 = im.OtsuThresholdFn()(pa.table({
+        "bytes": pa.array([im.encode_rawz(bi)], pa.binary())}))
+    tt = t2["otsu_t"][0].as_py()
+    assert 10 <= tt < 200
+    assert t2["n_fg"][0].as_py() == 128
+
+    # constant image: no valid split -> t=0, everything background
+    const = np.full((8, 8, 3), 77, np.uint8)
+    t3 = im.OtsuThresholdFn()(pa.table({
+        "bytes": pa.array([im.encode_rawz(const)], pa.binary())}))
+    assert t3["otsu_t"][0].as_py() == 0
+    assert t3["n_bg"][0].as_py() == 64 and t3["n_fg"][0].as_py() == 0
