@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_hilbert_cells": q.customers_hilbert_cells,
         "orders_allen_relations": q.orders_allen_relations,
         "images_otsu_threshold": q.images_otsu_threshold,
+        "lineitem_stats_collection": q.lineitem_stats_collection,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -1528,6 +1529,60 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT {_spread16('qx')}
                          | ({_spread16('qy')} << 1) AS zkey FROM g)
             SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "lineitem_stats_collection": """
+            WITH src AS (
+              SELECT 'l_quantity' AS col,
+                     CAST(l_quantity AS BIGINT) AS v FROM lineitem
+              UNION ALL
+              SELECT 'price_cents',
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+              FROM lineitem),
+            agg AS (
+              SELECT col, 'n' AS stat, 0 AS slot,
+                     COUNT(*) AS value FROM src GROUP BY col
+              UNION ALL
+              SELECT col, 'ndv', 0, COUNT(DISTINCT v)
+              FROM src GROUP BY col
+              UNION ALL
+              SELECT col, 'min', 0, MIN(v) FROM src GROUP BY col
+              UNION ALL
+              SELECT col, 'max', 0, MAX(v) FROM src GROUP BY col
+              UNION ALL
+              SELECT col, 'sum', 0, SUM(v) FROM src GROUP BY col),
+            cnts AS (SELECT col, v, COUNT(*) AS c
+                     FROM src GROUP BY col, v),
+            mcv AS (SELECT col, v, c,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY col
+                               ORDER BY c DESC, v) - 1 AS BIGINT) AS r
+                    FROM cnts QUALIFY r < 5),
+            mrows AS (
+              SELECT col, 'mcv_value' AS stat, r AS slot, v AS value
+              FROM mcv
+              UNION ALL
+              SELECT col, 'mcv_count', r, c FROM mcv),
+            edh AS (
+              SELECT col, 'edh_bound' AS stat, 1 AS slot,
+                     quantile_disc(v, 0.125) AS value
+              FROM src GROUP BY col
+              UNION ALL SELECT col, 'edh_bound', 2,
+                  quantile_disc(v, 0.25) FROM src GROUP BY col
+              UNION ALL SELECT col, 'edh_bound', 3,
+                  quantile_disc(v, 0.375) FROM src GROUP BY col
+              UNION ALL SELECT col, 'edh_bound', 4,
+                  quantile_disc(v, 0.5) FROM src GROUP BY col
+              UNION ALL SELECT col, 'edh_bound', 5,
+                  quantile_disc(v, 0.625) FROM src GROUP BY col
+              UNION ALL SELECT col, 'edh_bound', 6,
+                  quantile_disc(v, 0.75) FROM src GROUP BY col
+              UNION ALL SELECT col, 'edh_bound', 7,
+                  quantile_disc(v, 0.875) FROM src GROUP BY col)
+            SELECT col, stat, CAST(slot AS BIGINT) AS slot,
+                   CAST(value AS BIGINT) AS value
+            FROM (SELECT * FROM agg UNION ALL
+                  SELECT * FROM mrows UNION ALL
+                  SELECT * FROM edh)
+            ORDER BY col, stat, slot
         """,
         "orders_allen_relations": """
             WITH iv AS (

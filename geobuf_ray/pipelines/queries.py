@@ -15193,3 +15193,85 @@ def images_otsu_threshold(sf_dir: str):
         sum_fg=("sum_fg", "sum"),
         sum_fg_gray=("sum_fg_gray", "sum")).sort_values("fmt")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def lineitem_stats_collection(sf_dir: str):
+    """ANALYZE-style optimizer statistics collection — the stats a
+    cost-based planner keeps per column (this engine's AUTO join
+    chooser already consumes Count-Min sketches; these are the
+    classic complements): for l_quantity and price cents in ONE scan,
+    exact row count, NDV, min/max/sum, the top-5 MCV list under the
+    pinned (count DESC, value ASC) order, and the 7 equi-depth
+    histogram boundaries (PERCENTILE_DISC at k/8, the quantile_disc
+    rank rule).  Per-block (col, value, count) partials compress each
+    block to its distinct values; the driver merges the bounded
+    distinct-value table (price_quantiles' documented contract — at
+    unbounded cardinality the same shape feeds the t-digest sketch
+    instead).  Emitted tidy as (col, stat, slot, value) — one
+    hash-checkable table for the whole stats set."""
+    import ray
+
+    from ..collect import collect_table
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        out_c, out_v, out_n = [], [], []
+        for name, arr in (("l_quantity", qty),
+                          ("price_cents", cents)):
+            u, c = np.unique(arr, return_counts=True)
+            out_c.append(np.full(len(u), name, dtype=object))
+            out_v.append(u)
+            out_n.append(c.astype(np.int64))
+        return pa.table({
+            "col": pa.array(np.concatenate(out_c), pa.string()),
+            "v": pa.array(np.concatenate(out_v)),
+            "c": pa.array(np.concatenate(out_n))})
+
+    parts = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None))
+    df = parts.to_pandas().groupby(["col", "v"], as_index=False)["c"] \
+        .sum()
+
+    rows = {"col": [], "stat": [], "slot": [], "value": []}
+
+    def emit(col, stat, slot, value):
+        rows["col"].append(col)
+        rows["stat"].append(stat)
+        rows["slot"].append(int(slot))
+        rows["value"].append(int(value))
+
+    for col, g in df.groupby("col"):
+        v = g["v"].to_numpy()
+        c = g["c"].to_numpy()
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        emit(col, "n", 0, total)
+        emit(col, "ndv", 0, len(v))
+        emit(col, "min", 0, v[0])
+        emit(col, "max", 0, v[-1])
+        emit(col, "sum", 0, int((v * c).sum()))
+        mo = np.lexsort((v, -c))[:5]
+        for r, i in enumerate(mo):
+            emit(col, "mcv_value", r, v[i])
+            emit(col, "mcv_count", r, c[i])
+        for k in range(1, 8):
+            rank = max(int(np.ceil(k / 8 * total)), 1)
+            emit(col, "edh_bound", k, v[np.searchsorted(cum, rank)])
+
+    t = pa.table({"col": pa.array(rows["col"], pa.string()),
+                  "stat": pa.array(rows["stat"], pa.string()),
+                  "slot": pa.array(rows["slot"], pa.int64()),
+                  "value": pa.array(rows["value"], pa.int64())})
+    o = np.lexsort((t["slot"].to_numpy(zero_copy_only=False),
+                    np.asarray(t["stat"]), np.asarray(t["col"])))
+    return t.take(pa.array(o))

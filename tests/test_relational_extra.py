@@ -1448,3 +1448,48 @@ def test_allen_relations_scalar_replay(ray_session, tmp_path):
     for r in ("precedes", "meets", "overlaps", "contains", "starts",
               "equals", "finished_by"):
         assert r in got, r
+
+
+def test_stats_collection_scalar_replay(ray_session, tmp_path):
+    """lineitem_stats_collection vs a pandas replay on a small
+    synthetic lineitem with engineered MCV ties (equal counts must
+    break to the smaller value) and a skewed distribution."""
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    rng = np.random.RandomState(23)
+    qty = np.concatenate([np.full(40, 7), np.full(40, 3),
+                          rng.randint(1, 30, 120)]).astype(np.float64)
+    price = np.concatenate([np.full(30, 12.34),
+                            rng.uniform(1, 500, 170)])
+    tbl = pa.table({"l_quantity": pa.array(qty),
+                    "l_extendedprice": pa.array(price)})
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    out = q.lineitem_stats_collection(str(tmp_path)).to_pylist()
+    got = {(r["col"], r["stat"], r["slot"]): r["value"] for r in out}
+
+    for col, arr in (("l_quantity", qty.astype(np.int64)),
+                     ("price_cents",
+                      np.round(price * 100).astype(np.int64))):
+        n = len(arr)
+        assert got[(col, "n", 0)] == n
+        assert got[(col, "ndv", 0)] == len(np.unique(arr))
+        assert got[(col, "min", 0)] == arr.min()
+        assert got[(col, "max", 0)] == arr.max()
+        assert got[(col, "sum", 0)] == arr.sum()
+        vals, cnts = np.unique(arr, return_counts=True)
+        mo = np.lexsort((vals, -cnts))[:5]
+        for r, i in enumerate(mo):
+            assert got[(col, "mcv_value", r)] == vals[i]
+            assert got[(col, "mcv_count", r)] == cnts[i]
+        sa = np.sort(arr)
+        for k in range(1, 8):
+            rank = max(int(np.ceil(k / 8 * n)), 1)
+            assert got[(col, "edh_bound", k)] == sa[rank - 1], (col, k)
+    # engineered tie: qty 3 and 7 both appear 40+ times; whichever
+    # counts tie exactly must order value-ascending
+    mv = [got[("l_quantity", "mcv_value", r)] for r in range(5)]
+    mc = [got[("l_quantity", "mcv_count", r)] for r in range(5)]
+    for a in range(4):
+        assert (mc[a], -mv[a]) >= (mc[a + 1], -mv[a + 1])
