@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_allen_relations": q.orders_allen_relations,
         "images_otsu_threshold": q.images_otsu_threshold,
         "lineitem_stats_collection": q.lineitem_stats_collection,
+        "customers_morans_i": q.customers_morans_i,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -1529,6 +1530,30 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT {_spread16('qx')}
                          | ({_spread16('qy')} << 1) AS zkey FROM g)
             SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "customers_morans_i": f"""
+            WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat
+                        FROM customer),
+            qq AS (SELECT {_quant('lon', -180.0, 360.0, 6)} AS qx,
+                          {_quant('lat', -90.0, 180.0, 6)} AS qy
+                   FROM pt),
+            cnt AS (SELECT qx, qy, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM qq GROUP BY qx, qy),
+            grid AS (SELECT i.range AS gx, j.range AS gy,
+                            COALESCE(cnt.n, 0) AS x
+                     FROM range(0, 64) i CROSS JOIN range(0, 64) j
+                     LEFT JOIN cnt ON cnt.qx = i.range
+                         AND cnt.qy = j.range),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                           CAST(SUM(x) AS BIGINT) AS s FROM grid),
+            z AS (SELECT gx, gy, nn * x - s AS z FROM grid, tot)
+            SELECT (SELECT nn FROM tot) AS n_cells,
+                   CAST(16128 AS BIGINT) AS sum_w,
+                   CAST((SELECT SUM(z1.z * z2.z) FROM z z1 JOIN z z2
+                         ON abs(z1.gx - z2.gx) + abs(z1.gy - z2.gy)
+                            = 1) AS BIGINT) AS moran_num,
+                   CAST((SELECT SUM(z * z) FROM z) AS BIGINT)
+                       AS moran_den
         """,
         "lineitem_stats_collection": """
             WITH src AS (

@@ -15275,3 +15275,60 @@ def lineitem_stats_collection(sf_dir: str):
     o = np.lexsort((t["slot"].to_numpy(zero_copy_only=False),
                     np.asarray(t["stat"]), np.asarray(t["col"])))
     return t.take(pa.array(o))
+
+
+def customers_morans_i(sf_dir: str, bits: int = 6):
+    """Moran's I spatial autocorrelation — the first statistic a
+    spatial analyst computes over a choropleth: are customer-count
+    cells CLUSTERED or dispersed on the 64x64 lon/lat lattice?
+    Rook-adjacency weights over the FULL lattice (empty cells are
+    lattice members with value 0 — the textbook formulation).  The
+    mean is never divided out: with z_i = N*x_i - S the statistic is
+    the exact integer pair A = sum_ij w_ij z_i z_j (numerator, x N^2)
+    and B = sum_i z_i^2 (denominator, x N^2), emitted with N and W so
+    I = (N*A)/(W*B) stays with the consumer — bounded by |z| <=
+    N*max_count so A,B fit int64 at this lattice size (guarded).
+    Per-block cell-count partials stream; the driver folds the
+    bounded 4096-cell lattice (the viewshed fold contract).
+    Hash-checked vs a grid + self-join twin."""
+    import ray
+
+    from ..collect import collect_table
+
+    n_side = 1 << bits
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        qx = np.clip(np.floor((lon + 180.0) / 360.0 * n_side)
+                     .astype(np.int64), 0, n_side - 1)
+        qy = np.clip(np.floor((lat + 90.0) / 180.0 * n_side)
+                     .astype(np.int64), 0, n_side - 1)
+        cell = qx * n_side + qy
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = collect_table(customer_points(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    x = np.zeros(n_side * n_side, np.int64)
+    np.add.at(x, parts["cell"].to_numpy(zero_copy_only=False),
+              parts["n"].to_numpy(zero_copy_only=False))
+    N = n_side * n_side
+    S = int(x.sum())
+    # |z| <= N*max; A sums ~4*N pair products of z^2-scale terms, so
+    # max <= N keeps A <= 4N*(N*max)^2 <= 4*N^5 ~ 4.6e18 < 2^63
+    if int(x.max()) > N:
+        raise OverflowError("morans_i: z^2 sums would overflow int64")
+    z = (N * x - S).astype(np.int64)
+    g = z.reshape(n_side, n_side)
+    # rook adjacency, both directions counted (standard symmetric W)
+    a = int((g[:-1, :] * g[1:, :]).sum()) * 2 \
+        + int((g[:, :-1] * g[:, 1:]).sum()) * 2
+    w = 2 * (2 * n_side * (n_side - 1))
+    b = int((z * z).sum())
+    return pa.table({
+        "n_cells": pa.array([N], pa.int64()),
+        "sum_w": pa.array([w], pa.int64()),
+        "moran_num": pa.array([a], pa.int64()),
+        "moran_den": pa.array([b], pa.int64())})

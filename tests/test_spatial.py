@@ -485,3 +485,55 @@ def test_kernel_interpolate_brute_force(ray_session):
             radius=R, cell_bits=bits, nbuckets=8))
         got = {r["id"]: (r["num"], r["den"]) for r in out.to_pylist()}
         assert got == exp, bits
+
+
+def test_morans_i_scalar_replay(ray_session, tmp_path):
+    """customers_morans_i vs a scalar double-loop replay on a tiny
+    synthetic customer file, plus sign sanity: a perfectly CLUSTERED
+    field gives positive I, a checkerboard gives negative I."""
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    keys = np.arange(1, 400, dtype=np.int64)
+    tbl = pa.table({"c_custkey": pa.array(keys)})
+    pq.write_table(tbl, tmp_path / "customer.parquet")
+    out = q.customers_morans_i(str(tmp_path)).to_pylist()[0]
+
+    lon = ((keys * 7919) % 36000) / 100.0 - 180.0
+    lat = ((keys * 104729) % 17000) / 100.0 - 85.0
+    n_side = 64
+    qx = np.clip(np.floor((lon + 180) / 360 * n_side).astype(int),
+                 0, 63)
+    qy = np.clip(np.floor((lat + 90) / 180 * n_side).astype(int),
+                 0, 63)
+    x = np.zeros((n_side, n_side), np.int64)
+    for a, b in zip(qx, qy):
+        x[a, b] += 1
+    N, S = n_side * n_side, int(x.sum())
+    z = N * x - S
+    num = 0
+    for i in range(n_side):
+        for j in range(n_side):
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                if 0 <= i + di < n_side and 0 <= j + dj < n_side:
+                    num += int(z[i, j]) * int(z[i + di, j + dj])
+    assert out["moran_num"] == num
+    assert out["moran_den"] == int((z.astype(object) ** 2).sum())
+    assert out["n_cells"] == N and out["sum_w"] == 16128
+
+    def moran(zgrid):
+        n2 = zgrid.size
+        a = 2 * (int((zgrid[:-1] * zgrid[1:]).sum())
+                 + int((zgrid[:, :-1] * zgrid[:, 1:]).sum()))
+        b = int((zgrid * zgrid).sum())
+        w = 4 * zgrid.shape[0] * (zgrid.shape[0] - 1)
+        return n2 * a / (w * b)
+
+    half = np.zeros((8, 8), np.int64)
+    half[:4] = 64          # clustered: one solid half
+    zc = half.size * half - half.sum()
+    assert moran(zc) > 0.5
+    cb = np.indices((8, 8)).sum(axis=0) % 2 * 64  # checkerboard
+    zb = cb.size * cb - cb.sum()
+    assert moran(zb) < -0.5
