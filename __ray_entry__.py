@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_otsu_threshold": q.images_otsu_threshold,
         "lineitem_stats_collection": q.lineitem_stats_collection,
         "customers_morans_i": q.customers_morans_i,
+        "docs_minimizer_overlap": q.docs_minimizer_overlap,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -1530,6 +1531,40 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT {_spread16('qx')}
                          | ({_spread16('qy')} << 1) AS zkey FROM g)
             SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "docs_minimizer_overlap": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_split_to_array(text, '\\s+')
+                                    AS w
+                         FROM documents),
+            pos AS (SELECT doc_id, w,
+                        unnest(generate_series(1,
+                            greatest(len(w) - 2, 0))) AS i
+                    FROM tok),
+            gr AS (SELECT doc_id, i,
+                          w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              AS gram
+                   FROM pos
+                   WHERE w[i] <> '' AND w[i+1] <> ''
+                     AND w[i+2] <> ''),
+            sel AS (SELECT doc_id, gram,
+                        MIN(gram) OVER (PARTITION BY doc_id
+                            ORDER BY i ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS wmin
+                    FROM gr),
+            fp AS (SELECT DISTINCT doc_id, gram FROM sel
+                   WHERE gram = wmin),
+            rare AS (SELECT gram FROM fp GROUP BY gram
+                     HAVING COUNT(*) <= 8),
+            pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          CAST(COUNT(*) AS BIGINT) AS n_shared
+                   FROM fp a
+                   JOIN rare USING (gram)
+                   JOIN fp b USING (gram)
+                   WHERE a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+            SELECT doc_a, doc_b, n_shared FROM pr
+            ORDER BY doc_a, doc_b
         """,
         "customers_morans_i": f"""
             WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .text import fingerprint64, _string_parts
 
@@ -1221,3 +1222,130 @@ def repeated_ngram_spans(ds, *, n: int = 5, doc_col: str = "doc_id",
 
     return ds.map_batches(spans, batch_format="pyarrow",
                           zero_copy_batch=True, **map_kwargs)
+
+
+def minimizer_overlap_pairs(ds, *, k: int = 3, radius: int = 3,
+                            max_docs_per_gram: int = 8,
+                            min_shared: int = 3,
+                            doc_col: str = "doc_id",
+                            text_col: str = "text",
+                            nbuckets: int = 32) -> pa.Table:
+    """Minimizer-sampled k-gram overlap — the MOSS/minimap2 sparse
+    fingerprinting family: per document, token k-grams are SAMPLED by
+    the centered local-minimum rule (a gram is a fingerprint iff it
+    is the lexicographic minimum within ``radius`` positions either
+    side — deterministic, position-robust: an edit outside the window
+    cannot change a selection), then document pairs sharing >=
+    ``min_shared`` distinct fingerprint grams are reported.  Grams
+    held by more than ``max_docs_per_gram`` documents are dropped
+    BEFORE pairing (the boilerplate rule that also bounds the
+    per-gram pair fan-out to C(8,2) — the LSH hot-bucket lesson).
+
+    Numpy '<U' comparison is code-point lexicographic and DuckDB
+    VARCHAR MIN is UTF-8 memcmp; UTF-8 order equals code-point order,
+    so the selection is SQL-reproducible exactly.  Shape: per-batch
+    gram build (vectorized join) + per-doc windowed np.minimum
+    sweeps; one gram-hash exchange co-locates each gram's holders;
+    per-gram pair partials sum driver-side (bounded by the rare-gram
+    cap)."""
+    from ..collect import collect_table
+    from .exchange import hash_exchange
+
+    sel_schema = pa.schema([("gram", pa.string()),
+                            ("doc", pa.int64())])
+
+    def select_fn(batch: pa.Table) -> pa.Table:
+        from .text import _tokens_per_doc
+
+        if batch.num_rows == 0:
+            return sel_schema.empty_table()
+        flat, doc_of = _tokens_per_doc(batch, text_col)
+        dids = batch[doc_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(doc_of)
+        if n < k:
+            return sel_schema.empty_table()
+        # k-gram rows: positions whose k tokens share one doc
+        same = np.ones(n - k + 1, bool)
+        for j in range(1, k):
+            same &= doc_of[j:n - k + 1 + j] == doc_of[:n - k + 1]
+        parts = [flat.slice(j, n - k + 1) for j in range(k)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        gdoc = doc_of[:n - k + 1]
+        idx = np.flatnonzero(same)
+        ga = np.asarray(grams.take(pa.array(idx)))
+        gd = gdoc[idx]
+        out_g, out_d = [], []
+        # per-doc centered-window local-min selection
+        bounds = np.flatnonzero(np.diff(gd)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(gd)]))
+        for s, e in zip(starts, ends):
+            seg = ga[s:e]
+            m = len(seg)
+            wmin = seg.copy()
+            for off in range(1, radius + 1):
+                if off < m:
+                    wmin[off:] = np.minimum(wmin[off:], seg[:-off])
+                    wmin[:-off] = np.minimum(wmin[:-off], seg[off:])
+            hit = np.flatnonzero(seg == wmin)
+            if len(hit):
+                sel = np.unique(seg[hit])
+                out_g.append(sel)
+                out_d.append(np.full(len(sel), dids[gd[s]],
+                                     np.int64))
+        if not out_g:
+            return sel_schema.empty_table()
+        return pa.table({"gram": pa.array(np.concatenate(out_g)),
+                         "doc": pa.array(np.concatenate(out_d))})
+
+    pair_schema = pa.schema([("doc_a", pa.int64()),
+                             ("doc_b", pa.int64()),
+                             ("n", pa.int64())])
+
+    def pair_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            return pair_schema.empty_table()
+        genc = tbl["gram"].combine_chunks().dictionary_encode()
+        gcode = genc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc = tbl["doc"].to_numpy(zero_copy_only=False)
+        # distinct (gram, doc); docs-per-gram cap; pairs per gram
+        o = np.lexsort((doc, gcode))
+        gs, ds_ = gcode[o], doc[o]
+        first = np.concatenate(([True], (gs[1:] != gs[:-1])
+                                | (ds_[1:] != ds_[:-1])))
+        gs, ds_ = gs[first], ds_[first]
+        aa, bb = [], []
+        bounds = np.flatnonzero(np.diff(gs)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(gs)]))
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2 or d > max_docs_per_gram:
+                continue
+            seg = ds_[s:e]
+            ia, ib = np.triu_indices(d, 1)
+            aa.append(seg[ia])
+            bb.append(seg[ib])
+        if not aa:
+            return pair_schema.empty_table()
+        a = np.concatenate(aa)
+        b = np.concatenate(bb)
+        t = pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
+                      "n": pa.array(np.ones(len(a), np.int64))})
+        g = t.group_by(["doc_a", "doc_b"]).aggregate([("n", "sum")])
+        return g.rename_columns(["doc_a", "doc_b", "n"])
+
+    sel = ds.map_batches(select_fn, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    parts = collect_table(hash_exchange(
+        sel, nbuckets=nbuckets, on="gram", reduce_fn=pair_fn,
+        schema=pair_schema))
+    agg = parts.group_by(["doc_a", "doc_b"]).aggregate([("n", "sum")])
+    agg = agg.rename_columns(["doc_a", "doc_b", "n_shared"])
+    keep = pc.greater_equal(agg["n_shared"], min_shared)
+    agg = agg.filter(keep)
+    o = np.lexsort((agg["doc_b"].to_numpy(zero_copy_only=False),
+                    agg["doc_a"].to_numpy(zero_copy_only=False)))
+    return agg.take(pa.array(o))

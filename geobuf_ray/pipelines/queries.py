@@ -15332,3 +15332,22 @@ def customers_morans_i(sf_dir: str, bits: int = 6):
         "sum_w": pa.array([w], pa.int64()),
         "moran_num": pa.array([a], pa.int64()),
         "moran_den": pa.array([b], pa.int64())})
+
+
+def docs_minimizer_overlap(sf_dir: str):
+    """Minimizer-fingerprint overlap pairs
+    (functions/dedup.minimizer_overlap_pairs — the MOSS/minimap2
+    sparse-sampling family): token 3-grams sampled by the centered
+    local-minimum rule (radius 3), boilerplate grams held by > 8 docs
+    dropped BEFORE pairing (bounding per-gram fan-out to C(8,2) — the
+    LSH hot-bucket lesson applied at design time), pairs sharing >= 3
+    distinct fingerprints reported.  Numpy '<U' order == UTF-8 memcmp
+    == DuckDB VARCHAR MIN, so selection is SQL-exact; hash-checked vs
+    a window-MIN + rare-gram + self-join twin."""
+    import ray
+
+    from ..functions.dedup import minimizer_overlap_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minimizer_overlap_pairs(ds)

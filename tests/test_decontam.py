@@ -86,3 +86,57 @@ def test_decontaminate_short_and_empty_docs(ray_session):
     # only doc 3 shares the 5-gram "a b c d e"; docs 1 (too short)
     # and 2 (empty) produce no shingles and must not appear
     assert dict(zip(out.doc_id, out.n_hits)) == {3: 1}
+
+
+def test_minimizer_overlap_scalar_replay(ray_session):
+    """minimizer_overlap_pairs vs a scalar replay on a synthetic
+    corpus with a planted shared passage (must pair) and a
+    boilerplate sentence in EVERY doc (its grams exceed the
+    docs-per-gram cap and must be dropped, so boilerplate alone
+    never pairs)."""
+    import ray
+
+    from geobuf_ray.functions.dedup import minimizer_overlap_pairs
+
+    rng = np.random.RandomState(31)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    # low-sorting anchors every 8 tokens -> several spaced minima
+    shared = ("a0 m1 m2 m3 m4 m5 m6 m7 a1 m8 m9 m10 m11 m12 m13 "
+              "m14 a2 m15 m16 m17 a3 m18 m19 m20")
+    docs = []
+    for d in range(12):
+        body = " ".join(rng.choice(vocab, 60))
+        txt = f"{boiler} {body}"
+        if d in (3, 7):
+            txt += " " + shared
+        docs.append((d, txt))
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs],
+                                       pa.int64()),
+                    "text": pa.array([t for _, t in docs])})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = minimizer_overlap_pairs(ds, min_shared=2, nbuckets=5)
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in out.to_pylist()}
+
+    # scalar replay
+    def fingerprints(txt):
+        w = txt.split()
+        grams = [" ".join(w[i:i+3]) for i in range(len(w) - 2)]
+        sel = set()
+        for i, g in enumerate(grams):
+            lo, hi = max(0, i - 3), min(len(grams), i + 4)
+            if g == min(grams[lo:hi]):
+                sel.add(g)
+        return sel
+    fps = {d: fingerprints(t) for d, t in docs}
+    from collections import Counter
+    holders = Counter(g for s in fps.values() for g in s)
+    want = {}
+    for a in range(12):
+        for b in range(a + 1, 12):
+            n = sum(1 for g in fps[a] & fps[b] if holders[g] <= 8)
+            if n >= 2:
+                want[(a, b)] = n
+    assert got == want
+    assert (3, 7) in got  # the planted shared passage pairs
