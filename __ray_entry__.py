@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_stats_collection": q.lineitem_stats_collection,
         "customers_morans_i": q.customers_morans_i,
         "docs_minimizer_overlap": q.docs_minimizer_overlap,
+        "suppliers_edge_support": q.suppliers_edge_support,
+        "suppliers_ktruss": q.suppliers_ktruss,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
         "suppliers_temporal_reach": q.suppliers_temporal_reach,
@@ -1531,6 +1533,36 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT {_spread16('qx')}
                          | ({_spread16('qy')} << 1) AS zkey FROM g)
             SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "suppliers_edge_support": """
+            WITH raw AS (
+              SELECT s_suppkey AS a, s_suppkey - (s_suppkey % 7) AS b
+              FROM supplier
+              UNION ALL
+              SELECT s_suppkey - (s_suppkey % 7), s_suppkey
+              FROM supplier
+              UNION ALL
+              SELECT s_suppkey, s_suppkey - 1 FROM supplier
+              WHERE s_suppkey % 10 = 0
+              UNION ALL
+              SELECT s_suppkey - 1, s_suppkey FROM supplier
+              WHERE s_suppkey % 10 = 0),
+            sym AS (SELECT DISTINCT a, b FROM (
+                      SELECT a, b FROM raw UNION ALL
+                      SELECT b, a FROM raw)
+                    WHERE a <> b),
+            canon AS (SELECT DISTINCT LEAST(a, b) AS a,
+                             GREATEST(a, b) AS b FROM sym),
+            sup AS (SELECT c.a, c.b,
+                           CAST(COUNT(DISTINCT na.b) AS BIGINT) AS s
+                    FROM canon c
+                    JOIN sym na ON na.a = c.a
+                    JOIN sym nb ON nb.a = c.b AND nb.b = na.b
+                    GROUP BY c.a, c.b)
+            SELECT c.a AS src, c.b AS dst,
+                   CAST(COALESCE(sup.s, 0) AS BIGINT) AS support
+            FROM canon c LEFT JOIN sup ON sup.a = c.a AND sup.b = c.b
+            ORDER BY src, dst
         """,
         "docs_minimizer_overlap": """
             WITH tok AS (SELECT doc_id,

@@ -15351,3 +15351,54 @@ def docs_minimizer_overlap(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return minimizer_overlap_pairs(ds)
+
+
+def suppliers_edge_support(sf_dir: str):
+    """Per-edge triangle support over the deterministic supplier
+    graph (functions/graph.edge_triangle_support): |N(a) ∩ N(b)| per
+    canonical undirected edge — the edge-cohesion measure node
+    degrees cannot see and the ingredient k-truss peels on.
+    Broadcast dense-adjacency regime (one row-gather AND + popcount
+    per edge, vectorized); hash-checked vs a two-hop self-join
+    twin."""
+    import ray
+
+    from ..functions.graph import edge_triangle_support
+
+    keys = _supplier_keys(sf_dir)
+    bridged = keys[keys % 10 == 0]
+    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
+    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a, pa.int64()),
+        "dst": pa.array(b, pa.int64())})).repartition(4)
+    out = edge_triangle_support(edges)
+    o = np.lexsort((out["dst"].to_numpy(zero_copy_only=False),
+                    out["src"].to_numpy(zero_copy_only=False)))
+    return out.take(pa.array(o))
+
+
+def suppliers_ktruss(sf_dir: str):
+    """k-truss cores of the supplier graph
+    (functions/graph.ktruss_summary): for k in 3..6 the maximal
+    subgraph where every edge closes >= k-2 triangles WITHIN the
+    subgraph — the cohesion family one step above k-core (the
+    hub-and-spoke clusters here pass 2-core trivially but their
+    star edges cannot survive truss peeling).  Support peeling to
+    fixpoint on the bounded canonical edge list (the CC/MST label
+    contract), dense-adjacency support kernel per round.  Rows-only
+    (iterative fixpoint is not SQL-expressible); edge-support
+    ingredient hash-checked separately and a brute-force peeling
+    replay pytest pins the semantics."""
+    import ray
+
+    from ..functions.graph import ktruss_summary
+
+    keys = _supplier_keys(sf_dir)
+    bridged = keys[keys % 10 == 0]
+    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
+    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a, pa.int64()),
+        "dst": pa.array(b, pa.int64())})).repartition(4)
+    return ktruss_summary(edges, [3, 4, 5, 6])

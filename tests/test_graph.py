@@ -668,3 +668,70 @@ def test_all_pairs_hops_brute_force(ray_session):
                     dq.append(v)
         assert got[int(s)] == (sum(dist.values()), len(dist)), s
     assert got[200] == (0, 1)
+
+
+def test_edge_support_and_ktruss_brute_force(ray_session):
+    """edge_triangle_support vs a set-intersection replay, and
+    ktruss_summary vs a scalar peeling replay, on a random graph plus
+    a planted 5-clique (which must survive as the 5-truss) and a star
+    (which passes k-core reasoning but must die at k=3)."""
+    import itertools
+
+    import ray
+
+    from geobuf_ray.functions.graph import (edge_triangle_support,
+                                            ktruss_summary)
+
+    rng = np.random.RandomState(41)
+    a = rng.randint(0, 30, 80).astype(np.int64)
+    b = rng.randint(0, 30, 80).astype(np.int64)
+    clique = np.array(list(itertools.combinations(
+        [100, 101, 102, 103, 104], 2)), np.int64)
+    star = np.array([(200, x) for x in range(201, 210)], np.int64)
+    ea = np.concatenate([a, clique[:, 0], star[:, 0]])
+    eb = np.concatenate([b, clique[:, 1], star[:, 1]])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(ea), "dst": pa.array(eb)})).repartition(3)
+
+    sup = edge_triangle_support(edges)
+    nbr = {}
+    for x, y in zip(ea, eb):
+        if x != y:
+            nbr.setdefault(int(x), set()).add(int(y))
+            nbr.setdefault(int(y), set()).add(int(x))
+    for r in sup.to_pylist():
+        assert r["src"] < r["dst"]
+        assert r["support"] == len(nbr[r["src"]] & nbr[r["dst"]])
+
+    ks = [3, 4, 5, 6]
+    out = {r["k"]: (r["n_edges"], r["n_nodes"])
+           for r in ktruss_summary(edges, ks).to_pylist()}
+
+    def peel(k):
+        es = {(min(int(x), int(y)), max(int(x), int(y)))
+              for x, y in zip(ea, eb) if x != y}
+        while True:
+            nb = {}
+            for x, y in es:
+                nb.setdefault(x, set()).add(y)
+                nb.setdefault(y, set()).add(x)
+            bad = {e for e in es
+                   if len(nb[e[0]] & nb[e[1]]) < k - 2}
+            if not bad:
+                break
+            es -= bad
+        nodes = {v for e in es for v in e}
+        return len(es), len(nodes)
+
+    for k in ks:
+        assert out[k] == peel(k), k
+    # the planted clique IS the 5-truss core; the star is gone by k=3
+    assert out[5][0] >= 10
+    s5 = ktruss_summary(ray.data.from_arrow(pa.table({
+        "src": pa.array(clique[:, 0]),
+        "dst": pa.array(clique[:, 1])})), [5]).to_pylist()[0]
+    assert (s5["n_edges"], s5["n_nodes"]) == (10, 5)
+    star_only = ktruss_summary(ray.data.from_arrow(pa.table({
+        "src": pa.array(star[:, 0]),
+        "dst": pa.array(star[:, 1])})), [3]).to_pylist()[0]
+    assert star_only["n_edges"] == 0
