@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_morans_i": q.customers_morans_i,
         "docs_minimizer_overlap": q.docs_minimizer_overlap,
         "suppliers_edge_support": q.suppliers_edge_support,
+        "suppliers_rank_tau": q.suppliers_rank_tau,
         "suppliers_ktruss": q.suppliers_ktruss,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
@@ -1533,6 +1534,36 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT {_spread16('qx')}
                          | ({_spread16('qy')} << 1) AS zkey FROM g)
             SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "suppliers_rank_tau": """
+            WITH rev AS (
+              SELECT l_suppkey AS k,
+                     CAST(SUM(CAST(round(l_extendedprice * 100)
+                         AS BIGINT)) AS BIGINT) AS r
+              FROM lineitem GROUP BY l_suppkey),
+            v AS (SELECT s_suppkey AS k,
+                         CAST(round(s_acctbal * 100) AS BIGINT) AS a,
+                         COALESCE(rev.r, 0) AS b
+                  FROM supplier LEFT JOIN rev
+                    ON rev.k = supplier.s_suppkey),
+            pairs AS (
+              SELECT sign(x.a - y.a) AS da, sign(x.b - y.b) AS db
+              FROM v x JOIN v y ON x.k < y.k)
+            SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN da * db = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS concordant,
+                   CAST(SUM(CASE WHEN da * db = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS discordant,
+                   CAST(SUM(CASE WHEN da = 0 AND db <> 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tie_a,
+                   CAST(SUM(CASE WHEN db = 0 AND da <> 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tie_b,
+                   CAST(SUM(CASE WHEN da = 0 AND db = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tie_both
+            FROM pairs
         """,
         "suppliers_edge_support": """
             WITH raw AS (

@@ -15402,3 +15402,74 @@ def suppliers_ktruss(sf_dir: str):
         "src": pa.array(a, pa.int64()),
         "dst": pa.array(b, pa.int64())})).repartition(4)
     return ktruss_summary(edges, [3, 4, 5, 6])
+
+
+def suppliers_rank_tau(sf_dir: str):
+    """Kendall tau-b rank agreement — do two rankings of the same
+    entities agree?  Ranking A: suppliers by account balance; ranking
+    B: by total shipped revenue (LEFT JOIN, absent = 0).  The
+    statistic ships as its EXACT integer ingredients over all C(n,2)
+    pairs — concordant, discordant, tie_a, tie_b, tie_both — so
+    tau_b = (C - D)/sqrt((P-Ta)(P-Tb)) stays with the consumer and
+    the whole answer hash-checks.  Both value vectors come from
+    distributed aggregates (balance cents read pruned; revenue via
+    per-block bincount partials); the pair scan runs CHUNKED over the
+    bounded ranking table (the Mann-Kendall contract: rankings being
+    compared are metadata-scale).  Hash-checked vs a pairwise
+    self-join twin."""
+    import duckdb
+    import ray
+
+    from ..collect import collect_table
+
+    keys = _supplier_keys(sf_dir)
+    bal = duckdb.connect().execute(
+        f"SELECT CAST(round(s_acctbal * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/supplier.parquet' ORDER BY s_suppkey"
+    ).fetchnumpy()
+    va = next(iter(bal.values())).astype(np.int64)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice"])
+    span = int(keys.max()) + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        rev = np.bincount(sk, weights=cents, minlength=span) \
+            .astype(np.int64)
+        hit = np.flatnonzero(rev)
+        return pa.table({"k": pa.array(hit),
+                         "rev": pa.array(rev[hit])})
+
+    parts = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    rev_full = np.zeros(span, np.int64)
+    np.add.at(rev_full, parts["k"].to_numpy(zero_copy_only=False),
+              parts["rev"].to_numpy(zero_copy_only=False))
+    vb = rev_full[keys]
+
+    n = len(keys)
+    conc = disc = tie_a = tie_b = tie_both = 0
+    chunk = 256
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        da = np.sign(va[s:e, None] - va[None, :])
+        db = np.sign(vb[s:e, None] - vb[None, :])
+        upper = np.arange(s, e)[:, None] < np.arange(n)[None, :]
+        both0 = (da == 0) & (db == 0) & upper
+        tie_both += int(both0.sum())
+        tie_a += int(((da == 0) & (db != 0) & upper).sum())
+        tie_b += int(((db == 0) & (da != 0) & upper).sum())
+        conc += int(((da * db == 1) & upper).sum())
+        disc += int(((da * db == -1) & upper).sum())
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "concordant": pa.array([conc], pa.int64()),
+        "discordant": pa.array([disc], pa.int64()),
+        "tie_a": pa.array([tie_a], pa.int64()),
+        "tie_b": pa.array([tie_b], pa.int64()),
+        "tie_both": pa.array([tie_both], pa.int64())})

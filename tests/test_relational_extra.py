@@ -1493,3 +1493,57 @@ def test_stats_collection_scalar_replay(ray_session, tmp_path):
     mc = [got[("l_quantity", "mcv_count", r)] for r in range(5)]
     for a in range(4):
         assert (mc[a], -mv[a]) >= (mc[a + 1], -mv[a + 1])
+
+
+def test_rank_tau_scalar_replay(ray_session, tmp_path):
+    """suppliers_rank_tau vs an all-pairs scalar replay on a tiny
+    synthetic pair of files with engineered ties in both rankings
+    and a supplier with NO lineitems (revenue 0)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    keys = np.arange(1, 13, dtype=np.int64)
+    bal = np.array([5, 5, 3, 9, 9, 9, 1, 2, 2, 7, 8, 4],
+                   np.float64)
+    pq.write_table(pa.table({"s_suppkey": pa.array(keys),
+                             "s_acctbal": pa.array(bal)}),
+                   tmp_path / "supplier.parquet")
+    # supplier 7 gets no lineitems; others get idx-derived revenue
+    sk, pr = [], []
+    for k in keys:
+        if k == 7:
+            continue
+        for j in range((k % 4) + 1):
+            sk.append(k)
+            pr.append(float((k * 13 + j * 7) % 50) + 0.25)
+    pq.write_table(pa.table({"l_suppkey": pa.array(sk, pa.int64()),
+                             "l_extendedprice": pa.array(pr)}),
+                   tmp_path / "lineitem.parquet")
+    out = q.suppliers_rank_tau(str(tmp_path)).to_pylist()[0]
+
+    va = np.round(bal * 100).astype(int)
+    vb = np.zeros(len(keys), int)
+    for k, p in zip(sk, pr):
+        vb[k - 1] += round(p * 100)
+    C = D = Ta = Tb = Tboth = 0
+    for i, j in itertools.combinations(range(len(keys)), 2):
+        da = np.sign(va[i] - va[j])
+        db = np.sign(vb[i] - vb[j])
+        if da == 0 and db == 0:
+            Tboth += 1
+        elif da == 0:
+            Ta += 1
+        elif db == 0:
+            Tb += 1
+        elif da == db:
+            C += 1
+        else:
+            D += 1
+    assert (out["concordant"], out["discordant"], out["tie_a"],
+            out["tie_b"], out["tie_both"]) == (C, D, Ta, Tb, Tboth)
+    assert out["n"] == 12
+    total = C + D + Ta + Tb + Tboth
+    assert total == 12 * 11 // 2
