@@ -1432,38 +1432,37 @@ def all_pairs_hops(edges, sources, *, src: str = "src",
     adj[np.searchsorted(nodes, a), np.searchsorted(nodes, b)] = 1
     ref = ray.put((nodes, adj))
 
-    class BFSFn:
-        def __init__(self):
-            self.nodes, self.adj = ray.get(ref)
-
-        def __call__(self, batch) -> pa.Table:
-            s = batch["node"].astype(np.int64)
-            si = np.searchsorted(self.nodes, s)
-            m = len(s)
-            nn = len(self.nodes)
-            dist = np.full((m, nn), -1, np.int64)
-            frontier = np.zeros((m, nn), bool)
-            frontier[np.arange(m), si] = True
-            dist[np.arange(m), si] = 0
-            r = 0
-            while frontier.any() and r < max_rounds:
-                r += 1
-                hit = (frontier.astype(np.uint8) @ self.adj) > 0
-                new = hit & (dist < 0)
-                dist[new] = r
-                frontier = new
-            reached = dist >= 0
-            return pa.table({
-                "node": pa.array(s),
-                "farness": pa.array(
-                    np.where(reached, dist, 0).sum(axis=1)),
-                "n_reached": pa.array(
-                    reached.sum(axis=1).astype(np.int64))})
+    def bfs_batch(batch) -> pa.Table:
+        # stateless TASK, not an actor pool: the broadcast tuple is a
+        # zero-copy plasma get per call (cached node-locally), and for
+        # metadata-scale graphs actor spin-up would dominate the work
+        g_nodes, g_adj = ray.get(ref)
+        s = batch["node"].astype(np.int64)
+        si = np.searchsorted(g_nodes, s)
+        m = len(s)
+        nn = len(g_nodes)
+        dist = np.full((m, nn), -1, np.int64)
+        frontier = np.zeros((m, nn), bool)
+        frontier[np.arange(m), si] = True
+        dist[np.arange(m), si] = 0
+        r = 0
+        while frontier.any() and r < max_rounds:
+            r += 1
+            hit = (frontier.astype(np.uint8) @ g_adj) > 0
+            new = hit & (dist < 0)
+            dist[new] = r
+            frontier = new
+        reached = dist >= 0
+        return pa.table({
+            "node": pa.array(s),
+            "farness": pa.array(
+                np.where(reached, dist, 0).sum(axis=1)),
+            "n_reached": pa.array(
+                reached.sum(axis=1).astype(np.int64))})
 
     ds = ray.data.from_arrow(pa.table({"node": pa.array(srcs)}))
-    return ds.map_batches(BFSFn, batch_format="numpy",
-                          batch_size=batch_sources,
-                          concurrency=(1, 4))
+    return ds.map_batches(bfs_batch, batch_format="numpy",
+                          batch_size=batch_sources)
 
 
 def _canonical_edges(edges, src, dst):
