@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minimizer_overlap": q.docs_minimizer_overlap,
         "suppliers_edge_support": q.suppliers_edge_support,
         "suppliers_rank_tau": q.suppliers_rank_tau,
+        "customers_ransac_line": q.customers_ransac_line,
         "suppliers_ktruss": q.suppliers_ktruss,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
@@ -1534,6 +1535,50 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT {_spread16('qx')}
                          | ({_spread16('qy')} << 1) AS zkey FROM g)
             SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "customers_ransac_line": """
+            WITH ks AS (SELECT c_custkey AS k,
+                               CAST(ROW_NUMBER() OVER (
+                                   ORDER BY c_custkey) - 1 AS BIGINT)
+                                   AS rn
+                        FROM customer),
+            st AS (SELECT CAST(ceil(COUNT(*) / 32.0) AS BIGINT)
+                       AS step FROM customer),
+            samp AS (SELECT k, CAST(ROW_NUMBER() OVER (ORDER BY k)
+                                    - 1 AS BIGINT) AS si
+                     FROM ks, st WHERE rn % step = 0
+                     QUALIFY ROW_NUMBER() OVER (ORDER BY k) <= 32),
+            pts AS (SELECT c_custkey AS k,
+                      CASE WHEN c_custkey % 17 = 0
+                           THEN -15000 + (c_custkey % 300) * 100
+                           ELSE (c_custkey * 7919) % 36000 - 18000
+                      END AS x,
+                      CASE WHEN c_custkey % 17 = 0
+                           THEN -7000 + (c_custkey % 300) * 40
+                           ELSE (c_custkey * 104729) % 17000 - 8500
+                      END AS y
+                    FROM customer),
+            sp AS (SELECT samp.si, samp.k, pts.x, pts.y
+                   FROM samp JOIN pts ON pts.k = samp.k),
+            hyp AS (SELECT a.si AS ai, b.si AS bi,
+                           a.k AS ik, b.k AS jk,
+                           a.x AS x0, a.y AS y0,
+                           b.x - a.x AS dx, b.y - a.y AS dy
+                    FROM sp a JOIN sp b ON a.si < b.si),
+            cnt AS (SELECT ai, bi, ik, jk,
+                       CAST(SUM(CASE WHEN
+                           (dx*(p.y - y0) - dy*(p.x - x0))
+                           * (dx*(p.y - y0) - dy*(p.x - x0))
+                           <= 2500 * (dx*dx + dy*dy)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+                       CAST(COUNT(*) AS BIGINT) AS n_points
+                    FROM hyp CROSS JOIN pts p
+                    GROUP BY ai, bi, ik, jk)
+            SELECT ik AS i_key, jk AS j_key, n_in AS n_inliers,
+                   n_points
+            FROM cnt
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY n_in DESC, ai, bi) = 1
         """,
         "suppliers_rank_tau": """
             WITH rev AS (

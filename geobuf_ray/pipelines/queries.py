@@ -15473,3 +15473,91 @@ def suppliers_rank_tau(sf_dir: str):
         "tie_a": pa.array([tie_a], pa.int64()),
         "tie_b": pa.array([tie_b], pa.int64()),
         "tie_both": pa.array([tie_both], pa.int64())})
+
+
+def customers_ransac_line(sf_dir: str, tol: int = 50):
+    """Deterministic RANSAC line fitting — the robust model-fitting
+    primitive (vision/geometry's answer to least squares under
+    outliers): customer points in integer centidegrees, with every
+    k%17==0 customer OVERRIDDEN onto an exact planted line (slope
+    2/5 through (-15000, -7000), integer because planted x steps by
+    100 — the structured subpopulation a robust fitter must
+    discover; the line stays inside the coordinate domain so cross^2
+    < 2^63 holds); hypotheses are all pairs of a DETERMINISTIC
+    32-point stride sample (RANSAC's random draw replaced by a
+    pinned stride so the answer is bit-stable and SQL-twinnable),
+    and the inlier test is the EXACT integer cross-multiplied
+    point-line distance |cross(q-p, x-p)|^2 <= tol^2 * |q-p|^2 (no
+    float division; cross^2 < 2^63 at this coordinate range).  The
+    ~500 hypotheses broadcast; each point batch emits one partial
+    inlier-count vector (batch x hyps vectorized).  Winner = max
+    inliers, ties to the smallest (i, j).  The planted points are
+    EXACT inliers of their line at any tol, so the winning count must
+    DOMINATE the plant size — the in-query assert pins that bound
+    (the winner itself may be a stronger collinear structure of the
+    modular point lattice, which is precisely what a robust fitter
+    should prefer).  Hash-checked vs a stride-sample + cross-join +
+    QUALIFY twin."""
+    import duckdb
+    import ray
+
+    from ..collect import collect_table
+
+    con = duckdb.connect()
+    keys = con.execute(
+        f"SELECT c_custkey FROM '{sf_dir}/customer.parquet' "
+        f"ORDER BY c_custkey").fetchnumpy()["c_custkey"] \
+        .astype(np.int64)
+    n = len(keys)
+    step = -(-n // 32)
+    sample = keys[::step][:32]
+
+    def derive(k):
+        x = (k * 7919) % 36000 - 18000
+        y = (k * 104729) % 17000 - 8500
+        lined = k % 17 == 0
+        lx = -15000 + (k % 300) * 100
+        ly = -7000 + (k % 300) * 40
+        return (np.where(lined, lx, x), np.where(lined, ly, y))
+
+    sx, sy = derive(sample)
+    ii, jj = np.triu_indices(len(sample), 1)
+    hx0, hy0 = sx[ii], sy[ii]
+    dx, dy = sx[jj] - hx0, sy[jj] - hy0
+    lim = (tol * tol) * (dx * dx + dy * dy)
+    ref = ray.put((hx0, hy0, dx, dy, lim))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hx0_, hy0_, dx_, dy_, lim_ = ray.get(ref)
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        px, py = derive(k)
+        cross = (dx_[None, :] * (py[:, None] - hy0_[None, :])
+                 - dy_[None, :] * (px[:, None] - hx0_[None, :]))
+        ok = cross * cross <= lim_[None, :]
+        return pa.table({
+            "h": pa.array(np.arange(len(dx_), dtype=np.int64)),
+            "n_in": pa.array(ok.sum(axis=0).astype(np.int64)),
+            "n_pts": pa.array(np.full(len(dx_), len(k), np.int64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+    parts = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    agg = parts.group_by(["h"]).aggregate(
+        [("n_in", "sum"), ("n_pts", "sum")])
+    h = agg["h"].to_numpy(zero_copy_only=False)
+    nin = agg["n_in_sum"].to_numpy(zero_copy_only=False)
+    npts = agg["n_pts_sum"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((h, -nin))
+    win = order[0]
+    n_planted = int((keys % 17 == 0).sum())
+    if int(nin[win]) < n_planted:
+        raise AssertionError("the planted line's exact inliers must "
+                             "be dominated by no hypothesis")
+    hw = int(h[win])
+    return pa.table({
+        "i_key": pa.array([int(sample[ii[hw]])], pa.int64()),
+        "j_key": pa.array([int(sample[jj[hw]])], pa.int64()),
+        "n_inliers": pa.array([int(nin[win])], pa.int64()),
+        "n_points": pa.array([int(npts[win])], pa.int64())})

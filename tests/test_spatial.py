@@ -537,3 +537,52 @@ def test_morans_i_scalar_replay(ray_session, tmp_path):
     cb = np.indices((8, 8)).sum(axis=0) % 2 * 64  # checkerboard
     zb = cb.size * cb - cb.sum()
     assert moran(zb) < -0.5
+
+
+def test_ransac_line_scalar_replay(ray_session, tmp_path):
+    """customers_ransac_line vs an all-hypotheses scalar replay on a
+    tiny synthetic customer file; the planted-line hypothesis must
+    win and every planted point must be an exact inlier."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    keys = np.arange(1, 200, dtype=np.int64)
+    pq.write_table(pa.table({"c_custkey": pa.array(keys)}),
+                   tmp_path / "customer.parquet")
+    out = q.customers_ransac_line(str(tmp_path)).to_pylist()[0]
+
+    def pt(k):
+        if k % 17 == 0:
+            return (-15000 + (k % 300) * 100,
+                    -7000 + (k % 300) * 40)
+        return ((k * 7919) % 36000 - 18000,
+                (k * 104729) % 17000 - 8500)
+
+    n = len(keys)
+    step = -(-n // 32)
+    samp = list(keys[::step][:32])
+    best = None
+    for (ai, a), (bi, b) in itertools.combinations(
+            enumerate(samp), 2):
+        x0, y0 = pt(a)
+        x1, y1 = pt(b)
+        dx, dy = x1 - x0, y1 - y0
+        lim = 2500 * (dx * dx + dy * dy)
+        cnt = sum(1 for k in keys
+                  if (dx * (pt(k)[1] - y0)
+                      - dy * (pt(k)[0] - x0)) ** 2 <= lim)
+        cand = (-cnt, ai, bi, a, b)
+        if best is None or cand < best:
+            best = cand
+    assert (out["i_key"], out["j_key"], out["n_inliers"]) == \
+        (best[3], best[4], -best[0])
+    assert out["n_points"] == n
+    # the winner must dominate the planted line's exact inliers; the
+    # planted pair itself need not win — the modular point lattice
+    # contains strong collinear structures of its own (observed at
+    # this tiny n), which is exactly why the bound is the invariant
+    n_planted = int((keys % 17 == 0).sum())
+    assert out["n_inliers"] >= n_planted
