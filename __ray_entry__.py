@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_edge_support": q.suppliers_edge_support,
         "suppliers_rank_tau": q.suppliers_rank_tau,
         "customers_ransac_line": q.customers_ransac_line,
+        "images_seam_energy": q.images_seam_energy,
         "suppliers_ktruss": q.suppliers_ktruss,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,

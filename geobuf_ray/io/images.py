@@ -1557,3 +1557,62 @@ class OtsuThresholdFn:
         out = out.append_column("n_bg", pa.array(bg))
         out = out.append_column("fg_graysum", pa.array(fg_sum))
         return out
+
+
+class SeamEnergyFn:
+    """Actor-pool minimum-seam analysis — the content-aware-resize
+    (seam carving) primitive: per image the exact integer gradient
+    energy E = |dx gray| + |dy gray| (one-sided differences, edge
+    columns/rows replicate — pinned), the classic vertical-seam DP
+    M[y][x] = E[y][x] + min(M[y-1][x-1..x+1]) vectorized across
+    columns (the only loop is over rows), the minimum seam cost, its
+    bottom-row column (ties -> leftmost, pinned) and a
+    position-sensitive checksum of the backtracked seam path (ties
+    at each backtrack step -> leftmost), plus total energy.  All
+    int64-exact, so the seam is bit-stable."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        n = len(blobs)
+        cost = np.zeros(n, np.int64)
+        col = np.zeros(n, np.int64)
+        chk = np.zeros(n, np.int64)
+        tot = np.zeros(n, np.int64)
+        for i in range(n):
+            px = decode_image(blobs[i]).astype(np.int64)
+            gray = px.sum(axis=2)
+            h, w = gray.shape
+            dx = np.abs(np.diff(gray, axis=1))
+            dx = np.concatenate([dx, dx[:, -1:]], axis=1)
+            dy = np.abs(np.diff(gray, axis=0))
+            dy = np.concatenate([dy, dy[-1:, :]], axis=0)
+            e = dx + dy
+            tot[i] = int(e.sum())
+            m = e[0].copy()
+            back = np.zeros((h, w), np.int8)
+            big = np.int64(1) << 60
+            for y in range(1, h):
+                left = np.concatenate(([big], m[:-1]))
+                right = np.concatenate((m[1:], [big]))
+                stack = np.stack([left, m, right])
+                # argmin order (left, center, right) -> on ties the
+                # LEFTMOST predecessor wins (offset -1 first)
+                am = np.argmin(stack, axis=0)
+                back[y] = (am - 1).astype(np.int8)
+                m = e[y] + stack[am, np.arange(w)]
+            c = int(np.argmin(m))
+            cost[i] = int(m[c])
+            x = c
+            s = 0
+            for y in range(h - 1, -1, -1):
+                s = (s * 1_000_003 + x) % (1 << 61)
+                if y > 0:
+                    x += int(back[y, x])
+            col[i] = c
+            chk[i] = s
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("seam_cost", pa.array(cost))
+        out = out.append_column("seam_col", pa.array(col))
+        out = out.append_column("seam_checksum", pa.array(chk))
+        out = out.append_column("total_energy", pa.array(tot))
+        return out

@@ -15561,3 +15561,54 @@ def customers_ransac_line(sf_dir: str, tol: int = 50):
         "j_key": pa.array([int(sample[jj[hw]])], pa.int64()),
         "n_inliers": pa.array([int(nin[win])], pa.int64()),
         "n_points": pa.array([int(npts[win])], pa.int64())})
+
+
+def images_seam_energy(sf_dir: str):
+    """Seam-carving analysis (io/images.SeamEnergyFn): per image the
+    exact integer gradient-energy field and the classic vertical
+    minimum-seam DP (content-aware resize's core), vectorized across
+    columns with pinned leftmost tie-breaks so the seam is
+    bit-stable; per-format rollup of seam costs, total energy and a
+    position-sensitive checksum over every seam path.  In-query
+    asserts: every seam cost is bounded by its image's total energy
+    and every seam column is in range.  Rows-only (procedural
+    payloads); scalar all-paths replay pytest."""
+    from ..collect import collect_table
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    rows = ds.map_batches(im.SeamEnergyFn, batch_format="pyarrow",
+                          batch_size=32, concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        sc = b["seam_cost"].to_numpy(zero_copy_only=False)
+        te = b["total_energy"].to_numpy(zero_copy_only=False)
+        colv = b["seam_col"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not bool(np.all((sc >= 0) & (sc <= te)
+                           & (colv >= 0) & (colv < w))):
+            raise AssertionError("seam invariants violated")
+        t = pa.table({
+            "fmt": b["fmt"],
+            "n_images": pa.array(np.ones(len(sc), np.int64)),
+            "sum_seam_cost": b["seam_cost"],
+            "min_seam_cost": b["seam_cost"],
+            "sum_energy": b["total_energy"],
+            "seam_chk": b["seam_checksum"]})
+        return t.group_by(["fmt"]).aggregate(
+            [("n_images", "sum"), ("sum_seam_cost", "sum"),
+             ("min_seam_cost", "min"), ("sum_energy", "sum"),
+             ("seam_chk", "sum")]).rename_columns(
+            ["fmt", "n_images", "sum_seam_cost", "min_seam_cost",
+             "sum_energy", "seam_chk"])
+
+    parts = collect_table(rows.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    df = parts.to_pandas().groupby("fmt", as_index=False).agg(
+        n_images=("n_images", "sum"),
+        sum_seam_cost=("sum_seam_cost", "sum"),
+        min_seam_cost=("min_seam_cost", "min"),
+        sum_energy=("sum_energy", "sum"),
+        seam_chk=("seam_chk", "sum")).sort_values("fmt")
+    return pa.Table.from_pandas(df, preserve_index=False)

