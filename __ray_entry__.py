@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_rank_tau": q.suppliers_rank_tau,
         "customers_ransac_line": q.customers_ransac_line,
         "images_seam_energy": q.images_seam_energy,
+        "suppliers_graph_diameter": q.suppliers_graph_diameter,
         "suppliers_ktruss": q.suppliers_ktruss,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
@@ -1536,6 +1537,42 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT {_spread16('qx')}
                          | ({_spread16('qy')} << 1) AS zkey FROM g)
             SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "suppliers_graph_diameter": """
+            WITH RECURSIVE e AS (
+              SELECT s_suppkey AS a, s_suppkey - (s_suppkey % 7) AS b
+              FROM supplier
+              UNION ALL
+              SELECT s_suppkey - (s_suppkey % 7), s_suppkey FROM supplier
+              UNION ALL
+              SELECT s_suppkey, s_suppkey - 1 FROM supplier
+              WHERE s_suppkey % 10 = 0
+              UNION ALL
+              SELECT s_suppkey - 1, s_suppkey FROM supplier
+              WHERE s_suppkey % 10 = 0
+            ),
+            walk(src, node, d) AS (
+              SELECT s_suppkey, s_suppkey, 0 FROM supplier
+              UNION
+              SELECT walk.src, e.b, walk.d + 1
+              FROM walk JOIN e ON e.a = walk.node
+              WHERE walk.d < 63
+            ),
+            md AS (SELECT src, node, MIN(d) AS d
+                   FROM walk GROUP BY src, node),
+            ec AS (SELECT src, MAX(d) AS ecc, MIN(node) AS comp
+                   FROM md GROUP BY src),
+            ctr AS (SELECT comp, src AS center,
+                           ROW_NUMBER() OVER (PARTITION BY comp
+                               ORDER BY ecc, src) AS rk
+                    FROM ec)
+            SELECT ec.comp,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(MAX(ecc) AS BIGINT) AS diameter,
+                   CAST(MIN(ecc) AS BIGINT) AS radius,
+                   CAST(MIN(ctr.center) AS BIGINT) AS center
+            FROM ec JOIN ctr ON ctr.comp = ec.comp AND ctr.rk = 1
+            GROUP BY ec.comp ORDER BY ec.comp
         """,
         "customers_ransac_line": """
             WITH ks AS (SELECT c_custkey AS k,

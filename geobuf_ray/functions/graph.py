@@ -1453,12 +1453,18 @@ def all_pairs_hops(edges, sources, *, src: str = "src",
             dist[new] = r
             frontier = new
         reached = dist >= 0
+        big = np.int64(1) << 62
         return pa.table({
             "node": pa.array(s),
             "farness": pa.array(
                 np.where(reached, dist, 0).sum(axis=1)),
             "n_reached": pa.array(
-                reached.sum(axis=1).astype(np.int64))})
+                reached.sum(axis=1).astype(np.int64)),
+            # eccentricity + min reachable node id (== the component
+            # label for symmetric graphs, by the CC min-label rule)
+            "ecc": pa.array(dist.max(axis=1)),
+            "comp": pa.array(np.where(
+                reached, g_nodes[None, :], big).min(axis=1))})
 
     ds = ray.data.from_arrow(pa.table({"node": pa.array(srcs)}))
     return ds.map_batches(bfs_batch, batch_format="numpy",

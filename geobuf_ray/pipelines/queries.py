@@ -14836,7 +14836,8 @@ def suppliers_closeness(sf_dir: str):
         "src": pa.array(a, pa.int64()),
         "dst": pa.array(b, pa.int64())})).repartition(4)
     out = collect_table(all_pairs_hops(edges, keys, directed=True,
-                                       batch_sources=64))
+                                       batch_sources=64)) \
+        .select(["node", "farness", "n_reached"])
     o = np.argsort(out["node"].to_numpy(zero_copy_only=False))
     return out.take(pa.array(o))
 
@@ -15612,3 +15613,49 @@ def images_seam_energy(sf_dir: str):
         sum_energy=("sum_energy", "sum"),
         seam_chk=("seam_chk", "sum")).sort_values("fmt")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def suppliers_graph_diameter(sf_dir: str):
+    """Per-component diameter / radius / center of the supplier graph
+    — the structural summary the closeness table implies: from the
+    same all-pairs matrix BFS, each node's ECCENTRICITY (max hop
+    distance to any reachable node) and its component label (min
+    reachable node id — valid because the graph is symmetric by
+    construction: the CC min-label rule); per component the node
+    count, diameter = max ecc, radius = min ecc, and the center node
+    under the pinned (ecc, key) order.  Hash-checked vs the
+    recursive-CTE walk with MAX(min-d) per source."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.graph import all_pairs_hops
+
+    keys = _supplier_keys(sf_dir)
+    bridged = keys[keys % 10 == 0]
+    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
+    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a, pa.int64()),
+        "dst": pa.array(b, pa.int64())})).repartition(4)
+    out = collect_table(all_pairs_hops(edges, keys, directed=True,
+                                       batch_sources=64))
+    node = out["node"].to_numpy(zero_copy_only=False)
+    ecc = out["ecc"].to_numpy(zero_copy_only=False)
+    comp = out["comp"].to_numpy(zero_copy_only=False)
+    uc, inv = np.unique(comp, return_inverse=True)
+    n_nodes = np.bincount(inv, minlength=len(uc))
+    diam = np.zeros(len(uc), np.int64)
+    np.maximum.at(diam, inv, ecc)
+    rad = np.full(len(uc), np.iinfo(np.int64).max)
+    np.minimum.at(rad, inv, ecc)
+    # center: min (ecc, node) per component
+    o = np.lexsort((node, ecc, inv))
+    first = np.concatenate(([True], inv[o][1:] != inv[o][:-1]))
+    center = np.zeros(len(uc), np.int64)
+    center[inv[o][first]] = node[o][first]
+    return pa.table({
+        "comp": pa.array(uc.astype(np.int64)),
+        "n_nodes": pa.array(n_nodes.astype(np.int64)),
+        "diameter": pa.array(diam),
+        "radius": pa.array(rad.astype(np.int64)),
+        "center": pa.array(center)})

@@ -735,3 +735,46 @@ def test_edge_support_and_ktruss_brute_force(ray_session):
         "src": pa.array(star[:, 0]),
         "dst": pa.array(star[:, 1])})), [3]).to_pylist()[0]
     assert star_only["n_edges"] == 0
+
+
+def test_graph_diameter_columns_brute_force(ray_session):
+    """all_pairs_hops' ecc/comp columns vs the scalar BFS replay on
+    the random graph with island + isolated node: ecc = max dist,
+    comp = min reachable id; the isolated source is its own
+    zero-diameter component."""
+    from collections import deque
+
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.graph import all_pairs_hops
+
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 30, 120)
+    b = rng.randint(0, 30, 120)
+    a = np.concatenate([a, b, [100, 101]])
+    b = np.concatenate([b, a[:120], [101, 100]])
+    sources = np.concatenate([np.arange(30), [100, 200]])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a, pa.int64()),
+        "dst": pa.array(b, pa.int64())})).repartition(3)
+    out = collect_table(all_pairs_hops(edges, sources,
+                                       directed=True,
+                                       batch_sources=7))
+    got = {r["node"]: (r["ecc"], r["comp"])
+           for r in out.to_pylist()}
+
+    adj = {}
+    for x, y in zip(a, b):
+        adj.setdefault(int(x), set()).add(int(y))
+    for s in sources:
+        dist = {int(s): 0}
+        dq = deque([int(s)])
+        while dq:
+            u = dq.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        assert got[int(s)] == (max(dist.values()), min(dist)), s
+    assert got[200] == (0, 200)
