@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_ransac_line": q.customers_ransac_line,
         "images_seam_energy": q.images_seam_energy,
         "suppliers_graph_diameter": q.suppliers_graph_diameter,
+        "docs_containment_pairs": q.docs_containment_pairs,
         "suppliers_ktruss": q.suppliers_ktruss,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
@@ -1537,6 +1538,45 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT {_spread16('qx')}
                          | ({_spread16('qy')} << 1) AS zkey FROM g)
             SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "docs_containment_pairs": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_split_to_array(text, '\\s+')
+                                    AS w
+                         FROM documents),
+            pos AS (SELECT doc_id, w,
+                        unnest(generate_series(1,
+                            greatest(len(w) - 2, 0))) AS i
+                    FROM tok),
+            gr AS (SELECT doc_id, i,
+                          w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              AS gram
+                   FROM pos
+                   WHERE w[i] <> '' AND w[i+1] <> ''
+                     AND w[i+2] <> ''),
+            sel AS (SELECT doc_id, gram,
+                        MIN(gram) OVER (PARTITION BY doc_id
+                            ORDER BY i ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS wmin
+                    FROM gr),
+            fp AS (SELECT DISTINCT doc_id, gram FROM sel
+                   WHERE gram = wmin),
+            tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM fp GROUP BY doc_id),
+            rare AS (SELECT gram FROM fp GROUP BY gram
+                     HAVING COUNT(*) <= 8),
+            pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          CAST(COUNT(*) AS BIGINT) AS n_shared
+                   FROM fp a
+                   JOIN rare USING (gram)
+                   JOIN fp b USING (gram)
+                   WHERE a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+            SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+                   ta.n AS n_a, tb.n AS n_b
+            FROM pr JOIN tot ta ON ta.doc_id = pr.doc_a
+                    JOIN tot tb ON tb.doc_id = pr.doc_b
+            ORDER BY pr.doc_a, pr.doc_b
         """,
         "suppliers_graph_diameter": """
             WITH RECURSIVE e AS (

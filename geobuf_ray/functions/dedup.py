@@ -1224,41 +1224,21 @@ def repeated_ngram_spans(ds, *, n: int = 5, doc_col: str = "doc_id",
                           zero_copy_batch=True, **map_kwargs)
 
 
-def minimizer_overlap_pairs(ds, *, k: int = 3, radius: int = 3,
-                            max_docs_per_gram: int = 8,
-                            min_shared: int = 3,
-                            doc_col: str = "doc_id",
-                            text_col: str = "text",
-                            nbuckets: int = 32) -> pa.Table:
-    """Minimizer-sampled k-gram overlap — the MOSS/minimap2 sparse
-    fingerprinting family: per document, token k-grams are SAMPLED by
-    the centered local-minimum rule (a gram is a fingerprint iff it
-    is the lexicographic minimum within ``radius`` positions either
-    side — deterministic, position-robust: an edit outside the window
-    cannot change a selection), then document pairs sharing >=
-    ``min_shared`` distinct fingerprint grams are reported.  Grams
-    held by more than ``max_docs_per_gram`` documents are dropped
-    BEFORE pairing (the boilerplate rule that also bounds the
-    per-gram pair fan-out to C(8,2) — the LSH hot-bucket lesson).
+_SEL_SCHEMA = pa.schema([("gram", pa.string()),
+                         ("doc", pa.int64())])
 
-    Numpy '<U' comparison is code-point lexicographic and DuckDB
-    VARCHAR MIN is UTF-8 memcmp; UTF-8 order equals code-point order,
-    so the selection is SQL-reproducible exactly.  Shape: per-batch
-    gram build (vectorized join) + per-doc windowed np.minimum
-    sweeps; one gram-hash exchange co-locates each gram's holders;
-    per-gram pair partials sum driver-side (bounded by the rare-gram
-    cap)."""
-    from ..collect import collect_table
-    from .exchange import hash_exchange
 
-    sel_schema = pa.schema([("gram", pa.string()),
-                            ("doc", pa.int64())])
+def _minimizer_select_stage(ds, *, k: int, radius: int,
+                            doc_col: str, text_col: str):
+    """Shared minimizer selection stage: per batch, each doc's token
+    k-grams filtered to the centered local-minimum fingerprints —
+    one (gram, doc) row per DISTINCT selected gram."""
 
     def select_fn(batch: pa.Table) -> pa.Table:
         from .text import _tokens_per_doc
 
         if batch.num_rows == 0:
-            return sel_schema.empty_table()
+            return _SEL_SCHEMA.empty_table()
         flat, doc_of = _tokens_per_doc(batch, text_col)
         dids = batch[doc_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
@@ -1299,6 +1279,37 @@ def minimizer_overlap_pairs(ds, *, k: int = 3, radius: int = 3,
         return pa.table({"gram": pa.array(np.concatenate(out_g)),
                          "doc": pa.array(np.concatenate(out_d))})
 
+    return ds.map_batches(select_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def minimizer_overlap_pairs(ds, *, k: int = 3, radius: int = 3,
+                            max_docs_per_gram: int = 8,
+                            min_shared: int = 3,
+                            doc_col: str = "doc_id",
+                            text_col: str = "text",
+                            nbuckets: int = 32) -> pa.Table:
+    """Minimizer-sampled k-gram overlap — the MOSS/minimap2 sparse
+    fingerprinting family: per document, token k-grams are SAMPLED by
+    the centered local-minimum rule (a gram is a fingerprint iff it
+    is the lexicographic minimum within ``radius`` positions either
+    side — deterministic, position-robust: an edit outside the window
+    cannot change a selection), then document pairs sharing >=
+    ``min_shared`` distinct fingerprint grams are reported.  Grams
+    held by more than ``max_docs_per_gram`` documents are dropped
+    BEFORE pairing (the boilerplate rule that also bounds the
+    per-gram pair fan-out to C(8,2) — the LSH hot-bucket lesson).
+
+    Numpy '<U' comparison is code-point lexicographic and DuckDB
+    VARCHAR MIN is UTF-8 memcmp; UTF-8 order equals code-point order,
+    so the selection is SQL-reproducible exactly.  Shape: per-batch
+    gram build (vectorized join) + per-doc windowed np.minimum
+    sweeps; one gram-hash exchange co-locates each gram's holders;
+    per-gram pair partials sum driver-side (bounded by the rare-gram
+    cap)."""
+    from ..collect import collect_table
+    from .exchange import hash_exchange
+
     pair_schema = pa.schema([("doc_a", pa.int64()),
                              ("doc_b", pa.int64()),
                              ("n", pa.int64())])
@@ -1337,8 +1348,8 @@ def minimizer_overlap_pairs(ds, *, k: int = 3, radius: int = 3,
         g = t.group_by(["doc_a", "doc_b"]).aggregate([("n", "sum")])
         return g.rename_columns(["doc_a", "doc_b", "n"])
 
-    sel = ds.map_batches(select_fn, batch_format="pyarrow",
-                         zero_copy_batch=True)
+    sel = _minimizer_select_stage(ds, k=k, radius=radius,
+                                  doc_col=doc_col, text_col=text_col)
     parts = collect_table(hash_exchange(
         sel, nbuckets=nbuckets, on="gram", reduce_fn=pair_fn,
         schema=pair_schema))
@@ -1349,3 +1360,57 @@ def minimizer_overlap_pairs(ds, *, k: int = 3, radius: int = 3,
     o = np.lexsort((agg["doc_b"].to_numpy(zero_copy_only=False),
                     agg["doc_a"].to_numpy(zero_copy_only=False)))
     return agg.take(pa.array(o))
+
+
+def minimizer_containment_pairs(ds, *, k: int = 3, radius: int = 3,
+                                max_docs_per_gram: int = 8,
+                                min_shared: int = 3,
+                                doc_col: str = "doc_id",
+                                text_col: str = "text",
+                                nbuckets: int = 32) -> pa.Table:
+    """Asymmetric CONTAINMENT on minimizer fingerprints — the
+    superset/quote-inclusion question symmetric Jaccard blurs: for
+    each overlapping pair also ship each side's TOTAL fingerprint
+    count, so containment(A in B) = n_shared / n_a is an exact
+    rational left to the consumer (a short doc fully quoted inside a
+    long one scores 1.0 where Jaccard dilutes it).  Reuses the
+    minimizer pipeline verbatim; per-doc totals come from the same
+    selected-fingerprint stream as per-block partial counts (the
+    rare-gram cap applies only to PAIRING, not to totals — totals
+    describe the doc, not the join).  Returns (doc_a, doc_b,
+    n_shared, n_a, n_b) sorted."""
+    pairs = minimizer_overlap_pairs(
+        ds, k=k, radius=radius,
+        max_docs_per_gram=max_docs_per_gram, min_shared=min_shared,
+        doc_col=doc_col, text_col=text_col, nbuckets=nbuckets)
+    # per-doc fingerprint totals: re-run the selection stage and
+    # count per doc (distinct grams per doc already guaranteed by
+    # the selector's np.unique)
+    from ..collect import collect_table
+
+    sel = _minimizer_select_stage(ds, k=k, radius=radius,
+                                  doc_col=doc_col, text_col=text_col)
+
+    def count_fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = b["doc"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"doc": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    tot = collect_table(sel.map_batches(
+        count_fn, batch_format="pyarrow", zero_copy_batch=True))
+    tt = tot.group_by(["doc"]).aggregate([("n", "sum")])
+    dk = tt["doc"].to_numpy(zero_copy_only=False)
+    dn = tt["n_sum"].to_numpy(zero_copy_only=False)
+    o = np.argsort(dk)
+    dk, dn = dk[o], dn[o]
+
+    da = pairs["doc_a"].to_numpy(zero_copy_only=False)
+    db = pairs["doc_b"].to_numpy(zero_copy_only=False)
+    na = dn[np.searchsorted(dk, da)]
+    nb = dn[np.searchsorted(dk, db)]
+    return (pairs.append_column("n_a", pa.array(na))
+            .append_column("n_b", pa.array(nb)))

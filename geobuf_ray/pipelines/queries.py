@@ -15659,3 +15659,23 @@ def suppliers_graph_diameter(sf_dir: str):
         "diameter": pa.array(diam),
         "radius": pa.array(rad.astype(np.int64)),
         "center": pa.array(center)})
+
+
+def docs_containment_pairs(sf_dir: str):
+    """Asymmetric containment on minimizer fingerprints
+    (functions/dedup.minimizer_containment_pairs): the
+    superset/quote-inclusion question symmetric Jaccard blurs — each
+    overlapping pair ships with BOTH sides' total fingerprint counts
+    so containment(A in B) = n_shared/n_a is an exact rational left
+    to the consumer (a short doc fully quoted in a long one scores
+    1.0 where Jaccard dilutes it).  The rare-gram cap applies to
+    PAIRING only; totals describe the doc.  Hash-checked vs the
+    minimizer twin joined with per-doc DISTINCT fingerprint
+    counts."""
+    import ray
+
+    from ..functions.dedup import minimizer_containment_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minimizer_containment_pairs(ds)

@@ -140,3 +140,37 @@ def test_minimizer_overlap_scalar_replay(ray_session):
                 want[(a, b)] = n
     assert got == want
     assert (3, 7) in got  # the planted shared passage pairs
+
+
+def test_minimizer_containment_pairs(ray_session):
+    """Containment variant: a SHORT doc fully embedded in a LONG doc
+    must report n_shared == its own total (containment 1.0) while
+    Jaccard-style symmetric overlap would dilute it."""
+    import ray
+
+    from geobuf_ray.functions.dedup import minimizer_containment_pairs
+
+    rng = np.random.RandomState(37)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    short = ("a0 m1 m2 m3 m4 m5 m6 m7 a1 m8 m9 m10 m11 m12 m13 "
+             "m14 a2 m15 m16 m17 a3 m18 m19 m20")
+    long_body = " ".join(rng.choice(vocab, 200))
+    docs = [(1, short),
+            (2, long_body + " " + short + " " +
+             " ".join(rng.choice(vocab, 50))),
+            (3, " ".join(rng.choice(vocab, 80)))]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs],
+                                       pa.int64()),
+                    "text": pa.array([t for _, t in docs])})
+    out = minimizer_containment_pairs(
+        ray.data.from_arrow(tbl).repartition(2), min_shared=2,
+        nbuckets=3)
+    rows = {(r["doc_a"], r["doc_b"]): r for r in out.to_pylist()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    # every one of the short doc's INTERIOR fingerprints recurs in
+    # the long doc; boundary-window selections can differ, so
+    # containment is near 1 and strictly dominated by n_a
+    assert r["n_shared"] >= r["n_a"] - 2
+    assert r["n_a"] < r["n_b"]
+    assert r["n_shared"] <= r["n_a"]
