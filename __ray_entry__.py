@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_seam_energy": q.images_seam_energy,
         "suppliers_graph_diameter": q.suppliers_graph_diameter,
         "docs_containment_pairs": q.docs_containment_pairs,
+        "events_runs_test": q.events_runs_test,
         "suppliers_ktruss": q.suppliers_ktruss,
         "events_theil_sen": q.events_theil_sen,
         "suppliers_mst": q.suppliers_mst,
@@ -1538,6 +1539,28 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT {_spread16('qx')}
                          | ({_spread16('qy')} << 1) AS zkey FROM g)
             SELECT zkey, COUNT(*) AS n FROM z GROUP BY zkey
+        """,
+        "events_runs_test": """
+            WITH v AS (SELECT event_type, ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            med AS (SELECT event_type,
+                           CAST(quantile_disc(c, 0.5) AS BIGINT) AS m
+                    FROM v GROUP BY event_type),
+            s AS (SELECT v.event_type, ts, event_id,
+                         CASE WHEN c > m THEN 1 ELSE 0 END AS sg
+                  FROM v JOIN med USING (event_type)),
+            r AS (SELECT event_type, sg,
+                         LAG(sg) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS pg
+                  FROM s)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(sg) AS BIGINT) AS n_above,
+                   CAST(COUNT(*) - SUM(sg) AS BIGINT) AS n_below,
+                   CAST(1 + SUM(CASE WHEN pg IS NOT NULL
+                                      AND sg <> pg THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_runs
+            FROM r GROUP BY event_type ORDER BY event_type
         """,
         "docs_containment_pairs": """
             WITH tok AS (SELECT doc_id,

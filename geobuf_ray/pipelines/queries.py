@@ -15679,3 +15679,70 @@ def docs_containment_pairs(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return minimizer_containment_pairs(ds)
+
+
+def events_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test ingredients — the randomness check a
+    monitoring pipeline runs on a value stream (trending or
+    oscillating series produce too few / too many runs): per event
+    type, values in exact (ts, event_id) order dichotomize against
+    the type's own exact median (quantile_disc rank rule; ties fall
+    BELOW — pinned by the strict > comparison), and the run count is
+    1 + number of sign changes.  Ships exact integers (n, n_above,
+    n_below, n_runs); the z-score's float mean/variance stay with
+    the consumer.  One type-hash exchange co-locates each type; the
+    bucket kernel loops only over its few types with every step
+    vectorized.  Hash-checked vs a quantile_disc + LAG twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"])
+
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("n_above", pa.int64()), ("n_below", pa.int64()),
+        ("n_runs", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            return out_schema.empty_table()
+        tenc = tbl["event_type"].combine_chunks().dictionary_encode()
+        code = tenc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = tbl["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(tbl["value"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        names, ns, na, nb, nr = [], [], [], [], []
+        for c in range(len(tenc.dictionary)):
+            m = np.flatnonzero(code == c)
+            v = cents[m]
+            n = len(m)
+            sv = np.sort(v)
+            med = sv[max(int(np.ceil(0.5 * n)), 1) - 1]
+            o = np.lexsort((eid[m], ts[m]))
+            sg = (v[o] > med).astype(np.int64)
+            runs = 1 + int((sg[1:] != sg[:-1]).sum()) if n else 0
+            names.append(tenc.dictionary[c].as_py())
+            ns.append(n)
+            na.append(int(sg.sum()))
+            nb.append(n - int(sg.sum()))
+            nr.append(runs)
+        return pa.table({
+            "event_type": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_above": pa.array(na, pa.int64()),
+            "n_below": pa.array(nb, pa.int64()),
+            "n_runs": pa.array(nr, pa.int64())})
+
+    out = collect_table(hash_exchange(
+        ds, nbuckets=8, on="event_type", reduce_fn=kernel,
+        schema=out_schema))
+    o = np.argsort(np.asarray(out["event_type"]))
+    return out.take(pa.array(o))

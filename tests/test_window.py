@@ -583,3 +583,40 @@ def test_pattern_match_counts_brute_force(ray_session):
         for p in pats:
             assert got[p] == tuple(want[p]), (nb, p, got[p], want[p])
         assert got["zz"] == (0, 0, 0)
+
+
+def test_runs_test_scalar_replay(ray_session, tmp_path):
+    """events_runs_test vs a scalar replay on a handcrafted file:
+    a strictly alternating series (max runs), a monotone series
+    (exactly 2 runs: below-block then above-block) and a constant
+    series (ties fall below -> 1 run, zero above)."""
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    rows = []
+    # alternating around median for type 'alt': 1,9,1,9,...
+    for i in range(10):
+        rows.append(("alt", i, [1.0, 9.0][i % 2]))
+    # monotone for 'mono': 1..8
+    for i in range(8):
+        rows.append(("mono", i, float(i + 1)))
+    # constant for 'const'
+    for i in range(6):
+        rows.append(("const", i, 4.0))
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array([np.datetime64(r[1] * 1_000_000, "us")
+                        for r in rows], pa.timestamp("us")),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "value": pa.array([r[2] for r in rows])})
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = {r["event_type"]: r for r in
+           q.events_runs_test(str(tmp_path)).to_pylist()}
+    # alt: median (disc, lower) = 1 -> above iff 9: runs = 10
+    assert (out["alt"]["n_above"], out["alt"]["n_runs"]) == (5, 10)
+    # mono 1..8: median = 4 -> 4 above, runs = 2
+    assert (out["mono"]["n_above"], out["mono"]["n_runs"]) == (4, 2)
+    # const: nothing strictly above the median, single run
+    assert (out["const"]["n_above"], out["const"]["n_below"],
+            out["const"]["n_runs"]) == (0, 6, 1)
