@@ -1619,7 +1619,7 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT walk.src, e.b, walk.d + 1
               FROM walk JOIN e ON e.a = walk.node
-              WHERE walk.d < 63
+              WHERE walk.d < 64
             ),
             md AS (SELECT src, node, MIN(d) AS d
                    FROM walk GROUP BY src, node),
@@ -3506,7 +3506,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE s_suppkey % 40 = 0
               UNION
               SELECT e.b, walk.d + 1 FROM walk JOIN e ON e.a = walk.node
-              WHERE walk.d < 63
+              WHERE walk.d < 64
             )
             SELECT node, CAST(MIN(d) AS BIGINT) AS dist
             FROM walk GROUP BY node
@@ -4844,7 +4844,7 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT walk.src, e.b, walk.d + 1
               FROM walk JOIN e ON e.a = walk.node
-              WHERE walk.d < 63
+              WHERE walk.d < 64
             ),
             md AS (SELECT src, node, MIN(d) AS d
                    FROM walk GROUP BY src, node)

@@ -1244,7 +1244,7 @@ def _minimizer_select_stage(ds, *, k: int, radius: int,
             .astype(np.int64)
         n = len(doc_of)
         if n < k:
-            return sel_schema.empty_table()
+            return _SEL_SCHEMA.empty_table()
         # k-gram rows: positions whose k tokens share one doc
         same = np.ones(n - k + 1, bool)
         for j in range(1, k):
@@ -1275,7 +1275,7 @@ def _minimizer_select_stage(ds, *, k: int, radius: int,
                 out_d.append(np.full(len(sel), dids[gd[s]],
                                      np.int64))
         if not out_g:
-            return sel_schema.empty_table()
+            return _SEL_SCHEMA.empty_table()
         return pa.table({"gram": pa.array(np.concatenate(out_g)),
                          "doc": pa.array(np.concatenate(out_d))})
 
@@ -1402,6 +1402,11 @@ def minimizer_containment_pairs(ds, *, k: int = 3, radius: int = 3,
 
     tot = collect_table(sel.map_batches(
         count_fn, batch_format="pyarrow", zero_copy_batch=True))
+    if pairs.num_rows == 0 or "doc" not in tot.column_names:
+        # all-empty selection (e.g. a corpus of sub-k-token docs):
+        # no pairs and possibly a schemaless empty collect
+        return (pairs.append_column("n_a", pa.array([], pa.int64()))
+                .append_column("n_b", pa.array([], pa.int64())))
     tt = tot.group_by(["doc"]).aggregate([("n", "sum")])
     dk = tt["doc"].to_numpy(zero_copy_only=False)
     dn = tt["n_sum"].to_numpy(zero_copy_only=False)

@@ -1446,12 +1446,22 @@ def all_pairs_hops(edges, sources, *, src: str = "src",
         frontier[np.arange(m), si] = True
         dist[np.arange(m), si] = 0
         r = 0
+        # bool matmul is logical OR (exact) — a uint8 accumulator
+        # would wrap mod 256 when a node's in-frontier in-degree is a
+        # multiple of 256, silently mis-assigning its BFS distance
+        adj_b = g_adj.astype(bool)
         while frontier.any() and r < max_rounds:
             r += 1
-            hit = (frontier.astype(np.uint8) @ g_adj) > 0
+            hit = frontier @ adj_b
             new = hit & (dist < 0)
             dist[new] = r
             frontier = new
+        if frontier.any() and ((frontier @ adj_b) & (dist < 0)).any():
+            raise ValueError(
+                f"all_pairs_hops: undiscovered nodes remain after "
+                f"max_rounds={max_rounds} — the graph's diameter "
+                f"exceeds the round budget; raise max_rounds (and "
+                f"align any SQL twin's depth bound) or use bfs_hops")
         reached = dist >= 0
         big = np.int64(1) << 62
         return pa.table({

@@ -1131,6 +1131,14 @@ def pattern_match_counts(ds, *, key: str, order: str, state: str,
     ``regexp_extract_all`` so a ``string_agg(substr(state,1,1))``
     SQL twin is exact.
 
+    Contract: the rendered alphabet is the LATIN-1 FIRST CHARACTER
+    of each state value — two distinct states sharing a first letter
+    alias to the same symbol (callers must pick initial-distinct
+    state vocabularies or pre-map), and a state whose first code
+    point is above U+00FF renders as ``\\x00`` (the same symbol as
+    null/empty — it never matches printable patterns, and never
+    raises).
+
     Shape: one hash exchange on ``key`` co-locates each key's rows so
     every sequence is complete inside exactly one bucket; the bucket
     kernel is vectorized up to the per-key regex scan (one lexsort,
@@ -1158,12 +1166,14 @@ def pattern_match_counts(ds, *, key: str, order: str, state: str,
         senc = tbl[state].combine_chunks().dictionary_encode()
         scode = senc.indices.fill_null(-1).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        # first byte per dictionary value; null state -> \x00 (never
-        # matched by the printable patterns callers pass)
+        # first byte per dictionary value; null/empty state and any
+        # first code point above U+00FF -> \x00 (never matched by the
+        # printable patterns callers pass; see docstring contract)
+        def _initial(v) -> bytes:
+            c = (v.as_py() or "\x00")[:1]
+            return c.encode("latin1") if c <= "\xff" else b"\x00"
         first = np.frombuffer(
-            b"".join((s.as_py() or "\x00")[:1].encode("latin1")
-                     or b"\x00" for s in senc.dictionary),
-            np.uint8)
+            b"".join(_initial(s) for s in senc.dictionary), np.uint8)
         keys_sort = (ov, codes) if tiebreak is None else \
             (_order_values(tbl, tiebreak), ov, codes)
         sel = np.lexsort(keys_sort)

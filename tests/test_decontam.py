@@ -174,3 +174,34 @@ def test_minimizer_containment_pairs(ray_session):
     assert r["n_shared"] >= r["n_a"] - 2
     assert r["n_a"] < r["n_b"]
     assert r["n_shared"] <= r["n_a"]
+
+
+def test_minimizer_empty_selection_batches(ray_session):
+    """Batches of sub-k-token / empty documents must flow through the
+    shared minimizer selection stage as empty tables (the regression
+    was a NameError on the empty-selection return path), and mixed
+    corpora still pair on their real duplicates."""
+    import ray
+
+    from geobuf_ray.functions.dedup import (minimizer_containment_pairs,
+                                            minimizer_overlap_pairs)
+
+    short = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["", "one", "two words", "a b"])})
+    ds = ray.data.from_arrow(short).repartition(4)
+    assert minimizer_overlap_pairs(ds, min_shared=1,
+                                   nbuckets=3).num_rows == 0
+    assert minimizer_containment_pairs(ds, min_shared=1,
+                                       nbuckets=3).num_rows == 0
+
+    # a block of empties alongside a planted duplicate pair
+    passage = ("a0 m1 m2 m3 m4 m5 m6 m7 a1 m8 m9 m10 m11 m12 "
+               "m13 m14 a2 m15 m16 m17 a3 m18 m19 m20")
+    mixed = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["", "x", passage, passage, "", "y z"])})
+    ds2 = ray.data.from_arrow(mixed).repartition(6)
+    out = minimizer_overlap_pairs(ds2, min_shared=2, nbuckets=3)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.to_pylist()}
+    assert pairs == {(2, 3)}

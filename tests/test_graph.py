@@ -778,3 +778,50 @@ def test_graph_diameter_columns_brute_force(ray_session):
                     dq.append(v)
         assert got[int(s)] == (max(dist.values()), min(dist)), s
     assert got[200] == (0, 200)
+
+
+def test_all_pairs_hops_indegree_256(ray_session):
+    """A frontier whose in-degree at one node is exactly 256 — the
+    uint8-matmul wrap case (256 % 256 == 0 would mark the hub
+    unreached): source -> 256 spokes -> hub must give the hub BFS
+    distance 2, farness 1*256 + 2, n_reached 258."""
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.graph import all_pairs_hops
+
+    spokes = np.arange(1, 257, dtype=np.int64)
+    a = np.concatenate([np.zeros(256, np.int64), spokes])
+    b = np.concatenate([spokes, np.full(256, 1000, np.int64)])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a), "dst": pa.array(b)}))
+    out = collect_table(all_pairs_hops(edges, [0], directed=True))
+    row = out.to_pylist()[0]
+    assert row["n_reached"] == 258
+    assert row["farness"] == 256 * 1 + 2
+    assert row["ecc"] == 2
+
+
+def test_all_pairs_hops_truncation_raises(ray_session):
+    """A path longer than max_rounds raises (silent truncation would
+    return wrong farness); a path of length exactly max_rounds is
+    fine."""
+    import pytest
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.graph import all_pairs_hops
+
+    n = 10
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(np.arange(n, dtype=np.int64)),
+        "dst": pa.array(np.arange(1, n + 1, dtype=np.int64))}))
+    # diameter n == max_rounds: ok
+    out = collect_table(all_pairs_hops(edges, [0], directed=True,
+                                       max_rounds=n))
+    assert out.to_pylist()[0]["ecc"] == n
+    # diameter n > max_rounds n-1: raises (surfaced through Ray as a
+    # RayTaskError wrapping the ValueError)
+    with pytest.raises(Exception, match="max_rounds"):
+        collect_table(all_pairs_hops(edges, [0], directed=True,
+                                     max_rounds=n - 1))

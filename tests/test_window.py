@@ -620,3 +620,31 @@ def test_runs_test_scalar_replay(ray_session, tmp_path):
     # const: nothing strictly above the median, single run
     assert (out["const"]["n_above"], out["const"]["n_below"],
             out["const"]["n_runs"]) == (0, 6, 1)
+
+
+def test_pattern_match_counts_non_latin1_state(ray_session):
+    """State values whose first code point is above U+00FF render as
+    \\x00 (documented contract) instead of raising
+    UnicodeEncodeError, and never match printable patterns."""
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.window import pattern_match_counts
+
+    tbl = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "t": pa.array([0, 1, 2, 0, 1], pa.int64()),
+        "s": pa.array(["alpha", "中文", "beta",
+                       "āx", "alpha"])})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = collect_table(pattern_match_counts(
+        ds, key="u", order="t", state="s",
+        patterns=["ab", "a.b", "a"], nbuckets=3))
+    got = {}
+    for r in out.to_pylist():   # sum bucket partials (the contract)
+        m, u = got.get(r["pattern"], (0, 0))
+        got[r["pattern"]] = (m + r["n_matches"], u + r["n_users"])
+    # user 1 renders "a\x00b", user 2 renders "\x00a"
+    assert got["ab"] == (0, 0)
+    assert got["a.b"] == (1, 1)   # '.' matches \x00 (re semantics)
+    assert got["a"] == (2, 2)
