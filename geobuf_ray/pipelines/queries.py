@@ -2487,12 +2487,22 @@ def events_user_freq_cms(sf_dir: str, width: int = 4096, depth: int = 4):
     probe = np.arange(10, dtype=np.int64)
     qh = _hash_column(pa.array(probe))
     est = cms_estimate(counts, qh)
+    # exact side: probe-filter FIRST (pc.is_in against the 10 probe
+    # keys) so the aggregate and the driver map are O(|probe|), not
+    # O(|user domain|)
+    probe_set = pa.array(probe)
+
+    def probe_counts(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["user_id"].combine_chunks(),
+                              value_set=probe_set))
+        return pa.table({
+            "user_id": t["user_id"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
     exact_tbl = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id"]) \
-        .map_batches(lambda b: pa.table({
-            "user_id": b["user_id"],
-            "one": pa.array(np.ones(b.num_rows, np.int64))}),
-        batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(probe_counts, batch_format="pyarrow",
+                     zero_copy_batch=True) \
         .groupby("user_id").sum("one").to_pandas()
     exact_map = dict(zip(exact_tbl["user_id"], exact_tbl["sum(one)"]))
     exact = np.array([int(exact_map.get(int(u), 0)) for u in probe],
@@ -13783,81 +13793,94 @@ def events_time_to_convert(sf_dir: str):
     """Time-to-convert distribution: per user the gap from FIRST view
     to FIRST subsequent purchase (users whose first purchase precedes
     any view don't convert by this funnel), exact PERCENTILE_DISC
-    quartiles of the gap seconds via the compressed-distribution
-    exchange — the product metric behind activation dashboards.
-    Hash-checked vs a window twin."""
+    quartiles of the gap seconds — the product metric behind
+    activation dashboards.  Hash-checked vs a window twin.
+
+    Shape: ONE user-hash exchange co-locates each user's view+purchase
+    events, the bucket kernel folds per-user first-view / first
+    purchase-at-or-after vectorized (np.minimum.at over unique-user
+    codes) and collapses immediately to a compressed ``(gap_seconds,
+    cnt)`` value-count distribution — per-user state lives and dies
+    inside the bucket task, the driver never sees a per-user row.  A
+    second single-bucket exchange merges the value counts and applies
+    the PERCENTILE_DISC rank rule; the driver collects exactly the
+    3-row result."""
     import ray
 
     from ..collect import collect_table
-    from ..functions.agg import group_quantile
+    from ..functions.exchange import hash_exchange
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type", "ts"])
 
-    def partial(b: pa.Table) -> pa.Table:
+    def prefilter(b: pa.Table) -> pa.Table:
         et = b["event_type"].combine_chunks()
         keep = pc.is_in(et, value_set=pa.array(["view", "purchase"]))
         t = b.filter(keep)
         us = t["ts"].to_numpy().astype("datetime64[us]") \
             .astype(np.int64)
-        isv = pc.equal(t["event_type"].combine_chunks(), "view") \
-            .to_numpy(zero_copy_only=False)
-        u = t["user_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "is_view": pc.equal(t["event_type"].combine_chunks(),
+                                "view"),
+            "ts_us": pa.array(us)})
+
+    gap_schema = pa.schema([("gap_seconds", pa.int64()),
+                            ("cnt", pa.int64())])
+
+    def bucket_kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return gap_schema.empty_table()
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        us = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        isv = tbl["is_view"].to_numpy(zero_copy_only=False)
         uu, inv = np.unique(u, return_inverse=True)
         big = np.int64(1) << 62
         fv = np.full(len(uu), big)
         np.minimum.at(fv, inv[isv], us[isv])
-        return pa.table({"user_id": pa.array(uu),
-                         "first_view": pa.array(fv),
-                         "vn": pa.array(np.ones(len(uu), np.int64))})
+        # first purchase AT OR AFTER the user's first view
+        ok = (~isv) & (us >= fv[inv]) & (fv[inv] < big)
+        fp = np.full(len(uu), big)
+        np.minimum.at(fp, inv[ok], us[ok])
+        conv = fp < big
+        gap = (fp[conv] - fv[conv]) // 1_000_000
+        gv, gc = np.unique(gap, return_counts=True)
+        return pa.table({"gap_seconds": pa.array(gv),
+                         "cnt": pa.array(gc.astype(np.int64))})
 
-    # two-pass: first-view per user (partial mins), then the first
-    # purchase AT OR AFTER it (a per-user asof-style min)
-    fv = collect_table(ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True)) \
-        .to_pandas().groupby("user_id")["first_view"].min()
-    import ray as _ray
+    per_user = hash_exchange(
+        ds.map_batches(prefilter, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        nbuckets=32, on="user_id", reduce_fn=bucket_kernel,
+        schema=gap_schema)
 
-    fv_ref = _ray.put((fv.index.to_numpy().astype(np.int64),
-                       fv.to_numpy().astype(np.int64)))
+    out_schema = pa.schema([("q", pa.int64()),
+                            ("gap_seconds", pa.int64()),
+                            ("n_converters", pa.int64())])
 
-    def gap_partial(b: pa.Table) -> pa.Table:
-        uu, fvv = _ray.get(fv_ref)
-        et = b["event_type"].combine_chunks()
-        t = b.filter(pc.equal(et, "purchase"))
-        if t.num_rows == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "first_purchase": pa.array([], pa.int64())})
-        us = t["ts"].to_numpy().astype("datetime64[us]") \
-            .astype(np.int64)
-        u = t["user_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        pos = np.clip(np.searchsorted(uu, u), 0, len(uu) - 1)
-        ok = (uu[pos] == u) & (us >= fvv[pos]) \
-            & (fvv[pos] < (np.int64(1) << 62))
-        gu, ginv = np.unique(u[ok], return_inverse=True)
-        big = np.int64(1) << 62
-        fp = np.full(len(gu), big)
-        np.minimum.at(fp, ginv, us[ok])
-        return pa.table({"user_id": pa.array(gu),
-                         "first_purchase": pa.array(fp)})
+    def quartile_kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        g = tbl["gap_seconds"].to_numpy(zero_copy_only=False)
+        c = tbl["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, c = g[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        out = []
+        for num, den in ((1, 4), (1, 2), (3, 4)):
+            rank = max(-(-num * n // den), 1)
+            out.append(int(g[np.searchsorted(cum, rank, "left")]))
+        return pa.table({"q": pa.array([25, 50, 75], pa.int64()),
+                         "gap_seconds": pa.array(out, pa.int64()),
+                         "n_converters": pa.array([n] * 3, pa.int64())})
 
-    fp = collect_table(ds.map_batches(
-        gap_partial, batch_format="pyarrow", zero_copy_batch=True)) \
-        .to_pandas().groupby("user_id")["first_purchase"].min()
-    both = fv.to_frame().join(fp.to_frame(), how="inner")
-    gap_s = ((both["first_purchase"] - both["first_view"])
-             // 1_000_000).astype(np.int64)
-    gaps = np.sort(gap_s.to_numpy())
-    n = len(gaps)
-    out = []
-    for num, den in ((1, 4), (1, 2), (3, 4)):
-        rank = max(-(-num * n // den), 1)
-        out.append(int(gaps[rank - 1]))
-    return pa.table({"q": pa.array([25, 50, 75], pa.int64()),
-                     "gap_seconds": pa.array(out, pa.int64()),
-                     "n_converters": pa.array([n] * 3, pa.int64())})
+    def one_bucket(tbl: pa.Table):
+        return np.zeros(tbl.num_rows, np.int64), tbl
+
+    final = hash_exchange(per_user, nbuckets=1, bucket_fn=one_bucket,
+                          reduce_fn=quartile_kernel, schema=out_schema)
+    return collect_table(final)
 
 
 def customers_flow_octants(sf_dir: str):

@@ -598,3 +598,51 @@ def test_l_diversity_brute_force_replay(ray_session):
     # gate would make it vacuous on this corpus
     assert 0 < out["t_ok"].sum() or 0 < (1 - out["l_ok"]).sum() \
         or out["emd_num"].max() > 0
+
+
+def test_time_to_convert_exchange_path(ray_session, monkeypatch):
+    """events_time_to_convert must never centralize per-user rows:
+    per-user first-view/first-purchase state folds inside bucket
+    tasks, and the ONLY driver collect is the 3-row quartile result.
+    Also hash-checks the quartiles vs a scalar replay."""
+    import duckdb
+
+    import geobuf_ray.collect as collect_mod
+    from geobuf_ray.pipelines import queries as q
+
+    collected = []
+    real = collect_mod.collect_table
+
+    def spy(ds, *a, **kw):
+        t = real(ds, *a, **kw)
+        collected.append(t.num_rows)
+        return t
+
+    monkeypatch.setattr(collect_mod, "collect_table", spy)
+    out = q.events_time_to_convert(SF)
+    assert collected, "expected the final collect to be observed"
+    assert max(collected) <= 3, \
+        f"driver collected {max(collected)} rows (per-user leak?)"
+
+    con = duckdb.connect()
+    rep = con.execute(f"""
+        WITH e AS (SELECT user_id, event_type, ts
+                   FROM '{SF}/events.parquet'
+                   WHERE event_type IN ('view', 'purchase')),
+        fv AS (SELECT user_id, MIN(ts) AS t0 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        fp AS (SELECT e.user_id, MIN(e.ts) AS t1
+               FROM e JOIN fv ON fv.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= fv.t0
+               GROUP BY e.user_id),
+        g AS (SELECT (epoch_us(fp.t1) - epoch_us(fv.t0)) // 1000000
+                     AS gap
+              FROM fv JOIN fp ON fp.user_id = fv.user_id)
+        SELECT quantile_disc(gap, 0.25), quantile_disc(gap, 0.5),
+               quantile_disc(gap, 0.75), COUNT(*) FROM g
+    """).fetchone()
+    got = {r["q"]: (r["gap_seconds"], r["n_converters"])
+           for r in out.to_pylist()}
+    assert got[25] == (rep[0], rep[3])
+    assert got[50] == (rep[1], rep[3])
+    assert got[75] == (rep[2], rep[3])
