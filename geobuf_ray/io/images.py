@@ -99,17 +99,22 @@ def decode_image(data: bytes) -> np.ndarray:
         q = np.frombuffer(zlib.decompress(data[12:]), np.uint8).reshape(h, w, 3)
         # dequantize to bin centers: x*8 + 4 (max error 4 -> PSNR ~42dB)
         return (q.astype(np.uint16) * 8 + 4).clip(0, 255).astype(np.uint8)
+    if magic[:2] == b"\x89P":  # real PNG: pure-Python RFC 2083 codec
+        from .png import decode_png
+
+        return decode_png(data)
     if _HAVE_PIL:  # pragma: no cover
         import io
 
         from PIL import Image
 
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-    if magic[:2] in (b"\x89P", b"\xff\xd8"):  # png / jpeg signatures
+    if magic[:2] == b"\xff\xd8":  # jpeg signature
         raise NotImplementedError(
-            "STUB: real png/jpeg decode requires PIL, absent in this "
+            "STUB: real jpeg decode requires PIL, absent in this "
             "container (round-1 brief: decode step stubbed; Ray-side "
-            "plumbing is real)"
+            "plumbing is real; PNG has a real pure-Python codec in "
+            "io/png.py)"
         )
     raise ValueError(
         f"unknown image payload magic {magic!r} — corrupted/truncated "
@@ -363,6 +368,40 @@ def decode_images(ds, *, batch_size: int = 64, concurrency=(1, 8),
         concurrency=concurrency,
         **map_kwargs,
     )
+
+
+class TranscodePngFn:
+    """Actor-pool transcode stage: decode each row's payload (rawz /
+    quantz / png) and re-encode as a REAL PNG (io/png.py — the public
+    RFC 2083 wire format).  Same table schema out; ``src_fmt`` keeps
+    the original format, ``fmt`` becomes ``png``.  The transcode is
+    pixel-lossless, so every fidelity invariant of the source payload
+    carries over to the PNG byte stream."""
+
+    def __init__(self, level: int = 6):
+        self.level = level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .png import encode_png
+
+        blobs = batch["bytes"].to_pylist()
+        out = [encode_png(decode_image(b), level=self.level)
+               for b in blobs]
+        t = batch.drop_columns(["bytes"])
+        t = t.append_column("bytes", pa.array(out, pa.binary()))
+        t = t.append_column("src_fmt", t["fmt"])
+        return t.set_column(t.column_names.index("fmt"), "fmt",
+                            pa.array(["png"] * len(out), pa.string()))
+
+
+def transcode_png(ds, *, batch_size: int = 32, concurrency=(1, 8),
+                  level: int = 6, **map_kwargs):
+    """Dataset stage: any image rows -> the same rows with real PNG
+    payloads (pixel-lossless)."""
+    return ds.map_batches(
+        TranscodePngFn, fn_constructor_kwargs=dict(level=level),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **map_kwargs)
 
 
 class ResizeImagesFn:

@@ -894,3 +894,186 @@ def test_seam_energy_scalar_replay():
     for _ in range(10):
         s = (s * 1_000_003 + 0) % (1 << 61)
     assert r["seam_checksum"][0].as_py() == s
+
+
+def _ref_filter_png(px, filters):
+    """Independent reference PNG writer: 8-bit RGB rows filtered with
+    the given per-row filter types (scalar spec transcription)."""
+    import struct
+    import zlib
+
+    h, w, _ = px.shape
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(w * bpp)
+    for y in range(h):
+        cur = px[y].reshape(-1).tobytes()
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(w * bpp):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = (cur[x] - a) & 0xFF
+            elif f == 2:
+                v = (cur[x] - b) & 0xFF
+            elif f == 3:
+                v = (cur[x] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+                v = (cur[x] - pred) & 0xFF
+            raw.append(v)
+        prev = cur
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    comp = zlib.compress(bytes(raw), 6)
+    # split IDAT in two chunks to exercise concatenation
+    mid = len(comp) // 2
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+            + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_exact():
+    """encode_png -> decode_png is pixel-exact on random RGB."""
+    from geobuf_ray.io.png import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for shape in ((1, 1, 3), (7, 3, 3), (33, 57, 3)):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(px))
+        assert (out == px).all()
+
+
+def test_png_all_filter_types_decode():
+    """decode_png vs an independent per-pixel reference writer using
+    every scanline filter type (None/Sub/Up/Average/Paeth), split
+    IDAT chunks included."""
+    from geobuf_ray.io.png import decode_png
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (10, 13, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _ref_filter_png(px, filters)
+        assert (decode_png(data) == px).all(), filters
+
+
+def test_png_unsupported_and_invalid():
+    import struct
+    import zlib
+
+    import pytest
+
+    from geobuf_ray.io.png import decode_png, encode_png
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    def make(depth=8, ctype=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0,
+                           interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                + chunk(b"IEND", b""))
+
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(make(depth=16))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(make(interlace=1))
+    with pytest.raises(NotImplementedError, match="color type"):
+        decode_png(make(ctype=3))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"nope")
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2), np.uint8))
+
+
+def test_png_gray_and_rgba_decode():
+    """Gray replicates to 3 channels; RGBA drops alpha."""
+    import struct
+    import zlib
+
+    from geobuf_ray.io.png import decode_png
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(3))
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = decode_png(data)
+    assert out.shape == (3, 5, 3)
+    assert (out == g[:, :, None]).all()
+
+    rgba = rng.integers(0, 256, (3, 5, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = decode_png(data)
+    assert (out == rgba[:, :, :3]).all()
+
+
+def test_transcode_png_stage(ray_session):
+    """The actor-pool PNG transcode stage: payloads become real PNGs,
+    the standard decode stage consumes them, and the lossless chain
+    preserves pixels bit-exactly."""
+    import ray
+
+    from geobuf_ray.io import images as im
+    from geobuf_ray.io.png import decode_png
+
+    tbl = im.synthesize_image_table(24)
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    png = im.transcode_png(ds, batch_size=8, concurrency=(1, 2))
+    rows = png.take_all()
+    assert all(r["fmt"] == "png" for r in rows)
+    assert all(r["bytes"][:8] == b"\x89PNG\r\n\x1a\n" for r in rows)
+    by_id = {r["image_id"]: r for r in rows}
+    for orig in tbl.to_pylist():
+        got = decode_png(by_id[orig["image_id"]]["bytes"])
+        want = im.decode_image(orig["bytes"])
+        assert (got == want).all()
+
+    out = im.decode_images(png, batch_size=8, concurrency=(1, 2))
+    feats = out.take_all()
+    assert all(np.isfinite(min(r["psnr_db"], 99.0)) and
+               min(r["psnr_db"], 99.0) >= 40.0 for r in feats)
+
+
+def test_read_image_table_lance():
+    """Lance-backed read path (importorskip — the container has no
+    lance; the parquet fallback is exercised everywhere else)."""
+    import tempfile
+
+    import pytest
+
+    lance = pytest.importorskip("lance")
+    import ray
+
+    from geobuf_ray.io import images as im
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=2, include_dashboard=False)
+    tbl = im.synthesize_image_table(8)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/images.lance"
+        lance.write_dataset(tbl, path)
+        ds = im.read_image_table(path)
+        assert ds.count() == 8
+        assert set(ds.schema().names) >= {"image_id", "bytes", "fmt"}
