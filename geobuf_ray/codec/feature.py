@@ -78,22 +78,15 @@ def dequantize(q: np.ndarray) -> np.ndarray:
     d = qf / _POWER
     if len(d) == 0:
         return d
-    # truncation toward zero re-quantizes wrong iff the float product
-    # lands strictly on the wrong side of q: e < q for q > 0 (floor
-    # drops it to q-1), e > q for q < 0 (ceil lifts it to q+1).
-    # Folding the sign in (sd = (e-q)·sign(q)) collapses the two arms
-    # to ONE pair of compares: wrong ⇔ sd < 0 or sd >= 1 (q = 0 gives
-    # sd = 0, never wrong).  |q| >= 2^53 is outside float64's
-    # exact-integer range — no double can requantize to q, the
-    # identity contract ends there (geographic coordinates quantize to
-    # |q| <= 1.8e9) — that guard runs only on the rare wrong lanes.
+    # re-quantization IS trunc(d * 10^7): detect wrong lanes by the
+    # definition directly — one trunc + one compare (the previous
+    # two-abs + subtract + two-compare sign fold measured ~25% slower
+    # end-to-end).  |q| >= 2^53 is outside float64's exact-integer
+    # range — no double can requantize to q, the identity contract
+    # ends there (geographic coordinates quantize to |q| <= 1.8e9) —
+    # that guard runs only on the rare wrong lanes.
     e = d * _POWER
-    # sign fold without a branch pair: e and qf share q's sign and sit
-    # within a factor of 2 of each other, so |e| - |qf| is the exact
-    # (Sterbenz) value of (e - qf)·sign(q)
-    sd = np.abs(e)
-    np.subtract(sd, np.abs(qf), out=sd)
-    sel = np.flatnonzero((sd < 0) | (sd >= 1.0))
+    sel = np.flatnonzero(np.trunc(e) != qf)
     if len(sel):
         sel = sel[np.abs(q[sel]) < (1 << 53)]
     r = np.trunc(e[sel]).astype(np.int64)  # only the wrong lanes
