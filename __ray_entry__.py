@@ -938,6 +938,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(y * y) AS BIGINT) AS sum_yy
             FROM e GROUP BY user_id HAVING COUNT(y) > 0
         """,
+        "events_value_ewma": """
+            WITH e AS (SELECT user_id, value,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts) // 1000000,
+                                      event_id) AS rn,
+                         COUNT(*) OVER (PARTITION BY user_id) AS n
+                       FROM events)
+            SELECT user_id,
+                   round(SUM(CASE WHEN rn = 1
+                                  THEN POW(0.9, n - 1) * value
+                                  ELSE 0.1 * POW(0.9, n - rn) * value
+                             END), 6) AS ewma_last
+            FROM e GROUP BY user_id
+        """,
+        "orders_weighted_sample": """
+            WITH h0 AS (SELECT o_orderkey, o_totalprice,
+                          xor(CAST(o_orderkey AS HUGEINT),
+                              17661420568835148476) AS x
+                        FROM orders),
+            -- xorshift-multiply mix, 64-bit: mulmod via 32-bit split
+            -- ((xh*pl + xl*ph)*2^32 + xl*pl) mod 2^64
+            h1 AS (SELECT o_orderkey, o_totalprice,
+                     xor(x, x // 8589934592) AS x FROM h0),
+            h2 AS (SELECT o_orderkey, o_totalprice,
+                     (((x // 4294967296) * 2135587861
+                       + (x % 4294967296) * 2654435769) * 4294967296
+                      + (x % 4294967296) * 2135587861)
+                     % 18446744073709551616 AS x FROM h1),
+            h3 AS (SELECT o_orderkey, o_totalprice,
+                     xor(x, x // 536870912) AS x FROM h2),
+            h4 AS (SELECT o_orderkey, o_totalprice,
+                     (((x // 4294967296) * 668265295
+                       + (x % 4294967296) * 3266489917) * 4294967296
+                      + (x % 4294967296) * 668265295)
+                     % 18446744073709551616 AS x FROM h3),
+            h5 AS (SELECT o_orderkey, o_totalprice,
+                     xor(x, x // 4294967296) AS x FROM h4),
+            pri AS (SELECT o_orderkey, o_totalprice,
+                      ln(CAST(x // 2048 + 1 AS DOUBLE)
+                         * 1.1102230246251565e-16) / o_totalprice
+                      AS p
+                    FROM h5)
+            SELECT o_orderkey, o_totalprice
+            FROM pri ORDER BY p DESC LIMIT 50
+        """,
+        "docs_pack_greedy": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            walk(source, rn, doc_id, n_chars, bin_id, fill) AS (
+              SELECT source, rn, doc_id, n_chars, CAST(0 AS BIGINT),
+                     n_chars
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.source, d.rn, d.doc_id, d.n_chars,
+                     CASE WHEN w.fill + d.n_chars > 4096
+                          THEN w.bin_id + 1 ELSE w.bin_id END,
+                     CASE WHEN w.fill + d.n_chars > 4096
+                          THEN d.n_chars ELSE w.fill + d.n_chars END
+              FROM walk w JOIN d ON d.source = w.source
+                                AND d.rn = w.rn + 1
+            )
+            SELECT doc_id, source, bin_id,
+                   CAST(SUM(n_chars) OVER (PARTITION BY source, bin_id)
+                        AS BIGINT) AS bin_fill
+            FROM walk
+        """,
         "events_transitions": """
             WITH seq AS (
                 SELECT event_type,
