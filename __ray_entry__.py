@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_chains_merge": q.supplier_chains_merge,
         "tile_counts": q.tile_counts,
         "tile_rollup": q.tile_rollup,
+        "customers_tile_pyramid": q.customers_tile_pyramid,
         "pip_rect_join": q.pip_rect_join,
         "pip_rect_join_s2": q.pip_rect_join_s2,
         "pip_rect_join_s2_adaptive": q.pip_rect_join_s2_adaptive,
@@ -2477,6 +2478,23 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": f"""
             SELECT {zx} AS tile_x, {zy} AS tile_y, COUNT(*) AS n_points
             FROM customer GROUP BY tile_x, tile_y
+        """,
+        # Combine-pyramid summary: a level's tiles are the distinct
+        # parent keys (x >> k, y >> k) of the base assignment; every
+        # point rides into exactly one tile per level
+        "customers_tile_pyramid": f"""
+            WITH t AS (SELECT {_tile_x(_LON, 5)} AS x,
+                              {_tile_y(_LAT, 5)} AS y
+                       FROM customer),
+            lv AS (
+              SELECT 5 AS zoom, x, y FROM t
+              UNION ALL SELECT 4, x // 2, y // 2 FROM t
+              UNION ALL SELECT 3, x // 4, y // 4 FROM t)
+            SELECT CAST(zoom AS BIGINT) AS zoom,
+                   CAST(COUNT(DISTINCT x * 4294967296 + y) AS BIGINT)
+                       AS n_tiles,
+                   COUNT(*) AS n_features
+            FROM lv GROUP BY zoom ORDER BY zoom
         """,
         "pip_rect_join": f"""
             SELECT c_custkey AS custkey, s_suppkey AS polygon_id

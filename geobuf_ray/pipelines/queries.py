@@ -2865,6 +2865,73 @@ def tile_rollup(sf_dir: str, zoom: int = 8):
     })
 
 
+def customers_tile_pyramid(sf_dir: str, zoom: int = 5,
+                           levels: int = 3):
+    """Full multi-level Combine pyramid write
+    (pipelines/tiling.tile_pyramid — split_combine.go:425-559's
+    hierarchical refinement as ONE feature shuffle + byte-concat
+    parent rollups): customer points become canonical point features,
+    leaf tiles at z5 write per-tile geobuf files + a gob-indexed
+    combined file, and z4/z3 derive by concatenating child streams
+    (no re-encode, no second shuffle).  In-query verification per
+    level: the combined file's gob key set equals the manifest's, and
+    key-addressed ``read_subfile`` reads (first/middle/last key)
+    return exactly the manifest's feature counts.  Output is the
+    per-level (zoom, n_tiles, n_features) summary, hash-checked vs
+    the pure tile-math twin (distinct parent tiles = distinct
+    (x >> k, y >> k))."""
+    import os
+    import shutil
+    import uuid
+
+    from ..io.geobuf_file import read_metadata, read_subfile
+    from .tiling import tile_pyramid
+
+    def to_features(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        k = batch["custkey"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        coords = np.empty(2 * n)
+        coords[0::2] = batch["lon"].to_numpy()
+        coords[1::2] = batch["lat"].to_numpy()
+        return pa.table({
+            "id": pa.array(k, pa.int64()),
+            "geom_type": pa.array(np.ones(n, np.int8)),
+            "dim": pa.array(np.full(n, 2, np.int8)),
+            "coords": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int32)),
+                pa.array(coords)),
+            "ring_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+            "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+        })
+
+    ds = customer_points(sf_dir).map_batches(
+        to_features, batch_format="pyarrow", zero_copy_batch=True)
+    out = f"/tmp/geobuf_ray_pyramid/{uuid.uuid4().hex[:8]}"
+    try:
+        mans = tile_pyramid(ds, out, zoom, levels=levels)
+        rows = []
+        for z in sorted(mans):
+            m = mans[z]
+            combined = os.path.join(out, f"z{z}", "combined.geobuf")
+            parsed = read_metadata(combined)
+            assert parsed is not None, f"z{z}: no gob index"
+            meta, _ = parsed
+            keys = sorted(meta["Files"])
+            mkeys = {r["key"]: r["num_features"]
+                     for r in m.to_pylist()}
+            assert set(keys) == set(mkeys), f"z{z}: key set mismatch"
+            for kk in (keys[0], keys[len(keys) // 2], keys[-1]):
+                sub = read_subfile(combined, kk)
+                assert sub.num_rows == mkeys[kk], (z, kk)
+            rows.append({"zoom": int(z), "n_tiles": len(keys),
+                         "n_features": int(sum(mkeys.values()))})
+        return pa.Table.from_pylist(
+            sorted(rows, key=lambda r: r["zoom"]))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def supplier_rects(sf_dir: str) -> pa.Table:
     """Deterministic rectangle polygons derived from supplier keys
     (canonical feature-table layout for the PIP engine)."""

@@ -660,3 +660,122 @@ def make_mvt_tiles(ds, zoom: int, *, extent: int = 4096,
 
     return hash_exchange(clipped, nbuckets=nbuckets, on="tile_key",
                          reduce_fn=enc, schema=MVT_TILE_SCHEMA)
+
+
+def _rollup_level(manifest: pa.Table, out_dir: str,
+                  combine_path: str | None = None) -> pa.Table:
+    """One pyramid level up: each parent tile's stream is the byte
+    CONCATENATION of its children's frame streams, written in child-key
+    order (geobuf frames are self-delimiting, so the rollup is pure
+    I/O — no decode, no re-encode, no second feature shuffle).
+
+    Exact for DISJOINT assignments (points, or ``clip=True`` pieces);
+    a bbox-fanout feature covering several child tiles would appear
+    once per child in the parent — use the clipped pipeline for
+    area features.  Distributed: one ``map_groups`` over the (small)
+    manifest, each parent task streams only its own children."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    parents = []
+    for k in manifest["key"].to_pylist():
+        x, y, z = (int(p) for p in k.split("-"))
+        parents.append(f"{x // 2}-{y // 2}-{z - 1}")
+    mt = manifest.append_column("parent", pa.array(parents, pa.string()))
+
+    def write_parent(group: pa.Table) -> pa.Table:
+        import time
+
+        os.makedirs(out_dir, exist_ok=True)
+        t0 = time.perf_counter()
+        rows = sorted(group.to_pylist(),
+                      key=lambda r: (r["key"], r["path"]))
+        pkey = rows[0]["parent"]
+        stream = b"".join(open(r["path"], "rb").read() for r in rows)
+        name = f"{pkey}-{uuid.uuid4().hex[:12]}.geobuf"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(stream)
+        os.rename(tmp, path)
+
+        def _mm(vals, fn):
+            vs = [v for v in vals if v == v]
+            return fn(vs) if vs else float("nan")
+
+        return pa.table({
+            "path": pa.array([path]),
+            "key": pa.array([pkey], pa.string()),
+            "num_features": pa.array(
+                [sum(r["num_features"] for r in rows)], pa.int64()),
+            "size_bytes": pa.array([len(stream)], pa.int64()),
+            "west": pa.array([_mm([r["west"] for r in rows], min)]),
+            "south": pa.array([_mm([r["south"] for r in rows], min)]),
+            "east": pa.array([_mm([r["east"] for r in rows], max)]),
+            "north": pa.array([_mm([r["north"] for r in rows], max)]),
+            "write_seconds": pa.array([time.perf_counter() - t0]),
+        })
+
+    out = ray.data.from_arrow(mt).groupby("parent").map_groups(
+        write_parent, batch_format="pyarrow")
+    pm = pa.Table.from_pylist(out.take_all())
+    pq.write_table(pm, os.path.join(out_dir, "_manifest.parquet"))
+    if combine_path is not None:
+        from ..io.geobuf_file import write_indexed_geobuf
+
+        def _subfiles():
+            for row in pm.sort_by("key").to_pylist():
+                with open(row["path"], "rb") as f:
+                    yield row["key"], f.read()
+
+        ws = [v for v in pm["west"].to_pylist() if v == v]
+        ss = [v for v in pm["south"].to_pylist() if v == v]
+        es = [v for v in pm["east"].to_pylist() if v == v]
+        ns = [v for v in pm["north"].to_pylist() if v == v]
+        bb = ((min(ws), min(ss), max(es), max(ns))
+              if ws and ss and es and ns else None)
+        write_indexed_geobuf(_subfiles(), combine_path, bounds=bb)
+    return pm
+
+
+def tile_pyramid(ds, out_dir: str, zoom: int, *, levels: int = 3,
+                 bounds=None, write_bbox: bool = True,
+                 map_kwargs: dict | None = None):
+    """Multi-level Combine pyramid — the reference's hierarchical
+    refinement (split_combine.go:425-559) as ONE feature shuffle plus
+    a parent-walk rollup: leaf tiles at ``zoom`` are written by
+    :func:`split_combine` (per-tile files + gob-indexed combined
+    file), then every coarser level z-1 .. z-levels+1 derives by
+    byte-concatenating child streams (:func:`_rollup_level` — no
+    re-encode, no second shuffle; exact for disjoint assignments).
+    Each level directory ``z{n}/`` holds the per-tile files, a
+    ``_manifest.parquet`` and a reference-layout ``combined.geobuf``
+    whose subfiles are key-addressable per level.
+
+    Returns ``{zoom_level: manifest_table}``."""
+    import os
+
+    if levels < 1:
+        raise ValueError("levels >= 1")
+    if zoom - levels + 1 < 0:
+        raise ValueError(f"levels={levels} underflows zoom 0 from "
+                         f"zoom={zoom}")
+    manifests = {}
+    m = split_combine(
+        ds, os.path.join(out_dir, f"z{zoom}"), zoom, bounds=bounds,
+        write_bbox=write_bbox,
+        combine_path=os.path.join(out_dir, f"z{zoom}",
+                                  "combined.geobuf"),
+        map_kwargs=map_kwargs)
+    manifests[zoom] = m
+    for z in range(zoom - 1, zoom - levels, -1):
+        m = _rollup_level(
+            m, os.path.join(out_dir, f"z{z}"),
+            combine_path=os.path.join(out_dir, f"z{z}",
+                                      "combined.geobuf"))
+        manifests[z] = m
+    return manifests

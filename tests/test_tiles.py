@@ -197,3 +197,70 @@ def test_zorder_index_pruned_lookup(ray_session, tmp_path):
     out2 = zorder_bbox_lookup(idx2, w, s, e, nn, columns=["pid"],
                               bucket_bits=8).to_pandas()
     assert out2["pid"].tolist() == [0]
+
+
+def test_tile_pyramid_layout_and_rollup(ray_session, tmp_path):
+    """tile_pyramid writes the Combine layout at every level: per-tile
+    files + gob-indexed combined file; a parent tile's subfile decodes
+    to exactly the union of its children's features (byte-concat
+    rollup), and key-addressed reads work per level."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geobuf_ray.codec import decode as dc
+    from geobuf_ray.io.geobuf_file import read_metadata, read_subfile
+    from geobuf_ray.pipelines.tiling import tile_pyramid
+
+    rng = np.random.default_rng(7)
+    n = 300
+    lon = rng.uniform(-170, 170, n)
+    lat = rng.uniform(-80, 80, n)
+    coords = np.empty(2 * n)
+    coords[0::2] = lon
+    coords[1::2] = lat
+    feat = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "geom_type": pa.array(np.ones(n, np.int8)),
+        "dim": pa.array(np.full(n, 2, np.int8)),
+        "coords": pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int32)),
+            pa.array(coords)),
+        "ring_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+        "poly_sizes": pa.array([[1]] * n, pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(feat).repartition(4)
+    out = str(tmp_path / "pyr")
+    mans = tile_pyramid(ds, out, 3, levels=3)
+    assert sorted(mans) == [1, 2, 3]
+
+    ids_by = {}
+    for z, m in mans.items():
+        # every level holds every feature exactly once
+        assert sum(m["num_features"].to_pylist()) == n
+        combined = f"{out}/z{z}/combined.geobuf"
+        meta, _ = read_metadata(combined)
+        mkeys = {r["key"]: r["num_features"] for r in m.to_pylist()}
+        assert set(meta["Files"]) == set(mkeys)
+        ids_by[z] = {}
+        for k, cnt in mkeys.items():
+            sub = read_subfile(combined, k)
+            assert sub.num_rows == cnt, (z, k)
+            dec = dc.decode_batch(sub["geobuf"].combine_chunks())
+            ids_by[z][k] = set(dec["id"].to_pylist())
+
+    # parent subfile = union of its children (byte-concat rollup)
+    for z in (2, 1):
+        for pk, pids in ids_by[z].items():
+            px, py, pz = (int(v) for v in pk.split("-"))
+            want = set()
+            for ck, cids in ids_by[z + 1].items():
+                cx, cy, cz = (int(v) for v in ck.split("-"))
+                if cx // 2 == px and cy // 2 == py:
+                    want |= cids
+            assert pids == want, pk
+
+    import pytest
+
+    with pytest.raises(ValueError, match="underflows"):
+        tile_pyramid(ds, str(tmp_path / "bad"), 1, levels=3)
