@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_view_maintenance": q.orders_join_view_maintenance,
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "events_rank_test": q.events_rank_test,
+        "events_kruskal_wallis": q.events_kruskal_wallis,
+        "suppliers_betweenness": q.suppliers_betweenness,
         "lineitem_gini_by_flag": q.lineitem_gini_by_flag,
         "lineitem_benford": q.lineitem_benford,
         "events_watermark_hourly": q.events_watermark_hourly,
@@ -1008,6 +1010,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) OVER (PARTITION BY source, bin_id)
                         AS BIGINT) AS bin_fill
             FROM walk
+        """,
+        "events_kruskal_wallis": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            r AS (SELECT event_type, v,
+                    RANK() OVER (ORDER BY v) AS rk,
+                    COUNT(*) OVER (PARTITION BY v) AS tc
+                  FROM c),
+            tie AS (SELECT CAST(SUM(tc * tc * tc - tc) AS BIGINT)
+                        AS tie_term
+                    FROM (SELECT COUNT(*) AS tc FROM c GROUP BY v))
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(2 * rk + tc - 1) AS BIGINT) AS ranksum2,
+                   tie.tie_term
+            FROM r, tie GROUP BY event_type, tie.tie_term
         """,
         "events_transitions": """
             WITH seq AS (

@@ -9969,6 +9969,96 @@ def rects_distance_field(sf_dir: str, ntiles: int = 16, px: int = 16):
                      "dist": tbl["dist"].take(sel)})
 
 
+def events_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis one-way rank test ingredients, EXACT — the
+    nonparametric ANOVA a monitoring pipeline runs to ask "do these
+    event types draw values from the same distribution?".  Per event
+    type: n, twice the midrank sum (2·avg_rank = 2·RANK + tie_count -
+    1 is an integer even at tied midranks), and the global tie
+    correction Σ(t³ - t) — every output an exact int64, the float H
+    statistic left to the consumer (the runs-test discipline).
+
+    Shape: blocks collapse to (type, value_cents, cnt) value-count
+    partials — the compressed-distribution exchange: the single rank
+    kernel sees only DISTINCT (type, value) pairs with
+    multiplicities, never rows; global midranks come from one sorted
+    cumsum.  Sum bound: Σt³ <= N³ (one value holding every row), so
+    int64 holds to N ~ 2 x 10^6; beyond that the tie term needs a
+    wider accumulator.  In-query assert: Σ ranksum2 == N(N+1)
+    (twice the sum of all ranks).  Hash-checked vs a RANK() +
+    per-value COUNT window twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("v", pa.int64()), ("cnt", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["value"]))
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        v = np.round(t["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        if len(v) and (v.min() < 0 or v.max() >= (1 << 32)):
+            raise ValueError("value cents outside the [0, 2^32) "
+                             "packing domain")
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        packed = (codes << 32) | v
+        uniq, inv = np.unique(packed, return_inverse=True)
+        names = np.asarray(et.dictionary)[
+            (uniq >> 32).astype(np.int64)]
+        return pa.table({
+            "event_type": pa.array(names),
+            "v": pa.array(uniq & 0xFFFFFFFF),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64))})
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n", pa.int64()),
+                            ("ranksum2", pa.int64()),
+                            ("tie_term", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        c = tbl["cnt"].to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl["event_type"].to_pylist(), object)
+        uv, vinv = np.unique(v, return_inverse=True)
+        tot = np.bincount(vinv, weights=c).astype(np.int64)
+        cumb = np.concatenate(([0], np.cumsum(tot)[:-1]))
+        two_avg = 2 * cumb + tot + 1
+        ut, tinv = np.unique(et, return_inverse=True)
+        n_g = np.bincount(tinv, weights=c).astype(np.int64)
+        rs2 = np.bincount(tinv, weights=c * two_avg[vinv]) \
+            .astype(np.int64)
+        tie = int((tot * tot * tot - tot).sum())
+        n = int(n_g.sum())
+        assert int(rs2.sum()) == n * (n + 1), "rank-sum invariant"
+        return pa.table({
+            "event_type": pa.array(list(ut), pa.string()),
+            "n": pa.array(n_g),
+            "ranksum2": pa.array(rs2),
+            "tie_term": pa.array(np.full(len(ut), tie, np.int64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def one_bucket(tbl: pa.Table):
+        return np.zeros(tbl.num_rows, np.int64), tbl
+
+    out = collect_table(hash_exchange(
+        ds, nbuckets=1, bucket_fn=one_bucket, reduce_fn=kernel,
+        schema=out_schema))
+    o = np.argsort(out["event_type"].to_numpy(zero_copy_only=False))
+    return out.take(pa.array(o))
+
+
 def events_rank_test(sf_dir: str):
     """Exact Mann-Whitney rank test per event type (even vs odd
     user_id populations) — the A/B distribution-comparison gate, all
@@ -14998,6 +15088,42 @@ def suppliers_closeness(sf_dir: str):
         .select(["node", "farness", "n_reached"])
     o = np.argsort(out["node"].to_numpy(zero_copy_only=False))
     return out.take(pa.array(o))
+
+
+def suppliers_betweenness(sf_dir: str):
+    """Exact Brandes betweenness centrality
+    (functions/graph.betweenness_centrality) over the deterministic
+    supplier graph — the broker score: how many shortest paths run
+    THROUGH each node.  Forward matrix BFS counts shortest paths per
+    source batch (float matmul — path counts, not reachability bits),
+    backward pass folds dependencies level by level, one per-node
+    partial vector leaves each batch.  Rows-only (all-pairs path
+    counting has no practical SQL twin); pytest replays scalar
+    Brandes on the same graph.  Scores rounded to 6 decimals for
+    bit-stable output across partial-sum orders; nodes with zero
+    betweenness dropped."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.graph import betweenness_centrality
+
+    keys = _supplier_keys(sf_dir)
+    bridged = keys[keys % 10 == 0]
+    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
+    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a, pa.int64()),
+        "dst": pa.array(b, pa.int64())})).repartition(4)
+    parts = collect_table(betweenness_centrality(
+        edges, directed=True, batch_sources=64))
+    node = parts["node"].to_numpy(zero_copy_only=False)
+    bc = parts["bc"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(node, return_inverse=True)
+    tot = np.zeros(len(uniq))
+    np.add.at(tot, inv, bc)
+    keep = tot > 1e-9
+    return pa.table({"node": pa.array(uniq[keep]),
+                     "bc": pa.array(np.round(tot[keep], 6))})
 
 
 def events_dtw_pairs(sf_dir: str, m: int = 5):

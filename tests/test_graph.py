@@ -825,3 +825,79 @@ def test_all_pairs_hops_truncation_raises(ray_session):
     with pytest.raises(Exception, match="max_rounds"):
         collect_table(all_pairs_hops(edges, [0], directed=True,
                                      max_rounds=n - 1))
+
+
+def test_betweenness_brute_force(ray_session):
+    """betweenness_centrality vs a scalar Brandes replay on a random
+    directed graph (path counting + dependency accumulation), and the
+    undirected halving convention on a path graph (middle of a 3-path
+    has bc exactly 1)."""
+    from collections import deque
+
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.graph import betweenness_centrality
+
+    def scalar_brandes(adj, nodes, directed=True):
+        bc = {v: 0.0 for v in nodes}
+        for s in nodes:
+            sigma = {v: 0.0 for v in nodes}
+            dist = {v: -1 for v in nodes}
+            sigma[s], dist[s] = 1.0, 0
+            order, dq = [], deque([s])
+            while dq:
+                u = dq.popleft()
+                order.append(u)
+                for w in adj.get(u, ()):
+                    if dist[w] < 0:
+                        dist[w] = dist[u] + 1
+                        dq.append(w)
+                    if dist[w] == dist[u] + 1:
+                        sigma[w] += sigma[u]
+            delta = {v: 0.0 for v in nodes}
+            for u in reversed(order):
+                for w in adj.get(u, ()):
+                    if dist[w] == dist[u] + 1:
+                        delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+                if u != s:
+                    bc[u] += delta[u]
+        if not directed:
+            bc = {v: x / 2 for v, x in bc.items()}
+        return bc
+
+    rng = np.random.RandomState(17)
+    n_nodes = 30
+    a = rng.randint(0, n_nodes, 90)
+    b = rng.randint(0, n_nodes, 90)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    for directed in (True, False):
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array(a, pa.int64()),
+            "dst": pa.array(b, pa.int64())})).repartition(3)
+        out = collect_table(betweenness_centrality(
+            edges, directed=directed, batch_sources=7))
+        node = out["node"].to_numpy(zero_copy_only=False)
+        bcv = out["bc"].to_numpy(zero_copy_only=False)
+        got = {}
+        for nd, v in zip(node, bcv):
+            got[int(nd)] = got.get(int(nd), 0.0) + v
+        adj = {}
+        ea, eb = (np.concatenate([a, b]), np.concatenate([b, a])) \
+            if not directed else (a, b)
+        for x, y in zip(ea, eb):
+            adj.setdefault(int(x), set()).add(int(y))
+        nodes = sorted(set(a) | set(b))
+        want = scalar_brandes(adj, nodes, directed)
+        for v in nodes:
+            assert abs(got.get(v, 0.0) - want[v]) < 1e-9, (directed, v)
+
+    # 3-node path, undirected: middle carries exactly the one pair
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1], pa.int64()),
+        "dst": pa.array([1, 2], pa.int64())}))
+    out = collect_table(betweenness_centrality(edges, directed=False))
+    got = {r["node"]: r["bc"] for r in out.to_pylist()}
+    assert abs(got[1] - 1.0) < 1e-12
+    assert abs(got.get(0, 0.0)) < 1e-12

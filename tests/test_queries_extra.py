@@ -646,3 +646,49 @@ def test_time_to_convert_exchange_path(ray_session, monkeypatch):
     assert got[25] == (rep[0], rep[3])
     assert got[50] == (rep[1], rep[3])
     assert got[75] == (rep[2], rep[3])
+
+
+def test_kruskal_wallis_scalar_replay(ray_session):
+    """events_kruskal_wallis vs a scipy-free scalar midrank replay,
+    including the H statistic a consumer would derive."""
+    import duckdb
+
+    from geobuf_ray.pipelines import queries as q
+
+    out = {r["event_type"]: r for r in
+           q.events_kruskal_wallis(SF).to_pylist()}
+
+    con = duckdb.connect()
+    df = con.execute(f"""
+        SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+        FROM '{SF}/events.parquet' WHERE value IS NOT NULL
+    """).fetchdf()
+    import numpy as np
+    v = df["v"].to_numpy()
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v))
+    sv = v[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0   # midrank
+        i = j
+    tie = 0
+    for t in np.unique(v, return_counts=True)[1]:
+        tie += int(t) ** 3 - int(t)
+    for et in df["event_type"].unique():
+        sel = df["event_type"].to_numpy() == et
+        n = int(sel.sum())
+        rs2 = int(round(2 * ranks[sel].sum()))
+        assert out[et]["n"] == n, et
+        assert out[et]["ranksum2"] == rs2, et
+        assert out[et]["tie_term"] == tie, et
+    # consumer-side H: exact ingredients give the textbook statistic
+    N = sum(r["n"] for r in out.values())
+    h = (12.0 / (N * (N + 1))
+         * sum((r["ranksum2"] / 2.0) ** 2 / r["n"]
+               for r in out.values()) - 3 * (N + 1))
+    corr = 1.0 - next(iter(out.values()))["tie_term"] / (N**3 - N)
+    assert corr > 0 and np.isfinite(h / corr)
