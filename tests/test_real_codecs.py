@@ -63,6 +63,10 @@ def test_stub_raises_cleanly_without_deps():
         pass
     from geobuf_ray.io.images import decode_image
 
-    png_sig = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    # jpeg: still the documented stub without PIL
     with pytest.raises(NotImplementedError):
-        decode_image(png_sig)
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    # PNG: real pure-Python codec — a signature with no IHDR is
+    # corrupt input, not a missing decoder
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
