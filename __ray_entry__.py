@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_anomalies": q.events_seasonal_anomalies,
         "events_rank_test": q.events_rank_test,
         "events_kruskal_wallis": q.events_kruskal_wallis,
+        "events_value_entropy": q.events_value_entropy,
+        "orders_compaction_plan": q.orders_compaction_plan,
+        "events_rate_limiter": q.events_rate_limiter,
         "suppliers_betweenness": q.suppliers_betweenness,
         "lineitem_gini_by_flag": q.lineitem_gini_by_flag,
         "lineitem_benford": q.lineitem_benford,
@@ -1026,6 +1029,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(2 * rk + tc - 1) AS BIGINT) AS ranksum2,
                    tie.tie_term
             FROM r, tie GROUP BY event_type, tie.tie_term
+        """,
+        "events_value_entropy": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            g AS (SELECT event_type, v, COUNT(*) AS c FROM c
+                  GROUP BY 1, 2)
+            SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+                   COUNT(*) AS n_distinct,
+                   round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6)
+                       AS entropy_nats
+            FROM g GROUP BY event_type
+        """,
+        "orders_compaction_plan": """
+            WITH RECURSIVE fs AS (
+              SELECT CAST(datediff('day', DATE '1970-01-01',
+                                   o_orderdate) AS BIGINT) AS file_day,
+                     CAST((year(o_orderdate) - 1970) * 12
+                          + month(o_orderdate) - 1 AS VARCHAR)
+                         AS epoch_month,
+                     CAST(COUNT(*) * 128 AS BIGINT) AS bytes
+              FROM orders GROUP BY 1, 2
+            ),
+            d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY epoch_month
+                                ORDER BY file_day) AS rn FROM fs),
+            walk(epoch_month, rn, file_day, bytes, bin_id, fill) AS (
+              SELECT epoch_month, rn, file_day, bytes,
+                     CAST(0 AS BIGINT), bytes
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.epoch_month, d.rn, d.file_day, d.bytes,
+                     CASE WHEN w.fill + d.bytes > 32768
+                          THEN w.bin_id + 1 ELSE w.bin_id END,
+                     CASE WHEN w.fill + d.bytes > 32768
+                          THEN d.bytes ELSE w.fill + d.bytes END
+              FROM walk w JOIN d ON d.epoch_month = w.epoch_month
+                                AND d.rn = w.rn + 1
+            )
+            SELECT file_day, epoch_month, bin_id,
+                   CAST(SUM(bytes) OVER (PARTITION BY epoch_month,
+                                         bin_id) AS BIGINT) AS bin_fill
+            FROM walk
+        """,
+        "events_rate_limiter": """
+            WITH RECURSIVE e AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events),
+            walk(user_id, rn, t, tok, adm) AS (
+              SELECT user_id, rn, t,
+                     CAST(240000000 AS BIGINT), CAST(1 AS BIGINT)
+              FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.rn, e.t,
+                     CASE WHEN LEAST(300000000, w.tok + (e.t - w.t))
+                               >= 60000000
+                          THEN LEAST(300000000, w.tok + (e.t - w.t))
+                               - 60000000
+                          ELSE LEAST(300000000, w.tok + (e.t - w.t))
+                     END,
+                     CASE WHEN LEAST(300000000, w.tok + (e.t - w.t))
+                               >= 60000000
+                          THEN 1 ELSE 0 END
+              FROM walk w JOIN e ON e.user_id = w.user_id
+                                AND e.rn = w.rn + 1
+            )
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(adm) AS BIGINT) AS n_admitted
+            FROM walk GROUP BY user_id
         """,
         "events_transitions": """
             WITH seq AS (

@@ -10059,6 +10059,208 @@ def events_kruskal_wallis(sf_dir: str):
     return out.take(pa.array(o))
 
 
+def orders_compaction_plan(sf_dir: str, row_bytes: int = 128,
+                           target: int = 32768):
+    """Small-file compaction planning — the lakehouse maintenance step
+    that bins a month's daily files into target-sized rewrite groups
+    (next-fit in day order, the layout-preserving policy: compacted
+    files stay date-clustered so zone maps survive).  The simulated
+    manifest derives from orders: one file per order date sized
+    ``n_orders x row_bytes``; the planner is the SAME next-fit kernel
+    as document packing (functions/pack.pack_greedy — one machinery,
+    two domains).  The manifest aggregate is distributed (per-date
+    count partials); the plan itself runs on the bounded file table.
+    Hash-checked vs the recursive next-fit CTE twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.pack import pack_greedy
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        days = d.astype("datetime64[D]").astype(np.int64)
+        uniq, inv = np.unique(days, return_inverse=True)
+        return pa.table({
+            "file_day": pa.array(uniq),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64))})
+
+    parts = collect_table(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderdate"])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    fd = parts["file_day"].to_numpy(zero_copy_only=False)
+    c = parts["cnt"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(fd, return_inverse=True)
+    nn = np.bincount(inv, weights=c).astype(np.int64)
+    months = (uniq.astype("datetime64[D]").astype("datetime64[M]")
+              .astype(np.int64))
+    files = pa.table({
+        "file_day": pa.array(uniq),
+        "epoch_month": pa.array([str(m) for m in months],
+                                pa.string()),
+        "bytes": pa.array(nn * row_bytes)})
+    out = collect_table(pack_greedy(
+        ray.data.from_arrow(files).repartition(4),
+        id_col="file_day", len_col="bytes", group_col="epoch_month",
+        budget=target, nbuckets=8))
+    o = np.lexsort((out["file_day"].to_numpy(zero_copy_only=False),))
+    return out.take(pa.array(o))
+
+
+def events_rate_limiter(sf_dir: str, capacity: int = 5,
+                        refill_s: int = 60):
+    """Token-bucket admission control replayed over the event log —
+    the rate-limiter audit an abuse/quota system runs offline: per
+    user a bucket of ``capacity`` tokens refilling one per
+    ``refill_s`` seconds (continuous accrual), each event consumes a
+    token when available and is REJECTED otherwise.  All state is
+    exact integer microseconds (tokens x refill-period), so engine
+    and SQL agree bit-for-bit.
+
+    Shape: one user-hash exchange; the bucket kernel replays every
+    user's sequence STEP-VECTORIZED (sort by (user, ts, event_id),
+    then iterate event-position k with one vectorized update across
+    all users that long — the recurrence's min-clamp kills prefix
+    scans, but the loop is over max-events-per-user, not rows) and
+    collapses to (user_id, n_events, n_admitted).  Hash-checked vs a
+    per-user recursive-CTE walk."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    cap_us = capacity * refill_s * 1_000_000
+    cost_us = refill_s * 1_000_000
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("n_admitted", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        u = tbl["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = tbl["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        uu, starts = np.unique(u, return_index=True)
+        ends = np.append(starts[1:], len(u))
+        lens = ends - starts
+        tok = np.full(len(uu), cap_us, np.int64)
+        adm = np.zeros(len(uu), np.int64)
+        prev_t = np.zeros(len(uu), np.int64)
+        maxlen = int(lens.max()) if len(lens) else 0
+        for k in range(maxlen):
+            live = lens > k
+            idx = starts[live] + k
+            t_k = ts[idx]
+            if k > 0:
+                dt = t_k - prev_t[live]
+                tok[live] = np.minimum(cap_us, tok[live] + dt)
+            ok = tok[live] >= cost_us
+            tok[live] -= np.where(ok, cost_us, 0)
+            adm[live] += ok
+            prev_t[live] = t_k
+        return pa.table({"user_id": pa.array(uu),
+                         "n_events": pa.array(lens),
+                         "n_admitted": pa.array(adm)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"])
+    out = collect_table(hash_exchange(
+        ds, nbuckets=32, on="user_id", reduce_fn=kernel,
+        schema=out_schema))
+    o = np.argsort(out["user_id"].to_numpy(zero_copy_only=False))
+    return out.take(pa.array(o))
+
+
+def events_value_entropy(sf_dir: str):
+    """Shannon entropy of each event type's value distribution (nats,
+    rounded to 6 decimals) — the drift/diversity gauge a data-quality
+    monitor tracks per stream.  H = ln(n) - (1/n) Σ c·ln(c) over the
+    value-cents histogram: blocks collapse to (type, value, cnt)
+    partials (the compressed-distribution exchange — the kernel sees
+    DISTINCT values with multiplicities, never rows), the per-type
+    fold is one bincount + one vectorized c·ln(c) dot.  Rounding to 6
+    decimals absorbs float-sum-order drift (~1e-13 per term);
+    hash-checked vs a GROUP BY ln twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("v", pa.int64()), ("cnt", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["value"]))
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        v = np.round(t["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(v) and (v.min() < 0 or v.max() >= (1 << 32)):
+            raise ValueError("value cents outside the packing domain")
+        packed = (codes << 32) | v
+        uniq, inv = np.unique(packed, return_inverse=True)
+        names = np.asarray(et.dictionary)[
+            (uniq >> 32).astype(np.int64)]
+        return pa.table({
+            "event_type": pa.array(names),
+            "v": pa.array(uniq & 0xFFFFFFFF),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64))})
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n", pa.int64()),
+                            ("n_distinct", pa.int64()),
+                            ("entropy_nats", pa.float64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        et = np.asarray(tbl["event_type"].to_pylist(), object)
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        c = tbl["cnt"].to_numpy(zero_copy_only=False)
+        # merge duplicate (type, value) partials across blocks
+        ut, tinv = np.unique(et, return_inverse=True)
+        packed = (tinv << 32) | v
+        uq, qinv = np.unique(packed, return_inverse=True)
+        cc = np.bincount(qinv, weights=c).astype(np.int64)
+        g = (uq >> 32).astype(np.int64)
+        n_g = np.bincount(g, weights=cc, minlength=len(ut)) \
+            .astype(np.int64)
+        clnc = np.bincount(g, weights=cc * np.log(cc),
+                           minlength=len(ut))
+        nd = np.bincount(g, minlength=len(ut)).astype(np.int64)
+        h = np.log(n_g) - clnc / n_g
+        return pa.table({
+            "event_type": pa.array(list(ut), pa.string()),
+            "n": pa.array(n_g),
+            "n_distinct": pa.array(nd),
+            "entropy_nats": pa.array(np.round(h, 6))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def one_bucket(tbl: pa.Table):
+        return np.zeros(tbl.num_rows, np.int64), tbl
+
+    out = collect_table(hash_exchange(
+        ds, nbuckets=1, bucket_fn=one_bucket, reduce_fn=kernel,
+        schema=out_schema))
+    o = np.argsort(out["event_type"].to_numpy(zero_copy_only=False))
+    return out.take(pa.array(o))
+
+
 def events_rank_test(sf_dir: str):
     """Exact Mann-Whitney rank test per event type (even vs odd
     user_id populations) — the A/B distribution-comparison gate, all

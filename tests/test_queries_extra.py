@@ -692,3 +692,96 @@ def test_kruskal_wallis_scalar_replay(ray_session):
                for r in out.values()) - 3 * (N + 1))
     corr = 1.0 - next(iter(out.values()))["tie_term"] / (N**3 - N)
     assert corr > 0 and np.isfinite(h / corr)
+
+
+def test_rate_limiter_burst_and_refill(ray_session, tmp_path):
+    """Token-bucket recurrence pinned on crafted sequences: a burst of
+    capacity+3 instant events admits exactly `capacity`; after a full
+    refill window the bucket readmits; a slow uniform stream admits
+    everything.  Runs the real query against a synthetic events
+    parquet + a scalar replay of the corpus."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    cap, refill = 5, 60
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    eid = 0
+    # user 1: burst of 8 at t0 -> 5 admitted; then one event per
+    # refill window -> each admitted
+    for i in range(8):
+        rows.append((1, base, eid)); eid += 1
+    for i in range(1, 4):
+        rows.append((1, base + np.timedelta64(i * refill * 1_000_000,
+                                              "us"), eid)); eid += 1
+    # user 2: slow stream, one event every 2 windows -> all admitted
+    for i in range(6):
+        rows.append((2, base + np.timedelta64(
+            i * 2 * refill * 1_000_000, "us"), eid)); eid += 1
+    # user 3: sub-window spacing after the burst empties the bucket
+    for i in range(12):
+        rows.append((3, base + np.timedelta64(
+            i * (refill // 2) * 1_000_000, "us"), eid)); eid += 1
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    out = {r["user_id"]: r for r in
+           q.events_rate_limiter(str(d)).to_pylist()}
+
+    def replay(ts_list):
+        cap_us, cost = cap * refill * 1_000_000, refill * 1_000_000
+        tok, adm, prev = cap_us, 0, None
+        for t in ts_list:
+            if prev is not None:
+                tok = min(cap_us, tok + (t - prev))
+            if tok >= cost:
+                tok -= cost
+                adm += 1
+            prev = t
+        return adm
+
+    by_user = {}
+    for uid, t, _ in rows:
+        by_user.setdefault(uid, []).append(
+            t.astype("datetime64[us]").astype(np.int64))
+    for uid, ts_list in by_user.items():
+        assert out[uid]["n_events"] == len(ts_list)
+        assert out[uid]["n_admitted"] == replay(sorted(ts_list)), uid
+    # structural pins
+    assert out[1]["n_admitted"] == cap + 3      # burst caps at 5
+    assert out[2]["n_admitted"] == 6            # slow stream: all
+    # user 3: 30s spacing = half a refill -> every OTHER event after
+    # the first 5 drains
+    assert out[3]["n_admitted"] == replay(sorted(by_user[3]))
+
+
+def test_value_entropy_uniform_and_constant(ray_session, tmp_path):
+    """Entropy pins: a uniform k-value distribution reads ln(k); a
+    constant column reads 0."""
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import queries as q
+
+    vals = ([float(i) for i in range(8)] * 10        # uniform 8
+            + [3.0] * 40)                            # constant
+    types = ["uni"] * 80 + ["const"] * 40
+    tbl = pa.table({
+        "event_type": pa.array(types),
+        "value": pa.array(vals)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    out = {r["event_type"]: r for r in
+           q.events_value_entropy(str(d)).to_pylist()}
+    assert out["const"]["entropy_nats"] == 0.0
+    assert out["const"]["n_distinct"] == 1
+    assert abs(out["uni"]["entropy_nats"] - round(np.log(8), 6)) < 1e-9
+    assert out["uni"]["n_distinct"] == 8
