@@ -1082,3 +1082,31 @@ def test_read_image_table_lance():
         ds = im.read_image_table(path)
         assert ds.count() == 8
         assert set(ds.schema().names) >= {"image_id", "bytes", "fmt"}
+
+
+def test_png_roundtrip_property():
+    """Hypothesis sweep: encode_png -> decode_png is pixel-exact for
+    arbitrary shapes and contents (incl. 1-pixel edges and flat
+    fills)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geobuf_ray.io.png import decode_png, encode_png
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.integers(0, 2**32 - 1),
+           st.sampled_from(["random", "flat", "gradient"]))
+    def check(h, w, seed, kind):
+        rng = np.random.default_rng(seed)
+        if kind == "random":
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif kind == "flat":
+            px = np.full((h, w, 3), int(seed % 256), np.uint8)
+        else:
+            px = (np.arange(h * w * 3, dtype=np.int64)
+                  .reshape(h, w, 3) % 256).astype(np.uint8)
+        out = decode_png(encode_png(px))
+        assert out.shape == px.shape and (out == px).all()
+
+    check()

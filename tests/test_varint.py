@@ -161,3 +161,33 @@ def test_dequantize_requantizes_exactly():
     # the historical drifter
     q = np.array([3276049, -3276049], np.int64)
     assert (quantize(dequantize(q)) == q).all()
+
+
+def test_decode_stream_split_big_property():
+    """split_big returns the identical logical values as the plain
+    u64 decode on randomized streams mixing small deltas with >= 2^28
+    ring-start-sized values (hypothesis sweep)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(
+        st.one_of(st.integers(0, 2**20),
+                  st.integers(2**28, 2**40),
+                  st.integers(0, 2**64 - 1)),
+        min_size=1, max_size=300))
+    def check(vals):
+        buf = np.frombuffer(
+            b"".join(oracle_varint(v) for v in vals), np.uint8)
+        want, woffs = vi.varint_decode_stream(buf)
+        got, goffs, bi, bv = vi.varint_decode_stream(
+            buf, prefer32=True, split_big=True)
+        assert (goffs == woffs).all()
+        merged = got.astype(np.uint64)
+        if len(bi):
+            merged[bi] = bv
+        assert (merged == want.astype(np.uint64)).all()
+        # the u32 bulk never claims a big lane's full value
+        assert got.dtype == np.uint32
+
+    check()
