@@ -30,6 +30,14 @@ from ..codec.schema import list_column_parts
 from ..spatial import tiles
 from ..spatial.geometry import feature_bbox
 
+# one row per written tile file (_WriteGeobufFn's output layout)
+_MANIFEST_SCHEMA = pa.schema([
+    ("path", pa.string()), ("key", pa.string()),
+    ("num_features", pa.int64()), ("size_bytes", pa.int64()),
+    ("west", pa.float64()), ("south", pa.float64()),
+    ("east", pa.float64()), ("north", pa.float64()),
+    ("write_seconds", pa.float64())])
+
 
 def assign_tiles_batch(
     batch: pa.Table,
@@ -154,17 +162,22 @@ def split_combine(
             batch_format="pyarrow", zero_copy_batch=True)
     else:
         tiled = assign_tiles(ds, zoom, bounds, salt_bits, **(map_kwargs or {}))
-    # one map_groups call per tile -> one stream file + one manifest row
+    # one group call per tile -> one stream file + one manifest row
     write_fn = _WriteGeobufFn(out_dir, write_bbox, key_column="tile_str")
 
     def write_tile_group(group: pa.Table) -> pa.Table:
         return write_fn(group)
 
-    # shuffle on the (salted) packed key; tile_str names the output file,
-    # so a salted hot tile yields several prefix-addressable files
-    manifest_ds = tiled.groupby(["tile_key", "tile_salt"]).map_groups(
-        write_tile_group, batch_format="pyarrow"
-    )
+    # shuffle on the (salted) packed key via the raw-task HASH exchange
+    # (grouped_exchange) instead of Ray's sort-based groupby — same
+    # groups, no distributed range sort; tile_str names the output
+    # file, so a salted hot tile yields several prefix-addressable
+    # files
+    from ..functions.exchange import grouped_exchange
+
+    manifest_ds = grouped_exchange(
+        tiled, ["tile_key", "tile_salt"], write_tile_group,
+        nbuckets=64, schema=_MANIFEST_SCHEMA)
     manifest = pa.Table.from_pylist(manifest_ds.take_all())  # one row per tile
     pq.write_table(manifest, os.path.join(out_dir, "_manifest.parquet"))
     if combine_path is not None:
@@ -493,8 +506,11 @@ def split_combine_keys(
     def write_key_group(group: pa.Table) -> pa.Table:
         return write_fn(group)
 
-    manifest_ds = keyed.groupby("split_key").map_groups(
-        write_key_group, batch_format="pyarrow")
+    from ..functions.exchange import grouped_exchange
+
+    manifest_ds = grouped_exchange(keyed, "split_key", write_key_group,
+                                   nbuckets=64,
+                                   schema=_MANIFEST_SCHEMA)
     manifest = pa.Table.from_pylist(manifest_ds.take_all())
     pq.write_table(manifest, os.path.join(out_dir, "_manifest.parquet"))
     if combine_path is not None:

@@ -205,8 +205,12 @@ def checkpointed_split_combine(
         write_manifest_row(out_dir, key, row)
         return pa.table({"key": pa.array([key], pa.string())})
 
-    # the shuffle: one group per (salted) tile key, committed independently
-    todo.groupby(["tile_key", "tile_salt"]).map_groups(
-        write_tile, batch_format="pyarrow"
-    ).materialize()
+    # the shuffle: one group per (salted) tile key, committed
+    # independently — routed through the raw-task hash exchange
+    # (grouped_exchange), not Ray's sort-based groupby
+    from ..functions.exchange import grouped_exchange
+
+    grouped_exchange(
+        todo, ["tile_key", "tile_salt"], write_tile, nbuckets=64,
+        schema=pa.schema([("key", pa.string())])).materialize()
     return load_manifest(out_dir)
