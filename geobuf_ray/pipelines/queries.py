@@ -571,21 +571,28 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30,
                 np.bincount(sid, weights=cents, minlength=nsess).astype(np.int64)),
         })
 
-    if bucket_users:
-        def bucket(batch: pa.Table) -> pa.Table:
-            uid = batch["user_id"].to_numpy().astype(np.int64)
-            return batch.append_column(
-                "ubucket",
-                pa.array((uid % bucket_users).astype(np.int32)))
+    # the kernel is vectorized ACROSS users (uid is the lexsort's
+    # major key), so it consumes a whole hash bucket of users in one
+    # call — route through the hash exchange: no distributed range
+    # sort (Ray's groupby) and no per-user Python group calls.
+    # ``bucket_users`` is retained for signature compatibility; both
+    # modes now take the same exchange path (the bucket count already
+    # bounds group calls).
+    from ..functions.exchange import hash_exchange
 
-        stamped = ds.map_batches(bucket, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-        out = stamped.groupby("ubucket").map_groups(
-            sessionize_bucket, batch_format="pyarrow")
-        return out.select_columns(
-            ["user_id", "session_start_us", "n_events", "value_cents"])
-    return ds.groupby("user_id").map_groups(sessionize_bucket,
-                                            batch_format="pyarrow")
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("session_start_us", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("value_cents", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        return sessionize_bucket(tbl)
+
+    nb = min(int(bucket_users), 64) if bucket_users else 32
+    return hash_exchange(ds, nbuckets=nb, on="user_id",
+                         reduce_fn=kernel, schema=out_schema)
 
 
 def events_props_extract(sf_dir: str):
