@@ -25,6 +25,31 @@ _SLAT = "(((s_suppkey * 104729) % 17000) / 100.0 - 85.0)"
 
 # slippy tile indices at zoom z for lon/lat expressions (OSM formula,
 # lat within +-85 in this derivation so no clamp needed)
+def _mix_ctes(prefix: str, src: str, salt: int) -> str:
+    """CTE chain replicating functions/dedup._mix (xorshift-multiply,
+    64-bit via 32-bit split multiplies) applied to column ``ck`` of
+    ``src`` for one salt; result lands in column ``x`` of
+    ``{prefix}f``."""
+    return f"""
+            {prefix}0 AS (SELECT *, xor(ck, {salt}) AS x FROM {src}),
+            {prefix}1 AS (SELECT * EXCLUDE (x),
+                 xor(x, x // 8589934592) AS x FROM {prefix}0),
+            {prefix}2 AS (SELECT * EXCLUDE (x),
+                 (((x // 4294967296) * 2135587861
+                   + (x % 4294967296) * 2654435769) * 4294967296
+                  + (x % 4294967296) * 2135587861)
+                 % 18446744073709551616 AS x FROM {prefix}1),
+            {prefix}3 AS (SELECT * EXCLUDE (x),
+                 xor(x, x // 536870912) AS x FROM {prefix}2),
+            {prefix}4 AS (SELECT * EXCLUDE (x),
+                 (((x // 4294967296) * 668265295
+                   + (x % 4294967296) * 3266489917) * 4294967296
+                  + (x % 4294967296) * 668265295)
+                 % 18446744073709551616 AS x FROM {prefix}3),
+            {prefix}f AS (SELECT * EXCLUDE (x),
+                 xor(x, x // 4294967296) AS x FROM {prefix}4)"""
+
+
 def _tile_x(lon: str, z: int) -> str:
     n = 1 << z
     return f"LEAST(GREATEST(CAST(floor(({lon} + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
@@ -268,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_quarantine_decode": q.images_quarantine_decode,
         "orders_join_size_estimate": q.orders_join_size_estimate,
         "customers_k_anonymity": q.customers_k_anonymity,
+        "customers_dp_histogram": q.customers_dp_histogram,
         "orders_reconciliation": q.orders_reconciliation,
         "nations_viterbi_match": q.nations_viterbi_match,
         "customers_survival": q.customers_survival,
@@ -1099,6 +1125,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_events,
                    CAST(SUM(adm) AS BIGINT) AS n_admitted
             FROM walk GROUP BY user_id
+        """,
+        "customers_dp_histogram": f"""
+            WITH RECURSIVE cells AS (
+              SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+                     COUNT(*) AS n_true
+              FROM customer GROUP BY 1, 2
+            ),
+            segs AS (SELECT DISTINCT segment,
+                            upper(hex(encode(segment))) AS hx,
+                            octet_length(encode(segment)) AS nb
+                     FROM cells),
+            fnv AS (
+              SELECT segment, hx, nb, 0 AS j,
+                     CAST(14695981039346656037 AS HUGEINT) AS h
+              FROM segs
+              UNION ALL
+              SELECT segment, hx, nb, j + 1,
+                  (xor(h, CAST(
+                      strpos('123456789ABCDEF', substr(hx, 2*j + 1, 1)) * 16 +
+                      strpos('123456789ABCDEF', substr(hx, 2*j + 2, 1)) AS HUGEINT))
+                   * 1099511628211) % 18446744073709551616
+              FROM fnv WHERE j < nb
+            ),
+            fp AS (SELECT segment, h AS segfp FROM fnv WHERE j = nb),
+            cell AS (SELECT c.nationkey, c.segment, c.n_true,
+                       xor((CAST(c.nationkey AS HUGEINT) * 31)
+                           % 18446744073709551616, fp.segfp) AS ck
+                     FROM cells c JOIN fp USING (segment)),
+            {_mix_ctes('ma', 'cell', 7000022)},
+            g1 AS (SELECT nationkey, segment, n_true, ck,
+                          CAST(floor(ln(CAST(x // 2048 + 1 AS DOUBLE) * 1.1102230246251565e-16) / -1.0) AS BIGINT) AS ga
+                   FROM maf),
+            {_mix_ctes('mb', 'g1', 7000023)},
+            g2 AS (SELECT nationkey, segment, n_true, ga,
+                          CAST(floor(ln(CAST(x // 2048 + 1 AS DOUBLE) * 1.1102230246251565e-16) / -1.0) AS BIGINT) AS gb
+                   FROM mbf)
+            SELECT CAST(nationkey AS BIGINT) AS nationkey, segment,
+                   CAST(n_true AS BIGINT) AS n_true,
+                   CAST(ga - gb AS BIGINT) AS noise,
+                   CAST(n_true + ga - gb AS BIGINT) AS n_noisy
+            FROM g2
         """,
         "events_transitions": """
             WITH seq AS (

@@ -12476,6 +12476,78 @@ def orders_join_size_estimate(sf_dir: str, width: int = 4096,
         "join_est": pa.array([est], pa.int64())})
 
 
+def customers_dp_histogram(sf_dir: str, eps_num: int = 1,
+                           eps_den: int = 1, seed: int = 7):
+    """Differentially-private histogram release — the privacy
+    family's publishing step beside k-anonymity / l-diversity: per
+    (nation, market segment) cell the TRUE count plus discrete
+    (two-sided geometric / discrete Laplace) noise, DETERMINISTIC via
+    a seeded hash of the cell key so the release is reproducible and
+    auditable (the fixed-seed regime a privacy team uses for
+    regression-testing a release pipeline — a production release
+    would draw fresh randomness).
+
+    Noise: G1 - G2 with Gi = floor(ln(u_i) / ln(alpha)),
+    alpha = exp(-eps), u_i the (0,1] uniform from the cell hash's
+    upper 53 bits — the standard discrete-Laplace construction, both
+    sides computed from the SAME doubles so the SQL twin is
+    hash-exact.  Counts are a plain distributed aggregate; the noise
+    step is metadata-scale (one row per cell).  Hash-checked vs a
+    HUGEINT split-multiply mix + ln twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.dedup import _mix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        seg = b["c_mktsegment"].combine_chunks().dictionary_encode()
+        sc = seg.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = nk * 1024 + sc
+        uniq, inv = np.unique(packed, return_inverse=True)
+        names = np.asarray(seg.dictionary)[(uniq % 1024)]
+        return pa.table({
+            "nationkey": pa.array(uniq // 1024),
+            "segment": pa.array(names),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64))})
+
+    parts = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    df = parts.to_pandas().groupby(
+        ["nationkey", "segment"], as_index=False)["cnt"].sum()
+    nk = df["nationkey"].to_numpy().astype(np.int64)
+    # cell key: nation * 31 + segment fingerprint — stable across
+    # engines via the same fingerprint64 both sides use
+    from ..functions.text import fingerprint64
+
+    segf = fingerprint64(pa.array(df["segment"], pa.string())) \
+        .view(np.int64)
+    cell = (nk.view(np.uint64) * np.uint64(31)) ^ segf.view(np.uint64)
+    # ln(alpha) = ln(exp(-eps)) = -eps EXACTLY — using the closed form
+    # (not log(exp(...))) keeps engine and SQL on the same double
+    la = -(eps_num / eps_den)
+
+    def draw(salt: int) -> np.ndarray:
+        h = _mix(cell, seed * 1_000_003 + salt)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0**-53
+        return np.floor(np.log(u) / la).astype(np.int64)
+
+    noise = draw(1) - draw(2)
+    n_noisy = df["cnt"].to_numpy().astype(np.int64) + noise
+    out = pa.table({
+        "nationkey": pa.array(nk),
+        "segment": pa.array(df["segment"], pa.string()),
+        "n_true": pa.array(df["cnt"].to_numpy().astype(np.int64)),
+        "noise": pa.array(noise),
+        "n_noisy": pa.array(n_noisy)})
+    o = np.lexsort((np.asarray(df["segment"], object), nk))
+    return out.take(pa.array(o))
+
+
 def customers_k_anonymity(sf_dir: str, k: int = 5):
     """k-anonymity audit (the data-governance gate before a quasi-
     identifier release): every (nation, segment, balance-band)

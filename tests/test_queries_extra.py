@@ -785,3 +785,36 @@ def test_value_entropy_uniform_and_constant(ray_session, tmp_path):
     assert out["const"]["n_distinct"] == 1
     assert abs(out["uni"]["entropy_nats"] - round(np.log(8), 6)) < 1e-9
     assert out["uni"]["n_distinct"] == 8
+
+
+def test_dp_histogram_noise_properties(ray_session):
+    """DP release: noise is a deterministic seeded discrete Laplace —
+    a scalar replay of the draw reproduces it exactly, a different
+    seed redraws, and n_noisy = n_true + noise always."""
+    from geobuf_ray.functions.dedup import _mix
+    from geobuf_ray.functions.text import fingerprint64
+    from geobuf_ray.pipelines import queries as q
+
+    out = q.customers_dp_histogram(SF)
+    d = out.to_pylist()
+    assert all(r["n_noisy"] == r["n_true"] + r["noise"] for r in d)
+
+    # scalar replay of the two-sided geometric draw per cell
+    nk = np.array([r["nationkey"] for r in d], np.int64)
+    segf = fingerprint64(
+        pa.array([r["segment"] for r in d], pa.string()))
+    cell = (nk.view(np.uint64) * np.uint64(31)) ^ segf
+    for i, r in enumerate(d):
+        def g(salt):
+            h = _mix(cell[i:i+1], 7 * 1_000_003 + salt)
+            u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) \
+                * 2.0**-53
+            return int(np.floor(np.log(u) / -1.0)[0])
+        assert r["noise"] == g(1) - g(2), r
+
+    out2 = q.customers_dp_histogram(SF, seed=8)
+    d2 = {(r["nationkey"], r["segment"]): r["noise"]
+          for r in out2.to_pylist()}
+    diffs = sum(d2[(r["nationkey"], r["segment"])] != r["noise"]
+                for r in d)
+    assert diffs > len(d) // 4, "seed change must redraw noise"
