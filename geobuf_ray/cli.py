@@ -105,10 +105,17 @@ def cmd_bench(args) -> int:
 def cmd_tile(args) -> int:
     _ray()
     from .io.geobuf_file import read_geobuf
-    from .pipelines.tiling import split_combine
+    from .pipelines.tiling import split_combine, tile_pyramid
     from .stages.codec_stages import decode as decode_stage
 
     ds = decode_stage(read_geobuf([args.infile]))
+    if getattr(args, "levels", 1) > 1:
+        mans = tile_pyramid(ds, args.outdir, args.zoom,
+                            levels=args.levels)
+        for z in sorted(mans, reverse=True):
+            print(f"z{z}: {mans[z].num_rows} tiles")
+        print(f"pyramid ({args.levels} levels) -> {args.outdir}")
+        return 0
     manifest = split_combine(ds, args.outdir, args.zoom, clip=args.clip,
                              combine_path=args.combine)
     print(f"{manifest.num_rows} tiles -> {args.outdir}"
@@ -223,6 +230,10 @@ def main(argv=None) -> int:
                    help="clip features to tiles (tileclip semantics)")
     s.add_argument("--combine", default=None,
                    help="also write one gob-indexed combined geobuf")
+    s.add_argument("--levels", type=int, default=1,
+                   help=">1: write a multi-level Combine pyramid "
+                        "(zoom down to zoom-levels+1), gob-indexed "
+                        "per level")
     s.set_defaults(fn=cmd_tile)
 
     s = sub.add_parser("job", help="ray-job-submit entrypoint: run one "

@@ -92,3 +92,30 @@ def test_cli_job_entrypoint(ray_session, tmp_path):
     rc = cli.cmd_job(_A(query="nope", sf_dir="/root/testdata/sf0.001",
                         out=str(tmp_path / "x")))
     assert rc == 2
+
+
+def test_cli_tile_pyramid(ray_session, tmp_path):
+    """--levels > 1 writes the multi-level Combine pyramid with a
+    gob-indexed combined file per level."""
+    bufdir = str(tmp_path / "buf")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = cli.cmd_geojson2geobuf(_A(infile=f"{REF}/county.geojson",
+                                       outdir=bufdir))
+    assert rc == 0
+    buf = sorted(os.path.join(bufdir, f) for f in os.listdir(bufdir)
+                 if f.endswith(".geobuf"))[0]
+    pyr = str(tmp_path / "pyr")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = cli.cmd_tile(_A(infile=buf, outdir=pyr, zoom=4,
+                             clip=False, combine=None, levels=3))
+    assert rc == 0
+    assert "pyramid (3 levels)" in out.getvalue()
+    from geobuf_ray.io.geobuf_file import read_metadata
+
+    for z in (4, 3, 2):
+        combined = os.path.join(pyr, f"z{z}", "combined.geobuf")
+        assert os.path.exists(combined), z
+        meta, _ = read_metadata(combined)
+        assert len(meta["Files"]) >= 1
