@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_compaction_plan": q.orders_compaction_plan,
         "events_rate_limiter": q.events_rate_limiter,
         "suppliers_betweenness": q.suppliers_betweenness,
+        "suppliers_max_flow": q.suppliers_max_flow,
         "lineitem_gini_by_flag": q.lineitem_gini_by_flag,
         "lineitem_benford": q.lineitem_benford,
         "events_watermark_hourly": q.events_watermark_hourly,

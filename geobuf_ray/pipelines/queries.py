@@ -15371,6 +15371,34 @@ def suppliers_closeness(sf_dir: str):
     return out.take(pa.array(o))
 
 
+def suppliers_max_flow(sf_dir: str):
+    """Exact max-flow / min-cut (functions/graph.max_flow —
+    Edmonds-Karp with an INDEPENDENT residual-reachability min-cut
+    certificate) over the deterministic layered supplier DAG, edge
+    weights as capacities: how much can the network move from the
+    root to each of four last-layer sinks, and how wide is the choke
+    point.  Pairs solve in parallel tasks against the broadcast
+    capacity matrix.  Rows-only (no practical SQL twin); the in-query
+    assert IS the LP-duality proof (max_flow == min_cut_capacity per
+    pair), and pytest checks the CLRS example + random graphs vs an
+    independent scalar Ford-Fulkerson."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.graph import max_flow
+
+    et = _sssp_dag_edges(sf_dir).rename_columns(["src", "dst", "cap"])
+    sinks = [224, 234, 244, 255]
+    out = collect_table(max_flow(
+        ray.data.from_arrow(et).repartition(4),
+        [(0, t) for t in sinks]))
+    d = out.to_pylist()
+    assert all(r["max_flow"] == r["min_cut_capacity"] for r in d), \
+        "max-flow/min-cut duality violated"
+    o = np.argsort(out["t"].to_numpy(zero_copy_only=False))
+    return out.take(pa.array(o))
+
+
 def suppliers_betweenness(sf_dir: str):
     """Exact Brandes betweenness centrality
     (functions/graph.betweenness_centrality) over the deterministic

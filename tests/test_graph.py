@@ -901,3 +901,76 @@ def test_betweenness_brute_force(ray_session):
     got = {r["node"]: r["bc"] for r in out.to_pylist()}
     assert abs(got[1] - 1.0) < 1e-12
     assert abs(got.get(0, 0.0)) < 1e-12
+
+
+def test_max_flow_known_and_random(ray_session):
+    """max_flow vs the textbook example and an independent scalar
+    Ford-Fulkerson (DFS augmenting) on random capacitated graphs; the
+    in-result min-cut certificate must equal the flow every time."""
+    import ray
+
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions.graph import max_flow
+
+    def run(a, b, c, pairs):
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array(a, pa.int64()),
+            "dst": pa.array(b, pa.int64()),
+            "cap": pa.array(c, pa.int64())}))
+        out = collect_table(max_flow(edges, pairs))
+        return {(r["s"], r["t"]): r for r in out.to_pylist()}
+
+    # CLRS-style classic: max flow 0->5 is 23
+    a = [0, 0, 1, 1, 2, 2, 3, 4, 4, 3]
+    b = [1, 2, 2, 3, 1, 4, 2, 3, 5, 5]
+    c = [16, 13, 10, 12, 4, 14, 9, 7, 4, 20]
+    got = run(a, b, c, [(0, 5)])
+    r = got[(0, 5)]
+    assert r["max_flow"] == 23
+    assert r["min_cut_capacity"] == 23
+
+    def scalar_maxflow(n, cap, s, t):
+        R = [row[:] for row in cap]
+
+        def dfs():
+            seen = [False] * n
+            stack = [(s, [])]
+            seen[s] = True
+            while stack:
+                u, path = stack.pop()
+                if u == t:
+                    return path
+                for v in range(n):
+                    if not seen[v] and R[u][v] > 0:
+                        seen[v] = True
+                        stack.append((v, path + [(u, v)]))
+            return None
+
+        total = 0
+        while True:
+            p = dfs()
+            if p is None:
+                return total
+            bott = min(R[u][v] for u, v in p)
+            for u, v in p:
+                R[u][v] -= bott
+                R[v][u] += bott
+            total += bott
+
+    rng = np.random.RandomState(3)
+    for trial in range(4):
+        n = 12
+        m = 40
+        a = rng.randint(0, n, m)
+        b = rng.randint(0, n, m)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        c = rng.randint(1, 20, len(a))
+        cap = [[0] * n for _ in range(n)]
+        for x, y, w in zip(a, b, c):
+            cap[int(x)][int(y)] += int(w)
+        got = run(a, b, c, [(0, n - 1), (1, n - 2)])
+        for (s, t), r in got.items():
+            want = scalar_maxflow(n, cap, s, t)
+            assert r["max_flow"] == want, (trial, s, t)
+            assert r["min_cut_capacity"] == want, (trial, s, t)
