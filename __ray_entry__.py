@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rate_limiter": q.events_rate_limiter,
         "suppliers_betweenness": q.suppliers_betweenness,
         "suppliers_max_flow": q.suppliers_max_flow,
+        "suppliers_customer_matching": q.suppliers_customer_matching,
         "lineitem_gini_by_flag": q.lineitem_gini_by_flag,
         "lineitem_benford": q.lineitem_benford,
         "events_watermark_hourly": q.events_watermark_hourly,

@@ -15399,6 +15399,57 @@ def suppliers_max_flow(sf_dir: str):
     return out.take(pa.array(o))
 
 
+def suppliers_customer_matching(sf_dir: str):
+    """Maximum bipartite matching — the assignment question (how many
+    customers can be served, one supplier each?) solved as UNIT-CAP
+    max-flow (functions/graph.max_flow) over super-source -> suppliers
+    -> preference edges -> customers -> super-sink; by König's theorem
+    the flow's min cut IS the minimum vertex cover, so the duality
+    certificate (matching == cut) rides along for free.  Preference
+    edges are deterministic (supplier s serves customers with
+    c % 100 in {s%100, (s*3)%100, (s*7)%100}).  Rows-only; pytest
+    verifies vs an independent scalar augmenting-path matcher."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.graph import max_flow
+
+    skeys = _supplier_keys(sf_dir)[:100]
+    import duckdb
+
+    ck = duckdb.connect().execute(
+        f"SELECT c_custkey FROM '{sf_dir}/customer.parquet' "
+        "ORDER BY c_custkey LIMIT 200").fetchnumpy()["c_custkey"] \
+        .astype(np.int64)
+    # bipartite ids: suppliers as-is; customers offset to avoid clash
+    C_OFF = np.int64(1 << 20)
+    SRC, SNK = np.int64(1 << 21), np.int64((1 << 21) + 1)
+    es, ed = [], []
+    for s in skeys:
+        wants = {int(s) % 100, (int(s) * 3) % 100, (int(s) * 7) % 100}
+        for c in ck:
+            if int(c) % 100 in wants:
+                es.append(int(s)); ed.append(int(c) + C_OFF)
+    a = np.concatenate([np.full(len(skeys), SRC), np.array(es),
+                        ck + C_OFF])
+    b = np.concatenate([skeys, np.array(ed),
+                        np.full(len(ck), SNK)])
+    cap = np.ones(len(a), np.int64)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(a), "dst": pa.array(b),
+        "cap": pa.array(cap)})).repartition(4)
+    out = collect_table(max_flow(edges, [(int(SRC), int(SNK))]))
+    r = out.to_pylist()[0]
+    assert r["max_flow"] == r["min_cut_capacity"], "König duality"
+    return pa.table({
+        "n_suppliers": pa.array([len(skeys)], pa.int64()),
+        "n_customers": pa.array([len(ck)], pa.int64()),
+        "n_pref_edges": pa.array([len(es)], pa.int64()),
+        "matching_size": pa.array([r["max_flow"]], pa.int64()),
+        "min_vertex_cover": pa.array([r["min_cut_capacity"]],
+                                     pa.int64())})
+
+
 def suppliers_betweenness(sf_dir: str):
     """Exact Brandes betweenness centrality
     (functions/graph.betweenness_centrality) over the deterministic

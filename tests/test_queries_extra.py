@@ -818,3 +818,43 @@ def test_dp_histogram_noise_properties(ray_session):
     diffs = sum(d2[(r["nationkey"], r["segment"])] != r["noise"]
                 for r in d)
     assert diffs > len(d) // 4, "seed change must redraw noise"
+
+
+def test_bipartite_matching_vs_scalar(ray_session):
+    """suppliers_customer_matching vs an independent scalar
+    augmenting-path (Kuhn's) maximum-matching over the same
+    deterministic preference edges."""
+    import duckdb
+
+    from geobuf_ray.pipelines import queries as q
+
+    out = q.suppliers_customer_matching(SF).to_pylist()[0]
+    assert out["matching_size"] == out["min_vertex_cover"]
+
+    sk = duckdb.connect().execute(
+        f"SELECT s_suppkey FROM '{SF}/supplier.parquet' "
+        "ORDER BY s_suppkey").fetchnumpy()["s_suppkey"] \
+        .astype(np.int64)[:100]
+    ck = duckdb.connect().execute(
+        f"SELECT c_custkey FROM '{SF}/customer.parquet' "
+        "ORDER BY c_custkey LIMIT 200").fetchnumpy()["c_custkey"] \
+        .astype(np.int64)
+    adj = {}
+    for s in sk:
+        wants = {int(s) % 100, (int(s) * 3) % 100, (int(s) * 7) % 100}
+        adj[int(s)] = [int(c) for c in ck if int(c) % 100 in wants]
+    match_of = {}
+
+    def try_kuhn(u, seen):
+        for v in adj.get(u, ()):
+            if v in seen:
+                continue
+            seen.add(v)
+            if v not in match_of or try_kuhn(match_of[v], seen):
+                match_of[v] = u
+                return True
+        return False
+
+    size = sum(try_kuhn(int(s), set()) for s in sk)
+    assert out["matching_size"] == size
+    assert out["n_pref_edges"] == sum(len(v) for v in adj.values())
