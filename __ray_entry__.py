@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_size_estimate": q.orders_join_size_estimate,
         "customers_k_anonymity": q.customers_k_anonymity,
         "customers_dp_histogram": q.customers_dp_histogram,
+        "orders_duplicate_payments": q.orders_duplicate_payments,
+        "orders_gaps_islands": q.orders_gaps_islands,
         "orders_reconciliation": q.orders_reconciliation,
         "nations_viterbi_match": q.nations_viterbi_match,
         "customers_survival": q.customers_survival,
@@ -1168,6 +1170,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ga - gb AS BIGINT) AS noise,
                    CAST(n_true + ga - gb AS BIGINT) AS n_noisy
             FROM g2
+        """,
+        "orders_duplicate_payments": """
+            WITH o AS (SELECT o_orderkey, o_custkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                  // 1000000 AS band,
+                              o_orderdate AS d
+                       FROM orders)
+            SELECT LEAST(a.o_orderkey, b.o_orderkey) AS o_orderkey_a,
+                   GREATEST(a.o_orderkey, b.o_orderkey) AS o_orderkey_b,
+                   a.band AS amount_band,
+                   CAST(abs(datediff('day', a.d, b.d)) AS BIGINT)
+                       AS gap_days
+            FROM o a JOIN o b
+              ON a.o_custkey = b.o_custkey AND a.band = b.band
+             AND a.o_orderkey < b.o_orderkey
+             AND abs(datediff('day', a.d, b.d)) <= 30
+        """,
+        "orders_gaps_islands": """
+            WITH d AS (SELECT DISTINCT o_custkey, o_orderdate
+                       FROM orders),
+            r AS (SELECT o_custkey, o_orderdate,
+                         datediff('day', DATE '1970-01-01', o_orderdate)
+                         - ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate) AS grp
+                  FROM d),
+            i AS (SELECT o_custkey, grp, COUNT(*) AS nd,
+                         CAST(datediff('day', MIN(o_orderdate),
+                                       MAX(o_orderdate)) AS BIGINT)
+                             AS span
+                  FROM r GROUP BY 1, 2),
+            g AS (SELECT o_custkey,
+                         datediff('day',
+                             LAG(o_orderdate) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate),
+                             o_orderdate) AS gap
+                  FROM d),
+            wg AS (SELECT o_custkey,
+                          CAST(COALESCE(MAX(CASE WHEN gap > 1
+                                             THEN gap END), 0)
+                               AS BIGINT) AS widest
+                   FROM g GROUP BY 1),
+            best AS (SELECT o_custkey, span, nd,
+                            ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY span DESC, nd DESC) AS rk
+                     FROM i),
+            cnt AS (SELECT o_custkey, COUNT(*) AS n_islands
+                    FROM i GROUP BY 1)
+            SELECT b.o_custkey, cnt.n_islands,
+                   b.span AS longest_span_days,
+                   CAST(b.nd AS BIGINT) AS longest_n_dates,
+                   wg.widest AS widest_gap_days
+            FROM best b
+            JOIN cnt USING (o_custkey)
+            JOIN wg USING (o_custkey)
+            WHERE b.rk = 1
         """,
         "events_transitions": """
             WITH seq AS (

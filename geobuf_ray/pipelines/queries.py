@@ -12476,6 +12476,168 @@ def orders_join_size_estimate(sf_dir: str, width: int = 4096,
         "join_est": pa.array([est], pa.int64())})
 
 
+def orders_duplicate_payments(sf_dir: str, window_days: int = 30,
+                              band_cents: int = 1_000_000):
+    """Repeat-payment detection — the fraud/reconciliation sweep:
+    pairs of DISTINCT orders by the same customer in the SAME amount
+    band (``band_cents`` = $10k bands; exact-cents repeats are
+    vanishingly rare in this corpus, banding is what a real sweep
+    uses) within ``window_days`` of each other.  One customer-hash exchange
+    co-locates each customer's orders; the bucket kernel lexsorts by
+    (customer, cents, date) so candidate pairs are adjacent runs of
+    equal (customer, cents), then emits each qualifying ordered pair
+    (earlier key first; ties broken by orderkey) — no O(n²) per
+    customer, the run sweep compares only same-amount neighbors
+    within the window via a per-run two-pointer vectorized as a
+    searchsorted.  Hash-checked vs a self-join twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    out_schema = pa.schema([("o_orderkey_a", pa.int64()),
+                            ("o_orderkey_b", pa.int64()),
+                            ("amount_band", pa.int64()),
+                            ("gap_days", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        ck = tbl["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok_ = tbl["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(tbl["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64) // band_cents
+        days = tbl["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        order = np.lexsort((ok_, days, cents, ck))
+        ck, ok_, cents, days = (ck[order], ok_[order], cents[order],
+                                days[order])
+        n = len(ck)
+        same = np.concatenate((
+            [False], (ck[1:] == ck[:-1]) & (cents[1:] == cents[:-1])))
+        # run-local pairing: for each j, pair with every earlier i of
+        # the same (cust, cents) run with days[j] - days[i] <= W.
+        # run id via cumsum of run starts
+        rid = np.cumsum(~same) - 1
+        run_start = np.concatenate(
+            ([0], np.flatnonzero(~same[1:]) + 1)) \
+            if n else np.empty(0, np.int64)
+        # emit pairs (i, j) with i < j in sort order: per j, the
+        # eligible i range is [lo_j, j) where lo_j = first index in
+        # the run with days >= days[j] - W  (days sorted within run)
+        lo = np.empty(n, np.int64)
+        for s, e in zip(run_start, np.append(run_start[1:], n)):
+            lo[s:e] = s + np.searchsorted(
+                days[s:e], days[s:e] - window_days, "left")
+        cnt = np.arange(n) - lo
+        cnt[~same] = 0
+        # same[j] False means j starts a run -> no earlier partner
+        cnt = np.maximum(cnt, 0)
+        j_idx = np.repeat(np.arange(n), cnt)
+        i_idx = vi_ramp(cnt) + lo[j_idx] if cnt.sum() else \
+            np.empty(0, np.int64)
+        ga, gb = ok_[i_idx], ok_[j_idx]
+        a_first = np.minimum(ga, gb)
+        b_second = np.maximum(ga, gb)
+        return pa.table({
+            "o_orderkey_a": pa.array(a_first),
+            "o_orderkey_b": pa.array(b_second),
+            "amount_band": pa.array(cents[j_idx]),
+            "gap_days": pa.array(days[j_idx] - days[i_idx])})
+
+    from ..codec.varint import ramp as vi_ramp
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderdate"])
+    out = collect_table(hash_exchange(
+        ds, nbuckets=32, on="o_custkey", reduce_fn=kernel,
+        schema=out_schema))
+    o = np.lexsort((out["o_orderkey_b"].to_numpy(zero_copy_only=False),
+                    out["o_orderkey_a"].to_numpy(zero_copy_only=False)))
+    return out.take(pa.array(o))
+
+
+def orders_gaps_islands(sf_dir: str, gap_days: int = 1):
+    """Gaps-and-islands — the classic activity-streak question: per
+    customer, maximal runs of orders whose consecutive order dates
+    differ by <= ``gap_days``; emits per customer the island count,
+    the longest island (days span + order count), and the widest gap.
+    Duplicate same-day orders collapse into the island (distinct
+    dates drive the runs).  One customer-hash exchange, vectorized
+    run detection (lexsort + diff + segment bincounts).  Hash-checked
+    vs the date - DENSE_RANK() islands twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    out_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("n_islands", pa.int64()),
+                            ("longest_span_days", pa.int64()),
+                            ("longest_n_dates", pa.int64()),
+                            ("widest_gap_days", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        ck = tbl["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        days = tbl["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        # distinct (cust, date)
+        packed = np.unique(ck * (np.int64(1) << 24) + days)
+        ck = packed >> 24
+        days = packed & ((np.int64(1) << 24) - 1)
+        n = len(ck)
+        new_island = np.concatenate(([True], (ck[1:] != ck[:-1])
+                                     | (np.diff(days) > gap_days)))
+        iid = np.cumsum(new_island) - 1
+        ni = int(iid[-1]) + 1 if n else 0
+        isl_start = days[new_island]
+        isl_end = np.zeros(ni, np.int64)
+        # days increase within an island, so max == the island's last
+        # date (no reliance on fancy-assignment write order)
+        np.maximum.at(isl_end, iid, days)
+        span = isl_end - isl_start
+        ndates = np.bincount(iid, minlength=ni).astype(np.int64)
+        isl_cust = ck[new_island]
+        uc, cinv = np.unique(isl_cust, return_inverse=True)
+        n_isl = np.bincount(cinv).astype(np.int64)
+        # longest island per customer: order by (span, ndates) pinned
+        key = span * (np.int64(1) << 20) + ndates
+        best = np.zeros(len(uc), np.int64)
+        np.maximum.at(best, cinv, key)
+        longest_span = best >> 20
+        longest_nd = best & ((np.int64(1) << 20) - 1)
+        # widest gap per customer (gap rows: same cust, new island,
+        # not the customer's first island)
+        same_cust = np.concatenate(([False], ck[1:] == ck[:-1]))
+        gaprow = new_island & same_cust
+        widest = np.zeros(len(uc), np.int64)
+        if gaprow.any():
+            gi = np.flatnonzero(gaprow)
+            gc = np.searchsorted(uc, ck[gi])
+            np.maximum.at(widest, gc, days[gi] - days[gi - 1])
+        return pa.table({
+            "o_custkey": pa.array(uc),
+            "n_islands": pa.array(n_isl),
+            "longest_span_days": pa.array(longest_span),
+            "longest_n_dates": pa.array(longest_nd),
+            "widest_gap_days": pa.array(widest)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate"])
+    out = collect_table(hash_exchange(
+        ds, nbuckets=32, on="o_custkey", reduce_fn=kernel,
+        schema=out_schema))
+    o = np.argsort(out["o_custkey"].to_numpy(zero_copy_only=False))
+    return out.take(pa.array(o))
+
+
 def customers_dp_histogram(sf_dir: str, eps_num: int = 1,
                            eps_den: int = 1, seed: int = 7):
     """Differentially-private histogram release — the privacy
