@@ -297,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_k_anonymity": q.customers_k_anonymity,
         "customers_dp_histogram": q.customers_dp_histogram,
         "orders_duplicate_payments": q.orders_duplicate_payments,
+        "parts_abc_analysis": q.parts_abc_analysis,
+        "orders_new_vs_returning": q.orders_new_vs_returning,
         "orders_gaps_islands": q.orders_gaps_islands,
         "orders_reconciliation": q.orders_reconciliation,
         "nations_viterbi_match": q.nations_viterbi_match,
@@ -1226,6 +1228,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt USING (o_custkey)
             JOIN wg USING (o_custkey)
             WHERE b.rk = 1
+        """,
+        "parts_abc_analysis": """
+            WITH r AS (SELECT l_partkey,
+                              CAST(SUM(CAST(round(l_extendedprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS rev
+                       FROM lineitem GROUP BY 1),
+            w AS (SELECT rev,
+                         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                             ROWS UNBOUNDED PRECEDING) - rev AS prior,
+                         SUM(rev) OVER () AS total
+                  FROM r),
+            c AS (SELECT rev, total,
+                         CASE WHEN 100 * prior < 80 * total THEN 'A'
+                              WHEN 100 * prior < 95 * total THEN 'B'
+                              ELSE 'C' END AS abc_class
+                  FROM w)
+            SELECT abc_class, COUNT(*) AS n_parts,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+                   CAST(MAX(total) AS BIGINT) AS total_cents
+            FROM c GROUP BY abc_class
+        """,
+        "orders_new_vs_returning": """
+            WITH f AS (SELECT o_orderkey, o_orderdate,
+                              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                                  AS rn
+                       FROM orders)
+            SELECT CAST((year(o_orderdate) - 1970) * 12
+                        + month(o_orderdate) - 1 AS BIGINT)
+                       AS epoch_month,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_returning
+            FROM f GROUP BY 1
         """,
         "events_transitions": """
             WITH seq AS (

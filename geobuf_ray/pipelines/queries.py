@@ -12476,6 +12476,115 @@ def orders_join_size_estimate(sf_dir: str, width: int = 4096,
         "join_est": pa.array([est], pa.int64())})
 
 
+def parts_abc_analysis(sf_dir: str):
+    """ABC / Pareto inventory segmentation — the classification every
+    supply-chain dashboard runs: parts ranked by lineitem revenue,
+    class A = the head covering < 80% cumulative share, B = up to
+    95%, C = the tail (boundaries pinned by exact integer
+    cross-multiplies 100·cum < 80·total etc.; ties in revenue broken
+    by partkey — pinned).  The revenue aggregate is distributed
+    (per-block partials, partkey-hash combine); the ranked
+    classification runs on the bounded per-part table.  Emits one row
+    per class: n_parts, revenue_cents, share ingredients.
+    Hash-checked vs a window cumulative-sum twin."""
+    import ray
+
+    from ..collect import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "l_partkey": pa.array(uniq),
+            "rev": pa.array(np.bincount(inv, weights=cents)
+                            .astype(np.int64))})
+
+    parts = collect_table(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    df = parts.to_pandas().groupby("l_partkey", as_index=False)["rev"] \
+        .sum()
+    pk = df["l_partkey"].to_numpy().astype(np.int64)
+    rev = df["rev"].to_numpy().astype(np.int64)
+    order = np.lexsort((pk, -rev))
+    rev = rev[order]
+    cum = np.cumsum(rev)
+    total = int(cum[-1])
+    # class by the PRIOR cumulative share (a part belongs to A while
+    # the head BEFORE it covers < 80%) — exact integer predicate
+    prior = cum - rev
+    cls = np.where(100 * prior < 80 * total, 0,
+                   np.where(100 * prior < 95 * total, 1, 2))
+    names = np.array(["A", "B", "C"])
+    out_cls, out_n, out_rev = [], [], []
+    for c in (0, 1, 2):
+        selc = cls == c
+        out_cls.append(names[c])
+        out_n.append(int(selc.sum()))
+        out_rev.append(int(rev[selc].sum()))
+    return pa.table({
+        "abc_class": pa.array(out_cls, pa.string()),
+        "n_parts": pa.array(out_n, pa.int64()),
+        "revenue_cents": pa.array(out_rev, pa.int64()),
+        "total_cents": pa.array([total] * 3, pa.int64())})
+
+
+def orders_new_vs_returning(sf_dir: str):
+    """New-vs-returning decomposition per month — the classic growth
+    metric: each order labels NEW when it is its customer's first
+    order ever (ties on the first DATE broken by orderkey — pinned),
+    else RETURNING.  One customer-hash exchange finds each customer's
+    first (date, orderkey) and labels every order in-bucket, then the
+    month rollup is a tiny combine.  Hash-checked vs a window
+    MIN-first twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    out_schema = pa.schema([("epoch_month", pa.int64()),
+                            ("n_new", pa.int64()),
+                            ("n_returning", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        ck = tbl["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok_ = tbl["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = tbl["o_orderdate"].to_numpy(zero_copy_only=False)
+        days = d.astype("datetime64[D]").astype(np.int64)
+        months = d.astype("datetime64[M]").astype(np.int64)
+        order = np.lexsort((ok_, days, ck))
+        first = np.concatenate(([True],
+                                ck[order][1:] != ck[order][:-1]))
+        is_new = np.zeros(len(ck), bool)
+        is_new[order[first]] = True
+        um, minv = np.unique(months, return_inverse=True)
+        nn = np.bincount(minv, weights=is_new).astype(np.int64)
+        nr = np.bincount(minv, weights=~is_new).astype(np.int64)
+        return pa.table({"epoch_month": pa.array(um),
+                         "n_new": pa.array(nn),
+                         "n_returning": pa.array(nr)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    parts = collect_table(hash_exchange(
+        ds, nbuckets=32, on="o_custkey", reduce_fn=kernel,
+        schema=out_schema))
+    df = parts.to_pandas().groupby("epoch_month", as_index=False).sum()
+    return pa.Table.from_pandas(
+        df.sort_values("epoch_month").reset_index(drop=True),
+        preserve_index=False).cast(out_schema)
+
+
 def orders_duplicate_payments(sf_dir: str, window_days: int = 30,
                               band_cents: int = 1_000_000):
     """Repeat-payment detection — the fraud/reconciliation sweep:
