@@ -298,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_dp_histogram": q.customers_dp_histogram,
         "orders_duplicate_payments": q.orders_duplicate_payments,
         "parts_abc_analysis": q.parts_abc_analysis,
+        "orders_cohort_ltv": q.orders_cohort_ltv,
+        "docs_vocab_growth": q.docs_vocab_growth,
         "orders_new_vs_returning": q.orders_new_vs_returning,
         "orders_gaps_islands": q.orders_gaps_islands,
         "orders_reconciliation": q.orders_reconciliation,
@@ -1263,6 +1265,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END)
                         AS BIGINT) AS n_returning
             FROM f GROUP BY 1
+        """,
+        "orders_cohort_ltv": """
+            WITH c AS (SELECT o_custkey,
+                              MIN((year(o_orderdate) - 1970) * 12
+                                  + month(o_orderdate) - 1) AS cohort
+                       FROM orders GROUP BY 1)
+            SELECT CAST(c.cohort AS BIGINT) AS cohort_month,
+                   CAST((year(o.o_orderdate) - 1970) * 12
+                        + month(o.o_orderdate) - 1 - c.cohort
+                        AS BIGINT) AS age_months,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders o JOIN c USING (o_custkey)
+            GROUP BY 1, 2
+        """,
+        "docs_vocab_growth": """
+            WITH w AS (SELECT (MAX(doc_id) + 10) // 10 AS width
+                       FROM documents),
+            t AS (SELECT doc_id,
+                         UNNEST(regexp_split_to_array(text, '\\s+'))
+                             AS tok
+                  FROM documents),
+            f AS (SELECT tok, MIN(doc_id) AS md FROM t
+                  WHERE tok <> '' GROUP BY tok),
+            p AS (SELECT CAST(LEAST(f.md // w.width, 9) AS BIGINT)
+                             AS bin,
+                         COUNT(*) AS new_tokens
+                  FROM f, w GROUP BY 1),
+            a AS (SELECT UNNEST(range(10)) AS bin)
+            SELECT CAST(a.bin AS BIGINT) AS bin,
+                   CAST(COALESCE(p.new_tokens, 0) AS BIGINT)
+                       AS new_tokens,
+                   CAST(SUM(COALESCE(p.new_tokens, 0))
+                        OVER (ORDER BY a.bin) AS BIGINT) AS cum_vocab
+            FROM a LEFT JOIN p ON p.bin = a.bin
         """,
         "events_transitions": """
             WITH seq AS (

@@ -12476,6 +12476,136 @@ def orders_join_size_estimate(sf_dir: str, width: int = 4096,
         "join_est": pa.array([est], pa.int64())})
 
 
+def orders_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value matrix — the retention economics view:
+    customers grouped by their FIRST order month (cohort), revenue
+    rolled up by (cohort_month, age_months = order month − cohort
+    month).  One customer-hash exchange derives each customer's
+    cohort and labels every order in-bucket (first-order ties by
+    (date, orderkey) — but the cohort is a MONTH, so only the month
+    of the minimum date matters); the (cohort, age) rollup is a tiny
+    combine.  Emits exact integer cents.  Hash-checked vs a window
+    MIN twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    out_schema = pa.schema([("cohort_month", pa.int64()),
+                            ("age_months", pa.int64()),
+                            ("n_orders", pa.int64()),
+                            ("revenue_cents", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        ck = tbl["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        months = tbl["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        cents = np.round(tbl["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        uc, cinv = np.unique(ck, return_inverse=True)
+        big = np.int64(1) << 40
+        cohort = np.full(len(uc), big)
+        np.minimum.at(cohort, cinv, months)
+        age = months - cohort[cinv]
+        packed = cohort[cinv] * 4096 + age     # ages < 4096 months
+        up, pinv = np.unique(packed, return_inverse=True)
+        return pa.table({
+            "cohort_month": pa.array(up // 4096),
+            "age_months": pa.array(up % 4096),
+            "n_orders": pa.array(np.bincount(pinv).astype(np.int64)),
+            "revenue_cents": pa.array(
+                np.bincount(pinv, weights=cents).astype(np.int64))})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    parts = collect_table(hash_exchange(
+        ds, nbuckets=32, on="o_custkey", reduce_fn=kernel,
+        schema=out_schema))
+    df = parts.to_pandas().groupby(
+        ["cohort_month", "age_months"], as_index=False).sum()
+    return pa.Table.from_pandas(
+        df.sort_values(["cohort_month", "age_months"])
+        .reset_index(drop=True), preserve_index=False).cast(out_schema)
+
+
+def docs_vocab_growth(sf_dir: str, nbins: int = 10):
+    """Vocabulary growth (Heaps'-law) curve — the corpus statistic
+    behind tokenizer sizing: the number of DISTINCT tokens whose
+    FIRST occurrence falls in each decile of the doc-id order, plus
+    the cumulative vocabulary after each decile.  One token-hash
+    exchange computes min(doc_id) per distinct token (the exchange
+    carries (token, min_doc) partials, never positions), then the
+    decile histogram is a tiny combine.  Bin b covers doc ids in
+    [b·ceil(D/nbins), (b+1)·ceil(D/nbins)) with D = max doc_id + 1.
+    Hash-checked vs an UNNEST(string_split) + MIN twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    import duckdb
+
+    dmax = duckdb.connect().execute(
+        f"SELECT MAX(doc_id) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    width = -(-int(dmax + 1) // nbins)
+
+    part_schema = pa.schema([("token", pa.string()),
+                             ("min_doc", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks_l = pc.split_pattern_regex(b["text"], r"\s+")
+        if isinstance(toks_l, pa.ChunkedArray):
+            toks_l = toks_l.combine_chunks()
+        offs = toks_l.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        did = b["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = toks_l.values
+        doc_of = np.repeat(did, np.diff(offs))
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        md = np.full(len(enc.dictionary), np.int64(1) << 60)
+        np.minimum.at(md, codes, doc_of)
+        return pa.table({"token": enc.dictionary,
+                         "min_doc": pa.array(md)})
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return part_schema.empty_table()
+        enc = tbl["token"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        md = np.full(len(enc.dictionary), np.int64(1) << 60)
+        np.minimum.at(md, codes,
+                      tbl["min_doc"].to_numpy(zero_copy_only=False))
+        return pa.table({"token": enc.dictionary,
+                         "min_doc": pa.array(md)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    toks = collect_table(hash_exchange(
+        ds, nbuckets=32, on="token", reduce_fn=kernel,
+        schema=part_schema))
+    md = toks["min_doc"].to_numpy(zero_copy_only=False)
+    binb = np.clip(md // width, 0, nbins - 1)
+    new_toks = np.bincount(binb, minlength=nbins).astype(np.int64)
+    return pa.table({
+        "bin": pa.array(np.arange(nbins, dtype=np.int64)),
+        "new_tokens": pa.array(new_toks),
+        "cum_vocab": pa.array(np.cumsum(new_toks))})
+
+
 def parts_abc_analysis(sf_dir: str):
     """ABC / Pareto inventory segmentation — the classification every
     supply-chain dashboard runs: parts ranked by lineitem revenue,
