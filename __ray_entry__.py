@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_duplicate_payments": q.orders_duplicate_payments,
         "parts_abc_analysis": q.parts_abc_analysis,
         "orders_cohort_ltv": q.orders_cohort_ltv,
+        "customers_knn_class": q.customers_knn_class,
+        "events_value_streaks": q.events_value_streaks,
         "docs_vocab_growth": q.docs_vocab_growth,
         "orders_new_vs_returning": q.orders_new_vs_returning,
         "orders_gaps_islands": q.orders_gaps_islands,
@@ -1301,6 +1303,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(COALESCE(p.new_tokens, 0))
                         OVER (ORDER BY a.bin) AS BIGINT) AS cum_vocab
             FROM a LEFT JOIN p ON p.bin = a.bin
+        """,
+        "customers_knn_class": """
+            WITH s AS (SELECT s_suppkey, s_nationkey,
+                              (s_suppkey * 7919) % 36000 - 18000 AS sx,
+                              (s_suppkey * 104729) % 17000 - 8500 AS sy
+                       FROM supplier),
+            c AS (SELECT c_custkey,
+                         (c_custkey * 7919) % 36000 - 18000 AS cx,
+                         (c_custkey * 104729) % 17000 - 8500 AS cy
+                  FROM customer),
+            d AS (SELECT c.c_custkey, s.s_nationkey,
+                         ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                             ORDER BY (c.cx - s.sx) * (c.cx - s.sx)
+                                      + (c.cy - s.sy) * (c.cy - s.sy),
+                                      s.s_suppkey) AS rk
+                  FROM c, s),
+            m AS (SELECT c_custkey, s_nationkey, COUNT(*) AS cnt
+                  FROM d WHERE rk <= 5 GROUP BY 1, 2),
+            b AS (SELECT c_custkey, s_nationkey,
+                         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                             ORDER BY cnt DESC, s_nationkey) AS rk
+                  FROM m)
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                   COUNT(*) AS n_customers
+            FROM b WHERE rk = 1 GROUP BY 1
+        """,
+        "events_value_streaks": """
+            WITH e AS (SELECT user_id, value,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+                          LAG(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS pv
+                       FROM events),
+            f AS (SELECT user_id, rn,
+                         CASE WHEN pv IS NULL OR value <= pv
+                              THEN 1 ELSE 0 END AS brk
+                  FROM e),
+            g AS (SELECT user_id, rn,
+                         SUM(brk) OVER (PARTITION BY user_id
+                             ORDER BY rn) AS run_id
+                  FROM f),
+            r AS (SELECT user_id, run_id, COUNT(*) AS len
+                  FROM g GROUP BY 1, 2)
+            SELECT user_id, COUNT(*) AS n_runs,
+                   CAST(MAX(len) AS BIGINT) AS longest_run
+            FROM r GROUP BY user_id
         """,
         "events_transitions": """
             WITH seq AS (

@@ -12476,6 +12476,114 @@ def orders_join_size_estimate(sf_dir: str, width: int = 4096,
         "join_est": pa.array([est], pa.int64())})
 
 
+def customers_knn_class(sf_dir: str, k: int = 5):
+    """kNN classification — the spatial majority vote: each customer
+    takes the modal nation among its k nearest suppliers by EXACT
+    integer squared planar distance (ties in distance to the lowest
+    suppkey; ties in the vote to the lowest nationkey — both pinned),
+    then customers roll up per predicted nation.  The supplier side
+    (coords + nation labels) broadcasts once; each batch is one
+    (n x facilities) distance matrix with a composite-key partition
+    for the exact top-k.  Hash-checked vs a cross-join double
+    ROW_NUMBER twin."""
+    import duckdb
+    import ray
+
+    sup = duckdb.connect().execute(
+        f"SELECT s_suppkey, s_nationkey FROM '{sf_dir}/supplier.parquet' "
+        "ORDER BY s_suppkey").fetchnumpy()
+    skeys = sup["s_suppkey"].astype(np.int64)
+    snat = sup["s_nationkey"].astype(np.int64)
+    sx = (skeys * 7919) % 36000 - 18000
+    sy = (skeys * 104729) % 17000 - 8500
+    nnat = int(snat.max()) + 1
+    fac = ray.put((sx, sy, snat, nnat))
+    ns = len(skeys)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        fx, fy, nat, nn = ray.get(fac)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = (ck * 7919) % 36000 - 18000
+        y = (ck * 104729) % 17000 - 8500
+        dx = x[:, None] - fx[None, :]
+        dy = y[:, None] - fy[None, :]
+        # composite key orders by (d2, supplier rank) — columns ascend
+        # by suppkey, so d2 * ns + j is the exact pinned order
+        comp = (dx * dx + dy * dy) * ns + np.arange(ns)[None, :]
+        top = np.argpartition(comp, k - 1, axis=1)[:, :k]
+        votes = nat[top]                       # (n, k)
+        n = len(ck)
+        cnt = np.zeros((n, nn), np.int64)
+        rows = np.repeat(np.arange(n), k)
+        np.add.at(cnt, (rows, votes.reshape(-1)), 1)
+        # majority, vote ties to the LOWEST nation (argmax = first max)
+        pred = np.argmax(cnt, axis=1)
+        u, c = np.unique(pred, return_counts=True)
+        return pa.table({"nationkey": pa.array(u.astype(np.int64)),
+                         "n_customers": pa.array(c.astype(np.int64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+    parts = ds.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return _final_combine(parts, ["nationkey"], ["n_customers"])
+
+
+def events_value_streaks(sf_dir: str):
+    """Longest strictly-increasing value streak per user — the
+    momentum/run-length question over each user's event stream in
+    exact (ts, event_id) order: the count of maximal increasing runs
+    and the longest one.  A run breaks on value <= previous (floats
+    compared verbatim, no arithmetic, so engine and SQL agree
+    bit-for-bit).  One user-hash exchange, vectorized run detection.
+    Hash-checked vs a LAG + running-break-sum islands twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_runs", pa.int64()),
+                            ("longest_run", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        u = tbl["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = tbl["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, v = u[order], v[order]
+        n = len(u)
+        brk = np.concatenate(([True],
+                              (u[1:] != u[:-1]) | (v[1:] <= v[:-1])))
+        rid = np.cumsum(brk) - 1
+        nr = int(rid[-1]) + 1 if n else 0
+        rlen = np.bincount(rid, minlength=nr).astype(np.int64)
+        rcust = u[brk]
+        uc, cinv = np.unique(rcust, return_inverse=True)
+        n_runs = np.bincount(cinv).astype(np.int64)
+        longest = np.zeros(len(uc), np.int64)
+        np.maximum.at(longest, cinv, rlen)
+        return pa.table({"user_id": pa.array(uc),
+                         "n_runs": pa.array(n_runs),
+                         "longest_run": pa.array(longest)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    out = collect_table(hash_exchange(
+        ds, nbuckets=32, on="user_id", reduce_fn=kernel,
+        schema=out_schema))
+    o = np.argsort(out["user_id"].to_numpy(zero_copy_only=False))
+    return out.take(pa.array(o))
+
+
 def orders_cohort_ltv(sf_dir: str):
     """Cohort lifetime-value matrix — the retention economics view:
     customers grouped by their FIRST order month (cohort), revenue
