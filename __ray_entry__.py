@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_abc_analysis": q.parts_abc_analysis,
         "orders_cohort_ltv": q.orders_cohort_ltv,
         "customers_knn_class": q.customers_knn_class,
+        "lineitem_ship_delay_quantiles": q.lineitem_ship_delay_quantiles,
+        "events_local_peaks": q.events_local_peaks,
         "events_value_streaks": q.events_value_streaks,
         "docs_vocab_growth": q.docs_vocab_growth,
         "orders_new_vs_returning": q.orders_new_vs_returning,
@@ -1349,6 +1351,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_runs,
                    CAST(MAX(len) AS BIGINT) AS longest_run
             FROM r GROUP BY user_id
+        """,
+        "lineitem_ship_delay_quantiles": """
+            WITH d AS (SELECT l.l_returnflag,
+                              CAST(datediff('day', o.o_orderdate,
+                                   l.l_shipdate) AS BIGINT) AS delay
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey)
+            SELECT l_returnflag,
+                   CAST(quantile_disc(delay, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(delay, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(delay, 0.99) AS BIGINT) AS p99
+            FROM d GROUP BY l_returnflag
+        """,
+        "events_local_peaks": """
+            WITH e AS (SELECT event_type, value,
+                          LAG(value) OVER w AS pv,
+                          LEAD(value) OVER w AS nv
+                       FROM events
+                       WINDOW w AS (PARTITION BY event_type
+                                    ORDER BY ts, event_id))
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN pv IS NOT NULL
+                                  AND nv IS NOT NULL
+                                  AND value > pv AND value > nv
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+                   CAST(COALESCE(MAX(CASE WHEN pv IS NOT NULL
+                                      AND nv IS NOT NULL
+                                      AND value > pv AND value > nv
+                                      THEN CAST(round(value * 100)
+                                           AS BIGINT) END),
+                                 -1099511627776) AS BIGINT)
+                       AS max_peak_cents
+            FROM e GROUP BY event_type
         """,
         "events_transitions": """
             WITH seq AS (

@@ -12476,6 +12476,128 @@ def orders_join_size_estimate(sf_dir: str, width: int = 4096,
         "join_est": pa.array([est], pa.int64())})
 
 
+def lineitem_ship_delay_quantiles(sf_dir: str):
+    """Order-to-ship latency distribution per return flag — the
+    fulfilment SLA view: delay_days = l_shipdate − o_orderdate (exact
+    integer days through a lineitem x orders hash join), then exact
+    PERCENTILE_DISC p50/p90/p99 via the compressed-distribution
+    group-quantile exchange.  Composes the two core physical ops
+    (hash-partitioned equi-join + value-count quantile exchange) in
+    one pipeline.  Hash-checked vs a join + quantile_disc twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.agg import group_quantile
+    from ..functions.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_returnflag"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "ship_day": pa.array(d),
+                         "l_returnflag": b["l_returnflag"]})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "order_day": pa.array(d)})
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = hash_join(
+        li, orders, on="o_orderkey", nbuckets=32,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("ship_day", pa.int64()),
+                               ("l_returnflag", pa.string())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("order_day", pa.int64())]))
+
+    def delay(b: pa.Table) -> pa.Table:
+        sd = b["ship_day"].to_numpy(zero_copy_only=False)
+        od = b["order_day"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "delay_days": pa.array(sd - od)})
+
+    d = joined.map_batches(delay, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = collect_table(group_quantile(
+        d, ["l_returnflag"], "delay_days",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99}, nbuckets=8,
+        schema=pa.schema([("l_returnflag", pa.string()),
+                          ("delay_days", pa.int64())])))
+    o = np.argsort(np.asarray(out["l_returnflag"].to_pylist(), object))
+    return out.take(pa.array(o))
+
+
+def events_local_peaks(sf_dir: str):
+    """Strict local-maxima census per event type — the peak-detection
+    primitive of alerting pipelines: over each type's value stream in
+    exact (ts, event_id) order, count interior points strictly above
+    BOTH neighbors, and report the highest peak (cents).  Verbatim
+    float compares (no arithmetic) keep engine and SQL bit-identical.
+    One type-hash exchange, vectorized neighbor compares.
+    Hash-checked vs a LAG/LEAD twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n", pa.int64()),
+                            ("n_peaks", pa.int64()),
+                            ("max_peak_cents", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        et = np.asarray(tbl["event_type"].to_pylist(), object)
+        ts = tbl["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, et))
+        et, v = et[order], v[order]
+        n = len(et)
+        same_prev = np.concatenate(([False], et[1:] == et[:-1]))
+        same_next = np.concatenate((et[:-1] == et[1:], [False]))
+        up = np.concatenate(([False], v[1:] > v[:-1]))
+        down = np.concatenate((v[:-1] > v[1:], [False]))
+        peak = same_prev & same_next & up & down
+        ut, tinv = np.unique(et, return_inverse=True)
+        cnt = np.bincount(tinv).astype(np.int64)
+        npk = np.bincount(tinv, weights=peak).astype(np.int64)
+        mx = np.full(len(ut), np.int64(-1) << 40)
+        pk_cents = np.round(v * 100).astype(np.int64)
+        if peak.any():
+            np.maximum.at(mx, tinv[peak], pk_cents[peak])
+        return pa.table({
+            "event_type": pa.array(list(ut), pa.string()),
+            "n": pa.array(cnt),
+            "n_peaks": pa.array(npk),
+            "max_peak_cents": pa.array(mx)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"])
+    out = collect_table(hash_exchange(
+        ds, nbuckets=16, on="event_type", reduce_fn=kernel,
+        schema=out_schema))
+    o = np.argsort(np.asarray(out["event_type"].to_pylist(), object))
+    return out.take(pa.array(o))
+
+
 def customers_knn_class(sf_dir: str, k: int = 5):
     """kNN classification — the spatial majority vote: each customer
     takes the modal nation among its k nearest suppliers by EXACT
