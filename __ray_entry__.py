@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_abc_analysis": q.parts_abc_analysis,
         "orders_cohort_ltv": q.orders_cohort_ltv,
         "customers_knn_class": q.customers_knn_class,
+        "customers_tile_mode": q.customers_tile_mode,
+        "images_ssim_pairs": q.images_ssim_pairs,
         "lineitem_ship_delay_quantiles": q.lineitem_ship_delay_quantiles,
         "events_local_peaks": q.events_local_peaks,
         "events_value_streaks": q.events_value_streaks,
@@ -1384,6 +1386,24 @@ def oracle_sql() -> dict[str, str]:
                                  -1099511627776) AS BIGINT)
                        AS max_peak_cents
             FROM e GROUP BY event_type
+        """,
+        "customers_tile_mode": f"""
+            WITH t AS (SELECT {_tile_x(_LON, 6)} AS tile_x,
+                              {_tile_y(_LAT, 6)} AS tile_y,
+                              c_mktsegment AS segment
+                       FROM customer),
+            g AS (SELECT tile_x, tile_y, segment, COUNT(*) AS cnt
+                  FROM t GROUP BY 1, 2, 3),
+            b AS (SELECT tile_x, tile_y, segment, cnt,
+                         ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                             ORDER BY cnt DESC, segment) AS rk,
+                         SUM(cnt) OVER (PARTITION BY tile_x, tile_y)
+                             AS n_total
+                  FROM g)
+            SELECT tile_x, tile_y, segment AS mode_segment,
+                   CAST(cnt AS BIGINT) AS n_mode,
+                   CAST(n_total AS BIGINT) AS n_total
+            FROM b WHERE rk = 1
         """,
         "events_transitions": """
             WITH seq AS (

@@ -12598,6 +12598,172 @@ def events_local_peaks(sf_dir: str):
     return out.take(pa.array(o))
 
 
+def images_ssim_pairs(sf_dir: str):
+    """Global SSIM between image pairs — the perceptual-similarity
+    metric the media-dedup family lacked: for every planted near-dup
+    pair (base, base+brightness-nudge) and a set of unrelated control
+    pairs, the structural-similarity index over the overlapping crop,
+    computed from EXACT integer pixel sums (Σa, Σb, Σa², Σb², Σab in
+    int64; only the final ratio is float, rounded to 6).  Payload rows
+    fan out to their pair's bucket via a custom routing exchange, so
+    both members of a pair decode in the same task.  Rows-only
+    (binary payloads); in-query asserts pin planted >= 0.9 and every
+    control below every planted; pytest replays SSIM from the
+    definition."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+    from ..io import images as im
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
+    pairs = []
+    for i in range(23, n):
+        if i % 23 == 11:
+            pairs.append((f"img{i - 7:012d}", f"img{i:012d}", True))
+    for i in (0, 40, 80):
+        if i + 1 < n and not (i >= 23 and i % 23 == 11) \
+                and not (i + 1 >= 23 and (i + 1) % 23 == 11):
+            pairs.append((f"img{i:012d}", f"img{i + 1:012d}", False))
+    member = {}
+    for pid, (a, b, _pl) in enumerate(pairs):
+        member.setdefault(a, []).append(pid)
+        member.setdefault(b, []).append(pid)
+    nbuckets = 8
+    mref = ray.put(member)
+    planted_ref = ray.put([p[2] for p in pairs])
+    sides = ray.put({(pid, p[0]): 0 for pid, p in enumerate(pairs)}
+                    | {(pid, p[1]): 1 for pid, p in enumerate(pairs)})
+
+    def route(tbl: pa.Table):
+        mm = ray.get(mref)
+        ids = tbl["image_id"].to_pylist()
+        take, buckets, pids = [], [], []
+        for r, iid in enumerate(ids):
+            for pid in mm.get(iid, ()):
+                take.append(r)
+                buckets.append(pid % nbuckets)
+                pids.append(pid)
+        sub = tbl.take(pa.array(take, pa.int64()))
+        sub = sub.append_column("pair_id",
+                                pa.array(pids, pa.int64()))
+        return np.asarray(buckets, np.int64), sub
+
+    out_schema = pa.schema([("pair_id", pa.int64()),
+                            ("id_a", pa.string()),
+                            ("id_b", pa.string()),
+                            ("ssim", pa.float64())])
+
+    C1 = (0.01 * 255) ** 2
+    C2 = (0.03 * 255) ** 2
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        sd = ray.get(sides)
+        rows = tbl.to_pylist()
+        by_pair: dict = {}
+        for r in rows:
+            by_pair.setdefault(r["pair_id"], {})[
+                sd[(r["pair_id"], r["image_id"])]] = r
+        out = []
+        for pid, two in sorted(by_pair.items()):
+            if len(two) != 2:
+                continue
+            a = im.decode_image(two[0]["bytes"])
+            b = im.decode_image(two[1]["bytes"])
+            h = min(a.shape[0], b.shape[0])
+            w = min(a.shape[1], b.shape[1])
+            av = a[:h, :w].reshape(-1).astype(np.int64)
+            bv = b[:h, :w].reshape(-1).astype(np.int64)
+            m = len(av)
+            sa, sb = int(av.sum()), int(bv.sum())
+            saa = int((av * av).sum())
+            sbb = int((bv * bv).sum())
+            sab = int((av * bv).sum())
+            mu_a, mu_b = sa / m, sb / m
+            va = saa / m - mu_a * mu_a
+            vb = sbb / m - mu_b * mu_b
+            cov = sab / m - mu_a * mu_b
+            ssim = ((2 * mu_a * mu_b + C1) * (2 * cov + C2)) \
+                / ((mu_a**2 + mu_b**2 + C1) * (va + vb + C2))
+            out.append((pid, two[0]["image_id"],
+                        two[1]["image_id"], round(ssim, 6)))
+        if not out:
+            return out_schema.empty_table()
+        return pa.table({
+            "pair_id": pa.array([o[0] for o in out], pa.int64()),
+            "id_a": pa.array([o[1] for o in out], pa.string()),
+            "id_b": pa.array([o[2] for o in out], pa.string()),
+            "ssim": pa.array([o[3] for o in out])})
+
+    res = collect_table(hash_exchange(
+        ds, nbuckets=nbuckets, bucket_fn=route, reduce_fn=kernel,
+        schema=out_schema))
+    d = res.to_pylist()
+    planted = ray.get(planted_ref)
+    pl = [r["ssim"] for r in d if planted[r["pair_id"]]]
+    ct = [r["ssim"] for r in d if not planted[r["pair_id"]]]
+    assert pl and min(pl) >= 0.9, f"planted SSIM floor broken: {pl}"
+    assert ct and max(ct) < min(pl), "controls must rank below planted"
+    o = np.argsort(res["pair_id"].to_numpy(zero_copy_only=False))
+    return res.take(pa.array(o)).drop_columns(["pair_id"])
+
+
+def customers_tile_mode(sf_dir: str, zoom: int = 6):
+    """Dominant-category surface — the choropleth aggregation: per z6
+    slippy tile the MODAL market segment of resident customers (ties
+    to the lexicographically smallest segment — pinned) with its
+    count and the tile total.  Per-block (tile, segment) count
+    partials combine, then one vectorized arg-max per tile; the
+    category domain is bounded so the partial stream is tiny.
+    Hash-checked vs a double-ROW_NUMBER mode twin."""
+    import ray
+
+    from ..collect import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lon = derive_lon(ck)
+        lat = derive_lat(ck)
+        x, y = tiles.lonlat_to_tile(lon, lat, zoom)
+        seg = b["c_mktsegment"].combine_chunks().dictionary_encode()
+        sc = seg.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        packed = (x.astype(np.int64) << 40) | (y.astype(np.int64)
+                                               << 16) | sc
+        uniq, inv = np.unique(packed, return_inverse=True)
+        names = np.asarray(seg.dictionary)[(uniq & 0xFFFF)]
+        return pa.table({
+            "tile_x": pa.array(uniq >> 40),
+            "tile_y": pa.array((uniq >> 16) & 0xFFFFFF),
+            "segment": pa.array(names),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+    parts = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    df = parts.to_pandas().groupby(
+        ["tile_x", "tile_y", "segment"], as_index=False)["cnt"].sum()
+    # modal segment per tile: sort by (tile, -cnt, segment), take first
+    df = df.sort_values(["tile_x", "tile_y", "cnt", "segment"],
+                        ascending=[True, True, False, True])
+    tot = df.groupby(["tile_x", "tile_y"], as_index=False)["cnt"] \
+        .sum().rename(columns={"cnt": "n_total"})
+    top = df.drop_duplicates(["tile_x", "tile_y"], keep="first") \
+        .rename(columns={"segment": "mode_segment",
+                         "cnt": "n_mode"})
+    out = top.merge(tot, on=["tile_x", "tile_y"])
+    out = out.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema([("tile_x", pa.int64()), ("tile_y", pa.int64()),
+                   ("mode_segment", pa.string()),
+                   ("n_mode", pa.int64()), ("n_total", pa.int64())]))
+
+
 def customers_knn_class(sf_dir: str, k: int = 5):
     """kNN classification — the spatial majority vote: each customer
     takes the modal nation among its k nearest suppliers by EXACT

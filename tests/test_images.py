@@ -1110,3 +1110,35 @@ def test_png_roundtrip_property():
         assert out.shape == px.shape and (out == px).all()
 
     check()
+
+
+def test_ssim_pairs_replay(ray_session):
+    """images_ssim_pairs vs a definition-level SSIM replay on each
+    emitted pair; planted near-dups rank above unrelated controls."""
+    from geobuf_ray.io import images as im
+    from geobuf_ray.pipelines import queries as q
+
+    out = q.images_ssim_pairs("/root/testdata/sf0.001").to_pylist()
+    assert len(out) >= 4
+    tbl = im.synthesize_image_table(100)
+    blob = dict(zip(tbl["image_id"].to_pylist(),
+                    tbl["bytes"].to_pylist()))
+    C1, C2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    for r in out:
+        a = im.decode_image(blob[r["id_a"]]).astype(np.float64)
+        b = im.decode_image(blob[r["id_b"]]).astype(np.float64)
+        h = min(a.shape[0], b.shape[0])
+        w = min(a.shape[1], b.shape[1])
+        av, bv = a[:h, :w].ravel(), b[:h, :w].ravel()
+        mu_a, mu_b = av.mean(), bv.mean()
+        va, vb = av.var(), bv.var()
+        cov = (av * bv).mean() - mu_a * mu_b
+        want = ((2 * mu_a * mu_b + C1) * (2 * cov + C2)) / (
+            (mu_a**2 + mu_b**2 + C1) * (va + vb + C2))
+        assert abs(r["ssim"] - want) < 1e-5, r
+    planted = [r["ssim"] for r in out
+               if int(r["id_b"][3:]) - int(r["id_a"][3:]) == 7]
+    controls = [r["ssim"] for r in out
+                if int(r["id_b"][3:]) - int(r["id_a"][3:]) == 1]
+    assert planted and controls
+    assert min(planted) >= 0.9 > max(controls)
