@@ -301,6 +301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cohort_ltv": q.orders_cohort_ltv,
         "customers_knn_class": q.customers_knn_class,
         "customers_tile_mode": q.customers_tile_mode,
+        "suppliers_scorecard": q.suppliers_scorecard,
+        "customers_order_cadence": q.customers_order_cadence,
+        "events_type_cooccurrence": q.events_type_cooccurrence,
         "images_ssim_pairs": q.images_ssim_pairs,
         "lineitem_ship_delay_quantiles": q.lineitem_ship_delay_quantiles,
         "events_local_peaks": q.events_local_peaks,
@@ -1404,6 +1407,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS BIGINT) AS n_mode,
                    CAST(n_total AS BIGINT) AS n_total
             FROM b WHERE rk = 1
+        """,
+        "suppliers_scorecard": """
+            WITH j AS (SELECT l.l_suppkey,
+                              CAST(round(l.l_extendedprice * 100)
+                                   AS BIGINT) AS cents,
+                              datediff('day', o.o_orderdate,
+                                       l.l_shipdate) AS delay
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey)
+            SELECT l_suppkey AS s_suppkey, COUNT(*) AS n_shipments,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+                   CAST(SUM(CASE WHEN delay <= 60 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_on_time,
+                   CAST(MAX(delay) AS BIGINT) AS worst_delay_days
+            FROM j GROUP BY 1
+        """,
+        "customers_order_cadence": """
+            WITH d AS (SELECT DISTINCT o_custkey, o_orderdate
+                       FROM orders),
+            g AS (SELECT o_custkey,
+                         datediff('day',
+                             LAG(o_orderdate) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate),
+                             o_orderdate) AS gap
+                  FROM d),
+            m AS (SELECT o_custkey,
+                         CAST(quantile_disc(gap, 0.5) AS BIGINT)
+                             AS median_gap_days
+                  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+            s AS (SELECT o_custkey, COUNT(*) AS n_dates,
+                         MAX(o_orderdate) AS last
+                  FROM d GROUP BY 1),
+            t AS (SELECT MAX(o_orderdate) AS dmax FROM orders)
+            SELECT s.o_custkey, CAST(s.n_dates AS BIGINT) AS n_dates,
+                   m.median_gap_days,
+                   CAST(datediff('day', s.last, t.dmax) AS BIGINT)
+                       AS recency_days
+            FROM s JOIN m USING (o_custkey), t
+        """,
+        "events_type_cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type
+                       FROM events),
+            p AS (SELECT a.event_type AS type_a,
+                         b.event_type AS type_b,
+                         COUNT(*) AS n_users_both
+                  FROM d a JOIN d b ON a.user_id = b.user_id
+                                   AND a.event_type < b.event_type
+                  GROUP BY 1, 2),
+            m AS (SELECT event_type, COUNT(DISTINCT user_id) AS nu
+                  FROM d GROUP BY 1),
+            t AS (SELECT COUNT(DISTINCT user_id) AS total FROM d)
+            SELECT p.type_a, p.type_b,
+                   CAST(p.n_users_both AS BIGINT) AS n_users_both,
+                   CAST(ma.nu AS BIGINT) AS n_users_a,
+                   CAST(mb.nu AS BIGINT) AS n_users_b,
+                   CAST(t.total AS BIGINT) AS n_users_total
+            FROM p JOIN m ma ON ma.event_type = p.type_a
+                   JOIN m mb ON mb.event_type = p.type_b, t
         """,
         "events_transitions": """
             WITH seq AS (

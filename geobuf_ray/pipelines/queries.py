@@ -12598,6 +12598,241 @@ def events_local_peaks(sf_dir: str):
     return out.take(pa.array(o))
 
 
+def suppliers_scorecard(sf_dir: str, sla_days: int = 60):
+    """Vendor scorecard — the composite supplier KPI table: per
+    supplier the shipment count, revenue cents, on-time share
+    ingredients (shipments within ``sla_days`` of the order date —
+    exact integer day compare through the lineitem x orders join),
+    and worst delay.  One hash join + per-supplier combine; every
+    output column an exact integer.  Hash-checked vs a join twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_shipdate"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        cents = np.round(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "cents": pa.array(cents),
+                         "ship_day": pa.array(d)})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "order_day": pa.array(d)})
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = hash_join(
+        li, orders, on="o_orderkey", nbuckets=32,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("cents", pa.int64()),
+                               ("ship_day", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("order_day", pa.int64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        delay = (b["ship_day"].to_numpy(zero_copy_only=False)
+                 - b["order_day"].to_numpy(zero_copy_only=False))
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(sk, return_inverse=True)
+        mx = np.zeros(len(uniq), np.int64)
+        np.maximum.at(mx, inv, delay)
+        return pa.table({
+            "s_suppkey": pa.array(uniq),
+            "n_shipments": pa.array(np.bincount(inv)
+                                    .astype(np.int64)),
+            "revenue_cents": pa.array(
+                np.bincount(inv, weights=cents).astype(np.int64)),
+            "n_on_time": pa.array(
+                np.bincount(inv, weights=delay <= sla_days)
+                .astype(np.int64)),
+            "worst_delay_days": pa.array(mx)})
+
+    parts = collect_table(joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    df = parts.to_pandas().groupby("s_suppkey", as_index=False).agg(
+        n_shipments=("n_shipments", "sum"),
+        revenue_cents=("revenue_cents", "sum"),
+        n_on_time=("n_on_time", "sum"),
+        worst_delay_days=("worst_delay_days", "max"))
+    return pa.Table.from_pandas(
+        df.sort_values("s_suppkey").reset_index(drop=True),
+        preserve_index=False).cast(pa.schema([
+            ("s_suppkey", pa.int64()), ("n_shipments", pa.int64()),
+            ("revenue_cents", pa.int64()), ("n_on_time", pa.int64()),
+            ("worst_delay_days", pa.int64())]))
+
+
+def customers_order_cadence(sf_dir: str):
+    """Order cadence — the churn-risk ingredient table: per customer
+    with >= 2 orders, the exact MEDIAN inter-order gap in days
+    (PERCENTILE_DISC rank rule over the LAG diffs of distinct order
+    dates), the order-date count, and recency (days from last order
+    to the corpus-wide max date).  One customer-hash exchange; gaps
+    sort per customer inside the bucket and the median is one
+    rank-index gather per segment.  Hash-checked vs a LAG +
+    quantile_disc twin."""
+    import duckdb
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    dmax = duckdb.connect().execute(
+        f"SELECT MAX(o_orderdate) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    dmax_day = np.datetime64(dmax, "D").astype(np.int64)
+
+    out_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("n_dates", pa.int64()),
+                            ("median_gap_days", pa.int64()),
+                            ("recency_days", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        ck = tbl["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        days = tbl["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        packed = np.unique(ck * (np.int64(1) << 24) + days)
+        ck = packed >> 24
+        days = packed & ((np.int64(1) << 24) - 1)
+        same = np.concatenate(([False], ck[1:] == ck[:-1]))
+        gaps = np.diff(days)
+        gsel = same[1:]
+        gcust = ck[1:][gsel]
+        gval = gaps[gsel]
+        # per-customer sorted gaps -> PERCENTILE_DISC 0.5 rank rule
+        order = np.lexsort((gval, gcust))
+        gcust, gval = gcust[order], gval[order]
+        uc, starts = np.unique(gcust, return_index=True)
+        ends = np.append(starts[1:], len(gcust))
+        nn = ends - starts
+        rank = np.maximum((nn + 1) // 2, 1)      # ceil(n/2), 1-based
+        med = gval[starts + rank - 1]
+        last = np.zeros(len(uc), np.int64)
+        lc = np.searchsorted(uc, ck)
+        valid = np.isin(ck, uc)
+        np.maximum.at(last, lc[valid], days[valid])
+        nd = np.bincount(lc[valid], minlength=len(uc)) \
+            .astype(np.int64)
+        return pa.table({
+            "o_custkey": pa.array(uc),
+            "n_dates": pa.array(nd),
+            "median_gap_days": pa.array(med),
+            "recency_days": pa.array(dmax_day - last)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate"])
+    out = collect_table(hash_exchange(
+        ds, nbuckets=32, on="o_custkey", reduce_fn=kernel,
+        schema=out_schema))
+    o = np.argsort(out["o_custkey"].to_numpy(zero_copy_only=False))
+    return out.take(pa.array(o))
+
+
+def events_type_cooccurrence(sf_dir: str):
+    """Type co-occurrence over users — the PMI ingredient table: for
+    every unordered event-type pair, how many users produced BOTH
+    (plus each type's user count and the user total as exact
+    integers; the log-ratio stays with the consumer).  One user-hash
+    exchange collapses each user to its distinct type set (bounded by
+    the type domain) and emits the C(k,2) pairs; pair counts combine.
+    Hash-checked vs a distinct self-join twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    # marker rows keep every additive term bucket-exact: pair rows
+    # (a, b), per-type marginals (a, ""), and the user total ("", "")
+    # — users are DISJOINT across buckets, so all three sum correctly
+    part_schema = pa.schema([("type_a", pa.string()),
+                             ("type_b", pa.string()),
+                             ("cnt", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return part_schema.empty_table()
+        u = tbl["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = tbl["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        names = np.asarray(et.dictionary)
+        packed = np.unique(u * 64 + codes)
+        uu = packed >> 6
+        cc = packed & 63
+        nusers = len(np.unique(uu))
+        ta, tb, cnts = [], [], []
+        marg = np.bincount(cc, minlength=len(names))
+        for t in np.flatnonzero(marg):
+            ta.append(str(names[t])); tb.append(""); cnts.append(int(marg[t]))
+        ta.append(""); tb.append(""); cnts.append(nusers)
+        pair_count: dict = {}
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(uu)) + 1))
+        ends = np.append(starts[1:], len(uu))
+        for s, e in zip(starts, ends):
+            # canonicalize by NAME, not dictionary code — per-bucket
+            # dictionaries order differently
+            ns_ = sorted(str(names[t]) for t in cc[s:e])
+            for i in range(len(ns_)):
+                for j in range(i + 1, len(ns_)):
+                    k = (ns_[i], ns_[j])
+                    pair_count[k] = pair_count.get(k, 0) + 1
+        for (a, b), c in sorted(pair_count.items()):
+            ta.append(a); tb.append(b); cnts.append(c)
+        return pa.table({"type_a": pa.array(ta),
+                         "type_b": pa.array(tb),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    parts = collect_table(hash_exchange(
+        ds, nbuckets=32, on="user_id", reduce_fn=kernel,
+        schema=part_schema))
+    df = parts.to_pandas().groupby(
+        ["type_a", "type_b"], as_index=False)["cnt"].sum()
+    marg = {r.type_a: int(r.cnt)
+            for r in df[(df.type_b == "") & (df.type_a != "")]
+            .itertuples()}
+    total = int(df[(df.type_a == "") & (df.type_b == "")]["cnt"]
+                .iloc[0])
+    pairs = df[(df.type_a != "") & (df.type_b != "")].copy()
+    pairs = pairs.sort_values(["type_a", "type_b"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "type_a": pa.array(pairs["type_a"], pa.string()),
+        "type_b": pa.array(pairs["type_b"], pa.string()),
+        "n_users_both": pa.array(pairs["cnt"].astype(np.int64)),
+        "n_users_a": pa.array([marg[a] for a in pairs["type_a"]],
+                              pa.int64()),
+        "n_users_b": pa.array([marg[b] for b in pairs["type_b"]],
+                              pa.int64()),
+        "n_users_total": pa.array([total] * len(pairs), pa.int64())})
+
+
 def images_ssim_pairs(sf_dir: str):
     """Global SSIM between image pairs — the perceptual-similarity
     metric the media-dedup family lacked: for every planted near-dup
