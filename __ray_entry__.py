@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_knn_class": q.customers_knn_class,
         "customers_tile_mode": q.customers_tile_mode,
         "suppliers_scorecard": q.suppliers_scorecard,
+        "parts_return_rates": q.parts_return_rates,
+        "docs_reading_stats": q.docs_reading_stats,
         "customers_order_cadence": q.customers_order_cadence,
         "events_type_cooccurrence": q.events_type_cooccurrence,
         "images_ssim_pairs": q.images_ssim_pairs,
@@ -1466,6 +1468,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.total AS BIGINT) AS n_users_total
             FROM p JOIN m ma ON ma.event_type = p.type_a
                    JOIN m mb ON mb.event_type = p.type_b, t
+        """,
+        "parts_return_rates": """
+            SELECT p.p_brand, COUNT(*) AS n_shipments,
+                   CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_returned,
+                   CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                             THEN CAST(round(l.l_extendedprice * 100)
+                                  AS BIGINT) ELSE 0 END) AS BIGINT)
+                       AS returned_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        "docs_reading_stats": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]+'))) AS BIGINT) AS n_words,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '[.!?]+'))) AS BIGINT) AS n_sentences,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '[aeiouAEIOU]+'))) AS BIGINT)
+                       AS n_vowel_groups
+            FROM documents GROUP BY source
         """,
         "events_transitions": """
             WITH seq AS (

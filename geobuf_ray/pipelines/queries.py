@@ -12598,6 +12598,116 @@ def events_local_peaks(sf_dir: str):
     return out.take(pa.array(o))
 
 
+def parts_return_rates(sf_dir: str):
+    """Return-rate by brand — the quality-control rollup: per part
+    brand the shipment count, returned count (l_returnflag = 'R')
+    and returned revenue cents, all exact integers (the rate itself
+    stays with the consumer).  The part dimension broadcasts ONCE as
+    a dense partkey -> brand code map (dimensions are bounded);
+    lineitem streams through a lookup + bincount partial — no
+    shuffle at all.  Hash-checked vs a join twin."""
+    import duckdb
+    import ray
+
+    from ..collect import collect_table
+
+    pt = duckdb.connect().execute(
+        f"SELECT p_partkey, p_brand FROM '{sf_dir}/part.parquet' "
+        "ORDER BY p_partkey").fetchdf()
+    pk = pt["p_partkey"].to_numpy().astype(np.int64)
+    brands, bcodes = np.unique(pt["p_brand"].to_numpy(), return_inverse=True)
+    side = ray.put((pk, bcodes.astype(np.int64), len(brands)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        kk, bc, nb = ray.get(side)
+        lp = b["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(kk, lp)
+        code = bc[pos]
+        rflag = pc.equal(b["l_returnflag"].combine_chunks(), "R") \
+            .to_numpy(zero_copy_only=False)
+        cents = np.round(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        n = np.bincount(code, minlength=nb).astype(np.int64)
+        nr = np.bincount(code, weights=rflag, minlength=nb) \
+            .astype(np.int64)
+        rc = np.bincount(code, weights=cents * rflag, minlength=nb) \
+            .astype(np.int64)
+        rows = np.flatnonzero(n)
+        return pa.table({
+            "brand_code": pa.array(rows.astype(np.int64)),
+            "n_shipments": pa.array(n[rows]),
+            "n_returned": pa.array(nr[rows]),
+            "returned_cents": pa.array(rc[rows])})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_returnflag", "l_extendedprice"])
+    parts = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    df = parts.to_pandas().groupby("brand_code", as_index=False).sum()
+    return pa.table({
+        "p_brand": pa.array([str(brands[c]) for c in
+                             df["brand_code"]], pa.string()),
+        "n_shipments": pa.array(df["n_shipments"].astype(np.int64)),
+        "n_returned": pa.array(df["n_returned"].astype(np.int64)),
+        "returned_cents": pa.array(
+            df["returned_cents"].astype(np.int64))})
+
+
+def docs_reading_stats(sf_dir: str):
+    """Reading-level ingredients per source — the Flesch-family
+    inputs as exact integers: word count (whitespace runs + 1 per
+    non-empty doc... counted as regex word tokens), sentence count
+    (terminator runs), and vowel-group count (the classic syllable
+    proxy), summed per source.  All three are Arrow RE2
+    ``count_substring_regex`` kernels — no per-row Python — and the
+    float readability score stays with the consumer.  Hash-checked
+    vs a regexp_extract_all twin."""
+    import ray
+
+    from ..collect import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["text"].combine_chunks()
+        words = pc.count_substring_regex(t, r"[A-Za-z0-9]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sents = pc.count_substring_regex(t, r"[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        vg = pc.count_substring_regex(t, r"[aeiouAEIOU]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        src = b["source"].combine_chunks().dictionary_encode()
+        codes = src.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        names = np.asarray(src.dictionary)
+        nb = len(names)
+        return pa.table({
+            "source": pa.array([str(x) for x in names]),
+            "n_docs": pa.array(np.bincount(codes, minlength=nb)
+                               .astype(np.int64)),
+            "n_words": pa.array(
+                np.bincount(codes, weights=words, minlength=nb)
+                .astype(np.int64)),
+            "n_sentences": pa.array(
+                np.bincount(codes, weights=sents, minlength=nb)
+                .astype(np.int64)),
+            "n_vowel_groups": pa.array(
+                np.bincount(codes, weights=vg, minlength=nb)
+                .astype(np.int64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    parts = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    df = parts.to_pandas().groupby("source", as_index=False).sum()
+    return pa.Table.from_pandas(
+        df.sort_values("source").reset_index(drop=True),
+        preserve_index=False).cast(pa.schema([
+            ("source", pa.string()), ("n_docs", pa.int64()),
+            ("n_words", pa.int64()), ("n_sentences", pa.int64()),
+            ("n_vowel_groups", pa.int64())]))
+
+
 def suppliers_scorecard(sf_dir: str, sla_days: int = 60):
     """Vendor scorecard — the composite supplier KPI table: per
     supplier the shipment count, revenue cents, on-time share
