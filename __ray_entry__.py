@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_tile_mode": q.customers_tile_mode,
         "suppliers_scorecard": q.suppliers_scorecard,
         "parts_return_rates": q.parts_return_rates,
+        "parts_price_dispersion": q.parts_price_dispersion,
+        "events_gap_histogram": q.events_gap_histogram,
         "docs_reading_stats": q.docs_reading_stats,
         "customers_order_cadence": q.customers_order_cadence,
         "events_type_cooccurrence": q.events_type_cooccurrence,
@@ -1491,6 +1493,32 @@ def oracle_sql() -> dict[str, str]:
                         '[aeiouAEIOU]+'))) AS BIGINT)
                        AS n_vowel_groups
             FROM documents GROUP BY source
+        """,
+        "parts_price_dispersion": """
+            SELECT l_partkey, COUNT(*) AS n_shipments,
+                   CAST(MIN(c) AS BIGINT) AS min_cents,
+                   CAST(MAX(c) AS BIGINT) AS max_cents,
+                   CAST(SUM(c) AS BIGINT) AS sum_cents,
+                   CAST(MAX(c) - MIN(c) AS BIGINT) AS spread_cents
+            FROM (SELECT l_partkey,
+                         CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS c
+                  FROM lineitem)
+            GROUP BY l_partkey HAVING MAX(c) > MIN(c)
+        """,
+        "events_gap_histogram": """
+            WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+                          LAG(epoch_us(ts)) OVER (
+                              PARTITION BY event_type
+                              ORDER BY epoch_us(ts), event_id) AS pt
+                       FROM events),
+            g AS (SELECT event_type, (t - pt) // 1000000 + 1 AS v
+                  FROM e WHERE pt IS NOT NULL)
+            SELECT event_type,
+                   CAST(LEAST(CASE WHEN v >= 1099511627776 THEN 40 WHEN v >= 549755813888 THEN 39 WHEN v >= 274877906944 THEN 38 WHEN v >= 137438953472 THEN 37 WHEN v >= 68719476736 THEN 36 WHEN v >= 34359738368 THEN 35 WHEN v >= 17179869184 THEN 34 WHEN v >= 8589934592 THEN 33 WHEN v >= 4294967296 THEN 32 WHEN v >= 2147483648 THEN 31 WHEN v >= 1073741824 THEN 30 WHEN v >= 536870912 THEN 29 WHEN v >= 268435456 THEN 28 WHEN v >= 134217728 THEN 27 WHEN v >= 67108864 THEN 26 WHEN v >= 33554432 THEN 25 WHEN v >= 16777216 THEN 24 WHEN v >= 8388608 THEN 23 WHEN v >= 4194304 THEN 22 WHEN v >= 2097152 THEN 21 WHEN v >= 1048576 THEN 20 WHEN v >= 524288 THEN 19 WHEN v >= 262144 THEN 18 WHEN v >= 131072 THEN 17 WHEN v >= 65536 THEN 16 WHEN v >= 32768 THEN 15 WHEN v >= 16384 THEN 14 WHEN v >= 8192 THEN 13 WHEN v >= 4096 THEN 12 WHEN v >= 2048 THEN 11 WHEN v >= 1024 THEN 10 WHEN v >= 512 THEN 9 WHEN v >= 256 THEN 8 WHEN v >= 128 THEN 7 WHEN v >= 64 THEN 6 WHEN v >= 32 THEN 5 WHEN v >= 16 THEN 4 WHEN v >= 8 THEN 3 WHEN v >= 4 THEN 2 WHEN v >= 2 THEN 1 ELSE 0 END, 24)
+                        AS BIGINT) AS bucket,
+                   COUNT(*) AS n_gaps
+            FROM g GROUP BY 1, 2
         """,
         "events_transitions": """
             WITH seq AS (

@@ -12598,6 +12598,112 @@ def events_local_peaks(sf_dir: str):
     return out.take(pa.array(o))
 
 
+def parts_price_dispersion(sf_dir: str):
+    """Price-integrity audit — the same part sold at different
+    prices: per part with ANY spread, the shipment count, exact min /
+    max / sum price cents and the absolute spread; parts priced
+    consistently are excluded.  Per-block (part, min, max, sum, n)
+    partials hash-combine; exact integers throughout.  Hash-checked
+    vs a HAVING twin."""
+    import ray
+
+    from ..collect import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        mn = np.full(len(uniq), np.int64(1) << 60)
+        mx = np.full(len(uniq), np.int64(-1) << 60)
+        np.minimum.at(mn, inv, cents)
+        np.maximum.at(mx, inv, cents)
+        return pa.table({
+            "l_partkey": pa.array(uniq),
+            "mn": pa.array(mn), "mx": pa.array(mx),
+            "sm": pa.array(np.bincount(inv, weights=cents)
+                           .astype(np.int64)),
+            "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    parts = collect_table(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    df = parts.to_pandas().groupby("l_partkey", as_index=False).agg(
+        mn=("mn", "min"), mx=("mx", "max"), sm=("sm", "sum"),
+        n=("n", "sum"))
+    df = df[df["mx"] > df["mn"]].sort_values("l_partkey") \
+        .reset_index(drop=True)
+    return pa.table({
+        "l_partkey": pa.array(df["l_partkey"].astype(np.int64)),
+        "n_shipments": pa.array(df["n"].astype(np.int64)),
+        "min_cents": pa.array(df["mn"].astype(np.int64)),
+        "max_cents": pa.array(df["mx"].astype(np.int64)),
+        "sum_cents": pa.array(df["sm"].astype(np.int64)),
+        "spread_cents": pa.array(
+            (df["mx"] - df["mn"]).astype(np.int64))})
+
+
+def events_gap_histogram(sf_dir: str, nbuckets_log: int = 24):
+    """Inter-event dwell-time distribution per type, log2-bucketed —
+    the latency-histogram shape every observability stack uses:
+    consecutive-event gaps (seconds, per type in exact (ts, event_id)
+    order) land in bucket floor(log2(gap_s + 1)), computed as the
+    integer BIT LENGTH (never float log), so both engines bucket
+    identically.  One type-hash exchange, vectorized diff + bincount.
+    Hash-checked vs a CASE-cascade twin generated from the same
+    boundaries."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("bucket", pa.int64()),
+                            ("n_gaps", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        et = np.asarray(tbl["event_type"].to_pylist(), object)
+        ts = tbl["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, et))
+        et, ts = et[order], ts[order]
+        same = np.concatenate(([False], et[1:] == et[:-1]))
+        gap_s = np.diff(ts) // 1_000_000
+        gsel = same[1:]
+        gt = et[1:][gsel]
+        gv = gap_s[gsel] + 1
+        # floor(log2(x)) == bit_length(x) - 1, exact integers (gv >= 1)
+        bl = np.frompyfunc(int.bit_length, 1, 1)(
+            gv.astype(object)).astype(np.int64)
+        bucket = bl - 1
+        ut, tinv = np.unique(gt, return_inverse=True)
+        packed = tinv * 64 + np.minimum(bucket, nbuckets_log)
+        up, pinv = np.unique(packed, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array([str(ut[i]) for i in up // 64]),
+            "bucket": pa.array((up % 64).astype(np.int64)),
+            "n_gaps": pa.array(np.bincount(pinv).astype(np.int64))})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"])
+    parts = collect_table(hash_exchange(
+        ds, nbuckets=16, on="event_type", reduce_fn=kernel,
+        schema=out_schema))
+    df = parts.to_pandas().groupby(
+        ["event_type", "bucket"], as_index=False).sum()
+    return pa.Table.from_pandas(
+        df.sort_values(["event_type", "bucket"])
+        .reset_index(drop=True), preserve_index=False).cast(out_schema)
+
+
 def parts_return_rates(sf_dir: str):
     """Return-rate by brand — the quality-control rollup: per part
     brand the shipment count, returned count (l_returnflag = 'R')
