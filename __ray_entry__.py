@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_return_rates": q.parts_return_rates,
         "parts_price_dispersion": q.parts_price_dispersion,
         "events_gap_histogram": q.events_gap_histogram,
+        "events_rolling_active_users": q.events_rolling_active_users,
         "docs_reading_stats": q.docs_reading_stats,
         "customers_order_cadence": q.customers_order_cadence,
         "events_type_cooccurrence": q.events_type_cooccurrence,
@@ -1519,6 +1520,20 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bucket,
                    COUNT(*) AS n_gaps
             FROM g GROUP BY 1, 2
+        """,
+        "events_rolling_active_users": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day
+                       FROM events),
+            r AS (SELECT UNNEST(range((SELECT MIN(day) FROM d),
+                                      (SELECT MAX(day) FROM d) + 1))
+                      AS day)
+            SELECT CAST(r.day AS BIGINT) AS day,
+                   CAST(COUNT(DISTINCT d.user_id) AS BIGINT)
+                       AS active_7d
+            FROM r LEFT JOIN d ON d.day BETWEEN r.day - 6 AND r.day
+            GROUP BY r.day
         """,
         "events_transitions": """
             WITH seq AS (

@@ -12646,6 +12646,81 @@ def parts_price_dispersion(sf_dir: str):
             (df["mx"] - df["mn"]).astype(np.int64))})
 
 
+def events_rolling_active_users(sf_dir: str, window_days: int = 7):
+    """Exact 7-day rolling active users (WAU-per-day) — the sliding
+    DISTINCT aggregate naive engines get wrong or approximate: a user
+    counts toward day D when active in [D-6, D].  Per user the
+    covered-day set is the UNION of [d, d+6] intervals over their
+    distinct activity days; the user-hash bucket coalesces those
+    intervals (sorted merge, gap > 0 splits) and emits only +1/-1
+    BOUNDARY deltas — the exchange carries O(intervals), never user
+    x day pairs — and the final cumsum over sorted boundaries yields
+    every day's exact count, zeros included.  Hash-checked vs a
+    range-join COUNT(DISTINCT) twin."""
+    import duckdb
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    lo, hi = duckdb.connect().execute(
+        f"SELECT MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)) "
+        f"FROM '{sf_dir}/events.parquet'").fetchone()
+    lo_d = np.datetime64(lo, "D").astype(np.int64)
+    hi_d = np.datetime64(hi, "D").astype(np.int64)
+    W = window_days - 1
+
+    part_schema = pa.schema([("day", pa.int64()),
+                             ("delta", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return part_schema.empty_table()
+        u = tbl["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        days = tbl["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        packed = np.unique(u * (np.int64(1) << 24) + days)
+        uu = packed >> 24
+        dd = packed & ((np.int64(1) << 24) - 1)
+        # per user: coalesce [d, d+W] intervals — a new interval
+        # starts when the gap to the previous day exceeds W
+        new_user = np.concatenate(([True], uu[1:] != uu[:-1]))
+        new_int = new_user | np.concatenate(
+            ([True], np.diff(dd) > W))
+        starts = dd[new_int]
+        # interval end = last day of its run + W
+        iid = np.cumsum(new_int) - 1
+        ni = int(iid[-1]) + 1
+        last = np.zeros(ni, np.int64)
+        np.maximum.at(last, iid, dd)
+        ends = last + W + 1          # exclusive
+        out_day = np.concatenate([starts, ends])
+        out_delta = np.concatenate([np.ones(ni, np.int64),
+                                    -np.ones(ni, np.int64)])
+        ud, dinv = np.unique(out_day, return_inverse=True)
+        return pa.table({
+            "day": pa.array(ud),
+            "delta": pa.array(np.bincount(dinv, weights=out_delta)
+                              .astype(np.int64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    parts = collect_table(hash_exchange(
+        ds, nbuckets=32, on="user_id", reduce_fn=kernel,
+        schema=part_schema))
+    df = parts.to_pandas().groupby("day", as_index=False)["delta"] \
+        .sum().sort_values("day")
+    bd = df["day"].to_numpy().astype(np.int64)
+    dl = df["delta"].to_numpy().astype(np.int64)
+    run = np.cumsum(dl)
+    all_days = np.arange(lo_d, hi_d + 1)
+    pos = np.searchsorted(bd, all_days, "right") - 1
+    active = np.where(pos >= 0, run[np.maximum(pos, 0)], 0)
+    return pa.table({"day": pa.array(all_days),
+                     "active_7d": pa.array(active.astype(np.int64))})
+
+
 def events_gap_histogram(sf_dir: str, nbuckets_log: int = 24):
     """Inter-event dwell-time distribution per type, log2-bucketed —
     the latency-histogram shape every observability stack uses:
