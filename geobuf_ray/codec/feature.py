@@ -111,33 +111,34 @@ def dequantize(q: np.ndarray) -> np.ndarray:
 
 
 def _varint_segment(vals_u64: np.ndarray, valid: np.ndarray, tag: int):
-    """value bytes ``0x12 varint(n+1) tag varint(v)`` per row (nulls→0)."""
+    """value bytes ``0x12 varint(n+1) tag varint(v)`` per row (nulls→0).
+
+    Returns LEAF segments ``[(flat, lens), ...]`` — assembled once in
+    ``encode_batch``'s single ``rowwise_concat`` so each byte moves
+    exactly once (the old nested-concat path moved property bytes
+    three times)."""
     n = len(vals_u64)
     body_flat, body_lens = vi.varint_encode(vals_u64)
-    lens = np.where(valid, body_lens + 3, 0)
     head = np.zeros((n, 3), np.uint8)
     head[:, 0] = 0x12
     head[:, 1] = (body_lens + 1).astype(np.uint8)
     head[:, 2] = tag
-    head_lens = np.where(valid, 3, 0).astype(np.int64)
     # drop null body bytes
     if not valid.all():
         keep = np.repeat(valid, body_lens)
         body_flat = body_flat[keep]
         body_lens = np.where(valid, body_lens, 0)
-        flat, rl = vi.rowwise_concat(
-            [(head[valid].reshape(-1), head_lens), (body_flat, body_lens)]
-        )
+        head_lens = np.where(valid, 3, 0).astype(np.int64)
+        head = head[valid]
     else:
-        flat, rl = vi.rowwise_concat(
-            [(head.reshape(-1), head_lens), (body_flat, body_lens)]
-        )
-    assert (rl == lens).all()
-    return flat, rl
+        head_lens = np.full(n, 3, np.int64)
+    return [(head.reshape(-1), head_lens), (body_flat, body_lens)]
 
 
 def _fixed_segment(raw: np.ndarray, valid: np.ndarray, tag: int, width: int):
-    """value bytes ``0x12 (width+1) tag <width raw bytes>`` per row."""
+    """value bytes ``0x12 (width+1) tag <width raw bytes>`` per row.
+
+    Returns leaf segments (see ``_varint_segment``)."""
     n = len(valid)
     out = np.zeros((n, width + 3), np.uint8)
     out[:, 0] = 0x12
@@ -146,7 +147,7 @@ def _fixed_segment(raw: np.ndarray, valid: np.ndarray, tag: int, width: int):
     out[:, 3:] = raw.reshape(n, width)
     lens = np.where(valid, width + 3, 0).astype(np.int64)
     flat = out[valid].reshape(-1)
-    return flat, lens
+    return [(flat, lens)]
 
 
 def _string_segment(col: pa.Array, valid: np.ndarray):
@@ -171,24 +172,37 @@ def _string_segment(col: pa.Array, valid: np.ndarray):
     inner_lens = 1 + len_pref_lens + s_lens  # 0x0A varint(len) utf8
     outer_pref_flat, outer_pref_lens = vi.varint_encode(inner_lens.astype(_U64))
     n = len(s_lens)
-    tag12 = np.full(n, 0x12, np.uint8)
-    tag0a = np.full(n, 0x0A, np.uint8)
-    one = np.ones(n, np.int64)
-    flat, lens = vi.rowwise_concat(
-        [
-            (tag12, one.copy()),
+    # the two 1-byte tags and the (always-1-byte here? no — varint)
+    # prefixes stay separate leaves; ``encode_batch``'s single concat
+    # interleaves them.  Fuse the constant tags with nothing — they're
+    # 1 byte/row and cheap.
+    if valid.all():
+        tag12 = np.full(n, 0x12, np.uint8)
+        tag0a = np.full(n, 0x0A, np.uint8)
+        one = np.ones(n, np.int64)
+        return [
+            (tag12, one),
             (outer_pref_flat, outer_pref_lens),
-            (tag0a, one.copy()),
+            (tag0a, one),
             (len_pref_flat, len_pref_lens),
             (s_flat, s_lens),
         ]
-    )
-    lens = np.where(valid, lens, 0)
-    if not valid.all():
-        # rebuild without null rows' bytes
-        keepmask = np.repeat(valid, 1 + outer_pref_lens + 1 + len_pref_lens + s_lens)
-        flat = flat[keepmask]
-    return flat, lens
+    nvalid = int(valid.sum())
+    tag_lens = valid.astype(np.int64)
+    tag12 = np.full(nvalid, 0x12, np.uint8)
+    tag0a = np.full(nvalid, 0x0A, np.uint8)
+    outer_pref_flat = outer_pref_flat[np.repeat(valid, outer_pref_lens)]
+    outer_pref_lens = np.where(valid, outer_pref_lens, 0)
+    len_pref_flat = len_pref_flat[np.repeat(valid, len_pref_lens)]
+    len_pref_lens = np.where(valid, len_pref_lens, 0)
+    # s_flat / s_lens already zero out null rows (s_lens was masked)
+    return [
+        (tag12, tag_lens),
+        (outer_pref_flat, outer_pref_lens),
+        (tag0a, tag_lens.copy()),
+        (len_pref_flat, len_pref_lens),
+        (s_flat, s_lens),
+    ]
 
 
 def _valid_mask(col) -> np.ndarray:
@@ -199,24 +213,25 @@ def _valid_mask(col) -> np.ndarray:
     return ~col.is_null().to_numpy(zero_copy_only=False)
 
 
-def encode_property_column(name: str, col) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row keyvalue bytes for one property column.
+def encode_property_column(name: str, col) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Per-row keyvalue byte LEAF SEGMENTS for one property column.
 
-    Returns (flat uint8, lengths int64); null rows contribute 0 bytes
-    (a Go map simply lacks the key).
+    Returns ``[(flat uint8, lengths int64), ...]`` to be interleaved by
+    ``encode_batch``'s single ``rowwise_concat``; null rows contribute
+    0 bytes in every leaf (a Go map simply lacks the key).
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     valid = _valid_mask(col)
     t = col.type
     if pa.types.is_string(t) or pa.types.is_large_string(t):
-        val_flat, val_lens = _string_segment(col, valid)
+        val_segs = _string_segment(col, valid)
     elif pa.types.is_float64(t):
         raw = col.fill_null(0.0).to_numpy(zero_copy_only=False).astype("<f8").view(np.uint8)
-        val_flat, val_lens = _fixed_segment(raw, valid, 0x19, 8)
+        val_segs = _fixed_segment(raw, valid, 0x19, 8)
     elif pa.types.is_float32(t):
         raw = col.fill_null(0.0).to_numpy(zero_copy_only=False).astype("<f4").view(np.uint8)
-        val_flat, val_lens = _fixed_segment(raw, valid, 0x15, 4)
+        val_segs = _fixed_segment(raw, valid, 0x15, 4)
     elif pa.types.is_boolean(t):
         vals = col.fill_null(False).to_numpy(zero_copy_only=False).astype(np.uint8)
         n = len(vals)
@@ -226,46 +241,44 @@ def encode_property_column(name: str, col) -> tuple[np.ndarray, np.ndarray]:
         out[:, 2] = 0x38
         out[:, 3] = vals
         val_lens = np.where(valid, 4, 0).astype(np.int64)
-        val_flat = out[valid].reshape(-1)
+        val_segs = [(out[valid].reshape(-1), val_lens)]
     elif pa.types.is_unsigned_integer(t):
         vals = col.fill_null(0).to_numpy(zero_copy_only=False).astype(_U64)
-        val_flat, val_lens = _varint_segment(vals, valid, 0x28)
+        val_segs = _varint_segment(vals, valid, 0x28)
     elif pa.types.is_integer(t):
         vals = col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64).astype(_U64)
-        val_flat, val_lens = _varint_segment(vals, valid, 0x20)
+        val_segs = _varint_segment(vals, valid, 0x20)
     else:
         raise TypeError(f"unsupported property type {t} for column {name!r}")
 
+    val_lens = val_segs[0][1].copy()
+    for _, l in val_segs[1:]:
+        val_lens += l
     key = name.encode("utf-8")
     key_hdr = bytes([0x0A]) + vi.encode_varint_scalar(len(key)) + key
     n = len(valid)
     inner_lens = len(key_hdr) + val_lens
     inner_lens = np.where(valid, inner_lens, 0)
     pref_flat, pref_lens = vi.varint_encode(inner_lens.astype(_U64))
-    tag = np.full(n, 0x12, np.uint8)
-    key_flat = np.tile(np.frombuffer(key_hdr, np.uint8), n)
-    key_lens = np.full(n, len(key_hdr), np.int64)
-    one = np.ones(n, np.int64)
-    # null rows: zero out every piece
-    if not valid.all():
-        tag_lens = np.where(valid, 1, 0).astype(np.int64)
-        tag = tag[valid]
-        pref_keep = np.repeat(valid, pref_lens)
-        pref_flat = pref_flat[pref_keep]
-        pref_lens = np.where(valid, pref_lens, 0)
-        key_lens = np.where(valid, key_lens, 0)
-        key_flat = np.tile(np.frombuffer(key_hdr, np.uint8), int(valid.sum()))
+    if valid.all():
+        tag = np.full(n, 0x12, np.uint8)
+        tag_lens = np.ones(n, np.int64)
+        key_flat = np.tile(np.frombuffer(key_hdr, np.uint8), n)
+        key_lens = np.full(n, len(key_hdr), np.int64)
     else:
-        tag_lens = one
-    flat, lens = vi.rowwise_concat(
-        [
-            (tag, tag_lens),
-            (pref_flat, pref_lens),
-            (key_flat, key_lens),
-            (val_flat, val_lens),
-        ]
-    )
-    return flat, lens
+        nvalid = int(valid.sum())
+        tag = np.full(nvalid, 0x12, np.uint8)
+        tag_lens = valid.astype(np.int64)
+        pref_flat = pref_flat[np.repeat(valid, pref_lens)]
+        pref_lens = np.where(valid, pref_lens, 0)
+        key_flat = np.tile(np.frombuffer(key_hdr, np.uint8), nvalid)
+        key_lens = np.where(valid, len(key_hdr), 0).astype(np.int64)
+    return [
+        (tag, tag_lens),
+        (pref_flat, pref_lens),
+        (key_flat, key_lens),
+        *val_segs,
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -309,16 +322,23 @@ def _geometry_segments(table: pa.Table):
     ring_d = dim[ring_feat]
     n_rings = len(ring_sizes)
 
-    # per-point arrays (points may have mixed dims across the batch)
-    pts_per_feat = np.where(dim > 0, coords_per_feat // np.maximum(dim, 1), 0)
-    pt_feat = np.repeat(np.arange(n), pts_per_feat)
-    pt_dim = dim[pt_feat]
-    pt_base = np.concatenate(([0], np.cumsum(pt_dim)[:-1])) if len(pt_dim) else np.empty(0, np.int64)
+    # per-point arrays (points may have mixed dims across the batch).
+    # The universal uniform-dim-2 batch skips every per-point gather
+    # (pt_feat / pt_dim / pt_base are only needed for mixed-dim or
+    # dim>2 batches — building them is three 10-byte-per-point passes).
+    uniform2 = bool(n) and int(dim.max()) == 2 and int(dim.min()) == 2
+    if uniform2:
+        pts_per_feat = coords_per_feat >> 1
+        total_pts = len(coords) >> 1
+        pt_feat = pt_dim = pt_base = None
+    else:
+        pts_per_feat = np.where(dim > 0, coords_per_feat // np.maximum(dim, 1), 0)
+        pt_feat = np.repeat(np.arange(n), pts_per_feat)
+        pt_dim = dim[pt_feat]
+        pt_base = np.concatenate(([0], np.cumsum(pt_dim)[:-1])) if len(pt_dim) else np.empty(0, np.int64)
+        total_pts = len(pt_dim)
     # offset of each feature's first coord must match c_offs
     # (true because coords are concatenated in feature order)
-
-    # quantize all coords once
-    q = quantize(coords)
 
     # per-value (coordinate scalar) arrays laid out point-major
     total_vals = len(coords)
@@ -326,18 +346,48 @@ def _geometry_segments(table: pa.Table):
     ring_pt_ends = np.cumsum(ring_sizes)
     ring_pt_starts = ring_pt_ends - ring_sizes
     # deltas per dimension with reset at ring starts
-    delta = np.empty(total_vals, np.int64)
-    if total_vals:
+    zz = None
+    dim2 = uniform2 if uniform2 else (
+        bool(total_pts) and int(pt_dim.max()) == 2
+        and int(pt_dim.min()) == 2)
+    if total_vals and dim2:
+        # Quantized geographic coordinates fit int32 (|q| <= 1.8e9 <
+        # 2^31): quantize straight to int32 and run the whole
+        # delta/zigzag pipeline at half width — same bytes, half the
+        # memory traffic of the int64 lane.  Delta overflow (a
+        # consecutive jump > 214.7 degrees) is caught by the exact
+        # int32-subtract overflow test ((a^b)&(a^(a-b)))<0 and falls
+        # back to the int64 path (NaN/inf coords also fall back: the
+        # min/max compare below is False for them).
+        cmin, cmax = coords.min(), coords.max()
+        if cmin * _POWER > -(2.0**31) and cmax * _POWER < 2.0**31 - 1:
+            q32 = (coords * _POWER).astype(np.int32)
+            delta = np.empty(total_vals, np.int32)
+            delta[:2] = q32[:2]
+            np.subtract(q32[2:], q32[:-2], out=delta[2:])
+            if (cmax - cmin) * _POWER < 2.0**31 - 1:
+                ok = True  # span-bounded: no int32 delta can overflow
+            else:
+                ov = ((q32[2:] ^ q32[:-2]) & (q32[2:] ^ delta[2:])) < 0
+                ok = not ov.any()
+            if ok:
+                rs = ring_pt_starts[ring_pt_starts < total_pts] * 2
+                delta[rs] = q32[rs]
+                delta[rs + 1] = q32[rs + 1]
+                zz = vi.zigzag_encode(delta)
+    if total_vals and zz is None:
+        q = quantize(coords)
+        delta = np.empty(total_vals, np.int64)
         # value index of each point's dim-j coord: pt_base + j
         # compute deltas pointwise: d[p] = q[p] - q[p-1] per dim, reset at ring start
-        if len(pt_dim) and int(pt_dim.max()) == 2 and int(pt_dim.min()) == 2:
+        if dim2:
             # dim-2 fast path (the universal case): point-major layout
             # means q[p] - q[p-2] IS the same-dim previous-point delta
             # for both x and y — one strided subtract, then restore the
             # absolute value at each ring's first point
             delta[:] = q
             delta[2:] -= q[:-2]
-            rs = ring_pt_starts[ring_pt_starts < len(pt_dim)] * 2
+            rs = ring_pt_starts[ring_pt_starts < total_pts] * 2
             delta[rs] = q[rs]
             delta[rs + 1] = q[rs + 1]
         else:
@@ -352,26 +402,34 @@ def _geometry_segments(table: pa.Table):
                 for j in range(int(pt_dim.max()) if len(pt_dim) else 0):
                     sel = ii[pt_dim[ii] > j]
                     delta[pt_base[sel] + j] = q[pt_base[sel] + j] - q[prev_idx[sel] + j]
-    # deltas almost always fit int32 (a >=2^31 delta is a >214-degree
-    # jump): zigzag + the whole varint_encode pipeline below then run
-    # at half width — same bytes, half the memory traffic
-    if total_vals and -(1 << 31) <= int(delta.min()) \
-            and int(delta.max()) < (1 << 31):
-        zz = vi.zigzag_encode(delta.astype(np.int32))
+        # deltas almost always fit int32 (a >=2^31 delta is a
+        # >214-degree jump): zigzag + the whole varint_encode pipeline
+        # below then run at half width — same bytes, half the traffic
+        if -(1 << 31) <= int(delta.min()) and int(delta.max()) < (1 << 31):
+            zz = vi.zigzag_encode(delta.astype(np.int32))
+        else:
+            zz = vi.zigzag_encode(delta)
+    if zz is None:
+        zz = np.empty(0, np.uint32)
+
+    # which coordinate values are actually emitted: Points emit 2 dims
+    # only.  Uniform dim-2 batches keep everything — ring_kept is just
+    # 2 values per vertex, no per-point cumsum / where passes at all.
+    if uniform2:
+        keep_all = True
+        ring_kept = ring_sizes * 2
     else:
-        zz = vi.zigzag_encode(delta)
+        keep = np.ones(total_vals, bool)
+        pt_is_point_extra = (geom_type[pt_feat] == POINT) & (pt_dim > 2)
+        for j in range(2, int(pt_dim.max()) if len(pt_dim) else 2):
+            sel = np.flatnonzero(pt_is_point_extra & (pt_dim > j))
+            keep[pt_base[sel] + j] = False
+        kept_per_pt = np.where(geom_type[pt_feat] == POINT, np.minimum(pt_dim, 2), pt_dim)
+        keep_all = bool(keep.all())
 
-    # which coordinate values are actually emitted: Points emit 2 dims only
-    keep = np.ones(total_vals, bool)
-    pt_is_point_extra = (geom_type[pt_feat] == POINT) & (pt_dim > 2)
-    for j in range(2, int(pt_dim.max()) if len(pt_dim) else 2):
-        sel = np.flatnonzero(pt_is_point_extra & (pt_dim > j))
-        keep[pt_base[sel] + j] = False
-    kept_per_pt = np.where(geom_type[pt_feat] == POINT, np.minimum(pt_dim, 2), pt_dim)
-
-    # per-ring emitted value counts
-    kept_cum = np.concatenate(([0], np.cumsum(kept_per_pt)))
-    ring_kept = kept_cum[np.minimum(ring_pt_ends, len(kept_per_pt))] - kept_cum[ring_pt_starts]
+        # per-ring emitted value counts
+        kept_cum = np.concatenate(([0], np.cumsum(kept_per_pt)))
+        ring_kept = kept_cum[np.minimum(ring_pt_ends, len(kept_per_pt))] - kept_cum[ring_pt_starts]
 
     # prefixes: ring-size prefix for 3/5/6; polygon ring-count prefix
     # for 6.  Features with NO coordinates emit no geometry section at
@@ -399,7 +457,7 @@ def _geometry_segments(table: pa.Table):
     # stream dtype follows the vertex values' width
     sdt = zz.dtype if total_vals else _U64
     if stream_total and stream_total == total_vals \
-            and not ring_prefix_count.any() and bool(keep.all()):
+            and not ring_prefix_count.any() and keep_all:
         # no prefixes, nothing dropped (Point/LineString/MultiPoint
         # batches): the stream IS the zigzag delta array — no
         # allocation, no prefix scatters, no 3-pass scatter-index build
@@ -419,7 +477,7 @@ def _geometry_segments(table: pa.Table):
         if stream_total:
             dst = np.repeat(ring_stream_starts + ring_prefix_count,
                             ring_kept) + vi.ramp(ring_kept)
-            stream[dst] = zz[keep]
+            stream[dst] = zz if keep_all else zz[keep]
 
     # varint-encode the whole stream at once
     flat, vlens = vi.varint_encode(stream)
@@ -461,16 +519,28 @@ def _geometry_segments(table: pa.Table):
     ]
 
     # ---- bbox section (W,S,E,N), from FLOAT coords then truncate ----
-    if len(pt_dim):
-        x = coords[pt_base]
-        y = coords[pt_base + 1]
+    if total_pts:
         feat_pt_starts = np.concatenate(([0], np.cumsum(pts_per_feat)[:-1]))
         nz = pts_per_feat > 0
         starts_nz = feat_pt_starts[nz]
-        west = np.minimum.reduceat(x, starts_nz) if nz.any() else np.empty(0)
-        east = np.maximum.reduceat(x, starts_nz) if nz.any() else np.empty(0)
-        south = np.minimum.reduceat(y, starts_nz) if nz.any() else np.empty(0)
-        north = np.maximum.reduceat(y, starts_nz) if nz.any() else np.empty(0)
+        if uniform2:
+            # one 2-D reduceat per extreme instead of two x/y gathers
+            # plus four 1-D reduceats
+            c2 = coords.reshape(-1, 2)
+            if nz.any():
+                mins = np.minimum.reduceat(c2, starts_nz, axis=0)
+                maxs = np.maximum.reduceat(c2, starts_nz, axis=0)
+                west, south = mins[:, 0], mins[:, 1]
+                east, north = maxs[:, 0], maxs[:, 1]
+            else:
+                west = east = south = north = np.empty(0)
+        else:
+            x = coords[pt_base]
+            y = coords[pt_base + 1]
+            west = np.minimum.reduceat(x, starts_nz) if nz.any() else np.empty(0)
+            east = np.maximum.reduceat(x, starts_nz) if nz.any() else np.empty(0)
+            south = np.minimum.reduceat(y, starts_nz) if nz.any() else np.empty(0)
+            north = np.maximum.reduceat(y, starts_nz) if nz.any() else np.empty(0)
         bq = np.empty((int(nz.sum()), 4), np.int64)
         bq[:, 0] = quantize(west)
         bq[:, 1] = quantize(south)
@@ -527,11 +597,13 @@ def encode_batch(
         segments.append((tag_flat, tag_lens))
         segments.append((id_flat, id_lens))
 
-    # property sections, canonical order = column order
+    # property sections, canonical order = column order.  Each column
+    # contributes LEAF segments — one final rowwise_concat moves every
+    # byte exactly once (the nested per-column concat moved them 3x).
     if prop_cols is None:
         prop_cols = property_columns(table)
     for name in prop_cols:
-        segments.append(encode_property_column(name, table[name]))
+        segments.extend(encode_property_column(name, table[name]))
 
     # geometry + bbox
     if "coords" in table.column_names:

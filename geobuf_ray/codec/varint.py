@@ -82,42 +82,55 @@ def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = len(v)
     if n == 0:
         return np.empty(0, np.uint8), np.empty(0, np.int64)
-    nb = varint_byte_lengths(v)
-    ends = np.cumsum(nb)
+    # ONE threshold compare per byte position, kept and reused three
+    # ways: summed (as uint8 — 8x less traffic than the old int64
+    # accumulate) for the byte lengths, as the round's selection mask,
+    # and as the round's continuation bit.  Offsets run in int32 when
+    # the stream can't reach 2 GiB (blocks never do) — halves the
+    # index-math traffic of the cumsum and every scatter.
+    vmax = int(v.max())
+    masks: list[np.ndarray] = []
+    nb8 = np.ones(n, np.uint8)
+    max_k = 4 if v.dtype == np.uint32 else 9
+    for k in range(1, max_k + 1):
+        if vmax < (1 << (7 * k)):
+            break
+        m = v >= dt(1 << (7 * k))
+        masks.append(m)
+        nb8 += m
+    maxnb = len(masks) + 1
+    nb = nb8.astype(np.int64)
+    idx_t = np.int32 if maxnb * n < 2**31 else np.int64
+    ends = np.cumsum(nb8, dtype=idx_t)
     total = int(ends[-1])
-    starts = ends - nb
-    maxnb = int(nb.max())
+    starts = ends - nb8
     # DESCENDING full-array rounds into a padded buffer: round k
     # writes byte k of EVERY value — a write past value i's last byte
     # lands inside a later value's range and is overwritten by a
-    # later (smaller-k) round, so no per-round validity mask, length
-    # compare, or index selection exists at all.  The continuation
-    # bit is a direct value-threshold compare (v >= 2^(7(k+1))).
-    # Rounds that touch only a sparse tail (long values in a mostly-
-    # short stream) switch to an index-selected scatter, which writes
-    # only valid positions and therefore composes with the
-    # overwrite-descending scheme.
+    # later (smaller-k) round, so no per-round validity mask or length
+    # compare exists at all.  Rounds that touch only a sparse tail
+    # (long values in a mostly-short stream) switch to an
+    # index-selected scatter, which writes only valid positions and
+    # therefore composes with the overwrite-descending scheme.
     out = np.empty(total + maxnb, dtype=np.uint8)
-    counts = np.bincount(nb, minlength=maxnb + 1)
-    above = np.cumsum(counts[::-1])[::-1]  # above[b] = #values nb >= b
     for k in range(maxnb - 1, 0, -1):
-        if int(above[k + 1]) * 4 < n:
-            sel = np.flatnonzero(v >= dt(1 << (7 * k)))
+        m = masks[k - 1]
+        cont = masks[k] if k < maxnb - 1 else None
+        if int(np.count_nonzero(m)) * 4 < n:
+            sel = np.flatnonzero(m)
             vs = v[sel]
             byte = ((vs >> dt(7 * k)) & dt(0x7F)).astype(np.uint8)
-            if k < maxnb - 1:
-                byte |= (vs >= dt(1 << (7 * (k + 1)))).view(
-                    np.uint8) << np.uint8(7)
-            out[starts[sel] + k] = byte
+            if cont is not None:
+                byte |= cont[sel].view(np.uint8) << np.uint8(7)
+            out[starts[sel] + idx_t(k)] = byte
         else:
             byte = ((v >> dt(7 * k)) & dt(0x7F)).astype(np.uint8)
-            if k < maxnb - 1:
-                byte |= (v >= dt(1 << (7 * (k + 1)))).view(
-                    np.uint8) << np.uint8(7)
-            out[starts + k] = byte
+            if cont is not None:
+                byte |= cont.view(np.uint8) << np.uint8(7)
+            out[starts + idx_t(k)] = byte
     byte0 = (v & dt(0x7F)).astype(np.uint8)
     if maxnb > 1:
-        byte0 |= (v >= dt(1 << 7)).view(np.uint8) << np.uint8(7)
+        byte0 |= masks[0].view(np.uint8) << np.uint8(7)
     out[starts] = byte0
     return out[:total], nb
 
@@ -405,17 +418,17 @@ def rowwise_concat(
     # consecutive, so dst = arange(seg_total) + per-row shift — no
     # second repeat for a position ramp
     idx_t = np.int32 if total < 2**31 else np.int64
-    row_starts = np.cumsum(row_lens, dtype=np.int64) - row_lens
-    offset_within = np.zeros(n, dtype=np.int64)
+    row_starts = np.cumsum(row_lens, dtype=idx_t) - row_lens.astype(idx_t)
+    offset_within = np.zeros(n, dtype=idx_t)
     for flat, l in segments:
         if len(flat) == 0:
-            continue
-        seg_starts = np.cumsum(l, dtype=np.int64) - l
-        shift = (row_starts + offset_within - seg_starts).astype(idx_t)
+            continue  # empty flat => all-zero lens; no offset to add
+        seg_starts = np.cumsum(l, dtype=idx_t) - l.astype(idx_t)
+        shift = row_starts + offset_within - seg_starts
         dst = np.repeat(shift, l)
         dst += np.arange(len(flat), dtype=idx_t)
         out[dst] = flat
-        offset_within += l
+        offset_within += l.astype(idx_t)
     return out, row_lens
 
 

@@ -54,6 +54,53 @@ def _final_combine(partials_ds, group_cols: list[str],
     return agg.rename_columns(group_cols + sum_cols)
 
 
+def _exchange_combine(partials_ds, key: str,
+                      agg_spec: list[tuple[str, str]]) -> pa.Table:
+    """ENTITY-keyed final reduce, finished INSIDE a key-hash exchange.
+
+    For group keys whose cardinality grows with the dataset (partkey,
+    custkey, suppkey, ...) the ``_final_combine`` driver reduce would
+    collect |keys| x |blocks| partial rows — a driver hot-spot at
+    scale.  This routes the partials through ``hash_exchange`` keyed
+    on ``key`` and combines per key inside each bucket task, so the
+    driver collects only the FINISHED one-row-per-key result.
+    ``agg_spec`` = [(col, 'sum'|'max'|'min'), ...]; all int64.
+    Output is sorted by ``key``."""
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    out_schema = pa.schema([(key, pa.int64())]
+                           + [(c, pa.int64()) for c, _ in agg_spec])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        k = tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        cols = {key: pa.array(uniq)}
+        for c, how in agg_spec:
+            v = tbl[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            if how == "sum":
+                r = np.bincount(inv, weights=v,
+                                minlength=len(uniq)).astype(np.int64)
+            elif how == "max":
+                r = np.full(len(uniq), np.int64(-1) << 62)
+                np.maximum.at(r, inv, v)
+            elif how == "min":
+                r = np.full(len(uniq), np.int64(1) << 62)
+                np.minimum.at(r, inv, v)
+            else:
+                raise ValueError(f"unsupported agg {how!r}")
+            cols[c] = pa.array(r)
+        return pa.table(cols)
+
+    out = collect_table(hash_exchange(
+        partials_ds, nbuckets=32, on=key, reduce_fn=finish,
+        schema=out_schema))
+    order = np.argsort(out[key].to_numpy(zero_copy_only=False))
+    return out.take(pa.array(order))
+
+
 def _broadcast_lookup_aggregate(side_sql: str, label_col: str,
                                 fact_path: str, fact_columns: list[str],
                                 fact_key: str, measures, count_name: str,
@@ -12298,12 +12345,12 @@ def customers_rfm(sf_dir: str):
     (cents sum) from ONE distributed counting pass, quartile cut
     points by the exact PERCENTILE_DISC rank rule, and every customer
     lands in a (r, f, m) quartile cell — counts per cell.  All
-    integers; the per-customer table is a driver combine of per-block
-    partials (|customers| rows by contract); hash-checked vs a
+    integers; the per-customer combine finishes INSIDE a custkey-hash
+    exchange (the driver collects one finished row per customer — the
+    exact global quartile cut needs that view — never the
+    |customers| x |blocks| partial table); hash-checked vs a
     quantile_disc + CASE twin."""
     import ray
-
-    from ..collect import collect_table
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -12321,10 +12368,10 @@ def customers_rfm(sf_dir: str):
             [("r", "max"), ("f", "sum"), ("m", "sum")])
         return g.rename_columns(["c", "r", "f", "m"])
 
-    parts = collect_table(ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True))
-    df = parts.to_pandas().groupby("c", as_index=False).agg(
-        r=("r", "max"), f=("f", "sum"), m=("m", "sum"))
+    df = _exchange_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "c", [("r", "max"), ("f", "sum"), ("m", "sum")]).to_pandas()
 
     def cuts_exact(v):
         s = np.sort(v.to_numpy())
@@ -12603,11 +12650,14 @@ def parts_price_dispersion(sf_dir: str):
     prices: per part with ANY spread, the shipment count, exact min /
     max / sum price cents and the absolute spread; parts priced
     consistently are excluded.  Per-block (part, min, max, sum, n)
-    partials hash-combine; exact integers throughout.  Hash-checked
-    vs a HAVING twin."""
+    partials hash-combine INSIDE a part-keyed exchange (the driver
+    collects only the finished, HAVING-filtered groups — partial rows
+    scale with |parts| x |blocks| and must never centralize); exact
+    integers throughout.  Hash-checked vs a HAVING twin."""
     import ray
 
     from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
 
     def partial(b: pa.Table) -> pa.Table:
         pk = b["l_partkey"].to_numpy(zero_copy_only=False) \
@@ -12626,24 +12676,43 @@ def parts_price_dispersion(sf_dir: str):
                            .astype(np.int64)),
             "n": pa.array(np.bincount(inv).astype(np.int64))})
 
-    parts = collect_table(
-        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
-                              columns=["l_partkey", "l_extendedprice"])
+    out_schema = pa.schema([
+        ("l_partkey", pa.int64()), ("n_shipments", pa.int64()),
+        ("min_cents", pa.int64()), ("max_cents", pa.int64()),
+        ("sum_cents", pa.int64()), ("spread_cents", pa.int64())])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        pk = tbl["l_partkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        mn = np.full(len(uniq), np.int64(1) << 60)
+        mx = np.full(len(uniq), np.int64(-1) << 60)
+        np.minimum.at(mn, inv, tbl["mn"].to_numpy(zero_copy_only=False))
+        np.maximum.at(mx, inv, tbl["mx"].to_numpy(zero_copy_only=False))
+        sm = np.bincount(inv, weights=tbl["sm"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        n = np.bincount(inv, weights=tbl["n"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        keep = mx > mn
+        return pa.table({
+            "l_partkey": pa.array(uniq[keep]),
+            "n_shipments": pa.array(n[keep]),
+            "min_cents": pa.array(mn[keep]),
+            "max_cents": pa.array(mx[keep]),
+            "sum_cents": pa.array(sm[keep]),
+            "spread_cents": pa.array(mx[keep] - mn[keep])})
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice"]) \
         .map_batches(partial, batch_format="pyarrow",
-                     zero_copy_batch=True))
-    df = parts.to_pandas().groupby("l_partkey", as_index=False).agg(
-        mn=("mn", "min"), mx=("mx", "max"), sm=("sm", "sum"),
-        n=("n", "sum"))
-    df = df[df["mx"] > df["mn"]].sort_values("l_partkey") \
-        .reset_index(drop=True)
-    return pa.table({
-        "l_partkey": pa.array(df["l_partkey"].astype(np.int64)),
-        "n_shipments": pa.array(df["n"].astype(np.int64)),
-        "min_cents": pa.array(df["mn"].astype(np.int64)),
-        "max_cents": pa.array(df["mx"].astype(np.int64)),
-        "sum_cents": pa.array(df["sm"].astype(np.int64)),
-        "spread_cents": pa.array(
-            (df["mx"] - df["mn"]).astype(np.int64))})
+                     zero_copy_batch=True)
+    out = collect_table(hash_exchange(
+        partials, nbuckets=32, on="l_partkey", reduce_fn=finish,
+        schema=out_schema))
+    order = np.argsort(out["l_partkey"].to_numpy(zero_copy_only=False))
+    return out.take(pa.array(order))
 
 
 def events_rolling_active_users(sf_dir: str, window_days: int = 7):
@@ -12958,19 +13027,44 @@ def suppliers_scorecard(sf_dir: str, sla_days: int = 60):
                 .astype(np.int64)),
             "worst_delay_days": pa.array(mx)})
 
-    parts = collect_table(joined.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True))
-    df = parts.to_pandas().groupby("s_suppkey", as_index=False).agg(
-        n_shipments=("n_shipments", "sum"),
-        revenue_cents=("revenue_cents", "sum"),
-        n_on_time=("n_on_time", "sum"),
-        worst_delay_days=("worst_delay_days", "max"))
-    return pa.Table.from_pandas(
-        df.sort_values("s_suppkey").reset_index(drop=True),
-        preserve_index=False).cast(pa.schema([
-            ("s_suppkey", pa.int64()), ("n_shipments", pa.int64()),
-            ("revenue_cents", pa.int64()), ("n_on_time", pa.int64()),
-            ("worst_delay_days", pa.int64())]))
+    out_schema = pa.schema([
+        ("s_suppkey", pa.int64()), ("n_shipments", pa.int64()),
+        ("revenue_cents", pa.int64()), ("n_on_time", pa.int64()),
+        ("worst_delay_days", pa.int64())])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        # per-supplier final combine INSIDE the exchange: the driver
+        # collects only finished scorecard rows (|suppliers|), never
+        # the |suppliers| x |blocks| partial table
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        sk = tbl["s_suppkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(sk, return_inverse=True)
+        mx = np.zeros(len(uniq), np.int64)
+        np.maximum.at(mx, inv, tbl["worst_delay_days"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "s_suppkey": pa.array(uniq),
+            "n_shipments": pa.array(np.bincount(
+                inv, weights=tbl["n_shipments"].to_numpy(
+                    zero_copy_only=False)).astype(np.int64)),
+            "revenue_cents": pa.array(np.bincount(
+                inv, weights=tbl["revenue_cents"].to_numpy(
+                    zero_copy_only=False)).astype(np.int64)),
+            "n_on_time": pa.array(np.bincount(
+                inv, weights=tbl["n_on_time"].to_numpy(
+                    zero_copy_only=False)).astype(np.int64)),
+            "worst_delay_days": pa.array(mx)})
+
+    from ..functions.exchange import hash_exchange
+
+    partials = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = collect_table(hash_exchange(
+        partials, nbuckets=32, on="s_suppkey", reduce_fn=finish,
+        schema=out_schema))
+    o = np.argsort(out["s_suppkey"].to_numpy(zero_copy_only=False))
+    return out.take(pa.array(o))
 
 
 def customers_order_cadence(sf_dir: str):
@@ -13534,14 +13628,13 @@ def parts_abc_analysis(sf_dir: str):
     class A = the head covering < 80% cumulative share, B = up to
     95%, C = the tail (boundaries pinned by exact integer
     cross-multiplies 100·cum < 80·total etc.; ties in revenue broken
-    by partkey — pinned).  The revenue aggregate is distributed
-    (per-block partials, partkey-hash combine); the ranked
-    classification runs on the bounded per-part table.  Emits one row
-    per class: n_parts, revenue_cents, share ingredients.
-    Hash-checked vs a window cumulative-sum twin."""
+    by partkey — pinned).  The revenue aggregate finishes INSIDE a
+    partkey-hash exchange (driver sees one row per part, never
+    |parts| x |blocks| partials); the ranked classification runs on
+    the bounded per-part table.  Emits one row per class: n_parts,
+    revenue_cents, share ingredients.  Hash-checked vs a window
+    cumulative-sum twin."""
     import ray
-
-    from ..collect import collect_table
 
     def partial(b: pa.Table) -> pa.Table:
         pk = b["l_partkey"].to_numpy(zero_copy_only=False) \
@@ -13554,15 +13647,14 @@ def parts_abc_analysis(sf_dir: str):
             "rev": pa.array(np.bincount(inv, weights=cents)
                             .astype(np.int64))})
 
-    parts = collect_table(
+    per_part = _exchange_combine(
         ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                               columns=["l_partkey", "l_extendedprice"])
         .map_batches(partial, batch_format="pyarrow",
-                     zero_copy_batch=True))
-    df = parts.to_pandas().groupby("l_partkey", as_index=False)["rev"] \
-        .sum()
-    pk = df["l_partkey"].to_numpy().astype(np.int64)
-    rev = df["rev"].to_numpy().astype(np.int64)
+                     zero_copy_batch=True),
+        "l_partkey", [("rev", "sum")])
+    pk = per_part["l_partkey"].to_numpy(zero_copy_only=False)
+    rev = per_part["rev"].to_numpy(zero_copy_only=False)
     order = np.lexsort((pk, -rev))
     rev = rev[order]
     cum = np.cumsum(rev)
