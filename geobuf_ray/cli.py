@@ -110,6 +110,16 @@ def cmd_tile(args) -> int:
 
     ds = decode_stage(read_geobuf([args.infile]))
     if getattr(args, "levels", 1) > 1:
+        # tile_pyramid fans out UNCLIPPED leaves and byte-concatenates
+        # child frames into parents (a spanning feature appears once
+        # per child) — silently ignoring an explicit --clip/--combine
+        # would hand the user a different result than asked for
+        if args.clip or args.combine:
+            print("error: --clip/--combine are not supported with "
+                  "--levels > 1 (the pyramid rollup byte-concatenates "
+                  "unclipped child tiles); run per-level split_combine "
+                  "instead", file=sys.stderr)
+            return 2
         mans = tile_pyramid(ds, args.outdir, args.zoom,
                             levels=args.levels)
         for z in sorted(mans, reverse=True):

@@ -502,7 +502,15 @@ def _list_u64_matrix(col: pa.ChunkedArray | pa.Array,
     offs = arr.offsets.to_numpy(zero_copy_only=False)
     if len(offs) and offs[0] != 0:
         vals = vals[offs[0]:]
+        offs = offs - offs[0]
     n = len(arr)
+    # a malformed row (list length != width) would silently shear every
+    # subsequent row in the reshape — raise instead
+    if n and not (offs[1:] - offs[:-1] == width).all():
+        bad = int(np.flatnonzero(offs[1:] - offs[:-1] != width)[0])
+        raise ValueError(
+            f"signature row {bad} has length "
+            f"{int(offs[bad + 1] - offs[bad])}, expected {width}")
     return (vals[: n * width].astype(np.uint64, copy=False)
             .reshape(n, width))
 

@@ -102,7 +102,19 @@ def decode_image(data: bytes) -> np.ndarray:
     if magic[:2] == b"\x89P":  # real PNG: pure-Python RFC 2083 codec
         from .png import decode_png
 
-        return decode_png(data)
+        try:
+            return decode_png(data)
+        except NotImplementedError:
+            # palette / 16-bit / interlaced variants the pure-Python
+            # decoder declines: keep the pre-png.py capability on
+            # PIL-equipped installs instead of regressing to a raise
+            if not _HAVE_PIL:
+                raise
+            import io
+
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     if _HAVE_PIL:  # pragma: no cover
         import io
 

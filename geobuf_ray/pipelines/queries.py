@@ -13165,6 +13165,12 @@ def events_type_cooccurrence(sf_dir: str):
         codes = et.indices.to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         names = np.asarray(et.dictionary)
+        # the (user, type) pack reserves 6 bits for the type code — a
+        # corpus with a wider type domain would silently alias pairs
+        if len(names) > 64:
+            raise ValueError(
+                f"events_type_cooccurrence: {len(names)} distinct "
+                "event types exceed the 64-wide pack; widen the shift")
         packed = np.unique(u * 64 + codes)
         uu = packed >> 6
         cc = packed & 63

@@ -858,3 +858,56 @@ def test_bipartite_matching_vs_scalar(ray_session):
     size = sum(try_kuhn(int(s), set()) for s in sk)
     assert out["matching_size"] == size
     assert out["n_pref_edges"] == sum(len(v) for v in adj.values())
+
+
+def test_entity_keyed_finishes_collect_only_finished_groups(
+        ray_session, monkeypatch):
+    """The entity-keyed aggregations (partkey / custkey / suppkey
+    finals) must finish INSIDE the key-hash exchange: the driver may
+    collect only one finished row per key, never the |keys| x |blocks|
+    partial table.  Spy on collect_table and bound every observed
+    collect by the true distinct-key count."""
+    import duckdb
+
+    import geobuf_ray.collect as collect_mod
+    from geobuf_ray.pipelines import queries as q
+
+    con = duckdb.connect()
+    n_parts = con.execute(
+        f"SELECT COUNT(DISTINCT l_partkey) FROM '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+    n_custs = con.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    n_supps = con.execute(
+        f"SELECT COUNT(DISTINCT l_suppkey) FROM '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+
+    real = collect_mod.collect_table
+
+    def run(fn, bound):
+        collected = []
+
+        def spy(ds, *a, **kw):
+            t = real(ds, *a, **kw)
+            collected.append(t.num_rows)
+            return t
+
+        monkeypatch.setattr(collect_mod, "collect_table", spy)
+        try:
+            out = fn(SF)
+        finally:
+            monkeypatch.setattr(collect_mod, "collect_table", real)
+        assert collected, "expected the final collect to be observed"
+        assert max(collected) <= bound, \
+            f"driver collected {max(collected)} rows > {bound} keys " \
+            "(partial-table leak?)"
+        return out
+
+    out = run(q.parts_price_dispersion, n_parts)
+    assert out.num_rows <= n_parts
+    out = run(q.parts_abc_analysis, n_parts)
+    assert out.num_rows == 3
+    out = run(q.suppliers_scorecard, n_supps)
+    assert out.num_rows == n_supps
+    run(q.customers_rfm, n_custs)
