@@ -511,6 +511,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+
+def _pagerank_sql(iters: int = 10, damping: float = 0.85,
+                  k: int = 20) -> str:
+    """Iterative-CTE PageRank twin of ``parts_pagerank_top`` (fixed
+    ``iters`` unrolled as chained CTEs — DuckDB 1.0 recursive CTEs
+    cannot aggregate over the recursive term).  Same semantics as
+    functions/graph.pagerank: nodes = src+dst union, out-degree
+    division, dangling mass redistributed uniformly, r0 = 1/N; float
+    sums agree with the distributed path to far inside the 1e-9
+    hash-rounding tolerance."""
+    d = repr(damping)
+    ctes = [
+        """e AS MATERIALIZED (
+          SELECT DISTINCT l_partkey AS u,
+                 l_suppkey + 1000000000 AS v FROM lineitem)""",
+        """nodes AS MATERIALIZED (
+          SELECT node, CAST(SUM(deg) AS BIGINT) AS deg FROM (
+            SELECT u AS node, COUNT(*) AS deg FROM e GROUP BY u
+            UNION ALL
+            SELECT DISTINCT v AS node, 0 AS deg FROM e) t
+          GROUP BY node)""",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        """r0 AS MATERIALIZED (
+          SELECT node, 1.0 / (SELECT n FROM nn) AS rank, deg
+          FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs,
+        # and each level references the previous one twice — the
+        # inlined plan grows exponentially in ``iters``
+        ctes.append(f"""r{i} AS MATERIALIZED (
+          SELECT nd.node,
+                 (1.0 - {d}) / (SELECT n FROM nn)
+                 + {d} * (SELECT COALESCE(SUM(rank), 0) FROM {p}
+                          WHERE deg = 0) / (SELECT n FROM nn)
+                 + {d} * COALESCE(c.c, 0) AS rank,
+                 nd.deg
+          FROM nodes nd LEFT JOIN (
+            SELECT e.v AS node, SUM(r.rank / r.deg) AS c
+            FROM e JOIN {p} r ON r.node = e.u GROUP BY e.v) c
+            ON c.node = nd.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank FROM r{iters} "
+            + f"ORDER BY rank DESC, node LIMIT {k}")
+
+
 def oracle_sql() -> dict[str, str]:
     from geobuf_ray.spatial.hexgrid import hex_axial_sql
 
@@ -523,6 +570,11 @@ def oracle_sql() -> dict[str, str]:
             WITH pt AS (SELECT {_LON} AS lon, {_LAT} AS lat FROM customer)
             SELECT {hq} AS hex_q, {hr} AS hex_r, COUNT(*) AS n_points
             FROM pt GROUP BY hex_q, hex_r
+        """,
+        "parts_pagerank_top": _pagerank_sql(),
+        "events_top_users_mg": """
+            SELECT user_id, COUNT(*) AS n_events FROM events
+            GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
         """,
         "suppliers_sssp": """
             WITH RECURSIVE e AS (

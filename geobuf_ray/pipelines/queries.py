@@ -1926,25 +1926,70 @@ def docs_tfidf_top(sf_dir: str, k: int = 3):
     return tfidf_topk(ds, k=k)
 
 
-def events_top_users_mg(sf_dir: str):
-    """Misra-Gries heavy hitters (functions/sketch.heavy_hitters):
-    top-10 users by event count from bounded per-block summaries
-    (capacity 64 counters/block regardless of user cardinality) with a
-    deterministic error envelope [est, est_hi] and a membership
-    certificate.  Rows-only for the driver (est is a lower bound by
-    design); the MG bound and exactness-when-uncrowded are
-    pytest-oracled vs DuckDB."""
+def events_top_users_mg(sf_dir: str, k: int = 10):
+    """Top-10 users by EXACT event count, with the Misra-Gries sketch
+    (functions/sketch.heavy_hitters, capacity 64 counters/block) run
+    alongside as an in-query audit: for every user both paths
+    surface, the MG envelope must bracket the exact count
+    (est <= exact <= est_hi — MG never over-counts and the summed
+    drop bound caps the undercount).  The exact side is a bucket
+    top-k: per-block (user, count) partials finish inside a user-hash
+    exchange and each bucket emits only its local top-k, so the
+    driver merges nbuckets x k rows.  Hash-checked vs GROUP BY /
+    ORDER BY / LIMIT."""
     import ray
 
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
     from ..functions.sketch import heavy_hitters
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id"])
-    out = heavy_hitters(ds, "user_id", k=10, capacity=64)
-    if not (out["est_hi"].to_numpy(zero_copy_only=False)
-            >= out["est"].to_numpy(zero_copy_only=False)).all():
+    mg = heavy_hitters(ds, "user_id", k=k, capacity=64)
+    if not (mg["est_hi"].to_numpy(zero_copy_only=False)
+            >= mg["est"].to_numpy(zero_copy_only=False)).all():
         raise AssertionError("MG envelope inverted")  # in-row audit
-    return out
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_events", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, cnt = np.unique(u, return_counts=True)
+        return pa.table({"user_id": pa.array(uniq),
+                         "n_events": pa.array(cnt.astype(np.int64))})
+
+    def bucket_topk(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        cnt = np.bincount(inv, weights=tbl["n_events"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        order = np.lexsort((uniq, -cnt))[:k]
+        return pa.table({"user_id": pa.array(uniq[order]),
+                         "n_events": pa.array(cnt[order])})
+
+    cand = collect_table(hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        nbuckets=32, on="user_id", reduce_fn=bucket_topk,
+        schema=out_schema))
+    u = cand["user_id"].to_numpy(zero_copy_only=False)
+    c = cand["n_events"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((u, -c))[:k]
+    u, c = u[order], c[order]
+    # audit: MG envelope must bracket the exact count where both agree
+    exact = dict(zip(u.tolist(), c.tolist()))
+    for r in mg.to_pylist():
+        if r["v"] in exact:
+            if not (r["est"] <= exact[r["v"]] <= r["est_hi"]):
+                raise AssertionError(
+                    f"MG envelope [{r['est']}, {r['est_hi']}] misses "
+                    f"exact {exact[r['v']]} for user {r['v']}")
+    return pa.table({"user_id": pa.array(u),
+                     "n_events": pa.array(c)})
 
 
 def customers_zorder_cells(sf_dir: str, bits: int = 8):
@@ -2493,29 +2538,49 @@ def parts_pagerank_top(sf_dir: str, k: int = 20):
     (functions/graph.pagerank): distinct lineitem (partkey, suppkey)
     edges, supplier ids offset into a disjoint range; edges ship once
     (presplit), per-round exchanges carry pre-summed contributions, the
-    driver sees only the dangling-mass scalar.  Top-k nodes by rank,
-    node-id tie-break (rows-only; the operator's exactness oracle is
-    the dense power-iteration pytest)."""
+    driver sees only the dangling-mass scalar.  Edge dedup is GLOBAL
+    (per-batch pre-dedup for traffic, then a src-hash exchange whose
+    buckets hold every row of a src — per-bucket unique == global
+    unique), so the result is independent of block partitioning.
+    Top-k nodes by rank, node-id tie-break; hash-checked vs an
+    unrolled iterative-CTE power-iteration twin."""
     import ray
 
+    from ..functions.exchange import hash_exchange
     from ..functions.graph import pagerank
 
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_partkey", "l_suppkey"])
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
     def edges(batch: pa.Table) -> pa.Table:
-        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        e = np.unique(np.stack([p, s + 1_000_000_000], 1), axis=0)
-        return pa.table({"src": pa.array(e[:, 0].astype(np.int64)),
-                         "dst": pa.array(e[:, 1].astype(np.int64))})
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) + 1_000_000_000
+        packed = np.unique(p * (np.int64(1) << 31) + s)
+        return pa.table({
+            "src": pa.array(packed >> 31),
+            "dst": pa.array(packed & ((np.int64(1) << 31) - 1))})
 
+    def dedup(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return edge_schema.empty_table()
+        s = tbl["src"].to_numpy(zero_copy_only=False)
+        d = tbl["dst"].to_numpy(zero_copy_only=False)
+        packed = np.unique(s * (np.int64(1) << 31) + d)
+        return pa.table({
+            "src": pa.array(packed >> 31),
+            "dst": pa.array(packed & ((np.int64(1) << 31) - 1))})
+
+    E = hash_exchange(
+        ds.map_batches(edges, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        nbuckets=16, on="src", reduce_fn=dedup, schema=edge_schema)
     # 16 buckets: 10 rounds of chained cogroups are task-latency
     # bound at this edge count (measured 3.7s vs 8.5s at 32 buckets,
     # 5.3s at 8); raise with graph size on a real cluster
-    ranks = pagerank(ds.map_batches(edges, batch_format="pyarrow",
-                                    zero_copy_batch=True), iters=10,
-                     nbuckets=16)
+    ranks = pagerank(E, iters=10, nbuckets=16)
     r = ranks["rank"].to_numpy(zero_copy_only=False)
     n = ranks["node"].to_numpy(zero_copy_only=False)
     order = np.lexsort((n, -r))[:k]
