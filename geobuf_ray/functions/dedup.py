@@ -363,7 +363,7 @@ def _hot_bucket_pair_exchange(sig_ds, *, id_col: str, cap: int,
                               carrier_filter=None,
                               carrier_schema: pa.Schema | None = None,
                               payload_col: str | None = None,
-                              nbuckets: int = 32):
+                              nbuckets: int = 32, rounds: int = 1):
     """Distributed LSH bucket verification: member rows co-locate by
     ``bucket`` hash and ``pair_fn(group) -> pairs`` runs INSIDE the
     bucket task — the driver only ever handles VERIFIED PAIR rows
@@ -485,7 +485,8 @@ def _hot_bucket_pair_exchange(sig_ds, *, id_col: str, cap: int,
             attached = members
         pairs = collect_table(
             grouped_exchange(attached, "bucket", pair_fn,
-                             nbuckets=nbuckets, schema=pair_schema),
+                             nbuckets=nbuckets, schema=pair_schema,
+                             rounds=rounds),
             schema=pair_schema)
         if pairs.num_rows == 0:
             pairs = None
@@ -518,7 +519,7 @@ def _list_u64_matrix(col: pa.ChunkedArray | pa.Array,
 def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
                             num_hashes=64, bands=16, shingle_k=3,
                             sim_threshold=0.6, concurrency=None,
-                            bucket_cap=256, **map_kwargs):
+                            bucket_cap=256, rounds=1, **map_kwargs):
     """docs Dataset -> candidate near-dup pairs via MinHash LSH.
 
     Returns a pyarrow Table (id_a, id_b, est_jaccard, truncated) —
@@ -599,7 +600,7 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
         member_filter=band_rows, pair_fn=pair_fn,
         pair_schema=pair_schema, member_schema=member_schema,
         carrier_filter=carrier_rows, carrier_schema=carrier_schema,
-        payload_col="signature")
+        payload_col="signature", rounds=rounds)
     import pandas as pd
 
     star_df = None

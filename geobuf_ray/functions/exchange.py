@@ -31,8 +31,8 @@ factors: ``blocks_per_map`` coalesces input blocks so
 ``nmaps ~ input_bytes / (blocks_per_map x block_size)``, and
 ``nbuckets`` should track ``data / target_partition_bytes``, not the
 cluster size.  Past ~10^7 fragments, raise ``blocks_per_map`` or run
-a two-round exchange (bucket high bits, then low bits) — same
-primitive, composed.
+pass ``rounds=2`` to :func:`hash_exchange` (bucket high bits, then the
+exact bucket id) — same primitive, composed.
 
 Skew: the bucket key is a HASH of the join key, so hot single keys are
 the only irreducible skew; salt at the caller (as `knn_cell_join` and
@@ -165,7 +165,8 @@ def key_bucket_fn(cols: list[str] | str, nbuckets: int):
 def hash_exchange(ds, *, nbuckets: int, bucket_fn=None, on=None,
                   reduce_fn=None, schema: pa.Schema | None = None,
                   blocks_per_map: int = 4, map_remote_args: dict | None = None,
-                  reduce_remote_args: dict | None = None):
+                  reduce_remote_args: dict | None = None,
+                  rounds: int = 1):
     """Exchange ``ds`` so all rows of one bucket land in one output
     block, then apply ``reduce_fn(table) -> table`` per bucket.
 
@@ -173,11 +174,53 @@ def hash_exchange(ds, *, nbuckets: int, bucket_fn=None, on=None,
     or an explicit ``bucket_fn(tbl) -> (bucket ndarray, tbl)`` for
     fan-out / custom routing.  Returns a Ray ``Dataset`` of the reduce
     outputs (``nbuckets`` blocks).
+
+    ``rounds=2`` composes the exchange with itself for the
+    >10^7-fragment regime: round 1 routes by the bucket id's HIGH part
+    into ~sqrt(nbuckets) coarse groups (plain concat, no reduce),
+    round 2 routes the coarse blocks by the exact bucket id and runs
+    ``reduce_fn``.  The bucket id is computed ONCE (round 1 stows it
+    in a ``__bucket__`` column — a fan-out bucket_fn must not run
+    twice) and fragment count drops from ``nmaps x nbuckets`` to
+    ``nmaps x n1 + ceil(n1 / blocks_per_map) x nbuckets``.  Bucket
+    contents, reduce inputs and output order are identical to the
+    single-round exchange.
     """
     if bucket_fn is None:
         if on is None:
             raise ValueError("need bucket_fn or on=")
         bucket_fn = key_bucket_fn(on, nbuckets)
+    if rounds > 1:
+        n1 = max(1, int(np.ceil(np.sqrt(nbuckets))))
+        fan = -(-nbuckets // n1)  # final buckets per coarse group
+
+        def coarse_fn(tbl: pa.Table):
+            b, t = bucket_fn(tbl)
+            t = t.append_column("__bucket__", pa.array(b, pa.int64()))
+            return b // fan, t
+
+        inter = hash_exchange(
+            ds, nbuckets=n1, bucket_fn=coarse_fn, reduce_fn=None,
+            blocks_per_map=blocks_per_map,
+            map_remote_args=map_remote_args,
+            reduce_remote_args=reduce_remote_args)
+
+        def fine_fn(tbl: pa.Table):
+            b = tbl["__bucket__"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return b, tbl
+
+        def strip_reduce(tbl: pa.Table) -> pa.Table:
+            if "__bucket__" in tbl.column_names:
+                tbl = tbl.drop_columns(["__bucket__"])
+            return reduce_fn(tbl) if reduce_fn is not None else tbl
+
+        return hash_exchange(
+            inter, nbuckets=nbuckets, bucket_fn=fine_fn,
+            reduce_fn=strip_reduce, schema=schema,
+            blocks_per_map=blocks_per_map,
+            map_remote_args=map_remote_args,
+            reduce_remote_args=reduce_remote_args)
     maps = _drive_splits(ds, bucket_fn, nbuckets, blocks_per_map,
                          map_remote_args or {})
     red = _reduce_one.options(**(reduce_remote_args or {}))
@@ -259,7 +302,8 @@ def grouped_exchange(ds, keys, group_fn, *, nbuckets: int,
                      schema: pa.Schema | None = None,
                      blocks_per_map: int = 4,
                      map_remote_args: dict | None = None,
-                     reduce_remote_args: dict | None = None):
+                     reduce_remote_args: dict | None = None,
+                     rounds: int = 1):
     """``groupby(keys).map_groups(group_fn)`` on the raw-task hash
     exchange: rows co-locate by ``hash(keys) % nbuckets`` (no
     distributed SORT — Ray's groupby pays a full range-sort shuffle),
@@ -311,4 +355,5 @@ def grouped_exchange(ds, keys, group_fn, *, nbuckets: int,
                          reduce_fn=kernel, schema=schema,
                          blocks_per_map=blocks_per_map,
                          map_remote_args=map_remote_args,
-                         reduce_remote_args=reduce_remote_args)
+                         reduce_remote_args=reduce_remote_args,
+                         rounds=rounds)

@@ -4109,13 +4109,17 @@ def docs_fingerprint(sf_dir: str):
 
 
 def docs_minhash_pairs(sf_dir: str):
+    """MinHash LSH candidate pairs; the bucket-verify shuffle runs the
+    TWO-ROUND composed exchange (rounds=2 — coarse high-bit route,
+    then exact bucket), the >10^7-fragment scale path.  Results are
+    bucket-identical to the single-round exchange (pytest-pinned)."""
     from ..functions.dedup import minhash_candidate_pairs
 
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return minhash_candidate_pairs(ds, sim_threshold=0.5)
+    return minhash_candidate_pairs(ds, sim_threshold=0.5, rounds=2)
 
 
 def docs_simhash_pairs(sf_dir: str):

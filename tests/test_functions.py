@@ -1492,3 +1492,92 @@ def test_lsh_no_member_rows_centralize(ray_session, monkeypatch):
         # member rows pair an id with its bucket; histograms don't
         assert not ({"doc_id", "bucket"} <= cols
                     or {"vec_id", "bucket"} <= cols), cols
+
+
+def test_two_round_exchange_matches_single_round(ray_session, monkeypatch):
+    """hash_exchange(rounds=2) must produce bucket-identical reduce
+    inputs and results, while splitting the fragment fan into
+    nmaps x n1 + nmaps2 x nbuckets (never nmaps x nbuckets in one
+    hop).  Also pins the minhash pipeline's rounds=2 path to the
+    single-round output."""
+    import ray
+
+    import geobuf_ray.functions.exchange as ex
+    from geobuf_ray.collect import collect_table
+    from geobuf_ray.functions import dedup
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 500, n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 1000, n).astype(np.int64))})
+    ds = ray.data.from_arrow(tbl).repartition(64)
+
+    schema = pa.schema([("k", pa.int64()), ("s", pa.int64()),
+                        ("n", pa.int64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        k = t["k"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        return pa.table({
+            "k": pa.array(uniq),
+            "s": pa.array(np.bincount(inv, weights=v).astype(np.int64)),
+            "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    # record every split round's (nmaps, nbuckets)
+    calls = []
+    real_drive = ex._drive_splits
+
+    def spy(ds_, bucket_fn, nbuckets, blocks_per_map, remote_args):
+        maps = real_drive(ds_, bucket_fn, nbuckets, blocks_per_map,
+                          remote_args)
+        calls.append((len(maps), nbuckets))
+        return maps
+
+    monkeypatch.setattr(ex, "_drive_splits", spy)
+
+    NB = 64
+    one = collect_table(ex.hash_exchange(
+        ds, nbuckets=NB, on="k", reduce_fn=reduce_fn, schema=schema,
+        blocks_per_map=1))
+    single_calls, calls[:] = list(calls), []
+    two = collect_table(ex.hash_exchange(
+        ds, nbuckets=NB, on="k", reduce_fn=reduce_fn, schema=schema,
+        blocks_per_map=1, rounds=2))
+    two_calls = list(calls)
+    monkeypatch.setattr(ex, "_drive_splits", real_drive)
+
+    def keyed(t):
+        return sorted(zip(t["k"].to_pylist(), t["s"].to_pylist(),
+                          t["n"].to_pylist()))
+
+    assert keyed(one) == keyed(two)
+
+    # fragment accounting: single round = nmaps x NB in one hop;
+    # two-round = a coarse hop at n1 ~ sqrt(NB) plus a fine hop at NB
+    # driven from only n1 coarse blocks
+    assert single_calls == [(64, NB)]
+    assert len(two_calls) == 2
+    (m1, n1), (m2, n2) = two_calls
+    assert n1 == 8 and m1 == 64         # ceil(sqrt(64)) coarse groups
+    assert n2 == NB and m2 <= n1        # fine hop fans out coarse blocks
+    frags_single = single_calls[0][0] * single_calls[0][1]
+    frags_two = m1 * n1 + m2 * n2
+    assert frags_two < frags_single
+
+    # minhash rounds=2 path == rounds=1 path, pair for pair
+    texts = [f"doc {i} token {i % 7} alpha beta gamma delta" for i in
+             range(50)] + ["near dup text one two three four five"] * 6
+    dt = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                   "text": pa.array(texts)})
+    dds = ray.data.from_arrow(dt).repartition(4)
+    p1 = dedup.minhash_candidate_pairs(dds, sim_threshold=0.5)
+    p2 = dedup.minhash_candidate_pairs(dds, sim_threshold=0.5, rounds=2)
+
+    def pairset(t):
+        return set(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+
+    assert pairset(p1) == pairset(p2) and len(pairset(p2)) >= 15
