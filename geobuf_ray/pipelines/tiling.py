@@ -679,7 +679,8 @@ def make_mvt_tiles(ds, zoom: int, *, extent: int = 4096,
 
 
 def _rollup_level(manifest: pa.Table, out_dir: str,
-                  combine_path: str | None = None) -> pa.Table:
+                  combine_path: str | None = None,
+                  resume: bool = False) -> pa.Table:
     """One pyramid level up: each parent tile's stream is the byte
     CONCATENATION of its children's frame streams, written in child-key
     order (geobuf frames are self-delimiting, so the rollup is pure
@@ -703,6 +704,24 @@ def _rollup_level(manifest: pa.Table, out_dir: str,
         parents.append(f"{x // 2}-{y // 2}-{z - 1}")
     mt = manifest.append_column("parent", pa.array(parents, pa.string()))
 
+    _COLS = ["path", "key", "num_features", "size_bytes",
+             "west", "south", "east", "north", "write_seconds"]
+    done_rows: list[dict] = []
+    if resume:
+        # per-parent atomic commits (state/checkpoint manifest rows)
+        # make a killed rollup resumable: committed parents are
+        # dropped from the group-walk and their durable rows reused
+        from ..state import checkpoint as ck
+
+        done = ck.completed_keys(out_dir)
+        if done:
+            prev = ck.load_manifest(out_dir)
+            done_rows = [
+                {c: r[c] for c in _COLS}
+                for r in prev.to_pylist() if r["key"] in done]
+            keep = [p not in done for p in mt["parent"].to_pylist()]
+            mt = mt.filter(pa.array(keep))
+
     def write_parent(group: pa.Table) -> pa.Table:
         import time
 
@@ -723,22 +742,31 @@ def _rollup_level(manifest: pa.Table, out_dir: str,
             vs = [v for v in vals if v == v]
             return fn(vs) if vs else float("nan")
 
-        return pa.table({
-            "path": pa.array([path]),
-            "key": pa.array([pkey], pa.string()),
-            "num_features": pa.array(
-                [sum(r["num_features"] for r in rows)], pa.int64()),
-            "size_bytes": pa.array([len(stream)], pa.int64()),
-            "west": pa.array([_mm([r["west"] for r in rows], min)]),
-            "south": pa.array([_mm([r["south"] for r in rows], min)]),
-            "east": pa.array([_mm([r["east"] for r in rows], max)]),
-            "north": pa.array([_mm([r["north"] for r in rows], max)]),
-            "write_seconds": pa.array([time.perf_counter() - t0]),
-        })
+        row = {
+            "path": path,
+            "key": pkey,
+            "num_features": sum(r["num_features"] for r in rows),
+            "size_bytes": len(stream),
+            "west": _mm([r["west"] for r in rows], min),
+            "south": _mm([r["south"] for r in rows], min),
+            "east": _mm([r["east"] for r in rows], max),
+            "north": _mm([r["north"] for r in rows], max),
+            "write_seconds": time.perf_counter() - t0,
+        }
+        from ..state.checkpoint import write_manifest_row
 
-    out = ray.data.from_arrow(mt).groupby("parent").map_groups(
-        write_parent, batch_format="pyarrow")
-    pm = pa.Table.from_pylist(out.take_all())
+        write_manifest_row(out_dir, pkey,
+                           {k: v for k, v in row.items() if k != "key"})
+        return pa.Table.from_pylist([row])
+
+    if mt.num_rows:
+        out = ray.data.from_arrow(mt).groupby("parent").map_groups(
+            write_parent, batch_format="pyarrow")
+        fresh = out.take_all()
+    else:
+        fresh = []
+    pm = pa.Table.from_pylist(
+        [{c: r[c] for c in _COLS} for r in fresh] + done_rows)
     pq.write_table(pm, os.path.join(out_dir, "_manifest.parquet"))
     if combine_path is not None:
         from ..io.geobuf_file import write_indexed_geobuf
@@ -760,6 +788,7 @@ def _rollup_level(manifest: pa.Table, out_dir: str,
 
 def tile_pyramid(ds, out_dir: str, zoom: int, *, levels: int = 3,
                  bounds=None, write_bbox: bool = True,
+                 resume: bool = False,
                  map_kwargs: dict | None = None):
     """Multi-level Combine pyramid — the reference's hierarchical
     refinement (split_combine.go:425-559) as ONE feature shuffle plus
@@ -772,26 +801,45 @@ def tile_pyramid(ds, out_dir: str, zoom: int, *, levels: int = 3,
     ``_manifest.parquet`` and a reference-layout ``combined.geobuf``
     whose subfiles are key-addressable per level.
 
+    ``resume=True`` re-runs skip work already durable: a level whose
+    ``_manifest.parquet`` committed is loaded, not recomputed (a crash
+    during a rollup never re-shuffles the leaf level), and a partially
+    written rollup level resumes parent-by-parent from its
+    state/checkpoint manifest rows.
+
     Returns ``{zoom_level: manifest_table}``."""
     import os
+
+    import pyarrow.parquet as pq
 
     if levels < 1:
         raise ValueError("levels >= 1")
     if zoom - levels + 1 < 0:
         raise ValueError(f"levels={levels} underflows zoom 0 from "
                          f"zoom={zoom}")
+
+    def _level_manifest(z: int):
+        p = os.path.join(out_dir, f"z{z}", "_manifest.parquet")
+        if resume and os.path.exists(p):
+            return pq.read_table(p)
+        return None
+
     manifests = {}
-    m = split_combine(
-        ds, os.path.join(out_dir, f"z{zoom}"), zoom, bounds=bounds,
-        write_bbox=write_bbox,
-        combine_path=os.path.join(out_dir, f"z{zoom}",
-                                  "combined.geobuf"),
-        map_kwargs=map_kwargs)
+    m = _level_manifest(zoom)
+    if m is None:
+        m = split_combine(
+            ds, os.path.join(out_dir, f"z{zoom}"), zoom, bounds=bounds,
+            write_bbox=write_bbox,
+            combine_path=os.path.join(out_dir, f"z{zoom}",
+                                      "combined.geobuf"),
+            map_kwargs=map_kwargs)
     manifests[zoom] = m
     for z in range(zoom - 1, zoom - levels, -1):
-        m = _rollup_level(
+        done = _level_manifest(z)
+        m = done if done is not None else _rollup_level(
             m, os.path.join(out_dir, f"z{z}"),
             combine_path=os.path.join(out_dir, f"z{z}",
-                                      "combined.geobuf"))
+                                      "combined.geobuf"),
+            resume=resume)
         manifests[z] = m
     return manifests

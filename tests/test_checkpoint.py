@@ -199,3 +199,64 @@ def test_checkpointed_clip_resume(ray_session, tmp_path):
             zero_copy_only=False)
         assert (vals[0::2] >= w - 1e-6).all() and (vals[0::2] <= e + 1e-6).all()
         assert (vals[1::2] >= s - 1e-6).all() and (vals[1::2] <= n + 1e-6).all()
+
+
+def test_tile_pyramid_resumes_killed_rollup(points_ds, tmp_path):
+    """Crash injection mid-rollup: kill the level z-1 write after some
+    parents committed.  A resume=True re-run must (a) NOT re-shuffle
+    the leaf level (its files keep their mtimes), (b) NOT rewrite the
+    committed parents, (c) finish the level and the deeper one with
+    output identical to an uninterrupted run."""
+    import pyarrow.parquet as pq
+
+    from geobuf_ray.pipelines import tiling
+
+    ref_out = str(tmp_path / "ref")
+    ref = tiling.tile_pyramid(points_ds, ref_out, zoom=2, levels=3)
+
+    out = str(tmp_path / "crash")
+    # run the leaf level only, as tile_pyramid would
+    leaf = tiling.split_combine(
+        points_ds, os.path.join(out, "z2"), 2,
+        combine_path=os.path.join(out, "z2", "combined.geobuf"))
+    # start the z1 rollup and "crash" it: commit a strict subset of
+    # parents by running the real rollup, then deleting some parents'
+    # data + checkpoint rows (equivalent on-disk state to a kill)
+    m1 = tiling._rollup_level(leaf, os.path.join(out, "z1"),
+                              resume=True)
+    keys1 = sorted(m1["key"].to_pylist())
+    assert len(keys1) >= 2
+    victims = keys1[: len(keys1) // 2 or 1]
+    for r in m1.to_pylist():
+        if r["key"] in victims:
+            os.remove(r["path"])
+            os.remove(os.path.join(ck.manifest_dir(os.path.join(out, "z1")),
+                                   ck._safe_key(r["key"]) + ".json"))
+    # the level manifest parquet must not exist yet (we crashed
+    # before the level commit)
+    os.remove(os.path.join(out, "z1", "_manifest.parquet"))
+
+    leaf_mtimes = {r["path"]: os.path.getmtime(r["path"])
+                   for r in leaf.to_pylist()}
+    survivor_mtimes = {r["path"]: os.path.getmtime(r["path"])
+                       for r in m1.to_pylist() if r["key"] not in victims}
+
+    mans = tiling.tile_pyramid(points_ds, out, zoom=2, levels=3,
+                               resume=True)
+    # (a) leaf level untouched (no re-shuffle, no rewrite)
+    for p, t in leaf_mtimes.items():
+        assert os.path.getmtime(p) == t
+    # (b) committed z1 parents untouched
+    for p, t in survivor_mtimes.items():
+        assert os.path.getmtime(p) == t
+    # (c) full pyramid equals the uninterrupted reference run
+    for z in (2, 1, 0):
+        got = {r["key"]: (r["num_features"], r["size_bytes"])
+               for r in mans[z].to_pylist()}
+        want = {r["key"]: (r["num_features"], r["size_bytes"])
+                for r in ref[z].to_pylist()}
+        assert got == want, f"level z{z} mismatch"
+        # level manifest parquet durable and consistent
+        pm = pq.read_table(os.path.join(out, f"z{z}",
+                                        "_manifest.parquet"))
+        assert {r["key"] for r in pm.to_pylist()} == set(want)
