@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_resize": q.images_resize,
         "images_phash_pairs": q.images_phash_pairs,
         "images_png_pipeline": q.images_png_pipeline,
+        "images_jpeg_pipeline": q.images_jpeg_pipeline,
         "images_dct_phash_pairs": q.images_dct_phash_pairs,
         "images_zonal_stats": q.images_zonal_stats,
         "images_pyramid": q.images_pyramid,

@@ -115,19 +115,27 @@ def decode_image(data: bytes) -> np.ndarray:
             from PIL import Image
 
             return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    if magic[:2] == b"\xff\xd8":  # real JPEG: pure-Python T.81 codec
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(data)
+        except NotImplementedError:
+            # progressive / exotic frame types the pure decoder
+            # declines: use PIL when available instead of regressing
+            if not _HAVE_PIL:
+                raise
+            import io
+
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     if _HAVE_PIL:  # pragma: no cover
         import io
 
         from PIL import Image
 
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-    if magic[:2] == b"\xff\xd8":  # jpeg signature
-        raise NotImplementedError(
-            "STUB: real jpeg decode requires PIL, absent in this "
-            "container (round-1 brief: decode step stubbed; Ray-side "
-            "plumbing is real; PNG has a real pure-Python codec in "
-            "io/png.py)"
-        )
     raise ValueError(
         f"unknown image payload magic {magic!r} — corrupted/truncated "
         "data, not a missing decoder"
@@ -412,6 +420,40 @@ def transcode_png(ds, *, batch_size: int = 32, concurrency=(1, 8),
     payloads (pixel-lossless)."""
     return ds.map_batches(
         TranscodePngFn, fn_constructor_kwargs=dict(level=level),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **map_kwargs)
+
+
+class TranscodeJpegFn:
+    """Actor-pool transcode stage: decode each row's payload and
+    re-encode as a REAL baseline JPEG (io/jpeg.py — the public ITU-T
+    T.81 wire format).  Same table schema out; ``src_fmt`` keeps the
+    original format, ``fmt`` becomes ``jpeg``.  The transcode is
+    LOSSY (DCT quantization at ``quality``) — fidelity is bounded by
+    the quality setting, pinned in-query by the psnr assert."""
+
+    def __init__(self, quality: int = 90):
+        self.quality = quality
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import encode_jpeg
+
+        blobs = batch["bytes"].to_pylist()
+        out = [encode_jpeg(decode_image(b), quality=self.quality)
+               for b in blobs]
+        t = batch.drop_columns(["bytes"])
+        t = t.append_column("bytes", pa.array(out, pa.binary()))
+        t = t.append_column("src_fmt", t["fmt"])
+        return t.set_column(t.column_names.index("fmt"), "fmt",
+                            pa.array(["jpeg"] * len(out), pa.string()))
+
+
+def transcode_jpeg(ds, *, batch_size: int = 32, concurrency=(1, 8),
+                   quality: int = 90, **map_kwargs):
+    """Dataset stage: any image rows -> the same rows with real
+    baseline JPEG payloads (lossy at ``quality``)."""
+    return ds.map_batches(
+        TranscodeJpegFn, fn_constructor_kwargs=dict(quality=quality),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, **map_kwargs)
 

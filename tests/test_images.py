@@ -31,13 +31,15 @@ def test_quantz_psnr_above_40db():
 
 
 def test_unknown_format_is_marked_stub():
-    # jpeg is still the stub (no PIL in this container)...
-    with pytest.raises(NotImplementedError, match="STUB"):
+    # JPEG and PNG both have REAL pure-Python codecs now: truncated
+    # streams are corrupt input (ValueError), not a missing decoder
+    with pytest.raises(ValueError):
         im.decode_image(b"\xff\xd8\xff\xe0rest")
-    # ...but PNG now has a REAL pure-Python codec: a truncated PNG is
-    # corrupt input (ValueError), not a missing decoder
     with pytest.raises(ValueError):
         im.decode_image(b"\x89PNG\r\n\x1a\nrest")
+    # a genuinely unknown payload magic stays a loud error
+    with pytest.raises(ValueError, match="unknown image payload"):
+        im.decode_image(b"\x00\x01\x02\x03rest")
 
 
 def test_synthesize_slice_stability():
