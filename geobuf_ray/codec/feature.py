@@ -97,7 +97,16 @@ def dequantize(q: np.ndarray) -> np.ndarray:
     for _ in range(3):
         if len(sel) == 0:
             break
-        ds = np.nextafter(d[sel], np.where(qs > rs, np.inf, -np.inf))
+        # one-ulp step toward the true decimal, as IEEE-754 bit
+        # arithmetic (np.nextafter costs ~50 ns/lane — this is the
+        # whole function's former hot spot): for a positive double,
+        # +1 on the int64 view steps toward +inf; for a negative one
+        # the directions flip (sign-magnitude ordering)
+        dsel = d[sel]
+        toward_pinf = qs > rs
+        step = np.where(toward_pinf == (dsel >= 0.0),
+                        np.int64(1), np.int64(-1))
+        ds = (dsel.view(np.int64) + step).view(np.float64)
         d[sel] = ds
         rs = np.trunc(ds * _POWER).astype(np.int64)
         still = rs != qs

@@ -63,8 +63,11 @@ def test_stub_raises_cleanly_without_deps():
         pass
     from geobuf_ray.io.images import decode_image
 
-    # jpeg: still the documented stub without PIL
-    with pytest.raises(NotImplementedError):
+    # jpeg: real pure-Python codec — truncated bytes are corrupt
+    # input (ValueError), not a missing decoder; only the declared-
+    # unsupported frame types (progressive) still raise
+    # NotImplementedError
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     # PNG: real pure-Python codec — a signature with no IHDR is
     # corrupt input, not a missing decoder
