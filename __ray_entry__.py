@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": q.events_cohort_retention,
         "events_funnel": q.events_funnel,
         "events_transitions": q.events_transitions,
+        "events_markov_stationary": q.events_markov_stationary,
+        "parts_frequent_triples": q.parts_frequent_triples,
         "events_value_twap": q.events_value_twap,
         "events_value_autocorr": q.events_value_autocorr,
         "events_cusum_alarms": q.events_cusum_alarms,
@@ -559,6 +561,45 @@ def _pagerank_sql(iters: int = 10, damping: float = 0.85,
             + f"ORDER BY rank DESC, node LIMIT {k}")
 
 
+def _markov_sql(iters: int = 12) -> str:
+    """Unrolled MATERIALIZED-CTE twin of ``events_markov_stationary``
+    (same shape as ``_pagerank_sql``): LEAD-window transition counts,
+    row-normalized, powered ``iters`` times from uniform; types with
+    no outgoing transition keep their mass."""
+    ctes = [
+        """seq AS MATERIALIZED (
+          SELECT event_type AS s,
+                 LEAD(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS t
+          FROM events)""",
+        """c AS MATERIALIZED (
+          SELECT s, t, CAST(COUNT(*) AS DOUBLE) AS n FROM seq
+          WHERE t IS NOT NULL GROUP BY s, t)""",
+        """types AS MATERIALIZED (
+          SELECT DISTINCT event_type AS s FROM events)""",
+        "outdeg AS MATERIALIZED (SELECT s, SUM(n) AS tot FROM c GROUP BY s)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM types)",
+        """r0 AS MATERIALIZED (
+          SELECT s, 1.0 / (SELECT k FROM nn) AS p FROM types)""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        ctes.append(f"""r{i} AS MATERIALIZED (
+          SELECT ty.s,
+                 COALESCE((SELECT SUM(r.p * c.n / o.tot)
+                           FROM {prev} r
+                           JOIN c ON c.s = r.s
+                           JOIN outdeg o ON o.s = r.s
+                           WHERE c.t = ty.s), 0)
+                 + COALESCE((SELECT r.p FROM {prev} r
+                             LEFT JOIN outdeg o ON o.s = r.s
+                             WHERE r.s = ty.s AND o.s IS NULL), 0)
+                 AS p
+          FROM types ty)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT s AS event_type, p AS prob FROM r{iters}")
+
+
 def oracle_sql() -> dict[str, str]:
     from geobuf_ray.spatial.hexgrid import hex_axial_sql
 
@@ -573,6 +614,21 @@ def oracle_sql() -> dict[str, str]:
             FROM pt GROUP BY hex_q, hex_r
         """,
         "parts_pagerank_top": _pagerank_sql(),
+        "events_markov_stationary": _markov_sql(),
+        "parts_frequent_triples": """
+            WITH lp AS (SELECT DISTINCT l_orderkey AS o,
+                               l_partkey AS p FROM lineitem),
+            tri AS (
+              SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+                     COUNT(*) AS n_orders
+              FROM lp a
+              JOIN lp b ON b.o = a.o AND b.p > a.p
+              JOIN lp c ON c.o = a.o AND c.p > b.p
+              GROUP BY a.p, b.p, c.p
+              HAVING COUNT(*) >= 2)
+            SELECT p1, p2, p3, n_orders FROM tri
+            ORDER BY n_orders DESC, p1, p2, p3 LIMIT 20
+        """,
         "events_top_users_mg": """
             SELECT user_id, COUNT(*) AS n_events FROM events
             GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10

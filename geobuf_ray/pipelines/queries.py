@@ -7537,6 +7537,183 @@ def parts_copurchase_top(sf_dir: str, k: int = 50):
                      "n_orders": pa.array(n[sel])})
 
 
+_TRIPLE_SCHEMA = pa.schema([("p1", pa.int64()), ("p2", pa.int64()),
+                            ("p3", pa.int64()),
+                            ("n_orders", pa.int64())])
+
+
+def parts_frequent_triples(sf_dir: str, min_support: int = 2,
+                           k: int = 20):
+    """A-priori frequent 3-itemsets over the order->parts baskets:
+    the top-k part TRIPLES contained in >= ``min_support`` orders,
+    ordered (count DESC, p1, p2, p3).  Two-level distributed shape:
+    (1) per-part distinct-order supports fold inside an orderkey
+    exchange (orders are disjoint across buckets, partials sum) and
+    the < min_support parts broadcast as a prune set — LOSSLESS for
+    triples (any part of a frequent triple is itself frequent, the
+    a-priori property), so the oracle needs no prune; (2) surviving
+    parts fan to per-order triangular triples (repeat + ramp twice,
+    no per-order Python), and a triple-keyed exchange sums true
+    counts, applies the support filter, and emits only its local
+    top-k.  Hash-checked vs a 3-way self-join HAVING twin."""
+    import ray
+
+    from ..codec.varint import ramp
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    # ---- level 1: per-part distinct-order support ----
+    supp_schema = pa.schema([("p", pa.int64()), ("n", pa.int64())])
+
+    def supp_kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return supp_schema.empty_table()
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = np.unique(ok * (np.int64(1) << 32) + pk)
+        p = code & ((np.int64(1) << 32) - 1)
+        up, cnt = np.unique(p, return_counts=True)
+        return pa.table({"p": pa.array(up),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    supp = _exchange_combine(
+        hash_exchange(ds, nbuckets=32, on="l_orderkey",
+                      reduce_fn=supp_kernel, schema=supp_schema),
+        "p", [("n", "sum")])
+    freq = np.sort(supp["p"].to_numpy(zero_copy_only=False)[
+        supp["n"].to_numpy(zero_copy_only=False) >= min_support])
+    freq_ref = ray.put(freq)
+
+    # ---- level 2: triple generation over pruned baskets ----
+    def triple_kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return _TRIPLE_SCHEMA.empty_table()
+        fset = ray.get(freq_ref)
+        if len(fset) == 0:
+            return _TRIPLE_SCHEMA.empty_table()
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(fset, pk)
+        pos[pos == len(fset)] = 0
+        keep = fset[pos] == pk
+        ok, pk = ok[keep], pk[keep]
+        if len(ok) == 0:
+            return _TRIPLE_SCHEMA.empty_table()
+        code = np.unique(ok * (np.int64(1) << 32) + pk)
+        o = code >> 32
+        p = code & ((np.int64(1) << 32) - 1)
+        n = len(o)
+        # per-order segments (sorted by the unique), pairs then thirds
+        new = np.concatenate(([True], o[1:] != o[:-1]))
+        seg_start = np.flatnonzero(new)
+        seg_len = np.diff(np.append(seg_start, n))
+        seg_end = np.repeat(seg_start + seg_len, seg_len)
+        posn = np.arange(n, dtype=np.int64)
+        rem = seg_end - posn - 1
+        first = np.repeat(posn, rem)
+        second = first + 1 + ramp(rem)
+        rem2 = seg_end[first] - second - 1
+        f3 = np.repeat(first, rem2)
+        s3 = np.repeat(second, rem2)
+        third = s3 + 1 + ramp(rem2)
+        if len(third) == 0:
+            return _TRIPLE_SCHEMA.empty_table()
+        # 21-bit pack per part for the in-bucket unique (sandbox part
+        # domains are < 2^21; a 100-TB run keys the exchange on the
+        # three columns and uniquifies via lexsort instead)
+        assert int(p.max()) < (1 << 21), "partkey exceeds 21-bit pack"
+        tc = ((p[f3] << np.int64(42)) | (p[s3] << np.int64(21))
+              | p[third])
+        uc, cnt = np.unique(tc, return_counts=True)
+        return pa.table({
+            "p1": pa.array(uc >> 42),
+            "p2": pa.array((uc >> 21) & ((np.int64(1) << 21) - 1)),
+            "p3": pa.array(uc & ((np.int64(1) << 21) - 1)),
+            "n_orders": pa.array(cnt.astype(np.int64))})
+
+    partials = hash_exchange(ds, nbuckets=32, on="l_orderkey",
+                             reduce_fn=triple_kernel,
+                             schema=_TRIPLE_SCHEMA)
+
+    def topk_kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return _TRIPLE_SCHEMA.empty_table()
+        agg = t.group_by(["p1", "p2", "p3"]).aggregate(
+            [("n_orders", "sum")])
+        p1 = agg["p1"].to_numpy().astype(np.int64)
+        p2 = agg["p2"].to_numpy().astype(np.int64)
+        p3 = agg["p3"].to_numpy().astype(np.int64)
+        nn = agg["n_orders_sum"].to_numpy().astype(np.int64)
+        ok_ = nn >= min_support
+        p1, p2, p3, nn = p1[ok_], p2[ok_], p3[ok_], nn[ok_]
+        sel = np.lexsort((p3, p2, p1, -nn))[:k]
+        return pa.table({"p1": pa.array(p1[sel]), "p2": pa.array(p2[sel]),
+                         "p3": pa.array(p3[sel]),
+                         "n_orders": pa.array(nn[sel])})
+
+    t = collect_table(hash_exchange(partials, nbuckets=16,
+                                    on=["p1", "p2", "p3"],
+                                    reduce_fn=topk_kernel,
+                                    schema=_TRIPLE_SCHEMA))
+    p1 = t["p1"].to_numpy(zero_copy_only=False)
+    p2 = t["p2"].to_numpy(zero_copy_only=False)
+    p3 = t["p3"].to_numpy(zero_copy_only=False)
+    nn = t["n_orders"].to_numpy(zero_copy_only=False)
+    sel = np.lexsort((p3, p2, p1, -nn))[:k]
+    return pa.table({"p1": pa.array(p1[sel]), "p2": pa.array(p2[sel]),
+                     "p3": pa.array(p3[sel]),
+                     "n_orders": pa.array(nn[sel])})
+
+
+def events_markov_stationary(sf_dir: str, iters: int = 12):
+    """Stationary distribution of the event-type Markov chain: the
+    row-normalized (event_type -> next_type) transition matrix from
+    per-user (ts, event_id)-ordered streams, powered ``iters`` times
+    from the uniform vector.  Types with NO outgoing transition keep
+    their mass (self-loop row) — pinned, mirrored in the oracle.
+    The distributed work is the transition count (user-hash
+    exchange, same kernel as events_transitions); the matrix itself
+    is |types|^2 — tiny — so the iteration is a driver matmul.
+    Hash-checked vs an unrolled MATERIALIZED-CTE twin."""
+    import ray
+
+    from ..functions.window import transition_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    parts = transition_counts(ds, key="user_id", order="ts",
+                              state="event_type", tiebreak="event_id",
+                              nbuckets=32)
+    tbl = _final_combine(parts, ["state", "next_state"], ["n"])
+    # the type universe includes types that only ever appear as a
+    # user's LAST event (no outgoing row)
+    import duckdb
+
+    types = [r[0] for r in duckdb.connect().execute(
+        f"SELECT DISTINCT event_type FROM '{sf_dir}/events.parquet' "
+        "ORDER BY event_type").fetchall()]
+    idx = {t: i for i, t in enumerate(types)}
+    kk = len(types)
+    P = np.zeros((kk, kk))
+    for r in tbl.to_pylist():
+        P[idx[r["state"]], idx[r["next_state"]]] = r["n"]
+    rows = P.sum(axis=1)
+    dead = rows == 0
+    P[dead, :] = 0.0
+    P[np.flatnonzero(dead), np.flatnonzero(dead)] = 1.0
+    rows = np.where(dead, 1.0, rows)
+    P = P / rows[:, None]
+    r = np.full(kk, 1.0 / kk)
+    for _ in range(iters):
+        r = r @ P
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "prob": pa.array(r)})
+
+
 def embeddings_topk_filtered(sf_dir: str, k: int = 5,
                              n_queries: int = 5, label: int = 1):
     """Filtered vector search (the metadata-predicate ANN every RAG
