@@ -911,3 +911,71 @@ def test_entity_keyed_finishes_collect_only_finished_groups(
     out = run(q.suppliers_scorecard, n_supps)
     assert out.num_rows == n_supps
     run(q.customers_rfm, n_custs)
+
+
+def test_frequent_triples_apriori_lossless(ray_session):
+    """The item-level a-priori prune must be lossless: engine output
+    == a direct pandas 3-way enumeration on the same corpus, and every
+    reported triple's parts each meet the support threshold."""
+    import itertools
+
+    import duckdb
+
+    from geobuf_ray.pipelines import queries as q
+
+    out = q.parts_frequent_triples(SF, min_support=2, k=20)
+    lp = duckdb.connect().execute(
+        f"SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        f"FROM '{SF}/lineitem.parquet'").df()
+    from collections import Counter
+
+    counts = Counter()
+    for _, grp in lp.groupby("o"):
+        for tri in itertools.combinations(sorted(grp["p"]), 3):
+            counts[tri] += 1
+    want = sorted(((n, t) for t, n in counts.items() if n >= 2),
+                  key=lambda x: (-x[0], x[1]))[:20]
+    got = [(r["n_orders"], (r["p1"], r["p2"], r["p3"]))
+           for r in out.to_pylist()]
+    assert got == want
+    part_support = lp.groupby("p")["o"].nunique()
+    for n, (a, b, c) in got:
+        assert min(part_support[a], part_support[b],
+                   part_support[c]) >= 2
+
+
+def test_markov_stationary_laws(ray_session):
+    """Stationary vector sums to 1, is non-negative, and one more
+    application of the empirical transition matrix moves it by less
+    than the power-iteration contraction bound implies for 12 steps
+    on this corpus (sanity, not exactness — exactness is the CTE
+    oracle's job)."""
+    import duckdb
+
+    import numpy as np
+
+    from geobuf_ray.pipelines import queries as q
+
+    out = q.events_markov_stationary(SF)
+    p = np.array([r["prob"] for r in out.to_pylist()])
+    assert abs(p.sum() - 1.0) < 1e-12 and (p >= 0).all()
+    # applying P once more changes the vector only a little once
+    # 12 iterations have mixed the (small, dense) chain
+    df = duckdb.connect().execute(f"""
+        WITH seq AS (SELECT event_type AS s,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t
+               FROM '{SF}/events.parquet')
+        SELECT s, t, COUNT(*) AS n FROM seq WHERE t IS NOT NULL
+        GROUP BY s, t""").df()
+    types = [r["event_type"] for r in out.to_pylist()]
+    idx = {t: i for i, t in enumerate(types)}
+    P = np.zeros((len(types), len(types)))
+    for _, r in df.iterrows():
+        P[idx[r["s"]], idx[r["t"]]] = r["n"]
+    rows = P.sum(axis=1)
+    dead = rows == 0
+    P[dead, :] = 0.0
+    P[np.flatnonzero(dead), np.flatnonzero(dead)] = 1.0
+    P /= np.where(dead, 1.0, rows)[:, None]
+    assert np.abs(p @ P - p).max() < 1e-3
