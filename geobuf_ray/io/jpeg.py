@@ -132,23 +132,30 @@ def _canonical_codes(bits, vals):
 
 
 def _decode_table(bits, vals):
-    """BITS/HUFFVAL -> 65536-entry (symbol, length) prefix lookup:
-    index by the NEXT 16 bits of the stream, get the symbol and how
-    many bits it consumed."""
-    sym = np.zeros(1 << 16, np.int16)
-    ln_ = np.zeros(1 << 16, np.int8)
+    """BITS/HUFFVAL -> 65536-entry fused prefix lookup: index by the
+    NEXT 16 bits, get ``(symbol << 5) | bit_length`` (0 = invalid
+    code).  One plain-list index per symbol in the decode loop; cached
+    because real corpora reuse the standard tables on every image."""
+    return _decode_table_cached(tuple(bits), tuple(vals))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_table_cached(bits, vals):
+    fused = np.zeros(1 << 16, np.int32)
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
             lo = code << (16 - ln)
             hi = lo + (1 << (16 - ln))
-            sym[lo:hi] = vals[k]
-            ln_[lo:hi] = ln
+            fused[lo:hi] = (vals[k] << 5) | ln
             code += 1
             k += 1
         code <<= 1
-    return sym, ln_
+    return fused.tolist()
 
 
 def _quality_tables(quality: int):
@@ -220,45 +227,116 @@ def _pack_bits(codes: np.ndarray, lens: np.ndarray) -> bytes:
     return by.tobytes()
 
 
-def _encode_component(qblocks: np.ndarray, dc_codes, ac_codes,
-                      codes: list, lens: list) -> None:
-    """Entropy-encode zigzagged quantized blocks (n, 64) of ONE
-    component; appends (code, bitlen) pairs in stream order."""
-    dcs = qblocks[:, 0].copy()
-    dcs[1:] -= qblocks[:-1, 0]
-    for bi in range(len(qblocks)):
-        diff = int(dcs[bi])
-        mag = abs(diff)
-        size = int(mag).bit_length()
-        c, ln = dc_codes[size]
-        codes.append(c)
-        lens.append(ln)
-        if size:
-            v = diff if diff >= 0 else diff + (1 << size) - 1
-            codes.append(v)
-            lens.append(size)
-        ac = qblocks[bi, 1:]
-        nz = np.flatnonzero(ac)
-        prev = -1
-        for p in nz:
-            run = int(p) - prev - 1
-            prev = int(p)
-            while run >= 16:
-                c, ln = ac_codes[0xF0]
-                codes.append(c)
-                lens.append(ln)
-                run -= 16
-            v = int(ac[p])
-            size = int(abs(v)).bit_length()
-            c, ln = ac_codes[(run << 4) | size]
-            codes.append(c)
-            lens.append(ln)
-            codes.append(v if v >= 0 else v + (1 << size) - 1)
-            lens.append(size)
-        if len(nz) == 0 or int(nz[-1]) < 62:
-            c, ln = ac_codes[0x00]
-            codes.append(c)
-            lens.append(ln)
+_POW2 = (np.int64(1) << np.arange(17)).astype(np.int64)
+
+
+def _bit_sizes(v: np.ndarray) -> np.ndarray:
+    """JPEG magnitude category: bit_length(|v|), exact integer math."""
+    return np.searchsorted(_POW2, np.abs(v), side="left") \
+        + (np.isin(np.abs(v), _POW2)).astype(np.int64)
+
+
+def _code_arrays(codes: dict, size: int):
+    c = np.zeros(size, np.int64)
+    ln = np.zeros(size, np.int64)
+    for k, (cc, ll) in codes.items():
+        c[k] = cc
+        ln[k] = ll
+    return c, ln
+
+
+def _entropy_records(comp_q: list[np.ndarray], dc_tabs, ac_tabs):
+    """Fully vectorized entropy stage: per-symbol records (code, len)
+    for ALL components at once, ordered by (mcu, component,
+    within-block position, sub-order) with ONE lexsort — the
+    replacement for the per-block Python walk.  4:4:4 only (one block
+    per component per MCU — this encoder's layout)."""
+    rec_codes, rec_lens = [], []
+    rec_m, rec_c, rec_pos, rec_sub = [], [], [], []
+
+    def push(codes, lens, m, ci, poskey, subkey):
+        rec_codes.append(codes)
+        rec_lens.append(lens)
+        rec_m.append(m)
+        rec_c.append(np.full(len(codes), ci, np.int64))
+        rec_pos.append(poskey)
+        rec_sub.append(subkey)
+
+    for ci, qz in enumerate(comp_q):
+        n = len(qz)
+        dc_c, dc_l = dc_tabs[ci]
+        ac_c, ac_l = ac_tabs[ci]
+        mi = np.arange(n, dtype=np.int64)
+        # DC: symbol + extra bits
+        d = qz[:, 0].copy()
+        d[1:] -= qz[:-1, 0]
+        s = _bit_sizes(d)
+        push(dc_c[s], dc_l[s], mi, ci,
+             np.zeros(n, np.int64), np.zeros(n, np.int64))
+        nzd = np.flatnonzero(s)
+        v = d[nzd]
+        v = np.where(v >= 0, v, v + _POW2[s[nzd]] - 1)
+        push(v, s[nzd], mi[nzd], ci,
+             np.zeros(len(nzd), np.int64), np.ones(len(nzd), np.int64))
+        # AC: run-lengths across the flattened (n, 63) tail
+        ac = qz[:, 1:]
+        idx = np.flatnonzero(ac.reshape(-1))
+        blk = idx // 63
+        pos = idx % 63
+        first = np.concatenate(([True], blk[1:] != blk[:-1])) \
+            if len(blk) else np.empty(0, bool)
+        prev = np.empty(len(pos), np.int64)
+        if len(pos):
+            prev[first] = -1
+            prev[~first] = pos[np.flatnonzero(~first) - 1]
+        run = pos - prev - 1
+        nzrl = run >> 4
+        rem = run & 15
+        av = ac.reshape(-1)[idx]
+        asz = _bit_sizes(av)
+        rs = (rem << 4) | asz
+        poskey = pos + 1
+        # ZRL fills (0..3 per coefficient)
+        if nzrl.any():
+            zi = np.repeat(np.arange(len(nzrl)), nzrl)
+            sub = vi_ramp(nzrl)
+            push(np.full(len(zi), ac_c[0xF0]),
+                 np.full(len(zi), ac_l[0xF0]),
+                 blk[zi], ci, poskey[zi], sub)
+        push(ac_c[rs], ac_l[rs], blk, ci, poskey,
+             np.full(len(blk), 100, np.int64))
+        bv = np.where(av >= 0, av, av + _POW2[asz] - 1)
+        push(bv, asz, blk, ci, poskey,
+             np.full(len(blk), 101, np.int64))
+        # EOB where the block's last nonzero isn't coefficient 62
+        last = np.full(n, -1, np.int64)
+        if len(blk):
+            last[blk] = pos  # ascending within block: final write wins
+        eob = np.flatnonzero(last < 62)
+        push(np.full(len(eob), ac_c[0x00]),
+             np.full(len(eob), ac_l[0x00]),
+             eob, ci, np.full(len(eob), 999, np.int64),
+             np.zeros(len(eob), np.int64))
+
+    codes = np.concatenate(rec_codes)
+    lens = np.concatenate(rec_lens)
+    order = np.lexsort((np.concatenate(rec_sub),
+                        np.concatenate(rec_pos),
+                        np.concatenate(rec_c),
+                        np.concatenate(rec_m)))
+    return codes[order], lens[order]
+
+
+def vi_ramp(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] per-segment arange (tiny local copy of
+    codec.varint.ramp to keep io/ free of codec imports)."""
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    if len(lengths) == 0:
+        return np.empty(0, np.int64)
+    ends = np.cumsum(lengths)
+    total = ends[-1]
+    starts = ends - lengths
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
@@ -277,12 +355,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     qtabs = [ql] if gray else [ql, qc]
     planes = ([pixels.astype(np.float64)] if gray
               else list(np.moveaxis(_rgb_to_ycbcr(pixels), -1, 0)))
-    codes: list[int] = []
-    lens: list[int] = []
-    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    dc_l = _code_arrays(_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS), 12)
+    ac_l = _code_arrays(_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS), 256)
+    dc_c = _code_arrays(_canonical_codes(DC_CHROMA_BITS,
+                                         DC_CHROMA_VALS), 12)
+    ac_c = _code_arrays(_canonical_codes(AC_CHROMA_BITS,
+                                         AC_CHROMA_VALS), 256)
 
     # 4:4:4 with identical geometry per component: the MCU is one
     # block per component, interleaved Y Cb Cr per MCU
@@ -290,28 +368,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     for ci, plane in enumerate(planes):
         p = np.pad(plane, ((0, h8 - h), (0, w8 - w)), mode="edge")
         blocks = _to_blocks(p) - 128.0
-        coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+        coef = _DCT @ blocks @ _DCT.T
         q = (ql if ci == 0 else qc)[UNZIGZAG].reshape(8, 8)
         qb = np.round(coef / q).astype(np.int64)
         comp_q.append(qb.reshape(-1, 64)[:, ZIGZAG])
     if gray:
-        _encode_component(comp_q[0], dc_l, ac_l, codes, lens)
+        codes, lens = _entropy_records(comp_q, [dc_l], [ac_l])
     else:
-        # interleave per MCU with per-component DC prediction: encode
-        # streams per component would break interleave — walk MCUs
-        nmcu = len(comp_q[0])
-        prev_dc = [0, 0, 0]
-        for m in range(nmcu):
-            for ci in range(3):
-                blk = comp_q[ci][m:m + 1].copy()
-                d = int(blk[0, 0])
-                blk[0, 0] = d - prev_dc[ci]
-                prev_dc[ci] = d
-                _encode_component(
-                    blk, dc_l if ci == 0 else dc_c,
-                    ac_l if ci == 0 else ac_c, codes, lens)
-    scan = _pack_bits(np.array(codes, np.int64),
-                      np.array(lens, np.int64))
+        codes, lens = _entropy_records(comp_q, [dc_l, dc_c, dc_c],
+                                       [ac_l, ac_c, ac_c])
+    scan = _pack_bits(codes, lens)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
@@ -348,7 +414,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
 
 class _BitReader:
     """Entropy-segment bit reader with a precomputed sliding 16-bit
-    window: each Huffman symbol costs ONE table lookup."""
+    window: each Huffman symbol costs ONE table lookup.  The window
+    and the per-symbol state live as plain Python ints/lists — numpy
+    scalar indexing in the per-symbol loop costs ~5x a list index."""
 
     def __init__(self, data: np.ndarray):
         bits = np.unpackbits(data)
@@ -358,24 +426,23 @@ class _BitReader:
         for j in range(16):
             w[:-1] |= padded[j:j + len(bits)].astype(np.uint32) \
                 << np.uint32(15 - j)
-        self.win = w
+        self.win = w.tolist()
         self.nbits = len(bits)
         self.pos = 0
 
-    def huff(self, sym: np.ndarray, ln: np.ndarray) -> int:
+    def huff(self, fused: list) -> int:
         if self.pos >= self.nbits:
             raise ValueError("truncated JPEG entropy segment")
-        v = self.win[self.pos]
-        n = int(ln[v])
-        if n == 0:
+        e = fused[self.win[self.pos]]
+        if e == 0:
             raise ValueError("invalid Huffman code in JPEG stream")
-        self.pos += n
-        return int(sym[v])
+        self.pos += e & 31
+        return e >> 5
 
     def receive_extend(self, size: int) -> int:
         if size == 0:
             return 0
-        v = int(self.win[self.pos]) >> (16 - size)
+        v = self.win[self.pos] >> (16 - size)
         self.pos += size
         if v < (1 << (size - 1)):
             v += 1 - (1 << size)
@@ -530,53 +597,94 @@ def _decode_scan(buf, pos, frame, scomp, qt, huff_dc, huff_ac,
     raw = [_unstuff(s) for s in segs]
     mcu = 0
     per_seg = restart_interval if restart_interval else nmcu
+    # coefficients accumulate in flat Python lists (positions are
+    # bi * 64 + k) and scatter ONCE per component at the end — a
+    # numpy scalar write per coefficient was the decode hot spot
+    coef_pos: list[list] = [[] for _ in scomp]
+    coef_val: list[list] = [[] for _ in scomp]
     for seg in raw:
         if mcu >= nmcu:
             break
         reader = _BitReader(seg)
+        win = reader.win
+        nbits = reader.nbits
+        p = 0
         pred = [0] * len(scomp)
         end = min(nmcu, mcu + per_seg)
+        # fully inlined bit reads: every symbol is one fused-table
+        # list index plus int arithmetic — no method calls in the
+        # per-coefficient loop
         try:
             for m in range(mcu, end):
                 my, mx = divmod(m, mcux)
                 for ci, (c, td, ta) in enumerate(scomp):
-                    dsym, dln = huff_dc[td]
-                    asym, aln = huff_ac[ta]
+                    dtab = huff_dc[td]
+                    atab = huff_ac[ta]
                     bx = mcux * c["h"]
+                    pos_l = coef_pos[ci]
+                    val_l = coef_val[ci]
                     for vy in range(c["v"]):
                         for vx in range(c["h"]):
-                            blk = np.zeros(64, np.int64)
-                            s = reader.huff(dsym, dln)
-                            pred[ci] += reader.receive_extend(s)
-                            blk[0] = pred[ci]
+                            if p >= nbits:
+                                raise ValueError("truncated segment")
+                            e = dtab[win[p]]
+                            if e == 0:
+                                raise ValueError("invalid Huffman code")
+                            p += e & 31
+                            s = e >> 5
+                            if s:
+                                vv = win[p] >> (16 - s)
+                                p += s
+                                if vv < (1 << (s - 1)):
+                                    vv += 1 - (1 << s)
+                                pred[ci] += vv
+                            base = ((my * c["v"] + vy) * bx
+                                    + mx * c["h"] + vx) * 64
+                            pos_l.append(base)
+                            val_l.append(pred[ci])
                             k = 1
                             while k < 64:
-                                rs = reader.huff(asym, aln)
-                                r, s = rs >> 4, rs & 15
+                                if p >= nbits:
+                                    raise ValueError(
+                                        "truncated segment")
+                                e = atab[win[p]]
+                                if e == 0:
+                                    raise ValueError(
+                                        "invalid Huffman code")
+                                p += e & 31
+                                rs = e >> 5
+                                s = rs & 15
                                 if s == 0:
-                                    if r == 15:
+                                    if rs == 0xF0:
                                         k += 16
                                         continue
                                     break  # EOB
-                                k += r
+                                k += rs >> 4
                                 if k > 63:
                                     raise ValueError(
                                         "AC index overflow")
-                                blk[k] = reader.receive_extend(s)
+                                vv = win[p] >> (16 - s)
+                                p += s
+                                if vv < (1 << (s - 1)):
+                                    vv += 1 - (1 << s)
+                                pos_l.append(base + k)
+                                val_l.append(vv)
                                 k += 1
-                            bi = (my * c["v"] + vy) * bx \
-                                + mx * c["h"] + vx
-                            store[ci][bi] = blk
         except ValueError:
             # tolerate a truncated tail segment: decoded MCUs stand
             pass
         mcu = end
+    for ci in range(len(scomp)):
+        if coef_pos[ci]:
+            flat = store[ci].reshape(-1)
+            flat[np.array(coef_pos[ci], np.int64)] = \
+                np.array(coef_val[ci], np.int64)
 
     planes = []
     for ci, (c, _, _) in enumerate(scomp):
         q = qt[c["tq"]]
         coef = (store[ci] * q[None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
-        blocks = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
+        blocks = _DCT.T @ coef @ _DCT + 128.0
         bx, by = mcux * c["h"], mcuy * c["v"]
         plane = _from_blocks(blocks, by * 8, bx * 8)
         if (c["h"], c["v"]) != (hmax, vmax):
