@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_transitions": q.events_transitions,
         "events_markov_stationary": q.events_markov_stationary,
+        "events_holt_hourly": q.events_holt_hourly,
         "parts_frequent_triples": q.parts_frequent_triples,
         "events_value_twap": q.events_value_twap,
         "events_value_autocorr": q.events_value_autocorr,
@@ -615,6 +616,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_pagerank_top": _pagerank_sql(),
         "events_markov_stationary": _markov_sql(),
+        "events_holt_hourly": """
+            WITH RECURSIVE bounds AS (
+              SELECT MIN(epoch_us(ts) // 3600000000) AS lo,
+                     MAX(epoch_us(ts) // 3600000000) AS hi FROM events),
+            spine AS MATERIALIZED (
+              SELECT t.event_type AS typ,
+                     g.h - (SELECT lo FROM bounds) AS t,
+                     COALESCE(c.n, 0) AS y
+              FROM (SELECT DISTINCT event_type FROM events) t
+              CROSS JOIN (SELECT unnest(generate_series(
+                            (SELECT lo FROM bounds),
+                            (SELECT hi FROM bounds))) AS h) g
+              LEFT JOIN (SELECT event_type,
+                                epoch_us(ts) // 3600000000 AS h,
+                                COUNT(*) AS n
+                         FROM events GROUP BY 1, 2) c
+                ON c.event_type = t.event_type AND c.h = g.h),
+            ht(typ, t, l, b) AS (
+              SELECT s0.typ, 1,
+                     CAST(s0.y AS DOUBLE),
+                     CAST(s1.y AS DOUBLE) - CAST(s0.y AS DOUBLE)
+              FROM spine s0 JOIN spine s1
+                ON s1.typ = s0.typ AND s1.t = 1
+              WHERE s0.t = 0
+              UNION ALL
+              SELECT s.typ, h.t + 1,
+                     0.5 * s.y + 0.5 * (h.l + h.b),
+                     0.25 * ((0.5 * s.y + 0.5 * (h.l + h.b)) - h.l)
+                     + 0.75 * h.b
+              FROM ht h JOIN spine s
+                ON s.typ = h.typ AND s.t = h.t)
+            SELECT typ AS event_type, l AS level_end, b AS trend_end,
+                   l + 24 * b AS forecast_24h
+            FROM ht
+            WHERE t = (SELECT MAX(t) FROM spine) + 1
+        """,
         "parts_frequent_triples": """
             WITH lp AS (SELECT DISTINCT l_orderkey AS o,
                                l_partkey AS p FROM lineitem),

@@ -7668,6 +7668,63 @@ def parts_frequent_triples(sf_dir: str, min_support: int = 2,
                      "n_orders": pa.array(nn[sel])})
 
 
+def events_holt_hourly(sf_dir: str, alpha: float = 0.5,
+                       gamma: float = 0.25, horizon: int = 24):
+    """Holt linear-trend smoothing per event type over the DENSE
+    zero-filled hourly count series: l_t = a*y_t + (1-a)*(l + b),
+    b_t = g*(l_t - l) + (1-g)*b, initialized l_0 = y_0,
+    b_0 = y_1 - y_0 (pinned).  a = 0.5 and g = 0.25 are exact
+    binary fractions and both sides evaluate the update left-to-right,
+    so the float sequence is bit-identical to the recursive-CTE twin.
+    The distributed work is the hourly count (bounded (type, hour)
+    partials); the recursion runs on the time-bounded series.  Emits
+    per type the final level/trend and the ``horizon``-hour linear
+    forecast.  Hash-checked vs a WITH RECURSIVE twin."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hr = b["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64) // 3_600_000_000
+        t = pa.table({"event_type": b["event_type"],
+                      "hour": pa.array(hr),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum")]).rename_columns(
+            ["event_type", "hour", "n"])
+
+    hourly = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], ["n"])
+    hrs = hourly["hour"].to_numpy(zero_copy_only=False)
+    lo, hi = int(hrs.min()), int(hrs.max())
+    span = hi - lo + 1
+    types = sorted(set(hourly["event_type"].to_pylist()))
+    series = {t: np.zeros(span, np.int64) for t in types}
+    for r in hourly.to_pylist():
+        series[r["event_type"]][r["hour"] - lo] = r["n"]
+    out_t, out_l, out_b, out_f = [], [], [], []
+    for t in types:
+        y = series[t]
+        l = float(y[0])
+        b = float(y[1]) - float(y[0])
+        for i in range(1, span):
+            l_new = alpha * y[i] + (1.0 - alpha) * (l + b)
+            b = gamma * (l_new - l) + (1.0 - gamma) * b
+            l = l_new
+        out_t.append(t)
+        out_l.append(l)
+        out_b.append(b)
+        out_f.append(l + horizon * b)
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "level_end": pa.array(out_l),
+                     "trend_end": pa.array(out_b),
+                     "forecast_24h": pa.array(out_f)})
+
+
 def events_markov_stationary(sf_dir: str, iters: int = 12):
     """Stationary distribution of the event-type Markov chain: the
     row-normalized (event_type -> next_type) transition matrix from
