@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": q.events_transitions,
         "events_markov_stationary": q.events_markov_stationary,
         "events_holt_hourly": q.events_holt_hourly,
+        "events_window_funnel": q.events_window_funnel,
         "parts_frequent_triples": q.parts_frequent_triples,
         "events_value_twap": q.events_value_twap,
         "events_value_autocorr": q.events_value_autocorr,
@@ -616,6 +617,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_pagerank_top": _pagerank_sql(),
         "events_markov_stationary": _markov_sql(),
+        "events_window_funnel": """
+            WITH s1 AS (SELECT user_id, ts FROM events
+                        WHERE event_type = 'signup'),
+            c2 AS (SELECT s1.user_id, s1.ts AS t1,
+                     (SELECT MIN(v.ts) FROM events v
+                      WHERE v.user_id = s1.user_id
+                        AND v.event_type = 'view'
+                        AND v.ts > s1.ts) AS t2
+                   FROM s1),
+            c3 AS (SELECT c2.*,
+                     (SELECT MIN(p.ts) FROM events p
+                      WHERE p.user_id = c2.user_id
+                        AND p.event_type = 'purchase'
+                        AND p.ts > c2.t2) AS t3
+                   FROM c2),
+            d AS (SELECT user_id,
+                    MAX(CASE WHEN t2 IS NOT NULL AND
+                          epoch_us(t2) - epoch_us(t1)
+                            <= 72 * 3600000000 THEN 1 ELSE 0 END) AS d2,
+                    MAX(CASE WHEN t3 IS NOT NULL AND
+                          epoch_us(t3) - epoch_us(t1)
+                            <= 72 * 3600000000 THEN 1 ELSE 0 END) AS d3
+                  FROM c3 GROUP BY user_id)
+            SELECT 'signup' AS step, 1 AS depth,
+                   (SELECT COUNT(DISTINCT user_id) FROM s1) AS n_users
+            UNION ALL
+            SELECT 'view', 2,
+                   (SELECT CAST(COALESCE(SUM(d2), 0) AS BIGINT) FROM d)
+            UNION ALL
+            SELECT 'purchase', 3,
+                   (SELECT CAST(COALESCE(SUM(d3), 0) AS BIGINT) FROM d)
+            ORDER BY depth
+        """,
         "events_holt_hourly": """
             WITH RECURSIVE bounds AS (
               SELECT MIN(epoch_us(ts) // 3600000000) AS lo,

@@ -716,6 +716,89 @@ def events_funnel(sf_dir: str):
     return funnel_counts(ds, ["signup", "view", "click", "purchase"])
 
 
+def events_window_funnel(sf_dir: str, window_hours: int = 72):
+    """Windowed funnel signup -> view -> purchase: a user reaches
+    depth d when SOME strictly-time-ordered chain of the first d
+    steps completes within ``window_hours`` of its first event
+    (exists-chain semantics — deterministic, unlike greedy-anchor
+    variants that can miss feasible chains).  Because the greedy
+    earliest chain from a given start minimizes the chain end, the
+    test is: for each signup, next view strictly after it, then next
+    purchase strictly after that — two searchsorted hops — feasible
+    iff end - start <= W.  Per-user arrays pack as
+    rank << 45 | (ts - lo), so ONE global searchsorted resolves every
+    user's hops at once (no per-user loop).  One user-hash exchange;
+    output (step, n_users) = users reaching depth >= k in-window.
+    Hash-checked vs a DuckDB ASOF-join twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    steps = ("signup", "view", "purchase")
+    W = np.int64(window_hours) * 3_600_000_000
+    part_schema = pa.schema([("depth", pa.int64()),
+                             ("n_users", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return part_schema.empty_table()
+        et = tbl["event_type"].combine_chunks()
+        keep = pc.is_in(et, value_set=pa.array(steps))
+        tbl = tbl.filter(keep)
+        if tbl.num_rows == 0:
+            return part_schema.empty_table()
+        u = tbl["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = tbl["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        st = tbl["event_type"].to_numpy(zero_copy_only=False)
+        uu, ur = np.unique(u, return_inverse=True)
+        lo = ts.min()
+        span = int(ts.max() - lo) + 2
+        assert span < (1 << 45), "time span exceeds the 45-bit pack"
+        key = (ur.astype(np.int64) << np.int64(45)) + (ts - lo)
+        k1 = np.sort(key[st == steps[0]])
+        k2 = np.sort(key[st == steps[1]])
+        k3 = np.sort(key[st == steps[2]])
+        # hop 1: earliest step-2 strictly after each signup, same user
+        p2 = np.searchsorted(k2, k1, side="right")
+        v2 = k2[np.minimum(p2, max(len(k2) - 1, 0))] \
+            if len(k2) else np.zeros(len(k1), np.int64)
+        ok2 = (len(k2) > 0) & (p2 < len(k2)) \
+            & ((v2 >> np.int64(45)) == (k1 >> np.int64(45)))
+        # hop 2: earliest step-3 strictly after that view
+        p3 = np.searchsorted(k3, v2, side="right")
+        v3 = k3[np.minimum(p3, max(len(k3) - 1, 0))] \
+            if len(k3) else np.zeros(len(k1), np.int64)
+        ok3 = ok2 & (len(k3) > 0) & (p3 < len(k3)) \
+            & ((v3 >> np.int64(45)) == (k1 >> np.int64(45)))
+        mask45 = (np.int64(1) << np.int64(45)) - 1
+        t1 = k1 & mask45
+        in2 = ok2 & ((v2 & mask45) - t1 <= W)
+        in3 = ok3 & ((v3 & mask45) - t1 <= W)
+        u1 = k1 >> np.int64(45)
+        d1 = len(np.unique(u1))
+        d2 = len(np.unique(u1[in2]))
+        d3 = len(np.unique(u1[in3]))
+        return pa.table({"depth": pa.array([1, 2, 3], pa.int64()),
+                         "n_users": pa.array([d1, d2, d3], pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+    parts = collect_table(hash_exchange(
+        ds, nbuckets=32, on="user_id", reduce_fn=kernel,
+        schema=part_schema))
+    agg = parts.group_by(["depth"]).aggregate([("n_users", "sum")])
+    agg = agg.rename_columns(["depth", "n_users"]).sort_by(
+        [("depth", "ascending")])
+    return pa.table({
+        "step": pa.array(list(steps), pa.string()),
+        "depth": agg["depth"],
+        "n_users": agg["n_users"]})
+
+
 def events_interval_coalesce(sf_dir: str):
     """Gaps-and-islands interval merge
     (functions/window.interval_coalesce): per user, deterministic
