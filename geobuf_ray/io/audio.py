@@ -86,6 +86,22 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
                     rate)
         y = np.frombuffer(body, np.uint8).astype(np.float32) / 127.5 - 1.0
         return _mulaw_inv(y).astype(np.float32), rate
+    if magic == b"RIFF":  # real WAV: pure-Python RIFF/G.711 codec
+        from .wav import decode_wav
+
+        try:
+            return decode_wav(data)
+        except NotImplementedError:
+            # ADPCM/A-law/odd depths the pure decoder declines: use
+            # soundfile when available instead of regressing
+            if not _HAVE_SOUNDFILE:
+                raise
+            import io
+
+            import soundfile as sf
+
+            arr, rate = sf.read(io.BytesIO(data), dtype="float32")
+            return arr, rate
     if _HAVE_SOUNDFILE:  # pragma: no cover
         import io
 
@@ -94,8 +110,9 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         arr, rate = sf.read(io.BytesIO(data), dtype="float32")
         return arr, rate
     raise NotImplementedError(
-        "real audio codecs need the soundfile package (absent in this "
-        "container); pcmz/ulawz payloads cover the pipeline shape")
+        "real compressed-audio codecs (mp3/ogg/flac) need the soundfile "
+        "package (absent in this container); WAV has a real pure-Python "
+        "codec in io/wav.py, pcmz/ulawz cover the internal shape")
 
 
 def synthesize_audio_rows(indices, rate: int = 16000) -> pa.Table:
@@ -178,6 +195,10 @@ class AudioFeaturesFn:
         }
         if self.check_fidelity:
             cols["snr_db"] = pa.array(snrs, pa.float64())
+        if "src_fmt" in batch.column_names:
+            # transcode stages stamp the original format — keep it so
+            # downstream rollups can pin per-chain invariants
+            cols["src_fmt"] = batch["src_fmt"]
         return pa.table(cols)
 
 
@@ -523,3 +544,42 @@ class MotionEstimateFn:
             out["est_vx"][i], out["est_vy"][i] = first or (0, 0)
         return pa.table({"clip_id": batch["clip_id"],
                          **{k: pa.array(v) for k, v in out.items()}})
+
+
+class TranscodeWavFn:
+    """Actor-pool transcode stage: decode each row's payload and
+    re-encode as a REAL WAV byte stream (io/wav.py — the public
+    RIFF/WAVE wire format).  ``wav_fmt='pcm16'`` is sample-lossless
+    for pcmz sources (int16 -> int16); ``'mulaw'`` is the lossy G.711
+    chain.  ``src_fmt`` keeps the original format, ``fmt`` becomes
+    ``wav-pcm16`` / ``wav-mulaw``."""
+
+    def __init__(self, wav_fmt: str = "pcm16"):
+        self.wav_fmt = wav_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .wav import encode_wav
+
+        blobs = batch["bytes"].to_pylist()
+        rates = batch["sample_rate"].to_numpy(zero_copy_only=False)
+        out = []
+        for data, rate in zip(blobs, rates):
+            samples, r = decode_audio(data)
+            out.append(encode_wav(samples, int(r or rate),
+                                  fmt=self.wav_fmt))
+        t = batch.drop_columns(["bytes"])
+        t = t.append_column("bytes", pa.array(out, pa.binary()))
+        t = t.append_column("src_fmt", t["fmt"])
+        return t.set_column(
+            t.column_names.index("fmt"), "fmt",
+            pa.array([f"wav-{self.wav_fmt}"] * len(out), pa.string()))
+
+
+def transcode_wav(ds, *, batch_size: int = 32, concurrency=(1, 8),
+                  wav_fmt: str = "pcm16", **map_kwargs):
+    """Dataset stage: any audio rows -> the same rows with real WAV
+    payloads."""
+    return ds.map_batches(
+        TranscodeWavFn, fn_constructor_kwargs=dict(wav_fmt=wav_fmt),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **map_kwargs)

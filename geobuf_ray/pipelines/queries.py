@@ -5039,6 +5039,65 @@ def audio_features(sf_dir: str):
                           batch_size=32, concurrency=(1, 4))
 
 
+def audio_wav_pipeline(sf_dir: str):
+    """Real-WAV media path: the audio corpus transcodes to ACTUAL
+    RIFF/WAVE byte streams (io/wav.py — the public wire format, plus
+    real G.711 mu-law) in one actor-pool stage, then the standard
+    feature stage consumes the WAV payloads like any other format.
+    In-query invariants per source format: every payload opens with
+    RIFF....WAVE, the pcmz-sourced chain is int16-sample-lossless
+    (SNR >= 80 dB vs the procedural source — one quantization only),
+    and the ulawz-sourced chain stays above its companding bound
+    (>= 25 dB).  Rows-only (WAV bytes aren't SQL); scalar round-trip
+    oracles in tests/test_audio.py."""
+    import ray
+
+    from ..io import audio as au
+
+    n = 40 if "0.001" in sf_dir else (100 if "0.01" in sf_dir else 300)
+    ds = _cached_media_ds("audio", n, au.synthesize_audio_dataset)
+
+    def sig_check(batch: pa.Table) -> pa.Table:
+        for b in batch["bytes"].to_pylist():
+            assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", \
+                "not a WAV payload"
+        return batch
+
+    wav = au.transcode_wav(ds, batch_size=32, concurrency=(1, 4)) \
+        .map_batches(sig_check, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    out = wav.map_batches(
+        au.AudioFeaturesFn,
+        fn_constructor_kwargs=dict(check_fidelity=True),
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sf = batch["src_fmt"].to_numpy(zero_copy_only=False)
+        snr = batch["snr_db"].to_numpy(zero_copy_only=False)
+        pz = sf == "pcmz"
+        assert (snr[pz] >= 80.0).all(), \
+            "WAV pcm16 chain below the lossless-quantization bound"
+        assert (snr[~pz] >= 25.0).all(), \
+            "WAV ulaw chain below the companding bound"
+        uf, inv = np.unique(sf, return_inverse=True)
+        mins = np.full(len(uf), np.inf)
+        np.minimum.at(mins, inv, snr)
+        return pa.table({
+            "src_fmt": pa.array(uf),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "min_snr_db": pa.array(mins)})
+
+    from ..collect import collect_table
+
+    tbl = collect_table(out.map_batches(partial, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    agg = tbl.group_by(["src_fmt"]).aggregate(
+        [("n", "sum"), ("min_snr_db", "min")])
+    agg = agg.rename_columns(["src_fmt", "n", "min_snr_db"])
+    order = np.argsort(agg["src_fmt"].to_numpy(zero_copy_only=False))
+    return agg.take(pa.array(order))
+
+
 def audio_resample(sf_dir: str, target_rate: int = 8000):
     """Audio resample stage (payload in, payload out) + size stats."""
     from ..io import audio as au

@@ -24,8 +24,13 @@ def test_ulawz_snr_bound():
 
 
 def test_unknown_codec_raises_stub():
-    with pytest.raises(NotImplementedError):
+    # a RIFF container that isn't WAVE is corrupt input for the real
+    # pure-Python WAV codec (ValueError), not a missing decoder
+    with pytest.raises(ValueError):
         au.decode_audio(b"RIFFxxxx" + b"\x00" * 16)
+    # genuinely compressed formats stay gated on soundfile
+    with pytest.raises(NotImplementedError):
+        au.decode_audio(b"ID3\x04" + b"\x00" * 16)
 
 
 def test_audio_features_pipeline(ray_session):
@@ -246,3 +251,131 @@ def test_motion_estimate_scalar_replay():
     assert np.array_equal(f1[:, 0:31], f0[:, 1:32])
     # and a wrong displacement does not match
     assert not np.array_equal(f1[0:31, 0:31], f0[1:32, 1:32])
+
+
+def test_wav_pcm16_roundtrip_sample_exact():
+    """encode_wav(pcm16) -> decode_wav reproduces the int16 samples
+    exactly (one quantization, then lossless)."""
+    from geobuf_ray.io import audio as au
+    from geobuf_ray.io import wav as W
+
+    s = au.procedural_samples("clipwav", 12345, 16000)
+    b = W.encode_wav(s, 16000)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    d, r = W.decode_wav(b)
+    assert r == 16000 and len(d) == len(s)
+    p0 = np.clip(np.round(s.astype(np.float64) * 32767.0),
+                 -32768, 32767).astype(np.int16)
+    p1 = np.round(d.astype(np.float64) * 32767.0).astype(np.int16)
+    assert (p0 == p1).all()
+    # dispatch through decode_audio
+    d2, r2 = au.decode_audio(b)
+    assert r2 == 16000 and (d2 == d).all()
+
+
+def test_wav_g711_mulaw_spec_properties():
+    """The G.711 mu-law codec obeys the spec's analytic laws: exact
+    idempotence (decode->encode fixpoint), monotonicity, and the
+    segmented quantization error bound |x - dec(enc(x))| <
+    2^(seg+4) for every int16 input."""
+    from geobuf_ray.io import wav as W
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    u = W.mulaw_encode(x)
+    y = W.mulaw_decode(u)
+    # fixpoint: re-encoding the decoded value reproduces the code
+    # (except at decoded 0, where G.711's +0/-0 codes collapse)
+    nz = y != 0
+    assert (W.mulaw_encode(y[nz]) == u[nz]).all()
+    assert (np.abs(x[~nz].astype(np.int32)) <= 3).all()
+    # decoded values are monotone non-decreasing in x
+    assert (np.diff(y.astype(np.int32)) >= 0).all()
+    # error bound per segment: step is 2^(seg+3), so error < 2^(seg+4)
+    mag = np.abs(np.clip(x.astype(np.int32), -32635, 32635)) + 0x84
+    seg = np.clip(np.floor(np.log2(mag)).astype(np.int32) - 7, 0, 7)
+    err = np.abs(np.clip(x.astype(np.int32), -32635, 32635)
+                 - y.astype(np.int32))
+    assert (err < (1 << (seg + 4))).all()
+
+
+def test_wav_mulaw_container_roundtrip_snr():
+    from geobuf_ray.io import audio as au
+    from geobuf_ray.io import wav as W
+
+    s = au.procedural_samples("clipu", 16000, 16000)
+    b = W.encode_wav(s, 16000, fmt="mulaw")
+    d, r = W.decode_wav(b)
+    snr = 10 * np.log10(float(np.mean(s.astype(np.float64) ** 2))
+                        / float(np.mean((s - d).astype(np.float64) ** 2)))
+    assert snr >= 30.0, snr
+
+
+def test_wav_hand_built_variants_decode():
+    """Hand-assembled fixtures the encoder never writes: 8-bit PCM,
+    24-bit PCM, 32-bit float, stereo (channel 0 returned), an
+    extensible-format header, and an extra chunk before fmt."""
+    import struct
+
+    from geobuf_ray.io import wav as W
+
+    def rif(chunks):
+        body = b"WAVE" + chunks
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def ck(tag, payload):
+        out = tag + struct.pack("<I", len(payload)) + payload
+        return out + (b"\x00" if len(payload) % 2 else b"")
+
+    # 8-bit unsigned PCM ramp
+    pcm8 = np.array([0, 64, 128, 192, 255], np.uint8)
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    d, r = W.decode_wav(rif(ck(b"fmt ", fmt8) + ck(b"data", pcm8.tobytes())))
+    assert r == 8000
+    assert np.allclose(d, (pcm8.astype(np.float32) - 128) / 127.0)
+
+    # 24-bit PCM: values +/- full scale
+    v24 = np.array([8388607, -8388608, 0, 1], np.int32)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in v24)
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 3, 3, 24)
+    d, r = W.decode_wav(rif(ck(b"fmt ", fmt24) + ck(b"data", raw)))
+    assert np.allclose(d[:2], [1.0, -8388608 / 8388607], atol=1e-6)
+
+    # 32-bit float with a LIST chunk in front of fmt
+    f32 = np.array([0.5, -0.25, 1.0], "<f4")
+    fmtf = struct.pack("<HHIIHH", 3, 1, 48000, 48000 * 4, 4, 32)
+    d, r = W.decode_wav(rif(ck(b"LIST", b"INFOjunk")
+                            + ck(b"fmt ", fmtf)
+                            + ck(b"data", f32.tobytes())))
+    assert r == 48000 and np.array_equal(d, f32)
+
+    # stereo 16-bit: channel 0 comes back
+    st = np.array([100, -100, 200, -200, 300, -300], "<i2")
+    fmts = struct.pack("<HHIIHH", 1, 2, 22050, 22050 * 4, 4, 16)
+    d, r = W.decode_wav(rif(ck(b"fmt ", fmts) + ck(b"data", st.tobytes())))
+    assert np.allclose(d * 32767.0, [100, 200, 300], atol=0.01)
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM16
+    sub = struct.pack("<H", 1) + b"\x00\x00" + bytes(12)
+    fmte = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16) \
+        + struct.pack("<H", 22) + struct.pack("<H", 16) \
+        + struct.pack("<I", 1) + sub
+    pcm = np.array([1000, -1000], "<i2")
+    d, r = W.decode_wav(rif(ck(b"fmt ", fmte) + ck(b"data", pcm.tobytes())))
+    assert np.allclose(d * 32767.0, [1000, -1000], atol=0.01)
+
+
+def test_wav_unsupported_and_corrupt():
+    import struct
+
+    import pytest
+
+    from geobuf_ray.io import wav as W
+
+    with pytest.raises(ValueError):
+        W.decode_wav(b"nope")
+    # ADPCM (format 2) is declared unsupported
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 2) + b"\x00\x00")
+    with pytest.raises(NotImplementedError):
+        W.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
