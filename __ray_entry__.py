@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_holt_hourly": q.events_holt_hourly,
         "events_window_funnel": q.events_window_funnel,
         "audio_wav_pipeline": q.audio_wav_pipeline,
+        "video_mjpeg_pipeline": q.video_mjpeg_pipeline,
         "parts_frequent_triples": q.parts_frequent_triples,
         "events_value_twap": q.events_value_twap,
         "events_value_autocorr": q.events_value_autocorr,

@@ -5119,6 +5119,109 @@ def audio_resample(sf_dir: str, target_rate: int = 8000):
     return out.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def video_mjpeg_pipeline(sf_dir: str, every: int = 5):
+    """Real-video-container path: each clip's sampled frames encode to
+    baseline JPEGs and pack into an ACTUAL MJPEG AVI byte stream
+    (io/avi.py — RIFF 'AVI ' with hdrl/movi/idx1), then a decode
+    stage parses the container back and pins the invariants in-query:
+    the container round-trip is frame-byte-exact, fps/dims survive,
+    and every decoded frame stays >= 30 dB vs its procedural source
+    (32x32 noisy frames at quality 95).  Rows-only (AVI bytes aren't
+    SQL); container-law oracles in tests/test_avi.py."""
+    import ray
+
+    from ..io import audio as au
+
+    n = 20 if "0.001" in sf_dir else (50 if "0.01" in sf_dir else 120)
+    ds = au.synthesize_video_index(n)
+
+    class BuildAvi:
+        def __init__(self):
+            from ..io.avi import encode_avi_mjpeg
+            from ..io.jpeg import encode_jpeg
+
+            self.enc_avi = encode_avi_mjpeg
+            self.enc_jpeg = encode_jpeg
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..io import images as im
+
+            ids, blobs, nf = [], [], []
+            for clip_id, nframes in zip(batch["clip_id"].to_pylist(),
+                                        batch["n_frames"].to_pylist()):
+                frames = [
+                    self.enc_jpeg(im.procedural_pixels(
+                        f"{clip_id}/f{f:06d}", 32, 32), quality=95)
+                    for f in range(0, int(nframes), every)]
+                ids.append(clip_id)
+                nf.append(len(frames))
+                blobs.append(self.enc_avi(frames, 32, 32, fps=10))
+            return pa.table({
+                "clip_id": pa.array(ids, pa.string()),
+                "n_sampled": pa.array(nf, pa.int64()),
+                "bytes": pa.array(blobs, pa.binary())})
+
+    class ReadAvi:
+        def __init__(self):
+            from ..io.avi import decode_avi_mjpeg
+            from ..io.jpeg import decode_jpeg
+
+            self.dec_avi = decode_avi_mjpeg
+            self.dec_jpeg = decode_jpeg
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..io import images as im
+
+            ids, nf, minp = [], [], []
+            for clip_id, n_sampled, data in zip(
+                    batch["clip_id"].to_pylist(),
+                    batch["n_sampled"].to_pylist(),
+                    batch["bytes"].to_pylist()):
+                assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+                frames, fps, w, h = self.dec_avi(data)
+                assert fps == 10 and (w, h) == (32, 32)
+                assert len(frames) == n_sampled, "frame count drift"
+                worst = 99.0
+                for j, fb in enumerate(frames):
+                    src = im.procedural_pixels(
+                        f"{clip_id}/f{j * every:06d}", 32, 32)
+                    worst = min(worst, im.psnr(src, self.dec_jpeg(fb)))
+                assert worst >= 30.0, f"{clip_id}: {worst} dB"
+                ids.append(clip_id)
+                nf.append(n_sampled)
+                minp.append(worst)
+            return pa.table({
+                "clip_id": pa.array(ids, pa.string()),
+                "n_frames": pa.array(nf, pa.int64()),
+                "min_psnr_db": pa.array(minp)})
+
+    avi = ds.map_batches(BuildAvi, batch_format="pyarrow",
+                         batch_size=8, concurrency=(1, 8))
+    out = avi.map_batches(ReadAvi, batch_format="pyarrow",
+                          batch_size=8, concurrency=(1, 8))
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_clips": pa.array([batch.num_rows], pa.int64()),
+            "n_frames": pa.array([int(batch["n_frames"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64()),
+            "min_psnr_db": pa.array([float(batch["min_psnr_db"]
+                                           .to_numpy(
+                zero_copy_only=False).min())])})
+
+    from ..collect import collect_table
+
+    parts = collect_table(out.map_batches(rollup, batch_format="pyarrow",
+                                          zero_copy_batch=True))
+    return pa.table({
+        "n_clips": pa.array([int(parts["n_clips"].to_numpy(
+            zero_copy_only=False).sum())], pa.int64()),
+        "n_frames": pa.array([int(parts["n_frames"].to_numpy(
+            zero_copy_only=False).sum())], pa.int64()),
+        "min_psnr_db": pa.array([float(parts["min_psnr_db"].to_numpy(
+            zero_copy_only=False).min())])})
+
+
 def video_frame_sample(sf_dir: str, every: int = 5):
     """Video frame sampling: only every k-th frame is materialized
     (sparse-decode shape); returns per-clip sampled frame counts."""
