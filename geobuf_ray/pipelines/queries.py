@@ -11941,18 +11941,37 @@ def parts_soundex_blocks(sf_dir: str):
         return g.rename_columns(["sdx", "word", "n"])
 
     from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
 
-    parts = collect_table(ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True))
-    df = parts.to_pandas().groupby(["sdx", "word"], as_index=False)["n"] \
-        .sum()
-    out = df.groupby("sdx", as_index=False).agg(
-        n_parts=("n", "sum"), n_distinct=("word", "nunique"))
-    out = out.sort_values("sdx").reset_index(drop=True)
-    return pa.table({
-        "sdx": pa.array(out["sdx"], pa.string()),
-        "n_parts": pa.array(out["n_parts"].astype(np.int64)),
-        "n_distinct": pa.array(out["n_distinct"].astype(np.int64))})
+    out_schema = pa.schema([("sdx", pa.string()),
+                            ("n_parts", pa.int64()),
+                            ("n_distinct", pa.int64())])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        # per-code finish INSIDE the sdx-hash exchange: the (sdx,
+        # word) vocabulary never centralizes — the driver collects
+        # one finished row per phonetic code (bounded domain)
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        pairs = tbl.group_by(["sdx", "word"]).aggregate([("n", "sum")])
+        sdx = pairs["sdx"].combine_chunks().dictionary_encode()
+        code = sdx.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = pairs["n_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "sdx": sdx.dictionary,
+            "n_parts": pa.array(np.bincount(
+                code, weights=n,
+                minlength=len(sdx.dictionary)).astype(np.int64)),
+            "n_distinct": pa.array(np.bincount(
+                code, minlength=len(sdx.dictionary)).astype(np.int64))})
+
+    out = collect_table(hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        nbuckets=16, on="sdx", reduce_fn=finish, schema=out_schema))
+    order = np.argsort(np.asarray(out["sdx"].to_pylist(), object))
+    return out.take(pa.array(order))
 
 
 def _nation_customer_sequences(sf_dir: str, m: int):
