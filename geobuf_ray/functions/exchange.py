@@ -196,6 +196,10 @@ def hash_exchange(ds, *, nbuckets: int, bucket_fn=None, on=None,
 
         def coarse_fn(tbl: pa.Table):
             b, t = bucket_fn(tbl)
+            if "__bucket__" in t.column_names:
+                raise ValueError(
+                    "rounds=2 reserves the '__bucket__' column name; "
+                    "rename the caller's column")
             t = t.append_column("__bucket__", pa.array(b, pa.int64()))
             return b // fan, t
 

@@ -387,38 +387,42 @@ def write_indexed_geobuf(subfiles, out_path: str,
     # then the temp payload streams in — driver memory stays
     # O(index + one subfile), not O(total payload) (round-4 judge
     # "What's wrong" #2: the export no longer buffers the whole file)
+    import os
+    import uuid
+
     files: dict[str, dict] = {}
     pos = 0
     nfeat_total = 0
-    tmp_payload = out_path + ".payload.tmp"
-    with open(tmp_payload, "wb") as pf:
-        for key, raw in subfiles:
-            nfeat = len(fc.scan_frames(raw)) if raw else 0
-            files[str(key)] = {
-                "Positions": [pos, pos + len(raw)],
-                "NumberFeatures": nfeat,
-                "Size": len(raw),
-            }
-            pf.write(raw)
-            pos += len(raw)
-            nfeat_total += nfeat
-    w, s, e, n = bounds if bounds is not None else (-180.0, -90.0, 180.0, 90.0)
-    meta = {
-        "FileSize": pos,
-        "NumberFeatures": nfeat_total,
-        "Files": files,
-        "Bounds": {"N": n, "S": s, "E": e, "W": w},
-    }
-    blob = encode_metadata(meta)
-    record = encode_metadata_record(blob)
+    # unique temp name: concurrent exports to the same out_path must
+    # not interleave into one temp file; cleanup covers BOTH phases
+    tmp_payload = f"{out_path}.{uuid.uuid4().hex[:12]}.payload.tmp"
     try:
+        with open(tmp_payload, "wb") as pf:
+            for key, raw in subfiles:
+                nfeat = len(fc.scan_frames(raw)) if raw else 0
+                files[str(key)] = {
+                    "Positions": [pos, pos + len(raw)],
+                    "NumberFeatures": nfeat,
+                    "Size": len(raw),
+                }
+                pf.write(raw)
+                pos += len(raw)
+                nfeat_total += nfeat
+        w, s, e, n = bounds if bounds is not None \
+            else (-180.0, -90.0, 180.0, 90.0)
+        meta = {
+            "FileSize": pos,
+            "NumberFeatures": nfeat_total,
+            "Files": files,
+            "Bounds": {"N": n, "S": s, "E": e, "W": w},
+        }
+        blob = encode_metadata(meta)
+        record = encode_metadata_record(blob)
         with open(out_path, "wb") as f:
             f.write(b"\x0a" + vi.encode_varint_scalar(len(record)) + record)
             with open(tmp_payload, "rb") as pf:
                 shutil.copyfileobj(pf, f, length=8 << 20)
     finally:
-        import os
-
         if os.path.exists(tmp_payload):
             os.remove(tmp_payload)
     return meta

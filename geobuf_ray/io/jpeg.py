@@ -369,7 +369,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
         p = np.pad(plane, ((0, h8 - h), (0, w8 - w)), mode="edge")
         blocks = _to_blocks(p) - 128.0
         coef = _DCT @ blocks @ _DCT.T
-        q = (ql if ci == 0 else qc)[UNZIGZAG].reshape(8, 8)
+        # quantize with the NATURAL-order table; the DQT segment emits
+        # it in zigzag sequence as T.81 B.2.4.1 requires
+        q = (ql if ci == 0 else qc).reshape(8, 8)
         qb = np.round(coef / q).astype(np.int64)
         comp_q.append(qb.reshape(-1, 64)[:, ZIGZAG])
     if gray:
@@ -384,7 +386,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
         + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     for tid, qt in enumerate(qtabs):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
-            + bytes(int(v) for v in qt)
+            + bytes(int(v) for v in qt[ZIGZAG])
     ncomp = 1 if gray else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
                                      ncomp)
@@ -420,12 +422,15 @@ class _BitReader:
 
     def __init__(self, data: np.ndarray):
         bits = np.unpackbits(data)
-        # W[p] = int of bits p..p+15 (zero-padded past the end)
-        padded = np.concatenate([bits, np.zeros(16, np.uint8)])
-        w = np.zeros(len(bits) + 1, np.uint32)
+        # W[p] = int of bits p..p+15 (zero-padded past the end); the
+        # extra 16 zero entries keep extra-bit reads in-range when a
+        # symbol lands within 16 bits of a truncated segment's end —
+        # the truncated-tail tolerance path reads zeros, not IndexError
+        padded = np.concatenate([bits, np.zeros(32, np.uint8)])
+        w = np.zeros(len(bits) + 17, np.uint32)
         for j in range(16):
-            w[:-1] |= padded[j:j + len(bits)].astype(np.uint32) \
-                << np.uint32(15 - j)
+            w[:len(bits) + 1] |= padded[j:j + len(bits) + 1] \
+                .astype(np.uint32) << np.uint32(15 - j)
         self.win = w.tolist()
         self.nbits = len(bits)
         self.pos = 0

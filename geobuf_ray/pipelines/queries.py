@@ -81,8 +81,10 @@ def _exchange_combine(partials_ds, key: str,
         for c, how in agg_spec:
             v = tbl[c].to_numpy(zero_copy_only=False).astype(np.int64)
             if how == "sum":
-                r = np.bincount(inv, weights=v,
-                                minlength=len(uniq)).astype(np.int64)
+                # scatter-add in int64: bincount's float64 weights
+                # would round past 2^53 (exact-integers contract)
+                r = np.zeros(len(uniq), np.int64)
+                np.add.at(r, inv, v)
             elif how == "max":
                 r = np.full(len(uniq), np.int64(-1) << 62)
                 np.maximum.at(r, inv, v)
@@ -754,6 +756,9 @@ def events_window_funnel(sf_dir: str, window_hours: int = 72):
             .astype(np.int64)
         st = tbl["event_type"].to_numpy(zero_copy_only=False)
         uu, ur = np.unique(u, return_inverse=True)
+        assert len(uu) < (1 << 18), \
+            "bucket user count exceeds the 18-bit rank pack; raise " \
+            "nbuckets"
         lo = ts.min()
         span = int(ts.max() - lo) + 2
         assert span < (1 << 45), "time span exceeds the 45-bit pack"
@@ -7818,6 +7823,8 @@ def parts_frequent_triples(sf_dir: str, min_support: int = 2,
             return supp_schema.empty_table()
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert int(ok.max()) < (1 << 31) and int(pk.max()) < (1 << 32), \
+            "order/part key exceeds the 63-bit pair pack"
         code = np.unique(ok * (np.int64(1) << 32) + pk)
         p = code & ((np.int64(1) << 32) - 1)
         up, cnt = np.unique(p, return_counts=True)
@@ -7847,6 +7854,8 @@ def parts_frequent_triples(sf_dir: str, min_support: int = 2,
         ok, pk = ok[keep], pk[keep]
         if len(ok) == 0:
             return _TRIPLE_SCHEMA.empty_table()
+        assert int(ok.max()) < (1 << 31), \
+            "orderkey exceeds the 63-bit pair pack"
         code = np.unique(ok * (np.int64(1) << 32) + pk)
         o = code >> 32
         p = code & ((np.int64(1) << 32) - 1)
@@ -7947,6 +7956,14 @@ def events_holt_hourly(sf_dir: str, alpha: float = 0.5,
     hrs = hourly["hour"].to_numpy(zero_copy_only=False)
     lo, hi = int(hrs.min()), int(hrs.max())
     span = hi - lo + 1
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("level_end", pa.float64()),
+                            ("trend_end", pa.float64()),
+                            ("forecast_24h", pa.float64())])
+    if span < 2:
+        # degenerate single-hour corpus: the pinned b0 = y1 - y0 is
+        # undefined and the recursive twin's base case is empty too
+        return out_schema.empty_table()
     types = sorted(set(hourly["event_type"].to_pylist()))
     series = {t: np.zeros(span, np.int64) for t in types}
     for r in hourly.to_pylist():
@@ -13333,10 +13350,10 @@ def parts_price_dispersion(sf_dir: str):
         mx = np.full(len(uniq), np.int64(-1) << 60)
         np.minimum.at(mn, inv, tbl["mn"].to_numpy(zero_copy_only=False))
         np.maximum.at(mx, inv, tbl["mx"].to_numpy(zero_copy_only=False))
-        sm = np.bincount(inv, weights=tbl["sm"].to_numpy(
-            zero_copy_only=False)).astype(np.int64)
-        n = np.bincount(inv, weights=tbl["n"].to_numpy(
-            zero_copy_only=False)).astype(np.int64)
+        sm = np.zeros(len(uniq), np.int64)
+        np.add.at(sm, inv, tbl["sm"].to_numpy(zero_copy_only=False))
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, tbl["n"].to_numpy(zero_copy_only=False))
         keep = mx > mn
         return pa.table({
             "l_partkey": pa.array(uniq[keep]),
@@ -13686,17 +13703,17 @@ def suppliers_scorecard(sf_dir: str, sla_days: int = 60):
         mx = np.zeros(len(uniq), np.int64)
         np.maximum.at(mx, inv, tbl["worst_delay_days"].to_numpy(
             zero_copy_only=False))
+
+        def isum(col):
+            r = np.zeros(len(uniq), np.int64)
+            np.add.at(r, inv, tbl[col].to_numpy(zero_copy_only=False))
+            return pa.array(r)
+
         return pa.table({
             "s_suppkey": pa.array(uniq),
-            "n_shipments": pa.array(np.bincount(
-                inv, weights=tbl["n_shipments"].to_numpy(
-                    zero_copy_only=False)).astype(np.int64)),
-            "revenue_cents": pa.array(np.bincount(
-                inv, weights=tbl["revenue_cents"].to_numpy(
-                    zero_copy_only=False)).astype(np.int64)),
-            "n_on_time": pa.array(np.bincount(
-                inv, weights=tbl["n_on_time"].to_numpy(
-                    zero_copy_only=False)).astype(np.int64)),
+            "n_shipments": isum("n_shipments"),
+            "revenue_cents": isum("revenue_cents"),
+            "n_on_time": isum("n_on_time"),
             "worst_delay_days": pa.array(mx)})
 
     from ..functions.exchange import hash_exchange
