@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": q.events_transitions,
         "events_markov_stationary": q.events_markov_stationary,
         "events_holt_hourly": q.events_holt_hourly,
+        "orders_revenue_hhi": q.orders_revenue_hhi,
+        "suppliers_assortativity": q.suppliers_assortativity,
         "events_window_funnel": q.events_window_funnel,
         "audio_wav_pipeline": q.audio_wav_pipeline,
         "video_mjpeg_pipeline": q.video_mjpeg_pipeline,
@@ -619,6 +621,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_pagerank_top": _pagerank_sql(),
         "events_markov_stationary": _markov_sql(),
+        "suppliers_assortativity": """
+            WITH k AS (SELECT s_suppkey AS u FROM supplier),
+            e0 AS (
+              SELECT u, u - u % 7 AS v FROM k
+              UNION ALL SELECT u - u % 7, u FROM k
+              UNION ALL SELECT u, u - 1 FROM k WHERE u % 10 = 0
+              UNION ALL SELECT u - 1, u FROM k WHERE u % 10 = 0),
+            deg AS (SELECT u AS node, COUNT(*) AS d FROM e0 GROUP BY u),
+            j AS (SELECT du.d AS dj, dv.d AS dk
+                  FROM e0
+                  JOIN deg du ON du.node = e0.u
+                  JOIN deg dv ON dv.node = e0.v)
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(dj * dk) AS BIGINT) AS sum_jk,
+                   CAST(SUM(dj) AS BIGINT) AS sum_j,
+                   CAST(SUM(dj * dj) AS BIGINT) AS sum_j2
+            FROM j
+        """,
+        "orders_revenue_hhi": """
+            WITH pc AS (
+              SELECT o.o_custkey,
+                     CAST(SUM(CAST(round(o.o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS rev
+              FROM orders o GROUP BY o.o_custkey),
+            rr AS (
+              SELECT r.r_name AS region, pc.rev
+              FROM pc
+              JOIN customer c ON c.c_custkey = pc.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey)
+            SELECT region,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(rev) AS BIGINT) AS sum_cents,
+                   CAST(SUM(CAST(rev AS HUGEINT) * rev) AS VARCHAR)
+                       AS sum_sq_cents
+            FROM rr GROUP BY region ORDER BY region
+        """,
         "events_window_funnel": """
             WITH s1 AS (SELECT user_id, ts FROM events
                         WHERE event_type = 'signup'),

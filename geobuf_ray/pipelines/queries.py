@@ -4142,6 +4142,62 @@ def suppliers_bfs_hops(sf_dir: str):
                     nbuckets=16)
 
 
+def suppliers_assortativity(sf_dir: str):
+    """Degree-assortativity ingredients of the deterministic supplier
+    graph (same edge rule as suppliers_bfs_hops, both orientations):
+    exact int64 sums over the directed edge list — edge count M,
+    sum deg(u)*deg(v), sum deg(u), sum deg(u)^2 — from which Pearson
+    r = (M*S_jk - S_j^2) / (M*S_j2 - S_j^2) is a consumer-side
+    division.  Degrees broadcast once via ray.put (the graph is
+    supplier-dimension-sized — the small side); per-block partials
+    sum.  Hash-checked vs a degree-join twin."""
+    import ray
+
+    from ..collect import collect_table
+
+    keys = _supplier_keys(sf_dir)
+    bridged = keys[keys % 10 == 0]
+    src = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
+    dst = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    # keys start at 0, so the bridge rule creates node -1 (same graph
+    # as suppliers_bfs_hops) — degree indexing shifts by +1
+    span = int(max(src.max(), dst.max())) + 2
+    deg = np.bincount(src + 1, minlength=span).astype(np.int64)
+    deg_ref = ray.put(deg)
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())})).repartition(4)
+
+    class Partial:
+        def __init__(self):
+            self.deg = ray.get(deg_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            u = b["src"].to_numpy(zero_copy_only=False)
+            v = b["dst"].to_numpy(zero_copy_only=False)
+            dj = self.deg[u + 1]
+            dk = self.deg[v + 1]
+            return pa.table({
+                "m": pa.array([np.int64(len(u))]),
+                "sum_jk": pa.array([int((dj * dk).sum())], pa.int64()),
+                "sum_j": pa.array([int(dj.sum())], pa.int64()),
+                "sum_j2": pa.array([int((dj * dj).sum())], pa.int64())})
+
+    parts = collect_table(edges.map_batches(
+        Partial, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4)))
+    return pa.table({
+        "m": pa.array([int(parts["m"].to_numpy(
+            zero_copy_only=False).sum())], pa.int64()),
+        "sum_jk": pa.array([int(parts["sum_jk"].to_numpy(
+            zero_copy_only=False).sum())], pa.int64()),
+        "sum_j": pa.array([int(parts["sum_j"].to_numpy(
+            zero_copy_only=False).sum())], pa.int64()),
+        "sum_j2": pa.array([int(parts["sum_j2"].to_numpy(
+            zero_copy_only=False).sum())], pa.int64())})
+
+
 def _supplier_keys(sf_dir: str) -> np.ndarray:
     import duckdb
 
@@ -7920,6 +7976,102 @@ def parts_frequent_triples(sf_dir: str, min_support: int = 2,
     return pa.table({"p1": pa.array(p1[sel]), "p2": pa.array(p2[sel]),
                      "p3": pa.array(p3[sel]),
                      "n_orders": pa.array(nn[sel])})
+
+
+def orders_revenue_hhi(sf_dir: str):
+    """Revenue-concentration audit per region: the exact-integer
+    Herfindahl ingredients — customer count, total revenue cents,
+    and the sum of SQUARED per-customer revenues (HHI =
+    sum_sq / sum^2 stays with the consumer).  The squared sum
+    overflows int64 already at sf0.01, so it travels as an EXACT
+    decimal string (Python big-int on the engine side, HUGEINT ->
+    VARCHAR in the oracle).  One custkey cogroup joins orders with the
+    customer dimension and finishes the per-customer sum INSIDE the
+    bucket; only the 5-region (n, sum, sum_sq) partials leave, so
+    nothing customer-sized centralizes.  Hash-checked vs a GROUP BY
+    twin."""
+    import duckdb
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_cogroup
+
+    region_names = dict(duckdb.connect().execute(
+        f"SELECT n.n_nationkey, r.r_name "
+        f"FROM '{sf_dir}/nation.parquet' n "
+        f"JOIN '{sf_dir}/region.parquet' r "
+        f"ON r.r_regionkey = n.n_regionkey").fetchall())
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_totalprice"])
+    c = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    part_schema = pa.schema([("region", pa.string()),
+                             ("n_customers", pa.int64()),
+                             ("sum_cents", pa.int64()),
+                             ("sum_sq_cents", pa.string())])
+    o_schema = pa.schema([("o_custkey", pa.int64()),
+                          ("o_totalprice", pa.float64())])
+    c_schema = pa.schema([("c_custkey", pa.int64()),
+                          ("c_nationkey", pa.int64())])
+
+    def kernel(ot: pa.Table, ct: pa.Table) -> pa.Table:
+        if ot.num_rows == 0 or ct.num_rows == 0 \
+                or ot.num_columns == 0 or ct.num_columns == 0:
+            return part_schema.empty_table()
+        ck = ot["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(ot["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        rev = np.zeros(len(uniq), np.int64)
+        np.add.at(rev, inv, cents)
+        # r^2 must stay exact in int64
+        assert int(np.abs(rev).max(initial=0)) < 3_000_000_000, \
+            "per-customer revenue exceeds the int64 square bound"
+        dk = ct["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dn = ct["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(dk)
+        pos = np.clip(np.searchsorted(dk[order], uniq), 0,
+                      max(len(dk) - 1, 0))
+        hit = dk[order[pos]] == uniq
+        nat = dn[order[pos[hit]]]
+        rev = rev[hit]
+        regs = np.array([region_names[int(x)] for x in nat], object)
+        ur, rinv = np.unique(regs, return_inverse=True)
+        n = np.bincount(rinv).astype(np.int64)
+        sm = np.zeros(len(ur), np.int64)
+        np.add.at(sm, rinv, rev)
+        # exact big-int squared sums (int64 would wrap): per-element
+        # r^2 fits int64 (asserted above), the SUM runs in Python ints
+        sq = [0] * len(ur)
+        r2 = rev * rev
+        for i, g in enumerate(rinv):
+            sq[g] += int(r2[i])
+        return pa.table({
+            "region": pa.array(list(ur), pa.string()),
+            "n_customers": pa.array(n),
+            "sum_cents": pa.array(sm),
+            "sum_sq_cents": pa.array([str(x) for x in sq], pa.string())})
+
+    parts = collect_table(hash_cogroup(
+        o, c, nbuckets=32, left_on="o_custkey", right_on="c_custkey",
+        reduce_fn=kernel, left_schema=o_schema, right_schema=c_schema))
+    acc: dict[str, list] = {}
+    for r in parts.to_pylist():
+        a = acc.setdefault(r["region"], [0, 0, 0])
+        a[0] += r["n_customers"]
+        a[1] += r["sum_cents"]
+        a[2] += int(r["sum_sq_cents"])
+    regs = sorted(acc)
+    return pa.table({
+        "region": pa.array(regs, pa.string()),
+        "n_customers": pa.array([acc[g][0] for g in regs], pa.int64()),
+        "sum_cents": pa.array([acc[g][1] for g in regs], pa.int64()),
+        "sum_sq_cents": pa.array([str(acc[g][2]) for g in regs],
+                                 pa.string())})
 
 
 def events_holt_hourly(sf_dir: str, alpha: float = 0.5,
