@@ -200,11 +200,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_stationary": q.events_markov_stationary,
         "events_holt_hourly": q.events_holt_hourly,
         "orders_revenue_hhi": q.orders_revenue_hhi,
+        "orders_percent_rank_probe": q.orders_percent_rank_probe,
         "suppliers_assortativity": q.suppliers_assortativity,
         "events_window_funnel": q.events_window_funnel,
         "audio_wav_pipeline": q.audio_wav_pipeline,
         "video_mjpeg_pipeline": q.video_mjpeg_pipeline,
         "parts_frequent_triples": q.parts_frequent_triples,
+        "parts_assoc_rules": q.parts_assoc_rules,
         "events_value_twap": q.events_value_twap,
         "events_value_autocorr": q.events_value_autocorr,
         "events_cusum_alarms": q.events_cusum_alarms,
@@ -639,6 +641,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(dj * dj) AS BIGINT) AS sum_j2
             FROM j
         """,
+        "orders_percent_rank_probe": """
+            WITH probe AS (SELECT o_orderkey FROM orders
+                           ORDER BY o_orderkey LIMIT 8),
+            ranked AS (
+              SELECT o_orderkey,
+                     CAST(RANK() OVER (
+                         PARTITION BY o_orderpriority
+                         ORDER BY CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) - 1 AS BIGINT)
+                         AS n_less,
+                     CAST(COUNT(*) OVER (
+                         PARTITION BY o_orderpriority) AS BIGINT)
+                         AS n_partition
+              FROM orders)
+            SELECT r.o_orderkey, r.n_less, r.n_partition,
+                   CAST(r.n_less AS DOUBLE)
+                   / GREATEST(r.n_partition - 1, 1) AS pct_rank
+            FROM ranked r JOIN probe p USING (o_orderkey)
+            ORDER BY r.o_orderkey
+        """,
         "orders_revenue_hhi": """
             WITH pc AS (
               SELECT o.o_custkey,
@@ -726,6 +748,28 @@ def oracle_sql() -> dict[str, str]:
                    l + 24 * b AS forecast_24h
             FROM ht
             WHERE t = (SELECT MAX(t) FROM spine) + 1
+        """,
+        "parts_assoc_rules": """
+            WITH lp AS (SELECT DISTINCT l_orderkey AS o,
+                               l_partkey AS p FROM lineitem),
+            isupp AS (SELECT p, COUNT(*) AS n FROM lp GROUP BY p),
+            psupp AS (
+              SELECT a.p AS pa_, b.p AS pb_, COUNT(*) AS nab
+              FROM lp a JOIN lp b ON b.o = a.o AND b.p > a.p
+              GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+            tot AS (SELECT COUNT(DISTINCT o) AS t FROM lp),
+            rules AS (
+              SELECT pa_ AS p1, pb_ AS p2, nab FROM psupp
+              UNION ALL SELECT pb_, pa_, nab FROM psupp)
+            SELECT r.p1, r.p2, CAST(r.nab AS BIGINT) AS n_ab,
+                   CAST(ia.n AS BIGINT) AS n_a,
+                   CAST(ib.n AS BIGINT) AS n_b,
+                   CAST((SELECT t FROM tot) AS BIGINT) AS n_orders,
+                   CAST(r.nab AS DOUBLE) / ia.n AS confidence
+            FROM rules r
+            JOIN isupp ia ON ia.p = r.p1
+            JOIN isupp ib ON ib.p = r.p2
+            ORDER BY confidence DESC, r.p1, r.p2 LIMIT 20
         """,
         "parts_frequent_triples": """
             WITH lp AS (SELECT DISTINCT l_orderkey AS o,

@@ -7978,6 +7978,69 @@ def parts_frequent_triples(sf_dir: str, min_support: int = 2,
                      "n_orders": pa.array(nn[sel])})
 
 
+def orders_percent_rank_probe(sf_dir: str, n_probe: int = 8):
+    """PERCENT_RANK of probe orders within their o_orderpriority
+    partition, computed WITHOUT a global sort: the probe rows (the
+    ``n_probe`` smallest orderkeys — pinned) broadcast once, each
+    block contributes count-below / partition-count partials in
+    integer cents, and percent_rank = n_less / (n_partition - 1) is
+    the same double on both sides.  The broadcast-probe partial-count
+    shape is how a rank probe runs at 100 TB — no shuffle, no sort.
+    Hash-checked vs the PERCENT_RANK() window twin."""
+    import duckdb
+    import ray
+
+    from ..collect import collect_table
+
+    probes = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_orderpriority, "
+        f"CAST(round(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet' "
+        f"ORDER BY o_orderkey LIMIT {n_probe}").fetchall()
+    pk = np.array([r[0] for r in probes], np.int64)
+    ppri = [r[1] for r in probes]
+    pcents = np.array([r[2] for r in probes], np.int64)
+    probe_ref = ray.put((pk, ppri, pcents))
+
+    class Partial:
+        def __init__(self):
+            self.pk, self.ppri, self.pcents = ray.get(probe_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pri = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+            cents = np.round(b["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)
+            less = np.empty(len(self.pk), np.int64)
+            npart = np.empty(len(self.pk), np.int64)
+            for i, (p, c) in enumerate(zip(self.ppri, self.pcents)):
+                m = pri == p
+                npart[i] = int(m.sum())
+                less[i] = int((cents[m] < c).sum())
+            return pa.table({
+                "o_orderkey": pa.array(self.pk),
+                "n_less": pa.array(less),
+                "n_partition": pa.array(npart)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"])
+    parts = collect_table(ds.map_batches(
+        Partial, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4)))
+    agg = parts.group_by(["o_orderkey"]).aggregate(
+        [("n_less", "sum"), ("n_partition", "sum")])
+    key = agg["o_orderkey"].to_numpy(zero_copy_only=False)
+    nl = agg["n_less_sum"].to_numpy(zero_copy_only=False)
+    npt = agg["n_partition_sum"].to_numpy(zero_copy_only=False)
+    order = np.argsort(key)
+    key, nl, npt = key[order], nl[order], npt[order]
+    return pa.table({
+        "o_orderkey": pa.array(key),
+        "n_less": pa.array(nl),
+        "n_partition": pa.array(npt),
+        "pct_rank": pa.array(nl / np.maximum(npt - 1, 1))})
+
+
 def orders_revenue_hhi(sf_dir: str):
     """Revenue-concentration audit per region: the exact-integer
     Herfindahl ingredients — customer count, total revenue cents,
@@ -8137,6 +8200,98 @@ def events_holt_hourly(sf_dir: str, alpha: float = 0.5,
                      "level_end": pa.array(out_l),
                      "trend_end": pa.array(out_b),
                      "forecast_24h": pa.array(out_f)})
+
+
+def parts_assoc_rules(sf_dir: str, min_support: int = 2, k: int = 20):
+    """Association rules a -> b from the order->parts baskets: for
+    every DIRECTED pair with joint support >= ``min_support``, emit
+    the exact-integer ingredients (n_ab, n_a, n_b, n_orders) and the
+    confidence n_ab / n_a; top-k by (confidence DESC, p1, p2 —
+    pinned; both engines compute the same double from the same
+    integers).  Pair supports come from the existing co-purchase
+    exchange; item supports fold in an orderkey exchange and
+    broadcast once (part-dimension small side) so the rule scoring is
+    one lookup per pair inside the pair-keyed top-k bucket.
+    Hash-checked vs a self-join twin."""
+    import duckdb
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    # item supports (distinct orders per part) + total order count
+    supp_schema = pa.schema([("p", pa.int64()), ("n", pa.int64())])
+
+    def supp_kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return supp_schema.empty_table()
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert int(ok.max()) < (1 << 31) and int(pk.max()) < (1 << 32)
+        code = np.unique(ok * (np.int64(1) << 32) + pk)
+        p = code & ((np.int64(1) << 32) - 1)
+        up, cnt = np.unique(p, return_counts=True)
+        return pa.table({"p": pa.array(up),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    supp = _exchange_combine(
+        hash_exchange(ds, nbuckets=32, on="l_orderkey",
+                      reduce_fn=supp_kernel, schema=supp_schema),
+        "p", [("n", "sum")])
+    sp = supp["p"].to_numpy(zero_copy_only=False)
+    sn = supp["n"].to_numpy(zero_copy_only=False)
+    total_orders = int(duckdb.connect().execute(
+        f"SELECT COUNT(DISTINCT l_orderkey) "
+        f"FROM '{sf_dir}/lineitem.parquet'").fetchone()[0])
+    supp_ref = ray.put((sp, sn))
+
+    rule_schema = pa.schema([
+        ("p1", pa.int64()), ("p2", pa.int64()),
+        ("n_ab", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+        ("n_orders", pa.int64()), ("confidence", pa.float64())])
+
+    def topk_rules(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return rule_schema.empty_table()
+        agg = t.group_by(["p1", "p2"]).aggregate([("n_orders", "sum")])
+        a = agg["p1"].to_numpy().astype(np.int64)
+        b = agg["p2"].to_numpy().astype(np.int64)
+        nab = agg["n_orders_sum"].to_numpy().astype(np.int64)
+        keep = nab >= min_support
+        a, b, nab = a[keep], b[keep], nab[keep]
+        if len(a) == 0:
+            return rule_schema.empty_table()
+        # both directions of every undirected pair
+        p1 = np.concatenate([a, b])
+        p2 = np.concatenate([b, a])
+        nn = np.concatenate([nab, nab])
+        spv, snv = ray.get(supp_ref)
+        pos1 = np.clip(np.searchsorted(spv, p1), 0, len(spv) - 1)
+        pos2 = np.clip(np.searchsorted(spv, p2), 0, len(spv) - 1)
+        na = snv[pos1]
+        nb = snv[pos2]
+        conf = nn / na
+        sel = np.lexsort((p2, p1, -conf))[:k]
+        return pa.table({
+            "p1": pa.array(p1[sel]), "p2": pa.array(p2[sel]),
+            "n_ab": pa.array(nn[sel]), "n_a": pa.array(na[sel]),
+            "n_b": pa.array(nb[sel]),
+            "n_orders": pa.array(np.full(len(sel), total_orders,
+                                         np.int64)),
+            "confidence": pa.array(conf[sel])})
+
+    pairs = _copurchase_pairs(sf_dir)
+    t = collect_table(hash_exchange(pairs, nbuckets=16,
+                                    on=["p1", "p2"],
+                                    reduce_fn=topk_rules,
+                                    schema=rule_schema))
+    conf = t["confidence"].to_numpy(zero_copy_only=False)
+    p1 = t["p1"].to_numpy(zero_copy_only=False)
+    p2 = t["p2"].to_numpy(zero_copy_only=False)
+    sel = np.lexsort((p2, p1, -conf))[:k]
+    return t.take(pa.array(sel))
 
 
 def events_markov_stationary(sf_dir: str, iters: int = 12):
