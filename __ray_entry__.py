@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_holt_hourly": q.events_holt_hourly,
         "orders_revenue_hhi": q.orders_revenue_hhi,
         "orders_percent_rank_probe": q.orders_percent_rank_probe,
+        "docs_lang_source_chi2": q.docs_lang_source_chi2,
+        "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
         "suppliers_assortativity": q.suppliers_assortativity,
         "events_window_funnel": q.events_window_funnel,
         "audio_wav_pipeline": q.audio_wav_pipeline,
@@ -640,6 +642,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(dj) AS BIGINT) AS sum_j,
                    CAST(SUM(dj * dj) AS BIGINT) AS sum_j2
             FROM j
+        """,
+        "docs_lang_source_chi2": """
+            WITH cells AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+              FROM documents GROUP BY lang, source)
+            SELECT c.lang, c.source, c.observed,
+                   CAST(SUM(c.observed) OVER (PARTITION BY c.lang)
+                        AS BIGINT) AS row_total,
+                   CAST(SUM(c.observed) OVER (PARTITION BY c.source)
+                        AS BIGINT) AS col_total,
+                   CAST(SUM(c.observed) OVER () AS BIGINT)
+                       AS grand_total
+            FROM cells c ORDER BY c.lang, c.source
+        """,
+        "docs_source_vocab_jaccard": """
+            WITH tok AS (
+              SELECT DISTINCT d.source AS s, t.tok
+              FROM documents d,
+                   UNNEST(regexp_split_to_array(d.text, '\\s+'))
+                     AS t(tok)
+              WHERE t.tok <> ''),
+            v AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM tok GROUP BY s),
+            pairs AS (SELECT a.s AS sa, b.s AS sb
+                      FROM v a JOIN v b ON b.s > a.s),
+            inter AS (
+              SELECT a.s AS sa, b.s AS sb,
+                     CAST(COUNT(*) AS BIGINT) AS ni
+              FROM tok a JOIN tok b
+                ON b.tok = a.tok AND b.s > a.s
+              GROUP BY a.s, b.s)
+            SELECT s AS src_a, s AS src_b, n AS n_inter,
+                   n AS n_a, n AS n_b FROM v
+            UNION ALL
+            SELECT p.sa, p.sb, COALESCE(i.ni, 0),
+                   va.n, vb.n
+            FROM pairs p
+            LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+            JOIN v va ON va.s = p.sa
+            JOIN v vb ON vb.s = p.sb
+            ORDER BY src_a, src_b
         """,
         "orders_percent_rank_probe": """
             WITH probe AS (SELECT o_orderkey FROM orders

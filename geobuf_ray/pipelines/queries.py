@@ -1396,6 +1396,147 @@ def events_value_histogram(sf_dir: str, nbins: int = 40):
                      "v", lo=0, hi=40_000, nbins=nbins)
 
 
+def docs_lang_source_chi2(sf_dir: str):
+    """Chi-square independence ingredients for the lang x source
+    crosstab — the dataset-bias audit: observed cell counts plus row /
+    column / grand totals as exact int64 (the statistic
+    sum (O - E)^2 / E stays with the consumer; E = row*col/total
+    needs no float here).  Bounded-domain partial combine, no
+    shuffle.  Hash-checked vs a GROUP BY twin."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"], "source": b["source"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["lang", "source"]).aggregate(
+            [("n", "sum")]).rename_columns(["lang", "source", "n"])
+
+    cells = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["lang", "source"], ["n"])
+    langs = cells["lang"].to_pylist()
+    srcs = cells["source"].to_pylist()
+    n = cells["n"].to_numpy(zero_copy_only=False)
+    row = {}
+    col = {}
+    for la, so, c in zip(langs, srcs, n):
+        row[la] = row.get(la, 0) + int(c)
+        col[so] = col.get(so, 0) + int(c)
+    total = int(n.sum())
+    order = np.lexsort((np.asarray(srcs, object),
+                        np.asarray(langs, object)))
+    return pa.table({
+        "lang": pa.array([langs[i] for i in order], pa.string()),
+        "source": pa.array([srcs[i] for i in order], pa.string()),
+        "observed": pa.array([int(n[i]) for i in order], pa.int64()),
+        "row_total": pa.array([row[langs[i]] for i in order],
+                              pa.int64()),
+        "col_total": pa.array([col[srcs[i]] for i in order],
+                              pa.int64()),
+        "grand_total": pa.array([total] * len(order), pa.int64())})
+
+
+def docs_source_vocab_jaccard(sf_dir: str):
+    """Vocabulary overlap between sources: for every source pair, the
+    exact |A inter B|, |A|, |B| of DISTINCT whitespace tokens (the
+    Jaccard division stays with the consumer).  One token-hash
+    exchange carries (token, source-set) rows — the per-bucket kernel
+    collapses each token to its source BITMASK and emits bounded
+    C(sources, 2) partial intersection counts, so the vocabulary
+    never centralizes.  Hash-checked vs an UNNEST + DISTINCT
+    self-join twin."""
+    import duckdb
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    # the GLOBAL source domain: every bucket must emit rows for every
+    # pair, even when one side has no tokens in that bucket —
+    # otherwise the pair's n_a/n_b partials silently under-count
+    all_sources = [r[0] for r in duckdb.connect().execute(
+        f"SELECT DISTINCT source FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY source").fetchall()]
+    assert len(all_sources) <= 62, "source domain exceeds bitmask"
+
+    part_schema = pa.schema([("token", pa.string()),
+                             ("src", pa.string())])
+
+    def tokenize(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b["text"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.asarray(b["source"].to_pylist(), object)
+        flat = toks.values
+        src_of = np.repeat(src, np.diff(offs))
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        t = pa.table({"token": flat.filter(pa.array(keep)),
+                      "src": pa.array(list(src_of[keep]), pa.string())})
+        # per-block distinct shrinks the exchange payload
+        return t.group_by(["token", "src"]).aggregate([]) \
+            .rename_columns(["token", "src"])
+
+    out_schema = pa.schema([("src_a", pa.string()),
+                            ("src_b", pa.string()),
+                            ("n_inter", pa.int64()),
+                            ("n_a", pa.int64()), ("n_b", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        tok = tbl["token"].combine_chunks().dictionary_encode()
+        code = tok.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        snames = all_sources
+        sarr = np.asarray(snames, object)
+        svals = np.asarray(tbl["src"].to_pylist(), object)
+        scode = np.searchsorted(sarr, svals).astype(np.int64)
+        # token -> source bitmask (distinct pairs first)
+        pairs = np.unique(code * 64 + scode)
+        tcode = pairs >> 6
+        sbit = pairs & 63
+        nmask = np.zeros(len(tok.dictionary), np.int64)
+        np.bitwise_or.at(nmask, tcode, np.int64(1) << sbit)
+        # per-source vocab sizes + pairwise intersections
+        rows = []
+        for i, a in enumerate(snames):
+            ca = int(((nmask >> np.int64(i)) & 1).sum())
+            rows.append((a, a, ca, ca, ca))
+            for j in range(i + 1, len(snames)):
+                b_ = snames[j]
+                both = int((((nmask >> np.int64(i)) & 1)
+                            & ((nmask >> np.int64(j)) & 1)).sum())
+                cb = int(((nmask >> np.int64(j)) & 1).sum())
+                a1, b1 = (a, b_) if a <= b_ else (b_, a)
+                rows.append((a1, b1, both,
+                             ca if a <= b_ else cb,
+                             cb if a <= b_ else ca))
+        return pa.Table.from_pylist(
+            [{"src_a": r[0], "src_b": r[1], "n_inter": r[2],
+              "n_a": r[3], "n_b": r[4]} for r in rows],
+            schema=out_schema)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    parts = collect_table(hash_exchange(
+        ds.map_batches(tokenize, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        nbuckets=32, on="token", reduce_fn=kernel, schema=out_schema))
+    agg = parts.group_by(["src_a", "src_b"]).aggregate(
+        [("n_inter", "sum"), ("n_a", "sum"), ("n_b", "sum")])
+    agg = agg.rename_columns(["src_a", "src_b", "n_inter", "n_a",
+                              "n_b"])
+    order = np.lexsort((np.asarray(agg["src_b"].to_pylist(), object),
+                        np.asarray(agg["src_a"].to_pylist(), object)))
+    return agg.take(pa.array(order))
+
+
 def docs_source_mix(sf_dir: str):
     """Deterministic training-mixture sampling: per-source keep rates
     (digit-derived: rate = (1 + suffix) / 40), decided by the
