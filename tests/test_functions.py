@@ -1581,3 +1581,51 @@ def test_two_round_exchange_matches_single_round(ray_session, monkeypatch):
         return set(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
 
     assert pairset(p1) == pairset(p2) and len(pairset(p2)) >= 15
+
+
+def test_two_round_exchange_with_fanout_bucket_fn(ray_session):
+    """rounds=2 must compose with a FAN-OUT bucket_fn (one that
+    row-expands the table): the expansion runs exactly once (round 1
+    stows the bucket id), and results equal the single-round run."""
+    import ray
+
+    import geobuf_ray.functions.exchange as ex
+    from geobuf_ray.collect import collect_table
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 50, n).astype(np.int64))})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    NB = 16
+
+    def fanout(t: pa.Table):
+        # each row fans to TWO buckets: k % NB and (k + 7) % NB
+        k = t["k"].to_numpy(zero_copy_only=False)
+        t2 = pa.concat_tables([t, t])
+        b = np.concatenate([k % NB, (k + 7) % NB])
+        return b.astype(np.int64), t2
+
+    schema = pa.schema([("n", pa.int64()), ("s", pa.int64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s": pa.array([int(t["v"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64())})
+
+    one = collect_table(ex.hash_exchange(
+        ds, nbuckets=NB, bucket_fn=fanout, reduce_fn=reduce_fn,
+        schema=schema))
+    two = collect_table(ex.hash_exchange(
+        ds, nbuckets=NB, bucket_fn=fanout, reduce_fn=reduce_fn,
+        schema=schema, rounds=2))
+    # same total rows (fan-out exactly once) and same value mass
+    assert int(one["n"].to_numpy().sum()) == 2 * n
+    assert int(two["n"].to_numpy().sum()) == 2 * n
+    assert int(one["s"].to_numpy().sum()) == int(two["s"].to_numpy().sum())
+    assert sorted(zip(one["n"].to_pylist(), one["s"].to_pylist())) == \
+        sorted(zip(two["n"].to_pylist(), two["s"].to_pylist()))
