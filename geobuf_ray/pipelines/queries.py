@@ -1460,11 +1460,8 @@ def docs_source_vocab_jaccard(sf_dir: str):
     # otherwise the pair's n_a/n_b partials silently under-count
     all_sources = [r[0] for r in duckdb.connect().execute(
         f"SELECT DISTINCT source FROM '{sf_dir}/documents.parquet' "
-        "ORDER BY source").fetchall()]
+        "WHERE regexp_matches(text, '\\S') ORDER BY source").fetchall()]
     assert len(all_sources) <= 62, "source domain exceeds bitmask"
-
-    part_schema = pa.schema([("token", pa.string()),
-                             ("src", pa.string())])
 
     def tokenize(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(b["text"], r"\s+")
@@ -1503,20 +1500,18 @@ def docs_source_vocab_jaccard(sf_dir: str):
         sbit = pairs & 63
         nmask = np.zeros(len(tok.dictionary), np.int64)
         np.bitwise_or.at(nmask, tcode, np.int64(1) << sbit)
-        # per-source vocab sizes + pairwise intersections
+        # per-source bit arrays ONCE (O(S) passes over the bucket
+        # vocab), then pairwise ANDs; snames is sorted so i < j
+        # already orders (src_a, src_b)
+        bits = [((nmask >> np.int64(i)) & 1).astype(bool)
+                for i in range(len(snames))]
+        sizes = [int(b_.sum()) for b_ in bits]
         rows = []
         for i, a in enumerate(snames):
-            ca = int(((nmask >> np.int64(i)) & 1).sum())
-            rows.append((a, a, ca, ca, ca))
+            rows.append((a, a, sizes[i], sizes[i], sizes[i]))
             for j in range(i + 1, len(snames)):
-                b_ = snames[j]
-                both = int((((nmask >> np.int64(i)) & 1)
-                            & ((nmask >> np.int64(j)) & 1)).sum())
-                cb = int(((nmask >> np.int64(j)) & 1).sum())
-                a1, b1 = (a, b_) if a <= b_ else (b_, a)
-                rows.append((a1, b1, both,
-                             ca if a <= b_ else cb,
-                             cb if a <= b_ else ca))
+                both = int((bits[i] & bits[j]).sum())
+                rows.append((a, snames[j], both, sizes[i], sizes[j]))
         return pa.Table.from_pylist(
             [{"src_a": r[0], "src_b": r[1], "n_inter": r[2],
               "n_a": r[3], "n_b": r[4]} for r in rows],
@@ -4272,9 +4267,7 @@ def suppliers_bfs_hops(sf_dir: str):
     from ..functions.graph import bfs_hops
 
     keys = _supplier_keys(sf_dir)
-    bridged = keys[keys % 10 == 0]
-    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
-    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    a, b = _supplier_edges_sym(keys)
     edges = ray.data.from_arrow(pa.table({
         "src": pa.array(a, pa.int64()),
         "dst": pa.array(b, pa.int64()),
@@ -4297,9 +4290,7 @@ def suppliers_assortativity(sf_dir: str):
     from ..collect import collect_table
 
     keys = _supplier_keys(sf_dir)
-    bridged = keys[keys % 10 == 0]
-    src = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
-    dst = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    src, dst = _supplier_edges_sym(keys)
     # keys start at 0, so the bridge rule creates node -1 (same graph
     # as suppliers_bfs_hops) — degree indexing shifts by +1
     span = int(max(src.max(), dst.max())) + 2
@@ -4337,6 +4328,17 @@ def suppliers_assortativity(sf_dir: str):
             zero_copy_only=False).sum())], pa.int64()),
         "sum_j2": pa.array([int(parts["sum_j2"].to_numpy(
             zero_copy_only=False).sum())], pa.int64())})
+
+
+def _supplier_edges_sym(keys: np.ndarray):
+    """The deterministic supplier graph, BOTH orientations — the
+    single-sourced edge rule (7-block anchors; every 10th key bridges
+    to its predecessor) shared by the whole graph family.  Returns
+    (src, dst) int64 arrays."""
+    bridged = keys[keys % 10 == 0]
+    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
+    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    return a, b
 
 
 def _supplier_keys(sf_dir: str) -> np.ndarray:
@@ -8354,7 +8356,6 @@ def parts_assoc_rules(sf_dir: str, min_support: int = 2, k: int = 20):
     broadcast once (part-dimension small side) so the rule scoring is
     one lookup per pair inside the pair-keyed top-k bucket.
     Hash-checked vs a self-join twin."""
-    import duckdb
     import ray
 
     from ..collect import collect_table
@@ -8372,8 +8373,15 @@ def parts_assoc_rules(sf_dir: str, min_support: int = 2, k: int = 20):
         code = np.unique(ok * (np.int64(1) << 32) + pk)
         p = code & ((np.int64(1) << 32) - 1)
         up, cnt = np.unique(p, return_counts=True)
-        return pa.table({"p": pa.array(up),
-                         "n": pa.array(cnt.astype(np.int64))})
+        # sentinel p = -1 carries this bucket's distinct-order count:
+        # orders are bucket-disjoint under the orderkey hash, so the
+        # summed sentinel IS the global order total — no second
+        # driver-side scan of the fact table
+        n_ord = len(np.unique(code >> 32))
+        return pa.table({
+            "p": pa.array(np.concatenate(([-1], up))),
+            "n": pa.array(np.concatenate(
+                ([n_ord], cnt)).astype(np.int64))})
 
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_partkey"])
@@ -8383,9 +8391,9 @@ def parts_assoc_rules(sf_dir: str, min_support: int = 2, k: int = 20):
         "p", [("n", "sum")])
     sp = supp["p"].to_numpy(zero_copy_only=False)
     sn = supp["n"].to_numpy(zero_copy_only=False)
-    total_orders = int(duckdb.connect().execute(
-        f"SELECT COUNT(DISTINCT l_orderkey) "
-        f"FROM '{sf_dir}/lineitem.parquet'").fetchone()[0])
+    total_orders = int(sn[sp == -1][0])
+    keep = sp != -1
+    sp, sn = sp[keep], sn[keep]
     supp_ref = ray.put((sp, sn))
 
     rule_schema = pa.schema([
@@ -10998,9 +11006,7 @@ def suppliers_random_walks(sf_dir: str, nsteps: int = 4):
     from ..functions.graph import random_walks
 
     keys = _supplier_keys(sf_dir)
-    bridged = keys[keys % 10 == 0]
-    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
-    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    a, b = _supplier_edges_sym(keys)
     edges = ray.data.from_arrow(pa.table({
         "src": pa.array(a, pa.int64()),
         "dst": pa.array(b, pa.int64()),
@@ -17887,9 +17893,7 @@ def suppliers_closeness(sf_dir: str):
     from ..functions.graph import all_pairs_hops
 
     keys = _supplier_keys(sf_dir)
-    bridged = keys[keys % 10 == 0]
-    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
-    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    a, b = _supplier_edges_sym(keys)
     edges = ray.data.from_arrow(pa.table({
         "src": pa.array(a, pa.int64()),
         "dst": pa.array(b, pa.int64())})).repartition(4)
@@ -17997,9 +18001,7 @@ def suppliers_betweenness(sf_dir: str):
     from ..functions.graph import betweenness_centrality
 
     keys = _supplier_keys(sf_dir)
-    bridged = keys[keys % 10 == 0]
-    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
-    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    a, b = _supplier_edges_sym(keys)
     edges = ray.data.from_arrow(pa.table({
         "src": pa.array(a, pa.int64()),
         "dst": pa.array(b, pa.int64())})).repartition(4)
@@ -18540,9 +18542,7 @@ def suppliers_edge_support(sf_dir: str):
     from ..functions.graph import edge_triangle_support
 
     keys = _supplier_keys(sf_dir)
-    bridged = keys[keys % 10 == 0]
-    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
-    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    a, b = _supplier_edges_sym(keys)
     edges = ray.data.from_arrow(pa.table({
         "src": pa.array(a, pa.int64()),
         "dst": pa.array(b, pa.int64())})).repartition(4)
@@ -18569,9 +18569,7 @@ def suppliers_ktruss(sf_dir: str):
     from ..functions.graph import ktruss_summary
 
     keys = _supplier_keys(sf_dir)
-    bridged = keys[keys % 10 == 0]
-    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
-    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    a, b = _supplier_edges_sym(keys)
     edges = ray.data.from_arrow(pa.table({
         "src": pa.array(a, pa.int64()),
         "dst": pa.array(b, pa.int64())})).repartition(4)
@@ -18804,9 +18802,7 @@ def suppliers_graph_diameter(sf_dir: str):
     from ..functions.graph import all_pairs_hops
 
     keys = _supplier_keys(sf_dir)
-    bridged = keys[keys % 10 == 0]
-    a = np.concatenate([keys, keys - keys % 7, bridged, bridged - 1])
-    b = np.concatenate([keys - keys % 7, keys, bridged - 1, bridged])
+    a, b = _supplier_edges_sym(keys)
     edges = ray.data.from_arrow(pa.table({
         "src": pa.array(a, pa.int64()),
         "dst": pa.array(b, pa.int64())})).repartition(4)
