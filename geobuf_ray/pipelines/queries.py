@@ -4526,7 +4526,7 @@ def images_augment(sf_dir: str):
     n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
     ds = _cached_media_ds("images", n, im.synthesize_image_dataset)
     out = im.augment_images(ds, ops=("hflip", "rot90", "rot180"),
-                            batch_size=32, concurrency=(1, 4))
+                            batch_size=16, concurrency=(2, 12))
 
     def stats(batch: pa.Table) -> pa.Table:
         sizes = [len(b) for b in batch["bytes"].to_pylist()]
