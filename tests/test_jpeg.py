@@ -188,3 +188,50 @@ def test_byte_stuffing_survives_ff_rich_streams():
         d = J.decode_jpeg(J.encode_jpeg(img, quality=97))
         assert d.shape == img.shape
         assert psnr(img, d) >= 24  # noise is JPEG-hostile; shape law only
+
+
+def test_jpeg_hypothesis_shape_and_fidelity_sweep():
+    """Property sweep: random dims (1..40 per side), gray/color,
+    random quality — decode(encode(x)) always returns the input shape
+    as uint8 RGB, and a CONSTANT image round-trips near-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.integers(1, 100), st.booleans(), st.integers(0, 255))
+    def run(h, w, q, gray, val):
+        if gray:
+            img = np.full((h, w), val, np.uint8)
+        else:
+            img = np.full((h, w, 3), val, np.uint8)
+        d = J.decode_jpeg(J.encode_jpeg(img, quality=q))
+        assert d.shape == (h, w, 3) and d.dtype == np.uint8
+        # flat images survive any quality to within the DC quantum
+        ref = img if not gray else img[..., None].repeat(3, -1)
+        assert int(np.abs(d.astype(np.int16)
+                          - ref.astype(np.int16)).max()) <= 16
+
+    run()
+
+
+def test_wav_hypothesis_pcm16_exactness_sweep():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geobuf_ray.io import wav as W
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 5000), st.integers(1, 10),
+           st.sampled_from([8000, 16000, 44100]))
+    def run(n, seed, rate):
+        rng = np.random.default_rng(seed)
+        s = rng.uniform(-1, 1, n).astype(np.float32)
+        d, r = W.decode_wav(W.encode_wav(s, rate))
+        assert r == rate and len(d) == n
+        p0 = np.clip(np.round(s.astype(np.float64) * 32767.0),
+                     -32768, 32767).astype(np.int16)
+        p1 = np.round(d.astype(np.float64) * 32767.0).astype(np.int16)
+        assert (p0 == p1).all()
+
+    run()
