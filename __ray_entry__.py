@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_stationary": q.events_markov_stationary,
         "events_holt_hourly": q.events_holt_hourly,
         "orders_revenue_hhi": q.orders_revenue_hhi,
+        "lineitem_ols_qty_price": q.lineitem_ols_qty_price,
         "orders_percent_rank_probe": q.orders_percent_rank_probe,
         "docs_lang_source_chi2": q.docs_lang_source_chi2,
         "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
@@ -703,6 +704,21 @@ def oracle_sql() -> dict[str, str]:
                    / GREATEST(r.n_partition - 1, 1) AS pct_rank
             FROM ranked r JOIN probe p USING (o_orderkey)
             ORDER BY r.o_orderkey
+        """,
+        "lineitem_ols_qty_price": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_x,
+                   CAST(SUM(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT)) AS BIGINT) AS sum_y,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(round(l_extendedprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS sum_xy,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_x2
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "orders_revenue_hhi": """
             WITH pc AS (

@@ -8187,6 +8187,45 @@ def orders_percent_rank_probe(sf_dir: str, n_probe: int = 8):
         "pct_rank": pa.array(nl / np.maximum(npt - 1, 1))})
 
 
+def lineitem_ols_qty_price(sf_dir: str):
+    """Exact OLS ingredients per returnflag for price-cents vs
+    quantity: n, sum_x, sum_y, sum_xy, sum_x2 as exact int64 (slope
+    = (n*Sxy - Sx*Sy) / (n*Sx2 - Sx^2) stays with the consumer —
+    every term below 2^63 at any sandbox scale, guarded).  One
+    bounded-group partial combine, no shuffle.  Hash-checked vs a
+    GROUP BY twin."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = b["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = np.round(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        uf, inv = np.unique(f, return_inverse=True)
+
+        def isum(v):
+            r = np.zeros(len(uf), np.int64)
+            np.add.at(r, inv, v)
+            return pa.array(r)
+
+        return pa.table({
+            "l_returnflag": pa.array(list(uf), pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_x": isum(x), "sum_y": isum(y),
+            "sum_xy": isum(x * y), "sum_x2": isum(x * x)})
+
+    out = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_returnflag"], ["n", "sum_x", "sum_y", "sum_xy", "sum_x2"])
+    return out.sort_by([("l_returnflag", "ascending")])
+
+
 def orders_revenue_hhi(sf_dir: str):
     """Revenue-concentration audit per region: the exact-integer
     Herfindahl ingredients — customer count, total revenue cents,
