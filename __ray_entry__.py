@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": q.events_transitions,
         "events_markov_stationary": q.events_markov_stationary,
         "events_holt_hourly": q.events_holt_hourly,
+        "events_cumulative_distinct": q.events_cumulative_distinct,
         "orders_revenue_hhi": q.orders_revenue_hhi,
         "lineitem_ols_qty_price": q.lineitem_ols_qty_price,
         "orders_percent_rank_probe": q.orders_percent_rank_probe,
@@ -704,6 +705,24 @@ def oracle_sql() -> dict[str, str]:
                    / GREATEST(r.n_partition - 1, 1) AS pct_rank
             FROM ranked r JOIN probe p USING (o_orderkey)
             ORDER BY r.o_orderkey
+        """,
+        "events_cumulative_distinct": """
+            WITH fh AS (
+              SELECT user_id,
+                     MIN(epoch_us(ts) // 3600000000) AS h
+              FROM events GROUP BY user_id),
+            bounds AS (
+              SELECT MIN(epoch_us(ts) // 3600000000) AS lo,
+                     MAX(epoch_us(ts) // 3600000000) AS hi FROM events),
+            spine AS (
+              SELECT unnest(generate_series(
+                  (SELECT lo FROM bounds),
+                  (SELECT hi FROM bounds))) AS hour)
+            SELECT s.hour,
+                   CAST((SELECT COUNT(*) FROM fh
+                         WHERE fh.h <= s.hour) AS BIGINT)
+                       AS distinct_users
+            FROM spine s ORDER BY s.hour
         """,
         "lineitem_ols_qty_price": """
             SELECT l_returnflag,

@@ -8322,6 +8322,55 @@ def orders_revenue_hhi(sf_dir: str):
                                  pa.string())})
 
 
+def events_cumulative_distinct(sf_dir: str):
+    """Running COUNT(DISTINCT user) by hour — the growth curve naive
+    engines recompute per window: distinct-so-far at hour H equals
+    the count of users whose FIRST event hour is <= H, so a user-hash
+    exchange emits one (first_hour) row per user, the bounded hourly
+    histogram combines, and one cumsum over the dense spine finishes
+    it.  The exchange carries O(users) rows once, never
+    hours x users.  Hash-checked vs a MIN-hour + window twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    part_schema = pa.schema([("hour", pa.int64()),
+                             ("n_first", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return part_schema.empty_table()
+        u = tbl["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hr = tbl["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64) // 3_600_000_000
+        uniq, inv = np.unique(u, return_inverse=True)
+        first = np.full(len(uniq), np.int64(1) << 60)
+        np.minimum.at(first, inv, hr)
+        uh, cnt = np.unique(first, return_counts=True)
+        # zero-count sentinel at the bucket's LAST event hour: the
+        # output spine must span the full corpus range, not stop at
+        # the last first-appearance
+        return pa.table({
+            "hour": pa.array(np.append(uh, hr.max())),
+            "n_first": pa.array(np.append(cnt, 0).astype(np.int64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    parts = collect_table(hash_exchange(
+        ds, nbuckets=32, on="user_id", reduce_fn=kernel,
+        schema=part_schema))
+    hrs = parts["hour"].to_numpy(zero_copy_only=False)
+    nf = parts["n_first"].to_numpy(zero_copy_only=False)
+    lo, hi = int(hrs.min()), int(hrs.max())
+    hist = np.zeros(hi - lo + 1, np.int64)
+    np.add.at(hist, hrs - lo, nf)
+    return pa.table({
+        "hour": pa.array(np.arange(lo, hi + 1)),
+        "distinct_users": pa.array(np.cumsum(hist))})
+
+
 def events_holt_hourly(sf_dir: str, alpha: float = 0.5,
                        gamma: float = 0.25, horizon: int = 24):
     """Holt linear-trend smoothing per event type over the DENSE
