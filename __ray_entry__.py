@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_stationary": q.events_markov_stationary,
         "events_holt_hourly": q.events_holt_hourly,
         "events_cumulative_distinct": q.events_cumulative_distinct,
+        "events_interarrival_moments": q.events_interarrival_moments,
         "orders_revenue_hhi": q.orders_revenue_hhi,
         "lineitem_ols_qty_price": q.lineitem_ols_qty_price,
         "orders_percent_rank_probe": q.orders_percent_rank_probe,
@@ -705,6 +706,21 @@ def oracle_sql() -> dict[str, str]:
                    / GREATEST(r.n_partition - 1, 1) AS pct_rank
             FROM ranked r JOIN probe p USING (o_orderkey)
             ORDER BY r.o_orderkey
+        """,
+        "events_interarrival_moments": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(LEAD(ts) OVER (
+                         PARTITION BY event_type
+                         ORDER BY ts, event_id)) - epoch_us(ts) AS gap
+              FROM events)
+            SELECT event_type,
+                   CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+                   CAST(SUM(CAST(gap AS HUGEINT) * gap) AS VARCHAR)
+                       AS sum_gap_sq_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         "events_cumulative_distinct": """
             WITH fh AS (

@@ -8322,6 +8322,76 @@ def orders_revenue_hhi(sf_dir: str):
                                  pa.string())})
 
 
+def events_interarrival_moments(sf_dir: str):
+    """Exact inter-arrival moment ingredients per event type — the
+    burstiness/CV measure's integer core: per type, the number of
+    gaps, sum of gap microseconds, and sum of squared gaps (int64;
+    the gap^2 sum is guarded).  Gaps order by (ts, event_id) within
+    a type ACROSS users (the stream view).  One type-hash exchange;
+    gaps never centralize.  Hash-checked vs a LEAD twin."""
+    import ray
+
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_gaps", pa.int64()),
+                            ("sum_gap_us", pa.int64()),
+                            ("sum_gap_sq_us", pa.string())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return out_schema.empty_table()
+        et = np.asarray(tbl["event_type"].to_pylist(), object)
+        ts = tbl["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, et))
+        et, ts = et[order], ts[order]
+        same = np.concatenate(([False], et[1:] == et[:-1]))
+        gaps = np.diff(ts)[same[1:]]
+        gtype = et[1:][same[1:]]
+        ug, ginv = np.unique(gtype, return_inverse=True)
+        n = np.bincount(ginv).astype(np.int64)
+        sm = np.zeros(len(ug), np.int64)
+        np.add.at(sm, ginv, gaps)
+        # gap^2 passes 2^63 already for gaps over ~50 min: the whole
+        # square-and-sum runs in Python big-ints, stringified (the
+        # HHI pattern)
+        sq = [0] * len(ug)
+        glist = gaps.tolist()
+        for i, g in enumerate(ginv):
+            v = glist[i]
+            sq[g] += v * v
+        return pa.table({
+            "event_type": pa.array(list(ug), pa.string()),
+            "n_gaps": pa.array(n),
+            "sum_gap_us": pa.array(sm),
+            "sum_gap_sq_us": pa.array([str(x) for x in sq],
+                                      pa.string())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"])
+    parts = collect_table(hash_exchange(
+        ds, nbuckets=8, on="event_type", reduce_fn=kernel,
+        schema=out_schema))
+    acc: dict[str, list] = {}
+    for r in parts.to_pylist():
+        a = acc.setdefault(r["event_type"], [0, 0, 0])
+        a[0] += r["n_gaps"]
+        a[1] += r["sum_gap_us"]
+        a[2] += int(r["sum_gap_sq_us"])
+    ks = sorted(acc)
+    return pa.table({
+        "event_type": pa.array(ks, pa.string()),
+        "n_gaps": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "sum_gap_us": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "sum_gap_sq_us": pa.array([str(acc[k][2]) for k in ks],
+                                  pa.string())})
+
+
 def events_cumulative_distinct(sf_dir: str):
     """Running COUNT(DISTINCT user) by hour — the growth curve naive
     engines recompute per window: distinct-so-far at hour H equals
