@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_ols_qty_price": q.lineitem_ols_qty_price,
         "orders_percent_rank_probe": q.orders_percent_rank_probe,
         "docs_lang_source_chi2": q.docs_lang_source_chi2,
+        "docs_char_trigrams_by_lang": q.docs_char_trigrams_by_lang,
         "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
         "suppliers_assortativity": q.suppliers_assortativity,
         "events_window_funnel": q.events_window_funnel,
@@ -645,6 +646,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(dj) AS BIGINT) AS sum_j,
                    CAST(SUM(dj * dj) AS BIGINT) AS sum_j2
             FROM j
+        """,
+        "docs_char_trigrams_by_lang": """
+            WITH pos AS (
+              SELECT d.lang,
+                     substr(d.text, CAST(i.i AS INTEGER), 3) AS tri
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, length(d.text) - 2)) AS i) i),
+            cnt AS (SELECT lang, tri, COUNT(*) AS n
+                    FROM pos GROUP BY lang, tri),
+            rk AS (SELECT lang, tri, n,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY lang
+                              ORDER BY n DESC, tri) AS r
+                   FROM cnt)
+            SELECT lang, tri, CAST(n AS BIGINT) AS n
+            FROM rk WHERE r <= 10
+            ORDER BY lang, n DESC, tri
         """,
         "docs_lang_source_chi2": """
             WITH cells AS (

@@ -1396,6 +1396,92 @@ def events_value_histogram(sf_dir: str, nbins: int = 40):
                      "v", lo=0, hi=40_000, nbins=nbins)
 
 
+def docs_char_trigrams_by_lang(sf_dir: str, k: int = 10):
+    """Per-language character-trigram profile — the raw feature table
+    a byte-n-gram language identifier trains on: the top-k trigrams
+    per lang by exact count (ties by trigram — pinned).  Trigram
+    extraction is one vectorized pass over the flat UTF-8 buffer
+    (ASCII corpus: byte == char, matching SQL substr) with doc
+    boundaries respected; (lang, trigram) partials route by trigram
+    hash so each trigram's cross-lang counts finish in one bucket,
+    which emits only its per-lang local top-k.  Hash-checked vs a
+    positions-join ROW_NUMBER twin."""
+    import ray
+
+    from ..codec.varint import ramp
+    from ..collect import collect_table
+    from ..functions.exchange import hash_exchange
+
+    part_schema = pa.schema([("lang", pa.string()),
+                             ("tri", pa.string()),
+                             ("n", pa.int64())])
+
+    def extract(b: pa.Table) -> pa.Table:
+        txt = b["text"].combine_chunks()
+        if pa.types.is_large_string(txt.type):
+            txt = txt.cast(pa.string())
+        offs = np.frombuffer(txt.buffers()[1], np.int32,
+                             len(txt) + 1, txt.offset * 4) \
+            .astype(np.int64)
+        data = np.frombuffer(txt.buffers()[2], np.uint8) \
+            if txt.buffers()[2] else np.empty(0, np.uint8)
+        lens = np.diff(offs)
+        npos = np.maximum(lens - 2, 0)
+        base = np.repeat(offs[:-1], npos) + ramp(npos)
+        tri = (data[base].astype(np.int64) << 16) \
+            | (data[base + 1].astype(np.int64) << 8) \
+            | data[base + 2].astype(np.int64)
+        lang = b["lang"].combine_chunks().dictionary_encode()
+        lcode = lang.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lnames = lang.dictionary.to_pylist()
+        key = np.repeat(lcode, npos) * (np.int64(1) << 24) + tri
+        uk, cnt = np.unique(key, return_counts=True)
+        lt = uk >> 24
+        tr = uk & ((np.int64(1) << 24) - 1)
+        tris = [bytes(((int(t) >> 16) & 255, (int(t) >> 8) & 255,
+                       int(t) & 255)).decode("ascii") for t in tr]
+        return pa.table({
+            "lang": pa.array([lnames[int(i)] for i in lt], pa.string()),
+            "tri": pa.array(tris, pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    def topk_kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return part_schema.empty_table()
+        agg = t.group_by(["lang", "tri"]).aggregate([("n", "sum")])
+        lang = np.asarray(agg["lang"].to_pylist(), object)
+        tri = np.asarray(agg["tri"].to_pylist(), object)
+        n = agg["n_sum"].to_numpy().astype(np.int64)
+        out = []
+        for lg in np.unique(lang):
+            m = lang == lg
+            sel = np.lexsort((tri[m], -n[m]))[:k]
+            idx = np.flatnonzero(m)[sel]
+            out.extend({"lang": lg, "tri": tri[i], "n": int(n[i])}
+                       for i in idx)
+        return pa.Table.from_pylist(out, schema=part_schema)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+    parts = collect_table(hash_exchange(
+        ds.map_batches(extract, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        nbuckets=16, on="tri", reduce_fn=topk_kernel,
+        schema=part_schema))
+    lang = np.asarray(parts["lang"].to_pylist(), object)
+    tri = np.asarray(parts["tri"].to_pylist(), object)
+    n = parts["n"].to_numpy(zero_copy_only=False)
+    out = []
+    for lg in sorted(set(lang)):
+        m = lang == lg
+        sel = np.lexsort((tri[m], -n[m]))[:k]
+        idx = np.flatnonzero(m)[sel]
+        out.extend({"lang": lg, "tri": str(tri[i]), "n": int(n[i])}
+                   for i in idx)
+    return pa.Table.from_pylist(out, schema=part_schema)
+
+
 def docs_lang_source_chi2(sf_dir: str):
     """Chi-square independence ingredients for the lang x source
     crosstab — the dataset-bias audit: observed cell counts plus row /
