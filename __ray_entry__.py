@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_revenue_hhi": q.orders_revenue_hhi,
         "lineitem_ols_qty_price": q.lineitem_ols_qty_price,
         "orders_percent_rank_probe": q.orders_percent_rank_probe,
+        "orders_backlog_littles_law": q.orders_backlog_littles_law,
         "docs_lang_source_chi2": q.docs_lang_source_chi2,
         "docs_char_trigrams_by_lang": q.docs_char_trigrams_by_lang,
         "docs_source_vocab_jaccard": q.docs_source_vocab_jaccard,
@@ -705,6 +706,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN v va ON va.s = p.sa
             JOIN v vb ON vb.s = p.sb
             ORDER BY src_a, src_b
+        """,
+        "orders_backlog_littles_law": """
+            WITH o AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     o_orderkey % 30 + 1 AS dur
+              FROM orders),
+            b AS (SELECT MIN(datediff('day', DATE '1970-01-01', d))
+                         AS lo,
+                         MAX(datediff('day', DATE '1970-01-01', d))
+                         + 31 AS hi FROM o),
+            spine AS (SELECT unnest(generate_series(
+                (SELECT lo FROM b), (SELECT hi FROM b))) AS day),
+            lvl AS (
+              SELECT s.day, COUNT(o.d) AS backlog
+              FROM spine s LEFT JOIN o
+                ON datediff('day', DATE '1970-01-01', o.d) <= s.day
+               AND s.day < datediff('day', DATE '1970-01-01', o.d)
+                           + o.dur
+              GROUP BY s.day)
+            SELECT CAST((SELECT SUM(dur) FROM o) AS BIGINT)
+                       AS total_order_days,
+                   CAST((SELECT hi - lo + 1 FROM b) AS BIGINT)
+                       AS span_days,
+                   CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+                   CAST((SELECT MIN(day) FROM lvl
+                         WHERE backlog = (SELECT MAX(backlog)
+                                          FROM lvl)) AS BIGINT)
+                       AS peak_day
+            FROM lvl
         """,
         "orders_percent_rank_probe": """
             WITH probe AS (SELECT o_orderkey FROM orders

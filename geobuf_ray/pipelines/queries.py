@@ -15784,6 +15784,66 @@ def orders_priority_diameter(sf_dir: str):
                                     pa.int64())})
 
 
+def orders_backlog_littles_law(sf_dir: str):
+    """Little's-law ingredients for the open-orders process, exact:
+    total order-days open (sum of interval lengths — the integral of
+    the backlog curve), the observation span, the PEAK backlog and
+    its first day (boundary-delta sweep + one prefix sum; the SQL
+    twin pays the days x orders join).  Same interval rule as
+    orders_backlog_curve: [orderdate, orderdate + okey % 30 + 1).
+    Time-average backlog = total / span stays with the consumer."""
+    import ray
+
+    from ..collect import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_orderdate"])
+
+    def bounds(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({"lo": pa.array([int(d.min())]),
+                         "hi": pa.array([int(d.max())])})
+
+    mm = collect_table(ds.map_batches(bounds, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    lo = int(mm["lo"].to_numpy().min())
+    hi = int(mm["hi"].to_numpy().max()) + 31
+    ndays = hi - lo + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        start = d - lo
+        dur = k % 30 + 1
+        diff = np.bincount(start, minlength=ndays).astype(np.int64) \
+            - np.bincount(start + dur, minlength=ndays + 1)[:ndays]
+        t = pa.table({"day_idx": pa.array(
+            np.arange(ndays, dtype=np.int64)),
+            "diff": pa.array(diff)})
+        return t.append_column(
+            "order_days", pa.array(np.concatenate(
+                ([int(dur.sum())], np.zeros(ndays - 1, np.int64)))))
+
+    agg = _final_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day_idx"], ["diff", "order_days"])
+    idx = agg["day_idx"].to_numpy(zero_copy_only=False)
+    order = np.argsort(idx)
+    level = np.cumsum(agg["diff"].to_numpy(zero_copy_only=False)[order])
+    total = int(agg["order_days"].to_numpy(zero_copy_only=False).sum())
+    peak = int(level.max())
+    peak_day = lo + int(np.flatnonzero(level == peak)[0])
+    return pa.table({
+        "total_order_days": pa.array([total], pa.int64()),
+        "span_days": pa.array([ndays], pa.int64()),
+        "peak_backlog": pa.array([peak], pa.int64()),
+        "peak_day": pa.array([peak_day], pa.int64())})
+
+
 def orders_backlog_curve(sf_dir: str, stride: int = 30):
     """Concurrent-interval counting (the backlog / open-items curve):
     how many orders are OPEN at each sample day, where an order spans
